@@ -1,0 +1,111 @@
+"""Catalog introspection tools.
+
+Reimplements the reference's catalog surface natively on `spark.catalog`:
+
+- `list_tables` (redshift/postgres dialect): one row per column of every user
+  table, shape (schema_name, table_name, column_name, column_position,
+  data_type, is_nullable, column_default), optional CSV table-name filter,
+  ordered by (schema, table, position)
+  — `/root/reference/images/redshift/redshift.yaml:11-42`, parsed by clients at
+  `/root/reference/tests/redshift/example_usage.py:62-65`.
+- `list_table_names` (sqlite dialect): table names only, same optional filter
+  — `/root/reference/tests/sqlite/sqlite.yaml:7-24`.
+- `search_entries` (dataplex-style): wildcard catalog search with paging
+  — `/root/reference/tests/dataplex/test_mcp.py:160-189`.
+
+Catalog metadata is inherently tiny (hundreds of rows for thousands of
+tables), so rows are assembled driver-side from `spark.catalog` and returned
+as a DataFrame — the scan/shuffle machinery is irrelevant here; what matters
+at scale is that we read only metadata, never data files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Row shape contract: images/redshift/redshift.yaml:14-22.
+LIST_TABLES_SCHEMA = T.StructType(
+    [
+        T.StructField("schema_name", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("column_name", T.StringType(), False),
+        T.StructField("column_position", T.IntegerType(), False),
+        T.StructField("data_type", T.StringType(), False),
+        T.StructField("is_nullable", T.StringType(), False),
+        T.StructField("column_default", T.StringType(), True),
+    ]
+)
+
+# System namespaces excluded by the reference tool
+# (images/redshift/redshift.yaml:26: NOT IN ('pg_catalog','information_schema')).
+SYSTEM_SCHEMAS = ("pg_catalog", "information_schema", "global_temp")
+
+
+def _csv_names(table_names: str | None) -> list[str] | None:
+    """CSV-filter semantics of images/redshift/redshift.yaml:27-31: NULL or
+    empty string → no filter; else exact membership in the split list."""
+    if table_names is None or table_names.strip() == "":
+        return None
+    return [t.strip() for t in table_names.split(",") if t.strip()]
+
+
+def list_tables(
+    spark: SparkSession, table_names: str | None = "", schema_name: str = "default"
+) -> DataFrame:
+    """Redshift-dialect `list_tables`: one row per column, ordered."""
+    wanted = _csv_names(table_names)
+    rows = []
+    for tbl in spark.catalog.listTables():
+        if tbl.database in SYSTEM_SCHEMAS:
+            continue
+        name = tbl.name
+        if wanted is not None and name not in wanted:
+            continue
+        schema = tbl.database or schema_name
+        for pos, col in enumerate(spark.catalog.listColumns(name), start=1):
+            rows.append(
+                (
+                    schema,
+                    name,
+                    col.name,
+                    pos,
+                    col.dataType,
+                    "YES" if col.nullable else "NO",
+                    None,  # temp views carry no column defaults
+                )
+            )
+    df = spark.createDataFrame(rows, LIST_TABLES_SCHEMA)
+    return df.orderBy("schema_name", "table_name", "column_position")
+
+
+def list_table_names(spark: SparkSession, table_names: str | None = "") -> DataFrame:
+    """SQLite-dialect `list_tables`: names only, ordered
+    (tests/sqlite/sqlite.yaml:15-24)."""
+    wanted = _csv_names(table_names)
+    names = sorted(
+        t.name
+        for t in spark.catalog.listTables()
+        if t.database not in SYSTEM_SCHEMAS and (wanted is None or t.name in wanted)
+    )
+    return spark.createDataFrame(
+        [(n,) for n in names],
+        T.StructType([T.StructField("table_name", T.StringType(), False)]),
+    )
+
+
+def search_entries(
+    spark: SparkSession, query: str = "*", page_size: int = 10
+) -> DataFrame:
+    """Dataplex-style catalog search: substring match on table/column names,
+    `*` (or empty) matches everything; paged via LIMIT
+    (tests/dataplex/test_mcp.py:160-189 calls {"query": "*", "page_size": 1})."""
+    cat = list_tables(spark, table_names="")
+    if query and query not in ("*", ""):
+        q = query.lower().strip("*")
+        cat = cat.filter(
+            F.lower(F.col("table_name")).contains(q)
+            | F.lower(F.col("column_name")).contains(q)
+        )
+    return cat.orderBy("table_name", "column_position").limit(int(page_size))

@@ -1,0 +1,217 @@
+"""Core analytic queries over the star schema — the SQL surface the reference
+commits to via arbitrary-SQL passthrough (SURVEY.md §2.B [implied] rows:
+grouped aggregation, multi-way joins, top-k, rollup), exercised TPC-H-style
+on the driver's tables.
+
+Scale notes (100 TB design):
+- Filters are expressed as Column predicates on the scan → Catalyst pushes
+  them into the Parquet reader (PushedFilters) and prunes columns.
+- region/nation/supplier are broadcast at every sf (BROADCAST_DIMS) —
+  no shuffle for dimension joins; fact⋈fact joins go sort-merge with AQE
+  skew handling.
+- Top-k is orderBy+limit → Catalyst's TakeOrderedAndProject (per-partition
+  heap + driver merge), never a global single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from database_toolbox_spark.functions import charge, disc_price, money, ratio, ts
+from database_toolbox_spark.session import load_table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: scan→filter→project→hash-agg→sort.
+
+    The flagship query (SURVEY.md §7 minimum slice) — the core of what every
+    warehouse wrapped by the reference executes for `execute_sql`.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum("l_quantity")).alias("sum_qty"),
+            money(F.sum("l_extendedprice")).alias("sum_base_price"),
+            money(F.sum(disc_price())).alias("sum_disc_price"),
+            money(F.sum(charge())).alias("sum_charge"),
+            ratio(F.avg("l_quantity")).alias("avg_qty"),
+            ratio(F.avg("l_extendedprice")).alias("avg_price"),
+            ratio(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style top-k: 3-way join → grouped agg → deterministic top-10.
+
+    Top-k via orderBy+limit (TakeOrderedAndProject — scales to any row count)
+    with the rank column added afterwards over only the k surviving rows, so
+    no global-window shuffle ever sees the full data.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < ts("1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > ts("1998-01-01")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money(F.sum(disc_price())).alias("revenue"))
+    )
+    top = rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style 6-way star join with broadcast dimensions.
+
+    region/nation/supplier are broadcast (no shuffle); the customer⋈orders⋈
+    lineitem chain shuffles on its keys with AQE handling skew/coalescing.
+    """
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1996-01-01"))
+        & (F.col("o_orderdate") < ts("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supplier, (li.l_suppkey == supplier.s_suppkey)
+              & (cust.c_nationkey == supplier.s_nationkey))
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(money(F.sum(disc_price())).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation battery per market segment: count, exact distinct,
+    avg/min/max/sum (SURVEY.md §2.B aggregations [implied])."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            ratio(F.avg("o_totalprice")).alias("avg_price"),
+            money(F.min("o_totalprice")).alias("min_price"),
+            money(F.max("o_totalprice")).alias("max_price"),
+            money(F.sum("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (o_orderstatus, o_orderpriority) — grouping-sets surface
+    (SURVEY.md §2.B: rollup/cube/grouping sets [implied])."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "top_revenue_orders": top_revenue_orders,
+    "regional_revenue": regional_revenue,
+    "segment_order_stats": segment_order_stats,
+    "priority_rollup": priority_rollup,
+}
+
+ORACLE = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                    AS sum_qty,
+               round(sum(l_extendedprice), 2)                               AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4)                                    AS avg_qty,
+               round(avg(l_extendedprice), 4)                               AS avg_price,
+               round(avg(l_discount), 6)                                    AS avg_disc,
+               count(*)                                                     AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_revenue_orders": """
+        WITH rev AS (
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        )
+        SELECT o_orderkey, o_orderdate, o_orderpriority, revenue,
+               CAST(row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS INT) AS rnk
+        FROM rev
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "regional_revenue": """
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name
+    """,
+    "segment_order_stats": """
+        SELECT c.c_mktsegment,
+               count(*)                          AS n_orders,
+               count(DISTINCT o.o_custkey)       AS n_customers,
+               round(avg(o.o_totalprice), 4)     AS avg_price,
+               round(min(o.o_totalprice), 2)     AS min_price,
+               round(max(o.o_totalprice), 2)     AS max_price,
+               round(sum(o.o_totalprice), 2)     AS sum_price
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+    "priority_rollup": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*)                      AS n_orders,
+               round(sum(o_totalprice), 2)   AS sum_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+}

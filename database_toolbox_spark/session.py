@@ -1,0 +1,124 @@
+"""SparkSession construction and star-schema registration.
+
+The reference holds no data — every byte lives in an external engine reached
+through a connection config (`/root/reference/images/redshift/redshift.yaml:1-8`,
+`/root/reference/tests/sqlite/sqlite.yaml:1-4`). Our storage is the driver's
+Parquet star schema (TESTDATA.md); "connecting" = registering the Parquet files
+as temp views so `spark.sql` and the catalog tools see them as tables.
+
+Scale notes (100 TB design):
+- Everything is declarative `spark.read.parquet` → Catalyst gets predicate
+  pushdown, column pruning, and partition pruning for free on every operator.
+- AQE is on: runtime shuffle-partition coalescing + skew-join splitting, which
+  is what makes a fixed `spark.sql.shuffle.partitions` safe across 1000×
+  data-size range.
+- Session timezone pinned to UTC for deterministic timestamp semantics
+  (FIXTURES.md determinism rules).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache as _lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The ten driver tables (TESTDATA.md + FIXTURES.md). region/nation/supplier
+# are broadcast-sized dimensions at every scale factor.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any sf (FIXTURES.md join graph).
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "database-toolbox-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: str | int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession configured for analytics.
+
+    On a real cluster only master/memory change; the SQL configs below are
+    the scale-relevant ones and apply unchanged.
+    """
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+@_lru_cache(maxsize=256)
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects ([PARQUET_TYPE_ILLEGAL]). Detected from the footer only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table and register it as a temp view under its bare name.
+
+    TIMESTAMP(NANOS) columns (e.g. events.ts) are read as nanos-since-epoch
+    longs (`spark.sql.legacy.parquet.nanosAsLong`) and cast back to
+    microsecond timestamps scan-side — a codegen'd projection, no UDF.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = table_path(sf_dir, name)
+    nanos_cols = _nanos_ts_columns(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    df = df.select(*[f.name for f in df.schema])  # keep original column order
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register the full star schema as temp views; return name → DataFrame.
+
+    Mirrors the reference's "source" concept (a connection makes the engine's
+    tables visible; `/root/reference/images/redshift/redshift.yaml:1-8`): after
+    this call, `spark.sql` and the catalog tools can see every table.
+    """
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,78 @@
+"""Catalog tool tests: the 7-column list_tables contract
+(`/root/reference/images/redshift/redshift.yaml:14-35`, parsed at
+`tests/redshift/example_usage.py:62-65`), CSV filter semantics, and the
+tool-registry surface (tools list non-empty, required names present —
+`tests/redshift/test_mcp.py:177-182`)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from database_toolbox_spark import registry
+from database_toolbox_spark.catalog import list_table_names, list_tables, search_entries
+from database_toolbox_spark.session import TABLES, load_tables
+from tests.conftest import SF_DIR
+
+CONTRACT_COLUMNS = [
+    "schema_name",
+    "table_name",
+    "column_name",
+    "column_position",
+    "data_type",
+    "is_nullable",
+    "column_default",
+]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark):
+    load_tables(spark, SF_DIR)
+
+
+def test_contract_shape(spark):
+    df = list_tables(spark)
+    assert df.columns == CONTRACT_COLUMNS
+    names = {r.table_name for r in df.collect()}
+    assert set(TABLES) <= names
+
+
+def test_csv_filter(spark):
+    rows = list_tables(spark, table_names="lineitem, orders").collect()
+    assert {r.table_name for r in rows} == {"lineitem", "orders"}
+    # positions are 1-based and dense per table
+    li = [r for r in rows if r.table_name == "lineitem"]
+    assert [r.column_position for r in li] == list(range(1, len(li) + 1))
+    assert li[0].column_name == "l_orderkey"
+
+
+def test_empty_filter_means_all(spark):
+    assert (
+        list_tables(spark, table_names="").count()
+        == list_tables(spark, table_names=None).count()
+    )
+
+
+def test_list_table_names_sqlite_dialect(spark):
+    df = list_table_names(spark)
+    assert df.columns == ["table_name"]
+    names = [r.table_name for r in df.collect()]
+    assert names == sorted(names)
+    assert "lineitem" in names
+
+
+def test_search_entries_wildcard_and_paging(spark):
+    assert search_entries(spark, "*", page_size=1).count() == 1
+    hits = search_entries(spark, "orderkey", page_size=50).collect()
+    assert hits and all("orderkey" in r.column_name for r in hits)
+
+
+def test_registry_surface(spark):
+    names = {t.name for t in registry.list_tools()}
+    assert {"list_tables", "execute_sql"} <= names  # required-tool assertion
+    content = registry.call_tool(spark, "list_tables", {"table_names": "region"})
+    parsed = [json.loads(c["text"]) for c in content]
+    assert [p["column_name"] for p in parsed] == ["r_regionkey", "r_name"]
+    got = registry.call_tool(spark, "execute_sql", {"sql": "SELECT 1 AS one"})
+    assert json.loads(got[0]["text"]) == {"one": 1}
