@@ -15,16 +15,35 @@ def ts(literal: str) -> Column:
     return F.lit(literal).cast("timestamp")
 
 
+def canon_round(col: Column, digits: int = 2) -> Column:
+    """Engine-portable rounding: floor(x*m + 0.501)/m.
+
+    Two engine-divergence hazards with plain `round`:
+    1. Spark's `round` goes through the double's shortest decimal string
+       (BigDecimal HALF_UP) while DuckDB rounds the binary value — on
+       145784.705 they disagree (.71 vs .70). floor/*/+ are plain IEEE ops,
+       identical everywhere.
+    2. Money data lives on a 0.01 grid in scaled space, so true sums land
+       EXACTLY on the x.5 rounding boundary; engines' sums differ by ulps
+       (different add order) and flip the floor. The 0.001 nudge moves the
+       boundary to x.499 — off the data grid by 0.001, which is far above
+       accumulated FP noise (~1e-4 for 1e6-row sums) — so both engines
+       classify every boundary value identically.
+
+    The DuckDB oracle uses the same formula (operators/_oracle.py::R)."""
+    m = float(10**digits)
+    return F.floor(col * m + F.lit(0.501)) / F.lit(m)
+
+
 def money(col: Column) -> Column:
-    """Canonical rounding for DOUBLE money aggregates so order-of-summation
-    FP noise cannot flip the DuckDB-oracle value hash (FIXTURES.md
-    determinism rules: money columns are DOUBLE; round aggregates)."""
-    return F.round(col, 2)
+    """Canonical rounding for DOUBLE money aggregates so FP noise cannot flip
+    the DuckDB-oracle value hash (FIXTURES.md determinism rules)."""
+    return canon_round(col, 2)
 
 
 def ratio(col: Column, digits: int = 4) -> Column:
     """Canonical rounding for averages/ratios."""
-    return F.round(col, digits)
+    return canon_round(col, digits)
 
 
 def disc_price() -> Column:

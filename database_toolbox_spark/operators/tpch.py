@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from database_toolbox_spark.functions import charge, disc_price, money, ratio, ts
+from database_toolbox_spark.operators._oracle import R
 from database_toolbox_spark.session import load_table
 
 
@@ -145,25 +146,27 @@ QUERIES = {
     "priority_rollup": priority_rollup,
 }
 
+_DISC = "l_extendedprice * (1 - l_discount)"
+
 ORACLE = {
-    "pricing_summary": """
+    "pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2)                                    AS sum_qty,
-               round(sum(l_extendedprice), 2)                               AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4)                                    AS avg_qty,
-               round(avg(l_extendedprice), 4)                               AS avg_price,
-               round(avg(l_discount), 6)                                    AS avg_disc,
-               count(*)                                                     AS count_order
+               {R("sum(l_quantity)")}                                  AS sum_qty,
+               {R("sum(l_extendedprice)")}                             AS sum_base_price,
+               {R(f"sum({_DISC})")}                                    AS sum_disc_price,
+               {R(f"sum({_DISC} * (1 + l_tax))")}                      AS sum_charge,
+               {R("avg(l_quantity)", 4)}                               AS avg_qty,
+               {R("avg(l_extendedprice)", 4)}                          AS avg_price,
+               {R("avg(l_discount)", 6)}                               AS avg_disc,
+               count(*)                                                AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
     """,
-    "top_revenue_orders": """
+    "top_revenue_orders": f"""
         WITH rev AS (
             SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+                   {R(f"sum(l.{_DISC})")} AS revenue
             FROM lineitem l
             JOIN orders o   ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -178,9 +181,9 @@ ORACLE = {
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10
     """,
-    "regional_revenue": """
+    "regional_revenue": f"""
         SELECT n.n_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               {R(f"sum(l.{_DISC})")} AS revenue
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -193,23 +196,23 @@ ORACLE = {
         GROUP BY n.n_name
         ORDER BY revenue DESC, n.n_name
     """,
-    "segment_order_stats": """
+    "segment_order_stats": f"""
         SELECT c.c_mktsegment,
-               count(*)                          AS n_orders,
-               count(DISTINCT o.o_custkey)       AS n_customers,
-               round(avg(o.o_totalprice), 4)     AS avg_price,
-               round(min(o.o_totalprice), 2)     AS min_price,
-               round(max(o.o_totalprice), 2)     AS max_price,
-               round(sum(o.o_totalprice), 2)     AS sum_price
+               count(*)                            AS n_orders,
+               count(DISTINCT o.o_custkey)         AS n_customers,
+               {R("avg(o.o_totalprice)", 4)}       AS avg_price,
+               {R("min(o.o_totalprice)")}          AS min_price,
+               {R("max(o.o_totalprice)")}          AS max_price,
+               {R("sum(o.o_totalprice)")}          AS sum_price
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
         ORDER BY c.c_mktsegment
     """,
-    "priority_rollup": """
+    "priority_rollup": f"""
         SELECT o_orderstatus, o_orderpriority,
-               count(*)                      AS n_orders,
-               round(sum(o_totalprice), 2)   AS sum_price
+               count(*)                       AS n_orders,
+               {R("sum(o_totalprice)")}       AS sum_price
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus, o_orderpriority

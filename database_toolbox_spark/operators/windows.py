@@ -1,0 +1,220 @@
+"""Window-function battery (SURVEY.md §2.B Window functions — [implied]
+passthrough capability of every warehouse the reference wraps: ranking,
+analytic lag/lead, running aggregates, ROWS/RANGE frames).
+
+Scale notes:
+- Every window here is partitioned (by supplier, customer, nation) or runs
+  over an already-aggregated small input (daily totals) — no unpartitioned
+  window over raw fact rows, which would serialize onto one task at 100 TB.
+- Sort keys are rounded values + a unique key, so ordering (and therefore
+  rank output) is deterministic across engines despite DOUBLE noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from database_toolbox_spark.functions import canon_round, disc_price, money
+from database_toolbox_spark.operators._oracle import R
+from database_toolbox_spark.session import load_table
+
+
+def supplier_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking trio (row_number/rank/dense_rank) per supplier over part
+    revenue; keep top 3 per supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey", "l_partkey").agg(
+        money(F.sum(disc_price())).alias("revenue")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("revenue").desc(), F.col("l_partkey")
+    )
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("l_suppkey", "rn")
+    )
+
+
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead per customer order history + day gap since previous order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            money(F.lag("o_totalprice").over(w)).alias("prev_price"),
+            money(F.lead("o_totalprice").over(w)).alias("next_price"),
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("days_since_prev"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def daily_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + 7-day moving average over daily revenue (ROWS frame).
+
+    The window runs over the *aggregated* daily series (thousands of rows at
+    any sf), not raw lineitems — aggregate first, window second.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(money(F.sum(disc_price())).alias("day_revenue"))
+    )
+    w = Window.orderBy("day")
+    return (
+        daily.select(
+            "day",
+            "day_revenue",
+            money(
+                F.sum("day_revenue").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+            ).alias("running_revenue"),
+            canon_round(
+                F.avg("day_revenue").over(w.rowsBetween(-6, 0)), 4
+            ).alias("ma7_revenue"),
+        )
+        .orderBy("day")
+    )
+
+
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) by account balance with deterministic ordering."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.select(
+            "c_custkey",
+            money(F.col("c_acctbal")).alias("acctbal"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def nation_balance_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per nation, for each customer the count and sum of peers
+    within ±500.0 of their balance (RANGE BETWEEN 500 PRECEDING AND 500
+    FOLLOWING over a numeric ORDER BY — peers included symmetrically, so
+    output is deterministic even with ties)."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal", money(F.col("c_acctbal"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("bal").rangeBetween(-500, 500)
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            "bal",
+            F.count("*").over(w).alias("n_near"),
+            money(F.sum("bal").over(w)).alias("sum_near"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def first_last_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over full-partition frames per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            money(F.first("o_totalprice").over(w)).alias("first_price"),
+            money(F.last("o_totalprice").over(w)).alias("last_price"),
+            F.count("*").over(w).alias("n_orders"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+QUERIES = {
+    "supplier_top_parts": supplier_top_parts,
+    "customer_order_gaps": customer_order_gaps,
+    "daily_running_revenue": daily_running_revenue,
+    "customer_balance_quartiles": customer_balance_quartiles,
+    "nation_balance_range_frame": nation_balance_range_frame,
+    "first_last_order_values": first_last_order_values,
+}
+
+ORACLE = {
+    "supplier_top_parts": f"""
+        WITH rev AS (
+            SELECT l_suppkey, l_partkey,
+                   {R("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+            FROM lineitem GROUP BY l_suppkey, l_partkey
+        ), ranked AS (
+            SELECT *,
+                   CAST(row_number() OVER w AS INT) AS rn,
+                   CAST(rank()       OVER w AS INT) AS rnk,
+                   CAST(dense_rank() OVER w AS INT) AS drnk
+            FROM rev
+            WINDOW w AS (PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey)
+        )
+        SELECT * FROM ranked WHERE rn <= 3 ORDER BY l_suppkey, rn
+    """,
+    "customer_order_gaps": f"""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               {R("lag(o_totalprice)  OVER w")} AS prev_price,
+               {R("lead(o_totalprice) OVER w")} AS next_price,
+               CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS INT)
+                   AS days_since_prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+    """,
+    "daily_running_revenue": f"""
+        WITH daily AS (
+            SELECT CAST(l_shipdate AS DATE) AS day,
+                   {R("sum(l_extendedprice * (1 - l_discount))")} AS day_revenue
+            FROM lineitem GROUP BY 1
+        )
+        SELECT day, day_revenue,
+               {R("sum(day_revenue) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")}
+                   AS running_revenue,
+               {R("avg(day_revenue) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)", 4)}
+                   AS ma7_revenue
+        FROM daily ORDER BY day
+    """,
+    "customer_balance_quartiles": f"""
+        SELECT c_custkey, {R("c_acctbal")} AS acctbal,
+               CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT)
+                   AS quartile
+        FROM customer ORDER BY c_custkey
+    """,
+    "nation_balance_range_frame": f"""
+        WITH c AS (SELECT c_nationkey, c_custkey, {R("c_acctbal")} AS bal
+                   FROM customer)
+        SELECT c_nationkey, c_custkey, bal,
+               count(*) OVER w AS n_near,
+               {R("sum(bal) OVER w")} AS sum_near
+        FROM c
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal
+                     RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+        ORDER BY c_custkey
+    """,
+    "first_last_order_values": f"""
+        SELECT o_custkey, o_orderkey,
+               {R("first_value(o_totalprice) OVER w")} AS first_price,
+               {R("last_value(o_totalprice)  OVER w")} AS last_price,
+               count(*) OVER w AS n_orders
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey
+    """,
+}
