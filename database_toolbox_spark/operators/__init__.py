@@ -18,13 +18,15 @@ from pyspark.sql import DataFrame, SparkSession
 def _modules():
     from database_toolbox_spark.operators import (  # noqa: PLC0415
         catalog_ops,
+        events,
         joins,
+        scalars,
         setops,
         tpch,
         windows,
     )
 
-    return [catalog_ops, joins, setops, tpch, windows]
+    return [catalog_ops, events, joins, scalars, setops, tpch, windows]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,168 @@
+"""Batch event-time analytics on the `events` table (SURVEY.md §2.B
+streaming-only rows: the reference has zero streaming code — these are the
+batch equivalents the driver's fixture demands; Structured Streaming variants
+live in database_toolbox_spark/streaming/).
+
+Covers: JSON extraction from the `props` column (from_json/get_json_object —
+engines wrapped by the reference all parse JSON), tumbling/sliding windows
+(`F.window`), session windows (`F.session_window`), and dedup
+(`dropDuplicates`).
+
+Scale notes: window aggregation groups shuffle on (window, key) — naturally
+parallel; session windows shuffle on user_id. No unpartitioned state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_toolbox_spark.functions import canon_round, money
+from database_toolbox_spark.operators._oracle import R
+from database_toolbox_spark.session import load_table
+
+
+def event_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction: props is a JSON text column; pull $.k as int and
+    aggregate per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            canon_round(F.avg(k), 4).alias("avg_k"),
+            money(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), money(F.sum("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+def sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 2-hour length, 1-hour slide — each event lands in two
+    windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), money(F.sum("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "sum_value")
+        .orderBy("win_start")
+    )
+
+
+def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows: per user, sessions close after a 10-minute gap.
+    `F.session_window` start = first event ts in the session."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), money(F.sum("value")).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on event_id: double the stream (union all with itself),
+    dropDuplicates restores one row per id — counts must equal the original
+    (SURVEY.md §2.B stateful dedup → batch `dropDuplicates`)."""
+    ev = load_table(spark, sf_dir, "events")
+    doubled = ev.unionAll(ev)
+    return (
+        doubled.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "event_json_stats": event_json_stats,
+    "hourly_event_windows": hourly_event_windows,
+    "sliding_event_windows": sliding_event_windows,
+    "user_session_windows": user_session_windows,
+    "event_dedup": event_dedup,
+}
+
+ORACLE = {
+    "event_json_stats": f"""
+        SELECT event_type,
+               count(*)                                          AS n,
+               sum(CAST(props->>'$.k' AS BIGINT))                AS sum_k,
+               {R("avg(CAST(props->>'$.k' AS BIGINT))", 4)}      AS avg_k,
+               {R("sum(value)")}                                 AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "hourly_event_windows": f"""
+        SELECT date_trunc('hour', ts)  AS hour_start,
+               event_type,
+               count(*)                AS n,
+               {R("sum(value)")}       AS sum_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "sliding_event_windows": f"""
+        WITH assigned AS (
+            SELECT date_trunc('hour', ts) AS win_start, value FROM events
+            UNION ALL
+            SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events
+        )
+        SELECT win_start, count(*) AS n, {R("sum(value)")} AS sum_value
+        FROM assigned GROUP BY win_start ORDER BY win_start
+    """,
+    "user_session_windows": f"""
+        WITH gaps AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 10 MINUTE
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+            FROM gaps
+        )
+        SELECT user_id,
+               min(ts)            AS session_start,
+               count(*)           AS n_events,
+               {R("sum(value)")}  AS sum_value
+        FROM sessions
+        GROUP BY user_id, sess_id
+        ORDER BY user_id, session_start
+    """,
+    "event_dedup": """
+        WITH doubled AS (
+            SELECT * FROM events UNION ALL SELECT * FROM events
+        ), dedup AS (
+            SELECT DISTINCT ON (event_id) * FROM doubled
+        )
+        SELECT event_type, count(*) AS n
+        FROM dedup GROUP BY event_type ORDER BY event_type
+    """,
+}

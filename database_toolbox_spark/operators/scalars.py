@@ -1,0 +1,209 @@
+"""Scalar-function battery (SURVEY.md §2.B Scalar functions).
+
+[exercised] in the reference: concat `||` (tests/sqlite/sqlite.yaml:22),
+string_to_array/split (images/redshift/redshift.yaml:30), LIKE
+(tests/sqlite/sqlite.yaml:22), COALESCE (CONTRIBUTING.md:235), casts
+`$1::text` (images/redshift/redshift.yaml:27-30), current_date/timestamp
+(tests/redshift/test_mcp.py:221, tests/snowflake/test_mcp.py:826 — smoke only,
+excluded here for determinism per FIXTURES.md).
+[implied] passthrough: lower/upper/trim/substr/replace/regexp, date
+extract/trunc/add/diff/format, arithmetic/round/abs/pow/log, CASE WHEN.
+
+All expressions are built-in `pyspark.sql.functions` — JVM codegen, no UDFs.
+Each engine writes its own dialect spelling (instr vs strpos, date_format vs
+strftime); aliases line up so the driver's column-sorted value hash matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_toolbox_spark.functions import canon_round
+from database_toolbox_spark.operators._oracle import R
+from database_toolbox_spark.session import load_table
+
+
+def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions over customer names/segments."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            "c_custkey",
+            F.lower("c_name").alias("lower_name"),
+            F.upper("c_mktsegment").alias("upper_seg"),
+            F.length("c_name").alias("name_len"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.concat(F.col("c_mktsegment"), F.lit("/"), F.col("c_name")).alias(
+                "seg_name"
+            ),
+            F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias(
+                "short_name"
+            ),
+            F.trim(F.lit("  pad  ")).alias("trimmed"),
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+            F.reverse(F.col("c_mktsegment")).alias("rev_seg"),
+            F.instr(F.col("c_name"), "#").cast("int").alias("hash_pos"),
+            F.col("c_name").like("Customer#%").cast("int").alias("is_customer"),
+            F.regexp_extract(F.col("c_name"), r"#(\d+)", 1).cast("long").alias(
+                "name_num"
+            ),
+            F.split(F.col("c_name"), "#").getItem(0).alias("split_head"),
+            F.contains(F.col("c_mktsegment"), F.lit("ING")).cast("int").alias(
+                "has_ing"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions over order dates."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mon"),
+            F.dayofmonth("o_orderdate").alias("dom"),
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+            F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            .cast("int")
+            .alias("days_since_epoch"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            (F.unix_timestamp("o_orderdate")).alias("epoch_sec"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def math_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic / math / CASE / COALESCE / NULLIF / GREATEST / LEAST."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            canon_round(price * (1 - F.col("l_discount"))).alias("net"),
+            F.abs(price - 1000.0).alias("abs_diff"),
+            F.ceil(price).cast("long").alias("ceil_price"),
+            F.floor(price).cast("long").alias("floor_price"),
+            canon_round(F.sqrt(price), 6).alias("sqrt_price"),
+            canon_round(F.log(price), 6).alias("ln_price"),
+            canon_round(F.log10(price), 6).alias("log10_price"),
+            canon_round(F.pow(F.col("l_discount"), 2), 6).alias("disc_sq"),
+            (F.col("l_orderkey") % 7).alias("key_mod7"),
+            F.signum(F.col("l_quantity") - 25.0).cast("int").alias("qty_sign"),
+            F.when(F.col("l_quantity") < 10, "low")
+            .when(F.col("l_quantity") < 40, "mid")
+            .otherwise("high")
+            .alias("qty_band"),
+            F.coalesce(
+                F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")
+            ).alias("flag_or_none"),
+            F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias(
+                "greatest_v"
+            ),
+            F.least(F.col("l_tax"), F.col("l_discount")).alias("least_v"),
+            F.col("l_quantity").cast("int").alias("qty_int"),
+            F.col("l_linenumber").cast("string").alias("line_str"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def csv_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exercised CSV-membership idiom, canonically:
+    `table_name = ANY(string_to_array($1, ','))` with NULL/empty meaning
+    no filter (images/redshift/redshift.yaml:27-31) — applied to segments."""
+    param = "BUILDING,MACHINERY"  # bound parameter, as the tool would bind it
+    cust = load_table(spark, sf_dir, "customer")
+    p = F.lit(param)
+    keep = (
+        p.isNull()
+        | (p == "")
+        | F.array_contains(F.split(p, ","), F.col("c_mktsegment"))
+    )
+    return (
+        cust.filter(keep)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES = {
+    "string_battery": string_battery,
+    "date_battery": date_battery,
+    "math_conditional_battery": math_conditional_battery,
+    "csv_membership_filter": csv_membership_filter,
+}
+
+ORACLE = {
+    "string_battery": """
+        SELECT c_custkey,
+               lower(c_name)                         AS lower_name,
+               upper(c_mktsegment)                   AS upper_seg,
+               CAST(length(c_name) AS INT)           AS name_len,
+               substr(c_name, 1, 8)                  AS name_prefix,
+               c_mktsegment || '/' || c_name         AS seg_name,
+               replace(c_name, 'Customer', 'Cust')   AS short_name,
+               trim('  pad  ')                       AS trimmed,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+               reverse(c_mktsegment)                 AS rev_seg,
+               CAST(strpos(c_name, '#') AS INT)      AS hash_pos,
+               CAST(c_name LIKE 'Customer#%' AS INT) AS is_customer,
+               CAST(regexp_extract(c_name, '#(\\d+)', 1) AS BIGINT) AS name_num,
+               string_split(c_name, '#')[1]          AS split_head,
+               CAST(contains(c_mktsegment, 'ING') AS INT) AS has_ing
+        FROM customer ORDER BY c_custkey
+    """,
+    "date_battery": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT)     AS yr,
+               CAST(quarter(o_orderdate) AS INT)  AS qtr,
+               CAST(month(o_orderdate) AS INT)    AS mon,
+               CAST(day(o_orderdate) AS INT)      AS dom,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               CAST(o_orderdate AS DATE) + 30     AS due_date,
+               CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                    AS INT)                       AS days_since_epoch,
+               strftime(o_orderdate, '%Y-%m')     AS ym,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
+        FROM orders ORDER BY o_orderkey
+    """,
+    "math_conditional_battery": f"""
+        SELECT l_orderkey, l_linenumber,
+               {R("l_extendedprice * (1 - l_discount)")}      AS net,
+               abs(l_extendedprice - 1000.0)                  AS abs_diff,
+               CAST(ceil(l_extendedprice) AS BIGINT)          AS ceil_price,
+               CAST(floor(l_extendedprice) AS BIGINT)         AS floor_price,
+               {R("sqrt(l_extendedprice)", 6)}                AS sqrt_price,
+               {R("ln(l_extendedprice)", 6)}                  AS ln_price,
+               {R("log10(l_extendedprice)", 6)}               AS log10_price,
+               {R("pow(l_discount, 2)", 6)}                   AS disc_sq,
+               l_orderkey % 7                                 AS key_mod7,
+               CAST(sign(l_quantity - 25.0) AS INT)           AS qty_sign,
+               CASE WHEN l_quantity < 10 THEN 'low'
+                    WHEN l_quantity < 40 THEN 'mid'
+                    ELSE 'high' END                           AS qty_band,
+               coalesce(nullif(l_returnflag, 'N'), 'none')    AS flag_or_none,
+               greatest(l_quantity, l_discount * 100)         AS greatest_v,
+               least(l_tax, l_discount)                       AS least_v,
+               CAST(trunc(l_quantity) AS INT)                 AS qty_int,
+               CAST(l_linenumber AS VARCHAR)                  AS line_str
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    "csv_membership_filter": """
+        WITH p AS (SELECT 'BUILDING,MACHINERY' AS v)
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer, p
+        WHERE p.v IS NULL OR p.v = ''
+           OR list_contains(string_split(p.v, ','), c_mktsegment)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+}
