@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its full plan into a noop sink (no driver-side result
+transfer — measures the engine, not collect())."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from database_toolbox_spark.operators import all_queries
+from database_toolbox_spark.session import DEFAULT_SF_DIR, get_spark
+
+HEADLINE = [
+    # core SQL surface
+    "pricing_summary",
+    "top_revenue_orders",
+    "regional_revenue",
+    "order_item_counts_left",
+    "supplier_top_parts",
+    "daily_running_revenue",
+    # event-time analytics
+    "hourly_event_windows",
+    "user_session_windows",
+    "asof_last_click",
+    # LLM-pipeline tier
+    "doc_quality_scores",
+    "minhash_near_dup_pairs",
+    "simhash_fingerprints",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "multimodal_decode_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="dts-bench")
+    queries = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -17,16 +17,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from database_toolbox_spark.operators import (  # noqa: PLC0415
+        asof,
         catalog_ops,
+        dedup,
         events,
         joins,
+        multimodal,
         scalars,
         setops,
+        similarity,
+        text,
         tpch,
         windows,
     )
 
-    return [catalog_ops, events, joins, scalars, setops, tpch, windows]
+    return [
+        asof,
+        catalog_ops,
+        dedup,
+        events,
+        joins,
+        multimodal,
+        scalars,
+        setops,
+        similarity,
+        text,
+        tpch,
+        windows,
+    ]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

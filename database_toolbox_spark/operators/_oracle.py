@@ -13,4 +13,6 @@ def R(expr: str, digits: int = 2) -> str:
     0.5) moves the boundary off the money-data grid so ulp-level engine sum
     differences cannot flip the floor — see functions.canon_round."""
     m = 10**digits
-    return f"floor(({expr}) * {m} + 0.501) / {m}.0"
+    # exponent literals: DOUBLE in both dialects (plain `0.501` would parse
+    # as DECIMAL and leak decimal types through integer expressions)
+    return f"floor(({expr}) * {m} + 0.501e0) / {m}e0"

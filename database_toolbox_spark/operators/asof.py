@@ -1,0 +1,90 @@
+"""As-of join (SURVEY.md §2.B Joins: "as-of / interval (events enrichment)"
+— the one join kind Spark lacks natively; listed there as a custom composite
+op).
+
+Semantics: for each purchase event, attach the most recent click by the same
+user at or before the purchase time (the classic trades⋈quotes enrichment).
+
+Spark implementation — the scalable union+window pattern, not a per-row
+subquery: tag both streams, union, and take `last(click, ignorenulls)` over a
+per-user time-ordered window. One shuffle on user_id; state per partition is
+a single running value, so it survives any data size (vs. a range join that
+explodes, or `merge_asof` in Pandas which needs per-group materialization).
+
+Oracle: DuckDB has native ASOF JOIN — an independent implementation that
+validates ours.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from database_toolbox_spark.functions import money
+from database_toolbox_spark.operators._oracle import R
+from database_toolbox_spark.session import load_table
+
+
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct(
+            F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+        ).alias("click"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(1).alias("is_purchase"),
+        F.col("event_id"),
+        F.lit(None)
+        .cast("struct<click_ts:timestamp,click_value:double>")
+        .alias("click"),
+    )
+    # clicks sort before purchases at equal ts → "at or before" semantics,
+    # matching ASOF's c.ts <= p.ts.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click", F.last("click", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("is_purchase") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("last_click.click_ts").alias("last_click_ts"),
+            money(F.col("last_click.click_value")).alias("last_click_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+QUERIES = {"asof_last_click": asof_last_click}
+
+ORACLE = {
+    "asof_last_click": f"""
+        WITH clicks AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+               c.ts AS last_click_ts,
+               {R("c.value")} AS last_click_value
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+        ORDER BY p.event_id
+    """,
+}

@@ -1,0 +1,287 @@
+"""Deduplication operators over `documents` / `embeddings` — exact dedup,
+MinHash+LSH near-dup, SimHash, n-gram Jaccard, embedding-cosine near-dup
+(BASELINE.json north star; graded as first-class alongside SURVEY.md §2).
+
+Design (Spark-first, 100 TB scale):
+- Shingling/hashing is pure built-in SQL (split/transform/sequence/md5) —
+  whole-stage codegen, embarrassingly parallel, no UDFs.
+- The MinHash variant is the classic min-over-hashed-shingles with k
+  independent hash functions realized as md5(seed || shingle); signatures
+  are per-doc aggregations (map-side combinable).
+- LSH banding turns all-pairs similarity into an equi-join on (band, key):
+  candidates = docs sharing a band bucket — the only shuffle is on band
+  keys, never a cross join. Exact Jaccard verification runs only on the
+  candidate set.
+- SimHash is a per-doc 16-bit signature via bit-majority voting — one
+  grouped aggregation.
+- Embedding near-dup is capped to a fixed id range for the oracle-checked
+  query; the scalable path is the LSH variant in operators/similarity.py.
+
+Determinism: md5 is identical across engines; Jaccard/cosine are
+canon-rounded (continuous values — grid-tie risk negligible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from database_toolbox_spark.operators._oracle import R
+from database_toolbox_spark.session import load_tables
+
+N_HASHES = 8  # minhash signature length
+N_BANDS = 4  # LSH bands of 2 hashes each
+JACCARD_THRESHOLD = 0.5
+
+# --- shared SQL fragments (per dialect) ------------------------------------
+
+# word 3-gram shingles, distinct per doc; Spark element_at / DuckDB [] are
+# both 1-based.
+_SPARK_SHINGLES = """
+    WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               explode(array_distinct(transform(
+                   sequence(1, size(w) - 2),
+                   i -> concat_ws('_', element_at(w, i), element_at(w, i + 1),
+                                  element_at(w, i + 2))
+               ))) AS s
+        FROM toks WHERE size(w) >= 3
+    )
+"""
+
+_DUCK_SHINGLES = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(w) - 1),
+                   i -> w[i] || '_' || w[i + 1] || '_' || w[i + 2]
+               ))) AS s
+        FROM toks WHERE len(w) >= 3
+    )
+"""
+
+
+def _minhash_cols() -> str:
+    """k hash functions as md5(seed || shingle); identical in both dialects
+    (md5 + concat)."""
+    return ", ".join(
+        f"min(md5(concat('{i}|', s))) AS h{i}" for i in range(N_HASHES)
+    )
+
+
+def _band_pairs_sql(shingles: str, concat2) -> str:
+    """Full MinHash→LSH→verify pipeline, shared shape for both dialects.
+
+    concat2(a, b) renders 2-column concatenation in the dialect.
+    """
+    bands_union = "\n            UNION ALL\n".join(
+        f"            SELECT doc_id, {b} AS band, "
+        f"{concat2(f'h{2*b}', f'h{2*b+1}')} AS bkey FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+        {shingles},
+        sig AS (SELECT doc_id, {_minhash_cols()} FROM sh GROUP BY doc_id),
+        bands AS (
+{bands_union}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT m.doc_a, m.doc_b,
+               {R("m.n_common * 1e0 / (ca.n + cb.n - m.n_common)", 6)} AS jaccard
+        FROM common m
+        JOIN cnt ca ON ca.doc_id = m.doc_a
+        JOIN cnt cb ON cb.doc_id = m.doc_b
+        WHERE m.n_common * 1e0 / (ca.n + cb.n - m.n_common) >= {JACCARD_THRESHOLD}
+        ORDER BY m.doc_a, m.doc_b
+    """
+
+
+def exact_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: corpus-level duplicate accounting."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT count(*)                       AS n_docs,
+               count(DISTINCT md5(text))      AS n_distinct_texts,
+               count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+        FROM documents
+    """)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (k=8) over distinct word-3-gram shingles."""
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+        {_SPARK_SHINGLES}
+        SELECT doc_id, {_minhash_cols()}
+        FROM sh GROUP BY doc_id ORDER BY doc_id
+    """)
+
+
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup detection: band bucketing (4 bands × 2 hashes)
+    for candidates, exact Jaccard ≥ 0.5 verification on candidates only."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _band_pairs_sql(_SPARK_SHINGLES, lambda a, b: f"concat({a}, {b})")
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-candidate n-gram Jaccard (no LSH): docs sharing ≥1 shingle,
+    Jaccard ≥ 0.5. The ground-truth near-dup set that LSH approximates."""
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+        {_SPARK_SHINGLES},
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT m.doc_a, m.doc_b,
+               {R("m.n_common * 1e0 / (ca.n + cb.n - m.n_common)", 6)} AS jaccard
+        FROM common m
+        JOIN cnt ca ON ca.doc_id = m.doc_a
+        JOIN cnt cb ON cb.doc_id = m.doc_b
+        WHERE m.n_common * 1e0 / (ca.n + cb.n - m.n_common) >= {JACCARD_THRESHOLD}
+        ORDER BY m.doc_a, m.doc_b
+    """)
+
+
+def _simhash_sql(tokens_expr: str, x_expr: str) -> str:
+    """16-bit SimHash: bit-majority over per-token md5 bits. Shared shape;
+    x_expr converts the first 4 md5 hex chars to an int in the dialect."""
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, {tokens_expr} AS t FROM documents),
+        h AS (SELECT doc_id, {x_expr} AS x FROM toks),
+        bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({combine} AS BIGINT) AS simhash
+        FROM bits ORDER BY doc_id
+    """
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit SimHash over distinct word tokens."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _simhash_sql(
+            "explode(array_distinct(split(text, ' ')))",
+            "CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT)",
+        )
+    )
+
+
+def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-20 most-similar vector pairs within a
+    fixed id range (bounded all-pairs for the oracle; the scalable LSH path
+    lives in operators/similarity.py). Exact double-precision fold so both
+    engines sum in the same order."""
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   aggregate(embedding, CAST(0 AS DOUBLE),
+                             (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                       AS norm2
+            FROM embeddings WHERE vec_id < 300
+        ),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   aggregate(zip_with(a.embedding, b.embedding,
+                                      (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                             CAST(0 AS DOUBLE), (acc, x) -> acc + x)
+                       / sqrt(a.norm2 * b.norm2) AS cos
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, {R("cos", 6)} AS cos_sim
+        FROM pairs
+        ORDER BY cos_sim DESC, vec_a, vec_b
+        LIMIT 20
+    """)
+
+
+QUERIES = {
+    "exact_dup_summary": exact_dup_summary,
+    "minhash_signatures": minhash_signatures,
+    "minhash_near_dup_pairs": minhash_near_dup_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "simhash_fingerprints": simhash_fingerprints,
+    "embedding_topk_pairs": embedding_topk_pairs,
+}
+
+ORACLE = {
+    "exact_dup_summary": """
+        SELECT count(*)                              AS n_docs,
+               count(DISTINCT md5(text))             AS n_distinct_texts,
+               count(*) - count(DISTINCT md5(text))  AS n_dup_docs
+        FROM documents
+    """,
+    "minhash_signatures": f"""
+        {_DUCK_SHINGLES}
+        SELECT doc_id, {_minhash_cols()}
+        FROM sh GROUP BY doc_id ORDER BY doc_id
+    """,
+    "minhash_near_dup_pairs": _band_pairs_sql(
+        _DUCK_SHINGLES, lambda a, b: f"({a} || {b})"
+    ),
+    "ngram_jaccard_pairs": f"""
+        {_DUCK_SHINGLES},
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT m.doc_a, m.doc_b,
+               {R("m.n_common * 1e0 / (ca.n + cb.n - m.n_common)", 6)} AS jaccard
+        FROM common m
+        JOIN cnt ca ON ca.doc_id = m.doc_a
+        JOIN cnt cb ON cb.doc_id = m.doc_b
+        WHERE m.n_common * 1e0 / (ca.n + cb.n - m.n_common) >= {JACCARD_THRESHOLD}
+        ORDER BY m.doc_a, m.doc_b
+    """,
+    "simhash_fingerprints": _simhash_sql(
+        "unnest(list_distinct(string_split(text, ' ')))",
+        "CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER)",
+    ),
+    "embedding_topk_pairs": f"""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   list_aggregate(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS norm2
+            FROM embeddings WHERE vec_id < 300
+        ),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+                       i -> CAST(a.embedding[i] AS DOUBLE)
+                            * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+                       / sqrt(a.norm2 * b.norm2) AS cos
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, {R("cos", 6)} AS cos_sim
+        FROM pairs
+        ORDER BY cos_sim DESC, vec_a, vec_b
+        LIMIT 20
+    """,
+}

@@ -1,0 +1,211 @@
+"""Similarity search over the `embeddings` table (BASELINE.json north star):
+brute-force cosine top-k as the baseline, and a random-hyperplane LSH
+bucketing as the scale path.
+
+Scale design:
+- Brute-force top-k: the query vector is a 1-row broadcast; scoring is a
+  per-row projection (no shuffle); top-k via orderBy+limit →
+  TakeOrderedAndProject (per-partition heap, driver merge of k rows). This
+  is the correct plan shape for "score 10^9 vectors, return 10".
+- LSH: 8 deterministic hyperplanes → 8 sign bits → 256 buckets. Search cost
+  drops to the query's bucket; the bucket assignment is a pure projection
+  and the bucket join is an equi-join. The hyperplanes come from a fixed
+  integer formula (no RNG) so the DuckDB oracle computes the identical
+  planes.
+- Dot products fold left-to-right in DOUBLE on both engines (Spark
+  `aggregate` lambda / DuckDB `list_aggregate('sum')`), so scores match
+  bit-for-bit before canon-rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from database_toolbox_spark.operators._oracle import R
+from database_toolbox_spark.session import load_tables
+
+N_PLANES = 8
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+
+def _plane_weight(dialect_pos: str, p: int) -> str:
+    """Deterministic pseudo-random hyperplane weight for plane p at 1-based
+    position `dialect_pos`: integer formula, identical in both dialects.
+    Weights cycle through {-6/6 … +6/6}."""
+    return f"(((({p} * 31 + ({dialect_pos} - 1) * 7) % 13) - 6) / 6e0)"
+
+
+def _spark_dot_plane(p: int) -> str:
+    w = _plane_weight("i", p)
+    return (
+        "aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), "
+        f"(acc, i) -> acc + CAST(element_at(embedding, i) AS DOUBLE) * {w})"
+    )
+
+
+def _duck_dot_plane(p: int) -> str:
+    w = _plane_weight("i", p)
+    return (
+        "list_aggregate(list_transform(range(1, len(embedding) + 1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * {w}), 'sum')"
+    )
+
+
+def _bucket_expr(dot_fn) -> str:
+    return " + ".join(
+        f"(CASE WHEN {dot_fn(p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 query vector.
+
+    Plan shape: broadcast 1-row query × projection scoring ×
+    TakeOrderedAndProject — scales linearly with corpus size, constant
+    driver memory."""
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+        WITH q AS (
+            SELECT embedding AS qv,
+                   aggregate(embedding, CAST(0 AS DOUBLE),
+                             (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                       AS qnorm2
+            FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label,
+                   aggregate(zip_with(e.embedding, q.qv,
+                                      (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                             CAST(0 AS DOUBLE), (acc, x) -> acc + x)
+                   / sqrt(q.qnorm2 * aggregate(e.embedding, CAST(0 AS DOUBLE),
+                             (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                       AS cos
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+        )
+        SELECT vec_id, label, {R("cos", 6)} AS cos_sim
+        FROM scored
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT {TOP_K}
+    """)
+
+
+def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment: 8 sign bits → 256 buckets;
+    histogram validates the partitioning the ANN search relies on."""
+    load_tables(spark, sf_dir)
+    bucket = _bucket_expr(_spark_dot_plane)
+    return spark.sql(f"""
+        SELECT CAST({bucket} AS INT) AS bucket, count(*) AS n
+        FROM embeddings
+        GROUP BY 1 ORDER BY bucket
+    """)
+
+
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search: restrict exact cosine scoring to the query's LSH bucket,
+    then top-k. At scale only ~1/256 of the corpus is scored; bucket
+    assignment is a projection, so the only data movement is the final
+    top-k merge."""
+    load_tables(spark, sf_dir)
+    bucket = _bucket_expr(_spark_dot_plane)
+    return spark.sql(f"""
+        WITH b AS (
+            SELECT vec_id, label, embedding, CAST({bucket} AS INT) AS bucket
+            FROM embeddings
+        ),
+        q AS (
+            SELECT embedding AS qv, bucket AS qbucket,
+                   aggregate(embedding, CAST(0 AS DOUBLE),
+                             (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                       AS qnorm2
+            FROM b WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label,
+                   aggregate(zip_with(e.embedding, q.qv,
+                                      (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                             CAST(0 AS DOUBLE), (acc, x) -> acc + x)
+                   / sqrt(q.qnorm2 * aggregate(e.embedding, CAST(0 AS DOUBLE),
+                             (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                       AS cos
+            FROM b e JOIN q ON e.bucket = q.qbucket
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+        )
+        SELECT vec_id, label, {R("cos", 6)} AS cos_sim
+        FROM scored
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT {TOP_K}
+    """)
+
+
+QUERIES = {
+    "cosine_topk": cosine_topk,
+    "lsh_bucket_histogram": lsh_bucket_histogram,
+    "lsh_ann_topk": lsh_ann_topk,
+}
+
+_DUCK_NORM2 = (
+    "list_aggregate(list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+)
+
+ORACLE = {
+    "cosine_topk": f"""
+        WITH q AS (
+            SELECT embedding AS qv, {_DUCK_NORM2} AS qnorm2
+            FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label,
+                   list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                            * CAST(q.qv[i] AS DOUBLE)), 'sum')
+                   / sqrt(q.qnorm2 *
+                       list_aggregate(list_transform(e.embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                       AS cos
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+        )
+        SELECT vec_id, label, {R("cos", 6)} AS cos_sim
+        FROM scored
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT {TOP_K}
+    """,
+    "lsh_bucket_histogram": f"""
+        SELECT CAST({_bucket_expr(_duck_dot_plane)} AS INT) AS bucket,
+               count(*) AS n
+        FROM embeddings
+        GROUP BY 1 ORDER BY bucket
+    """,
+    "lsh_ann_topk": f"""
+        WITH b AS (
+            SELECT vec_id, label, embedding,
+                   CAST({_bucket_expr(_duck_dot_plane)} AS INT) AS bucket
+            FROM embeddings
+        ),
+        q AS (
+            SELECT embedding AS qv, bucket AS qbucket, {_DUCK_NORM2} AS qnorm2
+            FROM b WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label,
+                   list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                            * CAST(q.qv[i] AS DOUBLE)), 'sum')
+                   / sqrt(q.qnorm2 *
+                       list_aggregate(list_transform(e.embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                       AS cos
+            FROM b e JOIN q ON e.bucket = q.qbucket
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+        )
+        SELECT vec_id, label, {R("cos", 6)} AS cos_sim
+        FROM scored
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT {TOP_K}
+    """,
+}

@@ -1,0 +1,223 @@
+"""Text-analysis operators over `documents` — the training-data-pipeline tier
+(BASELINE.json north star; SURVEY.md §7 step 7): token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All pure built-in SQL expressions (split/transform/filter/aggregate lambdas,
+md5, regexp_count) — JVM-codegen'd, no Python UDFs; each has an exact DuckDB
+oracle twin (list_transform/list_filter/regexp_extract_all).
+
+Scale notes: every operator is a per-row projection + optional small
+aggregation — embarrassingly parallel, no shuffle except final group/sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from database_toolbox_spark.operators._oracle import R
+from database_toolbox_spark.session import load_tables
+
+# Tiny stopword lists for the heuristic scorers (public knowledge).
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+_LANG_ORDER = ("en", "de", "es", "fr")
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts, distinct-token counts, mean token length."""
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+        WITH t AS (SELECT doc_id, lang, source, n_chars,
+                          split(text, ' ') AS w, length(text) AS text_len
+                   FROM documents)
+        SELECT doc_id, lang, source, n_chars, text_len,
+               size(w)                 AS n_tokens,
+               size(array_distinct(w)) AS n_uniq_tokens,
+               {R_spark_avg_tok}       AS avg_token_len
+        FROM t ORDER BY doc_id
+    """)
+
+
+# mean token length = sum(len(tok)) / n, canon-rounded at 4 digits
+R_spark_avg_tok = R(
+    "aggregate(transform(w, t -> length(t)), 0L, (acc, x) -> acc + x)"
+    " * 1e0 / size(w)",
+    4,
+)
+_duck_avg_tok = R(
+    "list_aggregate(list_transform(w, t -> length(t)), 'sum')"
+    " * 1e0 / len(w)",
+    4,
+)
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: stopword ratio, type-token ratio, length score,
+    and a blended quality score."""
+    load_tables(spark, sf_dir)
+    sw = _sql_list(STOPWORDS)
+    return spark.sql(f"""
+        WITH t AS (SELECT doc_id, lang, split(text, ' ') AS w FROM documents),
+        m AS (
+            SELECT doc_id, lang,
+                   size(w) AS n_tokens,
+                   size(filter(w, t -> t IN ({sw}))) AS n_stop,
+                   size(array_distinct(w)) AS n_uniq
+            FROM t
+        )
+        SELECT doc_id, lang,
+               {R("n_stop * 1e0 / n_tokens", 6)}  AS stopword_ratio,
+               {R("n_uniq * 1e0 / n_tokens", 6)}  AS type_token_ratio,
+               {R("least(n_tokens / 100e0, 1e0)", 6)} AS length_score,
+               {R("0.4e0 * (1e0 - n_stop * 1e0 / n_tokens)"
+                  " + 0.3e0 * (n_uniq * 1e0 / n_tokens)"
+                  " + 0.3e0 * least(n_tokens / 100e0, 1e0)", 6)} AS quality
+        FROM m ORDER BY doc_id
+    """)
+
+
+def _lang_score_exprs(filter_fn: str, split_fn: str) -> str:
+    """Per-language stopword hit counts; same SQL shape in both dialects
+    (only the lambda/list function names differ)."""
+    cols = []
+    for lang in _LANG_ORDER:
+        words = _sql_list(LANG_MARKERS[lang])
+        cols.append(
+            f"size({filter_fn}(w, t -> t IN ({words}))) AS s_{lang}"
+        )
+    return ", ".join(cols)
+
+
+def _lang_pick_expr() -> str:
+    """Deterministic argmax with fixed priority order en>de>es>fr."""
+    branches = []
+    for lang in _LANG_ORDER:
+        others = [o for o in _LANG_ORDER if o != lang]
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in others)
+        branches.append(f"WHEN s_{lang} > 0 AND {cond} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'unknown' END"
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: score each language's marker
+    list, pick the argmax (fixed priority on ties), compare to the declared
+    lang column."""
+    load_tables(spark, sf_dir)
+    scores = _lang_score_exprs("filter", "split")
+    pick = _lang_pick_expr()
+    return spark.sql(f"""
+        WITH t AS (SELECT doc_id, lang, split(text, ' ') AS w FROM documents),
+        s AS (SELECT doc_id, lang, {scores} FROM t)
+        SELECT doc_id, lang AS declared_lang,
+               s_en, s_de, s_es, s_fr,
+               {pick} AS predicted_lang,
+               CAST(({pick}) = lang AS INT) AS agrees
+        FROM s ORDER BY doc_id
+    """)
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fingerprints: full-text md5 + 64-char-prefix md5 (a
+    cheap rolling-hash stand-in that detects shared-prefix near-dups)."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT doc_id,
+               md5(text)                    AS fp,
+               md5(substring(text, 1, 64))  AS prefix_fp,
+               length(text)                 AS text_len
+        FROM documents ORDER BY doc_id
+    """)
+
+
+def token_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, regex word tokens, and a
+    BPE-ish estimate (chars/4, the common rule of thumb)."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT doc_id,
+               size(split(text, ' '))                    AS ws_tokens,
+               CAST(regexp_count(text, '[a-z]+') AS INT) AS word_tokens,
+               CAST(ceil(length(text) / 4e0) AS INT)     AS bpe_est_tokens
+        FROM documents ORDER BY doc_id
+    """)
+
+
+QUERIES = {
+    "doc_token_stats": doc_token_stats,
+    "doc_quality_scores": doc_quality_scores,
+    "language_id": language_id,
+    "doc_fingerprints": doc_fingerprints,
+    "token_count_estimates": token_count_estimates,
+}
+
+ORACLE = {
+    "doc_token_stats": f"""
+        WITH t AS (SELECT doc_id, lang, source, n_chars,
+                          string_split(text, ' ') AS w,
+                          CAST(length(text) AS INT) AS text_len
+                   FROM documents)
+        SELECT doc_id, lang, source, n_chars, text_len,
+               CAST(len(w) AS INT)                 AS n_tokens,
+               CAST(len(list_distinct(w)) AS INT)  AS n_uniq_tokens,
+               {_duck_avg_tok}                     AS avg_token_len
+        FROM t ORDER BY doc_id
+    """,
+    "doc_quality_scores": f"""
+        WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+                   FROM documents),
+        m AS (
+            SELECT doc_id, lang,
+                   CAST(len(w) AS INT) AS n_tokens,
+                   CAST(len(list_filter(w, t -> t IN ({_sql_list(STOPWORDS)})))
+                        AS INT) AS n_stop,
+                   CAST(len(list_distinct(w)) AS INT) AS n_uniq
+            FROM t
+        )
+        SELECT doc_id, lang,
+               {R("n_stop * 1e0 / n_tokens", 6)}  AS stopword_ratio,
+               {R("n_uniq * 1e0 / n_tokens", 6)}  AS type_token_ratio,
+               {R("least(n_tokens / 100e0, 1e0)", 6)} AS length_score,
+               {R("0.4e0 * (1e0 - n_stop * 1e0 / n_tokens)"
+                  " + 0.3e0 * (n_uniq * 1e0 / n_tokens)"
+                  " + 0.3e0 * least(n_tokens / 100e0, 1e0)", 6)} AS quality
+        FROM m ORDER BY doc_id
+    """,
+    "language_id": f"""
+        WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+                   FROM documents),
+        s AS (SELECT doc_id, lang,
+              {", ".join(
+                  f"CAST(len(list_filter(w, t -> t IN ({_sql_list(LANG_MARKERS[lang])}))) AS INT) AS s_{lang}"
+                  for lang in _LANG_ORDER
+              )}
+              FROM t)
+        SELECT doc_id, lang AS declared_lang,
+               s_en, s_de, s_es, s_fr,
+               {_lang_pick_expr()} AS predicted_lang,
+               CAST(({_lang_pick_expr()}) = lang AS INT) AS agrees
+        FROM s ORDER BY doc_id
+    """,
+    "doc_fingerprints": """
+        SELECT doc_id,
+               md5(text)                AS fp,
+               md5(substr(text, 1, 64)) AS prefix_fp,
+               CAST(length(text) AS INT) AS text_len
+        FROM documents ORDER BY doc_id
+    """,
+    "token_count_estimates": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT)          AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS word_tokens,
+               CAST(ceil(length(text) / 4e0) AS INT)              AS bpe_est_tokens
+        FROM documents ORDER BY doc_id
+    """,
+}

@@ -1,0 +1,11 @@
+"""Structured Streaming variants of the event-time operators
+(SURVEY.md §2.B streaming table: the reference itself has zero streaming
+code; these are the extension-tier equivalents of operators/events.py)."""
+
+from database_toolbox_spark.streaming.stream_ops import (  # noqa: F401
+    read_events_stream,
+    stream_dedup,
+    stream_hourly_counts,
+    stream_session_windows,
+    stream_user_running_totals,
+)

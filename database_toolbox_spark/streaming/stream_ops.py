@@ -1,0 +1,147 @@
+"""Structured Streaming event-time operators.
+
+Batch equivalents (operators/events.py) carry the oracle-checked semantics;
+these run the same logic as streams: `readStream` → watermark → windowed /
+stateful aggregation. Tested by driving the parquet fixture through a
+streaming query (availableNow-style, memory sink) and comparing to batch
+results (tests/test_streaming.py).
+
+Scale notes: watermark + windowed aggregation is the canonical bounded-state
+plan — state is per (window, key) and expires with the watermark; dedup state
+expires with `dropDuplicatesWithinWatermark`; the custom stateful operator
+uses applyInPandasWithState with per-group state only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from database_toolbox_spark.session import table_path
+
+# events schema with ts already usable as a timestamp: the fixture stores
+# TIMESTAMP(NANOS) which Spark's parquet reader takes as long (nanosAsLong);
+# the stream converts scan-side, same as session.load_table.
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos since epoch
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file stream source requires a directory; stage the single fixture
+    file behind a symlink in a stable temp dir (read-only testdata)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"dts_events_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a stream (file source over a staged directory)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .format("parquet")
+        .load(_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_hourly_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event type with a 30-minute watermark —
+    streaming twin of operators/events.hourly_event_windows."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value")
+    )
+
+
+def stream_dedup(events: DataFrame) -> DataFrame:
+    """Stateful dedup on event_id with bounded state —
+    dropDuplicatesWithinWatermark (streaming twin of events.event_dedup)."""
+    return events.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_session_windows(events: DataFrame) -> DataFrame:
+    """Session windows (10-minute gap) per user — streaming twin of
+    events.user_session_windows."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def stream_user_running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals via applyInPandasWithState (custom stateful
+    streaming operator — SURVEY.md §2.B UDF surface).
+
+    The state function is defined locally so cloudpickle serializes it by
+    value (no package import needed on Python workers)."""
+
+    def running_totals(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        running_totals,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,94 @@
+"""Structured Streaming tests: drive the parquet fixture through each
+streaming query (memory sink, processAllAvailable) and compare with the
+batch equivalents in operators/events.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from database_toolbox_spark.operators import events as batch_events
+from database_toolbox_spark.streaming import (
+    read_events_stream,
+    stream_dedup,
+    stream_hourly_counts,
+    stream_session_windows,
+    stream_user_running_totals,
+)
+from tests.conftest import SF_DIR
+
+
+def _run_to_memory(df, name: str, output_mode: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    return read_events_stream(spark, SF_DIR)
+
+
+def test_stream_hourly_matches_batch(spark, stream):
+    # complete mode: append would hold back windows past the final watermark
+    _run_to_memory(stream_hourly_counts(stream), "hourly_out", "complete")
+    got = {
+        (r.hour_start, r.event_type): (r.n, round(r.sum_value, 2))
+        for r in spark.sql("SELECT * FROM hourly_out").collect()
+    }
+    want = {
+        (r.hour_start, r.event_type): (r.n, r.sum_value)
+        for r in batch_events.hourly_event_windows(spark, SF_DIR).collect()
+    }
+    assert got.keys() == want.keys()
+    for k, (n, s) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - s) < 0.05
+
+
+def test_stream_dedup_bounded_state(spark, stream):
+    _run_to_memory(stream_dedup(stream), "dedup_out", "append")
+    rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids))
+    n_batch = (
+        batch_events.event_dedup(spark, SF_DIR)
+        .agg({"n": "sum"})
+        .collect()[0][0]
+    )
+    assert len(ids) == n_batch
+
+
+def test_stream_sessions_match_batch(spark, stream):
+    _run_to_memory(stream_session_windows(stream), "sess_out", "complete")
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): r.n_events
+        for r in batch_events.user_session_windows(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_stream_stateful_running_totals(spark, stream):
+    _run_to_memory(
+        stream_user_running_totals(stream), "totals_out", "update"
+    )
+    got = {
+        r.user_id: r.n_events
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events FROM totals_out "
+            "GROUP BY user_id"
+        ).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {r.user_id: r.n for r in ev.groupBy("user_id").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert got == want
