@@ -21,13 +21,16 @@ def _modules():
         catalog_ops,
         dedup,
         events,
+        grouping,
         joins,
         multimodal,
         scalars,
         setops,
         similarity,
+        subqueries,
         text,
         tpch,
+        udfs,
         windows,
     )
 
@@ -36,13 +39,16 @@ def _modules():
         catalog_ops,
         dedup,
         events,
+        grouping,
         joins,
         multimodal,
         scalars,
         setops,
         similarity,
+        subqueries,
         text,
         tpch,
+        udfs,
         windows,
     ]
 

@@ -63,11 +63,17 @@ _DUCK_SHINGLES = """
 
 
 def _minhash_cols() -> str:
-    """k hash functions as md5(seed || shingle); identical in both dialects
-    (md5 + concat)."""
-    return ", ".join(
-        f"min(md5(concat('{i}|', s))) AS h{i}" for i in range(N_HASHES)
-    )
+    """k=8 hash functions from 2 md5 digests: each digest yields 4
+    independent 32-bit slices (8 hex chars), so the per-shingle cost is two
+    md5 calls, not eight. Lexicographic min over fixed-width hex = numeric
+    min. md5/substr/concat are identical in both dialects."""
+    cols = []
+    for k in range(N_HASHES):
+        seed, off = k // 4, k % 4
+        cols.append(
+            f"min(substr(md5(concat('{seed}|', s)), {1 + 8 * off}, 8)) AS h{k}"
+        )
+    return ", ".join(cols)
 
 
 def _band_pairs_sql(shingles: str, concat2) -> str:
@@ -82,7 +88,8 @@ def _band_pairs_sql(shingles: str, concat2) -> str:
     )
     return f"""
         {shingles},
-        sig AS (SELECT doc_id, {_minhash_cols()} FROM sh GROUP BY doc_id),
+        sig AS (SELECT doc_id, count(*) AS n, {_minhash_cols()}
+                FROM sh GROUP BY doc_id),
         bands AS (
 {bands_union}
         ),
@@ -91,7 +98,7 @@ def _band_pairs_sql(shingles: str, concat2) -> str:
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         ),
-        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        cnt AS (SELECT doc_id, n FROM sig),
         common AS (
             SELECT c.doc_a, c.doc_b, count(*) AS n_common
             FROM cand c

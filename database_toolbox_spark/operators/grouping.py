@@ -1,0 +1,188 @@
+"""Multi-dimensional grouping (SURVEY.md §2.B: grouping sets / cube / rollup
+[implied] — all wrapped warehouses support them) plus pivot and approximate
+aggregates.
+
+Approximate aggregates (approx_count_distinct / percentile_approx) use
+engine-specific sketches whose raw outputs legitimately differ between
+engines, so the oracle-checked contract is an accuracy bound: the query
+emits the exact value together with a within-tolerance flag; both engines
+must agree the sketch is within 2–5%."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_toolbox_spark.functions import money
+from database_toolbox_spark.operators._oracle import R
+from database_toolbox_spark.session import load_table, load_tables
+
+
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: by (flag, status), by flag, grand total —
+    with GROUPING() markers to disambiguate NULL group keys."""
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT)  AS g_flag,
+               CAST(grouping(l_linestatus) AS INT)  AS g_status,
+               count(*) AS n,
+               {R("sum(l_quantity)")} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag, l_linestatus
+    """)
+
+
+def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per market segment × order status. Oracle uses
+    conditional aggregation (the engine-independent spelling)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .orderBy("c_mktsegment")
+    )
+
+
+def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct vs exact: emits the exact count plus a flag
+    that the HLL sketch landed within 5% (the cross-engine contract)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey").alias("_approx"),
+        )
+        .select(
+            "c_mktsegment",
+            "exact_customers",
+            (
+                (
+                    F.abs(F.col("_approx") - F.col("exact_customers"))
+                    / F.col("exact_customers")
+                )
+                <= 0.05
+            )
+            .cast("int")
+            .alias("approx_within_5pct"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx vs a canon-rounded exact median computed as the
+    mean of the two middle order statistics (engine-neutral definition);
+    flag = sketch within 2% of exact."""
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+        WITH ranked AS (
+            SELECT o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+                   count(*) OVER () AS n
+            FROM orders
+        ),
+        exact AS (
+            SELECT {R("avg(o_totalprice)")} AS exact_median
+            FROM ranked
+            WHERE rn IN (CAST((n + 1) / 2 AS INT), CAST((n + 2) / 2 AS INT))
+        ),
+        approx AS (
+            SELECT approx_percentile(o_totalprice, 0.5e0) AS m FROM orders
+        )
+        SELECT exact.exact_median,
+               CAST(abs(approx.m - exact.exact_median) / exact.exact_median
+                    <= 0.02e0 AS INT) AS approx_within_2pct
+        FROM exact CROSS JOIN approx
+    """)
+
+
+QUERIES = {
+    "cube_status_priority": cube_status_priority,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "pivot_segment_status": pivot_segment_status,
+    "approx_distinct_check": approx_distinct_check,
+    "approx_percentile_check": approx_percentile_check,
+}
+
+ORACLE = {
+    "cube_status_priority": f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               {R("sum(o_totalprice)")} AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "grouping_sets_revenue": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT)  AS g_flag,
+               CAST(grouping(l_linestatus) AS INT)  AS g_status,
+               count(*) AS n,
+               {R("sum(l_quantity)")} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "pivot_segment_status": """
+        SELECT c.c_mktsegment,
+               sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
+               sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
+               sum(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+    "approx_distinct_check": """
+        SELECT c.c_mktsegment,
+               count(DISTINCT o.o_custkey) AS exact_customers,
+               CAST(abs(approx_count_distinct(o.o_custkey)
+                        - count(DISTINCT o.o_custkey)) * 1e0
+                    / count(DISTINCT o.o_custkey) <= 0.05e0 AS INT)
+                   AS approx_within_5pct
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+    "approx_percentile_check": f"""
+        WITH ranked AS (
+            SELECT o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+                   count(*) OVER () AS n
+            FROM orders
+        ),
+        exact AS (
+            SELECT {R("avg(o_totalprice)")} AS exact_median
+            FROM ranked
+            WHERE rn IN (CAST((n + 1) // 2 AS INT), CAST((n + 2) // 2 AS INT))
+        ),
+        approx AS (
+            SELECT approx_quantile(o_totalprice, 0.5) AS m FROM orders
+        )
+        SELECT exact.exact_median,
+               CAST(abs(approx.m - exact.exact_median) / exact.exact_median
+                    <= 0.02e0 AS INT) AS approx_within_2pct
+        FROM exact CROSS JOIN approx
+    """,
+}

@@ -52,6 +52,8 @@ def make_fake_decoder():
     this package on every Python worker's sys.path."""
 
     def fake_decode_features(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         payloads = pdf["payload"]
         return pd.DataFrame(
             {
@@ -60,9 +62,9 @@ def make_fake_decoder():
                 "first_byte": payloads.map(
                     lambda b: b[0] if len(b) else -1
                 ).astype("int32"),
-                "checksum": payloads.map(lambda b: sum(b) % 65536).astype(
-                    "int64"
-                ),
+                "checksum": payloads.map(
+                    lambda b: int(np.frombuffer(b, dtype=np.uint8).sum()) % 65536
+                ).astype("int64"),
             }
         )
 
