@@ -1,0 +1,112 @@
+"""File / network source adapters.
+
+Scale notes: always pass an explicit schema for CSV/JSON in production paths
+(schema inference is a full extra pass over the data); Parquet writes
+partition by a column when the downstream reads filter on it (partition
+pruning), and use `maxRecordsPerFile`/`repartition` to control file sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None
+                 ) -> DataFrame:
+    """Columnar scan; Catalyst pushes filters/pruning into the reader."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV with explicit schema (inference = extra full pass; avoid at
+    scale)."""
+    reader = spark.read.options(header=str(header).lower(), **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Line-delimited JSON with explicit schema."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def jdbc_available(spark: SparkSession, driver_class: str) -> bool:
+    """Whether a JDBC driver is on the classpath (none ship in this
+    environment)."""
+    try:
+        spark._jvm.java.lang.Class.forName(driver_class)  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver_class: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """Network source parity with the reference's engine connections
+    (README.md per-DB env tables). Requires the driver jar on the classpath;
+    raises NotImplementedError here so callers can gate on jdbc_available().
+
+    At scale, always provide partition_column + bounds — a single-partition
+    JDBC read serializes the whole table through one task."""
+    if not jdbc_available(spark, driver_class):
+        raise NotImplementedError(
+            f"JDBC driver {driver_class!r} not on classpath; add the jar via "
+            "spark.jars to use network sources"
+        )
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver_class)
+        .options(**options)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    return reader.load()
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Internal materialization sink (the tool surface itself is read-only:
+    the gate denies INSERT/CREATE/..., SURVEY.md §2.C)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,76 @@
+"""Config resolution + source adapter tests (SURVEY.md §2.A A9, §2.B
+sources)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from database_toolbox_spark.config import ConfigError, EngineConfig, resolve_env
+from database_toolbox_spark.sources import (
+    jdbc_available,
+    read_csv,
+    read_json,
+    read_jdbc,
+    read_parquet,
+    write_parquet,
+)
+from tests.conftest import SF_DIR
+
+
+def test_resolve_env_defaults_and_aliases():
+    cfg = resolve_env({"DTS_DATA_DIR": SF_DIR, "DTS_CPUS": "4"})
+    assert cfg.sf_dir == SF_DIR
+    assert cfg.cpus == "4"
+    # canonical wins over alias
+    cfg2 = resolve_env(
+        {"DTS_CPUS": "4", "SPARK_GRAFT_CPUS": "8", "SPARK_GRAFT_SF_DIR": SF_DIR}
+    )
+    assert cfg2.cpus == "8"
+
+
+def test_missing_and_invalid_config_fail_fast():
+    with pytest.raises(ConfigError, match="Missing required parameter"):
+        EngineConfig(sf_dir="").validate()
+    with pytest.raises(ConfigError, match="not a directory"):
+        EngineConfig(sf_dir="/no/such/dir").validate()
+    with pytest.raises(ConfigError, match="cpus"):
+        EngineConfig(sf_dir=SF_DIR, cpus="lots").validate()
+
+
+def test_read_parquet_with_column_pruning(spark):
+    df = read_parquet(spark, f"{SF_DIR}/region.parquet", columns=["r_name"])
+    assert df.columns == ["r_name"]
+    assert df.count() == 5
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    src = read_parquet(spark, f"{SF_DIR}/region.parquet")
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    src.write.option("header", "true").csv(csv_dir)
+    src.write.json(json_dir)
+    got_csv = read_csv(spark, csv_dir, schema="r_regionkey int, r_name string")
+    got_json = read_json(spark, json_dir, schema="r_regionkey int, r_name string")
+    want = {(r.r_regionkey, r.r_name) for r in src.collect()}
+    assert {(r.r_regionkey, r.r_name) for r in got_csv.collect()} == want
+    assert {(r.r_regionkey, r.r_name) for r in got_json.collect()} == want
+
+
+def test_jdbc_gated_when_driver_missing(spark):
+    assert not jdbc_available(spark, "org.postgresql.Driver")
+    with pytest.raises(NotImplementedError, match="classpath"):
+        read_jdbc(
+            spark, "jdbc:postgresql://localhost/db", "t", "org.postgresql.Driver"
+        )
+
+
+def test_write_parquet_partitioned(spark, tmp_path):
+    src = read_parquet(spark, f"{SF_DIR}/nation.parquet")
+    out = str(tmp_path / "nation_out")
+    write_parquet(src, out, partition_by=["n_regionkey"])
+    assert any(
+        p.startswith("n_regionkey=") for p in os.listdir(out) if not p.startswith("_")
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()

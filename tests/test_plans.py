@@ -1,0 +1,72 @@
+"""Plan-quality regression tests — the 100 TB design assertions
+(SURVEY.md §4): filters reach the Parquet scan, projections prune columns,
+dimension joins broadcast, top-k compiles to TakeOrderedAndProject, and no
+operator path collects to the driver."""
+
+from __future__ import annotations
+
+import pytest
+
+from database_toolbox_spark.operators.similarity import cosine_topk
+from database_toolbox_spark.operators.tpch import (
+    pricing_summary,
+    regional_revenue,
+    top_revenue_orders,
+)
+from tests.conftest import SF_DIR
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+    return df._jdf.queryExecution().explainString(jmode.fromString(mode))
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    plan = _plan(pricing_summary(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"
+    # the scan must not read identifier columns the query never touches
+    assert "l_orderkey" not in plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(regional_revenue(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3  # region/nation/supplier
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(top_revenue_orders(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_similarity_is_take_ordered(spark):
+    plan = _plan(cosine_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    plan = _plan(pricing_summary(spark, SF_DIR), "codegen")
+    assert "WholeStageCodegen" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """Map-side combine: partial_sum must run below the exchange."""
+    plan = _plan(pricing_summary(spark, SF_DIR), "simple")
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange hashpartitioning")
+
+
+@pytest.mark.parametrize("mod", ["tpch", "joins", "windows", "dedup", "similarity"])
+def test_no_collect_in_operator_sources(mod):
+    """Operator modules must stay distributed: no driver-side collect/toPandas
+    in any operator path."""
+    import inspect
+
+    import importlib
+
+    m = importlib.import_module(f"database_toolbox_spark.operators.{mod}")
+    src = inspect.getsource(m)
+    assert ".collect()" not in src
+    assert ".toPandas()" not in src

@@ -1,0 +1,91 @@
+"""MCP protocol-loop tests, mirroring the reference's test shape
+(tests/postgres/test_mcp.py:50-157: initialize → tools/list → tools/call;
+errors as result.isError, tests/snowflake/test_mcp.py:849)."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from database_toolbox_spark.server import handle_request, serve
+from database_toolbox_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark):
+    load_tables(spark, SF_DIR)
+
+
+def _call(spark, method, params=None, rid=1):
+    return handle_request(
+        spark, {"jsonrpc": "2.0", "id": rid, "method": method, "params": params or {}}
+    )
+
+
+def test_initialize(spark):
+    resp = _call(spark, "initialize")
+    assert resp["result"]["serverInfo"]["name"] == "database-toolbox-spark"
+    assert "protocolVersion" in resp["result"]
+
+
+def test_tools_list_required_names(spark):
+    resp = _call(spark, "tools/list")
+    tools = resp["result"]["tools"]
+    names = {t["name"] for t in tools}
+    assert {"list_tables", "execute_sql"} <= names
+    exec_tool = next(t for t in tools if t["name"] == "execute_sql")
+    assert exec_tool["inputSchema"]["required"] == ["sql"]
+
+
+def test_tools_call_execute_sql(spark):
+    resp = _call(
+        spark, "tools/call",
+        {"name": "execute_sql", "arguments": {"sql": "SELECT 1 AS one"}},
+    )
+    result = resp["result"]
+    assert result["isError"] is False
+    assert json.loads(result["content"][0]["text"]) == {"one": 1}
+
+
+def test_tools_call_denied_statement_is_error_result(spark):
+    resp = _call(
+        spark, "tools/call",
+        {"name": "execute_sql", "arguments": {"sql": "DROP TABLE lineitem"}},
+    )
+    assert resp["result"]["isError"] is True
+    assert "not permitted" in resp["result"]["content"][0]["text"]
+
+
+def test_unknown_method(spark):
+    resp = _call(spark, "nope/nope")
+    assert resp["error"]["code"] == -32601
+
+
+def test_serve_loop_line_delimited(spark):
+    lines = [
+        json.dumps({"jsonrpc": "2.0", "id": 1, "method": "initialize"}),
+        json.dumps({"jsonrpc": "2.0", "id": 2, "method": "tools/list"}),
+        "not json at all",
+        json.dumps(
+            {
+                "jsonrpc": "2.0",
+                "id": 3,
+                "method": "tools/call",
+                "params": {
+                    "name": "list_tables",
+                    "arguments": {"table_names": "region"},
+                },
+            }
+        ),
+    ]
+    out = io.StringIO()
+    serve(spark, stdin=io.StringIO("\n".join(lines) + "\n"), stdout=out)
+    resps = [json.loads(line) for line in out.getvalue().splitlines()]
+    assert len(resps) == 4
+    assert resps[0]["result"]["serverInfo"]["name"] == "database-toolbox-spark"
+    assert resps[2]["error"]["code"] == -32700
+    rows = [json.loads(c["text"]) for c in resps[3]["result"]["content"]]
+    assert [r["column_name"] for r in rows] == ["r_regionkey", "r_name"]
