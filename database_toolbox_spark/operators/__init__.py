@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from database_toolbox_spark.operators import (  # noqa: PLC0415
+        arrays,
         asof,
         catalog_ops,
         dedup,
@@ -35,6 +36,7 @@ def _modules():
     )
 
     return [
+        arrays,
         asof,
         catalog_ops,
         dedup,

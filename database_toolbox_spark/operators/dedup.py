@@ -37,7 +37,8 @@ JACCARD_THRESHOLD = 0.5
 # word 3-gram shingles, distinct per doc; Spark element_at / DuckDB [] are
 # both 1-based.
 _SPARK_SHINGLES = """
-    WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+    WITH toks AS (SELECT /*+ REPARTITION */ doc_id, split(text, ' ') AS w
+                  FROM documents),
     sh AS (
         SELECT doc_id,
                explode(array_distinct(transform(

@@ -138,12 +138,82 @@ def priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-style: pure filter→scalar-agg (the pushdown showcase —
+    every predicate reaches the Parquet scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= ts("1996-01-01"))
+            & (F.col("l_shipdate") < ts("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-style: conditional aggregation ratio (promo part revenue
+    share per month)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(0.0)
+    return (
+        joined.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ym"))
+        .agg(
+            ratio(F.sum(promo) * 100.0 / F.sum(disc_price())).alias(
+                "promo_pct"
+            ),
+            money(F.sum(disc_price())).alias("total_revenue"),
+        )
+        .orderBy("ym")
+    )
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-style: orders whose total quantity exceeds a threshold
+    (grouped HAVING feeding a join), deterministic top-20."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(money(F.sum("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    top = (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            money(F.col("o_totalprice")).alias("price"),
+            "sum_qty",
+        )
+        .orderBy(F.col("price").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("price").desc(), F.col("o_orderkey"))
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "top_revenue_orders": top_revenue_orders,
     "regional_revenue": regional_revenue,
     "segment_order_stats": segment_order_stats,
     "priority_rollup": priority_rollup,
+    "forecast_revenue": forecast_revenue,
+    "promo_revenue_ratio": promo_revenue_ratio,
+    "large_orders": large_orders,
 }
 
 _DISC = "l_extendedprice * (1 - l_discount)"
@@ -216,5 +286,43 @@ ORACLE = {
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "forecast_revenue": f"""
+        SELECT {R("sum(l_extendedprice * l_discount)")} AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "promo_revenue_ratio": f"""
+        SELECT strftime(l.l_shipdate, '%Y-%m') AS ym,
+               {R(f"sum(CASE WHEN p.p_type = 'PROMO' THEN l.{_DISC} ELSE 0.0 END)"
+                  f" * 100.0 / sum(l.{_DISC})", 4)} AS promo_pct,
+               {R(f"sum(l.{_DISC})")} AS total_revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY strftime(l.l_shipdate, '%Y-%m')
+        ORDER BY ym
+    """,
+    "large_orders": f"""
+        WITH big AS (
+            SELECT l_orderkey, {R("sum(l_quantity)")} AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING {R("sum(l_quantity)")} > 150
+        ),
+        top AS (
+            SELECT o.o_orderkey, c.c_custkey, c.c_name,
+                   {R("o.o_totalprice")} AS price, b.sum_qty
+            FROM orders o
+            JOIN big b ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY price DESC, o.o_orderkey
+            LIMIT 20
+        )
+        SELECT *, CAST(row_number() OVER (ORDER BY price DESC, o_orderkey) AS INT)
+                  AS rnk
+        FROM top
+        ORDER BY price DESC, o_orderkey
     """,
 }
