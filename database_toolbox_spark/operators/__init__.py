@@ -19,15 +19,18 @@ def _modules():
     from database_toolbox_spark.operators import (  # noqa: PLC0415
         arrays,
         asof,
+        bucketing,
         catalog_ops,
         dedup,
         events,
         grouping,
         joins,
+        merge_ops,
         multimodal,
         scalars,
         setops,
         similarity,
+        skew,
         subqueries,
         text,
         tpch,
@@ -38,15 +41,18 @@ def _modules():
     return [
         arrays,
         asof,
+        bucketing,
         catalog_ops,
         dedup,
         events,
         grouping,
         joins,
+        merge_ops,
         multimodal,
         scalars,
         setops,
         similarity,
+        skew,
         subqueries,
         text,
         tpch,

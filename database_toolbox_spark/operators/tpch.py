@@ -205,6 +205,45 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w))
 
 
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-style: revenue lost to returned items per customer
+    (flag 'R'), with nation name, deterministic top-20."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    top = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money(F.sum(disc_price())).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-style: distinct supplier count per (brand, size), excluding
+    one brand and suppliers with negative balances (NOT IN subquery)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "top_revenue_orders": top_revenue_orders,
@@ -214,6 +253,8 @@ QUERIES = {
     "forecast_revenue": forecast_revenue,
     "promo_revenue_ratio": promo_revenue_ratio,
     "large_orders": large_orders,
+    "returned_item_customers": returned_item_customers,
+    "brand_supplier_counts": brand_supplier_counts,
 }
 
 _DISC = "l_extendedprice * (1 - l_discount)"
@@ -324,5 +365,34 @@ ORACLE = {
                   AS rnk
         FROM top
         ORDER BY price DESC, o_orderkey
+    """,
+    "returned_item_customers": f"""
+        WITH top AS (
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   {R(f"sum(l.{_DISC})")} AS revenue
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, n.n_name
+            ORDER BY revenue DESC, c.c_custkey
+            LIMIT 20
+        )
+        SELECT *, CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS INT)
+                  AS rnk
+        FROM top
+        ORDER BY revenue DESC, c_custkey
+    """,
+    "brand_supplier_counts": """
+        SELECT p.p_brand, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
     """,
 }

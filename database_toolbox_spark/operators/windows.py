@@ -142,8 +142,29 @@ def first_last_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / nth_value per customer order history."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "price", money(F.col("o_totalprice"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("price", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "price",
+            canon_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            canon_round(F.cume_dist().over(w), 6).alias("cume"),
+            F.nth_value("price", 2).over(wf).alias("second_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 QUERIES = {
     "supplier_top_parts": supplier_top_parts,
+    "order_price_percentiles": order_price_percentiles,
     "customer_order_gaps": customer_order_gaps,
     "daily_running_revenue": daily_running_revenue,
     "customer_balance_quartiles": customer_balance_quartiles,
@@ -152,6 +173,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    "order_price_percentiles": f"""
+        WITH o AS (SELECT o_custkey, o_orderkey, {R("o_totalprice")} AS price
+                   FROM orders)
+        SELECT o_custkey, o_orderkey, price,
+               {R("percent_rank() OVER w", 6)} AS pct_rank,
+               {R("cume_dist() OVER w", 6)}    AS cume,
+               nth_value(price, 2) OVER (PARTITION BY o_custkey
+                   ORDER BY price, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS second_price
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY price, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+    """,
     "supplier_top_parts": f"""
         WITH rev AS (
             SELECT l_suppkey, l_partkey,

@@ -58,6 +58,18 @@ def test_partial_aggregation_before_shuffle(spark):
     assert plan.index("partial_sum") > plan.index("Exchange hashpartitioning")
 
 
+def test_bucketed_join_has_no_fact_shuffle(spark):
+    """Bucketed fact⋈fact join must read co-located buckets: no Exchange
+    below the SortMergeJoin (the aggregation after may still shuffle)."""
+    from database_toolbox_spark.operators.bucketing import bucketed_join_revenue
+
+    plan = _plan(bucketed_join_revenue(spark, SF_DIR), "simple")
+    assert "SortMergeJoin" in plan
+    join_part = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange hashpartitioning" not in join_part
+    assert "SelectedBucketsCount" in plan
+
+
 @pytest.mark.parametrize("mod", ["tpch", "joins", "windows", "dedup", "similarity"])
 def test_no_collect_in_operator_sources(mod):
     """Operator modules must stay distributed: no driver-side collect/toPandas
