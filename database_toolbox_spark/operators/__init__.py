@@ -31,6 +31,7 @@ def _modules():
         setops,
         similarity,
         skew,
+        stats,
         subqueries,
         text,
         tpch,
@@ -53,6 +54,7 @@ def _modules():
         setops,
         similarity,
         skew,
+        stats,
         subqueries,
         text,
         tpch,

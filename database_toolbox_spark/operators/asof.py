@@ -68,7 +68,49 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"asof_last_click": asof_last_click}
+def interval_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: count clicks inside each error event's
+    5-minute follow-up window.
+
+    Scale shape: a naive range join is a nested loop. Bucketizing both
+    sides to 5-minute epochs turns it into an equi-join on the bucket (each
+    error probes its own and the next bucket) with the exact range predicate
+    as a residual filter — shuffle on bucket keys, no cross product.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / 300).cast("long")  # noqa: E731
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+        bucket(F.col("ts")).alias("b"),
+    )
+    # each error probes its own bucket and the following one
+    errors2 = errors.withColumn(
+        "probe_b", F.explode(F.array(F.col("b"), F.col("b") + 1))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("click_ts"), bucket(F.col("ts")).alias("cb")
+    )
+    in_range = (
+        (F.col("click_ts") > F.col("error_ts"))
+        & (F.col("click_ts") <= F.col("error_ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    # conditional count, not filter-after-join: a left-join row whose clicks
+    # all fail the range predicate must still report 0, not vanish
+    return (
+        errors2.join(clicks, errors2.probe_b == clicks.cb, "left")
+        .groupBy("error_id", "error_ts")
+        .agg(
+            F.sum(F.when(in_range, 1).otherwise(0)).alias("n_clicks_5min")
+        )
+        .orderBy("error_id")
+    )
+
+
+QUERIES = {
+    "asof_last_click": asof_last_click,
+    "interval_join_error_clicks": interval_join_error_clicks,
+}
 
 ORACLE = {
     "asof_last_click": f"""
@@ -86,5 +128,15 @@ ORACLE = {
         ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND c.ts <= p.ts
         ORDER BY p.event_id
+    """,
+    # plain range predicate — the bucketized Spark plan must match it exactly
+    "interval_join_error_clicks": """
+        SELECT e.event_id AS error_id, e.ts AS error_ts,
+               count(c.ts) AS n_clicks_5min
+        FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+        LEFT JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+          ON c.ts > e.ts AND c.ts <= e.ts + INTERVAL 5 MINUTE
+        GROUP BY e.event_id, e.ts
+        ORDER BY e.event_id
     """,
 }

@@ -141,15 +141,115 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+N_IVF_CELLS = 16
+
+
+def _spark_l2_to_centroid(vec: str, cent: str) -> str:
+    return (
+        f"aggregate(zip_with({vec}, {cent}, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def ivf_cell_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: the first N_IVF_CELLS vectors serve as fixed
+    centroids (deterministic — a trained k-means would be iterative and
+    RNG-seeded); every vector is assigned to its nearest centroid by L2.
+    Output is the cell histogram. At scale the centroid list is a broadcast
+    and assignment is a per-row projection — one pass, no shuffle before
+    the histogram."""
+    load_tables(spark, sf_dir)
+    d2 = _spark_l2_to_centroid("e.embedding", "c.embedding")
+    return spark.sql(f"""
+        WITH cents AS (
+            SELECT vec_id AS cell, embedding FROM embeddings
+            WHERE vec_id < {N_IVF_CELLS}
+        ),
+        dists AS (
+            SELECT e.vec_id, c.cell, {d2} AS d2
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        assigned AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY floor(d2 * 1000000e0) / 1000000e0, cell) AS rn
+            FROM dists
+        )
+        SELECT cell, count(*) AS n
+        FROM assigned WHERE rn = 1
+        GROUP BY cell ORDER BY cell
+    """)
+
+
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search: score only vectors in the query's nearest cell, then
+    exact cosine top-k. The probe set is ~1/N_IVF_CELLS of the corpus."""
+    load_tables(spark, sf_dir)
+    d2 = _spark_l2_to_centroid("e.embedding", "c.embedding")
+    return spark.sql(f"""
+        WITH cents AS (
+            SELECT vec_id AS cell, embedding FROM embeddings
+            WHERE vec_id < {N_IVF_CELLS}
+        ),
+        assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY floor({d2} * 1000000e0) / 1000000e0, c.cell)
+                           AS rn
+                FROM embeddings e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT e.embedding AS qv, a.cell AS qcell,
+                   aggregate(e.embedding, CAST(0 AS DOUBLE),
+                             (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                       AS qnorm2
+            FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+            WHERE e.vec_id = {QUERY_VEC_ID}
+        ),
+        probe AS (
+            SELECT e.vec_id, e.label, e.embedding
+            FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+            JOIN q ON a.cell = q.qcell
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+        ),
+        scored AS (
+            SELECT p.vec_id, p.label,
+                   aggregate(zip_with(p.embedding, q.qv,
+                                      (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                             CAST(0 AS DOUBLE), (acc, x) -> acc + x)
+                   / sqrt(q.qnorm2 * aggregate(p.embedding, CAST(0 AS DOUBLE),
+                             (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                       AS cos
+            FROM probe p CROSS JOIN q
+        )
+        SELECT vec_id, label, {R("cos", 6)} AS cos_sim
+        FROM scored
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT {TOP_K}
+    """)
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "lsh_bucket_histogram": lsh_bucket_histogram,
     "lsh_ann_topk": lsh_ann_topk,
+    "ivf_cell_assignments": ivf_cell_assignments,
+    "ivf_ann_topk": ivf_ann_topk,
 }
 
 _DUCK_NORM2 = (
     "list_aggregate(list_transform(embedding,"
     " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+)
+
+_DUCK_D2 = (
+    "list_aggregate(list_transform(range(1, len(e.embedding) + 1), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) "
+    "* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))), 'sum')"
 )
 
 ORACLE = {
@@ -202,6 +302,66 @@ ORACLE = {
                        AS cos
             FROM b e JOIN q ON e.bucket = q.qbucket
             WHERE e.vec_id <> {QUERY_VEC_ID}
+        )
+        SELECT vec_id, label, {R("cos", 6)} AS cos_sim
+        FROM scored
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT {TOP_K}
+    """,
+    "ivf_cell_assignments": f"""
+        WITH cents AS (
+            SELECT vec_id AS cell, embedding FROM embeddings
+            WHERE vec_id < {N_IVF_CELLS}
+        ),
+        dists AS (
+            SELECT e.vec_id, c.cell, {_DUCK_D2} AS d2
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        assigned AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY floor(d2 * 1000000e0) / 1000000e0, cell) AS rn
+            FROM dists
+        )
+        SELECT cell, count(*) AS n
+        FROM assigned WHERE rn = 1
+        GROUP BY cell ORDER BY cell
+    """,
+    "ivf_ann_topk": f"""
+        WITH cents AS (
+            SELECT vec_id AS cell, embedding FROM embeddings
+            WHERE vec_id < {N_IVF_CELLS}
+        ),
+        assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY floor({_DUCK_D2} * 1000000e0) / 1000000e0,
+                                    c.cell) AS rn
+                FROM embeddings e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT e.embedding AS qv, a.cell AS qcell, {_DUCK_NORM2} AS qnorm2
+            FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+            WHERE e.vec_id = {QUERY_VEC_ID}
+        ),
+        probe AS (
+            SELECT e.vec_id, e.label, e.embedding
+            FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+            JOIN q ON a.cell = q.qcell
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+        ),
+        scored AS (
+            SELECT p.vec_id, p.label,
+                   list_aggregate(list_transform(range(1, len(p.embedding) + 1),
+                       i -> CAST(p.embedding[i] AS DOUBLE)
+                            * CAST(q.qv[i] AS DOUBLE)), 'sum')
+                   / sqrt(q.qnorm2 *
+                       list_aggregate(list_transform(p.embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                       AS cos
+            FROM probe p CROSS JOIN q
         )
         SELECT vec_id, label, {R("cos", 6)} AS cos_sim
         FROM scored

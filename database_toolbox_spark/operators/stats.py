@@ -1,0 +1,79 @@
+"""Statistical aggregates and list aggregation (SURVEY.md §2.B aggregations
+[implied] — stddev/variance/corr/covar and string_agg/listagg are standard in
+every warehouse the reference wraps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_toolbox_spark.functions import canon_round
+from database_toolbox_spark.operators._oracle import R
+from database_toolbox_spark.session import load_table
+
+
+def segment_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev / variance / correlation / covariance per market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            canon_round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+            canon_round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+            canon_round(F.stddev_pop("o_totalprice"), 4).alias("sd_pop_price"),
+            canon_round(F.corr("o_totalprice", "c_acctbal"), 6).alias(
+                "corr_price_bal"
+            ),
+            canon_round(F.covar_samp("o_totalprice", "c_acctbal"), 2).alias(
+                "covar_price_bal"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def nation_customer_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List aggregation (LISTAGG/string_agg): first 5 customer names per
+    nation, deterministically ordered. collect_list order is
+    non-deterministic in a distributed engine, so the canonical form is
+    sort-after-collect — the same discipline string_agg(... ORDER BY)
+    encodes in warehouses."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("c_name")), 1, 5), ","
+            ).alias("first5_names"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+QUERIES = {
+    "segment_stats_battery": segment_stats_battery,
+    "nation_customer_lists": nation_customer_lists,
+}
+
+ORACLE = {
+    "segment_stats_battery": f"""
+        SELECT c.c_mktsegment,
+               {R("stddev_samp(o.o_totalprice)", 4)}              AS sd_price,
+               {R("var_samp(o.o_totalprice)")}                    AS var_price,
+               {R("stddev_pop(o.o_totalprice)", 4)}               AS sd_pop_price,
+               {R("corr(o.o_totalprice, c.c_acctbal)", 6)}        AS corr_price_bal,
+               {R("covar_samp(o.o_totalprice, c.c_acctbal)")}     AS covar_price_bal
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    "nation_customer_lists": """
+        SELECT c_nationkey,
+               count(*) AS n_customers,
+               array_to_string(list_sort(list(c_name))[1:5], ',') AS first5_names
+        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+}

@@ -151,8 +151,45 @@ def token_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF by composition (explode → two aggregations → join):
+    tf = term count / doc length, idf = ln(N / df); top term per doc by
+    tf-idf with deterministic tie-break. The explode→agg shape is the
+    canonical distributed tf-idf — no driver-side vocabulary."""
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+        WITH toks AS (
+            SELECT /*+ REPARTITION */ doc_id, explode(split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS n,
+                   sum(count(*)) OVER (PARTITION BY doc_id) AS doc_len
+            FROM toks GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        ),
+        n_docs AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   {R("(tf.n * 1e0 / tf.doc_len) * ln(n_docs.n * 1e0 / df.df)", 6)}
+                       AS tfidf
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN n_docs
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, term) AS rn
+            FROM scored
+        )
+        SELECT doc_id, term AS top_term, tfidf
+        FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """)
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
+    "tfidf_top_terms": tfidf_top_terms,
     "doc_quality_scores": doc_quality_scores,
     "language_id": language_id,
     "doc_fingerprints": doc_fingerprints,
@@ -160,6 +197,34 @@ QUERIES = {
 }
 
 ORACLE = {
+    "tfidf_top_terms": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS n,
+                   sum(count(*)) OVER (PARTITION BY doc_id) AS doc_len
+            FROM toks GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        ),
+        n_docs AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   {R("(tf.n * 1e0 / tf.doc_len) * ln(n_docs.n * 1e0 / df.df)", 6)}
+                       AS tfidf
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN n_docs
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, term) AS rn
+            FROM scored
+        )
+        SELECT doc_id, term AS top_term, tfidf
+        FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
     "doc_token_stats": f"""
         WITH t AS (SELECT doc_id, lang, source, n_chars,
                           string_split(text, ' ') AS w,
