@@ -47,6 +47,12 @@ def main() -> None:
     spark = get_spark(app_name="dts-bench")
     queries = all_queries()
 
+    # session warmup: JVM/codegen + parquet footers, not part of query cost
+    from database_toolbox_spark.session import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).write.mode("overwrite").format("noop").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)

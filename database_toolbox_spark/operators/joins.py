@@ -44,15 +44,23 @@ def big_spender_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def order_item_counts_left(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join preserving every order; missing lineitems count 0."""
+    """Left outer join preserving every order; missing lineitems count 0.
+
+    Aggregate-then-join: the 1:N fact side is reduced to one row per order
+    BEFORE the join, so the join moves |orders| rows instead of |lineitem|
+    rows — the shape that survives a 100× fact-table scale-up."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("l_linenumber").alias("_n"),
+        F.sum(disc_price()).alias("_rev"),
+    )
     return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
-        .groupBy("o_orderkey")
-        .agg(
-            F.count("l_linenumber").alias("n_items"),
-            money(F.coalesce(F.sum(disc_price()), F.lit(0.0))).alias("revenue"),
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_items"),
+            money(F.coalesce(F.col("_rev"), F.lit(0.0))).alias("revenue"),
         )
         .orderBy("o_orderkey")
     )

@@ -74,6 +74,21 @@ def test_execute_sql_denies_write(spark):
         execute_sql(spark, "DROP TABLE IF EXISTS nope")
 
 
+def test_version_probe(spark):
+    """`SELECT version()` smoke (tests/postgres/test_mcp.py:127 parity)."""
+    out = execute_sql(spark, "SELECT version() AS v").collect()[0].v
+    assert out  # non-empty engine version string
+
+
+def test_global_temp_view_qualified_scan(spark):
+    """Schema-qualified scan parity (analytics.table style,
+    tests/redshift/example_usage.py:163): global temp views live in the
+    `global_temp` namespace."""
+    spark.range(3).createOrReplaceGlobalTempView("gtv_probe")
+    n = execute_sql(spark, "SELECT count(*) AS n FROM global_temp.gtv_probe")
+    assert n.collect()[0].n == 3
+
+
 def test_row_json_contract(spark):
     """Result contract: one JSON object per row
     (tests/redshift/example_usage.py:54-65)."""
