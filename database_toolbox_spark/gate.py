@@ -138,7 +138,12 @@ def _top_level_words(sql: str) -> list[str]:
             i += 1
         elif depth == 0 and (ch.isalpha() or ch == "_"):
             m = _WORD_RE.match(sql, i)
-            assert m is not None
+            if m is None:
+                # unicode letter outside [A-Za-z_] — never a keyword; the
+                # statement will classify Unknown (default-deny) unless a
+                # real keyword leads
+                i += 1
+                continue
             out.append(m.group(0).upper())
             i = m.end()
         else:

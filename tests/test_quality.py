@@ -1,0 +1,123 @@
+"""Algorithm-quality and robustness tests: LSH/IVF recall against ground
+truth, gate fuzzing (hypothesis), result-serialization round-trips, and
+error surfacing."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from database_toolbox_spark.executor import execute_sql, rows_as_json
+from database_toolbox_spark.gate import ALLOWED_CLASSES, DENIED_CLASSES, classify
+from database_toolbox_spark.operators.dedup import (
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+)
+from database_toolbox_spark.operators.similarity import (
+    cosine_topk,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
+from database_toolbox_spark.server import handle_request
+from tests.conftest import SF_DIR
+
+# --- algorithm quality ------------------------------------------------------
+
+
+def test_minhash_lsh_full_recall_on_planted_dups(spark):
+    """LSH candidate generation must find every true near-dup pair (the
+    fixtures plant pairs at jaccard ≈ 0.98, far above the 0.5 threshold —
+    missing any would mean the banding is broken)."""
+    truth = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, SF_DIR).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in minhash_near_dup_pairs(spark, SF_DIR).collect()}
+    assert truth, "fixture should contain planted near-dups"
+    assert lsh == truth
+
+
+def test_ann_recall_vs_brute_force(spark):
+    brute = [r.vec_id for r in cosine_topk(spark, SF_DIR).collect()]
+    lsh = [r.vec_id for r in lsh_ann_topk(spark, SF_DIR).collect()]
+    ivf = [r.vec_id for r in ivf_ann_topk(spark, SF_DIR).collect()]
+    lsh_recall = len(set(brute) & set(lsh)) / len(brute)
+    ivf_recall = len(set(brute) & set(ivf)) / len(brute)
+    # near-orthogonal random vectors are the hard case; these floors catch
+    # structural regressions (single-probe LSH scored 0.0 here)
+    assert lsh_recall >= 0.5, f"LSH recall@10 degraded: {lsh_recall}"
+    assert ivf_recall >= 0.5, f"IVF recall@10 degraded: {ivf_recall}"
+
+
+# --- gate fuzzing -----------------------------------------------------------
+
+_WRITE_KEYWORDS = ["INSERT", "UPDATE", "DELETE", "DROP", "CREATE", "ALTER",
+                   "MERGE", "TRUNCATE", "GRANT", "REVOKE"]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_gate_never_crashes_and_is_total(sql):
+    c = classify(sql)
+    assert c.statement_class in ALLOWED_CLASSES | DENIED_CLASSES
+    assert c.allowed == (c.statement_class in ALLOWED_CLASSES)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sampled_from(_WRITE_KEYWORDS),
+    st.sampled_from(["", " ", "\n", "\t", "  \n "]),
+    st.sampled_from(["", "-- c\n", "/* c */ "]),
+    st.sampled_from([str.lower, str.upper, str.title]),
+)
+def test_gate_denies_writes_any_casing_whitespace_comments(kw, ws, comment, case):
+    sql = f"{comment}{ws}{case(kw)} something"
+    assert not classify(sql).allowed
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_characters="'\\\";"), max_size=50))
+def test_gate_allows_select_with_arbitrary_string_literal(payload):
+    c = classify(f"SELECT '{payload}' AS s")
+    assert c.allowed and c.statement_class == "Select"
+
+
+# --- serialization round-trips ---------------------------------------------
+
+
+def test_row_json_types_roundtrip(spark):
+    df = execute_sql(
+        spark,
+        """
+        SELECT 1 AS i, 1.5e0 AS d, 'x' AS s, true AS b,
+               DATE '2024-01-02' AS dt,
+               TIMESTAMP '2024-01-02 03:04:05' AS ts,
+               array(1, 2) AS arr,
+               named_struct('k', 7) AS st,
+               CAST(NULL AS INT) AS n
+        """,
+    )
+    row = json.loads(rows_as_json(df)[0])
+    assert row["i"] == 1 and row["d"] == 1.5 and row["s"] == "x" and row["b"] is True
+    assert row["dt"] == "2024-01-02"
+    assert row["ts"].startswith("2024-01-02T03:04:05")
+    assert row["arr"] == [1, 2]
+    assert row["st"] == {"k": 7}
+    assert "n" not in row or row["n"] is None  # toJSON drops nulls
+
+
+def test_sql_error_surfaces_as_is_error(spark):
+    resp = handle_request(
+        spark,
+        {
+            "jsonrpc": "2.0",
+            "id": 9,
+            "method": "tools/call",
+            "params": {
+                "name": "execute_sql",
+                "arguments": {"sql": "SELECT * FROM no_such_table_xyz"},
+            },
+        },
+    )
+    assert resp["result"]["isError"] is True
+    assert "no_such_table_xyz" in resp["result"]["content"][0]["text"]
