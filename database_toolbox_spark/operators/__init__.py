@@ -27,6 +27,7 @@ def _modules():
         joins,
         merge_ops,
         multimodal,
+        partitioning,
         scalars,
         setops,
         similarity,
@@ -50,6 +51,7 @@ def _modules():
         joins,
         merge_ops,
         multimodal,
+        partitioning,
         scalars,
         setops,
         similarity,

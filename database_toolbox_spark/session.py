@@ -114,6 +114,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_confs(spark)
     path = table_path(sf_dir, name)
     nanos_cols = _nanos_ts_columns(path)
     if nanos_cols:
@@ -126,6 +127,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs the engine's semantics depend on, applied
+    defensively for externally-built sessions (e.g. the round driver's):
+    UTC timestamps (FIXTURES.md determinism) and AQE."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register the full star schema as temp views; return name → DataFrame.
 
@@ -133,4 +142,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     tables visible; `/root/reference/images/redshift/redshift.yaml:1-8`): after
     this call, `spark.sql` and the catalog tools can see every table.
     """
+    ensure_session_confs(spark)
     return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -70,6 +70,23 @@ def test_bucketed_join_has_no_fact_shuffle(spark):
     assert "SelectedBucketsCount" in plan
 
 
+def test_static_partition_pruning(spark):
+    from database_toolbox_spark.operators.partitioning import (
+        partition_pruned_totals,
+    )
+
+    plan = _plan(partition_pruned_totals(spark, SF_DIR), "simple")
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    assert "(o_orderstatus" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_dynamic_partition_pruning(spark):
+    from database_toolbox_spark.operators.partitioning import dynamic_pruned_join
+
+    plan = _plan(dynamic_pruned_join(spark, SF_DIR), "simple")
+    assert "dynamicpruning" in plan
+
+
 @pytest.mark.parametrize("mod", ["tpch", "joins", "windows", "dedup", "similarity"])
 def test_no_collect_in_operator_sources(mod):
     """Operator modules must stay distributed: no driver-side collect/toPandas
