@@ -28,6 +28,7 @@ def _modules():
         merge_ops,
         multimodal,
         partitioning,
+        pipeline,
         scalars,
         setops,
         similarity,
@@ -52,6 +53,7 @@ def _modules():
         merge_ops,
         multimodal,
         partitioning,
+        pipeline,
         scalars,
         setops,
         similarity,

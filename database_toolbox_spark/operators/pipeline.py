@@ -1,0 +1,243 @@
+"""Training-data preparation operators (BASELINE.json north star: "the
+operations a large-scale training-data pipeline would need") — document
+chunking, sequence packing, vocabulary building, source mixing, PII
+scrubbing.
+
+All pure built-in SQL (token arrays + window functions), embarrassingly
+parallel except the explicitly-sequential packing which runs on aggregated
+per-doc rows (|docs| rows, not |tokens|).
+
+Determinism: no RNG anywhere — chunk boundaries, pack bins, vocab ids, and
+mix positions all derive from data + fixed constants, so the DuckDB oracle
+replays them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from database_toolbox_spark.operators._oracle import R
+from database_toolbox_spark.session import load_tables
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap
+PACK_BUDGET = 2048  # chars per packed sequence
+VOCAB_SIZE = 30
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window chunking with overlap (stride < size): the
+    standard pretraining chunker. Chunk k covers tokens
+    [k·stride, k·stride + size)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+        WITH t AS (SELECT /*+ REPARTITION */ doc_id, split(text, ' ') AS w
+                   FROM documents),
+        chunks AS (
+            SELECT doc_id,
+                   explode(sequence(0,
+                       CAST(greatest(
+                           ceil((size(w) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}e0),
+                           0) AS INT))) AS chunk_idx,
+                   w
+            FROM t
+        )
+        SELECT doc_id, chunk_idx,
+               array_join(slice(w, chunk_idx * {CHUNK_STRIDE} + 1,
+                                {CHUNK_TOKENS}), ' ') AS chunk_text,
+               size(slice(w, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS}))
+                   AS n_tokens
+        FROM chunks
+        ORDER BY doc_id, chunk_idx
+    """)
+
+
+def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential sample packing: fill fixed-size context windows with docs
+    in deterministic order (running char total → bin = cumlen div budget).
+    The window runs over one row per DOC (not per token), so state is tiny;
+    at scale packing is done per shard (partition) — the global window here
+    is the single-shard flavor."""
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+        WITH d AS (
+            SELECT doc_id, n_chars,
+                   sum(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_chars
+            FROM documents
+        )
+        SELECT doc_id, n_chars,
+               CAST((cum_chars - n_chars) / {PACK_BUDGET} AS BIGINT) AS pack_bin,
+               cum_chars - n_chars
+                   - CAST((cum_chars - n_chars) / {PACK_BUDGET} AS BIGINT)
+                     * {PACK_BUDGET} AS offset_in_bin
+        FROM d ORDER BY doc_id
+    """)
+
+
+def build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: top-K terms by document frequency with
+    deterministic ids (df desc, term asc)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+        WITH toks AS (
+            SELECT /*+ REPARTITION */ doc_id, explode(split(text, ' ')) AS term
+            FROM documents
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        ),
+        ranked AS (
+            SELECT term, df,
+                   CAST(row_number() OVER (ORDER BY df DESC, term) AS INT)
+                       AS token_id
+            FROM df
+        )
+        SELECT token_id, term, df FROM ranked
+        WHERE token_id <= {VOCAB_SIZE}
+        ORDER BY token_id
+    """)
+
+
+def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source interleaving (dataset mixing without RNG): rank
+    docs within each source, then take round-robin order (rank, source) —
+    the epoch-stable shuffle used when blending corpora. First 100 mix
+    positions."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                       AS rn
+            FROM documents
+        ),
+        mixed AS (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (ORDER BY rn, source) AS INT)
+                       AS mix_pos
+            FROM ranked
+        )
+        SELECT mix_pos, doc_id, source FROM mixed
+        WHERE mix_pos <= 100 ORDER BY mix_pos
+    """)
+
+
+def pii_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact email/URL/long-digit patterns, report match
+    counts and the scrubbed length. (The fixture corpus is clean word soup,
+    so counts are zero here — the regex machinery is additionally unit-
+    tested on synthetic rows in tests/test_pipeline.py.)"""
+    load_tables(spark, sf_dir)
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    url = r"https?://[^\\s]+"
+    digits = r"\\d{6,}"
+    return spark.sql(f"""
+        SELECT doc_id,
+               CAST(regexp_count(text, '{email}') AS INT)  AS n_emails,
+               CAST(regexp_count(text, '{url}') AS INT)    AS n_urls,
+               CAST(regexp_count(text, '{digits}') AS INT) AS n_long_digits,
+               length(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{email}', '<EMAIL>'),
+                   '{url}', '<URL>'),
+                   '{digits}', '<NUM>')) AS scrubbed_len
+        FROM documents ORDER BY doc_id
+    """)
+
+
+QUERIES = {
+    "doc_chunks": doc_chunks,
+    "pack_documents": pack_documents,
+    "build_vocab": build_vocab,
+    "mix_sources": mix_sources,
+    "pii_scrub_counts": pii_scrub_counts,
+}
+
+ORACLE = {
+    "doc_chunks": f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        chunks AS (
+            SELECT doc_id, unnest(range(0,
+                       CAST(greatest(
+                           ceil((len(w) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}e0),
+                           0) AS INT) + 1)) AS chunk_idx,
+                   w
+            FROM t
+        )
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               array_to_string(w[chunk_idx * {CHUNK_STRIDE} + 1 :
+                                 chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                               ' ') AS chunk_text,
+               CAST(len(w[chunk_idx * {CHUNK_STRIDE} + 1 :
+                          chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INT)
+                   AS n_tokens
+        FROM chunks
+        ORDER BY doc_id, chunk_idx
+    """,
+    "pack_documents": f"""
+        WITH d AS (
+            SELECT doc_id, n_chars,
+                   sum(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_chars
+            FROM documents
+        )
+        SELECT doc_id, n_chars,
+               (cum_chars - n_chars) // {PACK_BUDGET} AS pack_bin,
+               cum_chars - n_chars
+                   - ((cum_chars - n_chars) // {PACK_BUDGET}) * {PACK_BUDGET}
+                   AS offset_in_bin
+        FROM d ORDER BY doc_id
+    """,
+    "build_vocab": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        ),
+        ranked AS (
+            SELECT term, df,
+                   CAST(row_number() OVER (ORDER BY df DESC, term) AS INT)
+                       AS token_id
+            FROM df
+        )
+        SELECT token_id, term, df FROM ranked
+        WHERE token_id <= {VOCAB_SIZE}
+        ORDER BY token_id
+    """,
+    "mix_sources": """
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                       AS rn
+            FROM documents
+        ),
+        mixed AS (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (ORDER BY rn, source) AS INT)
+                       AS mix_pos
+            FROM ranked
+        )
+        SELECT mix_pos, doc_id, source FROM mixed
+        WHERE mix_pos <= 100 ORDER BY mix_pos
+    """,
+    "pii_scrub_counts": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT)
+                   AS n_urls,
+               CAST(len(regexp_extract_all(text, '\d{6,}')) AS INT)
+                   AS n_long_digits,
+               CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>',
+                   'g'),
+                   'https?://[^\s]+', '<URL>', 'g'),
+                   '\d{6,}', '<NUM>', 'g')) AS INT) AS scrubbed_len
+        FROM documents ORDER BY doc_id
+    """,
+}
