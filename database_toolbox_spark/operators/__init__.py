@@ -29,6 +29,7 @@ def _modules():
         multimodal,
         partitioning,
         pipeline,
+        profile,
         scalars,
         setops,
         similarity,
@@ -54,6 +55,7 @@ def _modules():
         multimodal,
         partitioning,
         pipeline,
+        profile,
         scalars,
         setops,
         similarity,

@@ -1,0 +1,154 @@
+"""Data profiling, deterministic sampling, quantiles, histograms — the
+warehouse data-quality surface (SURVEY.md §2.B aggregations [implied]; every
+engine the reference wraps exposes these through `execute_sql`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from database_toolbox_spark.operators._oracle import R
+from database_toolbox_spark.session import load_tables
+
+_PROFILE_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_totalprice", "double"),
+    ("o_orderstatus", "string"),
+    ("o_orderpriority", "string"),
+]
+
+
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of `orders`: rows, nulls, distincts, min/max
+    (stringified for a uniform shape) — one UNION ALL branch per column,
+    a single pass each thanks to column pruning."""
+    load_tables(spark, sf_dir)
+    branches = []
+    for col, _ in _PROFILE_COLS:
+        branches.append(f"""
+            SELECT '{col}' AS column_name,
+                   count(*) AS n_rows,
+                   count(*) - count({col}) AS n_nulls,
+                   count(DISTINCT {col}) AS n_distinct,
+                   CAST(min({col}) AS STRING) AS min_str,
+                   CAST(max({col}) AS STRING) AS max_str
+            FROM orders
+        """)
+    return spark.sql(" UNION ALL ".join(branches) + " ORDER BY column_name")
+
+
+def systematic_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sampling (key mod N — the RNG-free sampling
+    that stays stable across engines and epochs): 5% of orders, aggregated.
+    TABLESAMPLE/rand() would be engine-specific; modulo sampling is the
+    reproducible-pipeline idiom."""
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT o_orderstatus,
+               count(*) AS n_sampled,
+               {R("sum(o_totalprice)")} AS sum_price
+        FROM orders
+        WHERE o_orderkey % 20 = 7
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """)
+
+
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per segment (Spark `percentile` and
+    DuckDB `quantile_cont` share the linear-interpolation definition)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT c.c_mktsegment,
+               {R("percentile(o.o_totalprice, 0.25e0)", 4)} AS p25,
+               {R("percentile(o.o_totalprice, 0.5e0)", 4)}  AS p50,
+               {R("percentile(o.o_totalprice, 0.75e0)", 4)} AS p75,
+               {R("percentile(o.o_totalprice, 0.9e0)", 4)}  AS p90
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """)
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order prices (50k-wide buckets) — manual
+    bucketing (floor(x/width)) is engine-portable where width_bucket is
+    not."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(floor(o_totalprice / 50000e0) AS INT) AS bucket,
+               CAST(floor(o_totalprice / 50000e0) AS INT) * 50000 AS bucket_lo,
+               count(*) AS n
+        FROM orders
+        GROUP BY 1, 2 ORDER BY bucket
+    """)
+
+
+def profile_table(spark: SparkSession, table: str) -> DataFrame:
+    """Generic registry tool: profile any registered table/view (one UNION
+    branch per column from the catalog schema)."""
+    schema = spark.table(table).schema
+    branches = [
+        f"""
+        SELECT '{f.name}' AS column_name, '{f.dataType.simpleString()}' AS data_type,
+               count(*) AS n_rows,
+               count(*) - count(`{f.name}`) AS n_nulls,
+               count(DISTINCT `{f.name}`) AS n_distinct
+        FROM {table}
+        """
+        for f in schema.fields
+    ]
+    return spark.sql(" UNION ALL ".join(branches) + " ORDER BY column_name")
+
+
+QUERIES = {
+    "orders_profile": orders_profile,
+    "systematic_sample_stats": systematic_sample_stats,
+    "price_quantiles": price_quantiles,
+    "price_histogram": price_histogram,
+}
+
+
+def _duck_profile() -> str:
+    branches = []
+    for col, _ in _PROFILE_COLS:
+        branches.append(f"""
+            SELECT '{col}' AS column_name,
+                   count(*) AS n_rows,
+                   count(*) - count({col}) AS n_nulls,
+                   count(DISTINCT {col}) AS n_distinct,
+                   CAST(min({col}) AS VARCHAR) AS min_str,
+                   CAST(max({col}) AS VARCHAR) AS max_str
+            FROM orders
+        """)
+    return " UNION ALL ".join(branches) + " ORDER BY column_name"
+
+
+ORACLE = {
+    "orders_profile": _duck_profile(),
+    "systematic_sample_stats": f"""
+        SELECT o_orderstatus,
+               count(*) AS n_sampled,
+               {R("sum(o_totalprice)")} AS sum_price
+        FROM orders
+        WHERE o_orderkey % 20 = 7
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    "price_quantiles": f"""
+        SELECT c.c_mktsegment,
+               {R("quantile_cont(o.o_totalprice, 0.25)", 4)} AS p25,
+               {R("quantile_cont(o.o_totalprice, 0.5)", 4)}  AS p50,
+               {R("quantile_cont(o.o_totalprice, 0.75)", 4)} AS p75,
+               {R("quantile_cont(o.o_totalprice, 0.9)", 4)}  AS p90
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    "price_histogram": """
+        SELECT CAST(floor(o_totalprice / 50000e0) AS INT) AS bucket,
+               CAST(floor(o_totalprice / 50000e0) AS INT) * 50000 AS bucket_lo,
+               count(*) AS n
+        FROM orders
+        GROUP BY 1, 2 ORDER BY bucket
+    """,
+}

@@ -117,6 +117,24 @@ register(
     )
 )
 
+def _profile_tool(spark: SparkSession, table: str) -> DataFrame:
+    from database_toolbox_spark.operators.profile import profile_table  # noqa: PLC0415
+
+    return profile_table(spark, table)
+
+
+register(
+    ToolSpec(
+        name="profile_table",
+        description=(
+            "Column-level data profile (rows, nulls, distincts) of any "
+            "registered table — the data-quality companion to list_tables."
+        ),
+        fn=_profile_tool,
+        parameters=(ToolParam("table", "string", "table/view name", required=True),),
+    )
+)
+
 register(
     ToolSpec(
         name="search_entries",

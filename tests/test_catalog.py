@@ -76,3 +76,12 @@ def test_registry_surface(spark):
     assert [p["column_name"] for p in parsed] == ["r_regionkey", "r_name"]
     got = registry.call_tool(spark, "execute_sql", {"sql": "SELECT 1 AS one"})
     assert json.loads(got[0]["text"]) == {"one": 1}
+
+
+def test_profile_table_tool(spark):
+    content = registry.call_tool(spark, "profile_table", {"table": "region"})
+    rows = {json.loads(c["text"])["column_name"]: json.loads(c["text"])
+            for c in content}
+    assert rows["r_regionkey"]["n_rows"] == 5
+    assert rows["r_regionkey"]["n_nulls"] == 0
+    assert rows["r_name"]["n_distinct"] == 5
