@@ -1,0 +1,105 @@
+"""Scale-stress tests: run the core operator shapes on ~10M synthesized
+rows (16× the sf0.1 fact table) and on a deliberately skewed join, checking
+(a) exact correctness under replication algebra and (b) that AQE's skew
+machinery engages when partitions blow past the (lowered) thresholds.
+
+These synthesize data in memory via crossJoin(range) — no files — so they
+exercise shuffle/aggregation paths at a volume the parquet fixtures don't
+reach locally."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+REPL = 16
+
+
+@pytest.fixture(scope="module")
+def big_lineitem(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    return li.crossJoin(spark.range(REPL).select(F.col("id").alias("rep")))
+
+
+def test_aggregation_correct_at_16x(spark, big_lineitem):
+    """Replicating every row 16× must scale counts and sums by exactly 16 —
+    an exact correctness check of the shuffle/aggregate path at volume."""
+    base = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()
+    )
+    big = {
+        r.l_returnflag: r
+        for r in big_lineitem.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()
+    }
+    for r in base:
+        assert big[r.l_returnflag].n == r.n * REPL
+        assert abs(big[r.l_returnflag].q - r.q * REPL) < 1e-6 * abs(r.q * REPL)
+
+
+def test_join_correct_at_16x(spark, big_lineitem):
+    """Join cardinality under replication: |big ⋈ orders| = 16 × |li ⋈ orders|."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    base_n = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    big_n = big_lineitem.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).count()
+    assert big_n == base_n * REPL
+
+
+def test_aqe_skew_join_engages(spark):
+    """A 95%-hot-key join with lowered AQE skew thresholds must still
+    complete with correct counts, and the executed plan must show the
+    skew-handled sort-merge join (isSkew=true)."""
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        n = 400_000
+        left = spark.range(n).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(F.col("id").alias("k"))
+        joined = left.join(right, "k")
+        # collect the frame itself so ITS adaptive plan is the one finalized
+        # (count() would run a separate query execution)
+        got = len(joined.collect())
+        # expected: hot key 7 (95% of left) matches right's single 7-row;
+        # non-hot ids divisible by 20 match right iff id < 1000
+        hot = sum(1 for i in range(n) if i % 20 != 0)
+        cold = sum(1 for i in range(n) if i % 20 == 0 and i < 1000)
+        assert got == hot + cold
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+        assert "AQEShuffleRead coalesced and skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
