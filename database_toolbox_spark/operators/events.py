@@ -100,8 +100,81 @@ def event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gapfilled_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling: generate the full hour spine between min and max event
+    time (sequence + explode), left-join actual hourly counts, fill zeros —
+    the time-series densification every warehouse does before charting."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql("""
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT explode(sequence(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+            FROM bounds
+        ),
+        actual AS (
+            SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT s.hour_start,
+               coalesce(a.n, 0) AS n,
+               CAST(a.n IS NULL AS INT) AS was_gap
+        FROM spine s LEFT JOIN actual a ON s.hour_start = a.hour_start
+        ORDER BY s.hour_start
+    """)
+
+
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day: distinct-over-running-window is
+    intractable directly; the scalable rewrite is first-seen-day per user →
+    daily new-user counts → running sum."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql("""
+        WITH first_seen AS (
+            SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+            FROM events GROUP BY user_id
+        ),
+        daily_new AS (
+            SELECT first_day AS day, count(*) AS new_users
+            FROM first_seen GROUP BY first_day
+        )
+        SELECT day, new_users,
+               sum(new_users) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumulative_users
+        FROM daily_new ORDER BY day
+    """)
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted per
+    day-offset from their cohort start."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql("""
+        WITH first_seen AS (
+            SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_day,
+                   datediff(CAST(e.ts AS DATE), f.cohort_day) AS day_offset
+            FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        )
+        SELECT cohort_day, day_offset, count(*) AS n_users
+        FROM activity
+        GROUP BY cohort_day, day_offset
+        ORDER BY cohort_day, day_offset
+    """)
+
+
 QUERIES = {
     "event_json_stats": event_json_stats,
+    "gapfilled_hourly_counts": gapfilled_hourly_counts,
+    "cumulative_unique_users": cumulative_unique_users,
+    "cohort_retention": cohort_retention,
     "hourly_event_windows": hourly_event_windows,
     "sliding_event_windows": sliding_event_windows,
     "user_session_windows": user_session_windows,
@@ -109,6 +182,57 @@ QUERIES = {
 }
 
 ORACLE = {
+    "gapfilled_hourly_counts": """
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+            FROM bounds
+        ),
+        actual AS (
+            SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT s.hour_start,
+               coalesce(a.n, 0) AS n,
+               CAST(a.n IS NULL AS INT) AS was_gap
+        FROM spine s LEFT JOIN actual a ON s.hour_start = a.hour_start
+        ORDER BY s.hour_start
+    """,
+    "cumulative_unique_users": """
+        WITH first_seen AS (
+            SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+            FROM events GROUP BY user_id
+        ),
+        daily_new AS (
+            SELECT first_day AS day, count(*) AS new_users
+            FROM first_seen GROUP BY first_day
+        )
+        SELECT day, new_users,
+               sum(new_users) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumulative_users
+        FROM daily_new ORDER BY day
+    """,
+    "cohort_retention": """
+        WITH first_seen AS (
+            SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_day,
+                   CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+                        AS INT) AS day_offset
+            FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        )
+        SELECT cohort_day, day_offset, count(*) AS n_users
+        FROM activity
+        GROUP BY cohort_day, day_offset
+        ORDER BY cohort_day, day_offset
+    """,
     "event_json_stats": f"""
         SELECT event_type,
                count(*)                                          AS n,
