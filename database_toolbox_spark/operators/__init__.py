@@ -21,6 +21,7 @@ def _modules():
         asof,
         bucketing,
         catalog_ops,
+        clustering,
         dedup,
         events,
         grouping,
@@ -47,6 +48,7 @@ def _modules():
         asof,
         bucketing,
         catalog_ops,
+        clustering,
         dedup,
         events,
         grouping,

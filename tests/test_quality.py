@@ -121,3 +121,19 @@ def test_sql_error_surfaces_as_is_error(spark):
     )
     assert resp["result"]["isError"] is True
     assert "no_such_table_xyz" in resp["result"]["content"][0]["text"]
+
+
+def test_kmeans_inertia_decreases(spark):
+    """Lloyd updates must not increase total inertia (k-means invariant)."""
+    from database_toolbox_spark.operators.clustering import DIM, _kmeans_sql
+    from database_toolbox_spark.session import load_tables
+
+    load_tables(spark, SF_DIR)
+    pos = f"(SELECT explode(sequence(1, {DIM})) AS pos)"
+    elem = lambda arr, p: f"element_at({arr}, {p})"  # noqa: E731
+    totals = []
+    for n in (0, 1, 2):
+        rows = spark.sql(_kmeans_sql(pos, elem, n_iters=n)).collect()
+        totals.append(sum(r.inertia for r in rows))
+    assert totals[1] <= totals[0] + 1e-6
+    assert totals[2] <= totals[1] + 1e-6
