@@ -4,7 +4,7 @@ as Pandas UDFs over Arrow batches).
 
 The container has no image/audio libraries, so the *decode* step is a
 clearly-marked stub (`decode_image` raises NotImplementedError; the
-deterministic fake `_fake_decode_features` stands in), while everything
+deterministic fake from `make_fake_decoder` stands in), while everything
 Spark-side is real and tested: the binary column itself (`encode(text)` —
 real bytes), the schema, the `mapInPandas` Arrow batch shape, and the
 partition-parallel execution.
@@ -27,7 +27,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_toolbox_spark.operators._oracle import R
 from database_toolbox_spark.session import load_table
 
 FEATURE_SCHEMA = "doc_id bigint, n_bytes int, first_byte int, checksum bigint"
@@ -36,7 +35,7 @@ FEATURE_SCHEMA = "doc_id bigint, n_bytes int, first_byte int, checksum bigint"
 def decode_image(payload: bytes) -> object:
     """Real decode hook — requires an image library not present in this
     container. The Spark-side plumbing (schema/batching/partitioning) is
-    exercised through `_fake_decode_features` instead."""
+    exercised through `make_fake_decoder` instead."""
     raise NotImplementedError(
         "image/audio decode requires PIL/ffmpeg; not available in this "
         "environment — plug a real decoder in here"

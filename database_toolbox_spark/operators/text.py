@@ -85,7 +85,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-def _lang_score_exprs(filter_fn: str, split_fn: str) -> str:
+def _lang_score_exprs(filter_fn: str) -> str:
     """Per-language stopword hit counts; same SQL shape in both dialects
     (only the lambda/list function names differ)."""
     cols = []
@@ -112,7 +112,7 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     list, pick the argmax (fixed priority on ties), compare to the declared
     lang column."""
     load_tables(spark, sf_dir)
-    scores = _lang_score_exprs("filter", "split")
+    scores = _lang_score_exprs("filter")
     pick = _lang_pick_expr()
     return spark.sql(f"""
         WITH t AS (SELECT doc_id, lang, split(text, ' ') AS w FROM documents),

@@ -70,6 +70,39 @@ def test_bucketed_join_has_no_fact_shuffle(spark):
     assert "SelectedBucketsCount" in plan
 
 
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime Bloom-filter pruning: a selective filter on the build side
+    injects a might_contain() predicate into the probe-side scan, so the
+    big fact table is row-filtered BEFORE the shuffle — at 100 TB this
+    skips most of the shuffle for selective joins."""
+    from pyspark.sql import functions as F
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_totalprice") > 450000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" in _plan(j, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "10GB"
+        )
+
+
 def test_static_partition_pruning(spark):
     from database_toolbox_spark.operators.partitioning import (
         partition_pruned_totals,
