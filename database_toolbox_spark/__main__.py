@@ -1,0 +1,54 @@
+"""CLI entry point.
+
+    python -m database_toolbox_spark "SELECT count(*) AS n FROM lineitem"
+        one-shot gated SQL against the configured data dir; prints one JSON
+        row per line (the reference's result contract)
+    python -m database_toolbox_spark --serve
+        MCP-style stdio JSON-RPC server (initialize / tools/list / tools/call)
+    python -m database_toolbox_spark --list-tables [csv]
+        the list_tables tool from the shell
+
+Data dir / parallelism come from SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS
+(see config.resolve_env for aliases).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from database_toolbox_spark import registry
+from database_toolbox_spark.config import resolve_env
+from database_toolbox_spark.executor import execute_sql, rows_as_json
+from database_toolbox_spark.gate import StatementDenied
+from database_toolbox_spark.server import serve
+from database_toolbox_spark.session import get_spark, load_tables
+
+
+def main(argv: list[str]) -> int:
+    cfg = resolve_env()
+    spark = get_spark(app_name="dts-cli", cpus=cfg.cpus,
+                      shuffle_partitions=cfg.shuffle_partitions)
+    load_tables(spark, cfg.sf_dir)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__.strip())
+        return 0
+    if argv[0] == "--serve":
+        serve(spark)
+        return 0
+    if argv[0] == "--list-tables":
+        csv = argv[1] if len(argv) > 1 else ""
+        for item in registry.call_tool(spark, "list_tables", {"table_names": csv}):
+            print(item["text"])
+        return 0
+    try:
+        rows = rows_as_json(execute_sql(spark, argv[0]))
+    except StatementDenied as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    for line in rows:
+        print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
