@@ -100,3 +100,23 @@ def test_row_json_contract(spark):
     content = mcp_content(df)
     assert content[0]["type"] == "text"
     assert json.loads(content[0]["text"])["message"] == "test"
+
+
+def test_parameterized_sql_named_binding(spark):
+    """Named binding (`:table_names` style, tests/sqlite/sqlite.yaml:19-22)
+    via Spark parameterized SQL."""
+    df = execute_sql(spark, "SELECT :x + 1 AS v, :s AS s", args={"x": 41, "s": "hi"})
+    row = df.collect()[0]
+    assert (row.v, row.s) == (42, "hi")
+
+
+def test_parameterized_sql_positional_binding(spark):
+    """Positional binding (`$1` style, images/redshift/redshift.yaml:27-31)
+    via Spark's ? placeholders."""
+    df = execute_sql(spark, "SELECT ? * 2 AS v", args=[21])
+    assert df.collect()[0].v == 42
+
+
+def test_parameterized_sql_still_gated(spark):
+    with pytest.raises(StatementDenied):
+        execute_sql(spark, "DELETE FROM t WHERE id = :x", args={"x": 1})
