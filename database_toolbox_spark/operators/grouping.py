@@ -118,8 +118,64 @@ def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def unpivot_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via stack(): widen order counts per segment×status, then melt
+    back to long form (the pivot/unpivot round-trip)."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH wide AS (
+            SELECT c.c_mktsegment,
+                   sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt,
+                   sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
+                   sum(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        )
+        SELECT c_mktsegment, status, cnt
+        FROM wide
+        LATERAL VIEW stack(3, 'F', f_cnt, 'O', o_cnt, 'P', p_cnt) AS status, cnt
+        ORDER BY c_mktsegment, status
+    """)
+
+
+def modal_priority_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: most frequent order priority per segment with a
+    fixed (count desc, value asc) tie-break — engine mode() functions break
+    ties arbitrarily, so the portable form is count+rank."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH counts AS (
+            SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS n
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, o.o_orderpriority
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                        ORDER BY n DESC, o_orderpriority) AS rn
+            FROM counts
+        )
+        SELECT c_mktsegment, o_orderpriority AS modal_priority, n
+        FROM ranked WHERE rn = 1 ORDER BY c_mktsegment
+    """)
+
+
+def bitagg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and / bit_or / bit_xor) per order status."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus,
+               bit_and(o_orderkey % 256) AS band,
+               bit_or(o_orderkey % 256)  AS bor,
+               bit_xor(o_orderkey % 256) AS bxor
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """)
+
+
 QUERIES = {
     "cube_status_priority": cube_status_priority,
+    "unpivot_segment_counts": unpivot_segment_counts,
+    "modal_priority_per_segment": modal_priority_per_segment,
+    "bitagg_battery": bitagg_battery,
     "grouping_sets_revenue": grouping_sets_revenue,
     "pivot_segment_status": pivot_segment_status,
     "approx_distinct_check": approx_distinct_check,
@@ -127,6 +183,41 @@ QUERIES = {
 }
 
 ORACLE = {
+    "unpivot_segment_counts": """
+        WITH wide AS (
+            SELECT c.c_mktsegment,
+                   sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt,
+                   sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
+                   sum(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        )
+        SELECT c_mktsegment, status, CAST(cnt AS BIGINT) AS cnt
+        FROM wide
+        UNPIVOT (cnt FOR status IN (f_cnt AS 'F', o_cnt AS 'O', p_cnt AS 'P'))
+        ORDER BY c_mktsegment, status
+    """,
+    "modal_priority_per_segment": """
+        WITH counts AS (
+            SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS n
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, o.o_orderpriority
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                        ORDER BY n DESC, o_orderpriority) AS rn
+            FROM counts
+        )
+        SELECT c_mktsegment, o_orderpriority AS modal_priority, n
+        FROM ranked WHERE rn = 1 ORDER BY c_mktsegment
+    """,
+    "bitagg_battery": """
+        SELECT o_orderstatus,
+               bit_and(o_orderkey % 256) AS band,
+               bit_or(o_orderkey % 256)  AS bor,
+               bit_xor(o_orderkey % 256) AS bxor
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "cube_status_priority": f"""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
