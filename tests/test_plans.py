@@ -16,9 +16,13 @@ from database_toolbox_spark.operators.tpch import (
 from tests.conftest import SF_DIR
 
 
-def _plan(df, mode: str = "formatted") -> str:
-    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
-    return df._jdf.queryExecution().explainString(jmode.fromString(mode))
+from database_toolbox_spark.plans import PlanFeatures, explain_str as _plan
+
+
+def test_plan_features_summary(spark):
+    """PlanFeatures one-stop check on the flagship query."""
+    f = PlanFeatures.of(pricing_summary(spark, SF_DIR))
+    assert f.pushed_filters and f.partial_aggregation and not f.cartesian
 
 
 def test_filter_pushdown_and_column_pruning(spark):
