@@ -228,8 +228,47 @@ def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters = connected components over the verified LSH pair
+    graph, plus the dedup decision (keep the min doc, drop the rest).
+
+    Spark 4 recursion supports UNION ALL only, so the closure is a
+    depth-capped walk (near-dup clusters have tiny diameters; the DuckDB
+    oracle computes the exact UNION-distinct closure, so any
+    under-propagation would hash-mismatch)."""
+    pairs = minhash_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs.createOrReplaceTempView("near_dup_pairs_v")
+    return spark.sql("""
+        WITH RECURSIVE walk(node, member, depth) AS (
+            SELECT node, node, 0 FROM (
+                SELECT doc_a AS node FROM near_dup_pairs_v
+                UNION SELECT doc_b FROM near_dup_pairs_v
+            )
+            UNION ALL
+            SELECT w.node, e.dst, w.depth + 1
+            FROM walk w
+            JOIN (
+                SELECT doc_a AS src, doc_b AS dst FROM near_dup_pairs_v
+                UNION ALL
+                SELECT doc_b, doc_a FROM near_dup_pairs_v
+            ) e ON e.src = w.member
+            WHERE w.depth < 6
+        ),
+        rep AS (
+            SELECT node, min(member) AS component
+            FROM walk GROUP BY node
+        )
+        SELECT component,
+               count(*) AS cluster_size,
+               min(node) AS keep_doc,
+               count(*) - 1 AS n_dropped
+        FROM rep GROUP BY component ORDER BY component
+    """)
+
+
 QUERIES = {
     "exact_dup_summary": exact_dup_summary,
+    "dup_clusters": dup_clusters,
     "minhash_signatures": minhash_signatures,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -238,6 +277,31 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dup_clusters": f"""
+        WITH RECURSIVE pairs AS (
+            {_band_pairs_sql(_DUCK_SHINGLES, lambda a, b: f"({a} || {b})")}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        members AS (
+            SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs
+        ),
+        reach(node, member) AS (
+            SELECT node, node FROM members
+            UNION
+            SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.member
+        ),
+        rep AS (
+            SELECT node, min(member) AS component FROM reach GROUP BY node
+        )
+        SELECT component,
+               count(*) AS cluster_size,
+               min(node) AS keep_doc,
+               count(*) - 1 AS n_dropped
+        FROM rep GROUP BY component ORDER BY component
+    """,
     "exact_dup_summary": """
         SELECT count(*)                              AS n_docs,
                count(DISTINCT md5(text))             AS n_distinct_texts,
