@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from database_toolbox_spark.functions import canon_round
 from database_toolbox_spark.operators._oracle import R
-from database_toolbox_spark.session import load_table
+from database_toolbox_spark.session import load_table, load_tables
 
 
 def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,14 +135,138 @@ def csv_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: null-safe equality, IS DISTINCT FROM, NULL-aware
+    counts/aggregates, IFNULL/NVL — nulls manufactured via nullif since the
+    fixture columns are dense."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH t AS (
+            SELECT o_orderkey,
+                   nullif(o_orderstatus, 'P') AS maybe_status,
+                   nullif(o_totalprice, 0.0)  AS price
+            FROM orders
+        )
+        SELECT count(*)                                     AS n_rows,
+               count(maybe_status)                          AS n_nonnull,
+               count(*) - count(maybe_status)               AS n_null,
+               sum(CAST(maybe_status <=> NULL AS INT))      AS n_nullsafe_eq_null,
+               sum(CAST(maybe_status IS DISTINCT FROM 'O' AS INT))
+                                                            AS n_distinct_from_o,
+               count(ifnull(maybe_status, 'missing'))       AS n_filled
+        FROM t
+    """)
+
+
+def safe_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic: division by zero yields NULL (try_divide),
+    never a job failure — the defensive form pipelines need."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH t AS (
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   CAST(l_quantity AS INT) % 5 AS divisor
+            FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber,
+               try_divide(l_extendedprice, divisor) IS NULL AS div_was_null,
+               floor(coalesce(try_divide(l_extendedprice, divisor), -1) * 100
+                     + 0.501e0) / 100e0 AS safe_ratio
+        FROM t ORDER BY l_orderkey, l_linenumber
+    """)
+
+
+def decimal_money_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL aggregation: cast DOUBLE money to DECIMAL(15,2) and
+    sum — decimal arithmetic is exact, so this oracle needs NO rounding
+    canonicalization at all (the one aggregate family where both engines
+    agree bit-for-bit by construction)."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(15, 2)))
+                    AS DECIMAL(18, 2)) AS total_dec,
+               CAST(avg(CAST(o_totalprice AS DECIMAL(15, 2)))
+                    AS DECIMAL(18, 4)) AS avg_dec,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """)
+
+
+def interval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/calendar arithmetic: day and month offsets, month ends,
+    quarter starts."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) + 45              AS plus_45d,
+               add_months(CAST(o_orderdate AS DATE), 3)    AS plus_3m,
+               last_day(CAST(o_orderdate AS DATE))         AS month_end,
+               CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+        FROM orders ORDER BY o_orderkey
+    """)
+
+
 QUERIES = {
     "string_battery": string_battery,
+    "null_semantics_battery": null_semantics_battery,
+    "safe_arithmetic_battery": safe_arithmetic_battery,
+    "decimal_money_totals": decimal_money_totals,
+    "interval_battery": interval_battery,
     "date_battery": date_battery,
     "math_conditional_battery": math_conditional_battery,
     "csv_membership_filter": csv_membership_filter,
 }
 
 ORACLE = {
+    "null_semantics_battery": """
+        WITH t AS (
+            SELECT o_orderkey,
+                   nullif(o_orderstatus, 'P') AS maybe_status,
+                   nullif(o_totalprice, 0.0)  AS price
+            FROM orders
+        )
+        SELECT count(*)                                     AS n_rows,
+               count(maybe_status)                          AS n_nonnull,
+               count(*) - count(maybe_status)               AS n_null,
+               sum(CAST(maybe_status IS NOT DISTINCT FROM NULL AS INT))
+                                                            AS n_nullsafe_eq_null,
+               sum(CAST(maybe_status IS DISTINCT FROM 'O' AS INT))
+                                                            AS n_distinct_from_o,
+               count(ifnull(maybe_status, 'missing'))       AS n_filled
+        FROM t
+    """,
+    "safe_arithmetic_battery": """
+        WITH t AS (
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   CAST(trunc(l_quantity) AS INT) % 5 AS divisor
+            FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber,
+               divisor = 0 AS div_was_null,
+               floor(coalesce(CASE WHEN divisor = 0 THEN NULL
+                              ELSE l_extendedprice / divisor END, -1) * 100
+                     + 0.501e0) / 100e0 AS safe_ratio
+        FROM t ORDER BY l_orderkey, l_linenumber
+    """,
+    "decimal_money_totals": """
+        SELECT o_orderstatus,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(15, 2)))
+                    AS DECIMAL(18, 2)) AS total_dec,
+               CAST(avg(CAST(o_totalprice AS DECIMAL(15, 2)))
+                    AS DECIMAL(18, 4)) AS avg_dec,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "interval_battery": """
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) + 45                   AS plus_45d,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                                                                AS plus_3m,
+               last_day(CAST(o_orderdate AS DATE))              AS month_end,
+               CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+        FROM orders ORDER BY o_orderkey
+    """,
     "string_battery": """
         SELECT c_custkey,
                lower(c_name)                         AS lower_name,
