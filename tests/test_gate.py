@@ -120,3 +120,20 @@ def test_parameterized_sql_positional_binding(spark):
 def test_parameterized_sql_still_gated(spark):
     with pytest.raises(StatementDenied):
         execute_sql(spark, "DELETE FROM t WHERE id = :x", args={"x": 1})
+
+
+def test_binding_resists_injection(spark):
+    """Bound parameters are typed literals, never spliced SQL: an
+    injection-shaped value survives as a plain string and the statement
+    stays a gated Select."""
+    from database_toolbox_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    load_tables(spark, SF_DIR)
+    payload = "x'; DROP TABLE lineitem; --"
+    df = execute_sql(spark, "SELECT :v AS v, length(:v) AS n", args={"v": payload})
+    row = df.collect()[0]
+    assert row.v == payload
+    assert row.n == len(payload)
+    # the table is still there
+    assert execute_sql(spark, "SELECT count(*) AS c FROM lineitem").collect()[0].c > 0
