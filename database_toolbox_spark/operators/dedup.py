@@ -199,6 +199,55 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HAMMING_MAX = 3
+
+
+def _simhash_pairs_sql(tokens_expr: str, x_expr: str, xor_expr) -> str:
+    """SimHash near-dup pairs, scalably: by pigeonhole, Hamming(a,b) ≤ 3
+    over 16 bits means at least one of the four 4-bit bands is equal — so
+    candidates come from an equi-join on (band, nibble), then the exact
+    Hamming distance verifies. xor_expr(a, b) renders bitwise xor (DuckDB's
+    ^ is exponentiation)."""
+    sim = _simhash_sql(tokens_expr, x_expr).strip().removesuffix("ORDER BY doc_id").strip()
+    # reuse the simhash CTE body as a subquery
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"CAST((simhash >> {4 * b}) & 15 AS INT) AS nib FROM sig"
+        for b in range(4)
+    )
+    return f"""
+        WITH sig AS (
+            {sim}
+        ),
+        bands AS (
+            {bands}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                            b.doc_id AS doc_b, b.simhash AS sim_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count({xor_expr("sim_a", "sim_b")}) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count({xor_expr("sim_a", "sim_b")}) <= {HAMMING_MAX}
+        ORDER BY doc_a, doc_b
+    """
+
+
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection: banded candidates + exact Hamming ≤ 3."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _simhash_pairs_sql(
+            "explode(array_distinct(split(text, ' ')))",
+            "CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT)",
+            lambda a, b: f"({a} ^ {b})",
+        )
+    )
+
+
 def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: top-20 most-similar vector pairs within a
     fixed id range (bounded all-pairs for the oracle; the scalable LSH path
@@ -273,6 +322,7 @@ QUERIES = {
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_fingerprints": simhash_fingerprints,
+    "simhash_near_dup_pairs": simhash_near_dup_pairs,
     "embedding_topk_pairs": embedding_topk_pairs,
 }
 
@@ -332,6 +382,11 @@ ORACLE = {
         WHERE m.n_common * 1e0 / (ca.n + cb.n - m.n_common) >= {JACCARD_THRESHOLD}
         ORDER BY m.doc_a, m.doc_b
     """,
+    "simhash_near_dup_pairs": _simhash_pairs_sql(
+        "unnest(list_distinct(string_split(text, ' ')))",
+        "CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER)",
+        lambda a, b: f"xor({a}, {b})",
+    ),
     "simhash_fingerprints": _simhash_sql(
         "unnest(list_distinct(string_split(text, ' ')))",
         "CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER)",
