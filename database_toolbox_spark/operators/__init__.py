@@ -39,6 +39,7 @@ def _modules():
         subqueries,
         text,
         tpch,
+        tpch2,
         udfs,
         windows,
     )
@@ -66,6 +67,7 @@ def _modules():
         subqueries,
         text,
         tpch,
+        tpch2,
         udfs,
         windows,
     ]

@@ -136,3 +136,35 @@ def test_no_collect_in_operator_sources(mod):
     src = inspect.getsource(m)
     assert ".collect()" not in src
     assert ".toPandas()" not in src
+
+
+def test_disjunctive_band_single_scan(spark):
+    """Q19-analog: the OR-of-ANDs must stay one broadcast join over one
+    lineitem scan with pushed filters — no plan-level union of three scans."""
+    from database_toolbox_spark.operators.tpch2 import disjunctive_band_revenue
+
+    df = disjunctive_band_revenue(spark, SF_DIR)
+    f = PlanFeatures.of(df)
+    assert f.pushed_filters and f.broadcast_joins == 1 and not f.cartesian
+    assert _plan(df, "simple").count("FileScan parquet") == 2  # lineitem + part
+
+
+def test_suppliers_kept_waiting_shape(spark):
+    """Q21-analog: EXISTS/NOT EXISTS become semi/anti joins (no driver IN
+    list), top-20 is TakeOrderedAndProject, never a global sort."""
+    from database_toolbox_spark.operators.tpch2 import suppliers_kept_waiting
+
+    df = suppliers_kept_waiting(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    f = PlanFeatures.of(df)
+    assert f.take_ordered and not f.cartesian
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_idle_rich_anti_join(spark):
+    """Q22-analog: NOT EXISTS is a left_anti join; the scalar threshold is a
+    broadcast nested loop over a 1-row aggregate, not a collected literal."""
+    from database_toolbox_spark.operators.tpch2 import idle_rich_customers
+
+    plan = _plan(idle_rich_customers(spark, SF_DIR), "simple")
+    assert "LeftAnti" in plan
