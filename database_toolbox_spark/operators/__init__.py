@@ -29,6 +29,7 @@ def _modules():
         merge_ops,
         multimodal,
         partitioning,
+        partsupp,
         pipeline,
         profile,
         scalars,
@@ -57,6 +58,7 @@ def _modules():
         merge_ops,
         multimodal,
         partitioning,
+        partsupp,
         pipeline,
         profile,
         scalars,
