@@ -25,6 +25,7 @@ def _modules():
         dedup,
         events,
         grouping,
+        ivm,
         joins,
         merge_ops,
         multimodal,
@@ -54,6 +55,7 @@ def _modules():
         dedup,
         events,
         grouping,
+        ivm,
         joins,
         merge_ops,
         multimodal,

@@ -4,6 +4,8 @@ code; these are the extension-tier equivalents of operators/events.py)."""
 
 from database_toolbox_spark.streaming.stream_ops import (  # noqa: F401
     read_events_stream,
+    read_foreach_batch_snapshot,
+    stream_foreach_batch_totals,
     stream_dedup,
     stream_hourly_counts,
     stream_session_windows,

@@ -145,3 +145,53 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_foreach_batch_totals(
+    events: DataFrame, sink_dir: str, checkpoint_dir: str
+):
+    """Exactly-once foreachBatch sink: per-event-type totals upserted into a
+    parquet "table" partitioned by epoch.
+
+    Exactly-once = at-least-once replay × idempotent write: Structured
+    Streaming may re-run an epoch after failure, but each epoch overwrites
+    its own `batch_id=<n>` partition, so replays replace rather than
+    duplicate; the checkpoint ensures a completed epoch is never re-offered
+    after restart. Readers take the latest batch_id per key (update-mode
+    snapshot semantics).
+
+    Returns the DataStreamWriter (caller starts it — tests use
+    trigger(availableNow=True))."""
+
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{sink_dir}/batch_id={batch_id}")
+        )
+
+    return (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_foreach_batch_snapshot(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Snapshot view over the foreachBatch sink: latest batch per key wins
+    (update-mode merge at read time) — window-free via groupBy + max_by-style
+    struct ordering to stay one shuffle."""
+    raw = spark.read.option("basePath", sink_dir).parquet(f"{sink_dir}/batch_id=*")
+    return (
+        raw.groupBy("event_type")
+        .agg(F.max(F.struct("batch_id", "n", "sum_value")).alias("s"))
+        .select("event_type", F.col("s.n").alias("n"), F.col("s.sum_value").alias("sum_value"))
+    )

@@ -92,3 +92,47 @@ def test_stream_stateful_running_totals(spark, stream):
     want = {r.user_id: r.n for r in ev.groupBy("user_id").count()
             .withColumnRenamed("count", "n").collect()}
     assert got == want
+
+
+def test_foreach_batch_exactly_once(spark, stream, tmp_path):
+    """foreachBatch sink: snapshot equals batch truth; restarting from the
+    same checkpoint re-offers nothing (no duplicate epochs, no drift)."""
+    import os
+
+    from database_toolbox_spark.session import load_table
+    from database_toolbox_spark.streaming import (
+        read_events_stream,
+        read_foreach_batch_snapshot,
+        stream_foreach_batch_totals,
+    )
+    from pyspark.sql import functions as F
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_foreach_batch_totals(stream, sink, ckpt).start()
+    q.awaitTermination()
+
+    snap = {
+        r.event_type: (r.n, round(r.sum_value, 6))
+        for r in read_foreach_batch_snapshot(spark, sink).collect()
+    }
+    truth = {
+        r.event_type: (r.n, round(r.sum_value, 6))
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert snap == truth
+
+    batches_before = sorted(os.listdir(sink))
+    # restart from the same checkpoint: availableNow finds nothing new
+    q2 = stream_foreach_batch_totals(
+        read_events_stream(spark, SF_DIR), sink, ckpt
+    ).start()
+    q2.awaitTermination()
+    assert sorted(os.listdir(sink)) == batches_before
+    assert snap == {
+        r.event_type: (r.n, round(r.sum_value, 6))
+        for r in read_foreach_batch_snapshot(spark, sink).collect()
+    }
