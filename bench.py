@@ -28,6 +28,10 @@ HEADLINE = [
     "supplier_top_parts",
     "daily_running_revenue",
     # event-time analytics
+    "suppliers_kept_waiting",
+    "nation_profit",
+    "ivm_monthly_revenue",
+    # event-time analytics
     "hourly_event_windows",
     "user_session_windows",
     "asof_last_click",
