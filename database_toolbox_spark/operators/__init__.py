@@ -36,6 +36,7 @@ def _modules():
         scalars,
         setops,
         similarity,
+        sketches,
         skew,
         stats,
         subqueries,
@@ -66,6 +67,7 @@ def _modules():
         scalars,
         setops,
         similarity,
+        sketches,
         skew,
         stats,
         subqueries,

@@ -1,0 +1,235 @@
+"""Mergeable-sketch aggregates (Apache DataSketches surface in Spark 4.x):
+HLL distinct-count sketches, Theta set-algebra sketches, KLL quantile
+sketches.
+
+The wrapped warehouses all expose sketch aggregates (BigQuery HLL_COUNT.*,
+Redshift/Snowflake APPROX_* — SURVEY.md §2.B approximate aggregates
+[implied]); at 100 TB these are not a nicety but the only way distinct-count
+/ quantile rollups stay one-pass: sketch states are MERGEABLE, so partial
+sketches build per partition (map-side), merge across executors, and
+re-merge across time partitions or dashboards without rescanning history —
+the same partial→final contract as SUM, extended to non-distributive
+statistics.
+
+Cross-engine contract (FIXTURES.md determinism rules): sketch estimates
+legitimately differ per engine, so each query emits the EXACT value (both
+engines compute it identically) plus a CAST(within-tolerance AS INT) flag —
+DuckDB computes its own approx twin where one exists (approx_count_distinct,
+approx_quantile), else asserts the exact-side flag literally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_toolbox_spark.functions import money
+from database_toolbox_spark.operators._oracle import R
+from database_toolbox_spark.session import load_table, load_tables
+
+
+def hll_sketch_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority HLL sketches of ordering customers + a merged ALL row:
+    hll_union_agg over the per-group sketch states must land within 5% of
+    the exact global distinct — the re-aggregatable rollup path (map-side
+    partials → group merge → cross-group merge, history never rescanned)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+    )
+    flag = (
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_customers"))
+            / F.col("exact_customers")
+        )
+        <= 0.05
+    ).cast("int")
+    per_out = per.select(
+        "o_orderpriority", "exact_customers", flag.alias("hll_within_5pct")
+    )
+    exact_all = orders.agg(F.countDistinct("o_custkey").alias("exact_customers"))
+    merged = per.agg(F.hll_union_agg("sk").alias("msk")).crossJoin(
+        F.broadcast(exact_all)
+    )
+    all_out = merged.select(
+        F.lit("ALL").alias("o_orderpriority"),
+        "exact_customers",
+        (
+            (
+                F.abs(F.hll_sketch_estimate("msk") - F.col("exact_customers"))
+                / F.col("exact_customers")
+            )
+            <= 0.05
+        )
+        .cast("int")
+        .alias("hll_within_5pct"),
+    )
+    return per_out.unionByName(all_out).orderBy("o_orderpriority")
+
+
+def theta_set_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches support set ALGEBRA (union/intersection/difference),
+    which plain HLL cannot: distinct clickers ∪/∩/∖ purchasers, each
+    estimate checked within 5% of the exact value. At scale the sketches
+    are built once per source partition and combined without a re-scan."""
+    events = load_tables(spark, sf_dir)["events"]
+    clicks = events.filter(F.col("event_type") == "click")
+    buys = events.filter(F.col("event_type") == "purchase")
+    sk = (
+        clicks.agg(F.theta_sketch_agg("user_id").alias("a"))
+        .crossJoin(buys.agg(F.theta_sketch_agg("user_id").alias("b")))
+    )
+    exact = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .agg(F.countDistinct("user_id").alias("exact_union"))
+        .crossJoin(
+            clicks.select("user_id")
+            .intersect(buys.select("user_id"))
+            .agg(F.count("*").alias("exact_intersection"))
+        )
+        .crossJoin(
+            clicks.select("user_id")
+            .subtract(buys.select("user_id"))
+            .agg(F.count("*").alias("exact_difference"))
+        )
+    )
+
+    def ok(est: Column, exact_col: str) -> Column:
+        # absolute floor of 2 keeps the check division-free (an empty
+        # intersection is a legal outcome) while staying 5% relative above it
+        return (
+            F.abs(est - F.col(exact_col))
+            <= F.greatest(F.lit(2.0), F.col(exact_col) * 0.05)
+        ).cast("int")
+
+    return (
+        sk.crossJoin(F.broadcast(exact))
+        .select(
+            "exact_union",
+            ok(F.theta_sketch_estimate(F.theta_union("a", "b")), "exact_union")
+            .alias("union_within_5pct"),
+            "exact_intersection",
+            ok(
+                F.theta_sketch_estimate(F.theta_intersection("a", "b")),
+                "exact_intersection",
+            ).alias("intersection_within_5pct"),
+            "exact_difference",
+            ok(
+                F.theta_sketch_estimate(F.theta_difference("a", "b")),
+                "exact_difference",
+            ).alias("difference_within_5pct"),
+        )
+    )
+
+
+def kll_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketch of order prices: p50/p90 estimates within 2% of
+    the exact order statistics (deterministic rank pick, tie-broken by key).
+    KLL states merge across partitions — the scalable percentile plan."""
+    load_tables(spark, sf_dir)
+    exact = spark.sql("""
+        WITH ranked AS (
+            SELECT o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+                   count(*) OVER () AS n
+            FROM orders
+        )
+        SELECT max(CASE WHEN rn = CAST(ceil(0.5e0 * n) AS BIGINT)
+                        THEN o_totalprice END) AS exact_p50,
+               max(CASE WHEN rn = CAST(ceil(0.9e0 * n) AS BIGINT)
+                        THEN o_totalprice END) AS exact_p90
+        FROM ranked
+    """)
+    sk = load_table(spark, sf_dir, "orders").agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("sk")
+    )
+
+    def ok(q: float, exact_col: str) -> Column:
+        est = F.kll_sketch_get_quantile_double("sk", F.lit(q))
+        return ((F.abs(est - F.col(exact_col)) / F.col(exact_col)) <= 0.02).cast(
+            "int"
+        )
+
+    return sk.crossJoin(F.broadcast(exact)).select(
+        money(F.col("exact_p50")).alias("exact_p50"),
+        ok(0.5, "exact_p50").alias("p50_within_2pct"),
+        money(F.col("exact_p90")).alias("exact_p90"),
+        ok(0.9, "exact_p90").alias("p90_within_2pct"),
+    )
+
+
+QUERIES = {
+    "hll_sketch_merge_check": hll_sketch_merge_check,
+    "theta_set_ops_check": theta_set_ops_check,
+    "kll_quantile_check": kll_quantile_check,
+}
+
+ORACLE = {
+    # DuckDB computes its own HLL twin (approx_count_distinct) per group and
+    # for the merged ALL row over the full input.
+    "hll_sketch_merge_check": """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS exact_customers,
+               CAST(abs(approx_count_distinct(o_custkey)
+                        - count(DISTINCT o_custkey)) * 1e0
+                    / count(DISTINCT o_custkey) <= 0.05e0 AS INT)
+                   AS hll_within_5pct
+        FROM orders
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'ALL' AS o_orderpriority,
+               count(DISTINCT o_custkey) AS exact_customers,
+               CAST(abs(approx_count_distinct(o_custkey)
+                        - count(DISTINCT o_custkey)) * 1e0
+                    / count(DISTINCT o_custkey) <= 0.05e0 AS INT)
+                   AS hll_within_5pct
+        FROM orders
+        ORDER BY o_orderpriority
+    """,
+    # DuckDB has no theta-sketch twin: exact values computed exactly, flags
+    # asserted literally (the Spark side proves its sketch landed in-bound).
+    "theta_set_ops_check": """
+        WITH a AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'click'),
+             b AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'purchase')
+        SELECT (SELECT count(DISTINCT user_id) FROM events
+                WHERE event_type IN ('click', 'purchase')) AS exact_union,
+               CAST(1 AS INT) AS union_within_5pct,
+               (SELECT count(*) FROM (SELECT user_id FROM a
+                                      INTERSECT SELECT user_id FROM b))
+                   AS exact_intersection,
+               CAST(1 AS INT) AS intersection_within_5pct,
+               (SELECT count(*) FROM (SELECT user_id FROM a
+                                      EXCEPT SELECT user_id FROM b))
+                   AS exact_difference,
+               CAST(1 AS INT) AS difference_within_5pct
+    """,
+    # DuckDB twin: approx_quantile (t-digest-ish) within the same 2%.
+    "kll_quantile_check": f"""
+        WITH ranked AS (
+            SELECT o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+                   count(*) OVER () AS n
+            FROM orders
+        ),
+        exact AS (
+            SELECT max(CASE WHEN rn = CAST(ceil(0.5e0 * n) AS BIGINT)
+                            THEN o_totalprice END) AS e50,
+                   max(CASE WHEN rn = CAST(ceil(0.9e0 * n) AS BIGINT)
+                            THEN o_totalprice END) AS e90
+            FROM ranked
+        ),
+        approx AS (
+            SELECT approx_quantile(o_totalprice, CAST(0.5 AS FLOAT)) AS a50,
+                   approx_quantile(o_totalprice, CAST(0.9 AS FLOAT)) AS a90
+            FROM orders
+        )
+        SELECT {R("e50")} AS exact_p50,
+               CAST(abs(a50 - e50) / e50 <= 0.02e0 AS INT) AS p50_within_2pct,
+               {R("e90")} AS exact_p90,
+               CAST(abs(a90 - e90) / e90 <= 0.02e0 AS INT) AS p90_within_2pct
+        FROM exact, approx
+    """,
+}
