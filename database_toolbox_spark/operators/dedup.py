@@ -315,8 +315,35 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _fuzzy_pairs_sql(noun_expr: str) -> str:
+    """Blocked fuzzy matching (entity-resolution shape): block on a cheap
+    equi-join key (the noun token), verify candidates with edit distance —
+    never an all-pairs cross join. noun_expr differs per dialect (Spark
+    split() is 0-indexed, DuckDB string_split 1-indexed)."""
+    return f"""
+        WITH names AS (
+            SELECT p_name, {noun_expr} AS noun, count(*) AS n
+            FROM part GROUP BY p_name, {noun_expr}
+        )
+        SELECT a.noun AS block_token, a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+               a.n * b.n AS n_pairs
+        FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+        ORDER BY block_token, name_a, name_b
+    """
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy duplicate names: token-blocked candidates + levenshtein ≤ 2
+    verify, with the count of part pairs each name pair collapses."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_fuzzy_pairs_sql("split(p_name, ' ')[1]"))
+
+
 QUERIES = {
     "exact_dup_summary": exact_dup_summary,
+    "fuzzy_name_pairs": fuzzy_name_pairs,
     "dup_clusters": dup_clusters,
     "minhash_signatures": minhash_signatures,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
@@ -358,6 +385,7 @@ ORACLE = {
                count(*) - count(DISTINCT md5(text))  AS n_dup_docs
         FROM documents
     """,
+    "fuzzy_name_pairs": _fuzzy_pairs_sql("string_split(p_name, ' ')[2]"),
     "minhash_signatures": f"""
         {_DUCK_SHINGLES}
         SELECT doc_id, {_minhash_cols()}

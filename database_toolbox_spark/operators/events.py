@@ -170,8 +170,105 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+_FUNNEL_SQL = """
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t_buy
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_viewed,
+               (SELECT count(*) FROM c) AS n_clicked,
+               (SELECT count(*) FROM p) AS n_purchased,
+               floor((SELECT count(*) FROM c) * 1e0
+                     / (SELECT count(*) FROM v) * 10000 + 0.501e0) / 10000e0
+                   AS click_rate,
+               floor((SELECT count(*) FROM p) * 1e0
+                     / (SELECT count(*) FROM c) * 10000 + 0.501e0) / 10000e0
+                   AS purchase_rate
+"""
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-stage funnel (view → click after → purchase after): each
+    stage is an aggregate-then-join on user_id (one shuffle per stage, no
+    per-user re-scan) — the sequence-matching shape warehouses run for
+    conversion analysis. Identical SQL on both engines."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_FUNNEL_SQL)
+
+
+def interpolated_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly avg(value) with gaps filled by LINEAR INTERPOLATION between
+    the neighboring present hours (time-weighted), edges clamped — the
+    time-series densification step before ML featurization. Forward/backward
+    non-null propagation via last()/first() IGNORE NULLS window frames; the
+    spine join keeps it one pass over the data."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql("""
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT explode(sequence(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+            FROM bounds
+        ),
+        actual AS (
+            SELECT date_trunc('hour', ts) AS hour_start, avg(value) AS v
+            FROM events GROUP BY 1
+        ),
+        joined AS (
+            SELECT s.hour_start, a.v,
+                   unix_timestamp(s.hour_start) AS h
+            FROM spine s LEFT JOIN actual a ON s.hour_start = a.hour_start
+        ),
+        ctx AS (
+            SELECT hour_start, v, h,
+                   last(v, true)  OVER (ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS pv,
+                   last(CASE WHEN v IS NOT NULL THEN h END, true)
+                       OVER (ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS ph,
+                   first(v, true) OVER (ORDER BY h
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS nv,
+                   first(CASE WHEN v IS NOT NULL THEN h END, true)
+                       OVER (ORDER BY h
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS nh
+            FROM joined
+        )
+        SELECT hour_start,
+               floor((CASE
+                   WHEN v IS NOT NULL THEN v
+                   WHEN pv IS NULL THEN nv
+                   WHEN nv IS NULL THEN pv
+                   ELSE pv + (nv - pv) * (h - ph) * 1e0 / (nh - ph)
+               END) * 10000 + 0.501e0) / 10000e0 AS value_interp,
+               CAST(v IS NULL AS INT) AS was_gap
+        FROM ctx
+        ORDER BY hour_start
+    """)
+
+
 QUERIES = {
     "event_json_stats": event_json_stats,
+    "funnel_conversion": funnel_conversion,
+    "interpolated_hourly_values": interpolated_hourly_values,
     "gapfilled_hourly_counts": gapfilled_hourly_counts,
     "cumulative_unique_users": cumulative_unique_users,
     "cohort_retention": cohort_retention,
@@ -182,6 +279,55 @@ QUERIES = {
 }
 
 ORACLE = {
+    "funnel_conversion": _FUNNEL_SQL,
+    "interpolated_hourly_values": """
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+            FROM bounds
+        ),
+        actual AS (
+            SELECT date_trunc('hour', ts) AS hour_start, avg(value) AS v
+            FROM events GROUP BY 1
+        ),
+        joined AS (
+            SELECT s.hour_start, a.v,
+                   epoch(s.hour_start) AS h
+            FROM spine s LEFT JOIN actual a ON s.hour_start = a.hour_start
+        ),
+        ctx AS (
+            SELECT hour_start, v, h,
+                   last_value(v IGNORE NULLS) OVER (ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                       OVER (ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS ph,
+                   first_value(v IGNORE NULLS) OVER (ORDER BY h
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                       OVER (ORDER BY h
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS nh
+            FROM joined
+        )
+        SELECT hour_start,
+               floor((CASE
+                   WHEN v IS NOT NULL THEN v
+                   WHEN pv IS NULL THEN nv
+                   WHEN nv IS NULL THEN pv
+                   ELSE pv + (nv - pv) * (h - ph) * 1e0 / (nh - ph)
+               END) * 10000 + 0.501e0) / 10000e0 AS value_interp,
+               CAST(v IS NULL AS INT) AS was_gap
+        FROM ctx
+        ORDER BY hour_start
+    """,
     "gapfilled_hourly_counts": """
         WITH bounds AS (
             SELECT date_trunc('hour', min(ts)) AS lo,

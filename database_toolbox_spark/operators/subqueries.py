@@ -81,12 +81,36 @@ def busy_months_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+_LATERAL_SQL = """
+        SELECT n.n_name, x.c_custkey, x.c_name, x.bal
+        FROM nation n, LATERAL (
+            SELECT c_custkey, c_name,
+                   floor(c_acctbal * 100 + 0.501e0) / 100e0 AS bal
+            FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 3
+        ) x
+        ORDER BY n.n_name, x.bal DESC, x.c_custkey
+"""
+
+
+def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT: top-3
+    customers by balance per nation. Catalyst decorrelates the lateral into
+    a ranked join (no per-row re-scan); identical SQL runs on both engines
+    (SURVEY.md §2.B subqueries [implied])."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
 QUERIES = {
     "above_avg_orders": above_avg_orders,
     "above_nation_avg_customers": above_nation_avg_customers,
     "urgent_order_customers_in": urgent_order_customers_in,
     "no_cheap_order_customers": no_cheap_order_customers,
     "busy_months_having": busy_months_having,
+    "lateral_top_customers": lateral_top_customers,
 }
 
 ORACLE = {
@@ -128,4 +152,6 @@ ORACLE = {
         HAVING count(*) > 150
         ORDER BY ym
     """,
+    # identical dialect-neutral SQL on both engines
+    "lateral_top_customers": _LATERAL_SQL,
 }
