@@ -84,6 +84,39 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _stratified_sql(bucket_expr: str) -> str:
+    """Deterministic stratified sampling: per-stratum rates, membership by
+    md5-hash bucket of the key (order-independent, reproducible across
+    engines/epochs/partitions — the 100 TB training-mix idiom; rand()/
+    TABLESAMPLE are neither stable nor cross-engine). bucket_expr renders
+    the 0-99 hash bucket per dialect."""
+    return f"""
+        WITH rates(seg, rate_pct) AS (VALUES
+            ('AUTOMOBILE', 5), ('BUILDING', 10), ('FURNITURE', 20),
+            ('HOUSEHOLD', 50), ('MACHINERY', 100)
+        )
+        SELECT c.c_mktsegment,
+               r.rate_pct,
+               count(*) AS n_total,
+               sum(CASE WHEN {bucket_expr} < r.rate_pct THEN 1 ELSE 0 END)
+                   AS n_sampled
+        FROM customer c JOIN rates r ON c.c_mktsegment = r.seg
+        GROUP BY c.c_mktsegment, r.rate_pct
+        ORDER BY c.c_mktsegment
+    """
+
+
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling by md5-bucket with per-segment
+    rates — both engines select the IDENTICAL row set (exact-count oracle,
+    no tolerance needed)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_stratified_sql(
+        "CAST(conv(substring(md5(CAST(c.c_custkey AS STRING)), 1, 4), 16, 10)"
+        " AS INT) % 100"
+    ))
+
+
 def profile_table(spark: SparkSession, table: str) -> DataFrame:
     """Generic registry tool: profile any registered table/view (one UNION
     branch per column from the catalog schema)."""
@@ -104,6 +137,7 @@ def profile_table(spark: SparkSession, table: str) -> DataFrame:
 QUERIES = {
     "orders_profile": orders_profile,
     "systematic_sample_stats": systematic_sample_stats,
+    "stratified_sample_counts": stratified_sample_counts,
     "price_quantiles": price_quantiles,
     "price_histogram": price_histogram,
 }
@@ -135,6 +169,10 @@ ORACLE = {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """,
+    "stratified_sample_counts": _stratified_sql(
+        "CAST(concat('0x', substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 4))"
+        " AS INTEGER) % 100"
+    ),
     "price_quantiles": f"""
         SELECT c.c_mktsegment,
                {R("quantile_cont(o.o_totalprice, 0.25)", 4)} AS p25,

@@ -195,3 +195,36 @@ def read_foreach_batch_snapshot(spark: SparkSession, sink_dir: str) -> DataFrame
         .agg(F.max(F.struct("batch_id", "n", "sum_value")).alias("s"))
         .select("event_type", F.col("s.n").alias("n"), F.col("s.sum_value").alias("sum_value"))
     )
+
+
+def stream_view_click_join(events: DataFrame) -> DataFrame:
+    """Stream-stream self-join: clicks matched to the same user's views
+    within the preceding 10 minutes — event-time range join with watermarks
+    on BOTH sides so join state expires (bounded state, the only shape that
+    survives an unbounded stream)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", "30 minutes")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    return clicks.join(
+        views,
+        F.expr(
+            "c_user = v_user AND click_ts > view_ts "
+            "AND click_ts <= view_ts + INTERVAL 10 MINUTES"
+        ),
+        "inner",
+    ).select("c_user", "view_id", "click_id", "view_ts", "click_ts")

@@ -168,3 +168,32 @@ def test_idle_rich_anti_join(spark):
 
     plan = _plan(idle_rich_customers(spark, SF_DIR), "simple")
     assert "LeftAnti" in plan
+
+
+def test_partsupp_derivation_no_shuffle(spark):
+    """The derived partsupp must stream out of the part scan: md5 in
+    codegen, broadcast cross joins for the 4-row quad and 1-row count —
+    no exchange before the dimension is consumed."""
+    from database_toolbox_spark.operators.partsupp import derived_partsupp
+
+    plan = _plan(derived_partsupp(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_ivm_merge_is_two_level_agg(spark):
+    """IVM merge = union of partial states + re-aggregation; both branches
+    keep map-side partial aggregation (HashAggregate before the exchange)."""
+    from database_toolbox_spark.operators.ivm import ivm_monthly_revenue
+
+    f = PlanFeatures.of(ivm_monthly_revenue(spark, SF_DIR))
+    assert f.partial_aggregation and f.pushed_filters
+
+
+def test_stratified_sample_single_scan(spark):
+    """Stratified sampling is one scan + broadcast of the rates list — the
+    hash-bucket predicate must not force a second pass."""
+    from database_toolbox_spark.operators.profile import stratified_sample_counts
+
+    plan = _plan(stratified_sample_counts(spark, SF_DIR), "simple")
+    assert plan.count("FileScan parquet") == 1

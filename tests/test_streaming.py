@@ -136,3 +136,40 @@ def test_foreach_batch_exactly_once(spark, stream, tmp_path):
         r.event_type: (r.n, round(r.sum_value, 6))
         for r in read_foreach_batch_snapshot(spark, sink).collect()
     }
+
+
+def test_stream_stream_join_matches_batch(spark, stream):
+    """Stream-stream event-time range join (watermarked both sides) must
+    produce exactly the batch join's matches."""
+    from database_toolbox_spark.session import load_table
+    from database_toolbox_spark.streaming import stream_view_click_join
+    from pyspark.sql import functions as F
+
+    _run_to_memory(stream_view_click_join(stream), "ssj_out", "append")
+    got = {
+        (r.c_user, r.view_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+
+    ev = load_table(spark, SF_DIR, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    want = {
+        (r.c_user, r.view_id, r.click_id)
+        for r in clicks.join(
+            views,
+            F.expr(
+                "c_user = v_user AND click_ts > view_ts "
+                "AND click_ts <= view_ts + INTERVAL 10 MINUTES"
+            ),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
