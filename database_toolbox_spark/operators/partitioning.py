@@ -78,12 +78,81 @@ def dynamic_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_expr(x: str, y: str, bits: int = 16) -> str:
+    """Morton/Z-order interleave of two {bits}-bit coordinates — plain
+    shifts/ANDs, bit-identical in Spark SQL and DuckDB (no engine ^/xor,
+    which DuckDB parses as exponentiation)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _zorder_sql(day_expr: str) -> str:
+    """day_expr = days since 1995-01-01 (datediff argument order differs per
+    dialect). Coordinates are min/max-normalized to 8 bits (the standard
+    Z-order prep — raw keys occupy only low bits and would collapse the
+    curve), giving a 16-bit z and 64 prefix buckets."""
+    return f"""
+        WITH raw AS (
+            SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+                   CAST({day_expr} AS BIGINT) AS d
+            FROM orders
+        ),
+        bounds AS (
+            SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+                   min(d) AS dmin, max(d) AS dmax
+            FROM raw
+        ),
+        coords AS (
+            SELECT o_custkey, od,
+                   CAST(floor((o_custkey - cmin) * 256e0 / (cmax - cmin + 1))
+                        AS BIGINT) AS x,
+                   CAST(floor((d - dmin) * 256e0 / (dmax - dmin + 1))
+                        AS BIGINT) AS y
+            FROM raw, bounds
+        ),
+        z AS (
+            SELECT ({_zorder_expr("x", "y", bits=8)}) AS zval, o_custkey, od
+            FROM coords
+        )
+        SELECT CAST(zval >> 10 AS BIGINT) AS z_bucket,
+               count(*) AS n_rows,
+               min(o_custkey) AS min_custkey, max(o_custkey) AS max_custkey,
+               min(od) AS min_date, max(od) AS max_date
+        FROM z
+        GROUP BY CAST(zval >> 10 AS BIGINT)
+        ORDER BY z_bucket
+    """
+
+
+def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout: interleave customer-key and order-day bits,
+    bucket by z-prefix, report per-bucket min/max of BOTH dimensions.
+
+    The 100 TB point: sorting/range-partitioning files by zval makes each
+    file's (custkey, date) min/max stats tight in both dimensions at once,
+    so scans filtered on EITHER column skip most files — one layout serves
+    two predicate families (single-column sort serves only one). The
+    per-bucket bounds this query emits are exactly the file-skipping stats
+    a lakehouse keeps; the SQL is shared up to the datediff spelling."""
+    load_table(spark, sf_dir, "orders")
+    return spark.sql(_zorder_sql(
+        "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')"
+    ))
+
+
 QUERIES = {
     "partition_pruned_totals": partition_pruned_totals,
     "dynamic_pruned_join": dynamic_pruned_join,
+    "zorder_bucket_stats": zorder_bucket_stats,
 }
 
 ORACLE = {
+    "zorder_bucket_stats": _zorder_sql(
+        "datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
+    ),
     "partition_pruned_totals": f"""
         SELECT o_orderpriority,
                count(*) AS n_orders,

@@ -55,8 +55,18 @@ def rich_non_building_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rich.exceptAll(building).orderBy("c_custkey")
 
 
+def repeat_customer_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset): each customer appears min(n_1996, n_1997)
+    times — the bag semantics UNION ALL/EXCEPT ALL complete."""
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.intersectAll(y97).orderBy("o_custkey")
+
+
 QUERIES = {
     "priority_order_union_all": priority_order_union_all,
+    "repeat_customer_intersect_all": repeat_customer_intersect_all,
     "active_nation_union": active_nation_union,
     "dual_presence_intersect": dual_presence_intersect,
     "rich_non_building_except": rich_non_building_except,
@@ -70,6 +80,12 @@ ORACLE = {
         SELECT o_orderkey, 'high' AS src, {R("o_totalprice")} AS price
         FROM orders WHERE o_orderpriority = '2-HIGH'
         ORDER BY o_orderkey, src
+    """,
+    "repeat_customer_intersect_all": """
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        ORDER BY o_custkey
     """,
     "active_nation_union": """
         SELECT c_nationkey AS nationkey FROM customer

@@ -148,3 +148,19 @@ def test_simhash_near_dup_recall(spark):
     sim = {(r.doc_a, r.doc_b) for r in simhash_near_dup_pairs(spark, SF_DIR).collect()}
     recall = len(truth & sim) / max(len(truth), 1)
     assert recall >= 0.8, f"simhash recall degraded: {recall} ({len(sim)} pairs)"
+
+
+def test_zorder_locality_both_dimensions(spark):
+    """Z-order buckets must be local in BOTH dimensions at once (~1/8 of
+    the global span each with 3 prefix bits per dim) — the property that
+    makes min/max file skipping work for either predicate column."""
+    from database_toolbox_spark.operators.partitioning import zorder_bucket_stats
+
+    rows = zorder_bucket_stats(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    ckey_spans = [r.max_custkey - r.min_custkey for r in rows]
+    day_spans = [(r.max_date - r.min_date).days for r in rows]
+    g_ckey = max(r.max_custkey for r in rows) - min(r.min_custkey for r in rows)
+    g_day = (max(r.max_date for r in rows) - min(r.min_date for r in rows)).days
+    assert sum(ckey_spans) / len(rows) < g_ckey / 4
+    assert sum(day_spans) / len(rows) < g_day / 4
