@@ -24,6 +24,7 @@ def _modules():
         clustering,
         dedup,
         events,
+        graph,
         grouping,
         ivm,
         joins,
@@ -55,6 +56,7 @@ def _modules():
         clustering,
         dedup,
         events,
+        graph,
         grouping,
         ivm,
         joins,

@@ -265,9 +265,36 @@ def interpolated_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+_TRENDING_SQL = """
+        WITH weekly AS (
+            SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT wk, event_type, n,
+                   CAST(row_number() OVER (PARTITION BY wk
+                        ORDER BY n DESC, event_type) AS INT) AS pos
+            FROM weekly
+        )
+        SELECT wk, pos, event_type, n
+        FROM ranked WHERE pos <= 3
+        ORDER BY wk, pos
+"""
+
+
+def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly trending top-3 event types — windowed heavy-hitters, ranked
+    within each period partition (scales: the rank window partitions by
+    week, never a global sort). Identical SQL on both engines."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_TRENDING_SQL)
+
+
 QUERIES = {
     "event_json_stats": event_json_stats,
     "funnel_conversion": funnel_conversion,
+    "trending_event_types": trending_event_types,
     "interpolated_hourly_values": interpolated_hourly_values,
     "gapfilled_hourly_counts": gapfilled_hourly_counts,
     "cumulative_unique_users": cumulative_unique_users,
@@ -280,6 +307,7 @@ QUERIES = {
 
 ORACLE = {
     "funnel_conversion": _FUNNEL_SQL,
+    "trending_event_types": _TRENDING_SQL,
     "interpolated_hourly_values": """
         WITH bounds AS (
             SELECT date_trunc('hour', min(ts)) AS lo,

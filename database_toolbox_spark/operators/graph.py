@@ -1,0 +1,148 @@
+"""Graph analytics over the star schema: weighted PageRank by distributed
+power iteration.
+
+Complements clustering.py (iterative k-means) and dedup.dup_clusters
+(connected components) in the iterative-algorithm tier: each iteration is
+edges ⋈ ranks → groupBy(dst) → re-join — pure DataFrame ops, one shuffle per
+iteration on the edge key, no driver-side graph (SURVEY.md §7 extension
+tier).
+
+Graph: undirected bipartite supplier↔customer, edge weight = number of
+lineitems shipped (supplier side) on the customer's orders. Undirected (both
+edge directions materialized) so every node has out-degree — no dangling-mass
+correction needed and the oracle stays pure SQL.
+
+Scale notes (100 TB design): the edge list is the fact-table aggregation
+(one shuffle), then each of the K iterations shuffles rank mass on src —
+the classic Pregel-as-joins plan. Ranks stay (node, double) — memory per
+executor is O(|V|/partitions); the iteration count is fixed (K=3), so the
+lineage stays shallow and AQE re-plans each join with fresh statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from database_toolbox_spark.session import load_tables
+
+DAMPING = 0.85
+ITERATIONS = 3
+
+
+def _edges(spark: SparkSession) -> DataFrame:
+    """Undirected weighted bipartite edges: s<k> ↔ c<k>, weight = lineitem
+    count between supplier and ordering customer."""
+    li = spark.table("lineitem")
+    orders = spark.table("orders")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    return base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+
+
+def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by weighted PageRank after 3 power iterations
+    (damping 0.85, uniform init) — canon-rounded to 6 digits so both
+    engines' float sums hash-match."""
+    load_tables(spark, sf_dir)
+    edges = _edges(spark).cache()
+    nodes = edges.select("src").distinct()
+    n_nodes = nodes.count()  # scalar graph size: drives the teleport term
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    norm = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("wout")).alias("p")
+    )
+    ranks = nodes.select("src", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(ITERATIONS):
+        contrib = (
+            norm.join(ranks, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("p")).alias("mass"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("src"),
+            (F.lit((1 - DAMPING) / n_nodes) + DAMPING * F.col("mass")).alias("r"),
+        )
+    top = (
+        ranks.select(
+            F.col("src").alias("node"),
+            (F.floor(F.col("r") * 1e6 + F.lit(0.501)) / F.lit(1e6)).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )
+    w = F.row_number().over(Window.orderBy(F.col("rank").desc(), "node"))
+    return top.withColumn("rnk", w)
+
+
+def _pagerank_oracle() -> str:
+    """3 unrolled power iterations as CTEs — identical math to the Spark
+    loop (uniform init, per-src normalized weights, teleport each step)."""
+    # exponent literals so DuckDB parses DOUBLE (a bare 0.85 is DECIMAL);
+    # the teleport numerator is the Python-computed 1-DAMPING double so both
+    # engines divide the identical operand
+    d = f"{DAMPING!r}e0"
+    tf = f"{(1 - DAMPING)!r}e0"
+    its = []
+    prev = "r0"
+    for k in range(1, ITERATIONS + 1):
+        its.append(f"""
+        r{k} AS (
+            SELECT e.dst AS node,
+                   {tf} / (SELECT n FROM nn)
+                   + {d} * sum(r.r * e.p) AS r
+            FROM norm e JOIN {prev} r ON e.src = r.node
+            GROUP BY e.dst
+        )""")
+        prev = f"r{k}"
+    return f"""
+        WITH base AS (
+            SELECT concat('s', CAST(l.l_suppkey AS VARCHAR)) AS src,
+                   concat('c', CAST(o.o_custkey AS VARCHAR)) AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT src, dst, w FROM base
+            UNION ALL
+            SELECT dst AS src, src AS dst, w FROM base
+        ),
+        nn AS (SELECT count(DISTINCT src) AS n FROM edges),
+        out_w AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+        norm AS (
+            SELECT e.src, e.dst, e.w / o.wout AS p
+            FROM edges e JOIN out_w o ON e.src = o.src
+        ),
+        r0 AS (
+            SELECT src AS node, 1e0 / (SELECT n FROM nn) AS r
+            FROM (SELECT DISTINCT src FROM edges)
+        ),{",".join(its)},
+        top AS (
+            SELECT node, floor(r * 1e6 + 0.501e0) / 1e6 AS rank
+            FROM {prev}
+            ORDER BY rank DESC, node
+            LIMIT 20
+        )
+        SELECT node, rank,
+               CAST(row_number() OVER (ORDER BY rank DESC, node) AS INT) AS rnk
+        FROM top
+        ORDER BY rank DESC, node
+    """
+
+
+QUERIES = {
+    "pagerank_top_nodes": pagerank_top_nodes,
+}
+
+ORACLE = {
+    "pagerank_top_nodes": _pagerank_oracle(),
+}

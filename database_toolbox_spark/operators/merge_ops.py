@@ -54,9 +54,66 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"merge_upsert_orders": merge_upsert_orders}
+def _diff_sql(bucket_expr: str) -> str:
+    """CDC-style snapshot diff: old = buckets 0-89, new = buckets 10-99
+    with prices bumped in buckets 40-49 — full outer join on the key,
+    rows classified added/removed/changed/unchanged. bucket_expr renders
+    the deterministic 0-99 md5 bucket per dialect (rand() would neither
+    reproduce nor cross-check)."""
+    return f"""
+        WITH bucketed AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   {bucket_expr} AS b
+            FROM orders
+        ),
+        old AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM bucketed WHERE b < 90
+        ),
+        new AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN b BETWEEN 40 AND 49
+                        THEN o_totalprice + 100e0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM bucketed WHERE b >= 10
+        )
+        SELECT CASE
+                   WHEN o.o_orderkey IS NULL THEN 'added'
+                   WHEN n.o_orderkey IS NULL THEN 'removed'
+                   WHEN o.o_totalprice <> n.o_totalprice
+                     OR o.o_orderstatus <> n.o_orderstatus THEN 'changed'
+                   ELSE 'unchanged'
+               END AS change_type,
+               count(*) AS n_rows
+        FROM old o
+        FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        GROUP BY 1
+        ORDER BY change_type
+    """
+
+
+def dataset_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / drift check between two dataset versions — the CDC
+    companion to MERGE: full outer join on the key, per-row change
+    classification, counts by change type. At scale both sides hash-
+    partition on the key (one shuffle each); no row leaves the cluster."""
+    load_table(spark, sf_dir, "orders")
+    return spark.sql(_diff_sql(
+        "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 4), 16, 10)"
+        " AS INT) % 100"
+    ))
+
+
+QUERIES = {
+    "merge_upsert_orders": merge_upsert_orders,
+    "dataset_diff_summary": dataset_diff_summary,
+}
 
 ORACLE = {
+    "dataset_diff_summary": _diff_sql(
+        "CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))"
+        " AS INTEGER) % 100"
+    ),
     "merge_upsert_orders": f"""
         WITH target AS (
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
