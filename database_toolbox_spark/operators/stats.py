@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from database_toolbox_spark.functions import canon_round
 from database_toolbox_spark.operators._oracle import R
-from database_toolbox_spark.session import load_table
+from database_toolbox_spark.session import load_table, load_tables
 
 
 def segment_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,12 +54,49 @@ def nation_customer_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TREND_SQL = """
+        WITH monthly AS (
+            SELECT c.c_mktsegment,
+                   (year(o.o_orderdate) - 1995) * 12
+                   + month(o.o_orderdate) - 1 AS m_idx,
+                   floor(sum(o.o_totalprice) * 100 + 0.501e0) / 100e0 AS rev
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment,
+                     (year(o.o_orderdate) - 1995) * 12
+                     + month(o.o_orderdate) - 1
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_months,
+               floor(regr_slope(rev, m_idx) * 10000 + 0.501e0) / 10000e0
+                   AS slope,
+               floor((regr_intercept(rev, m_idx)
+                      + regr_slope(rev, m_idx) * (max(m_idx) + 1))
+                     * 100 + 0.501e0) / 100e0 AS next_month_forecast
+        FROM monthly
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+"""
+
+
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment linear revenue trend + next-month forecast via the SQL
+    regression aggregates (regr_slope/regr_intercept) — closed-form OLS as
+    a one-pass distributed aggregate (covariance/variance partials merge
+    like any algebraic aggregate; no iterative fitting, no driver math).
+    Monthly inputs are canon-rounded first so both engines regress on
+    identical doubles; identical SQL on both engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_TREND_SQL)
+
+
 QUERIES = {
+    "monthly_revenue_trend": monthly_revenue_trend,
     "segment_stats_battery": segment_stats_battery,
     "nation_customer_lists": nation_customer_lists,
 }
 
 ORACLE = {
+    "monthly_revenue_trend": _TREND_SQL,
     "segment_stats_battery": f"""
         SELECT c.c_mktsegment,
                {R("stddev_samp(o.o_totalprice)", 4)}              AS sd_price,

@@ -9,6 +9,7 @@ mirroring images/snowflake-mcp/entrypoint.sh:216-224).
 """
 
 from database_toolbox_spark.sources.readers import (  # noqa: F401
+    compact_parquet,
     jdbc_available,
     read_csv,
     read_json,

@@ -110,3 +110,33 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a small-files parquet directory into ~target-sized files.
+
+    The 100 TB operational chore: streaming sinks and over-partitioned
+    writes leave thousands of KB-scale files whose per-file open/footer cost
+    dominates scans. Size the output file count from the ACTUAL on-disk
+    bytes (not row counts — compression varies), then rewrite with a single
+    round-robin repartition. Returns the output file count."""
+    import glob
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(src_dir, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    # repartition (not coalesce): coalesce would collapse the scan's
+    # parallelism upstream; repartition keeps the read wide and only
+    # narrows at the write
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_dir)
+    return n_files

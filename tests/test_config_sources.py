@@ -74,3 +74,23 @@ def test_write_parquet_partitioned(spark, tmp_path):
     )
     back = spark.read.parquet(out)
     assert back.count() == src.count()
+
+
+def test_compact_small_files(spark, tmp_path):
+    """compact_parquet must collapse a many-small-files directory into the
+    computed target count without losing or duplicating rows."""
+    from database_toolbox_spark.sources import compact_parquet
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compact")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    df.repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    n = compact_parquet(spark, src, dst, target_file_bytes=10**9)
+    assert n == 1
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.agg({"k": "sum"}).collect()[0][0] == 10_000 * 9_999 // 2

@@ -197,3 +197,17 @@ def test_stratified_sample_single_scan(spark):
 
     plan = _plan(stratified_sample_counts(spark, SF_DIR), "simple")
     assert plan.count("FileScan parquet") == 1
+
+
+def test_join_strategy_hints_honored(spark):
+    """Join strategy hints must reach the physical plan: shuffle_hash →
+    ShuffledHashJoin (beats SMJ when one side is much smaller but over the
+    broadcast threshold), merge → SortMergeJoin."""
+    from database_toolbox_spark.session import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+    sh = orders.join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
+    assert "ShuffledHashJoin" in _plan(sh, "simple")
+    sm = orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+    assert "SortMergeJoin" in _plan(sm, "simple")
