@@ -263,8 +263,51 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) top-k: embeddings quantized SYMMETRICALLY to
+    [-127, 127] (shifted quantization would let the offset term dominate the
+    dot product and rank by vector sum), ranked by INTEGER dot product with
+    the quantized query — on unit-norm embeddings integer dot tracks cosine.
+
+    The 100 TB memory lever: 4× smaller vectors than float32 (32× vs the
+    doubles Spark would otherwise widen to), integer SIMD-friendly scoring,
+    and — here — EXACT cross-engine reproducibility: quantization uses the
+    canon floor(+0.501) grid and all scoring is integer arithmetic, so the
+    oracle matches bit-for-bit with no tolerance flag. Recall vs the exact
+    float ranking is gated in tests/test_quality.py."""
+    load_tables(spark, sf_dir)
+    q8 = (
+        "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)"
+        " * 127e0 / amax + 0.501e0) AS BIGINT))"
+    )
+    return spark.sql(f"""
+        WITH bounds AS (
+            SELECT greatest(abs(min(array_min(embedding))),
+                            abs(max(array_max(embedding)))) AS amax
+            FROM embeddings
+        ),
+        quant AS (
+            SELECT vec_id, label, {q8} AS qv
+            FROM embeddings, bounds
+        ),
+        q AS (SELECT qv AS query_qv FROM quant WHERE vec_id = {QUERY_VEC_ID}),
+        scored AS (
+            SELECT e.vec_id, e.label,
+                   aggregate(zip_with(e.qv, q.query_qv, (x, y) -> x * y),
+                             CAST(0 AS BIGINT), (acc, x) -> acc + x) AS qdot
+            FROM quant e CROSS JOIN q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+        )
+        SELECT vec_id, label, qdot
+        FROM scored
+        ORDER BY qdot DESC, vec_id
+        LIMIT {TOP_K}
+    """)
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
+    "sq8_ann_topk": sq8_ann_topk,
     "lsh_bucket_histogram": lsh_bucket_histogram,
     "lsh_ann_topk": lsh_ann_topk,
     "ivf_cell_assignments": ivf_cell_assignments,
@@ -282,7 +325,35 @@ _DUCK_D2 = (
     "* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))), 'sum')"
 )
 
+_DUCK_Q8 = (
+    "list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)"
+    " * 127e0 / amax + 0.501e0) AS BIGINT))"
+)
+
 ORACLE = {
+    "sq8_ann_topk": f"""
+        WITH bounds AS (
+            SELECT greatest(abs(min(list_aggregate(embedding, 'min'))),
+                            abs(max(list_aggregate(embedding, 'max')))) AS amax
+            FROM embeddings
+        ),
+        quant AS (
+            SELECT vec_id, label, {_DUCK_Q8} AS qv
+            FROM embeddings, bounds
+        ),
+        q AS (SELECT qv AS query_qv FROM quant WHERE vec_id = {QUERY_VEC_ID}),
+        scored AS (
+            SELECT e.vec_id, e.label,
+                   list_aggregate(list_transform(range(1, len(e.qv) + 1),
+                       i -> e.qv[i] * q.query_qv[i]), 'sum') AS qdot
+            FROM quant e CROSS JOIN q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+        )
+        SELECT vec_id, label, qdot
+        FROM scored
+        ORDER BY qdot DESC, vec_id
+        LIMIT {TOP_K}
+    """,
     "cosine_topk": f"""
         WITH q AS (
             SELECT embedding AS qv, {_DUCK_NORM2} AS qnorm2

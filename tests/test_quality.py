@@ -164,3 +164,18 @@ def test_zorder_locality_both_dimensions(spark):
     g_day = (max(r.max_date for r in rows) - min(r.min_date for r in rows)).days
     assert sum(ckey_spans) / len(rows) < g_ckey / 4
     assert sum(day_spans) / len(rows) < g_day / 4
+
+
+def test_sq8_recall_vs_exact(spark):
+    """8-bit scalar quantization must preserve most of the exact top-10
+    (quantization noise is small relative to score gaps even on
+    near-orthogonal random vectors)."""
+    from database_toolbox_spark.operators.similarity import (
+        cosine_topk,
+        sq8_ann_topk,
+    )
+
+    exact = [r.vec_id for r in cosine_topk(spark, SF_DIR).collect()]
+    quant = [r.vec_id for r in sq8_ann_topk(spark, SF_DIR).collect()]
+    recall = len(set(exact) & set(quant)) / len(exact)
+    assert recall >= 0.8, f"sq8 recall degraded: {recall}"  # observed 1.0
