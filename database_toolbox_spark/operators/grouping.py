@@ -171,7 +171,33 @@ def bitagg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+_FILTERED_AGG_SQL = f"""
+        SELECT o_orderstatus,
+               any_value(o_orderstatus) AS status_again,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                   AS n_urgent,
+               {R("sum(o_totalprice) FILTER (WHERE year(o_orderdate) = 1997)")}
+                   AS rev_1997,
+               bool_and(o_totalprice > 900e0) AS all_above_900,
+               bool_or(o_totalprice > 400000e0) AS any_above_400k
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+"""
+
+
+def filtered_aggregate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER (WHERE …) aggregate modifiers + bool_and/bool_or/any_value —
+    the conditional-aggregation surface of every wrapped warehouse
+    (SURVEY.md §2.B aggregations [implied]); one scan, each aggregate keeps
+    its own predicate map-side. any_value is grouped on a functionally-
+    dependent column so it stays deterministic. Identical SQL both engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_FILTERED_AGG_SQL)
+
+
 QUERIES = {
+    "filtered_aggregate_battery": filtered_aggregate_battery,
     "cube_status_priority": cube_status_priority,
     "unpivot_segment_counts": unpivot_segment_counts,
     "modal_priority_per_segment": modal_priority_per_segment,
@@ -183,6 +209,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "filtered_aggregate_battery": _FILTERED_AGG_SQL,
     "unpivot_segment_counts": """
         WITH wide AS (
             SELECT c.c_mktsegment,
