@@ -53,6 +53,12 @@ def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (damping 0.85, uniform init) — canon-rounded to 6 digits so both
     engines' float sums hash-match."""
     load_tables(spark, sf_dir)
+    return pagerank_from_views(spark)
+
+
+def pagerank_from_views(spark: SparkSession) -> DataFrame:
+    """PageRank over whatever `lineitem`/`orders` views are registered —
+    split out so stress tests can run it against replicated inputs."""
     edges = _edges(spark).cache()
     nodes = edges.select("src").distinct()
     n_nodes = nodes.count()  # scalar graph size: drives the teleport term

@@ -103,3 +103,56 @@ def test_aqe_skew_join_engages(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pagerank_invariant_under_replication(spark, big_lineitem):
+    """Uniform 16× replication multiplies every edge weight by 16 but leaves
+    the NORMALIZED transition matrix — and therefore the ranks — unchanged.
+    A strong exactness check of the whole iteration pipeline at volume."""
+    from database_toolbox_spark.operators.graph import (
+        pagerank_from_views,
+        pagerank_top_nodes,
+    )
+    from database_toolbox_spark.session import load_tables
+
+    base = [(r.node, r.rank) for r in pagerank_top_nodes(spark, SF_DIR).collect()]
+    load_tables(spark, SF_DIR)
+    big_lineitem.createOrReplaceTempView("lineitem")
+    try:
+        big = [(r.node, r.rank) for r in pagerank_from_views(spark).collect()]
+    finally:
+        load_tables(spark, SF_DIR)  # restore the real view
+    assert big == base
+
+
+def test_zorder_bounds_invariant_under_replication(spark):
+    """Replicating orders 16× must leave every z-bucket's min/max bounds
+    unchanged and scale its row count by exactly 16."""
+    from database_toolbox_spark.operators.partitioning import zorder_bucket_stats
+    from database_toolbox_spark.session import load_tables
+
+    base = {r.z_bucket: r for r in zorder_bucket_stats(spark, SF_DIR).collect()}
+    load_tables(spark, SF_DIR)
+    rep = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .crossJoin(spark.range(REPL).select(F.col("id").alias("rep")))
+        .drop("rep")
+    )
+    rep.createOrReplaceTempView("orders")
+    try:
+        from database_toolbox_spark.operators.partitioning import _zorder_sql
+
+        big = {
+            r.z_bucket: r
+            for r in spark.sql(_zorder_sql(
+                "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')"
+            )).collect()
+        }
+    finally:
+        load_tables(spark, SF_DIR)
+    assert base.keys() == big.keys()
+    for k, b in base.items():
+        g = big[k]
+        assert g.n_rows == b.n_rows * REPL
+        assert (g.min_custkey, g.max_custkey) == (b.min_custkey, b.max_custkey)
+        assert (g.min_date, g.max_date) == (b.min_date, b.max_date)
