@@ -291,10 +291,35 @@ def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TRENDING_SQL)
 
 
+_TRANSITIONS_SQL = """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+        ORDER BY prev_type, next_type
+"""
+
+
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (Markov bigram counts): one
+    partitioned lag window + one grouped count — the path-analysis shape,
+    partition-local until the final small aggregation. Identical SQL on
+    both engines."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_TRANSITIONS_SQL)
+
+
 QUERIES = {
     "event_json_stats": event_json_stats,
     "funnel_conversion": funnel_conversion,
     "trending_event_types": trending_event_types,
+    "event_transition_counts": event_transition_counts,
     "interpolated_hourly_values": interpolated_hourly_values,
     "gapfilled_hourly_counts": gapfilled_hourly_counts,
     "cumulative_unique_users": cumulative_unique_users,
@@ -308,6 +333,7 @@ QUERIES = {
 ORACLE = {
     "funnel_conversion": _FUNNEL_SQL,
     "trending_event_types": _TRENDING_SQL,
+    "event_transition_counts": _TRANSITIONS_SQL,
     "interpolated_hourly_values": """
         WITH bounds AS (
             SELECT date_trunc('hour', min(ts)) AS lo,

@@ -162,7 +162,44 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ISLANDS_SQL = """
+        WITH seq AS (
+            SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn_all,
+                   row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                       ORDER BY o_orderdate, o_orderkey) AS rn_status
+            FROM orders
+        ),
+        islands AS (
+            SELECT o_custkey, o_orderstatus,
+                   min(o_orderdate) AS valid_from,
+                   max(o_orderdate) AS valid_to,
+                   count(*) AS run_len
+            FROM seq
+            GROUP BY o_custkey, o_orderstatus, rn_all - rn_status
+        )
+        SELECT o_custkey, count(*) AS n_runs, max(run_len) AS longest_run
+        FROM islands
+        GROUP BY o_custkey
+        HAVING max(run_len) >= 4
+        ORDER BY o_custkey
+"""
+
+
+def status_run_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (the SCD2 run-collapsing shape): consecutive
+    same-status order runs per customer via the row_number-difference trick
+    — two partitioned windows, one grouped collapse, no self-join. Customers
+    with a ≥4-order single-status streak. Identical SQL on both engines."""
+    from database_toolbox_spark.session import load_tables  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_ISLANDS_SQL)
+
+
 QUERIES = {
+    "status_run_islands": status_run_islands,
     "supplier_top_parts": supplier_top_parts,
     "order_price_percentiles": order_price_percentiles,
     "customer_order_gaps": customer_order_gaps,
@@ -173,6 +210,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "status_run_islands": _ISLANDS_SQL,
     "order_price_percentiles": f"""
         WITH o AS (SELECT o_custkey, o_orderkey, {R("o_totalprice")} AS price
                    FROM orders)
