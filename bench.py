@@ -40,6 +40,7 @@ HEADLINE = [
     "minhash_near_dup_pairs",
     "simhash_fingerprints",
     "cosine_topk",
+    "sq8_ann_topk",
     "lsh_ann_topk",
     "multimodal_decode_features",
 ]

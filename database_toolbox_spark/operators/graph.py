@@ -59,13 +59,15 @@ def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank_from_views(spark: SparkSession) -> DataFrame:
     """PageRank over whatever `lineitem`/`orders` views are registered —
     split out so stress tests can run it against replicated inputs."""
-    edges = _edges(spark).cache()
-    nodes = edges.select("src").distinct()
-    n_nodes = nodes.count()  # scalar graph size: drives the teleport term
+    edges = _edges(spark)
     out_w = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    # cache the NORMALIZED transition edges — they are what every iteration
+    # re-reads; caching raw edges would re-run the out-weight join per round
     norm = edges.join(out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("wout")).alias("p")
-    )
+    ).cache()
+    nodes = norm.select("src").distinct()
+    n_nodes = nodes.count()  # scalar graph size: drives the teleport term
     ranks = nodes.select("src", F.lit(1.0 / n_nodes).alias("r"))
     for _ in range(ITERATIONS):
         contrib = (
