@@ -87,13 +87,53 @@ def sessionize_lag_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def array_setops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array SET algebra (union/intersect/except) per document token set —
+    all JVM-side built-ins, no explode round-trip. Engines order set results
+    differently, so the portable contract compares CARDINALITIES."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH t AS (
+            SELECT doc_id, array_distinct(split(text, ' ')) AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(size(toks) AS INT) AS n_toks,
+               CAST(size(array_intersect(toks,
+                    array('the', 'and', 'of'))) AS INT) AS n_stop_hits,
+               CAST(size(array_union(toks,
+                    array('zz_pad1', 'zz_pad2'))) AS INT) AS n_union,
+               CAST(size(array_except(toks,
+                    array('the', 'and', 'of'))) AS INT) AS n_rest
+        FROM t
+        ORDER BY doc_id
+    """)
+
+
 QUERIES = {
     "array_funcs_battery": array_funcs_battery,
+    "array_setops_battery": array_setops_battery,
     "map_json_battery": map_json_battery,
     "sessionize_lag_method": sessionize_lag_method,
 }
 
 ORACLE = {
+    "array_setops_battery": """
+        WITH t AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_toks,
+               CAST(len(list_intersect(toks,
+                    ['the', 'and', 'of'])) AS INT) AS n_stop_hits,
+               CAST(len(list_distinct(list_concat(toks,
+                    ['zz_pad1', 'zz_pad2']))) AS INT) AS n_union,
+               CAST(len(list_filter(toks, x -> NOT list_contains(
+                    ['the', 'and', 'of'], x))) AS INT) AS n_rest
+        FROM t
+        ORDER BY doc_id
+    """,
     "array_funcs_battery": f"""
         WITH v AS (SELECT vec_id,
                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -228,3 +228,72 @@ def stream_view_click_join(events: DataFrame) -> DataFrame:
         ),
         "inner",
     ).select("c_user", "view_id", "click_id", "view_ts", "click_ts")
+
+
+_CLOSE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("closed_by_timeout", T.BooleanType()),
+    ]
+)
+_CLOSE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def stream_user_totals_with_timeout(events: DataFrame) -> DataFrame:
+    """Per-user totals that CLOSE via event-time timeout: when the watermark
+    passes a group's deadline the state is emitted once with
+    closed_by_timeout=true and removed — the bounded-lifetime session
+    pattern (state cannot grow forever; inactive keys leave memory). The
+    state fn is defined locally so cloudpickle ships it by value."""
+
+    def totals_with_timeout(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "closed_by_timeout": [True],
+                }
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        # deadline: one minute of event time past the current watermark
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60_000)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "closed_by_timeout": [False],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            totals_with_timeout,
+            outputStructType=_CLOSE_OUT_SCHEMA,
+            stateStructType=_CLOSE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

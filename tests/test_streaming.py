@@ -173,3 +173,30 @@ def test_stream_stream_join_matches_batch(spark, stream):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stateful_timeout_closes_all_groups(spark, stream):
+    """Event-time timeout must close EVERY group exactly once (availableNow
+    drains the source, the final watermark advance fires all deadlines),
+    with closed totals equal to the batch ground truth."""
+    from database_toolbox_spark.session import load_table
+    from database_toolbox_spark.streaming import stream_user_totals_with_timeout
+    from pyspark.sql import functions as F
+
+    _run_to_memory(
+        stream_user_totals_with_timeout(stream), "timeout_out", "update"
+    )
+    closed = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.sql(
+            "SELECT * FROM timeout_out WHERE closed_by_timeout"
+        ).collect()
+    }
+    truth = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert closed == truth
