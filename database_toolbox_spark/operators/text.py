@@ -187,7 +187,48 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _bigram_sql(toks_cte: str) -> str:
+    """Corpus top-20 adjacent-token bigrams; toks_cte yields (doc_id, pos,
+    term) — position spelling differs per dialect (posexplode vs unnest
+    WITH ORDINALITY)."""
+    return f"""
+        WITH toks AS (
+            {toks_cte}
+        ),
+        big AS (
+            SELECT doc_id,
+                   lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+                   term AS t2
+            FROM toks
+        ),
+        counts AS (
+            SELECT t1, t2, count(*) AS n
+            FROM big WHERE t1 IS NOT NULL
+            GROUP BY t1, t2
+            ORDER BY n DESC, t1, t2
+            LIMIT 20
+        )
+        SELECT t1, t2, n,
+               CAST(row_number() OVER (ORDER BY n DESC, t1, t2) AS INT) AS rnk
+        FROM counts
+        ORDER BY n DESC, t1, t2
+    """
+
+
+def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram top-k (language-model n-gram statistics): the
+    explode stays partition-local (REPARTITION hint spreads the CPU-heavy
+    expansion), the lag window partitions per doc, and only the tiny
+    bigram-count table shuffles globally."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_bigram_sql(
+        "SELECT /*+ REPARTITION */ doc_id, p.pos, p.col AS term "
+        "FROM documents LATERAL VIEW posexplode(split(text, ' ')) p AS pos, col"
+    ))
+
+
 QUERIES = {
+    "corpus_bigram_topk": corpus_bigram_topk,
     "doc_token_stats": doc_token_stats,
     "tfidf_top_terms": tfidf_top_terms,
     "doc_quality_scores": doc_quality_scores,
@@ -197,6 +238,12 @@ QUERIES = {
 }
 
 ORACLE = {
+    "corpus_bigram_topk": _bigram_sql(
+        "SELECT doc_id, u.i AS pos, toks[u.i] AS term "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks "
+        "      FROM documents), "
+        "     unnest(range(1, len(toks) + 1)) AS u(i)"
+    ),
     "tfidf_top_terms": f"""
         WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term
