@@ -301,8 +301,32 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 analog: the supplier(s) achieving the maximum quarterly revenue —
+    aggregate once, compare against the broadcast 1-row max (the CREATE
+    VIEW + max() shape, as a CTE). Revenue is canon-rounded BEFORE the
+    equality so both engines select identical winners."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1996-01-01"))
+        & (F.col("l_shipdate") < ts("1996-04-01"))
+    )
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        money(F.sum(disc_price())).alias("total_rev")
+    )
+    mx = revenue.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(supplier, F.col("supplier_no") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
 QUERIES = {
     "priority_delivery_check": priority_delivery_check,
+    "top_supplier_revenue": top_supplier_revenue,
     "nation_trade_volume": nation_trade_volume,
     "market_share": market_share,
     "late_shipment_priorities": late_shipment_priorities,
@@ -314,6 +338,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    "top_supplier_revenue": f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   {R(f"sum({_DISC})")} AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_rev
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+        ORDER BY s.s_suppkey
+    """,
     "priority_delivery_check": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders o
