@@ -334,6 +334,45 @@ def _fuzzy_pairs_sql(noun_expr: str) -> str:
     """
 
 
+def _contamination_sql(shingles: str) -> str:
+    """Benchmark decontamination: fraction of each training doc's distinct
+    3-gram shingles that appear in the benchmark source's shingle set
+    (src0 plays the eval set). The shingle CTE differs per dialect."""
+    return f"""
+        {shingles},
+        bench AS (
+            SELECT DISTINCT sh.s
+            FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+            WHERE d.source = 'src0'
+        ),
+        cand AS (
+            SELECT sh.doc_id,
+                   count(*) AS n_shingles,
+                   count(b.s) AS n_hits
+            FROM sh
+            JOIN documents d ON sh.doc_id = d.doc_id AND d.source <> 'src0'
+            LEFT JOIN bench b ON sh.s = b.s
+            GROUP BY sh.doc_id
+        )
+        SELECT doc_id, n_shingles, n_hits,
+               floor(n_hits * 1e4 / n_shingles + 0.501e0) / 1e4
+                   AS contamination
+        FROM cand
+        WHERE n_hits > 0
+        ORDER BY doc_id
+    """
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: per training doc, the n-gram overlap
+    fraction against the benchmark source — the pre-training hygiene step.
+    At scale the benchmark shingle set is tiny (eval sets are thousands of
+    docs) and broadcasts; the train side streams through one equi-join on
+    the shingle key."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_contamination_sql(_SPARK_SHINGLES))
+
+
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy duplicate names: token-blocked candidates + levenshtein ≤ 2
     verify, with the count of part pairs each name pair collapses."""
@@ -343,6 +382,7 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "exact_dup_summary": exact_dup_summary,
+    "benchmark_contamination": benchmark_contamination,
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "dup_clusters": dup_clusters,
     "minhash_signatures": minhash_signatures,
@@ -386,6 +426,7 @@ ORACLE = {
         FROM documents
     """,
     "fuzzy_name_pairs": _fuzzy_pairs_sql("string_split(p_name, ' ')[2]"),
+    "benchmark_contamination": _contamination_sql(_DUCK_SHINGLES),
     "minhash_signatures": f"""
         {_DUCK_SHINGLES}
         SELECT doc_id, {_minhash_cols()}
