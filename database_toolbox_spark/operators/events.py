@@ -291,6 +291,32 @@ def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TRENDING_SQL)
 
 
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4): props is
+    parsed ONCE into the shredded binary form, then typed paths are
+    extracted — at scale this beats per-expression string re-parsing
+    (get_json_object re-parses the text for every extraction). Oracle uses
+    DuckDB's native JSON path extraction on the same column."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_v")
+    return spark.sql("""
+        WITH typed AS (
+            SELECT event_type,
+                   variant_get(parse_json(props), '$.k', 'long') AS k
+            FROM events_v
+        )
+        SELECT event_type,
+               count(*) AS n,
+               sum(k) AS sum_k,
+               min(k) AS min_k,
+               max(k) AS max_k,
+               count(*) FILTER (WHERE k >= 50) AS n_high
+        FROM typed
+        GROUP BY event_type
+        ORDER BY event_type
+    """)
+
+
 _TRANSITIONS_SQL = """
         WITH seq AS (
             SELECT user_id, event_type,
@@ -320,6 +346,7 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "trending_event_types": trending_event_types,
     "event_transition_counts": event_transition_counts,
+    "variant_props_stats": variant_props_stats,
     "interpolated_hourly_values": interpolated_hourly_values,
     "gapfilled_hourly_counts": gapfilled_hourly_counts,
     "cumulative_unique_users": cumulative_unique_users,
@@ -334,6 +361,22 @@ ORACLE = {
     "funnel_conversion": _FUNNEL_SQL,
     "trending_event_types": _TRENDING_SQL,
     "event_transition_counts": _TRANSITIONS_SQL,
+    "variant_props_stats": """
+        WITH typed AS (
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n,
+               sum(k) AS sum_k,
+               min(k) AS min_k,
+               max(k) AS max_k,
+               count(*) FILTER (WHERE k >= 50) AS n_high
+        FROM typed
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "interpolated_hourly_values": """
         WITH bounds AS (
             SELECT date_trunc('hour', min(ts)) AS lo,
