@@ -91,13 +91,51 @@ def grouped_map_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+def udtf_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) applied laterally:
+    split each document into fixed 10-token chunks, one output row per
+    chunk. The UDTF class is defined in-function so cloudpickle ships it by
+    value (workers import no package). UDTFs are the row-expanding Python
+    extension point — the per-row fan-out twin of mapInPandas; keep them
+    off the hot path (Arrow-batched pandas UDFs beat them) but they
+    complete the UDF/UDAF/UDTF surface (SURVEY.md §2.B)."""
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(returnType="chunk_idx: int, n_tokens: int")
+    class ChunkStats:
+        def eval(self, text: str):
+            toks = text.split(" ")  # single-space split, matching the SQL twin
+            for i in range(0, len(toks), 10):
+                yield (i // 10, len(toks[i : i + 10]))
+
+    spark.udtf.register("chunk_stats_udtf", ChunkStats)
+    load_table(spark, sf_dir, "documents")
+    return spark.sql("""
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens
+        FROM documents d, LATERAL chunk_stats_udtf(d.text) c
+        ORDER BY d.doc_id, c.chunk_idx
+    """)
+
+
 QUERIES = {
     "scalar_pandas_udf_scores": scalar_pandas_udf_scores,
     "grouped_agg_pandas_udf": grouped_agg_pandas_udf,
     "grouped_map_zscores": grouped_map_zscores,
+    "udtf_chunk_stats": udtf_chunk_stats,
 }
 
 ORACLE = {
+    "udtf_chunk_stats": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        )
+        SELECT doc_id,
+               CAST(u.i AS INT) AS chunk_idx,
+               CAST(least(10, len(toks) - u.i * 10) AS INT) AS n_tokens
+        FROM t, unnest(range(0, CAST(ceil(len(toks) / 10e0) AS BIGINT)))
+                AS u(i)
+        ORDER BY doc_id, chunk_idx
+    """,
     "scalar_pandas_udf_scores": f"""
         SELECT o_orderkey, {R("ln(1 + o_totalprice) * 2", 6)} AS score
         FROM orders ORDER BY o_orderkey
