@@ -179,3 +179,38 @@ def test_sq8_recall_vs_exact(spark):
     quant = [r.vec_id for r in sq8_ann_topk(spark, SF_DIR).collect()]
     recall = len(set(exact) & set(quant)) / len(exact)
     assert recall >= 0.8, f"sq8 recall degraded: {recall}"  # observed 1.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e9, max_value=1e9,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=64,
+    )
+)
+def test_canon_round_cross_engine_bit_identical(vals):
+    """The portable-rounding formula (floor(x*m + 0.501)/m) must produce
+    BIT-IDENTICAL doubles in Spark and DuckDB for arbitrary inputs — the
+    invariant every money/ratio oracle comparison in the repo rests on."""
+    import duckdb
+
+    from database_toolbox_spark.functions import canon_round
+    from database_toolbox_spark.operators._oracle import R
+    from database_toolbox_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="dts-tests", cpus="8", shuffle_partitions="8")
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [
+        r.y for r in sdf.select(canon_round(F.col("x"), 2).alias("y"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {R('CAST(? AS DOUBLE)')}", [v]).fetchone()[0]
+        for v in vals
+    ]
+    assert got_spark == got_duck
