@@ -198,8 +198,67 @@ def status_run_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ISLANDS_SQL)
 
 
+def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's total customer
+    balance — aggregate once, then a partition-total window over the tiny
+    aggregated frame (never over raw rows)."""
+    from database_toolbox_spark.session import load_tables  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH per_nation AS (
+            SELECT r.r_name, n.n_name,
+                   floor(sum(c.c_acctbal) * 100 + 0.501e0) / 100e0 AS bal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        )
+        SELECT r_name, n_name, bal,
+               floor(bal * 1e4 / sum(bal) OVER (PARTITION BY r_name)
+                     + 0.501e0) / 1e4 AS share_of_region
+        FROM per_nation
+        ORDER BY r_name, n_name
+    """)
+
+
+def _argmax_sql(amax: str, amin: str) -> str:
+    """max_by/min_by (Spark) vs arg_max/arg_min (DuckDB) — same semantics,
+    different names. The ordering key is (cent-grid price, orderkey) encoded
+    as one fixed-width string so ties on price break deterministically and
+    identically in both engines (neither accepts a struct ordering key)."""
+    return f"""
+        WITH keyed AS (
+            SELECT o_orderstatus, o_orderkey, o_totalprice,
+                   lpad(CAST(CAST(floor(o_totalprice * 100 + 0.501e0)
+                                  AS BIGINT) AS STRING), 14, '0')
+                   || '#' || lpad(CAST(o_orderkey AS STRING), 14, '0')
+                       AS ord_key
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               {amax}(o_orderkey, ord_key) AS biggest_order,
+               {amin}(o_orderkey, ord_key) AS smallest_order,
+               floor(max(o_totalprice) * 100 + 0.501e0) / 100e0 AS max_price
+        FROM keyed
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """
+
+
+def argmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by aggregates: the key of the extreme row without a
+    self-join or window — one pass, partials merge like min/max."""
+    from database_toolbox_spark.session import load_tables  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_argmax_sql("max_by", "min_by"))
+
+
 QUERIES = {
     "status_run_islands": status_run_islands,
+    "revenue_share_of_region": revenue_share_of_region,
+    "argmax_battery": argmax_battery,
     "supplier_top_parts": supplier_top_parts,
     "order_price_percentiles": order_price_percentiles,
     "customer_order_gaps": customer_order_gaps,
@@ -211,6 +270,22 @@ QUERIES = {
 
 ORACLE = {
     "status_run_islands": _ISLANDS_SQL,
+    "revenue_share_of_region": """
+        WITH per_nation AS (
+            SELECT r.r_name, n.n_name,
+                   floor(sum(c.c_acctbal) * 100 + 0.501e0) / 100e0 AS bal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        )
+        SELECT r_name, n_name, bal,
+               floor(bal * 1e4 / sum(bal) OVER (PARTITION BY r_name)
+                     + 0.501e0) / 1e4 AS share_of_region
+        FROM per_nation
+        ORDER BY r_name, n_name
+    """,
+    "argmax_battery": _argmax_sql("arg_max", "arg_min"),
     "order_price_percentiles": f"""
         WITH o AS (SELECT o_custkey, o_orderkey, {R("o_totalprice")} AS price
                    FROM orders)
