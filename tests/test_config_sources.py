@@ -94,3 +94,25 @@ def test_compact_small_files(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 10_000
     assert back.agg({"k": "sum"}).collect()[0][0] == 10_000 * 9_999 // 2
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Schema drift across parquet batches (a new column appears) must read
+    back as one unified schema with nulls for the missing column — the
+    lakehouse schema-evolution contract (mergeSchema)."""
+    base = str(tmp_path / "evolving")
+    spark.range(0, 5).selectExpr("id AS k", "id * 2 AS v").write.parquet(
+        f"{base}/batch=1"
+    )
+    spark.range(5, 8).selectExpr(
+        "id AS k", "id * 2 AS v", "'new' AS extra"
+    ).write.parquet(f"{base}/batch=2")
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", base)
+        .parquet(f"{base}/batch=*")
+    )
+    assert {"k", "v", "extra", "batch"} == set(df.columns)
+    assert df.count() == 8
+    assert df.filter("extra IS NULL").count() == 5
+    assert df.filter("batch = 2 AND extra = 'new'").count() == 3
