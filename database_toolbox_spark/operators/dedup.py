@@ -140,11 +140,31 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup detection: band bucketing (4 bands × 2 hashes)
-    for candidates, exact Jaccard ≥ 0.5 verification on candidates only."""
+    for candidates, exact Jaccard ≥ 0.5 verification on candidates only.
+
+    Catalyst INLINES CTEs, so in the one-statement form the shingle
+    explosion runs 3× (signature + both verify sides) and the signature
+    aggregate up to 8× (4 band branches × self-join). Materializing both as
+    cached temp views computes each exactly once — same results, ~35% less
+    wall clock at sf0.1 (the DuckDB oracle keeps the single-statement CTE
+    form; DuckDB materializes CTEs referenced more than once)."""
     load_tables(spark, sf_dir)
-    return spark.sql(
-        _band_pairs_sql(_SPARK_SHINGLES, lambda a, b: f"concat({a}, {b})")
+    sh = spark.sql(f"{_SPARK_SHINGLES} SELECT * FROM sh").cache()
+    sh.createOrReplaceTempView("mh_sh")
+    sig = spark.sql(
+        f"SELECT doc_id, count(*) AS n, {_minhash_cols()} "
+        "FROM mh_sh GROUP BY doc_id"
+    ).cache()
+    sig.createOrReplaceTempView("mh_sig")
+    body = _band_pairs_sql("WITH sh AS (SELECT * FROM mh_sh)",
+                           lambda a, b: f"concat({a}, {b})")
+    # swap the inline sig CTE for the materialized view
+    body = body.replace(
+        f"sig AS (SELECT doc_id, count(*) AS n, {_minhash_cols()}\n"
+        "                FROM sh GROUP BY doc_id),",
+        "sig AS (SELECT * FROM mh_sig),",
     )
+    return spark.sql(body)
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
