@@ -189,15 +189,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-def _simhash_sql(tokens_expr: str, x_expr: str) -> str:
-    """16-bit SimHash: bit-majority over per-token md5 bits. Shared shape;
-    x_expr converts the first 4 md5 hex chars to an int in the dialect."""
+def _simhash_sql(tokens_expr: str, x_expr: str, n_bits: int = 16) -> str:
+    """SimHash: bit-majority over per-token md5 bits. Shared shape; x_expr
+    converts the first n_bits/4 md5 hex chars to an int in the dialect."""
     bit_sums = ", ".join(
         f"sum(CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(16)
+        for b in range(n_bits)
     )
     combine = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(n_bits)
     )
     return f"""
         WITH toks AS (SELECT doc_id, {tokens_expr} AS t FROM documents),
@@ -220,16 +220,35 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HAMMING_MAX = 3
+PAIR_BITS = 16  # NOTE: on this synthetic small-vocabulary corpus the
+# bit-majority saturates — background pairs land at Hamming 2-7 even at 32
+# bits, overlapping the planted near-dups (0-9), so no width separates
+# them and wider hashes only break recall. Real corpora (large vocab,
+# heavy-tailed token stats) separate cleanly; 16 bits matches
+# simhash_fingerprints and keeps the planted-dup recall floor.
 
 
-def _simhash_pairs_sql(tokens_expr: str, x_expr: str, xor_expr) -> str:
+def _simhash_sig_body(tokens_expr: str, x_expr: str, n_bits: int = 16) -> str:
+    """The per-doc simhash aggregate (the sig CTE body), reusable either
+    inline (oracle) or materialized (Spark)."""
+    return (
+        _simhash_sql(tokens_expr, x_expr, n_bits)
+        .strip()
+        .removesuffix("ORDER BY doc_id")
+        .strip()
+    )
+
+
+def _simhash_pairs_sql(tokens_expr: str, x_expr: str, xor_expr,
+                       sig_body: str | None = None) -> str:
     """SimHash near-dup pairs, scalably: by pigeonhole, Hamming(a,b) ≤ 3
     over 16 bits means at least one of the four 4-bit bands is equal — so
     candidates come from an equi-join on (band, nibble), then the exact
     Hamming distance verifies. xor_expr(a, b) renders bitwise xor (DuckDB's
-    ^ is exponentiation)."""
-    sim = _simhash_sql(tokens_expr, x_expr).strip().removesuffix("ORDER BY doc_id").strip()
-    # reuse the simhash CTE body as a subquery
+    ^ is exponentiation). sig_body overrides the sig CTE body (e.g. a
+    SELECT from a materialized view)."""
+    sim = sig_body or _simhash_sig_body(tokens_expr, x_expr, PAIR_BITS)
+    # reuse the simhash CTE body as a subquery; 4 bands × 4 bits
     bands = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band, "
         f"CAST((simhash >> {4 * b}) & 15 AS INT) AS nib FROM sig"
@@ -243,29 +262,34 @@ def _simhash_pairs_sql(tokens_expr: str, x_expr: str, xor_expr) -> str:
             {bands}
         ),
         cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
-                            b.doc_id AS doc_b, b.simhash AS sim_b
+            SELECT a.doc_id AS doc_a, a.simhash AS sim_a,
+                   b.doc_id AS doc_b, b.simhash AS sim_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
         )
-        SELECT doc_a, doc_b,
+        SELECT DISTINCT doc_a, doc_b,
                CAST(bit_count({xor_expr("sim_a", "sim_b")}) AS INT) AS hamming
         FROM cand
         WHERE bit_count({xor_expr("sim_a", "sim_b")}) <= {HAMMING_MAX}
-        ORDER BY doc_a, doc_b
     """
 
 
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup detection: banded candidates + exact Hamming ≤ 3."""
+    """SimHash near-dup detection: banded candidates + exact Hamming ≤ 3.
+
+    The per-doc simhash aggregate is materialized as a cached view — CTE
+    inlining would otherwise recompute it once per band branch and join
+    side (~8×)."""
     load_tables(spark, sf_dir)
-    return spark.sql(
-        _simhash_pairs_sql(
-            "explode(array_distinct(split(text, ' ')))",
-            "CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT)",
-            lambda a, b: f"({a} ^ {b})",
-        )
-    )
+    tokens = "explode(array_distinct(split(text, ' ')))"
+    xhash = "CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT)"
+    spark.sql(
+        _simhash_sig_body(tokens, xhash, PAIR_BITS)
+    ).cache().createOrReplaceTempView("sh_sig_mat")
+    return spark.sql(_simhash_pairs_sql(
+        tokens, xhash, lambda a, b: f"({a} ^ {b})",
+        sig_body="SELECT * FROM sh_sig_mat",
+    ))
 
 
 def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,7 +329,18 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth-capped walk (near-dup clusters have tiny diameters; the DuckDB
     oracle computes the exact UNION-distinct closure, so any
     under-propagation would hash-mismatch)."""
-    pairs = minhash_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # cache: the recursive walk references the pair view in EVERY iteration
+    # and on both union branches — uncached, each step re-derives the whole
+    # MinHash pipeline
+    # coalesce(1): the verified pair graph is hundreds of rows — every
+    # recursion step otherwise schedules full-width shuffle stages whose
+    # task overhead dwarfs the work
+    pairs = (
+        minhash_near_dup_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .coalesce(1)
+        .cache()
+    )
     pairs.createOrReplaceTempView("near_dup_pairs_v")
     return spark.sql("""
         WITH RECURSIVE walk(node, member, depth) AS (
