@@ -328,7 +328,13 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark 4 recursion supports UNION ALL only, so the closure is a
     depth-capped walk (near-dup clusters have tiny diameters; the DuckDB
     oracle computes the exact UNION-distinct closure, so any
-    under-propagation would hash-mismatch)."""
+    under-propagation would hash-mismatch).
+
+    Cost note: each recursion step schedules a full Spark job (~1.5s fixed
+    overhead locally), dominating the tiny data. A pointer-doubling label
+    propagation would halve the step count at the cost of leaving the
+    native recursive-CTE surface; at real scale the per-step overhead
+    amortizes against actual work, so the declarative form is kept."""
     # cache: the recursive walk references the pair view in EVERY iteration
     # and on both union branches — uncached, each step re-derives the whole
     # MinHash pipeline
