@@ -169,10 +169,14 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-candidate n-gram Jaccard (no LSH): docs sharing ≥1 shingle,
-    Jaccard ≥ 0.5. The ground-truth near-dup set that LSH approximates."""
+    Jaccard ≥ 0.5. The ground-truth near-dup set that LSH approximates.
+    Shingles materialize once (CTE inlining would explode the corpus 3×)."""
     load_tables(spark, sf_dir)
+    spark.sql(f"{_SPARK_SHINGLES} SELECT * FROM sh").cache().createOrReplaceTempView(
+        "nj_sh"
+    )
     return spark.sql(f"""
-        {_SPARK_SHINGLES},
+        WITH sh AS (SELECT * FROM nj_sh),
         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         common AS (
             SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
