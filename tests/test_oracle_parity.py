@@ -37,3 +37,14 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns[0] == "l_returnflag"
+
+
+def test_every_query_has_a_strong_oracle():
+    """Every queries() entry must have an oracle_sql() twin — the repo's
+    standing guarantee (zero weak / rows-only checks). New operators that
+    genuinely can't be SQL-expressed need an explicit exemption here."""
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    exempt: set[str] = set()  # none so far
+    missing = (q.keys() - o.keys()) - exempt
+    assert not missing, f"queries without oracles: {sorted(missing)}"
