@@ -159,8 +159,41 @@ def kll_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_time_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grain sketch rollup: DAILY distinct users computed by merging
+    HOURLY HLL states — the dashboard pattern that makes distinct-count
+    rollups one-pass at 100 TB (hour partials persist; coarser grains merge
+    sketches instead of rescanning events). Flag = merged estimate within
+    5% of the exact daily distinct."""
+    events = load_tables(spark, sf_dir)["events"]
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    daily_merged = hourly.groupBy(
+        F.to_date("h").alias("day")
+    ).agg(F.hll_union_agg("sk").alias("dsk"))
+    exact = events.groupBy(F.to_date("ts").alias("e_day")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        daily_merged.join(exact, daily_merged.day == exact.e_day)
+        .select(
+            "day",
+            "exact_users",
+            (
+                F.abs(F.hll_sketch_estimate("dsk") - F.col("exact_users"))
+                <= F.greatest(F.lit(2.0), F.col("exact_users") * 0.05)
+            )
+            .cast("int")
+            .alias("rollup_within_5pct"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "hll_sketch_merge_check": hll_sketch_merge_check,
+    "hll_time_rollup_check": hll_time_rollup_check,
     "theta_set_ops_check": theta_set_ops_check,
     "kll_quantile_check": kll_quantile_check,
 }
@@ -186,6 +219,18 @@ ORACLE = {
                    AS hll_within_5pct
         FROM orders
         ORDER BY o_orderpriority
+    """,
+    # DuckDB twin: approx_count_distinct per day (its own HLL), same flag
+    "hll_time_rollup_check": """
+        SELECT CAST(ts AS DATE) AS day,
+               count(DISTINCT user_id) AS exact_users,
+               CAST(abs(approx_count_distinct(user_id)
+                        - count(DISTINCT user_id)) * 1e0
+                    <= greatest(2e0, count(DISTINCT user_id) * 0.05e0)
+                    AS INT) AS rollup_within_5pct
+        FROM events
+        GROUP BY CAST(ts AS DATE)
+        ORDER BY day
     """,
     # DuckDB has no theta-sketch twin: exact values computed exactly, flags
     # asserted literally (the Spark side proves its sketch landed in-bound).
