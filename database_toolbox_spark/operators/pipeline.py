@@ -146,7 +146,47 @@ def pii_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _funnel_sql(ntoks_expr: str) -> str:
+    """Corpus-cleaning funnel: quality gate → exact dedup (keep min doc per
+    content hash) → per-source accounting of the attrition at each stage.
+    ntoks_expr renders token count per dialect."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id, source, text, n_chars, {ntoks_expr} AS n_toks
+            FROM documents
+        ),
+        q AS (SELECT * FROM base WHERE n_chars >= 50 AND n_toks >= 5),
+        keep AS (SELECT min(doc_id) AS k_id FROM q GROUP BY md5(text)),
+        clean AS (SELECT q.* FROM q JOIN keep ON q.doc_id = keep.k_id),
+        agg_in AS (SELECT source, count(*) AS n_input FROM base GROUP BY source),
+        agg_q  AS (SELECT source, count(*) AS n_quality FROM q GROUP BY source),
+        agg_c  AS (SELECT source, count(*) AS n_clean,
+                          sum(n_toks) AS tokens_kept
+                   FROM clean GROUP BY source)
+        SELECT i.source, i.n_input,
+               coalesce(a.n_quality, 0) AS n_quality,
+               coalesce(c.n_clean, 0) AS n_clean,
+               coalesce(c.tokens_kept, 0) AS tokens_kept
+        FROM agg_in i
+        LEFT JOIN agg_q a ON i.source = a.source
+        LEFT JOIN agg_c c ON i.source = c.source
+        ORDER BY i.source
+    """
+
+
+def corpus_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning as ONE declarative plan: length/
+    token quality gate, exact content dedup (keep the smallest doc_id per
+    md5), and the per-source attrition funnel — the accounting view every
+    data pipeline publishes. Each stage is a CTE over the previous one, so
+    Catalyst fuses the whole funnel into one job (no intermediate
+    materialization)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_funnel_sql("size(split(text, ' '))"))
+
+
 QUERIES = {
+    "corpus_cleaning_funnel": corpus_cleaning_funnel,
     "doc_chunks": doc_chunks,
     "pack_documents": pack_documents,
     "build_vocab": build_vocab,
@@ -155,6 +195,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "corpus_cleaning_funnel": _funnel_sql(
+        "CAST(len(string_split(text, ' ')) AS INT)"
+    ),
     "doc_chunks": f"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         chunks AS (
