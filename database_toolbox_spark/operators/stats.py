@@ -89,13 +89,51 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TREND_SQL)
 
 
+_ANOMALY_SQL = """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   floor(sum(o_totalprice) * 100 + 0.501e0) / 100e0 AS rev
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        scored AS (
+            SELECT day, rev,
+                   avg(rev) OVER (ORDER BY day
+                       ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS mu,
+                   stddev_samp(rev) OVER (ORDER BY day
+                       ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS sd,
+                   count(*) OVER (ORDER BY day
+                       ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS n_hist
+            FROM daily
+        )
+        SELECT day, rev,
+               floor((rev - mu) / sd * 1e4 + 0.501e0) / 1e4 AS zscore,
+               CAST(abs((rev - mu) / sd) > 2e0 AS INT) AS is_anomaly
+        FROM scored
+        WHERE n_hist >= 14 AND sd > 0e0
+        ORDER BY day
+"""
+
+
+def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection: each day's revenue scored against the
+    TRAILING 28-day window (current day excluded — no leakage), flagged
+    beyond 2σ. The window runs over the aggregated daily series, so the
+    frame state is tiny regardless of fact-table size. Identical SQL on
+    both engines; z-scores canon-rounded (window stddev accumulates in
+    engine-specific order)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_ANOMALY_SQL)
+
+
 QUERIES = {
+    "daily_revenue_anomalies": daily_revenue_anomalies,
     "monthly_revenue_trend": monthly_revenue_trend,
     "segment_stats_battery": segment_stats_battery,
     "nation_customer_lists": nation_customer_lists,
 }
 
 ORACLE = {
+    "daily_revenue_anomalies": _ANOMALY_SQL,
     "monthly_revenue_trend": _TREND_SQL,
     "segment_stats_battery": f"""
         SELECT c.c_mktsegment,
