@@ -185,8 +185,56 @@ def corpus_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_funnel_sql("size(split(text, ' '))"))
 
 
+def _importance_sql(ntoks_expr: str, bucket_expr: str) -> str:
+    """Importance sampling: keep probability proportional to document
+    length (token-budget-aware upsampling of long documents), decided by a
+    deterministic md5 bucket — reproducible across engines, epochs, and
+    partitionings, unlike rand()."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id, source, {ntoks_expr} AS n_toks,
+                   {bucket_expr} AS bucket
+            FROM documents
+        ),
+        mx AS (SELECT max(n_toks) AS max_toks FROM base),
+        sampled AS (
+            SELECT b.* FROM base b, mx
+            WHERE b.bucket * 1e0 / 10000 < b.n_toks * 1e0 / mx.max_toks
+        ),
+        agg_in AS (
+            SELECT source, count(*) AS n_input,
+                   floor(avg(n_toks) * 100 + 0.501e0) / 100e0 AS avg_toks_all
+            FROM base GROUP BY source
+        ),
+        agg_s AS (
+            SELECT source, count(*) AS n_kept,
+                   floor(avg(n_toks) * 100 + 0.501e0) / 100e0 AS avg_toks_kept
+            FROM sampled GROUP BY source
+        )
+        SELECT i.source, i.n_input,
+               coalesce(s.n_kept, 0) AS n_kept,
+               i.avg_toks_all,
+               s.avg_toks_kept
+        FROM agg_in i LEFT JOIN agg_s s ON i.source = s.source
+        ORDER BY i.source
+    """
+
+
+def importance_sampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional importance sampling with deterministic md5
+    acceptance — per source, the kept fraction and the expected upward
+    shift of mean tokens among kept docs."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_importance_sql(
+        "size(split(text, ' '))",
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+        " AS INT) % 10000",
+    ))
+
+
 QUERIES = {
     "corpus_cleaning_funnel": corpus_cleaning_funnel,
+    "importance_sampled_counts": importance_sampled_counts,
     "doc_chunks": doc_chunks,
     "pack_documents": pack_documents,
     "build_vocab": build_vocab,
@@ -197,6 +245,11 @@ QUERIES = {
 ORACLE = {
     "corpus_cleaning_funnel": _funnel_sql(
         "CAST(len(string_split(text, ' ')) AS INT)"
+    ),
+    "importance_sampled_counts": _importance_sql(
+        "CAST(len(string_split(text, ' ')) AS INT)",
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))"
+        " AS INTEGER) % 10000",
     ),
     "doc_chunks": f"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
