@@ -159,11 +159,12 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     body = _band_pairs_sql("WITH sh AS (SELECT * FROM mh_sh)",
                            lambda a, b: f"concat({a}, {b})")
     # swap the inline sig CTE for the materialized view
-    body = body.replace(
+    inline_sig = (
         f"sig AS (SELECT doc_id, count(*) AS n, {_minhash_cols()}\n"
-        "                FROM sh GROUP BY doc_id),",
-        "sig AS (SELECT * FROM mh_sig),",
+        "                FROM sh GROUP BY doc_id),"
     )
+    assert inline_sig in body, "sig CTE shape drifted; update the swap"
+    body = body.replace(inline_sig, "sig AS (SELECT * FROM mh_sig),")
     return spark.sql(body)
 
 
