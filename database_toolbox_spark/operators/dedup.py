@@ -446,8 +446,75 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_fuzzy_pairs_sql("split(p_name, ' ')[1]"))
 
 
+def _segment_dup_sql(segs_cte: str) -> str:
+    """Shared tail: per-doc fraction of 5-token segments that also occur in
+    at least one OTHER document (cross-doc exact span duplication)."""
+    return f"""
+        {segs_cte},
+        freq AS (
+            SELECT seg_hash, count(DISTINCT doc_id) AS ndocs
+            FROM segs GROUP BY seg_hash
+        )
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared_segments,
+               {R("sum(CASE WHEN f.ndocs > 1 THEN 1e0 ELSE 0e0 END)"
+                  " / count(*)", 4)} AS shared_fraction
+        FROM segs s JOIN freq f ON s.seg_hash = f.seg_hash
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id
+    """
+
+
+_SPARK_SEGS = """
+        WITH toks AS (
+            SELECT doc_id, split(text, ' ') AS w FROM documents
+            WHERE size(split(text, ' ')) >= 5
+        ),
+        segs AS (
+            SELECT doc_id,
+                   md5(array_join(slice(w, (i - 1) * 5 + 1, 5), ' '))
+                       AS seg_hash
+            FROM toks
+            LATERAL VIEW explode(sequence(1, size(w) DIV 5)) t AS i
+        )
+"""
+
+_DUCK_SEGS = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= 5
+        ),
+        segs AS (
+            SELECT doc_id,
+                   md5(array_to_string(w[(u.i - 1) * 5 + 1 : (u.i - 1) * 5 + 5],
+                                       ' ')) AS seg_hash
+            FROM toks, unnest(range(1, len(w) // 5 + 1)) AS u(i)
+        )
+"""
+
+
+def repeated_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc exact span duplication (the "dedup training data at the
+    substring level" signal of Lee et al. 2022, arXiv:2107.06499): docs are
+    cut into non-overlapping 5-token segments, each md5-hashed, and every
+    doc reports what fraction of its segments also appear verbatim in some
+    other document.
+
+    Scale shape: segmentation is a pure projection (codegen, no UDF); the
+    only shuffles are the groupBy on seg_hash (combiner-friendly) and the
+    hash-equi-join back — both partition on the 16-byte digest, which is
+    uniformly distributed by construction, so no skew. At 100 TB the freq
+    table is the corpus's segment vocabulary; a bloom/semi-join
+    pre-filter on ndocs>1 hashes would cut the join width further."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_segment_dup_sql(_SPARK_SEGS))
+
+
 QUERIES = {
     "exact_dup_summary": exact_dup_summary,
+    "repeated_segment_stats": repeated_segment_stats,
     "benchmark_contamination": benchmark_contamination,
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "dup_clusters": dup_clusters,
@@ -460,6 +527,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "repeated_segment_stats": _segment_dup_sql(_DUCK_SEGS),
     "dup_clusters": f"""
         WITH RECURSIVE pairs AS (
             {_band_pairs_sql(_DUCK_SHINGLES, lambda a, b: f"({a} || {b})")}

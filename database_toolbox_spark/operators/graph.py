@@ -147,10 +147,61 @@ def _pagerank_oracle() -> str:
     """
 
 
+_TRIANGLE_SQL = """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        e AS (
+            SELECT DISTINCT least(prev, event_type)    AS lo,
+                            greatest(prev, event_type) AS hi
+            FROM seq
+            WHERE prev IS NOT NULL AND prev <> event_type
+        ),
+        deg AS (
+            SELECT node, count(*) AS d FROM (
+                SELECT lo AS node FROM e UNION ALL SELECT hi FROM e
+            ) GROUP BY node
+        ),
+        tri AS (
+            SELECT count(*) AS n_tri
+            FROM e ab
+            JOIN e bc ON bc.lo = ab.hi
+            JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+        )
+        SELECT (SELECT count(*) FROM deg)                    AS n_nodes,
+               (SELECT count(*) FROM e)                      AS n_edges,
+               (SELECT n_tri FROM tri)                       AS n_triangles,
+               floor(3e0 * (SELECT n_tri FROM tri)
+                     / (SELECT sum(d * (d - 1) / 2e0) FROM deg)
+                     * 1e6 + 0.501e0) / 1e6                  AS clustering_coeff
+"""
+
+
+def event_type_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting + global clustering coefficient over
+    the event-type co-transition graph (undirected edges = event types seen
+    consecutively by the same user).
+
+    Algorithm: the classic joins-based triangle enumeration — edge list
+    self-joined twice with the lo<hi canonical orientation so each triangle
+    is counted exactly once. On a cluster each join is an equi-join shuffle
+    on the shared vertex; no adjacency matrix, no driver-side graph. The
+    transition extraction reuses the one-shuffle partitioned-lag pattern of
+    event_transition_counts (operators/events.py). Identical SQL runs on
+    both engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_TRIANGLE_SQL)
+
+
 QUERIES = {
     "pagerank_top_nodes": pagerank_top_nodes,
+    "event_type_triangles": event_type_triangles,
 }
 
 ORACLE = {
     "pagerank_top_nodes": _pagerank_oracle(),
+    "event_type_triangles": _TRIANGLE_SQL,
 }

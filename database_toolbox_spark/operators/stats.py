@@ -125,8 +125,55 @@ def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ANOMALY_SQL)
 
 
+def exact_percentile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (non-approximate) interpolated percentiles per market segment
+    via the one-pass `percentile(col, array(...))` aggregate — the ordered-
+    set-aggregate surface (PERCENTILE_CONT) every wrapped warehouse exposes.
+    Spark computes all three quantiles in a single sort-based aggregate per
+    group (one shuffle, one pass); contrast with approx_percentile_check
+    (operators/grouping.py) which trades exactness for a mergeable KLL-style
+    sketch at unbounded scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    pct = F.expr("percentile(o_totalprice, array(0.25e0, 0.5e0, 0.75e0))")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            canon_round(F.element_at(pct, 1), 4).alias("p25"),
+            canon_round(F.element_at(pct, 2), 4).alias("p50"),
+            canon_round(F.element_at(pct, 3), 4).alias("p75"),
+            canon_round(
+                F.element_at(pct, 3) - F.element_at(pct, 1), 4
+            ).alias("iqr"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def listagg_rich_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native LISTAGG ... WITHIN GROUP (ORDER BY ...) (Spark 4.0) — the
+    declarative ordered string aggregation the warehouses spell LISTAGG /
+    STRING_AGG. Filtered to a small set first so the aggregated strings stay
+    bounded (at scale, unbounded LISTAGG per group is an anti-pattern —
+    nation_customer_lists shows the truncating form)."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_mktsegment,
+               count(*) AS n_rich,
+               listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name)
+                   AS rich_names
+        FROM customer
+        WHERE c_acctbal > 9900e0
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """)
+
+
 QUERIES = {
     "daily_revenue_anomalies": daily_revenue_anomalies,
+    "exact_percentile_battery": exact_percentile_battery,
+    "listagg_rich_names": listagg_rich_names,
     "monthly_revenue_trend": monthly_revenue_trend,
     "segment_stats_battery": segment_stats_battery,
     "nation_customer_lists": nation_customer_lists,
@@ -134,6 +181,25 @@ QUERIES = {
 
 ORACLE = {
     "daily_revenue_anomalies": _ANOMALY_SQL,
+    "exact_percentile_battery": f"""
+        SELECT c.c_mktsegment,
+               {R("quantile_cont(o.o_totalprice, 0.25)", 4)} AS p25,
+               {R("quantile_cont(o.o_totalprice, 0.50)", 4)} AS p50,
+               {R("quantile_cont(o.o_totalprice, 0.75)", 4)} AS p75,
+               {R("quantile_cont(o.o_totalprice, 0.75)"
+                  " - quantile_cont(o.o_totalprice, 0.25)", 4)} AS iqr
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    "listagg_rich_names": """
+        SELECT c_mktsegment,
+               count(*) AS n_rich,
+               string_agg(c_name, '|' ORDER BY c_name) AS rich_names
+        FROM customer
+        WHERE c_acctbal > 9900e0
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
     "monthly_revenue_trend": _TREND_SQL,
     "segment_stats_battery": f"""
         SELECT c.c_mktsegment,

@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 
 from database_toolbox_spark.functions import canon_round
 from database_toolbox_spark.operators._oracle import R
-from database_toolbox_spark.session import load_table
+from database_toolbox_spark.session import load_table, load_tables
 
 
 def scalar_pandas_udf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,7 +117,41 @@ def udtf_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def sql_udf_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDF (CREATE FUNCTION ... RETURN <expr>, Spark 4.0): the
+    warehouse-style scalar macro. Unlike Python UDFs, the body is inlined
+    into the Catalyst plan at analysis time — full codegen, predicate
+    pushdown THROUGH the function, zero serialization cost. This is the
+    true analog of the reference's YAML `statement` templates
+    (reference CONTRIBUTING.md:219-254): named, reusable SQL fragments."""
+    load_tables(spark, sf_dir)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION net_revenue(
+            ep DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS DOUBLE
+        RETURN ep * (1e0 - disc) * (1e0 + tax)
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION discount_band(d DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN d < 0.03e0 THEN 'low'
+                    WHEN d < 0.07e0 THEN 'mid'
+                    ELSE 'high' END
+    """)
+    return spark.sql(f"""
+        SELECT discount_band(l_discount) AS band,
+               count(*) AS n_items,
+               {R("sum(net_revenue(l_extendedprice, l_discount, l_tax))")}
+                   AS net_rev
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+        GROUP BY discount_band(l_discount)
+        ORDER BY band
+    """)
+
+
 QUERIES = {
+    "sql_udf_margin": sql_udf_margin,
     "scalar_pandas_udf_scores": scalar_pandas_udf_scores,
     "grouped_agg_pandas_udf": grouped_agg_pandas_udf,
     "grouped_map_zscores": grouped_map_zscores,
@@ -125,6 +159,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sql_udf_margin": f"""
+        SELECT CASE WHEN l_discount < 0.03e0 THEN 'low'
+                    WHEN l_discount < 0.07e0 THEN 'mid'
+                    ELSE 'high' END AS band,
+               count(*) AS n_items,
+               {R("sum(l_extendedprice * (1e0 - l_discount)"
+                  " * (1e0 + l_tax))")} AS net_rev
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+        GROUP BY 1
+        ORDER BY band
+    """,
     "udtf_chunk_stats": """
         WITH t AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
