@@ -34,6 +34,7 @@ def _modules():
         partsupp,
         pipeline,
         profile,
+        pyds,
         scalars,
         setops,
         similarity,
@@ -66,6 +67,7 @@ def _modules():
         partsupp,
         pipeline,
         profile,
+        pyds,
         scalars,
         setops,
         similarity,

@@ -10,6 +10,7 @@ from database_toolbox_spark.streaming.stream_ops import (  # noqa: F401
     stream_hourly_counts,
     stream_session_windows,
     stream_user_running_totals,
+    stream_user_totals_tws,
     stream_user_totals_with_timeout,
     stream_view_click_join,
 )

@@ -297,3 +297,66 @@ def stream_user_totals_with_timeout(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_TWS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def stream_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas — the Spark 4
+    arbitrary-stateful API (successor to applyInPandasWithState): state is
+    a named, schema-typed ValueState owned by a StatefulProcessor, backed
+    by the RocksDB state store (the caller must set
+    spark.sql.streaming.stateStore.providerClass to
+    RocksDBStateStoreProvider — required by transformWithState, and the
+    right choice at scale anyway: state lives off-heap/on-disk per
+    executor, so total state size is bounded by cluster disk, not memory).
+
+    The processor class is defined locally so cloudpickle ships it by
+    value (FIXTURES.md rule 5). Runtime requirement: the TWS state-server
+    protocol speaks protobuf, so google.protobuf must be importable on the
+    driver (the matching test skips where it is absent)."""
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=_TWS_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

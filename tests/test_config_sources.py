@@ -116,3 +116,22 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert df.count() == 8
     assert df.filter("extra IS NULL").count() == 5
     assert df.filter("batch = 2 AND extra = 'new'").count() == 3
+
+
+def test_python_datasource_partition_parallelism(spark):
+    """The custom Python data source must honor its partitions() contract —
+    each InputPartition becomes one parallel scan task (the 1000-executor
+    scale story), and the rows are the deterministic generator output."""
+    from database_toolbox_spark.operators.pyds import read_synthetic
+
+    df = read_synthetic(spark, rows=100, partitions=5)
+    assert df.rdd.getNumPartitions() == 5
+    rows = {r.id: (r.bucket, r.score) for r in df.collect()}
+    assert len(rows) == 100
+    # spot-check the modular arithmetic on both ends of the id range
+    assert rows[0] == ("b0", 123.45)
+    i = 99
+    assert rows[i] == (
+        f"b{(i * 2654435761) % 97 % 8}",
+        float((i * 1103515245 + 12345) % 65536) / 100.0,
+    )

@@ -200,3 +200,48 @@ def test_stateful_timeout_closes_all_groups(spark, stream):
         .collect()
     }
     assert closed == truth
+
+
+def test_transform_with_state_running_totals(spark, stream):
+    """Spark 4 transformWithStateInPandas (RocksDB-backed ValueState) must
+    reproduce the batch per-user totals, like the applyInPandasWithState
+    variant above.
+
+    Requires the protobuf runtime (the TWS state-server wire protocol);
+    skipped where google.protobuf is not installed (no-install container)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from database_toolbox_spark.streaming import stream_user_totals_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        _run_to_memory(stream_user_totals_tws(stream), "tws_out", "update")
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql(
+                "SELECT user_id, max(n_events) AS n_events, "
+                "max(total_value) AS total_value FROM tws_out GROUP BY user_id"
+            ).collect()
+        }
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        want = {
+            r.user_id: (r.n, r.total)
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        assert got.keys() == want.keys()
+        for uid, (n, total) in want.items():
+            assert got[uid][0] == n
+            assert got[uid][1] == pytest.approx(total, rel=1e-9)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
