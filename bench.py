@@ -43,6 +43,11 @@ HEADLINE = [
     "sq8_ann_topk",
     "lsh_ann_topk",
     "multimodal_decode_features",
+    # round-2 additions
+    "repeated_segment_stats",
+    "knn_graph_topk",
+    "event_type_triangles",
+    "dq_check_summary",
 ]
 
 

@@ -134,7 +134,87 @@ def profile_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.sql(" UNION ALL ".join(branches) + " ORDER BY column_name")
 
 
+_DQ_SQL = """
+        SELECT 'orders_pk_unique' AS check_name,
+               (SELECT count(*) FROM (
+                   SELECT o_orderkey FROM orders
+                   GROUP BY o_orderkey HAVING count(*) > 1
+               )) AS n_violations
+        UNION ALL
+        SELECT 'lineitem_order_fk',
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'orders_customer_fk',
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'discount_in_range',
+               (SELECT count(*) FROM lineitem
+                WHERE l_discount < 0e0 OR l_discount > 0.1e0)
+        UNION ALL
+        SELECT 'qty_positive',
+               (SELECT count(*) FROM lineitem WHERE l_quantity <= 0e0)
+        UNION ALL
+        SELECT 'custkey_not_null',
+               (SELECT count(*) FROM customer WHERE c_custkey IS NULL)
+        ORDER BY check_name
+"""
+
+
+def dq_check_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the dbt-test / Deequ-style contract
+    layer a training-data warehouse runs before every ingest): uniqueness,
+    referential integrity, range, and not-null checks, one violation count
+    per named check.
+
+    Scale shape: each check is an independent aggregate or anti-join
+    (EXISTS compiles to a semi/anti hash join, never a nested loop); the
+    six branches share scans where Catalyst can and parallelize freely —
+    there is no serial "validator" pass. Identical SQL on both engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_DQ_SQL)
+
+
+_EMB_DIM_STATS = """
+        {src}
+        SELECT dim,
+               count(*)             AS n,
+               {mean}               AS mean_val,
+               {sd}                 AS sd_val,
+               {mn}                 AS min_val,
+               {mx}                 AS max_val
+        FROM vals
+        GROUP BY dim
+        ORDER BY dim
+"""
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature statistics over the embedding column — the
+    normalization/scaling pre-pass (and drift monitor) of an ML feature
+    pipeline. posexplode turns the array column into (dim, value) pairs;
+    the per-dim aggregate is map-side combinable, so the shuffle carries
+    d partial states per task, not d×n rows."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_EMB_DIM_STATS.format(
+        src="""
+        WITH vals AS (
+            SELECT pos AS dim, CAST(v AS DOUBLE) AS v
+            FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v
+        )""",
+        mean=R("avg(v)", 6),
+        sd=R("stddev_samp(v)", 6),
+        mn=R("min(v)", 6),
+        mx=R("max(v)", 6),
+    ))
+
+
 QUERIES = {
+    "dq_check_summary": dq_check_summary,
+    "embedding_dim_stats": embedding_dim_stats,
     "orders_profile": orders_profile,
     "systematic_sample_stats": systematic_sample_stats,
     "stratified_sample_counts": stratified_sample_counts,
@@ -159,6 +239,19 @@ def _duck_profile() -> str:
 
 
 ORACLE = {
+    "dq_check_summary": _DQ_SQL,
+    "embedding_dim_stats": _EMB_DIM_STATS.format(
+        src="""
+        WITH vals AS (
+            SELECT u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+            FROM embeddings,
+                 unnest(range(1, len(embedding) + 1)) AS u(i)
+        )""",
+        mean=R("avg(v)", 6),
+        sd=R("stddev_samp(v)", 6),
+        mn=R("min(v)", 6),
+        mx=R("max(v)", 6),
+    ),
     "orders_profile": _duck_profile(),
     "systematic_sample_stats": f"""
         SELECT o_orderstatus,

@@ -305,8 +305,98 @@ def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+N_KNN_QUERIES = 5
+KNN_K = 5
+_KNN_BATCH_KEEP = 8  # per-batch prune slack (> KNN_K; see docstring)
+
+
+def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN-graph construction via `mapInArrow`: the top-5 cosine
+    neighbors for each of the first 5 vectors, scored as one matrix
+    multiply per Arrow batch (numpy float64 BLAS) instead of a per-row
+    expression tree.
+
+    Scale shape (the "build a KNN graph over 10^9 embeddings" pattern):
+    - the query block is tiny and broadcast inside the UDF closure (here
+      5 vectors; real pipelines tile the query set);
+    - each Arrow batch computes X·Qᵀ and keeps only its local top
+      `_KNN_BATCH_KEEP` per query — rows leaving a task are O(k·n_queries)
+      regardless of batch size (the slack over k absorbs rounding-tie
+      reordering at the global merge);
+    - the only shuffle is the final per-query merge (window row_number
+      over ≤ keep·n_batches rows per query).
+    Zero-copy: embeddings arrive as one flat float buffer per batch
+    (list<float> values) reshaped to a matrix — no per-row Python objects.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+
+    from database_toolbox_spark.functions import canon_round  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from database_toolbox_spark.session import load_table  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_KNN_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded query set: the one intentional driver-side fetch
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qmat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    keep = _KNN_BATCH_KEEP
+
+    out_schema = "q_vec bigint, neighbor bigint, cos double"
+
+    def score_batches(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            col = batch.column("embedding")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.values.to_numpy(zero_copy_only=False)
+            x = flat.astype(np.float64).reshape(n, -1)
+            xnorm = np.sqrt((x * x).sum(axis=1))
+            cos = (x @ qmat.T) / np.outer(xnorm, qnorm)  # n × n_queries
+            for j in range(len(qids)):
+                scores = cos[:, j]
+                mask = vec_ids != qids[j]
+                idx = np.nonzero(mask)[0]
+                top = idx[np.argsort(-scores[idx], kind="stable")[:keep]]
+                yield pa.record_batch(
+                    {
+                        "q_vec": pa.array(
+                            np.full(len(top), qids[j]), type=pa.int64()
+                        ),
+                        "neighbor": pa.array(
+                            vec_ids[top].astype(np.int64), type=pa.int64()
+                        ),
+                        "cos": pa.array(scores[top], type=pa.float64()),
+                    }
+                )
+
+    scored = emb.select("vec_id", "embedding").mapInArrow(
+        score_batches, out_schema
+    )
+    w = Window.partitionBy("q_vec").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor")
+    )
+    return (
+        scored.withColumn("cos_sim", canon_round(F.col("cos"), 6))
+        .drop("cos")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= KNN_K)
+        .orderBy("q_vec", "rank")
+    )
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
+    "knn_graph_topk": knn_graph_topk,
     "sq8_ann_topk": sq8_ann_topk,
     "lsh_bucket_histogram": lsh_bucket_histogram,
     "lsh_ann_topk": lsh_ann_topk,
@@ -330,7 +420,39 @@ _DUCK_Q8 = (
     " * 127e0 / amax + 0.501e0) AS BIGINT))"
 )
 
+_DUCK_SELF_DOT = (
+    "list_aggregate(list_transform(range(1, len({v}) + 1), "
+    "i -> CAST({v}[i] AS DOUBLE) * CAST({w}[i] AS DOUBLE)), 'sum')"
+)
+
 ORACLE = {
+    "knn_graph_topk": f"""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qv
+            FROM embeddings WHERE vec_id < {N_KNN_QUERIES}
+        ),
+        scored AS (
+            SELECT q.qid, e.vec_id,
+                   {_DUCK_SELF_DOT.format(v="e.embedding", w="q.qv")}
+                   / sqrt({_DUCK_SELF_DOT.format(v="e.embedding",
+                                                 w="e.embedding")}
+                          * {_DUCK_SELF_DOT.format(v="q.qv", w="q.qv")})
+                       AS cos
+            FROM q, embeddings e
+            WHERE e.vec_id <> q.qid
+        ),
+        ranked AS (
+            SELECT qid, vec_id, {R("cos", 6)} AS cos_sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY {R("cos", 6)} DESC, vec_id) AS INT) AS rank
+            FROM scored
+        )
+        SELECT qid AS q_vec, vec_id AS neighbor, cos_sim, rank
+        FROM ranked
+        WHERE rank <= {KNN_K}
+        ORDER BY q_vec, rank
+    """,
     "sq8_ann_topk": f"""
         WITH bounds AS (
             SELECT greatest(abs(min(list_aggregate(embedding, 'min'))),
