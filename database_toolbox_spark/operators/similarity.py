@@ -341,7 +341,7 @@ def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < N_KNN_QUERIES)
         .select("vec_id", "embedding")
         .collect()
-    )  # bounded query set: the one intentional driver-side fetch
+    )  # guard-exempt: bounded driver fetch (fixed 5-vector query block)
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     qmat = np.array([r.embedding for r in qrows], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
