@@ -196,12 +196,63 @@ def event_type_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TRIANGLE_SQL)
 
 
+_BFS_SQL = """
+        WITH RECURSIVE
+        base AS (
+            SELECT concat('s', CAST(l.l_suppkey AS VARCHAR(30))) AS src,
+                   concat('c', CAST(o.o_custkey AS VARCHAR(30))) AS dst
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT src, dst FROM base
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM base
+        ),
+        walk(node, hops) AS (
+            SELECT (SELECT min(src) FROM edges), 0
+            UNION ALL
+            SELECT g.dst, w.hops + 1
+            FROM walk w JOIN edges g ON g.src = w.node
+            WHERE w.hops < 2
+        ),
+        reach AS (
+            SELECT node, min(hops) AS hops, count(*) AS n_paths
+            FROM walk GROUP BY node
+        )
+        SELECT CAST(hops AS INT) AS hops,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(n_paths) AS BIGINT) AS total_paths
+        FROM reach GROUP BY hops ORDER BY hops
+"""
+
+
+def bfs_reachable_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS via RECURSIVE CTE (Spark 4 `WITH RECURSIVE`,
+    SPARK-24497): 2-hop neighborhood of the lexicographically-first node in
+    the supplier↔customer bipartite graph, summarized per hop distance
+    (`n_paths` counts all walks of length ≤ 2 ending at a node, so the root
+    row re-counts its hop-2 returns).
+
+    The recursion compiles to one join + shuffle per level — the same
+    Pregel-as-joins plan pagerank_from_views builds by hand, but declared in
+    SQL so Catalyst owns the loop. Depth is capped in the WHERE clause (the
+    UNION-ALL frontier grows multiplicatively with hop count; a production
+    transitive closure would dedup the frontier per level instead).
+    Identical SQL runs on both engines (DuckDB also speaks WITH RECURSIVE).
+    """
+    load_tables(spark, sf_dir)
+    return spark.sql(_BFS_SQL)
+
+
 QUERIES = {
     "pagerank_top_nodes": pagerank_top_nodes,
     "event_type_triangles": event_type_triangles,
+    "bfs_reachable_hops": bfs_reachable_hops,
 }
 
 ORACLE = {
     "pagerank_top_nodes": _pagerank_oracle(),
     "event_type_triangles": _TRIANGLE_SQL,
+    "bfs_reachable_hops": _BFS_SQL,
 }

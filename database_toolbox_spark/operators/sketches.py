@@ -191,14 +191,107 @@ def hll_time_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_DEPTH = 5  # independent hash rows (failure prob per probe ~ e^-depth)
+CMS_WIDTH = 8192  # buckets per row (overestimate bound ~ e/width * N)
+
+
+def _cms_cells(key: Column) -> Column:
+    """The CMS (row, bucket) cells a key maps to: one xxhash64 per row,
+    seeded by the row index as an extra hash input."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("row"),
+                    F.pmod(
+                        F.xxhash64(key, F.lit(d)), F.lit(CMS_WIDTH)
+                    ).alias("bucket"),
+                )
+                for d in range(CMS_DEPTH)
+            ]
+        )
+    )
+
+
+def cms_heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built from scratch with DataFrame ops, probed at
+    the exact top-10 heavy hitters of `lineitem.l_partkey`.
+
+    The sketch is a depth×width counter matrix — here literally a
+    DataFrame keyed (row, bucket): one scan explodes each key into its
+    `CMS_DEPTH` cells and a single groupBy counts them (map-side partial
+    agg does the heavy lifting; ≤ depth·width rows ever shuffle, whatever
+    N is). Counter matrices with identical seeds MERGE by adding cell-wise
+    — the same partial→final contract the HLL/Theta/KLL queries above
+    exploit, which is what makes the sketch usable as a streaming /
+    cross-partition heavy-hitter index at 100 TB.
+
+    Probe contract (deterministic given xxhash64, so the flags are stable
+    facts, not luck): estimate = min over rows of the probed cell; CMS
+    guarantees estimate ≥ exact always, and estimate ≤ exact + ~(e/width)·N
+    with high probability — asserted here with the generous bound
+    floor(0.005·N) (empirically the overshoot is 0 at test scale factors).
+    DuckDB has no CMS twin: the oracle computes the exact counts exactly
+    and asserts the flags literally (theta_set_ops_check pattern).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    n_total = li.select(F.count("*").alias("n"))
+    counters = (
+        li.select(_cms_cells(F.col("l_partkey")).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+    probes = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "l_partkey")
+        .limit(10)
+    )
+    probe_cells = probes.select(
+        "l_partkey", "exact_cnt", _cms_cells(F.col("l_partkey")).alias("rb")
+    ).select("l_partkey", "exact_cnt", "rb.row", "rb.bucket")
+    est = (
+        F.broadcast(probe_cells)
+        .join(counters, ["row", "bucket"])
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(F.min("c").alias("est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(n_total))
+        .select(
+            "l_partkey",
+            "exact_cnt",
+            (F.col("est") >= F.col("exact_cnt")).cast("int").alias("est_ge_exact"),
+            (F.col("est") <= F.col("exact_cnt") + F.floor(F.col("n") * 0.005))
+            .cast("int")
+            .alias("est_within_bound"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "l_partkey")
+    )
+
+
 QUERIES = {
     "hll_sketch_merge_check": hll_sketch_merge_check,
+    "cms_heavy_hitters_check": cms_heavy_hitters_check,
     "hll_time_rollup_check": hll_time_rollup_check,
     "theta_set_ops_check": theta_set_ops_check,
     "kll_quantile_check": kll_quantile_check,
 }
 
 ORACLE = {
+    # DuckDB has no count-min twin: exact top-10 computed exactly, the two
+    # CMS-bound flags asserted literally (they are deterministic on the
+    # Spark side — fixed xxhash64 seeds, not sampling).
+    "cms_heavy_hitters_check": """
+        SELECT l_partkey,
+               count(*) AS exact_cnt,
+               CAST(1 AS INT) AS est_ge_exact,
+               CAST(1 AS INT) AS est_within_bound
+        FROM lineitem
+        GROUP BY l_partkey
+        ORDER BY exact_cnt DESC, l_partkey
+        LIMIT 10
+    """,
     # DuckDB computes its own HLL twin (approx_count_distinct) per group and
     # for the merged ALL row over the full input.
     "hll_sketch_merge_check": """
