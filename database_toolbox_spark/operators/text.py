@@ -187,6 +187,70 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signals per document: duplicate-bigram
+    fraction (1 − distinct/total adjacent bigrams) and top-token
+    concentration (most frequent token's share), with a blended
+    `repetitive` flag — the filters that kill boilerplate/spam docs in a
+    training-data cleaning funnel.
+
+    Pure array-lambda projection (no shuffle at all): bigrams built with
+    transform(sequence(...)), token mode via a nested lambda over the
+    distinct tokens — O(n·u) per doc, fine for bounded-length documents
+    (a corpus with book-length outliers would cap `w` with slice() or
+    switch the mode computation to the explode→groupBy plan tf-idf uses)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+        WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        m AS (
+            SELECT doc_id,
+                   size(w) AS n_tokens,
+                   transform(sequence(1, size(w) - 1),
+                             i -> concat(element_at(w, i), ' ',
+                                         element_at(w, i + 1))) AS bg,
+                   array_max(transform(array_distinct(w),
+                             t -> size(filter(w, x -> x = t)))) AS top_tok
+            FROM t WHERE size(w) > 1
+        )
+        SELECT doc_id, n_tokens,
+               size(bg)                 AS n_bigrams,
+               size(array_distinct(bg)) AS n_uniq_bigrams,
+               {R("1e0 - size(array_distinct(bg)) * 1e0 / size(bg)", 6)}
+                   AS dup_bigram_frac,
+               {R("top_tok * 1e0 / n_tokens", 6)} AS top_token_frac,
+               CAST({R("1e0 - size(array_distinct(bg)) * 1e0 / size(bg)", 6)}
+                        >= 0.5e0
+                    OR {R("top_tok * 1e0 / n_tokens", 6)} >= 0.2e0
+                    AS INT) AS repetitive
+        FROM m ORDER BY doc_id
+    """)
+
+
+_REPETITION_ORACLE = f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(w) AS INT) AS n_tokens,
+                   list_transform(range(1, len(w)),
+                                  i -> concat(w[i], ' ', w[i + 1])) AS bg,
+                   list_aggregate(list_transform(list_distinct(w),
+                       t -> len(list_filter(w, x -> x = t))), 'max') AS top_tok
+            FROM t WHERE len(w) > 1
+        )
+        SELECT doc_id, n_tokens,
+               CAST(len(bg) AS INT)                AS n_bigrams,
+               CAST(len(list_distinct(bg)) AS INT) AS n_uniq_bigrams,
+               {R("1e0 - len(list_distinct(bg)) * 1e0 / len(bg)", 6)}
+                   AS dup_bigram_frac,
+               {R("top_tok * 1e0 / n_tokens", 6)} AS top_token_frac,
+               CAST({R("1e0 - len(list_distinct(bg)) * 1e0 / len(bg)", 6)}
+                        >= 0.5e0
+                    OR {R("top_tok * 1e0 / n_tokens", 6)} >= 0.2e0
+                    AS INT) AS repetitive
+        FROM m ORDER BY doc_id
+"""
+
+
 def _bigram_sql(toks_cte: str) -> str:
     """Corpus top-20 adjacent-token bigrams; toks_cte yields (doc_id, pos,
     term) — position spelling differs per dialect (posexplode vs unnest
@@ -229,6 +293,7 @@ def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "corpus_bigram_topk": corpus_bigram_topk,
+    "doc_repetition_scores": doc_repetition_scores,
     "doc_token_stats": doc_token_stats,
     "tfidf_top_terms": tfidf_top_terms,
     "doc_quality_scores": doc_quality_scores,
@@ -238,6 +303,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "doc_repetition_scores": _REPETITION_ORACLE,
     "corpus_bigram_topk": _bigram_sql(
         "SELECT doc_id, u.i AS pos, toks[u.i] AS term "
         "FROM (SELECT doc_id, string_split(text, ' ') AS toks "
