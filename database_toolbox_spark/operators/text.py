@@ -251,6 +251,48 @@ _REPETITION_ORACLE = f"""
 """
 
 
+def term_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (the search/retrieval side of the corpus
+    tier): per-term posting lists, shown for the 20 highest-document-
+    frequency terms — document frequency plus the first 10 doc ids of the
+    sorted posting list (joined to CSV so the oracle hash is list-order
+    exact).
+
+    Distributed shape: explode → per-(term, doc) distinct → one groupBy on
+    term builds every posting list in parallel; a real index would write
+    the lists bucketed by term so lookups prune to one bucket. The top-k
+    here is TakeOrderedAndProject over the tiny term-level aggregate."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, p.col AS term
+            FROM documents LATERAL VIEW explode(split(text, ' ')) p AS col
+        ),
+        agg AS (
+            SELECT term, count(*) AS df,
+                   sort_array(collect_list(doc_id)) AS docs
+            FROM toks GROUP BY term
+        )
+        SELECT term, df, array_join(slice(docs, 1, 10), ',') AS first_docs
+        FROM agg ORDER BY df DESC, term LIMIT 20
+    """)
+
+
+_POSTINGS_ORACLE = """
+        WITH toks AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        agg AS (
+            SELECT term, count(*) AS df,
+                   list(doc_id ORDER BY doc_id) AS docs
+            FROM toks GROUP BY term
+        )
+        SELECT term, df, array_to_string(docs[1:10], ',') AS first_docs
+        FROM agg ORDER BY df DESC, term LIMIT 20
+"""
+
+
 def _bigram_sql(toks_cte: str) -> str:
     """Corpus top-20 adjacent-token bigrams; toks_cte yields (doc_id, pos,
     term) — position spelling differs per dialect (posexplode vs unnest
@@ -294,6 +336,7 @@ def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "corpus_bigram_topk": corpus_bigram_topk,
     "doc_repetition_scores": doc_repetition_scores,
+    "term_postings_topk": term_postings_topk,
     "doc_token_stats": doc_token_stats,
     "tfidf_top_terms": tfidf_top_terms,
     "doc_quality_scores": doc_quality_scores,
@@ -304,6 +347,7 @@ QUERIES = {
 
 ORACLE = {
     "doc_repetition_scores": _REPETITION_ORACLE,
+    "term_postings_topk": _POSTINGS_ORACLE,
     "corpus_bigram_topk": _bigram_sql(
         "SELECT doc_id, u.i AS pos, toks[u.i] AS term "
         "FROM (SELECT doc_id, string_split(text, ' ') AS toks "

@@ -142,6 +142,15 @@ def test_no_collect_in_operator_sources(mod):
     assert ".toPandas()" not in src
 
 
+def test_recursive_cte_union_loop_plan(spark):
+    """WITH RECURSIVE compiles to UnionLoop/UnionLoopRef physical nodes —
+    Catalyst owns the iteration (one join per level), not a driver loop."""
+    from database_toolbox_spark.operators.graph import bfs_reachable_hops
+
+    plan = _plan(bfs_reachable_hops(spark, SF_DIR), "simple")
+    assert "UnionLoop" in plan and "UnionLoopRef" in plan
+
+
 def test_disjunctive_band_single_scan(spark):
     """Q19-analog: the OR-of-ANDs must stay one broadcast join over one
     lineitem scan with pushed filters — no plan-level union of three scans."""
