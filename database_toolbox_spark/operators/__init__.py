@@ -36,6 +36,7 @@ def _modules():
         profile,
         pyds,
         scalars,
+        semistructured,
         setops,
         similarity,
         sketches,
@@ -69,6 +70,7 @@ def _modules():
         profile,
         pyds,
         scalars,
+        semistructured,
         setops,
         similarity,
         sketches,
