@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from database_toolbox_spark.operators._oracle import R
-from database_toolbox_spark.session import load_tables
+from database_toolbox_spark.session import load_tables, materialize
 
 N_HASHES = 8  # minhash signature length
 N_BANDS = 4  # LSH bands of 2 hashes each
@@ -144,17 +144,19 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Catalyst INLINES CTEs, so in the one-statement form the shingle
     explosion runs 3× (signature + both verify sides) and the signature
-    aggregate up to 8× (4 band branches × self-join). Materializing both as
-    cached temp views computes each exactly once — same results, ~35% less
-    wall clock at sf0.1 (the DuckDB oracle keeps the single-statement CTE
-    form; DuckDB materializes CTEs referenced more than once)."""
+    aggregate up to 8× (4 band branches × self-join). Materializing both
+    (session.materialize: localCheckpoint locally, resilient persist on
+    clusters) computes each exactly once — same results, ~3× less wall
+    clock at sf0.1 vs cache() (no InMemoryRelation columnar rebuild; the
+    DuckDB oracle keeps the single-statement CTE form, DuckDB materializes
+    CTEs referenced more than once)."""
     load_tables(spark, sf_dir)
-    sh = spark.sql(f"{_SPARK_SHINGLES} SELECT * FROM sh").cache()
+    sh = materialize(spark.sql(f"{_SPARK_SHINGLES} SELECT * FROM sh"))
     sh.createOrReplaceTempView("mh_sh")
-    sig = spark.sql(
+    sig = materialize(spark.sql(
         f"SELECT doc_id, count(*) AS n, {_minhash_cols()} "
         "FROM mh_sh GROUP BY doc_id"
-    ).cache()
+    ))
     sig.createOrReplaceTempView("mh_sig")
     body = _band_pairs_sql("WITH sh AS (SELECT * FROM mh_sh)",
                            lambda a, b: f"concat({a}, {b})")
@@ -171,9 +173,10 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-candidate n-gram Jaccard (no LSH): docs sharing ≥1 shingle,
     Jaccard ≥ 0.5. The ground-truth near-dup set that LSH approximates.
-    Shingles materialize once (CTE inlining would explode the corpus 3×)."""
+    Shingles materialize once (CTE inlining would explode the corpus 3×;
+    session.materialize cuts lineage without a columnar cache rebuild)."""
     load_tables(spark, sf_dir)
-    spark.sql(f"{_SPARK_SHINGLES} SELECT * FROM sh").cache().createOrReplaceTempView(
+    materialize(spark.sql(f"{_SPARK_SHINGLES} SELECT * FROM sh")).createOrReplaceTempView(
         "nj_sh"
     )
     return spark.sql(f"""
@@ -282,15 +285,15 @@ def _simhash_pairs_sql(tokens_expr: str, x_expr: str, xor_expr,
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: banded candidates + exact Hamming ≤ 3.
 
-    The per-doc simhash aggregate is materialized as a cached view — CTE
-    inlining would otherwise recompute it once per band branch and join
+    The per-doc simhash aggregate is materialized once (session.materialize)
+    — CTE inlining would otherwise recompute it per band branch and join
     side (~8×)."""
     load_tables(spark, sf_dir)
     tokens = "explode(array_distinct(split(text, ' ')))"
     xhash = "CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT)"
-    spark.sql(
-        _simhash_sig_body(tokens, xhash, PAIR_BITS)
-    ).cache().createOrReplaceTempView("sh_sig_mat")
+    materialize(
+        spark.sql(_simhash_sig_body(tokens, xhash, PAIR_BITS))
+    ).createOrReplaceTempView("sh_sig_mat")
     return spark.sql(_simhash_pairs_sql(
         tokens, xhash, lambda a, b: f"({a} ^ {b})",
         sig_body="SELECT * FROM sh_sig_mat",
@@ -340,17 +343,16 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation would halve the step count at the cost of leaving the
     native recursive-CTE surface; at real scale the per-step overhead
     amortizes against actual work, so the declarative form is kept."""
-    # cache: the recursive walk references the pair view in EVERY iteration
-    # and on both union branches — uncached, each step re-derives the whole
-    # MinHash pipeline
+    # materialize: the recursive walk references the pair view in EVERY
+    # iteration and on both union branches — unmaterialized, each step
+    # re-derives the whole MinHash pipeline
     # coalesce(1): the verified pair graph is hundreds of rows — every
     # recursion step otherwise schedules full-width shuffle stages whose
     # task overhead dwarfs the work
-    pairs = (
+    pairs = materialize(
         minhash_near_dup_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .coalesce(1)
-        .cache()
     )
     pairs.createOrReplaceTempView("near_dup_pairs_v")
     return spark.sql("""

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from database_toolbox_spark.session import load_tables
+from database_toolbox_spark.session import load_tables, materialize
 
 DAMPING = 0.85
 ITERATIONS = 3
@@ -61,11 +61,12 @@ def pagerank_from_views(spark: SparkSession) -> DataFrame:
     split out so stress tests can run it against replicated inputs."""
     edges = _edges(spark)
     out_w = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    # cache the NORMALIZED transition edges — they are what every iteration
-    # re-reads; caching raw edges would re-run the out-weight join per round
-    norm = edges.join(out_w, "src").select(
+    # materialize the NORMALIZED transition edges — they are what every
+    # iteration re-reads; materializing raw edges instead would re-run the
+    # out-weight join per round
+    norm = materialize(edges.join(out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("wout")).alias("p")
-    ).cache()
+    ))
     nodes = norm.select("src").distinct()
     n_nodes = nodes.count()  # scalar graph size: drives the teleport term
     ranks = nodes.select("src", F.lit(1.0 / n_nodes).alias("r"))

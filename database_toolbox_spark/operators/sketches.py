@@ -270,7 +270,38 @@ def cms_heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user daily rollup from mergeable hourly partials —
+    the lossless twin of `hll_time_rollup_check`. Each hour stores one
+    roaring-style bitmap per 32k-id bucket (`bitmap_bucket_number` /
+    `bitmap_bit_position` / `bitmap_construct_agg`); coarser grains merge
+    with `bitmap_or_agg` instead of rescanning raw events, and
+    `bitmap_count` sums to the exact distinct. At 100 TB this gives exact
+    re-aggregatable distincts with state proportional to the id universe,
+    not the event count — every step is a built-in JVM aggregate.
+
+    Reference parity: exact/approx distinct rollups are warehouse-core SQL
+    committed via passthrough (/root/reference/README.md:1715-1716)."""
+    events = load_tables(spark, sf_dir)["events"]
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    daily = hourly.groupBy(F.to_date("h").alias("day"), "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    return (
+        daily.groupBy("day")
+        .agg(
+            F.sum(F.bitmap_count("bm")).alias("exact_users"),
+            F.countDistinct("bucket").alias("n_buckets"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
+    "bitmap_distinct_rollup": bitmap_distinct_rollup,
     "hll_sketch_merge_check": hll_sketch_merge_check,
     "cms_heavy_hitters_check": cms_heavy_hitters_check,
     "hll_time_rollup_check": hll_time_rollup_check,
@@ -279,6 +310,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    # Bitmaps are exact, so the oracle is a plain COUNT(DISTINCT ...);
+    # bucket ids replicate Spark's bitmap_bucket_number: (x-1) floordiv 32768 + 1.
+    "bitmap_distinct_rollup": """
+        SELECT CAST(ts AS DATE) AS day,
+               count(DISTINCT user_id) AS exact_users,
+               count(DISTINCT CAST(floor((user_id - 1e0) / 32768e0) AS BIGINT) + 1)
+                   AS n_buckets
+        FROM events
+        GROUP BY day
+        ORDER BY day
+    """,
     # DuckDB has no count-min twin: exact top-10 computed exactly, the two
     # CMS-bound flags asserted literally (they are deterministic on the
     # Spark side — fixed xxhash64 seeds, not sampling).

@@ -127,6 +127,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Compute a multiply-referenced intermediate exactly once and cut its
+    lineage (Catalyst inlines CTEs/views, so an expensive stage referenced
+    N times otherwise re-runs N times).
+
+    Mode via SPARK_GRAFT_MATERIALIZE:
+    - ``local_checkpoint`` (default): eager ``localCheckpoint`` — partitions
+      land in executor block storage with no InMemoryRelation columnar
+      rebuild, measurably faster than ``cache()`` for skinny exploded
+      intermediates (MinHash shingles: ~3x at sf0.1). Executor-local, so an
+      executor loss forces a job retry — fine single-node and for batch
+      jobs that simply rerun.
+    - ``persist``: MEMORY_AND_DISK persist with recomputable lineage — the
+      resilient choice on large shared clusters with dynamic allocation /
+      spot executors; same results, slightly slower locally.
+    """
+    if os.environ.get("SPARK_GRAFT_MATERIALIZE", "local_checkpoint") == "persist":
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # JVM-side action: populate the cache before reuse
+        return df
+    return df.localCheckpoint(eager=True)
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Runtime-settable confs the engine's semantics depend on, applied
     defensively for externally-built sessions (e.g. the round driver's):
