@@ -207,7 +207,40 @@ def interval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def collation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison and grouping (Spark 4 `COLLATE`).
+
+    Case-insensitive equality, grouping, and MIN/MAX under UTF8_LCASE —
+    resolved natively by collation-aware physical comparators (hash/sort
+    keys carry the collation, so grouping stays a one-shuffle hash agg;
+    no lower() projection materializes a second string column). The
+    wrapped warehouses all expose collations in their SQL surface
+    (reference passthrough commitment,
+    /root/reference/images/redshift/redshift.yaml:44-48)."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH mixed AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                        ELSE c_mktsegment END AS seg
+            FROM customer
+        )
+        SELECT min(lower(seg))                                  AS seg_norm,
+               count(*)                                         AS n,
+               sum(CASE WHEN seg COLLATE UTF8_LCASE = 'building'
+                        THEN 1 ELSE 0 END)                      AS eq_building,
+               -- every member is collation-equal, so min = max under the
+               -- collated comparator: flags the comparator itself
+               CAST(min(seg COLLATE UTF8_LCASE) = max(seg COLLATE UTF8_LCASE)
+                    AS INT)                                     AS minmax_collapse
+        FROM mixed
+        GROUP BY seg COLLATE UTF8_LCASE
+        ORDER BY seg_norm
+    """)
+
+
 QUERIES = {
+    "collation_battery": collation_battery,
     "string_battery": string_battery,
     "null_semantics_battery": null_semantics_battery,
     "safe_arithmetic_battery": safe_arithmetic_battery,
@@ -219,6 +252,23 @@ QUERIES = {
 }
 
 ORACLE = {
+    # DuckDB has no UTF8_LCASE collation: lower() emulates the comparator.
+    "collation_battery": """
+        WITH mixed AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                        ELSE c_mktsegment END AS seg
+            FROM customer
+        )
+        SELECT min(lower(seg))                                    AS seg_norm,
+               count(*)                                           AS n,
+               sum(CASE WHEN lower(seg) = 'building'
+                        THEN 1 ELSE 0 END)                        AS eq_building,
+               CAST(min(lower(seg)) = max(lower(seg)) AS INT)     AS minmax_collapse
+        FROM mixed
+        GROUP BY lower(seg)
+        ORDER BY seg_norm
+    """,
     "null_semantics_battery": """
         WITH t AS (
             SELECT o_orderkey,
