@@ -170,6 +170,63 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(body)
 
 
+DELTA_MOD, DELTA_REM = 20, 7  # "new batch" = 5% of the corpus, deterministic
+
+
+def minhash_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: a NEW document batch (5% of the
+    corpus, `doc_id % 20 = 7`) probes the existing signature store instead
+    of re-running all-pairs LSH.
+
+    The scale shape this exercises: at 100 TB the base corpus signatures
+    are a persisted table; a daily delta only (a) minhashes its own docs,
+    (b) equi-joins its band keys against the full band index, (c) verifies
+    exact Jaccard on candidates touching the delta. Work is O(delta), not
+    O(corpus) — the only full-corpus input is the pre-built signature
+    store. Signatures are per-doc (corpus-independent), so the oracle's
+    full recompute restricted to delta-touching pairs is value-identical."""
+    load_tables(spark, sf_dir)
+    sh = materialize(spark.sql(f"{_SPARK_SHINGLES} SELECT * FROM sh"))
+    sh.createOrReplaceTempView("mhd_sh")
+    sig = materialize(spark.sql(
+        f"SELECT doc_id, count(*) AS n, {_minhash_cols()} "
+        "FROM mhd_sh GROUP BY doc_id"
+    ))
+    sig.createOrReplaceTempView("mhd_sig")
+    bands_union = "\n            UNION ALL\n".join(
+        f"            SELECT doc_id, {b} AS band, "
+        f"concat(h{2 * b}, h{2 * b + 1}) AS bkey FROM mhd_sig"
+        for b in range(N_BANDS)
+    )
+    delta = f"doc_id % {DELTA_MOD} = {DELTA_REM}"
+    return spark.sql(f"""
+        WITH bands AS (
+{bands_union}
+        ),
+        delta_bands AS (SELECT * FROM bands WHERE {delta}),
+        cand AS (
+            SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                            greatest(a.doc_id, b.doc_id) AS doc_b
+            FROM delta_bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+        ),
+        common AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c
+            JOIN mhd_sh x ON x.doc_id = c.doc_a
+            JOIN mhd_sh y ON y.doc_id = c.doc_b AND y.s = x.s
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT m.doc_a, m.doc_b,
+               {R("m.n_common * 1e0 / (ca.n + cb.n - m.n_common)", 6)} AS jaccard
+        FROM common m
+        JOIN mhd_sig ca ON ca.doc_id = m.doc_a
+        JOIN mhd_sig cb ON cb.doc_id = m.doc_b
+        WHERE m.n_common * 1e0 / (ca.n + cb.n - m.n_common) >= {JACCARD_THRESHOLD}
+        ORDER BY m.doc_a, m.doc_b
+    """)
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-candidate n-gram Jaccard (no LSH): docs sharing ≥1 shingle,
     Jaccard ≥ 0.5. The ground-truth near-dup set that LSH approximates.
@@ -522,6 +579,7 @@ QUERIES = {
     "dup_clusters": dup_clusters,
     "minhash_signatures": minhash_signatures,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
+    "minhash_delta_pairs": minhash_delta_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
@@ -571,6 +629,38 @@ ORACLE = {
     "minhash_near_dup_pairs": _band_pairs_sql(
         _DUCK_SHINGLES, lambda a, b: f"({a} || {b})"
     ),
+    "minhash_delta_pairs": f"""
+        {_DUCK_SHINGLES},
+        sig AS (SELECT doc_id, count(*) AS n, {_minhash_cols()}
+                FROM sh GROUP BY doc_id),
+        bands AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band, concat(h{2*b}, h{2*b+1}) AS bkey FROM sig"
+                for b in range(N_BANDS)
+            )}
+        ),
+        delta_bands AS (SELECT * FROM bands WHERE doc_id % {DELTA_MOD} = {DELTA_REM}),
+        cand AS (
+            SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                            greatest(a.doc_id, b.doc_id) AS doc_b
+            FROM delta_bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+        ),
+        common AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT m.doc_a, m.doc_b,
+               {R("m.n_common * 1e0 / (ca.n + cb.n - m.n_common)", 6)} AS jaccard
+        FROM common m
+        JOIN sig ca ON ca.doc_id = m.doc_a
+        JOIN sig cb ON cb.doc_id = m.doc_b
+        WHERE m.n_common * 1e0 / (ca.n + cb.n - m.n_common) >= {JACCARD_THRESHOLD}
+        ORDER BY m.doc_a, m.doc_b
+    """,
     "ngram_jaccard_pairs": f"""
         {_DUCK_SHINGLES},
         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -13,6 +13,9 @@ from hypothesis import strategies as st
 from database_toolbox_spark.executor import execute_sql, rows_as_json
 from database_toolbox_spark.gate import ALLOWED_CLASSES, DENIED_CLASSES, classify
 from database_toolbox_spark.operators.dedup import (
+    DELTA_MOD,
+    DELTA_REM,
+    minhash_delta_pairs,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
 )
@@ -35,6 +38,22 @@ def test_minhash_lsh_full_recall_on_planted_dups(spark):
     lsh = {(r.doc_a, r.doc_b) for r in minhash_near_dup_pairs(spark, SF_DIR).collect()}
     assert truth, "fixture should contain planted near-dups"
     assert lsh == truth
+
+
+def test_delta_pairs_equal_full_pairs_restricted(spark):
+    """Incremental LSH must find EXACTLY the full run's pairs that touch the
+    delta batch — no misses (signatures are corpus-independent) and no
+    extras (same bands, same verify threshold)."""
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_near_dup_pairs(spark, SF_DIR).collect()
+        if r.doc_a % DELTA_MOD == DELTA_REM or r.doc_b % DELTA_MOD == DELTA_REM
+    }
+    delta = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_delta_pairs(spark, SF_DIR).collect()
+    }
+    assert delta == full
 
 
 def test_ann_recall_vs_brute_force(spark):
