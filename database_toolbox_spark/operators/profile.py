@@ -119,19 +119,30 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def profile_table(spark: SparkSession, table: str) -> DataFrame:
     """Generic registry tool: profile any registered table/view (one UNION
-    branch per column from the catalog schema)."""
+    branch per column from the catalog schema).
+
+    The table name binds through `IDENTIFIER(:tbl)` (Spark 4 parameterized
+    identifier), never string interpolation — the Spark-native equivalent
+    of the reference's bound tool parameters
+    (/root/reference/tests/sqlite/sqlite.yaml:19-22), closed to SQL
+    injection through the tool argument. Column names come from the
+    catalog schema (not the caller) and are backtick-escaped."""
     schema = spark.table(table).schema
     branches = [
         f"""
         SELECT '{f.name}' AS column_name, '{f.dataType.simpleString()}' AS data_type,
                count(*) AS n_rows,
-               count(*) - count(`{f.name}`) AS n_nulls,
-               count(DISTINCT `{f.name}`) AS n_distinct
-        FROM {table}
+               count(*) - count(`{bt}`) AS n_nulls,
+               count(DISTINCT `{bt}`) AS n_distinct
+        FROM IDENTIFIER(:tbl)
         """
         for f in schema.fields
+        for bt in [f.name.replace("`", "``")]
     ]
-    return spark.sql(" UNION ALL ".join(branches) + " ORDER BY column_name")
+    return spark.sql(
+        " UNION ALL ".join(branches) + " ORDER BY column_name",
+        args={"tbl": table},
+    )
 
 
 _DQ_SQL = """

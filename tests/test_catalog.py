@@ -78,6 +78,20 @@ def test_registry_surface(spark):
     assert json.loads(got[0]["text"]) == {"one": 1}
 
 
+def test_profile_table_rejects_injection(spark):
+    """The table argument binds via IDENTIFIER(:tbl) — a SQL payload in the
+    tool argument must fail to resolve as a name, never execute."""
+    import pytest  # noqa: PLC0415
+
+    for payload in [
+        "region WHERE 1=0",
+        "region; DROP TABLE region",
+        "(SELECT * FROM region)",
+    ]:
+        with pytest.raises(Exception):
+            registry.call_tool(spark, "profile_table", {"table": payload})
+
+
 def test_profile_table_tool(spark):
     content = registry.call_tool(spark, "profile_table", {"table": "region"})
     rows = {json.loads(c["text"])["column_name"]: json.loads(c["text"])
