@@ -49,6 +49,20 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None
+             ) -> DataFrame:
+    """ORC columnar scan — same pushdown/pruning behavior as Parquet (the
+    vectorized ORC reader honors PushedFilters and ReadSchema)."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Raw text: one row per line (or per file with whole=True) in a single
+    `value` column — the raw-corpus ingestion shape for document pipelines."""
+    return spark.read.text(path, wholetext=whole)
+
+
 def jdbc_available(spark: SparkSession, driver_class: str) -> bool:
     """Whether a JDBC driver is on the classpath (none ship in this
     environment)."""

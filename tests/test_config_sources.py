@@ -13,7 +13,9 @@ from database_toolbox_spark.sources import (
     read_csv,
     read_json,
     read_jdbc,
+    read_orc,
     read_parquet,
+    read_text,
     write_parquet,
 )
 from tests.conftest import SF_DIR
@@ -55,6 +57,34 @@ def test_csv_json_roundtrip(spark, tmp_path):
     want = {(r.r_regionkey, r.r_name) for r in src.collect()}
     assert {(r.r_regionkey, r.r_name) for r in got_csv.collect()} == want
     assert {(r.r_regionkey, r.r_name) for r in got_json.collect()} == want
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    src = read_parquet(spark, f"{SF_DIR}/nation.parquet")
+    orc_dir = str(tmp_path / "orc")
+    src.write.orc(orc_dir)
+    got = read_orc(spark, orc_dir, columns=["n_nationkey", "n_name"])
+    assert got.columns == ["n_nationkey", "n_name"]
+    want = {(r.n_nationkey, r.n_name) for r in src.collect()}
+    assert {(r.n_nationkey, r.n_name) for r in got.collect()} == want
+    # filters reach the ORC scan
+    plan = (
+        got.filter("n_nationkey = 3")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]" in plan
+
+
+def test_text_reader_line_and_whole(spark, tmp_path):
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.txt").write_text("line one\nline two\n")
+    lines = read_text(spark, str(p))
+    assert sorted(r.value for r in lines.collect()) == ["line one", "line two"]
+    whole = read_text(spark, str(p), whole=True)
+    assert [r.value for r in whole.collect()] == ["line one\nline two\n"]
 
 
 def test_jdbc_gated_when_driver_missing(spark):
