@@ -223,7 +223,50 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+SAMPLE_K = 5  # docs kept per source
+
+
+def _weighted_sample_sql(u32_expr: str) -> str:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-RES):
+    priority = u^(1/weight) with u an md5-derived uniform — the top-k
+    priorities per group ARE a weighted sample, computed with one window
+    rank, no rejection loop, deterministic across engines/partitions/epochs
+    (the 100 TB training-mix requirement; rand() is neither).
+
+    Priorities are canon-rounded to 9 digits BEFORE ranking with doc_id as
+    the tie-break, so a sub-ulp libm difference between engines cannot
+    reorder the cut. u32_expr renders the md5 32-bit uniform per dialect."""
+    pri = "pow((({u}) + 1e0) / 4294967296e0, 1e0 / n_chars)".format(u=u32_expr)
+    return f"""
+        WITH pri AS (
+            SELECT source, doc_id, n_chars,
+                   {R(pri, 9)} AS priority
+            FROM documents
+        ),
+        ranked AS (
+            SELECT source, doc_id, n_chars, priority,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY priority DESC, doc_id) AS rk
+            FROM pri
+        )
+        SELECT source, doc_id, n_chars, priority
+        FROM ranked WHERE rk <= {SAMPLE_K}
+        ORDER BY source, doc_id
+    """
+
+
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted document sample (weight = n_chars): longer docs
+    proportionally likelier, exactly k per source, fully deterministic."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_weighted_sample_sql(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    ))
+
+
 QUERIES = {
+    "weighted_sample_topk": weighted_sample_topk,
     "dq_check_summary": dq_check_summary,
     "embedding_dim_stats": embedding_dim_stats,
     "orders_profile": orders_profile,
@@ -250,6 +293,10 @@ def _duck_profile() -> str:
 
 
 ORACLE = {
+    "weighted_sample_topk": _weighted_sample_sql(
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        " AS BIGINT)"
+    ),
     "dq_check_summary": _DQ_SQL,
     "embedding_dim_stats": _EMB_DIM_STATS.format(
         src="""
