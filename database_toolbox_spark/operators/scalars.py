@@ -239,8 +239,31 @@ def collation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def encoding_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/encoding functions over customer names: base64 and hex
+    encode + decode round-trips, SHA-256 and MD5 digests — the interchange
+    surface every wrapped warehouse exposes. All JVM built-ins, zero-shuffle
+    projection; the only shuffle is the final sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    name_bin = F.encode(F.col("c_name"), "UTF-8")
+    return (
+        cust.select(
+            "c_custkey",
+            F.base64(name_bin).alias("b64"),
+            F.decode(F.unbase64(F.base64(name_bin)), "UTF-8").alias("b64_rt"),
+            F.lower(F.hex(name_bin)).alias("hx"),
+            F.decode(F.unhex(F.hex(name_bin)), "UTF-8").alias("hx_rt"),
+            F.sha2(name_bin, 256).alias("sha256_hex"),
+            F.md5(name_bin).alias("md5_hex"),
+            F.length(name_bin).cast("long").alias("n_bytes"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 QUERIES = {
     "collation_battery": collation_battery,
+    "encoding_battery": encoding_battery,
     "string_battery": string_battery,
     "null_semantics_battery": null_semantics_battery,
     "safe_arithmetic_battery": safe_arithmetic_battery,
@@ -252,6 +275,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    "encoding_battery": """
+        SELECT c_custkey,
+               base64(encode(c_name))                       AS b64,
+               decode(from_base64(base64(encode(c_name))))  AS b64_rt,
+               lower(hex(encode(c_name)))                   AS hx,
+               decode(from_hex(hex(encode(c_name))))        AS hx_rt,
+               sha256(c_name)                               AS sha256_hex,
+               md5(c_name)                                  AS md5_hex,
+               CAST(octet_length(encode(c_name)) AS BIGINT) AS n_bytes
+        FROM customer ORDER BY c_custkey
+    """,
     # DuckDB has no UTF8_LCASE collation: lower() emulates the comparator.
     "collation_battery": """
         WITH mixed AS (

@@ -170,7 +170,77 @@ def listagg_rich_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+_CHISQ_SQL = f"""
+    WITH obs AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderstatus AS st,
+               count(*) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_orderstatus
+    ),
+    rowt AS (SELECT seg, sum(n) AS rn FROM obs GROUP BY seg),
+    colt AS (SELECT st, sum(n) AS cn FROM obs GROUP BY st),
+    tot AS (SELECT sum(n) AS nn FROM obs)
+    SELECT {R("sum((o.n - r.rn * c.cn * 1e0 / t.nn)"
+              " * (o.n - r.rn * c.cn * 1e0 / t.nn)"
+              " / (r.rn * c.cn * 1e0 / t.nn))", 6)} AS chi2,
+           CAST((count(DISTINCT o.seg) - 1) * (count(DISTINCT o.st) - 1)
+                AS INT) AS dof,
+           count(*) AS n_cells
+    FROM obs o
+    JOIN rowt r ON r.seg = o.seg
+    JOIN colt c ON c.st = o.st
+    CROSS JOIN tot t
+"""
+
+
+def segment_status_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (market segment × order status):
+    the contingency-table statistic computed as pure SQL — observed cell
+    counts, margin products for expected counts, one sum. Two shuffles
+    total (cell groupBy + final scalar agg); margins broadcast. Identical
+    SQL on both engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_CHISQ_SQL)
+
+
+def _divergence_sql(token_cte: str) -> str:
+    """Per-source token-distribution diagnostics vs the corpus: Shannon
+    entropy and KL(source ‖ corpus) — the mix-health numbers a training
+    blend is tuned with. token_cte renders (source, t) token rows per
+    dialect; everything after is shared SQL (ln exists in both)."""
+    return f"""
+        WITH tok AS ({token_cte}),
+        st AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t),
+        s AS (SELECT source, sum(c) AS cs FROM st GROUP BY source),
+        ct AS (SELECT t, sum(c) AS cc FROM st GROUP BY t),
+        tot AS (SELECT sum(c) AS n FROM st)
+        SELECT st.source,
+               CAST(max(s.cs) AS BIGINT) AS n_tokens,
+               {R("-sum((st.c * 1e0 / s.cs) * ln(st.c * 1e0 / s.cs))", 6)}
+                   AS entropy,
+               {R("sum((st.c * 1e0 / s.cs)"
+                  " * ln((st.c * 1e0 / s.cs) / (ct.cc * 1e0 / t.n)))", 6)}
+                   AS kl_to_corpus
+        FROM st
+        JOIN s ON s.source = st.source
+        JOIN ct ON ct.t = st.t
+        CROSS JOIN tot t
+        GROUP BY st.source
+        ORDER BY st.source
+    """
+
+
+def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy + KL-to-corpus per document source (corpus-mix drift check)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_divergence_sql(
+        "SELECT source, explode(split(text, ' ')) AS t FROM documents"
+    ))
+
+
 QUERIES = {
+    "segment_status_chisq": segment_status_chisq,
+    "source_token_divergence": source_token_divergence,
     "daily_revenue_anomalies": daily_revenue_anomalies,
     "exact_percentile_battery": exact_percentile_battery,
     "listagg_rich_names": listagg_rich_names,
@@ -180,6 +250,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "segment_status_chisq": _CHISQ_SQL,
+    "source_token_divergence": _divergence_sql(
+        "SELECT source, unnest(string_split(text, ' ')) AS t FROM documents"
+    ),
     "daily_revenue_anomalies": _ANOMALY_SQL,
     "exact_percentile_battery": f"""
         SELECT c.c_mktsegment,
