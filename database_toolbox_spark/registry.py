@@ -135,6 +135,34 @@ register(
     )
 )
 
+def _explain_tool(spark: SparkSession, sql: str, mode: str = "formatted") -> DataFrame:
+    """EXPLAIN through the same gate as execution: the inner statement must
+    itself be permitted (the reference's gate allows Explain as a class but
+    never lets it smuggle a write; images/snowflake-mcp/entrypoint.sh:213)."""
+    from database_toolbox_spark.gate import check  # noqa: PLC0415
+
+    if mode not in ("simple", "extended", "formatted", "cost", "codegen"):
+        raise ValueError(f"unknown explain mode {mode!r}")
+    check(sql)
+    return spark.sql(f"EXPLAIN {mode.upper()} {sql}")
+
+
+register(
+    ToolSpec(
+        name="explain_query",
+        description=(
+            "Query-plan introspection: EXPLAIN (simple/extended/formatted/"
+            "cost/codegen) of a gated statement — the warehouse EXPLAIN "
+            "surface the reference exposes via passthrough."
+        ),
+        fn=_explain_tool,
+        parameters=(
+            ToolParam("sql", "string", "SQL statement to explain", required=True),
+            ToolParam("mode", "string", "explain mode (default formatted)"),
+        ),
+    )
+)
+
 register(
     ToolSpec(
         name="search_entries",

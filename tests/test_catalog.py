@@ -78,6 +78,24 @@ def test_registry_surface(spark):
     assert json.loads(got[0]["text"]) == {"one": 1}
 
 
+def test_explain_query_tool(spark):
+    out = registry.call_tool(
+        spark, "explain_query", {"sql": "SELECT count(*) FROM region"}
+    )
+    assert "Physical Plan" in json.loads(out[0]["text"])["plan"]
+    # the inner statement passes through the same gate as execution
+    from database_toolbox_spark.gate import StatementDenied  # noqa: PLC0415
+
+    import pytest  # noqa: PLC0415
+
+    with pytest.raises(StatementDenied):
+        registry.call_tool(spark, "explain_query", {"sql": "DROP TABLE region"})
+    with pytest.raises(ValueError):
+        registry.call_tool(
+            spark, "explain_query", {"sql": "SELECT 1", "mode": "verbose"}
+        )
+
+
 def test_profile_table_rejects_injection(spark):
     """The table argument binds via IDENTIFIER(:tbl) — a SQL payload in the
     tool argument must fail to resolve as a name, never execute."""
