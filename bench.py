@@ -48,6 +48,12 @@ HEADLINE = [
     "knn_graph_topk",
     "event_type_triangles",
     "dq_check_summary",
+    # incremental / sketch / sampling / diagnostics tier
+    "minhash_delta_pairs",
+    "bitmap_distinct_rollup",
+    "weighted_sample_topk",
+    "source_token_divergence",
+    "url_parse_battery",
 ]
 
 
