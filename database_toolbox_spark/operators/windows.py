@@ -255,7 +255,42 @@ def argmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_argmax_sql("max_by", "min_by"))
 
 
+_RFM_SQL = f"""
+    WITH per_cust AS (
+        SELECT o_custkey AS custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               {R("sum(o_totalprice)")} AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT custkey,
+               ntile(4) OVER (ORDER BY last_order DESC, custkey) AS r,
+               ntile(4) OVER (ORDER BY frequency DESC, custkey)  AS f,
+               ntile(4) OVER (ORDER BY monetary DESC, custkey)   AS m
+        FROM per_cust
+    )
+    SELECT r, f, m, count(*) AS n_customers,
+           min(custkey) AS example_custkey
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+"""
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency/frequency/monetary quartile scores) — the
+    canonical warehouse customer-analytics query, all windows over one
+    grouped pass of orders. Deterministic: every ntile orders by
+    (metric, custkey). Identical SQL on both engines."""
+    from database_toolbox_spark.session import load_tables  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_RFM_SQL)
+
+
 QUERIES = {
+    "customer_rfm_segments": customer_rfm_segments,
     "status_run_islands": status_run_islands,
     "revenue_share_of_region": revenue_share_of_region,
     "argmax_battery": argmax_battery,
@@ -269,6 +304,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "customer_rfm_segments": _RFM_SQL,
     "status_run_islands": _ISLANDS_SQL,
     "revenue_share_of_region": """
         WITH per_nation AS (
