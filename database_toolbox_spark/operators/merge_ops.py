@@ -104,12 +104,56 @@ def dataset_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+_SCD2_SQL = f"""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN v.n = 0 THEN DATE '1990-01-01'
+                    ELSE DATE '1996-01-01' END AS valid_from,
+               CASE WHEN v.n = 0 THEN DATE '1996-01-01'
+                    ELSE DATE '2999-01-01' END AS valid_to,
+               CASE WHEN v.n = 0 THEN c_mktsegment
+                    ELSE concat('V2_', c_mktsegment) END AS segment_version
+        FROM customer
+        CROSS JOIN (SELECT 0 AS n UNION ALL SELECT 1) v
+    )
+    SELECT d.segment_version,
+           count(*) AS n_orders,
+           {R("sum(o.o_totalprice)")} AS total_price
+    FROM orders o
+    JOIN dim d
+      ON d.c_custkey = o.o_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND o.o_orderdate < d.valid_to
+    GROUP BY d.segment_version
+    ORDER BY d.segment_version
+"""
+
+
+def scd2_point_in_time_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2) dimension join: each order joins the dimension
+    VERSION that was valid on its order date — the versioned-dim lookup every
+    warehouse ETL runs. The dimension here is customer with two synthesized
+    validity windows split at 1996-01-01 (deterministic, no RNG).
+
+    Scale shape: an equi-join on the surrogate key with the validity window
+    as a residual predicate — per-key fan-out is the (small) version count,
+    so this stays a hash join; no range-binning needed (unlike event interval
+    joins where both sides are dense in time). Identical SQL on both
+    engines."""
+    from database_toolbox_spark.session import load_tables  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_SCD2_SQL)
+
+
 QUERIES = {
+    "scd2_point_in_time_totals": scd2_point_in_time_totals,
     "merge_upsert_orders": merge_upsert_orders,
     "dataset_diff_summary": dataset_diff_summary,
 }
 
 ORACLE = {
+    "scd2_point_in_time_totals": _SCD2_SQL,
     "dataset_diff_summary": _diff_sql(
         "CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))"
         " AS INTEGER) % 100"
