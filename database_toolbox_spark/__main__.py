@@ -8,6 +8,10 @@
     python -m database_toolbox_spark --list-tables [csv]
         the list_tables tool from the shell
 
+Prepend `--tools-file <path>` to register custom YAML tools (the
+reference's extension surface, images/redshift/entrypoint.sh:80-82)
+before any of the modes above.
+
 Data dir / parallelism come from SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS
 (see config.resolve_env for aliases).
 """
@@ -32,6 +36,15 @@ def main(argv: list[str]) -> int:
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__.strip())
         return 0
+    if argv[0] == "--tools-file":
+        from database_toolbox_spark.tools_file import load_tools_file  # noqa: PLC0415
+
+        load_tools_file(argv[1])
+        argv = argv[2:]
+        if not argv:
+            for spec in registry.list_tools():
+                print(spec.name)
+            return 0
     if argv[0] == "--serve":
         serve(spark)
         return 0
