@@ -120,6 +120,16 @@ def test_execute_sql_kind_without_statement(spark, tools):
         )
 
 
+def test_named_binding_is_injection_proof(spark, tools):
+    """A SQL payload in a BOUND parameter is data, not syntax — it filters
+    nothing and executes nothing (vs the raw {{sql}} template mode, which
+    is passthrough by design and relies on the gate)."""
+    payload = "x'),(''); DROP TABLE region; --"
+    rows = _rows(spark, "segment_counts", {"segs": payload})
+    assert rows == []
+    assert spark.table("region").count() == 5
+
+
 def test_tools_listed_in_registry(tools):
     names = {t.name for t in registry.list_tools()}
     assert {"segment_counts", "region_lookup", "run_sql"} <= names
