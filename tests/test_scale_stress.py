@@ -156,3 +156,42 @@ def test_zorder_bounds_invariant_under_replication(spark):
         assert g.n_rows == b.n_rows * REPL
         assert (g.min_custkey, g.max_custkey) == (b.min_custkey, b.max_custkey)
         assert (g.min_date, g.max_date) == (b.min_date, b.max_date)
+
+
+def test_minhash_pair_algebra_under_replication(spark):
+    """Replicate documents K times with disjoint doc_id ranges: signatures
+    are per-doc, so the near-dup pair multiset is exactly predictable —
+    every original pair (a,b) appears K*K times (each copy of a with each
+    copy of b) and every doc gains C(K,2) self-copy pairs at Jaccard 1.
+    An exact correctness check of shingle→signature→band→verify at volume."""
+    from database_toolbox_spark.operators.dedup import minhash_near_dup_pairs
+    from database_toolbox_spark.session import load_tables
+
+    k = 4
+    base = minhash_near_dup_pairs(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    load_tables(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    shift = 10_000_000
+    rep = (
+        docs.crossJoin(spark.range(k).select(F.col("id").alias("rep")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * shift)
+        .drop("rep")
+    )
+    rep.createOrReplaceTempView("documents")
+    try:
+        big = minhash_near_dup_pairs(spark, SF_DIR).collect()
+    finally:
+        load_tables(spark, SF_DIR)
+    self_pairs = [r for r in big if r.doc_a % shift == r.doc_b % shift]
+    cross_pairs = [r for r in big if r.doc_a % shift != r.doc_b % shift]
+    # C(k,2) self-copy pairs per doc, all exact duplicates
+    assert len(self_pairs) == n_docs * k * (k - 1) // 2
+    assert all(r.jaccard == 1.0 for r in self_pairs)
+    # each original pair appears k*k times with the original jaccard
+    base_j = {(r.doc_a, r.doc_b): r.jaccard for r in base}
+    assert len(cross_pairs) == len(base) * k * k
+    for r in cross_pairs:
+        a, b = r.doc_a % shift, r.doc_b % shift
+        key = (min(a, b), max(a, b))
+        assert base_j[key] == r.jaccard
