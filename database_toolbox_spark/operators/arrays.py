@@ -31,8 +31,8 @@ def array_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                {R("element_at(e, 1)", 6)}                     AS first_val,
                size(filter(e, x -> x > 0))                    AS n_positive,
                {R("element_at(array_sort(e), 1)", 6)}         AS sorted_head,
-               transform(slice(e, 1, 3),
-                         x -> floor(x * 1000000 + 0.501e0) / 1000000e0)
+               to_json(transform(slice(e, 1, 3),
+                       x -> CAST(floor(x * 1000000 + 0.501e0) AS BIGINT)))
                                                               AS head3
         FROM v ORDER BY vec_id
     """)
@@ -148,9 +148,9 @@ ORACLE = {
                {R("e[1]", 6)}                                 AS first_val,
                CAST(len(list_filter(e, x -> x > 0)) AS INT)   AS n_positive,
                {R("list_sort(e)[1]", 6)}                      AS sorted_head,
-               list_transform(e[1:3],
-                              x -> floor(x * 1000000 + 0.501e0) / 1000000e0)
-                                                              AS head3
+               CAST(to_json(list_transform(e[1:3],
+                    x -> CAST(floor(x * 1000000 + 0.501e0) AS BIGINT)))
+                    AS VARCHAR)                               AS head3
         FROM v ORDER BY vec_id
     """,
     "map_json_battery": """

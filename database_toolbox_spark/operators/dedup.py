@@ -292,6 +292,27 @@ PAIR_BITS = 16  # NOTE: on this synthetic small-vocabulary corpus the
 # heavy-tailed token stats) separate cleanly; 16 bits matches
 # simhash_fingerprints and keeps the planted-dup recall floor.
 
+# Scale path: 60-bit signature, 4 bands × 15 bits = 32,768 buckets/band, so
+# band-join candidate generation stays ~linear in corpus size instead of the
+# Θ(n²/16) the 16-bit demo width degrades to. 60 (not 64) because the
+# signature is built from a hex prefix of md5 and must stay inside SIGNED
+# BIGINT in BOTH dialects — 16 hex chars would overflow DuckDB's 0x-cast and
+# Spark's conv() result for high md5s. simhash_near_dup_pairs keeps the
+# corpus-tuned 16-bit default; simhash_near_dup_pairs_wide is the shape you
+# run at 100 TB.
+WIDE_BITS = 60
+WIDE_BANDS = 4
+
+
+def _spark_xhash(n_bits: int = PAIR_BITS) -> str:
+    """Token → n_bits-bit int from the md5 hex prefix (Spark dialect)."""
+    return f"CAST(conv(substring(md5(t), 1, {n_bits // 4}), 16, 10) AS BIGINT)"
+
+
+def _duck_xhash(n_bits: int = PAIR_BITS) -> str:
+    """Token → n_bits-bit int from the md5 hex prefix (DuckDB dialect)."""
+    return f"CAST(concat('0x', substr(md5(t), 1, {n_bits // 4})) AS BIGINT)"
+
 
 def _simhash_sig_body(tokens_expr: str, x_expr: str, n_bits: int = 16) -> str:
     """The per-doc simhash aggregate (the sig CTE body), reusable either
@@ -304,20 +325,42 @@ def _simhash_sig_body(tokens_expr: str, x_expr: str, n_bits: int = 16) -> str:
     )
 
 
-def _simhash_pairs_sql(tokens_expr: str, x_expr: str, xor_expr,
-                       sig_body: str | None = None) -> str:
-    """SimHash near-dup pairs, scalably: by pigeonhole, Hamming(a,b) ≤ 3
-    over 16 bits means at least one of the four 4-bit bands is equal — so
-    candidates come from an equi-join on (band, nibble), then the exact
-    Hamming distance verifies. xor_expr(a, b) renders bitwise xor (DuckDB's
-    ^ is exponentiation). sig_body overrides the sig CTE body (e.g. a
-    SELECT from a materialized view)."""
-    sim = sig_body or _simhash_sig_body(tokens_expr, x_expr, PAIR_BITS)
-    # reuse the simhash CTE body as a subquery; 4 bands × 4 bits
+def _simhash_pairs_sql(
+    tokens_expr: str,
+    x_expr: str,
+    xor_expr,
+    sig_body: str | None = None,
+    n_bits: int = PAIR_BITS,
+    n_bands: int = 4,
+    hamming_max: int = HAMMING_MAX,
+    candidates_only: bool = False,
+) -> str:
+    """SimHash near-dup pairs, scalably: by pigeonhole, Hamming(a,b) ≤
+    n_bands - 1 over n_bits means at least one of the n_bands
+    (n_bits/n_bands)-bit bands is equal — so candidates come from an
+    equi-join on (band, chunk), then the exact Hamming distance verifies.
+    xor_expr(a, b) renders bitwise xor (DuckDB's ^ is exponentiation).
+    sig_body overrides the sig CTE body (e.g. a SELECT from a materialized
+    view). candidates_only=True emits the pre-verification candidate count
+    (the scale-shape probe the linearity stress test measures)."""
+    assert n_bits % n_bands == 0 and hamming_max < n_bands
+    band_bits = n_bits // n_bands
+    mask = (1 << band_bits) - 1
+    sim = sig_body or _simhash_sig_body(tokens_expr, x_expr, n_bits)
     bands = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band, "
-        f"CAST((simhash >> {4 * b}) & 15 AS INT) AS nib FROM sig"
-        for b in range(4)
+        f"CAST((simhash >> {band_bits * b}) & {mask} AS BIGINT) AS nib FROM sig"
+        for b in range(n_bands)
+    )
+    tail = (
+        "SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand"
+        if candidates_only
+        else f"""
+        SELECT DISTINCT doc_a, doc_b,
+               CAST(bit_count({xor_expr("sim_a", "sim_b")}) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count({xor_expr("sim_a", "sim_b")}) <= {hamming_max}
+    """
     )
     return f"""
         WITH sig AS (
@@ -332,10 +375,7 @@ def _simhash_pairs_sql(tokens_expr: str, x_expr: str, xor_expr,
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
         )
-        SELECT DISTINCT doc_a, doc_b,
-               CAST(bit_count({xor_expr("sim_a", "sim_b")}) AS INT) AS hamming
-        FROM cand
-        WHERE bit_count({xor_expr("sim_a", "sim_b")}) <= {HAMMING_MAX}
+        {tail}
     """
 
 
@@ -354,6 +394,43 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_simhash_pairs_sql(
         tokens, xhash, lambda a, b: f"({a} ^ {b})",
         sig_body="SELECT * FROM sh_sig_mat",
+    ))
+
+
+def simhash_band_candidate_count(
+    spark: SparkSession, n_bits: int = WIDE_BITS, n_bands: int = WIDE_BANDS
+) -> int:
+    """Pre-verification band-join candidate count over the CURRENT
+    `documents` view — the scale-shape probe: candidate volume, not output
+    rows, is what decides whether a banding width survives 100×
+    (tests/test_scale_stress.py asserts wide ≫ narrow selectivity)."""
+    tokens = "explode(array_distinct(split(text, ' ')))"
+    row = spark.sql(_simhash_pairs_sql(
+        tokens, _spark_xhash(n_bits), lambda a, b: f"({a} ^ {b})",
+        n_bits=n_bits, n_bands=n_bands, hamming_max=min(n_bands - 1, 1),
+        candidates_only=True,
+    )).collect()[0]
+    return int(row.n_candidates)
+
+
+def simhash_near_dup_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on the WIDE scale path: 60-bit signature,
+    4 × 15-bit bands → 32,768 buckets per band, so candidate generation is
+    ~linear in corpus size (vs Θ(n²/16) for the 16-bit demo width — see
+    WIDE_BITS note; linearity asserted under replication in
+    tests/test_scale_stress.py). On this small-vocab synthetic corpus the
+    wide hash saturates (see PAIR_BITS note) so hamming≤1 keeps the output
+    to genuinely-identical signatures; on a real corpus this is the exact
+    operator you run at 100 TB."""
+    load_tables(spark, sf_dir)
+    tokens = "explode(array_distinct(split(text, ' ')))"
+    materialize(
+        spark.sql(_simhash_sig_body(tokens, _spark_xhash(WIDE_BITS), WIDE_BITS))
+    ).createOrReplaceTempView("sh_sig_wide_mat")
+    return spark.sql(_simhash_pairs_sql(
+        tokens, _spark_xhash(WIDE_BITS), lambda a, b: f"({a} ^ {b})",
+        sig_body="SELECT * FROM sh_sig_wide_mat",
+        n_bits=WIDE_BITS, n_bands=WIDE_BANDS, hamming_max=1,
     ))
 
 
@@ -583,6 +660,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
+    "simhash_near_dup_pairs_wide": simhash_near_dup_pairs_wide,
     "embedding_topk_pairs": embedding_topk_pairs,
 }
 
@@ -685,6 +763,12 @@ ORACLE = {
     "simhash_fingerprints": _simhash_sql(
         "unnest(list_distinct(string_split(text, ' ')))",
         "CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER)",
+    ),
+    "simhash_near_dup_pairs_wide": _simhash_pairs_sql(
+        "unnest(list_distinct(string_split(text, ' ')))",
+        _duck_xhash(WIDE_BITS),
+        lambda a, b: f"xor({a}, {b})",
+        n_bits=WIDE_BITS, n_bands=WIDE_BANDS, hamming_max=1,
     ),
     "embedding_topk_pairs": f"""
         WITH v AS (

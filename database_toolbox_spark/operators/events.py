@@ -369,7 +369,9 @@ ORACLE = {
         )
         SELECT event_type,
                count(*) AS n,
-               sum(k) AS sum_k,
+               -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas
+               -- renders as float64 and breaks the driver's value hash
+               CAST(sum(k) AS BIGINT) AS sum_k,
                min(k) AS min_k,
                max(k) AS max_k,
                count(*) FILTER (WHERE k >= 50) AS n_high
@@ -454,10 +456,12 @@ ORACLE = {
             SELECT first_day AS day, count(*) AS new_users
             FROM first_seen GROUP BY first_day
         )
+        -- CAST: DuckDB windowed SUM(BIGINT) yields HUGEINT → pandas float64,
+        -- which breaks the driver's value hash against Spark's BIGINT
         SELECT day, new_users,
-               sum(new_users) OVER (ORDER BY day
+               CAST(sum(new_users) OVER (ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS cumulative_users
+                   AS BIGINT) AS cumulative_users
         FROM daily_new ORDER BY day
     """,
     "cohort_retention": """
@@ -479,7 +483,7 @@ ORACLE = {
     "event_json_stats": f"""
         SELECT event_type,
                count(*)                                          AS n,
-               sum(CAST(props->>'$.k' AS BIGINT))                AS sum_k,
+               CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
                {R("avg(CAST(props->>'$.k' AS BIGINT))", 4)}      AS avg_k,
                {R("sum(value)")}                                 AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type

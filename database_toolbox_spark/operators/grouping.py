@@ -264,10 +264,12 @@ ORACLE = {
         ORDER BY l_returnflag, l_linestatus
     """,
     "pivot_segment_status": """
+        -- count(*) FILTER stays BIGINT; sum(CASE...) would be HUGEINT in
+        -- DuckDB and hash-mismatch Spark's long counts via pandas float64
         SELECT c.c_mktsegment,
-               sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
-               sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
-               sum(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+               count(*) FILTER (WHERE o.o_orderstatus = 'F') AS "F",
+               count(*) FILTER (WHERE o.o_orderstatus = 'O') AS "O",
+               count(*) FILTER (WHERE o.o_orderstatus = 'P') AS "P"
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
         ORDER BY c.c_mktsegment

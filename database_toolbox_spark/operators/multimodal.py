@@ -153,7 +153,7 @@ ORACLE = {
     "binary_meta_stats": """
         SELECT source,
                count(*)                                   AS n_docs,
-               sum(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                CAST(min(octet_length(encode(text))) AS INT)    AS min_bytes,
                CAST(max(octet_length(encode(text))) AS INT)    AS max_bytes
         FROM documents GROUP BY source ORDER BY source

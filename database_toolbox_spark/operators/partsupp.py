@@ -249,9 +249,11 @@ ORACLE = {
         WITH {_PARTSUPP_CTE}
         SELECT count(*) AS n_rows,
                count(DISTINCT ps_suppkey) AS n_suppliers,
-               sum(ps_availqty) AS sum_avail,
+               -- CASTs: DuckDB SUM over integers is HUGEINT → pandas
+               -- float64, breaking the driver hash vs Spark's BIGINT
+               CAST(sum(ps_availqty) AS BIGINT) AS sum_avail,
                {R("sum(ps_supplycost)")} AS sum_cost,
-               sum(ps_partkey * ps_suppkey) AS key_dot
+               CAST(sum(ps_partkey * ps_suppkey) AS BIGINT) AS key_dot
         FROM partsupp
     """,
     "min_cost_supplier": f"""

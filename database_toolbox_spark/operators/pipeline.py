@@ -52,27 +52,59 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+PACK_SHARDS = 32  # range shards for the two-pass prefix sum; raise with
+# cluster size at scale — the only cross-shard state is one BIGINT per shard
+
+
 def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential sample packing: fill fixed-size context windows with docs
     in deterministic order (running char total → bin = cumlen div budget).
-    The window runs over one row per DOC (not per token), so state is tiny;
-    at scale packing is done per shard (partition) — the global window here
-    is the single-shard flavor."""
+
+    Two-pass distributed prefix sum — the 100 TB shape: docs are RANGE-
+    sharded on doc_id (order-preserving), pass 1 computes each shard's char
+    total (one grouped agg), shard offsets come from a tiny triangular
+    self-join over the ≤PACK_SHARDS totals (no unpartitioned window
+    anywhere), pass 2 adds a PARTITIONed running window + broadcast offset.
+    Identical output to the sequential global-window spelling, which remains
+    the (engine-local) oracle."""
     load_tables(spark, sf_dir)
     return spark.sql(f"""
-        WITH d AS (
-            SELECT doc_id, n_chars,
-                   sum(n_chars) OVER (ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS cum_chars
+        WITH m AS (
+            SELECT CAST(ceil((max(doc_id) + 1) / {PACK_SHARDS}e0) AS BIGINT)
+                   AS w
             FROM documents
+        ),
+        d AS (
+            SELECT doc_id, n_chars, doc_id div w AS shard
+            FROM documents, m
+        ),
+        tot AS (
+            SELECT shard, sum(n_chars) AS shard_sum FROM d GROUP BY shard
+        ),
+        off AS (
+            SELECT a.shard,
+                   CAST(coalesce(sum(b.shard_sum), 0) AS BIGINT) AS shard_off
+            FROM tot a LEFT JOIN tot b ON b.shard < a.shard
+            GROUP BY a.shard
+        ),
+        p AS (
+            SELECT doc_id, n_chars, shard,
+                   sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS local_cum
+            FROM d
+        ),
+        g AS (
+            SELECT p.doc_id, p.n_chars,
+                   p.local_cum + o.shard_off AS cum_chars
+            FROM p JOIN off o ON p.shard = o.shard
         )
         SELECT doc_id, n_chars,
                CAST((cum_chars - n_chars) / {PACK_BUDGET} AS BIGINT) AS pack_bin,
                cum_chars - n_chars
                    - CAST((cum_chars - n_chars) / {PACK_BUDGET} AS BIGINT)
                      * {PACK_BUDGET} AS offset_in_bin
-        FROM d ORDER BY doc_id
+        FROM g ORDER BY doc_id
     """)
 
 
@@ -161,7 +193,9 @@ def _funnel_sql(ntoks_expr: str) -> str:
         agg_in AS (SELECT source, count(*) AS n_input FROM base GROUP BY source),
         agg_q  AS (SELECT source, count(*) AS n_quality FROM q GROUP BY source),
         agg_c  AS (SELECT source, count(*) AS n_clean,
-                          sum(n_toks) AS tokens_kept
+                          -- CAST: DuckDB SUM(INT) is HUGEINT (driver-hash
+                          -- hazard); no-op on the Spark side
+                          CAST(sum(n_toks) AS BIGINT) AS tokens_kept
                    FROM clean GROUP BY source)
         SELECT i.source, i.n_input,
                coalesce(a.n_quality, 0) AS n_quality,
@@ -273,17 +307,21 @@ ORACLE = {
     """,
     "pack_documents": f"""
         WITH d AS (
+            -- sequential single-shard spelling = the ground truth the
+            -- two-pass distributed prefix sum must reproduce exactly.
+            -- CAST: windowed SUM(INT) is HUGEINT in DuckDB (driver hazard)
             SELECT doc_id, n_chars,
-                   sum(n_chars) OVER (ORDER BY doc_id
+                   CAST(sum(n_chars) OVER (ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS cum_chars
+                       AS BIGINT) AS cum_chars
             FROM documents
         )
         SELECT doc_id, n_chars,
-               (cum_chars - n_chars) // {PACK_BUDGET} AS pack_bin,
-               cum_chars - n_chars
+               CAST((cum_chars - n_chars) // {PACK_BUDGET} AS BIGINT)
+                   AS pack_bin,
+               CAST(cum_chars - n_chars
                    - ((cum_chars - n_chars) // {PACK_BUDGET}) * {PACK_BUDGET}
-                   AS offset_in_bin
+                   AS BIGINT) AS offset_in_bin
         FROM d ORDER BY doc_id
     """,
     "build_vocab": f"""

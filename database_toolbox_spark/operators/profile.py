@@ -98,8 +98,10 @@ def _stratified_sql(bucket_expr: str) -> str:
         SELECT c.c_mktsegment,
                r.rate_pct,
                count(*) AS n_total,
-               sum(CASE WHEN {bucket_expr} < r.rate_pct THEN 1 ELSE 0 END)
-                   AS n_sampled
+               -- CAST: DuckDB SUM(INT) yields HUGEINT → pandas float64,
+               -- breaking the driver hash (no-op on the Spark side)
+               CAST(sum(CASE WHEN {bucket_expr} < r.rate_pct THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sampled
         FROM customer c JOIN rates r ON c.c_mktsegment = r.seg
         GROUP BY c.c_mktsegment, r.rate_pct
         ORDER BY c.c_mktsegment

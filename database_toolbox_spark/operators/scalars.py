@@ -180,14 +180,16 @@ def decimal_money_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DECIMAL aggregation: cast DOUBLE money to DECIMAL(15,2) and
     sum — decimal arithmetic is exact, so this oracle needs NO rounding
     canonicalization at all (the one aggregate family where both engines
-    agree bit-for-bit by construction)."""
+    agree bit-for-bit by construction). Emitted as fixed-scale STRINGs:
+    the driver's pandas path would otherwise narrow DuckDB decimals to
+    float64 ('…314.0') while Spark keeps Decimal('…314.00')."""
     load_tables(spark, sf_dir)
     return spark.sql("""
         SELECT o_orderstatus,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(15, 2)))
-                    AS DECIMAL(18, 2)) AS total_dec,
-               CAST(avg(CAST(o_totalprice AS DECIMAL(15, 2)))
-                    AS DECIMAL(18, 4)) AS avg_dec,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(15, 2)))
+                    AS DECIMAL(18, 2)) AS STRING) AS total_dec,
+               CAST(CAST(avg(CAST(o_totalprice AS DECIMAL(15, 2)))
+                    AS DECIMAL(18, 4)) AS STRING) AS avg_dec,
                count(*) AS n
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """)
@@ -296,8 +298,7 @@ ORACLE = {
         )
         SELECT min(lower(seg))                                    AS seg_norm,
                count(*)                                           AS n,
-               sum(CASE WHEN lower(seg) = 'building'
-                        THEN 1 ELSE 0 END)                        AS eq_building,
+               count(*) FILTER (WHERE lower(seg) = 'building')    AS eq_building,
                CAST(min(lower(seg)) = max(lower(seg)) AS INT)     AS minmax_collapse
         FROM mixed
         GROUP BY lower(seg)
@@ -313,9 +314,9 @@ ORACLE = {
         SELECT count(*)                                     AS n_rows,
                count(maybe_status)                          AS n_nonnull,
                count(*) - count(maybe_status)               AS n_null,
-               sum(CAST(maybe_status IS NOT DISTINCT FROM NULL AS INT))
+               count(*) FILTER (WHERE maybe_status IS NOT DISTINCT FROM NULL)
                                                             AS n_nullsafe_eq_null,
-               sum(CAST(maybe_status IS DISTINCT FROM 'O' AS INT))
+               count(*) FILTER (WHERE maybe_status IS DISTINCT FROM 'O')
                                                             AS n_distinct_from_o,
                count(ifnull(maybe_status, 'missing'))       AS n_filled
         FROM t
@@ -335,10 +336,10 @@ ORACLE = {
     """,
     "decimal_money_totals": """
         SELECT o_orderstatus,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(15, 2)))
-                    AS DECIMAL(18, 2)) AS total_dec,
-               CAST(avg(CAST(o_totalprice AS DECIMAL(15, 2)))
-                    AS DECIMAL(18, 4)) AS avg_dec,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(15, 2)))
+                    AS DECIMAL(18, 2)) AS VARCHAR) AS total_dec,
+               CAST(CAST(avg(CAST(o_totalprice AS DECIMAL(15, 2)))
+                    AS DECIMAL(18, 4)) AS VARCHAR) AS avg_dec,
                count(*) AS n
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,

@@ -466,8 +466,10 @@ ORACLE = {
         q AS (SELECT qv AS query_qv FROM quant WHERE vec_id = {QUERY_VEC_ID}),
         scored AS (
             SELECT e.vec_id, e.label,
-                   list_aggregate(list_transform(range(1, len(e.qv) + 1),
-                       i -> e.qv[i] * q.query_qv[i]), 'sum') AS qdot
+                   -- CAST: DuckDB list_aggregate sum over BIGINTs yields
+                   -- HUGEINT → pandas float64, breaking the driver hash
+                   CAST(list_aggregate(list_transform(range(1, len(e.qv) + 1),
+                       i -> e.qv[i] * q.query_qv[i]), 'sum') AS BIGINT) AS qdot
             FROM quant e CROSS JOIN q
             WHERE e.vec_id <> {QUERY_VEC_ID}
         )

@@ -401,10 +401,10 @@ ORACLE = {
     """,
     "late_shipment_priorities": """
         SELECT l.l_returnflag,
-               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+               count(*) FILTER (WHERE o.o_orderpriority
+                                IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+               count(*) FILTER (WHERE o.o_orderpriority
+                                NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

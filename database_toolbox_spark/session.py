@@ -105,8 +105,33 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _view_registry(spark: SparkSession) -> dict[str, DataFrame]:
+    """Per-session map of temp views THIS module registered → the DataFrame
+    we registered. Lets load_table distinguish its own registrations (safe
+    to refresh with a fresh read — fresh expression IDs avoid ambiguous
+    self-join errors when operators recombine tables) from
+    caller-substituted views (must be left alone so operators compose —
+    see test_scale_stress replication)."""
+    reg = getattr(spark, "_dts_views", None)
+    if reg is None:
+        reg = {}
+        spark._dts_views = reg
+    return reg
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, replace: bool = False
+) -> DataFrame:
     """Read one table and register it as a temp view under its bare name.
+
+    Composability contract: if the CURRENT view under `name` is a caller's
+    substitution (its plan differs from what we registered — detected via
+    ``sameSemantics``, which canonicalizes expression IDs), it is preserved
+    and returned as-is, so operators run against the caller's data. Our own
+    registrations are refreshed with a fresh parquet read each call — fresh
+    expression IDs, so recombining the same table twice never trips Spark's
+    ambiguous-self-join check. ``replace=True`` forces re-registration from
+    parquet (restoring the real table after a test swapped in a view).
 
     TIMESTAMP(NANOS) columns (e.g. events.ts) are read as nanos-since-epoch
     longs (`spark.sql.legacy.parquet.nanosAsLong`) and cast back to
@@ -115,6 +140,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_confs(spark)
+    reg = _view_registry(spark)
+    if not replace and spark.catalog.tableExists(name):
+        cur = spark.table(name)
+        ours = reg.get(name)
+        if ours is None or not cur.sameSemantics(ours):
+            # caller-registered (or caller-overwritten) view: leave it
+            return cur
+        # the view is our own registration: fall through and refresh it
     path = table_path(sf_dir, name)
     nanos_cols = _nanos_ts_columns(path)
     if nanos_cols:
@@ -124,6 +157,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     df = df.select(*[f.name for f in df.schema])  # keep original column order
     df.createOrReplaceTempView(name)
+    reg[name] = df
     return df
 
 
@@ -160,12 +194,16 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def load_tables(
+    spark: SparkSession, sf_dir: str, replace: bool = False
+) -> dict[str, DataFrame]:
     """Register the full star schema as temp views; return name → DataFrame.
+    Register-if-absent (see load_table); ``replace=True`` forces parquet
+    re-registration of every table.
 
     Mirrors the reference's "source" concept (a connection makes the engine's
     tables visible; `/root/reference/images/redshift/redshift.yaml:1-8`): after
     this call, `spark.sql` and the catalog tools can see every table.
     """
     ensure_session_confs(spark)
-    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+    return {name: load_table(spark, sf_dir, name, replace=replace) for name in TABLES}

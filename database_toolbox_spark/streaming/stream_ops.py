@@ -23,21 +23,25 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from database_toolbox_spark.session import table_path
+from database_toolbox_spark.session import _nanos_ts_columns, table_path
 
-# events schema with ts already usable as a timestamp: the fixture stores
-# TIMESTAMP(NANOS) which Spark's parquet reader takes as long (nanosAsLong);
-# the stream converts scan-side, same as session.load_table.
-_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos since epoch
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _raw_schema(ts_nanos: bool) -> T.StructType:
+    """events schema for the file stream source. The fixture's ts physical
+    type varies by generator version (TIMESTAMP(NANOS) vs MICROS) — detected
+    from the parquet footer, same as session.load_table. Nanos are read as
+    longs (nanosAsLong) and converted scan-side; micros are native."""
+    ts_type = T.LongType() if ts_nanos else T.TimestampType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -58,13 +62,17 @@ def _stream_dir(sf_dir: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a stream (file source over a staged directory)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_nanos = "ts" in _nanos_ts_columns(table_path(sf_dir, "events"))
+    if ts_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(_RAW_SCHEMA)
+        spark.readStream.schema(_raw_schema(ts_nanos))
         .format("parquet")
         .load(_stream_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def stream_hourly_counts(events: DataFrame) -> DataFrame:

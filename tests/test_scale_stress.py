@@ -121,7 +121,7 @@ def test_pagerank_invariant_under_replication(spark, big_lineitem):
     try:
         big = [(r.node, r.rank) for r in pagerank_from_views(spark).collect()]
     finally:
-        load_tables(spark, SF_DIR)  # restore the real view
+        load_tables(spark, SF_DIR, replace=True)  # restore the real view
     assert big == base
 
 
@@ -149,7 +149,7 @@ def test_zorder_bounds_invariant_under_replication(spark):
             )).collect()
         }
     finally:
-        load_tables(spark, SF_DIR)
+        load_tables(spark, SF_DIR, replace=True)
     assert base.keys() == big.keys()
     for k, b in base.items():
         g = big[k]
@@ -182,7 +182,7 @@ def test_minhash_pair_algebra_under_replication(spark):
     try:
         big = minhash_near_dup_pairs(spark, SF_DIR).collect()
     finally:
-        load_tables(spark, SF_DIR)
+        load_tables(spark, SF_DIR, replace=True)
     self_pairs = [r for r in big if r.doc_a % shift == r.doc_b % shift]
     cross_pairs = [r for r in big if r.doc_a % shift != r.doc_b % shift]
     # C(k,2) self-copy pairs per doc, all exact duplicates
@@ -195,3 +195,52 @@ def test_minhash_pair_algebra_under_replication(spark):
         a, b = r.doc_a % shift, r.doc_b % shift
         key = (min(a, b), max(a, b))
         assert base_j[key] == r.jaccard
+
+
+def _synthetic_vocab_rich_docs(spark, n: int):
+    """n distinct documents of 30 md5-derived tokens each: a vocabulary-rich
+    corpus (unlike the small-vocab fixture) where simhash signatures spread
+    near-uniformly — the regime real pretraining corpora live in."""
+    return spark.range(n).selectExpr(
+        "id AS doc_id",
+        "array_join(transform(sequence(1, 30),"
+        " i -> substr(md5(concat(id, ':', i)), 1, 8)), ' ') AS text",
+    )
+
+
+def test_simhash_wide_banding_is_selective_and_subquadratic(spark):
+    """The scale claim behind simhash_near_dup_pairs_wide: 15-bit bands
+    (32,768 buckets) must collapse candidate volume vs the 4-bit demo bands
+    (16 buckets), and per-doc candidate load must stay O(1) as the corpus
+    doubles — the narrow width's per-doc load grows linearly with corpus
+    size (Θ(n²) total), which is exactly what cannot survive 100×."""
+    from database_toolbox_spark.operators.dedup import (
+        PAIR_BITS,
+        WIDE_BITS,
+        simhash_band_candidate_count,
+    )
+    from database_toolbox_spark.session import load_tables
+
+    load_tables(spark, SF_DIR)
+    counts = {}
+    try:
+        for n in (1000, 2000):
+            _synthetic_vocab_rich_docs(spark, n).createOrReplaceTempView(
+                "documents"
+            )
+            counts[("wide", n)] = simhash_band_candidate_count(
+                spark, n_bits=WIDE_BITS
+            )
+            counts[("narrow", n)] = simhash_band_candidate_count(
+                spark, n_bits=PAIR_BITS
+            )
+    finally:
+        load_tables(spark, SF_DIR, replace=True)
+    # narrow 16-bit: ~n²/32 per band → hundreds of candidates PER DOC
+    # wide 60-bit: birthday-bounded → well under 1 candidate per doc
+    for n in (1000, 2000):
+        assert counts[("wide", n)] < n, counts
+        assert counts[("narrow", n)] > 50 * counts[("wide", n)], counts
+    # doubling the corpus must not quadruple the wide per-doc load:
+    # allow 2.5x per-doc growth headroom over strictly-linear total growth
+    assert counts[("wide", 2000)] <= 5 * max(counts[("wide", 1000)], 20), counts
