@@ -409,7 +409,7 @@ def simhash_band_candidate_count(
         tokens, _spark_xhash(n_bits), lambda a, b: f"({a} ^ {b})",
         n_bits=n_bits, n_bands=n_bands, hamming_max=min(n_bands - 1, 1),
         candidates_only=True,
-    )).collect()[0]
+    )).collect()[0]  # guard-exempt: bounded driver fetch (1 count row)
     return int(row.n_candidates)
 
 

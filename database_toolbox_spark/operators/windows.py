@@ -87,18 +87,60 @@ def daily_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(4) by account balance with deterministic ordering."""
-    cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+def _ntile_from_rn(rn: str, n: str, k: int) -> str:
+    """Exact SQL ntile(k) from a 1-based global row number `rn` and total
+    count `n` — the first n%k tiles get n//k+1 rows, the rest n//k — so a
+    distributed two-pass row number reproduces the window function
+    bit-for-bit (identical in Spark and DuckDB integer semantics)."""
+    q = f"({n} div {k})"
+    rem = f"({n} % {k})"
     return (
-        cust.select(
-            "c_custkey",
-            money(F.col("c_acctbal")).alias("acctbal"),
-            F.ntile(4).over(w).alias("quartile"),
-        )
-        .orderBy("c_custkey")
+        f"CAST(CASE WHEN {rn} <= {rem} * ({q} + 1) "
+        f"THEN ({rn} - 1) div ({q} + 1) + 1 "
+        f"ELSE {rem} + ({rn} - {rem} * ({q} + 1) - 1) div {q} + 1 "
+        f"END AS INT)"
     )
+
+
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) by account balance with deterministic ordering — computed
+    WITHOUT a global window (the oracle's `ntile(4) OVER (ORDER BY ...)`
+    funnels the whole table through one task; this is the 100 TB-safe
+    two-pass equivalent, exact to the bit):
+
+    1. shard rows by a monotone value bin of the leading sort key (equal
+       keys always share a bin, so tie-breaks stay within one partition),
+    2. per-bin counts → broadcast prefix offsets (triangular join over the
+       ~50 bins),
+    3. per-bin PARTITIONed row_number + offset = exact global row number,
+    4. closed-form ntile (see _ntile_from_rn).
+    """
+    load_table(spark, sf_dir, "customer")
+    return spark.sql(f"""
+        WITH m AS (SELECT count(*) AS n FROM customer),
+        b AS (
+            SELECT c_custkey, c_acctbal,
+                   CAST(-floor(c_acctbal / 250e0) AS BIGINT) AS bin
+            FROM customer
+        ),
+        t AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+        o AS (
+            SELECT a.bin, CAST(coalesce(sum(x.c), 0) AS BIGINT) AS off
+            FROM t a LEFT JOIN t x ON x.bin < a.bin
+            GROUP BY a.bin
+        ),
+        r AS (
+            SELECT b.c_custkey, b.c_acctbal,
+                   o.off + row_number() OVER (PARTITION BY b.bin
+                       ORDER BY b.c_acctbal DESC, b.c_custkey) AS rn
+            FROM b JOIN o ON b.bin = o.bin
+        )
+        SELECT c_custkey,
+               floor(c_acctbal * 100 + 0.501e0) / 100e0 AS acctbal,
+               {_ntile_from_rn("rn", "n", 4)} AS quartile
+        FROM r, m
+        ORDER BY c_custkey
+    """)
 
 
 def nation_balance_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,15 +320,72 @@ _RFM_SQL = f"""
 """
 
 
+def _two_pass_rank_ctes(tag: str, metric: str, bin_expr: str) -> str:
+    """CTE chain computing the exact global DESC row number of `metric`
+    (ties by custkey) without a global window: monotone value bins →
+    per-bin counts → broadcast triangular prefix offsets → PARTITIONed
+    per-bin row_number + offset. Equal metric values always share a bin,
+    so custkey tie-breaking stays partition-local and the result matches
+    `row_number() OVER (ORDER BY metric DESC, custkey)` exactly."""
+    return f"""
+        b_{tag} AS (SELECT custkey, {metric} AS v, {bin_expr} AS bin
+                    FROM per_cust),
+        t_{tag} AS (SELECT bin, count(*) AS c FROM b_{tag} GROUP BY bin),
+        o_{tag} AS (SELECT a.bin, CAST(coalesce(sum(x.c), 0) AS BIGINT) AS off
+                    FROM t_{tag} a LEFT JOIN t_{tag} x ON x.bin < a.bin
+                    GROUP BY a.bin),
+        r_{tag} AS (SELECT b.custkey,
+                           o.off + row_number() OVER (PARTITION BY b.bin
+                               ORDER BY b.v DESC, b.custkey) AS rn
+                    FROM b_{tag} b JOIN o_{tag} o ON b.bin = o.bin)"""
+
+
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency/frequency/monetary quartile scores) — the
-    canonical warehouse customer-analytics query, all windows over one
-    grouped pass of orders. Deterministic: every ntile orders by
-    (metric, custkey). Identical SQL on both engines."""
+    canonical warehouse customer-analytics query. The oracle keeps the
+    three global-ntile spelling (_RFM_SQL); the Spark plan computes each
+    quartile score with the two-pass exact rank (no unpartitioned window —
+    see _two_pass_rank_ctes / _ntile_from_rn), the shape that survives
+    hundreds of millions of customers."""
     from database_toolbox_spark.session import load_tables  # noqa: PLC0415
 
     load_tables(spark, sf_dir)
-    return spark.sql(_RFM_SQL)
+    per_cust = f"""
+        per_cust AS (
+            SELECT o_custkey AS custkey,
+                   max(o_orderdate) AS last_order,
+                   count(*) AS frequency,
+                   {R("sum(o_totalprice)")} AS monetary
+            FROM orders GROUP BY o_custkey
+        )"""
+    return spark.sql(f"""
+        WITH {per_cust},
+        cnt AS (SELECT count(*) AS n FROM per_cust),
+        {_two_pass_rank_ctes(
+            "r", "last_order",
+            "CAST(-(datediff(last_order, DATE '1992-01-01') div 30)"
+            " AS BIGINT)",
+        )},
+        {_two_pass_rank_ctes("f", "frequency", "-frequency")},
+        {_two_pass_rank_ctes(
+            "m", "monetary", "CAST(-floor(monetary / 25000e0) AS BIGINT)"
+        )},
+        scored AS (
+            SELECT r_r.custkey,
+                   {_ntile_from_rn("r_r.rn", "n", 4)} AS r,
+                   {_ntile_from_rn("r_f.rn", "n", 4)} AS f,
+                   {_ntile_from_rn("r_m.rn", "n", 4)} AS m
+            FROM r_r
+            JOIN r_f ON r_f.custkey = r_r.custkey
+            JOIN r_m ON r_m.custkey = r_r.custkey
+            CROSS JOIN cnt
+        )
+        SELECT r, f, m, count(*) AS n_customers,
+               min(custkey) AS example_custkey
+        FROM scored
+        GROUP BY r, f, m
+        ORDER BY r, f, m
+    """)
 
 
 QUERIES = {

@@ -224,3 +224,41 @@ def test_join_strategy_hints_honored(spark):
     assert "ShuffledHashJoin" in _plan(sh, "simple")
     sm = orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
     assert "SortMergeJoin" in _plan(sm, "simple")
+
+
+def _window_ops(df):
+    """Physical-plan Window operator lines with 2 lines of child context."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    return [
+        "\n".join(lines[i : i + 3])
+        for i, ln in enumerate(lines)
+        if "Window [" in ln
+    ]
+
+
+@pytest.mark.parametrize(
+    "make",
+    [
+        pytest.param(lambda s: __import__(
+            "database_toolbox_spark.operators.windows", fromlist=["x"]
+        ).customer_balance_quartiles(s, SF_DIR), id="balance_quartiles"),
+        pytest.param(lambda s: __import__(
+            "database_toolbox_spark.operators.windows", fromlist=["x"]
+        ).customer_rfm_segments(s, SF_DIR), id="rfm_segments"),
+        pytest.param(lambda s: __import__(
+            "database_toolbox_spark.operators.pipeline", fromlist=["x"]
+        ).pack_documents(s, SF_DIR), id="pack_documents"),
+    ],
+)
+def test_no_unpartitioned_window(spark, make):
+    """The two-pass rank/prefix-sum rewrites must keep every window
+    PARTITIONed — a `Window [...], [], [...]` (empty partition spec) or a
+    SinglePartition exchange feeding a window is the global-sort shape that
+    cannot survive 100x."""
+    ops = _window_ops(make(spark))
+    assert ops, "expected at least one Window operator"
+    for op in ops:
+        head = op.splitlines()[0]
+        assert "], [], [" not in head, f"unpartitioned window:\n{op}"
+        assert "SinglePartition" not in op, f"single-partition window:\n{op}"
