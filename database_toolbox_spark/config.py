@@ -58,3 +58,76 @@ def resolve_env(env: dict[str, str] | None = None) -> EngineConfig:
         cpus=env.get("SPARK_GRAFT_CPUS", "32"),
         shuffle_partitions=env.get("SPARK_GRAFT_SHUFFLE"),
     ).validate()
+
+
+# --- service-account-JSON credential materialization ------------------------
+# Parity with the reference's BigQuery credential setup
+# (images/bigquery/setup-google-credentials.sh:63-112): an inline
+# GOOGLE_SERVICE_ACCOUNT_JSON env var is validated, written to a temp file
+# with 0600 permissions, exported via GOOGLE_APPLICATION_CREDENTIALS, and
+# the project id is surfaced as GOOGLE_CLOUD_PROJECT. Local Spark needs no
+# Google auth — the value is exercising the same config contract (e.g. for
+# a GCS/BigQuery connector jar on a real cluster).
+
+
+def validate_service_account_json(json_content: str) -> None:
+    """Validation rules and error messages mirror the reference script
+    (setup-google-credentials.sh:33-60): JSON object shape, then the
+    type/project_id/private_key required fields, checked in that order."""
+    s = json_content.strip()
+    if not (s.startswith("{") and s.endswith("}")):
+        raise ConfigError(
+            "Invalid JSON format in GOOGLE_SERVICE_ACCOUNT_JSON - "
+            "must be a JSON object"
+        )
+    import json as _json
+
+    try:
+        obj = _json.loads(s)
+    except ValueError as e:
+        raise ConfigError(
+            "Invalid JSON format in GOOGLE_SERVICE_ACCOUNT_JSON - "
+            "must be a JSON object"
+        ) from e
+    if obj.get("type") != "service_account":
+        raise ConfigError(
+            "JSON does not appear to be a service account - "
+            "missing 'type: service_account'"
+        )
+    if "project_id" not in obj:
+        raise ConfigError(
+            "Service account JSON missing required 'project_id' field"
+        )
+    if "private_key" not in obj:
+        raise ConfigError(
+            "Service account JSON missing required 'private_key' field"
+        )
+
+
+def setup_google_credentials(
+    env: dict[str, str] | None = None, temp_dir: str | None = None
+) -> str | None:
+    """Materialize inline SA JSON to a 0600 temp file; returns the
+    credentials path (the new file, the pre-existing
+    GOOGLE_APPLICATION_CREDENTIALS, or None when no credentials are
+    configured — same precedence as setup-google-credentials.sh:63-112).
+    Mutates `env` (or os.environ) like the reference exports."""
+    import json as _json
+    import tempfile
+
+    environ = os.environ if env is None else env
+    inline = environ.get("GOOGLE_SERVICE_ACCOUNT_JSON")
+    if not inline:
+        return environ.get("GOOGLE_APPLICATION_CREDENTIALS") or None
+    validate_service_account_json(inline)
+    fd, path = tempfile.mkstemp(
+        prefix="sa-credentials-", suffix=".json", dir=temp_dir
+    )
+    with os.fdopen(fd, "w") as f:
+        f.write(inline)
+    os.chmod(path, 0o600)
+    environ["GOOGLE_APPLICATION_CREDENTIALS"] = path
+    project_id = _json.loads(inline).get("project_id")
+    if project_id and project_id != "project_id":
+        environ["GOOGLE_CLOUD_PROJECT"] = str(project_id)
+    return path

@@ -28,6 +28,7 @@ def _modules():
         grouping,
         ivm,
         joins,
+        looker_ops,
         merge_ops,
         multimodal,
         partitioning,
@@ -62,6 +63,7 @@ def _modules():
         grouping,
         ivm,
         joins,
+        looker_ops,
         merge_ops,
         multimodal,
         partitioning,

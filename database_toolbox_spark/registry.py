@@ -179,3 +179,123 @@ register(
         ),
     )
 )
+
+
+# --- Looker-style semantic layer (README.md:844-880 `--prebuilt looker`) ----
+
+def _looker_query_tool(
+    spark: SparkSession,
+    explore: str,
+    fields: str,
+    filters: str = "",
+    sorts: str = "",
+    limit: str = "",
+) -> DataFrame:
+    """The canonical Looker `query` tool: CSV field list, JSON filters."""
+    import json as _json  # noqa: PLC0415
+    import os as _os  # noqa: PLC0415
+
+    from database_toolbox_spark import looker as _looker  # noqa: PLC0415
+    from database_toolbox_spark.session import DEFAULT_SF_DIR  # noqa: PLC0415
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    return _looker.run_query(
+        spark,
+        sf_dir,
+        explore,
+        [f.strip() for f in fields.split(",") if f.strip()],
+        _json.loads(filters) if filters else None,
+        [s.strip() for s in sorts.split(",") if s.strip()] or None,
+        int(limit) if limit else None,
+    )
+
+
+def _looker_run_look_tool(spark: SparkSession, look_id: str) -> DataFrame:
+    import os as _os  # noqa: PLC0415
+
+    from database_toolbox_spark import looker as _looker  # noqa: PLC0415
+    from database_toolbox_spark.session import DEFAULT_SF_DIR  # noqa: PLC0415
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    return _looker.run_look(spark, sf_dir, int(look_id))
+
+
+def _looker_meta(fn_name: str):
+    from database_toolbox_spark import looker as _looker  # noqa: PLC0415
+
+    return getattr(_looker, fn_name)
+
+
+register(
+    ToolSpec(
+        name="get_models",
+        description="Looker toolset: list semantic models (README.md:844-880).",
+        fn=lambda spark: _looker_meta("get_models")(spark),
+    )
+)
+
+register(
+    ToolSpec(
+        name="get_explores",
+        description="Looker toolset: list explores of a model.",
+        fn=lambda spark, model="database_toolbox_spark": _looker_meta(
+            "get_explores"
+        )(spark, model),
+        parameters=(ToolParam("model", "string", "model name"),),
+    )
+)
+
+register(
+    ToolSpec(
+        name="get_dimensions",
+        description="Looker toolset: dimensions of an explore.",
+        fn=lambda spark, explore: _looker_meta("get_dimensions")(spark, explore),
+        parameters=(ToolParam("explore", "string", "explore name", required=True),),
+    )
+)
+
+register(
+    ToolSpec(
+        name="get_measures",
+        description="Looker toolset: measures of an explore.",
+        fn=lambda spark, explore: _looker_meta("get_measures")(spark, explore),
+        parameters=(ToolParam("explore", "string", "explore name", required=True),),
+    )
+)
+
+register(
+    ToolSpec(
+        name="query",
+        description=(
+            "Looker toolset: run an aggregate query over an explore "
+            "(fields CSV of dimensions+measures, JSON equality filters, "
+            "sorts CSV, limit). Field names resolve through the explore "
+            "spec; filter values bind as parameters."
+        ),
+        fn=_looker_query_tool,
+        parameters=(
+            ToolParam("explore", "string", "explore name", required=True),
+            ToolParam("fields", "string", "CSV of field names", required=True),
+            ToolParam("filters", "string", 'JSON object {"dim": "value"}'),
+            ToolParam("sorts", "string", "CSV of sort fields"),
+            ToolParam("limit", "string", "row limit"),
+        ),
+    )
+)
+
+register(
+    ToolSpec(
+        name="get_looks",
+        description="Looker toolset: list saved looks.",
+        fn=lambda spark: _looker_meta("get_looks")(spark),
+    )
+)
+
+register(
+    ToolSpec(
+        name="run_look",
+        description="Looker toolset: run a saved look by id.",
+        fn=_looker_run_look_tool,
+        parameters=(ToolParam("look_id", "string", "saved look id", required=True),),
+    )
+)
