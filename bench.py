@@ -54,7 +54,31 @@ HEADLINE = [
     "weighted_sample_topk",
     "source_token_divergence",
     "url_parse_battery",
+    # round-2 additions: scale-path rewrites + semantic layer
+    "customer_rfm_segments",
+    "pack_documents",
+    "simhash_near_dup_pairs_wide",
+    "look_revenue_by_nation",
 ]
+
+
+def _prev_timings() -> dict[str, float]:
+    """Per-query timings from the newest BENCH_r*.json (driver-recorded),
+    for regression tracking across rounds."""
+    import glob
+
+    best: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            parsed = doc.get("parsed", doc)
+            if isinstance(parsed.get("queries"), dict):
+                best = parsed["queries"]
+        except (OSError, ValueError):
+            continue
+    return best
 
 
 def main() -> None:
@@ -80,6 +104,14 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    prev = _prev_timings()
+    regressions = {
+        n: {"prev": prev[n], "now": t}
+        for n, t in timings.items()
+        # 1.3x AND +0.25s absolute: sub-quarter-second deltas on local[32]
+        # are run-to-run noise, not plan regressions
+        if n in prev and t > prev[n] * 1.3 and t - prev[n] > 0.25
+    }
     print(
         json.dumps(
             {
@@ -88,6 +120,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "regressions_vs_prev_round": regressions,
             }
         )
     )

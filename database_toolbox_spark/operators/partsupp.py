@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from database_toolbox_spark.functions import disc_price, money, ts
+from database_toolbox_spark.functions import bounded_rank_window, disc_price, money, ts
 from database_toolbox_spark.operators._oracle import R
 from database_toolbox_spark.session import load_table
 
@@ -137,7 +137,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = full.orderBy(
         F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
     ).limit(20)
-    w = Window.orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+    w = bounded_rank_window(F.col("p_partkey"), F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
     return top.withColumn("rnk", F.row_number().over(w))
 
 
@@ -194,7 +194,7 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value_raw") > F.col("threshold"))
         .select("ps_partkey", money(F.col("value_raw")).alias("value"))
     )
-    w = Window.orderBy(F.col("value").desc(), "ps_partkey")
+    w = bounded_rank_window(F.col("ps_partkey"), F.col("value").desc(), "ps_partkey")
     return (
         filtered.orderBy(F.col("value").desc(), "ps_partkey")
         .withColumn("rnk", F.row_number().over(w))

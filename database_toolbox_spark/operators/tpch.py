@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from database_toolbox_spark.functions import charge, disc_price, money, ratio, ts
+from database_toolbox_spark.functions import bounded_rank_window, charge, disc_price, money, ratio, ts
 from database_toolbox_spark.operators._oracle import R
 from database_toolbox_spark.session import load_table
 
@@ -70,7 +70,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(money(F.sum(disc_price())).alias("revenue"))
     )
     top = rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    w = bounded_rank_window(F.col("o_orderkey"), F.col("revenue").desc(), F.col("o_orderkey"))
     return top.withColumn("rnk", F.row_number().over(w))
 
 
@@ -201,7 +201,7 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("price").desc(), F.col("o_orderkey"))
         .limit(20)
     )
-    w = Window.orderBy(F.col("price").desc(), F.col("o_orderkey"))
+    w = bounded_rank_window(F.col("o_orderkey"), F.col("price").desc(), F.col("o_orderkey"))
     return top.withColumn("rnk", F.row_number().over(w))
 
 
@@ -221,7 +221,7 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    w = bounded_rank_window(F.col("c_custkey"), F.col("revenue").desc(), F.col("c_custkey"))
     return top.withColumn("rnk", F.row_number().over(w))
 
 

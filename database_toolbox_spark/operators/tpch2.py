@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from database_toolbox_spark.functions import disc_price, money, ratio, ts
+from database_toolbox_spark.functions import bounded_rank_window, disc_price, money, ratio, ts
 from database_toolbox_spark.operators._oracle import R
 from database_toolbox_spark.session import load_table
 
@@ -171,7 +171,7 @@ def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     hist = per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
-    w = Window.orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    w = bounded_rank_window(F.col("c_count"), F.col("custdist").desc(), F.col("c_count").desc())
     return (
         hist.orderBy(F.col("custdist").desc(), F.col("c_count").desc())
         .withColumn("rnk", F.row_number().over(w))
@@ -270,7 +270,7 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
     )
     top = counts.orderBy(F.col("numwait").desc(), F.col("s_name")).limit(20)
-    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name"))
+    w = bounded_rank_window(F.col("s_name"), F.col("numwait").desc(), F.col("s_name"))
     return top.withColumn("rnk", F.row_number().over(w))
 
 

@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from database_toolbox_spark.functions import canon_round, disc_price, money
+from database_toolbox_spark.functions import (
+    bounded_rank_window,
+    canon_round,
+    disc_price,
+    money,
+)
 from database_toolbox_spark.operators._oracle import R
 from database_toolbox_spark.session import load_table
 
@@ -61,15 +66,17 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def daily_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running total + 7-day moving average over daily revenue (ROWS frame).
 
-    The window runs over the *aggregated* daily series (thousands of rows at
-    any sf), not raw lineitems — aggregate first, window second.
+    The window runs over the *aggregated* daily series (one row per DAY —
+    a few thousand rows at any data size), not raw lineitems — aggregate
+    first, window second; bounded_rank_window marks the single partition
+    as intentional.
     """
     li = load_table(spark, sf_dir, "lineitem")
     daily = (
         li.groupBy(F.to_date("l_shipdate").alias("day"))
         .agg(money(F.sum(disc_price())).alias("day_revenue"))
     )
-    w = Window.orderBy("day")
+    w = bounded_rank_window(F.col("day"), "day")
     return (
         daily.select(
             "day",
