@@ -109,3 +109,43 @@ def search_entries(
             | F.lower(F.col("column_name")).contains(q)
         )
     return cat.orderBy("table_name", "column_position").limit(int(page_size))
+
+
+def lookup_entry(spark: SparkSession, entry: str) -> DataFrame:
+    """Dataplex-style single-entry lookup (`dataplex_lookup_entry` in the
+    upstream prebuilt the reference targets via `--prebuilt dataplex`,
+    /root/reference/README.md:692-714; no in-repo test pins the row shape,
+    so this keeps the list_tables column contract plus the entry name):
+    full per-column metadata for ONE catalog entry. Unknown entries raise —
+    the lookup tool's error contract, vs search's empty result."""
+    cat = list_tables(spark, table_names=entry)
+    rows = cat.collect()  # guard-exempt: bounded driver fetch (one table's columns)
+    if not rows:
+        raise KeyError(f"unknown catalog entry {entry!r}")
+    return cat.select(
+        F.concat(F.col("schema_name"), F.lit("."), F.col("table_name"))
+        .alias("entry_name"),
+        "*",
+    ).orderBy("column_position")
+
+
+def search_aspect_types(
+    spark: SparkSession, query: str = "*", page_size: int = 10
+) -> DataFrame:
+    """Dataplex-style aspect-type search (`dataplex_search_aspect_types` in
+    the upstream prebuilt): the engine's "aspect types" are its column data
+    types — one row per distinct type with its usage count, substring-
+    filtered and paged like search_entries."""
+    cat = list_tables(spark, table_names="")
+    agg = (
+        cat.groupBy(F.col("data_type").alias("aspect_type"))
+        .agg(
+            F.count("*").alias("n_columns"),
+            F.countDistinct("table_name").alias("n_tables"),
+        )
+    )
+    if query and query not in ("*", ""):
+        agg = agg.filter(
+            F.lower(F.col("aspect_type")).contains(query.lower().strip("*"))
+        )
+    return agg.orderBy("aspect_type").limit(int(page_size))

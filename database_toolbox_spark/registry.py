@@ -299,3 +299,38 @@ register(
         parameters=(ToolParam("look_id", "string", "saved look id", required=True),),
     )
 )
+
+
+def _lookup_entry_tool(spark: SparkSession, entry: str) -> DataFrame:
+    return _catalog.lookup_entry(spark, entry)
+
+
+register(
+    ToolSpec(
+        name="lookup_entry",
+        description=(
+            "Dataplex-style single-entry lookup: full column metadata for "
+            "one catalog entry (upstream `--prebuilt dataplex` surface, "
+            "README.md:692-714); unknown entries raise."
+        ),
+        fn=_lookup_entry_tool,
+        parameters=(ToolParam("entry", "string", "table/entry name", required=True),),
+    )
+)
+
+register(
+    ToolSpec(
+        name="search_aspect_types",
+        description=(
+            "Dataplex-style aspect-type search: distinct column data types "
+            "with usage counts, substring-filtered and paged."
+        ),
+        fn=lambda spark, query="*", page_size=10: _catalog.search_aspect_types(
+            spark, query, page_size
+        ),
+        parameters=(
+            ToolParam("query", "string", "substring or * wildcard"),
+            ToolParam("page_size", "int", "max rows returned"),
+        ),
+    )
+)

@@ -117,3 +117,38 @@ def test_profile_table_tool(spark):
     assert rows["r_regionkey"]["n_rows"] == 5
     assert rows["r_regionkey"]["n_nulls"] == 0
     assert rows["r_name"]["n_distinct"] == 5
+
+
+def test_lookup_entry_known_table(spark):
+    from database_toolbox_spark.catalog import lookup_entry
+
+    rows = lookup_entry(spark, "orders").collect()
+    assert all(r.entry_name == "default.orders" for r in rows)
+    assert [r.column_position for r in rows] == list(range(1, len(rows) + 1))
+    assert {"o_orderkey", "o_custkey"} <= {r.column_name for r in rows}
+
+
+def test_lookup_entry_unknown_raises(spark):
+    from database_toolbox_spark.catalog import lookup_entry
+
+    with pytest.raises(KeyError, match="no_such_table"):
+        lookup_entry(spark, "no_such_table")
+
+
+def test_search_aspect_types(spark):
+    from database_toolbox_spark.catalog import search_aspect_types
+
+    all_types = {r.aspect_type for r in search_aspect_types(spark, "*", 50).collect()}
+    assert "bigint" in all_types and "string" in all_types
+    filtered = search_aspect_types(spark, "big", 50).collect()
+    assert filtered and all("big" in r.aspect_type for r in filtered)
+    assert len(search_aspect_types(spark, "*", 2).collect()) == 2
+
+
+def test_dataplex_tools_registered(spark):
+    from database_toolbox_spark import registry
+
+    names = {t.name for t in registry.list_tools()}
+    assert {"lookup_entry", "search_aspect_types"} <= names
+    out = registry.call_tool(spark, "lookup_entry", {"entry": "nation"})
+    assert len(out) == 3  # nation fixture: n_nationkey, n_name, n_regionkey
