@@ -24,6 +24,7 @@ canon-rounded (continuous values — grid-tie risk negligible).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from database_toolbox_spark.operators._oracle import R
 from database_toolbox_spark.session import load_tables, materialize
@@ -517,6 +518,93 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+CC_MAX_ITERS = 16  # safety cap; pointer jumping converges in O(log diameter)
+
+
+def dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified LSH pair graph by min-label
+    propagation WITH pointer jumping — the 100 TB shape (alternating-star
+    family: each round every node takes the minimum label in its closed
+    neighborhood, then labels jump one indirection, so convergence is
+    O(log diameter) rounds of pure shuffle-parallel joins; no recursive
+    transitive closure, no depth assumption). The driver loop carries only
+    a scalar convergence count per round. Same output contract and DuckDB
+    oracle as dup_clusters — the two formulations must agree exactly."""
+    pairs = materialize(
+        minhash_near_dup_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .coalesce(1)  # verified pair graph is tiny locally; see dup_clusters
+    )
+    labels = connected_components(pairs)
+    return (
+        labels.groupBy(F.col("label").alias("component"))
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("node").alias("keep_doc"),
+            (F.count("*") - 1).alias("n_dropped"),
+        )
+        .orderBy("component")
+    )
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """(node, label) for every node of the undirected pair graph
+    (columns doc_a, doc_b), label = min node id of its component.
+
+    Min-label propagation with pointer jumping; each round is two
+    shuffle-parallel joins plus one scalar convergence count, and rounds
+    are O(log diameter) — no depth cap, no transitive-closure blowup
+    (tests/test_scale_stress.py drives a 300-node chain through it)."""
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = materialize(
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(CC_MAX_ITERS):
+        # neighborhood min: l'(v) = min(l(v), min_{u∈N(v)} l(u))
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("dlabel")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nmin"))
+            .select(F.col("src").alias("node"), "nmin")
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+        )
+        # pointer jump: l''(v) = l'(l'(v)) — halves chain lengths per round
+        jumped = materialize(
+            stepped.join(
+                stepped.select(
+                    F.col("node").alias("pnode"), F.col("label").alias("plabel")
+                ),
+                stepped.label == F.col("pnode"),
+                "left",
+            ).select(
+                "node", F.coalesce("plabel", "label").alias("label")
+            )
+        )
+        changed = (
+            jumped.join(
+                labels.select("node", F.col("label").alias("old_label")), "node"
+            )
+            .filter(F.col("label") != F.col("old_label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
 def _fuzzy_pairs_sql(noun_expr: str) -> str:
     """Blocked fuzzy matching (entity-resolution shape): block on a cheap
     equi-join key (the noun token), verify candidates with edit distance —
@@ -654,6 +742,7 @@ QUERIES = {
     "benchmark_contamination": benchmark_contamination,
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "dup_clusters": dup_clusters,
+    "dup_clusters_star": dup_clusters_star,
     "minhash_signatures": minhash_signatures,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "minhash_delta_pairs": minhash_delta_pairs,
@@ -791,3 +880,8 @@ ORACLE = {
         LIMIT 20
     """,
 }
+
+# Same ground truth for both connected-components formulations: the
+# recursive-CTE closure (dup_clusters) and the star/pointer-jumping loop
+# must agree exactly.
+ORACLE["dup_clusters_star"] = ORACLE["dup_clusters"]

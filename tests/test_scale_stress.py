@@ -244,3 +244,23 @@ def test_simhash_wide_banding_is_selective_and_subquadratic(spark):
     # doubling the corpus must not quadruple the wide per-doc load:
     # allow 2.5x per-doc growth headroom over strictly-linear total growth
     assert counts[("wide", 2000)] <= 5 * max(counts[("wide", 1000)], 20), counts
+
+
+def test_connected_components_long_chain_and_forest(spark):
+    """The star/pointer-jumping CC loop must close a 300-node chain
+    (diameter 299 — far beyond any recursion depth cap; pointer jumping
+    needs only ~log2(300) rounds) and keep disjoint components separate."""
+    from database_toolbox_spark.operators.dedup import connected_components
+
+    chain = spark.range(299).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    stars = spark.range(5).selectExpr(
+        "1000 + id * 10 AS doc_a", "1000 + id * 10 + 1 AS doc_b"
+    )
+    labels = {
+        r.node: r.label
+        for r in connected_components(chain.unionByName(stars)).collect()
+    }
+    assert all(labels[n] == 0 for n in range(300))
+    for k in range(5):
+        assert labels[1000 + k * 10] == 1000 + k * 10
+        assert labels[1000 + k * 10 + 1] == 1000 + k * 10
