@@ -885,3 +885,89 @@ ORACLE = {
 # recursive-CTE closure (dup_clusters) and the star/pointer-jumping loop
 # must agree exactly.
 ORACLE["dup_clusters_star"] = ORACLE["dup_clusters"]
+
+
+EMB_CLUSTER_COS = 0.4  # fixture-tuned: the synthetic embeddings plant no
+# true near-dup vectors in the checked range (max pair cosine ≈ 0.46), so
+# the demo threshold captures the top tail; on a real corpus this is 0.95+
+# and the pair source is the LSH/IVF candidate join (similarity.py), not
+# bounded all-pairs.
+
+_EMB_PAIR_RANGE = 300
+
+
+def _emb_pairs_spark() -> str:
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   aggregate(embedding, CAST(0 AS DOUBLE),
+                             (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                       AS norm2
+            FROM embeddings WHERE vec_id < {_EMB_PAIR_RANGE}
+        )
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE aggregate(zip_with(a.embedding, b.embedding,
+                                 (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                        CAST(0 AS DOUBLE), (acc, x) -> acc + x)
+              / sqrt(a.norm2 * b.norm2) >= {EMB_CLUSTER_COS}
+    """
+
+
+def embedding_similarity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-similarity clusters: cosine-threshold pair graph →
+    connected components (star/pointer-jumping loop) → per-cluster dedup
+    decision. The full semantic-dedup shape: at 100 TB the pair source is
+    the ANN candidate join and the CC loop is unchanged. Exact
+    double-precision folds keep pair membership bit-identical to the
+    DuckDB oracle's recursive-closure ground truth."""
+    load_tables(spark, sf_dir)
+    pairs = materialize(spark.sql(_emb_pairs_spark()).coalesce(1))
+    labels = connected_components(pairs)
+    return (
+        labels.groupBy(F.col("label").alias("component"))
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("node").alias("keep_vec"),
+            (F.count("*") - 1).alias("n_dropped"),
+        )
+        .orderBy("component")
+    )
+
+
+QUERIES["embedding_similarity_clusters"] = embedding_similarity_clusters
+
+ORACLE["embedding_similarity_clusters"] = f"""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, embedding,
+               list_aggregate(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS norm2
+        FROM embeddings WHERE vec_id < {_EMB_PAIR_RANGE}
+    ),
+    pairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE)
+                       * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+              / sqrt(a.norm2 * b.norm2) >= {EMB_CLUSTER_COS}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    members AS (
+        SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs
+    ),
+    reach(node, member) AS (
+        SELECT node, node FROM members
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.member
+    ),
+    rep AS (SELECT node, min(member) AS component FROM reach GROUP BY node)
+    SELECT component,
+           count(*) AS cluster_size,
+           min(node) AS keep_vec,
+           count(*) - 1 AS n_dropped
+    FROM rep GROUP BY component ORDER BY component
+"""

@@ -375,3 +375,60 @@ ORACLE = {
         FROM documents ORDER BY doc_id
     """,
 }
+
+
+MIX_TEMPERATURE = 0.7  # classic multilingual-sampling temperature
+MIX_BUDGET = 1000  # docs per epoch to allocate across sources
+
+
+def _temperature_mix_sql(count_table: str, z_fold: str) -> str:
+    """Temperature-adjusted source allocation, shared dialect shape:
+    p_i = n_i/N, q_i ∝ p_i^(1/T), alloc_i = floor(budget · q_i). The
+    low-resource upweighting every multilingual/multi-domain pretraining
+    mix uses (T=1 ∝ natural, T→0 → uniform).
+
+    z_fold renders the normalizer as a SOURCE-ORDERED sequential fold per
+    dialect: a plain sum(q_raw) lets the engine merge float partials in
+    nondeterministic (shuffle-arrival) order, and with a uniform corpus the
+    budget·q/z product sits exactly on the floor() boundary — alloc then
+    flips between runs. Folding in sorted-source order makes z (and hence
+    every downstream floor) bit-stable and identical across engines."""
+    inv_t = 1.0 / MIX_TEMPERATURE
+    return f"""
+        WITH src AS (
+            SELECT source, count(*) AS n_docs FROM {count_table} GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n FROM src),
+        q AS (
+            SELECT source, n_docs,
+                   pow(n_docs / t.n, {inv_t!r}) AS q_raw
+            FROM src, tot t
+        ),
+        z AS (SELECT {z_fold} AS z FROM q)
+        SELECT q.source,
+               q.n_docs,
+               floor((q.n_docs / t.n) * 1e6 + 0.501e0) / 1e6 AS p_natural,
+               floor((q.q_raw / z.z) * 1e6 + 0.501e0) / 1e6 AS p_temperature,
+               CAST(floor({MIX_BUDGET} * q.q_raw / z.z) AS BIGINT) AS alloc
+        FROM q, z, tot t
+        ORDER BY q.source
+    """
+
+
+def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling allocation under temperature T=0.7: natural vs
+    temperature-adjusted probabilities and the integer doc budget each
+    source receives. One grouped count + two broadcast scalars — the whole
+    mix plan is three tiny aggregations regardless of corpus size."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_temperature_mix_sql(
+        "documents",
+        "aggregate(transform(array_sort(collect_list(struct(source, q_raw))),"
+        " s -> s.q_raw), CAST(0 AS DOUBLE), (a, x) -> a + x)",
+    ))
+
+QUERIES["temperature_mix_allocation"] = temperature_mix_allocation
+# same SQL shape on DuckDB; z folds an ORDER BY source list sequentially
+ORACLE["temperature_mix_allocation"] = _temperature_mix_sql(
+    "documents", "list_aggregate(list(q_raw ORDER BY source), 'sum')"
+)
