@@ -262,3 +262,15 @@ def test_no_unpartitioned_window(spark, make):
         head = op.splitlines()[0]
         assert "], [], [" not in head, f"unpartitioned window:\n{op}"
         assert "SinglePartition" not in op, f"single-partition window:\n{op}"
+
+
+def test_compiled_look_plan_quality(spark):
+    """Queries compiled from the Looker semantic layer must inherit the
+    same plan shapes as hand-written operators: broadcast dimension joins,
+    map-side partial aggregation, no cartesian products."""
+    from database_toolbox_spark import looker
+
+    plan = _plan(looker.run_look(spark, SF_DIR, 1), "simple")
+    assert plan.count("BroadcastHashJoin") >= 1  # nation (and customer at sf0.001)
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan  # map-side combine below the exchange
