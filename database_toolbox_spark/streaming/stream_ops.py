@@ -330,6 +330,14 @@ def stream_user_totals_tws(events: DataFrame) -> DataFrame:
     value (FIXTURES.md rule 5). Runtime requirement: the TWS state-server
     protocol speaks protobuf, so google.protobuf must be importable on the
     driver (the matching test skips where it is absent)."""
+    try:
+        from google.protobuf import descriptor as _  # noqa: F401, PLC0415
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf "
+            "(the stateful-v2 worker speaks protobuf to the state server); "
+            "install protobuf or use stream_user_running_totals (v1 API)"
+        ) from e
     from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -367,65 +375,4 @@ def stream_user_totals_tws(events: DataFrame) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-    )
-
-
-def stream_user_totals_tws(events: DataFrame) -> DataFrame:
-    """Per-user running totals via transformWithStateInPandas — the Spark 4
-    arbitrary-stateful-processing v2 API (typed ValueState handles, timer
-    support, RocksDB-backed state store required:
-    `spark.sql.streaming.stateStore.providerClass` must name
-    RocksDBStateStoreProvider). Same semantics as the v1
-    applyInPandasWithState twin (stream_user_running_totals), so one batch
-    ground truth validates both APIs.
-
-    Capability-gated: the v2 runtime's state-server protocol needs
-    `google.protobuf`, absent in this container — the import-check below
-    raises a clear error here and is a no-op where protobuf exists (the
-    validating test importorskips on the same module).
-
-    The processor class is defined locally so cloudpickle serializes it by
-    value — Python workers need no package import."""
-    try:
-        from google.protobuf import descriptor as _  # noqa: F401, PLC0415
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise ImportError(
-            "transformWithStateInPandas requires google.protobuf "
-            "(the stateful-v2 worker speaks protobuf to the state server); "
-            "install protobuf or use stream_user_running_totals (v1 API)"
-        ) from e
-    from pyspark.sql.streaming import (  # noqa: PLC0415
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class RunningTotals(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._totals = handle.getValueState(
-                "totals", "n BIGINT, total DOUBLE"
-            )
-
-        def handleInputRows(
-            self, key: tuple[Any, ...], rows: Iterator[pd.DataFrame], timer_values
-        ) -> Iterator[pd.DataFrame]:
-            if self._totals.exists():
-                n, total = self._totals.get()
-            else:
-                n, total = 0, 0.0
-            for pdf in rows:
-                n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._totals.update((n, total))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
-            )
-
-        def close(self) -> None:
-            pass
-
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=RunningTotals(),
-        outputStructType=_OUT_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
     )
