@@ -87,6 +87,25 @@ SHOWCASE = {
         "(no UDF), groupBy on uniform md5 keys (combiner-friendly, "
         "skew-free), hash join back to docs."
     ),
+    "customer_rfm_segments": (
+        "Two-pass exact ntile x3 metrics: every Window is PARTITIONed on a "
+        "value bin; offsets come from broadcast triangular joins over the "
+        "tiny bin tables — no SinglePartition exchange anywhere."
+    ),
+    "pack_documents": (
+        "Two-pass prefix sum: range-shard totals, broadcast offsets, "
+        "PARTITIONed running window — the global running total without a "
+        "global sort."
+    ),
+    "simhash_near_dup_pairs_wide": (
+        "60-bit SimHash, 4x15-bit bands: candidate generation is an "
+        "equi-join on 32,768-bucket band keys; one materialized signature "
+        "scan feeds all four band branches."
+    ),
+    "look_revenue_by_nation": (
+        "Semantic-layer-compiled SQL inherits the hand-written plan shapes: "
+        "broadcast dimension joins, map-side partial aggregation."
+    ),
     "python_datasource_agg": (
         "Custom Python data source: BatchScan over planned InputPartitions "
         "(8 parallel slices), Arrow batches into ordinary partial/final "
