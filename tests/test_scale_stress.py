@@ -264,3 +264,43 @@ def test_connected_components_long_chain_and_forest(spark):
     for k in range(5):
         assert labels[1000 + k * 10] == 1000 + k * 10
         assert labels[1000 + k * 10 + 1] == 1000 + k * 10
+
+
+def test_two_pass_ntile_equals_window_under_replication(spark):
+    """The two-pass exact-rank ntile must agree with the global-window
+    spelling on a 16x-replicated customer table — every balance value now
+    has 16 exact ties with distinct custkeys, so this hammers the
+    tie-splitting-across-bins invariant (equal keys share a bin; custkey
+    order decides the quartile boundary)."""
+    from database_toolbox_spark.operators.windows import (
+        customer_balance_quartiles,
+    )
+    from database_toolbox_spark.session import load_tables
+
+    load_tables(spark, SF_DIR)
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    shift = 10_000_000
+    rep = (
+        cust.crossJoin(spark.range(REPL).select(F.col("id").alias("rep")))
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("rep") * shift)
+        .drop("rep")
+    )
+    rep.createOrReplaceTempView("customer")
+    try:
+        two_pass = {
+            r.c_custkey: r.quartile
+            for r in customer_balance_quartiles(spark, SF_DIR).collect()
+        }
+        direct = {
+            r.c_custkey: r.quartile
+            for r in spark.sql("""
+                SELECT c_custkey,
+                       ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey)
+                           AS quartile
+                FROM customer
+            """).collect()
+        }
+    finally:
+        load_tables(spark, SF_DIR, replace=True)
+    assert len(two_pass) == cust.count() * REPL
+    assert two_pass == direct
