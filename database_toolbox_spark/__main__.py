@@ -7,6 +7,11 @@
         MCP-style stdio JSON-RPC server (initialize / tools/list / tools/call)
     python -m database_toolbox_spark --list-tables [csv]
         the list_tables tool from the shell
+    python -m database_toolbox_spark --tool NAME ['{"arg": "value"}']
+        call any registry tool (incl. the Looker/Dataplex toolsets) with
+        JSON arguments; prints one JSON row per line
+    python -m database_toolbox_spark --list-tools
+        registered tool names with their parameter declarations
 
 Prepend `--tools-file <path>` to register custom YAML tools (the
 reference's extension surface, images/redshift/entrypoint.sh:80-82)
@@ -51,6 +56,32 @@ def main(argv: list[str]) -> int:
     if argv[0] == "--list-tables":
         csv = argv[1] if len(argv) > 1 else ""
         for item in registry.call_tool(spark, "list_tables", {"table_names": csv}):
+            print(item["text"])
+        return 0
+    if argv[0] == "--list-tools":
+        for spec in registry.list_tools():
+            params = ", ".join(
+                f"{p.name}:{p.type}" + ("*" if p.required else "")
+                for p in spec.parameters
+            )
+            print(f"{spec.name}({params})")
+        return 0
+    if argv[0] == "--tool":
+        import json as _json  # noqa: PLC0415
+
+        if len(argv) < 2:
+            print("error: --tool requires a tool name", file=sys.stderr)
+            return 2
+        args = _json.loads(argv[2]) if len(argv) > 2 else {}
+        try:
+            items = registry.call_tool(spark, argv[1], args)
+        except StatementDenied as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        except KeyError as exc:
+            print(f"error: unknown tool or argument {exc}", file=sys.stderr)
+            return 2
+        for item in items:
             print(item["text"])
         return 0
     try:

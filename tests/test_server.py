@@ -89,3 +89,35 @@ def test_serve_loop_line_delimited(spark):
     assert resps[2]["error"]["code"] == -32700
     rows = [json.loads(c["text"]) for c in resps[3]["result"]["content"]]
     assert [r["column_name"] for r in rows] == ["r_regionkey", "r_name"]
+
+
+def test_cli_tool_mode(tmp_path):
+    """--tool NAME '{json}' calls any registry tool from the shell."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from tests.conftest import SF_DIR
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=SF_DIR,
+        SPARK_GRAFT_CPUS="4",
+        PYTHONPATH=repo,
+    )
+    run = lambda *a: subprocess.run(  # noqa: E731
+        [sys.executable, "-m", "database_toolbox_spark", *a],
+        capture_output=True, text=True, env=env, cwd="/tmp",
+    )
+    r = run("--tool", "get_models")
+    assert r.returncode == 0, r.stderr[-500:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["explore_count"] == 3
+    r2 = run("--tool", "lookup_entry", '{"entry": "nation"}')
+    assert r2.returncode == 0
+    assert len([l for l in r2.stdout.splitlines() if l.startswith("{")]) == 3
+    r3 = run("--tool", "no_such_tool")
+    assert r3.returncode == 2
+    r4 = run("--list-tools")
+    assert r4.returncode == 0 and "run_look(look_id:string*)" in r4.stdout
