@@ -110,50 +110,59 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary construction: top-K terms by document frequency with
-    deterministic ids (df desc, term asc)."""
+    deterministic ids (df desc, term asc).
+
+    `WHERE row_number() <= K` over all terms is a top-K in disguise — the
+    rewrite sorts ONLY K rows (TakeOrderedAndProject: per-partition heaps,
+    merge K) and then ranks the bounded result, instead of a global window
+    over the whole term space. Identical output; the oracle keeps the
+    row_number spelling."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from database_toolbox_spark.functions import bounded_rank_window  # noqa: PLC0415
+
     load_tables(spark, sf_dir)
-    return spark.sql(f"""
+    df = spark.sql("""
         WITH toks AS (
             SELECT /*+ REPARTITION */ doc_id, explode(split(text, ' ')) AS term
             FROM documents
-        ),
-        df AS (
-            SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
-        ),
-        ranked AS (
-            SELECT term, df,
-                   CAST(row_number() OVER (ORDER BY df DESC, term) AS INT)
-                       AS token_id
-            FROM df
         )
-        SELECT token_id, term, df FROM ranked
-        WHERE token_id <= {VOCAB_SIZE}
-        ORDER BY token_id
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
     """)
+    top = df.orderBy(F.col("df").desc(), "term").limit(VOCAB_SIZE)
+    w = bounded_rank_window(F.col("term"), F.col("df").desc(), "term")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("token_id"), "term", "df"
+    ).orderBy("token_id")
 
 
 def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic source interleaving (dataset mixing without RNG): rank
-    docs within each source, then take round-robin order (rank, source) —
-    the epoch-stable shuffle used when blending corpora. First 100 mix
-    positions."""
+    docs within each source (PARTITIONed window), then take round-robin
+    order (rank, source) — the epoch-stable shuffle used when blending
+    corpora. First 100 mix positions.
+
+    The global `row_number() <= 100` is a top-100 in disguise: sort only
+    100 rows (TakeOrderedAndProject), then rank the bounded result —
+    no corpus-wide window. Identical output; oracle keeps the window
+    spelling."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from database_toolbox_spark.functions import bounded_rank_window  # noqa: PLC0415
+
     load_tables(spark, sf_dir)
-    return spark.sql("""
-        WITH ranked AS (
-            SELECT doc_id, source,
-                   row_number() OVER (PARTITION BY source ORDER BY doc_id)
-                       AS rn
-            FROM documents
-        ),
-        mixed AS (
-            SELECT doc_id, source,
-                   CAST(row_number() OVER (ORDER BY rn, source) AS INT)
-                       AS mix_pos
-            FROM ranked
-        )
-        SELECT mix_pos, doc_id, source FROM mixed
-        WHERE mix_pos <= 100 ORDER BY mix_pos
+    ranked = spark.sql("""
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
     """)
+    top = ranked.orderBy("rn", "source").limit(100)
+    w = bounded_rank_window(F.col("source"), "rn", "source")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("mix_pos"),
+        "doc_id",
+        "source",
+    ).orderBy("mix_pos")
 
 
 def pii_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
