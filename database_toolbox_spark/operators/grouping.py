@@ -91,18 +91,43 @@ def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact global rank of every order by (o_totalprice ASC, o_orderkey) WITHOUT
+# a corpus-wide window: monotone price bins → per-bin counts → broadcast
+# triangular offsets → PARTITIONed per-bin row_number (the ASC twin of
+# windows._two_pass_rank_ctes; equal prices share a bin so the o_orderkey
+# tie-break stays partition-local). Exposes `ranked(o_totalprice, rn, n)` —
+# drop-in for the `row_number() OVER (ORDER BY ...)` + `count(*) OVER ()`
+# spelling the oracles keep.
+RANKED_ORDERS_TWO_PASS = """
+        cnt AS (SELECT count(*) AS n FROM orders),
+        b AS (
+            SELECT o_totalprice, o_orderkey,
+                   CAST(floor(o_totalprice / 25000e0) AS BIGINT) AS bin
+            FROM orders
+        ),
+        t AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+        o AS (
+            SELECT a.bin, CAST(coalesce(sum(x.c), 0) AS BIGINT) AS off
+            FROM t a LEFT JOIN t x ON x.bin < a.bin GROUP BY a.bin
+        ),
+        ranked AS (
+            SELECT b.o_totalprice,
+                   o.off + row_number() OVER (PARTITION BY b.bin
+                       ORDER BY b.o_totalprice, b.o_orderkey) AS rn,
+                   n
+            FROM b JOIN o ON b.bin = o.bin CROSS JOIN cnt
+        )
+"""
+
+
 def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx vs a canon-rounded exact median computed as the
     mean of the two middle order statistics (engine-neutral definition);
-    flag = sketch within 2% of exact."""
+    flag = sketch within 2% of exact. Exact ranks come from the two-pass
+    rewrite (RANKED_ORDERS_TWO_PASS) — no corpus-wide window."""
     load_tables(spark, sf_dir)
     return spark.sql(f"""
-        WITH ranked AS (
-            SELECT o_totalprice,
-                   row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
-                   count(*) OVER () AS n
-            FROM orders
-        ),
+        WITH {RANKED_ORDERS_TWO_PASS},
         exact AS (
             SELECT {R("avg(o_totalprice)")} AS exact_median
             FROM ranked

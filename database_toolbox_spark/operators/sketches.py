@@ -127,14 +127,14 @@ def kll_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantile sketch of order prices: p50/p90 estimates within 2% of
     the exact order statistics (deterministic rank pick, tie-broken by key).
     KLL states merge across partitions — the scalable percentile plan."""
+    from database_toolbox_spark.operators.grouping import (  # noqa: PLC0415
+        RANKED_ORDERS_TWO_PASS,
+    )
+
     load_tables(spark, sf_dir)
-    exact = spark.sql("""
-        WITH ranked AS (
-            SELECT o_totalprice,
-                   row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
-                   count(*) OVER () AS n
-            FROM orders
-        )
+    # exact order statistics via the two-pass rank (no corpus-wide window)
+    exact = spark.sql(f"""
+        WITH {RANKED_ORDERS_TWO_PASS}
         SELECT max(CASE WHEN rn = CAST(ceil(0.5e0 * n) AS BIGINT)
                         THEN o_totalprice END) AS exact_p50,
                max(CASE WHEN rn = CAST(ceil(0.9e0 * n) AS BIGINT)

