@@ -247,7 +247,9 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE e.vec_id <> {QUERY_VEC_ID}
         ),
         scored AS (
-            SELECT p.vec_id, p.label,
+            -- BROADCAST: q is one row (the query vector); without the hint
+            -- Spark plans a CartesianProduct instead of a 1-row broadcast
+            SELECT /*+ BROADCAST(q) */ p.vec_id, p.label,
                    aggregate(zip_with(p.embedding, q.qv,
                                       (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
                              CAST(0 AS DOUBLE), (acc, x) -> acc + x)
