@@ -159,3 +159,33 @@ def test_statement_required_unless_execute_kind(tmp_path):
     p.write_text("tools:\n  t:\n    kind: spark-sql\n")
     with pytest.raises(ConfigError, match="no statement"):
         load_tools_file(str(p), env={})
+
+
+def test_example_tools_file_loads_and_runs(spark):
+    """examples/tools.yaml (the user-facing sample) must stay loadable and
+    executable across all three binding modes."""
+    import os
+
+    from database_toolbox_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    load_tables(spark, SF_DIR)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "tools.yaml",
+    )
+    specs = load_tools_file(path)
+    assert {"revenue_by_segment", "orders_on_day", "count_rows"} <= {
+        t.name for t in specs
+    }
+    rows = [
+        json.loads(c["text"])
+        for c in registry.call_tool(
+            spark, "revenue_by_segment", {"min_total": "100000"}
+        )
+    ]
+    assert rows and all(r["revenue"] > 0 for r in rows)
+    n = json.loads(
+        registry.call_tool(spark, "count_rows", {"table": "region"})[0]["text"]
+    )["n"]
+    assert n == 5
