@@ -84,6 +84,23 @@ are intentional and declared via `functions.bounded_rank_window`
 (pmod(hash(anchor),1) partition — constant, but not constant-foldable), so
 the bench log carries zero "No Partition Defined" warnings: any such warning
 appearing again is a real regression, not noise.
+
+## Plan-audit notes (round 2)
+
+A physical-plan audit across all 183 queries (windows, joins):
+
+- Zero unpartitioned windows remain (detector: a partitioned Window prints
+  three bracket groups; SinglePartition-fed windows also rejected). The two
+  corpus-sized offenders (exact order statistics in approx_percentile_check
+  / kll_quantile_check) now use the two-pass rank; everything else bounded.
+- Zero CartesianProduct (the one instance — IVF query-row scoring — now
+  carries a BROADCAST hint).
+- The remaining BroadcastNestedLoopJoin occurrences are all the 1-row
+  broadcast pattern: a scalar CTE (count, max, quantization bound, mix
+  normalizer) cross-joined into a projection. That is the intended plan for
+  scalar subqueries — the broadcast side is one row, so the "nested loop"
+  is a constant-fold at execution; flagging it as an anti-pattern would be
+  wrong.
 """
 
 
