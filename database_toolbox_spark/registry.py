@@ -334,3 +334,73 @@ register(
         ),
     )
 )
+
+
+# --- external-source registration (the reference's "source" concept) --------
+
+def _register_jdbc_table_tool(
+    spark: SparkSession,
+    view: str,
+    url: str,
+    table: str,
+    driver_class: str,
+    partition_column: str = "",
+    num_partitions: str = "8",
+    lower_bound: str = "",
+    upper_bound: str = "",
+) -> DataFrame:
+    """Register an external JDBC table as a queryable temp view — the
+    Spark-native analog of the reference's source configs (a connection
+    makes an engine's tables visible to the tools;
+    images/redshift/redshift.yaml:1-8). Returns the registered view's
+    column metadata (the lookup_entry shape) so the caller sees what
+    became queryable. View names are validated as identifiers; the JDBC
+    options bind as options, never SQL text."""
+    import re as _re  # noqa: PLC0415
+
+    from database_toolbox_spark import catalog as _cat  # noqa: PLC0415
+    from database_toolbox_spark.sources.readers import read_jdbc  # noqa: PLC0415
+
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", view):
+        raise ValueError(f"invalid view name {view!r}")
+    df = read_jdbc(
+        spark,
+        url,
+        table,
+        driver_class,
+        partition_column=partition_column or None,
+        num_partitions=int(num_partitions),
+        lower_bound=int(lower_bound) if lower_bound else None,
+        upper_bound=int(upper_bound) if upper_bound else None,
+    )
+    df.createOrReplaceTempView(view)
+    rows = [
+        ("default", view, f.name, pos, f.dataType.simpleString(),
+         "YES" if f.nullable else "NO", None)
+        for pos, f in enumerate(df.schema.fields, start=1)
+    ]
+    return spark.createDataFrame(rows, _cat.LIST_TABLES_SCHEMA)
+
+
+register(
+    ToolSpec(
+        name="register_jdbc_table",
+        description=(
+            "Register an external JDBC table as a queryable view (the "
+            "reference's source-connection concept); returns its column "
+            "metadata. Provide partition_column + bounds for parallel "
+            "reads at scale."
+        ),
+        fn=_register_jdbc_table_tool,
+        parameters=(
+            ToolParam("view", "string", "view name to register", required=True),
+            ToolParam("url", "string", "JDBC URL", required=True),
+            ToolParam("table", "string", "remote table name", required=True),
+            ToolParam("driver_class", "string", "JDBC driver class", required=True),
+            ToolParam("partition_column", "string", "numeric split column"),
+            ToolParam("num_partitions", "string", "parallel read partitions"),
+            ToolParam("lower_bound", "string", "partition column lower bound"),
+            ToolParam("upper_bound", "string", "partition column upper bound"),
+        ),
+    )
+)

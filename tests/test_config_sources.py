@@ -282,3 +282,53 @@ def test_jdbc_missing_driver_gates():
     spark = get_spark(app_name="dts-tests")
     with pytest.raises(NotImplementedError, match="not on classpath"):
         read_jdbc(spark, "jdbc:nope://x", "t", "com.example.NoSuchDriver")
+
+
+def test_register_jdbc_table_tool(spark, tmp_path):
+    """register_jdbc_table makes an external (Derby) table queryable
+    through the gated SQL surface and returns its column metadata."""
+    import json
+
+    from database_toolbox_spark import registry
+    from database_toolbox_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    url = f"jdbc:derby:{tmp_path}/db3;create=true"
+    load_table(spark, SF_DIR, "region").write.format("jdbc").option(
+        "url", url
+    ).option("dbtable", "REGION").option("driver", DERBY_DRIVER).mode(
+        "overwrite"
+    ).save()
+    meta = [
+        json.loads(c["text"])
+        for c in registry.call_tool(
+            spark,
+            "register_jdbc_table",
+            {
+                "view": "region_ext",
+                "url": url,
+                "table": "REGION",
+                "driver_class": DERBY_DRIVER,
+                "partition_column": "R_REGIONKEY",
+                "num_partitions": "2",
+                "lower_bound": "0",
+                "upper_bound": "5",
+            },
+        )
+    ]
+    # Spark lower-cases JDBC column names on read
+    assert [m["column_name"] for m in meta][:1] == ["r_regionkey"]
+    out = registry.call_tool(
+        spark,
+        "execute_sql",
+        {"sql": "SELECT count(*) AS n FROM region_ext"},
+    )
+    assert json.loads(out[0]["text"])["n"] == 5
+    with pytest.raises(ValueError, match="invalid view name"):
+        registry.call_tool(
+            spark,
+            "register_jdbc_table",
+            {"view": "x; DROP", "url": url, "table": "REGION",
+             "driver_class": DERBY_DRIVER},
+        )
+    spark.catalog.dropTempView("region_ext")
