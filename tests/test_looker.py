@@ -91,3 +91,70 @@ def test_run_look_matches_direct_query(spark):
 def test_get_looks_lists_all(spark):
     rows = _rows(spark, "get_looks")
     assert {r["look_id"] for r in rows} == {1, 2, 3, 4}
+
+
+# --- property-based compiler fuzz -------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _EXPLORES = sorted(looker.EXPLORES)
+
+    @st.composite
+    def _query_specs(draw):
+        explore = draw(st.sampled_from(_EXPLORES))
+        spec = looker.EXPLORES[explore]
+        fields = draw(
+            st.lists(
+                st.sampled_from(sorted(spec.dimensions) + sorted(spec.measures)),
+                min_size=1, max_size=5, unique=True,
+            )
+        )
+        filters = draw(
+            st.dictionaries(
+                st.sampled_from(sorted(spec.dimensions)),
+                st.text(min_size=0, max_size=20),  # arbitrary values, incl. quotes
+                max_size=2,
+            )
+        )
+        limit = draw(st.one_of(st.none(), st.integers(0, 100)))
+        return explore, fields, filters, limit
+
+    @settings(max_examples=200, deadline=None)
+    @given(_query_specs())
+    def test_compiler_output_is_closed_over_spec(q):
+        """For ANY field subset and ANY (hostile) filter values: the
+        compiled SQL contains only spec-owned SQL fragments, every filter
+        value binds as a parameter (never appears in the SQL text), and
+        grouping covers exactly the selected dimensions."""
+        explore, fields, filters, limit = q
+        sql, args = looker.compile_query_sql(explore, fields, filters, None, limit)
+        spec = looker.EXPLORES[explore]
+        for v in filters.values():
+            # filter VALUES never reach the SQL text (short values can
+            # collide with placeholder names like :p0 by substring, so
+            # check distinctive ones; quoted-splice would need the quotes)
+            if len(v) >= 4 or "'" in v:
+                assert v not in sql
+        assert set(args.values()) == set(filters.values())
+        dims = [f for f in fields if f in spec.dimensions]
+        assert (" GROUP BY " in sql) == bool(dims)
+        assert sql.startswith("SELECT ")
+        if limit is not None:
+            assert sql.endswith(f"LIMIT {limit}")
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.text(min_size=1, max_size=30))
+    def test_compiler_rejects_unknown_fields(name):
+        """Arbitrary strings that are not spec field names always raise."""
+        spec = looker.EXPLORES["orders"]
+        if name in spec.dimensions or name in spec.measures:
+            return
+        with pytest.raises(KeyError):
+            looker.compile_query_sql("orders", [name])
