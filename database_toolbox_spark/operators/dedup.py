@@ -298,9 +298,11 @@ PAIR_BITS = 16  # NOTE: on this synthetic small-vocabulary corpus the
 # Θ(n²/16) the 16-bit demo width degrades to. 60 (not 64) because the
 # signature is built from a hex prefix of md5 and must stay inside SIGNED
 # BIGINT in BOTH dialects — 16 hex chars would overflow DuckDB's 0x-cast and
-# Spark's conv() result for high md5s. simhash_near_dup_pairs keeps the
-# corpus-tuned 16-bit default; simhash_near_dup_pairs_wide is the shape you
-# run at 100 TB.
+# Spark's conv() result for high md5s. Since round 3 the DEFAULT-named
+# operator `simhash_near_dup_pairs` IS the wide path (the shape you run at
+# 100 TB); the corpus-tuned 16-bit spelling is retained as
+# `simhash_near_dup_pairs_narrow` for the small-vocab synthetic oracle and
+# its recall floor.
 WIDE_BITS = 60
 WIDE_BANDS = 4
 
@@ -380,8 +382,11 @@ def _simhash_pairs_sql(
     """
 
 
-def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup detection: banded candidates + exact Hamming ≤ 3.
+def simhash_near_dup_pairs_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection, 16-bit demo width: banded candidates +
+    exact Hamming ≤ 3. Retained for the small-vocab synthetic corpus where
+    wider hashes break recall (see PAIR_BITS note); the default-named
+    `simhash_near_dup_pairs` is the 60-bit wide scale path.
 
     The per-doc simhash aggregate is materialized once (session.materialize)
     — CTE inlining would otherwise recompute it per band branch and join
@@ -414,15 +419,16 @@ def simhash_band_candidate_count(
     return int(row.n_candidates)
 
 
-def simhash_near_dup_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs on the WIDE scale path: 60-bit signature,
-    4 × 15-bit bands → 32,768 buckets per band, so candidate generation is
-    ~linear in corpus size (vs Θ(n²/16) for the 16-bit demo width — see
-    WIDE_BITS note; linearity asserted under replication in
-    tests/test_scale_stress.py). On this small-vocab synthetic corpus the
-    wide hash saturates (see PAIR_BITS note) so hamming≤1 keeps the output
-    to genuinely-identical signatures; on a real corpus this is the exact
-    operator you run at 100 TB."""
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — DEFAULT binding, the WIDE scale path:
+    60-bit signature, 4 × 15-bit bands → 32,768 buckets per band, so
+    candidate generation is ~linear in corpus size (vs Θ(n²/16) for the
+    16-bit demo width — see WIDE_BITS note; linearity asserted under
+    replication in tests/test_scale_stress.py). On this small-vocab
+    synthetic corpus the wide hash saturates (see PAIR_BITS note) so
+    hamming≤1 keeps the output to genuinely-identical signatures; on a real
+    corpus this is the exact operator you run at 100 TB. Also registered as
+    `simhash_near_dup_pairs_wide` for bench/round-over-round continuity."""
     load_tables(spark, sf_dir)
     tokens = "explode(array_distinct(split(text, ' ')))"
     materialize(
@@ -736,6 +742,13 @@ def repeated_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_segment_dup_sql(_SPARK_SEGS))
 
 
+_WIDE_PAIRS_ORACLE = _simhash_pairs_sql(
+    "unnest(list_distinct(string_split(text, ' ')))",
+    _duck_xhash(WIDE_BITS),
+    lambda a, b: f"xor({a}, {b})",
+    n_bits=WIDE_BITS, n_bands=WIDE_BANDS, hamming_max=1,
+)
+
 QUERIES = {
     "exact_dup_summary": exact_dup_summary,
     "repeated_segment_stats": repeated_segment_stats,
@@ -749,7 +762,8 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
-    "simhash_near_dup_pairs_wide": simhash_near_dup_pairs_wide,
+    "simhash_near_dup_pairs_narrow": simhash_near_dup_pairs_narrow,
+    "simhash_near_dup_pairs_wide": simhash_near_dup_pairs,
     "embedding_topk_pairs": embedding_topk_pairs,
 }
 
@@ -844,7 +858,7 @@ ORACLE = {
         WHERE m.n_common * 1e0 / (ca.n + cb.n - m.n_common) >= {JACCARD_THRESHOLD}
         ORDER BY m.doc_a, m.doc_b
     """,
-    "simhash_near_dup_pairs": _simhash_pairs_sql(
+    "simhash_near_dup_pairs_narrow": _simhash_pairs_sql(
         "unnest(list_distinct(string_split(text, ' ')))",
         "CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER)",
         lambda a, b: f"xor({a}, {b})",
@@ -853,12 +867,10 @@ ORACLE = {
         "unnest(list_distinct(string_split(text, ' ')))",
         "CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER)",
     ),
-    "simhash_near_dup_pairs_wide": _simhash_pairs_sql(
-        "unnest(list_distinct(string_split(text, ' ')))",
-        _duck_xhash(WIDE_BITS),
-        lambda a, b: f"xor({a}, {b})",
-        n_bits=WIDE_BITS, n_bands=WIDE_BANDS, hamming_max=1,
-    ),
+    # Default binding = wide scale path (round-3 promotion); the old wide
+    # name keeps the identical oracle for round-over-round continuity.
+    "simhash_near_dup_pairs": _WIDE_PAIRS_ORACLE,
+    "simhash_near_dup_pairs_wide": _WIDE_PAIRS_ORACLE,
     "embedding_topk_pairs": f"""
         WITH v AS (
             SELECT vec_id, embedding,

