@@ -2,11 +2,14 @@
 video as opaque `binary` columns with typed metadata; decode/feature-extract
 as Pandas UDFs over Arrow batches).
 
-The container has no image/audio libraries, so the *decode* step is a
-clearly-marked stub (`decode_image` raises NotImplementedError; the
-deterministic fake from `make_fake_decoder` stands in), while everything
-Spark-side is real and tested: the binary column itself (`encode(text)` —
-real bytes), the schema, the `mapInPandas` Arrow batch shape, and the
+The container has no third-party image/audio libraries, so the real
+decode path is PNG — fully decodable with stdlib zlib (`functions/png.py`;
+`decode_image` delegates to it). `png_payloads` synthesizes real PNG bytes
+from each document and `image_decode_stats` decodes them back,
+oracle-checked against a PNG-independent ASCII recomputation. The
+deterministic fake from `make_fake_decoder` remains as the format-agnostic
+byte-stats path; everything Spark-side is real either way: the binary
+column, the schema, the `mapInPandas` Arrow batch shape, and the
 partition-parallel execution.
 
 `multimodal_decode_features` is oracle-checked: the fake features (byte
@@ -32,14 +35,16 @@ from database_toolbox_spark.session import load_table
 FEATURE_SCHEMA = "doc_id bigint, n_bytes int, first_byte int, checksum bigint"
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decode hook — requires an image library not present in this
-    container. The Spark-side plumbing (schema/batching/partitioning) is
-    exercised through `make_fake_decoder` instead."""
-    raise NotImplementedError(
-        "image/audio decode requires PIL/ffmpeg; not available in this "
-        "environment — plug a real decoder in here"
-    )
+def decode_image(payload: bytes) -> dict:
+    """Real decode hook — a pure-stdlib PNG decoder (zlib + unfilter; see
+    functions/png.py). Returns {"width", "height", "channels", "pixels"};
+    raises ValueError on non-PNG or out-of-scope payloads. No third-party
+    imagery libs exist in this container, so PNG (fully decodable with
+    stdlib zlib) is the real-bytes format; other formats would plug in
+    here the same way."""
+    from database_toolbox_spark.functions.png import decode_png
+
+    return decode_png(payload)
 
 
 def make_fake_decoder():
@@ -96,6 +101,88 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary.mapInPandas(run, schema=FEATURE_SCHEMA).orderBy("doc_id")
 
 
+IMG_WIDTH = 16  # grayscale strip width for text→PNG synthesis
+IMAGE_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, "
+    "pixel_sum bigint, first_px int"
+)
+
+
+def png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL PNG: each document's UTF-8
+    bytes laid out as a 16-wide 8-bit grayscale image (zero-padded final
+    row), encoded with the filter-cycling stdlib encoder so every scanline
+    filter type appears in the corpus. Runs per Arrow batch in mapInPandas —
+    payloads never hit the driver."""
+    from pyspark import cloudpickle
+
+    from database_toolbox_spark.functions import png as png_mod
+
+    # the codec module pickles by value → workers need no repo sys.path
+    cloudpickle.register_pickle_by_value(png_mod)
+    encode = png_mod.encode_png
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def to_png(text: str) -> bytes:
+            body = text.encode("utf-8")
+            height = max(1, -(-len(body) // IMG_WIDTH))
+            padded = body.ljust(IMG_WIDTH * height, b"\x00")
+            return encode(padded, IMG_WIDTH, height, channels=1)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pdf["text"].map(to_png),
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the declared hook: PNG payloads (built by
+    `png_payloads`) are decoded back to pixels by the pure-stdlib decoder
+    and reduced to per-image stats. The DuckDB oracle recomputes every
+    value from the text's ASCII codes without touching PNG at all — an
+    independent end-to-end check that encode→zlib→unfilter→pixels is
+    byte-exact for every row."""
+    from pyspark import cloudpickle
+
+    from database_toolbox_spark.functions import png as png_mod
+
+    cloudpickle.register_pickle_by_value(png_mod)
+    decode = png_mod.decode_png
+    payloads = png_payloads(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def stats(payload: bytes) -> tuple:
+            img = decode(payload)
+            px = img["pixels"]
+            return (
+                img["width"], img["height"], img["channels"],
+                sum(px), px[0] if px else -1,
+            )
+
+        for pdf in batches:
+            cols = pdf["payload"].map(stats)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": cols.map(lambda t: t[0]).astype("int32"),
+                    "height": cols.map(lambda t: t[1]).astype("int32"),
+                    "channels": cols.map(lambda t: t[2]).astype("int32"),
+                    "pixel_sum": cols.map(lambda t: t[3]).astype("int64"),
+                    "first_px": cols.map(lambda t: t[4]).astype("int32"),
+                }
+            )
+
+    return payloads.mapInPandas(run, schema=IMAGE_STATS_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
 def binary_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata aggregation over the binary column, per source —
     pure JVM-side (octet_length on binary), no Python."""
@@ -135,6 +222,7 @@ def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "multimodal_decode_features": multimodal_decode_features,
+    "image_decode_stats": image_decode_stats,
     "binary_meta_stats": binary_meta_stats,
     "frame_samples": frame_samples,
 }
@@ -148,6 +236,23 @@ ORACLE = {
                CAST(list_aggregate(list_transform(range(1, length(text) + 1),
                         i -> ascii(substr(text, i, 1))), 'sum') % 65536
                     AS BIGINT)                         AS checksum
+        FROM documents ORDER BY doc_id
+    """,
+    # full PNG-independent recomputation: width is the fixed strip width,
+    # height the padded row count, pixel_sum the ASCII-code total (zero
+    # padding adds nothing), first_px the first character's code
+    "image_decode_stats": f"""
+        SELECT doc_id,
+               {IMG_WIDTH} AS width,
+               CAST(greatest(1, ceil(octet_length(encode(text)) / {IMG_WIDTH}e0))
+                    AS INT)                           AS height,
+               1 AS channels,
+               CAST(coalesce(list_aggregate(
+                        list_transform(range(1, length(text) + 1),
+                                       i -> ascii(substr(text, i, 1))),
+                        'sum'), 0) AS BIGINT)         AS pixel_sum,
+               CASE WHEN length(text) = 0 THEN 0
+                    ELSE ascii(substr(text, 1, 1)) END AS first_px
         FROM documents ORDER BY doc_id
     """,
     "binary_meta_stats": """

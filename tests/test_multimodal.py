@@ -1,22 +1,121 @@
-"""Multimodal plumbing tests: binary column shape, Arrow batch path, and the
-clearly-marked decode stub."""
+"""Multimodal tests: binary column shape, Arrow batch path, and the REAL
+pure-stdlib PNG codec behind `decode_image` (round-trip, per-filter spec
+math, malformed-input rejection, Spark end-to-end)."""
 
 from __future__ import annotations
 
+import hashlib
+import struct
+import zlib
+
 import pytest
 
+from database_toolbox_spark.functions.png import (
+    PNG_SIGNATURE,
+    decode_png,
+    encode_png,
+    filter_scanline,
+    unfilter_scanline,
+)
 from database_toolbox_spark.operators.multimodal import (
     decode_image,
+    image_decode_stats,
     multimodal_decode_features,
+    png_payloads,
     with_binary_payload,
 )
 from tests.conftest import SF_DIR
 
 
-def test_decode_stub_is_marked(spark):
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+def _pseudo_bytes(n: int, seed: str) -> bytes:
+    """Deterministic pseudo-random bytes (md5 chain — no random module)."""
+    out = bytearray()
+    block = seed.encode()
+    while len(out) < n:
+        block = hashlib.md5(block).digest()
+        out += block
+    return bytes(out[:n])
 
+
+# ---------------------------------------------------------------- codec unit
+
+def test_decode_image_is_real():
+    """The declared hook decodes real PNG bytes — the stub is retired."""
+    img = decode_image(encode_png(bytes(range(48)), 4, 4, channels=3))
+    assert (img["width"], img["height"], img["channels"]) == (4, 4, 3)
+    assert img["pixels"] == bytes(range(48))
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("strategy", ["none", "cycle"])
+def test_png_roundtrip(channels, strategy):
+    w, h = 13, 11  # odd sizes catch stride bugs
+    px = _pseudo_bytes(w * h * channels, f"rt-{channels}-{strategy}")
+    payload = encode_png(px, w, h, channels, filter_strategy=strategy)
+    assert payload[:8] == PNG_SIGNATURE
+    img = decode_png(payload)
+    assert img == {"width": w, "height": h, "channels": channels, "pixels": px}
+
+
+def test_filter_math_matches_spec_by_hand():
+    """Filter outputs verified against hand-computed PNG-spec values, so an
+    encoder/decoder sign error can't cancel out in the round-trip test."""
+    prev = bytes([10, 20, 30, 40])
+    line = bytes([15, 25, 35, 45])
+    # Sub: out[i] = line[i] - line[i-1] (bpp=1); first byte has no left
+    assert filter_scanline(1, line, prev, 1) == bytes([15, 10, 10, 10])
+    # Up: out[i] = line[i] - prev[i]
+    assert filter_scanline(2, line, prev, 1) == bytes([5, 5, 5, 5])
+    # Average: out[i] = line[i] - (raw_left + up)//2
+    #   i=0: (0+10)//2=5→10; i=1: (15+20)//2=17→8; then 27→8, 37→8
+    assert filter_scanline(3, line, prev, 1) == bytes([10, 8, 8, 8])
+    # Paeth: p=a+b-c is nearest to b (up) at every i here → same as Up
+    assert filter_scanline(4, line, prev, 1) == bytes([5, 5, 5, 5])
+    for f in (1, 2, 3, 4):
+        filtered = bytearray(filter_scanline(f, line, prev, 1))
+        assert bytes(unfilter_scanline(f, filtered, prev, 1)) == line
+
+
+def test_decode_rejects_malformed():
+    good = encode_png(bytes(16), 4, 4, channels=1)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JUNK" + good[4:])
+    with pytest.raises(ValueError, match="truncated|IHDR|IEND"):
+        decode_png(good[:20])
+    corrupted = bytearray(good)
+    corrupted[20] ^= 0xFF  # flip a byte inside IHDR → CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupted))
+    with pytest.raises(ValueError):
+        encode_png(bytes(15), 4, 4, channels=1)  # wrong buffer size
+    # 16-bit depth is out of scope and must be refused, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    deep = (
+        PNG_SIGNATURE
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(
+            deep
+            + struct.pack(">I", 0) + b"IEND"
+            + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF)
+        )
+
+
+def test_decode_skips_ancillary_chunks():
+    good = encode_png(bytes(range(16)), 4, 4, channels=1)
+    text = b"Comment\x00hello"
+    extra = (
+        struct.pack(">I", len(text)) + b"tEXt" + text
+        + struct.pack(">I", zlib.crc32(b"tEXt" + text) & 0xFFFFFFFF)
+    )
+    ihdr_end = 8 + 12 + 13  # signature + IHDR chunk
+    spliced = good[:ihdr_end] + extra + good[ihdr_end:]
+    assert decode_png(spliced)["pixels"] == bytes(range(16))
+
+
+# ------------------------------------------------------------- spark plumbing
 
 def test_binary_payload_schema(spark):
     df = with_binary_payload(spark, SF_DIR)
@@ -37,3 +136,28 @@ def test_decode_features_roundtrip(spark):
         assert feats[d].n_bytes == len(src[d])
         assert feats[d].first_byte == src[d][0]
         assert feats[d].checksum == sum(src[d]) % 65536
+
+
+def test_png_payloads_are_real_pngs(spark):
+    rows = png_payloads(spark, SF_DIR).limit(25).collect()
+    assert rows
+    for r in rows:
+        assert bytes(r.payload[:8]) == PNG_SIGNATURE
+        img = decode_png(bytes(r.payload))
+        assert img["width"] == 16 and img["channels"] == 1
+
+
+def test_image_decode_stats_end_to_end(spark):
+    """Distributed encode→decode must reproduce the text bytes exactly."""
+    docs = {
+        r.doc_id: r.text.encode("utf-8")
+        for r in spark.table("documents").select("doc_id", "text").collect()
+    }
+    stats = {r.doc_id: r for r in image_decode_stats(spark, SF_DIR).collect()}
+    assert stats.keys() == docs.keys()
+    for d, body in list(docs.items())[:50]:
+        s = stats[d]
+        assert s.width == 16
+        assert s.height == max(1, -(-len(body) // 16))
+        assert s.pixel_sum == sum(body)
+        assert s.first_px == (body[0] if body else 0)
