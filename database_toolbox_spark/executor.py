@@ -51,6 +51,41 @@ def mcp_content(df: DataFrame, limit: int | None = None) -> list[dict[str, str]]
     return [{"type": "text", "text": row} for row in rows_as_json(df, limit=limit)]
 
 
+DEFAULT_MAX_TOOL_ROWS = 10_000
+
+
+def max_tool_rows() -> int:
+    """Row cap for the tool-call surface; SPARK_GRAFT_MAX_TOOL_ROWS
+    overrides, 0 disables."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_MAX_TOOL_ROWS", DEFAULT_MAX_TOOL_ROWS))
+
+
+def capped_mcp_content(
+    df: DataFrame, max_rows: int | None = None
+) -> list[dict[str, str]]:
+    """`mcp_content` with driver-memory insurance: at most `max_rows` row
+    items are collected (fetching max_rows+1 detects overflow without a
+    count job); a trailing `{"truncated": true, "max_rows": N}` item flags
+    the cut, mirroring `isError`-style signaling. The cap protects the
+    driver from `SELECT * FROM lineitem` arriving over MCP — the plan
+    itself stays distributed (`df.limit` executes executor-side)."""
+    n = max_tool_rows() if max_rows is None else max_rows
+    if n <= 0:
+        return mcp_content(df)
+    rows = rows_as_json(df, limit=n + 1)
+    content = [{"type": "text", "text": row} for row in rows[:n]]
+    if len(rows) > n:
+        content.append(
+            {
+                "type": "text",
+                "text": json.dumps({"truncated": True, "max_rows": n}),
+            }
+        )
+    return content
+
+
 def scalar(df: DataFrame) -> Any:
     """First column of the first row (for `SELECT 1 AS one`-style probes,
     tests/bigquery/test_mcp.py:175)."""

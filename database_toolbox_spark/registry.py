@@ -62,9 +62,19 @@ def list_tools() -> list[ToolSpec]:
 def call_tool(spark: SparkSession, name: str, arguments: dict[str, Any] | None = None
               ) -> list[dict[str, str]]:
     """`tools/call` semantics: look up tool, bind arguments, execute, return
-    MCP-shaped content (tests/postgres/test_mcp.py:121-153)."""
-    df = get_tool(name)(spark, **(arguments or {}))
-    return _executor.mcp_content(df)
+    MCP-shaped content (tests/postgres/test_mcp.py:121-153).
+
+    `max_rows` is a reserved cross-tool argument (default 10,000;
+    SPARK_GRAFT_MAX_TOOL_ROWS overrides, 0 disables): results larger than
+    the cap are truncated with a trailing {"truncated": true} content item
+    so a tool client can't accidentally collect an unbounded table to the
+    driver."""
+    arguments = dict(arguments or {})
+    max_rows = arguments.pop("max_rows", None)
+    df = get_tool(name)(spark, **arguments)
+    return _executor.capped_mcp_content(
+        df, None if max_rows is None else int(max_rows)
+    )
 
 
 # --- canonical toolset ------------------------------------------------------

@@ -59,6 +59,49 @@ def test_tools_call_denied_statement_is_error_result(spark):
     assert "not permitted" in resp["result"]["content"][0]["text"]
 
 
+def test_tool_result_row_cap_truncates_with_flag(spark):
+    """The tool surface must not collect an unbounded table to the driver:
+    past max_rows it truncates and appends a {"truncated": true} item."""
+    resp = _call(
+        spark, "tools/call",
+        {"name": "execute_sql",
+         "arguments": {"sql": "SELECT l_orderkey FROM lineitem",
+                       "max_rows": 7}},
+    )
+    content = resp["result"]["content"]
+    assert len(content) == 8  # 7 rows + truncation flag
+    assert json.loads(content[-1]["text"]) == {"truncated": True, "max_rows": 7}
+    assert all("l_orderkey" in c["text"] for c in content[:-1])
+
+
+def test_tool_result_under_cap_has_no_flag(spark):
+    resp = _call(
+        spark, "tools/call",
+        {"name": "execute_sql",
+         "arguments": {"sql": "SELECT 1 AS one", "max_rows": 7}},
+    )
+    content = resp["result"]["content"]
+    assert len(content) == 1
+    assert json.loads(content[0]["text"]) == {"one": 1}
+
+
+def test_tool_row_cap_env_override(spark, monkeypatch):
+    from database_toolbox_spark import registry
+
+    monkeypatch.setenv("SPARK_GRAFT_MAX_TOOL_ROWS", "3")
+    content = registry.call_tool(
+        spark, "execute_sql",
+        {"sql": "SELECT l_orderkey FROM lineitem"},
+    )
+    assert len(content) == 4
+    assert json.loads(content[-1]["text"]) == {"truncated": True, "max_rows": 3}
+    monkeypatch.setenv("SPARK_GRAFT_MAX_TOOL_ROWS", "0")  # 0 disables
+    content = registry.call_tool(
+        spark, "execute_sql", {"sql": "SELECT 1 AS one"},
+    )
+    assert len(content) == 1
+
+
 def test_unknown_method(spark):
     resp = _call(spark, "nope/nope")
     assert resp["error"]["code"] == -32601
