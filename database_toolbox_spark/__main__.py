@@ -72,7 +72,12 @@ def main(argv: list[str]) -> int:
         if len(argv) < 2:
             print("error: --tool requires a tool name", file=sys.stderr)
             return 2
-        args = _json.loads(argv[2]) if len(argv) > 2 else {}
+        try:
+            args = _json.loads(argv[2]) if len(argv) > 2 else {}
+        except _json.JSONDecodeError as exc:
+            print(f"error: --tool arguments are not valid JSON: {exc}",
+                  file=sys.stderr)
+            return 2
         try:
             items = registry.call_tool(spark, argv[1], args)
         except StatementDenied as exc:
@@ -80,6 +85,14 @@ def main(argv: list[str]) -> int:
             return 2
         except KeyError as exc:
             print(f"error: unknown tool or argument {exc}", file=sys.stderr)
+            return 2
+        except TypeError as exc:
+            # kwargs that don't bind to the tool signature land here
+            print(f"error: bad tool arguments: {exc}", file=sys.stderr)
+            return 2
+        except ValueError as exc:
+            # tool-raised validation (bad view name, unknown source, ...)
+            print(f"error: {exc}", file=sys.stderr)
             return 2
         for item in items:
             print(item["text"])

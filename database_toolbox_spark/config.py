@@ -111,7 +111,11 @@ def setup_google_credentials(
     credentials path (the new file, the pre-existing
     GOOGLE_APPLICATION_CREDENTIALS, or None when no credentials are
     configured — same precedence as setup-google-credentials.sh:63-112).
-    Mutates `env` (or os.environ) like the reference exports."""
+    Mutates `env` (or os.environ) like the reference exports. The key file
+    is deleted at interpreter exit (atexit), matching the reference's
+    cleanup trap (setup-google-credentials.sh cleanup_google_credentials)
+    so the private key does not outlive the process."""
+    import atexit
     import json as _json
     import tempfile
 
@@ -126,6 +130,14 @@ def setup_google_credentials(
     with os.fdopen(fd, "w") as f:
         f.write(inline)
     os.chmod(path, 0o600)
+
+    def _cleanup(p: str = path) -> None:
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+
+    atexit.register(_cleanup)
     environ["GOOGLE_APPLICATION_CREDENTIALS"] = path
     project_id = _json.loads(inline).get("project_id")
     if project_id and project_id != "project_id":

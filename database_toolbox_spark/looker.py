@@ -129,15 +129,24 @@ def compile_query_sql(
         p = f"p{i}"
         where.append(f"{spec.dimensions[f]} = :{p}")
         args[p] = v
+    norm_sorts = []
     for s in sorts or []:
-        if s.removesuffix(" desc").strip() not in fields:
+        # Looker sort specs are 'field' with an optional direction suffix in
+        # any case ('nation desc', 'nation DESC', 'nation asc')
+        parts = s.strip().split()
+        direction = ""
+        if len(parts) == 2 and parts[1].lower() in ("asc", "desc"):
+            direction = " DESC" if parts[1].lower() == "desc" else ""
+            parts = parts[:1]
+        if len(parts) != 1 or parts[0] not in fields:
             raise KeyError(f"sort field {s!r} not in selected fields")
+        norm_sorts.append(parts[0] + direction)
     sql = f"SELECT {', '.join(sel)} FROM {spec.sql_from}"
     if where:
         sql += f" WHERE {' AND '.join(where)}"
     if dims:
         sql += f" GROUP BY {', '.join(dims)}"
-    order = sorts or [f for f in fields if f in spec.dimensions]
+    order = norm_sorts or [f for f in fields if f in spec.dimensions]
     if order:
         sql += f" ORDER BY {', '.join(order)}"
     if limit is not None:

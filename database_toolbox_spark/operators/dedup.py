@@ -608,6 +608,16 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         labels = jumped
         if changed == 0:
             break
+    else:
+        # pointer jumping halves chain lengths per round, so CC_MAX_ITERS
+        # rounds close any diameter ≤ 2^CC_MAX_ITERS; exhausting the loop
+        # with changes still in flight means the labels are NOT final —
+        # fail loudly rather than return wrong components silently
+        raise RuntimeError(
+            f"connected_components did not converge in {CC_MAX_ITERS} "
+            f"rounds ({changed} labels still changing); graph diameter "
+            f"exceeds 2^{CC_MAX_ITERS} — raise CC_MAX_ITERS"
+        )
     return labels
 
 

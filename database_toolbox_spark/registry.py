@@ -348,12 +348,48 @@ register(
 
 # --- external-source registration (the reference's "source" concept) --------
 
+@dataclass(frozen=True)
+class JdbcSource:
+    """Deployment-time JDBC connection config. In the reference, source
+    connections (url, driver, credentials) are operator-set YAML config
+    (images/redshift/redshift.yaml:1-8), never tool-caller input — exposing
+    them as tool arguments would let any MCP client open arbitrary
+    outbound connections (SSRF) or instantiate any driver class on the
+    classpath. Declare sources via `register_jdbc_source` or a tools-file
+    `sources:` entry with `kind: jdbc`; tool callers then reference them
+    by name only."""
+
+    url: str
+    driver_class: str
+
+
+_JDBC_SOURCES: dict[str, JdbcSource] = {}
+
+
+def register_jdbc_source(name: str, url: str, driver_class: str) -> JdbcSource:
+    """Declare a named JDBC connection at deployment time (programmatic
+    analog of a tools-file `sources:` entry)."""
+    src = JdbcSource(url=url, driver_class=driver_class)
+    _JDBC_SOURCES[name] = src
+    return src
+
+
+def get_jdbc_source(name: str) -> JdbcSource:
+    if name not in _JDBC_SOURCES:
+        raise ValueError(
+            f"unknown JDBC source {name!r}; configured sources: "
+            f"{sorted(_JDBC_SOURCES)}. Connections are deployment-time "
+            "config (register_jdbc_source or a tools-file `sources:` entry "
+            "with kind: jdbc), not tool arguments."
+        )
+    return _JDBC_SOURCES[name]
+
+
 def _register_jdbc_table_tool(
     spark: SparkSession,
     view: str,
-    url: str,
+    source: str,
     table: str,
-    driver_class: str,
     partition_column: str = "",
     num_partitions: str = "8",
     lower_bound: str = "",
@@ -364,8 +400,10 @@ def _register_jdbc_table_tool(
     makes an engine's tables visible to the tools;
     images/redshift/redshift.yaml:1-8). Returns the registered view's
     column metadata (the lookup_entry shape) so the caller sees what
-    became queryable. View names are validated as identifiers; the JDBC
-    options bind as options, never SQL text."""
+    became queryable. View names are validated as identifiers; the
+    connection (url/driver) resolves from the named deployment-time
+    source — callers choose only WHICH configured engine to read and what
+    view/partitioning to use."""
     import re as _re  # noqa: PLC0415
 
     from database_toolbox_spark import catalog as _cat  # noqa: PLC0415
@@ -373,11 +411,12 @@ def _register_jdbc_table_tool(
 
     if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", view):
         raise ValueError(f"invalid view name {view!r}")
+    conn = get_jdbc_source(source)
     df = read_jdbc(
         spark,
-        url,
+        conn.url,
         table,
-        driver_class,
+        conn.driver_class,
         partition_column=partition_column or None,
         num_partitions=int(num_partitions),
         lower_bound=int(lower_bound) if lower_bound else None,
@@ -396,17 +435,18 @@ register(
     ToolSpec(
         name="register_jdbc_table",
         description=(
-            "Register an external JDBC table as a queryable view (the "
-            "reference's source-connection concept); returns its column "
-            "metadata. Provide partition_column + bounds for parallel "
-            "reads at scale."
+            "Register a table from a CONFIGURED JDBC source as a queryable "
+            "view (the reference's source-connection concept); returns its "
+            "column metadata. Connection url/driver are deployment-time "
+            "config (tools-file `sources:` kind: jdbc, or "
+            "register_jdbc_source) — `source` names one. Provide "
+            "partition_column + bounds for parallel reads at scale."
         ),
         fn=_register_jdbc_table_tool,
         parameters=(
             ToolParam("view", "string", "view name to register", required=True),
-            ToolParam("url", "string", "JDBC URL", required=True),
+            ToolParam("source", "string", "configured JDBC source name", required=True),
             ToolParam("table", "string", "remote table name", required=True),
-            ToolParam("driver_class", "string", "JDBC driver class", required=True),
             ToolParam("partition_column", "string", "numeric split column"),
             ToolParam("num_partitions", "string", "parallel read partitions"),
             ToolParam("lower_bound", "string", "partition column lower bound"),

@@ -105,6 +105,20 @@ def load_tools_file(path: str, env: dict[str, str] | None = None
     if not isinstance(doc, dict) or "tools" not in doc:
         raise ConfigError(f"{path}: not a tools file (missing 'tools' mapping)")
     sources = doc.get("sources") or {}
+    for sname, sdef in sources.items():
+        # JDBC connections are deployment-time config (this file), never
+        # tool arguments — register them for register_jdbc_table to
+        # reference by name (reference source concept,
+        # images/redshift/redshift.yaml:1-8)
+        if isinstance(sdef, dict) and str(sdef.get("kind", "")) == "jdbc":
+            for req in ("url", "driver_class"):
+                if not sdef.get(req):
+                    raise ConfigError(
+                        f"jdbc source {sname!r}: missing {req!r}"
+                    )
+            registry.register_jdbc_source(
+                sname, str(sdef["url"]), str(sdef["driver_class"])
+            )
     specs: list[registry.ToolSpec] = []
     for name, tool in (doc["tools"] or {}).items():
         src = tool.get("source")

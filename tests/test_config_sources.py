@@ -187,6 +187,29 @@ def test_sa_json_materializes_to_0600_file(tmp_path):
     assert json.load(open(path)) == sa
 
 
+def test_sa_json_key_file_cleaned_up_at_exit(tmp_path, monkeypatch):
+    """The materialized private key must not outlive the process — the
+    reference registers a cleanup trap (setup-google-credentials.sh
+    cleanup_google_credentials); we register atexit."""
+    import atexit
+    import json
+    import os
+
+    from database_toolbox_spark.config import setup_google_credentials
+
+    hooks = []
+    monkeypatch.setattr(atexit, "register", hooks.append)
+    sa = {"type": "service_account", "project_id": "demo-proj",
+          "private_key": "k"}
+    env = {"GOOGLE_SERVICE_ACCOUNT_JSON": json.dumps(sa)}
+    path = setup_google_credentials(env, temp_dir=str(tmp_path))
+    assert os.path.isfile(path)
+    assert len(hooks) == 1
+    hooks[0]()
+    assert not os.path.exists(path)
+    hooks[0]()  # idempotent — a second firing must not raise
+
+
 def test_sa_json_existing_credentials_passthrough():
     from database_toolbox_spark.config import setup_google_credentials
 
@@ -299,6 +322,8 @@ def test_register_jdbc_table_tool(spark, tmp_path):
     ).option("dbtable", "REGION").option("driver", DERBY_DRIVER).mode(
         "overwrite"
     ).save()
+    # connection details are deployment-time config, not tool arguments
+    registry.register_jdbc_source("derby_test", url, DERBY_DRIVER)
     meta = [
         json.loads(c["text"])
         for c in registry.call_tool(
@@ -306,9 +331,8 @@ def test_register_jdbc_table_tool(spark, tmp_path):
             "register_jdbc_table",
             {
                 "view": "region_ext",
-                "url": url,
+                "source": "derby_test",
                 "table": "REGION",
-                "driver_class": DERBY_DRIVER,
                 "partition_column": "R_REGIONKEY",
                 "num_partitions": "2",
                 "lower_bound": "0",
@@ -328,7 +352,52 @@ def test_register_jdbc_table_tool(spark, tmp_path):
         registry.call_tool(
             spark,
             "register_jdbc_table",
-            {"view": "x; DROP", "url": url, "table": "REGION",
+            {"view": "x; DROP", "source": "derby_test", "table": "REGION"},
+        )
+    # an unconfigured source name must be refused with guidance
+    with pytest.raises(ValueError, match="unknown JDBC source"):
+        registry.call_tool(
+            spark,
+            "register_jdbc_table",
+            {"view": "ok_name", "source": "nope", "table": "REGION"},
+        )
+    # the old SSRF-shaped spelling (caller-supplied url/driver) is gone
+    with pytest.raises(TypeError):
+        registry.call_tool(
+            spark,
+            "register_jdbc_table",
+            {"view": "ok_name", "url": url, "table": "REGION",
              "driver_class": DERBY_DRIVER},
         )
     spark.catalog.dropTempView("region_ext")
+
+
+def test_tools_file_registers_jdbc_source(tmp_path):
+    """A tools-file `sources:` entry with kind: jdbc becomes a named
+    connection for register_jdbc_table (deployment-time binding)."""
+    from database_toolbox_spark import registry
+    from database_toolbox_spark.tools_file import load_tools_file
+
+    f = tmp_path / "tools.yaml"
+    f.write_text(
+        "sources:\n"
+        "  warehouse:\n"
+        "    kind: jdbc\n"
+        "    url: jdbc:derby:memory:cfg;create=true\n"
+        "    driver_class: org.apache.derby.jdbc.EmbeddedDriver\n"
+        "tools: {}\n"
+    )
+    load_tools_file(str(f), env={})
+    src = registry.get_jdbc_source("warehouse")
+    assert src.url.startswith("jdbc:derby:memory:cfg")
+    assert src.driver_class == "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def test_tools_file_jdbc_source_requires_connection_fields(tmp_path):
+    from database_toolbox_spark.config import ConfigError
+    from database_toolbox_spark.tools_file import load_tools_file
+
+    f = tmp_path / "tools.yaml"
+    f.write_text("sources:\n  bad:\n    kind: jdbc\n    url: jdbc:x\ntools: {}\n")
+    with pytest.raises(ConfigError, match="driver_class"):
+        load_tools_file(str(f), env={})

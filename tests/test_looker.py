@@ -75,7 +75,24 @@ def test_sorts_must_reference_selected_fields():
     sql, _ = looker.compile_query_sql(
         "orders", ["nation", "order_count"], sorts=["order_count desc"]
     )
-    assert sql.rstrip().endswith("ORDER BY order_count desc")
+    assert sql.rstrip().endswith("ORDER BY order_count DESC")
+
+
+def test_sort_direction_any_case_and_asc():
+    """Looker sort specs normalize case-insensitively with an optional
+    asc/desc suffix — 'nation DESC' and 'nation asc' are legitimate."""
+    for spec, suffix in [
+        ("nation DESC", "ORDER BY nation DESC"),
+        ("nation desc", "ORDER BY nation DESC"),
+        ("nation Asc", "ORDER BY nation"),
+        ("nation", "ORDER BY nation"),
+    ]:
+        sql, _ = looker.compile_query_sql("orders", ["nation"], sorts=[spec])
+        assert sql.rstrip().endswith(suffix), (spec, sql)
+    with pytest.raises(KeyError):
+        looker.compile_query_sql("orders", ["nation"], sorts=["nation sideways"])
+    with pytest.raises(KeyError):
+        looker.compile_query_sql("orders", ["nation"], sorts=["nation; DROP x"])
 
 
 def test_run_look_matches_direct_query(spark):

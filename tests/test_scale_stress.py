@@ -266,6 +266,17 @@ def test_connected_components_long_chain_and_forest(spark):
         assert labels[1000 + k * 10 + 1] == 1000 + k * 10
 
 
+def test_connected_components_raises_when_rounds_exhausted(spark, monkeypatch):
+    """Exhausting the round budget with labels still moving must fail
+    loudly, never return unconverged (wrong) components silently."""
+    from database_toolbox_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "CC_MAX_ITERS", 1)
+    chain = spark.range(63).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain)
+
+
 def test_two_pass_ntile_equals_window_under_replication(spark):
     """The two-pass exact-rank ntile must agree with the global-window
     spelling on a 16x-replicated customer table — every balance value now

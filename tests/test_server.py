@@ -164,3 +164,14 @@ def test_cli_tool_mode(tmp_path):
     assert r3.returncode == 2
     r4 = run("--list-tools")
     assert r4.returncode == 0 and "run_look(look_id:string*)" in r4.stdout
+    # every malformed-input class exits 2 with a clean message, no traceback
+    r5 = run("--tool", "lookup_entry", "{not json")
+    assert r5.returncode == 2 and "not valid JSON" in r5.stderr
+    assert "Traceback" not in r5.stderr
+    r6 = run("--tool", "lookup_entry", '{"bogus_arg": "x"}')
+    assert r6.returncode == 2 and "bad tool arguments" in r6.stderr
+    assert "Traceback" not in r6.stderr
+    r7 = run("--tool", "register_jdbc_table",
+             '{"view": "v", "source": "nope", "table": "T"}')
+    assert r7.returncode == 2 and "unknown JDBC source" in r7.stderr
+    assert "Traceback" not in r7.stderr
