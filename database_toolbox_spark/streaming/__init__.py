@@ -3,6 +3,7 @@
 code; these are the extension-tier equivalents of operators/events.py)."""
 
 from database_toolbox_spark.streaming.stream_ops import (  # noqa: F401
+    TWS_REQUIREMENT,
     read_events_stream,
     read_foreach_batch_snapshot,
     stream_foreach_batch_totals,
@@ -13,4 +14,5 @@ from database_toolbox_spark.streaming.stream_ops import (  # noqa: F401
     stream_user_totals_tws,
     stream_user_totals_with_timeout,
     stream_view_click_join,
+    tws_available,
 )

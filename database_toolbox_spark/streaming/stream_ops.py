@@ -316,6 +316,25 @@ _TWS_OUT_SCHEMA = T.StructType(
 )
 
 
+TWS_REQUIREMENT = (
+    "google.protobuf — the transformWithStateInPandas worker speaks "
+    "protobuf to the state server; absent it, use "
+    "stream_user_running_totals (applyInPandasWithState v1 API), which "
+    "covers the same running-total semantics"
+)
+
+
+def tws_available() -> bool:
+    """Capability gate for the stateful-v2 API (jdbc_available-style):
+    True iff the protobuf runtime the TWS wire protocol needs is
+    importable. Tests branch on this instead of silently skipping."""
+    try:
+        from google.protobuf import descriptor as _  # noqa: F401, PLC0415
+    except ImportError:
+        return False
+    return True
+
+
 def stream_user_totals_tws(events: DataFrame) -> DataFrame:
     """Per-user running totals via transformWithStateInPandas — the Spark 4
     arbitrary-stateful API (successor to applyInPandasWithState): state is
@@ -330,14 +349,8 @@ def stream_user_totals_tws(events: DataFrame) -> DataFrame:
     value (FIXTURES.md rule 5). Runtime requirement: the TWS state-server
     protocol speaks protobuf, so google.protobuf must be importable on the
     driver (the matching test skips where it is absent)."""
-    try:
-        from google.protobuf import descriptor as _  # noqa: F401, PLC0415
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise ImportError(
-            "transformWithStateInPandas requires google.protobuf "
-            "(the stateful-v2 worker speaks protobuf to the state server); "
-            "install protobuf or use stream_user_running_totals (v1 API)"
-        ) from e
+    if not tws_available():
+        raise ImportError(f"transformWithStateInPandas requires {TWS_REQUIREMENT}")
     from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
         StatefulProcessor,
         StatefulProcessorHandle,

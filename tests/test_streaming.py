@@ -207,10 +207,23 @@ def test_transform_with_state_running_totals(spark, stream):
     reproduce the batch per-user totals, like the applyInPandasWithState
     variant above.
 
-    Requires the protobuf runtime (the TWS state-server wire protocol);
-    skipped where google.protobuf is not installed (no-install container)."""
-    pytest.importorskip("google.protobuf.descriptor")
-    from database_toolbox_spark.streaming import stream_user_totals_tws
+    The TWS wire protocol needs the protobuf runtime. Where it is absent
+    (this no-install container), the test still RUNS and asserts the
+    capability gate behaves honestly: tws_available() says no, and calling
+    the operator raises an ImportError naming the requirement — the
+    running-total SEMANTICS stay covered by the applyInPandasWithState
+    twin (test_apply_in_pandas_with_state_* above). No silent skip."""
+    from database_toolbox_spark.streaming import (
+        TWS_REQUIREMENT,
+        stream_user_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        assert "protobuf" in TWS_REQUIREMENT
+        with pytest.raises(ImportError, match="protobuf"):
+            stream_user_totals_tws(stream)
+        return
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
