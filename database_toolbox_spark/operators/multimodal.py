@@ -183,6 +183,96 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_FACTOR = 2  # nearest-neighbor downsample: keep top-left of each 2x2
+RESIZE_SCHEMA = (
+    "doc_id bigint, out_width int, out_height int, sample_sum bigint"
+)
+
+
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE on real bytes: decode the PNG, nearest-neighbor
+    downsample by 2 in both dimensions (keep the top-left pixel of each
+    2×2 block — the deterministic NN convention), and reduce to stats.
+    The oracle recomputes the sampled-pixel sum straight from ASCII codes
+    at the strided positions, independent of the PNG pipeline entirely."""
+    from pyspark import cloudpickle
+
+    from database_toolbox_spark.functions import png as png_mod
+
+    cloudpickle.register_pickle_by_value(png_mod)
+    decode = png_mod.decode_png
+    payloads = png_payloads(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def resize(payload: bytes) -> tuple:
+            img = decode(payload)
+            w, h = img["width"], img["height"]
+            px = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(h, w)
+            small = px[::RESIZE_FACTOR, ::RESIZE_FACTOR]
+            return (small.shape[1], small.shape[0], int(small.sum()))
+
+        for pdf in batches:
+            cols = pdf["payload"].map(resize)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "out_width": cols.map(lambda t: t[0]).astype("int32"),
+                    "out_height": cols.map(lambda t: t[1]).astype("int32"),
+                    "sample_sum": cols.map(lambda t: t[2]).astype("int64"),
+                }
+            )
+
+    return payloads.mapInPandas(run, schema=RESIZE_SCHEMA).orderBy("doc_id")
+
+
+AUDIO_BIAS = 64  # synthetic 8-bit PCM center: space (32) < 64 <= letters,
+# so word boundaries in the text produce real "zero" crossings
+WAVEFORM_SCHEMA = (
+    "doc_id bigint, n_samples int, peak int, energy bigint, crossings int"
+)
+
+
+def audio_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style feature extraction: treat the binary payload as 8-bit
+    PCM samples biased at AUDIO_BIAS and compute peak amplitude, exact
+    integer energy (sum of squared deviations), and bias-crossing count —
+    vectorized per Arrow batch with numpy (no per-sample Python). The
+    oracle recomputes all three from ASCII codes in DuckDB."""
+    binary = with_binary_payload(spark, sf_dir).select("doc_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def feats(payload: bytes) -> tuple:
+            s = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            if s.size == 0:
+                return (0, 0, 0, 0)
+            dev = s - AUDIO_BIAS
+            high = s >= AUDIO_BIAS
+            return (
+                int(s.size),
+                int(np.abs(dev).max()),
+                int((dev * dev).sum()),
+                int((high[1:] != high[:-1]).sum()),
+            )
+
+        for pdf in batches:
+            cols = pdf["payload"].map(feats)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_samples": cols.map(lambda t: t[0]).astype("int32"),
+                    "peak": cols.map(lambda t: t[1]).astype("int32"),
+                    "energy": cols.map(lambda t: t[2]).astype("int64"),
+                    "crossings": cols.map(lambda t: t[3]).astype("int32"),
+                }
+            )
+
+    return binary.mapInPandas(run, schema=WAVEFORM_SCHEMA).orderBy("doc_id")
+
+
 def binary_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata aggregation over the binary column, per source —
     pure JVM-side (octet_length on binary), no Python."""
@@ -223,6 +313,8 @@ def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "multimodal_decode_features": multimodal_decode_features,
     "image_decode_stats": image_decode_stats,
+    "image_resize_stats": image_resize_stats,
+    "audio_waveform_stats": audio_waveform_stats,
     "binary_meta_stats": binary_meta_stats,
     "frame_samples": frame_samples,
 }
@@ -254,6 +346,52 @@ ORACLE = {
                CASE WHEN length(text) = 0 THEN 0
                     ELSE ascii(substr(text, 1, 1)) END AS first_px
         FROM documents ORDER BY doc_id
+    """,
+    # strided-position recomputation of the nearest-neighbor downsample:
+    # kept pixels sit at byte index yo*2*16 + xo*2 (0-based); padding is 0
+    "image_resize_stats": f"""
+        WITH b AS (
+            SELECT doc_id, text,
+                   octet_length(encode(text)) AS n,
+                   CAST(greatest(1, ceil(octet_length(encode(text)) / {IMG_WIDTH}e0))
+                        AS INT) AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               {IMG_WIDTH // RESIZE_FACTOR} AS out_width,
+               CAST(ceil(h / {RESIZE_FACTOR}e0) AS INT) AS out_height,
+               CAST(coalesce(list_aggregate(
+                   flatten(list_transform(
+                       range(0, CAST(ceil(h / {RESIZE_FACTOR}e0) AS INT)),
+                       yo -> list_transform(range(0, {IMG_WIDTH // RESIZE_FACTOR}),
+                           xo -> CASE
+                               WHEN yo * {IMG_WIDTH * RESIZE_FACTOR} + xo * {RESIZE_FACTOR} < n
+                               THEN ascii(substr(text,
+                                    yo * {IMG_WIDTH * RESIZE_FACTOR} + xo * {RESIZE_FACTOR} + 1, 1))
+                               ELSE 0 END))),
+                   'sum'), 0) AS BIGINT) AS sample_sum
+        FROM b ORDER BY doc_id
+    """,
+    "audio_waveform_stats": f"""
+        WITH c AS (
+            SELECT doc_id,
+                   list_transform(range(1, length(text) + 1),
+                                  i -> ascii(substr(text, i, 1))) AS s
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(s) AS INT) AS n_samples,
+               CAST(coalesce(list_max(list_transform(s,
+                        x -> abs(x - {AUDIO_BIAS}))), 0) AS INT) AS peak,
+               CAST(coalesce(list_aggregate(list_transform(s,
+                        x -> (x - {AUDIO_BIAS}) * (x - {AUDIO_BIAS})), 'sum'),
+                    0) AS BIGINT) AS energy,
+               CAST(coalesce(list_aggregate(list_transform(range(2, len(s) + 1),
+                        i -> CASE WHEN (s[i-1] >= {AUDIO_BIAS})
+                                       <> (s[i] >= {AUDIO_BIAS})
+                                  THEN 1 ELSE 0 END), 'sum'),
+                    0) AS INT) AS crossings
+        FROM c ORDER BY doc_id
     """,
     "binary_meta_stats": """
         SELECT source,

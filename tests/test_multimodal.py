@@ -18,8 +18,10 @@ from database_toolbox_spark.functions.png import (
     unfilter_scanline,
 )
 from database_toolbox_spark.operators.multimodal import (
+    audio_waveform_stats,
     decode_image,
     image_decode_stats,
+    image_resize_stats,
     multimodal_decode_features,
     png_payloads,
     with_binary_payload,
@@ -145,6 +147,47 @@ def test_png_payloads_are_real_pngs(spark):
         assert bytes(r.payload[:8]) == PNG_SIGNATURE
         img = decode_png(bytes(r.payload))
         assert img["width"] == 16 and img["channels"] == 1
+
+
+def test_image_resize_keeps_strided_pixels(spark):
+    """Nearest-neighbor downsample keeps exactly the even-indexed rows and
+    columns of the decoded image — checked against the raw text bytes."""
+    docs = {
+        r.doc_id: r.text.encode("utf-8")
+        for r in spark.table("documents")
+        .select("doc_id", "text").limit(30).collect()
+    }
+    stats = {r.doc_id: r for r in image_resize_stats(spark, SF_DIR).collect()}
+    for d, body in docs.items():
+        h = max(1, -(-len(body) // 16))
+        padded = body.ljust(16 * h, b"\x00")
+        expect = sum(
+            padded[y * 16 + x]
+            for y in range(0, h, 2)
+            for x in range(0, 16, 2)
+        )
+        assert stats[d].out_width == 8
+        assert stats[d].out_height == -(-h // 2)
+        assert stats[d].sample_sum == expect
+
+
+def test_audio_waveform_stats_semantics(spark):
+    """PCM-style stats recomputed in Python from the payload bytes."""
+    docs = {
+        r.doc_id: r.text.encode("utf-8")
+        for r in spark.table("documents")
+        .select("doc_id", "text").limit(30).collect()
+    }
+    stats = {r.doc_id: r for r in audio_waveform_stats(spark, SF_DIR).collect()}
+    for d, body in docs.items():
+        s = stats[d]
+        assert s.n_samples == len(body)
+        assert s.peak == max(abs(b - 64) for b in body)
+        assert s.energy == sum((b - 64) ** 2 for b in body)
+        assert s.crossings == sum(
+            (a >= 64) != (b >= 64) for a, b in zip(body, body[1:])
+        )
+        assert s.crossings > 0  # spaces (32) vs letters (>=97) must cross
 
 
 def test_image_decode_stats_end_to_end(spark):
