@@ -59,6 +59,9 @@ HEADLINE = [
     "pack_documents",
     "simhash_near_dup_pairs_wide",
     "look_revenue_by_nation",
+    # round-3 additions: real-codec multimodal tier
+    "image_decode_stats",
+    "audio_waveform_stats",
 ]
 
 

@@ -121,7 +121,16 @@ def png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the codec module pickles by value → workers need no repo sys.path
     cloudpickle.register_pickle_by_value(png_mod)
     encode = png_mod.encode_png
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the codec stage is CPU-bound Python: spread it across all cores —
+    # file-split parallelism alone gave 2 partitions for a 1.5 MB corpus,
+    # serializing the work on 2 of 32 cores (and the same shape starves a
+    # 1000-executor cluster reading few large files)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(n_parts)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def to_png(text: str) -> bytes:

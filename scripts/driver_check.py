@@ -55,10 +55,14 @@ def main() -> int:
             continue
         oracle = oracles.get(name)
         try:
+            import time as _time
+
+            _t0 = _time.perf_counter()
             sdf = queries[name](spark, SF_DIR).toPandas()
+            elapsed = round(_time.perf_counter() - _t0, 3)
             if oracle is None:
-                results[name] = {"rows_only": len(sdf)}
-                print(f"{name}: rows-only ({len(sdf)})", flush=True)
+                results[name] = {"rows_only": len(sdf), "sec": elapsed}
+                print(f"{name}: rows-only ({len(sdf)}, {elapsed}s)", flush=True)
                 continue
             ddf = con.sql(oracle).df()
             s_hash, s_c = _canon(sdf)
@@ -86,12 +90,17 @@ def main() -> int:
                             print(f"    duckdb: {dr}")
                             break
             else:
-                print(f"{name}: ok ({len(sdf)} rows)", flush=True)
+                print(f"{name}: ok ({len(sdf)} rows, {elapsed}s)", flush=True)
+            results[name]["sec"] = elapsed
         except Exception as e:  # noqa: BLE001 - report and continue
             n_bad += 1
             results[name] = {"err": f"{type(e).__name__}: {e}"}
             print(f"{name}: ERROR {type(e).__name__}: {str(e)[:300]}", flush=True)
-    print(json.dumps({"checked": len(names), "bad": n_bad}))
+    slow = sorted(
+        ((n, r["sec"]) for n, r in results.items() if r.get("sec")),
+        key=lambda x: -x[1],
+    )[:10]
+    print(json.dumps({"checked": len(names), "bad": n_bad, "slowest": slow}))
     return 1 if n_bad else 0
 
 
