@@ -111,6 +111,17 @@ SHOWCASE = {
         "(8 parallel slices), Arrow batches into ordinary partial/final "
         "aggregation."
     ),
+    "image_decode_stats": (
+        "Real-codec multimodal path: explicit repartition spreads the "
+        "CPU-bound Python PNG stage across all cores, then two chained "
+        "ArrowEvalPython/MapInPandas stages (encode, decode) run in ONE "
+        "task pipeline — payload bytes never hit the driver."
+    ),
+    "audio_waveform_stats": (
+        "PCM feature extraction: a single MapInPandas stage, numpy-"
+        "vectorized per Arrow batch; upstream scan prunes to (doc_id, "
+        "text) only."
+    ),
 }
 
 

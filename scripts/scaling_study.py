@@ -47,13 +47,15 @@ NOTES = """
   lineitem scans, Brand#3 semi-join, per-part avg, broadcast threshold
   join; `.explain` shows no shuffle beyond the grouped avg). Linear in
   lineitem at fixed part cardinality.
-- `simhash_near_dup_pairs`: genuinely super-linear ON THIS CORPUS — the
-  synthetic 31-word vocabulary saturates the 16-bit bit-majority, so
-  background pairs within Hamming<=3 grow ~quadratically with corpus size
-  (see the PAIR_BITS note in operators/dedup.py). The banded candidate
-  join itself stays an equi-join; what grows is the true candidate set.
-  On real corpora (heavy-tailed vocabulary) the signature entropy is far
-  higher and candidates stay near-linear; widening PAIR_BITS is the dial.
+- `simhash_near_dup_pairs_narrow` (the 16-bit demo spelling; the DEFAULT
+  name binds the 60-bit wide path since round 3): genuinely super-linear
+  ON THIS CORPUS — the synthetic 31-word vocabulary saturates the 16-bit
+  bit-majority, so background pairs within Hamming<=3 grow ~quadratically
+  with corpus size (see the PAIR_BITS note in operators/dedup.py). The
+  banded candidate join itself stays an equi-join; what grows is the true
+  candidate set. On real corpora (heavy-tailed vocabulary) the signature
+  entropy is far higher and candidates stay near-linear; the wide default
+  (32,768 buckets/band) is the 100 TB shape.
 - Everything else measures sub-linear vs 10x data at these sizes (fixed
   scheduling overhead still dominates many sub-second queries).
 
@@ -101,6 +103,46 @@ A physical-plan audit across all 183 queries (windows, joins):
   scalar subqueries — the broadcast side is one row, so the "nested loop"
   is a constant-fold at execution; flagging it as an anti-pattern would be
   wrong.
+
+## Bench hygiene (round 3): per-query deltas vs BENCH_r02
+
+Local re-runs at sf0.1, local[32], bench methodology (noop sink, min of 2).
+Two full bench runs this round; min-of-2 per query vs the r02 record:
+
+- Common-32 totals: 13.71 s (r02) → 14.53 s (r03 local, min of 2 runs) —
+  a uniform ≈ +6% drift across nearly EVERY query, including ones whose
+  code is untouched since r02 (pricing_summary 0.51→0.65/0.51,
+  event_type_triangles 0.44→0.56, sq8_ann_topk 0.24→0.31,
+  bitmap_distinct_rollup 0.26→0.34). Uniformity across unchanged code =
+  session/machine noise, not plan regressions; nothing crosses the
+  regression gate (1.3× AND +0.25 s).
+- `regional_revenue` standalone re-measure (per the round-2 verdict):
+  warmed noop-sink runs in a fresh session: [0.695, 0.567, 0.763, 0.611] s;
+  in-bench samples this round 0.606/0.489 s. Round history: r01 0.48,
+  r02 0.59. Verdict: the r02 "1.23×" was run noise — the query oscillates
+  0.49–0.7 s session to session; plan unchanged (broadcast dim join +
+  single grouped agg).
+- `simhash_near_dup_pairs` is now bound to the 60-bit wide path, so the
+  bench's `simhash_near_dup_pairs_wide` entry (0.26 s r02 → 0.29 s now,
+  within noise) measures the DEFAULT operator from this round on; the
+  16-bit spelling survives as `simhash_near_dup_pairs_narrow` for the
+  synthetic-corpus recall oracle only.
+
+## Rotation-proofing (round 3): full 187-query driver sweep
+
+`scripts/driver_check.py` (the driver-faithful pandas comparator) run over
+ALL 187 registry queries at sf0.01 from a /tmp cwd: **187/187 match, 0
+bad** — including the TPC-H, window, setop, scalar, subquery, and UDF
+tiers the round-1/2 driver samples never touched, so any 50-query rotation
+lands on driver-verified ground. Per-query wall times (now printed by
+driver_check): median well under 1 s; the >2 s tail is confined to
+queries whose latency is round-trip-count, not data volume — iterative
+graph loops (bfs_reachable_hops / dup_clusters ≈ 4-6 s: one Spark job per
+round), the Python DataSource demo (python_datasource_agg ≈ 5 s: Python
+worker spin-up per partition, fixed cost), and catalog introspection
+(catalog_columns ≈ 3 s: one analyzed-plan lookup per table — already the
+30x-faster spelling vs per-table catalog RPCs). All were driver-green in
+r1/r2 samples at these latencies; none grow with SF.
 """
 
 
