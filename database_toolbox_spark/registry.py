@@ -385,6 +385,39 @@ def get_jdbc_source(name: str) -> JdbcSource:
     return _JDBC_SOURCES[name]
 
 
+def _list_jdbc_sources_tool(spark: SparkSession) -> DataFrame:
+    """Discovery for the configured JDBC connections: callers see WHICH
+    sources exist (name + driver class) without the URLs — connection
+    strings can embed credentials, so they stay deployment-side."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    rows = [
+        (name, src.driver_class) for name, src in sorted(_JDBC_SOURCES.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("source_name", T.StringType(), False),
+                T.StructField("driver_class", T.StringType(), False),
+            ]
+        ),
+    )
+
+
+register(
+    ToolSpec(
+        name="list_jdbc_sources",
+        description=(
+            "List the configured JDBC source names (deployment-time "
+            "connections usable with register_jdbc_table). URLs are not "
+            "exposed — they can embed credentials."
+        ),
+        fn=_list_jdbc_sources_tool,
+    )
+)
+
+
 def _register_jdbc_table_tool(
     spark: SparkSession,
     view: str,

@@ -8,6 +8,7 @@ from database_toolbox_spark.streaming.stream_ops import (  # noqa: F401
     read_foreach_batch_snapshot,
     stream_foreach_batch_totals,
     stream_dedup,
+    stream_enriched_event_counts,
     stream_hourly_counts,
     stream_session_windows,
     stream_user_running_totals,

@@ -238,6 +238,36 @@ def stream_view_click_join(events: DataFrame) -> DataFrame:
     ).select("c_user", "view_id", "click_id", "view_ts", "click_ts")
 
 
+def stream_enriched_event_counts(
+    events: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-STATIC enrichment join — the canonical dimension-lookup
+    pattern: each micro-batch of the event stream joins a static
+    customer-segment dimension (broadcast; the static side is planned once
+    and needs no watermark or join state), then aggregates per segment.
+    At scale the static side is a slowly-changing dim snapshot; Spark
+    re-broadcasts it per restart, state stays bounded by the windowed agg
+    alone."""
+    from database_toolbox_spark.session import load_table  # noqa: PLC0415
+
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .join(dim, "user_id", "left")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.coalesce("segment", F.lit("UNKNOWN")).alias("segment"),
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "segment", "n", "sum_value")
+    )
+
+
 _CLOSE_OUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -372,6 +372,27 @@ def test_register_jdbc_table_tool(spark, tmp_path):
     spark.catalog.dropTempView("region_ext")
 
 
+def test_list_jdbc_sources_tool_hides_urls(spark):
+    """Discovery shows names + driver classes, never connection URLs
+    (URLs can embed credentials)."""
+    import json
+
+    from database_toolbox_spark import registry
+
+    registry.register_jdbc_source(
+        "secret_db", "jdbc:derby:memory:x;user=u;password=p",
+        "org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    rows = [
+        json.loads(c["text"])
+        for c in registry.call_tool(spark, "list_jdbc_sources")
+    ]
+    mine = [r for r in rows if r["source_name"] == "secret_db"]
+    assert mine and mine[0]["driver_class"].endswith("EmbeddedDriver")
+    assert all("password" not in json.dumps(r) for r in rows)
+    assert all("url" not in r for r in rows)
+
+
 def test_tools_file_registers_jdbc_source(tmp_path):
     """A tools-file `sources:` entry with kind: jdbc becomes a named
     connection for register_jdbc_table (deployment-time binding)."""

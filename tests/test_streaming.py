@@ -51,6 +51,48 @@ def test_stream_hourly_matches_batch(spark, stream):
         assert abs(got[k][1] - s) < 0.05
 
 
+def test_stream_static_enrichment_matches_batch(spark, stream):
+    """Stream-static broadcast join: per-segment hourly totals must equal
+    the same join+agg run in batch over the identical inputs."""
+    from pyspark.sql import functions as F
+
+    from database_toolbox_spark.session import load_table
+    from database_toolbox_spark.streaming import stream_enriched_event_counts
+
+    _run_to_memory(
+        stream_enriched_event_counts(stream, spark, SF_DIR),
+        "enriched_out", "complete",
+    )
+    got = {
+        (r.hour_start, r.segment): (r.n, round(r.sum_value, 2))
+        for r in spark.sql("SELECT * FROM enriched_out").collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    dim = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    want = {
+        (r.hour_start, r.segment): (r.n, round(r.sum_value, 2))
+        for r in ev.join(dim, "user_id", "left")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.coalesce("segment", F.lit("UNKNOWN")).alias("segment"),
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "segment", "n", "sum_value")
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k, (n, s) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - s) < 0.05
+    # every segment must be a real market segment (the dim join landed)
+    segs = {k[1] for k in got}
+    assert segs <= {"AUTOMOBILE", "BUILDING", "FURNITURE",
+                    "HOUSEHOLD", "MACHINERY", "UNKNOWN"}
+
+
 def test_stream_dedup_bounded_state(spark, stream):
     _run_to_memory(stream_dedup(stream), "dedup_out", "append")
     rows = spark.sql("SELECT event_id FROM dedup_out").collect()
