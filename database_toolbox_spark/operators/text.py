@@ -324,6 +324,91 @@ def _bigram_sql(toks_cte: str) -> str:
     """
 
 
+def _bigram_lm_sql(
+    toks_cte: str, fold_expr: str, big_body: str | None = None
+) -> str:
+    """Corpus-quality scoring with a bigram language model (the CCNet-style
+    perplexity filter, SQL-native): train add-one-smoothed bigram
+    transition probabilities on the corpus itself, score each document by
+    its average transition probability.
+
+    Determinism: the per-bigram probability is a single IEEE division of
+    exact integers — bit-identical across engines (unlike ln(), whose libm
+    rounding differs) — and the per-doc sum uses an explicit ORDERED fold
+    (fold_expr; sorted by token position), so shuffle-merge order can
+    never flake the rounded result (see temperature_mix_allocation
+    precedent).
+
+    big_body overrides the bigram CTE body (e.g. a SELECT from a
+    materialized view — Spark inlines CTEs, so `big` would otherwise
+    recompute its window for each of its three consumers)."""
+    big = big_body or f"""
+            SELECT * FROM (
+                SELECT doc_id, pos,
+                       lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                       term AS w2
+                FROM ({toks_cte})
+            ) WHERE w1 IS NOT NULL"""
+    return f"""
+        WITH toks AS (
+            {toks_cte}
+        ),
+        big AS (
+            {big}
+        ),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+        uc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+        v AS (SELECT count(DISTINCT term) AS vocab FROM toks),
+        s AS (
+            SELECT g.doc_id, g.pos,
+                   (c.c12 + 1e0) / (u.c1 + v.vocab) AS p
+            FROM big g
+            JOIN bc c ON c.w1 = g.w1 AND c.w2 = g.w2
+            JOIN uc u ON u.w1 = g.w1
+            CROSS JOIN v
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   {fold_expr} AS sp
+            FROM s GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               {R("sp / n_bigrams", 6)} AS avg_transition_prob
+        FROM agg ORDER BY doc_id
+    """
+
+
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM corpus-quality scores (see _bigram_lm_sql). Scale shape:
+    the per-doc bigram stream is materialized ONCE (it feeds the bigram
+    counts, the head counts, and the scoring join — CTE inlining would
+    recompute its window 3x), then two vocabulary-sized grouped
+    aggregates, hash joins back on bigram keys, a 1-row broadcast for the
+    vocab size — everything shuffles on real keys, nothing quadratic."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    toks = (
+        "SELECT /*+ REPARTITION */ doc_id, p.pos, p.col AS term "
+        "FROM documents LATERAL VIEW posexplode(split(text, ' ')) p AS pos, col"
+    )
+    materialize(spark.sql(f"""
+        SELECT * FROM (
+            SELECT doc_id, pos,
+                   lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                   term AS w2
+            FROM ({toks})
+        ) WHERE w1 IS NOT NULL
+    """)).createOrReplaceTempView("bigram_lm_big_mat")
+    return spark.sql(_bigram_lm_sql(
+        toks,
+        "aggregate(array_sort(collect_list(struct(pos, p))), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x.p)",
+        big_body="SELECT * FROM bigram_lm_big_mat",
+    ))
+
+
 def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level bigram top-k (language-model n-gram statistics): the
     explode stays partition-local (REPARTITION hint spreads the CPU-heavy
@@ -337,6 +422,7 @@ def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "bigram_lm_scores": bigram_lm_scores,
     "corpus_bigram_topk": corpus_bigram_topk,
     "doc_repetition_scores": doc_repetition_scores,
     "term_postings_topk": term_postings_topk,
@@ -349,6 +435,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bigram_lm_scores": _bigram_lm_sql(
+        "SELECT doc_id, u.i AS pos, toks[u.i] AS term "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks "
+        "      FROM documents), "
+        "     unnest(range(1, len(toks) + 1)) AS u(i)",
+        "list_reduce(list(p ORDER BY pos), (acc, x) -> acc + x)",
+    ),
     "doc_repetition_scores": _REPETITION_ORACLE,
     "term_postings_topk": _POSTINGS_ORACLE,
     "corpus_bigram_topk": _bigram_sql(

@@ -9,6 +9,8 @@ import struct
 import zlib
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from database_toolbox_spark.functions.png import (
     PNG_SIGNATURE,
@@ -76,6 +78,30 @@ def test_filter_math_matches_spec_by_hand():
     for f in (1, 2, 3, 4):
         filtered = bytearray(filter_scanline(f, line, prev, 1))
         assert bytes(unfilter_scanline(f, filtered, prev, 1)) == line
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    strategy=st.sampled_from(["none", "cycle"]),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, channels, strategy, data):
+    """Any 8-bit pixel buffer round-trips exactly through encode→decode,
+    for every dimension/channel/filter combination hypothesis finds."""
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * channels,
+                max_size=w * h * channels,
+            )
+        )
+    )
+    img = decode_png(encode_png(px, w, h, channels, filter_strategy=strategy))
+    assert img == {"width": w, "height": h, "channels": channels, "pixels": px}
 
 
 def test_decode_rejects_malformed():
