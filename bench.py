@@ -59,9 +59,10 @@ HEADLINE = [
     "pack_documents",
     "simhash_near_dup_pairs_wide",
     "look_revenue_by_nation",
-    # round-3 additions: real-codec multimodal tier
+    # round-3 additions: real-codec multimodal tier + LM quality filter
     "image_decode_stats",
     "audio_waveform_stats",
+    "bigram_lm_scores",
 ]
 
 

@@ -6,7 +6,8 @@ Reference parity n/a — the reference ships no codecs (its multimodal surface
 is opaque binary passthrough); this is the repo's own declared surface.
 
 Scope (documented, validated): 8-bit depth, color types 0 (grayscale),
-2 (RGB), 4 (gray+alpha), 6 (RGBA), all five scanline filters
+2 (RGB), 3 (palette — PLTE-indexed, expanded to RGB on decode),
+4 (gray+alpha), 6 (RGBA), all five scanline filters
 (None/Sub/Up/Average/Paeth), multiple IDAT chunks, CRC verification,
 no interlacing. That covers everything `encode_png` emits and the common
 subset of real-world PNGs.
@@ -25,9 +26,11 @@ import zlib
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-# color type → samples per pixel (8-bit depth only)
+# color type → samples per pixel (8-bit depth only); type 3 (palette) is
+# 1 byte/pixel on the wire, expanded to RGB on decode
 _CHANNELS_OF_COLOR_TYPE = {0: 1, 2: 3, 4: 2, 6: 4}
 _COLOR_TYPE_OF_CHANNELS = {v: k for k, v in _CHANNELS_OF_COLOR_TYPE.items()}
+_PALETTE_COLOR_TYPE = 3
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -144,6 +147,7 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError("not a PNG: bad signature")
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     seen_iend = False
     while pos < len(payload):
@@ -162,6 +166,8 @@ def decode_png(payload: bytes) -> dict:
         pos += 12 + length
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -175,13 +181,19 @@ def decode_png(payload: bytes) -> dict:
     )
     if depth != 8:
         raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
-    if color_type not in _CHANNELS_OF_COLOR_TYPE:
+    is_palette = color_type == _PALETTE_COLOR_TYPE
+    if not is_palette and color_type not in _CHANNELS_OF_COLOR_TYPE:
         raise ValueError(f"unsupported PNG color type {color_type}")
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
     if interlace != 0:
         raise ValueError("interlaced PNG not supported")
-    channels = _CHANNELS_OF_COLOR_TYPE[color_type]
+    if is_palette:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette PNG missing or malformed PLTE chunk")
+        channels = 1  # one index byte per pixel on the wire
+    else:
+        channels = _CHANNELS_OF_COLOR_TYPE[color_type]
     stride = width * channels
     try:
         raw = zlib.decompress(bytes(idat))
@@ -202,6 +214,19 @@ def decode_png(payload: bytes) -> dict:
         line = unfilter_scanline(ftype, line, prev, channels)
         out += line
         prev = bytes(line)
+    if is_palette:
+        n_entries = len(plte) // 3
+        if any(i >= n_entries for i in out):
+            raise ValueError("palette PNG index out of PLTE range")
+        rgb = bytearray(len(out) * 3)
+        for j, i in enumerate(out):
+            rgb[j * 3:j * 3 + 3] = plte[i * 3:i * 3 + 3]
+        return {
+            "width": width,
+            "height": height,
+            "channels": 3,
+            "pixels": bytes(rgb),
+        }
     return {
         "width": width,
         "height": height,

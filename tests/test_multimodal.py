@@ -131,6 +131,53 @@ def test_decode_rejects_malformed():
         )
 
 
+def _palette_png(indices: bytes, w: int, h: int, palette: bytes) -> bytes:
+    """Hand-build a color-type-3 PNG (the encoder only emits 0/2/4/6)."""
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + indices[y * w:(y + 1) * w] for y in range(h)
+    )
+    return (
+        PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_palette_png_expands_to_rgb():
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    img = decode_png(_palette_png(bytes([0, 1, 2, 1]), 2, 2, palette))
+    assert (img["width"], img["height"], img["channels"]) == (2, 2, 3)
+    assert img["pixels"] == bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 255, 0]
+    )
+
+
+def test_decode_palette_png_rejects_bad_index_and_missing_plte():
+    palette = bytes([10, 20, 30])  # single entry
+    with pytest.raises(ValueError, match="PLTE range"):
+        decode_png(_palette_png(bytes([0, 1]), 2, 1, palette))
+    # palette image with no PLTE chunk at all
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    raw = zlib.compress(b"\x00\x00")
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+    bad = (
+        PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(bad)
+
+
 def test_decode_skips_ancillary_chunks():
     good = encode_png(bytes(range(16)), 4, 4, channels=1)
     text = b"Comment\x00hello"
