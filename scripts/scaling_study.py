@@ -109,13 +109,14 @@ A physical-plan audit across all 183 queries (windows, joins):
 Local re-runs at sf0.1, local[32], bench methodology (noop sink, min of 2).
 Two full bench runs this round; min-of-2 per query vs the r02 record:
 
-- Common-32 totals: 13.71 s (r02) → 14.53 s (r03 local, min of 2 runs) —
-  a uniform ≈ +6% drift across nearly EVERY query, including ones whose
-  code is untouched since r02 (pricing_summary 0.51→0.65/0.51,
-  event_type_triangles 0.44→0.56, sq8_ann_topk 0.24→0.31,
-  bitmap_distinct_rollup 0.26→0.34). Uniformity across unchanged code =
-  session/machine noise, not plan regressions; nothing crosses the
-  regression gate (1.3× AND +0.25 s).
+- Common-32 totals: 13.71 s (r02) → 14.38 s (r03 local, min over FOUR
+  full bench runs whose totals ranged 15.1–24.0 s — the shared host is
+  visibly contended this round; single-run totals are not comparable).
+  The drift is uniform across queries whose code is untouched since r02
+  (worst best-case ratios: knn_graph_topk 1.31×, bitmap_distinct_rollup
+  1.30×, lsh_ann_topk 1.27× — all sub-second, all unchanged code) =
+  machine noise, not plan regressions; nothing crosses the regression
+  gate (1.3× AND +0.25 s).
 - `regional_revenue` standalone re-measure (per the round-2 verdict):
   warmed noop-sink runs in a fresh session: [0.695, 0.567, 0.763, 0.611] s;
   in-bench samples this round 0.606/0.489 s. Round history: r01 0.48,
