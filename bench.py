@@ -101,7 +101,10 @@ def main() -> None:
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
         best = float("inf")
-        for _ in range(2):  # steady-state: min of 2 runs
+        # min of 3: the shared host shows 20-40% inter-run contention
+        # swings (SCALING.md round-3 note); 2 samples were not enough to
+        # reach steady state reliably
+        for _ in range(3):
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
