@@ -51,19 +51,29 @@ def _csv_names(table_names: str | None) -> list[str] | None:
     return [t.strip() for t in table_names.split(",") if t.strip()]
 
 
+def _visible_tables(spark: SparkSession) -> list[tuple[str, str]]:
+    """(namespace, name) of user-visible tables/views. Enumerated via
+    `SHOW TABLES` — a single Catalyst command (~0.04 s) where
+    `catalog.listTables()` resolves per-table metadata over the catalog
+    RPC (~1.2 s for 10 views; measured round 3). System namespaces are
+    excluded per the reference filter."""
+    return [
+        (r.namespace, r.tableName)
+        for r in spark.sql("SHOW TABLES").collect()
+        if r.namespace not in SYSTEM_SCHEMAS
+    ]
+
+
 def list_tables(
     spark: SparkSession, table_names: str | None = "", schema_name: str = "default"
 ) -> DataFrame:
     """Redshift-dialect `list_tables`: one row per column, ordered."""
     wanted = _csv_names(table_names)
     rows = []
-    for tbl in spark.catalog.listTables():
-        if tbl.database in SYSTEM_SCHEMAS:
-            continue
-        name = tbl.name
+    for namespace, name in _visible_tables(spark):
         if wanted is not None and name not in wanted:
             continue
-        schema = tbl.database or schema_name
+        schema = namespace or schema_name
         # spark.table(name).schema gives the identical (name, simpleString,
         # nullable) triple as catalog.listColumns but ~30x faster — one
         # analyzed-plan lookup instead of a full catalog RPC per table
@@ -79,8 +89,11 @@ def list_tables(
                     None,  # temp views carry no column defaults
                 )
             )
-    df = spark.createDataFrame(rows, LIST_TABLES_SCHEMA)
-    return df.orderBy("schema_name", "table_name", "column_position")
+    # rows are already driver-local: sort here (ASCII names — Python and
+    # UTF8-binary order agree) instead of paying a sort exchange for a
+    # ~70-row result
+    rows.sort(key=lambda r: (r[0], r[1], r[3]))
+    return spark.createDataFrame(rows, LIST_TABLES_SCHEMA)
 
 
 def list_table_names(spark: SparkSession, table_names: str | None = "") -> DataFrame:
@@ -88,9 +101,9 @@ def list_table_names(spark: SparkSession, table_names: str | None = "") -> DataF
     (tests/sqlite/sqlite.yaml:15-24)."""
     wanted = _csv_names(table_names)
     names = sorted(
-        t.name
-        for t in spark.catalog.listTables()
-        if t.database not in SYSTEM_SCHEMAS and (wanted is None or t.name in wanted)
+        name
+        for _, name in _visible_tables(spark)
+        if wanted is None or name in wanted
     )
     return spark.createDataFrame(
         [(n,) for n in names],
