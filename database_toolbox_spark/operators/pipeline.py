@@ -136,6 +136,39 @@ def build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("token_id")
 
 
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage QA: per-source token count, out-of-vocabulary
+    count, and OOV rate against the top-K vocabulary from `build_vocab`
+    (the metric you check before committing a tokenizer vocab to a
+    training run). Scale shape: the K-row vocab broadcasts into the token
+    stream (no shuffle on the corpus side beyond the final per-source
+    agg); integer sums are exact so the rounded rate is deterministic."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    vocab = build_vocab(spark, sf_dir).select("term").withColumn(
+        "in_vocab", F.lit(1)
+    )
+    toks = spark.sql(
+        "SELECT /*+ REPARTITION */ doc_id, explode(split(text, ' ')) AS term "
+        "FROM documents"
+    )
+    docs = spark.table("documents").select("doc_id", "source")
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn("oov_rate", F.expr(R("n_oov * 1e0 / n_tokens", 6)))
+        .orderBy("source")
+    )
+
+
 def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic source interleaving (dataset mixing without RNG): rank
     docs within each source (PARTITIONed window), then take round-robin
@@ -281,11 +314,39 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "pack_documents": pack_documents,
     "build_vocab": build_vocab,
+    "oov_rate_by_source": oov_rate_by_source,
     "mix_sources": mix_sources,
     "pii_scrub_counts": pii_scrub_counts,
 }
 
 ORACLE = {
+    "oov_rate_by_source": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tdf AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        ),
+        vocab AS (
+            SELECT term FROM (
+                SELECT term,
+                       row_number() OVER (ORDER BY df DESC, term) AS rnk
+                FROM tdf
+            ) WHERE rnk <= {VOCAB_SIZE}
+        ),
+        j AS (
+            SELECT t.doc_id,
+                   CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+            FROM toks t LEFT JOIN vocab v ON v.term = t.term
+        )
+        SELECT d.source,
+               count(*) AS n_tokens,
+               CAST(sum(j.oov) AS BIGINT) AS n_oov,
+               {R("sum(j.oov) * 1e0 / count(*)", 6)} AS oov_rate
+        FROM j JOIN documents d ON d.doc_id = j.doc_id
+        GROUP BY d.source ORDER BY d.source
+    """,
     "corpus_cleaning_funnel": _funnel_sql(
         "CAST(len(string_split(text, ' ')) AS INT)"
     ),
