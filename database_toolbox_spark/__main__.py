@@ -1,8 +1,10 @@
 """CLI entry point.
 
-    python -m database_toolbox_spark "SELECT count(*) AS n FROM lineitem"
+    python -m database_toolbox_spark [--max-rows N] "SELECT ..."
         one-shot gated SQL against the configured data dir; prints one JSON
-        row per line (the reference's result contract)
+        row per line (the reference's result contract). --max-rows caps the
+        printed rows (the tool surface is capped at 10,000 by default; the
+        bare CLI prints everything unless capped here)
     python -m database_toolbox_spark --serve
         MCP-style stdio JSON-RPC server (initialize / tools/list / tools/call)
     python -m database_toolbox_spark --list-tables [csv]
@@ -97,8 +99,21 @@ def main(argv: list[str]) -> int:
         for item in items:
             print(item["text"])
         return 0
+    max_rows = None
+    if argv[0] == "--max-rows":
+        if len(argv) < 3:
+            print("error: --max-rows requires a count and a statement",
+                  file=sys.stderr)
+            return 2
+        try:
+            max_rows = int(argv[1])
+        except ValueError:
+            print(f"error: --max-rows: not an integer: {argv[1]!r}",
+                  file=sys.stderr)
+            return 2
+        argv = argv[2:]
     try:
-        rows = rows_as_json(execute_sql(spark, argv[0]))
+        rows = rows_as_json(execute_sql(spark, argv[0]), limit=max_rows)
     except StatementDenied as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 2

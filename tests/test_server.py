@@ -175,3 +175,8 @@ def test_cli_tool_mode(tmp_path):
              '{"view": "v", "source": "nope", "table": "T"}')
     assert r7.returncode == 2 and "unknown JDBC source" in r7.stderr
     assert "Traceback" not in r7.stderr
+    r8 = run("--max-rows", "3", "SELECT l_orderkey FROM lineitem")
+    assert r8.returncode == 0
+    assert len([l for l in r8.stdout.splitlines() if l.startswith("{")]) == 3
+    r9 = run("--max-rows", "zzz", "SELECT 1")
+    assert r9.returncode == 2 and "not an integer" in r9.stderr
