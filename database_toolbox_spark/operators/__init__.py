@@ -22,6 +22,7 @@ def _modules():
         bucketing,
         catalog_ops,
         clustering,
+        curation,
         dedup,
         events,
         graph,
@@ -57,6 +58,7 @@ def _modules():
         bucketing,
         catalog_ops,
         clustering,
+        curation,
         dedup,
         events,
         graph,
