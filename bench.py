@@ -63,6 +63,9 @@ HEADLINE = [
     "image_decode_stats",
     "audio_waveform_stats",
     "bigram_lm_scores",
+    # round-3 additions: corpus-curation tier
+    "segment_dedup_kept",
+    "quality_classifier_scores",
 ]
 
 

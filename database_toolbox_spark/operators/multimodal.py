@@ -282,6 +282,102 @@ def audio_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary.mapInPandas(run, schema=WAVEFORM_SCHEMA).orderBy("doc_id")
 
 
+WAV_BASE_RATE = 8000  # per-doc rate = 8000 + (doc_id % 3) * 4000, so the
+# decoder's fmt parsing is exercised on more than one constant
+WAV_SCALE = 256  # ascii deviation → int16 sample
+WAV_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_frames int, peak int, "
+    "energy bigint, crossings int"
+)
+
+
+def wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL RIFF/WAVE file: each
+    document's characters become 16-bit PCM samples ((ascii − AUDIO_BIAS)
+    · 256) at a per-doc sample rate, serialized by the stdlib codec.
+    Worker-side per Arrow batch — payloads never hit the driver."""
+    from pyspark import cloudpickle
+
+    from database_toolbox_spark.functions import wav as wav_mod
+
+    cloudpickle.register_pickle_by_value(wav_mod)
+    encode = wav_mod.encode_wav
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(n_parts)  # codec stage is CPU-bound; see png_payloads
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def to_wav(doc_id: int, text: str) -> bytes:
+            samples = [
+                (b - AUDIO_BIAS) * WAV_SCALE for b in text.encode("utf-8")
+            ]
+            rate = WAV_BASE_RATE + (doc_id % 3) * 4000
+            return encode(samples, rate)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        to_wav(i, t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: WAV payloads (built by `wav_payloads`) are parsed
+    back through the stdlib RIFF chunk walker and reduced to integer
+    waveform stats — all exact, so the WAV-independent DuckDB oracle
+    (recomputed from ASCII codes) proves encode→chunk-walk→PCM is
+    byte-faithful for every row."""
+    from pyspark import cloudpickle
+
+    from database_toolbox_spark.functions import wav as wav_mod
+
+    cloudpickle.register_pickle_by_value(wav_mod)
+    decode = wav_mod.decode_wav
+    payloads = wav_payloads(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def feats(payload: bytes) -> tuple:
+            w = decode(payload)
+            s = np.asarray(w["samples"], dtype=np.int64)
+            if s.size == 0:
+                return (w["sample_rate"], 0, 0, 0, 0)
+            nonneg = s >= 0
+            return (
+                w["sample_rate"],
+                w["n_frames"],
+                int(np.abs(s).max()),
+                int((s * s).sum()),
+                int((nonneg[1:] != nonneg[:-1]).sum()),
+            )
+
+        for pdf in batches:
+            cols = pdf["payload"].map(feats)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": cols.map(lambda t: t[0]).astype("int32"),
+                    "n_frames": cols.map(lambda t: t[1]).astype("int32"),
+                    "peak": cols.map(lambda t: t[2]).astype("int32"),
+                    "energy": cols.map(lambda t: t[3]).astype("int64"),
+                    "crossings": cols.map(lambda t: t[4]).astype("int32"),
+                }
+            )
+
+    return payloads.mapInPandas(run, schema=WAV_SCHEMA).orderBy("doc_id")
+
+
 def binary_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata aggregation over the binary column, per source —
     pure JVM-side (octet_length on binary), no Python."""
@@ -324,6 +420,7 @@ QUERIES = {
     "image_decode_stats": image_decode_stats,
     "image_resize_stats": image_resize_stats,
     "audio_waveform_stats": audio_waveform_stats,
+    "wav_decode_stats": wav_decode_stats,
     "binary_meta_stats": binary_meta_stats,
     "frame_samples": frame_samples,
 }
@@ -395,6 +492,34 @@ ORACLE = {
                CAST(coalesce(list_aggregate(list_transform(s,
                         x -> (x - {AUDIO_BIAS}) * (x - {AUDIO_BIAS})), 'sum'),
                     0) AS BIGINT) AS energy,
+               CAST(coalesce(list_aggregate(list_transform(range(2, len(s) + 1),
+                        i -> CASE WHEN (s[i-1] >= {AUDIO_BIAS})
+                                       <> (s[i] >= {AUDIO_BIAS})
+                                  THEN 1 ELSE 0 END), 'sum'),
+                    0) AS INT) AS crossings
+        FROM c ORDER BY doc_id
+    """,
+    # WAV-independent recomputation: sample s_i = (ascii_i − bias) · 256,
+    # so peak/energy/crossings derive from ASCII codes; the per-doc rate
+    # replays the encoder's formula. energy = 65536 · Σ(ascii − bias)²
+    # (BIGINT multiply — the INTEGER list sum would overflow at ×65536).
+    "wav_decode_stats": f"""
+        WITH c AS (
+            SELECT doc_id,
+                   list_transform(range(1, length(text) + 1),
+                                  i -> ascii(substr(text, i, 1))) AS s
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST({WAV_BASE_RATE} + (doc_id % 3) * 4000 AS INT)
+                   AS sample_rate,
+               CAST(len(s) AS INT) AS n_frames,
+               CAST(coalesce(list_max(list_transform(s,
+                        x -> abs(x - {AUDIO_BIAS}))), 0) * {WAV_SCALE}
+                    AS INT) AS peak,
+               CAST(coalesce(list_aggregate(list_transform(s,
+                        x -> (x - {AUDIO_BIAS}) * (x - {AUDIO_BIAS})), 'sum'),
+                    0) AS BIGINT) * {WAV_SCALE * WAV_SCALE} AS energy,
                CAST(coalesce(list_aggregate(list_transform(range(2, len(s) + 1),
                         i -> CASE WHEN (s[i-1] >= {AUDIO_BIAS})
                                        <> (s[i] >= {AUDIO_BIAS})

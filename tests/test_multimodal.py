@@ -246,12 +246,14 @@ def test_image_resize_keeps_strided_pixels(spark):
 
 def test_audio_waveform_stats_semantics(spark):
     """PCM-style stats recomputed in Python from the payload bytes."""
+    # run the operator FIRST — it registers the documents view this test
+    # reads (spark.table before any load_table is order-dependent)
+    stats = {r.doc_id: r for r in audio_waveform_stats(spark, SF_DIR).collect()}
     docs = {
         r.doc_id: r.text.encode("utf-8")
         for r in spark.table("documents")
         .select("doc_id", "text").limit(30).collect()
     }
-    stats = {r.doc_id: r for r in audio_waveform_stats(spark, SF_DIR).collect()}
     for d, body in docs.items():
         s = stats[d]
         assert s.n_samples == len(body)
@@ -277,3 +279,124 @@ def test_image_decode_stats_end_to_end(spark):
         assert s.height == max(1, -(-len(body) // 16))
         assert s.pixel_sum == sum(body)
         assert s.first_px == (body[0] if body else 0)
+
+
+# --- WAV codec (functions/wav.py) ------------------------------------------
+
+
+def test_wav_roundtrip_against_stdlib_wave():
+    """Our encoder must be readable by the stdlib `wave` module and our
+    decoder must read stdlib-written files — two independent
+    implementations agreeing in both directions."""
+    import io
+    import wave as stdwave
+
+    from database_toolbox_spark.functions.wav import decode_wav, encode_wav
+
+    samples = [0, 100, -100, 32767, -32768, 5, -5, 0]
+    payload = encode_wav(samples, 16000)
+
+    with stdwave.open(io.BytesIO(payload)) as r:
+        assert r.getframerate() == 16000
+        assert r.getnchannels() == 1
+        assert r.getsampwidth() == 2
+        assert r.getnframes() == len(samples)
+        back = struct.unpack(f"<{len(samples)}h", r.readframes(len(samples)))
+    assert list(back) == samples
+
+    buf = io.BytesIO()
+    with stdwave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    out = decode_wav(buf.getvalue())
+    assert out["sample_rate"] == 44100
+    assert out["channels"] == 2
+    assert out["n_frames"] == len(samples) // 2
+    assert out["samples"] == samples
+
+
+@given(
+    rate=st.integers(min_value=1, max_value=192000),
+    channels=st.integers(min_value=1, max_value=4),
+    frames=st.lists(
+        st.integers(min_value=-32768, max_value=32767), max_size=64
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(rate, channels, frames):
+    from database_toolbox_spark.functions.wav import decode_wav, encode_wav
+
+    frames = frames[: len(frames) - (len(frames) % channels)]
+    out = decode_wav(encode_wav(frames, rate, channels=channels))
+    assert out["samples"] == frames
+    assert out["sample_rate"] == rate
+    assert out["channels"] == channels
+    assert out["n_frames"] == len(frames) // channels
+
+
+def test_wav_chunk_walker_tolerates_extra_chunks():
+    """fmt preceded by a LIST chunk with an ODD size (word-alignment
+    padding) must still parse — the canonical-44-byte assumption is
+    exactly what real-world files break."""
+    from database_toolbox_spark.functions.wav import decode_wav, encode_wav
+
+    canonical = encode_wav([1, -2, 3], 8000)
+    # splice a 5-byte LIST chunk (odd → 1 pad byte) between WAVE and fmt
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    body = canonical[12:]
+    spliced = b"RIFF" + struct.pack("<I", 4 + len(extra) + len(body)) + b"WAVE" + extra + body
+    out = decode_wav(spliced)
+    assert out["samples"] == [1, -2, 3]
+    assert out["sample_rate"] == 8000
+
+
+def test_wav_rejects_malformed():
+    import pytest as _pytest
+
+    from database_toolbox_spark.functions.wav import (
+        WavError,
+        decode_wav,
+        encode_wav,
+    )
+
+    good = encode_wav([1, 2], 8000)
+    for bad in (
+        b"",
+        b"RIFF\x00\x00\x00\x00JUNK",
+        good[:20],  # truncated mid-chunk
+        good.replace(b"fmt ", b"fmtX"),  # missing fmt
+        good.replace(b"data", b"datX"),  # missing data
+    ):
+        with _pytest.raises(WavError):
+            decode_wav(bad)
+    # non-PCM format code must be rejected, not misparsed
+    tampered = bytearray(good)
+    fmt_at = good.index(b"fmt ") + 8
+    struct.pack_into("<H", tampered, fmt_at, 3)  # IEEE float code
+    with _pytest.raises(WavError):
+        decode_wav(bytes(tampered))
+
+
+def test_wav_decode_stats_matches_direct_computation(spark):
+    """End-to-end on a tiny SF: the distributed encode→decode path must
+    equal stats computed straight from the text, WAV never involved."""
+    from database_toolbox_spark.operators.multimodal import (
+        AUDIO_BIAS,
+        WAV_SCALE,
+        wav_decode_stats,
+    )
+
+    rows = {r.doc_id: r for r in wav_decode_stats(spark, "/root/testdata/sf0.001").collect()}
+    docs = spark.table("documents").select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+    for d in docs:
+        s = [(b - AUDIO_BIAS) * WAV_SCALE for b in d.text.encode()]
+        r = rows[d.doc_id]
+        assert r.n_frames == len(s)
+        assert r.peak == max(abs(x) for x in s)
+        assert r.energy == sum(x * x for x in s)
+        nn = [x >= 0 for x in s]
+        assert r.crossings == sum(a != b for a, b in zip(nn, nn[1:]))
+        assert r.sample_rate == 8000 + (d.doc_id % 3) * 4000
