@@ -289,6 +289,123 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- 6. Zipf-law fit over the term-frequency distribution ------------------
+
+ZIPF_K = 50  # top-K terms entering the log-log regression
+
+
+def _zipf_tail_sql(fold) -> str:
+    """Shared regression tail over a `p(rank, x, y)` CTE: least-squares
+    slope/intercept of y = ln(freq) on x = ln(rank). Every Σ runs as a
+    RANK-ORDERED sequential fold (`fold(expr)`) — plain sum() lets each
+    engine merge float partials in its own order, and the two engines'
+    orders differ, so the rounded slope could flip; folding in rank order
+    makes all four sums bit-identical across engines."""
+    slope = "(k * sxy - sx * sy) / (k * sxx - sx * sx)"
+    return f"""
+        s AS (
+            SELECT count(*) AS k,
+                   {fold("x")} AS sx,
+                   {fold("y")} AS sy,
+                   {fold("x * y")} AS sxy,
+                   {fold("x * x")} AS sxx
+            FROM p
+        )
+        SELECT CAST(k AS INT) AS k_terms,
+               {R(slope, 6)} AS slope,
+               {R(f"(sy - ({slope}) * sx) / k", 6)} AS intercept
+        FROM s
+    """
+
+
+def zipf_corpus_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: rank the top-K terms by frequency and
+    least-squares-fit ln(freq) = intercept + slope·ln(rank) — the standard
+    sanity check that a text corpus has a natural-language-like frequency
+    distribution (slope ≈ −1) rather than a degenerate one.
+
+    Scale shape: term counting is one grouped agg; the top-K is
+    TakeOrderedAndProject (per-partition heaps, merge K); ranking and the
+    regression run on the bounded K-row result (declared single-partition
+    via bounded_rank_window)."""
+    from database_toolbox_spark.functions import bounded_rank_window  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    tf = spark.sql("""
+        WITH toks AS (
+            SELECT /*+ REPARTITION */ explode(split(text, ' ')) AS term
+            FROM documents
+        )
+        SELECT term, count(*) AS freq FROM toks GROUP BY term
+    """)
+    top = tf.orderBy(F.col("freq").desc(), "term").limit(ZIPF_K)
+    w = bounded_rank_window(F.col("term"), F.col("freq").desc(), "term")
+    top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "freq"
+    ).createOrReplaceTempView("zipf_ranked_v")
+
+    def spark_fold(e: str) -> str:
+        return (
+            "aggregate(transform(array_sort(collect_list("
+            f"named_struct('r', rank, 'v', {e}))), t -> t.v), "
+            "CAST(0 AS DOUBLE), (a, q) -> a + q)"
+        )
+
+    return spark.sql(f"""
+        WITH p AS (
+            SELECT rank,
+                   ln(CAST(rank AS DOUBLE)) AS x,
+                   ln(CAST(freq AS DOUBLE)) AS y
+            FROM zipf_ranked_v
+        ),
+        {_zipf_tail_sql(spark_fold)}
+    """)
+
+
+# --- 7. length-based curriculum staging ------------------------------------
+
+CURRICULUM_STAGES = 4
+
+
+def length_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning stage assignment: documents binned into exact
+    length quartiles (shortest → stage 1), the short-to-long ordering
+    curriculum pretraining schedules use. The oracle keeps the global
+    ntile(4) spelling; the Spark plan is the two-pass exact rank (monotone
+    char bins → per-bin counts → broadcast triangular offsets →
+    PARTITIONed row_number → closed-form ntile — no unpartitioned
+    window), the shape that survives billions of documents."""
+    from database_toolbox_spark.operators.windows import _ntile_from_rn  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+        WITH m AS (SELECT count(*) AS n FROM documents),
+        b AS (SELECT doc_id, n_chars, n_chars div 16 AS bin FROM documents),
+        t AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+        o AS (
+            SELECT a.bin, CAST(coalesce(sum(x.c), 0) AS BIGINT) AS off
+            FROM t a LEFT JOIN t x ON x.bin < a.bin GROUP BY a.bin
+        ),
+        r AS (
+            SELECT b.doc_id, b.n_chars,
+                   o.off + row_number() OVER (PARTITION BY b.bin
+                       ORDER BY b.n_chars, b.doc_id) AS rn
+            FROM b JOIN o ON b.bin = o.bin
+        ),
+        staged AS (
+            SELECT n_chars,
+                   {_ntile_from_rn("rn", "n", CURRICULUM_STAGES)} AS stage
+            FROM r, m
+        )
+        SELECT stage,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               {R("avg(n_chars * 1e0)", 4)} AS avg_chars
+        FROM staged GROUP BY stage ORDER BY stage
+    """)
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES = {
@@ -297,6 +414,8 @@ QUERIES = {
     "global_shuffle_order": global_shuffle_order,
     "quality_classifier_scores": quality_classifier_scores,
     "dedup_keep_best": dedup_keep_best,
+    "zipf_corpus_fit": zipf_corpus_fit,
+    "length_curriculum_stages": length_curriculum_stages,
 }
 
 
@@ -352,6 +471,41 @@ def _duck_oracles() -> dict[str, str]:
                        AS p_keep,
                    CASE WHEN logit >= 0e0 THEN 1 ELSE 0 END AS keep_label
             FROM z ORDER BY doc_id
+        """,
+        "zipf_corpus_fit": f"""
+            WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS term FROM documents
+            ),
+            tf AS (SELECT term, count(*) AS freq FROM toks GROUP BY term),
+            ranked AS (
+                SELECT CAST(row_number() OVER (ORDER BY freq DESC, term)
+                            AS INT) AS rank,
+                       freq
+                FROM tf
+            ),
+            p AS (
+                SELECT rank,
+                       ln(CAST(rank AS DOUBLE)) AS x,
+                       ln(CAST(freq AS DOUBLE)) AS y
+                FROM ranked WHERE rank <= {ZIPF_K}
+            ),
+            {_zipf_tail_sql(
+                lambda e: f"list_aggregate(list({e} ORDER BY rank), 'sum')"
+            )}
+        """,
+        "length_curriculum_stages": f"""
+            WITH staged AS (
+                SELECT n_chars,
+                       CAST(ntile({CURRICULUM_STAGES})
+                            OVER (ORDER BY n_chars, doc_id) AS INT) AS stage
+                FROM documents
+            )
+            SELECT stage,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars,
+                   {R("avg(n_chars * 1e0)", 4)} AS avg_chars
+            FROM staged GROUP BY stage ORDER BY stage
         """,
         "dedup_keep_best": f"""
             WITH RECURSIVE pairs AS (

@@ -87,3 +87,46 @@ def test_keep_best_picks_longest_member(spark, ddb):
     for r in rows:
         assert ntok[r.keep_doc] == r.keep_tokens
         assert r.cluster_size == r.n_dropped + 1
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    """Independent check of the ordered-fold regression: numpy's
+    least-squares fit over the same (rank, freq) points must agree."""
+    import numpy as np
+
+    from database_toolbox_spark.operators.curation import (
+        ZIPF_K,
+        zipf_corpus_fit,
+    )
+
+    row = zipf_corpus_fit(spark, SMALL_SF).collect()[0]
+    assert 0 < row.k_terms <= ZIPF_K
+    assert row.slope < 0  # frequency falls with rank, always
+
+    tf = spark.sql("""
+        WITH toks AS (SELECT explode(split(text, ' ')) AS term FROM documents)
+        SELECT term, count(*) AS freq FROM toks GROUP BY term
+        ORDER BY freq DESC, term
+    """).collect()[: row.k_terms]
+    x = np.log(np.arange(1, len(tf) + 1, dtype=float))
+    y = np.log(np.array([r.freq for r in tf], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(row.slope - slope) < 1e-4
+    assert abs(row.intercept - intercept) < 1e-4
+
+
+def test_curriculum_stages_are_exact_quartiles(spark):
+    from database_toolbox_spark.operators.curation import (
+        length_curriculum_stages,
+    )
+
+    rows = length_curriculum_stages(spark, SMALL_SF).collect()
+    assert [r.stage for r in rows] == [1, 2, 3, 4]
+    n = sum(r.n_docs for r in rows)
+    # ntile: first n%4 stages get one extra row
+    q, rem = divmod(n, 4)
+    expected = [q + 1 if i < rem else q for i in range(4)]
+    assert [r.n_docs for r in rows] == expected
+    # stage boundaries are non-decreasing in length
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_chars <= b.min_chars
