@@ -4,12 +4,15 @@ code; these are the extension-tier equivalents of operators/events.py)."""
 
 from database_toolbox_spark.streaming.stream_ops import (  # noqa: F401
     TWS_REQUIREMENT,
+    read_docs_stream,
     read_events_stream,
+    read_near_dup_pairs,
     read_foreach_batch_snapshot,
     stream_foreach_batch_totals,
     stream_dedup,
     stream_enriched_event_counts,
     stream_hourly_counts,
+    stream_minhash_near_dup,
     stream_session_windows,
     stream_user_running_totals,
     stream_user_totals_tws,

@@ -419,3 +419,169 @@ def stream_user_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# --- streaming incremental near-dup detection ------------------------------
+
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+_N_MINHASH = 8  # mirror operators/dedup.py constants (k hashes, 4 bands)
+_N_BANDS = 4
+_NEARDUP_JACCARD = 0.5
+
+
+def read_docs_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """documents as a file-source stream over a directory of parquet
+    slices; one file per micro-batch with maxFilesPerTrigger=1 — the
+    arrival order a test controls by slicing the fixture."""
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+
+
+def _doc_signatures(batch_df: DataFrame) -> DataFrame:
+    """(doc_id, sh array<string>, h0..h7) per doc — the same MinHash
+    construction as operators/dedup.py (k=8 functions = 4 slices each of 2
+    md5 digests over '<seed>|shingle'), computed with array expressions
+    only (no explode — the per-doc shingle set rides along for exact
+    Jaccard verification at probe time)."""
+    sh = (
+        "array_distinct(transform(sequence(1, size(w) - 2), "
+        "i -> concat_ws('_', element_at(w, i), element_at(w, i + 1), "
+        "element_at(w, i + 2))))"
+    )
+    out = batch_df.selectExpr(
+        "doc_id", "split(text, ' ') AS w"
+    ).where("size(w) >= 3").selectExpr("doc_id", f"{sh} AS sh")
+    for k in range(_N_MINHASH):
+        seed, off = k // 4, k % 4
+        out = out.selectExpr(
+            "*",
+            f"array_min(transform(sh, s -> substring(md5(concat('{seed}|', s)),"
+            f" {1 + 8 * off}, 8))) AS h{k}",
+        )
+    return out
+
+
+def _band_view(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) — 2-hash LSH bands, one row per band."""
+    bands = ", ".join(
+        f"named_struct('band', {b}, 'bkey', concat(h{2*b}, h{2*b+1}))"
+        for b in range(_N_BANDS)
+    )
+    return sigs.selectExpr(
+        "doc_id", f"inline(array({bands}))"
+    )
+
+
+def stream_minhash_near_dup(
+    docs: DataFrame, store_dir: str, pairs_dir: str, checkpoint_dir: str
+):
+    """Incremental near-dup detection at ingest — the streaming twin of
+    operators/dedup.minhash_delta_pairs: each micro-batch of new documents
+    is MinHash-signed, LSH-probed against the accumulated signature store
+    (plus itself, for intra-batch dups), exact-Jaccard-verified on the
+    stored shingle sets, and the surviving pairs land in the pairs sink;
+    the batch's signatures then join the store.
+
+    Exactly-once: both the store and the pairs sink are partitioned by
+    epoch (`batch_id=<n>` overwrite), so an epoch replay replaces rather
+    than duplicates, and the store read excludes the current epoch — a
+    replayed batch never probes its own half-written signatures.
+
+    Scale shape: per epoch the only joins are the banded equi-join
+    (batch × store on (band, bkey) — candidates only, never all-pairs) and
+    the two signature lookups for verification; store growth is one
+    signature row per document, O(corpus), partition-pruned by epoch.
+
+    Returns the DataStreamWriter (caller starts it; tests use
+    trigger(availableNow=True))."""
+
+    def probe_and_update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs = _doc_signatures(batch_df)
+        try:
+            store = (
+                spark.read.option("basePath", store_dir)
+                .parquet(f"{store_dir}/batch_id=*")
+                .where(F.col("batch_id") < F.lit(batch_id))
+                .drop("batch_id")
+            )
+        except Exception:  # first epoch: no store yet
+            store = None
+        universe = sigs if store is None else store.unionByName(sigs)
+        cand = (
+            _band_view(sigs)
+            .alias("p")
+            .join(
+                _band_view(universe).alias("u"),
+                (F.col("p.band") == F.col("u.band"))
+                & (F.col("p.bkey") == F.col("u.bkey"))
+                & (F.col("p.doc_id") != F.col("u.doc_id")),
+            )
+            .select(
+                F.least("p.doc_id", "u.doc_id").alias("doc_a"),
+                F.greatest("p.doc_id", "u.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        shingles = universe.select("doc_id", "sh")
+        pairs = (
+            cand.join(
+                shingles.select(
+                    F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")
+                ),
+                "doc_a",
+            )
+            .join(
+                shingles.select(
+                    F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")
+                ),
+                "doc_b",
+            )
+            .selectExpr(
+                "doc_a",
+                "doc_b",
+                "size(array_intersect(sa, sb)) * 1e0 /"
+                " (size(sa) + size(sb) - size(array_intersect(sa, sb)))"
+                " AS j_raw",
+            )
+            .where(F.col("j_raw") >= _NEARDUP_JACCARD)
+            .selectExpr(
+                "doc_a", "doc_b",
+                "floor(j_raw * 1000000 + 0.501e0) / 1000000e0 AS jaccard",
+            )
+        )
+        pairs.coalesce(1).write.mode("overwrite").parquet(
+            f"{pairs_dir}/batch_id={batch_id}"
+        )
+        sigs.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        docs.writeStream.foreachBatch(probe_and_update)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_near_dup_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
+    """All pairs emitted across epochs (each pair is emitted exactly once —
+    in the epoch its later member arrived; DISTINCT guards the both-sides-
+    probe duplication within an epoch)."""
+    return (
+        spark.read.option("basePath", pairs_dir)
+        .parquet(f"{pairs_dir}/batch_id=*")
+        .select("doc_a", "doc_b", "jaccard")
+        .distinct()
+    )

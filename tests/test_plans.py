@@ -249,6 +249,15 @@ def _window_ops(df):
         pytest.param(lambda s: __import__(
             "database_toolbox_spark.operators.pipeline", fromlist=["x"]
         ).pack_documents(s, SF_DIR), id="pack_documents"),
+        pytest.param(lambda s: __import__(
+            "database_toolbox_spark.operators.curation", fromlist=["x"]
+        ).segment_dedup_kept(s, SF_DIR), id="segment_dedup_kept"),
+        pytest.param(lambda s: __import__(
+            "database_toolbox_spark.operators.curation", fromlist=["x"]
+        ).global_shuffle_order(s, SF_DIR), id="global_shuffle_order"),
+        pytest.param(lambda s: __import__(
+            "database_toolbox_spark.operators.curation", fromlist=["x"]
+        ).length_curriculum_stages(s, SF_DIR), id="length_curriculum"),
     ],
 )
 def test_no_unpartitioned_window(spark, make):

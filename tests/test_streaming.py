@@ -300,3 +300,57 @@ def test_transform_with_state_running_totals(spark, stream):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_stream_minhash_near_dup_matches_batch(spark, tmp_path):
+    """Incremental near-dup detection over two micro-batches must emit
+    exactly the batch operator's verified pair set: pairs whose members
+    arrive in different epochs are caught by the store probe, same-epoch
+    pairs by the intra-batch probe, and nothing is emitted twice."""
+    from database_toolbox_spark.operators.dedup import minhash_near_dup_pairs
+    from database_toolbox_spark.streaming import (
+        read_docs_stream,
+        read_near_dup_pairs,
+        stream_minhash_near_dup,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    src = tmp_path / "docs_src"
+    # two slices -> two micro-batches (maxFilesPerTrigger=1); split by id
+    # half so cross-slice AND intra-slice duplicate pairs both exist
+    docs.where(f"doc_id < {n // 2}").coalesce(1).write.parquet(
+        str(src / "slice=0")
+    )
+    docs.where(f"doc_id >= {n // 2}").coalesce(1).write.parquet(
+        str(src / "slice=1")
+    )
+
+    q = stream_minhash_near_dup(
+        read_docs_stream(spark, f"{src}/slice=*"),
+        store_dir=str(tmp_path / "store"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(120)
+
+    streamed = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in read_near_dup_pairs(spark, str(tmp_path / "pairs")).collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_near_dup_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b", "jaccard")
+        .collect()
+    }
+    assert batch, "fixture must contain near-dup pairs"
+    assert streamed == batch
+    # the signature store accumulated exactly one row per eligible doc
+    store = spark.read.option(
+        "basePath", str(tmp_path / "store")
+    ).parquet(f"{tmp_path}/store/batch_id=*")
+    assert store.select("doc_id").distinct().count() == store.count()
