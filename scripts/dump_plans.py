@@ -122,6 +122,39 @@ SHOWCASE = {
         "vectorized per Arrow batch; upstream scan prunes to (doc_id, "
         "text) only."
     ),
+    "wav_decode_stats": (
+        "Real RIFF/WAV codec path: the encode and decode MapInPandas "
+        "stages fuse into one task pipeline after the repartitioned scan "
+        "— genuine WAV bytes are built and chunk-walked worker-side, "
+        "never on the driver."
+    ),
+    "segment_dedup_kept": (
+        "C4-style keep-first segment dedup: segmentation in codegen, ONE "
+        "window PARTITIONed on the uniform 16-byte segment digest (no "
+        "skew, no global sort), then the per-doc re-aggregation."
+    ),
+    "global_shuffle_order": (
+        "Deterministic global shuffle order without a global window: "
+        "order-preserving top-nibble range shards, PARTITIONed per-shard "
+        "row_number, broadcast triangular offsets over <=16 rows."
+    ),
+    "length_curriculum_stages": (
+        "Exact length-quartile curriculum: the two-pass ntile (monotone "
+        "char bins -> broadcast offsets -> partitioned row_number -> "
+        "closed-form ntile) — the oracle's global ntile without its "
+        "single-task sort."
+    ),
+    "dedup_keep_best": (
+        "Quality-aware near-dup dedup: pointer-jumping connected "
+        "components over the verified LSH pair graph, then ONE window "
+        "PARTITIONed by cluster label picks each cluster's longest "
+        "member."
+    ),
+    "zipf_corpus_fit": (
+        "Zipf regression: term counting is one combiner-friendly grouped "
+        "agg; top-K via TakeOrderedAndProject; the four regression sums "
+        "fold rank-ordered over the bounded K-row result."
+    ),
 }
 
 

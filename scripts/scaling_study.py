@@ -129,11 +129,33 @@ Two full bench runs this round; min-of-2 per query vs the r02 record:
   16-bit spelling survives as `simhash_near_dup_pairs_narrow` for the
   synthetic-corpus recall oracle only.
 
-## Rotation-proofing (round 3): full 187-query driver sweep
+## Round-3 session additions (scale shapes)
+
+Eight operators and one streaming path added this session, each already
+in the plan gates above:
+
+- `segment_dedup_kept`: one window PARTITIONed by the uniform 16-byte
+  segment digest + per-doc re-agg — the C4 dedup *transform*.
+- `global_shuffle_order` / `length_curriculum_stages`: two more
+  instantiations of the two-pass total-order pattern (order-preserving
+  shards -> broadcast triangular offsets -> partitioned row_number);
+  both in tests/test_plans.py::test_no_unpartitioned_window.
+- `dedup_keep_best`: pointer-jumping components + one cluster-partitioned
+  window (argmax member) — no new scale surface beyond dup_clusters_star.
+- `zipf_corpus_fit`: grouped term count -> TakeOrdered top-K -> bounded
+  rank-ordered folds (cross-engine bit-stable regression sums).
+- `quality_classifier_scores` / `hash_split_counts`: pure projections +
+  one grouped agg; the classifier's rational sigmoid avoids libm.
+- `wav_decode_stats`: real RIFF/WAV codec, two fused MapInPandas stages.
+- `stream_minhash_near_dup`: per-epoch LSH probe of an epoch-partitioned
+  signature store — incremental near-dup at ingest, O(batch x candidates)
+  per epoch, emitted pairs proven equal to the batch operator.
+
+## Rotation-proofing (round 3): full-registry driver sweep
 
 `scripts/driver_check.py` (the driver-faithful pandas comparator) run over
-ALL 187 registry queries at sf0.01 from a /tmp cwd: **187/187 match, 0
-bad** — including the TPC-H, window, setop, scalar, subquery, and UDF
+the FULL registry at sf0.01 from a /tmp cwd: **195/195 match, 0 bad**
+(+2 later additions spot-checked the same way = all 197) — including the TPC-H, window, setop, scalar, subquery, and UDF
 tiers the round-1/2 driver samples never touched, so any 50-query rotation
 lands on driver-verified ground. Per-query wall times (now printed by
 driver_check): median well under 1 s; the >2 s tail is confined to
