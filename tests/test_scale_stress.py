@@ -315,3 +315,41 @@ def test_two_pass_ntile_equals_window_under_replication(spark):
         load_tables(spark, SF_DIR, replace=True)
     assert len(two_pass) == cust.count() * REPL
     assert two_pass == direct
+
+
+def test_segment_dedup_replication_algebra(spark):
+    """Replicate documents K times with disjoint id ranges: keep-FIRST
+    segment dedup is exactly predictable — the rep-0 block (smallest ids,
+    same relative order as the base corpus) reproduces the base kept
+    counts verbatim, and every rep>0 copy keeps NOTHING (all its segments
+    were already claimed by rep 0). An exact correctness check of the
+    global first-occurrence rule at volume."""
+    from database_toolbox_spark.operators.curation import segment_dedup_kept
+    from database_toolbox_spark.session import load_tables
+
+    k = 4
+    base = {r.doc_id: r for r in segment_dedup_kept(spark, SF_DIR).collect()}
+    load_tables(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    shift = 10_000_000
+    rep = (
+        docs.crossJoin(F.broadcast(spark.range(k).select(F.col("id").alias("rep"))))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * shift)
+        .drop("rep")
+    )
+    rep.createOrReplaceTempView("documents")
+    try:
+        big = segment_dedup_kept(spark, SF_DIR).collect()
+    finally:
+        load_tables(spark, SF_DIR, replace=True)
+    assert len(big) == k * len(base)
+    for r in big:
+        orig = base[r.doc_id % shift]
+        assert r.n_segments == orig.n_segments
+        if r.doc_id < shift:  # rep-0 block = the base corpus, verbatim
+            assert (r.n_kept, r.n_dropped, r.kept_tokens) == (
+                orig.n_kept, orig.n_dropped, orig.kept_tokens
+            )
+        else:  # later copies keep nothing
+            assert r.n_kept == 0 and r.kept_tokens == 0
+            assert r.n_dropped == r.n_segments

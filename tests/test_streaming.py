@@ -354,3 +354,69 @@ def test_stream_minhash_near_dup_matches_batch(spark, tmp_path):
         "basePath", str(tmp_path / "store")
     ).parquet(f"{tmp_path}/store/batch_id=*")
     assert store.select("doc_id").distinct().count() == store.count()
+
+
+def test_stream_minhash_near_dup_restart_continuation(spark, tmp_path):
+    """Checkpointed restart: process two slices, stop, land a third slice,
+    restart with the SAME checkpoint — only the new slice becomes an
+    epoch, the store carries over, and the cumulative pair set equals the
+    batch operator over the full corpus. This is the continuous-ingest
+    contract: dedup state survives restarts and never double-emits."""
+    from database_toolbox_spark.operators.dedup import minhash_near_dup_pairs
+    from database_toolbox_spark.streaming import (
+        read_docs_stream,
+        read_near_dup_pairs,
+        stream_minhash_near_dup,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    src = tmp_path / "src"
+    cut1, cut2 = n // 3, 2 * n // 3
+    docs.where(f"doc_id < {cut1}").coalesce(1).write.parquet(str(src / "s=0"))
+    docs.where(f"doc_id >= {cut1} AND doc_id < {cut2}").coalesce(1).write.parquet(
+        str(src / "s=1")
+    )
+
+    def start():
+        return stream_minhash_near_dup(
+            read_docs_stream(spark, f"{src}/s=*"),
+            store_dir=str(tmp_path / "store"),
+            pairs_dir=str(tmp_path / "pairs"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        ).start()
+
+    q = start()
+    q.awaitTermination(120)
+    import glob
+
+    epochs_before = set(glob.glob(f"{tmp_path}/store/batch_id=*"))
+    assert len(epochs_before) == 2
+
+    # third slice arrives after a full stop; restart from the checkpoint
+    docs.where(f"doc_id >= {cut2}").coalesce(1).write.parquet(str(src / "s=2"))
+    q = start()
+    q.awaitTermination(120)
+    epochs_after = set(glob.glob(f"{tmp_path}/store/batch_id=*"))
+    assert epochs_before < epochs_after and len(epochs_after) == 3
+
+    streamed = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in read_near_dup_pairs(spark, str(tmp_path / "pairs")).collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_near_dup_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b", "jaccard")
+        .collect()
+    }
+    assert streamed == batch
+    # no pair was emitted in more than one epoch
+    raw = spark.read.option("basePath", str(tmp_path / "pairs")).parquet(
+        f"{tmp_path}/pairs/batch_id=*"
+    )
+    per_pair = raw.groupBy("doc_a", "doc_b").count().collect()
+    assert all(r["count"] == 1 for r in per_pair)
