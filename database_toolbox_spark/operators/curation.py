@@ -406,6 +406,64 @@ def length_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# --- 8. Heaps'-law vocabulary-growth checkpoints ---------------------------
+
+HEAPS_CHECKPOINTS = 8
+
+
+def _heaps_sql(toks_cte: str, ntoks_expr: str) -> str:
+    """Shared shape: V(prefix) = #{terms whose FIRST doc precedes the
+    checkpoint} — one grouped agg over tokens replaces P full corpus
+    scans; prefix token totals are a second tiny agg over documents. The
+    checkpoint thresholds split the doc_id range evenly."""
+    return f"""
+        WITH {toks_cte},
+        firsts AS (
+            SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY term
+        ),
+        bounds AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
+        cps AS (
+            SELECT c.c AS checkpoint,
+                   CAST(ceil(b.n_ids * c.c / {HEAPS_CHECKPOINTS}e0) AS BIGINT)
+                       AS id_cut
+            FROM checkpoints_seq c, bounds b
+        )
+        SELECT p.checkpoint,
+               CAST(p.id_cut AS BIGINT) AS id_cut,
+               (SELECT count(*) FROM documents d WHERE d.doc_id < p.id_cut)
+                   AS prefix_docs,
+               CAST((SELECT coalesce(sum({ntoks_expr}), 0) FROM documents d
+                     WHERE d.doc_id < p.id_cut) AS BIGINT) AS prefix_tokens,
+               (SELECT count(*) FROM firsts f WHERE f.first_doc < p.id_cut)
+                   AS vocab_size
+        FROM cps p
+        ORDER BY p.checkpoint
+    """
+
+
+def heaps_law_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative vocabulary size at P
+    evenly-spaced corpus prefixes — the V(n) ~ K·n^beta diagnostic that
+    tells you whether a corpus keeps yielding new types (natural text,
+    beta ≈ 0.4-0.6) or has saturated (synthetic/duplicated data).
+
+    Scale shape: ONE grouped agg finds each term's first document; each
+    checkpoint's vocabulary is then a count over the term table, never a
+    re-scan of the corpus. The correlated subqueries decorrelate to
+    joins/aggregations over the tiny checkpoint list."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_heaps_sql(
+        f"""toks AS (
+            SELECT /*+ REPARTITION */ doc_id, explode(split(text, ' ')) AS term
+            FROM documents
+        ),
+        checkpoints_seq AS (
+            SELECT explode(sequence(1, {HEAPS_CHECKPOINTS})) AS c
+        )""",
+        "size(split(d.text, ' '))",
+    ))
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES = {
@@ -416,6 +474,7 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "zipf_corpus_fit": zipf_corpus_fit,
     "length_curriculum_stages": length_curriculum_stages,
+    "heaps_law_checkpoints": heaps_law_checkpoints,
 }
 
 
@@ -472,6 +531,17 @@ def _duck_oracles() -> dict[str, str]:
                    CASE WHEN logit >= 0e0 THEN 1 ELSE 0 END AS keep_label
             FROM z ORDER BY doc_id
         """,
+        "heaps_law_checkpoints": _heaps_sql(
+            f"""toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            checkpoints_seq AS (
+                SELECT CAST(unnest(range(1, {HEAPS_CHECKPOINTS} + 1)) AS INT)
+                    AS c
+            )""",
+            "CAST(len(string_split(d.text, ' ')) AS INT)",
+        ),
         "zipf_corpus_fit": f"""
             WITH toks AS (
                 SELECT unnest(string_split(text, ' ')) AS term FROM documents

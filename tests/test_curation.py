@@ -130,3 +130,27 @@ def test_curriculum_stages_are_exact_quartiles(spark):
     # stage boundaries are non-decreasing in length
     for a, b in zip(rows, rows[1:]):
         assert a.max_chars <= b.min_chars
+
+
+def test_heaps_checkpoints_monotone_and_complete(spark):
+    from database_toolbox_spark.operators.curation import (
+        HEAPS_CHECKPOINTS,
+        heaps_law_checkpoints,
+    )
+
+    rows = heaps_law_checkpoints(spark, SMALL_SF).collect()
+    assert [r.checkpoint for r in rows] == list(
+        range(1, HEAPS_CHECKPOINTS + 1)
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a.prefix_docs <= b.prefix_docs
+        assert a.prefix_tokens <= b.prefix_tokens
+        assert a.vocab_size <= b.vocab_size  # vocabulary never shrinks
+    last = rows[-1]
+    n_docs = spark.table("documents").count()
+    total_vocab = spark.sql(
+        "SELECT count(DISTINCT term) AS v FROM (SELECT"
+        " explode(split(text, ' ')) AS term FROM documents)"
+    ).collect()[0].v
+    assert last.prefix_docs == n_docs
+    assert last.vocab_size == total_vocab
