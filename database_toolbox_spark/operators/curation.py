@@ -447,21 +447,63 @@ def heaps_law_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tells you whether a corpus keeps yielding new types (natural text,
     beta ≈ 0.4-0.6) or has saturated (synthetic/duplicated data).
 
-    Scale shape: ONE grouped agg finds each term's first document; each
-    checkpoint's vocabulary is then a count over the term table, never a
-    re-scan of the corpus. The correlated subqueries decorrelate to
-    joins/aggregations over the tiny checkpoint list."""
+    Scale shape (the oracle keeps the P-correlated-subquery spelling,
+    which Catalyst decorrelates into SEVEN corpus scans — wrong at
+    100 TB): each doc/term maps to its earliest containing checkpoint
+    with pure integer arithmetic (bucket = doc_id·P div n_ids + 1 — exact,
+    no float ceil, provably equal to the `doc_id < ceil(n_ids·c/P)` cut
+    test), so the TEXT column is read exactly twice (per-doc token totals;
+    the term-first-doc agg) — the only remaining extra scans are the
+    inlined `bounds` max-id probes, doc_id-only and column-pruned. The
+    cumulative curve is a triangular join over ≤P per-bucket rows."""
     load_tables(spark, sf_dir)
-    return spark.sql(_heaps_sql(
-        f"""toks AS (
+    p = HEAPS_CHECKPOINTS
+    return spark.sql(f"""
+        WITH bounds AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
+        d AS (
+            SELECT doc_id, size(split(text, ' ')) AS n_tok,
+                   CAST(doc_id * {p} div n_ids AS INT) + 1 AS bucket
+            FROM documents, bounds
+        ),
+        doc_b AS (
+            SELECT bucket, count(*) AS nd, sum(n_tok) AS nt
+            FROM d GROUP BY bucket
+        ),
+        toks AS (
             SELECT /*+ REPARTITION */ doc_id, explode(split(text, ' ')) AS term
             FROM documents
         ),
-        checkpoints_seq AS (
-            SELECT explode(sequence(1, {HEAPS_CHECKPOINTS})) AS c
-        )""",
-        "size(split(d.text, ' '))",
-    ))
+        firsts AS (
+            SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY term
+        ),
+        term_b AS (
+            SELECT CAST(first_doc * {p} div n_ids AS INT) + 1 AS bucket,
+                   count(*) AS nv
+            FROM firsts, bounds GROUP BY 1
+        ),
+        cps AS (
+            SELECT c.c AS checkpoint,
+                   CAST(ceil(b.n_ids * c.c / {p}e0) AS BIGINT) AS id_cut
+            FROM (SELECT explode(sequence(1, {p})) AS c) c, bounds b
+        ),
+        docs_cum AS (
+            SELECT p.checkpoint, p.id_cut,
+                   CAST(coalesce(sum(db.nd), 0) AS BIGINT) AS prefix_docs,
+                   CAST(coalesce(sum(db.nt), 0) AS BIGINT) AS prefix_tokens
+            FROM cps p LEFT JOIN doc_b db ON db.bucket <= p.checkpoint
+            GROUP BY p.checkpoint, p.id_cut
+        ),
+        vocab_cum AS (
+            SELECT p.checkpoint,
+                   CAST(coalesce(sum(tb.nv), 0) AS BIGINT) AS vocab_size
+            FROM cps p LEFT JOIN term_b tb ON tb.bucket <= p.checkpoint
+            GROUP BY p.checkpoint
+        )
+        SELECT d.checkpoint, d.id_cut, d.prefix_docs, d.prefix_tokens,
+               v.vocab_size
+        FROM docs_cum d JOIN vocab_cum v ON d.checkpoint = v.checkpoint
+        ORDER BY d.checkpoint
+    """)
 
 
 # --- registry ---------------------------------------------------------------
