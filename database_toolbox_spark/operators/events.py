@@ -202,12 +202,51 @@ _FUNNEL_SQL = """
 
 
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered-stage funnel (view → click after → purchase after): each
-    stage is an aggregate-then-join on user_id (one shuffle per stage, no
-    per-user re-scan) — the sequence-matching shape warehouses run for
-    conversion analysis. Identical SQL on both engines."""
+    """Ordered-stage funnel (view → click after → purchase after) — the
+    sequence-matching shape warehouses run for conversion analysis.
+
+    Single-scan shape (the oracle keeps the staged-join spelling
+    `_FUNNEL_SQL`, whose CTE inlining re-aggregates each stage up to 5× —
+    14 events scans in the physical plan, wrong at 100 TB): ONE pass over
+    the three funnel event types groups per user (first view timestamp +
+    the click/purchase timestamp lists), and the ordered-stage conditions
+    become array folds over those per-user lists — `array_min(filter(...))`
+    is order-insensitive, so collect_list nondeterminism cannot leak.
+    Identical output; one scan, one shuffle."""
     load_table(spark, sf_dir, "events")
-    return spark.sql(_FUNNEL_SQL)
+    return spark.sql("""
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   collect_list(CASE WHEN event_type = 'click' THEN ts END)
+                       AS clicks,
+                   collect_list(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS buys
+            FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+            GROUP BY user_id
+        ),
+        staged AS (
+            SELECT user_id, t_view, buys,
+                   array_min(filter(clicks,
+                       t -> t_view IS NOT NULL AND t > t_view)) AS t_click
+            FROM per_user
+        ),
+        final AS (
+            SELECT count(t_view) AS n_viewed,
+                   count(t_click) AS n_clicked,
+                   count(array_min(filter(buys,
+                       t -> t_click IS NOT NULL AND t > t_click)))
+                       AS n_purchased
+            FROM staged
+        )
+        SELECT n_viewed, n_clicked, n_purchased,
+               floor(n_clicked * 1e0 / n_viewed * 10000 + 0.501e0) / 10000e0
+                   AS click_rate,
+               floor(n_purchased * 1e0 / n_clicked * 10000 + 0.501e0) / 10000e0
+                   AS purchase_rate
+        FROM final
+    """)
 
 
 def interpolated_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:

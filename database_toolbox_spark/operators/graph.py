@@ -192,10 +192,50 @@ def event_type_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is counted exactly once. On a cluster each join is an equi-join shuffle
     on the shared vertex; no adjacency matrix, no driver-side graph. The
     transition extraction reuses the one-shuffle partitioned-lag pattern of
-    event_transition_counts (operators/events.py). Identical SQL runs on
-    both engines."""
+    event_transition_counts (operators/events.py). The oracle keeps the
+    all-CTE spelling; Spark-side the distinct edge list is materialized
+    ONCE (CTE inlining otherwise re-derives the events scan + lag window
+    for each of its five references — 11 events scans in the physical
+    plan) — the co-transition graph is ≤C(|event types|, 2) rows, so the
+    checkpoint is tiny while the triangle joins run over it for free."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
     load_tables(spark, sf_dir)
-    return spark.sql(_TRIANGLE_SQL)
+    edges = materialize(
+        spark.sql("""
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+                FROM events
+            )
+            SELECT DISTINCT least(prev, event_type)    AS lo,
+                            greatest(prev, event_type) AS hi
+            FROM seq
+            WHERE prev IS NOT NULL AND prev <> event_type
+        """).coalesce(1)  # the type-level graph is a few hundred rows max
+    )
+    edges.createOrReplaceTempView("tri_edges_v")
+    return spark.sql("""
+        WITH deg AS (
+            SELECT node, count(*) AS d FROM (
+                SELECT lo AS node FROM tri_edges_v
+                UNION ALL SELECT hi FROM tri_edges_v
+            ) GROUP BY node
+        ),
+        tri AS (
+            SELECT count(*) AS n_tri
+            FROM tri_edges_v ab
+            JOIN tri_edges_v bc ON bc.lo = ab.hi
+            JOIN tri_edges_v ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+        )
+        SELECT (SELECT count(*) FROM deg)                    AS n_nodes,
+               (SELECT count(*) FROM tri_edges_v)            AS n_edges,
+               (SELECT n_tri FROM tri)                       AS n_triangles,
+               floor(3e0 * (SELECT n_tri FROM tri)
+                     / (SELECT sum(d * (d - 1) / 2e0) FROM deg)
+                     * 1e6 + 0.501e0) / 1e6                  AS clustering_coeff
+    """)
 
 
 _BFS_SQL = """

@@ -215,23 +215,33 @@ def ivf_cell_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN search: score only vectors in the query's nearest cell, then
-    exact cosine top-k. The probe set is ~1/N_IVF_CELLS of the corpus."""
+    exact cosine top-k. The probe set is ~1/N_IVF_CELLS of the corpus.
+
+    The cell assignment is MATERIALIZED once — it is the IVF *index*
+    (exactly what a real IVF build precomputes): CTE inlining otherwise
+    replays the corpus x centroids assignment pass for each of its three
+    references (9 embeddings scans in the physical plan); checkpointed it
+    is two ints per vector and the probe/query lookups read it for free."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
     load_tables(spark, sf_dir)
     d2 = _spark_l2_to_centroid("e.embedding", "c.embedding")
-    return spark.sql(f"""
+    assigned_df = materialize(spark.sql(f"""
         WITH cents AS (
             SELECT vec_id AS cell, embedding FROM embeddings
             WHERE vec_id < {N_IVF_CELLS}
-        ),
-        assigned AS (
-            SELECT vec_id, cell FROM (
-                SELECT e.vec_id, c.cell,
-                       row_number() OVER (PARTITION BY e.vec_id
-                           ORDER BY floor({d2} * 1000000e0) / 1000000e0, c.cell)
-                           AS rn
-                FROM embeddings e CROSS JOIN cents c
-            ) WHERE rn = 1
-        ),
+        )
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor({d2} * 1000000e0) / 1000000e0, c.cell)
+                       AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    """))
+    assigned_df.createOrReplaceTempView("ivf_assigned_v")
+    return spark.sql(f"""
+        WITH assigned AS (SELECT * FROM ivf_assigned_v),
         q AS (
             SELECT e.embedding AS qv, a.cell AS qcell,
                    aggregate(e.embedding, CAST(0 AS DOUBLE),

@@ -353,20 +353,31 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     three global-ntile spelling (_RFM_SQL); the Spark plan computes each
     quartile score with the two-pass exact rank (no unpartitioned window —
     see _two_pass_rank_ctes / _ntile_from_rn), the shape that survives
-    hundreds of millions of customers."""
-    from database_toolbox_spark.session import load_tables  # noqa: PLC0415
+    hundreds of millions of customers.
+
+    The per-customer profile is MATERIALIZED once: CTE inlining otherwise
+    replays the orders scan + aggregation for each of the ten per_cust
+    references across the three rank chains (10 orders scans in the
+    physical plan — wrong at 100 TB); the checkpointed profile is one row
+    per customer and every chain reads it for free."""
+    from database_toolbox_spark.session import (  # noqa: PLC0415
+        load_tables,
+        materialize,
+    )
 
     load_tables(spark, sf_dir)
-    per_cust = f"""
-        per_cust AS (
+    per_cust_df = materialize(
+        spark.sql(f"""
             SELECT o_custkey AS custkey,
                    max(o_orderdate) AS last_order,
                    count(*) AS frequency,
                    {R("sum(o_totalprice)")} AS monetary
             FROM orders GROUP BY o_custkey
-        )"""
+        """)
+    )
+    per_cust_df.createOrReplaceTempView("rfm_per_cust_v")
     return spark.sql(f"""
-        WITH {per_cust},
+        WITH per_cust AS (SELECT * FROM rfm_per_cust_v),
         cnt AS (SELECT count(*) AS n FROM per_cust),
         {_two_pass_rank_ctes(
             "r", "last_order",

@@ -286,3 +286,27 @@ def test_compiled_look_plan_quality(spark):
     assert plan.count("BroadcastHashJoin") >= 1  # nation (and customer at sf0.001)
     assert "CartesianProduct" not in plan
     assert "partial" in plan  # map-side combine below the exchange
+
+
+@pytest.mark.parametrize(
+    "modname,fn,max_scans",
+    [
+        pytest.param("events", "funnel_conversion", 1, id="funnel"),
+        pytest.param("graph", "event_type_triangles", 1, id="triangles"),
+        pytest.param("windows", "customer_rfm_segments", 1, id="rfm"),
+        pytest.param("similarity", "ivf_ann_topk", 3, id="ivf"),
+        pytest.param("curation", "heaps_law_checkpoints", 6, id="heaps"),
+    ],
+)
+def test_scan_count_bounded(spark, modname, fn, max_scans):
+    """Redundant-scan regression gate: CTE inlining silently replays big
+    scans per reference (funnel was 14 events scans, rfm 10 orders scans
+    before the round-3 audit); these queries are now single-pass or
+    materialize-once and must stay that way."""
+    mod = __import__(
+        f"database_toolbox_spark.operators.{modname}", fromlist=["x"]
+    )
+    df = getattr(mod, fn)(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Scan parquet")
+    assert n <= max_scans, f"{fn}: {n} parquet scans (max {max_scans})"
