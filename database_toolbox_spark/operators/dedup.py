@@ -674,9 +674,45 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction against the benchmark source — the pre-training hygiene step.
     At scale the benchmark shingle set is tiny (eval sets are thousands of
     docs) and broadcasts; the train side streams through one equi-join on
-    the shingle key."""
+    the shingle key.
+
+    Spark spelling carries `source` through the shingle CTE so each of
+    its two inlined references pushes its slice filter (src0 vs rest)
+    INTO the parquet scan — the corpus is shingled once in total, split
+    across two disjoint slice scans, and the join back to documents
+    disappears. The oracle keeps the join-filtered spelling."""
     load_tables(spark, sf_dir)
-    return spark.sql(_contamination_sql(_SPARK_SHINGLES))
+    return spark.sql("""
+        WITH toks AS (
+            SELECT /*+ REPARTITION */ doc_id, source, split(text, ' ') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, source,
+                   explode(array_distinct(transform(
+                       sequence(1, size(w) - 2),
+                       i -> concat_ws('_', element_at(w, i),
+                                      element_at(w, i + 1),
+                                      element_at(w, i + 2))
+                   ))) AS s
+            FROM toks WHERE size(w) >= 3
+        ),
+        bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+        cand AS (
+            SELECT sh.doc_id,
+                   count(*) AS n_shingles,
+                   count(b.s) AS n_hits
+            FROM sh LEFT JOIN bench b ON sh.s = b.s
+            WHERE sh.source <> 'src0'
+            GROUP BY sh.doc_id
+        )
+        SELECT doc_id, n_shingles, n_hits,
+               floor(n_hits * 1e4 / n_shingles + 0.501e0) / 1e4
+                   AS contamination
+        FROM cand
+        WHERE n_hits > 0
+        ORDER BY doc_id
+    """)
 
 
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

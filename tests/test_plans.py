@@ -296,6 +296,7 @@ def test_compiled_look_plan_quality(spark):
         pytest.param("windows", "customer_rfm_segments", 1, id="rfm"),
         pytest.param("similarity", "ivf_ann_topk", 3, id="ivf"),
         pytest.param("curation", "heaps_law_checkpoints", 6, id="heaps"),
+        pytest.param("dedup", "benchmark_contamination", 2, id="contamination"),
     ],
 )
 def test_scan_count_bounded(spark, modname, fn, max_scans):
