@@ -150,6 +150,12 @@ SHOWCASE = {
         "PARTITIONed by cluster label picks each cluster's longest "
         "member."
     ),
+    "funnel_conversion": (
+        "Single-scan ordered funnel: one pass over the three funnel event "
+        "types, one shuffle on user_id, array folds for the stage "
+        "conditions — replaced a staged-CTE spelling whose inlining cost "
+        "14 events scans."
+    ),
     "zipf_corpus_fit": (
         "Zipf regression: term counting is one combiner-friendly grouped "
         "agg; top-K via TakeOrderedAndProject; the four regression sums "
