@@ -66,6 +66,8 @@ HEADLINE = [
     # round-3 additions: corpus-curation tier
     "segment_dedup_kept",
     "quality_classifier_scores",
+    # round-3 addition: single-pass funnel (post scan-audit shape)
+    "funnel_conversion",
 ]
 
 

@@ -154,8 +154,8 @@ in the plan gates above:
 ## Rotation-proofing (round 3): full-registry driver sweep
 
 `scripts/driver_check.py` (the driver-faithful pandas comparator) run over
-the FULL registry at sf0.01 from a /tmp cwd: **195/195 match, 0 bad**
-(+2 later additions spot-checked the same way = all 197) — including the TPC-H, window, setop, scalar, subquery, and UDF
+the FULL registry at sf0.01 from a /tmp cwd — final end-of-session run
+AFTER the scan-audit rewrites: **198/198 match, 0 bad** — including the TPC-H, window, setop, scalar, subquery, and UDF
 tiers the round-1/2 driver samples never touched, so any 50-query rotation
 lands on driver-verified ground. Per-query wall times (now printed by
 driver_check): median well under 1 s; the >2 s tail is confined to
