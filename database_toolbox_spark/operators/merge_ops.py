@@ -26,7 +26,14 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Emulated MERGE INTO orders:
     - WHEN MATCHED (status 'P'): price +10%, status → 'M'
     - WHEN NOT MATCHED (synthetic new keys = pending key + 10^9): insert
-    Output: the merged table, aggregated per status for a compact check."""
+    Output: the merged table, aggregated per status for a compact check.
+
+    The change set (the MERGE source delta) is MATERIALIZED once — plan
+    inlining otherwise replays the pending-orders scan for each of its
+    references (5 orders scans); a real MERGE computes its delta once and
+    reads the target once."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -41,7 +48,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("N").alias("o_orderstatus"),
         F.col("o_totalprice"),
     )
-    changes = updates.unionByName(inserts)
+    changes = materialize(updates.unionByName(inserts))
     untouched = orders.join(changes, "o_orderkey", "left_anti")
     merged = untouched.unionByName(changes)
     return (

@@ -297,6 +297,7 @@ def test_compiled_look_plan_quality(spark):
         pytest.param("similarity", "ivf_ann_topk", 3, id="ivf"),
         pytest.param("curation", "heaps_law_checkpoints", 6, id="heaps"),
         pytest.param("dedup", "benchmark_contamination", 2, id="contamination"),
+        pytest.param("merge_ops", "merge_upsert_orders", 2, id="merge"),
     ],
 )
 def test_scan_count_bounded(spark, modname, fn, max_scans):
