@@ -380,8 +380,50 @@ def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TRANSITIONS_SQL)
 
 
+def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 early user journeys: each user's first five event types (by
+    ts, event_id) joined into a `>`-separated path, counted across users.
+
+    The classic product-analytics "paths" report. Scale shape: the
+    row_number window partitions by user_id (partition-local state), the
+    per-user path build is one grouped fold over ≤5 rows, and the final
+    heavy-hitter count groups on the path string — all shuffles are keyed;
+    the top-10 is TakeOrderedAndProject, never a global sort. Ordered
+    assembly uses array_sort over (rn, type) structs — no reliance on
+    collect_list ordering, which Spark does not guarantee after a shuffle.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(10)
+    )
+
+
 QUERIES = {
     "event_json_stats": event_json_stats,
+    "event_path_topk": event_path_topk,
     "funnel_conversion": funnel_conversion,
     "trending_event_types": trending_event_types,
     "event_transition_counts": event_transition_counts,
@@ -398,6 +440,23 @@ QUERIES = {
 
 ORACLE = {
     "funnel_conversion": _FUNNEL_SQL,
+    "event_path_topk": """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        paths AS (
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM seq WHERE rn <= 5 GROUP BY user_id
+        )
+        SELECT path, count(*) AS n_users
+        FROM paths GROUP BY path
+        ORDER BY n_users DESC, path
+        LIMIT 10
+    """,
     "trending_event_types": _TRENDING_SQL,
     "event_transition_counts": _TRANSITIONS_SQL,
     "variant_props_stats": """

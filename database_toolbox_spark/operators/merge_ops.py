@@ -153,14 +153,63 @@ def scd2_point_in_time_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SCD2_SQL)
 
 
+_CDC_SQL = f"""
+        WITH stream AS (
+            SELECT o_orderkey, 1 AS seq, 'I' AS op,
+                   o_orderstatus, o_totalprice
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 2 AS seq, 'U' AS op,
+                   'M' AS o_orderstatus,
+                   o_totalprice * 1.05e0 AS o_totalprice
+            FROM orders WHERE o_orderstatus = 'P'
+            UNION ALL
+            SELECT o_orderkey, 3 AS seq, 'D' AS op,
+                   CAST(NULL AS STRING) AS o_orderstatus,
+                   CAST(NULL AS DOUBLE) AS o_totalprice
+            FROM orders WHERE o_orderkey % 10 = 0
+        ),
+        latest AS (
+            SELECT o_orderkey, seq, op, o_orderstatus, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderkey
+                       ORDER BY seq DESC) AS rn
+            FROM stream
+        )
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               {R("sum(o_totalprice)")} AS sum_price
+        FROM latest
+        WHERE rn = 1 AND op <> 'D'
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+"""
+
+
+def cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-stream compaction (last-writer-wins): a deterministic
+    insert/update/delete stream derived from orders is compacted to the net
+    row image per key — the ingest-side twin of merge_upsert_orders (that
+    one applies a delta to a target; this one collapses the raw op log
+    itself, the shape a lakehouse ingest job runs before MERGE).
+
+    Scale shape: one row_number window PARTITIONED BY the merge key (no
+    global state), then a grouped count — both shuffles are keyed; the op
+    log never needs to be ordered globally. Identical SQL on both
+    engines."""
+    load_table(spark, sf_dir, "orders")
+    return spark.sql(_CDC_SQL)
+
+
 QUERIES = {
     "scd2_point_in_time_totals": scd2_point_in_time_totals,
     "merge_upsert_orders": merge_upsert_orders,
     "dataset_diff_summary": dataset_diff_summary,
+    "cdc_net_changes": cdc_net_changes,
 }
 
 ORACLE = {
     "scd2_point_in_time_totals": _SCD2_SQL,
+    "cdc_net_changes": _CDC_SQL,
     "dataset_diff_summary": _diff_sql(
         "CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))"
         " AS INTEGER) % 100"

@@ -241,7 +241,51 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.2) over the daily
+    order-revenue series, truncated to a 20-day trailing frame — the
+    smoothing half of the time-series toolkit next to
+    daily_revenue_anomalies' z-scores.
+
+    EWMA is a recursive definition SQL windows can't express directly; both
+    engines compute it as a bounded LEFT FOLD over the frame's value list
+    (Spark: collect_list over the frame + `aggregate`; DuckDB: `list`
+    window + `list_reduce`) seeded with the frame's oldest value. Daily
+    inputs are canon-rounded FIRST so both engines fold bit-identical
+    doubles in the same order.
+
+    Scale shape: the fold runs over the AGGREGATED daily series (one row
+    per day, cardinality-bounded), never raw orders — aggregate first,
+    window second; bounded_rank_window declares the single partition as
+    intentional. Frame state is 20 doubles per row."""
+    from database_toolbox_spark.functions import (  # noqa: PLC0415
+        bounded_rank_window,
+        money,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(money(F.sum("o_totalprice")).alias("day_revenue"))
+    w = bounded_rank_window(F.col("day"), "day").rowsBetween(-19, 0)
+    arr = F.collect_list("day_revenue").over(w)
+    ewma = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1).cast("double"),
+        lambda acc, x: acc * F.lit(0.8) + F.lit(0.2) * x,
+    )
+    return (
+        daily.select(
+            "day",
+            "day_revenue",
+            canon_round(ewma, 2).alias("ewma20"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
+    "ewma_daily_revenue": ewma_daily_revenue,
     "segment_status_chisq": segment_status_chisq,
     "source_token_divergence": source_token_divergence,
     "daily_revenue_anomalies": daily_revenue_anomalies,
@@ -253,6 +297,23 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ewma_daily_revenue": f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   {R("sum(o_totalprice)")} AS day_revenue
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        arrs AS (
+            SELECT day, day_revenue,
+                   list(day_revenue) OVER (ORDER BY day
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+            FROM daily
+        )
+        SELECT day, day_revenue,
+               {R("list_reduce(arr, (acc, x) -> acc * 0.8e0 + 0.2e0 * x)")}
+                   AS ewma20
+        FROM arrs ORDER BY day
+    """,
     "segment_status_chisq": _CHISQ_SQL,
     "source_token_divergence": _divergence_sql(
         "SELECT source, unnest(string_split(text, ' ')) AS t FROM documents"

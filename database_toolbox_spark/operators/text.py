@@ -421,7 +421,68 @@ def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+_BPE_SPARK_SQL = """
+        WITH words AS (
+            SELECT word, count(*) AS freq
+            FROM (
+                SELECT explode(split(lower(text), '[^a-z]+')) AS word
+                FROM documents
+            )
+            WHERE length(word) >= 2
+            GROUP BY word
+        ),
+        pairs AS (
+            SELECT pair, freq
+            FROM words
+            LATERAL VIEW explode(transform(sequence(1, length(word) - 1),
+                                           i -> substring(word, i, 2)))
+                p AS pair
+        )
+        SELECT pair, sum(freq) AS merge_count
+        FROM pairs GROUP BY pair
+        ORDER BY merge_count DESC, pair
+        LIMIT 20
+"""
+
+_BPE_ORACLE = """
+        WITH words AS (
+            SELECT word, count(*) AS freq
+            FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+                      AS word
+                  FROM documents)
+            WHERE length(word) >= 2
+            GROUP BY word
+        ),
+        pairs AS (
+            SELECT substr(word, CAST(u.i AS INT), 2) AS pair, freq
+            FROM words, unnest(range(1, length(word))) AS u(i)
+        )
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS merge_count
+        FROM pairs GROUP BY pair
+        ORDER BY merge_count DESC, pair
+        LIMIT 20
+"""
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE tokenizer-training step, distributed: rank character-pair
+    merge candidates by corpus frequency — adjacent character pairs inside
+    each distinct word, weighted by the word's corpus count (the statistic
+    the byte-pair-encoding merge loop maximizes each round).
+
+    Scale shape: word counting is one grouped agg over exploded tokens
+    (map-side partial combine); the pair explosion then runs over the
+    DISTINCT-WORD table, whose size is vocabulary-bounded (Heaps' law —
+    see heaps_law_checkpoints), not corpus-bounded, so the expensive
+    explode touches ~|V| rows however large the corpus; distinct pairs are
+    ≤26², and the top-20 is TakeOrderedAndProject. Repeating the loop =
+    apply the winning merge and re-count, each round this same plan."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_BPE_SPARK_SQL)
+
+
 QUERIES = {
+    "bpe_merge_candidates": bpe_merge_candidates,
     "bigram_lm_scores": bigram_lm_scores,
     "corpus_bigram_topk": corpus_bigram_topk,
     "doc_repetition_scores": doc_repetition_scores,
@@ -435,6 +496,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bpe_merge_candidates": _BPE_ORACLE,
     "bigram_lm_scores": _bigram_lm_sql(
         "SELECT doc_id, u.i AS pos, toks[u.i] AS term "
         "FROM (SELECT doc_id, string_split(text, ' ') AS toks "

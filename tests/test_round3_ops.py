@@ -1,0 +1,102 @@
+"""Semantic invariants for the round-3 additions (EWMA smoothing, CDC
+compaction, event paths, BPE merge candidates) — properties the DuckDB
+parity check cannot see on its own: the fold really IS the recursive EWMA
+definition (vs pandas), CDC last-writer-wins conservation, and the shape
+contracts of the path / merge-pair reports."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_toolbox_spark.operators.events import event_path_topk
+from database_toolbox_spark.operators.merge_ops import cdc_net_changes
+from database_toolbox_spark.operators.stats import ewma_daily_revenue
+from database_toolbox_spark.operators.text import bpe_merge_candidates
+from database_toolbox_spark.session import load_table
+from tests.conftest import SF_DIR
+
+
+def test_ewma_matches_pandas_recursive_definition(spark):
+    """For the first 20 days (where the 20-row frame holds the FULL
+    history), the truncated fold must equal pandas' exact recursive EWMA
+    (ewm(alpha=0.2, adjust=False)) on the same canon-rounded inputs."""
+    pdf = (
+        ewma_daily_revenue(spark, SF_DIR)
+        .orderBy("day")
+        .limit(20)
+        .toPandas()
+    )
+    assert len(pdf) == 20
+    expected = (
+        pdf["day_revenue"].ewm(alpha=0.2, adjust=False).mean().round(2)
+    )
+    assert (pdf["ewma20"] - expected).abs().max() < 0.02
+
+
+def test_ewma_converges_toward_series_scale(spark):
+    """The smoothed series stays within the min/max envelope of its own
+    trailing inputs (EWMA is a convex combination)."""
+    pdf = ewma_daily_revenue(spark, SF_DIR).toPandas()
+    lo = pdf["day_revenue"].rolling(20, min_periods=1).min()
+    hi = pdf["day_revenue"].rolling(20, min_periods=1).max()
+    assert bool(((pdf["ewma20"] >= lo - 0.01) & (pdf["ewma20"] <= hi + 0.01)).all())
+
+
+def test_cdc_compaction_conservation(spark):
+    """Last-writer-wins conservation: surviving row count equals the
+    orders whose key is NOT in the delete set (o_orderkey % 10 == 0), and
+    every formerly-pending surviving row carries the update's status."""
+    out = cdc_net_changes(spark, SF_DIR).toPandas()
+    orders = load_table(spark, SF_DIR, "orders")
+    survivors = orders.filter(F.col("o_orderkey") % 10 != 0)
+    n_expected = survivors.count()
+    assert int(out["n_rows"].sum()) == n_expected
+    n_m = survivors.filter(F.col("o_orderstatus") == "P").count()
+    got_m = out.loc[out["o_orderstatus"] == "M", "n_rows"]
+    assert (0 if got_m.empty else int(got_m.iloc[0])) == n_m
+    assert "P" not in set(out["o_orderstatus"])  # every P was rewritten
+
+
+def test_event_path_topk_contract(spark):
+    """≤10 rows, counts non-increasing, each path has 1..5 stages drawn
+    from the event-type domain."""
+    ev = load_table(spark, SF_DIR, "events")
+    types = {r[0] for r in ev.select("event_type").distinct().collect()}
+    pdf = event_path_topk(spark, SF_DIR).toPandas()
+    assert 0 < len(pdf) <= 10
+    counts = pdf["n_users"].tolist()
+    assert counts == sorted(counts, reverse=True)
+    for path in pdf["path"]:
+        stages = path.split(">")
+        assert 1 <= len(stages) <= 5
+        assert set(stages) <= types
+
+
+def test_bpe_merge_candidates_contract(spark):
+    """Exactly the top-20 adjacent pairs: every pair is two lowercase
+    letters, counts non-increasing, and the winner matches a direct
+    recount done in pandas over the same corpus."""
+    pdf = bpe_merge_candidates(spark, SF_DIR).toPandas()
+    assert len(pdf) == 20
+    counts = pdf["merge_count"].tolist()
+    assert counts == sorted(counts, reverse=True)
+    assert all(
+        len(p) == 2 and p.islower() and p.isalpha() for p in pdf["pair"]
+    )
+    # independent recount (pandas, not SQL on either engine)
+    import re
+    from collections import Counter
+
+    docs = load_table(spark, SF_DIR, "documents").select("text").toPandas()
+    freq = Counter()
+    for t in docs["text"]:
+        for w in re.split(r"[^a-z]+", t.lower()):
+            if len(w) >= 2:
+                freq[w] += 1
+    pairs = Counter()
+    for w, n in freq.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += n
+    best_pair, best_n = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+    # ties broken by pair asc in SQL, by max() lexicographic here — compare counts
+    assert int(pdf["merge_count"].iloc[0]) == best_n
