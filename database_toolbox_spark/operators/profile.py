@@ -267,7 +267,93 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+_K_ANON_SQL = f"""
+        WITH classes AS (
+            SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+        )
+        SELECT count(*) AS n_classes,
+               min(class_size) AS k_anonymity,
+               CAST(sum(CASE WHEN class_size < 10 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_small_classes,
+               CAST(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
+                   AS BIGINT) AS n_rows_at_risk,
+               {R("sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)"
+                  " * 1e2 / sum(class_size)", 4)} AS pct_rows_at_risk
+        FROM classes
+"""
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair
+    (c_nationkey, c_mktsegment): equivalence-class count, the dataset's k
+    (smallest class), and how many rows sit in classes below k=10 — the
+    re-identification-risk report a privacy review runs before releasing a
+    table (complements pii_scrub_counts, which handles direct
+    identifiers).
+
+    Scale shape: one grouped count on the quasi-identifier key (map-side
+    combinable), then a scalar re-aggregate over the class table, whose
+    cardinality is the QI domain, not the row count. Identical SQL on both
+    engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_K_ANON_SQL)
+
+
+_LABEL_SEP_SQL = """
+        {src}
+        , per_label AS (
+            SELECT label, dim, count(*) AS n_l,
+                   sum(v) AS s_l, sum(v * v) AS q_l
+            FROM vals GROUP BY label, dim
+        ),
+        per_dim AS (
+            SELECT dim,
+                   CAST(sum(n_l) AS DOUBLE) AS n,
+                   sum(s_l) AS s,
+                   sum(q_l) AS q,
+                   sum(s_l * s_l / n_l) AS snm,
+                   CAST(count(*) AS DOUBLE) AS n_labels
+            FROM per_label GROUP BY dim
+        )
+        SELECT dim,
+               {fisher} AS fisher_ratio,
+               {eta} AS eta_sq
+        FROM per_dim
+        ORDER BY dim
+"""
+_FISHER = ("((snm - s * s / n) / (n_labels - 1e0))"
+           " / ((q - snm) / (n - n_labels))")
+_ETA = "(snm - s * s / n) / (q - s * s / n)"
+
+
+def label_separation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension class separability of the embedding space: Fisher
+    ratio (between-class / within-class variance, the one-way ANOVA F
+    statistic) and eta-squared per dimension, using the vectors' integer
+    labels as classes — the feature-selection / probe-quality diagnostic of
+    an embedding pipeline.
+
+    One pass: per (label, dim) moment sums (count/sum/sum-of-squares,
+    map-side combinable), then scatter decomposition via the computational
+    formula (SS_within = Σv² − Σ n_l·m_l²) on the label×dim table — no
+    second scan, no join back to the exploded values."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_LABEL_SEP_SQL.format(
+        src="""
+        WITH vals AS (
+            SELECT label, pos AS dim, CAST(v AS DOUBLE) AS v
+            FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v
+        )""",
+        fisher=R(_FISHER, 5),
+        eta=R(_ETA, 6),
+    ))
+
+
 QUERIES = {
+    "k_anonymity_audit": k_anonymity_audit,
+    "label_separation_scores": label_separation_scores,
     "weighted_sample_topk": weighted_sample_topk,
     "dq_check_summary": dq_check_summary,
     "embedding_dim_stats": embedding_dim_stats,
@@ -295,6 +381,17 @@ def _duck_profile() -> str:
 
 
 ORACLE = {
+    "k_anonymity_audit": _K_ANON_SQL,
+    "label_separation_scores": _LABEL_SEP_SQL.format(
+        src="""
+        WITH vals AS (
+            SELECT label, u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+            FROM embeddings,
+                 unnest(range(1, len(embedding) + 1)) AS u(i)
+        )""",
+        fisher=R(_FISHER, 5),
+        eta=R(_ETA, 6),
+    ),
     "weighted_sample_topk": _weighted_sample_sql(
         "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
         " AS BIGINT)"

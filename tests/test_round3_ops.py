@@ -72,6 +72,37 @@ def test_event_path_topk_contract(spark):
         assert set(stages) <= types
 
 
+def test_k_anonymity_audit_matches_direct_recount(spark):
+    """The reported k equals the true smallest equivalence-class size, and
+    at-risk accounting is internally consistent."""
+    from database_toolbox_spark.operators.profile import k_anonymity_audit
+
+    row = k_anonymity_audit(spark, SF_DIR).collect()[0]
+    cust = load_table(spark, SF_DIR, "customer")
+    classes = (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .count()
+        .toPandas()["count"]
+    )
+    assert row.k_anonymity == classes.min()
+    assert row.n_classes == len(classes)
+    assert row.n_rows_at_risk == int(classes[classes < 10].sum())
+    assert 0.0 <= row.pct_rows_at_risk <= 100.0
+
+
+def test_label_separation_scores_anova_bounds(spark):
+    """Fisher ratio is a non-negative F statistic; eta² is a variance
+    share in [0, 1]; one row per embedding dimension."""
+    from database_toolbox_spark.operators.profile import (
+        label_separation_scores,
+    )
+
+    pdf = label_separation_scores(spark, SF_DIR).toPandas()
+    assert len(pdf) == 64
+    assert (pdf["fisher_ratio"] >= 0).all()
+    assert ((pdf["eta_sq"] >= 0) & (pdf["eta_sq"] <= 1)).all()
+
+
 def test_bpe_merge_candidates_contract(spark):
     """Exactly the top-20 adjacent pairs: every pair is two lowercase
     letters, counts non-increasing, and the winner matches a direct
