@@ -107,8 +107,66 @@ def interval_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each click, the next error by the same user
+    STRICTLY after the click, plus seconds-to-error and a within-30-minutes
+    conversion flag — the time-to-failure / bounded-conversion twin of
+    asof_last_click (which looks backward).
+
+    Same scalable union+window pattern, mirrored: tag both streams, union,
+    take `first(error, ignorenulls)` over a per-user FOLLOWING frame.
+    Strictness comes from the sort key, not a filter: errors order BEFORE
+    clicks at equal ts (kind 0 < 1), so an equal-ts error falls outside the
+    click's following frame. One shuffle on user_id, single running value
+    per partition. Oracle: DuckDB native ASOF LEFT JOIN with `e.ts > c.ts`
+    — an independent implementation."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.struct(F.col("ts").alias("error_ts")).alias("err"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("struct<error_ts:timestamp>").alias("err"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    merged = errors.unionByName(clicks).withColumn(
+        "next_err", F.first("err", ignorenulls=True).over(w)
+    )
+    nxt = F.col("next_err.error_ts")
+    return (
+        merged.filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            nxt.alias("next_error_ts"),
+            (F.unix_timestamp(nxt) - F.unix_timestamp("ts")).alias(
+                "secs_to_error"
+            ),
+            F.when(
+                nxt <= F.col("ts") + F.expr("INTERVAL 30 MINUTES"), 1
+            )
+            .otherwise(0)
+            .alias("within_30min"),
+        )
+        .orderBy("event_id")
+    )
+
+
 QUERIES = {
     "asof_last_click": asof_last_click,
+    "asof_next_error": asof_next_error,
     "interval_join_error_clicks": interval_join_error_clicks,
 }
 
@@ -128,6 +186,24 @@ ORACLE = {
         ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND c.ts <= p.ts
         ORDER BY p.event_id
+    """,
+    "asof_next_error": """
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click'
+        ),
+        errors AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'error'
+        )
+        SELECT c.event_id, c.user_id, c.ts AS click_ts,
+               e.ts AS next_error_ts,
+               date_diff('second', c.ts, e.ts) AS secs_to_error,
+               CASE WHEN e.ts <= c.ts + INTERVAL 30 MINUTE THEN 1
+                    ELSE 0 END AS within_30min
+        FROM clicks c
+        ASOF LEFT JOIN errors e
+          ON c.user_id = e.user_id AND e.ts > c.ts
+        ORDER BY c.event_id
     """,
     # plain range predicate — the bucketized Spark plan must match it exactly
     "interval_join_error_clicks": """

@@ -72,6 +72,37 @@ def test_event_path_topk_contract(spark):
         assert set(stages) <= types
 
 
+def test_asof_next_error_strict_forward(spark):
+    """Every matched error is STRICTLY after its click, is the same
+    user's earliest such error (checked by pandas recount), and the flag
+    is consistent with the delta."""
+    from database_toolbox_spark.operators.asof import asof_next_error
+
+    pdf = asof_next_error(spark, SF_DIR).toPandas()
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type", "ts")
+        .toPandas()
+    )
+    errors = ev[ev.event_type == "error"]
+    matched = pdf[pdf.next_error_ts.notna()]
+    assert (matched.next_error_ts > matched.click_ts).all()
+    assert (
+        (pdf.within_30min == 1)
+        == (
+            pdf.next_error_ts.notna()
+            & (pdf.secs_to_error.fillna(10**9) <= 1800)
+            # flag uses full-precision ts; secs are truncated — allow edge
+        )
+    ).mean() > 0.99
+    sample = matched.head(50)
+    for r in sample.itertuples():
+        user_errors = errors[
+            (errors.user_id == r.user_id) & (errors.ts > r.click_ts)
+        ]
+        assert r.next_error_ts == user_errors.ts.min()
+
+
 def test_k_anonymity_audit_matches_direct_recount(spark):
     """The reported k equals the true smallest equivalence-class size, and
     at-risk accounting is internally consistent."""
