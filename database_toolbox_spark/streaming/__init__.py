@@ -7,7 +7,9 @@ from database_toolbox_spark.streaming.stream_ops import (  # noqa: F401
     read_docs_stream,
     read_events_stream,
     read_near_dup_pairs,
+    read_cdc_snapshot,
     read_foreach_batch_snapshot,
+    stream_cdc_upsert,
     stream_foreach_batch_totals,
     stream_dedup,
     stream_enriched_event_counts,

@@ -205,6 +205,77 @@ def read_foreach_batch_snapshot(spark: SparkSession, sink_dir: str) -> DataFrame
     )
 
 
+def stream_cdc_upsert(events: DataFrame, sink_dir: str, checkpoint_dir: str):
+    """Streaming CDC materialization (the streaming twin of
+    operators/merge_ops.cdc_net_changes): maintain a last-writer-wins
+    current-state table keyed by user_id from the event stream.
+
+    Each micro-batch is first compacted to ITS latest row per key (max_by
+    via struct ordering on (ts, event_id) — one keyed shuffle, no window),
+    then written idempotently to a `batch_id=<n>` partition; replays of an
+    epoch overwrite rather than duplicate, and the checkpoint guarantees a
+    completed epoch is never re-offered — exactly-once by at-least-once ×
+    idempotence, same contract as stream_foreach_batch_totals. The
+    snapshot reader (read_cdc_snapshot) resolves across batches by
+    (ts, event_id, batch_id), so the merged view is identical to running
+    the compaction over the whole history in batch.
+
+    Returns the DataStreamWriter (caller starts it)."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("ts", "event_id", "event_type", "value")
+                ).alias("s")
+            )
+            .select(
+                "user_id",
+                F.col("s.ts").alias("ts"),
+                F.col("s.event_id").alias("event_id"),
+                F.col("s.event_type").alias("event_type"),
+                F.col("s.value").alias("value"),
+            )
+        )
+        (
+            latest.withColumn("batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{sink_dir}/batch_id={batch_id}")
+        )
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_cdc_snapshot(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Current-state view over the CDC sink: latest (ts, event_id) per key
+    across all batch partitions — one grouped max-of-struct, no window."""
+    raw = spark.read.option("basePath", sink_dir).parquet(
+        f"{sink_dir}/batch_id=*"
+    )
+    return (
+        raw.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("ts", "event_id", "batch_id", "event_type", "value")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.ts").alias("ts"),
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.value").alias("value"),
+        )
+    )
+
+
 def stream_view_click_join(events: DataFrame) -> DataFrame:
     """Stream-stream self-join: clicks matched to the same user's views
     within the preceding 10 minutes — event-time range join with watermarks

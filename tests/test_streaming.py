@@ -180,6 +180,62 @@ def test_foreach_batch_exactly_once(spark, stream, tmp_path):
     }
 
 
+def test_stream_cdc_upsert_matches_batch_compaction(spark, stream, tmp_path):
+    """CDC materialization: the merged snapshot equals last-writer-wins
+    compaction run in batch over the full history, and restarting from the
+    same checkpoint changes nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from database_toolbox_spark.session import load_table
+    from database_toolbox_spark.streaming import (
+        read_cdc_snapshot,
+        read_events_stream,
+        stream_cdc_upsert,
+    )
+
+    sink = str(tmp_path / "cdc_sink")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    q = stream_cdc_upsert(stream, sink, ckpt).start()
+    q.awaitTermination()
+
+    snap = {
+        r.user_id: (r.ts, r.event_id, r.event_type, round(r.value, 6))
+        for r in read_cdc_snapshot(spark, sink).collect()
+    }
+    truth = {
+        r.user_id: (r.ts, r.event_id, r.event_type, round(r.value, 6))
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias(
+                "s"
+            )
+        )
+        .select(
+            "user_id",
+            F.col("s.ts").alias("ts"),
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.value").alias("value"),
+        )
+        .collect()
+    }
+    assert snap == truth
+
+    batches_before = sorted(os.listdir(sink))
+    q2 = stream_cdc_upsert(
+        read_events_stream(spark, SF_DIR), sink, ckpt
+    ).start()
+    q2.awaitTermination()
+    assert sorted(os.listdir(sink)) == batches_before
+    assert snap == {
+        r.user_id: (r.ts, r.event_id, r.event_type, round(r.value, 6))
+        for r in read_cdc_snapshot(spark, sink).collect()
+    }
+
+
 def test_stream_stream_join_matches_batch(spark, stream):
     """Stream-stream event-time range join (watermarked both sides) must
     produce exactly the batch join's matches."""
