@@ -380,6 +380,62 @@ def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TRANSITIONS_SQL)
 
 
+_ENTRY_REPORT_SQL = f"""
+        WITH gaps AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts > lag(ts) OVER w + INTERVAL 10 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, event_type, ts, event_id,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sess_id
+            FROM gaps
+        ),
+        flagged AS (
+            SELECT user_id, sess_id,
+                   first_value(event_type) OVER (
+                       PARTITION BY user_id, sess_id ORDER BY ts, event_id)
+                       AS entry_type
+            FROM sessions
+        ),
+        per_session AS (
+            SELECT user_id, sess_id, entry_type, count(*) AS n_events
+            FROM flagged GROUP BY user_id, sess_id, entry_type
+        )
+        SELECT entry_type,
+               count(*) AS n_sessions,
+               CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_bounces,
+               {R("sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+                  " * 1e2 / count(*)", 4)} AS bounce_rate_pct,
+               {R("avg(n_events)", 4)} AS avg_session_events
+        FROM per_session
+        GROUP BY entry_type
+        ORDER BY entry_type
+"""
+
+
+def session_entry_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point analysis over 10-minute-gap sessions: per first-event
+    type, session count, bounce rate (single-event sessions) and mean
+    session length — the landing-page report next to event_path_topk's
+    journey paths.
+
+    Scale shape: reuses the lag-gap sessionization (windows partitioned by
+    user_id), tags each session's entry via first_value over the
+    (user, session) partition, and re-aggregates twice on shrinking keys
+    (session table → entry-type domain). No global window, no sort beyond
+    the final tiny result. Identical SQL on both engines."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_ENTRY_REPORT_SQL)
+
+
 def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 early user journeys: each user's first five event types (by
     ts, event_id) joined into a `>`-separated path, counted across users.
@@ -424,6 +480,7 @@ def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "event_json_stats": event_json_stats,
     "event_path_topk": event_path_topk,
+    "session_entry_report": session_entry_report,
     "funnel_conversion": funnel_conversion,
     "trending_event_types": trending_event_types,
     "event_transition_counts": event_transition_counts,
@@ -440,6 +497,7 @@ QUERIES = {
 
 ORACLE = {
     "funnel_conversion": _FUNNEL_SQL,
+    "session_entry_report": _ENTRY_REPORT_SQL,
     "event_path_topk": """
         WITH seq AS (
             SELECT user_id, event_type,

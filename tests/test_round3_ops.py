@@ -103,6 +103,22 @@ def test_asof_next_error_strict_forward(spark):
         assert r.next_error_ts == user_errors.ts.min()
 
 
+def test_session_entry_report_conserves_sessions(spark):
+    """Total sessions across entry types equals the sessionizer's session
+    count (same 10-minute-gap definition), and bounce math is internally
+    consistent."""
+    from database_toolbox_spark.operators.arrays import sessionize_lag_method
+    from database_toolbox_spark.operators.events import session_entry_report
+
+    pdf = session_entry_report(spark, SF_DIR).toPandas()
+    n_sessions_truth = sessionize_lag_method(spark, SF_DIR).count()
+    assert int(pdf["n_sessions"].sum()) == n_sessions_truth
+    assert (pdf["n_bounces"] <= pdf["n_sessions"]).all()
+    expect_rate = (pdf["n_bounces"] * 100 / pdf["n_sessions"]).round(3)
+    assert (pdf["bounce_rate_pct"] - expect_rate).abs().max() < 0.01
+    assert (pdf["avg_session_events"] >= 1).all()
+
+
 def test_k_anonymity_audit_matches_direct_recount(spark):
     """The reported k equals the true smallest equivalence-class size, and
     at-risk accounting is internally consistent."""
