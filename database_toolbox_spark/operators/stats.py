@@ -284,8 +284,50 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLING_MEDIAN_SQL = """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   floor(sum(o_totalprice) * 100 + 0.501e0) / 100e0
+                       AS day_revenue
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        med AS (
+            -- hash%1 partition: constant — the daily series is bounded;
+            -- declares the single partition intentional (_ANOMALY_SQL)
+            SELECT day, day_revenue,
+                   {median_fn} OVER (PARTITION BY (hash(day) % 1)
+                       ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS median7
+            FROM daily
+        )
+        SELECT day, day_revenue,
+               floor(median7 * 100 + 0.501e0) / 100e0 AS median7,
+               CAST(day_revenue > 1.5e0 * median7 AS INT) AS is_spike
+        FROM med
+        ORDER BY day
+"""
+
+
+def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day MOVING MEDIAN of daily revenue plus a spike flag
+    (revenue > 1.5x its own median) — the robust-smoothing companion to
+    ewma_daily_revenue (mean-based) and daily_revenue_anomalies (z-score):
+    a single outlier day cannot drag the median the way it drags a mean.
+
+    Exact interpolated median per frame via the engines' windowed quantile
+    (Spark `percentile`, DuckDB `quantile_cont` — same (1-f)·lo + f·hi
+    interpolation on identical canon-rounded inputs). Runs over the
+    aggregated daily series (cardinality-bounded; constant partition
+    declared), frame state is 7 doubles per row."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _ROLLING_MEDIAN_SQL.format(median_fn="percentile(day_revenue, 0.5e0)")
+    )
+
+
 QUERIES = {
     "ewma_daily_revenue": ewma_daily_revenue,
+    "rolling_median_revenue": rolling_median_revenue,
     "segment_status_chisq": segment_status_chisq,
     "source_token_divergence": source_token_divergence,
     "daily_revenue_anomalies": daily_revenue_anomalies,
@@ -297,6 +339,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "rolling_median_revenue": _ROLLING_MEDIAN_SQL.format(
+        median_fn="quantile_cont(day_revenue, 0.5e0)"
+    ),
     "ewma_daily_revenue": f"""
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS day,

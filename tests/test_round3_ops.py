@@ -42,6 +42,20 @@ def test_ewma_converges_toward_series_scale(spark):
     assert bool(((pdf["ewma20"] >= lo - 0.01) & (pdf["ewma20"] <= hi + 0.01)).all())
 
 
+def test_rolling_median_matches_pandas(spark):
+    """The windowed interpolated median equals pandas' rolling median on
+    the same canon-rounded daily inputs (same linear interpolation)."""
+    from database_toolbox_spark.operators.stats import rolling_median_revenue
+
+    pdf = rolling_median_revenue(spark, SF_DIR).toPandas()
+    expected = (
+        pdf["day_revenue"].rolling(7, min_periods=1).median().round(2)
+    )
+    assert (pdf["median7"] - expected).abs().max() < 0.02
+    spikes = pdf[pdf.is_spike == 1]
+    assert (spikes.day_revenue > 1.5 * spikes.median7).all()
+
+
 def test_cdc_compaction_conservation(spark):
     """Last-writer-wins conservation: surviving row count equals the
     orders whose key is NOT in the delete set (o_orderkey % 10 == 0), and
