@@ -380,6 +380,52 @@ def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TRANSITIONS_SQL)
 
 
+_ATTRIBUTION_SQL = f"""
+        WITH clicks AS (
+            SELECT user_id, event_id AS click_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        purch AS (
+            SELECT user_id, event_id AS purchase_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        pairs AS (
+            SELECT p.purchase_id, c.click_id, c.click_ts
+            FROM purch p JOIN clicks c
+              ON p.user_id = c.user_id
+             AND c.click_ts <= p.p_ts
+             AND c.click_ts > p.p_ts - INTERVAL 7 DAY
+        ),
+        credited AS (
+            SELECT purchase_id, click_id, click_ts,
+                   1e0 / count(*) OVER (PARTITION BY purchase_id) AS credit
+            FROM pairs
+        )
+        SELECT CAST(click_ts AS DATE) AS day,
+               count(*) AS n_credited_clicks,
+               {R("sum(credit)", 4)} AS total_credit
+        FROM credited
+        GROUP BY CAST(click_ts AS DATE)
+        ORDER BY day
+"""
+
+
+def linear_attribution_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: each purchase splits one unit of
+    credit equally across the same user's clicks in the 7 days up to the
+    purchase; credit is then rolled up by click day — the marketing-
+    attribution report (total_credit over all days = purchases that had at
+    least one qualifying click).
+
+    Scale shape: the click×purchase match is an equi-join ON user_id with
+    the 7-day window as a residual predicate (stays a hash join — per-key
+    fan-out is one user's activity, never a cross product); the credit
+    split is a window COUNT partitioned by purchase_id; the rollup groups
+    on day. Every shuffle is keyed. Identical SQL on both engines."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_ATTRIBUTION_SQL)
+
+
 _ENTRY_REPORT_SQL = f"""
         WITH gaps AS (
             SELECT user_id, ts, event_id, event_type,
@@ -481,6 +527,7 @@ QUERIES = {
     "event_json_stats": event_json_stats,
     "event_path_topk": event_path_topk,
     "session_entry_report": session_entry_report,
+    "linear_attribution_by_day": linear_attribution_by_day,
     "funnel_conversion": funnel_conversion,
     "trending_event_types": trending_event_types,
     "event_transition_counts": event_transition_counts,
@@ -498,6 +545,7 @@ QUERIES = {
 ORACLE = {
     "funnel_conversion": _FUNNEL_SQL,
     "session_entry_report": _ENTRY_REPORT_SQL,
+    "linear_attribution_by_day": _ATTRIBUTION_SQL,
     "event_path_topk": """
         WITH seq AS (
             SELECT user_id, event_type,

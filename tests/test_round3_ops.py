@@ -71,6 +71,36 @@ def test_cdc_compaction_conservation(spark):
     assert "P" not in set(out["o_orderstatus"])  # every P was rewritten
 
 
+def test_linear_attribution_conserves_credit(spark):
+    """Credit is conserved: summed over all days it equals the number of
+    purchases that had at least one qualifying click (each purchase hands
+    out exactly one unit, split across its clicks)."""
+    from database_toolbox_spark.operators.events import (
+        linear_attribution_by_day,
+    )
+
+    pdf = linear_attribution_by_day(spark, SF_DIR).toPandas()
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), "event_id"
+    )
+    n_attributed = (
+        purch.join(
+            clicks,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 7 DAYS")),
+            "left_semi",
+        )
+        .count()
+    )
+    assert abs(pdf["total_credit"].sum() - n_attributed) < 0.05
+    assert (pdf["total_credit"] > 0).all()
+
+
 def test_event_path_topk_contract(spark):
     """≤10 rows, counts non-increasing, each path has 1..5 stages drawn
     from the event-type domain."""
