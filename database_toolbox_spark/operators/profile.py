@@ -351,7 +351,41 @@ def label_separation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+_BENFORD_SQL = f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                       AS STRING), 1, 1) AS INT) AS d
+            FROM orders WHERE o_totalprice >= 1e0
+        ),
+        counts AS (
+            SELECT d, count(*) AS n FROM digits GROUP BY d
+        )
+        SELECT d, n,
+               {R("n * 1e0 / sum(n) OVER (PARTITION BY (hash(d) % 1))", 6)}
+                   AS obs_freq,
+               {R("log10(1e0 + 1e0 / d)", 6)} AS benford_freq
+        FROM counts
+        ORDER BY d
+"""
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed leading-
+    digit frequency vs the log10(1 + 1/d) expectation — the classic
+    fabricated-data / fraud screen a warehouse DQ suite runs on money
+    columns (synthetic uniform-ish prices will visibly NOT be Benford,
+    which is exactly what the report is for).
+
+    One grouped count over a projected digit, then a 9-row re-aggregate
+    (the hash%1 window partition is constant — the digit domain is
+    bounded; declares the single partition intentional). Identical SQL on
+    both engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_BENFORD_SQL)
+
+
 QUERIES = {
+    "benford_first_digit": benford_first_digit,
     "k_anonymity_audit": k_anonymity_audit,
     "label_separation_scores": label_separation_scores,
     "weighted_sample_topk": weighted_sample_topk,
@@ -381,6 +415,7 @@ def _duck_profile() -> str:
 
 
 ORACLE = {
+    "benford_first_digit": _BENFORD_SQL,
     "k_anonymity_audit": _K_ANON_SQL,
     "label_separation_scores": _LABEL_SEP_SQL.format(
         src="""

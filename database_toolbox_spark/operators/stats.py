@@ -325,9 +325,55 @@ def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IQR_SQL = """
+        WITH j AS (
+            SELECT c.c_mktsegment AS seg, o.o_totalprice AS p
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        q AS (
+            SELECT seg, {q1} AS q1, {q3} AS q3
+            FROM j GROUP BY seg
+        )
+        SELECT j.seg AS c_mktsegment,
+               count(*) AS n_orders,
+               CAST(sum(CASE WHEN j.p > q.q3 + 1.5e0 * (q.q3 - q.q1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
+               CAST(sum(CASE WHEN j.p < q.q1 - 1.5e0 * (q.q3 - q.q1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+               {rq1} AS q1,
+               {rq3} AS q3
+        FROM j JOIN q ON j.seg = q.seg
+        GROUP BY j.seg, q.q1, q.q3
+        ORDER BY c_mktsegment
+"""
+
+
+def iqr_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per market segment: rows beyond
+    q3 + 1.5·IQR / q1 − 1.5·IQR — the robust complement to the z-score
+    anomaly scan (daily_revenue_anomalies), immune to the outliers it is
+    counting.
+
+    Deliberately TWO passes over the (pruned, 2-column) fact join rather
+    than a per-segment window quantile: a windowed percentile PARTITIONed
+    BY segment must buffer each segment's whole partition (5 giant
+    partitions at 100 TB), while pass 1 reduces to a 5-row quantile table
+    that broadcast-joins back into pass 2's streaming count. Exact
+    interpolated quantiles are deterministic on both engines (same
+    (1−f)·lo + f·hi on raw doubles — no accumulated sums involved)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_IQR_SQL.format(
+        q1="percentile(p, 0.25e0)",
+        q3="percentile(p, 0.75e0)",
+        rq1=R("q.q1", 4),
+        rq3=R("q.q3", 4),
+    ))
+
+
 QUERIES = {
     "ewma_daily_revenue": ewma_daily_revenue,
     "rolling_median_revenue": rolling_median_revenue,
+    "iqr_outlier_counts": iqr_outlier_counts,
     "segment_status_chisq": segment_status_chisq,
     "source_token_divergence": source_token_divergence,
     "daily_revenue_anomalies": daily_revenue_anomalies,
@@ -339,6 +385,12 @@ QUERIES = {
 }
 
 ORACLE = {
+    "iqr_outlier_counts": _IQR_SQL.format(
+        q1="quantile_cont(p, 0.25e0)",
+        q3="quantile_cont(p, 0.75e0)",
+        rq1=R("q.q1", 4),
+        rq3=R("q.q3", 4),
+    ),
     "rolling_median_revenue": _ROLLING_MEDIAN_SQL.format(
         median_fn="quantile_cont(day_revenue, 0.5e0)"
     ),

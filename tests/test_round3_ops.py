@@ -194,6 +194,47 @@ def test_label_separation_scores_anova_bounds(spark):
     assert ((pdf["eta_sq"] >= 0) & (pdf["eta_sq"] <= 1)).all()
 
 
+def test_benford_frequencies_sum_to_one(spark):
+    """Observed and expected digit frequencies are both (approximately)
+    probability distributions over digits 1-9."""
+    from database_toolbox_spark.operators.profile import benford_first_digit
+
+    pdf = benford_first_digit(spark, SF_DIR).toPandas()
+    assert set(pdf["d"]) <= set(range(1, 10))
+    assert abs(pdf["obs_freq"].sum() - 1.0) < 0.001
+    assert abs(pdf["benford_freq"].sum() - 1.0) < 0.001
+    assert abs(
+        pdf.loc[pdf.d == 1, "benford_freq"].iloc[0] - 0.30103
+    ) < 1e-4
+
+
+def test_iqr_outliers_match_pandas_fences(spark):
+    """Outlier counts per segment equal a pandas recount with the same
+    interpolated quartiles and Tukey fences."""
+    from database_toolbox_spark.operators.stats import iqr_outlier_counts
+
+    pdf = iqr_outlier_counts(spark, SF_DIR).toPandas().set_index(
+        "c_mktsegment"
+    )
+    cust = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    j = orders.join(cust, "o_custkey").toPandas()
+    for seg, grp in j.groupby("c_mktsegment"):
+        q1, q3 = grp.o_totalprice.quantile([0.25, 0.75])
+        iqr = q3 - q1
+        assert pdf.loc[seg, "n_high_outliers"] == int(
+            (grp.o_totalprice > q3 + 1.5 * iqr).sum()
+        )
+        assert pdf.loc[seg, "n_low_outliers"] == int(
+            (grp.o_totalprice < q1 - 1.5 * iqr).sum()
+        )
+        assert abs(pdf.loc[seg, "q1"] - round(q1, 4)) < 0.001
+
+
 def test_bpe_merge_candidates_contract(spark):
     """Exactly the top-20 adjacent pairs: every pair is two lowercase
     letters, counts non-increasing, and the winner matches a direct
