@@ -298,6 +298,15 @@ def test_compiled_look_plan_quality(spark):
         pytest.param("curation", "heaps_law_checkpoints", 6, id="heaps"),
         pytest.param("dedup", "benchmark_contamination", 2, id="contamination"),
         pytest.param("merge_ops", "merge_upsert_orders", 2, id="merge"),
+        # round-3 late additions: pin the audited shapes
+        pytest.param("events", "event_path_topk", 1, id="paths"),
+        pytest.param("events", "session_entry_report", 1, id="entry"),
+        pytest.param("events", "linear_attribution_by_day", 2,
+                     id="attribution"),
+        pytest.param("stats", "ewma_daily_revenue", 1, id="ewma"),
+        pytest.param("stats", "iqr_outlier_counts", 4, id="iqr"),
+        pytest.param("profile", "label_separation_scores", 1, id="anova"),
+        pytest.param("text", "bpe_merge_candidates", 1, id="bpe"),
     ],
 )
 def test_scan_count_bounded(spark, modname, fn, max_scans):
