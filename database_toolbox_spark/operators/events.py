@@ -380,6 +380,82 @@ def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TRANSITIONS_SQL)
 
 
+_NEW_RETURNING_SQL = """
+        WITH first_seen AS (
+            SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+            FROM events GROUP BY user_id
+        ),
+        daily AS (
+            SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day,
+                   f.first_day
+            FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        )
+        SELECT day,
+               CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_returning
+        FROM daily
+        GROUP BY day
+        ORDER BY day
+"""
+
+
+def new_vs_returning_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into new (first-ever-seen that day) vs
+    returning — the growth-accounting report on top of the first-seen table
+    cumulative_unique_users also uses.
+
+    Scale shape: first-seen is one grouped min per user; the daily split
+    re-joins it on user_id (both sides user-keyed) and distinct-counts per
+    (user, day) before the day rollup. All shuffles keyed; no windows.
+    Identical SQL on both engines."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_NEW_RETURNING_SQL)
+
+
+_MARKOV_SQL = f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        trans AS (
+            SELECT prev_type, event_type AS next_type, count(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        ),
+        probs AS (
+            SELECT prev_type, next_type, n,
+                   {R("n * 1e0 / sum(n) OVER (PARTITION BY prev_type)", 6)}
+                       AS p_next,
+                   row_number() OVER (PARTITION BY prev_type
+                       ORDER BY n DESC, next_type) AS rk
+            FROM trans
+        )
+        SELECT prev_type, next_type, n, p_next,
+               CAST(rk AS INT) AS rk
+        FROM probs
+        WHERE rk <= 3
+        ORDER BY prev_type, rk
+"""
+
+
+def markov_next_event_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of the event stream: per current event
+    type, the top-3 most likely next types with conditional probabilities
+    — the predictive summary distilled from event_transition_counts' raw
+    matrix.
+
+    Scale shape: the lag window partitions by user; the transition count
+    groups on a type-pair domain (bounded); normalization and ranking are
+    windows over that tiny matrix, partitioned by prev_type. Identical SQL
+    on both engines."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_MARKOV_SQL)
+
+
 _ATTRIBUTION_SQL = f"""
         WITH clicks AS (
             SELECT user_id, event_id AS click_id, ts AS click_ts
@@ -528,6 +604,8 @@ QUERIES = {
     "event_path_topk": event_path_topk,
     "session_entry_report": session_entry_report,
     "linear_attribution_by_day": linear_attribution_by_day,
+    "new_vs_returning_users_daily": new_vs_returning_users_daily,
+    "markov_next_event_probs": markov_next_event_probs,
     "funnel_conversion": funnel_conversion,
     "trending_event_types": trending_event_types,
     "event_transition_counts": event_transition_counts,
@@ -546,6 +624,8 @@ ORACLE = {
     "funnel_conversion": _FUNNEL_SQL,
     "session_entry_report": _ENTRY_REPORT_SQL,
     "linear_attribution_by_day": _ATTRIBUTION_SQL,
+    "new_vs_returning_users_daily": _NEW_RETURNING_SQL,
+    "markov_next_event_probs": _MARKOV_SQL,
     "event_path_topk": """
         WITH seq AS (
             SELECT user_id, event_type,
