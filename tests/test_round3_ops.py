@@ -235,6 +235,83 @@ def test_iqr_outliers_match_pandas_fences(spark):
         assert abs(pdf.loc[seg, "q1"] - round(q1, 4)) < 0.001
 
 
+def test_train_bpe_matches_reference_implementation(spark):
+    """The distributed BPE trainer learns the SAME merge sequence (pairs,
+    order, and counts) as an independent pure-Python implementation of
+    classic BPE on the same corpus."""
+    import re
+    from collections import Counter
+
+    from database_toolbox_spark.operators.pipeline import train_bpe
+
+    got = [
+        (r.rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in train_bpe(spark, SF_DIR, n_merges=8)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    texts = (
+        load_table(spark, SF_DIR, "documents").select("text").toPandas()
+    )["text"]
+    freq = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z]+", t.lower()):
+            if len(w) >= 2:
+                freq[w] += 1
+    vocab = {tuple(w): f for w, f in freq.items()}
+    want = []
+    for rank in range(8):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        want.append((rank, a, b, a + b, n))
+        new_vocab: dict = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    assert got == want
+
+
+def test_apply_bpe_roundtrip_and_compression(spark):
+    """Encoding with learned merges is lossless (pieces concatenate back
+    to the word) and monotone (more merges never yields more pieces)."""
+    from database_toolbox_spark.operators.pipeline import (
+        apply_bpe,
+        train_bpe,
+    )
+
+    merges8 = train_bpe(spark, SF_DIR, n_merges=8)
+    enc8 = apply_bpe(spark, SF_DIR, merges8).toPandas()
+    assert (enc8.apply(lambda r: "".join(r.pieces) == r.word, axis=1)).all()
+    assert (enc8.n_pieces >= 1).all()
+    enc0 = apply_bpe(spark, SF_DIR, merges8.limit(0)).toPandas()
+    m8 = enc8.set_index("word")["n_pieces"]
+    m0 = enc0.set_index("word")["n_pieces"]
+    assert (m8 <= m0[m8.index]).all()  # merges only ever compress
+    assert m8.sum() < m0.sum()  # and strictly compress overall
+    assert (enc0.n_pieces == enc0.word.str.len()).all()  # 0 merges = chars
+
+
 def test_bpe_merge_candidates_contract(spark):
     """Exactly the top-20 adjacent pairs: every pair is two lowercase
     letters, counts non-increasing, and the winner matches a direct
