@@ -171,6 +171,42 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(body)
 
 
+def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health rollup of the MinHash detector: per document source,
+    how many docs participate in at least one near-dup pair — the
+    contamination dashboard a curation pipeline watches per ingest feed.
+
+    Composition, not recomputation: reuses minhash_near_dup_pairs (whose
+    shingle/signature intermediates are materialized once inside it),
+    distincts the pair endpoints, and LEFT-joins back to documents for the
+    per-source rate. The endpoint table is pair-bounded (tiny next to the
+    corpus), so the join broadcasts."""
+    pairs = minhash_near_dup_pairs(spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"]
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    from database_toolbox_spark.functions import ratio  # noqa: PLC0415
+
+    return (
+        docs.join(F.broadcast(dup_docs), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).alias("n_near_dup"),
+            ratio(
+                F.sum(F.coalesce("is_dup", F.lit(0)))
+                * 100.0
+                / F.count("*")
+            ).alias("dup_rate_pct"),
+        )
+        .orderBy("source")
+    )
+
+
 DELTA_MOD, DELTA_REM = 20, 7  # "new batch" = 5% of the corpus, deterministic
 
 
@@ -804,6 +840,7 @@ QUERIES = {
     "dup_clusters_star": dup_clusters_star,
     "minhash_signatures": minhash_signatures,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
+    "near_dup_rate_by_source": near_dup_rate_by_source,
     "minhash_delta_pairs": minhash_delta_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_fingerprints": simhash_fingerprints,
@@ -815,6 +852,25 @@ QUERIES = {
 
 ORACLE = {
     "repeated_segment_stats": _segment_dup_sql(_DUCK_SEGS),
+    "near_dup_rate_by_source": f"""
+        WITH pairs AS (
+            {_band_pairs_sql(_DUCK_SHINGLES, lambda a, b: f"({a} || {b})")}
+        ),
+        dup_docs AS (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION
+            SELECT doc_b AS doc_id FROM pairs
+        )
+        SELECT d.source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_near_dup,
+               {R("sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)"
+                  " * 1e2 / count(*)", 4)} AS dup_rate_pct
+        FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
+        GROUP BY d.source
+        ORDER BY d.source
+    """,
     "dup_clusters": f"""
         WITH RECURSIVE pairs AS (
             {_band_pairs_sql(_DUCK_SHINGLES, lambda a, b: f"({a} || {b})")}
