@@ -249,6 +249,53 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def funnel_conversion_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-budgeted funnel: view → click WITHIN 1 HOUR → purchase WITHIN
+    1 HOUR of the click — the realistic conversion window (the unbounded
+    funnel_conversion credits a purchase weeks later).
+
+    Same single-scan shape as funnel_conversion (one pass, one shuffle,
+    per-user array folds — order-insensitive so collect_list
+    nondeterminism cannot leak); the step budget is just an extra
+    predicate inside each fold. Oracle keeps the staged-join spelling."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql("""
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   collect_list(CASE WHEN event_type = 'click' THEN ts END)
+                       AS clicks,
+                   collect_list(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS buys
+            FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+            GROUP BY user_id
+        ),
+        staged AS (
+            SELECT user_id, t_view, buys,
+                   array_min(filter(clicks,
+                       t -> t_view IS NOT NULL AND t > t_view
+                            AND t <= t_view + INTERVAL 1 HOUR)) AS t_click
+            FROM per_user
+        ),
+        final AS (
+            SELECT count(t_view) AS n_viewed,
+                   count(t_click) AS n_clicked,
+                   count(array_min(filter(buys,
+                       t -> t_click IS NOT NULL AND t > t_click
+                            AND t <= t_click + INTERVAL 1 HOUR)))
+                       AS n_purchased
+            FROM staged
+        )
+        SELECT n_viewed, n_clicked, n_purchased,
+               floor(n_clicked * 1e0 / n_viewed * 10000 + 0.501e0) / 10000e0
+                   AS click_rate,
+               floor(n_purchased * 1e0 / n_clicked * 10000 + 0.501e0)
+                   / 10000e0 AS purchase_rate
+        FROM final
+    """)
+
+
 def interpolated_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly avg(value) with gaps filled by LINEAR INTERPOLATION between
     the neighboring present hours (time-weighted), edges clamped — the
@@ -607,6 +654,7 @@ QUERIES = {
     "new_vs_returning_users_daily": new_vs_returning_users_daily,
     "markov_next_event_probs": markov_next_event_probs,
     "funnel_conversion": funnel_conversion,
+    "funnel_conversion_1h": funnel_conversion_1h,
     "trending_event_types": trending_event_types,
     "event_transition_counts": event_transition_counts,
     "variant_props_stats": variant_props_stats,
@@ -622,6 +670,35 @@ QUERIES = {
 
 ORACLE = {
     "funnel_conversion": _FUNNEL_SQL,
+    "funnel_conversion_1h": """
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+              AND e.ts <= v.t_view + INTERVAL 1 HOUR
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t_buy
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+              AND e.ts <= c.t_click + INTERVAL 1 HOUR
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_viewed,
+               (SELECT count(*) FROM c) AS n_clicked,
+               (SELECT count(*) FROM p) AS n_purchased,
+               floor((SELECT count(*) FROM c) * 1e0
+                     / (SELECT count(*) FROM v) * 10000 + 0.501e0) / 10000e0
+                   AS click_rate,
+               floor((SELECT count(*) FROM p) * 1e0
+                     / (SELECT count(*) FROM c) * 10000 + 0.501e0) / 10000e0
+                   AS purchase_rate
+    """,
     "session_entry_report": _ENTRY_REPORT_SQL,
     "linear_attribution_by_day": _ATTRIBUTION_SQL,
     "new_vs_returning_users_daily": _NEW_RETURNING_SQL,
