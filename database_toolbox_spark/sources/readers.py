@@ -49,6 +49,50 @@ def read_json(
     return reader.json(path)
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE-mode JSON ingest that QUARANTINES malformed lines
+    instead of failing the job (FAILFAST) or silently dropping them
+    (DROPMALFORMED) — the only mode that survives a 100 TB ingest where
+    some fraction of lines is always broken.
+
+    Returns (good, quarantined): `good` has the declared schema;
+    `quarantined` carries the raw offending line in `_corrupt_record` for
+    reprocessing. Spark requires the corrupt-record column to be part of
+    the declared schema, so it is appended here; callers pass only their
+    data schema."""
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)  # noqa: SLF001
+    full = T.StructType(
+        [*schema.fields, T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    raw = (
+        spark.read.options(**options)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .schema(full)
+        .json(path)
+    )
+    # Spark disallows querying ONLY the corrupt-record column off a raw
+    # file scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    # materialize the parsed batch once, then split it
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    parsed = materialize(raw)
+    good = parsed.filter(parsed[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
+    quarantined = parsed.filter(parsed[CORRUPT_COL].isNotNull()).select(
+        CORRUPT_COL
+    )
+    return good, quarantined
+
+
 def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None
              ) -> DataFrame:
     """ORC columnar scan — same pushdown/pruning behavior as Parquet (the

@@ -422,3 +422,29 @@ def test_tools_file_jdbc_source_requires_connection_fields(tmp_path):
     f.write_text("sources:\n  bad:\n    kind: jdbc\n    url: jdbc:x\ntools: {}\n")
     with pytest.raises(ConfigError, match="driver_class"):
         load_tools_file(str(f), env={})
+
+
+def test_json_quarantine_splits_good_and_corrupt(spark, tmp_path):
+    """PERMISSIVE ingest with quarantine: good rows carry the declared
+    schema, malformed lines land intact in the quarantine side, nothing
+    is dropped."""
+    from database_toolbox_spark.sources.readers import (
+        read_json_with_quarantine,
+    )
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": 2, "name": "also ok"}\n'
+        'this is not json at all\n'
+        '{"id": "not-an-int", "name": 3}\n'
+    )
+    good, quarantined = read_json_with_quarantine(
+        spark, str(p), "id bigint, name string"
+    )
+    rows = {r.id: r.name for r in good.collect()}
+    assert rows == {1: "ok", 2: "also ok"}
+    bad = [r._corrupt_record for r in quarantined.collect()]
+    assert len(bad) == 2
+    assert "this is not json at all" in bad
+    assert good.count() + quarantined.count() == 4
