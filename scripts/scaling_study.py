@@ -128,6 +128,23 @@ Two full bench runs this round; min-of-2 per query vs the r02 record:
   within noise) measures the DEFAULT operator from this round on; the
   16-bit spelling survives as `simhash_near_dup_pairs_narrow` for the
   synthetic-corpus recall oracle only.
+- Late-round-3 re-check (three standalone full bench runs after the
+  curation/WAV/streaming additions; totals 18.1/20.3/18.7 s over 37
+  queries): per-run regression flags see-sawed across DIFFERENT queries
+  each run (`lsh_ann_topk` 0.88 then 0.59/0.56; `repeated_segment_stats`
+  1.07 then 0.70; `order_item_counts_left` fine twice then 1.19) — the
+  min-of-runs for every query sits within 1.12x of its round-2 record,
+  below the regression gate (1.3x AND +0.25 s). No plan regressions; the
+  two new headline queries cost 0.45 s (`segment_dedup_kept`) and 0.28 s
+  (`quality_classifier_scores`) at sf0.1.
+- Timing-shape disclosure: after the redundant-scan fixes,
+  `customer_rfm_segments` and `ivf_ann_topk` materialize their derived
+  structures at DataFrame-construction time (localCheckpoint), so the
+  bench's noop-sink timing now covers the rank chains / probe join but
+  not the one-off profile/index build — their round-over-round deltas
+  are not like-for-like against r02. The total work is strictly LOWER
+  (10->1 and 9->3 big-table scans); the scan-count plan test is the
+  honest regression signal for these two.
 
 ## Round-3 session additions (scale shapes)
 
@@ -150,6 +167,113 @@ in the plan gates above:
 - `stream_minhash_near_dup`: per-epoch LSH probe of an epoch-partitioned
   signature store — incremental near-dup at ingest, O(batch x candidates)
   per epoch, emitted pairs proven equal to the batch operator.
+
+## Round-3 late-session additions (scale shapes)
+
+Seven more operators plus one streaming path, same plan gates:
+
+- `ewma_daily_revenue`: EWMA is recursive, so no window aggregate
+  expresses it directly — computed as a bounded LEFT FOLD over the
+  20-row trailing frame (`collect_list` over the frame + `aggregate` /
+  DuckDB `list` + `list_reduce`), running over the AGGREGATED daily
+  series (cardinality-bounded; `bounded_rank_window` declares the one
+  partition). Frame state = 20 doubles/row at any corpus size.
+- `cdc_net_changes`: last-writer-wins op-log compaction via ONE
+  row_number window partitioned by the merge key, then a grouped count —
+  both shuffles keyed; the op log is never globally ordered.
+  `stream_cdc_upsert` is the streaming twin: per-micro-batch max-of-
+  struct compaction + idempotent `batch_id=` partition writes;
+  snapshot-vs-batch equivalence and restart inertness tested.
+- `event_path_topk`: row_number partitioned by user → ≤5 rows/user
+  grouped fold (array_sort on (rn,type) structs — collect_list order is
+  never relied on) → heavy-hitter count on the path string →
+  TakeOrderedAndProject. No global sort anywhere.
+- `asof_next_error`: forward as-of by sort-key construction (errors
+  order before clicks at equal ts, so strictness needs no post-filter);
+  one keyed shuffle, single running value per partition — same envelope
+  as asof_last_click. Oracle is DuckDB's native ASOF JOIN (independent
+  implementation).
+- `bpe_merge_candidates`: the pair explosion runs over the DISTINCT-WORD
+  table — vocabulary-bounded (Heaps' law), not corpus-bounded; distinct
+  pairs ≤ 26²; top-20 is TakeOrdered. The BPE merge loop at scale is
+  this same plan re-run per round.
+- `k_anonymity_audit`: grouped count on the quasi-identifier key, then a
+  scalar re-aggregate over the QI-domain-sized class table.
+- `label_separation_scores`: ONE pass of per-(label,dim) moment sums
+  (map-side combinable), scatter decomposition in closed form
+  (SS_w = Σv² − Σ n_l·m_l²) — no join back to exploded values, no
+  second scan (the naive within-class-variance join would rescan the
+  n×d exploded table).
+
+Further late additions, same gates:
+
+- `session_entry_report` / `new_vs_returning_users_daily` /
+  `markov_next_event_probs`: user-keyed windows/joins re-aggregated on
+  shrinking (domain-bounded) keys; the Markov normalization windows run
+  over the type-pair matrix, not the stream.
+- `linear_attribution_by_day`: click×purchase match is an equi-join ON
+  user_id with the 7-day window as a residual predicate; credit split is
+  a purchase-partitioned window count.
+- `funnel_conversion_1h`: the single-scan per-user array-fold funnel with
+  step budgets as extra fold predicates — no new scan surface.
+- `near_dup_rate_by_source`: composes minhash_near_dup_pairs and
+  broadcast-joins its (pair-bounded) endpoint set back to documents.
+- `benford_first_digit` / `iqr_outlier_counts` /
+  `rolling_median_revenue`: grouped counts over bounded domains; the IQR
+  census deliberately does TWO pruned passes (5-row quantile table
+  broadcast into a streaming count) instead of a per-segment window
+  quantile that would buffer whole segment partitions.
+- `train_bpe` / `apply_bpe` (library): each merge round is one grouped
+  agg over the vocabulary-bounded word table + TakeOrdered(1) + a 1-row
+  driver collect (the model parameterizes the next plan — same loop
+  shape as k-means); corpus text is scanned once at round 0. Encoding
+  compiles the collected merge table (KBs — it IS the model) into
+  chained regexp projections, a single narrow stage.
+
+## Bench hygiene (round 3, late session)
+
+Three lessons encoded into bench.py:
+
+1. **Warmup now covers scan/shuffle + Python workers.** The first two
+   timed queries ran 2-4x steady state even under min-of-3 (one-time
+   session costs: codegen, shuffle service, file-cache), and the first
+   mapInPandas query paid ~15 s of Python worker forks. Both are session
+   setup, not query cost; the warmup runs one real query + a noop
+   mapInPandas pass untimed. After the fix: pricing_summary 2.57 s →
+   0.44 s, image_decode_stats 20.9 s (cold) → 2-6 s.
+2. **Never bench with a concurrent Spark session.** A parallel pytest or
+   driver_check run inflates totals 1.5-3x (measured 37.4 s and 48.4 s
+   contended vs 24.3 s idle for the same commit).
+3. Isolated post-addition baseline: **25.35 s across 45 headline
+   queries** (38-query subset: ~22.6 s; r02's 32-query common subset flat
+   vs r02 within noise), zero regressions flagged.
+
+## Redundant-scan audit (round 3)
+
+A physical-plan audit counting per-table `Scan parquet` occurrences across
+all registry queries exposed a class of silent scale bugs the window/join
+audits missed: Spark inlines every CTE per reference and exchange reuse
+does NOT recover aggregates pruned differently downstream, so
+multiply-referenced CTEs replay their big-table scans. Fixed this round
+(all outputs hash-identical, oracles unchanged):
+
+| Query | Before | After | Fix |
+|---|---|---|---|
+| `funnel_conversion` | 14 events scans (staged CTEs re-aggregated up to 5x) | 1 | single-pass per-user conditional collect + order-insensitive array folds |
+| `event_type_triangles` | 11 events scans (edge list re-derived 5x) | 1 | materialize the tiny type-level edge list once |
+| `customer_rfm_segments` | 10 orders scans (per_cust replayed per rank chain) | 1 | materialize the per-customer profile (one row/customer) |
+| `ivf_ann_topk` | 9 embeddings scans (assignment pass replayed 3x) | 3 | materialize the cell assignment — it IS the IVF index |
+| `benchmark_contamination` | 4 documents scans (corpus shingled twice, filtered by join) | 2 slice-pruned | carry `source` through the shingle CTE so each reference pushes its slice filter into the scan |
+| `merge_upsert_orders` | 5 orders scans (MERGE delta replayed per reference) | 1 | materialize the change set — a real MERGE computes its delta once |
+
+Audited-and-kept: `orders_profile` (5 scans, each pruned to ONE column =
+one full-width pass total), `kmeans_cells` (per-iteration passes are
+Lloyd's algorithm, not redundancy), `theta_set_ops_check` /
+`approx_percentile_check` / `kll_quantile_check` (self-verification
+queries — the exact-vs-sketch comparison is the point; the production
+path is sketch-only, one scan), `pack_documents` /
+`temperature_mix_allocation` (repeated scans are 1-2 pruned columns).
+`tests/test_plans.py::test_scan_count_bounded` pins the fixed queries.
 
 ## Rotation-proofing (round 3): full-registry driver sweep
 
