@@ -161,6 +161,46 @@ SHOWCASE = {
         "agg; top-K via TakeOrderedAndProject; the four regression sums "
         "fold rank-ordered over the bounded K-row result."
     ),
+    "ewma_daily_revenue": (
+        "Recursive EWMA as a bounded LEFT FOLD: collect_list over the "
+        "20-row trailing frame + aggregate(), running over the AGGREGATED "
+        "daily series — frame state is 20 doubles per row at any corpus "
+        "size; the single partition is declared (bounded_rank_window)."
+    ),
+    "event_path_topk": (
+        "Journey paths: user-partitioned row_number, per-user fold over "
+        "≤5 rows (array_sort on (rn,type) structs — no collect_list order "
+        "reliance), heavy-hitter count on the path string, top-10 via "
+        "TakeOrderedAndProject. No global sort anywhere."
+    ),
+    "asof_next_error": (
+        "FORWARD as-of: union + first(ignorenulls) over a per-user "
+        "FOLLOWING frame; strictness encoded in the sort key (equal-ts "
+        "errors order before clicks, falling outside the frame) — one "
+        "keyed shuffle, single running value per partition."
+    ),
+    "linear_attribution_by_day": (
+        "Multi-touch attribution: click×purchase equi-join ON user_id "
+        "with the 7-day window as a residual predicate (hash join, never "
+        "a cross product); credit split via a purchase-partitioned window "
+        "count; day rollup."
+    ),
+    "iqr_outlier_counts": (
+        "Tukey fences: deliberately TWO pruned passes — the 5-row "
+        "quantile table broadcasts back into a streaming count — instead "
+        "of a per-segment window quantile that would buffer whole segment "
+        "partitions at 100 TB."
+    ),
+    "bpe_merge_candidates": (
+        "BPE merge statistic: the pair explosion runs over the DISTINCT-"
+        "WORD table (vocabulary-bounded by Heaps' law, not corpus-"
+        "bounded); distinct pairs ≤ 26²; top-20 via TakeOrdered."
+    ),
+    "cdc_net_changes": (
+        "CDC compaction: last-writer-wins via ONE row_number window "
+        "PARTITIONED BY the merge key, then a grouped count — the op log "
+        "is never globally ordered."
+    ),
 }
 
 
