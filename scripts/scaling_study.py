@@ -279,17 +279,25 @@ path is sketch-only, one scan), `pack_documents` /
 
 `scripts/driver_check.py` (the driver-faithful pandas comparator) run over
 the FULL registry at sf0.01 from a /tmp cwd — final end-of-session run
-AFTER the scan-audit rewrites: **198/198 match, 0 bad** — including the TPC-H, window, setop, scalar, subquery, and UDF
-tiers the round-1/2 driver samples never touched, so any 50-query rotation
-lands on driver-verified ground. Per-query wall times (now printed by
-driver_check): median well under 1 s; the >2 s tail is confined to
-queries whose latency is round-trip-count, not data volume — iterative
-graph loops (bfs_reachable_hops / dup_clusters ≈ 4-6 s: one Spark job per
-round), the Python DataSource demo (python_datasource_agg ≈ 5 s: Python
-worker spin-up per partition, fixed cost), and catalog introspection
-(catalog_columns ≈ 3 s: one analyzed-plan lookup per table — already the
-30x-faster spelling vs per-table catalog RPCs). All were driver-green in
-r1/r2 samples at these latencies; none grow with SF.
+after the late-session operator tranche: **214/214 match, 0 bad** —
+including the TPC-H, window, setop, scalar, subquery, and UDF tiers the
+round-1/2 driver samples never touched, so any 50-query rotation lands on
+driver-verified ground. Per-query wall times (printed by driver_check):
+median well under 1 s; the >2 s tail is confined to queries whose latency
+is round-trip-count, not data volume — iterative graph loops
+(bfs_reachable_hops / dup_clusters / pagerank: one Spark job per round),
+the Python DataSource demo (worker spin-up, fixed cost), scalar-subquery
+batteries (above_avg_orders ~6 s: several independent scalar jobs), and
+composite LSH rollups (near_dup_rate_by_source reuses the materialized
+pair pipeline). None grow with SF (see the ratio table above).
+
+## Final round-3 bench (idle machine, post-warmup-fix)
+
+**17.75 s across 45 headline queries** at sf0.1 local[32]
+(`regressions_vs_prev_round: {}`). The r02-common-32 subset sums ~12.6 s
+vs 13.71 s recorded in BENCH_r02 (~8% faster on unchanged code + the
+warmup fix); the 13 added queries cost ~5.1 s, of which image_decode_stats
+(pure-Python PNG codec, 1.46 s) is the only entry above a second.
 """
 
 
