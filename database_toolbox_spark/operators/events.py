@@ -427,6 +427,34 @@ def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TRANSITIONS_SQL)
 
 
+_ACTIVITY_HIST_SQL = """
+        WITH per_user AS (
+            SELECT user_id, count(*) AS n_events
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(length(bin(n_events)) - 1 AS BIGINT) AS log2_bucket,
+               count(*) AS n_users,
+               min(n_events) AS min_events,
+               max(n_events) AS max_events
+        FROM per_user
+        GROUP BY CAST(length(bin(n_events)) - 1 AS BIGINT)
+        ORDER BY log2_bucket
+"""
+
+
+def user_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law activity check: users bucketed by floor(log2(events)) —
+    the engagement-distribution histogram (heavy-tailed user activity is
+    the norm; a missing tail flags bot filtering or capped logging).
+
+    The log2 bucket is computed EXACTLY as binary digit count
+    (length(bin(n)) - 1, identical in both engines) — floor(ln(n)/ln(2))
+    flips at powers of two under libm ulp differences. Two shrinking
+    grouped aggregates, all keyed. Identical SQL on both engines."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_ACTIVITY_HIST_SQL)
+
+
 _NEW_RETURNING_SQL = """
         WITH first_seen AS (
             SELECT user_id, CAST(min(ts) AS DATE) AS first_day
@@ -652,6 +680,7 @@ QUERIES = {
     "session_entry_report": session_entry_report,
     "linear_attribution_by_day": linear_attribution_by_day,
     "new_vs_returning_users_daily": new_vs_returning_users_daily,
+    "user_activity_histogram": user_activity_histogram,
     "markov_next_event_probs": markov_next_event_probs,
     "funnel_conversion": funnel_conversion,
     "funnel_conversion_1h": funnel_conversion_1h,
@@ -702,6 +731,7 @@ ORACLE = {
     "session_entry_report": _ENTRY_REPORT_SQL,
     "linear_attribution_by_day": _ATTRIBUTION_SQL,
     "new_vs_returning_users_daily": _NEW_RETURNING_SQL,
+    "user_activity_histogram": _ACTIVITY_HIST_SQL,
     "markov_next_event_probs": _MARKOV_SQL,
     "event_path_topk": """
         WITH seq AS (

@@ -370,10 +370,55 @@ def iqr_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+_DOW_SQL = """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   {dow} AS dow,
+                   floor(sum(o_totalprice) * 100 + 0.501e0) / 100e0 AS rev
+            FROM orders GROUP BY CAST(o_orderdate AS DATE), {dow}
+        ),
+        per_dow AS (
+            SELECT dow, count(*) AS n_days, avg(rev) AS mean_rev
+            FROM daily GROUP BY dow
+        ),
+        overall AS (
+            SELECT avg(rev) AS grand_mean FROM daily
+        )
+        SELECT p.dow, p.n_days,
+               {mean_rev} AS mean_rev,
+               {idx} AS seasonal_index
+        FROM per_dow p CROSS JOIN overall o
+        ORDER BY p.dow
+"""
+_MEAN_REV = "p.mean_rev"
+_SEASONAL_IDX = "p.mean_rev / o.grand_mean"
+
+
+def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile of order revenue: mean daily revenue
+    per weekday and its seasonal index (ratio to the grand daily mean) —
+    the decomposition-lite companion to the trend/anomaly/median
+    operators (a seasonal index far from 1 says the z-score detector
+    should deseasonalize first).
+
+    Two shrinking aggregates (day grain → 7-row weekday grain) plus a
+    1-row grand-mean broadcast — the CROSS JOIN is the 1-row scalar
+    pattern, not a real product. The weekday number is rendered per
+    dialect (Spark dayofweek() is 1=Sunday; DuckDB dayofweek() is
+    0=Sunday — shifted to match)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_DOW_SQL.format(
+        dow="CAST(dayofweek(o_orderdate) AS BIGINT)",
+        mean_rev=R(_MEAN_REV),
+        idx=R(_SEASONAL_IDX, 4),
+    ))
+
+
 QUERIES = {
     "ewma_daily_revenue": ewma_daily_revenue,
     "rolling_median_revenue": rolling_median_revenue,
     "iqr_outlier_counts": iqr_outlier_counts,
+    "dow_seasonality_profile": dow_seasonality_profile,
     "segment_status_chisq": segment_status_chisq,
     "source_token_divergence": source_token_divergence,
     "daily_revenue_anomalies": daily_revenue_anomalies,
@@ -385,6 +430,12 @@ QUERIES = {
 }
 
 ORACLE = {
+    # DuckDB dayofweek is 0=Sunday; Spark is 1=Sunday — shift to match
+    "dow_seasonality_profile": _DOW_SQL.format(
+        dow="(dayofweek(o_orderdate) + 1)",
+        mean_rev=R(_MEAN_REV),
+        idx=R(_SEASONAL_IDX, 4),
+    ),
     "iqr_outlier_counts": _IQR_SQL.format(
         q1="quantile_cont(p, 0.25e0)",
         q3="quantile_cont(p, 0.75e0)",

@@ -481,8 +481,56 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_BPE_SPARK_SQL)
 
 
+_READABILITY_SQL = """
+        WITH counted AS (
+            SELECT doc_id,
+                   {n_words} AS n_words,
+                   greatest(1, {n_sents}) AS n_sentences,
+                   greatest(1, {n_syll}) AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               {wps} AS words_per_sentence,
+               {spw} AS syllables_per_word,
+               {flesch} AS flesch_score
+        FROM counted
+        WHERE n_words > 0
+        ORDER BY doc_id
+"""
+_WPS = "n_words * 1e0 / n_sentences"
+_SPW = "n_syllables * 1e0 / n_words"
+_FLESCH = (
+    "206.835e0 - 1.015e0 * (n_words * 1e0 / n_sentences)"
+    " - 84.6e0 * (n_syllables * 1e0 / n_words)"
+)
+
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from regex-countable proxies
+    (words = space tokens, sentences = terminal punctuation, syllables =
+    vowel groups — the standard cheap approximation): the readability
+    facet of corpus quality filtering next to doc_quality_scores'
+    length/stopword heuristics.
+
+    Pure per-row regexp projection — embarrassingly parallel, one scan,
+    no shuffle before the output sort. Counts via regexp_count (Spark) /
+    len(regexp_extract_all) (DuckDB) on identical patterns."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_READABILITY_SQL.format(
+        # BIGINT casts: Spark size()/regexp_count() are INT while DuckDB
+        # len() is BIGINT — the driver's schema compare must see one type
+        n_words="CAST(size(split(text, ' ')) AS BIGINT)",
+        n_sents="CAST(regexp_count(text, '[.!?]') AS BIGINT)",
+        n_syll="CAST(regexp_count(lower(text), '[aeiouy]+') AS BIGINT)",
+        wps=R(_WPS, 4),
+        spw=R(_SPW, 4),
+        flesch=R(_FLESCH, 4),
+    ))
+
+
 QUERIES = {
     "bpe_merge_candidates": bpe_merge_candidates,
+    "readability_scores": readability_scores,
     "bigram_lm_scores": bigram_lm_scores,
     "corpus_bigram_topk": corpus_bigram_topk,
     "doc_repetition_scores": doc_repetition_scores,
@@ -497,6 +545,14 @@ QUERIES = {
 
 ORACLE = {
     "bpe_merge_candidates": _BPE_ORACLE,
+    "readability_scores": _READABILITY_SQL.format(
+        n_words="len(string_split(text, ' '))",
+        n_sents="len(regexp_extract_all(text, '[.!?]'))",
+        n_syll="len(regexp_extract_all(lower(text), '[aeiouy]+'))",
+        wps=R(_WPS, 4),
+        spw=R(_SPW, 4),
+        flesch=R(_FLESCH, 4),
+    ),
     "bigram_lm_scores": _bigram_lm_sql(
         "SELECT doc_id, u.i AS pos, toks[u.i] AS term "
         "FROM (SELECT doc_id, string_split(text, ' ') AS toks "
