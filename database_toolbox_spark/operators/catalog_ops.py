@@ -23,11 +23,44 @@ def catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fast_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only row counts: every table's cardinality read from the
+    parquet FOOTER statistics (pyarrow), zero data scanned — the
+    "SELECT count(*)" fast path a lakehouse serves from file statistics
+    (DuckDB and most warehouses answer bare counts this way; Spark's scan
+    operator does not, so the tool reads the same footer metadata
+    directly).
+
+    Driver-side work is bounded by FILE COUNT, not rows: one footer read
+    per file (thousands of footers at 100 TB — a catalog-sized loop; for
+    very large file sets the same call distributes as a binaryFile read
+    of _metadata). Oracle recomputes each count by scanning."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    from database_toolbox_spark.session import table_path  # noqa: PLC0415
+
+    rows = [
+        (t, pq.ParquetFile(table_path(sf_dir, t)).metadata.num_rows)
+        for t in TABLES
+    ]
+    return (
+        spark.createDataFrame(rows, "table_name string, n_rows bigint")
+        .orderBy("table_name")
+    )
+
+
 _TABLE_LIST = ", ".join(f"'{t}'" for t in TABLES)
 
-QUERIES = {"catalog_columns": catalog_columns}
+QUERIES = {
+    "catalog_columns": catalog_columns,
+    "fast_table_counts": fast_table_counts,
+}
 
 ORACLE = {
+    "fast_table_counts": " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}"
+        for t in TABLES
+    ) + " ORDER BY table_name",
     "catalog_columns": f"""
         SELECT table_name, column_name,
                CAST(ordinal_position AS INT) AS column_position
