@@ -406,7 +406,77 @@ def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JL_DIMS = 16  # target dimensionality of the random projection
+
+
+def _jl_sign(p: int, pos: str) -> str:
+    """Deterministic Rademacher-style ±1 for output dim p at input
+    position `pos` — pure integer formula, identical in both dialects
+    (same approach as _plane_weight)."""
+    return (
+        f"(CASE WHEN (({p} * 131 + ({pos}) * 73) % 101) < 50 "
+        "THEN -1e0 ELSE 1e0 END)"
+    )
+
+
+def _jl_sql(proj_arr: str, norm_in: str, elem, norm_out: str) -> str:
+    comps = ", ".join(
+        f"{R(elem('p', k), 5)} AS proj{k}" for k in range(1, 5)
+    )
+    return f"""
+        WITH proj AS (
+            SELECT vec_id, label,
+                   {proj_arr} AS p,
+                   sqrt({norm_in}) AS norm_in
+            FROM embeddings
+        )
+        SELECT vec_id, label,
+               {comps},
+               {R("norm_in", 4)} AS norm_in,
+               {R(norm_out, 4)} AS norm_out,
+               {R(f"{norm_out} / norm_in", 4)} AS norm_ratio
+        FROM proj
+        ORDER BY vec_id
+    """
+
+
+def jl_projection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64-d → 16-d with a
+    deterministic Rademacher (±1) matrix: the dimensionality-reduction
+    pre-pass that makes downstream ANN/dedup cheaper while approximately
+    preserving norms and distances. Reports the first four projected
+    components and the norm-preservation ratio per vector (JL guarantee:
+    ratios concentrate around 1).
+
+    Per-row cost is the fixed 16×64 multiply — embarrassingly parallel,
+    one scan, no shuffle before the output sort; the sign matrix is a
+    closed-form integer formula (no RNG, no broadcast needed). Folds run
+    in fixed index order so both engines produce bit-identical doubles
+    before rounding."""
+    load_tables(spark, sf_dir)
+    proj_arr = "array(" + ", ".join(
+        "aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), "
+        "(acc, i) -> acc + CAST(element_at(embedding, i) AS DOUBLE) * "
+        f"{_jl_sign(k, 'i')}) / {JL_DIMS ** 0.5}e0"
+        for k in range(JL_DIMS)
+    ) + ")"
+    norm_in = (
+        "aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), "
+        "(acc, i) -> acc + CAST(element_at(embedding, i) AS DOUBLE) "
+        "* CAST(element_at(embedding, i) AS DOUBLE))"
+    )
+    norm_out = (
+        "sqrt(aggregate(sequence(1, size(p)), CAST(0 AS DOUBLE), "
+        "(acc, k) -> acc + element_at(p, k) * element_at(p, k)))"
+    )
+    return spark.sql(_jl_sql(
+        proj_arr, norm_in,
+        lambda a, k: f"element_at({a}, {k})", norm_out,
+    ))
+
+
 QUERIES = {
+    "jl_projection_stats": jl_projection_stats,
     "cosine_topk": cosine_topk,
     "knn_graph_topk": knn_graph_topk,
     "sq8_ann_topk": sq8_ann_topk,
@@ -437,7 +507,21 @@ _DUCK_SELF_DOT = (
     "i -> CAST({v}[i] AS DOUBLE) * CAST({w}[i] AS DOUBLE)), 'sum')"
 )
 
+_DUCK_JL_ARR = "[" + ", ".join(
+    "list_aggregate(list_transform(range(1, len(embedding) + 1), "
+    "i -> CAST(embedding[i] AS DOUBLE) * "
+    + _jl_sign(k, "i")
+    + f"), 'sum') / {JL_DIMS ** 0.5}e0"
+    for k in range(JL_DIMS)
+) + "]"
+
 ORACLE = {
+    "jl_projection_stats": _jl_sql(
+        _DUCK_JL_ARR,
+        _DUCK_NORM2,
+        lambda a, k: f"{a}[{k}]",
+        "sqrt(list_aggregate(list_transform(p, x -> x * x), 'sum'))",
+    ),
     "knn_graph_topk": f"""
         WITH q AS (
             SELECT vec_id AS qid, embedding AS qv

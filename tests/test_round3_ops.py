@@ -194,6 +194,21 @@ def test_label_separation_scores_anova_bounds(spark):
     assert ((pdf["eta_sq"] >= 0) & (pdf["eta_sq"] <= 1)).all()
 
 
+def test_jl_projection_preserves_norms_on_average(spark):
+    """JL guarantee: the 16-d Rademacher projection preserves norms in
+    expectation — per-vector ratios concentrate near 1 and the mean sits
+    within a few percent."""
+    from database_toolbox_spark.operators.similarity import (
+        jl_projection_stats,
+    )
+
+    pdf = jl_projection_stats(spark, SF_DIR).toPandas()
+    assert len(pdf) == 500
+    assert 0.9 < pdf["norm_ratio"].mean() < 1.1
+    assert (pdf["norm_ratio"] > 0.3).all()
+    assert (pdf["norm_ratio"] < 2.0).all()
+
+
 def test_benford_frequencies_sum_to_one(spark):
     """Observed and expected digit frequencies are both (approximately)
     probability distributions over digits 1-9."""
