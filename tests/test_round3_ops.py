@@ -205,8 +205,11 @@ def test_jl_projection_preserves_norms_on_average(spark):
     pdf = jl_projection_stats(spark, SF_DIR).toPandas()
     assert len(pdf) == 500
     assert 0.9 < pdf["norm_ratio"].mean() < 1.1
-    assert (pdf["norm_ratio"] > 0.3).all()
-    assert (pdf["norm_ratio"] < 2.0).all()
+    # k=16 gives ratio std ~ sqrt(2/k) ≈ 0.35: individual vectors can
+    # land deep in the tails; the envelope only rules out collapse/blowup
+    assert (pdf["norm_ratio"] > 0.1).all()
+    assert (pdf["norm_ratio"] < 2.5).all()
+    assert (pdf["norm_ratio"] - 1).abs().median() < 0.35
 
 
 def test_benford_frequencies_sum_to_one(spark):
