@@ -263,7 +263,46 @@ def encoding_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TZ_SQL = """
+        WITH localized AS (
+            SELECT event_type,
+                   {ny} AS ny_ts,
+                   {tokyo} AS tokyo_ts
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CASE WHEN hour(ny_ts) BETWEEN 9 AND 16
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ny_business_hours,
+               count(DISTINCT CAST(tokyo_ts AS DATE)) AS n_tokyo_days,
+               min(ny_ts) AS first_ny_ts,
+               max(ny_ts) AS last_ny_ts
+        FROM localized
+        GROUP BY event_type
+        ORDER BY event_type
+"""
+
+
+def timezone_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion surface (every wrapped warehouse converts
+    between zones; session TZ here is pinned UTC): event timestamps
+    localized to America/New_York and Asia/Tokyo — business-hours
+    bucketing, local-calendar-day distinct counts, local min/max. DST is
+    in play (the fixture spans months), so both engines must agree
+    through the same IANA tzdata rules, not a fixed offset.
+
+    Per-row projection + one grouped aggregate; the distinct count groups
+    on (type, local day) — bounded domain."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_TZ_SQL.format(
+        ny="convert_timezone('UTC', 'America/New_York', ts)",
+        tokyo="convert_timezone('UTC', 'Asia/Tokyo', ts)",
+    ))
+
+
 QUERIES = {
+    "timezone_battery": timezone_battery,
     "collation_battery": collation_battery,
     "encoding_battery": encoding_battery,
     "string_battery": string_battery,
@@ -277,6 +316,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "timezone_battery": _TZ_SQL.format(
+        ny="(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York')",
+        tokyo="(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo')",
+    ),
     "encoding_battery": """
         SELECT c_custkey,
                base64(encode(c_name))                       AS b64,
