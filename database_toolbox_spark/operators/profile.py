@@ -384,8 +384,51 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_BENFORD_SQL)
 
 
+_REF_INTEGRITY_SQL = """
+        SELECT 'lineitem_orphans' AS check_name,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                   AS n_violations
+        UNION ALL
+        SELECT 'order_orphans',
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'customer_orphans',
+               (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))
+        UNION ALL
+        SELECT 'orders_pk_dups',
+               (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        UNION ALL
+        SELECT 'customer_pk_dups',
+               (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+        UNION ALL
+        SELECT 'lineitem_pk_dups',
+               (SELECT count(*) - count(DISTINCT l_orderkey * 10 +
+                    l_linenumber) FROM lineitem)
+        ORDER BY check_name
+"""
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity + primary-key audit across the star schema:
+    FK orphan counts on all three edges (lineitem→orders→customer→nation,
+    as NOT-EXISTS anti-joins — keyed shuffles, no cross products) and PK
+    uniqueness per table (count vs distinct count, one pass each) — the
+    constraint checks a lakehouse runs per load because parquet enforces
+    none of them. All-zero violations = the fixture's invariant.
+    Identical SQL on both engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_REF_INTEGRITY_SQL)
+
+
 QUERIES = {
     "benford_first_digit": benford_first_digit,
+    "referential_integrity_audit": referential_integrity_audit,
     "k_anonymity_audit": k_anonymity_audit,
     "label_separation_scores": label_separation_scores,
     "weighted_sample_topk": weighted_sample_topk,
@@ -416,6 +459,7 @@ def _duck_profile() -> str:
 
 ORACLE = {
     "benford_first_digit": _BENFORD_SQL,
+    "referential_integrity_audit": _REF_INTEGRITY_SQL,
     "k_anonymity_audit": _K_ANON_SQL,
     "label_separation_scores": _LABEL_SEP_SQL.format(
         src="""
