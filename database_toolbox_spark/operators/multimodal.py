@@ -236,6 +236,51 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(run, schema=RESIZE_SCHEMA).orderBy("doc_id")
 
 
+HIST_SCHEMA = (
+    "doc_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
+)
+
+
+def image_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brightness histogram on real decoded bytes: 4 bands of 64 gray
+    levels per image, counted with a vectorized numpy bincount over the
+    decoder's pixel buffer (zero padding included — it is part of the
+    image). The feature-extraction shape for multimodal curation (e.g.
+    dropping all-dark/clipped images). Oracle recomputes the bands from
+    ASCII codes + the padding count, never touching PNG."""
+    from pyspark import cloudpickle
+
+    from database_toolbox_spark.functions import png as png_mod
+
+    cloudpickle.register_pickle_by_value(png_mod)
+    decode = png_mod.decode_png
+    payloads = png_payloads(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def hist(payload: bytes) -> tuple:
+            px = np.frombuffer(decode(payload)["pixels"], dtype=np.uint8)
+            counts = np.bincount(px >> 6, minlength=4)
+            return tuple(int(c) for c in counts[:4])
+
+        for pdf in batches:
+            cols = pdf["payload"].map(hist)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    **{
+                        f"b{k}": cols.map(lambda t, k=k: t[k]).astype(
+                            "int64"
+                        )
+                        for k in range(4)
+                    },
+                }
+            )
+
+    return payloads.mapInPandas(run, schema=HIST_SCHEMA).orderBy("doc_id")
+
+
 AUDIO_BIAS = 64  # synthetic 8-bit PCM center: space (32) < 64 <= letters,
 # so word boundaries in the text produce real "zero" crossings
 WAVEFORM_SCHEMA = (
@@ -416,6 +461,7 @@ def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "image_histogram_stats": image_histogram_stats,
     "multimodal_decode_features": multimodal_decode_features,
     "image_decode_stats": image_decode_stats,
     "image_resize_stats": image_resize_stats,
@@ -426,6 +472,29 @@ QUERIES = {
 }
 
 ORACLE = {
+    # band counts from ASCII codes; zero padding (16*h - n bytes) is all
+    # band 0 — the padding IS part of the decoded pixel buffer
+    "image_histogram_stats": f"""
+        WITH b AS (
+            SELECT doc_id, text,
+                   octet_length(encode(text)) AS n,
+                   CAST(greatest(1, ceil(octet_length(encode(text))
+                        / {IMG_WIDTH}e0)) AS BIGINT) AS h,
+                   list_transform(range(1, length(text) + 1),
+                                  i -> ascii(substr(text, i, 1))) AS codes
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(coalesce(len(list_filter(codes, c -> c < 64)), 0)
+                    + (h * {IMG_WIDTH} - n) AS BIGINT) AS b0,
+               CAST(coalesce(len(list_filter(codes,
+                    c -> c >= 64 AND c < 128)), 0) AS BIGINT) AS b1,
+               CAST(coalesce(len(list_filter(codes,
+                    c -> c >= 128 AND c < 192)), 0) AS BIGINT) AS b2,
+               CAST(coalesce(len(list_filter(codes, c -> c >= 192)), 0)
+                    AS BIGINT) AS b3
+        FROM b ORDER BY doc_id
+    """,
     # independent byte-level recomputation from ASCII codes (text is ASCII)
     "multimodal_decode_features": """
         SELECT doc_id,
