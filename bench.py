@@ -78,6 +78,12 @@ HEADLINE = [
     "bpe_merge_candidates",
     "k_anonymity_audit",
     "label_separation_scores",
+    # final round-3 tranche: JL projection, tz localization, integrity
+    # audit, real-pixel histogram
+    "jl_projection_stats",
+    "timezone_battery",
+    "referential_integrity_audit",
+    "image_histogram_stats",
 ]
 
 

@@ -230,6 +230,24 @@ Further late additions, same gates:
   compiles the collected merge table (KBs — it IS the model) into
   chained regexp projections, a single narrow stage.
 
+Final tranche, same gates:
+
+- `readability_scores` / `timezone_battery` / `dow_seasonality_profile` /
+  `user_activity_histogram` / `benford_first_digit`: per-row projections
+  + grouped aggregates on bounded domains. The activity histogram's
+  log2 bucket is computed exactly as binary digit count — floor of an
+  ln-ratio flips at powers of two under libm ulp differences.
+- `jl_projection_stats`: fixed 16×64 multiply per row from a closed-form
+  ±1 matrix (no RNG, no broadcast); folds in fixed index order so both
+  engines produce bit-identical doubles before rounding.
+- `referential_integrity_audit`: NOT-EXISTS anti-joins on the FK edges +
+  count-vs-distinct per PK — keyed shuffles only.
+- `fast_table_counts`: row counts from parquet FOOTER statistics —
+  driver work bounded by file count, zero data scanned.
+- `image_histogram_stats`: numpy bincount over the real decoder's pixel
+  buffer, Arrow-batched; oracle recomputes bands from ASCII codes +
+  padding count, PNG-independent.
+
 ## Bench hygiene (round 3, late session)
 
 Three lessons encoded into bench.py:
