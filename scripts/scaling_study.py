@@ -297,7 +297,7 @@ path is sketch-only, one scan), `pack_documents` /
 
 `scripts/driver_check.py` (the driver-faithful pandas comparator) run over
 the FULL registry at sf0.01 from a /tmp cwd — final end-of-session run
-after the late-session operator tranche: **214/214 match, 0 bad** —
+after the late-session operator tranches: **222/222 match, 0 bad** —
 including the TPC-H, window, setop, scalar, subquery, and UDF tiers the
 round-1/2 driver samples never touched, so any 50-query rotation lands on
 driver-verified ground. Per-query wall times (printed by driver_check):
@@ -311,11 +311,13 @@ pair pipeline). None grow with SF (see the ratio table above).
 
 ## Final round-3 bench (idle machine, post-warmup-fix)
 
-**17.75 s across 45 headline queries** at sf0.1 local[32]
-(`regressions_vs_prev_round: {}`). The r02-common-32 subset sums ~12.6 s
-vs 13.71 s recorded in BENCH_r02 (~8% faster on unchanged code + the
-warmup fix); the 13 added queries cost ~5.1 s, of which image_decode_stats
-(pure-Python PNG codec, 1.46 s) is the only entry above a second.
+**19.15 s across 49 headline queries** at sf0.1 local[32]
+(`regressions_vs_prev_round: {}`; an earlier 45-query run measured
+17.75 s). The r02-common-32 subset sums ~11.5 s vs 13.71 s recorded in
+BENCH_r02 (~16% faster on unchanged code + the warmup fix); the 17 added
+queries cost ~7.7 s, the only >1 s entries being the Python-codec pair
+(image_decode_stats 1.10 s, image_histogram_stats 1.54 s), the 6-check
+integrity audit (1.30 s), and the 16x64 JL multiply (1.06 s).
 """
 
 
