@@ -125,6 +125,43 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _confusion_sql(split_fn: str, filter_fn: str, cast_hits: str) -> str:
+    scores = ", ".join(
+        f"{cast_hits.format(expr=f'{filter_fn}(w, t -> t IN ({_sql_list(LANG_MARKERS[lang])}))')} AS s_{lang}"  # noqa: E501
+        for lang in _LANG_ORDER
+    )
+    pick = _lang_pick_expr()
+    return f"""
+        WITH t AS (SELECT doc_id, lang, {split_fn}(text, ' ') AS w
+                   FROM documents),
+        s AS (SELECT doc_id, lang, {scores} FROM t),
+        labeled AS (
+            SELECT lang AS declared_lang, {pick} AS predicted_lang FROM s
+        )
+        SELECT declared_lang, predicted_lang,
+               count(*) AS n,
+               {R("count(*) * 1e2 / sum(count(*)) OVER"
+                  " (PARTITION BY declared_lang)", 4)} AS pct_of_declared
+        FROM labeled
+        GROUP BY declared_lang, predicted_lang
+        ORDER BY declared_lang, predicted_lang
+"""
+
+
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation rollup of the language-ID heuristic: the
+    (declared × predicted) confusion matrix with per-declared-language
+    recall percentages — the model-eval report that turns language_id's
+    per-document verdicts into corpus-level quality numbers.
+
+    One grouped count over the (lang × lang) domain; the percentage
+    window partitions on declared_lang over that bounded matrix."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_confusion_sql(
+        "split", "filter", "size({expr})"
+    ))
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fingerprints: full-text md5 + 64-char-prefix md5 (a
     cheap rolling-hash stand-in that detects shared-prefix near-dups)."""
@@ -531,6 +568,7 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "bpe_merge_candidates": bpe_merge_candidates,
     "readability_scores": readability_scores,
+    "language_id_confusion": language_id_confusion,
     "bigram_lm_scores": bigram_lm_scores,
     "corpus_bigram_topk": corpus_bigram_topk,
     "doc_repetition_scores": doc_repetition_scores,
@@ -545,6 +583,9 @@ QUERIES = {
 
 ORACLE = {
     "bpe_merge_candidates": _BPE_ORACLE,
+    "language_id_confusion": _confusion_sql(
+        "string_split", "list_filter", "CAST(len({expr}) AS INT)"
+    ),
     "readability_scores": _READABILITY_SQL.format(
         n_words="len(string_split(text, ' '))",
         n_sents="len(regexp_extract_all(text, '[.!?]'))",
