@@ -291,6 +291,68 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# Candidate-generation CTEs for AllPairs prefix filtering (over the
+# materialized `pf_sh` shingle view). Shared with the selectivity test in
+# tests/test_scale_stress.py, which counts `cand` directly.
+_PREFIX_CAND_CTES = f"""
+        WITH sh AS (SELECT * FROM pf_sh),
+        df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        ordered AS (
+            SELECT sh.doc_id, sh.s,
+                   row_number() OVER (PARTITION BY sh.doc_id
+                                      ORDER BY df.df, sh.s) AS r,
+                   count(*) OVER (PARTITION BY sh.doc_id) AS n
+            FROM sh JOIN df ON df.s = sh.s
+        ),
+        prefix AS (
+            SELECT doc_id, s FROM ordered
+            WHERE r <= n - CAST(ceil({JACCARD_THRESHOLD} * n) AS BIGINT) + 1
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM prefix a JOIN prefix b
+              ON a.s = b.s AND a.doc_id < b.doc_id
+        )"""
+
+
+def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard ≥ 0.5 similarity join via AllPairs prefix
+    filtering (Bayardo et al. WWW'07 / Chaudhuri et al. ICDE'06): order
+    every doc's shingles by global rarity (document frequency, then
+    shingle text) and keep only each doc's first n - ceil(τ·n) + 1
+    shingles as its *prefix*. Any pair with J ≥ τ must share a shingle
+    inside both prefixes under that common order, so candidate
+    generation joins prefix postings only — dominated by RARE shingles
+    (short posting lists) instead of every shared shingle. Same answer
+    as `ngram_jaccard_pairs` (identical oracle); this is the exact
+    companion to MinHash at 100 TB: subquadratic candidates without
+    giving up exactness. Verification re-joins full shingle sets for
+    surviving candidates only. The ordering window is partitioned by
+    doc_id (bounded by doc length — never a global sort)."""
+    load_tables(spark, sf_dir)
+    materialize(spark.sql(f"{_SPARK_SHINGLES} SELECT * FROM sh")).createOrReplaceTempView(
+        "pf_sh"
+    )
+    return spark.sql(f"""
+        {_PREFIX_CAND_CTES},
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT m.doc_a, m.doc_b,
+               {R("m.n_common * 1e0 / (ca.n + cb.n - m.n_common)", 6)} AS jaccard
+        FROM common m
+        JOIN cnt ca ON ca.doc_id = m.doc_a
+        JOIN cnt cb ON cb.doc_id = m.doc_b
+        WHERE m.n_common * 1e0 / (ca.n + cb.n - m.n_common) >= {JACCARD_THRESHOLD}
+        ORDER BY m.doc_a, m.doc_b
+    """)
+
+
 def _simhash_sql(tokens_expr: str, x_expr: str, n_bits: int = 16) -> str:
     """SimHash: bit-majority over per-token md5 bits. Shared shape; x_expr
     converts the first n_bits/4 md5 hex chars to an int in the dialect."""
@@ -843,12 +905,33 @@ QUERIES = {
     "near_dup_rate_by_source": near_dup_rate_by_source,
     "minhash_delta_pairs": minhash_delta_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "jaccard_prefix_filter_pairs": jaccard_prefix_filter_pairs,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
     "simhash_near_dup_pairs_narrow": simhash_near_dup_pairs_narrow,
     "simhash_near_dup_pairs_wide": simhash_near_dup_pairs,
     "embedding_topk_pairs": embedding_topk_pairs,
 }
+
+# Exact all-pairs shingle-Jaccard ground truth — shared by the naive
+# blocked operator and the AllPairs prefix-filtered one (same semantics,
+# different candidate-generation strategy on the Spark side).
+_NGRAM_JACCARD_ORACLE = f"""
+        {_DUCK_SHINGLES},
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT m.doc_a, m.doc_b,
+               {R("m.n_common * 1e0 / (ca.n + cb.n - m.n_common)", 6)} AS jaccard
+        FROM common m
+        JOIN cnt ca ON ca.doc_id = m.doc_a
+        JOIN cnt cb ON cb.doc_id = m.doc_b
+        WHERE m.n_common * 1e0 / (ca.n + cb.n - m.n_common) >= {JACCARD_THRESHOLD}
+        ORDER BY m.doc_a, m.doc_b
+    """
 
 ORACLE = {
     "repeated_segment_stats": _segment_dup_sql(_DUCK_SEGS),
@@ -944,22 +1027,10 @@ ORACLE = {
         WHERE m.n_common * 1e0 / (ca.n + cb.n - m.n_common) >= {JACCARD_THRESHOLD}
         ORDER BY m.doc_a, m.doc_b
     """,
-    "ngram_jaccard_pairs": f"""
-        {_DUCK_SHINGLES},
-        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        common AS (
-            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
-            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-            GROUP BY x.doc_id, y.doc_id
-        )
-        SELECT m.doc_a, m.doc_b,
-               {R("m.n_common * 1e0 / (ca.n + cb.n - m.n_common)", 6)} AS jaccard
-        FROM common m
-        JOIN cnt ca ON ca.doc_id = m.doc_a
-        JOIN cnt cb ON cb.doc_id = m.doc_b
-        WHERE m.n_common * 1e0 / (ca.n + cb.n - m.n_common) >= {JACCARD_THRESHOLD}
-        ORDER BY m.doc_a, m.doc_b
-    """,
+    "ngram_jaccard_pairs": _NGRAM_JACCARD_ORACLE,
+    # Prefix filtering is a candidate-pruning strategy, not a semantics
+    # change: the exact all-pairs ground truth is the oracle for both.
+    "jaccard_prefix_filter_pairs": _NGRAM_JACCARD_ORACLE,
     "simhash_near_dup_pairs_narrow": _simhash_pairs_sql(
         "unnest(list_distinct(string_split(text, ' ')))",
         "CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER)",

@@ -353,3 +353,44 @@ def test_segment_dedup_replication_algebra(spark):
         else:  # later copies keep nothing
             assert r.n_kept == 0 and r.kept_tokens == 0
             assert r.n_dropped == r.n_segments
+
+
+def test_prefix_filter_jaccard_exact_and_selective(spark):
+    """AllPairs prefix filtering must (a) return EXACTLY the all-pairs
+    Jaccard ≥ τ result — pruning is a candidate-generation strategy, not a
+    semantics change — and (b) generate strictly fewer candidate pairs
+    than share-any-shingle blocking (the subquadratic claim: prefixes
+    touch only each doc's rarest n - ceil(τ·n) + 1 shingles)."""
+    from database_toolbox_spark.operators.dedup import (
+        _PREFIX_CAND_CTES,
+        _SPARK_SHINGLES,
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+    from database_toolbox_spark.session import load_tables, materialize
+
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    pruned = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_prefix_filter_pairs(spark, SF_DIR).collect()
+    }
+    assert pruned == exact and exact  # identical, and non-trivial
+
+    load_tables(spark, SF_DIR)
+    materialize(
+        spark.sql(f"{_SPARK_SHINGLES} SELECT * FROM sh")
+    ).createOrReplaceTempView("pf_sh")
+    n_full = spark.sql(f"""
+        WITH sh AS (SELECT * FROM pf_sh)
+        SELECT count(*) AS c FROM (
+            SELECT DISTINCT x.doc_id, y.doc_id
+            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        )
+    """).collect()[0].c
+    n_prefix = spark.sql(
+        f"{_PREFIX_CAND_CTES} SELECT count(*) AS c FROM cand"
+    ).collect()[0].c
+    assert len(exact) <= n_prefix < n_full
