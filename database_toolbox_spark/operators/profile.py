@@ -426,7 +426,145 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_REF_INTEGRITY_SQL)
 
 
+EMB_DIM = 64  # fixture embedding dimensionality (FIXTURES.md)
+
+_COV_SQL = """
+    WITH p AS ({pair_src}),
+    agg AS (
+        SELECT i, j, count(*) AS n,
+               sum(x * y) AS sxy, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM p GROUP BY i, j
+    )
+    SELECT i, j, n, {cov} AS cov, {corr} AS corr
+    FROM agg ORDER BY i, j
+"""
+_COV = "(sxy - sx * sy / n) / (n - 1)"
+_CORR = ("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)"
+         " * sqrt(n * syy - sy * sy))")
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance + correlation matrix of the embedding
+    space — the distributed linear-algebra pre-pass for PCA/whitening/
+    feature-redundancy pruning (embedding_dim_stats' pairwise
+    companion).
+
+    Scale shape: the double posexplode emits D(D+1)/2 = 2080 (x·y)
+    pairs per vector, but the (i, j) aggregate is map-side combinable —
+    the shuffle carries at most 2080 partial states per task, never
+    n×2080 rows, and one corpus pass does all the multiply-adds (the
+    irreducible FLOP cost of a covariance). Five algebraic sums per
+    cell reconstruct cov and corr exactly; sqrt is IEEE
+    correctly-rounded so both engines agree bit-for-bit pre-round."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_COV_SQL.format(
+        pair_src="""
+            SELECT CAST(i AS BIGINT) AS i, CAST(x AS DOUBLE) AS x,
+                   CAST(j AS BIGINT) AS j, CAST(y AS DOUBLE) AS y
+            FROM embeddings
+            LATERAL VIEW posexplode(embedding) a AS i, x
+            LATERAL VIEW posexplode(embedding) b AS j, y
+            WHERE i <= j
+        """,
+        cov=R(_COV, 6),
+        corr=R(_CORR, 6),
+    ))
+
+
+def _explosion_block(table: str, key: str) -> str:
+    """One shuffle-key audit block: per-key histogram → 1-row skew/size
+    forecast. sum() casts: DuckDB BIGINT sums widen to HUGEINT."""
+    return f"""
+        SELECT '{table}.{key}' AS shuffle_key,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               count(*) AS n_keys,
+               CAST(sum(c * c) AS BIGINT) AS self_join_rows,
+               CAST(max(c) AS BIGINT) AS max_key_rows,
+               {R("max(c) * 1e0 * count(*) / sum(c)", 4)} AS skew_factor
+        FROM (SELECT {key} AS k, count(*) AS c FROM {table} GROUP BY {key})
+    """
+
+
+_EXPLOSION_SQL = (
+    " UNION ALL ".join([
+        _explosion_block("lineitem", "l_partkey"),
+        _explosion_block("lineitem", "l_suppkey"),
+        _explosion_block("orders", "o_custkey"),
+        _explosion_block("events", "user_id"),
+    ])
+    + " ORDER BY shuffle_key"
+)
+
+
+def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality forecast for candidate shuffle keys: per-key
+    row counts fold into the exact self-equi-join output size Σc² and a
+    skew factor (max key / mean key). This is the audit to run BEFORE
+    committing a 100 TB many-to-many join — Σc² says whether the output
+    explodes, and skew_factor says whether one hot key will pin a single
+    reducer (→ salt or AQE skew join). One grouped agg per key; the
+    audit never materializes the join. Identical SQL both engines
+    modulo HUGEINT casts."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_EXPLOSION_SQL)
+
+
+def _skew_block(table: str, key: str) -> str:
+    """Key-distribution profile: entropy + effective key count + top-10
+    concentration. Top-10 via ORDER BY/LIMIT (TakeOrdered — no global
+    window), entropy from Σ c·ln c (one pass, map-side combinable)."""
+    return f"""
+        SELECT '{table}.{key}' AS shuffle_key,
+               t.n_keys,
+               {R("t.entropy", 4)} AS entropy_nats,
+               CAST(floor(exp(t.entropy) + 0.5e0) AS BIGINT)
+                   AS effective_keys,
+               {R("p10.top10_c * 1e0 / t.n_rows", 6)} AS top10_share,
+               CASE WHEN p10.top10_c * 1e0 / t.n_rows > 0.5e0
+                    THEN 1 ELSE 0 END AS salt_recommended
+        FROM (
+            SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+                   ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy
+            FROM (SELECT {key} AS k, count(*) AS c
+                  FROM {table} GROUP BY {key})
+        ) t CROSS JOIN (
+            SELECT CAST(sum(c) AS BIGINT) AS top10_c FROM (
+                SELECT count(*) AS c FROM {table} GROUP BY {key}
+                ORDER BY count(*) DESC, {key} LIMIT 10
+            )
+        ) p10
+    """
+
+
+_SKEW_SQL = (
+    " UNION ALL ".join([
+        _skew_block("lineitem", "l_partkey"),
+        _skew_block("orders", "o_custkey"),
+        _skew_block("events", "event_type"),
+    ])
+    + " ORDER BY shuffle_key"
+)
+
+
+def shuffle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile: Shannon entropy of the key distribution,
+    its exponential (effective number of uniform keys — the honest
+    parallelism a shuffle on this key can reach), and top-10-key
+    concentration with a salt recommendation. The planning twin of
+    join_explosion_audit: explosion says the join output is too big,
+    this says the shuffle itself will be one-reducer-bound. Entropy is
+    computed as ln(N) - Σc·ln(c)/N — one algebraic aggregate over the
+    per-key histogram, no second pass; top-10 is TakeOrdered, not a
+    global window."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_SKEW_SQL)
+
+
 QUERIES = {
+    "embedding_covariance": embedding_covariance,
+    "join_explosion_audit": join_explosion_audit,
+    "shuffle_skew_profile": shuffle_skew_profile,
     "benford_first_digit": benford_first_digit,
     "referential_integrity_audit": referential_integrity_audit,
     "k_anonymity_audit": k_anonymity_audit,
@@ -458,6 +596,20 @@ def _duck_profile() -> str:
 
 
 ORACLE = {
+    "embedding_covariance": _COV_SQL.format(
+        pair_src=f"""
+            SELECT t.pos - 1 AS i, CAST(embedding[t.pos] AS DOUBLE) AS x,
+                   u.pos - 1 AS j, CAST(embedding[u.pos] AS DOUBLE) AS y
+            FROM embeddings,
+                 (SELECT unnest(range(1, {EMB_DIM} + 1)) AS pos) t,
+                 (SELECT unnest(range(1, {EMB_DIM} + 1)) AS pos) u
+            WHERE t.pos <= u.pos
+        """,
+        cov=R(_COV, 6),
+        corr=R(_CORR, 6),
+    ),
+    "join_explosion_audit": _EXPLOSION_SQL,
+    "shuffle_skew_profile": _SKEW_SQL,
     "benford_first_digit": _BENFORD_SQL,
     "referential_integrity_audit": _REF_INTEGRITY_SQL,
     "k_anonymity_audit": _K_ANON_SQL,

@@ -565,7 +565,68 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+_BM25_K1 = "1.2e0"
+_BM25_B = "0.75e0"
+# fixed query over the corpus vocabulary — BM25 is a (query, doc) scorer;
+# the operator materializes the ranking for one representative query
+_BM25_TERMS = "'spark', 'join', 'window'"
+
+_BM25_SQL = """
+    WITH dl AS (SELECT doc_id, {n_words} AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+    tok AS ({tok_src}),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ({terms})
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT t.doc_id,
+               sum(
+                   ln(1e0 + (s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))
+                   * (t.tf * ({k1} + 1e0))
+                   / (t.tf + {k1} * (1e0 - {b}
+                      + {b} * l.dl * s.n_docs * 1e0 / s.sum_dl))
+               ) AS score
+        FROM tf t
+        JOIN df d ON d.term = t.term
+        JOIN dl l ON l.doc_id = t.doc_id
+        CROSS JOIN stats s
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, {score} AS bm25
+    FROM scored
+    ORDER BY {score} DESC, doc_id
+    LIMIT 20
+"""
+
+
+def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 document ranking for a fixed query (k1=1.2, b=0.75) —
+    the classical retrieval scorer the tf-idf operator approximates,
+    with saturation (k1) and length normalization (b).
+
+    Scale shape: the IN-list filter prunes the exploded token stream at
+    the scan, the tf aggregate is map-side combinable on (doc, term),
+    and df/stats are broadcast-sized; the ranking is TakeOrdered (ORDER
+    BY + LIMIT), never a global sort. Scores rank on the canon-rounded
+    value so ln() libm ulp differences between engines cannot reorder
+    the cut (same guard as the KL/Zipf operators)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_BM25_SQL.format(
+        n_words="CAST(size(split(text, ' ')) AS BIGINT)",
+        tok_src="SELECT doc_id, explode(split(text, ' ')) AS term "
+                "FROM documents",
+        terms=_BM25_TERMS,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        score=R("score", 4),
+    ))
+
+
 QUERIES = {
+    "bm25_top_terms": bm25_top_terms,
     "bpe_merge_candidates": bpe_merge_candidates,
     "readability_scores": readability_scores,
     "language_id_confusion": language_id_confusion,
@@ -582,6 +643,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bm25_top_terms": _BM25_SQL.format(
+        n_words="len(string_split(text, ' '))",
+        tok_src="SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+                "FROM documents",
+        terms=_BM25_TERMS,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        score=R("score", 4),
+    ),
     "bpe_merge_candidates": _BPE_ORACLE,
     "language_id_confusion": _confusion_sql(
         "string_split", "list_filter", "CAST(len({expr}) AS INT)"
