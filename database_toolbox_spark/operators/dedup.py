@@ -1156,3 +1156,110 @@ ORACLE["embedding_similarity_clusters"] = f"""
            count(*) - 1 AS n_dropped
     FROM rep GROUP BY component ORDER BY component
 """
+
+
+SEMDEDUP_CELLS = 16  # coarse-quantizer cells (SemDeDup's k; scale k with n)
+
+
+def _semdedup_sql(norm2, dot, l2) -> str:
+    """Shared SemDeDup skeleton (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-style cells bound the candidate set, then within-cell cosine
+    decides drops. norm2/dot/l2 are dialect lambdas over array columns.
+    Assignment ranks on a 1e-6-floored distance (the kmeans/IVF guard) so
+    libm ulps can't flip cell membership."""
+    return f"""
+        WITH cents AS (
+            SELECT vec_id AS cell, embedding AS cemb FROM embeddings
+            WHERE vec_id < {SEMDEDUP_CELLS}
+        ),
+        v AS (
+            SELECT vec_id, embedding, {norm2("embedding")} AS norm2
+            FROM embeddings
+        ),
+        assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT v.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY floor({l2("v.embedding", "c.cemb")}
+                                          * 1000000e0) / 1000000e0, c.cell
+                       ) AS rn
+                FROM v CROSS JOIN cents c
+            ) r WHERE rn = 1
+        ),
+        m AS (
+            SELECT a.cell, v.vec_id, v.embedding, v.norm2
+            FROM v JOIN assigned a ON a.vec_id = v.vec_id
+        ),
+        drops AS (
+            SELECT DISTINCT b.cell, b.vec_id
+            FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE {dot("a.embedding", "b.embedding")}
+                  / sqrt(a.norm2 * b.norm2) >= {EMB_CLUSTER_COS}
+        ),
+        cells AS (SELECT cell, count(*) AS n_vectors FROM assigned
+                  GROUP BY cell),
+        dcount AS (SELECT cell, count(*) AS n_drops FROM drops GROUP BY cell)
+        SELECT c.cell, c.n_vectors,
+               coalesce(d.n_drops, 0) AS n_drop_candidates,
+               {R("(c.n_vectors - coalesce(d.n_drops, 0)) * 1e0"
+                  " / c.n_vectors", 4)} AS keep_rate
+        FROM cells c LEFT JOIN dcount d ON d.cell = c.cell
+        ORDER BY c.cell
+    """
+
+
+def semdedup_drop_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: coarse k-means cells bound the quadratic,
+    then within-cell cosine >= τ against any earlier-kept vector marks a
+    drop candidate. The keep-first rule (lowest vec_id survives) is the
+    deterministic twin of SemDeDup's random representative.
+
+    Scale shape: the all-pairs step is CELL-LOCAL — an equi-join on the
+    cell id whose per-cell cost is (n/k)², tuned by scaling k with
+    corpus size (SemDeDup's own design); the cell assignment is one
+    broadcast of k centroid rows and a per-row projection. Contrast
+    with embedding_similarity_clusters, which thresholds the global
+    pair graph: this is the form that survives 100 TB because k grows."""
+    load_tables(spark, sf_dir)
+
+    def norm2(e):
+        return (f"aggregate({e}, CAST(0 AS DOUBLE), (acc, x) -> "
+                f"acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+
+    def dot(a, b):
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+                f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+    def l2(a, b):
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+                f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+                f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+                f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+    return spark.sql(_semdedup_sql(norm2, dot, l2))
+
+
+QUERIES["semdedup_drop_candidates"] = semdedup_drop_candidates
+
+
+def _duck_norm2(e: str) -> str:
+    return (f"list_aggregate(list_transform({e}, x -> "
+            f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')")
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (f"list_aggregate(list_transform(range(1, 65), i -> "
+            f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')")
+
+
+def _duck_l2(a: str, b: str) -> str:
+    return (f"list_aggregate(list_transform(range(1, 65), i -> "
+            f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+            f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), 'sum')")
+
+
+ORACLE["semdedup_drop_candidates"] = _semdedup_sql(
+    _duck_norm2, _duck_dot, _duck_l2
+)

@@ -414,7 +414,54 @@ def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+_THEIL_SEN_SQL = """
+    WITH daily AS (
+        SELECT {xd} AS x, {rev} AS rev
+        FROM orders
+        WHERE o_orderdate >= DATE '1998-01-01'
+        GROUP BY {xd}
+    ),
+    slopes AS (
+        SELECT (b.rev - a.rev) / (b.x - a.x) AS slope
+        FROM daily a JOIN daily b ON a.x < b.x
+    ),
+    med AS (SELECT {med_slope} AS m FROM slopes),
+    res AS (
+        SELECT {med_resid} AS b0
+        FROM daily d CROSS JOIN med
+    )
+    SELECT (SELECT count(*) FROM daily) AS n_days,
+           {slope_out} AS slope_per_day,
+           {intercept_out} AS intercept
+    FROM med CROSS JOIN res
+"""
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue (1998): slope = median of
+    all pairwise day-to-day slopes, intercept = median residual — the
+    outlier-proof alternative to the OLS regr_slope operator (one bad
+    day cannot move it, unlike least squares).
+
+    Scale shape: aggregate-first — the O(n²) pairwise step runs on the
+    DAILY aggregate, whose size is bounded by calendar length (a few
+    thousand rows at ANY corpus scale), so the non-equi self-join is a
+    broadcast over a trivially small series, never over fact rows. The
+    exact medians interpolate identically in both engines (same guard
+    as exact_percentile_battery); outputs are canon-rounded."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_THEIL_SEN_SQL.format(
+        xd="datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')",
+        rev=R("sum(o_totalprice)"),
+        med_slope="percentile(slope, 0.5e0)",
+        med_resid="percentile(d.rev - med.m * d.x, 0.5e0)",
+        slope_out=R("med.m", 6),
+        intercept_out=R("res.b0", 2),
+    ))
+
+
 QUERIES = {
+    "theil_sen_trend": theil_sen_trend,
     "ewma_daily_revenue": ewma_daily_revenue,
     "rolling_median_revenue": rolling_median_revenue,
     "iqr_outlier_counts": iqr_outlier_counts,
@@ -430,6 +477,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "theil_sen_trend": _THEIL_SEN_SQL.format(
+        xd="date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
+        rev=R("sum(o_totalprice)"),
+        med_slope="quantile_cont(slope, 0.5e0)",
+        med_resid="quantile_cont(d.rev - med.m * d.x, 0.5e0)",
+        slope_out=R("med.m", 6),
+        intercept_out=R("res.b0", 2),
+    ),
     # DuckDB dayofweek is 0=Sunday; Spark is 1=Sunday — shift to match
     "dow_seasonality_profile": _DOW_SQL.format(
         dow="(dayofweek(o_orderdate) + 1)",
