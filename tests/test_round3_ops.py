@@ -358,3 +358,108 @@ def test_bpe_merge_candidates_contract(spark):
     best_pair, best_n = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
     # ties broken by pair asc in SQL, by max() lexicographic here — compare counts
     assert int(pdf["merge_count"].iloc[0]) == best_n
+
+
+def test_embedding_covariance_diagonal_is_variance(spark):
+    """The (i, i) covariance cells must equal the per-dimension sample
+    variance (stddev² from embedding_dim_stats' source definition) and
+    carry corr == 1.0 — the sanity anchor that the five algebraic sums
+    reconstruct the right moments."""
+    import math
+
+    from database_toolbox_spark.operators.profile import embedding_covariance
+
+    rows = embedding_covariance(spark, SF_DIR).collect()
+    diag = {r.i: r for r in rows if r.i == r.j}
+    assert len(diag) == 64
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .selectExpr("posexplode(embedding) AS (dim, v)")
+        .groupBy("dim")
+        .agg(F.var_samp(F.col("v").cast("double")).alias("var"))
+        .collect()
+    )
+    for e in emb:
+        assert math.isclose(diag[e.dim].cov, e.var, abs_tol=2e-6)
+        assert math.isclose(diag[e.dim].corr, 1.0, abs_tol=2e-6)
+    off = [r for r in rows if r.i != r.j]
+    assert all(abs(r.corr) <= 1.0 + 1e-9 for r in off)
+
+
+def test_join_explosion_and_skew_invariants(spark):
+    """Σc² ≥ Σc (self-join never shrinks), max key ≤ total rows,
+    skew_factor ≥ 1; entropy-derived effective keys never exceeds the
+    real key count and top10_share is a valid fraction."""
+    from database_toolbox_spark.operators.profile import (
+        join_explosion_audit,
+        shuffle_skew_profile,
+    )
+
+    for r in join_explosion_audit(spark, SF_DIR).collect():
+        assert r.self_join_rows >= r.n_rows >= r.max_key_rows >= 1
+        assert r.skew_factor >= 1.0 - 1e-9
+    for r in shuffle_skew_profile(spark, SF_DIR).collect():
+        assert 1 <= r.effective_keys <= r.n_keys
+        assert 0.0 < r.top10_share <= 1.0
+        assert r.entropy_nats >= 0.0
+        assert r.salt_recommended in (0, 1)
+
+
+def test_bm25_scores_positive_and_sorted(spark):
+    """BM25 scores for a conjunctive query over in-corpus terms must be
+    positive and the report sorted by (rounded score desc, doc_id)."""
+    from database_toolbox_spark.operators.text import bm25_top_terms
+
+    rows = bm25_top_terms(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r.bm25 > 0 for r in rows)
+    assert [(-(r.bm25), r.doc_id) for r in rows] == sorted(
+        (-(r.bm25), r.doc_id) for r in rows
+    )
+
+
+def test_semdedup_keeps_at_least_one_per_cell(spark):
+    """Keep-first semantics: the lowest-id vector of every cell can never
+    be a drop candidate, so each cell keeps ≥ 1 vector; cell sizes sum
+    to the corpus size."""
+    from database_toolbox_spark.operators.dedup import (
+        semdedup_drop_candidates,
+    )
+
+    rows = semdedup_drop_candidates(spark, SF_DIR).collect()
+    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert sum(r.n_vectors for r in rows) == n_vecs
+    for r in rows:
+        assert 0 <= r.n_drop_candidates < r.n_vectors
+        assert 0.0 < r.keep_rate <= 1.0
+
+
+def test_theil_sen_robust_to_one_outlier(spark):
+    """The defining property vs OLS: corrupting ONE day by 1000× must
+    leave the Theil-Sen slope (median of pairwise slopes) essentially
+    unchanged on the same daily series."""
+    import numpy as np
+
+    from database_toolbox_spark.operators.stats import theil_sen_trend
+
+    base = theil_sen_trend(spark, SF_DIR).collect()[0]
+    daily = (
+        load_table(spark, SF_DIR, "orders")
+        .filter("o_orderdate >= DATE '1998-01-01'")
+        .groupBy(F.expr("datediff(CAST(o_orderdate AS DATE), "
+                        "DATE '1992-01-01')").alias("x"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .toPandas()
+        .sort_values("x")
+    )
+    xs, rv = daily.x.to_numpy(), daily.rev.to_numpy().copy()
+    rv[len(rv) // 2] *= 1000.0  # one corrupted day
+    slopes = [
+        (rv[j] - rv[i]) / (xs[j] - xs[i])
+        for i in range(len(xs)) for j in range(i + 1, len(xs))
+    ]
+    corrupted = float(np.median(slopes))
+    scale = max(abs(base.slope_per_day), 1.0)
+    # median-of-slopes moves a little (one day touches n-1 pairs) but
+    # stays the same order of magnitude; OLS would move ~1000x
+    assert abs(corrupted - base.slope_per_day) < 60 * scale
