@@ -1263,3 +1263,44 @@ def _duck_l2(a: str, b: str) -> str:
 ORACLE["semdedup_drop_candidates"] = _semdedup_sql(
     _duck_norm2, _duck_dot, _duck_l2
 )
+
+
+SNM_WINDOW = 5  # sorted-neighborhood slide width
+
+
+_SNM_SQL = """
+    WITH s AS (
+        SELECT p_partkey, p_name,
+               substr(p_name, 1, 1) AS blk,
+               row_number() OVER (PARTITION BY substr(p_name, 1, 1)
+                                  ORDER BY p_name, p_partkey) AS r
+        FROM part
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM s a JOIN s b
+      ON a.blk = b.blk AND b.r > a.r AND b.r <= a.r + {w}
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY key_a, key_b
+"""
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution (Hernández & Stolfo,
+    SIGMOD'95): sort records on a match key inside first-character
+    blocks, slide a width-{w} window, verify candidates with
+    levenshtein ≤ 2 — the THIRD blocking family next to token blocking
+    (fuzzy_name_pairs) and LSH (minhash): candidates per record are
+    O(w) by construction, independent of how hot any single token is.
+
+    Scale shape: the sort/rank window partitions by block (never
+    global), and the neighbor join is an equi-join on block with a
+    ±{w} rank band — a merge join over co-sorted runs. Identical SQL
+    on both engines (both ship levenshtein)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_SNM_SQL.format(w=SNM_WINDOW))
+
+
+QUERIES["sorted_neighborhood_pairs"] = sorted_neighborhood_pairs
+ORACLE["sorted_neighborhood_pairs"] = _SNM_SQL.format(w=SNM_WINDOW)

@@ -665,3 +665,59 @@ ORACLE = {
         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
     """,
 }
+
+
+_TRIMMED_SQL = """
+    WITH j AS (
+        SELECT c.c_mktsegment AS seg, o.o_totalprice AS p
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    q AS (SELECT seg, {p05} AS lo, {p95} AS hi FROM j GROUP BY seg)
+    SELECT j.seg AS c_mktsegment,
+           count(*) AS n_orders,
+           {mean_out} AS mean_price,
+           {trimmed_out} AS trimmed_mean,
+           {winsor_out} AS winsorized_mean,
+           {lo_out} AS p05,
+           {hi_out} AS p95
+    FROM j JOIN q ON q.seg = j.seg
+    GROUP BY j.seg, q.lo, q.hi
+    ORDER BY c_mktsegment
+"""
+
+
+def trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed and winsorized segment means — the robust-location
+    battery's third member (median/MAD and Tukey fences being the
+    others): trimming drops the tails, winsorizing clamps them
+    (least/greatest), so heavy-tailed revenue can't drag the mean.
+
+    Same two-pass broadcast shape as the IQR/MAD operators: a 5-row
+    quantile table joins back into one streaming aggregate. Tail
+    boundaries are interpolated quantiles — exactly a data value or
+    strictly off the money grid, so tail membership is
+    engine-deterministic."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_TRIMMED_SQL.format(
+        p05="percentile(p, 0.05e0)",
+        p95="percentile(p, 0.95e0)",
+        mean_out=R("avg(j.p)", 2),
+        trimmed_out=R("avg(CASE WHEN j.p >= q.lo AND j.p <= q.hi "
+                      "THEN j.p END)", 2),
+        winsor_out=R("avg(least(greatest(j.p, q.lo), q.hi))", 2),
+        lo_out=R("q.lo", 2),
+        hi_out=R("q.hi", 2),
+    ))
+
+
+QUERIES["trimmed_mean_prices"] = trimmed_mean_prices
+ORACLE["trimmed_mean_prices"] = _TRIMMED_SQL.format(
+    p05="quantile_cont(p, 0.05e0)",
+    p95="quantile_cont(p, 0.95e0)",
+    mean_out=R("avg(j.p)", 2),
+    trimmed_out=R("avg(CASE WHEN j.p >= q.lo AND j.p <= q.hi "
+                  "THEN j.p END)", 2),
+    winsor_out=R("avg(least(greatest(j.p, q.lo), q.hi))", 2),
+    lo_out=R("q.lo", 2),
+    hi_out=R("q.hi", 2),
+)

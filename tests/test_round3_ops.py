@@ -525,3 +525,32 @@ def test_mad_outliers_subset_of_rows(spark):
         assert r.mad >= 0
         assert 0 <= r.n_outliers < r.n_orders
         assert r.median_price > 0
+
+
+def test_sorted_neighborhood_pairs_invariants(spark):
+    """SNM contract: every emitted pair is levenshtein ≤ 2, shares the
+    sort block (first character), and never pairs a record with
+    itself."""
+    from database_toolbox_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = sorted_neighborhood_pairs(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.dist <= 2
+        assert r.name_a[0] == r.name_b[0]
+        assert r.key_a != r.key_b
+
+
+def test_trimmed_means_inside_tail_bounds(spark):
+    """Trimmed and winsorized means must land inside [p05, p95]; the
+    plain mean can be anywhere (that's the point of robustifying)."""
+    from database_toolbox_spark.operators.stats import trimmed_mean_prices
+
+    rows = trimmed_mean_prices(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.p05 <= r.trimmed_mean <= r.p95
+        assert r.p05 <= r.winsorized_mean <= r.p95
+        assert r.n_orders > 0 and r.mean_price > 0
