@@ -84,6 +84,14 @@ HEADLINE = [
     "timezone_battery",
     "referential_integrity_audit",
     "image_histogram_stats",
+    # continuation tranche: exact-Jaccard prefix filtering, retrieval
+    # ranking, distributed linear algebra, semantic dedup, join planning
+    "jaccard_prefix_filter_pairs",
+    "bm25_top_terms",
+    "embedding_covariance",
+    "pca_top_component",
+    "semdedup_drop_candidates",
+    "shuffle_skew_profile",
 ]
 
 

@@ -674,7 +674,32 @@ def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCT_BANDS_SQL = """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, value AS v FROM events)
+    SELECT day, count(*) AS n,
+           {p50} AS p50, {p90} AS p90, {p99} AS p99,
+           {mx} AS max_v
+    FROM d GROUP BY day ORDER BY day
+"""
+
+
+def daily_value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily P50/P90/P99/max bands of the event value — the SLO/latency
+    dashboard query of an observability pipeline, as one grouped exact
+    ordered-set aggregate per day (each day's state is its own value
+    list — partition-bounded, shuffle on the day key only; for unbounded
+    cardinalities the KLL-sketch operator is the mergeable form)."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_PCT_BANDS_SQL.format(
+        p50=R("percentile(v, 0.5e0)", 4),
+        p90=R("percentile(v, 0.9e0)", 4),
+        p99=R("percentile(v, 0.99e0)", 4),
+        mx=R("max(v)", 4),
+    ))
+
+
 QUERIES = {
+    "daily_value_percentile_bands": daily_value_percentile_bands,
     "event_json_stats": event_json_stats,
     "event_path_topk": event_path_topk,
     "session_entry_report": session_entry_report,
@@ -698,6 +723,12 @@ QUERIES = {
 }
 
 ORACLE = {
+    "daily_value_percentile_bands": _PCT_BANDS_SQL.format(
+        p50=R("quantile_cont(v, 0.5e0)", 4),
+        p90=R("quantile_cont(v, 0.9e0)", 4),
+        p99=R("quantile_cont(v, 0.99e0)", 4),
+        mx=R("max(v)", 4),
+    ),
     "funnel_conversion": _FUNNEL_SQL,
     "funnel_conversion_1h": """
         WITH v AS (

@@ -625,7 +625,68 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+PMI_MIN_COUNT = 5  # collocation support floor
+
+
+def _pmi_sql(toks_cte: str) -> str:
+    """Top-20 PMI collocations; toks_cte yields (doc_id, pos, term) as in
+    _bigram_sql. PMI = ln(p(t1,t2) / (p(t1)·p(t2))) with unigram probs
+    from the token stream and bigram probs from adjacent pairs; a
+    support floor keeps the rare-pair PMI blowup out."""
+    return f"""
+        WITH toks AS (
+            {toks_cte}
+        ),
+        uni AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        big AS (
+            SELECT doc_id,
+                   lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+                   term AS t2
+            FROM toks
+        ),
+        bc AS (
+            SELECT t1, t2, count(*) AS n12
+            FROM big WHERE t1 IS NOT NULL
+            GROUP BY t1, t2
+        ),
+        n2 AS (SELECT CAST(sum(n12) AS BIGINT) AS n FROM bc),
+        scored AS (
+            SELECT bc.t1, bc.t2, bc.n12,
+                   ln((bc.n12 * 1e0 / n2.n)
+                      / ((u1.c * 1e0 / n1.n) * (u2.c * 1e0 / n1.n)))
+                       AS pmi
+            FROM bc
+            JOIN uni u1 ON u1.term = bc.t1
+            JOIN uni u2 ON u2.term = bc.t2
+            CROSS JOIN n1 CROSS JOIN n2
+            WHERE bc.n12 >= {PMI_MIN_COUNT}
+        )
+        SELECT t1, t2, n12, {R("pmi", 4)} AS pmi
+        FROM scored
+        ORDER BY {R("pmi", 4)} DESC, t1, t2
+        LIMIT 20
+    """
+
+
+def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations: the bigrams most
+    over-represented vs their unigram frequencies (PMI), with a
+    min-count support floor — the classic phrase/collocation miner
+    (corpus_bigram_topk ranks raw frequency; PMI surfaces STICKY pairs).
+
+    Same partition-local explode + per-doc lag as the other n-gram ops;
+    unigram/bigram count tables are vocabulary-bounded; ranking is
+    TakeOrdered on the canon-rounded score (ln ulp guard)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_pmi_sql(
+        "SELECT /*+ REPARTITION */ doc_id, p.pos, p.col AS term "
+        "FROM documents LATERAL VIEW posexplode(split(text, ' ')) p AS pos, col"
+    ))
+
+
 QUERIES = {
+    "bigram_pmi_topk": bigram_pmi_topk,
     "bm25_top_terms": bm25_top_terms,
     "bpe_merge_candidates": bpe_merge_candidates,
     "readability_scores": readability_scores,
@@ -643,6 +704,12 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bigram_pmi_topk": _pmi_sql(
+        "SELECT doc_id, u.i AS pos, toks[u.i] AS term "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks "
+        "      FROM documents), "
+        "     unnest(range(1, len(toks) + 1)) AS u(i)"
+    ),
     "bm25_top_terms": _BM25_SQL.format(
         n_words="len(string_split(text, ' '))",
         tok_src="SELECT doc_id, unnest(string_split(text, ' ')) AS term "
