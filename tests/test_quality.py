@@ -240,3 +240,78 @@ def test_canon_round_cross_engine_bit_identical(vals):
         for v in vals
     ]
     assert got_spark == got_duck
+
+
+def test_hilbert_transform_matches_reference_xy2d(spark):
+    """The unrolled SQL CTE chain must be bit-equal to the canonical
+    Hilbert xy2d reflect/rotate loop — cross-engine parity alone cannot
+    show the curve is actually Hilbert."""
+    from database_toolbox_spark.operators.partitioning import (
+        HILBERT_N,
+        _hilbert_ctes,
+    )
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    sql = f"""
+        WITH h0 AS (
+            SELECT id AS k, CAST((id * 7) % 256 AS BIGINT) AS x,
+                   CAST((id * 13) % 256 AS BIGINT) AS y,
+                   CAST(0 AS BIGINT) AS d
+            FROM range(1000)
+        ),
+        {_hilbert_ctes("k")}
+        SELECT k, d FROM h8
+    """
+    got = {r.k: r.d for r in spark.sql(sql).collect()}
+    assert len(got) == 1000
+    for k, d in got.items():
+        assert d == xy2d(HILBERT_N, (k * 7) % 256, (k * 13) % 256)
+
+
+def test_hilbert_beats_zorder_on_nonaligned_splits(spark):
+    """Under quadrant-aligned power-of-two prefixes the two curves give
+    the SAME partition (renumbered); the Hilbert advantage is
+    non-aligned file splits — equal-length curve segments (1365 cells,
+    not a power of two) must produce a smaller average bounding-box
+    AREA (the 2-D file-skip metric) than the same split of the Morton
+    curve."""
+    from database_toolbox_spark.operators.partitioning import (
+        _hilbert_sql,
+        _zorder_sql,
+        hilbert_bucket_stats,
+        zorder_bucket_stats,
+    )
+    from database_toolbox_spark.session import load_table
+
+    z_rows = zorder_bucket_stats(spark, SF_DIR).collect()
+    h_rows = hilbert_bucket_stats(spark, SF_DIR).collect()
+    # aligned prefixes → identical partition of space → identical spans
+    z_spans = sorted(r.max_custkey - r.min_custkey for r in z_rows)
+    h_spans = sorted(r.max_custkey - r.min_custkey for r in h_rows)
+    assert z_spans == h_spans
+
+    load_table(spark, SF_DIR, "orders")
+    day = "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')"
+
+    def area(sql):
+        rows = spark.sql(sql.replace(">> 10", "/ 1365")).collect()
+        boxes = [
+            (r.max_custkey - r.min_custkey + 1)
+            * ((r.max_date - r.min_date).days + 1)
+            for r in rows
+        ]
+        return sum(boxes) / len(boxes)
+
+    assert area(_hilbert_sql(day)) < area(_zorder_sql(day))
