@@ -554,3 +554,21 @@ def test_trimmed_means_inside_tail_bounds(spark):
         assert r.p05 <= r.trimmed_mean <= r.p95
         assert r.p05 <= r.winsorized_mean <= r.p95
         assert r.n_orders > 0 and r.mean_price > 0
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark):
+    """RRF sanity: scores bounded by 2/(k+1); every fused row carries at
+    least one real rank; the fused list draws from BOTH rankers (it is
+    a fusion, not a passthrough)."""
+    from database_toolbox_spark.operators.similarity import (
+        RRF_K,
+        hybrid_rrf_search,
+    )
+
+    rows = hybrid_rrf_search(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert 0 < r.rrf_score <= 2.0 / (RRF_K + 1) + 1e-9
+        assert r.bm25_rank > 0 or r.cos_rank > 0
+    assert any(r.bm25_rank > 0 for r in rows)
+    assert any(r.cos_rank > 0 for r in rows)
