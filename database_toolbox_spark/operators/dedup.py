@@ -1325,3 +1325,64 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sorted_neighborhood_pairs"] = sorted_neighborhood_pairs
 ORACLE["sorted_neighborhood_pairs"] = _SNM_SQL.format(w=SNM_WINDOW)
+
+
+_SOURCE_OVERLAP_SQL = """
+    WITH toks AS (SELECT source, {split} AS w FROM documents),
+    ss AS (
+        SELECT DISTINCT source, s FROM (
+            SELECT source, {shingle_unnest} AS s
+            FROM toks WHERE {wlen} >= 3
+        )
+    ),
+    cnt AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+    common AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_common
+        FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT m.source_a, m.source_b, m.n_common,
+           {jac} AS jaccard,
+           {cont} AS containment
+    FROM common m
+    JOIN cnt ca ON ca.source = m.source_a
+    JOIN cnt cb ON cb.source = m.source_b
+    ORDER BY m.source_a, m.source_b
+"""
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level 3-gram overlap (Jaccard + containment of
+    the smaller side) — the corpus-mix diagnostic that catches one
+    source being a mirror/subset of another BEFORE near-dup detection
+    runs doc-by-doc. The shingle relation collapses to DISTINCT
+    (source, shingle) first — the join is then vocabulary-sized per
+    source, not corpus-sized, and the pair aggregate is blocked on the
+    shingle exactly like the dedup tier. Output is the full
+    upper-triangle source matrix."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_SOURCE_OVERLAP_SQL.format(
+        split="split(text, ' ')",
+        shingle_unnest=(
+            "explode(array_distinct(transform(sequence(1, size(w) - 2), "
+            "i -> concat_ws('_', element_at(w, i), element_at(w, i + 1), "
+            "element_at(w, i + 2)))))"
+        ),
+        wlen="size(w)",
+        jac=R("m.n_common * 1e0 / (ca.n + cb.n - m.n_common)", 6),
+        cont=R("m.n_common * 1e0 / least(ca.n, cb.n)", 6),
+    ))
+
+
+QUERIES["source_overlap_matrix"] = source_overlap_matrix
+ORACLE["source_overlap_matrix"] = _SOURCE_OVERLAP_SQL.format(
+    split="string_split(text, ' ')",
+    shingle_unnest=(
+        "unnest(list_distinct(list_transform(range(1, len(w) - 1), "
+        "i -> w[i] || '_' || w[i + 1] || '_' || w[i + 2])))"
+    ),
+    wlen="len(w)",
+    jac=R("m.n_common * 1e0 / (ca.n + cb.n - m.n_common)", 6),
+    cont=R("m.n_common * 1e0 / least(ca.n, cb.n)", 6),
+)

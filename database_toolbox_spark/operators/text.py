@@ -835,3 +835,54 @@ ORACLE = {
         FROM documents ORDER BY doc_id
     """,
 }
+
+
+_NOVELTY_SQL = """
+    {shingles},
+    first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           {ratio} AS novelty
+    FROM sh JOIN first f ON f.s = sh.s
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+"""
+
+
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty: the fraction of a doc's shingles
+    whose FIRST corpus occurrence (min doc_id) is this doc — the
+    train-set diversity metric that exposes boilerplate/duplication a
+    per-doc repetition score can't see (a doc can be internally varied
+    yet 0% novel corpus-wide). Two grouped aggregates over the shingle
+    stream (first-occurrence map + per-doc rollup) — both map-side
+    combinable; the join key is the shingle (the same co-location the
+    dedup tier shuffles on)."""
+    load_tables(spark, sf_dir)
+    from database_toolbox_spark.operators.dedup import (  # noqa: PLC0415
+        _SPARK_SHINGLES,
+    )
+
+    return spark.sql(_NOVELTY_SQL.format(
+        shingles=_SPARK_SHINGLES.rstrip(),
+        ratio=R("sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)"
+                " * 1e0 / count(*)", 4),
+    ))
+
+
+def _novelty_oracle() -> str:
+    from database_toolbox_spark.operators.dedup import (  # noqa: PLC0415
+        _DUCK_SHINGLES,
+    )
+
+    return _NOVELTY_SQL.format(
+        shingles=_DUCK_SHINGLES.rstrip(),
+        ratio=R("sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)"
+                " * 1e0 / count(*)", 4),
+    )
+
+
+QUERIES["ngram_novelty_scores"] = ngram_novelty_scores
+ORACLE["ngram_novelty_scores"] = _novelty_oracle()
