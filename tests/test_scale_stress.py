@@ -394,3 +394,67 @@ def test_prefix_filter_jaccard_exact_and_selective(spark):
         f"{_PREFIX_CAND_CTES} SELECT count(*) AS c FROM cand"
     ).collect()[0].c
     assert len(exact) <= n_prefix < n_full
+
+
+def test_source_overlap_invariant_under_replication(spark):
+    """Source overlap is SET algebra: replicating every document 4× (new
+    doc_ids, same text/source) must leave the DISTINCT (source, shingle)
+    relation — hence n_common, Jaccard, containment — bit-identical."""
+    from database_toolbox_spark.operators.dedup import source_overlap_matrix
+    from database_toolbox_spark.session import load_tables
+
+    base = {(r.source_a, r.source_b): r
+            for r in source_overlap_matrix(spark, SF_DIR).collect()}
+    load_tables(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rep = (
+        docs.crossJoin(F.broadcast(spark.range(4).select(F.col("id").alias("rep"))))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+    rep.createOrReplaceTempView("documents")
+    try:
+        big = {(r.source_a, r.source_b): r
+               for r in source_overlap_matrix(spark, SF_DIR).collect()}
+    finally:
+        load_tables(spark, SF_DIR, replace=True)
+    assert big.keys() == base.keys()
+    for k, b in base.items():
+        g = big[k]
+        assert (g.n_common, g.jaccard, g.containment) == (
+            b.n_common, b.jaccard, b.containment
+        )
+
+
+def test_covariance_replication_algebra(spark):
+    """Exact k× replication algebra for the covariance matrix: the
+    pair sums scale by k, so sample cov transforms as
+    cov_k = cov_1 · k(n−1)/(kn−1) — assert the closed form (and corr
+    invariance) instead of a loose tolerance."""
+    import math
+
+    from database_toolbox_spark.operators.profile import embedding_covariance
+    from database_toolbox_spark.session import load_tables
+
+    k = 4
+    base = {(r.i, r.j): r for r in embedding_covariance(spark, SF_DIR).collect()}
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    load_tables(spark, SF_DIR)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rep = (
+        emb.crossJoin(F.broadcast(spark.range(k).select(F.col("id").alias("rep"))))
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+    rep.createOrReplaceTempView("embeddings")
+    try:
+        big = {(r.i, r.j): r
+               for r in embedding_covariance(spark, SF_DIR).collect()}
+    finally:
+        load_tables(spark, SF_DIR, replace=True)
+    scale = k * (n - 1) / (k * n - 1)
+    for key, b in base.items():
+        g = big[key]
+        assert g.n == k * n
+        assert math.isclose(g.cov, b.cov * scale, rel_tol=5e-3, abs_tol=2e-6)
+        assert math.isclose(g.corr, b.corr, abs_tol=2e-6)
