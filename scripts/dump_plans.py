@@ -201,6 +201,37 @@ SHOWCASE = {
         "PARTITIONED BY the merge key, then a grouped count — the op log "
         "is never globally ordered."
     ),
+    "jaccard_prefix_filter_pairs": (
+        "AllPairs prefix filtering: candidates come from an equi-join of "
+        "rarity-ordered PREFIX postings only (df-ordered, doc-partitioned "
+        "window); verification joins broadcast-sized per-doc xxhash64 "
+        "arrays — the shingle table is never re-exploded per candidate."
+    ),
+    "embedding_covariance": (
+        "2080-cell covariance in ONE pass: the double posexplode feeds a "
+        "map-side-combinable (i, j) hash aggregate — the shuffle carries "
+        "at most 2080 partial states per task, never n×2080 rows."
+    ),
+    "pca_top_component": (
+        "Big-data pass / small-model iterate: the covariance cells "
+        "materialize once (localCheckpoint scan in the plan), then every "
+        "matvec joins the 64×64 broadcast-sized cell table."
+    ),
+    "hybrid_rrf_search": (
+        "Hybrid retrieval: BOTH ranked lists compile to TakeOrdered at "
+        "depth 50 before ranking; the rank windows run on bounded sets "
+        "and the RRF fusion is a full-outer join of ≤ 100 rows."
+    ),
+    "hilbert_bucket_stats": (
+        "Hilbert layout: 8 unrolled reflect/rotate levels stay inside "
+        "one WholeStageCodegen projection span — no UDF, no shuffle "
+        "before the 64-bucket aggregate."
+    ),
+    "shuffle_skew_profile": (
+        "Skew audit: per-key histogram → one algebraic entropy aggregate; "
+        "top-10 concentration is TakeOrdered, NOT a global window — the "
+        "audit of giant shuffles must itself not giant-shuffle."
+    ),
 }
 
 
