@@ -959,3 +959,62 @@ ORACLE = {
         FROM dedup GROUP BY event_type ORDER BY event_type
     """,
 }
+
+
+_DECAY_ATTR_SQL = """
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT p.purchase_id, c.click_id, c.click_ts,
+               exp(-(({p_us} - {c_us}) / 86400e6)) AS w
+        FROM purch p JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.click_ts <= p.p_ts
+         AND c.click_ts > p.p_ts - INTERVAL 7 DAY
+    ),
+    credited AS (
+        SELECT purchase_id, click_id, click_ts,
+               w / sum(w) OVER (PARTITION BY purchase_id) AS credit
+        FROM pairs
+    )
+    SELECT CAST(click_ts AS DATE) AS day,
+           count(*) AS n_credited_clicks,
+           {credit_out} AS total_credit
+    FROM credited
+    GROUP BY CAST(click_ts AS DATE)
+    ORDER BY day
+"""
+
+
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch TIME-DECAY attribution (exponential, 1-day constant):
+    recent clicks earn exponentially more of each purchase's unit of
+    credit than week-old ones — the recency-weighted sibling of
+    linear_attribution_by_day (same join/window/rollup plan shape; only
+    the credit formula changes, which is the point: attribution models
+    are one expression swap in a declarative plan).
+
+    Δt computes from microsecond epochs (exact integers in both
+    engines, so exp() sees identical doubles); per-purchase
+    normalization is a keyed window; day rollup canon-rounds the
+    credit sum."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_DECAY_ATTR_SQL.format(
+        p_us="unix_micros(CAST(p.p_ts AS TIMESTAMP))",
+        c_us="unix_micros(CAST(c.click_ts AS TIMESTAMP))",
+        credit_out=R("sum(credit)", 4),
+    ))
+
+
+QUERIES["time_decay_attribution"] = time_decay_attribution
+ORACLE["time_decay_attribution"] = _DECAY_ATTR_SQL.format(
+    p_us="epoch_us(p.p_ts)",
+    c_us="epoch_us(c.click_ts)",
+    credit_out=R("sum(credit)", 4),
+)

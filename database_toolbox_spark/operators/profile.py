@@ -819,3 +819,52 @@ ORACLE = {
         GROUP BY 1, 2 ORDER BY bucket
     """,
 }
+
+
+_DELETION_SQL = """
+    WITH del AS (
+        SELECT c_custkey FROM customer WHERE {bucket} < 5
+    ),
+    aff_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM del)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT count(*) FROM customer) AS n_rows,
+           (SELECT count(*) FROM del) AS n_affected
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM aff_orders)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM aff_orders))
+    ORDER BY table_name
+"""
+
+
+def deletion_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact audit: given a deterministic ~5% customer
+    deletion set (md5 bucket — reproducible, no RNG), count the rows
+    each downstream fact table loses through the FK cascade
+    (customer → orders → lineitem). The dry-run a lakehouse performs
+    before a GDPR/CCPA delete job — the audit costs two semi-joins,
+    never touches row content, and its counts size the rewrite.
+
+    Scale shape: the IN-subqueries compile to broadcast LeftSemi joins
+    (the deletion set and its order keys are tiny relative to facts);
+    each fact table is scanned once with only its key column read."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_DELETION_SQL.format(
+        bucket="CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 4),"
+               " 16, 10) AS INT) % 100"
+    ))
+
+
+QUERIES["deletion_impact_audit"] = deletion_impact_audit
+ORACLE["deletion_impact_audit"] = _DELETION_SQL.format(
+    bucket="CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4))"
+           " AS INTEGER) % 100"
+)

@@ -572,3 +572,38 @@ def test_hybrid_rrf_fuses_both_rankers(spark):
         assert r.bm25_rank > 0 or r.cos_rank > 0
     assert any(r.bm25_rank > 0 for r in rows)
     assert any(r.cos_rank > 0 for r in rows)
+
+
+def test_attribution_models_conserve_credit(spark):
+    """Both attribution models split exactly ONE unit of credit per
+    purchase-with-qualifying-clicks, so their day-rolled totals must
+    agree (the weights differ; the conserved mass doesn't)."""
+    from database_toolbox_spark.operators.events import (
+        linear_attribution_by_day,
+        time_decay_attribution,
+    )
+
+    lin = sum(r.total_credit for r in
+              linear_attribution_by_day(spark, SF_DIR).collect())
+    dec = sum(r.total_credit for r in
+              time_decay_attribution(spark, SF_DIR).collect())
+    assert abs(lin - dec) < 0.05
+    assert lin > 0
+
+
+def test_deletion_impact_cascade_monotone(spark):
+    """The FK cascade audit must satisfy the obvious containment facts:
+    ~5% of customers selected; affected orders/lineitems are nonzero
+    and bounded by their table sizes."""
+    from database_toolbox_spark.operators.profile import (
+        deletion_impact_audit,
+    )
+
+    rows = {r.table_name: r for r in
+            deletion_impact_audit(spark, SF_DIR).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    c = rows["customer"]
+    assert 0 < c.n_affected < c.n_rows
+    assert 0.005 < c.n_affected / c.n_rows < 0.15
+    for t in ("orders", "lineitem"):
+        assert 0 <= rows[t].n_affected < rows[t].n_rows
