@@ -1018,3 +1018,77 @@ ORACLE["time_decay_attribution"] = _DECAY_ATTR_SQL.format(
     c_us="epoch_us(c.click_ts)",
     credit_out=R("sum(credit)", 4),
 )
+
+
+_KM_SQL = """
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_ev,
+               max(ts) AS t_last
+        FROM events GROUP BY user_id
+    ),
+    dur AS (
+        SELECT CASE WHEN t_ev IS NOT NULL THEN {dd_ev} ELSE {dd_last} END
+                   AS d,
+               CASE WHEN t_ev IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM per_user
+    ),
+    hist AS (
+        SELECT d, CAST(sum(ev) AS BIGINT) AS deaths, count(*) AS leaving
+        FROM dur GROUP BY d
+    ),
+    tot AS (SELECT count(*) AS n FROM dur),
+    curve AS (
+        SELECT d, deaths,
+               t.n - coalesce(sum(leaving) OVER (
+                   PARTITION BY (hash(d) % 1) ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS at_risk
+        FROM hist CROSS JOIN tot t
+    ),
+    km AS (
+        SELECT d, deaths, at_risk,
+               exp(sum(ln(greatest(1e0 - deaths * 1e0 / at_risk, 1e-12)))
+                   OVER (PARTITION BY (hash(d) % 1) ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   AS s
+        FROM curve
+    )
+    SELECT d AS day_offset, deaths,
+           CAST(at_risk AS BIGINT) AS at_risk, {s_out} AS survival
+    FROM km
+    WHERE deaths > 0
+    ORDER BY day_offset
+"""
+
+
+def kaplan_meier_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: users who
+    never purchase are right-CENSORED at their last observed event —
+    the estimator that naive "conversion by day N" reports get wrong
+    (dropping censored users biases conversion up; counting them as
+    never-converting biases it down).
+
+    Scale shape: one per-user aggregate reduces the event stream to a
+    duration histogram whose length is bounded by the observation
+    window (days), so the cumulative at-risk and product-limit windows
+    run over a calendar-bounded series (hash%1 declares the single
+    partition intentional — same guard as the daily z-score). The
+    product is computed as exp(Σ ln·) with an epsilon floor so a
+    terminal all-deaths step stays finite in both engines (DuckDB
+    ln(0) raises; survival ≈ 0 is reported as ~1e-12·)."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_KM_SQL.format(
+        dd_ev="datediff(CAST(t_ev AS DATE), CAST(t0 AS DATE))",
+        dd_last="datediff(CAST(t_last AS DATE), CAST(t0 AS DATE))",
+        s_out=R("s", 6),
+    ))
+
+
+QUERIES["kaplan_meier_purchase"] = kaplan_meier_purchase
+ORACLE["kaplan_meier_purchase"] = _KM_SQL.format(
+    dd_ev="date_diff('day', CAST(t0 AS DATE), CAST(t_ev AS DATE))",
+    dd_last="date_diff('day', CAST(t0 AS DATE), CAST(t_last AS DATE))",
+    s_out=R("s", 6),
+)

@@ -331,3 +331,26 @@ ORACLE = {
         FROM exact CROSS JOIN approx
     """,
 }
+
+
+_GROUP_BY_ALL_SQL = f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           {R("sum(o_totalprice)")} AS sum_price
+    FROM orders
+    GROUP BY ALL
+    ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def group_by_all_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 4 + DuckDB share the modern shorthand: every
+    non-aggregate select item becomes a grouping key) — byte-identical
+    SQL on both engines; the plan is the ordinary partial/final hash
+    aggregate, proving the sugar changes nothing physical."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+QUERIES["group_by_all_battery"] = group_by_all_battery
+ORACLE["group_by_all_battery"] = _GROUP_BY_ALL_SQL

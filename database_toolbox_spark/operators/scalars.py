@@ -459,3 +459,52 @@ ORACLE = {
         ORDER BY c_mktsegment
     """,
 }
+
+
+_TRY_SQL = """
+    SELECT count(*) AS n,
+           CAST(sum(CASE WHEN {div} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_div_by_zero,
+           CAST(sum(CASE WHEN {badcast} IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_bad_casts,
+           CAST(sum(CASE WHEN {overflow} IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_overflows,
+           CAST(sum(CASE WHEN {elem} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bad_indexes,
+           {avg_ok} AS avg_valid_quotient
+    FROM orders
+"""
+
+
+def try_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression battery (`try_divide` / `try_cast` /
+    `try_add` / `try_element_at`): under Spark 4's default ANSI mode a
+    bad row ABORTS the job, so the try_* family is how a 100 TB batch
+    survives dirty data — one poison row must not kill a 6-hour job.
+    Counts each failure class (division by zero, unparseable cast,
+    BIGINT overflow, out-of-range index) as NULL outcomes.
+
+    The DuckDB oracle states the same semantics in its own dialect
+    (plain `/` yields NULL on zero there; `try_cast` matches;
+    list[out-of-range] is NULL; the overflow branch is the CASE its
+    operand range implies). One streaming aggregate, no shuffle."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_TRY_SQL.format(
+        div="try_divide(o_totalprice, CAST(o_custkey % 3 AS DOUBLE))",
+        badcast="try_cast(o_orderpriority AS INT)",
+        overflow="try_add(o_orderkey, 9223372036854775800)",
+        elem="try_element_at(split(o_orderpriority, '-'), 5)",
+        avg_ok=R("avg(try_divide(o_totalprice,"
+                 " CAST(o_custkey % 3 AS DOUBLE)))", 2),
+    ))
+
+
+QUERIES["try_arithmetic_battery"] = try_arithmetic_battery
+ORACLE["try_arithmetic_battery"] = _TRY_SQL.format(
+    div="(o_totalprice / CAST(o_custkey % 3 AS DOUBLE))",
+    badcast="try_cast(o_orderpriority AS INT)",
+    # all o_orderkey >= 1; adding 2^63-8 overflows exactly when key > 7
+    overflow="(CASE WHEN o_orderkey > 7 THEN NULL ELSE o_orderkey END)",
+    elem="string_split(o_orderpriority, '-')[5]",
+    avg_ok=R("avg(o_totalprice / CAST(o_custkey % 3 AS DOUBLE))", 2),
+)

@@ -607,3 +607,45 @@ def test_deletion_impact_cascade_monotone(spark):
     assert 0.005 < c.n_affected / c.n_rows < 0.15
     for t in ("orders", "lineitem"):
         assert 0 <= rows[t].n_affected < rows[t].n_rows
+
+
+def test_kaplan_meier_monotone_and_bounded(spark):
+    """KM survival must be non-increasing in time, within (0, 1], with
+    at_risk non-increasing and deaths ≤ at_risk — plus the censoring
+    sanity: at_risk at the first step equals the full user count."""
+    from database_toolbox_spark.operators.events import (
+        kaplan_meier_purchase,
+    )
+
+    rows = sorted(kaplan_meier_purchase(spark, SF_DIR).collect(),
+                  key=lambda r: r.day_offset)
+    assert rows
+    n_users = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id").distinct().count()
+    )
+    assert rows[0].at_risk <= n_users
+    prev_s, prev_risk = 1.0 + 1e-9, n_users + 1
+    for r in rows:
+        # survival may reach (rounded) 0 only on a terminal
+        # all-deaths step — the operator's documented epsilon case
+        if r.deaths < r.at_risk:
+            assert 0.0 < r.survival <= prev_s + 1e-9
+        else:
+            assert 0.0 <= r.survival <= prev_s + 1e-9
+        assert 0 < r.deaths <= r.at_risk < prev_risk + 1
+        prev_s, prev_risk = r.survival, r.at_risk
+
+
+def test_try_battery_counts_consistent(spark):
+    """The error-safe battery's failure counts obey the data's own
+    arithmetic: bad casts and bad indexes hit every row; div-by-zero
+    hits exactly the custkey%3==0 rows."""
+    from database_toolbox_spark.operators.scalars import (
+        try_arithmetic_battery,
+    )
+
+    r = try_arithmetic_battery(spark, SF_DIR).collect()[0]
+    assert r.n_bad_casts == r.n == r.n_bad_indexes
+    assert 0 < r.n_div_by_zero < r.n
+    assert r.avg_valid_quotient > 0
