@@ -92,6 +92,13 @@ HEADLINE = [
     "pca_top_component",
     "semdedup_drop_candidates",
     "shuffle_skew_profile",
+    # late continuation tranche: hybrid retrieval, Hilbert layout,
+    # source diagnostics, survival analysis, decay attribution
+    "hybrid_rrf_search",
+    "hilbert_bucket_stats",
+    "source_overlap_matrix",
+    "kaplan_meier_purchase",
+    "time_decay_attribution",
 ]
 
 

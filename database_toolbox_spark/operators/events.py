@@ -1092,3 +1092,71 @@ ORACLE["kaplan_meier_purchase"] = _KM_SQL.format(
     dd_last="date_diff('day', CAST(t0 AS DATE), CAST(t_last AS DATE))",
     s_out=R("s", 6),
 )
+
+
+_FUNNEL_LATENCY_SQL = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_buy
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    ),
+    lat AS (
+        SELECT 'view_to_click' AS stage,
+               ({us_click} - {us_view}) / 60e6 AS minutes
+        FROM c JOIN v ON v.user_id = c.user_id
+        UNION ALL
+        SELECT 'click_to_purchase',
+               ({us_buy} - {us_click2}) / 60e6
+        FROM p JOIN c ON c.user_id = p.user_id
+    )
+    SELECT stage, count(*) AS n_users,
+           {p50} AS p50_minutes, {p90} AS p90_minutes,
+           {mx} AS max_minutes
+    FROM lat GROUP BY stage ORDER BY stage
+"""
+
+
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long each funnel transition takes: P50/P90/max minutes from
+    first view→first qualifying click and click→purchase — the timing
+    companion to funnel_conversion's counting (a funnel can convert
+    well but too slowly to attribute, which is why the attribution
+    operators cap their windows).
+
+    Reuses the funnel's stage derivation (per-user min-aggregates +
+    ordered joins); latencies come from exact µs epochs so both
+    engines interpolate identical doubles; one ordered-set aggregate
+    per stage."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_FUNNEL_LATENCY_SQL.format(
+        us_click="unix_micros(CAST(c.t_click AS TIMESTAMP))",
+        us_view="unix_micros(CAST(v.t_view AS TIMESTAMP))",
+        us_buy="unix_micros(CAST(p.t_buy AS TIMESTAMP))",
+        us_click2="unix_micros(CAST(c.t_click AS TIMESTAMP))",
+        p50=R("percentile(minutes, 0.5e0)", 4),
+        p90=R("percentile(minutes, 0.9e0)", 4),
+        mx=R("max(minutes)", 4),
+    ))
+
+
+QUERIES["funnel_latency_percentiles"] = funnel_latency_percentiles
+ORACLE["funnel_latency_percentiles"] = _FUNNEL_LATENCY_SQL.format(
+    us_click="epoch_us(c.t_click)",
+    us_view="epoch_us(v.t_view)",
+    us_buy="epoch_us(p.t_buy)",
+    us_click2="epoch_us(c.t_click)",
+    p50=R("quantile_cont(minutes, 0.5e0)", 4),
+    p90=R("quantile_cont(minutes, 0.9e0)", 4),
+    mx=R("max(minutes)", 4),
+)
