@@ -649,3 +649,20 @@ def test_try_battery_counts_consistent(spark):
     assert r.n_bad_casts == r.n == r.n_bad_indexes
     assert 0 < r.n_div_by_zero < r.n
     assert r.avg_valid_quotient > 0
+
+
+def test_funnel_latency_consistent_with_funnel(spark):
+    """Stage latencies must be positive with sane ordering statistics,
+    and the user counts must shrink down the funnel (every
+    click→purchase user passed view→click first)."""
+    from database_toolbox_spark.operators.events import (
+        funnel_latency_percentiles,
+    )
+
+    rows = {r.stage: r for r in
+            funnel_latency_percentiles(spark, SF_DIR).collect()}
+    assert set(rows) == {"view_to_click", "click_to_purchase"}
+    for r in rows.values():
+        assert 0 < r.p50_minutes <= r.p90_minutes <= r.max_minutes
+    assert (rows["click_to_purchase"].n_users
+            <= rows["view_to_click"].n_users)
