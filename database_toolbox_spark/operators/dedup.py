@@ -1230,9 +1230,14 @@ def _semdedup_report_sql(dot, m_src: str) -> str:
 
 def semdedup_drop_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup: coarse k-means cells bound the quadratic,
-    then within-cell cosine >= τ against any earlier-kept vector marks a
-    drop candidate. The keep-first rule (lowest vec_id survives) is the
-    deterministic twin of SemDeDup's random representative.
+    then within-cell cosine >= τ against ANY earlier vector (kept or
+    itself dropped) marks a drop CANDIDATE — deliberately a conservative
+    SUPERSET of the sequential greedy keep-first drops (which would need
+    an order-dependent chain; a candidate similar only to other dropped
+    candidates may survive that pass). The cell's lowest vec_id can
+    never be a candidate, so every cell keeps ≥ 1 vector; the report is
+    the pre-pass bound a curation pipeline sizes its exact greedy pass
+    with.
 
     Scale shape: the all-pairs step is CELL-LOCAL — an equi-join on the
     cell id whose per-cell cost is (n/k)², tuned by scaling k with

@@ -531,7 +531,11 @@ def markov_next_event_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_MARKOV_SQL)
 
 
-_ATTRIBUTION_SQL = f"""
+# Shared funnel-pair scaffolding for the attribution family: the stage
+# derivation, equi-join and 7-DAY qualifying window live ONCE; each model
+# contributes only its pair columns and credit expression (the documented
+# invariant that all models split credit over the same qualifying clicks).
+_ATTR_PAIRS_CTES = """
         WITH clicks AS (
             SELECT user_id, event_id AS click_id, ts AS click_ts
             FROM events WHERE event_type = 'click'
@@ -541,24 +545,35 @@ _ATTRIBUTION_SQL = f"""
             FROM events WHERE event_type = 'purchase'
         ),
         pairs AS (
-            SELECT p.purchase_id, c.click_id, c.click_ts
+            SELECT p.purchase_id, c.click_id, c.click_ts{pair_cols}
             FROM purch p JOIN clicks c
               ON p.user_id = c.user_id
              AND c.click_ts <= p.p_ts
              AND c.click_ts > p.p_ts - INTERVAL 7 DAY
-        ),
+        )"""
+
+
+def _attribution_sql(pair_cols: str, credit: str, credit_out: str) -> str:
+    return f"""{_ATTR_PAIRS_CTES.format(pair_cols=pair_cols)},
         credited AS (
             SELECT purchase_id, click_id, click_ts,
-                   1e0 / count(*) OVER (PARTITION BY purchase_id) AS credit
+                   {credit} AS credit
             FROM pairs
         )
         SELECT CAST(click_ts AS DATE) AS day,
                count(*) AS n_credited_clicks,
-               {R("sum(credit)", 4)} AS total_credit
+               {credit_out} AS total_credit
         FROM credited
         GROUP BY CAST(click_ts AS DATE)
         ORDER BY day
 """
+
+
+_ATTRIBUTION_SQL = _attribution_sql(
+    pair_cols="",
+    credit="1e0 / count(*) OVER (PARTITION BY purchase_id)",
+    credit_out=R("sum(credit)", 4),
+)
 
 
 def linear_attribution_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -961,35 +976,13 @@ ORACLE = {
 }
 
 
-_DECAY_ATTR_SQL = """
-    WITH clicks AS (
-        SELECT user_id, event_id AS click_id, ts AS click_ts
-        FROM events WHERE event_type = 'click'
-    ),
-    purch AS (
-        SELECT user_id, event_id AS purchase_id, ts AS p_ts
-        FROM events WHERE event_type = 'purchase'
-    ),
-    pairs AS (
-        SELECT p.purchase_id, c.click_id, c.click_ts,
-               exp(-(({p_us} - {c_us}) / 86400e6)) AS w
-        FROM purch p JOIN clicks c
-          ON p.user_id = c.user_id
-         AND c.click_ts <= p.p_ts
-         AND c.click_ts > p.p_ts - INTERVAL 7 DAY
-    ),
-    credited AS (
-        SELECT purchase_id, click_id, click_ts,
-               w / sum(w) OVER (PARTITION BY purchase_id) AS credit
-        FROM pairs
+def _decay_attr_sql(p_us: str, c_us: str) -> str:
+    return _attribution_sql(
+        pair_cols=(",\n                   exp(-(("
+                   f"{p_us} - {c_us}) / 86400e6)) AS w"),
+        credit="w / sum(w) OVER (PARTITION BY purchase_id)",
+        credit_out=R("sum(credit)", 4),
     )
-    SELECT CAST(click_ts AS DATE) AS day,
-           count(*) AS n_credited_clicks,
-           {credit_out} AS total_credit
-    FROM credited
-    GROUP BY CAST(click_ts AS DATE)
-    ORDER BY day
-"""
 
 
 def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1005,18 +998,16 @@ def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization is a keyed window; day rollup canon-rounds the
     credit sum."""
     load_table(spark, sf_dir, "events")
-    return spark.sql(_DECAY_ATTR_SQL.format(
+    return spark.sql(_decay_attr_sql(
         p_us="unix_micros(CAST(p.p_ts AS TIMESTAMP))",
         c_us="unix_micros(CAST(c.click_ts AS TIMESTAMP))",
-        credit_out=R("sum(credit)", 4),
     ))
 
 
 QUERIES["time_decay_attribution"] = time_decay_attribution
-ORACLE["time_decay_attribution"] = _DECAY_ATTR_SQL.format(
+ORACLE["time_decay_attribution"] = _decay_attr_sql(
     p_us="epoch_us(p.p_ts)",
     c_us="epoch_us(c.click_ts)",
-    credit_out=R("sum(credit)", 4),
 )
 
 

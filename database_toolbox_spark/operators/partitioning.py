@@ -144,6 +144,8 @@ def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HILBERT_N = 256  # 8-bit grid per dimension → 16-bit curve index
+_H_LEVELS = HILBERT_N.bit_length() - 1      # reflect/rotate levels (8)
+_H_BUCKET_SHIFT = 2 * _H_LEVELS - 6         # keep 6 prefix bits → 64 buckets
 
 
 def _hilbert_ctes(carry: str) -> str:
@@ -196,20 +198,20 @@ def _hilbert_sql(day_expr: str) -> str:
         ),
         h0 AS (
             SELECT o_custkey, od,
-                   CAST(floor((o_custkey - cmin) * 256e0 / (cmax - cmin + 1))
-                        AS BIGINT) AS x,
-                   CAST(floor((d - dmin) * 256e0 / (dmax - dmin + 1))
-                        AS BIGINT) AS y,
+                   CAST(floor((o_custkey - cmin) * {HILBERT_N}e0
+                        / (cmax - cmin + 1)) AS BIGINT) AS x,
+                   CAST(floor((d - dmin) * {HILBERT_N}e0
+                        / (dmax - dmin + 1)) AS BIGINT) AS y,
                    CAST(0 AS BIGINT) AS d
             FROM raw, bounds
         ),
         {_hilbert_ctes("o_custkey, od")}
-        SELECT CAST(d >> 10 AS BIGINT) AS h_bucket,
+        SELECT CAST(d >> {_H_BUCKET_SHIFT} AS BIGINT) AS h_bucket,
                count(*) AS n_rows,
                min(o_custkey) AS min_custkey, max(o_custkey) AS max_custkey,
                min(od) AS min_date, max(od) AS max_date
-        FROM h8
-        GROUP BY CAST(d >> 10 AS BIGINT)
+        FROM h{_H_LEVELS}
+        GROUP BY CAST(d >> {_H_BUCKET_SHIFT} AS BIGINT)
         ORDER BY h_bucket
     """
 

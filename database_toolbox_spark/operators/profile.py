@@ -428,6 +428,18 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_DIM = 64  # fixture embedding dimensionality (FIXTURES.md)
 
+# The ONE Spark spelling of the (i<=j) embedding pair stream — shared by
+# embedding_covariance and pca_top_component (the DuckDB twin is
+# _DUCK_PAIR_SRC below).
+_SPARK_PAIR_SRC = """
+            SELECT CAST(i AS BIGINT) AS i, CAST(x AS DOUBLE) AS x,
+                   CAST(j AS BIGINT) AS j, CAST(y AS DOUBLE) AS y
+            FROM embeddings
+            LATERAL VIEW posexplode(embedding) a AS i, x
+            LATERAL VIEW posexplode(embedding) b AS j, y
+            WHERE i <= j
+        """
+
 _COV_SQL = """
     WITH p AS ({pair_src}),
     agg AS (
@@ -459,14 +471,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly-rounded so both engines agree bit-for-bit pre-round."""
     load_tables(spark, sf_dir)
     return spark.sql(_COV_SQL.format(
-        pair_src="""
-            SELECT CAST(i AS BIGINT) AS i, CAST(x AS DOUBLE) AS x,
-                   CAST(j AS BIGINT) AS j, CAST(y AS DOUBLE) AS y
-            FROM embeddings
-            LATERAL VIEW posexplode(embedding) a AS i, x
-            LATERAL VIEW posexplode(embedding) b AS j, y
-            WHERE i <= j
-        """,
+        pair_src=_SPARK_PAIR_SRC,
         cov=R(_COV, 6),
         corr=R(_CORR, 6),
     ))
@@ -614,9 +619,9 @@ def _pca_cells_sql(pair_src: str) -> str:
                sum(x) AS sx, sum(y) AS sy
         FROM p GROUP BY i, j
     )
-    SELECT i, j, (sxy - sx * sy / n) / (n - 1) AS cov FROM agg
+    SELECT i, j, {_COV} AS cov FROM agg
     UNION ALL
-    SELECT j AS i, i AS j, (sxy - sx * sy / n) / (n - 1) AS cov
+    SELECT j AS i, i AS j, {_COV} AS cov
     FROM agg WHERE i < j
     """
 
@@ -684,14 +689,7 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_toolbox_spark.session import materialize  # noqa: PLC0415
 
     load_tables(spark, sf_dir)
-    cells = materialize(spark.sql(_pca_cells_sql("""
-            SELECT CAST(i AS BIGINT) AS i, CAST(x AS DOUBLE) AS x,
-                   CAST(j AS BIGINT) AS j, CAST(y AS DOUBLE) AS y
-            FROM embeddings
-            LATERAL VIEW posexplode(embedding) a AS i, x
-            LATERAL VIEW posexplode(embedding) b AS j, y
-            WHERE i <= j
-    """)))
+    cells = materialize(spark.sql(_pca_cells_sql(_SPARK_PAIR_SRC)))
     cells.createOrReplaceTempView("pca_cov_cells")
     return spark.sql(_pca_iter_sql("SELECT * FROM pca_cov_cells"))
 

@@ -479,26 +479,26 @@ RRF_K = 60       # standard RRF dampening constant
 RRF_DEPTH = 50   # per-ranker candidate depth
 RRF_TOP = 20     # fused results returned
 
-_HYBRID_SQL = """
-    WITH dl AS (SELECT doc_id, {n_words} AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-    tok AS ({tok_src}),
-    tf AS (
-        SELECT doc_id, term, count(*) AS tf FROM tok
-        WHERE term IN ({terms})
-        GROUP BY doc_id, term
-    ),
-    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+def _hybrid_sql(n_words: str, tok_src: str, qnorm2: str,
+                cos: str) -> str:
+    """One builder for BOTH dialects of the hybrid query. The BM25 side
+    reuses text.bm25_scored_ctes — the single definition of the BM25
+    pipeline — with the query document excluded (mirroring the cosine
+    ranker's self-exclusion, so neither ranker can return the query
+    itself); only the array/dot spellings (qnorm2, cos) differ per
+    engine."""
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        BM25_SCORE_R,
+        bm25_scored_ctes,
+    )
+
+    return f"""
+    WITH {bm25_scored_ctes(n_words, tok_src, exclude_doc=QUERY_VEC_ID)},
     bm AS (
-        SELECT t.doc_id,
-               {bm25} AS s
-        FROM tf t
-        JOIN dft d ON d.term = t.term
-        JOIN dl l ON l.doc_id = t.doc_id
-        CROSS JOIN stats st
-        GROUP BY t.doc_id
-        ORDER BY {bm25} DESC, t.doc_id
-        LIMIT {depth}
+        SELECT doc_id, {BM25_SCORE_R} AS s
+        FROM scored
+        ORDER BY {BM25_SCORE_R} DESC, doc_id
+        LIMIT {RRF_DEPTH}
     ),
     bmr AS (
         SELECT doc_id,
@@ -508,14 +508,14 @@ _HYBRID_SQL = """
     ),
     q AS (
         SELECT embedding AS qv, {qnorm2} AS qnorm2
-        FROM embeddings WHERE vec_id = {qid}
+        FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
     ),
     cs AS (
         SELECT e.vec_id AS doc_id, {cos} AS s
         FROM embeddings e CROSS JOIN q
-        WHERE e.vec_id <> {qid}
+        WHERE e.vec_id <> {QUERY_VEC_ID}
         ORDER BY {cos} DESC, e.vec_id
-        LIMIT {depth}
+        LIMIT {RRF_DEPTH}
     ),
     csr AS (
         SELECT doc_id,
@@ -525,16 +525,16 @@ _HYBRID_SQL = """
     ),
     fused AS (
         SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
-               coalesce(1e0 / ({k} + b.r), 0e0)
-               + coalesce(1e0 / ({k} + c.r), 0e0) AS rrf,
+               coalesce(1e0 / ({RRF_K} + b.r), 0e0)
+               + coalesce(1e0 / ({RRF_K} + c.r), 0e0) AS rrf,
                coalesce(b.r, 0) AS bm25_rank,
                coalesce(c.r, 0) AS cos_rank
         FROM bmr b FULL OUTER JOIN csr c ON b.doc_id = c.doc_id
     )
-    SELECT doc_id, {rrf_out} AS rrf_score, bm25_rank, cos_rank
+    SELECT doc_id, {R("rrf", 6)} AS rrf_score, bm25_rank, cos_rank
     FROM fused
-    ORDER BY {rrf_out} DESC, doc_id
-    LIMIT {top}
+    ORDER BY {R("rrf", 6)} DESC, doc_id
+    LIMIT {RRF_TOP}
 """
 
 
@@ -543,7 +543,8 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rankings fused by Reciprocal Rank Fusion (Cormack et al.,
     SIGIR'09: score = Σ 1/(60 + rank)) — the standard hybrid-search
     composition, joining the documents and embeddings tables on the
-    fixture's doc_id == vec_id convention.
+    fixture's doc_id == vec_id convention. The query document is
+    excluded from BOTH rankers.
 
     Both ranked lists are TakeOrdered to depth {RRF_DEPTH} BEFORE
     ranking, so the row_number windows run on bounded sets (the
@@ -552,38 +553,20 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     2·depth rows. Ranks derive from canon-rounded scores with doc_id
     tie-breaks, so both engines rank identically; 1/(60+r) is exact
     rational arithmetic on identical integers."""
-    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
-        _BM25_B,
-        _BM25_K1,
-        _BM25_TERMS,
-    )
-
     load_tables(spark, sf_dir)
-    bm25 = R(
-        "sum(ln(1e0 + (st.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))"
-        f" * (t.tf * ({_BM25_K1} + 1e0))"
-        f" / (t.tf + {_BM25_K1} * (1e0 - {_BM25_B}"
-        f" + {_BM25_B} * l.dl * st.n_docs * 1e0 / st.sum_dl)))", 4)
     spark_cos = R(
         "aggregate(zip_with(e.embedding, q.qv, (x, y) -> "
         "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
         "(acc, x) -> acc + x) / sqrt(q.qnorm2 * "
         "aggregate(e.embedding, CAST(0 AS DOUBLE), (acc, x) -> "
         "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))", 6)
-    return spark.sql(_HYBRID_SQL.format(
+    return spark.sql(_hybrid_sql(
         n_words="CAST(size(split(text, ' ')) AS BIGINT)",
         tok_src="SELECT doc_id, explode(split(text, ' ')) AS term "
                 "FROM documents",
-        terms=_BM25_TERMS,
-        bm25=bm25,
         qnorm2="aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> "
                "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))",
         cos=spark_cos,
-        qid=QUERY_VEC_ID,
-        k=RRF_K,
-        depth=RRF_DEPTH,
-        top=RRF_TOP,
-        rrf_out=R("rrf", 6),
     ))
 
 
@@ -629,36 +612,18 @@ _DUCK_JL_ARR = "[" + ", ".join(
 ) + "]"
 
 def _hybrid_oracle() -> str:
-    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
-        _BM25_B,
-        _BM25_K1,
-        _BM25_TERMS,
-    )
-
-    bm25 = R(
-        "sum(ln(1e0 + (st.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))"
-        f" * (t.tf * ({_BM25_K1} + 1e0))"
-        f" / (t.tf + {_BM25_K1} * (1e0 - {_BM25_B}"
-        f" + {_BM25_B} * l.dl * st.n_docs * 1e0 / st.sum_dl)))", 4)
     duck_cos = R(
         "list_aggregate(list_transform(range(1, len(e.embedding) + 1), "
         "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), "
         "'sum') / sqrt(q.qnorm2 * "
         "list_aggregate(list_transform(e.embedding, x -> "
         "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))", 6)
-    return _HYBRID_SQL.format(
+    return _hybrid_sql(
         n_words="len(string_split(text, ' '))",
         tok_src="SELECT doc_id, unnest(string_split(text, ' ')) AS term "
                 "FROM documents",
-        terms=_BM25_TERMS,
-        bm25=bm25,
         qnorm2=_DUCK_NORM2,
         cos=duck_cos,
-        qid=QUERY_VEC_ID,
-        k=RRF_K,
-        depth=RRF_DEPTH,
-        top=RRF_TOP,
-        rrf_out=R("rrf", 6),
     )
 
 

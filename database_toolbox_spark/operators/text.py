@@ -571,13 +571,25 @@ _BM25_B = "0.75e0"
 # the operator materializes the ranking for one representative query
 _BM25_TERMS = "'spark', 'join', 'window'"
 
-_BM25_SQL = """
-    WITH dl AS (SELECT doc_id, {n_words} AS dl FROM documents),
+# canon-rounded rank key over the scored CTE — shared with the hybrid
+# retrieval operator (similarity.py) so every consumer ranks identically
+BM25_SCORE_R = R("score", 4)
+
+
+def bm25_scored_ctes(n_words: str, tok_src: str,
+                     exclude_doc: int | None = None) -> str:
+    """The ONE definition of the BM25 pipeline — CTE chain
+    dl/stats/tok/tf/df/scored ending in scored(doc_id, score), shared
+    by bm25_top_terms and similarity.hybrid_rrf_search in BOTH dialects
+    (the formula itself is dialect-neutral SQL; only n_words/tok_src
+    vary). exclude_doc drops a query document from the ranking."""
+    excl = f" AND doc_id <> {exclude_doc}" if exclude_doc is not None else ""
+    return f"""dl AS (SELECT doc_id, {n_words} AS dl FROM documents),
     stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
     tok AS ({tok_src}),
     tf AS (
         SELECT doc_id, term, count(*) AS tf FROM tok
-        WHERE term IN ({terms})
+        WHERE term IN ({_BM25_TERMS}){excl}
         GROUP BY doc_id, term
     ),
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -585,19 +597,24 @@ _BM25_SQL = """
         SELECT t.doc_id,
                sum(
                    ln(1e0 + (s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))
-                   * (t.tf * ({k1} + 1e0))
-                   / (t.tf + {k1} * (1e0 - {b}
-                      + {b} * l.dl * s.n_docs * 1e0 / s.sum_dl))
+                   * (t.tf * ({_BM25_K1} + 1e0))
+                   / (t.tf + {_BM25_K1} * (1e0 - {_BM25_B}
+                      + {_BM25_B} * l.dl * s.n_docs * 1e0 / s.sum_dl))
                ) AS score
         FROM tf t
         JOIN df d ON d.term = t.term
         JOIN dl l ON l.doc_id = t.doc_id
         CROSS JOIN stats s
         GROUP BY t.doc_id
-    )
-    SELECT doc_id, {score} AS bm25
+    )"""
+
+
+def _bm25_sql(n_words: str, tok_src: str) -> str:
+    return f"""
+    WITH {bm25_scored_ctes(n_words, tok_src)}
+    SELECT doc_id, {BM25_SCORE_R} AS bm25
     FROM scored
-    ORDER BY {score} DESC, doc_id
+    ORDER BY {BM25_SCORE_R} DESC, doc_id
     LIMIT 20
 """
 
@@ -614,14 +631,10 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     value so ln() libm ulp differences between engines cannot reorder
     the cut (same guard as the KL/Zipf operators)."""
     load_tables(spark, sf_dir)
-    return spark.sql(_BM25_SQL.format(
+    return spark.sql(_bm25_sql(
         n_words="CAST(size(split(text, ' ')) AS BIGINT)",
         tok_src="SELECT doc_id, explode(split(text, ' ')) AS term "
                 "FROM documents",
-        terms=_BM25_TERMS,
-        k1=_BM25_K1,
-        b=_BM25_B,
-        score=R("score", 4),
     ))
 
 
@@ -710,14 +723,10 @@ ORACLE = {
         "      FROM documents), "
         "     unnest(range(1, len(toks) + 1)) AS u(i)"
     ),
-    "bm25_top_terms": _BM25_SQL.format(
+    "bm25_top_terms": _bm25_sql(
         n_words="len(string_split(text, ' '))",
         tok_src="SELECT doc_id, unnest(string_split(text, ' ')) AS term "
                 "FROM documents",
-        terms=_BM25_TERMS,
-        k1=_BM25_K1,
-        b=_BM25_B,
-        score=R("score", 4),
     ),
     "bpe_merge_candidates": _BPE_ORACLE,
     "language_id_confusion": _confusion_sql(
