@@ -721,3 +721,87 @@ ORACLE["trimmed_mean_prices"] = _TRIMMED_SQL.format(
     lo_out=R("q.lo", 2),
     hi_out=R("q.hi", 2),
 )
+
+
+N_BOOTSTRAP = 200  # resamples (B); grows the tiny daily series B-fold only
+
+# Poisson(1) inverse-CDF ladder (exact CDF values to 6 dp) — the weight
+# distribution of the POISSON bootstrap: at scale one cannot draw n rows
+# with replacement (that needs a global index), but each row can draw an
+# independent Poisson(1) replication count, which converges to the same
+# bootstrap distribution (Chamandy et al., "Estimating Uncertainty for
+# Massive Data Streams", Google TR 2012).
+_POIS_LADDER = (
+    "CASE WHEN {u} < 0.367879e0 THEN 0 WHEN {u} < 0.735759e0 THEN 1 "
+    "WHEN {u} < 0.919699e0 THEN 2 WHEN {u} < 0.981012e0 THEN 3 "
+    "WHEN {u} < 0.99634e0 THEN 4 WHEN {u} < 0.999406e0 THEN 5 "
+    "WHEN {u} < 0.999917e0 THEN 6 ELSE 7 END"
+)
+
+_BOOTSTRAP_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, {rev} AS rev
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    reps AS ({rep_src}),
+    drawn AS (
+        SELECT r.b, d.rev,
+               {pois} AS w
+        FROM daily d CROSS JOIN reps r
+    ),
+    means AS (
+        SELECT b, sum(w * rev) / sum(w) AS m
+        FROM drawn GROUP BY b HAVING sum(w) > 0
+    ),
+    pt AS (SELECT {mean_rev} AS grand_mean FROM daily)
+    SELECT (SELECT count(*) FROM means) AS n_resamples,
+           pt.grand_mean,
+           {lo} AS ci_lo_95,
+           {hi} AS ci_hi_95
+    FROM pt
+"""
+
+
+def bootstrap_ci_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for MEAN DAILY revenue via the
+    POISSON bootstrap — the resampling scheme that actually works
+    distributed: classic bootstrap needs global sampling with
+    replacement (a coordinated index), while Poisson(1) replication
+    counts are PER-ROW independent draws, so each resample is one more
+    weight column, embarrassingly parallel. Weights come from md5-
+    derived uniforms through an exact inverse-CDF ladder — identical
+    integers → identical weights in both engines, no RNG.
+
+    Scale shape: the corpus reduces to the daily aggregate FIRST; the
+    B-fold cross join multiplies only that calendar-bounded series
+    (2400 days × 200 resamples ≈ 0.5M tiny rows), and each resample
+    mean is one grouped aggregate. CI bounds are exact interpolated
+    percentiles of the B resample means."""
+    load_tables(spark, sf_dir)
+    u = ("(CAST(conv(substring(md5(concat(CAST(d.day AS STRING), '_',"
+         " CAST(r.b AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+         " / 4294967296e0)")
+    return spark.sql(_BOOTSTRAP_SQL.format(
+        rev=R("sum(o_totalprice)"),
+        rep_src=f"SELECT id AS b FROM range({N_BOOTSTRAP})",
+        pois=_POIS_LADDER.format(u=u),
+        mean_rev=R("avg(rev)", 2),
+        lo=R("(SELECT percentile(m, 0.025e0) FROM means)", 2),
+        hi=R("(SELECT percentile(m, 0.975e0) FROM means)", 2),
+    ))
+
+
+QUERIES["bootstrap_ci_daily_revenue"] = bootstrap_ci_daily_revenue
+
+_DUCK_BOOT_U = ("(CAST(concat('0x', substr(md5(concat(CAST(d.day AS"
+                " VARCHAR), '_', CAST(r.b AS VARCHAR))), 1, 8)) AS BIGINT)"
+                " / 4294967296e0)")
+
+ORACLE["bootstrap_ci_daily_revenue"] = _BOOTSTRAP_SQL.format(
+    rev=R("sum(o_totalprice)"),
+    rep_src=f"SELECT unnest(range({N_BOOTSTRAP})) AS b",
+    pois=_POIS_LADDER.format(u=_DUCK_BOOT_U),
+    mean_rev=R("avg(rev)", 2),
+    lo=R("(SELECT quantile_cont(m, 0.025e0) FROM means)", 2),
+    hi=R("(SELECT quantile_cont(m, 0.975e0) FROM means)", 2),
+)

@@ -666,3 +666,20 @@ def test_funnel_latency_consistent_with_funnel(spark):
         assert 0 < r.p50_minutes <= r.p90_minutes <= r.max_minutes
     assert (rows["click_to_purchase"].n_users
             <= rows["view_to_click"].n_users)
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    """The 95% Poisson-bootstrap CI must bracket the point estimate,
+    have positive width, use (nearly) all resamples — a handful may
+    draw all-zero weights — and stay within a plausible multiple of
+    the naive standard error."""
+    from database_toolbox_spark.operators.stats import (
+        N_BOOTSTRAP,
+        bootstrap_ci_daily_revenue,
+    )
+
+    r = bootstrap_ci_daily_revenue(spark, SF_DIR).collect()[0]
+    assert N_BOOTSTRAP * 0.97 <= r.n_resamples <= N_BOOTSTRAP
+    assert r.ci_lo_95 < r.grand_mean < r.ci_hi_95
+    width = r.ci_hi_95 - r.ci_lo_95
+    assert 0 < width < r.grand_mean  # not absurdly wide
