@@ -1391,3 +1391,50 @@ ORACLE["source_overlap_matrix"] = _SOURCE_OVERLAP_SQL.format(
     jac=R("m.n_common * 1e0 / (ca.n + cb.n - m.n_common)", 6),
     cont=R("m.n_common * 1e0 / least(ca.n, cb.n)", 6),
 )
+
+
+def _threshold_curve_sql(shingles: str) -> str:
+    """Jaccard histogram over ALL blocked candidate pairs + cumulative
+    pairs-at-or-above each band — the sensitivity curve that justifies a
+    dedup threshold choice before committing a 100 TB pass (the
+    cumulative column IS "how many pairs would τ=x emit")."""
+    return f"""
+        {shingles},
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   count(*) AS n_common
+            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        ),
+        jac AS (
+            SELECT CAST(floor(m.n_common * 10e0
+                              / (ca.n + cb.n - m.n_common)) AS INT) AS band
+            FROM common m
+            JOIN cnt ca ON ca.doc_id = m.doc_a
+            JOIN cnt cb ON cb.doc_id = m.doc_b
+        ),
+        hist AS (SELECT band, count(*) AS n_pairs FROM jac GROUP BY band)
+        -- hash%1: the 11-row band histogram is bounded by construction
+        SELECT band, n_pairs,
+               CAST(sum(n_pairs) OVER (PARTITION BY (hash(band) % 1)
+                    ORDER BY band DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS pairs_at_or_above
+        FROM hist
+        ORDER BY band
+    """
+
+
+def near_dup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sensitivity of exact shingle-Jaccard dedup: per 0.1
+    band, how many candidate pairs land there, and cumulatively how
+    many a threshold at that band would emit. Candidates are the
+    share-any-shingle blocked pairs (the superset every detector
+    verifies); the cumulative window runs over the 11-row histogram."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_threshold_curve_sql(_SPARK_SHINGLES))
+
+
+QUERIES["near_dup_threshold_curve"] = near_dup_threshold_curve
+ORACLE["near_dup_threshold_curve"] = _threshold_curve_sql(_DUCK_SHINGLES)

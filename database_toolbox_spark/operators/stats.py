@@ -805,3 +805,62 @@ ORACLE["bootstrap_ci_daily_revenue"] = _BOOTSTRAP_SQL.format(
     lo=R("(SELECT quantile_cont(m, 0.025e0) FROM means)", 2),
     hi=R("(SELECT quantile_cont(m, 0.975e0) FROM means)", 2),
 )
+
+
+_BACKTEST_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, {rev} AS rev
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    lagged AS (
+        -- hash%1 partition: bounded daily series (see _ANOMALY_SQL)
+        SELECT day, rev,
+               lag(rev, 1) OVER w AS naive1,
+               lag(rev, 7) OVER w AS seasonal7
+        FROM daily
+        WINDOW w AS (PARTITION BY (hash(day) % 1) ORDER BY day)
+    ),
+    test AS (
+        SELECT * FROM lagged
+        WHERE day >= DATE '1998-07-01' AND seasonal7 IS NOT NULL
+    )
+    SELECT 'naive_lag1' AS model, count(*) AS n_days,
+           {mae1} AS mae, {mape1} AS mape_pct
+    FROM test
+    UNION ALL
+    SELECT 'seasonal_lag7', count(*),
+           {mae7}, {mape7}
+    FROM test
+    ORDER BY model
+"""
+
+
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-model backtest harness: score the two standard
+    zero-parameter baselines (yesterday's value; same weekday last
+    week) on a one-month holdout with MAE and MAPE — the sanity floor
+    every real forecaster must beat before it ships (the OLS trend and
+    EWMA operators produce the candidates; this scores them against
+    the do-nothing models).
+
+    One daily aggregate, two lag windows over the calendar-bounded
+    series, one grouped error rollup per model — no corpus-scale
+    shuffle. Identical SQL both engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_BACKTEST_SQL.format(
+        rev=R("sum(o_totalprice)"),
+        mae1=R("avg(abs(rev - naive1))", 2),
+        mape1=R("avg(abs(rev - naive1) / rev) * 100e0", 4),
+        mae7=R("avg(abs(rev - seasonal7))", 2),
+        mape7=R("avg(abs(rev - seasonal7) / rev) * 100e0", 4),
+    ))
+
+
+QUERIES["seasonal_naive_backtest"] = seasonal_naive_backtest
+ORACLE["seasonal_naive_backtest"] = _BACKTEST_SQL.format(
+    rev=R("sum(o_totalprice)"),
+    mae1=R("avg(abs(rev - naive1))", 2),
+    mape1=R("avg(abs(rev - naive1) / rev) * 100e0", 4),
+    mae7=R("avg(abs(rev - seasonal7))", 2),
+    mape7=R("avg(abs(rev - seasonal7) / rev) * 100e0", 4),
+)

@@ -683,3 +683,40 @@ def test_bootstrap_ci_brackets_mean(spark):
     assert r.ci_lo_95 < r.grand_mean < r.ci_hi_95
     width = r.ci_hi_95 - r.ci_lo_95
     assert 0 < width < r.grand_mean  # not absurdly wide
+
+
+def test_threshold_curve_consistent_with_pair_detector(spark):
+    """The cumulative column at band 5 (Jaccard ≥ 0.5) must equal the
+    exact pair detector's output count — two operators, one truth —
+    and the cumulative must be monotone non-increasing in the band."""
+    from database_toolbox_spark.operators.dedup import (
+        near_dup_threshold_curve,
+        ngram_jaccard_pairs,
+    )
+
+    rows = sorted(near_dup_threshold_curve(spark, SF_DIR).collect(),
+                  key=lambda r: r.band)
+    at_or_above = {r.band: r.pairs_at_or_above for r in rows}
+    n_pairs_05 = ngram_jaccard_pairs(spark, SF_DIR).count()
+    expected = sum(r.n_pairs for r in rows if r.band >= 5)
+    assert expected == n_pairs_05
+    if 5 in at_or_above:
+        assert at_or_above[5] == n_pairs_05
+    cums = [r.pairs_at_or_above for r in rows]
+    assert cums == sorted(cums, reverse=True)
+
+
+def test_backtest_scores_positive_for_both_models(spark):
+    """Both baseline models must be scored on the same holdout with
+    positive errors (zero error would mean leakage)."""
+    from database_toolbox_spark.operators.stats import (
+        seasonal_naive_backtest,
+    )
+
+    rows = {r.model: r for r in
+            seasonal_naive_backtest(spark, SF_DIR).collect()}
+    assert set(rows) == {"naive_lag1", "seasonal_lag7"}
+    n = {r.n_days for r in rows.values()}
+    assert len(n) == 1 and n.pop() > 20
+    for r in rows.values():
+        assert r.mae > 0 and r.mape_pct > 0
