@@ -606,9 +606,6 @@ def equidepth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
-_PCA_ITERS = 3  # unrolled power-iteration steps
-
-
 def _pca_cells_sql(pair_src: str) -> str:
     """Full (mirrored) covariance matrix as (i, j, cov) rows — the one
     corpus-scale pass of the PCA pipeline; unrounded cells."""
@@ -626,72 +623,108 @@ def _pca_cells_sql(pair_src: str) -> str:
     """
 
 
-def _pca_iter_sql(cov_src: str) -> str:
-    """Power iteration for the top principal component over a covariance
-    relation (i, j, cov): {_PCA_ITERS} unrolled matvec+normalize steps
-    from an all-ones start; λ is the Rayleigh quotient v·Av of the
-    final iterate. cov_src is referenced by every matvec, so the Spark
-    operator feeds a MATERIALIZED cells view (CTE inlining would
-    recompute the corpus-scale covariance aggregate per iteration);
-    the DuckDB oracle inlines it (cheap at oracle scale)."""
-    parts = [f"""cov_full AS ({cov_src}),
-    v0 AS (SELECT DISTINCT i, 1e0 AS val FROM cov_full)"""]
-    for it in range(_PCA_ITERS):
-        parts.append(f"""w{it} AS (
-        SELECT m.i, sum(m.cov * v{it}.val) AS w
-        FROM cov_full m JOIN v{it} ON v{it}.i = m.j
-        GROUP BY m.i
-    ),
-    v{it + 1} AS (
-        SELECT w{it}.i, w{it}.w / n.nrm AS val
-        FROM w{it} CROSS JOIN
-             (SELECT sqrt(sum(w * w)) AS nrm FROM w{it}) n
-    )""")
-    k = _PCA_ITERS
-    body = ",\n    ".join(parts)
-    return f"""
-    WITH {body},
+PCA_SQUARINGS = 6  # A^(2^6) = 64 effective power-iteration steps
+
+
+_PCA_TR_SQL = """
+    SELECT sum(cov) AS trace, CAST(count(*) AS DOUBLE) AS d2
+    FROM {cells} WHERE i = j
+"""
+_PCA_B0_SQL = """
+    SELECT c.i, c.j, c.cov * t.d2 / t.trace AS v
+    FROM {cells} c CROSS JOIN {tr} t
+"""
+_PCA_SQ_SQL = """
+    SELECT a.i, b.j, sum(a.v * b.v) AS v
+    FROM {prev} a JOIN {prev} b ON a.j = b.i
+    GROUP BY a.i, b.j
+"""
+_PCA_FINAL_SQL = """
+    WITH vk AS (SELECT i, sum(v) AS val FROM {bk} GROUP BY i),
     av AS (
-        SELECT m.i, sum(m.cov * v{k}.val) AS w
-        FROM cov_full m JOIN v{k} ON v{k}.i = m.j
-        GROUP BY m.i
+        SELECT a.i, sum(a.v * vk.val) AS val
+        FROM {b0} a JOIN vk ON vk.i = a.j
+        GROUP BY a.i
     ),
     ray AS (
-        SELECT sum(v{k}.val * av.w) AS lam
-        FROM v{k} JOIN av ON av.i = v{k}.i
-    ),
-    tr AS (SELECT sum(cov) AS trace FROM cov_full WHERE i = j)
-    SELECT (SELECT count(*) FROM v{k}) AS n_dims,
-           {R("ray.lam", 4)} AS top_eigenvalue,
-           {R("ray.lam / tr.trace", 6)} AS explained_var_share
-    FROM ray CROSS JOIN tr
+        SELECT sum(vk.val * av.val) / sum(vk.val * vk.val) AS lam_s
+        FROM vk JOIN av ON av.i = vk.i
+    )
+    SELECT CAST(t.d2 AS BIGINT) AS n_dims,
+           {lam_out} AS top_eigenvalue,
+           {share_out} AS explained_var_share
+    FROM ray CROSS JOIN {tr} t
 """
 
 
-def _pca_sql(pair_src: str) -> str:
-    """One-statement spelling (cells inlined as a nested CTE) — the
-    DuckDB-oracle form."""
-    return _pca_iter_sql(_pca_cells_sql(pair_src))
+def _pca_oracle() -> str:
+    """Single-statement DuckDB spelling: the squaring chain references
+    each level twice, so every multiply-referenced CTE is declared
+    MATERIALIZED (DuckDB would otherwise inline 2^k copies of the
+    corpus-scale covariance aggregate — measured 76× slower)."""
+    parts = [f"""WITH p AS ({_DUCK_PAIR_SRC}),
+    agg AS MATERIALIZED (
+        SELECT i, j, count(*) AS n, sum(x * y) AS sxy,
+               sum(x) AS sx, sum(y) AS sy
+        FROM p GROUP BY i, j
+    ),
+    cells AS (
+        SELECT i, j, {_COV} AS cov FROM agg
+        UNION ALL
+        SELECT j AS i, i AS j, {_COV} AS cov FROM agg WHERE i < j
+    ),
+    tr AS MATERIALIZED ({_PCA_TR_SQL.format(cells="cells")}),
+    b0 AS MATERIALIZED ({_PCA_B0_SQL.format(cells="cells", tr="tr")})"""]
+    for k in range(PCA_SQUARINGS):
+        parts.append(f"""b{k + 1} AS MATERIALIZED (
+        {_PCA_SQ_SQL.format(prev=f"b{k}")})""")
+    body = ",\n    ".join(parts)
+    final = _PCA_FINAL_SQL.format(
+        bk=f"b{PCA_SQUARINGS}", b0="b0", tr="tr",
+        lam_out=R("ray.lam_s * t.trace / t.d2", 6),
+        share_out=R("ray.lam_s / t.d2", 6),
+    )
+    # _PCA_FINAL_SQL opens its own WITH; splice its CTEs into ours
+    return body + ",\n" + final.replace("WITH ", "", 1)
 
 
 def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding space by distributed
-    power iteration: the covariance aggregate is the only corpus-scale
-    pass; the {_PCA_ITERS} matvec iterations run on the 64×64 cell
-    table (broadcast-sized at any corpus scale — the classic
-    "big-data pass, small-model iterate" split). Reports λ₁ and the
-    explained-variance share λ₁/tr(Σ) — the first number a
-    dimensionality-reduction / whitening decision needs. The cell
-    table MATERIALIZES before iterating — every matvec references it,
-    and CTE inlining would re-run the corpus pass per iteration (a
-    measured 10× on the bench). Normalized iterates keep engine ulp
-    noise from amplifying; outputs canon-round."""
+    """Top principal component of the embedding space by MATRIX SQUARING
+    power iteration: one corpus-scale covariance pass, then
+    {PCA_SQUARINGS} squarings of the broadcast-sized d×d cell table
+    give A^64 — equivalent to 64 matvec steps, enough to close even
+    near-degenerate spectra ((λ₂/λ₁)^128 ≈ 1e-4 on the random-vector
+    fixture; anchored against numpy eigvalsh in tests). λ₁ is the
+    Rayleigh quotient of v = A^64·1.
+
+    Design history, measured: per-step normalized CTE chains inline
+    EXPONENTIALLY (each step references its predecessor twice — hangs
+    beyond ~8 levels); an unnormalized 40-step linear chain was
+    accurate but cost ~37 s (40 shuffle stages); squaring needs 6
+    materialized steps ≈ 1 s. Overflow/underflow is impossible: the
+    trace-scaled matrix has mean eigenvalue exactly 1, so λ'₁ ≥ 1 and
+    ≤ d. Each squaring level MATERIALIZES (both engines — Spark via
+    session.materialize, DuckDB via AS MATERIALIZED)."""
     from database_toolbox_spark.session import materialize  # noqa: PLC0415
 
     load_tables(spark, sf_dir)
     cells = materialize(spark.sql(_pca_cells_sql(_SPARK_PAIR_SRC)))
-    cells.createOrReplaceTempView("pca_cov_cells")
-    return spark.sql(_pca_iter_sql("SELECT * FROM pca_cov_cells"))
+    cells.createOrReplaceTempView("pca_cells")
+    materialize(
+        spark.sql(_PCA_TR_SQL.format(cells="pca_cells"))
+    ).createOrReplaceTempView("pca_tr")
+    materialize(
+        spark.sql(_PCA_B0_SQL.format(cells="pca_cells", tr="pca_tr"))
+    ).createOrReplaceTempView("pca_b0")
+    for k in range(PCA_SQUARINGS):
+        materialize(
+            spark.sql(_PCA_SQ_SQL.format(prev=f"pca_b{k}"))
+        ).createOrReplaceTempView(f"pca_b{k + 1}")
+    return spark.sql(_PCA_FINAL_SQL.format(
+        bk=f"pca_b{PCA_SQUARINGS}", b0="pca_b0", tr="pca_tr",
+        lam_out=R("ray.lam_s * t.trace / t.d2", 6),
+        share_out=R("ray.lam_s / t.d2", 6),
+    ))
 
 
 QUERIES = {
@@ -748,7 +781,7 @@ ORACLE = {
         hi=R("max(p)", 2),
         total=R("sum(p)", 2),
     ),
-    "pca_top_component": _pca_sql(_DUCK_PAIR_SRC),
+    "pca_top_component": _pca_oracle(),
     "embedding_covariance": _COV_SQL.format(
         pair_src=_DUCK_PAIR_SRC,
         cov=R(_COV, 6),

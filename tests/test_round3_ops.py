@@ -484,9 +484,13 @@ def test_equidepth_buckets_hold_quarter_each(spark):
 
 
 def test_pca_eigenvalue_dominates_every_dimension(spark):
-    """λ₁ of the covariance matrix is ≥ the largest single-dimension
-    variance (Rayleigh quotient maximality over basis vectors), and the
-    explained-variance share is a valid fraction."""
+    """λ₁ must be ≥ the largest single-dimension variance (Rayleigh
+    maximality over basis vectors) AND within 2% of numpy's exact
+    eigvalsh on the same covariance — the external-reference anchor
+    that caught a 19% under-converged 3-step iteration (fixed by the
+    matrix-squaring A^64 rewrite)."""
+    import numpy as np
+
     from database_toolbox_spark.operators.profile import (
         embedding_covariance,
         pca_top_component,
@@ -500,6 +504,13 @@ def test_pca_eigenvalue_dominates_every_dimension(spark):
     )
     assert pca.top_eigenvalue >= max_var - 1e-6
     assert 0.0 < pca.explained_var_share <= 1.0
+    X = np.array(
+        [np.array(r.embedding, dtype=np.float64) for r in
+         spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+         .select("embedding").collect()]
+    )
+    lam1 = float(np.linalg.eigvalsh(np.cov(X, rowvar=False))[-1])
+    assert abs(pca.top_eigenvalue - lam1) / lam1 < 0.02
 
 
 def test_mutual_info_bounds(spark):
