@@ -1151,3 +1151,83 @@ ORACLE["funnel_latency_percentiles"] = _FUNNEL_LATENCY_SQL.format(
     p90=R("quantile_cont(minutes, 0.9e0)", 4),
     mx=R("max(minutes)", 4),
 )
+
+
+MARKOV_SQUARINGS = 6  # P^64 — far past mixing for a dense 5-type chain
+
+_MARKOV_P0_SQL = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    rowsum AS (SELECT prev_type, sum(n) AS tot FROM trans
+               GROUP BY prev_type)
+    SELECT t.prev_type AS i, t.next_type AS j,
+           t.n * 1e0 / r.tot AS v
+    FROM trans t JOIN rowsum r ON r.prev_type = t.prev_type
+"""
+
+_MARKOV_FINAL_SQL = """
+    SELECT j AS event_type, {p_out} AS stationary_prob
+    FROM {pk}
+    WHERE i = (SELECT min(i) FROM {pk})
+    ORDER BY event_type
+"""
+
+
+def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-run occupancy of the event-type Markov chain: the stationary
+    distribution π (πP = π), computed as a row of P^64 by the same
+    matrix-squaring machinery as the PCA operator ({MARKOV_SQUARINGS}
+    materialized squarings of the type×type matrix — string-keyed joins,
+    no index mapping needed). Answers "where does a user's session
+    settle?", which the top-3 conditional table
+    (markov_next_event_probs) cannot: π weights every path, not one
+    hop. For a dense 5-state chain P^64 is far past mixing (every row
+    of P^64 IS π to ~1e-10) — anchored against numpy's left
+    eigenvector in tests.
+
+    Scale shape: one lag window (per-user partitions) + one grouped
+    count build P; everything after runs on the |types|² matrix —
+    broadcast-scale forever."""
+    from database_toolbox_spark.operators.profile import (  # noqa: PLC0415
+        _PCA_SQ_SQL,
+    )
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_table(spark, sf_dir, "events")
+    materialize(spark.sql(_MARKOV_P0_SQL)).createOrReplaceTempView("mkv_p0")
+    for k in range(MARKOV_SQUARINGS):
+        materialize(
+            spark.sql(_PCA_SQ_SQL.format(prev=f"mkv_p{k}"))
+        ).createOrReplaceTempView(f"mkv_p{k + 1}")
+    return spark.sql(_MARKOV_FINAL_SQL.format(
+        pk=f"mkv_p{MARKOV_SQUARINGS}", p_out=R("v", 6)
+    ))
+
+
+def _markov_stationary_oracle() -> str:
+    from database_toolbox_spark.operators.profile import (  # noqa: PLC0415
+        _PCA_SQ_SQL,
+    )
+
+    parts = [f"p0 AS MATERIALIZED ({_MARKOV_P0_SQL})"]
+    for k in range(MARKOV_SQUARINGS):
+        parts.append(f"""p{k + 1} AS MATERIALIZED (
+        {_PCA_SQ_SQL.format(prev=f"p{k}")})""")
+    body = ",\n    ".join(parts)
+    final = _MARKOV_FINAL_SQL.format(
+        pk=f"p{MARKOV_SQUARINGS}", p_out=R("v", 6)
+    )
+    return f"WITH {body}\n{final}"
+
+
+QUERIES["markov_stationary_distribution"] = markov_stationary_distribution
+ORACLE["markov_stationary_distribution"] = _markov_stationary_oracle()

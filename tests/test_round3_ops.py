@@ -731,3 +731,35 @@ def test_backtest_scores_positive_for_both_models(spark):
     assert len(n) == 1 and n.pop() > 20
     for r in rows.values():
         assert r.mae > 0 and r.mape_pct > 0
+
+
+def test_markov_stationary_matches_numpy_eigenvector(spark):
+    """π from P^64 must match numpy's left eigenvector of the same
+    transition matrix (eigenvalue 1) — the external anchor pattern for
+    iterative operators that claim a limit; also π must be a proper
+    distribution."""
+    import numpy as np
+
+    from database_toolbox_spark.operators.events import (
+        _MARKOV_P0_SQL,
+        markov_stationary_distribution,
+    )
+    from database_toolbox_spark.session import load_table
+
+    pi = {r.event_type: r.stationary_prob for r in
+          markov_stationary_distribution(spark, SF_DIR).collect()}
+    assert abs(sum(pi.values()) - 1.0) < 1e-4
+
+    load_table(spark, SF_DIR, "events")
+    rows = spark.sql(_MARKOV_P0_SQL).collect()
+    types = sorted(pi)
+    idx = {t: k for k, t in enumerate(types)}
+    P = np.zeros((len(types), len(types)))
+    for r in rows:
+        P[idx[r.i], idx[r.j]] = r.v
+    w, v = np.linalg.eig(P.T)
+    k = int(np.argmin(abs(w - 1.0)))
+    ref = np.real(v[:, k])
+    ref = ref / ref.sum()
+    for t in types:
+        assert abs(pi[t] - ref[idx[t]]) < 1e-4
