@@ -519,3 +519,62 @@ ORACLE = {
         ORDER BY o_custkey, o_orderkey
     """,
 }
+
+
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality statistic of the "whales vs long tail" question, from
+    the rank-weighted formula G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n.
+
+    The ascending rank i comes from the repo's two-pass exact rank
+    (monotone bins → broadcast offsets → partition-local row_number —
+    never a global window) as i = n+1−rank_desc; the oracle keeps the
+    global-window spelling. Ties in x cannot move the statistic
+    (swapping equal x's leaves Σ i·x unchanged), so bin-local
+    tie-breaking is safe. Per-customer revenue is canon-rounded first
+    so both engines rank identical doubles."""
+    from database_toolbox_spark.session import (  # noqa: PLC0415
+        load_tables,
+        materialize,
+    )
+
+    load_tables(spark, sf_dir)
+    per_cust = materialize(spark.sql(f"""
+        SELECT o_custkey AS custkey, {R("sum(o_totalprice)")} AS revenue
+        FROM orders GROUP BY o_custkey
+    """))
+    per_cust.createOrReplaceTempView("gini_per_cust_v")
+    return spark.sql(f"""
+        WITH per_cust AS (SELECT * FROM gini_per_cust_v),
+        cnt AS (SELECT count(*) AS n, sum(revenue) AS tot FROM per_cust),
+        {_two_pass_rank_ctes(
+            "g", "revenue", "CAST(-floor(revenue / 10000e0) AS BIGINT)"
+        )}
+        SELECT c.n AS n_customers,
+               {R("2e0 * sum((c.n + 1 - r.rn) * b.v) / (c.n * c.tot)"
+                  " - (c.n + 1e0) / c.n", 6)} AS gini
+        FROM r_g r
+        JOIN b_g b ON b.custkey = r.custkey
+        CROSS JOIN cnt c
+        GROUP BY c.n, c.tot
+    """)
+
+
+QUERIES["gini_customer_revenue"] = gini_customer_revenue
+ORACLE["gini_customer_revenue"] = f"""
+    WITH per_cust AS (
+        SELECT o_custkey AS custkey, {R("sum(o_totalprice)")} AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    cnt AS (SELECT count(*) AS n, sum(revenue) AS tot FROM per_cust),
+    r AS (
+        SELECT revenue AS v,
+               row_number() OVER (ORDER BY revenue ASC, custkey DESC) AS i
+        FROM per_cust
+    )
+    SELECT c.n AS n_customers,
+           {R("2e0 * sum(r.i * r.v) / (c.n * c.tot)"
+              " - (c.n + 1e0) / c.n", 6)} AS gini
+    FROM r CROSS JOIN cnt c
+    GROUP BY c.n, c.tot
+"""

@@ -763,3 +763,29 @@ def test_markov_stationary_matches_numpy_eigenvector(spark):
     ref = ref / ref.sum()
     for t in types:
         assert abs(pi[t] - ref[idx[t]]) < 1e-4
+
+
+def test_gini_matches_direct_computation(spark):
+    """The two-pass-rank Gini must equal the direct sorted-formula value
+    computed in numpy on the same canon-rounded revenues (external
+    anchor), and lie in [0, 1)."""
+    import numpy as np
+
+    from database_toolbox_spark.operators.windows import (
+        gini_customer_revenue,
+    )
+    from database_toolbox_spark.session import load_tables
+
+    r = gini_customer_revenue(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r.gini < 1.0
+    load_tables(spark, SF_DIR)
+    rev = np.sort(np.array([
+        row.revenue for row in spark.sql(
+            "SELECT floor(sum(o_totalprice) * 100 + 0.501e0) / 100e0"
+            " AS revenue FROM orders GROUP BY o_custkey"
+        ).collect()
+    ]))
+    n = len(rev)
+    ref = 2.0 * np.sum(np.arange(1, n + 1) * rev) / (n * rev.sum()) \
+        - (n + 1.0) / n
+    assert abs(r.gini - ref) < 1e-5
