@@ -864,3 +864,45 @@ ORACLE["seasonal_naive_backtest"] = _BACKTEST_SQL.format(
     mae7=R("avg(abs(rev - seasonal7))", 2),
     mape7=R("avg(abs(rev - seasonal7) / rev) * 100e0", 4),
 )
+
+
+_HHI_SQL = """
+    WITH per_cust AS (
+        SELECT c.c_mktsegment AS seg, o.o_custkey AS k,
+               sum(o.o_totalprice) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    tot AS (SELECT seg, sum(rev) AS t, count(*) AS n FROM per_cust
+            GROUP BY seg)
+    SELECT p.seg AS c_mktsegment,
+           t.n AS n_customers,
+           {hhi} AS hhi,
+           {hhi_norm} AS hhi_normalized
+    FROM per_cust p JOIN tot t ON t.seg = p.seg
+    GROUP BY p.seg, t.t, t.n
+    ORDER BY c_mktsegment
+"""
+
+
+def segment_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of revenue per market segment:
+    HHI = Σ shareᵢ² — the antitrust-style concentration index, and the
+    algebraic-aggregate companion to the rank-based Gini (one grouped
+    pass, map-side combinable, no ranks at all; normalized form rescales
+    [1/n, 1] → [0, 1]). Same customer grain both engines; share
+    squaring order differences are absorbed by canon-rounding."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_HHI_SQL.format(
+        hhi=R("sum((p.rev / t.t) * (p.rev / t.t))", 6),
+        hhi_norm=R("(sum((p.rev / t.t) * (p.rev / t.t)) - 1e0 / t.n)"
+                   " / (1e0 - 1e0 / t.n)", 6),
+    ))
+
+
+QUERIES["segment_revenue_hhi"] = segment_revenue_hhi
+ORACLE["segment_revenue_hhi"] = _HHI_SQL.format(
+    hhi=R("sum((p.rev / t.t) * (p.rev / t.t))", 6),
+    hhi_norm=R("(sum((p.rev / t.t) * (p.rev / t.t)) - 1e0 / t.n)"
+               " / (1e0 - 1e0 / t.n)", 6),
+)

@@ -789,3 +789,15 @@ def test_gini_matches_direct_computation(spark):
     ref = 2.0 * np.sum(np.arange(1, n + 1) * rev) / (n * rev.sum()) \
         - (n + 1.0) / n
     assert abs(r.gini - ref) < 1e-5
+
+
+def test_hhi_bounds_and_agreement_with_gini_direction(spark):
+    """HHI ∈ (1/n, 1]; normalized HHI ∈ [0, 1]; near-uniform synthetic
+    customers keep both concentration measures small."""
+    from database_toolbox_spark.operators.stats import segment_revenue_hhi
+
+    rows = segment_revenue_hhi(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 1.0 / r.n_customers <= r.hhi <= 1.0 + 1e-9
+        assert -1e-9 <= r.hhi_normalized <= 1.0
