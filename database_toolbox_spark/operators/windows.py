@@ -578,3 +578,92 @@ ORACLE["gini_customer_revenue"] = f"""
     FROM r CROSS JOIN cnt c
     GROUP BY c.n, c.tot
 """
+
+
+def lorenz_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at decile grain: revenue share and cumulative share
+    of each customer-revenue decile (decile 10 = whales) — the
+    plottable curve behind gini_customer_revenue's scalar.
+
+    Deciles come from the same two-pass exact rank with the
+    closed-form definition decile = ceil(10·rank/n) — no global ntile
+    window, and the ORACLE uses the same closed form (ntile(10) places
+    its n%10 remainder rows differently, so the two definitions agree
+    only when 10 divides n). The cumulative share is a window over the
+    10-row decile table (hash%1 declares the bounded single
+    partition)."""
+    from database_toolbox_spark.session import (  # noqa: PLC0415
+        load_tables,
+        materialize,
+    )
+
+    load_tables(spark, sf_dir)
+    per_cust = materialize(spark.sql(f"""
+        SELECT o_custkey AS custkey, {R("sum(o_totalprice)")} AS revenue
+        FROM orders GROUP BY o_custkey
+    """))
+    per_cust.createOrReplaceTempView("lorenz_per_cust_v")
+    return spark.sql(f"""
+        WITH per_cust AS (SELECT * FROM lorenz_per_cust_v),
+        cnt AS (SELECT count(*) AS n, sum(revenue) AS tot FROM per_cust),
+        {_two_pass_rank_ctes(
+            "l", "revenue", "CAST(-floor(revenue / 10000e0) AS BIGINT)"
+        )},
+        dec AS (
+            SELECT CAST(ceil((c.n + 1 - r.rn) * 10e0 / c.n) AS INT)
+                       AS decile,
+                   b.v AS revenue
+            FROM r_l r JOIN b_l b ON b.custkey = r.custkey
+            CROSS JOIN cnt c
+        ),
+        per_dec AS (
+            SELECT d.decile, count(*) AS n_customers,
+                   sum(d.revenue) / c.tot AS share
+            FROM dec d CROSS JOIN cnt c
+            GROUP BY d.decile, c.tot
+        )
+        SELECT decile, n_customers,
+               {R("share", 6)} AS revenue_share,
+               {R("sum(share) OVER (PARTITION BY (hash(decile) % 1)"
+                  " ORDER BY decile"
+                  " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+                  6)} AS cum_share
+        FROM per_dec
+        ORDER BY decile
+    """)
+
+
+QUERIES["lorenz_decile_shares"] = lorenz_decile_shares
+ORACLE["lorenz_decile_shares"] = f"""
+    WITH per_cust AS (
+        SELECT o_custkey AS custkey, {R("sum(o_totalprice)")} AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    cnt AS (SELECT count(*) AS n, sum(revenue) AS tot FROM per_cust),
+    dec AS (
+        -- same closed-form decile as the Spark side: ntile(10) places
+        -- its n%10 remainder rows in the FIRST groups, the ceil form
+        -- spreads them across boundary groups — identical only when
+        -- 10 | n (true for every fixture, not in general)
+        SELECT CAST(ceil(r.i * 10e0 / c.n) AS INT) AS decile, r.revenue
+        FROM (SELECT revenue, custkey,
+                     row_number() OVER (ORDER BY revenue ASC,
+                                        custkey DESC) AS i
+              FROM per_cust) r
+        CROSS JOIN cnt c
+    ),
+    per_dec AS (
+        SELECT d.decile, count(*) AS n_customers,
+               sum(d.revenue) / c.tot AS share
+        FROM dec d CROSS JOIN cnt c
+        GROUP BY d.decile, c.tot
+    )
+    SELECT decile, n_customers,
+           {R("share", 6)} AS revenue_share,
+           {R("sum(share) OVER (PARTITION BY (hash(decile) % 1)"
+              " ORDER BY decile"
+              " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+              6)} AS cum_share
+    FROM per_dec
+    ORDER BY decile
+"""

@@ -801,3 +801,22 @@ def test_hhi_bounds_and_agreement_with_gini_direction(spark):
     for r in rows:
         assert 1.0 / r.n_customers <= r.hhi <= 1.0 + 1e-9
         assert -1e-9 <= r.hhi_normalized <= 1.0
+
+
+def test_lorenz_curve_convex_and_complete(spark):
+    """Lorenz sanity: shares sum to 1, cumulative share is increasing
+    and CONVEX (each richer decile holds at least the previous one's
+    share), and the top decile dominates the bottom."""
+    from database_toolbox_spark.operators.windows import (
+        lorenz_decile_shares,
+    )
+
+    rows = sorted(lorenz_decile_shares(spark, SF_DIR).collect(),
+                  key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-4
+    assert abs(rows[-1].cum_share - 1.0) < 1e-4
+    shares = [r.revenue_share for r in rows]
+    for a, b in zip(shares, shares[1:]):
+        assert b >= a - 1e-9  # sorted-by-revenue deciles ⇒ convexity
+    assert shares[-1] >= shares[0]
