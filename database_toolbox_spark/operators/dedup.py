@@ -336,7 +336,13 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = broadcastable) and computes |∩| via array_intersect — no
     row re-explosion of the shingle table per candidate. The ordering
     window is partitioned by doc_id (bounded by doc length — never a
-    global sort)."""
+    global sort).
+
+    Exactness caveat: verification intersects xxhash64(shingle) arrays,
+    so "exact" is modulo 64-bit hash collisions between DISTINCT
+    shingles of the same document pair (probability ≈ n²/2⁶⁵ per pair —
+    negligible at any shingle count a document holds, but stated here
+    because the oracle intersects the string shingles directly)."""
     load_tables(spark, sf_dir)
     materialize(spark.sql(f"{_SPARK_SHINGLES} SELECT * FROM sh")).createOrReplaceTempView(
         "pf_sh"

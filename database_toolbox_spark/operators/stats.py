@@ -504,7 +504,8 @@ def segment_priority_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_MI_SQL.format(
         mi_out=R("mi.v", 6),
-        nmi_out=R("mi.v / sqrt(hx.h * hy.h)", 6),
+        nmi_out=R("CASE WHEN hx.h * hy.h > 0e0"
+                  " THEN mi.v / sqrt(hx.h * hy.h) ELSE 0e0 END", 6),
     ))
 
 
@@ -523,9 +524,11 @@ _MAD_SQL = """
            count(*) AS n_orders,
            {med_out} AS median_price,
            {mad_out} AS mad,
-           CAST(sum(CASE WHEN abs(j.p - m1.med)
-                              > 3e0 * 1.4826e0 * m2.mad
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+           CASE WHEN m2.mad > 0e0 THEN
+               CAST(sum(CASE WHEN abs(j.p - m1.med)
+                                  > 3e0 * 1.4826e0 * m2.mad
+                        THEN 1 ELSE 0 END) AS BIGINT)
+           ELSE CAST(NULL AS BIGINT) END AS n_outliers
     FROM j
     JOIN m1 ON m1.seg = j.seg
     JOIN m2 ON m2.seg = j.seg
@@ -575,7 +578,8 @@ QUERIES = {
 ORACLE = {
     "segment_priority_mutual_info": _MI_SQL.format(
         mi_out=R("mi.v", 6),
-        nmi_out=R("mi.v / sqrt(hx.h * hy.h)", 6),
+        nmi_out=R("CASE WHEN hx.h * hy.h > 0e0"
+                  " THEN mi.v / sqrt(hx.h * hy.h) ELSE 0e0 END", 6),
     ),
     "mad_outlier_counts": _MAD_SQL.format(
         med_p="quantile_cont(p, 0.5e0)",

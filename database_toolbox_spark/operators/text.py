@@ -582,9 +582,12 @@ def bm25_scored_ctes(n_words: str, tok_src: str,
     dl/stats/tok/tf/df/scored ending in scored(doc_id, score), shared
     by bm25_top_terms and similarity.hybrid_rrf_search in BOTH dialects
     (the formula itself is dialect-neutral SQL; only n_words/tok_src
-    vary). exclude_doc drops a query document from the ranking."""
+    vary). exclude_doc drops a query document from the ranking AND from
+    the corpus statistics (n_docs/sum_dl/df) so idf and length
+    normalization describe the same corpus the ranking runs over."""
     excl = f" AND doc_id <> {exclude_doc}" if exclude_doc is not None else ""
-    return f"""dl AS (SELECT doc_id, {n_words} AS dl FROM documents),
+    dl_excl = f" WHERE doc_id <> {exclude_doc}" if exclude_doc is not None else ""
+    return f"""dl AS (SELECT doc_id, {n_words} AS dl FROM documents{dl_excl}),
     stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
     tok AS ({tok_src}),
     tf AS (

@@ -306,7 +306,21 @@ def test_hilbert_beats_zorder_on_nonaligned_splits(spark):
     day = "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')"
 
     def area(sql):
-        rows = spark.sql(sql.replace(">> 10", "/ 1365")).collect()
+        # non-aligned splits: equal-length curve segments instead of the
+        # power-of-two prefix buckets.  Build the rewrite from the live
+        # shift constant so a HILBERT_N change can't silently no-op it.
+        from database_toolbox_spark.operators.partitioning import (
+            _H_BUCKET_SHIFT,
+            HILBERT_N,
+        )
+
+        # 4/3 of the aligned bucket size (2^shift cells) → a
+        # non-power-of-two segment (1365 at the current 10-bit shift)
+        seg = (1 << _H_BUCKET_SHIFT) * 4 // 3
+        assert HILBERT_N * HILBERT_N % seg != 0  # genuinely non-aligned
+        rewritten = sql.replace(f">> {_H_BUCKET_SHIFT}", f"/ {seg}")
+        assert rewritten != sql, "bucket-shift rewrite did not match the SQL"
+        rows = spark.sql(rewritten).collect()
         boxes = [
             (r.max_custkey - r.min_custkey + 1)
             * ((r.max_date - r.min_date).days + 1)
