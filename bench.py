@@ -149,26 +149,34 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
-        best = float("inf")
         # min of 3: the shared host shows 20-40% inter-run contention
         # swings (SCALING.md round-3 note); 2 samples were not enough to
         # reach steady state reliably
+        samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        # within-session variance (max-min over the warm runs): the
+        # yardstick that separates a plan regression from contention
+        # see-saw when comparing rounds
+        spreads[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     prev = _prev_timings()
     regressions = {
-        n: {"prev": prev[n], "now": t}
+        n: {"prev": prev[n], "now": t, "spread": spreads[n]}
         for n, t in timings.items()
-        # 1.3x AND +0.25s absolute: sub-quarter-second deltas on local[32]
+        # 1.3x AND +0.25s absolute AND outside this run's own observed
+        # jitter: sub-quarter-second or within-spread deltas on local[32]
         # are run-to-run noise, not plan regressions
-        if n in prev and t > prev[n] * 1.3 and t - prev[n] > 0.25
+        if n in prev
+        and t > prev[n] * 1.3
+        and t - prev[n] > max(0.25, 2 * spreads[n])
     }
     print(
         json.dumps(
@@ -177,6 +185,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_spread_sec": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "regressions_vs_prev_round": regressions,
             }

@@ -149,14 +149,14 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = build_vocab(spark, sf_dir).select("term").withColumn(
         "in_vocab", F.lit(1)
     )
+    # source rides the explode — no join back to documents on the
+    # token-grain stream (the only join left is the broadcast vocab)
     toks = spark.sql(
-        "SELECT /*+ REPARTITION */ doc_id, explode(split(text, ' ')) AS term "
-        "FROM documents"
+        "SELECT /*+ REPARTITION */ source, "
+        "explode(split(text, ' ')) AS term FROM documents"
     )
-    docs = spark.table("documents").select("doc_id", "source")
     return (
         toks.join(F.broadcast(vocab), "term", "left")
-        .join(docs, "doc_id")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_tokens"),

@@ -414,26 +414,35 @@ def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
-_THEIL_SEN_SQL = """
-    WITH daily AS (
+_THEIL_DAILY_SQL = """
         SELECT {xd} AS x, {rev} AS rev
         FROM orders
         WHERE o_orderdate >= DATE '1998-01-01'
+          AND o_orderdate < DATE '1999-01-01'
         GROUP BY {xd}
-    ),
+"""
+
+# {daily_cte} is empty on the Spark side (daily is a MATERIALIZED temp
+# view — Catalyst re-inlines a thrice-referenced CTE, recomputing the
+# orders aggregate per reference) and "daily AS MATERIALIZED (...)," on
+# the DuckDB side; `fit` carries the slope median through to the
+# residual median so the O(n^2) slopes join runs exactly once.
+_THEIL_SEN_SQL = """
+    WITH {daily_cte}
     slopes AS (
         SELECT (b.rev - a.rev) / (b.x - a.x) AS slope
-        FROM daily a JOIN daily b ON a.x < b.x
+        FROM {d} a JOIN {d} b ON a.x < b.x
     ),
     med AS (SELECT {med_slope} AS m FROM slopes),
-    res AS (
-        SELECT {med_resid} AS b0
-        FROM daily d CROSS JOIN med
+    fit AS (
+        SELECT med.m AS m, {med_resid} AS b0
+        FROM {d} d CROSS JOIN med
+        GROUP BY med.m
     )
-    SELECT (SELECT count(*) FROM daily) AS n_days,
+    SELECT (SELECT count(*) FROM {d}) AS n_days,
            {slope_out} AS slope_per_day,
            {intercept_out} AS intercept
-    FROM med CROSS JOIN res
+    FROM fit
 """
 
 
@@ -447,16 +456,26 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     DAILY aggregate, whose size is bounded by calendar length (a few
     thousand rows at ANY corpus scale), so the non-equi self-join is a
     broadcast over a trivially small series, never over fact rows. The
-    exact medians interpolate identically in both engines (same guard
-    as exact_percentile_battery); outputs are canon-rounded."""
+    daily aggregate is MATERIALIZED (it is referenced three times and
+    Catalyst would otherwise recompute the orders scan+agg per
+    reference) and the slope median rides the `fit` CTE into the
+    residual pass so the pairwise join runs exactly once. The exact
+    medians interpolate identically in both engines (same guard as
+    exact_percentile_battery); outputs are canon-rounded."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
     load_tables(spark, sf_dir)
-    return spark.sql(_THEIL_SEN_SQL.format(
+    materialize(spark.sql(_THEIL_DAILY_SQL.format(
         xd="datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')",
         rev=R("sum(o_totalprice)"),
+    ))).createOrReplaceTempView("ts_daily")
+    return spark.sql(_THEIL_SEN_SQL.format(
+        daily_cte="",
+        d="ts_daily",
         med_slope="percentile(slope, 0.5e0)",
         med_resid="percentile(d.rev - med.m * d.x, 0.5e0)",
-        slope_out=R("med.m", 6),
-        intercept_out=R("res.b0", 2),
+        slope_out=R("fit.m", 6),
+        intercept_out=R("fit.b0", 2),
     ))
 
 
@@ -588,12 +607,16 @@ ORACLE = {
         mad_out=R("m2.mad", 2),
     ),
     "theil_sen_trend": _THEIL_SEN_SQL.format(
-        xd="date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
-        rev=R("sum(o_totalprice)"),
+        daily_cte="daily AS MATERIALIZED (" + _THEIL_DAILY_SQL.format(
+            xd="date_diff('day', DATE '1992-01-01',"
+               " CAST(o_orderdate AS DATE))",
+            rev=R("sum(o_totalprice)"),
+        ) + "),",
+        d="daily",
         med_slope="quantile_cont(slope, 0.5e0)",
         med_resid="quantile_cont(d.rev - med.m * d.x, 0.5e0)",
-        slope_out=R("med.m", 6),
-        intercept_out=R("res.b0", 2),
+        slope_out=R("fit.m", 6),
+        intercept_out=R("fit.b0", 2),
     ),
     # DuckDB dayofweek is 0=Sunday; Spark is 1=Sunday — shift to match
     "dow_seasonality_profile": _DOW_SQL.format(
