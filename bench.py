@@ -99,6 +99,13 @@ HEADLINE = [
     "source_overlap_matrix",
     "kaplan_meier_purchase",
     "time_decay_attribution",
+    # round-4 tranche: containment prefix-join, PQ-ADC ANN, Holt trend,
+    # conformal calibration, central-moment shape profile
+    "containment_dup_pairs",
+    "pq_ann_topk",
+    "holt_linear_daily_revenue",
+    "conformal_interval_coverage",
+    "moment_profile_by_segment",
 ]
 
 

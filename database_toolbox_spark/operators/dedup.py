@@ -1175,7 +1175,13 @@ ORACLE["embedding_similarity_clusters"] = f"""
 """
 
 
-SEMDEDUP_CELLS = 16  # coarse-quantizer cells (SemDeDup's k; scale k with n)
+SEMDEDUP_CELLS = 16  # coarse-quantizer cell FLOOR (SemDeDup's k)
+SEMDEDUP_TARGET_CELL = 125  # target vectors per cell: k = max(16, n/125),
+# so k GROWS with the corpus and the within-cell (n/k)^2 work stays
+# constant per cell — the property that makes SemDeDup linear at 100 TB
+# (measured: fixed k=16 went 25x runtime on 10x data in scaling_sf1.py;
+# scaled k holds it linear). At the oracle test scales (<= 2000 vectors)
+# the formula still yields k=16, so registry outputs are unchanged.
 
 
 def _semdedup_assign_sql(norm2, l2) -> str:
@@ -1184,9 +1190,16 @@ def _semdedup_assign_sql(norm2, l2) -> str:
     1e-6-floored distance (the kmeans/IVF guard) so libm ulps can't
     flip cell membership."""
     return f"""
-        WITH cents AS (
+        WITH k AS (
+            SELECT greatest({SEMDEDUP_CELLS},
+                            CAST(ceil(count(*) * 1e0
+                                      / {SEMDEDUP_TARGET_CELL}) AS BIGINT))
+                       AS n_cells
+            FROM embeddings
+        ),
+        cents AS (
             SELECT vec_id AS cell, embedding AS cemb FROM embeddings
-            WHERE vec_id < {SEMDEDUP_CELLS}
+            WHERE vec_id < (SELECT n_cells FROM k)
         ),
         v AS (
             SELECT vec_id, embedding, {norm2("embedding")} AS norm2
@@ -1444,3 +1457,138 @@ def near_dup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["near_dup_threshold_curve"] = near_dup_threshold_curve
 ORACLE["near_dup_threshold_curve"] = _threshold_curve_sql(_DUCK_SHINGLES)
+
+
+CONTAINMENT_NUM = 4  # tau = 4/5: integer spelling 5*|A.B| >= 4*|A| keeps
+CONTAINMENT_DEN = 5  # the threshold comparison exact in both engines
+
+
+def _containment_verify_sql(inter, arr_src: str) -> str:
+    """Shared containment verification over candidate pairs: containment
+    C(A->B) = |A.B| / |A| with A the smaller side (n_a < n_b, ties by
+    id). The threshold compare is integer arithmetic (5c >= 4*n_a), so
+    no float knife edge exists in either dialect."""
+    return f"""
+        common AS (
+            SELECT c.doc_a, c.doc_b, {inter} AS n_common,
+                   a.n AS na, b.n AS nb
+            FROM cand c
+            JOIN {arr_src} a ON a.doc_id = c.doc_a
+            JOIN {arr_src} b ON b.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               {R("n_common * 1e0 / na", 6)} AS containment
+        FROM common
+        WHERE {CONTAINMENT_DEN} * n_common >= {CONTAINMENT_NUM} * na
+          AND (na < nb OR (na = nb AND doc_a < doc_b))
+        ORDER BY doc_a, doc_b
+    """
+
+
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set-CONTAINMENT similarity join (|A∩B|/|A| >= 0.8 with
+    A the smaller document): finds documents SUBSUMED by larger ones —
+    quote farms, boilerplate wrappers, partial copies — which symmetric
+    Jaccard misses (a small doc fully contained in a 10x-larger one has
+    J ~= 0.1). The decontamination companion: benchmark rows embedded
+    inside training documents are containment hits, not resemblance
+    hits.
+
+    Candidates via the containment form of prefix filtering (Chaudhuri
+    et al. ICDE'06): under the global rarity order, if |A∩B| >=
+    ceil(τ·|A|) then A has at most |A| - ceil(τ·|A|) shingles outside
+    B, so A's first |A| - ceil(τ·|A|) + 1 rarity-ordered shingles must
+    hit B somewhere — join the PREFIX postings against full postings
+    (prefix entries are the rarest shingles, so the probe side's lists
+    stay short). Verification intersects per-doc xxhash64 shingle
+    arrays (same collision caveat as jaccard_prefix_filter_pairs — the
+    oracle intersects the string shingles directly).
+
+    Scale shape: prefix postings shrink candidate generation the same
+    way the Jaccard AllPairs join does; the rarity window partitions by
+    doc_id; verification touches candidates only."""
+    load_tables(spark, sf_dir)
+    materialize(
+        spark.sql(f"{_SPARK_SHINGLES} SELECT * FROM sh")
+    ).createOrReplaceTempView("ct_sh")
+    tau = f"{CONTAINMENT_NUM}e0 / {CONTAINMENT_DEN}e0"
+    return spark.sql(f"""
+        WITH sh AS (SELECT * FROM ct_sh),
+        df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        ordered AS (
+            SELECT sh.doc_id, sh.s,
+                   row_number() OVER (PARTITION BY sh.doc_id
+                                      ORDER BY df.df, sh.s) AS r
+            FROM sh JOIN df ON df.s = sh.s
+        ),
+        prefix AS (
+            SELECT o.doc_id, o.s
+            FROM ordered o JOIN cnt c ON c.doc_id = o.doc_id
+            WHERE o.r <= c.n - CAST(ceil(({tau}) * c.n) AS BIGINT) + 1
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM prefix a JOIN sh b
+              ON a.s = b.s AND a.doc_id <> b.doc_id
+        ),
+        hs AS (SELECT doc_id, xxhash64(s) AS h FROM sh),
+        arrs AS (
+            SELECT doc_id, collect_list(h) AS ss, count(*) AS n
+            FROM hs GROUP BY doc_id
+        ),
+        {_containment_verify_sql("size(array_intersect(a.ss, b.ss))",
+                                 "arrs")}
+    """)
+
+
+QUERIES["containment_dup_pairs"] = containment_dup_pairs
+ORACLE["containment_dup_pairs"] = f"""
+    {_DUCK_SHINGLES},
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id <> y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT m.doc_a, m.doc_b,
+           CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+           {R("m.n_common * 1e0 / ca.n", 6)} AS containment
+    FROM common m
+    JOIN cnt ca ON ca.doc_id = m.doc_a
+    JOIN cnt cb ON cb.doc_id = m.doc_b
+    WHERE {CONTAINMENT_DEN} * m.n_common >= {CONTAINMENT_NUM} * ca.n
+      AND (ca.n < cb.n OR (ca.n = cb.n AND m.doc_a < m.doc_b))
+    ORDER BY m.doc_a, m.doc_b
+"""
+
+
+_CLUSTER_HIST_SQL = """
+    WITH cl AS ({src})
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           CAST(sum(n_dropped) AS BIGINT) AS n_dropped
+    FROM cl GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup components — the report
+    that tells a curation run whether dedup losses come from a long tail
+    of pairs or a few giant templates (a power-law cluster histogram
+    means template/boilerplate removal beats pairwise dedup). One
+    grouped agg over dup_clusters' component table (component-count
+    cardinality, trivially small relative to the corpus)."""
+    clusters = dup_clusters(spark, sf_dir)
+    clusters.createOrReplaceTempView("dup_clusters_v")
+    return spark.sql(
+        _CLUSTER_HIST_SQL.format(src="SELECT * FROM dup_clusters_v")
+    )
+
+
+QUERIES["dup_cluster_size_histogram"] = dup_cluster_size_histogram
+ORACLE["dup_cluster_size_histogram"] = _CLUSTER_HIST_SQL.format(
+    src=ORACLE["dup_clusters"]
+)

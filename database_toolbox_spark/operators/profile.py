@@ -899,3 +899,46 @@ ORACLE["deletion_impact_audit"] = _DELETION_SQL.format(
     bucket="CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4))"
            " AS INTEGER) % 100"
 )
+
+
+_L_DIVERSITY_SQL = f"""
+        WITH j AS (
+            SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        ),
+        classes AS (
+            SELECT c_nationkey, c_mktsegment,
+                   count(*) AS class_rows,
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_div
+            FROM j GROUP BY c_nationkey, c_mktsegment
+        )
+        SELECT count(*) AS n_classes,
+               CAST(min(l_div) AS BIGINT) AS l_diversity,
+               CAST(sum(CASE WHEN l_div < 3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_low_classes,
+               CAST(sum(CASE WHEN l_div < 3 THEN class_rows ELSE 0 END)
+                   AS BIGINT) AS n_rows_at_risk,
+               {R("avg(l_div * 1e0)", 4)} AS avg_l
+        FROM classes
+"""
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion to k_anonymity_audit (Machanavajjhala
+    et al., ICDE'06): a class can be large (k-anonymous) yet still leak if
+    every member shares the same SENSITIVE value. Over the same
+    quasi-identifier pair (c_nationkey, c_mktsegment) joined to orders,
+    report per-class distinct-count of the sensitive attribute
+    (o_orderpriority): the dataset's l (smallest class diversity), classes
+    below l=3, and rows at risk.
+
+    Scale shape: one join pruned to three columns, one grouped
+    count-distinct on the QI key (the distinct set per class is bounded by
+    the sensitive domain, 5 priorities), then a scalar re-aggregate over
+    the QI-domain-sized class table. Identical SQL on both engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_L_DIVERSITY_SQL)
+
+
+QUERIES["l_diversity_audit"] = l_diversity_audit
+ORACLE["l_diversity_audit"] = _L_DIVERSITY_SQL

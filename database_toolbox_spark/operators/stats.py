@@ -933,3 +933,219 @@ ORACLE["segment_revenue_hhi"] = _HHI_SQL.format(
     hhi_norm=R("(sum((p.rev / t.t) * (p.rev / t.t)) - 1e0 / t.n)"
                " / (1e0 - 1e0 / t.n)", 6),
 )
+
+
+_MOMENT_SQL = f"""
+    WITH j AS (
+        SELECT c.c_mktsegment AS seg, o.o_totalprice AS p
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    m AS (SELECT seg, avg(p) AS mu, count(*) AS n FROM j GROUP BY seg),
+    cm AS (
+        SELECT j.seg,
+               avg((j.p - m.mu) * (j.p - m.mu)) AS m2,
+               avg(pow(j.p - m.mu, 3)) AS m3,
+               avg(pow(j.p - m.mu, 4)) AS m4
+        FROM j JOIN m ON m.seg = j.seg
+        GROUP BY j.seg
+    )
+    SELECT cm.seg AS c_mktsegment,
+           CAST(m.n AS BIGINT) AS n_orders,
+           {R("m.mu", 2)} AS mean_price,
+           {R("sqrt(cm.m2)", 2)} AS stddev_pop,
+           {R("cm.m3 / pow(cm.m2, 1.5e0)", 4)} AS skewness,
+           {R("cm.m4 / (cm.m2 * cm.m2) - 3e0", 4)} AS excess_kurtosis
+    FROM cm JOIN m ON m.seg = cm.seg
+    ORDER BY c_mktsegment
+"""
+
+
+def moment_profile_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of order prices per market
+    segment, computed from explicit central moments — the shape
+    diagnostics next to the location/scale battery (segment_stats). Both
+    engines ship skewness()/kurtosis() built-ins but with DIFFERENT bias
+    corrections (Spark population vs DuckDB sample), so the shared SQL
+    spells out m2/m3/m4 and the dimensionless ratios g1 = m3/m2^1.5,
+    g2 = m4/m2^2 - 3, identical in both dialects.
+
+    Scale shape: two grouped passes over the pruned 2-column join (mean,
+    then centered moments — map-side combinable avg of powers), each
+    reducing to a 5-row broadcast. The ratios normalize away the raw
+    moment magnitudes, so canon-rounding at 4 decimals absorbs float
+    merge-order ulps."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_MOMENT_SQL)
+
+
+QUERIES["moment_profile_by_segment"] = moment_profile_by_segment
+ORACLE["moment_profile_by_segment"] = _MOMENT_SQL
+
+
+_CONFORMAL_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, {rev} AS rev
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    lagged AS (
+        SELECT day, rev,
+               lag(rev, 1) OVER (PARTITION BY dayofweek(day)
+                                 ORDER BY day) AS pred
+        FROM daily
+    ),
+    resid AS (
+        SELECT day, abs(rev - pred) AS ar
+        FROM lagged WHERE pred IS NOT NULL
+    ),
+    q AS (SELECT {q90} AS q FROM resid WHERE day < DATE '1997-01-01')
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM resid
+            WHERE day < DATE '1997-01-01') AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           {q_out} AS q90_resid,
+           {cov} AS coverage
+    FROM resid r CROSS JOIN q
+    WHERE r.day >= DATE '1997-01-01'
+    GROUP BY q.q
+"""
+
+
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the daily-revenue
+    seasonal-naive forecaster (Vovk et al.; the distribution-free
+    calibration every forecast pipeline should ship): calibrate the 90%
+    absolute-residual quantile on pre-1997 days, then measure empirical
+    coverage of mean +- q on the held-out days. A well-calibrated
+    interval covers ~90% out of sample regardless of the error
+    distribution — the check that catches a forecaster whose errors
+    fatten over time.
+
+    The per-weekday lag gives the week-over-week seasonal-naive
+    prediction with a NATURALLY partitioned window (7 partitions, never
+    global). Daily revenues are canon-rounded before differencing, so
+    residuals are bit-identical across engines and the interpolated
+    quantile is deterministic (exact_percentile_battery guard); the
+    coverage knife-edge ar = q is consistent for the same reason.
+
+    Scale shape: one grouped day aggregate (calendar-bounded), one
+    7-partition window, one scalar quantile broadcast back — nothing
+    scales beyond the day series."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_CONFORMAL_SQL.format(
+        rev=R("sum(o_totalprice)"),
+        q90="percentile(ar, 0.9e0)",
+        q_out=R("q.q", 2),
+        cov=R("avg(CASE WHEN r.ar <= q.q THEN 1e0 ELSE 0e0 END)", 4),
+    ))
+
+
+QUERIES["conformal_interval_coverage"] = conformal_interval_coverage
+ORACLE["conformal_interval_coverage"] = _CONFORMAL_SQL.format(
+    rev=R("sum(o_totalprice)"),
+    q90="quantile_cont(ar, 0.9e0)",
+    q_out=R("q.q", 2),
+    cov=R("avg(CASE WHEN r.ar <= q.q THEN 1e0 ELSE 0e0 END)", 4),
+)
+
+
+HOLT_ALPHA = "0.3e0"  # level smoothing
+HOLT_1MA = "0.7e0"
+HOLT_BETA = "0.1e0"  # trend smoothing
+HOLT_1MB = "0.9e0"
+
+
+def holt_linear_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's two-parameter linear-trend smoothing (alpha=0.3, beta=0.1)
+    over the daily revenue series, truncated to a 28-day trailing frame —
+    the trend-aware sibling of ewma_daily_revenue (EWMA lags a trending
+    series by design; Holt tracks level AND slope, and level + trend is
+    the one-step-ahead forecast).
+
+    Holt's recursion carries TWO states, which the EWMA double-fold
+    can't hold — both engines fold a [level, trend] ARRAY accumulator
+    over the frame's value list (Spark: `aggregate` with an array zero;
+    DuckDB: `list_reduce` seeded by list_prepend-ing the init state,
+    since its accumulator must share the element type). Seeds are the
+    classic l1 = y1, b1 = y2 - y1. Daily inputs are canon-rounded FIRST
+    so both engines fold bit-identical doubles in the same order.
+
+    Scale shape: identical to EWMA — the fold runs over the AGGREGATED
+    daily series (calendar-bounded), never raw orders; frame state is 28
+    doubles per row; bounded_rank_window declares the single partition
+    intentional."""
+    from database_toolbox_spark.functions import (  # noqa: PLC0415
+        bounded_rank_window,
+        money,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(money(F.sum("o_totalprice")).alias("day_revenue"))
+    w = bounded_rank_window(F.col("day"), "day").rowsBetween(-27, 0)
+    fold = F.expr(f"""
+        aggregate(
+            transform(slice(arr, 3, size(arr) - 2),
+                      y -> CAST(y AS DOUBLE)),
+            array(CAST(element_at(arr, 1) AS DOUBLE),
+                  CAST(element_at(arr, 2) AS DOUBLE)
+                  - CAST(element_at(arr, 1) AS DOUBLE)),
+            (acc, y) -> array(
+                {HOLT_ALPHA} * y + {HOLT_1MA} * (acc[0] + acc[1]),
+                {HOLT_BETA} * ({HOLT_ALPHA} * y
+                               + {HOLT_1MA} * (acc[0] + acc[1])
+                               - acc[0])
+                + {HOLT_1MB} * acc[1])
+        )
+    """)
+    return (
+        daily.withColumn("arr", F.collect_list("day_revenue").over(w))
+        .where(F.size("arr") >= 3)
+        .withColumn("hb", fold)
+        .select(
+            "day",
+            "day_revenue",
+            canon_round(F.expr("hb[0]"), 2).alias("level"),
+            canon_round(F.expr("hb[1]"), 4).alias("trend"),
+            canon_round(F.expr("hb[0] + hb[1]"), 2).alias("forecast_next"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["holt_linear_daily_revenue"] = holt_linear_daily_revenue
+ORACLE["holt_linear_daily_revenue"] = f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               {R("sum(o_totalprice)")} AS day_revenue
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    arrs AS (
+        SELECT day, day_revenue,
+               list(day_revenue) OVER (ORDER BY day
+                   ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS arr
+        FROM daily
+    ),
+    hb AS (
+        SELECT day, day_revenue,
+               list_reduce(
+                   list_prepend([CAST(arr[1] AS DOUBLE),
+                                 CAST(arr[2] AS DOUBLE)
+                                 - CAST(arr[1] AS DOUBLE)],
+                                list_transform(arr[3:],
+                                               y -> [CAST(y AS DOUBLE)])),
+                   (acc, y) -> [
+                       {HOLT_ALPHA} * y[1]
+                       + {HOLT_1MA} * (acc[1] + acc[2]),
+                       {HOLT_BETA} * ({HOLT_ALPHA} * y[1]
+                                      + {HOLT_1MA} * (acc[1] + acc[2])
+                                      - acc[1])
+                       + {HOLT_1MB} * acc[2]]
+               ) AS f
+        FROM arrs WHERE len(arr) >= 3
+    )
+    SELECT day, day_revenue,
+           {R("f[1]", 2)} AS level,
+           {R("f[2]", 4)} AS trend,
+           {R("f[1] + f[2]", 2)} AS forecast_next
+    FROM hb ORDER BY day
+"""

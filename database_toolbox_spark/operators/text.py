@@ -701,8 +701,47 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+_FERTILITY_SQL = """
+    WITH d AS (
+        SELECT lang,
+               {ws} AS n_words,
+               {wt} AS n_word_toks,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           {avg_words} AS avg_words_per_doc,
+           {fertility} AS tokens_per_word,
+           {cpt} AS chars_per_token
+    FROM d GROUP BY lang ORDER BY lang
+"""
+
+
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility QA per language: regex word-tokens per
+    whitespace word and characters per token — the per-language report
+    you check before fixing a tokenizer for a multilingual training
+    mix (high fertility = the tokenizer fragments that language,
+    inflating its effective cost per document).
+
+    Scale shape: pure per-row projections feeding one grouped agg on
+    lang (map-side combinable, language-count output cardinality).
+    Integer sums are exact, so the rounded ratios are deterministic."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_FERTILITY_SQL.format(
+        ws="size(split(text, ' '))",
+        wt="CAST(regexp_count(text, '[a-z]+') AS BIGINT)",
+        avg_words=R("sum(n_words) * 1e0 / count(*)", 4),
+        fertility=R("sum(n_word_toks) * 1e0 / sum(n_words)", 6),
+        cpt=R("sum(n_chars) * 1e0 / sum(n_word_toks)", 6),
+    ))
+
+
 QUERIES = {
     "bigram_pmi_topk": bigram_pmi_topk,
+    "token_fertility_by_lang": token_fertility_by_lang,
     "bm25_top_terms": bm25_top_terms,
     "bpe_merge_candidates": bpe_merge_candidates,
     "readability_scores": readability_scores,
@@ -720,6 +759,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "token_fertility_by_lang": _FERTILITY_SQL.format(
+        ws="len(string_split(text, ' '))",
+        wt="CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)",
+        avg_words=R("sum(n_words) * 1e0 / count(*)", 4),
+        fertility=R("sum(n_word_toks) * 1e0 / sum(n_words)", 6),
+        cpt=R("sum(n_chars) * 1e0 / sum(n_word_toks)", 6),
+    ),
     "bigram_pmi_topk": _pmi_sql(
         "SELECT doc_id, u.i AS pos, toks[u.i] AS term "
         "FROM (SELECT doc_id, string_split(text, ' ') AS toks "

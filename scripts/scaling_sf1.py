@@ -1,0 +1,309 @@
+#!/usr/bin/env python
+"""Extend the scaling study past sf0.1: synthesize a ~sf1 (10x) corpus
+with KNOWN growth algebra and re-measure the round-3 verdict's
+superlinear suspects, ASSERTING (not eyeballing) that candidate volumes
+grow linearly, never quadratically.
+
+Synthesis (all derived from sf0.1, written to $SPARK_GRAFT_SFBIG_DIR,
+default /tmp/sfbig):
+
+- documents x10: replica r > 0 suffixes every token with `_r`. Token
+  bijection preserves every within-replica Jaccard EXACTLY while making
+  cross-replica vocabularies disjoint, so the true near-dup pair set of
+  the big corpus is exactly 10 copies of the small one — a closed-form
+  ground truth for the pair-count assertions.
+- embeddings x10: replica r > 0 multiplies coordinates by a seeded +-1
+  sign pattern. A diagonal sign matrix is orthogonal: within-replica
+  cosines are preserved EXACTLY, cross-replica cosines collapse toward
+  0 — same linear ground truth for the semantic-dedup tier.
+- orders + lineitem x10: keys shifted per replica -> 10 disjoint copies
+  of the supplier<->customer bipartite graph (BFS's frontier work stays
+  constant while scan volume grows 10x).
+- remaining tables copied as-is.
+
+Prints one JSON line and rewrites the "sf0.1 -> sf~1" section of
+SCALING.md. Exits non-zero if any growth assertion fails.
+
+Run from repo root (idle machine): python scripts/scaling_sf1.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from database_toolbox_spark.operators import all_queries
+from database_toolbox_spark.session import TABLES, get_spark, load_tables
+
+SF_SMALL = "/root/testdata/sf0.1"
+BIG = os.environ.get("SPARK_GRAFT_SFBIG_DIR", "/tmp/sfbig")
+R = 10
+SHIFT = 10_000_000
+
+# (query, assertion mode) — modes:
+#   exact10: big pair count == 10x small (token-bijection ground truth)
+#   linear:  big <= 1.5 * 10x small + 20 (probabilistic banding jitter)
+#   cells:   metric is the EXAMINED-pair bound sum(n_vectors^2) over
+#            cells — the quantity SemDeDup's scale claim bounds (with
+#            k scaling by corpus size, per-cell work is constant, so
+#            examined pairs grow linearly). Drop-candidate counts are
+#            NOT asserted: the fixture-tuned tau=0.4 demo threshold
+#            catches the ~0.3% chance-cosine tail between sign-flip
+#            replicas (true pairs of the synthetic corpus, threshold
+#            noise, not algorithm work). big <= 2 * 10x small.
+#   overhead: the fixture's tiny vocabulary saturates simhash signatures,
+#            so the TRUE Hamming-ball pair set itself grows
+#            super-linearly (a data property no algorithm can beat —
+#            the output IS the pairs). The algorithmic claim to assert
+#            is that the banded join's candidate volume stays O(true
+#            pairs): candidates/output overhead must not grow > 2.5x.
+#   report:  runtime/rows recorded, no count assertion (documented
+#            anti-pattern demo or non-pair-producing query)
+SUSPECTS = [
+    ("ngram_jaccard_pairs", "exact10"),
+    ("jaccard_prefix_filter_pairs", "exact10"),
+    ("minhash_near_dup_pairs", "linear"),
+    ("simhash_near_dup_pairs_wide", "overhead"),
+    ("semdedup_drop_candidates", "cells"),
+    ("simhash_near_dup_pairs_narrow", "report"),
+    ("bigram_lm_scores", "report"),
+    ("bfs_reachable_hops", "report"),
+]
+
+
+def synthesize() -> None:
+    import duckdb
+
+    os.makedirs(BIG, exist_ok=True)
+    con = duckdb.connect()
+    rep = f"(SELECT unnest(range({R})) AS r) rr"
+    con.execute(
+        f"""
+        COPY (
+          SELECT d.doc_id + rr.r * {SHIFT} AS doc_id,
+                 CASE WHEN rr.r = 0 THEN d.text
+                      ELSE array_to_string(
+                          list_transform(string_split(d.text, ' '),
+                                         t -> t || '_' || rr.r), ' ')
+                 END AS text,
+                 d.lang, d.source, d.n_chars
+          FROM read_parquet('{SF_SMALL}/documents.parquet') d
+          CROSS JOIN {rep}
+        ) TO '{BIG}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT o.* REPLACE (o.o_orderkey + rr.r * {SHIFT} AS o_orderkey,
+                              o.o_custkey + rr.r * {SHIFT} AS o_custkey)
+          FROM read_parquet('{SF_SMALL}/orders.parquet') o
+          CROSS JOIN {rep}
+        ) TO '{BIG}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT l.* REPLACE (l.l_orderkey + rr.r * {SHIFT} AS l_orderkey,
+                              l.l_suppkey + rr.r * {SHIFT} AS l_suppkey)
+          FROM read_parquet('{SF_SMALL}/lineitem.parquet') l
+          CROSS JOIN {rep}
+        ) TO '{BIG}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(f"{SF_SMALL}/embeddings.parquet").to_pandas()
+    dim = len(base["embedding"].iloc[0])
+    vec_ids, embs, labels = [], [], []
+    for r in range(R):
+        signs = (
+            np.ones(dim, dtype=np.float32)
+            if r == 0
+            else np.random.default_rng(r)
+            .choice([-1.0, 1.0], dim)
+            .astype(np.float32)
+        )
+        for vid, emb, lab in zip(
+            base["vec_id"], base["embedding"], base["label"]
+        ):
+            vec_ids.append(int(vid) + r * SHIFT)
+            embs.append(
+                (np.asarray(emb, dtype=np.float32) * signs).tolist()
+            )
+            labels.append(int(lab))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(vec_ids, pa.int64()),
+                "embedding": pa.array(embs, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        f"{BIG}/embeddings.parquet",
+    )
+
+    for t in TABLES:
+        dst = f"{BIG}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copy(f"{SF_SMALL}/{t}.parquet", dst)
+
+
+def measure(spark, queries, sf_dir):
+    from pyspark.sql import functions as F
+
+    from database_toolbox_spark.operators.dedup import (
+        simhash_band_candidate_count,
+    )
+
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).write.mode("overwrite").format("noop").save()
+    out = {}
+    for name, mode in SUSPECTS:
+        df = queries[name](spark, sf_dir)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        if mode == "cells":
+            # the growth metric is the examined-pair work bound
+            rows = int(
+                df.agg(F.sum(F.col("n_vectors") * F.col("n_vectors")))
+                .collect()[0][0]
+                or 0
+            )
+        else:
+            rows = df.count()
+        out[name] = {"sec": round(best, 3), "rows": rows}
+        if mode == "overhead":
+            # banded-join candidate volume over the CURRENT documents
+            # view (load_tables above pointed it at sf_dir)
+            out[name]["candidates"] = simhash_band_candidate_count(spark)
+    return out
+
+
+def main() -> int:
+    if not os.path.exists(f"{BIG}/documents.parquet") or os.environ.get(
+        "SPARK_GRAFT_SFBIG_REBUILD"
+    ):
+        synthesize()
+    spark = get_spark(app_name="scaling-sf1")
+    queries = all_queries()
+    small = measure(spark, queries, SF_SMALL)
+    big = measure(spark, queries, BIG)
+    failures = []
+    rows_out = {}
+    for name, mode in SUSPECTS:
+        s, b = small[name], big[name]
+        ratio = round(b["sec"] / max(s["sec"], 1e-9), 2)
+        rows_out[name] = {
+            "sf0.1_sec": s["sec"],
+            "sf1_sec": b["sec"],
+            "time_ratio": ratio,
+            "sf0.1_rows": s["rows"],
+            "sf1_rows": b["rows"],
+            "mode": mode,
+        }
+        if mode == "exact10" and b["rows"] != R * s["rows"]:
+            failures.append(
+                f"{name}: expected exactly {R}x rows "
+                f"({R * s['rows']}), got {b['rows']}"
+            )
+        elif mode == "linear" and b["rows"] > 1.5 * R * s["rows"] + 20:
+            failures.append(
+                f"{name}: {b['rows']} rows exceeds linear headroom "
+                f"(1.5 * {R} * {s['rows']} + 20)"
+            )
+        elif mode == "cells" and b["rows"] > 2 * R * s["rows"] + 20:
+            failures.append(
+                f"{name}: examined-pair bound {b['rows']} exceeds linear "
+                f"headroom (2 * {R} * {s['rows']} + 20)"
+            )
+        elif mode == "overhead":
+            ov_s = s["candidates"] / max(s["rows"], 1)
+            ov_b = b["candidates"] / max(b["rows"], 1)
+            rows_out[name]["overhead_small"] = round(ov_s, 3)
+            rows_out[name]["overhead_big"] = round(ov_b, 3)
+            if ov_b > 2.5 * ov_s + 0.5:
+                failures.append(
+                    f"{name}: banding overhead grew {ov_s:.2f} -> "
+                    f"{ov_b:.2f} (> 2.5x)"
+                )
+    doc = {
+        "sf_small": 0.1,
+        "sf_big": "~1 (10x synthetic, known growth algebra)",
+        "queries": rows_out,
+        "failures": failures,
+    }
+    print(json.dumps(doc))
+    _update_scaling_md(rows_out, failures)
+    return 1 if failures else 0
+
+
+_MD_HEADER = "## sf0.1 -> sf~1 (10x synthetic, asserted growth algebra)"
+
+
+def _update_scaling_md(rows_out, failures) -> None:
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.md",
+    )
+    with open(path) as f:
+        text = f.read()
+    if _MD_HEADER in text:
+        text = text[: text.index(_MD_HEADER)].rstrip() + "\n"
+    lines = [
+        "",
+        _MD_HEADER,
+        "",
+        "Generated by `python scripts/scaling_sf1.py`. The ~sf1 corpus is",
+        "derived from sf0.1 with CLOSED-FORM growth: token-bijection",
+        "document replicas (within-replica Jaccard preserved exactly,",
+        "cross-replica vocabularies disjoint), sign-flip embedding",
+        "replicas (diagonal orthogonal transform: within-replica cosines",
+        "exact, cross-replica ~0), and key-shifted order/lineitem graph",
+        "replicas. So the TRUE pair sets are exactly 10 copies of sf0.1's",
+        "and every pair-count column below is asserted by the script",
+        "(exact10 = must equal 10x; linear = probabilistic-banding",
+        "headroom 1.5x; cells = SemDeDup's examined-pair work bound",
+        "sum(n_vectors^2) under scaled-k quantization, headroom 2x",
+        "(drop-candidate counts are threshold noise at the demo",
+        "tau=0.4, not algorithm work); overhead = simhash",
+        "banded-join candidates per TRUE pair must not grow > 2.5x —",
+        "the fixture's tiny vocabulary saturates signatures, so the",
+        "true Hamming-ball pair set itself is super-linear and output",
+        "volume is the wrong yardstick; report = documented",
+        "anti-pattern demo or non-pair query).",
+        "",
+        "| query | mode | sf0.1 s | sf~1 s | time ratio | sf0.1 pairs |"
+        " sf~1 pairs |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, r in rows_out.items():
+        lines.append(
+            f"| {name} | {r['mode']} | {r['sf0.1_sec']} | {r['sf1_sec']} |"
+            f" {r['time_ratio']} | {r['sf0.1_rows']} | {r['sf1_rows']} |"
+        )
+    lines.append("")
+    lines.append(
+        "All growth assertions passed."
+        if not failures
+        else "FAILURES: " + "; ".join(failures)
+    )
+    lines.append("")
+    with open(path, "w") as f:
+        f.write(text + "\n".join(lines))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
