@@ -860,3 +860,62 @@ QUERIES["temperature_mix_allocation"] = temperature_mix_allocation
 ORACLE["temperature_mix_allocation"] = _temperature_mix_sql(
     "documents", "list_aggregate(list(q_raw ORDER BY source), 'sum')"
 )
+
+
+_COVERAGE_SQL = """
+    WITH toks AS ({toks}),
+    tf AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+    tot AS (SELECT sum(n) AS t, count(*) AS v FROM tf),
+    top AS (SELECT n FROM tf ORDER BY n DESC, term LIMIT 10000),
+    ranked AS (
+        SELECT n, row_number() OVER (PARTITION BY (hash(n) % 1)
+                                     ORDER BY n DESC) AS r
+        FROM top
+    ),
+    ks AS ({ks}),
+    cov AS (
+        SELECT ks.k,
+               sum(CASE WHEN ranked.r <= ks.k THEN ranked.n ELSE 0 END)
+                   AS covered
+        FROM ranked CROSS JOIN ks GROUP BY ks.k
+    )
+    SELECT CAST(cov.k AS INT) AS k,
+           CAST(cov.covered AS BIGINT) AS covered_tokens,
+           CAST(tot.t AS BIGINT) AS total_tokens,
+           {cov_out} AS coverage,
+           CAST(tot.v AS BIGINT) AS vocab_size
+    FROM cov CROSS JOIN tot
+    ORDER BY k
+"""
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of corpus token mass a
+    top-k frequency vocabulary covers, at k = 100 / 1,000 / 10,000 —
+    the OOV-vs-vocab-size tradeoff curve you read before fixing a
+    tokenizer budget (the operator view of what build_vocab +
+    oov_rate_by_source answer for ONE k), plus Heaps-style vocab size.
+
+    Tie-break note: ranks order by (count DESC); ties at a k boundary
+    may pick different TERMS per engine but always the same COUNT
+    multiset, so the covered-mass sums are deterministic.
+
+    Scale shape: one token-grain grouped count (map-side combinable),
+    then everything runs on the 10,000-row TakeOrdered head (the
+    LIMIT compiles to TakeOrderedAndProject, never a global sort); the
+    rank window's single partition over that bounded head is declared
+    via the hash%1 pattern."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_COVERAGE_SQL.format(
+        toks="SELECT explode(split(text, ' ')) AS term FROM documents",
+        ks="SELECT explode(array(100, 1000, 10000)) AS k",
+        cov_out=R("cov.covered * 1e0 / tot.t", 6),
+    ))
+
+
+QUERIES["vocab_coverage_curve"] = vocab_coverage_curve
+ORACLE["vocab_coverage_curve"] = _COVERAGE_SQL.format(
+    toks="SELECT unnest(string_split(text, ' ')) AS term FROM documents",
+    ks="SELECT unnest([100, 1000, 10000]) AS k",
+    cov_out=R("cov.covered * 1e0 / tot.t", 6),
+)

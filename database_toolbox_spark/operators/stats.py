@@ -1149,3 +1149,151 @@ ORACLE["holt_linear_daily_revenue"] = f"""
            {R("f[1] + f[2]", 2)} AS forecast_next
     FROM hb ORDER BY day
 """
+
+
+CUSUM_K = "0.5e0"  # slack, in sigma units
+CUSUM_H = "5e0"  # decision threshold, in sigma units
+
+_CUSUM_SQL = f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, {{rev}} AS rev
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    calib AS (
+        SELECT avg(rev) AS mu, stddev_samp(rev) AS sd
+        FROM daily WHERE day < DATE '1997-01-01'
+    ),
+    z AS (
+        SELECT day, rev,
+               {{zr}} AS zs
+        FROM daily CROSS JOIN calib
+    ),
+    runsum AS (
+        -- CUSUM closed form: S+_t = cum_t - min(0, cum_1..cum_t) with
+        -- cum = running sum of (z - k); likewise S-_t on (-z - k).
+        -- Running sums/mins evaluate incrementally in day order, so both
+        -- engines fold identical 6-dec-rounded z values identically.
+        SELECT day, rev,
+               sum(zs - {CUSUM_K}) OVER w AS cp,
+               sum(-zs - {CUSUM_K}) OVER w AS cn
+        FROM z
+        WINDOW w AS (PARTITION BY (hash(day) % 1) ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cums AS (
+        SELECT day, rev, cp, cn,
+               min(cp) OVER w AS mp,
+               min(cn) OVER w AS mn
+        FROM runsum
+        WINDOW w AS (PARTITION BY (hash(day) % 1) ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, rev,
+           {{sp}} AS cusum_pos,
+           {{sn}} AS cusum_neg,
+           CAST(cp - least(mp, 0e0) > {CUSUM_H}
+                OR cn - least(mn, 0e0) > {CUSUM_H} AS INT) AS is_shift
+    FROM cums
+    WHERE day >= DATE '1997-01-01'
+    ORDER BY day
+"""
+
+
+def cusum_shift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM mean-shift detector (Page, 1954) on the daily
+    revenue series: standardize against the pre-1997 calibration
+    window, then S+_t = max(0, S+_{t-1} + z_t - k), alarming when
+    either side exceeds h = 5 sigma-units — the sequential detector
+    that catches small persistent drifts z-score thresholds
+    (daily_revenue_anomalies) miss.
+
+    The recursion is NOT folded: CUSUM has the closed form
+    S+_t = cum_t - min(0, min_{j<=t} cum_j) over the running sum of
+    (z - k), so two stacked window aggregates (running sum, running
+    min) replace any per-row recursion — cheaper than the EWMA/Holt
+    list folds and exactly equal to the recursive definition
+    (tests/test_round4_ops.py proves it against a Python recursion).
+
+    Scale shape: one day-grain aggregate, one broadcast calibration
+    scalar, two windows over the calendar-bounded series (single
+    partition declared via the hash%1 pattern). z-scores are
+    canon-rounded BEFORE cumulation so both engines sum identical
+    doubles in identical order."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_CUSUM_SQL.format(
+        rev=R("sum(o_totalprice)"),
+        zr=R("(rev - mu) / sd", 6),
+        sp=R("cp - least(mp, 0e0)", 4),
+        sn=R("cn - least(mn, 0e0)", 4),
+    ))
+
+
+QUERIES["cusum_shift_detection"] = cusum_shift_detection
+ORACLE["cusum_shift_detection"] = _CUSUM_SQL.format(
+    rev=R("sum(o_totalprice)"),
+    zr=R("(rev - mu) / sd", 6),
+    sp=R("cp - least(mp, 0e0)", 4),
+    sn=R("cn - least(mn, 0e0)", 4),
+)
+
+
+_WELCH_SQL = """
+    WITH assigned AS (
+        SELECT {bucket} AS grp, o.o_totalprice AS v
+        FROM orders o
+    ),
+    g AS (
+        SELECT grp, count(*) AS n, avg(v) AS m, var_samp(v) AS s2
+        FROM assigned GROUP BY grp
+    ),
+    ab AS (
+        SELECT a.n AS na, b.n AS nb, a.m AS ma, b.m AS mb,
+               a.s2 / a.n + b.s2 / b.n AS se2,
+               (a.s2 / a.n + b.s2 / b.n)
+               * (a.s2 / a.n + b.s2 / b.n)
+               / (a.s2 * a.s2 / (a.n * a.n * (a.n - 1))
+                  + b.s2 * b.s2 / (b.n * b.n * (b.n - 1))) AS df
+        FROM g a JOIN g b ON a.grp = 0 AND b.grp = 1
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           {ma_out} AS mean_a, {mb_out} AS mean_b,
+           {t_out} AS t_stat,
+           {df_out} AS welch_df,
+           CAST(abs((ma - mb) / sqrt(se2)) > 1.96e0 AS INT) AS significant
+    FROM ab
+"""
+
+
+def welch_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test over a deterministic
+    md5 A/B split of orders (the experiment-analysis primitive): group
+    means, the t statistic, and the Welch-Satterthwaite effective
+    degrees of freedom. The md5 split is the same reproducible
+    hash-bucket assignment hash_split_counts uses — no RNG, so the
+    verdict is stable across engines and runs. (A uniform random split
+    of one population SHOULD be insignificant — the flag doubles as an
+    A/A sanity check on the split itself.)
+
+    Scale shape: one grouped one-pass aggregate (count/avg/var_samp are
+    algebraic and map-side combinable) into a 2-row join — nothing
+    beyond the scan scales with data."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_WELCH_SQL.format(
+        bucket="CAST(conv(substring(md5(CAST(o.o_orderkey AS STRING)),"
+               " 1, 4), 16, 10) AS INT) % 2",
+        ma_out=R("ma", 2),
+        mb_out=R("mb", 2),
+        t_out=R("(ma - mb) / sqrt(se2)", 4),
+        df_out=R("df", 2),
+    ))
+
+
+QUERIES["welch_ab_test"] = welch_ab_test
+ORACLE["welch_ab_test"] = _WELCH_SQL.format(
+    bucket="CAST(concat('0x', substr(md5(CAST(o.o_orderkey AS VARCHAR)),"
+           " 1, 4)) AS INTEGER) % 2",
+    ma_out=R("ma", 2),
+    mb_out=R("mb", 2),
+    t_out=R("(ma - mb) / sqrt(se2)", 4),
+    df_out=R("df", 2),
+)

@@ -202,3 +202,90 @@ def test_conformal_coverage_near_nominal(spark):
     assert row.n_cal > 100 and row.n_eval > 100
     assert 0.8 <= row.coverage <= 1.0
     assert row.q90_resid > 0
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    """The two-window closed form S+_t = cum_t - min(0, min cum_j) must
+    equal the textbook recursion S+_t = max(0, S+_{t-1} + z_t - k)
+    replayed in Python over the same canon-rounded z series."""
+    from database_toolbox_spark.operators.stats import (
+        cusum_shift_detection,
+    )
+
+    pdf = (
+        cusum_shift_detection(spark, SF_DIR).orderBy("day").toPandas()
+    )
+    assert len(pdf) > 100
+    # reconstruct z from the operator's own inputs: calibration on
+    # pre-1997 daily revenue, z canon-rounded at 6
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                "floor(sum(o_totalprice) * 100 + 0.501e0) / 100e0"
+            ).alias("rev")
+        )
+        .orderBy("day")
+        .toPandas()
+    )
+    import pandas as pd
+
+    cal = daily[daily.day < pd.Timestamp("1997-01-01").date()]["rev"]
+    mu, sd = cal.mean(), cal.std(ddof=1)
+    z = ((daily["rev"] - mu) / sd).round(6)
+    sp = sn = 0.0
+    expect = {}
+    for day, zi in zip(daily["day"], z):
+        sp = max(0.0, sp + zi - 0.5)
+        sn = max(0.0, sn - zi - 0.5)
+        expect[day] = (sp, sn)
+    got = pdf.set_index("day")
+    for day in got.index:
+        esp, esn = expect[day]
+        assert abs(got.loc[day, "cusum_pos"] - round(esp, 4)) < 2e-4, day
+        assert abs(got.loc[day, "cusum_neg"] - round(esn, 4)) < 2e-4, day
+
+
+def test_welch_aa_split_is_insignificant(spark):
+    """An md5 A/A split of one homogeneous population must produce a
+    small |t| (no signal planted), near-equal halves, and a df of the
+    same magnitude as the sample size."""
+    from database_toolbox_spark.operators.stats import welch_ab_test
+
+    row = welch_ab_test(spark, SF_DIR).collect()[0]
+    n = row.n_a + row.n_b
+    assert abs(row.n_a - row.n_b) < 0.1 * n
+    assert row.significant == 0
+    assert abs(row.t_stat) < 1.96
+    assert 0.5 * n < row.welch_df < 1.1 * n
+
+
+def test_vocab_coverage_monotone_and_consistent(spark):
+    """Coverage is monotone in k, bounded by 1, and matches a direct
+    pandas recount of the token-frequency head."""
+    from collections import Counter
+
+    from database_toolbox_spark.operators.pipeline import (
+        vocab_coverage_curve,
+    )
+
+    pdf = vocab_coverage_curve(spark, SF_DIR).toPandas()
+    assert list(pdf["k"]) == [100, 1000, 10000]
+    assert list(pdf["coverage"]) == sorted(pdf["coverage"])
+    assert (pdf["coverage"] <= 1.0).all()
+    texts = (
+        load_table(spark, SF_DIR, "documents").select("text").toPandas()
+    )["text"]
+    tf = Counter()
+    for t in texts:
+        tf.update(t.split(" "))
+    total = sum(tf.values())
+    counts = sorted(tf.values(), reverse=True)
+    for _, r in pdf.iterrows():
+        want = sum(counts[: int(r.k)]) / total
+        assert abs(r.coverage - round(want, 6)) < 1e-9
+        assert r.total_tokens == total
+        assert r.vocab_size == len(tf)
