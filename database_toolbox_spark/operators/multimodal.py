@@ -618,3 +618,185 @@ ORACLE = {
         ORDER BY doc_id, frame_idx
     """,
 }
+
+
+from database_toolbox_spark.operators._oracle import R  # noqa: E402
+
+DHASH_SCHEMA = "doc_id bigint, dhash_hi bigint, dhash_lo bigint"
+
+
+def image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash (dHash) on REAL decoded pixels: decode
+    each PNG, nearest-neighbor sample the grayscale strip down to a 9x8
+    grid (floor-strided rows/cols — the same deterministic NN convention
+    as image_resize_stats), emit 64 bits of left>right gradient, packed
+    as two 32-bit halves (a single 64-bit pack would wrap BIGINT at bit
+    63), plus the perceptual-dup count per hash. The oracle recomputes
+    the identical grid straight from ASCII codes (floor arithmetic is
+    exact in doubles at these magnitudes), independent of the PNG
+    pipeline.
+
+    Scale shape: decode + hash is one Arrow-batched mapInPandas pass
+    (embarrassingly parallel, zero per-pixel Python); the dup count is
+    one hash-partitioned window — at 100 TB the same two stages, plus a
+    broadcast of nothing."""
+    from pyspark import cloudpickle  # noqa: PLC0415
+
+    from database_toolbox_spark.functions import png as png_mod  # noqa: PLC0415
+
+    cloudpickle.register_pickle_by_value(png_mod)
+    decode = png_mod.decode_png
+    payloads = png_payloads(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def dhash(payload: bytes) -> tuple:
+            img = decode(payload)
+            w, h = img["width"], img["height"]
+            px = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(h, w)
+            ys = np.arange(8) * h // 8
+            xs = np.arange(9) * w // 9
+            grid = px[np.ix_(ys, xs)].astype(np.int64)
+            bits = (grid[:, :8] > grid[:, 1:]).astype(np.int64).ravel()
+            lo = int((bits[:32] << np.arange(32)).sum())
+            hi = int((bits[32:] << np.arange(32)).sum())
+            return (hi, lo)
+
+        for pdf in batches:
+            cols = pdf["payload"].map(dhash)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "dhash_hi": cols.map(lambda t: t[0]).astype("int64"),
+                    "dhash_lo": cols.map(lambda t: t[1]).astype("int64"),
+                }
+            )
+
+    hashed = payloads.mapInPandas(run, schema=DHASH_SCHEMA)
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("dhash_hi", "dhash_lo")
+    return (
+        hashed.withColumn(
+            "n_same_hash", F.count("*").over(w).cast("bigint")
+        )
+        .orderBy("doc_id")
+    )
+
+
+DFT_N = 16  # DFT frame: first 16 samples (zero-padded past text end)
+DFT_BINS = 8
+
+
+def audio_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power spectrum of the leading 16-sample audio frame, computed AS
+    SQL in both engines (no numpy, no FFT library): for each DFT bin k,
+    P_k = (sum_i dev_i cos(2*pi*k*i/16))^2 + (sum_i dev_i sin(...))^2
+    over the bias-centered 8-bit samples audio_waveform_stats defines
+    (dev = byte - 64, zero past the end). The spectral-feature
+    counterpart of the time-domain stats — bin 0 is (sum dev)^2, high
+    bins expose the space/letter alternation frequency of the text
+    corpus.
+
+    The 16-term sums fold in position order in both dialects; cos/sin
+    libm ulp differences between engines are absorbed by canon-rounding
+    power (the ln() guard pattern), since the sums are O(2^11) and the
+    powers O(2^22) — 2-decimal rounding leaves ~1e-9 relative headroom.
+
+    Scale shape: a pure per-row projection exploded to 8 bins per doc —
+    embarrassingly parallel, no shuffle, no UDF."""
+    load_table(spark, sf_dir, "documents")
+    dev = (f"CASE WHEN i < length(text) THEN "
+           f"ascii(substr(text, CAST(i + 1 AS INT), 1)) - {AUDIO_BIAS} "
+           f"ELSE 0 END")
+    trig = "2e0 * pi() * k.k * i / {n}e0".format(n=DFT_N)
+    return spark.sql(f"""
+        WITH k AS (SELECT explode(sequence(0, {DFT_BINS - 1})) AS k),
+        d AS (
+            SELECT doc_id, k.k,
+                   aggregate(sequence(0, {DFT_N - 1}), CAST(0 AS DOUBLE),
+                       (acc, i) -> acc + ({dev}) * cos({trig})) AS re,
+                   aggregate(sequence(0, {DFT_N - 1}), CAST(0 AS DOUBLE),
+                       (acc, i) -> acc + ({dev}) * sin({trig})) AS im
+            FROM documents CROSS JOIN k
+        )
+        SELECT doc_id, CAST(k AS INT) AS bin,
+               {R("re * re + im * im", 2)} AS power
+        FROM d ORDER BY doc_id, bin
+    """)
+
+
+_DUCK_DFT_DEV = (f"CASE WHEN i < length(text) THEN "
+                 f"ascii(substr(text, CAST(i + 1 AS INT), 1)) - {AUDIO_BIAS} "
+                 f"ELSE 0 END")
+_DUCK_DFT_TRIG = f"2e0 * pi() * k.k * i / {DFT_N}e0"
+
+QUERIES["image_dhash_fingerprints"] = image_dhash_fingerprints
+QUERIES["audio_dft_power"] = audio_dft_power
+
+# dHash oracle: identical floor-strided 9x8 grid recomputed from ASCII
+# codes; padding bytes are 0 exactly as in the decoded pixel buffer
+ORACLE["image_dhash_fingerprints"] = f"""
+    WITH b AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n,
+               CAST(greatest(1, ceil(octet_length(encode(text))
+                    / {IMG_WIDTH}e0)) AS BIGINT) AS h,
+               list_transform(range(1, length(text) + 1),
+                              i -> ascii(substr(text, i, 1))) AS codes
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(0, 8), gy ->
+                   list_transform(range(0, 9), gx ->
+                       CASE WHEN CAST(floor(gy * h / 8e0) AS BIGINT)
+                                 * {IMG_WIDTH}
+                                 + CAST(floor(gx * {IMG_WIDTH} / 9e0)
+                                        AS BIGINT) < n
+                            THEN codes[CAST(floor(gy * h / 8e0) AS BIGINT)
+                                       * {IMG_WIDTH}
+                                       + CAST(floor(gx * {IMG_WIDTH} / 9e0)
+                                              AS BIGINT) + 1]
+                            ELSE 0 END)) AS grid
+        FROM b
+    ),
+    hsh AS (
+        SELECT doc_id,
+               list_aggregate(list_transform(range(0, 32), i ->
+                   CASE WHEN grid[i // 8 + 5][i % 8 + 1]
+                             > grid[i // 8 + 5][i % 8 + 2]
+                        THEN CAST(1 AS BIGINT) << i ELSE 0 END),
+                   'sum') AS dhash_hi,
+               list_aggregate(list_transform(range(0, 32), i ->
+                   CASE WHEN grid[i // 8 + 1][i % 8 + 1]
+                             > grid[i // 8 + 1][i % 8 + 2]
+                        THEN CAST(1 AS BIGINT) << i ELSE 0 END),
+                   'sum') AS dhash_lo
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(coalesce(dhash_hi, 0) AS BIGINT) AS dhash_hi,
+           CAST(coalesce(dhash_lo, 0) AS BIGINT) AS dhash_lo,
+           CAST(count(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS BIGINT)
+               AS n_same_hash
+    FROM hsh ORDER BY doc_id
+"""
+
+ORACLE["audio_dft_power"] = f"""
+    WITH k AS (SELECT unnest(range(0, {DFT_BINS})) AS k),
+    d AS (
+        SELECT doc_id, k.k,
+               list_aggregate(list_transform(range(0, {DFT_N}),
+                   i -> ({_DUCK_DFT_DEV}) * cos({_DUCK_DFT_TRIG})),
+                   'sum') AS re,
+               list_aggregate(list_transform(range(0, {DFT_N}),
+                   i -> ({_DUCK_DFT_DEV}) * sin({_DUCK_DFT_TRIG})),
+                   'sum') AS im
+        FROM documents CROSS JOIN k
+    )
+    SELECT doc_id, CAST(k AS INT) AS bin,
+           {R("re * re + im * im", 2)} AS power
+    FROM d ORDER BY doc_id, bin
+"""

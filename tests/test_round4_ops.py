@@ -289,3 +289,71 @@ def test_vocab_coverage_monotone_and_consistent(spark):
         assert abs(r.coverage - round(want, 6)) < 1e-9
         assert r.total_tokens == total
         assert r.vocab_size == len(tf)
+
+
+def test_dhash_identical_texts_share_hash(spark):
+    """Byte-identical documents must hash identically (dHash is a pure
+    function of pixels), and the numpy grid must equal a direct Python
+    recomputation from the text bytes for a sample of docs."""
+    from database_toolbox_spark.operators.multimodal import (
+        IMG_WIDTH,
+        image_dhash_fingerprints,
+    )
+
+    pdf = image_dhash_fingerprints(spark, SF_DIR).toPandas()
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    merged = pdf.merge(docs, on="doc_id")
+    by_text = merged.groupby("text")
+    for _, grp in list(by_text)[:50]:
+        assert grp["dhash_hi"].nunique() == 1
+        assert grp["dhash_lo"].nunique() == 1
+    # direct recomputation for the first 20 docs
+    for _, r in merged.head(20).iterrows():
+        data = r.text.encode()
+        n = len(data)
+        h = max(1, -(-n // IMG_WIDTH))
+
+        def px(y, x):
+            i = y * IMG_WIDTH + x
+            return data[i] if i < n else 0
+
+        bits = []
+        for gy in range(8):
+            row = [px(gy * h // 8, gx * IMG_WIDTH // 9) for gx in range(9)]
+            bits.extend(int(row[gx] > row[gx + 1]) for gx in range(8))
+        lo = sum(b << i for i, b in enumerate(bits[:32]))
+        hi = sum(b << i for i, b in enumerate(bits[32:]))
+        assert (r.dhash_hi, r.dhash_lo) == (hi, lo), r.doc_id
+
+
+def test_dft_power_matches_numpy_fft(spark):
+    """The SQL DFT must agree with numpy's FFT on the same bias-centered
+    16-sample frames (|FFT[k]|^2, first 8 bins) within rounding."""
+    import numpy as np
+
+    from database_toolbox_spark.operators.multimodal import (
+        AUDIO_BIAS,
+        DFT_N,
+        audio_dft_power,
+    )
+
+    pdf = audio_dft_power(spark, SF_DIR).toPandas()
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+        .head(25)
+    )
+    for _, d in docs.iterrows():
+        data = d.text.encode()[:DFT_N]
+        dev = np.zeros(DFT_N)
+        dev[: len(data)] = np.frombuffer(data, np.uint8).astype(
+            float
+        ) - AUDIO_BIAS
+        want = np.abs(np.fft.fft(dev)[:8]) ** 2
+        got = pdf[pdf.doc_id == d.doc_id].sort_values("bin")["power"]
+        assert np.allclose(got, np.round(want, 2), atol=0.02), d.doc_id
