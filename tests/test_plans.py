@@ -321,3 +321,23 @@ def test_scan_count_bounded(spark, modname, fn, max_scans):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = plan.count("Scan parquet")
     assert n <= max_scans, f"{fn}: {n} parquet scans (max {max_scans})"
+
+
+def test_round4_plans_have_intended_shapes(spark):
+    """Round-4 operators: the coverage curve's LIMIT head must compile to
+    TakeOrderedAndProject (never a global sort), and no round-4 join may
+    degrade to a CartesianProduct."""
+    from database_toolbox_spark.operators.dedup import (
+        containment_dup_pairs,
+    )
+    from database_toolbox_spark.operators.pipeline import (
+        vocab_coverage_curve,
+    )
+    from database_toolbox_spark.operators.similarity import pq_ann_topk
+
+    plan = _plan(vocab_coverage_curve(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    for fn in (containment_dup_pairs, pq_ann_topk):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, fn.__name__
