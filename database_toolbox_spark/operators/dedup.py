@@ -1592,3 +1592,50 @@ QUERIES["dup_cluster_size_histogram"] = dup_cluster_size_histogram
 ORACLE["dup_cluster_size_histogram"] = _CLUSTER_HIST_SQL.format(
     src=ORACLE["dup_clusters"]
 )
+
+
+_SPLICE_SQL = """
+    WITH fp AS (
+        SELECT doc_id, md5(text) AS full_fp,
+               md5(substr(text, 1, 64)) AS head_fp,
+               md5(substr(text, greatest(1, length(text) - 63), 64))
+                   AS tail_fp
+        FROM documents WHERE length(text) >= 64
+    ),
+    heads AS (
+        SELECT 'head' AS boundary, a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM fp a JOIN fp b
+          ON a.head_fp = b.head_fp AND a.doc_id < b.doc_id
+         AND a.full_fp <> b.full_fp
+    ),
+    tails AS (
+        SELECT 'tail' AS boundary, a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM fp a JOIN fp b
+          ON a.tail_fp = b.tail_fp AND a.doc_id < b.doc_id
+         AND a.full_fp <> b.full_fp
+    )
+    SELECT boundary, doc_a, doc_b
+    FROM (SELECT * FROM heads UNION ALL SELECT * FROM tails) u
+    ORDER BY boundary, doc_a, doc_b
+"""
+
+
+def boilerplate_boundary_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-boundary detector: document pairs sharing an identical
+    64-char opening (head) or closing (tail) while differing in body —
+    the template/footer signature exact dedup misses (full hashes
+    differ) and shingle Jaccard dilutes (a shared footer is a small
+    fraction of a long page). The curation action is boundary STRIPPING
+    rather than document dropping, so the report keys on which edge
+    matched.
+
+    Scale shape: one fingerprint projection, two self-equi-joins on
+    64-char md5 keys (hot boilerplate keys are exactly the skew the
+    salting/AQE machinery handles), no verification pass needed — the
+    md5 equality IS the 64-char match. Identical SQL on both engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_SPLICE_SQL)
+
+
+QUERIES["boilerplate_boundary_pairs"] = boilerplate_boundary_pairs
+ORACLE["boilerplate_boundary_pairs"] = _SPLICE_SQL

@@ -928,3 +928,127 @@ ORACLE["pq_ann_topk"] = _pq_sql(
     _duck_pq_slice,
     _duck_pq_l2,
 )
+
+
+def _ivfpq_sql(assigned_src: str, subspaces: str, vslice, l2) -> str:
+    """Shared IVF+PQ composite: coarse IVF probe (the query's nearest
+    cell bounds the candidate set to ~1/N_IVF_CELLS of the corpus),
+    then PQ-ADC ranking of the probe set only — the FAISS IVFADC
+    pipeline shape (Jégou et al., TPAMI'11 §V). assigned_src is the
+    (vec_id, cell) index relation: the Spark side passes a MATERIALIZED
+    view (it is the IVF index, referenced three times), the oracle an
+    inline recomputation."""
+    return f"""
+        WITH assigned AS ({assigned_src}),
+        q AS (
+            SELECT e.embedding AS qemb, a.cell AS qcell
+            FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+            WHERE e.vec_id = {QUERY_VEC_ID}
+        ),
+        probe AS (
+            SELECT e.vec_id, e.embedding
+            FROM embeddings e
+            JOIN assigned a ON e.vec_id = a.vec_id
+            JOIN q ON a.cell = q.qcell
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+        ),
+        sub AS ({subspaces}),
+        pqc AS (
+            SELECT sub.s, e.vec_id AS cid,
+                   {vslice("e.embedding", "sub.s")} AS cemb
+            FROM embeddings e CROSS JOIN sub
+            WHERE e.vec_id < {PQ_CENTROIDS}
+        ),
+        codes AS (
+            SELECT vec_id, s, cid FROM (
+                SELECT v.vec_id, c.s, c.cid,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id, c.s
+                           ORDER BY floor({l2(vslice("v.embedding", "c.s"),
+                                              "c.cemb")}
+                                          * 1000000e0) / 1000000e0, c.cid
+                       ) AS rn
+                FROM probe v CROSS JOIN pqc c
+            ) r WHERE rn = 1
+        ),
+        lut AS (
+            SELECT c.s, c.cid,
+                   {l2(vslice("q.qemb", "c.s"), "c.cemb")} AS d
+            FROM pqc c CROSS JOIN q
+        ),
+        adc AS (
+            SELECT codes.vec_id, sum(lut.d) AS dist
+            FROM codes JOIN lut ON lut.s = codes.s AND lut.cid = codes.cid
+            GROUP BY codes.vec_id
+        )
+        SELECT vec_id, {R("dist", 6)} AS adc_dist
+        FROM adc
+        ORDER BY {R("dist", 6)}, vec_id
+        LIMIT 10
+    """
+
+
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composite ANN (the FAISS-style IVFADC shape): the coarse
+    quantizer prunes the corpus to the query's cell, then product-
+    quantization codes rank ONLY the probe set via the 256-entry LUT —
+    at 100 TB this is the pipeline that reads neither the corpus nor
+    the float vectors at query time: the IVF index routes, the byte
+    codes score, the LUT is measured in KBs.
+
+    Scale shape: the (vec_id, cell) assignment is MATERIALIZED once
+    (the IVF index — CTE inlining would replay the corpus x centroids
+    pass per reference); probe-set coding touches ~n/N_IVF_CELLS
+    vectors x the broadcast codebook; everything downstream of the
+    probe is bounded by cell size; final ranking is TakeOrdered."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    d2 = _spark_l2_to_centroid("e.embedding", "c.embedding")
+    assigned_df = materialize(spark.sql(f"""
+        WITH cents AS (
+            SELECT vec_id AS cell, embedding FROM embeddings
+            WHERE vec_id < {N_IVF_CELLS}
+        )
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor({d2} * 1000000e0) / 1000000e0, c.cell)
+                       AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    """))
+    assigned_df.createOrReplaceTempView("ivfpq_assigned_v")
+
+    def vslice(e, s):
+        return f"slice({e}, 1 + ({s}) * {PQ_SUBDIM}, {PQ_SUBDIM})"
+
+    def l2(a, b):
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+                f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+                f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+                f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+    return spark.sql(_ivfpq_sql(
+        "SELECT * FROM ivfpq_assigned_v",
+        f"SELECT explode(sequence(0, {PQ_SUBSPACES - 1})) AS s",
+        vslice,
+        l2,
+    ))
+
+
+QUERIES["ivfpq_ann_topk"] = ivfpq_ann_topk
+ORACLE["ivfpq_ann_topk"] = _ivfpq_sql(
+    f"""SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor({_DUCK_D2} * 1000000e0) / 1000000e0,
+                                c.cell) AS rn
+            FROM embeddings e CROSS JOIN
+                 (SELECT vec_id AS cell, embedding FROM embeddings
+                  WHERE vec_id < {N_IVF_CELLS}) c
+        ) t WHERE rn = 1""",
+    f"SELECT unnest(range(0, {PQ_SUBSPACES})) AS s",
+    _duck_pq_slice,
+    _duck_pq_l2,
+)

@@ -944,3 +944,60 @@ def _novelty_oracle() -> str:
 
 QUERIES["ngram_novelty_scores"] = ngram_novelty_scores
 ORACLE["ngram_novelty_scores"] = _novelty_oracle()
+
+
+_RUN_SQL = """
+    WITH toks AS ({pos_src}),
+    marks AS (
+        SELECT doc_id, pos, term,
+               CASE WHEN lag(term) OVER (PARTITION BY doc_id
+                                         ORDER BY pos) = term
+                    THEN 0 ELSE 1 END AS brk
+        FROM toks
+    ),
+    runs AS (
+        SELECT doc_id, term,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run_id
+        FROM marks
+    ),
+    runlen AS (
+        SELECT doc_id, run_id, count(*) AS len
+        FROM runs GROUP BY doc_id, run_id
+    )
+    SELECT doc_id,
+           CAST(max(len) AS BIGINT) AS max_run,
+           CAST(sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_runs_ge3,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM runlen GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def token_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-repetition detector: the longest run of IDENTICAL
+    consecutive tokens per document plus the count of runs >= 3 — the
+    signal that catches "the the the ..."-style model-collapse text and
+    stuck-key spam, which bigram repetition fractions
+    (doc_repetition_scores) dilute on long documents.
+
+    The gaps-and-islands spelling: a lag-compare marks run breaks, the
+    running sum of breaks numbers the runs (both windows PARTITION BY
+    doc_id — bounded by document length, never corpus-wide), one
+    grouped count per run, one per doc. Identical shape both engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_RUN_SQL.format(
+        pos_src="SELECT /*+ REPARTITION */ doc_id, pos, col AS term "
+                "FROM documents "
+                "LATERAL VIEW posexplode(split(text, ' ')) p AS pos, col"
+    ))
+
+
+QUERIES["token_run_lengths"] = token_run_lengths
+ORACLE["token_run_lengths"] = _RUN_SQL.format(
+    pos_src="SELECT doc_id, u.i AS pos, toks[u.i] AS term "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS toks "
+            "      FROM documents), "
+            "     unnest(range(1, len(toks) + 1)) AS u(i)"
+)

@@ -357,3 +357,87 @@ def test_dft_power_matches_numpy_fft(spark):
         want = np.abs(np.fft.fft(dev)[:8]) ** 2
         got = pdf[pdf.doc_id == d.doc_id].sort_values("bin")["power"]
         assert np.allclose(got, np.round(want, 2), atol=0.02), d.doc_id
+
+
+def test_ivfpq_probe_subset_of_cell_and_quality(spark):
+    """IVFPQ results must all come from the query's IVF cell (the probe
+    bound), and the composite's selections should be no worse than the
+    global PQ scan's concentration (same codebooks, pruned candidates)."""
+    from database_toolbox_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        ivf_cell_assignments,
+        ivfpq_ann_topk,
+    )
+
+    got = ivfpq_ann_topk(spark, SF_DIR).toPandas()
+    assert len(got) == 10
+    assert list(got["adc_dist"]) == sorted(got["adc_dist"])
+    # recompute the assignment and confirm every hit shares the query cell
+    ivf_cell_assignments(spark, SF_DIR)  # warms the same machinery
+    from database_toolbox_spark.operators.similarity import N_IVF_CELLS
+    from database_toolbox_spark.session import load_table
+
+    import numpy as np
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def cell(v):
+        dists = [
+            (round(float(np.sum((emb[c] - v) ** 2)), 6), c)
+            for c in range(N_IVF_CELLS)
+        ]
+        return min(dists)[1]
+
+    qcell = cell(emb[QUERY_VEC_ID])
+    for vid in got["vec_id"]:
+        assert cell(emb[vid]) == qcell, vid
+
+
+def test_token_runs_match_python_recount(spark):
+    """max_run / n_runs_ge3 / n_runs equal a direct Python scan of each
+    document's token stream."""
+    from database_toolbox_spark.operators.text import token_run_lengths
+
+    pdf = (
+        token_run_lengths(spark, SF_DIR).toPandas().set_index("doc_id")
+    )
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    for d in docs[:100]:
+        toks = d.text.split(" ")
+        runs, cur = [], 1
+        for a, b in zip(toks, toks[1:]):
+            if a == b:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        row = pdf.loc[d.doc_id]
+        assert row.max_run == max(runs)
+        assert row.n_runs == len(runs)
+        assert row.n_runs_ge3 == sum(r >= 3 for r in runs)
+
+
+def test_boilerplate_pairs_share_edge_but_not_body(spark):
+    """Every reported pair shares the exact 64-char boundary on the named
+    edge and has different full text."""
+    from database_toolbox_spark.operators.dedup import (
+        boilerplate_boundary_pairs,
+    )
+
+    rows = boilerplate_boundary_pairs(spark, SF_DIR).collect()
+    assert rows, "fixture should contain shared-boundary near-dups"
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    for r in rows:
+        ta, tb = docs[r.doc_a], docs[r.doc_b]
+        assert ta != tb
+        if r.boundary == "head":
+            assert ta[:64] == tb[:64]
+        else:
+            assert ta[-64:] == tb[-64:]
