@@ -95,3 +95,150 @@ ORACLE = {
         lambda arr, pos: f"{arr}[{pos}]",
     ),
 }
+
+
+N_SIL_CELLS = 16  # sampled coarse centroids (the IVF convention)
+
+
+def _silhouette_sql(pos_src: str, elem) -> str:
+    """Shared centroid-silhouette pipeline: all corpus x centroid L2
+    distances in one pass, rank per vector (1e-6-floored — the
+    kmeans/IVF assignment guard), own = rank 1, nearest-other = rank 2,
+    s = (b - a) / max(a, b) on sqrt distances, averaged per cell."""
+    return f"""
+        WITH cents AS (
+            SELECT vec_id AS cell, embedding AS cemb FROM embeddings
+            WHERE vec_id < {N_SIL_CELLS}
+        ),
+        pos AS (SELECT pos FROM {pos_src} p),
+        d AS (
+            SELECT e.vec_id, c.cell,
+                   sqrt(sum(({elem("e.embedding", "pos")} * 1e0
+                             - {elem("c.cemb", "pos")})
+                            * ({elem("e.embedding", "pos")} * 1e0
+                               - {elem("c.cemb", "pos")}))) AS dist
+            FROM embeddings e CROSS JOIN cents c CROSS JOIN pos
+            GROUP BY e.vec_id, c.cell
+        ),
+        ranked AS (
+            SELECT vec_id, cell, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY floor(dist * 1000000e0) / 1000000e0, cell)
+                       AS rn
+            FROM d
+        ),
+        pairs AS (
+            SELECT a.vec_id, a.cell, a.dist AS own, b.dist AS other
+            FROM ranked a JOIN ranked b
+              ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+        )
+        SELECT cell,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               {R("avg((other - own) / greatest(own, other))", 6)}
+                   AS mean_silhouette,
+               {R("avg(own)", 6)} AS mean_own_dist
+        FROM pairs GROUP BY cell ORDER BY cell
+    """
+
+
+def kmeans_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-silhouette clustering diagnostic: for each vector,
+    a = distance to its own (nearest) coarse centroid, b = distance to
+    the nearest OTHER centroid, s = (b - a)/max(a, b) — the classic
+    silhouette with centroid distances standing in for mean pairwise
+    distances (Rousseeuw 1987 §2 simplification), which is what makes
+    it computable in ONE corpus x k pass instead of corpus². Per-cell
+    mean silhouette near 0 says the cell boundary is ambiguous — the
+    go/no-go check before trusting cell-local dedup (SemDeDup) or IVF
+    routing at a given k.
+
+    Scale shape: one cross join against k broadcast centroids, one
+    per-vector rank window (k rows per vector), one grouped avg —
+    linear in the corpus, no corpus-grain shuffle beyond the grouped
+    aggregate."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_silhouette_sql(
+        f"(SELECT explode(sequence(1, {DIM})) AS pos)",
+        lambda arr, pos: f"element_at({arr}, {pos})",
+    ))
+
+
+QUERIES["kmeans_silhouette_lite"] = kmeans_silhouette_lite
+ORACLE["kmeans_silhouette_lite"] = _silhouette_sql(
+    f"(SELECT unnest(range(1, {DIM} + 1)) AS pos)",
+    lambda arr, pos: f"{arr}[{pos}]",
+)
+
+
+def _label_agreement_sql(pos_src: str, elem) -> str:
+    """Shared cell-vs-label agreement pipeline over the sampled-centroid
+    assignment (same guard constants as the silhouette)."""
+    return f"""
+        WITH cents AS (
+            SELECT vec_id AS cell, embedding AS cemb FROM embeddings
+            WHERE vec_id < {N_SIL_CELLS}
+        ),
+        pos AS (SELECT pos FROM {pos_src} p),
+        d AS (
+            SELECT e.vec_id, e.label, c.cell,
+                   sum(({elem("e.embedding", "pos")} * 1e0
+                        - {elem("c.cemb", "pos")})
+                       * ({elem("e.embedding", "pos")} * 1e0
+                          - {elem("c.cemb", "pos")})) AS d2
+            FROM embeddings e CROSS JOIN cents c CROSS JOIN pos
+            GROUP BY e.vec_id, e.label, c.cell
+        ),
+        assigned AS (
+            SELECT vec_id, label, cell FROM (
+                SELECT vec_id, label, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY floor(d2 * 1000000e0) / 1000000e0, cell)
+                           AS rn
+                FROM d
+            ) r WHERE rn = 1
+        ),
+        cl AS (
+            SELECT cell, label, count(*) AS n
+            FROM assigned GROUP BY cell, label
+        ),
+        best AS (
+            SELECT cell, label AS majority_label, n AS n_majority FROM (
+                SELECT cell, label, n,
+                       row_number() OVER (PARTITION BY cell
+                           ORDER BY n DESC, label) AS rn
+                FROM cl
+            ) r WHERE rn = 1
+        ),
+        sizes AS (SELECT cell, sum(n) AS n_vectors FROM cl GROUP BY cell)
+        SELECT s.cell,
+               CAST(s.n_vectors AS BIGINT) AS n_vectors,
+               CAST(b.majority_label AS INT) AS majority_label,
+               CAST(b.n_majority AS BIGINT) AS n_majority,
+               {R("b.n_majority * 1e0 / s.n_vectors", 6)} AS purity
+        FROM sizes s JOIN best b ON b.cell = s.cell
+        ORDER BY s.cell
+    """
+
+
+def label_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-cluster purity (confident-learning-lite): assign every
+    embedding to its nearest coarse centroid and report each cell's
+    majority label and purity. Low-purity cells localize label noise or
+    genuinely mixed regions — the triage report before trusting labels
+    for supervised filtering, and the unsupervised twin of
+    label_separation_scores' per-dimension ANOVA.
+
+    Scale shape: identical one-pass corpus x k assignment as the
+    silhouette; everything after is (cell x label)-domain arithmetic."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_label_agreement_sql(
+        f"(SELECT explode(sequence(1, {DIM})) AS pos)",
+        lambda arr, pos: f"element_at({arr}, {pos})",
+    ))
+
+
+QUERIES["label_cluster_agreement"] = label_cluster_agreement
+ORACLE["label_cluster_agreement"] = _label_agreement_sql(
+    f"(SELECT unnest(range(1, {DIM} + 1)) AS pos)",
+    lambda arr, pos: f"{arr}[{pos}]",
+)

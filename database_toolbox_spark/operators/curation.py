@@ -661,3 +661,80 @@ def _duck_oracles() -> dict[str, str]:
 
 
 ORACLE = _duck_oracles()
+
+
+def _calibration_sql(q_expr: str, pctile, el) -> str:
+    """Shared quantile-calibration pipeline: per-source quartile
+    cutpoints (ONE ordered-set aggregate per source, broadcast back),
+    then a comparison-sum bucket id — never a per-source rank window,
+    which at 100 TB would be a global sort per source. Cutpoints
+    interpolate from identical canon-derived scores in both engines, so
+    the q-vs-cutpoint knife edge is consistent (the
+    exact_percentile_battery guard)."""
+    return f"""
+        WITH m AS (
+            SELECT doc_id, source, {q_expr} AS q FROM documents
+        ),
+        cuts AS (
+            SELECT source, {pctile} AS cs FROM m GROUP BY source
+        ),
+        b AS (
+            SELECT m.source,
+                   1 + CAST(m.q > {el("cuts.cs", 1)} AS INT)
+                     + CAST(m.q > {el("cuts.cs", 2)} AS INT)
+                     + CAST(m.q > {el("cuts.cs", 3)} AS INT) AS bucket,
+                   m.q
+            FROM m JOIN cuts ON cuts.source = m.source
+        )
+        SELECT source, CAST(bucket AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               {R("avg(q)", 6)} AS mean_q
+        FROM b GROUP BY source, bucket
+        ORDER BY source, bucket
+    """
+
+
+# the doc_quality_scores blend, spelled per dialect (text.py defines the
+# canonical formula; calibration reuses it verbatim so the calibrated
+# metric IS the quality score the rest of the curation tier filters on)
+_SPARK_Q = ("0.4e0 * (1e0 - size(filter(split(text, ' '), "
+            "t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) * 1e0 "
+            "/ size(split(text, ' '))) "
+            "+ 0.3e0 * (size(array_distinct(split(text, ' '))) * 1e0 "
+            "/ size(split(text, ' '))) "
+            "+ 0.3e0 * least(size(split(text, ' ')) / 100e0, 1e0)")
+_DUCK_Q = ("0.4e0 * (1e0 - len(list_filter(string_split(text, ' '), "
+           "t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) * 1e0 "
+           "/ len(string_split(text, ' '))) "
+           "+ 0.3e0 * (len(list_distinct(string_split(text, ' '))) * 1e0 "
+           "/ len(string_split(text, ' '))) "
+           "+ 0.3e0 * least(len(string_split(text, ' ')) / 100e0, 1e0)")
+
+
+def source_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile calibration of the quality score: bucket every
+    document into its WITHIN-SOURCE quality quartile and report bucket
+    sizes and mean quality. Raw quality thresholds are incomparable
+    across sources (a web crawl's P75 can sit below a books corpus's
+    P25); filtering on within-source quantiles — exactly what this
+    report parameterizes — keeps a fixed per-source keep-rate instead
+    of silently dropping whole sources.
+
+    Scale shape: one ordered-set aggregate per source for the three
+    cutpoints (source-count rows, broadcast back), one comparison-sum
+    projection, one grouped count — NO per-source rank window (that
+    would be a global sort per source at corpus scale)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_calibration_sql(
+        _SPARK_Q,
+        "percentile(q, array(0.25e0, 0.5e0, 0.75e0))",
+        lambda arr, i: f"element_at({arr}, {i})",
+    ))
+
+
+QUERIES["source_quality_calibration"] = source_quality_calibration
+ORACLE["source_quality_calibration"] = _calibration_sql(
+    _DUCK_Q,
+    "quantile_cont(q, [0.25e0, 0.5e0, 0.75e0])",
+    lambda arr, i: f"{arr}[{i}]",
+)

@@ -441,3 +441,51 @@ def test_boilerplate_pairs_share_edge_but_not_body(spark):
             assert ta[:64] == tb[:64]
         else:
             assert ta[-64:] == tb[-64:]
+
+
+def test_silhouette_bounds_and_own_is_nearest(spark):
+    """Silhouette values live in (-1, 1]; with own = nearest centroid by
+    construction, (b - a) >= 0 so every cell mean is non-negative."""
+    from database_toolbox_spark.operators.clustering import (
+        kmeans_silhouette_lite,
+    )
+
+    pdf = kmeans_silhouette_lite(spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["mean_silhouette"] >= 0).all()
+    assert (pdf["mean_silhouette"] <= 1).all()
+    assert (pdf["mean_own_dist"] > 0).all()
+
+
+def test_label_agreement_purity_consistent(spark):
+    """Purity = majority/total per cell, in (0, 1]; totals sum to the
+    corpus size."""
+    from database_toolbox_spark.operators.clustering import (
+        label_cluster_agreement,
+    )
+    n_emb = load_table(spark, SF_DIR, "embeddings").count()
+    pdf = label_cluster_agreement(spark, SF_DIR).toPandas()
+    assert pdf["n_vectors"].sum() == n_emb
+    assert ((pdf["n_majority"] <= pdf["n_vectors"])
+            & (pdf["n_majority"] >= 1)).all()
+    import numpy as np
+    assert np.allclose(
+        pdf["purity"], (pdf["n_majority"] / pdf["n_vectors"]).round(6)
+    )
+
+
+def test_calibration_quartiles_balanced_and_monotone(spark):
+    """Within each source the four buckets are roughly balanced (exact
+    quartiles up to ties) and mean quality is strictly increasing in
+    bucket id."""
+    from database_toolbox_spark.operators.curation import (
+        source_quality_calibration,
+    )
+
+    pdf = source_quality_calibration(spark, SF_DIR).toPandas()
+    for src, grp in pdf.groupby("source"):
+        grp = grp.sort_values("bucket")
+        assert list(grp["mean_q"]) == sorted(grp["mean_q"])
+        total = grp["n_docs"].sum()
+        assert (grp["n_docs"] >= 0.10 * total).all(), src
+        assert (grp["n_docs"] <= 0.40 * total).all(), src
