@@ -656,3 +656,83 @@ def read_near_dup_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard")
         .distinct()
     )
+
+
+_ANOM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("m2", T.DoubleType()),
+        T.StructField("n_anom", T.LongType()),
+    ]
+)
+_ANOM_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("n_anomalies", T.LongType()),
+        T.StructField("running_mean", T.DoubleType()),
+        T.StructField("running_sd", T.DoubleType()),
+    ]
+)
+
+ANOM_WARMUP = 30  # flags start once a type has this much history
+ANOM_SIGMA = 3.0
+
+
+def stream_value_anomalies(events: DataFrame) -> DataFrame:
+    """Streaming per-event-type anomaly counter: Welford's online
+    mean/variance as keyed state, each arriving value flagged against
+    the PRIOR statistics (|v - mean| > 3 sd once 30 events of history
+    exist — no self-contamination: a spike is judged before it updates
+    the state). The monitoring twin of the batch detectors
+    (daily_revenue_anomalies / cusum_shift_detection) — the state is
+    three numbers per key, so a million event types cost MBs.
+
+    Rows are processed in (ts, event_id) order within each micro-batch,
+    so a single-batch replay is deterministic and the batch-equivalence
+    test can replay the identical fold in pandas. The Welford update is
+    inherently sequential PER KEY; keys process in parallel (the
+    groupBy partitioning is the parallelism axis, exactly like the
+    batch engine's per-segment aggregates)."""
+
+    def detect(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        n, mean, m2, n_anom = (
+            state.get if state.exists else (0, 0.0, 0.0, 0)
+        )
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"].astype(float):
+                if n >= ANOM_WARMUP:
+                    sd = math.sqrt(m2 / (n - 1))
+                    if sd > 0 and abs(v - mean) > ANOM_SIGMA * sd:
+                        n_anom += 1
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+        state.update((n, mean, m2, n_anom))
+        sd = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n],
+                "n_anomalies": [n_anom],
+                "running_mean": [round(mean, 6)],
+                "running_sd": [round(sd, 6)],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        detect,
+        outputStructType=_ANOM_OUT_SCHEMA,
+        stateStructType=_ANOM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

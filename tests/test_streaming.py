@@ -476,3 +476,47 @@ def test_stream_minhash_near_dup_restart_continuation(spark, tmp_path):
     )
     per_pair = raw.groupBy("doc_a", "doc_b").count().collect()
     assert all(r["count"] == 1 for r in per_pair)
+
+
+def test_stream_value_anomalies_match_pandas_replay(spark, stream):
+    """The stateful Welford detector's final counts equal an identical
+    pandas replay of the same (ts, event_id)-ordered per-type streams —
+    flags judged against PRIOR stats only."""
+    import math
+
+    from database_toolbox_spark.streaming import stream_value_anomalies
+    from database_toolbox_spark.streaming.stream_ops import (
+        ANOM_SIGMA,
+        ANOM_WARMUP,
+    )
+
+    _run_to_memory(
+        stream_value_anomalies(stream), "anom_out", "update"
+    )
+    got = {
+        r.event_type: (r.n_seen, r.n_anomalies)
+        for r in spark.sql(
+            "SELECT event_type, max(n_seen) AS n_seen, "
+            "max(n_anomalies) AS n_anomalies FROM anom_out "
+            "GROUP BY event_type"
+        ).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .toPandas()
+    )
+    for etype, grp in ev.groupby("event_type"):
+        n, mean, m2, n_anom = 0, 0.0, 0.0, 0
+        for v in grp.sort_values(["ts", "event_id"])["value"].astype(
+            float
+        ):
+            if n >= ANOM_WARMUP:
+                sd = math.sqrt(m2 / (n - 1))
+                if sd > 0 and abs(v - mean) > ANOM_SIGMA * sd:
+                    n_anom += 1
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+        assert got[etype] == (n, n_anom), etype
