@@ -232,6 +232,38 @@ SHOWCASE = {
         "top-10 concentration is TakeOrdered, NOT a global window — the "
         "audit of giant shuffles must itself not giant-shuffle."
     ),
+    "jaccard_prefix_filter_pairs": (
+        "AllPairs prefix filtering: rarity-ordered prefix postings "
+        "equi-join for candidates, xxhash64 array_intersect verification "
+        "on candidates only — the exact-similarity join shape that "
+        "replaces the quadratic shingle self-join."
+    ),
+    "containment_dup_pairs": (
+        "Asymmetric containment join: the smaller doc's rarity prefix "
+        "probes full postings; integer threshold compare (5c >= 4n) — "
+        "no float knife edge, no cartesian."
+    ),
+    "pq_ann_topk": (
+        "Product quantization: codebook broadcast into the coding "
+        "projection and the 256-entry LUT; ADC is a grouped sum of 8 "
+        "LUT hits per vector, ranking TakeOrdered."
+    ),
+    "ivfpq_ann_topk": (
+        "FAISS-style IVFADC: the materialized (vec_id, cell) index routes "
+        "the query to one cell; PQ codes rank only the probe set — at "
+        "100 TB neither the corpus nor the float vectors are read at "
+        "query time."
+    ),
+    "vocab_coverage_curve": (
+        "Coverage curve: token counts aggregate map-side, the LIMIT head "
+        "compiles to TakeOrderedAndProject, and the rank window runs "
+        "over the 10k-row head only."
+    ),
+    "cusum_shift_detection": (
+        "CUSUM closed form: running sum + running min windows over the "
+        "calendar-bounded day series replace the per-row recursion — "
+        "no fold, no UDF, two window stages."
+    ),
 }
 
 
