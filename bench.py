@@ -106,6 +106,8 @@ HEADLINE = [
     "holt_linear_daily_revenue",
     "conformal_interval_coverage",
     "moment_profile_by_segment",
+    "ivfpq_ann_topk",
+    "source_quality_calibration",
 ]
 
 

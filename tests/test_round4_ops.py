@@ -489,3 +489,147 @@ def test_calibration_quartiles_balanced_and_monotone(spark):
         total = grp["n_docs"].sum()
         assert (grp["n_docs"] >= 0.10 * total).all(), src
         assert (grp["n_docs"] <= 0.40 * total).all(), src
+
+
+# ---- property tests for the batched-BPE driver-side math (no Spark) ----
+
+
+def _pair_counts(vocab):
+    c = Counter()
+    for syms, f in vocab.items():
+        for i in range(len(syms) - 1):
+            c[f"{syms[i]} {syms[i + 1]}"] += f
+    return c
+
+
+def _tri_counts(vocab):
+    c = Counter()
+    for syms, f in vocab.items():
+        for i in range(len(syms) - 2):
+            c[f"{syms[i]} {syms[i + 1]} {syms[i + 2]}"] += f
+    return c
+
+
+def _apply_merge(vocab, a, b, ab):
+    out = {}
+    for syms, f in vocab.items():
+        fused, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                fused.append(ab)
+                i += 2
+            else:
+                fused.append(syms[i])
+                i += 1
+        k = tuple(fused)
+        out[k] = out.get(k, 0) + f
+    return out
+
+
+def _step_deltas(vocab, batch):
+    """Pure-python mirror of _bpe_step_deltas' per-word fold."""
+    deltas = {}
+    for syms0, f in vocab.items():
+        syms = list(syms0)
+        for step, (a, b, ab, _n) in enumerate(batch):
+            if not any(
+                syms[i] == a and syms[i + 1] == b
+                for i in range(len(syms) - 1)
+            ):
+                continue
+            before = Counter(zip(syms, syms[1:]))
+            fused, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    fused.append(ab)
+                    i += 2
+                else:
+                    fused.append(syms[i])
+                    i += 1
+            syms = fused
+            after = Counter(zip(syms, syms[1:]))
+            for p in set(before) | set(after):
+                d = after[p] - before[p]
+                if d:
+                    deltas.setdefault(step, {})
+                    key = f"{p[0]} {p[1]}"
+                    deltas[step][key] = deltas[step].get(key, 0) + d * f
+    return deltas
+
+
+def _sequential_bpe(vocab, n):
+    merges = []
+    for _ in range(n):
+        pc = _pair_counts(vocab)
+        if not pc:
+            break
+        p, c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        a, b = p.split(" ")
+        merges.append((a, b, a + b, c))
+        vocab = _apply_merge(vocab, a, b, a + b)
+    return merges
+
+
+def _rand_vocab(draw):
+    from hypothesis import strategies as st
+
+    alphabet = "abcd"
+    n_words = draw(st.integers(2, 8))
+    vocab = {}
+    for _ in range(n_words):
+        length = draw(st.integers(2, 7))
+        w = tuple(
+            draw(st.sampled_from(alphabet)) for _ in range(length)
+        )
+        vocab[w] = vocab.get(w, 0) + draw(st.integers(1, 9))
+    return vocab
+
+
+def test_bpe_verify_is_sound_on_random_vocabs():
+    """SOUNDNESS of the batched-exact machinery: for random tiny corpora
+    (adversarial for batching — aaaa chains, ties everywhere), whatever
+    prefix _bpe_verify_prefix accepts from _bpe_guess's speculative
+    sequence must be EXACTLY the sequence classic sequential BPE
+    produces, in both whole-table and truncated-top-K modes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from database_toolbox_spark.operators.pipeline import (
+        _bpe_guess,
+        _bpe_verify_prefix,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.data())
+    def inner(data):
+        vocab = _rand_vocab(data.draw)
+        pc = _pair_counts(vocab)
+        if not pc:
+            return
+        cands_all = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        tris = sorted(
+            _tri_counts(vocab).items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        want = _sequential_bpe(vocab, 10)
+        for K in (len(cands_all), 3):  # whole table AND truncated
+            cands = cands_all[:K]
+            whole = len(cands_all) <= K
+            floor = 0 if whole else cands_all[K][1] if len(
+                cands_all
+            ) > K else 0
+            guess = _bpe_guess(cands, tris, cap=10)
+            if len(guess) <= 1:
+                accepted = guess
+            else:
+                accepted = _bpe_verify_prefix(
+                    cands, floor, whole, guess,
+                    _step_deltas(vocab, guess),
+                )
+            assert accepted == want[: len(accepted)], (
+                vocab, K, accepted, want
+            )
+            assert len(accepted) >= 1
+
+    inner()
