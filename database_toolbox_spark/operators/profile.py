@@ -942,3 +942,76 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["l_diversity_audit"] = l_diversity_audit
 ORACLE["l_diversity_audit"] = _L_DIVERSITY_SQL
+
+
+_ANALYZE_AGG_SQL = """
+    SELECT count(*) AS n_rows,
+           CAST(count(o_custkey) AS BIGINT) AS nn_custkey,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_custkey,
+           CAST(min(o_custkey) AS {str}) AS mn_custkey,
+           CAST(max(o_custkey) AS {str}) AS mx_custkey,
+           CAST(count(o_orderstatus) AS BIGINT) AS nn_status,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status,
+           CAST(min(o_orderstatus) AS {str}) AS mn_status,
+           CAST(max(o_orderstatus) AS {str}) AS mx_status,
+           CAST(count(o_totalprice) AS BIGINT) AS nn_price,
+           CAST(count(DISTINCT o_totalprice) AS BIGINT) AS ndv_price,
+           CAST(CAST(min(o_totalprice) AS DECIMAL(18, 2)) AS {str})
+               AS mn_price,
+           CAST(CAST(max(o_totalprice) AS DECIMAL(18, 2)) AS {str})
+               AS mx_price,
+           CAST(count(o_orderdate) AS BIGINT) AS nn_date,
+           CAST(count(DISTINCT o_orderdate) AS BIGINT) AS ndv_date,
+           CAST(CAST(min(o_orderdate) AS DATE) AS {str}) AS mn_date,
+           CAST(CAST(max(o_orderdate) AS DATE) AS {str}) AS mx_date
+    FROM orders
+"""
+
+_ANALYZE_OUT_SQL = """
+    SELECT 'o_custkey' AS column_name, n_rows, nn_custkey AS n_nonnull,
+           ndv_custkey AS ndv, mn_custkey AS min_value,
+           mx_custkey AS max_value
+    FROM {agg}
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows, nn_status, ndv_status, mn_status,
+           mx_status FROM {agg}
+    UNION ALL
+    SELECT 'o_totalprice', n_rows, nn_price, ndv_price, mn_price,
+           mx_price FROM {agg}
+    UNION ALL
+    SELECT 'o_orderdate', n_rows, nn_date, ndv_date, mn_date, mx_date
+    FROM {agg}
+    ORDER BY column_name
+"""
+
+
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, as an operator:
+    per-column row count, non-null count, exact NDV, and min/max for the
+    CBO-relevant orders columns — the statistics a cost-based optimizer
+    feeds join reordering and selectivity estimates (and the first thing
+    a human profiles before tuning a slow query). Numerics emit as
+    fixed-scale DECIMAL strings and dates as DATE strings so both
+    engines render identically (FIXTURES.md canon rules).
+
+    Scale shape: ONE scan computes every aggregate (Spark's multi
+    count-distinct compiles to a single Expand + two-level aggregate);
+    the 1-row result is MATERIALIZED before the 4-way UNION unpivot so
+    CTE inlining cannot replay the scan per branch (the DuckDB oracle
+    pins the same shape with AS MATERIALIZED)."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    materialize(
+        spark.sql(_ANALYZE_AGG_SQL.format(str="STRING"))
+    ).createOrReplaceTempView("analyze_agg_v")
+    return spark.sql(_ANALYZE_OUT_SQL.format(agg="analyze_agg_v"))
+
+
+QUERIES["analyze_table_stats"] = analyze_table_stats
+ORACLE["analyze_table_stats"] = (
+    "WITH agg AS MATERIALIZED ("
+    + _ANALYZE_AGG_SQL.format(str="VARCHAR")
+    + ") "
+    + _ANALYZE_OUT_SQL.format(agg="agg")
+)
