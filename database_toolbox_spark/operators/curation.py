@@ -738,3 +738,87 @@ ORACLE["source_quality_calibration"] = _calibration_sql(
     "quantile_cont(q, [0.25e0, 0.5e0, 0.75e0])",
     lambda arr, i: f"{arr}[{i}]",
 )
+
+
+def _datasheet_sql(toks: str, q_expr: str, entropy: str) -> str:
+    """Shared per-source datasheet rollup: all document-grain metrics in
+    one pass (map-side combinable), the token grain only for totals and
+    hapax share, the lang-mix entropy on the (source x lang) domain."""
+    return f"""
+        WITH docgrain AS (
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT)
+                       AS n_distinct_texts,
+                   sum({q_expr}) AS q_sum,
+                   sum(length(text)) AS n_chars
+            FROM documents GROUP BY source
+        ),
+        tok AS ({toks}),
+        tokgrain AS (
+            SELECT source, term, count(*) AS n FROM tok
+            GROUP BY source, term
+        ),
+        toksum AS (
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax
+            FROM tokgrain GROUP BY source
+        ),
+        langmix AS (
+            SELECT source, lang, count(*) AS n
+            FROM documents GROUP BY source, lang
+        ),
+        langent AS (
+            SELECT source, {entropy} AS lang_entropy
+            FROM (SELECT source, n,
+                         sum(n) OVER (PARTITION BY source) AS tot
+                  FROM langmix) t
+            GROUP BY source
+        )
+        SELECT d.source,
+               CAST(d.n_docs AS BIGINT) AS n_docs,
+               {R("(d.n_docs - d.n_distinct_texts) * 1e0 / d.n_docs", 6)}
+                   AS exact_dup_rate,
+               t.n_tokens,
+               CAST(d.n_chars AS BIGINT) AS n_chars,
+               {R("d.q_sum / d.n_docs", 6)} AS mean_quality,
+               {R("t.n_hapax * 1e0 / t.n_terms", 6)} AS hapax_share,
+               {R("le.lang_entropy", 6)} AS lang_entropy
+        FROM docgrain d
+        JOIN toksum t ON t.source = d.source
+        JOIN langent le ON le.source = d.source
+        ORDER BY d.source
+    """
+
+
+def source_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-source dataset DATASHEET (Gebru et al.'s datasheets
+    idea, reduced to the computable core): volume (docs/tokens/chars),
+    exact-dup rate, mean quality score, hapax share (vocabulary
+    freshness — high hapax = OCR noise or genuinely diverse text), and
+    language-mix entropy. The single report a curation review reads
+    before deciding per-source treatment; every column is also
+    available as a dedicated operator for drill-down.
+
+    Scale shape: one doc-grain grouped pass, one token-grain grouped
+    pass (map-side combinable), one (source x lang)-domain entropy —
+    the per-source window runs over that bounded domain, never rows."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_datasheet_sql(
+        toks="SELECT /*+ REPARTITION */ source, "
+             "explode(split(text, ' ')) AS term FROM documents",
+        q_expr=_SPARK_Q,
+        entropy="-sum((n * 1e0 / tot) * ln(n * 1e0 / tot))",
+    ))
+
+
+QUERIES["source_datasheet"] = source_datasheet
+ORACLE["source_datasheet"] = _datasheet_sql(
+    toks="SELECT source, unnest(string_split(text, ' ')) AS term "
+         "FROM documents",
+    q_expr=_DUCK_Q,
+    entropy="-sum((n * 1e0 / tot) * ln(n * 1e0 / tot))",
+)

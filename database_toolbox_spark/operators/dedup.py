@@ -1639,3 +1639,94 @@ def boilerplate_boundary_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["boilerplate_boundary_pairs"] = boilerplate_boundary_pairs
 ORACLE["boilerplate_boundary_pairs"] = _SPLICE_SQL
+
+
+_EFF_MASS_TAIL = """
+    -- ONE reference to rep: a second (sizes-join) reference would make
+    -- Catalyst replay the whole recursive walk per reference; the
+    -- component-partitioned window is bounded by cluster size
+    w AS (
+        SELECT node AS doc_id,
+               1e0 / count(*) OVER (PARTITION BY component) AS wt
+        FROM rep
+    ),
+    alldocs AS (
+        SELECT d.source, coalesce(w.wt, 1e0) AS wt
+        FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {eff} AS effective_docs,
+           {disc} AS dedup_discount
+    FROM alldocs GROUP BY source ORDER BY source
+"""
+
+
+def cluster_weighted_sample_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware effective dataset size per source: members of a
+    near-dup cluster carry weight 1/cluster_size (a cluster contributes
+    ONE document's worth of mass however many copies exist — the
+    repetition-discounting reweighting the data-curation literature
+    applies instead of hard dropping), singletons weight 1. The
+    dedup_discount column is the fraction of a source's nominal volume
+    that is repetition.
+
+    Scale shape: the component walk runs on the verified LSH pair graph
+    (pairs-scale, not corpus-scale); weights broadcast back to the
+    corpus via one LEFT join; everything else is a grouped sum."""
+    pairs = materialize(
+        minhash_near_dup_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .coalesce(1)
+    )
+    pairs.createOrReplaceTempView("eff_pairs_v")
+    tail = _EFF_MASS_TAIL.format(
+        eff=R("sum(wt)", 4), disc=R("1e0 - sum(wt) / count(*)", 6)
+    )
+    return spark.sql(f"""
+        WITH RECURSIVE walk(node, member, depth) AS (
+            SELECT node, node, 0 FROM (
+                SELECT doc_a AS node FROM eff_pairs_v
+                UNION SELECT doc_b FROM eff_pairs_v
+            )
+            UNION ALL
+            SELECT w.node, e.dst, w.depth + 1
+            FROM walk w
+            JOIN (
+                SELECT doc_a AS src, doc_b AS dst FROM eff_pairs_v
+                UNION ALL
+                SELECT doc_b, doc_a FROM eff_pairs_v
+            ) e ON e.src = w.member
+            WHERE w.depth < 6
+        ),
+        rep AS (
+            SELECT node, min(member) AS component
+            FROM walk GROUP BY node
+        ),
+        {tail}
+    """)
+
+
+QUERIES["cluster_weighted_sample_mass"] = cluster_weighted_sample_mass
+ORACLE["cluster_weighted_sample_mass"] = f"""
+    WITH RECURSIVE pairs AS (
+        {_band_pairs_sql(_DUCK_SHINGLES, lambda a, b: f"({a} || {b})")}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    members AS (
+        SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs
+    ),
+    reach(node, member) AS (
+        SELECT node, node FROM members
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.member
+    ),
+    rep AS (
+        SELECT node, min(member) AS component FROM reach GROUP BY node
+    ),
+    {_EFF_MASS_TAIL.format(eff=R("sum(wt)", 4),
+                           disc=R("1e0 - sum(wt) / count(*)", 6))}
+"""

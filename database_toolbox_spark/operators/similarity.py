@@ -1052,3 +1052,100 @@ ORACLE["ivfpq_ann_topk"] = _ivfpq_sql(
     _duck_pq_slice,
     _duck_pq_l2,
 )
+
+
+def _hard_negative_sql(assigned_src: str, norm2, dot) -> str:
+    """Shared hard-negative miner: cell-local pairs with DIFFERENT labels
+    ranked by cosine — candidates bounded by cell size, never all-pairs."""
+    return f"""
+        WITH assigned AS ({assigned_src}),
+        v AS (
+            SELECT e.vec_id, e.label, e.embedding, a.cell,
+                   {norm2("e.embedding")} AS norm2
+            FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id
+        ),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.label AS label_a, b.label AS label_b,
+                   {dot("a.embedding", "b.embedding")}
+                   / sqrt(a.norm2 * b.norm2) AS cos
+            FROM v a JOIN v b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+             AND a.label <> b.label
+        )
+        SELECT vec_a, vec_b, CAST(label_a AS INT) AS label_a,
+               CAST(label_b AS INT) AS label_b,
+               {R("cos", 6)} AS cos_sim
+        FROM pairs
+        ORDER BY {R("cos", 6)} DESC, vec_a, vec_b
+        LIMIT 20
+    """
+
+
+def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: the 20 most-similar
+    DIFFERENT-label vector pairs, candidates restricted to shared IVF
+    cells — the pairs that teach a metric-learning model the most
+    (high-cosine cross-label), found without an all-pairs join. The
+    training-data counterpart of label_cluster_agreement: agreement says
+    WHERE labels and geometry disagree, this emits the actual pairs.
+
+    Scale shape: the cell-local self-join is bounded by (n/k)² per cell
+    exactly like SemDeDup; the ranking is TakeOrdered. The assignment
+    is MATERIALIZED (the IVF index), shared shape with ivfpq_ann_topk."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    d2 = _spark_l2_to_centroid("e.embedding", "c.embedding")
+    materialize(spark.sql(f"""
+        WITH cents AS (
+            SELECT vec_id AS cell, embedding FROM embeddings
+            WHERE vec_id < {N_IVF_CELLS}
+        )
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor({d2} * 1000000e0) / 1000000e0, c.cell)
+                       AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    """)).createOrReplaceTempView("hn_assigned_v")
+
+    def norm2(e):
+        return (f"aggregate({e}, CAST(0 AS DOUBLE), (acc, x) -> "
+                f"acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+
+    def dot(a, b):
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+                f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+    return spark.sql(_hard_negative_sql(
+        "SELECT * FROM hn_assigned_v", norm2, dot
+    ))
+
+
+def _duck_hn_norm2(e):
+    return (f"list_aggregate(list_transform({e}, x -> "
+            f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')")
+
+
+def _duck_hn_dot(a, b):
+    return (f"list_aggregate(list_transform(range(1, 65), i -> "
+            f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')")
+
+
+QUERIES["hard_negative_pairs"] = hard_negative_pairs
+ORACLE["hard_negative_pairs"] = _hard_negative_sql(
+    f"""SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor({_DUCK_D2} * 1000000e0) / 1000000e0,
+                                c.cell) AS rn
+            FROM embeddings e CROSS JOIN
+                 (SELECT vec_id AS cell, embedding FROM embeddings
+                  WHERE vec_id < {N_IVF_CELLS}) c
+        ) t WHERE rn = 1""",
+    _duck_hn_norm2,
+    _duck_hn_dot,
+)

@@ -633,3 +633,50 @@ def test_bpe_verify_is_sound_on_random_vocabs():
             assert len(accepted) >= 1
 
     inner()
+
+
+def test_source_datasheet_consistent_with_components(spark):
+    """Datasheet columns agree with their drill-down operators: per-source
+    doc counts sum to the corpus, rates live in [0, 1], entropy >= 0."""
+    from database_toolbox_spark.operators.curation import source_datasheet
+
+    pdf = source_datasheet(spark, SF_DIR).toPandas()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert pdf["n_docs"].sum() == n_docs
+    for col in ("exact_dup_rate", "hapax_share"):
+        assert ((pdf[col] >= 0) & (pdf[col] <= 1)).all(), col
+    assert (pdf["lang_entropy"] >= 0).all()
+    assert (pdf["mean_quality"] > 0).all()
+    assert (pdf["n_tokens"] > 0).all()
+
+
+def test_hard_negatives_cross_label_and_sorted(spark):
+    """Every mined pair crosses labels and the list is cosine-descending."""
+    from database_toolbox_spark.operators.similarity import (
+        hard_negative_pairs,
+    )
+
+    pdf = hard_negative_pairs(spark, SF_DIR).toPandas()
+    assert len(pdf) == 20
+    assert (pdf["label_a"] != pdf["label_b"]).all()
+    assert list(pdf["cos_sim"]) == sorted(pdf["cos_sim"], reverse=True)
+
+
+def test_effective_mass_discounts_only_dup_sources(spark):
+    """effective_docs <= n_docs everywhere; total discounted mass equals
+    n_docs - sum(cluster_size - 1) (each cluster contributes exactly one
+    document's worth of weight)."""
+    from database_toolbox_spark.operators.dedup import (
+        cluster_weighted_sample_mass,
+        dup_clusters,
+    )
+
+    pdf = cluster_weighted_sample_mass(spark, SF_DIR).toPandas()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert pdf["n_docs"].sum() == n_docs
+    assert (pdf["effective_docs"] <= pdf["n_docs"] + 1e-9).all()
+    clusters = dup_clusters(spark, SF_DIR).toPandas()
+    dropped_mass = (clusters["cluster_size"] - 1).sum()
+    # each member weighs 1/size, so a cluster's total weight is 1:
+    # corpus effective mass = n_docs - sum(size - 1)
+    assert abs(pdf["effective_docs"].sum() - (n_docs - dropped_mass)) < 0.01
