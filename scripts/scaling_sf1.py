@@ -73,12 +73,20 @@ SUSPECTS = [
     ("simhash_near_dup_pairs_narrow", "report"),
     ("bigram_lm_scores", "report"),
     ("bfs_reachable_hops", "report"),
+    # event tier: user-shifted replicas keep every per-user computation
+    # intact, so sessions / as-of matches / interval joins are exactly
+    # 10 copies of the base result
+    ("sessionize_lag_method", "exact10"),
+    ("asof_last_click", "exact10"),
+    ("interval_join_error_clicks", "exact10"),
+    ("user_session_windows", "exact10"),
 ]
 
 
 def synthesize() -> None:
     import duckdb
 
+    shutil.rmtree(BIG, ignore_errors=True)  # stale copies may be read-only
     os.makedirs(BIG, exist_ok=True)
     con = duckdb.connect()
     rep = f"(SELECT unnest(range({R})) AS r) rr"
@@ -115,6 +123,17 @@ def synthesize() -> None:
           FROM read_parquet('{SF_SMALL}/lineitem.parquet') l
           CROSS JOIN {rep}
         ) TO '{BIG}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.* REPLACE (e.event_id + rr.r * {SHIFT} AS event_id,
+                              e.user_id + rr.r * {SHIFT} AS user_id)
+          FROM read_parquet('{SF_SMALL}/events.parquet') e
+          CROSS JOIN {rep}
+        ) TO '{BIG}/events.parquet' (FORMAT PARQUET)
         """
     )
 
@@ -155,7 +174,8 @@ def synthesize() -> None:
     for t in TABLES:
         dst = f"{BIG}/{t}.parquet"
         if not os.path.exists(dst):
-            shutil.copy(f"{SF_SMALL}/{t}.parquet", dst)
+            shutil.copyfile(f"{SF_SMALL}/{t}.parquet", dst)
+            os.chmod(dst, 0o644)
 
 
 def measure(spark, queries, sf_dir):
