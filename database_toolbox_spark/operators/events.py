@@ -1231,3 +1231,61 @@ def _markov_stationary_oracle() -> str:
 
 QUERIES["markov_stationary_distribution"] = markov_stationary_distribution
 ORACLE["markov_stationary_distribution"] = _markov_stationary_oracle()
+
+
+_LTV_SQL = """
+    WITH first_seen AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    cohorts AS (
+        SELECT cohort_day, count(*) AS cohort_size
+        FROM first_seen GROUP BY cohort_day
+    ),
+    daily AS (
+        -- day totals canon-rounded BEFORE the running sum so both
+        -- engines fold identical doubles in window order
+        SELECT f.cohort_day, {dd} AS day_offset,
+               floor(sum(e.value) * 100 + 0.501e0) / 100e0 AS day_value
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        GROUP BY f.cohort_day, {dd}
+    ),
+    cum AS (
+        SELECT cohort_day, day_offset,
+               sum(day_value) OVER (PARTITION BY cohort_day
+                   ORDER BY day_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_value
+        FROM daily
+    )
+    SELECT c.cohort_day, CAST(m.day_offset AS INT) AS day_offset,
+           CAST(c.cohort_size AS BIGINT) AS cohort_size,
+           {ltv} AS cum_ltv_per_user
+    FROM cum m JOIN cohorts c ON c.cohort_day = m.cohort_day
+    ORDER BY c.cohort_day, day_offset
+"""
+
+
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative per-user event value by
+    cohort age — the monetized companion to cohort_retention (retention
+    says WHO comes back; LTV says what the cohort is worth by day k,
+    the curve a growth model fits payback periods on).
+
+    Scale shape: one grouped (cohort, offset) aggregate over the pruned
+    3-column join; the running sum windows PARTITION BY cohort_day
+    (calendar-bounded partitions, never a global order); the per-user
+    normalization joins the cohort-count relation (calendar-sized,
+    broadcast)."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_LTV_SQL.format(
+        dd="datediff(CAST(e.ts AS DATE), f.cohort_day)",
+        ltv=R("m.cum_value / c.cohort_size", 4),
+    ))
+
+
+QUERIES["cohort_ltv_curves"] = cohort_ltv_curves
+ORACLE["cohort_ltv_curves"] = _LTV_SQL.format(
+    dd="CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INT)",
+    ltv=R("m.cum_value / c.cohort_size", 4),
+)
