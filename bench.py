@@ -1,8 +1,17 @@
 #!/usr/bin/env python
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE SHORT JSON line (the driver captures only a ~2 KB stdout tail, so
+the line must stay small and the headline ``value`` goes LAST):
+
+    {"metric": "...", "unit": "sec", "sf": ..., "n_queries": N,
+     "regressions": {...capped...}, "detail": "BENCH_DETAIL.json",
+     "value": TOTAL}
+
+Per-query timings, spreads, raw samples, and the full regression report are
+written to ``BENCH_DETAIL.json`` next to this script (committed per round),
+NOT to stdout — round 4 lost its official number when the one-line output
+outgrew the driver's tail buffer.
 
 Each query executes its full plan into a noop sink (no driver-side result
 transfer — measures the engine, not collect())."""
@@ -110,24 +119,80 @@ HEADLINE = [
     "source_quality_calibration",
 ]
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+DETAIL_PATH = os.path.join(_HERE, "BENCH_DETAIL.json")
 
-def _prev_timings() -> dict[str, float]:
-    """Per-query timings from the newest BENCH_r*.json (driver-recorded),
-    for regression tracking across rounds."""
+
+def prev_timings() -> dict[str, float]:
+    """Per-query timings from the previous round, for regression tracking.
+
+    Preference order: the committed BENCH_DETAIL.json (written by the last
+    bench run and committed with the round), else the newest driver-recorded
+    BENCH_r*.json whose ``parsed.queries`` exists (rounds <= 3 carried the
+    per-query map on stdout; round 4's was truncated to parsed:null)."""
     import glob
 
+    try:
+        with open(DETAIL_PATH) as f:
+            doc = json.load(f)
+        if isinstance(doc.get("queries"), dict) and doc["queries"]:
+            return doc["queries"]
+    except (OSError, ValueError):
+        pass
     best: dict[str, float] = {}
-    for path in sorted(glob.glob(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(_HERE, "BENCH_r*.json"))):
         try:
             with open(path) as f:
                 doc = json.load(f)
-            parsed = doc.get("parsed", doc)
+            parsed = doc.get("parsed") or {}
             if isinstance(parsed.get("queries"), dict):
                 best = parsed["queries"]
         except (OSError, ValueError):
             continue
     return best
+
+
+def compute_regressions(
+    timings: dict[str, float],
+    spreads: dict[str, float],
+    medians: dict[str, float],
+    prev: dict[str, float],
+) -> dict[str, dict[str, float]]:
+    """Flag per-query slowdowns vs the previous round.
+
+    Two gates (either one flags), designed so a contended run cannot fully
+    mask a genuine plan regression (round-4 judge finding: a regressed plan
+    is usually also noisier, so gating *only* on this run's own spread
+    suppresses exactly the flags that matter):
+
+    1. UNCONDITIONAL ceiling — the comparison value exceeds 2x the previous
+       round (the driver's envelope), regardless of spread. The comparison
+       value is the MEDIAN of 3 when the run is noisy (spread > prev),
+       else the min: a single contention spike can't trip it, but a
+       consistently-doubled plan always does.
+    2. Jitter-aware gate — min-of-3 is > 1.3x prev AND the absolute delta
+       exceeds max(0.25 s, min(2*spread, 1.0 s)). The spread term is CAPPED
+       at 1 s so high noise widens the band only so far.
+    """
+    out: dict[str, dict[str, float]] = {}
+    for n, t in timings.items():
+        if n not in prev or prev[n] <= 0:
+            continue
+        cmp_val = medians[n] if spreads[n] > prev[n] else t
+        hard = cmp_val > 2.0 * prev[n]
+        soft = (
+            t > prev[n] * 1.3
+            and t - prev[n] > max(0.25, min(2 * spreads[n], 1.0))
+        )
+        if hard or soft:
+            out[n] = {
+                "prev": prev[n],
+                "now": t,
+                "median": medians[n],
+                "spread": spreads[n],
+                "gate": "2x-ceiling" if hard else "jitter",
+            }
+    return out
 
 
 def main() -> None:
@@ -159,6 +224,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
         # min of 3: the shared host shows 20-40% inter-run contention
@@ -170,33 +237,44 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(min(samples), 3)
-        # within-session variance (max-min over the warm runs): the
-        # yardstick that separates a plan regression from contention
-        # see-saw when comparing rounds
+        medians[name] = round(sorted(samples)[1], 3)
         spreads[name] = round(max(samples) - min(samples), 3)
+        raw[name] = [round(s, 3) for s in samples]
 
     total = round(sum(timings.values()), 3)
-    prev = _prev_timings()
-    regressions = {
-        n: {"prev": prev[n], "now": t, "spread": spreads[n]}
-        for n, t in timings.items()
-        # 1.3x AND +0.25s absolute AND outside this run's own observed
-        # jitter: sub-quarter-second or within-spread deltas on local[32]
-        # are run-to-run noise, not plan regressions
-        if n in prev
-        and t > prev[n] * 1.3
-        and t - prev[n] > max(0.25, 2 * spreads[n])
-    }
-    print(
-        json.dumps(
+    prev = prev_timings()  # read BEFORE overwriting BENCH_DETAIL.json
+    regressions = compute_regressions(timings, spreads, medians, prev)
+
+    with open(DETAIL_PATH, "w") as f:
+        json.dump(
             {
                 "metric": "total_headline_query_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "query_spread_sec": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": timings,
+                "query_median_sec": medians,
+                "query_spread_sec": spreads,
+                "query_samples_sec": raw,
                 "regressions_vs_prev_round": regressions,
+            },
+            f,
+            indent=1,
+        )
+        f.write("\n")
+
+    # stdout stays SHORT (driver keeps only a ~2 KB tail): no per-query
+    # maps, regressions capped to names, headline value LAST
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_query_sec",
+                "unit": "sec",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "regressed": sorted(regressions)[:10],
+                "detail": "BENCH_DETAIL.json",
+                "value": total,
             }
         )
     )

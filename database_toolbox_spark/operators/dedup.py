@@ -910,6 +910,15 @@ _WIDE_PAIRS_ORACLE = _simhash_pairs_sql(
     n_bits=WIDE_BITS, n_bands=WIDE_BANDS, hamming_max=1,
 )
 
+# DuckDB oracle for the UNREGISTERED narrow demo — consumed only by
+# tests/test_round5_ops.py, which pins the demo's cross-engine parity now
+# that the registry no longer carries it.
+SIMHASH_NARROW_ORACLE = _simhash_pairs_sql(
+    "unnest(list_distinct(string_split(text, ' ')))",
+    "CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER)",
+    lambda a, b: f"xor({a}, {b})",
+)
+
 QUERIES = {
     "exact_dup_summary": exact_dup_summary,
     "repeated_segment_stats": repeated_segment_stats,
@@ -925,7 +934,13 @@ QUERIES = {
     "jaccard_prefix_filter_pairs": jaccard_prefix_filter_pairs,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
-    "simhash_near_dup_pairs_narrow": simhash_near_dup_pairs_narrow,
+    # NOTE: `simhash_near_dup_pairs_narrow` (16-bit demo width) is
+    # deliberately NOT registered: its banded candidate volume grows
+    # super-linearly on large corpora (measured 21x time at 10x rows in
+    # SCALING.md) — the registry carries only 100x-safe plans. The narrow
+    # recall demo lives on as a direct-call test
+    # (tests/test_quality.py::test_simhash_narrow_recall) and its
+    # cross-engine parity is pinned by tests/test_round5_ops.py.
     "simhash_near_dup_pairs_wide": simhash_near_dup_pairs,
     "embedding_topk_pairs": embedding_topk_pairs,
 }
@@ -1048,11 +1063,6 @@ ORACLE = {
     # Prefix filtering is a candidate-pruning strategy, not a semantics
     # change: the exact all-pairs ground truth is the oracle for both.
     "jaccard_prefix_filter_pairs": _NGRAM_JACCARD_ORACLE,
-    "simhash_near_dup_pairs_narrow": _simhash_pairs_sql(
-        "unnest(list_distinct(string_split(text, ' ')))",
-        "CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER)",
-        lambda a, b: f"xor({a}, {b})",
-    ),
     "simhash_fingerprints": _simhash_sql(
         "unnest(list_distinct(string_split(text, ' ')))",
         "CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER)",
@@ -1671,38 +1681,25 @@ def cluster_weighted_sample_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_discount column is the fraction of a source's nominal volume
     that is repetition.
 
-    Scale shape: the component walk runs on the verified LSH pair graph
-    (pairs-scale, not corpus-scale); weights broadcast back to the
-    corpus via one LEFT join; everything else is a grouped sum."""
+    Scale shape: components come from connected_components() — the same
+    pointer-jumping O(log diameter) walk dup_clusters_star uses, with NO
+    depth cap (the previous 6-hop recursive walk would silently split a
+    near-dup chain of diameter > 6 into several components and overstate
+    effective mass); weights broadcast back to the corpus via one LEFT
+    join; everything else is a grouped sum."""
     pairs = materialize(
         minhash_near_dup_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .coalesce(1)
     )
-    pairs.createOrReplaceTempView("eff_pairs_v")
+    connected_components(pairs).selectExpr(
+        "node", "label AS component"
+    ).createOrReplaceTempView("eff_rep_v")
     tail = _EFF_MASS_TAIL.format(
         eff=R("sum(wt)", 4), disc=R("1e0 - sum(wt) / count(*)", 6)
     )
     return spark.sql(f"""
-        WITH RECURSIVE walk(node, member, depth) AS (
-            SELECT node, node, 0 FROM (
-                SELECT doc_a AS node FROM eff_pairs_v
-                UNION SELECT doc_b FROM eff_pairs_v
-            )
-            UNION ALL
-            SELECT w.node, e.dst, w.depth + 1
-            FROM walk w
-            JOIN (
-                SELECT doc_a AS src, doc_b AS dst FROM eff_pairs_v
-                UNION ALL
-                SELECT doc_b, doc_a FROM eff_pairs_v
-            ) e ON e.src = w.member
-            WHERE w.depth < 6
-        ),
-        rep AS (
-            SELECT node, min(member) AS component
-            FROM walk GROUP BY node
-        ),
+        WITH rep AS (SELECT node, component FROM eff_rep_v),
         {tail}
     """)
 

@@ -320,8 +320,13 @@ def _bpe_step_deltas(cur, batch):
     applies the batch's merges in rank order (left-to-right greedy, the
     classic application) and emits, per step, the frequency-weighted
     count delta of every adjacent pair the fusion destroyed or created.
-    Merges in a batch are symbol-disjoint, so a word's step-i deltas are
-    exactly what sequential BPE would observe after steps 0..i-1.
+    Merges in a batch are NOT symbol-disjoint — _bpe_guess deliberately
+    emits chained merges like (t,h) then (th,e). The deltas are exact
+    anyway because each word applies the batch's merges SEQUENTIALLY in
+    rank order, including merges that consume symbols created by earlier
+    steps, so a word's step-i deltas are exactly what sequential BPE
+    would observe after steps 0..i-1. Do NOT reorder or parallelize the
+    per-word step loop: rank order is the correctness invariant.
 
     Arrow-batched mapInPandas (the function body lives here so it
     pickles by value for /tmp-cwd drivers); output is a bounded

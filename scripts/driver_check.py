@@ -3,9 +3,19 @@ the SAME pandas path the per-round driver uses, so typing hazards the lenient
 tests/conftest.py comparator forgives (DuckDB HUGEINT -> float64, unhashable
 list cells) show up locally BEFORE the round gate.
 
+Every run also updates SWEEP_CURRENT.json at the repo root: a per-query
+{ok, rows, sec} ledger plus the registry size at write time. Spot-checking a
+new query records it; a full no-argument sweep rewrites the whole ledger and
+prunes names no longer in the registry. tests/test_round5_ops.py asserts the
+ledger covers the registry with every entry ok — the round-4 sweep-last
+failure (a query landing after the final sweep and shipping unchecked) is now
+structurally impossible while the suite is green.
+
 Usage:
     python scripts/driver_check.py [query ...]      # default: all queries
     SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 python scripts/driver_check.py
+    SPARK_GRAFT_SWEEP_OUT=SWEEP_r05.json python scripts/driver_check.py
+        # full sweep, also writes the round artifact
 """
 
 from __future__ import annotations
@@ -77,7 +87,8 @@ def main() -> int:
             sdf = queries[name](spark, SF_DIR).toPandas()
             elapsed = round(_time.perf_counter() - _t0, 3)
             if oracle is None:
-                results[name] = {"rows_only": len(sdf), "sec": elapsed}
+                results[name] = {"rows_only": len(sdf), "rows": len(sdf),
+                                 "sec": elapsed}
                 print(f"{name}: rows-only ({len(sdf)}, {elapsed}s)", flush=True)
                 continue
             ddf = con.sql(oracle).df()
@@ -92,6 +103,7 @@ def main() -> int:
                 "rows_match": len(sdf) == len(ddf),
                 "schema_match": sorted(sdf.columns) == sorted(ddf.columns),
                 "hash_match": s_hash == d_hash,
+                "rows": len(sdf),
             }
             if not ok:
                 n_bad += 1
@@ -116,8 +128,54 @@ def main() -> int:
         ((n, r["sec"]) for n, r in results.items() if r.get("sec")),
         key=lambda x: -x[1],
     )[:10]
-    print(json.dumps({"checked": len(names), "bad": n_bad, "slowest": slow}))
+    _update_sweep_ledger(results, set(queries), full_sweep=not only)
+    summary = {"checked": len(names), "bad": n_bad, "slowest": slow}
+    out_path = os.environ.get("SPARK_GRAFT_SWEEP_OUT")
+    if out_path and not only:
+        with open(os.path.join(_REPO, out_path), "w") as f:
+            json.dump({**summary, "results": results}, f, indent=0)
+            f.write("\n")
+    print(json.dumps(summary))
     return 1 if n_bad else 0
+
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER = os.path.join(_REPO, "SWEEP_CURRENT.json")
+
+
+def _update_sweep_ledger(results, registry_names, full_sweep):
+    """Merge this run's results into SWEEP_CURRENT.json (see module doc)."""
+    ledger = {"queries": {}}
+    if not full_sweep:
+        try:
+            with open(LEDGER) as f:
+                ledger = json.load(f)
+        except (OSError, ValueError):
+            pass
+    entries = ledger.get("queries", {})
+    for name, r in results.items():
+        ok = (
+            "err" not in r
+            and r.get("hash_match", "rows_only" in r) is not False
+            and r.get("rows_match", True)
+            and r.get("schema_match", True)
+        )
+        entries[name] = {
+            "ok": bool(ok),
+            "rows": r.get("rows"),
+            "sec": r.get("sec"),
+            "oracle": "rows_only" not in r and "err" not in r,
+        }
+    # prune names that left the registry (e.g. demoted demos)
+    entries = {n: e for n, e in entries.items() if n in registry_names}
+    with open(LEDGER, "w") as f:
+        json.dump(
+            {"n_registry": len(registry_names), "queries": entries},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+        f.write("\n")
 
 
 if __name__ == "__main__":

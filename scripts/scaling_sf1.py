@@ -70,7 +70,10 @@ SUSPECTS = [
     ("minhash_near_dup_pairs", "linear"),
     ("simhash_near_dup_pairs_wide", "overhead"),
     ("semdedup_drop_candidates", "cells"),
-    ("simhash_near_dup_pairs_narrow", "report"),
+    # `simhash_near_dup_pairs_narrow` was measured here through round 4
+    # (53.4 s, 21.3x at 10x rows) and is now DEMOTED from the registry on
+    # the strength of that measurement — it no longer appears in
+    # all_queries(), so it is dropped from SUSPECTS too.
     ("bigram_lm_scores", "report"),
     ("bfs_reachable_hops", "report"),
     # event tier: user-shifted replicas keep every per-user computation
@@ -93,15 +96,24 @@ def synthesize() -> None:
     con.execute(
         f"""
         COPY (
-          SELECT d.doc_id + rr.r * {SHIFT} AS doc_id,
-                 CASE WHEN rr.r = 0 THEN d.text
-                      ELSE array_to_string(
-                          list_transform(string_split(d.text, ' '),
-                                         t -> t || '_' || rr.r), ' ')
-                 END AS text,
-                 d.lang, d.source, d.n_chars
-          FROM read_parquet('{SF_SMALL}/documents.parquet') d
-          CROSS JOIN {rep}
+          -- n_chars is recomputed over the REWRITTEN text (the base
+          -- fixture satisfies n_chars == length(text) for all rows, so
+          -- replica 0 is unchanged); keeping the base value would make
+          -- n_chars contradict length(text) on '_r'-suffixed replicas
+          -- and silently poison any pipeline/curation operator that
+          -- trusts the column
+          SELECT doc_id, text, lang, source, length(text) AS n_chars
+          FROM (
+            SELECT d.doc_id + rr.r * {SHIFT} AS doc_id,
+                   CASE WHEN rr.r = 0 THEN d.text
+                        ELSE array_to_string(
+                            list_transform(string_split(d.text, ' '),
+                                           t -> t || '_' || rr.r), ' ')
+                   END AS text,
+                   d.lang, d.source
+            FROM read_parquet('{SF_SMALL}/documents.parquet') d
+            CROSS JOIN {rep}
+          )
         ) TO '{BIG}/documents.parquet' (FORMAT PARQUET)
         """
     )
