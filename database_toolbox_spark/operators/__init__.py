@@ -25,6 +25,7 @@ def _modules():
         curation,
         dedup,
         events,
+        fingerprints,
         graph,
         grouping,
         ivm,
@@ -61,6 +62,7 @@ def _modules():
         curation,
         dedup,
         events,
+        fingerprints,
         graph,
         grouping,
         ivm,

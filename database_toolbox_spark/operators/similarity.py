@@ -1149,3 +1149,127 @@ ORACLE["hard_negative_pairs"] = _hard_negative_sql(
     _duck_hn_norm2,
     _duck_hn_dot,
 )
+
+
+# --- ANN recall evaluation ---------------------------------------------------
+
+_RECALL_K = 10
+
+
+def _recall_sql(qnorm2: str, cos: str, assigned_body: str,
+                materialized: str = "") -> str:
+    """Recall@K of IVF 1-probe search vs the exact brute-force top-K, per
+    query — the "measure, don't guess" harness for the ANN tier: an index
+    whose recall silently degrades (bad centroids, skewed cells) shows up
+    here as a number, not an anecdote. Both rankings break ties on the
+    canon-rounded cosine then vec_id, so the truth set is identical across
+    engines."""
+    return f"""
+        WITH qs AS (
+            SELECT vec_id AS qid, embedding AS qv, {qnorm2} AS qnorm2
+            FROM embeddings WHERE vec_id < {N_KNN_QUERIES}
+        ),
+        assigned AS {materialized} (
+            {assigned_body}
+        ),
+        exact AS (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (PARTITION BY q.qid
+                       ORDER BY {R(cos, 6)} DESC, e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN qs q
+            WHERE e.vec_id <> q.qid
+        ),
+        truth AS (SELECT qid, vec_id FROM exact WHERE rn <= {_RECALL_K}),
+        ivf AS (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (PARTITION BY q.qid
+                       ORDER BY {R(cos, 6)} DESC, e.vec_id) AS rn
+            FROM embeddings e
+            JOIN assigned a ON a.vec_id = e.vec_id
+            CROSS JOIN qs q
+            JOIN assigned aq ON aq.vec_id = q.qid
+            WHERE a.cell = aq.cell AND e.vec_id <> q.qid
+        ),
+        approx AS (SELECT qid, vec_id FROM ivf WHERE rn <= {_RECALL_K}),
+        hits AS (
+            SELECT t.qid, count(a.vec_id) AS n_hit
+            FROM truth t LEFT JOIN approx a
+              ON a.qid = t.qid AND a.vec_id = t.vec_id
+            GROUP BY t.qid
+        )
+        SELECT qid, CAST(n_hit AS BIGINT) AS n_hits,
+               {R(f"n_hit * 1e0 / {_RECALL_K}", 4)} AS recall_at_10
+        FROM hits ORDER BY qid
+    """
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF 1-probe ANN vs exact brute-force cosine for the
+    first N_KNN_QUERIES query vectors: per query, how many of the true
+    top-10 the probed cell contained. The evaluation harness that turns
+    "the index works" into a measured number — run it after any change to
+    centroid choice, cell count, or probe width.
+
+    Scale shape: the brute-force arm is the eval's ground truth and costs
+    n_queries x corpus (it IS the exhaustive baseline — bounded by the
+    fixed query panel, never corpus x corpus); the IVF arm reuses the
+    materialized cell assignment (the index), probing ~1/N_IVF_CELLS of
+    the corpus per query. At production scale the panel stays O(100)
+    queries, so both arms are linear in corpus size.
+
+    Cites: Jegou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI'11 (recall@R protocol, Fig. 5 methodology)."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    d2 = _spark_l2_to_centroid("e.embedding", "c.embedding")
+    materialize(spark.sql(f"""
+        WITH cents AS (
+            SELECT vec_id AS cell, embedding FROM embeddings
+            WHERE vec_id < {N_IVF_CELLS}
+        )
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor({d2} * 1000000e0) / 1000000e0, c.cell)
+                       AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    """)).createOrReplaceTempView("recall_assigned_v")
+    spark_cos = (
+        "aggregate(zip_with(e.embedding, q.qv, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x) / sqrt(q.qnorm2 * "
+        "aggregate(e.embedding, CAST(0 AS DOUBLE), (acc, x) -> "
+        "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    return spark.sql(_recall_sql(
+        qnorm2="aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> "
+               "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))",
+        cos=spark_cos,
+        assigned_body="SELECT * FROM recall_assigned_v",
+    ))
+
+
+_DUCK_RECALL_COS = (
+    "list_aggregate(list_transform(range(1, len(e.embedding) + 1), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')"
+    " / sqrt(q.qnorm2 * list_aggregate(list_transform(e.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+
+QUERIES["ann_recall_eval"] = ann_recall_eval
+ORACLE["ann_recall_eval"] = _recall_sql(
+    qnorm2=_DUCK_NORM2,
+    cos=_DUCK_RECALL_COS,
+    assigned_body=f"""SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor({_DUCK_D2} * 1000000e0) / 1000000e0,
+                                c.cell) AS rn
+            FROM embeddings e CROSS JOIN
+                 (SELECT vec_id AS cell, embedding FROM embeddings
+                  WHERE vec_id < {N_IVF_CELLS}) c
+        ) t WHERE rn = 1""",
+    materialized="MATERIALIZED",
+)

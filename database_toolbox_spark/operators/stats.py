@@ -1297,3 +1297,80 @@ ORACLE["welch_ab_test"] = _WELCH_SQL.format(
     t_out=R("(ma - mb) / sqrt(se2)", 4),
     df_out=R("df", 2),
 )
+
+
+_STL_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, {dow} AS dow,
+               CAST(floor(sum(o_totalprice) * 100 + 0.501e0) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY CAST(o_orderdate AS DATE), {dow}
+    ),
+    tr AS (
+        SELECT day, dow, cents,
+               CAST(sum(cents) OVER w AS BIGINT) AS t7,
+               count(*) OVER w AS wn
+        FROM daily
+        WINDOW w AS (PARTITION BY (hash(day) % 1) ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT day, dow, cents, t7, 7 * cents - t7 AS det7
+        FROM tr WHERE wn = 7
+    ),
+    seas AS (
+        SELECT dow, CAST(sum(det7) AS BIGINT) AS s_sum,
+               CAST(count(*) AS BIGINT) AS n
+        FROM det GROUP BY dow
+    )
+    SELECT d.day,
+           {rev} AS revenue,
+           {trend} AS trend,
+           {seasonal} AS seasonal,
+           {resid} AS resid
+    FROM det d JOIN seas s ON s.dow = d.dow
+    ORDER BY d.day
+"""
+
+
+def stl_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of daily order revenue into trend +
+    day-of-week seasonal + residual (Cleveland et al.'s STL reduced to
+    one pass: trend = centered 7-day moving average over complete
+    windows, seasonal = per-weekday mean of the detrended series,
+    residual = the exact remainder — revenue == trend + seasonal + resid
+    before output rounding). The anomaly detector's deseasonalized
+    input, and the decomposition sibling of dow_seasonality_profile
+    (which reports only the 7-row seasonal index).
+
+    Determinism (the reason this is all integer arithmetic): a windowed
+    avg over doubles hits float-sum merge-order ulps that can flip the
+    output rounding grid. Instead daily revenue is quantized ONCE to
+    BIGINT cents, the 7-day window is an exact integer sum, the
+    detrended numerator 7*cents - t7 is exact, and the per-dow seasonal
+    sum is an exact BIGINT — every output column is one integer-derived
+    division, bit-equal across engines.
+
+    Scale shape: one shrinking day-grain aggregate, one calendar-bounded
+    window (the (hash%1) constant partition declares the single
+    intentional partition — ~2.4k rows at any corpus size), one 7-row
+    seasonal dimension joined back by dow."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_STL_SQL.format(
+        dow="CAST(dayofweek(o_orderdate) AS BIGINT)",
+        rev=R("d.cents / 100e0", 2),
+        trend=R("d.t7 / 700e0", 4),
+        seasonal=R("s.s_sum / (700e0 * s.n)", 4),
+        resid=R("(d.det7 * s.n - s.s_sum) / (700e0 * s.n)", 4),
+    ))
+
+
+QUERIES["stl_decomposition_daily"] = stl_decomposition_daily
+# DuckDB dayofweek is 0=Sunday; Spark is 1=Sunday — shift to match
+ORACLE["stl_decomposition_daily"] = _STL_SQL.format(
+    dow="CAST((dayofweek(o_orderdate) + 1) AS BIGINT)",
+    rev=R("d.cents / 100e0", 2),
+    trend=R("d.t7 / 700e0", 4),
+    seasonal=R("s.s_sum / (700e0 * s.n)", 4),
+    resid=R("(d.det7 * s.n - s.s_sum) / (700e0 * s.n)", 4),
+)

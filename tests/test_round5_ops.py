@@ -123,3 +123,190 @@ def test_bench_headline_subset_of_registry():
     registry = set(all_queries())
     missing = sorted(set(HEADLINE) - registry)
     assert not missing, missing
+
+
+# ------------------------------------------- fingerprint-tier invariants
+# Parity (Spark == DuckDB) is the sweep's job; these pin that the operators
+# compute the right THING (validation-loop step 3).
+
+
+def _with_docs(spark, rows, sql_text):
+    """Run sql_text against a synthetic `documents` view, restoring the
+    parquet-backed view afterwards (load_tables is register-if-absent, so
+    a leaked override would poison every later test)."""
+    from database_toolbox_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars int"
+    )
+    df.createOrReplaceTempView("documents")
+    try:
+        return spark.sql(sql_text).collect()
+    finally:
+        load_table(spark, SF_DIR, "documents", replace=True)
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    """SIGMOD'03 guarantee: two docs sharing a token run of length >=
+    W + k - 1 = 6 share at least one selected fingerprint."""
+    from database_toolbox_spark.operators.fingerprints import (
+        _SPARK_POS_SHINGLES,
+        _winnow_fp_cte,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot"
+    rows = [
+        (1, f"q1 q2 q3 q4 {shared} q5 q6 q7 q8", "en", "a", 0),
+        (2, f"z1 z2 z3 {shared} z4 z5 z6 z7 z8 z9", "en", "a", 0),
+    ]
+    fps = _with_docs(
+        spark,
+        rows,
+        f"{_SPARK_POS_SHINGLES}, {_winnow_fp_cte()} SELECT doc_id, fp FROM fp",
+    )
+    a = {r.fp for r in fps if r.doc_id == 1}
+    b = {r.fp for r in fps if r.doc_id == 2}
+    assert a & b, "6-token shared run produced no shared fingerprint"
+
+
+def test_winnowing_density_bounds(spark):
+    """Observed fingerprint density must sit inside the theoretical
+    corridor: > 1/W (every W consecutive windows contribute >= 1 distinct
+    position pre-dedup; DISTINCT over values plus duplicated text can
+    only lower it so keep a loose floor) and <= 1."""
+    from database_toolbox_spark.operators.fingerprints import (
+        winnowing_fingerprint_stats,
+    )
+    from tests.conftest import SF_DIR
+
+    for r in winnowing_fingerprint_stats(spark, SF_DIR).collect():
+        assert 0.02 < r.fp_density <= 1.0, r
+        assert r.n_fingerprints <= r.n_shingles
+
+
+def test_cdc_insertion_locality(spark):
+    """The LBFS property: prepending tokens to a doc only perturbs chunks
+    up to the first boundary after the edit — the chunk-hash multiset of
+    the suffix past that boundary is unchanged."""
+    from database_toolbox_spark.operators.fingerprints import (
+        _SPARK_POS_TOKENS,
+        _cdc_sql,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    rows = [
+        (1, base, "en", "a", 0),
+        (2, "inserted words here " + base, "en", "a", 0),
+    ]
+    # reuse the operator's chunking CTEs but emit per-chunk hashes
+    sql = _cdc_sql(
+        _SPARK_POS_TOKENS,
+        "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))),"
+        " x -> x.tok))",
+    )
+    sql = sql[: sql.index("SELECT d.source")] + (
+        "SELECT doc_id, chunk_hash FROM chunks"
+    )
+    chunks = _with_docs(spark, rows, sql)
+    h1 = sorted(r.chunk_hash for r in chunks if r.doc_id == 1)
+    h2 = sorted(r.chunk_hash for r in chunks if r.doc_id == 2)
+    common = len(set(h1) & set(h2))
+    # doc 2 differs only in its first chunk(s); nearly all chunks shared
+    assert common >= len(h1) - 2, (len(h1), len(h2), common)
+
+
+def test_idf_cosine_exact_dup_is_one(spark):
+    """Exact-duplicate docs share every shingle at identical weights, so
+    their rarity-weighted cosine is exactly 1.0; an unrelated doc never
+    pairs; and every reported pair clears the 0.6 threshold."""
+    from database_toolbox_spark.operators.fingerprints import (
+        _idf_cosine_sql,
+        _SPARK_SHINGLES,
+    )
+
+    twin = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, twin, "en", "a", 0),
+        (2, twin, "en", "a", 0),
+        (3, "one two three four five six seven eight", "en", "a", 0),
+    ]
+    pairs = _with_docs(spark, rows, _idf_cosine_sql(_SPARK_SHINGLES))
+    got = {(r.doc_a, r.doc_b): r.cosine for r in pairs}
+    assert got == {(1, 2): 1.0}, got
+
+
+def test_idf_cosine_corpus_pairs_above_threshold(spark):
+    from database_toolbox_spark.operators.fingerprints import (
+        idf_cosine_dup_pairs,
+    )
+    from tests.conftest import SF_DIR
+
+    for r in idf_cosine_dup_pairs(spark, SF_DIR).collect():
+        assert 0.6 - 1e-6 <= r.cosine <= 1.0, r
+
+
+def test_stl_identity(spark):
+    """The decomposition must be exact pre-rounding: revenue == trend +
+    seasonal + resid within the stacked output-rounding tolerance."""
+    from database_toolbox_spark.operators.stats import (
+        stl_decomposition_daily,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = stl_decomposition_daily(spark, SF_DIR).collect()
+    assert len(rows) > 300
+    for r in rows:
+        assert abs(r.revenue - (r.trend + r.seasonal + r.resid)) < 6e-3, r
+
+
+def test_stl_seasonal_is_weekly(spark):
+    """Seasonal component takes at most 7 distinct values (one per
+    weekday) and its doc-weighted mean is ~0 (detrended means)."""
+    from database_toolbox_spark.operators.stats import (
+        stl_decomposition_daily,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = stl_decomposition_daily(spark, SF_DIR).collect()
+    assert len({r.seasonal for r in rows}) <= 7
+    mean_season = sum(r.seasonal for r in rows) / len(rows)
+    mean_rev = sum(r.revenue for r in rows) / len(rows)
+    assert abs(mean_season) < 0.05 * abs(mean_rev)
+
+
+def test_ann_recall_bounds(spark):
+    """Recall@10 is a fraction of a 10-element truth set per query, and
+    every panel query reports."""
+    from database_toolbox_spark.operators.similarity import (
+        N_KNN_QUERIES,
+        ann_recall_eval,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = ann_recall_eval(spark, SF_DIR).collect()
+    assert len(rows) == N_KNN_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hits <= 10
+        assert abs(r.recall_at_10 - r.n_hits / 10) < 1e-9
+
+
+def test_split_leakage_conserves_pairs(spark):
+    """The leakage matrix partitions the verified near-dup pair set:
+    totals must match minhash_near_dup_pairs exactly, diagonal rows must
+    report zero leaks, off-diagonal rows all-leaks."""
+    from database_toolbox_spark.operators.dedup import minhash_near_dup_pairs
+    from database_toolbox_spark.operators.fingerprints import (
+        split_leakage_audit,
+    )
+    from tests.conftest import SF_DIR
+
+    n_pairs = minhash_near_dup_pairs(spark, SF_DIR).count()
+    rows = split_leakage_audit(spark, SF_DIR).collect()
+    assert sum(r.n_near_dup_pairs for r in rows) == n_pairs
+    for r in rows:
+        if r.split_a == r.split_b:
+            assert r.n_leaked == 0, r
+        else:
+            assert r.n_leaked == r.n_near_dup_pairs, r
