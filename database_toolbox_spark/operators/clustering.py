@@ -242,3 +242,185 @@ ORACLE["label_cluster_agreement"] = _label_agreement_sql(
     f"(SELECT unnest(range(1, {DIM} + 1)) AS pos)",
     lambda arr, pos: f"{arr}[{pos}]",
 )
+
+
+# --- grid-density clustering (DBSCAN-lite) ----------------------------------
+
+GRID_H = 0.08  # cell width over embedding dims 1-2
+GRID_MINPTS = 5  # core-cell density threshold
+_GRID_OFF = 1000  # index offset so the packed cell key stays positive
+
+_GRID_OFFSETS = (
+    "(VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),"
+    " (1, -1), (1, 0), (1, 1)) AS o(dx, dy)"
+)
+
+
+def _grid_cells_sql(e1: str, e2: str) -> str:
+    """All occupied 2-D grid cells over embedding dims 1-2 with their point
+    count and core flag. Cell key packs (ix, iy) into one BIGINT so the
+    component machinery works on scalar node ids."""
+    ix = f"CAST(floor(CAST({e1} AS DOUBLE) / {GRID_H}e0) AS BIGINT)"
+    iy = f"CAST(floor(CAST({e2} AS DOUBLE) / {GRID_H}e0) AS BIGINT)"
+    return f"""
+        SELECT (ix + {_GRID_OFF}) * 100000 + (iy + {_GRID_OFF}) AS key,
+               ix, iy, CAST(count(*) AS BIGINT) AS n_points,
+               count(*) >= {GRID_MINPTS} AS is_core
+        FROM (SELECT {ix} AS ix, {iy} AS iy FROM embeddings) g
+        GROUP BY ix, iy
+    """
+
+
+_GRID_PAIRS_SQL = f"""
+    SELECT n.key AS doc_a, b.key AS doc_b
+    FROM (
+        SELECT c.key,
+               (c.ix + o.dx + {_GRID_OFF}) * 100000
+                   + (c.iy + o.dy + {_GRID_OFF}) AS nkey
+        FROM grid c CROSS JOIN {_GRID_OFFSETS}
+        WHERE c.is_core
+    ) n
+    JOIN grid b ON b.key = n.nkey AND b.is_core AND n.key < b.key
+"""
+
+_GRID_TAIL_SQL = """
+    SELECT r.component, CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(g.n_points) AS BIGINT) AS n_points
+    FROM rep r JOIN grid g ON g.key = r.node
+    GROUP BY r.component
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(coalesce(sum(n_points), 0) AS BIGINT) AS n_points
+    FROM grid WHERE NOT is_core
+    ORDER BY component
+"""
+
+
+def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (DBSCAN-lite; Ester et al. KDD'96 by way of
+    the GriDBSCAN/cell-based approximations): bucket points into an
+    h x h grid over embedding dims 1-2, mark cells holding >= GRID_MINPTS
+    points as core, and merge 8-adjacent core cells into clusters
+    (component id = min packed cell key). Points in non-core cells are
+    reported as the single noise row (component = -1). Border-point
+    attachment is deliberately dropped — cell granularity IS the epsilon.
+
+    Scale shape: the grid aggregate reduces the corpus to occupied cells;
+    adjacency is each core cell EXPLODED into its 9 neighbor keys then
+    equi-joined back (never an all-pairs or band join); components run on
+    the pointer-jumping connected_components() (cells-scale, O(log
+    diameter) rounds). The DuckDB oracle walks the same edges with a
+    recursive min-label CTE."""
+    from database_toolbox_spark.operators.dedup import (  # noqa: PLC0415
+        connected_components,
+    )
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    materialize(spark.sql(_grid_cells_sql(
+        "element_at(embedding, 1)", "element_at(embedding, 2)"
+    ))).createOrReplaceTempView("grid")
+    pairs = spark.sql(_GRID_PAIRS_SQL).coalesce(1)
+    connected_components(pairs).createOrReplaceTempView("gdc_labels_v")
+    return spark.sql(f"""
+        WITH rep AS (
+            SELECT g.key AS node,
+                   coalesce(l.label, g.key) AS component
+            FROM grid g LEFT JOIN gdc_labels_v l ON l.node = g.key
+            WHERE g.is_core
+        )
+        {_GRID_TAIL_SQL}
+    """)
+
+
+QUERIES["grid_density_clusters"] = grid_density_clusters
+ORACLE["grid_density_clusters"] = f"""
+    WITH RECURSIVE grid AS (
+        {_grid_cells_sql("embedding[1]", "embedding[2]")}
+    ),
+    pairs AS (
+        {_GRID_PAIRS_SQL}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, member) AS (
+        SELECT key, key FROM grid WHERE is_core
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.member
+    ),
+    rep AS (
+        SELECT node, min(member) AS component FROM reach GROUP BY node
+    )
+    {_GRID_TAIL_SQL}
+"""
+
+
+# --- per-label embedding outlier scoring ------------------------------------
+
+OUTLIER_TOP = 3
+
+
+def _outlier_sql(pos_src: str, elem) -> str:
+    e_p = elem("e.embedding", "p.pos")
+    return f"""
+        WITH cent AS (
+            SELECT e.label, p.pos, avg(CAST({e_p} AS DOUBLE)) AS m
+            FROM embeddings e CROSS JOIN {pos_src} p
+            GROUP BY e.label, p.pos
+        ),
+        d AS (
+            SELECT e.vec_id, e.label,
+                   sum((CAST({e_p} AS DOUBLE) - c.m)
+                       * (CAST({e_p} AS DOUBLE) - c.m)) AS d2
+            FROM embeddings e CROSS JOIN {pos_src} p
+            JOIN cent c ON c.label = e.label AND c.pos = p.pos
+            GROUP BY e.vec_id, e.label
+        ),
+        st AS (
+            SELECT label, avg(d2) AS mu, stddev_samp(d2) AS sd
+            FROM d GROUP BY label
+        ),
+        z AS (
+            SELECT d.vec_id, d.label,
+                   (d.d2 - s.mu) / s.sd AS z
+            FROM d JOIN st s ON s.label = d.label
+        ),
+        ranked AS (
+            SELECT label, vec_id, z,
+                   CAST(row_number() OVER (PARTITION BY label
+                       ORDER BY floor(z * 10000e0) / 10000e0 DESC, vec_id)
+                       AS INT) AS rnk
+            FROM z
+        )
+        SELECT label, vec_id, {R("z", 4)} AS z_score, rnk
+        FROM ranked WHERE rnk <= {OUTLIER_TOP}
+        ORDER BY label, rnk
+    """
+
+
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: each vector's squared distance to its
+    OWN label centroid, z-scored within the label, top-{OUTLIER_TOP} per
+    label — the mislabeled-example / corrupt-embedding detector a
+    training-data pipeline runs before contrastive fine-tuning (a vector
+    far from its class centroid is either noise or a labeling error).
+
+    Scale shape: the centroid relation is labels x dim rows (the model —
+    broadcast-sized); distances are one multiply-add pass through
+    codegen grouped by vec_id; ranking partitions by label (bounded
+    cardinality) on a canon-floored z so engine ulps cannot flip ranks."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_outlier_sql(
+        f"(SELECT explode(sequence(1, {DIM})) AS pos)",
+        lambda arr, pos: f"element_at({arr}, {pos})",
+    ))
+
+
+QUERIES["embedding_outlier_scores"] = embedding_outlier_scores
+ORACLE["embedding_outlier_scores"] = _outlier_sql(
+    f"(SELECT unnest(range(1, {DIM} + 1)) AS pos)",
+    lambda arr, pos: f"{arr}[{pos}]",
+)

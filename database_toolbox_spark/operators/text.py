@@ -1001,3 +1001,84 @@ ORACLE["token_run_lengths"] = _RUN_SQL.format(
             "      FROM documents), "
             "     unnest(range(1, len(toks) + 1)) AS u(i)"
 )
+
+
+# --- distinctive terms per source (Monroe et al. "Fightin' Words") ----------
+
+_FW_TOP = 3
+_FW_PRIOR = 0.5  # symmetric Dirichlet pseudo-count per term
+
+
+def _fightin_words_sql(tok_src: str) -> str:
+    a = f"{_FW_PRIOR}e0"
+    return f"""
+        WITH tok AS ({tok_src}),
+        k AS (
+            SELECT source, term, CAST(count(*) AS BIGINT) AS k
+            FROM tok GROUP BY source, term
+        ),
+        term_tot AS (
+            SELECT term, CAST(sum(k) AS BIGINT) AS kt FROM k GROUP BY term
+        ),
+        src_tot AS (
+            SELECT source, CAST(sum(k) AS BIGINT) AS ns FROM k GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(sum(k) AS BIGINT) AS n,
+                   CAST(count(DISTINCT term) AS BIGINT) AS v
+            FROM k
+        ),
+        z AS (
+            SELECT k.source, k.term,
+                   (ln((k.k + {a}) / (s.ns + {a} * t.v - k.k - {a}))
+                    - ln((tt.kt - k.k + {a})
+                         / (t.n - s.ns + {a} * t.v - (tt.kt - k.k) - {a})))
+                   / sqrt(1e0 / (k.k + {a}) + 1e0 / (tt.kt - k.k + {a}))
+                       AS z
+            FROM k
+            JOIN term_tot tt ON tt.term = k.term
+            JOIN src_tot s ON s.source = k.source
+            CROSS JOIN tot t
+        ),
+        ranked AS (
+            SELECT source, term, z,
+                   CAST(row_number() OVER (PARTITION BY source
+                       ORDER BY floor(z * 1000000e0) / 1000000e0 DESC, term)
+                       AS INT) AS rnk
+            FROM z
+        )
+        SELECT source, term, {R("z", 4)} AS z_score, rnk
+        FROM ranked WHERE rnk <= {_FW_TOP}
+        ORDER BY source, rnk
+    """
+
+
+def distinctive_terms_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Most over-represented terms per source by the smoothed log-odds
+    z-score of Monroe, Colaresi & Quinn, "Fightin' Words" (Political
+    Analysis 2008, eq. 16): for each (source, term), the log-odds of the
+    term inside the source vs the rest of the corpus under a symmetric
+    Dirichlet prior, standardized by its estimated variance
+    1/(k+a) + 1/(k_rest+a). The corpus-drift / source-signature report —
+    plain frequency ranks surface stopwords, tf-idf over-rewards hapaxes;
+    the prior-shrunk z does neither.
+
+    Determinism: every count is an exact BIGINT; z involves two ln calls
+    and one sqrt on integer-derived doubles, ranked on a 1e-6-floored
+    grid with a term tie-break, so cross-engine libm ulps cannot reorder.
+
+    Scale shape: one token-grain grouped count, two broadcast-sized
+    dimension joins (terms, sources), one 1-row total; the rank window
+    partitions by source (bounded)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_fightin_words_sql(
+        "SELECT source, explode(split(text, ' ')) AS term FROM documents"
+    ))
+
+
+QUERIES["distinctive_terms_by_source"] = distinctive_terms_by_source
+ORACLE["distinctive_terms_by_source"] = _fightin_words_sql(
+    "SELECT source, unnest(string_split(text, ' ')) AS term FROM documents"
+)

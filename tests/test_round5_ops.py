@@ -292,6 +292,79 @@ def test_ann_recall_bounds(spark):
         assert abs(r.recall_at_10 - r.n_hits / 10) < 1e-9
 
 
+def test_grid_density_partition(spark):
+    """Cluster rows + the noise row partition the corpus exactly: point
+    counts sum to the corpus size, and no cluster reuses a component id."""
+    from database_toolbox_spark.operators.clustering import (
+        grid_density_clusters,
+    )
+    from database_toolbox_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    rows = grid_density_clusters(spark, SF_DIR).collect()
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_points for r in rows) == n_vecs
+    comps = [r.component for r in rows]
+    assert len(comps) == len(set(comps))
+    assert comps[0] == -1  # noise row always present (possibly 0-count)
+    for r in rows:
+        if r.component != -1:
+            assert r.n_points >= 5 * 1  # every cluster has >= minpts points
+
+
+def test_embedding_outliers_shape(spark):
+    """Every label reports exactly OUTLIER_TOP ranked outliers with
+    z-scores non-increasing in rank."""
+    from database_toolbox_spark.operators.clustering import (
+        OUTLIER_TOP,
+        embedding_outlier_scores,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = embedding_outlier_scores(spark, SF_DIR).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    for label, rs in by_label.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, OUTLIER_TOP + 1))
+        zs = [r.z_score for r in rs]
+        assert zs == sorted(zs, reverse=True), (label, zs)
+        assert zs[0] > 0  # the top outlier is above its label mean
+
+
+def test_fightin_words_overrepresentation(spark):
+    """The rank-1 distinctive term of each source must actually be
+    over-represented: its in-source frequency share exceeds its share in
+    the rest of the corpus."""
+    from collections import Counter
+
+    from database_toolbox_spark.operators.text import (
+        distinctive_terms_by_source,
+    )
+    from database_toolbox_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "text"
+    ).collect()
+    counts: dict[str, Counter] = {}
+    for r in docs:
+        counts.setdefault(r.source, Counter()).update(r.text.split(" "))
+    top = {
+        r.source: r.term
+        for r in distinctive_terms_by_source(spark, SF_DIR).collect()
+        if r.rnk == 1
+    }
+    assert set(top) == set(counts)
+    for source, term in top.items():
+        ns = sum(counts[source].values())
+        n_rest = sum(sum(c.values()) for s, c in counts.items() if s != source)
+        k = counts[source][term]
+        k_rest = sum(c[term] for s, c in counts.items() if s != source)
+        assert k / ns > k_rest / max(n_rest, 1), (source, term)
+
+
 def test_split_leakage_conserves_pairs(spark):
     """The leakage matrix partitions the verified near-dup pair set:
     totals must match minhash_near_dup_pairs exactly, diagonal rows must
