@@ -363,7 +363,7 @@ ORACLE["grid_density_clusters"] = f"""
 OUTLIER_TOP = 3
 
 
-def _outlier_sql(pos_src: str, elem) -> str:
+def _outlier_d_sql(pos_src: str, elem) -> str:
     e_p = elem("e.embedding", "p.pos")
     return f"""
         WITH cent AS (
@@ -378,7 +378,15 @@ def _outlier_sql(pos_src: str, elem) -> str:
             FROM embeddings e CROSS JOIN {pos_src} p
             JOIN cent c ON c.label = e.label AND c.pos = p.pos
             GROUP BY e.vec_id, e.label
-        ),
+        )"""
+
+
+def _outlier_tail() -> str:
+    """Ranked z-score report given a `d(vec_id, label, d2)` CTE. Split
+    out so the Spark side can materialize d once — it feeds the label
+    moment agg AND the z projection, and CTE inlining would replay the
+    corpus x dim distance pass per reference."""
+    return f"""
         st AS (
             SELECT label, avg(d2) AS mu, stddev_samp(d2) AS sd
             FROM d GROUP BY label
@@ -411,16 +419,30 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the centroid relation is labels x dim rows (the model —
     broadcast-sized); distances are one multiply-add pass through
     codegen grouped by vec_id; ranking partitions by label (bounded
-    cardinality) on a canon-floored z so engine ulps cannot flip ranks."""
+    cardinality) on a canon-floored z so engine ulps cannot flip ranks.
+    The per-vector distance table is materialized once — it feeds the
+    label moment agg and the z projection, and CTE inlining would replay
+    the corpus x dim pass per reference."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
     load_tables(spark, sf_dir)
-    return spark.sql(_outlier_sql(
-        f"(SELECT explode(sequence(1, {DIM})) AS pos)",
-        lambda arr, pos: f"element_at({arr}, {pos})",
-    ))
+    materialize(spark.sql(
+        _outlier_d_sql(
+            f"(SELECT explode(sequence(1, {DIM})) AS pos)",
+            lambda arr, pos: f"element_at({arr}, {pos})",
+        ) + " SELECT * FROM d"
+    )).createOrReplaceTempView("outlier_d_v")
+    return spark.sql(
+        "WITH d AS (SELECT * FROM outlier_d_v)," + _outlier_tail()
+    )
 
 
 QUERIES["embedding_outlier_scores"] = embedding_outlier_scores
-ORACLE["embedding_outlier_scores"] = _outlier_sql(
-    f"(SELECT unnest(range(1, {DIM} + 1)) AS pos)",
-    lambda arr, pos: f"{arr}[{pos}]",
+ORACLE["embedding_outlier_scores"] = (
+    _outlier_d_sql(
+        f"(SELECT unnest(range(1, {DIM} + 1)) AS pos)",
+        lambda arr, pos: f"{arr}[{pos}]",
+    )
+    + ",\n"
+    + _outlier_tail()
 )

@@ -152,10 +152,12 @@ def _winnow_stats_sql(pos_shingles: str) -> str:
     """
 
 
-def _winnow_pairs_sql(pos_shingles: str) -> str:
+def _winnow_pairs_tail() -> str:
+    """Pair report given an `fp(doc_id, fp)` CTE (the selected
+    fingerprints). Split out so the Spark side can materialize fp once —
+    fp is referenced (directly or via fpk) 4x below and CTE inlining
+    would replay the whole positional-window pass per reference."""
     return f"""
-        {pos_shingles},
-        {_winnow_fp_cte()},
         df AS (SELECT fp, count(*) AS df FROM fp GROUP BY fp),
         fpk AS (
             SELECT f.doc_id, f.fp
@@ -179,6 +181,12 @@ def _winnow_pairs_sql(pos_shingles: str) -> str:
     """
 
 
+def _winnow_pairs_sql(pos_shingles: str) -> str:
+    """Fully-inlined pair SQL (oracle use — DuckDB materializes
+    multiply-referenced CTEs itself)."""
+    return f"{pos_shingles}, {_winnow_fp_cte()}, {_winnow_pairs_tail()}"
+
+
 def winnowing_fingerprint_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -190,9 +198,17 @@ def winnowing_fingerprint_stats(
     Scale shape: one positional projection (per-doc window, partitioned by
     doc_id), two grouped aggs — no joins beyond the corpus-size source
     dimension. Density is computed from corpus-level integer totals, not
-    an avg of per-doc doubles, so cross-engine equality is exact."""
+    an avg of per-doc doubles, so cross-engine equality is exact. The
+    positional hash stream `sh` is materialized once — it feeds both the
+    per-doc totals and the window pass, and CTE inlining would replay the
+    tokenize+hash projection per reference."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
     load_tables(spark, sf_dir)
-    return spark.sql(_winnow_stats_sql(_SPARK_POS_SHINGLES))
+    materialize(
+        spark.sql(f"{_SPARK_POS_SHINGLES} SELECT * FROM sh")
+    ).createOrReplaceTempView("win_sh_v")
+    return spark.sql(_winnow_stats_sql("WITH sh AS (SELECT * FROM win_sh_v)"))
 
 
 def winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,9 +222,21 @@ def winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropping stop-fingerprints (df > STOP_DF) — boilerplate fingerprints
     are both semantically noisy and the hot keys that would skew the
     shuffle; dropping them bounds any fingerprint's contribution to
-    df^2 <= STOP_DF^2 candidate pairs."""
+    df^2 <= STOP_DF^2 candidate pairs. The selected-fingerprint set is
+    materialized once (it is referenced 4x: df counts, the pruned
+    postings, sizes, and both join sides) — inlined, Catalyst replays
+    the positional-window pass per reference (~8 scans, observed)."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
     load_tables(spark, sf_dir)
-    return spark.sql(_winnow_pairs_sql(_SPARK_POS_SHINGLES))
+    materialize(
+        spark.sql(
+            f"{_SPARK_POS_SHINGLES}, {_winnow_fp_cte()} SELECT * FROM fp"
+        )
+    ).createOrReplaceTempView("win_fp_v")
+    return spark.sql(
+        "WITH fp AS (SELECT * FROM win_fp_v)," + _winnow_pairs_tail()
+    )
 
 
 def _cdc_sql(pos_tokens: str, chunk_text: str) -> str:
@@ -323,9 +351,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
-def _idf_cosine_sql(shingles: str) -> str:
-    return f"""
-        {shingles},
+_IDF_W_CTE = """
         df AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s),
         w AS (
             SELECT sh.doc_id, sh.s,
@@ -338,7 +364,16 @@ def _idf_cosine_sql(shingles: str) -> str:
                         WHEN df.df <= 64 THEN 2
                         ELSE 1 END AS wt
             FROM sh JOIN df ON df.s = sh.s
-        ),
+        )
+"""
+
+
+def _idf_cosine_tail() -> str:
+    """Cosine-pair report given a `w(doc_id, s, wt)` CTE. Split out so the
+    Spark side can materialize w once (referenced 3x: norms + both join
+    sides) — inlined, Catalyst replays the shingle+df pipeline per
+    reference."""
+    return f"""
         norm2 AS (
             SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS n2
             FROM w GROUP BY doc_id
@@ -376,9 +411,30 @@ def idf_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the same postings self-equi-join as the exact-Jaccard
     ground truth (1.82x time at 10x rows in SCALING.md); the df join is
     a shingle-keyed broadcast-sized dimension at any corpus size where
-    df-bucket weights matter."""
+    df-bucket weights matter. The shingle stream and the weighted
+    postings are each materialized once (sh feeds df + the weight join;
+    w feeds norms + both pair-join sides) — inlined, Catalyst replays
+    the tokenize+shingle pipeline per reference."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
     load_tables(spark, sf_dir)
-    return spark.sql(_idf_cosine_sql(_SPARK_SHINGLES))
+    materialize(
+        spark.sql(f"{_SPARK_SHINGLES} SELECT * FROM sh")
+    ).createOrReplaceTempView("idf_sh_v")
+    materialize(
+        spark.sql(
+            f"WITH sh AS (SELECT * FROM idf_sh_v), {_IDF_W_CTE} "
+            "SELECT * FROM w"
+        )
+    ).createOrReplaceTempView("idf_w_v")
+    return spark.sql(
+        "WITH w AS (SELECT * FROM idf_w_v)," + _idf_cosine_tail()
+    )
+
+
+def _idf_cosine_sql(shingles: str) -> str:
+    """Fully-inlined cosine-pair SQL (oracle use)."""
+    return f"{shingles}, {_IDF_W_CTE}, {_idf_cosine_tail()}"
 
 
 QUERIES = {

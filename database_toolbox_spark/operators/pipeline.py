@@ -308,9 +308,16 @@ def importance_sampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
-_BPE_TOP_K = 2048  # candidate pairs collected per round (KBs)
-_BPE_TOP_TRI = 8192  # trigram contexts collected per round (guess quality)
+_BPE_TOP_K = 16384  # candidate pairs collected per round (still KBs-MBs)
+_BPE_TOP_TRI = 32768  # trigram contexts collected per round (guess quality)
 _BPE_BATCH_CAP = 50  # merges applied per projection (apply_bpe's batch)
+# Sizing note (round-5 depth study): at 2048/8192 a realistic 30k-word Zipf
+# vocabulary truncated almost every speculative batch — >2048 distinct pairs
+# means `whole` is False and the K+1-th count (the uncollected-pair upper
+# bound) sits so close to the top counts that _bpe_verify_prefix's
+# `bc <= floor` guard fires after ~2 steps (measured: 832 rounds for 2000
+# merges, 2.4 merges/round). 8x larger bounded collects push the floor far
+# below the active merge frontier; the collects stay driver-trivial.
 
 
 def _bpe_step_deltas(cur, batch):

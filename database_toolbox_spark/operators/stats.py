@@ -1299,7 +1299,7 @@ ORACLE["welch_ab_test"] = _WELCH_SQL.format(
 )
 
 
-_STL_SQL = """
+_STL_DET_SQL = """
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS day, {dow} AS dow,
                CAST(floor(sum(o_totalprice) * 100 + 0.501e0) AS BIGINT)
@@ -1317,7 +1317,9 @@ _STL_SQL = """
     det AS (
         SELECT day, dow, cents, t7, 7 * cents - t7 AS det7
         FROM tr WHERE wn = 7
-    ),
+    )"""
+
+_STL_TAIL_SQL = """
     seas AS (
         SELECT dow, CAST(sum(det7) AS BIGINT) AS s_sum,
                CAST(count(*) AS BIGINT) AS n
@@ -1354,23 +1356,36 @@ def stl_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shrinking day-grain aggregate, one calendar-bounded
     window (the (hash%1) constant partition declares the single
     intentional partition — ~2.4k rows at any corpus size), one 7-row
-    seasonal dimension joined back by dow."""
+    seasonal dimension joined back by dow. The detrended day series is
+    materialized once (referenced by the seasonal agg AND the final
+    join; inlined, Catalyst replays the orders scan + window per
+    reference)."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
     load_tables(spark, sf_dir)
-    return spark.sql(_STL_SQL.format(
-        dow="CAST(dayofweek(o_orderdate) AS BIGINT)",
-        rev=R("d.cents / 100e0", 2),
-        trend=R("d.t7 / 700e0", 4),
-        seasonal=R("s.s_sum / (700e0 * s.n)", 4),
-        resid=R("(d.det7 * s.n - s.s_sum) / (700e0 * s.n)", 4),
-    ))
+    materialize(spark.sql(
+        _STL_DET_SQL.format(dow="CAST(dayofweek(o_orderdate) AS BIGINT)")
+        + " SELECT * FROM det"
+    )).createOrReplaceTempView("stl_det_v")
+    return spark.sql(
+        "WITH det AS (SELECT * FROM stl_det_v)," + _STL_TAIL_SQL.format(
+            rev=R("d.cents / 100e0", 2),
+            trend=R("d.t7 / 700e0", 4),
+            seasonal=R("s.s_sum / (700e0 * s.n)", 4),
+            resid=R("(d.det7 * s.n - s.s_sum) / (700e0 * s.n)", 4),
+        )
+    )
 
 
 QUERIES["stl_decomposition_daily"] = stl_decomposition_daily
 # DuckDB dayofweek is 0=Sunday; Spark is 1=Sunday — shift to match
-ORACLE["stl_decomposition_daily"] = _STL_SQL.format(
-    dow="CAST((dayofweek(o_orderdate) + 1) AS BIGINT)",
-    rev=R("d.cents / 100e0", 2),
-    trend=R("d.t7 / 700e0", 4),
-    seasonal=R("s.s_sum / (700e0 * s.n)", 4),
-    resid=R("(d.det7 * s.n - s.s_sum) / (700e0 * s.n)", 4),
+ORACLE["stl_decomposition_daily"] = (
+    _STL_DET_SQL.format(dow="CAST((dayofweek(o_orderdate) + 1) AS BIGINT)")
+    + ",\n"
+    + _STL_TAIL_SQL.format(
+        rev=R("d.cents / 100e0", 2),
+        trend=R("d.t7 / 700e0", 4),
+        seasonal=R("s.s_sum / (700e0 * s.n)", 4),
+        resid=R("(d.det7 * s.n - s.s_sum) / (700e0 * s.n)", 4),
+    )
 )

@@ -1009,14 +1009,21 @@ _FW_TOP = 3
 _FW_PRIOR = 0.5  # symmetric Dirichlet pseudo-count per term
 
 
-def _fightin_words_sql(tok_src: str) -> str:
-    a = f"{_FW_PRIOR}e0"
-    return f"""
+_FW_K_SQL = """
         WITH tok AS ({tok_src}),
         k AS (
             SELECT source, term, CAST(count(*) AS BIGINT) AS k
             FROM tok GROUP BY source, term
-        ),
+        )"""
+
+
+def _fightin_words_tail() -> str:
+    """Ranked log-odds report given a `k(source, term, k)` CTE. Split out
+    so the Spark side can materialize k once — it is referenced 4x (term
+    totals, source totals, grand totals, the z join) and CTE inlining
+    would replay the token-grain count per reference."""
+    a = f"{_FW_PRIOR}e0"
+    return f"""
         term_tot AS (
             SELECT term, CAST(sum(k) AS BIGINT) AS kt FROM k GROUP BY term
         ),
@@ -1071,14 +1078,29 @@ def distinctive_terms_by_source(
 
     Scale shape: one token-grain grouped count, two broadcast-sized
     dimension joins (terms, sources), one 1-row total; the rank window
-    partitions by source (bounded)."""
+    partitions by source (bounded). The (source, term) count table is
+    materialized once — referenced 4x, and CTE inlining would replay the
+    token-grain scan per reference."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
     load_tables(spark, sf_dir)
-    return spark.sql(_fightin_words_sql(
-        "SELECT source, explode(split(text, ' ')) AS term FROM documents"
-    ))
+    materialize(spark.sql(
+        _FW_K_SQL.format(
+            tok_src="SELECT source, explode(split(text, ' ')) AS term"
+                    " FROM documents"
+        ) + " SELECT * FROM k"
+    )).createOrReplaceTempView("fw_k_v")
+    return spark.sql(
+        "WITH k AS (SELECT * FROM fw_k_v)," + _fightin_words_tail()
+    )
 
 
 QUERIES["distinctive_terms_by_source"] = distinctive_terms_by_source
-ORACLE["distinctive_terms_by_source"] = _fightin_words_sql(
-    "SELECT source, unnest(string_split(text, ' ')) AS term FROM documents"
+ORACLE["distinctive_terms_by_source"] = (
+    _FW_K_SQL.format(
+        tok_src="SELECT source, unnest(string_split(text, ' ')) AS term"
+                " FROM documents"
+    )
+    + ",\n"
+    + _fightin_words_tail()
 )

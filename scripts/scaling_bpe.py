@@ -107,6 +107,10 @@ def main() -> int:
     failures: list[str] = []
     spark = get_spark(app_name="scaling-bpe")
 
+    if os.environ.get("SPARK_GRAFT_BPE_DEEP_ONLY"):
+        # iteration knob: rerun only claim 2 (the expensive deep run)
+        return _deep_only(spark, failures)
+
     # --- claim 1: 10x corpus -> identical merges, 10x counts, equal rounds
     if not os.path.exists(f"{BIG}/documents.parquet"):
         from scaling_sf1 import synthesize as synth_big  # noqa: PLC0415
@@ -194,6 +198,27 @@ def main() -> int:
     }
     print(json.dumps(doc))
     _update_scaling_md(doc)
+    return 1 if failures else 0
+
+
+def _deep_only(spark, failures: list[str]) -> int:
+    """SPARK_GRAFT_BPE_DEEP_ONLY=1 path: claim 2 alone, no SCALING.md
+    rewrite — prints the deep stats JSON for iteration."""
+    if not os.path.exists(f"{ZIPF_DIR}/documents.parquet") or os.environ.get(
+        "SPARK_GRAFT_BPE_REBUILD"
+    ):
+        synthesize_zipf()
+    st: dict = {}
+    t0 = time.perf_counter()
+    train_bpe(spark, ZIPF_DIR, N_MERGES_DEEP, st).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    sec = round(time.perf_counter() - t0, 1)
+    rounds, merges = st.get("rounds", 0), st.get("merges", 0)
+    if rounds * 5 > merges:
+        failures.append(f"{rounds} rounds for {merges} merges")
+    print(json.dumps({"deep_rounds": rounds, "deep_merges": merges,
+                      "sec": sec, "failures": failures}))
     return 1 if failures else 0
 
 

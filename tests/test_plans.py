@@ -341,3 +341,51 @@ def test_round4_plans_have_intended_shapes(spark):
     for fn in (containment_dup_pairs, pq_ann_topk):
         plan = _plan(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_round5_plans_have_intended_shapes(spark):
+    """Round-5 operators: every pair-producing join stays an equi-join
+    (no CartesianProduct); the winnowing/CDC windows are doc_id-
+    partitioned (a global window here would buffer the corpus)."""
+    from database_toolbox_spark.operators.clustering import (
+        embedding_outlier_scores,
+        grid_density_clusters,
+    )
+    from database_toolbox_spark.operators.fingerprints import (
+        cdc_chunk_dedup,
+        idf_cosine_dup_pairs,
+        split_leakage_audit,
+        winnowing_dup_pairs,
+    )
+    from database_toolbox_spark.operators.similarity import ann_recall_eval
+    from database_toolbox_spark.operators.stats import (
+        stl_decomposition_daily,
+    )
+    from database_toolbox_spark.operators.text import (
+        distinctive_terms_by_source,
+    )
+
+    for fn in (
+        winnowing_dup_pairs,
+        idf_cosine_dup_pairs,
+        cdc_chunk_dedup,
+        split_leakage_audit,
+        stl_decomposition_daily,
+        ann_recall_eval,
+        grid_density_clusters,
+        embedding_outlier_scores,
+        distinctive_terms_by_source,
+    ):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, fn.__name__
+    # the doc_id-partitioned window shape: asserted on the two queries
+    # whose window runs in the FINAL plan (winnowing_dup_pairs
+    # materializes its fingerprint set first, so its window lives in the
+    # materialize step, not the returned plan)
+    from database_toolbox_spark.operators.fingerprints import (
+        winnowing_fingerprint_stats,
+    )
+
+    for fn in (winnowing_fingerprint_stats, cdc_chunk_dedup):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "windowspecdefinition(doc_id" in plan, fn.__name__
