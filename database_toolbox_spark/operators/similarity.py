@@ -1273,3 +1273,103 @@ ORACLE["ann_recall_eval"] = _recall_sql(
         ) t WHERE rn = 1""",
     materialized="MATERIALIZED",
 )
+
+
+# --- mutual nearest-neighbor pairs ------------------------------------------
+
+
+def _mutual_nn_tail() -> str:
+    """Mutual top-1 report given an `nn(vec_id, nbr, cos)` CTE. Split out
+    so the Spark side can materialize nn once (both sides of the
+    mutuality join)."""
+    return f"""
+        SELECT a.vec_id AS vec_a, a.nbr AS vec_b, {R("a.cos", 6)} AS cosine
+        FROM nn a JOIN nn b
+          ON b.vec_id = a.nbr AND b.nbr = a.vec_id AND a.vec_id < a.nbr
+        ORDER BY vec_a
+    """
+
+
+def _mutual_nn_cte(dot) -> str:
+    """Cell-local top-1 cosine neighbor per vector over the SemDeDup
+    scaled-k cell assignment `m(cell, vec_id, embedding, norm2)`."""
+    cos = (f"{dot('a.embedding', 'b.embedding')}"
+           " / sqrt(a.norm2 * b.norm2)")
+    return f"""
+        SELECT vec_id, nbr, cos FROM (
+            SELECT a.vec_id, b.vec_id AS nbr, {cos} AS cos,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY floor(({cos}) * 1000000e0) / 1000000e0 DESC,
+                                b.vec_id) AS rn
+            FROM m a JOIN m b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        ) r WHERE rn = 1
+    """
+
+
+def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest-neighbor pairs: vectors that are each other's top-1
+    cosine neighbor within their SemDeDup cell — the reciprocal-best-match
+    criterion (the bitext-mining / record-linkage standard: one-way top-1
+    lists are noisy hubs, mutual agreement is the high-precision dup
+    signal a curation pass acts on without a threshold).
+
+    Scale shape: reuses SemDeDup's scaled-k cell assignment (k grows with
+    corpus size, so per-cell all-pairs work is constant — the examined-
+    pair bound scripts/scaling_sf1.py asserts linear); the top-1 rank
+    partitions by vec_id on a 1e-6-floored cosine; the mutuality check is
+    a self-equi-join of the materialized top-1 list on (nbr, vec_id)."""
+    from database_toolbox_spark.operators.dedup import (  # noqa: PLC0415
+        _semdedup_assign_sql,
+    )
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+
+    def norm2(e):
+        return (f"aggregate({e}, CAST(0 AS DOUBLE), (acc, x) -> "
+                f"acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+
+    def dot(a, b):
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+                f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+    def l2(a, b):
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+                f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+                f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+                f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+    materialize(
+        spark.sql(_semdedup_assign_sql(norm2, l2))
+    ).createOrReplaceTempView("mnn_m_v")
+    materialize(spark.sql(
+        "WITH m AS (SELECT * FROM mnn_m_v) " + _mutual_nn_cte(dot)
+    )).createOrReplaceTempView("mnn_nn_v")
+    return spark.sql(
+        "WITH nn AS (SELECT * FROM mnn_nn_v)" + _mutual_nn_tail()
+    )
+
+
+def _mutual_nn_oracle() -> str:
+    from database_toolbox_spark.operators.dedup import (  # noqa: PLC0415
+        _duck_dot,
+        _duck_l2,
+        _duck_norm2,
+        _semdedup_assign_sql,
+    )
+
+    return f"""
+        WITH m AS MATERIALIZED (
+            {_semdedup_assign_sql(_duck_norm2, _duck_l2)}
+        ),
+        nn AS MATERIALIZED (
+            {_mutual_nn_cte(_duck_dot)}
+        )
+        {_mutual_nn_tail()}
+    """
+
+
+QUERIES["mutual_nn_pairs"] = mutual_nn_pairs
+ORACLE["mutual_nn_pairs"] = _mutual_nn_oracle()

@@ -1389,3 +1389,91 @@ ORACLE["stl_decomposition_daily"] = (
         resid=R("(d.det7 * s.n - s.s_sum) / (700e0 * s.n)", 4),
     )
 )
+
+
+_KS_PER_VAL_SQL = """
+    SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+    FROM documents GROUP BY source, n_chars
+"""
+
+_KS_TAIL_SQL = """
+    srcs AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n1
+        FROM per_val GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per_val),
+    allv AS (
+        SELECT x, CAST(sum(c) AS BIGINT) AS ca FROM per_val GROUP BY x
+    ),
+    joined AS (
+        SELECT s.source, v.x,
+               coalesce(p.c, 0) AS a, v.ca - coalesce(p.c, 0) AS b
+        FROM srcs s CROSS JOIN allv v
+        LEFT JOIN per_val p ON p.source = s.source AND p.x = v.x
+    ),
+    cum AS (
+        SELECT source, x,
+               CAST(sum(a) OVER (PARTITION BY source ORDER BY x)
+                   AS BIGINT) AS ca,
+               CAST(sum(b) OVER (PARTITION BY source ORDER BY x)
+                   AS BIGINT) AS cb
+        FROM joined
+    ),
+    d AS (
+        SELECT c.source, s.n1, t.n - s.n1 AS n2,
+               CAST(max(abs(c.ca * (t.n - s.n1) - c.cb * s.n1))
+                   AS BIGINT) AS dnum
+        FROM cum c JOIN srcs s ON s.source = c.source CROSS JOIN tot t
+        GROUP BY c.source, s.n1, t.n
+    )
+    SELECT source, CAST(n1 AS BIGINT) AS n_docs,
+           {d_out} AS ks_d,
+           {stat_out} AS ks_stat,
+           CAST(dnum > 1.358e0 * sqrt((n1 + n2) * 1e0 * n1 * n2) AS INT)
+               AS significant_05
+    FROM d ORDER BY source
+"""
+
+
+def ks_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test of each source's document-length
+    distribution against the rest of the corpus (one-vs-rest): the sup-norm
+    ECDF distance D, the scaled statistic sqrt(n1*n2/(n1+n2))*D, and the
+    alpha=0.05 rejection flag (critical c=1.358) — the distribution-drift
+    detector a curation pipeline runs per ingest batch; chi-square
+    (segment_status_chisq) sees only categorical bins, KS sees the whole
+    shape.
+
+    Determinism: D's argmax is computed on EXACT integers — the ECDF
+    difference at grid value x is |A(x)*n2 - B(x)*n1| over cumulative
+    BIGINT counts, so max() never compares engine-noised doubles; the
+    reported D and statistic are single divisions of that integer.
+
+    Scale shape: one doc-grain grouped count (materialized once — it
+    feeds source totals, the value grid, and the ECDF join), then
+    source x grid relations bounded by |sources| * |distinct lengths|;
+    the cumulative window partitions by source over the bounded grid.
+    Identical SQL text on both engines."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    materialize(
+        spark.sql(_KS_PER_VAL_SQL)
+    ).createOrReplaceTempView("ks_per_val_v")
+    return spark.sql(
+        "WITH per_val AS (SELECT * FROM ks_per_val_v)," + _KS_TAIL_SQL.format(
+            d_out=R("dnum / (n1 * 1e0 * n2)", 6),
+            stat_out=R("dnum / (n1 * 1e0 * n2)"
+                       " * sqrt(n1 * 1e0 * n2 / (n1 + n2))", 4),
+        )
+    )
+
+
+QUERIES["ks_divergence_by_source"] = ks_divergence_by_source
+ORACLE["ks_divergence_by_source"] = (
+    "WITH per_val AS (" + _KS_PER_VAL_SQL + ")," + _KS_TAIL_SQL.format(
+        d_out=R("dnum / (n1 * 1e0 * n2)", 6),
+        stat_out=R("dnum / (n1 * 1e0 * n2)"
+                   " * sqrt(n1 * 1e0 * n2 / (n1 + n2))", 4),
+    )
+)

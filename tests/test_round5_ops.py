@@ -365,6 +365,58 @@ def test_fightin_words_overrepresentation(spark):
         assert k / ns > k_rest / max(n_rest, 1), (source, term)
 
 
+def test_ks_matches_python_recount(spark):
+    """The KS D statistic must equal an exact Python ECDF recount (one
+    source vs rest, integer cross-multiplied sup-norm)."""
+    from fractions import Fraction
+
+    from database_toolbox_spark.operators.stats import (
+        ks_divergence_by_source,
+    )
+    from database_toolbox_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    rows = ks_divergence_by_source(spark, SF_DIR).collect()
+    assert len(rows) == len({r.source for r in docs})
+    by_src = {r.source: r for r in rows}
+    source = sorted(by_src)[0]
+    xs = sorted({r.n_chars for r in docs})
+    a = sorted(r.n_chars for r in docs if r.source == source)
+    b = sorted(r.n_chars for r in docs if r.source != source)
+    import bisect
+
+    d = max(
+        abs(
+            Fraction(bisect.bisect_right(a, x), len(a))
+            - Fraction(bisect.bisect_right(b, x), len(b))
+        )
+        for x in xs
+    )
+    assert abs(by_src[source].ks_d - float(d)) < 1e-5
+    for r in rows:
+        assert 0 <= r.ks_d <= 1 and r.n_docs > 0
+
+
+def test_mutual_nn_each_vector_in_at_most_one_pair(spark):
+    """Top-1 is unique per vector, so mutual pairs form a matching: no
+    vec_id may appear twice; pairs are canonically ordered."""
+    from database_toolbox_spark.operators.similarity import mutual_nn_pairs
+    from tests.conftest import SF_DIR
+
+    rows = mutual_nn_pairs(spark, SF_DIR).collect()
+    assert rows, "fixture corpus should contain at least one mutual pair"
+    seen = set()
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert -1.000001 <= r.cosine <= 1.000001
+        for v in (r.vec_a, r.vec_b):
+            assert v not in seen, f"vec {v} in two mutual pairs"
+            seen.add(v)
+
+
 def test_split_leakage_conserves_pairs(spark):
     """The leakage matrix partitions the verified near-dup pair set:
     totals must match minhash_near_dup_pairs exactly, diagonal rows must
