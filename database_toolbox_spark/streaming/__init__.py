@@ -13,6 +13,7 @@ from database_toolbox_spark.streaming.stream_ops import (  # noqa: F401
     stream_foreach_batch_totals,
     stream_dedup,
     stream_enriched_event_counts,
+    stream_heavy_hitters,
     stream_hourly_counts,
     stream_minhash_near_dup,
     stream_session_windows,

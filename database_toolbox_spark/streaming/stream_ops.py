@@ -736,3 +736,89 @@ def stream_value_anomalies(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming heavy hitters (Misra-Gries) ----------------------------------
+
+MG_K = 8  # counters per shard sketch
+MG_SHARDS = 8  # parallelism axis: user_id % MG_SHARDS
+
+_MG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("sketch", T.StringType()),  # JSON {user_id: count}
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+_MG_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("mg_count", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def stream_heavy_hitters(events: DataFrame) -> DataFrame:
+    """Streaming heavy-hitter users via the Misra-Gries summary (Misra &
+    Gries, "Finding Repeated Elements", Sci. Comp. Prog. 1982): each
+    shard (user_id % MG_SHARDS) keeps at most MG_K counters as keyed
+    state; a new element increments its counter, claims a free slot, or
+    decrements ALL counters (evicting zeros). Deterministic guarantee:
+    any user with shard frequency > n_shard/(MG_K+1) survives in the
+    sketch, and true_count - mg_count <= floor(n_shard/(MG_K+1)) — the
+    "who dominates the stream" monitor at O(K) state per shard, where an
+    exact groupBy would hold every user ever seen.
+
+    Shards, not a global group, are the parallelism axis (the classic
+    per-partition-sketch-then-merge shape: merged candidate sets remain
+    a superset of the global heavy hitters). Rows process in
+    (ts, event_id) order within each micro-batch so a pandas replay is
+    bit-identical (tests/test_streaming.py)."""
+
+    def summarize(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import json
+
+        sketch_json, n_seen = state.get if state.exists else ("{}", 0)
+        sketch = {int(k): v for k, v in json.loads(sketch_json).items()}
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for uid in pdf["user_id"].astype(int):
+                n_seen += 1
+                if uid in sketch:
+                    sketch[uid] += 1
+                elif len(sketch) < MG_K:
+                    sketch[uid] = 1
+                else:
+                    sketch = {
+                        u: c - 1 for u, c in sketch.items() if c > 1
+                    }
+        state.update((json.dumps({str(k): v for k, v in sketch.items()}),
+                      n_seen))
+        uids = sorted(sketch)
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(uids),
+                "user_id": uids,
+                "mg_count": [sketch[u] for u in uids],
+                "n_seen": [n_seen] * len(uids),
+            }
+        )
+
+    return (
+        events.withColumn(
+            "shard", F.pmod(F.col("user_id"), F.lit(MG_SHARDS))
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            summarize,
+            outputStructType=_MG_OUT_SCHEMA,
+            stateStructType=_MG_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

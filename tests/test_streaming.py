@@ -520,3 +520,49 @@ def test_stream_value_anomalies_match_pandas_replay(spark, stream):
             mean += d / n
             m2 += d * (v - mean)
         assert got[etype] == (n, n_anom), etype
+
+
+def test_stream_heavy_hitters_match_pandas_replay_and_guarantee(
+    spark, stream
+):
+    """The Misra-Gries shard sketches must equal an identical pandas
+    replay, respect the undercount bound, and keep every TRUE per-shard
+    heavy hitter (count > n_shard/(K+1)) — the 1982 guarantee."""
+    from database_toolbox_spark.streaming import stream_heavy_hitters
+    from database_toolbox_spark.streaming.stream_ops import MG_K, MG_SHARDS
+
+    _run_to_memory(stream_heavy_hitters(stream), "mg_out", "update")
+    got: dict[int, dict[int, int]] = {}
+    n_seen: dict[int, int] = {}
+    for r in spark.sql(
+        "SELECT shard, user_id, mg_count, n_seen FROM mg_out"
+    ).collect():
+        got.setdefault(r.shard, {})[r.user_id] = r.mg_count
+        n_seen[r.shard] = max(n_seen.get(r.shard, 0), r.n_seen)
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr("user_id", "ts", "event_id",
+                    f"pmod(user_id, {MG_SHARDS}) AS shard")
+        .toPandas()
+    )
+    for shard, grp in ev.groupby("shard"):
+        sketch: dict[int, int] = {}
+        for uid in grp.sort_values(["ts", "event_id"])["user_id"].astype(
+            int
+        ):
+            if uid in sketch:
+                sketch[uid] += 1
+            elif len(sketch) < MG_K:
+                sketch[uid] = 1
+            else:
+                sketch = {u: c - 1 for u, c in sketch.items() if c > 1}
+        assert got.get(shard, {}) == sketch, shard
+        n = len(grp)
+        assert n_seen[shard] == n
+        true_counts = grp["user_id"].value_counts()
+        bound = n // (MG_K + 1)
+        for uid, c in true_counts.items():
+            if c > bound:
+                assert int(uid) in sketch, (shard, uid, c, bound)
+                # MG undercount bound
+                assert c - sketch[int(uid)] <= bound
