@@ -117,6 +117,18 @@ HEADLINE = [
     "moment_profile_by_segment",
     "ivfpq_ann_topk",
     "source_quality_calibration",
+    # round-5 tranche: positional fingerprinting, chunk dedup, weighted
+    # cosine, STL decomposition, ANN recall harness, density clustering,
+    # source drift / signature diagnostics, reciprocal-best-match
+    "winnowing_dup_pairs",
+    "cdc_chunk_dedup",
+    "idf_cosine_dup_pairs",
+    "stl_decomposition_daily",
+    "ann_recall_eval",
+    "grid_density_clusters",
+    "distinctive_terms_by_source",
+    "ks_divergence_by_source",
+    "mutual_nn_pairs",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
