@@ -308,21 +308,40 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the grid aggregate reduces the corpus to occupied cells;
     adjacency is each core cell EXPLODED into its 9 neighbor keys then
-    equi-joined back (never an all-pairs or band join); components run on
-    the pointer-jumping connected_components() (cells-scale, O(log
-    diameter) rounds). The DuckDB oracle walks the same edges with a
-    recursive min-label CTE."""
-    from database_toolbox_spark.operators.dedup import (  # noqa: PLC0415
-        connected_components,
-    )
+    equi-joined back (never an all-pairs or band join). The cell graph is
+    MODEL-sized — occupied cells are bounded by the grid resolution
+    ((range/h + 2)^2 <= ~700 for unit-normalized dims at h=0.08), not by
+    the corpus — so components come from a driver-side min-label
+    union-find over a bounded edge fetch, exactly like the k-means
+    centroid model: the corpus-scale work is the one grid aggregate, and
+    pointer-jumping CC's per-iteration job overhead (measured 5.3 s for a
+    96-edge graph) is avoided. The DuckDB oracle walks the same edges
+    with a recursive min-label CTE."""
     from database_toolbox_spark.session import materialize  # noqa: PLC0415
 
     load_tables(spark, sf_dir)
     materialize(spark.sql(_grid_cells_sql(
         "element_at(embedding, 1)", "element_at(embedding, 2)"
     ))).createOrReplaceTempView("grid")
-    pairs = spark.sql(_GRID_PAIRS_SQL).coalesce(1)
-    connected_components(pairs).createOrReplaceTempView("gdc_labels_v")
+    # guard-exempt: bounded driver fetch (cell-graph edges, <= 9 * cells
+    # where cells is fixed by the grid resolution at any corpus size)
+    edges = spark.sql(_GRID_PAIRS_SQL).collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for e in edges:
+        ra, rb = find(e.doc_a), find(e.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-label union
+    labels = [(int(n), int(find(n))) for n in parent]
+    spark.createDataFrame(
+        labels, "node BIGINT, label BIGINT"
+    ).createOrReplaceTempView("gdc_labels_v")
     return spark.sql(f"""
         WITH rep AS (
             SELECT g.key AS node,
