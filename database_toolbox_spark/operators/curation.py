@@ -822,3 +822,201 @@ ORACLE["source_datasheet"] = _datasheet_sql(
     q_expr=_DUCK_Q,
     entropy="-sum((n * 1e0 / tot) * ln(n * 1e0 / tot))",
 )
+
+
+# --- 11. Gopher rule-filter battery ----------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN_LO = 3.0
+GOPHER_MEAN_LEN_HI = 10.0
+GOPHER_SYMBOL_MAX = 0.1  # '#' / '...' words per word
+GOPHER_ALPHA_MIN = 0.8  # fraction of words containing a letter
+GOPHER_MIN_STOP_HITS = 2  # distinct stopword types required
+
+
+def _gopher_sql(split, ln, filt, alpha, isect, sw) -> str:
+    """Per-source failure counts for the Gopher quality rules (Rae et al.,
+    "Scaling Language Models: ... Gopher", arXiv:2112.11446, Appendix A):
+    word-count bounds, mean-word-length bounds, symbol-word ratio,
+    alphabetic-word fraction, and minimum distinct stopword hits. Mean
+    word length is computed arithmetically as non-separator chars per
+    word — (length(text) - n_words + 1) / n_words — the same parse tree
+    in both engines, no lambda fold."""
+    return f"""
+        WITH t AS (
+            SELECT source, length(text) AS n_chars, {split} AS w
+            FROM documents
+        ),
+        m AS (
+            SELECT source,
+                   {ln}(w) AS n_words,
+                   (n_chars - {ln}(w) + 1) * 1e0 / {ln}(w) AS mean_len,
+                   {ln}({filt}(w, t -> t LIKE '%#%' OR t LIKE '%...'))
+                       * 1e0 / {ln}(w) AS sym_ratio,
+                   {ln}({filt}(w, t -> {alpha})) * 1e0 / {ln}(w)
+                       AS alpha_ratio,
+                   {ln}({isect}(w, {sw})) AS stop_hits
+            FROM t
+        ),
+        f AS (
+            SELECT source,
+                   CASE WHEN n_words < {GOPHER_MIN_WORDS}
+                          OR n_words > {GOPHER_MAX_WORDS}
+                        THEN 1 ELSE 0 END AS f_words,
+                   CASE WHEN mean_len < {GOPHER_MEAN_LEN_LO}e0
+                          OR mean_len > {GOPHER_MEAN_LEN_HI}e0
+                        THEN 1 ELSE 0 END AS f_meanlen,
+                   CASE WHEN sym_ratio > {GOPHER_SYMBOL_MAX}e0
+                        THEN 1 ELSE 0 END AS f_symbol,
+                   CASE WHEN alpha_ratio < {GOPHER_ALPHA_MIN}e0
+                        THEN 1 ELSE 0 END AS f_alpha,
+                   CASE WHEN stop_hits < {GOPHER_MIN_STOP_HITS}
+                        THEN 1 ELSE 0 END AS f_stop
+            FROM m
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(f_words) AS BIGINT)   AS fail_word_count,
+               CAST(sum(f_meanlen) AS BIGINT) AS fail_mean_len,
+               CAST(sum(f_symbol) AS BIGINT)  AS fail_symbol_ratio,
+               CAST(sum(f_alpha) AS BIGINT)   AS fail_alpha_words,
+               CAST(sum(f_stop) AS BIGINT)    AS fail_stopwords,
+               CAST(sum(CASE WHEN f_words + f_meanlen + f_symbol
+                                  + f_alpha + f_stop = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               {R("sum(CASE WHEN f_words + f_meanlen + f_symbol"
+                  " + f_alpha + f_stop = 0 THEN 1e0 ELSE 0e0 END)"
+                  " / count(*)", 4)} AS pass_rate
+        FROM f GROUP BY source ORDER BY source
+    """
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-filter battery aggregated per source: how many docs each
+    of the five cheap quality rules would drop, and the per-source pass
+    rate. Complements quality_classifier_scores (a learned-weight score)
+    with the rule-based stage real pipelines run FIRST.
+
+    Scale shape: one projection with per-row array ops + one grouped agg —
+    embarrassingly parallel, map-side combinable, no shuffle beyond the
+    20-group aggregate."""
+    load_tables(spark, sf_dir)
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    return spark.sql(_gopher_sql(
+        "split(text, ' ')", "size", "filter",
+        "t RLIKE '[a-z]'", "array_intersect",
+        f"array({_sql_list(STOPWORDS)})",
+    ))
+
+
+QUERIES["gopher_quality_flags"] = gopher_quality_flags
+
+
+def _gopher_oracle() -> str:
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    return _gopher_sql(
+        "string_split(text, ' ')", "len", "list_filter",
+        "regexp_matches(t, '[a-z]')", "list_intersect",
+        f"[{_sql_list(STOPWORDS)}]",
+    )
+
+
+ORACLE["gopher_quality_flags"] = _gopher_oracle()
+
+
+# --- 12. quality-signal correlation matrix ---------------------------------
+
+_CORR_SIGNALS = ("n_words", "ttr", "stop_ratio", "mean_len")
+
+
+def _corr_feat_sql(split, ln, uniq_expr, filt, sw) -> str:
+    return f"""
+        SELECT CAST({ln}(w) AS DOUBLE) AS n_words,
+               {uniq_expr} * 1e0 / {ln}(w) AS ttr,
+               {ln}({filt}(w, x -> x IN ({sw}))) * 1e0 / {ln}(w)
+                   AS stop_ratio,
+               (n_chars - {ln}(w) + 1) * 1e0 / {ln}(w) AS mean_len
+        FROM (SELECT length(text) AS n_chars, {split} AS w FROM documents)
+    """
+
+
+def _corr_pairs():
+    sigs = _CORR_SIGNALS
+    return [
+        (sigs[i], sigs[j])
+        for i in range(len(sigs))
+        for j in range(i + 1, len(sigs))
+    ]
+
+
+def _corr_agg_cols() -> str:
+    return ", ".join(
+        f"{R(f'corr({a}, {b})', 4)} AS c_{a}__{b}" for a, b in _corr_pairs()
+    )
+
+
+def _corr_unpivot_sql(src: str) -> str:
+    parts = [
+        f"SELECT '{a}' AS sig_a, '{b}' AS sig_b, c_{a}__{b} AS pearson_r"
+        f" FROM {src}"
+        for a, b in _corr_pairs()
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY sig_a, sig_b"
+
+
+def quality_signal_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix (long form, upper triangle) across the
+    cheap per-doc quality signals — the collinearity check run before
+    fitting/weighting a quality classifier: a pair at |r| ~ 1 carries no
+    independent signal and a learned filter double-counts it.
+
+    Scale shape: ONE corpus pass computes all six corr() states
+    (map-side combinable); the 1-row aggregate is materialized before the
+    6-way UNION unpivot so Catalyst's CTE inlining cannot re-run the
+    corpus scan per output row (the documented multiply-referenced-CTE
+    trap)."""
+    load_tables(spark, sf_dir)
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    feat = _corr_feat_sql(
+        "split(text, ' ')", "size", "size(array_distinct(w))", "filter",
+        _sql_list(STOPWORDS),
+    )
+    materialize(spark.sql(
+        f"SELECT {_corr_agg_cols()} FROM ({feat})"
+    )).createOrReplaceTempView("qsc_agg_v")
+    return spark.sql(_corr_unpivot_sql("qsc_agg_v"))
+
+
+QUERIES["quality_signal_correlations"] = quality_signal_correlations
+
+
+def _corr_oracle() -> str:
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    feat = _corr_feat_sql(
+        "string_split(text, ' ')", "len", "len(list_distinct(w))",
+        "list_filter", _sql_list(STOPWORDS),
+    )
+    return (
+        f"WITH agg AS MATERIALIZED (SELECT {_corr_agg_cols()} FROM ({feat}))"
+        + _corr_unpivot_sql("agg")
+    )
+
+
+ORACLE["quality_signal_correlations"] = _corr_oracle()

@@ -1289,3 +1289,49 @@ ORACLE["cohort_ltv_curves"] = _LTV_SQL.format(
     dd="CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INT)",
     ltv=R("m.cum_value / c.cohort_size", 4),
 )
+
+
+# --- hourly OHLC value bars -------------------------------------------------
+
+_OHLC_SQL = f"""
+    WITH e AS (
+        SELECT date_trunc('hour', ts) AS bar_hour, ts, event_id, value
+        FROM events
+    ),
+    r AS (
+        SELECT bar_hour, value,
+               CAST(row_number() OVER (PARTITION BY bar_hour
+                                       ORDER BY ts, event_id)
+                   AS BIGINT) AS rn_asc,
+               CAST(row_number() OVER (PARTITION BY bar_hour
+                                       ORDER BY ts DESC, event_id DESC)
+                   AS BIGINT) AS rn_desc
+        FROM e
+    )
+    SELECT bar_hour,
+           CAST(count(*) AS BIGINT)                       AS n_events,
+           {R("max(CASE WHEN rn_asc = 1 THEN value END)")}  AS open_value,
+           {R("max(value)")}                               AS high_value,
+           {R("min(value)")}                               AS low_value,
+           {R("max(CASE WHEN rn_desc = 1 THEN value END)")} AS close_value,
+           {R("sum(value)")}                               AS total_value
+    FROM r GROUP BY bar_hour ORDER BY bar_hour
+"""
+
+
+def event_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars over event values — the
+    candlestick rollup a time-series engine's continuous aggregate
+    produces. Open/close are decided by (ts, event_id) row_number, not
+    min_by/max_by, so ties at the bar edge resolve identically in both
+    engines (min_by tie-breaking is engine-defined).
+
+    Scale shape: the two windows PARTITION BY the hour bar — per-bar
+    state, never a global sort; the grouped tail is map-side combinable.
+    A streaming twin would be a watermarked window aggregate."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_OHLC_SQL)
+
+
+QUERIES["event_value_ohlc_hourly"] = event_value_ohlc_hourly
+ORACLE["event_value_ohlc_hourly"] = _OHLC_SQL

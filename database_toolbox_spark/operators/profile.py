@@ -1015,3 +1015,122 @@ ORACLE["analyze_table_stats"] = (
     + ") "
     + _ANALYZE_OUT_SQL.format(agg="agg")
 )
+
+
+# --- differentially-private count release ----------------------------------
+
+DP_EPSILON = 1.0  # per-release privacy budget; sensitivity 1 => b = 1/eps
+DP_SEED = 7  # release seed folded into the noise hash
+
+
+def _dp_noise_sql(u32_expr: str) -> str:
+    """(source x lang) counts + Laplace(1/eps) noise via inverse-CDF over a
+    DETERMINISTIC md5-derived uniform (Dwork & Roth, "The Algorithmic
+    Foundations of Differential Privacy", §3.3). rand() would be neither
+    reproducible nor cross-engine checkable; hashing (key, seed) to
+    u in (0,1) gives the exact same release in both engines, and a new
+    seed = a fresh draw charged to the budget. u = (v + 0.5)/2^32 is
+    half-integer-offset so u != 0.5 exactly and 1 - 2|u - 0.5| >= 2^-32
+    (ln stays finite)."""
+    return f"""
+        WITH g AS (
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n_true
+            FROM documents GROUP BY source, lang
+        ),
+        u AS (
+            SELECT source, lang, n_true,
+                   (({u32_expr}) + 0.5e0) / 4294967296e0 AS u
+            FROM g
+        )
+        SELECT source, lang, n_true,
+               {R("n_true + (CASE WHEN u >= 0.5e0 THEN -1e0 ELSE 1e0 END)"
+                  f" * ln(1e0 - 2e0 * abs(u - 0.5e0)) / {DP_EPSILON}e0", 4)}
+                   AS n_released
+        FROM u ORDER BY source, lang
+    """
+
+
+def dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private (source x lang) histogram release: true
+    counts plus Laplace(sensitivity/eps) noise, eps = 1. Joins the
+    privacy tier next to k_anonymity_audit / l_diversity_audit: those
+    AUDIT re-identification risk, this one RELEASES a protected
+    aggregate.
+
+    Scale shape: one grouped count (map-side combinable) + a per-group
+    scalar projection — the noise is a pure function of the group key,
+    so the release is identical on any cluster size or row order."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_dp_noise_sql(
+        f"CAST(conv(substring(md5(concat(source, '|', lang, '|{DP_SEED}')),"
+        " 1, 8), 16, 10) AS BIGINT)"
+    ))
+
+
+QUERIES["dp_noised_counts"] = dp_noised_counts
+ORACLE["dp_noised_counts"] = _dp_noise_sql(
+    f"CAST(concat('0x', substr(md5(concat(source, '|', lang, '|{DP_SEED}')),"
+    " 1, 8)) AS BIGINT)"
+)
+
+
+# --- robust per-dimension scaler fit ---------------------------------------
+
+
+def _robust_scaler_sql(src: str, pctile: str, el) -> str:
+    """Per-dim quartiles in ONE exact-percentile aggregate; IQR and Bowley
+    (quartile) skewness derive from the three cuts. {el} indexes the
+    returned quartile array per dialect."""
+    q = "q"
+    return f"""
+        {src},
+        cuts AS (
+            SELECT dim, {pctile} AS {q}
+            FROM vals GROUP BY dim
+        )
+        SELECT dim,
+               {R(el(q, 1), 6)} AS p25,
+               {R(el(q, 2), 6)} AS median,
+               {R(el(q, 3), 6)} AS p75,
+               {R(f"{el(q, 3)} - {el(q, 1)}", 6)} AS iqr,
+               CASE WHEN {el(q, 3)} - {el(q, 1)} = 0e0 THEN NULL
+                    ELSE {R(f"({el(q, 3)} + {el(q, 1)} - 2e0 * {el(q, 2)})"
+                            f" / ({el(q, 3)} - {el(q, 1)})", 6)}
+               END AS bowley_skew
+        FROM cuts ORDER BY dim
+    """
+
+
+def embedding_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust scaler fit over the embedding matrix: per-dimension exact
+    quartiles, IQR, and Bowley skewness — the outlier-insensitive
+    normalization twin of embedding_dim_stats (mean/std break under heavy
+    tails; median/IQR do not).
+
+    Scale shape: posexplode to (dim, value) then ONE exact-percentile
+    aggregate per dim — d groups in the shuffle, not d x n rows; the
+    skewness is per-group arithmetic on the 3-element cut array."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_robust_scaler_sql(
+        """WITH vals AS (
+            SELECT pos AS dim, CAST(v AS DOUBLE) AS v
+            FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v
+        )""",
+        "percentile(v, array(0.25e0, 0.5e0, 0.75e0))",
+        lambda arr, i: f"element_at({arr}, {i})",
+    ))
+
+
+QUERIES["embedding_robust_scaler"] = embedding_robust_scaler
+ORACLE["embedding_robust_scaler"] = _robust_scaler_sql(
+    """WITH vals AS (
+        SELECT pos - 1 AS dim, CAST(v AS DOUBLE) AS v
+        FROM (
+            SELECT unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        )
+    )""",
+    "quantile_cont(v, [0.25e0, 0.5e0, 0.75e0])",
+    lambda arr, i: f"{arr}[{i}]",
+)

@@ -413,3 +413,121 @@ ORACLE = {
         FROM exact, approx
     """,
 }
+
+
+# --- Bloom-filter membership sketch ----------------------------------------
+
+BLOOM_BITS = 4096  # filter width in bits
+BLOOM_K = 3  # hash functions per key
+BLOOM_WORD = 62  # bits packed per BIGINT word (62 dodges the sign bit)
+BLOOM_BUILD_SRC = "src0"  # the source whose vocabulary builds the filter
+
+
+def _bloom_sql(shift, intdiv, u32, seeds: str, pre: str = "",
+               mat: str = "") -> str:
+    """Build a BLOOM_BITS-bit Bloom filter over the build source's
+    distinct tokens (k md5-derived positions per token, bit_or-packed into
+    62-bit BIGINT words), probe every source's distinct tokens against it,
+    and report maybe-present vs exactly-present per source (Bloom, CACM
+    1970; the one-sided-error contract: no false negatives, measured
+    false-positive rate in the report).
+
+    Shared template; shift/intdiv are callables rendering the bit-shift
+    and integer division per dialect, seeds the k-row seed relation."""
+    key = "concat(tok, '#', CAST(s AS STRING))"
+    pos = f"{u32(key)} % {BLOOM_BITS}"
+    return f"""
+        WITH {pre}toks AS {mat}(
+            SELECT DISTINCT source, tok FROM unnested
+        ),
+        build_bits AS (
+            SELECT {intdiv("p")} AS word_id,
+                   bit_or({shift(f"p % {BLOOM_WORD}")}) AS bits
+            FROM (
+                SELECT {pos} AS p
+                FROM (SELECT DISTINCT tok FROM toks
+                      WHERE source = '{BLOOM_BUILD_SRC}') b
+                CROSS JOIN {seeds}
+            )
+            GROUP BY {intdiv("p")}
+        ),
+        probe AS (
+            SELECT t.source, t.tok, {pos} AS p
+            FROM toks t CROSS JOIN {seeds}
+        ),
+        hits AS (
+            SELECT pr.source, pr.tok,
+                   CASE WHEN count(*) = {BLOOM_K}
+                         AND sum(CASE WHEN b.bits IS NOT NULL
+                                       AND (b.bits
+                                            & {shift(f"pr.p % {BLOOM_WORD}")})
+                                           != 0
+                                      THEN 1 ELSE 0 END) = {BLOOM_K}
+                        THEN 1 ELSE 0 END AS maybe_present
+            FROM probe pr
+            LEFT JOIN build_bits b
+              ON b.word_id = {intdiv("pr.p")}
+            GROUP BY pr.source, pr.tok
+        ),
+        truth AS (
+            SELECT source, tok FROM toks
+            WHERE tok IN (SELECT tok FROM toks
+                          WHERE source = '{BLOOM_BUILD_SRC}')
+        )
+        SELECT h.source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(h.maybe_present) AS BIGINT) AS n_maybe,
+               CAST(sum(CASE WHEN t.tok IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_truly,
+               CAST(sum(CASE WHEN h.maybe_present = 1 AND t.tok IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_positive,
+               CAST(sum(CASE WHEN h.maybe_present = 0 AND t.tok IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_negative
+        FROM hits h
+        LEFT JOIN truth t ON t.source = h.source AND t.tok = h.tok
+        GROUP BY h.source ORDER BY h.source
+    """
+
+
+def bloom_token_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter vocabulary membership: build over src0's distinct
+    tokens, probe every source. n_false_negative must be 0 (the Bloom
+    guarantee — asserted in tests); n_false_positive is the price of the
+    4096-bit budget. Completes the sketch family (HLL/Theta/KLL/CMS/
+    bitmap) with the membership sketch; at 100 TB the 67-word filter is a
+    broadcast model, the probe a map-side lookup.
+
+    Scale shape: build = one grouped bit_or over (distinct tokens x k);
+    probe = equi-join on word_id against the 67-row filter (broadcast),
+    then per-source aggregation. Exact truth via one semi-join for the
+    false-positive accounting (test harness only at scale)."""
+    load_tables(spark, sf_dir)
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    # toks is referenced by build, probe, and truth — materialize the
+    # distinct (source, token) set once instead of re-exploding the corpus
+    # per reference (the multiply-referenced-CTE inlining trap)
+    materialize(spark.sql(
+        "SELECT DISTINCT source, explode(split(text, ' ')) AS tok"
+        " FROM documents"
+    )).createOrReplaceTempView("unnested")
+    return spark.sql(_bloom_sql(
+        lambda b: f"shiftleft(CAST(1 AS BIGINT), {b})",
+        lambda x: f"({x} DIV {BLOOM_WORD})",
+        lambda k: f"CAST(conv(substring(md5({k}), 1, 8), 16, 10) AS BIGINT)",
+        f"(SELECT explode(sequence(0, {BLOOM_K - 1})) AS s)",
+    ))
+
+
+QUERIES["bloom_token_membership"] = bloom_token_membership
+ORACLE["bloom_token_membership"] = _bloom_sql(
+    lambda b: f"(CAST(1 AS BIGINT) << ({b}))",
+    lambda x: f"({x} // {BLOOM_WORD})",
+    lambda k: f"CAST(concat('0x', substr(md5({k}), 1, 8)) AS BIGINT)",
+    f"(SELECT unnest(range({BLOOM_K})) AS s)",
+    pre="unnested AS (SELECT source, unnest(string_split(text, ' '))"
+        " AS tok FROM documents), ",
+    mat="MATERIALIZED ",
+)

@@ -435,3 +435,150 @@ def test_split_leakage_conserves_pairs(spark):
             assert r.n_leaked == 0, r
         else:
             assert r.n_leaked == r.n_near_dup_pairs, r
+
+
+# ------------------------------------------------- round-5 second tranche
+
+
+def test_gopher_flags_partition(spark):
+    """Per-source counts are self-consistent: every fail count <= n_docs,
+    n_pass <= n_docs - max(single-rule fails), and pass_rate recomputes
+    from n_pass / n_docs."""
+    from database_toolbox_spark.operators.curation import gopher_quality_flags
+    from tests.conftest import SF_DIR
+
+    rows = gopher_quality_flags(spark, SF_DIR).collect()
+    assert rows, "no sources"
+    for r in rows:
+        fails = [r.fail_word_count, r.fail_mean_len, r.fail_symbol_ratio,
+                 r.fail_alpha_words, r.fail_stopwords]
+        assert all(0 <= f <= r.n_docs for f in fails)
+        assert 0 <= r.n_pass <= r.n_docs - max(fails)
+        assert abs(r.pass_rate - round(r.n_pass / r.n_docs, 4)) < 1e-3
+        # synthetic corpus: all-lowercase words, no '#'/'...' tokens
+        assert r.fail_symbol_ratio == 0
+        assert r.fail_alpha_words == 0
+
+
+def test_quality_signal_correlations_anchor(spark):
+    """|r| <= 1 for all pairs, and the (n_words, ttr) correlation matches
+    a numpy recomputation from the same parquet (external anchor — parity
+    alone can't catch both engines computing the wrong statistic)."""
+    import duckdb
+    import numpy as np
+
+    from database_toolbox_spark.operators.curation import (
+        quality_signal_correlations,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = quality_signal_correlations(spark, SF_DIR).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.pearson_r is None or abs(r.pearson_r) <= 1.0 + 1e-9
+    got = {(r.sig_a, r.sig_b): r.pearson_r for r in rows}
+    df = duckdb.connect().execute(
+        f"SELECT len(string_split(text,' ')) AS n, "
+        f"len(list_distinct(string_split(text,' '))) AS u "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).df()
+    n = df.n.to_numpy(dtype=float)
+    ttr = df.u.to_numpy(dtype=float) / n
+    anchor = np.corrcoef(n, ttr)[0, 1]
+    assert abs(got[("n_words", "ttr")] - anchor) < 1e-3
+
+
+def test_dp_noised_counts_bounded_and_deterministic(spark):
+    """Laplace noise from the half-integer md5 uniform is bounded by
+    ln(2^32)/eps ~ 22.18 and the release is a pure function of the key —
+    two runs must be identical."""
+    from database_toolbox_spark.operators.profile import dp_noised_counts
+    from tests.conftest import SF_DIR
+
+    a = dp_noised_counts(spark, SF_DIR).collect()
+    b = dp_noised_counts(spark, SF_DIR).collect()
+    assert a == b
+    assert a
+    for r in a:
+        assert abs(r.n_released - r.n_true) <= 22.19
+
+
+def test_embedding_robust_scaler_anchor(spark):
+    """Quartile ordering per dim, Bowley skew in [-1, 1], and dim 0's cuts
+    match numpy's linear-interpolation percentile (type 7 — the method
+    both percentile() and quantile_cont implement)."""
+    import duckdb
+    import numpy as np
+
+    from database_toolbox_spark.operators.profile import (
+        embedding_robust_scaler,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = embedding_robust_scaler(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.p25 <= r.median <= r.p75
+        assert r.iqr >= 0
+        if r.bowley_skew is not None:
+            assert -1.0 - 1e-9 <= r.bowley_skew <= 1.0 + 1e-9
+    v = duckdb.connect().execute(
+        f"SELECT embedding[1] AS x "
+        f"FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).df().x.to_numpy(dtype=float)
+    d0 = next(r for r in rows if r.dim == 0)
+    for col, q in (("p25", 25), ("median", 50), ("p75", 75)):
+        assert abs(getattr(d0, col) - np.percentile(v, q)) < 1e-4
+
+
+def test_bloom_membership_guarantee(spark):
+    """The Bloom contract: zero false negatives everywhere; the build
+    source probes back perfectly (every token maybe AND truly present);
+    false positives exist only outside the exact set."""
+    from database_toolbox_spark.operators.sketches import (
+        BLOOM_BUILD_SRC,
+        bloom_token_membership,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = bloom_token_membership(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_false_negative == 0, r.source
+        assert r.n_maybe == r.n_truly + r.n_false_positive
+        assert r.n_truly <= r.n_tokens
+        if r.source == BLOOM_BUILD_SRC:
+            assert r.n_maybe == r.n_tokens == r.n_truly
+
+
+def test_ohlc_bars_consistent(spark):
+    """Every bar: low <= open/close <= high; bar event counts sum to the
+    table count; a directly-computed first/last anchor for one bar."""
+    import duckdb
+
+    from database_toolbox_spark.operators.events import (
+        event_value_ohlc_hourly,
+    )
+    from database_toolbox_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    rows = event_value_ohlc_hourly(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.low_value <= r.open_value <= r.high_value
+        assert r.low_value <= r.close_value <= r.high_value
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert sum(r.n_events for r in rows) == n_events
+    anchor = duckdb.connect().execute(
+        f"""
+        SELECT first(value ORDER BY ts, event_id) AS first_v,
+               last(value ORDER BY ts, event_id) AS last_v
+        FROM (SELECT * FROM read_parquet('{SF_DIR}/events.parquet')
+              WHERE date_trunc('hour', ts) = (
+                  SELECT min(date_trunc('hour', ts))
+                  FROM read_parquet('{SF_DIR}/events.parquet')))
+        """
+    ).fetchone()
+    first_bar = rows[0]
+    assert abs(first_bar.open_value - round(anchor[0], 2)) < 0.011
+    assert abs(first_bar.close_value - round(anchor[1], 2)) < 0.011
