@@ -298,3 +298,101 @@ ORACLE = {
     "event_type_triangles": _TRIANGLE_SQL,
     "bfs_reachable_hops": _BFS_SQL,
 }
+
+
+# --- k-core decomposition (bounded peeling) ---------------------------------
+
+KCORE_K = 5  # core threshold
+KCORE_MAX_ROUNDS = 8  # peeling bound; convergence asserted in tests
+KCORE_MIN_W = 2  # edge weight floor (lineitems between the endpoints)
+
+_KCORE_EDGE_SQL = f"""
+    SELECT concat('s', CAST(l.l_suppkey AS STRING)) AS src,
+           concat('c', CAST(o.o_custkey AS STRING)) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2 HAVING count(*) >= {KCORE_MIN_W}
+"""
+
+
+def kcore_rounds_from_edges(
+    spark: SparkSession, edges: DataFrame, k: int = KCORE_K
+) -> DataFrame:
+    """Batagelj-Zaversnik-style bounded k-core peeling (arXiv:cs/0310049)
+    as Pregel-as-joins: each round drops every node of degree < k and the
+    edges touching it, until a fixed point (or KCORE_MAX_ROUNDS). Returns
+    one row per round that CHANGED the graph (round 0 = input), so the
+    output is identical however early the loop exits.
+
+    Scale shape: per round = one grouped degree count + two semi-joins on
+    the node key — the same shuffle budget as a pagerank iteration; each
+    level is materialized so lineage stays flat. Peeling depth is
+    data-bounded (degeneracy ordering), not corpus-bounded."""
+    sym = edges.selectExpr("src", "dst").unionByName(
+        edges.selectExpr("dst AS src", "src AS dst")
+    ).distinct()
+    cur = materialize(sym)
+    rows = [(0, cur.selectExpr("src").distinct().count(), cur.count() // 2)]
+    for rnd in range(1, KCORE_MAX_ROUNDS + 1):
+        deg = cur.groupBy("src").count()
+        keep = deg.filter(F.col("count") >= k).select("src")
+        cur = materialize(
+            cur.join(keep, "src", "semi")
+            .join(keep.selectExpr("src AS dst"), "dst", "semi")
+        )
+        n_edges = cur.count() // 2
+        if n_edges == rows[-1][2]:
+            break
+        rows.append((rnd, cur.selectExpr("src").distinct().count(), n_edges))
+    return spark.createDataFrame(
+        rows, "round INT, n_nodes BIGINT, n_edges BIGINT"
+    ).orderBy("round")
+
+
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the weight-filtered supplier-customer graph: peel
+    degree < k nodes to a fixed point; report the shrinking (round,
+    nodes, edges) trajectory. The standard graph-density screen before
+    community detection / influence analysis."""
+    load_tables(spark, sf_dir)
+    return kcore_rounds_from_edges(spark, spark.sql(_KCORE_EDGE_SQL))
+
+
+def _kcore_oracle() -> str:
+    lvl = ["WITH e0 AS MATERIALIZED (SELECT src, dst FROM ("
+           + _KCORE_EDGE_SQL
+           + ") UNION SELECT dst, src FROM (" + _KCORE_EDGE_SQL + "))"]
+    for r in range(1, KCORE_MAX_ROUNDS + 1):
+        p = r - 1
+        lvl.append(f"""
+        k{r} AS MATERIALIZED (
+            SELECT src FROM (SELECT src, count(*) AS c FROM e{p}
+                             GROUP BY src)
+            WHERE c >= {KCORE_K}
+        ),
+        e{r} AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e{p} e
+            JOIN k{r} a ON a.src = e.src
+            JOIN k{r} b ON b.src = e.dst
+        )""")
+    counts = " UNION ALL ".join(
+        f"SELECT {r} AS round,"
+        f" (SELECT count(DISTINCT src) FROM e{r}) AS n_nodes,"
+        f" (SELECT count(*) / 2 FROM e{r}) AS n_edges"
+        for r in range(KCORE_MAX_ROUNDS + 1)
+    )
+    return (
+        ", ".join(lvl)
+        + f""", counts AS (SELECT CAST(round AS INT) AS round,
+                     CAST(n_nodes AS BIGINT) AS n_nodes,
+                     CAST(n_edges AS BIGINT) AS n_edges FROM ({counts}))
+        SELECT round, n_nodes, n_edges FROM (
+            SELECT round, n_nodes, n_edges,
+                   lag(n_edges) OVER (ORDER BY round) AS prev_edges
+            FROM counts
+        ) WHERE round = 0 OR n_edges != prev_edges
+        ORDER BY round"""
+    )
+
+
+QUERIES["kcore_decomposition"] = kcore_decomposition
+ORACLE["kcore_decomposition"] = _kcore_oracle()

@@ -1134,3 +1134,43 @@ ORACLE["embedding_robust_scaler"] = _robust_scaler_sql(
     "quantile_cont(v, [0.25e0, 0.5e0, 0.75e0])",
     lambda arr, i: f"{arr}[{i}]",
 )
+
+
+# --- per-source content set-digest -----------------------------------------
+
+
+def _digest_sql(h60) -> str:
+    """Order-independent per-source content digest: bit_xor over a 60-bit
+    md5 hash of (doc_id | text). XOR is commutative/associative, so the
+    digest is identical for any partitioning, merge order, or shuffle
+    plan — the cheap replication/migration equality check two 100 TB
+    copies exchange instead of row data (a Merkle-style set digest;
+    60 bits keeps the hash inside BIGINT in both engines)."""
+    return f"""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               bit_xor({h60}) AS xor_digest,
+               min({h60}) AS min_hash,
+               max({h60}) AS max_hash
+        FROM documents
+        GROUP BY source ORDER BY source
+    """
+
+
+def source_content_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source set digest over document content — equal digests mean
+    equal content sets with overwhelming probability; a single changed,
+    missing, or duplicated row flips the XOR. One grouped pass,
+    map-side combinable."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_digest_sql(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '|', text)),"
+        " 1, 15), 16, 10) AS BIGINT)"
+    ))
+
+
+QUERIES["source_content_digests"] = source_content_digests
+ORACLE["source_content_digests"] = _digest_sql(
+    "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|',"
+    " text)), 1, 15)) AS BIGINT)"
+)

@@ -1104,3 +1104,62 @@ ORACLE["distinctive_terms_by_source"] = (
     + ",\n"
     + _fightin_words_tail()
 )
+
+
+# --- code-switching score ---------------------------------------------------
+
+
+def _code_switch_sql(split, ln, filt) -> str:
+    """Per-doc language-mix entropy over the four marker-lists: p_i =
+    marker hits for language i / total hits; score = -sum p ln p
+    normalized by ln(4) to [0, 1]. A monolingual doc scores 0, an even
+    two-language mix ~0.5 — the code-switching screen a multilingual
+    pipeline runs before routing docs to per-language tokenizers."""
+    hit_cols = ", ".join(
+        f"{ln}({filt}(w, t -> t IN ({_sql_list(LANG_MARKERS[lang])})))"
+        f" AS s_{lang}"
+        for lang in _LANG_ORDER
+    )
+    tot = " + ".join(f"s_{lang}" for lang in _LANG_ORDER)
+    ent = " + ".join(
+        f"CASE WHEN s_{lang} > 0 THEN -(s_{lang} * 1e0 / tot)"
+        f" * ln(s_{lang} * 1e0 / tot) ELSE 0e0 END"
+        for lang in _LANG_ORDER
+    )
+    n_hit = " + ".join(
+        f"CASE WHEN s_{lang} > 0 THEN 1 ELSE 0 END" for lang in _LANG_ORDER
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, lang, {split} AS w FROM documents
+        ),
+        m AS (SELECT doc_id, lang, {hit_cols} FROM t),
+        e AS (
+            SELECT doc_id, lang, {n_hit} AS n_langs_hit, tot,
+                   CASE WHEN tot = 0 THEN 0e0
+                        ELSE ({ent}) / ln(4e0) END AS mix_entropy
+            FROM (SELECT *, {tot} AS tot FROM m)
+        )
+        SELECT doc_id, lang AS tagged_lang,
+               CAST(n_langs_hit AS INT) AS n_langs_hit,
+               CAST(tot AS BIGINT) AS n_marker_hits,
+               {R("mix_entropy", 6)} AS code_switch_score
+        FROM e ORDER BY doc_id
+    """
+
+
+def code_switch_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching / language-mix score per document (normalized
+    language-marker entropy). Complements language_id (which picks ONE
+    winner): here the signal is how contested the pick was.
+
+    Scale shape: per-row array arithmetic, no shuffle at all beyond the
+    final sort — embarrassingly parallel."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_code_switch_sql("split(text, ' ')", "size", "filter"))
+
+
+QUERIES["code_switch_scores"] = code_switch_scores
+ORACLE["code_switch_scores"] = _code_switch_sql(
+    "string_split(text, ' ')", "len", "list_filter"
+)

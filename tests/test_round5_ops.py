@@ -582,3 +582,128 @@ def test_ohlc_bars_consistent(spark):
     first_bar = rows[0]
     assert abs(first_bar.open_value - round(anchor[0], 2)) < 0.011
     assert abs(first_bar.close_value - round(anchor[1], 2)) < 0.011
+
+
+def test_kcore_peeling_cascades_on_chain(spark):
+    """A path graph peels from both ends — one round per layer — so the
+    bounded loop must emit several strictly-shrinking rounds and end
+    empty (the 2-core of a tree is empty). The TPC-H graph converges in
+    one round; this synthetic chain exercises the cascade the fixture
+    cannot."""
+    from database_toolbox_spark.operators.graph import (
+        kcore_rounds_from_edges,
+    )
+
+    path = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(9)], "src string, dst string"
+    )
+    rows = kcore_rounds_from_edges(spark, path, k=2).collect()
+    assert len(rows) >= 3  # round 0 + at least two peeling rounds
+    edges = [r.n_edges for r in rows]
+    assert edges == sorted(edges, reverse=True)
+    assert all(a > b for a, b in zip(edges, edges[1:]))
+    assert rows[-1].n_edges == 0 and rows[-1].n_nodes == 0
+
+
+def test_kcore_fixture_core_is_a_core(spark):
+    """Every node surviving the fixture peel really has degree >= K inside
+    the surviving subgraph (the defining k-core property), recomputed
+    independently in DuckDB."""
+    import duckdb
+
+    from database_toolbox_spark.operators.graph import (
+        KCORE_K,
+        kcore_decomposition,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = kcore_decomposition(spark, SF_DIR).collect()
+    assert rows[0].round == 0
+    if rows[-1].n_edges == 0:
+        return
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    from database_toolbox_spark.operators.graph import _kcore_oracle
+
+    # the oracle's final level IS the core; check its min internal degree
+    final = con.execute(_kcore_oracle()).df()
+    assert final.iloc[-1].n_edges == rows[-1].n_edges
+    min_deg = con.execute(f"""
+        WITH e AS (
+            SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        eu AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        it AS (
+            SELECT src, count(*) AS c FROM eu GROUP BY src
+        ),
+        keep AS (SELECT src FROM it WHERE c >= {KCORE_K}),
+        core AS (
+            SELECT e.src, e.dst FROM eu e
+            JOIN keep a ON a.src = e.src JOIN keep b ON b.src = e.dst
+        )
+        SELECT min(c) FROM (SELECT src, count(*) AS c FROM core GROUP BY src)
+    """).fetchone()[0]
+    assert min_deg is None or min_deg >= KCORE_K
+
+
+def test_code_switch_bounds_and_extremes(spark):
+    """Scores live in [0,1]; a pure-English-marker doc scores 0, an even
+    en/de marker mix scores ln(2)/ln(4) = 0.5 exactly."""
+    from database_toolbox_spark.operators.text import (
+        _code_switch_sql,
+        code_switch_scores,
+    )
+    from tests.conftest import SF_DIR
+
+    for r in code_switch_scores(spark, SF_DIR).collect():
+        assert 0.0 <= r.code_switch_score <= 1.0 + 1e-9
+        if r.n_langs_hit <= 1:
+            assert r.code_switch_score == 0.0
+    rows = _with_docs(
+        spark,
+        [
+            (1, "the and is of table", "en", "a", 0),
+            (2, "the und and der", "en", "a", 0),
+        ],
+        _code_switch_sql("split(text, ' ')", "size", "filter"),
+    )
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].code_switch_score == 0.0
+    assert abs(by_id[2].code_switch_score - 0.5) < 1e-6
+
+
+def test_content_digest_partition_invariance(spark):
+    """The XOR digest must be identical under any partitioning/order, and
+    must flip when one row's content changes."""
+    from database_toolbox_spark.operators.profile import (
+        source_content_digests,
+    )
+    from database_toolbox_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    base = {r.source: r.xor_digest
+            for r in source_content_digests(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents")
+    try:
+        docs.repartition(7, "lang").createOrReplaceTempView("documents")
+        rep = {r.source: r.xor_digest
+               for r in source_content_digests(spark, SF_DIR).collect()}
+        assert rep == base
+        docs.selectExpr(
+            "doc_id",
+            "CASE WHEN doc_id = 0 THEN concat(text, ' x') ELSE text END"
+            " AS text",
+            "lang", "source", "n_chars",
+        ).createOrReplaceTempView("documents")
+        mut = {r.source: r.xor_digest
+               for r in source_content_digests(spark, SF_DIR).collect()}
+        changed = [s for s in base if mut[s] != base[s]]
+        assert len(changed) == 1
+    finally:
+        load_table(spark, SF_DIR, "documents", replace=True)
