@@ -1727,3 +1727,100 @@ ORACLE["cluster_weighted_sample_mass"] = f"""
     {_EFF_MASS_TAIL.format(eff=R("sum(wt)", 4),
                            disc=R("1e0 - sum(wt) / count(*)", 6))}
 """
+
+
+# --- MinHash estimator calibration ------------------------------------------
+
+
+def _calibration_curve_sql(
+    shingles: str, concat2, sig_body: str | None = None, mat: str = ""
+) -> str:
+    """Estimate-vs-truth calibration of the k=8 MinHash Jaccard estimator
+    over the LSH candidate set: per matching-component count m (the only
+    values the estimator can emit: m/8), the count of candidate pairs,
+    the mean EXACT Jaccard, and the mean absolute estimator error. The
+    diagnostic that justifies (or indicts) a chosen signature width —
+    E[matches/k] = J per component (Broder, SEQUENCES'97), so avg_true
+    should track est within the binomial band."""
+    bands_union = "\n            UNION ALL\n".join(
+        f"            SELECT doc_id, {b} AS band, "
+        f"{concat2(f'h{2 * b}', f'h{2 * b + 1}')} AS bkey FROM sig"
+        for b in range(N_BANDS)
+    )
+    sig = sig_body or (
+        f"SELECT doc_id, count(*) AS n, {_minhash_cols()}"
+        " FROM sh GROUP BY doc_id"
+    )
+    eq = " + ".join(
+        f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END"
+        for k in range(N_HASHES)
+    )
+    return f"""
+        {shingles},
+        sig AS {mat}({sig}),
+        bands AS (
+{bands_union}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ),
+        est AS (
+            SELECT c.doc_a, c.doc_b, ({eq}) AS n_match,
+                   sa.n AS na, sb.n AS nb
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b
+        ),
+        common AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        t AS (
+            SELECT e.n_match,
+                   coalesce(m.n_common, 0) * 1e0
+                       / (e.na + e.nb - coalesce(m.n_common, 0)) AS jacc
+            FROM est e
+            LEFT JOIN common m
+              ON m.doc_a = e.doc_a AND m.doc_b = e.doc_b
+        )
+        SELECT CAST(n_match AS INT) AS n_match,
+               {R(f"n_match * 1e0 / {N_HASHES}", 4)} AS estimate,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               {R("avg(jacc)", 4)} AS avg_true_jaccard,
+               {R(f"avg(abs(n_match * 1e0 / {N_HASHES} - jacc))", 4)}
+                   AS mean_abs_error
+        FROM t GROUP BY n_match ORDER BY n_match
+    """
+
+
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration curve (see _calibration_curve_sql).
+
+    Scale shape: identical candidate generation to minhash_near_dup_pairs
+    (banded equi-join, never all-pairs); shingles and signatures are
+    materialized once and shared by the band branches, the component
+    comparison, and the exact verify."""
+    load_tables(spark, sf_dir)
+    sh = materialize(spark.sql(f"{_SPARK_SHINGLES} SELECT * FROM sh"))
+    sh.createOrReplaceTempView("mh_sh")
+    sig = materialize(spark.sql(
+        f"SELECT doc_id, count(*) AS n, {_minhash_cols()} "
+        "FROM mh_sh GROUP BY doc_id"
+    ))
+    sig.createOrReplaceTempView("mh_sig")
+    return spark.sql(_calibration_curve_sql(
+        "WITH sh AS (SELECT * FROM mh_sh)",
+        lambda a, b: f"concat({a}, {b})",
+        sig_body="SELECT * FROM mh_sig",
+    ))
+
+
+QUERIES["minhash_estimate_calibration"] = minhash_estimate_calibration
+ORACLE["minhash_estimate_calibration"] = _calibration_curve_sql(
+    _DUCK_SHINGLES, lambda a, b: f"({a} || {b})", mat="MATERIALIZED "
+)

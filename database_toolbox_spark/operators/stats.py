@@ -1477,3 +1477,126 @@ ORACLE["ks_divergence_by_source"] = (
                    " * sqrt(n1 * 1e0 * n2 / (n1 + n2))", 4),
     )
 )
+
+
+# --- Simpson's-paradox audit ------------------------------------------------
+
+_SIMPSON_SQL = """
+    WITH j AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(o.o_totalprice AS DOUBLE) AS x,
+               CAST(n.n_items AS DOUBLE) AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN (SELECT l_orderkey, count(*) AS n_items FROM lineitem
+              GROUP BY l_orderkey) n ON n.l_orderkey = o.o_orderkey
+    ),
+    per_seg AS (
+        SELECT seg, corr(x, y) AS r, count(*) AS n FROM j GROUP BY seg
+    ),
+    overall AS (SELECT corr(x, y) AS r_all FROM j)
+    SELECT p.seg AS c_mktsegment,
+           CAST(p.n AS BIGINT) AS n_orders,
+           {r_seg} AS corr_segment,
+           {r_all} AS corr_overall,
+           CASE WHEN p.r * o.r_all < 0 THEN 1 ELSE 0 END AS sign_flip
+    FROM per_seg p CROSS JOIN overall o
+    ORDER BY c_mktsegment
+"""
+
+
+def simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: the (order value, item count) correlation
+    per market segment vs pooled — a sign flip between the two is the
+    classic aggregation-reversal hazard every dashboard rollup should be
+    audited for (Simpson, JRSS-B 1951; Pearl's causality framing).
+
+    Scale shape: one fact-table pre-aggregation + one corr() pass; the
+    per-segment and pooled states are both map-side combinable; the
+    1-row pooled corr broadcasts onto the 5-row segment relation."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_SIMPSON_SQL.format(
+        r_seg=R("p.r", 6), r_all=R("o.r_all", 6)
+    ))
+
+
+QUERIES["simpsons_paradox_audit"] = simpsons_paradox_audit
+ORACLE["simpsons_paradox_audit"] = _SIMPSON_SQL.format(
+    r_seg=R("p.r", 6), r_all=R("o.r_all", 6)
+)
+
+
+# --- Neyman-allocation stratified sample -------------------------------------
+
+NEYMAN_TOTAL = 200  # total sample budget across strata
+
+
+def _neyman_sql(u32) -> str:
+    """Neyman-optimal stratified allocation (Neyman, JRSS 1934): n_h
+    proportional to N_h * S_h, then a deterministic md5-ranked draw of
+    n_h orders per stratum. The sample mean per stratum is reported next
+    to the stratum mean — the design's unbiasedness is testable."""
+    return f"""
+        WITH j AS (
+            SELECT c.c_mktsegment AS seg, o.o_orderkey AS k,
+                   CAST(o.o_totalprice AS DOUBLE) AS x
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        st AS (
+            SELECT seg, count(*) AS nh, stddev_samp(x) AS sh,
+                   avg(x) AS mu
+            FROM j GROUP BY seg
+        ),
+        alloc AS (
+            SELECT seg, nh, sh, mu,
+                   CAST(floor({NEYMAN_TOTAL} * (nh * sh)
+                        / sum(nh * sh) OVER () + 0.5e0) AS BIGINT)
+                       AS n_alloc
+            FROM st
+        ),
+        ranked AS (
+            SELECT j.seg, j.x,
+                   CAST(row_number() OVER (
+                       PARTITION BY j.seg
+                       ORDER BY {u32}, j.k
+                   ) AS BIGINT) AS rk
+            FROM j
+        ),
+        drawn AS (
+            SELECT r.seg, count(*) AS n_drawn, avg(r.x) AS sample_mu
+            FROM ranked r JOIN alloc a ON a.seg = r.seg
+            WHERE r.rk <= a.n_alloc
+            GROUP BY r.seg
+        )
+        SELECT a.seg AS c_mktsegment,
+               CAST(a.nh AS BIGINT) AS n_stratum,
+               {R("a.sh")} AS stddev_stratum,
+               a.n_alloc,
+               CAST(d.n_drawn AS BIGINT) AS n_drawn,
+               {R("a.mu")} AS stratum_mean,
+               {R("d.sample_mu")} AS sample_mean
+        FROM alloc a JOIN drawn d ON d.seg = a.seg
+        ORDER BY c_mktsegment
+    """
+
+
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with Neyman-optimal allocation by segment:
+    variance-heavy strata get proportionally more of the fixed budget
+    than size-proportional allocation would give them. The draw is the
+    repo's standard deterministic md5 rank (reproducible across
+    engines/partitionings/epochs).
+
+    Scale shape: one stats pass (5-row allocation, broadcast), one
+    md5-ranked window PARTITIONed BY stratum — per-stratum state only."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_neyman_sql(
+        "CAST(conv(substring(md5(CAST(j.k AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    ))
+
+
+QUERIES["neyman_allocation_sample"] = neyman_allocation_sample
+ORACLE["neyman_allocation_sample"] = _neyman_sql(
+    "CAST(concat('0x', substr(md5(CAST(j.k AS VARCHAR)), 1, 8)) AS BIGINT)"
+)

@@ -1163,3 +1163,96 @@ QUERIES["code_switch_scores"] = code_switch_scores
 ORACLE["code_switch_scores"] = _code_switch_sql(
     "string_split(text, ' ')", "len", "list_filter"
 )
+
+
+# --- held-out bigram perplexity --------------------------------------------
+
+
+def _heldout_ppl_sql(bucket: str, big_src: str, mat: str = "") -> str:
+    """Held-out bigram cross-entropy per source: train an add-one-smoothed
+    bigram LM on the md5-split train docs (the same 90/5/5 bucket rule as
+    curation.hash_split_counts), score the held-out docs' transitions.
+    The CCNet-style perplexity filter with a REAL train/eval separation —
+    bigram_lm_scores trains on the corpus it scores, this one cannot leak.
+
+    p(w2|w1) = (c12 + 1) / (c1 + V); unseen history means c12 = c1 = 0 so
+    p = 1/V. Cross-entropy is averaged in nats then converted to bits;
+    perplexity = 2^bits."""
+    return f"""
+        WITHBIG
+        bc AS {mat}(SELECT w1, w2, count(*) AS c12 FROM big
+                    WHERE is_train GROUP BY w1, w2),
+        uc AS {mat}(SELECT w1, count(*) AS c1 FROM big
+                    WHERE is_train GROUP BY w1),
+        v AS (SELECT count(DISTINCT w2) AS vocab FROM big WHERE is_train),
+        s AS (
+            SELECT g.source,
+                   (coalesce(c.c12, 0) + 1e0)
+                       / (coalesce(u.c1, 0) + v.vocab) AS p,
+                   CASE WHEN c.c12 IS NULL THEN 1 ELSE 0 END AS oov
+            FROM big g
+            LEFT JOIN bc c ON c.w1 = g.w1 AND c.w2 = g.w2
+            LEFT JOIN uc u ON u.w1 = g.w1
+            CROSS JOIN v
+            WHERE NOT g.is_train
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_scored,
+               {R("sum(oov) * 1e0 / count(*)", 4)} AS oov_bigram_rate,
+               {R("avg(-ln(p)) / ln(2e0)", 4)} AS cross_entropy_bits,
+               {R("pow(2e0, avg(-ln(p)) / ln(2e0))", 2)} AS perplexity
+        FROM s GROUP BY source ORDER BY source
+    """.replace("WITHBIG", f"""
+        WITH big AS {mat}(
+            {big_src.format(bucket=bucket)}
+        ),""")
+
+
+_HELDOUT_BIG_BODY = """
+            SELECT * FROM (
+                SELECT source,
+                       ({bucket}) < 90 AS is_train,
+                       lag(term) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS w1,
+                       term AS w2
+                FROM toks_rel
+            ) WHERE w1 IS NOT NULL"""
+
+
+def bigram_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram perplexity per source (see _heldout_ppl_sql).
+
+    Scale shape: the tagged bigram stream is materialized ONCE and feeds
+    the two train-count aggregates, the vocab count, and the scoring join
+    (CTE inlining would re-run the posexplode + window 4x); count tables
+    join back on bigram keys; the 1-row vocab broadcasts."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    spark.sql(
+        "SELECT /*+ REPARTITION */ doc_id, source, p.pos, p.col AS term "
+        "FROM documents LATERAL VIEW posexplode(split(text, ' ')) p AS pos,"
+        " col"
+    ).createOrReplaceTempView("toks_rel")
+    bucket = (
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+        " AS INT) % 100"
+    )
+    materialize(spark.sql(
+        _HELDOUT_BIG_BODY.format(bucket=bucket)
+    )).createOrReplaceTempView("heldout_big_mat")
+    return spark.sql(_heldout_ppl_sql(
+        bucket, "SELECT * FROM heldout_big_mat"
+    ))
+
+
+QUERIES["bigram_heldout_perplexity"] = bigram_heldout_perplexity
+ORACLE["bigram_heldout_perplexity"] = _heldout_ppl_sql(
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))"
+    " AS INTEGER) % 100",
+    "WITH toks_rel AS (SELECT doc_id, source, pos, term FROM ("
+    "SELECT doc_id, source, unnest(string_split(text, ' ')) AS term, "
+    "generate_subscripts(string_split(text, ' '), 1) AS pos"
+    " FROM documents)) " + _HELDOUT_BIG_BODY,
+    mat="MATERIALIZED ",
+)

@@ -822,3 +822,94 @@ def stream_heavy_hitters(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming OHLC bars ----------------------------------------------------
+
+_OHLC_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("open_ts", T.LongType()),
+        T.StructField("open_eid", T.LongType()),
+        T.StructField("open_v", T.DoubleType()),
+        T.StructField("close_ts", T.LongType()),
+        T.StructField("close_eid", T.LongType()),
+        T.StructField("close_v", T.DoubleType()),
+        T.StructField("high_v", T.DoubleType()),
+        T.StructField("low_v", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+_OHLC_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bar_hour", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("open_value", T.DoubleType()),
+        T.StructField("high_value", T.DoubleType()),
+        T.StructField("low_value", T.DoubleType()),
+        T.StructField("close_value", T.DoubleType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def stream_ohlc_bars(events: DataFrame) -> DataFrame:
+    """Streaming hourly OHLC bars — stateful twin of
+    events.event_value_ohlc_hourly. Per-bar state is ten scalars (the
+    open/close anchors with their (ts, event_id) tie-break keys, the
+    running high/low/count/total), so a bar's state never grows with its
+    event count and late rows fold in exactly like the batch
+    row_number-over-(ts, event_id) would place them."""
+
+    def fold(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (o_ts, o_eid, o_v, c_ts, c_eid, c_v,
+             hi, lo, n, total) = state.get
+        else:
+            o_ts = o_eid = c_ts = c_eid = n = 0
+            o_v = c_v = total = 0.0
+            hi, lo = float("-inf"), float("inf")
+        for pdf in batches:
+            ts_us = pdf["ts"].astype("int64") // 1000
+            for t_us, eid, v in zip(
+                ts_us, pdf["event_id"].astype(int),
+                pdf["value"].astype(float),
+            ):
+                if n == 0 or (t_us, eid) < (o_ts, o_eid):
+                    o_ts, o_eid, o_v = t_us, eid, v
+                if n == 0 or (t_us, eid) > (c_ts, c_eid):
+                    c_ts, c_eid, c_v = t_us, eid, v
+                hi = max(hi, v)
+                lo = min(lo, v)
+                n += 1
+                total += v
+        state.update(
+            (o_ts, o_eid, o_v, c_ts, c_eid, c_v, hi, lo, n, total)
+        )
+        yield pd.DataFrame(
+            {
+                "bar_hour": [key[0]],
+                "n_events": [n],
+                "open_value": [o_v],
+                "high_value": [hi],
+                "low_value": [lo],
+                "close_value": [c_v],
+                "total_value": [total],
+            }
+        )
+
+    return (
+        events.withColumn("bar_hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("bar_hour")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=_OHLC_OUT_SCHEMA,
+            stateStructType=_OHLC_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

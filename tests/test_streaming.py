@@ -566,3 +566,34 @@ def test_stream_heavy_hitters_match_pandas_replay_and_guarantee(
                 assert int(uid) in sketch, (shard, uid, c, bound)
                 # MG undercount bound
                 assert c - sketch[int(uid)] <= bound
+
+
+def test_stream_ohlc_bars_match_batch(spark, stream):
+    """Every streamed bar must equal the batch OHLC operator on the same
+    parquet — open/close anchored by the same (ts, event_id) order, high/
+    low/count/total identical."""
+    from database_toolbox_spark.operators.events import (
+        event_value_ohlc_hourly,
+    )
+    from database_toolbox_spark.streaming import stream_ohlc_bars
+
+    _run_to_memory(stream_ohlc_bars(stream), "ohlc_out", "update")
+    got = {}
+    for r in spark.sql(
+        "SELECT * FROM (SELECT *, row_number() OVER ("
+        "PARTITION BY bar_hour ORDER BY n_events DESC) AS rk"
+        " FROM ohlc_out) WHERE rk = 1"
+    ).collect():
+        got[r.bar_hour] = (
+            r.n_events, round(r.open_value, 2), round(r.high_value, 2),
+            round(r.low_value, 2), round(r.close_value, 2),
+            round(r.total_value, 2),
+        )
+    want = {
+        r.bar_hour: (
+            r.n_events, r.open_value, r.high_value, r.low_value,
+            r.close_value, r.total_value,
+        )
+        for r in event_value_ohlc_hourly(spark, SF_DIR).collect()
+    }
+    assert got == want
