@@ -625,21 +625,10 @@ from database_toolbox_spark.operators._oracle import R  # noqa: E402
 DHASH_SCHEMA = "doc_id bigint, dhash_hi bigint, dhash_lo bigint"
 
 
-def image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual difference-hash (dHash) on REAL decoded pixels: decode
-    each PNG, nearest-neighbor sample the grayscale strip down to a 9x8
-    grid (floor-strided rows/cols — the same deterministic NN convention
-    as image_resize_stats), emit 64 bits of left>right gradient, packed
-    as two 32-bit halves (a single 64-bit pack would wrap BIGINT at bit
-    63), plus the perceptual-dup count per hash. The oracle recomputes
-    the identical grid straight from ASCII codes (floor arithmetic is
-    exact in doubles at these magnitudes), independent of the PNG
-    pipeline.
-
-    Scale shape: decode + hash is one Arrow-batched mapInPandas pass
-    (embarrassingly parallel, zero per-pixel Python); the dup count is
-    one hash-partitioned window — at 100 TB the same two stages, plus a
-    broadcast of nothing."""
+def _dhash_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dhash_hi, dhash_lo): dHash of every PNG payload in one
+    Arrow-batched mapInPandas pass — shared by the fingerprint report and
+    the near-dup pair join."""
     from pyspark import cloudpickle  # noqa: PLC0415
 
     from database_toolbox_spark.functions import png as png_mod  # noqa: PLC0415
@@ -673,14 +662,30 @@ def image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    hashed = payloads.mapInPandas(run, schema=DHASH_SCHEMA)
+    return payloads.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash (dHash) on REAL decoded pixels: decode
+    each PNG, nearest-neighbor sample the grayscale strip down to a 9x8
+    grid (floor-strided rows/cols — the same deterministic NN convention
+    as image_resize_stats), emit 64 bits of left>right gradient, packed
+    as two 32-bit halves (a single 64-bit pack would wrap BIGINT at bit
+    63), plus the perceptual-dup count per hash. The oracle recomputes
+    the identical grid straight from ASCII codes (floor arithmetic is
+    exact in doubles at these magnitudes), independent of the PNG
+    pipeline.
+
+    Scale shape: decode + hash is one Arrow-batched mapInPandas pass
+    (embarrassingly parallel, zero per-pixel Python); the dup count is
+    one hash-partitioned window — at 100 TB the same two stages, plus a
+    broadcast of nothing."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     w = Window.partitionBy("dhash_hi", "dhash_lo")
     return (
-        hashed.withColumn(
-            "n_same_hash", F.count("*").over(w).cast("bigint")
-        )
+        _dhash_hashed(spark, sf_dir)
+        .withColumn("n_same_hash", F.count("*").over(w).cast("bigint"))
         .orderBy("doc_id")
     )
 
@@ -737,7 +742,7 @@ QUERIES["audio_dft_power"] = audio_dft_power
 
 # dHash oracle: identical floor-strided 9x8 grid recomputed from ASCII
 # codes; padding bytes are 0 exactly as in the decoded pixel buffer
-ORACLE["image_dhash_fingerprints"] = f"""
+_DHASH_ORACLE_CTES = f"""
     WITH b AS (
         SELECT doc_id,
                octet_length(encode(text)) AS n,
@@ -776,6 +781,9 @@ ORACLE["image_dhash_fingerprints"] = f"""
                    'sum') AS dhash_lo
         FROM g
     )
+"""
+
+ORACLE["image_dhash_fingerprints"] = _DHASH_ORACLE_CTES + """
     SELECT doc_id,
            CAST(coalesce(dhash_hi, 0) AS BIGINT) AS dhash_hi,
            CAST(coalesce(dhash_lo, 0) AS BIGINT) AS dhash_lo,
@@ -800,3 +808,82 @@ ORACLE["audio_dft_power"] = f"""
            {R("re * re + im * im", 2)} AS power
     FROM d ORDER BY doc_id, bin
 """
+
+
+# --- perceptual near-dup pairs over dHash -----------------------------------
+
+DHASH_HAM_MAX = 6  # bits of the 64 allowed to differ
+_DHASH_BANDS = 4  # 16-bit LSH bands over the packed halves
+
+
+def _dhash_pairs_tail(intdiv, xor2, seeds: str) -> str:
+    """Band-join + Hamming verify over a `hsh(doc_id, dhash_hi, dhash_lo)`
+    relation: the 64-bit hash splits into 4 x 16-bit bands (2 per packed
+    half), equal bands nominate candidates, and bit_count over the XORed
+    halves verifies candidates only. Pigeonhole makes recall EXACT for
+    Hamming <= 3 (4 bands cannot all be hit); at 4..DHASH_HAM_MAX a pair
+    is found unless its differing bits spread across all four bands —
+    the standard banding recall trade, same as MinHash LSH."""
+    return f"""
+        , bands AS (
+            SELECT doc_id, t.b AS band,
+                   CASE t.b
+                        WHEN 0 THEN dhash_lo % 65536
+                        WHEN 1 THEN {intdiv("dhash_lo", 65536)} % 65536
+                        WHEN 2 THEN dhash_hi % 65536
+                        ELSE {intdiv("dhash_hi", 65536)} % 65536
+                   END AS bkey
+            FROM hsh CROSS JOIN {seeds}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+        ),
+        ver AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(bit_count({xor2("x.dhash_lo", "y.dhash_lo")})
+                        + bit_count({xor2("x.dhash_hi", "y.dhash_hi")})
+                       AS INT) AS hamming
+            FROM cand c
+            JOIN hsh x ON x.doc_id = c.doc_a
+            JOIN hsh y ON y.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, hamming
+        FROM ver WHERE hamming <= {DHASH_HAM_MAX}
+        ORDER BY doc_a, doc_b
+    """
+
+
+def image_dhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash each PNG (real decode,
+    Arrow-batched), 4 x 16-bit band LSH for candidates, Hamming <= 6
+    verify on candidates only — the image twin of the MinHash text
+    pipeline, and the standard screen before training on scraped images
+    (a resize/re-encode rarely flips more than a few gradient bits).
+
+    Scale shape: hashes materialized once; candidate generation is a
+    banded equi-join (never all-pairs); verification is two bit_count
+    ops per candidate."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    materialize(_dhash_hashed(spark, sf_dir)).createOrReplaceTempView(
+        "dhash_hsh_v"
+    )
+    return spark.sql(
+        "WITH hsh AS (SELECT * FROM dhash_hsh_v)"
+        + _dhash_pairs_tail(
+            lambda x, n: f"({x} DIV {n})",
+            lambda a, b: f"({a} ^ {b})",
+            "(SELECT explode(sequence(0, 3)) AS b) t",
+        )
+    )
+
+
+QUERIES["image_dhash_near_dup_pairs"] = image_dhash_near_dup_pairs
+ORACLE["image_dhash_near_dup_pairs"] = _DHASH_ORACLE_CTES + _dhash_pairs_tail(
+    lambda x, n: f"({x} // {n})",
+    lambda a, b: f"xor({a}, {b})",
+    "(SELECT unnest(range(4)) AS b) t",
+)

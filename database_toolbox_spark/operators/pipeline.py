@@ -931,3 +931,68 @@ ORACLE["vocab_coverage_curve"] = _COVERAGE_SQL.format(
     ks="SELECT unnest([100, 1000, 10000]) AS k",
     cov_out=R("cov.covered * 1e0 / tot.t", 6),
 )
+
+
+# --- length-bucketed padding efficiency -------------------------------------
+
+PAD_BUCKET_CAP = 1024  # longest bucket (docs above pad to the next pow2 anyway)
+
+
+def _padding_sql(split, ln) -> str:
+    """Padding waste of power-of-two length bucketing vs one global-max
+    batch: each doc pads to 2^ceil(log2(n_tok)) inside its bucket, vs
+    padding every doc to the corpus max. waste = padded_tokens - real
+    tokens; the delta between the ALL-row waste and the bucket-row sum is
+    exactly what bucketed batching saves — the standard dynamic-batching
+    accounting (in Transformer data loaders, padding is compute burned on
+    masked positions)."""
+    return f"""
+        WITH d AS (
+            SELECT {ln}({split}) AS n_tok FROM documents
+        ),
+        b AS (
+            -- exact integer pow-2 ladder: ln(n)/ln(2) on an exact power
+            -- of two sits on a libm knife edge (ln(64)/ln(2) can round
+            -- to 6.0000000000000009 -> ceil 7) and engines may disagree
+            SELECT n_tok,
+                   CAST(CASE WHEN n_tok <= 1 THEN 1 WHEN n_tok <= 2 THEN 2 WHEN n_tok <= 4 THEN 4 WHEN n_tok <= 8 THEN 8 WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128 WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512 WHEN n_tok <= 1024 THEN 1024
+                        ELSE {PAD_BUCKET_CAP} END AS BIGINT) AS bucket
+            FROM d WHERE n_tok >= 1
+        ),
+        per_bucket AS (
+            SELECT CAST(bucket AS STRING) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+                   CAST(max(bucket) * count(*) AS BIGINT) AS padded_tokens
+            FROM b GROUP BY bucket
+        ),
+        global_row AS (
+            SELECT 'GLOBAL_MAX' AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+                   CAST(max(n_tok) * count(*) AS BIGINT) AS padded_tokens
+            FROM b
+        ),
+        u AS (
+            SELECT * FROM per_bucket UNION ALL SELECT * FROM global_row
+        )
+        SELECT bucket, n_docs, real_tokens, padded_tokens,
+               {R("(padded_tokens - real_tokens) * 1e0 / padded_tokens", 6)}
+                   AS waste_fraction
+        FROM u ORDER BY bucket
+    """
+
+
+def length_bucket_padding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficiency report for length-bucketed batching (see
+    _padding_sql). Scale shape: one projection + two grouped aggregates
+    over a bounded bucket domain; the GLOBAL_MAX row is the same single
+    aggregate — no window, no per-doc shuffle."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_padding_sql("split(text, ' ')", "size"))
+
+
+QUERIES["length_bucket_padding_stats"] = length_bucket_padding_stats
+ORACLE["length_bucket_padding_stats"] = _padding_sql(
+    "string_split(text, ' ')", "len"
+)

@@ -1373,3 +1373,74 @@ def _mutual_nn_oracle() -> str:
 
 QUERIES["mutual_nn_pairs"] = mutual_nn_pairs
 ORACLE["mutual_nn_pairs"] = _mutual_nn_oracle()
+
+
+# --- embedding anisotropy ---------------------------------------------------
+
+
+def _anisotropy_sql(vals_src: str, mat: str = "") -> str:
+    """Per-label + ALL anisotropy of the embedding space (Ethayarajh,
+    "How Contextual are Contextualized Word Representations?", EMNLP'19):
+    anisotropy ~= ||mean vector||^2 / E[||x||^2] — the expected cosine of
+    a random pair when norms concentrate. ~0 = directions spread (healthy
+    for retrieval), ->1 = embeddings share a dominant direction (cosine
+    scores compress and ANN contrast dies).
+
+    One (label, dim) mean pass + one per-vector norm pass over the same
+    exploded relation (materialized — it feeds both), each extended to
+    the ALL row with GROUPING SETS so the global row costs no second
+    corpus scan."""
+    return f"""
+        WITH vals AS {mat}(
+            {vals_src}
+        ),
+        mu AS (
+            SELECT coalesce(label, 'ALL') AS label, dim, avg(v) AS m
+            FROM vals
+            GROUP BY GROUPING SETS ((label, dim), (dim))
+        ),
+        mu2 AS (
+            SELECT label, sum(m * m) AS mu_norm2 FROM mu GROUP BY label
+        ),
+        per_vec AS (
+            SELECT label, vec_id, sum(v * v) AS norm2
+            FROM vals GROUP BY label, vec_id
+        ),
+        en AS (
+            SELECT coalesce(label, 'ALL') AS label,
+                   count(*) AS n_vecs, avg(norm2) AS avg_norm2
+            FROM per_vec
+            GROUP BY GROUPING SETS ((label), ())
+        )
+        SELECT e.label,
+               CAST(e.n_vecs AS BIGINT) AS n_vecs,
+               {R("m.mu_norm2", 6)} AS mean_vec_norm2,
+               {R("e.avg_norm2", 6)} AS avg_vec_norm2,
+               {R("m.mu_norm2 / e.avg_norm2", 6)} AS anisotropy
+        FROM en e JOIN mu2 m ON m.label = e.label
+        ORDER BY e.label
+    """
+
+
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy health-check of the embedding space (see
+    _anisotropy_sql)."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    materialize(spark.sql(
+        "SELECT CAST(label AS STRING) AS label, vec_id, pos AS dim,"
+        " CAST(v AS DOUBLE) AS v "
+        "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v"
+    )).createOrReplaceTempView("aniso_vals_v")
+    return spark.sql(_anisotropy_sql("SELECT * FROM aniso_vals_v"))
+
+
+QUERIES["embedding_anisotropy"] = embedding_anisotropy
+ORACLE["embedding_anisotropy"] = _anisotropy_sql(
+    "SELECT CAST(label AS VARCHAR) AS label, vec_id, pos AS dim,"
+    " CAST(v AS DOUBLE) AS v FROM ("
+    "SELECT label, vec_id, unnest(embedding) AS v, "
+    "generate_subscripts(embedding, 1) AS pos FROM embeddings)",
+    mat="MATERIALIZED ",
+)

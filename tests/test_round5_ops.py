@@ -707,3 +707,82 @@ def test_content_digest_partition_invariance(spark):
         assert len(changed) == 1
     finally:
         load_table(spark, SF_DIR, "documents", replace=True)
+
+
+def test_dhash_pairs_exact_recall_small_hamming(spark):
+    """Brute-force verification: every doc pair within Hamming <= 3 MUST
+    appear (pigeonhole over the 4 bands is exact there), every reported
+    pair must respect the <= 6 threshold, and doc_a < doc_b throughout."""
+    from database_toolbox_spark.operators.multimodal import (
+        DHASH_HAM_MAX,
+        _dhash_hashed,
+        image_dhash_near_dup_pairs,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in image_dhash_near_dup_pairs(spark, SF_DIR).collect()}
+    for (a, b), h in got.items():
+        assert a < b and 0 <= h <= DHASH_HAM_MAX
+    hs = {r.doc_id: (r.dhash_hi, r.dhash_lo)
+          for r in _dhash_hashed(spark, SF_DIR).collect()}
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = (
+                bin(hs[a][0] ^ hs[b][0]).count("1")
+                + bin(hs[a][1] ^ hs[b][1]).count("1")
+            )
+            if ham <= 3:
+                assert (a, b) in got and got[(a, b)] == ham
+            if (a, b) in got:
+                assert got[(a, b)] == ham
+
+
+def test_anisotropy_anchor(spark):
+    """anisotropy in [0, 1] (Jensen), the ALL row matches a direct numpy
+    recomputation, and per-label rows exist for every label."""
+    import duckdb
+    import numpy as np
+
+    from database_toolbox_spark.operators.similarity import (
+        embedding_anisotropy,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = embedding_anisotropy(spark, SF_DIR).collect()
+    by_label = {r.label: r for r in rows}
+    assert "ALL" in by_label
+    for r in rows:
+        assert 0.0 <= r.anisotropy <= 1.0 + 1e-9
+    emb = np.stack(
+        duckdb.connect().execute(
+            f"SELECT embedding FROM "
+            f"read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+        ).df().embedding.to_numpy()
+    ).astype(float)
+    mu = emb.mean(axis=0)
+    want = float((mu @ mu) / (emb * emb).sum(axis=1).mean())
+    assert abs(by_label["ALL"].anisotropy - want) < 1e-4
+    assert by_label["ALL"].n_vecs == emb.shape[0]
+
+
+def test_padding_stats_accounting(spark):
+    """Bucket rows partition the corpus; bucketing never pads more than
+    the global-max batch; waste fractions in [0, 1)."""
+    from database_toolbox_spark.operators.pipeline import (
+        length_bucket_padding_stats,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = length_bucket_padding_stats(spark, SF_DIR).collect()
+    buckets = [r for r in rows if r.bucket != "GLOBAL_MAX"]
+    g = next(r for r in rows if r.bucket == "GLOBAL_MAX")
+    assert sum(r.n_docs for r in buckets) == g.n_docs
+    assert sum(r.real_tokens for r in buckets) == g.real_tokens
+    assert sum(r.padded_tokens for r in buckets) <= g.padded_tokens
+    for r in rows:
+        assert r.padded_tokens >= r.real_tokens
+        assert 0.0 <= r.waste_fraction < 1.0
+        if r.bucket != "GLOBAL_MAX":
+            assert r.real_tokens <= int(r.bucket) * r.n_docs
