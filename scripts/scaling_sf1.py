@@ -83,7 +83,29 @@ SUSPECTS = [
     ("asof_last_click", "exact10"),
     ("interval_join_error_clicks", "exact10"),
     ("user_session_windows", "exact10"),
+    # round-5 tranche. Token bijection keeps positional k-gram structure
+    # and df-rarity buckets intact within a replica and vocabularies
+    # disjoint across replicas, so winnowing and idf-cosine pair sets are
+    # exactly 10 copies. The k-core graph is 10 disjoint copies, so every
+    # peeling round's (n_nodes, n_edges) must be exactly 10x (kcore10).
+    # OHLC bars share hours across user-shifted replicas: per-bar
+    # n_events is 10x and high/low are value-identical (ohlc10).
+    ("winnowing_dup_pairs", "exact10"),
+    ("idf_cosine_dup_pairs", "exact10"),
+    ("kcore_decomposition", "kcore10"),
+    ("event_value_ohlc_hourly", "ohlc10"),
+    # report-only: output domains are fixed-size (source rows / calib
+    # buckets) so row counts carry no growth signal; runtimes recorded.
+    # bloom saturates by design at 10x vocab (4096-bit budget) - the
+    # false-positive column is the evidence, not a failure.
+    ("bigram_heldout_perplexity", "report"),
+    ("minhash_estimate_calibration", "report"),
+    ("bloom_token_membership", "report"),
+    ("image_dhash_near_dup_pairs", "report"),
 ]
+
+# modes whose assertion compares full collected results, not counts
+_COLLECT_MODES = {"kcore10", "ohlc10"}
 
 
 def synthesize() -> None:
@@ -214,9 +236,14 @@ def measure(spark, queries, sf_dir):
                 .collect()[0][0]
                 or 0
             )
+        elif mode in _COLLECT_MODES:
+            collected = df.collect()
+            rows = len(collected)
         else:
             rows = df.count()
         out[name] = {"sec": round(best, 3), "rows": rows}
+        if mode in _COLLECT_MODES:
+            out[name]["collected"] = collected
         if mode == "overhead":
             # banded-join candidate volume over the CURRENT documents
             # view (load_tables above pointed it at sf_dir)
@@ -261,6 +288,32 @@ def main() -> int:
                 f"{name}: examined-pair bound {b['rows']} exceeds linear "
                 f"headroom (2 * {R} * {s['rows']} + 20)"
             )
+        elif mode == "kcore10":
+            small_r = {r.round: (r.n_nodes, r.n_edges)
+                       for r in s["collected"]}
+            big_r = {r.round: (r.n_nodes, r.n_edges)
+                     for r in b["collected"]}
+            if set(small_r) != set(big_r) or any(
+                big_r[k] != (R * small_r[k][0], R * small_r[k][1])
+                for k in small_r
+            ):
+                failures.append(
+                    f"{name}: peeling trajectory not exactly {R}x "
+                    f"(small {small_r}, big {big_r})"
+                )
+        elif mode == "ohlc10":
+            small_r = {r.bar_hour: r for r in s["collected"]}
+            big_r = {r.bar_hour: r for r in b["collected"]}
+            bad = set(small_r) != set(big_r) or any(
+                big_r[h].n_events != R * small_r[h].n_events
+                or big_r[h].high_value != small_r[h].high_value
+                or big_r[h].low_value != small_r[h].low_value
+                for h in small_r
+            )
+            if bad:
+                failures.append(
+                    f"{name}: bars not {R}x-events / value-identical"
+                )
         elif mode == "overhead":
             ov_s = s["candidates"] / max(s["rows"], 1)
             ov_b = b["candidates"] / max(b["rows"], 1)
