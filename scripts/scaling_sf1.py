@@ -85,12 +85,18 @@ SUSPECTS = [
     ("user_session_windows", "exact10"),
     # round-5 tranche. Token bijection keeps positional k-gram structure
     # and df-rarity buckets intact within a replica and vocabularies
-    # disjoint across replicas, so winnowing and idf-cosine pair sets are
-    # exactly 10 copies. The k-core graph is 10 disjoint copies, so every
+    # disjoint across replicas, so the idf-cosine pair set is exactly 10
+    # copies. Winnowing is NOT exact10: its window-minimum SELECTION is a
+    # function of the hash values, and the bijection (t -> t_r) rerolls
+    # every k-gram hash, so each replica selects a different fingerprint
+    # subset and the MIN_SHARED=3 pair threshold lands differently per
+    # replica (measured: 3992 vs 10x394 — ±1.5% jitter around 10x, the
+    # same hash-reroll fluctuation banded MinHash shows) — assert linear
+    # headroom instead. The k-core graph is 10 disjoint copies, so every
     # peeling round's (n_nodes, n_edges) must be exactly 10x (kcore10).
     # OHLC bars share hours across user-shifted replicas: per-bar
     # n_events is 10x and high/low are value-identical (ohlc10).
-    ("winnowing_dup_pairs", "exact10"),
+    ("winnowing_dup_pairs", "linear"),
     ("idf_cosine_dup_pairs", "exact10"),
     ("kcore_decomposition", "kcore10"),
     ("event_value_ohlc_hourly", "ohlc10"),
