@@ -1335,3 +1335,101 @@ def event_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["event_value_ohlc_hourly"] = event_value_ohlc_hourly
 ORACLE["event_value_ohlc_hourly"] = _OHLC_SQL
+
+
+# --- DAU / WAU stickiness ------------------------------------------------------
+
+_WAU_OFFSETS = " UNION ALL ".join(f"SELECT {k} AS k" for k in range(7))
+
+_STICKINESS_SQL = f"""
+    WITH ud AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ),
+    off AS ({_WAU_OFFSETS}),
+    w AS (
+        SELECT DISTINCT ud.day + o.k AS day, ud.user_id
+        FROM ud CROSS JOIN off o
+    ),
+    wau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS wau FROM w GROUP BY day
+    )
+    SELECT d.day, d.dau, w.wau,
+           {R("d.dau * 1e0 / w.wau", 4)} AS stickiness
+    FROM dau d JOIN wau w ON w.day = d.day
+    ORDER BY d.day
+"""
+
+
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, trailing-7-day WAU, and the DAU/WAU stickiness ratio per day —
+    the canonical product-engagement dashboard triple. WAU(d) counts
+    distinct users over [d-6, d]: each active (day, user) is expanded to
+    the 7 window days it contributes to, then deduplicated — an EXACT
+    rolling distinct count without a distinct-over-window (which neither
+    engine supports) and without re-scanning 7 days per output day.
+
+    Scale shape: the expansion is a fixed x7 of the deduplicated
+    (day, user) relation, and both distincts are grouped shuffles on
+    (day, user) — linear, map-side combinable, no global state. The
+    first 6 days carry partial trailing windows (standard dashboard
+    semantics); days past the data's end are dropped by the DAU join."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_STICKINESS_SQL)
+
+
+QUERIES["dau_wau_stickiness"] = dau_wau_stickiness
+ORACLE["dau_wau_stickiness"] = _STICKINESS_SQL
+
+
+# --- inter-arrival burstiness --------------------------------------------------
+
+
+def _burstiness_sql(us: str) -> str:
+    return f"""
+        WITH g AS (
+            SELECT event_type,
+                   ({us} - lag({us}) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id)) / 1e6 AS gap_s
+            FROM events
+        ),
+        agg AS (
+            SELECT event_type,
+                   count(gap_s) AS n_gaps,
+                   avg(gap_s) AS mu,
+                   stddev_samp(gap_s) AS sd
+            FROM g GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n_gaps AS BIGINT) AS n_gaps,
+               {R("mu", 4)} AS mean_gap_s,
+               {R("sd", 4)} AS sd_gap_s,
+               {R("sd / mu", 6)} AS cv,
+               {R("(sd - mu) / (sd + mu)", 6)} AS burstiness,
+               {R("3600e0 / mu", 6)} AS poisson_rate_per_hour
+        FROM agg ORDER BY event_type
+    """
+
+
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival statistics over per-user gap streams:
+    mean/sd gap, coefficient of variation, the Goh-Barabasi burstiness
+    index B = (sd - mu)/(sd + mu) (EPL 81, 2008: B = 0 is a Poisson
+    process, B -> 1 is maximally bursty, B < 0 is pacemaker-regular),
+    and the exponential-MLE rate 1/mu. The diagnostic that says whether
+    event traffic can be capacity-planned as Poisson or needs a bursty
+    model.
+
+    Scale shape: one lag window PARTITIONed BY (user, type) — per-user
+    state only, never a global sort; the gap aggregate is map-side
+    combinable. Exact microsecond epochs keep both engines on the same
+    integer grid before the single division."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_burstiness_sql("unix_micros(CAST(ts AS TIMESTAMP))"))
+
+
+QUERIES["interarrival_burstiness"] = interarrival_burstiness
+ORACLE["interarrival_burstiness"] = _burstiness_sql("epoch_us(ts)")

@@ -457,3 +457,68 @@ ORACLE = {
     ),
     "idf_cosine_dup_pairs": _idf_cosine_sql(_DUCK_SHINGLES),
 }
+
+
+# --- cross-doc repeated-span coverage ----------------------------------------
+
+MOSTLY_DUP_NUM = 1  # flag docs with coverage >= NUM/DEN (integer compare)
+MOSTLY_DUP_DEN = 2
+
+
+def _span_coverage_sql(pos_shingles: str) -> str:
+    """Per-source cross-document duplication coverage: the share of each
+    doc's positional 3-gram positions whose hash also occurs in at least
+    one OTHER document (the per-token duplication metric of ExactSubstr
+    dedup, Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499 — k-gram-hash approximation instead of a
+    suffix array, which is the 100 TB-practical spelling)."""
+    return f"""
+        {pos_shingles},
+        hd AS (
+            SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM sh GROUP BY h
+        ),
+        per_doc AS (
+            SELECT s.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_pos,
+                   CAST(sum(CASE WHEN hd.n_docs >= 2 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_dup_pos
+            FROM sh s JOIN hd ON hd.h = s.h
+            GROUP BY s.doc_id
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(p.n_pos) AS BIGINT) AS n_positions,
+               CAST(sum(p.n_dup_pos) AS BIGINT) AS n_dup_positions,
+               {R("sum(p.n_dup_pos) * 1e0 / sum(p.n_pos)", 6)}
+                   AS mean_coverage,
+               CAST(sum(CASE WHEN {MOSTLY_DUP_DEN} * p.n_dup_pos
+                             >= {MOSTLY_DUP_NUM} * p.n_pos
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_mostly_dup
+        FROM per_doc p
+        JOIN documents d ON d.doc_id = p.doc_id
+        GROUP BY d.source ORDER BY d.source
+    """
+
+
+def cross_doc_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span coverage per source (see
+    _span_coverage_sql): how much of each source's token stream is
+    covered by 3-grams that also appear elsewhere in the corpus — the
+    measurement ExactSubstr dedup acts on, and the per-source triage for
+    where substring-level dedup would pay. Docs with coverage >= 1/2 are
+    counted as mostly-duplicated (exact integer compare — no float
+    knife-edge on the flag).
+
+    Scale shape: one grouped distinct-doc count per hash (map-side
+    combinable), one equi-join of the positional stream back onto that
+    hash relation, two grouped rollups. All linear; the hash relation is
+    the only wide shuffle and it is keyed by the 60-bit hash — uniform.
+    The n_docs >= 2 filter is evaluated post-join, so no correlated
+    subquery appears in either engine."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_span_coverage_sql(_SPARK_POS_SHINGLES))
+
+
+QUERIES["cross_doc_span_coverage"] = cross_doc_span_coverage
+ORACLE["cross_doc_span_coverage"] = _span_coverage_sql(_DUCK_POS_SHINGLES)

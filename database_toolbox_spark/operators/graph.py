@@ -396,3 +396,121 @@ def _kcore_oracle() -> str:
 
 QUERIES["kcore_decomposition"] = kcore_decomposition
 ORACLE["kcore_decomposition"] = _kcore_oracle()
+
+
+# --- label propagation communities -------------------------------------------
+
+LPA_ROUNDS = 4  # synchronous rounds; deterministic under min-mode tie-break
+
+
+def _lpa_round_spark(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round: every node takes the most frequent label
+    among its neighbors, ties broken by MIN label (Raghavan et al., Phys.
+    Rev. E 76, 2007 — the min-tie-break synchronous variant is fully
+    deterministic). One grouped count + one per-node max window."""
+    nl = (
+        edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy("src", "label")
+        .count()
+    )
+    w = Window.partitionBy("src")
+    return (
+        nl.withColumn("mc", F.max("count").over(w))
+        .filter(F.col("count") == F.col("mc"))
+        .groupBy("src")
+        .agg(F.min("label").alias("label"))
+        .withColumnRenamed("src", "node")
+    )
+
+
+def lpa_labels_from_edges(
+    edges: DataFrame, rounds: int = LPA_ROUNDS
+) -> DataFrame:
+    """Run `rounds` synchronous LPA rounds over an (src, dst) edge list
+    (symmetrized + deduplicated here); returns (node, label). Split out
+    so tests can drive synthetic graphs directly."""
+    sym = materialize(
+        edges.selectExpr("src", "dst")
+        .unionByName(edges.selectExpr("dst AS src", "src AS dst"))
+        .distinct()
+    )
+    labels = materialize(
+        sym.selectExpr("src AS node").distinct().withColumn(
+            "label", F.col("node")
+        )
+    )
+    for _ in range(rounds):
+        labels = materialize(_lpa_round_spark(sym, labels))
+    return labels
+
+
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection by synchronous label propagation on the
+    weight-filtered supplier-customer graph (the same edge relation
+    kcore_decomposition peels): LPA_ROUNDS rounds of mode-of-neighbors
+    with min-label tie-break, then the community-size histogram
+    (size -> how many communities, with the min community label as a
+    deterministic witness).
+
+    Scale shape: per round = one equi-join of edges onto the label
+    relation + one grouped count + one per-node window — the pagerank
+    shuffle budget; each round is materialized so lineage stays flat.
+    The histogram tail is a two-level grouped aggregate. No driver-side
+    graph state; rounds are fixed, not data-dependent."""
+    load_tables(spark, sf_dir)
+    labels = lpa_labels_from_edges(spark.sql(_KCORE_EDGE_SQL))
+    comm = labels.groupBy("label").agg(F.count("*").alias("size"))
+    return (
+        comm.groupBy("size")
+        .agg(
+            F.count("*").alias("n_communities"),
+            F.min("label").alias("example_community"),
+        )
+        .selectExpr(
+            "CAST(size AS BIGINT) AS community_size",
+            "CAST(n_communities AS BIGINT) AS n_communities",
+            "example_community",
+        )
+        .orderBy("community_size")
+    )
+
+
+def _lpa_oracle() -> str:
+    lvl = [
+        "WITH e AS MATERIALIZED (SELECT src, dst FROM ("
+        + _KCORE_EDGE_SQL
+        + ") UNION SELECT dst, src FROM ("
+        + _KCORE_EDGE_SQL
+        + ")), l0 AS MATERIALIZED (SELECT DISTINCT src AS node,"
+        " src AS label FROM e)"
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        p = r - 1
+        lvl.append(f"""
+        c{r} AS MATERIALIZED (
+            SELECT e.src, l.label, count(*) AS c
+            FROM e JOIN l{p} l ON l.node = e.dst
+            GROUP BY e.src, l.label
+        ),
+        l{r} AS MATERIALIZED (
+            SELECT src AS node, min(label) AS label
+            FROM (SELECT src, label, c,
+                         max(c) OVER (PARTITION BY src) AS mc FROM c{r})
+            WHERE c = mc GROUP BY src
+        )""")
+    return (
+        ", ".join(lvl)
+        + f""",
+        comm AS (SELECT label, count(*) AS size FROM l{LPA_ROUNDS}
+                 GROUP BY label)
+        SELECT CAST(size AS BIGINT) AS community_size,
+               CAST(count(*) AS BIGINT) AS n_communities,
+               min(label) AS example_community
+        FROM comm GROUP BY size ORDER BY community_size"""
+    )
+
+
+QUERIES["label_propagation_communities"] = label_propagation_communities
+ORACLE["label_propagation_communities"] = _lpa_oracle()

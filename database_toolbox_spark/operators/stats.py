@@ -1600,3 +1600,184 @@ QUERIES["neyman_allocation_sample"] = neyman_allocation_sample
 ORACLE["neyman_allocation_sample"] = _neyman_sql(
     "CAST(concat('0x', substr(md5(CAST(j.k AS VARCHAR)), 1, 8)) AS BIGINT)"
 )
+
+
+# --- autocorrelation function of daily revenue --------------------------------
+
+ACF_MAX_LAG = 10
+
+_ACF_LAGS = " UNION ALL ".join(
+    f"SELECT {k} AS k" for k in range(1, ACF_MAX_LAG + 1)
+)
+
+_ACF_SQL = f"""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               {R("sum(o_totalprice)")} AS rev
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    s AS (
+        SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, rev
+        FROM d
+    ),
+    m AS (SELECT avg(rev) AS mu, count(*) AS n FROM s),
+    den AS (
+        SELECT sum((s.rev - m.mu) * (s.rev - m.mu)) AS ss, max(m.n) AS n
+        FROM s CROSS JOIN m
+    ),
+    lags AS ({_ACF_LAGS}),
+    num AS (
+        SELECT l.k AS lag,
+               sum((a.rev - m.mu) * (b.rev - m.mu)) AS sp,
+               count(*) AS n_pairs
+        FROM s a
+        CROSS JOIN lags l
+        JOIN s b ON b.t = a.t + l.k
+        CROSS JOIN m
+        GROUP BY l.k
+    )
+    SELECT CAST(n.lag AS INT) AS lag,
+           CAST(n.n_pairs AS BIGINT) AS n_pairs,
+           {R("n.sp / d.ss", 6)} AS acf,
+           {R("1.96e0 / sqrt(d.n)", 6)} AS white_noise_band
+    FROM num n CROSS JOIN den d
+    ORDER BY lag
+"""
+
+
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function of the daily-revenue series at lags
+    1..ACF_MAX_LAG (Box-Jenkins identification step: which AR/seasonal
+    structure a forecaster should model), with the +-1.96/sqrt(n) white-
+    noise band reported alongside. The denominator is the full-series
+    sum of squares (the standard biased ACF estimator, so acf values are
+    directly comparable across lags and bounded by 1).
+
+    Scale shape: aggregate-first — everything after the one grouped
+    orders pass runs on the calendar-bounded daily relation (one row per
+    day); the lag joins are equi-joins on the day sequence index and the
+    1-row mean/denominator relations broadcast."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_ACF_SQL)
+
+
+QUERIES["acf_daily_revenue"] = acf_daily_revenue
+ORACLE["acf_daily_revenue"] = _ACF_SQL
+
+
+# --- Spearman rank correlation (daily revenue vs order count) ----------------
+
+_SPEARMAN_SQL = f"""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               {R("sum(o_totalprice)")} AS rev,
+               count(*) AS n_orders
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    rk AS (
+        SELECT rank() OVER (ORDER BY rev) * 1e0
+                 + (count(*) OVER (PARTITION BY rev) - 1) / 2e0 AS rx,
+               rank() OVER (ORDER BY n_orders) * 1e0
+                 + (count(*) OVER (PARTITION BY n_orders) - 1) / 2e0 AS ry
+        FROM d
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           {R("corr(rx, ry)", 6)} AS spearman_rho,
+           {R("1e0 - 6e0 * sum((rx - ry) * (rx - ry))"
+              " / (count(*) * (count(*) * 1e0 * count(*) - 1))", 6)}
+               AS rho_d2_formula,
+           CAST(count(*) - count(DISTINCT rx) AS BIGINT) AS n_ties_x,
+           CAST(count(*) - count(DISTINCT ry) AS BIGINT) AS n_ties_y
+    FROM rk
+"""
+
+
+def spearman_daily_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily revenue and daily order
+    count: Pearson on mid-ranks (exact under ties — mid-rank = rank() +
+    (tie_size - 1)/2) next to the classic 1 - 6*sum(d^2)/(n(n^2-1))
+    shortcut, which assumes no ties; the gap between the two columns IS
+    the tie effect. The robust complement to monthly_revenue_trend's
+    parametric OLS.
+
+    Scale shape: aggregate-first — ranks are windows over the
+    calendar-bounded daily relation (one row per day), the same bounded
+    grid every series operator in this module uses; never a row-scale
+    global window."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_SPEARMAN_SQL)
+
+
+QUERIES["spearman_daily_rank_corr"] = spearman_daily_rank_corr
+ORACLE["spearman_daily_rank_corr"] = _SPEARMAN_SQL
+
+
+# --- Mann-Whitney U test over the doc-length grid ----------------------------
+
+MW_SRC_A = "src0"
+MW_SRC_B = "src1"
+
+_MANN_WHITNEY_SQL = f"""
+    WITH docs AS (
+        SELECT n_chars AS v,
+               CASE WHEN source = '{MW_SRC_A}' THEN 1 ELSE 0 END AS a
+        FROM documents WHERE source IN ('{MW_SRC_A}', '{MW_SRC_B}')
+    ),
+    per_val AS (
+        SELECT v,
+               CAST(sum(a) AS BIGINT) AS ca,
+               CAST(sum(1 - a) AS BIGINT) AS cb
+        FROM docs GROUP BY v
+    ),
+    cum AS (
+        SELECT v, ca, cb,
+               CAST(coalesce(sum(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cb_less
+        FROM per_val
+    ),
+    tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb,
+               CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+                   AS BIGINT) AS tie3
+        FROM per_val
+    ),
+    u AS (
+        SELECT CAST(sum(ca * (2 * cb_less + cb)) AS BIGINT) AS u2 FROM cum
+    )
+    SELECT t.na AS n_{MW_SRC_A}, t.nb AS n_{MW_SRC_B},
+           {R("u.u2 / 2e0")} AS u_statistic,
+           {R("t.na * t.nb / 2e0")} AS u_mean,
+           {R("sqrt(t.na * 1e0 * t.nb / 12e0"
+              " * ((t.na + t.nb + 1)"
+              "    - t.tie3 * 1e0 / ((t.na + t.nb)"
+              "      * (t.na + t.nb - 1e0))))", 4)} AS u_sigma,
+           {R("(u.u2 - t.na * 1e0 * t.nb)"
+              " / (2e0 * sqrt(t.na * 1e0 * t.nb / 12e0"
+              " * ((t.na + t.nb + 1)"
+              "    - t.tie3 * 1e0 / ((t.na + t.nb)"
+              "      * (t.na + t.nb - 1e0)))))", 4)} AS z_score
+    FROM u CROSS JOIN tot t
+"""
+
+
+def mann_whitney_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney, AMS 1947) comparing
+    document lengths between two sources, computed WITHOUT per-row ranks:
+    2U = sum over the distinct-length grid of ca*(2*cb_less + cb) — an
+    exact BIGINT (ties contribute halves, hence the doubling), and the
+    normal approximation uses the standard tie-corrected variance
+    nA*nB/12 * ((n+1) - sum(t^3 - t)/(n(n-1))). The nonparametric
+    location test to pair with ks_divergence_by_source's shape test.
+
+    Scale shape: one grouped pass collapses rows to the bounded
+    distinct-length grid (same grid as the KS operator); the cumulative
+    window orders that grid, not rows; the 1-row U/total relations
+    broadcast. No per-row rank is ever materialized."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_MANN_WHITNEY_SQL)
+
+
+QUERIES["mann_whitney_doc_lengths"] = mann_whitney_doc_lengths
+ORACLE["mann_whitney_doc_lengths"] = _MANN_WHITNEY_SQL

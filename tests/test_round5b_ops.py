@@ -1,0 +1,256 @@
+"""Round-5 tranche E semantic-invariant tests (parity alone cannot show an
+operator computes the right THING — each new op gets an independent anchor:
+numpy/pandas recomputation, a planted synthetic input, or a conservation
+law).
+
+Covers: acf_daily_revenue, spearman_daily_rank_corr,
+mann_whitney_doc_lengths, dau_wau_stickiness, interarrival_burstiness,
+label_propagation_communities, cross_doc_span_coverage.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import SF_DIR, table_path
+
+
+def _daily(col: str) -> pd.DataFrame:
+    orders = pd.read_parquet(table_path(SF_DIR, "orders"))
+    orders["day"] = orders["o_orderdate"].dt.date
+    g = orders.groupby("day").agg(
+        rev=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+    )
+    return g.sort_index()
+
+
+# ---------------------------------------------------------------- ACF
+
+
+def test_acf_matches_numpy_recount(spark):
+    from database_toolbox_spark.operators.stats import acf_daily_revenue
+
+    got = {r.lag: r for r in acf_daily_revenue(spark, SF_DIR).collect()}
+    rev = np.floor(_daily("rev")["rev"].to_numpy() * 100 + 0.501) / 100
+    mu = rev.mean()
+    ss = ((rev - mu) ** 2).sum()
+    for k in (1, 5, 10):
+        want = ((rev[:-k] - mu) * (rev[k:] - mu)).sum() / ss
+        assert abs(got[k].acf - want) < 1e-4, (k, got[k].acf, want)
+        assert got[k].n_pairs == len(rev) - k
+    band = 1.96 / np.sqrt(len(rev))
+    assert abs(got[1].white_noise_band - band) < 1e-4
+
+
+def test_acf_of_periodic_series_peaks_at_period(spark):
+    """A synthetic strict period-2 series must give acf(2) ~ +1 and
+    acf(1) ~ -1 (the estimator's sign behavior, end-to-end through the
+    SQL against a temp orders view)."""
+    from database_toolbox_spark.operators.stats import _ACF_SQL
+
+    rows = [
+        (f"2020-01-{d:02d}", 100.0 if d % 2 == 0 else 200.0)
+        for d in range(1, 29)
+    ]
+    from database_toolbox_spark.session import load_table
+
+    spark.createDataFrame(
+        [(pd.Timestamp(d).to_pydatetime(), v) for d, v in rows],
+        "o_orderdate timestamp, o_totalprice double",
+    ).createOrReplaceTempView("orders")
+    try:
+        got = {r.lag: r.acf for r in spark.sql(_ACF_SQL).collect()}
+    finally:
+        # load_tables is register-if-absent — restore the parquet view
+        load_table(spark, SF_DIR, "orders", replace=True)
+    n = len(rows)
+    for k in (1, 2, 3, 4):
+        # biased estimator: |acf(k)| = 1 - k/n exactly for a strict
+        # alternating series (n-k numerator terms over n denominator terms)
+        want = (1 - k / n) * (1 if k % 2 == 0 else -1)
+        assert abs(got[k] - want) < 1e-3, (k, got[k], want)
+
+
+# ---------------------------------------------------------------- Spearman
+
+
+def test_spearman_matches_pandas(spark):
+    from database_toolbox_spark.operators.stats import (
+        spearman_daily_rank_corr,
+    )
+
+    row = spearman_daily_rank_corr(spark, SF_DIR).collect()[0]
+    d = _daily("rev")
+    d["rev"] = np.floor(d["rev"] * 100 + 0.501) / 100
+    # mid-ranks + Pearson (pandas' method="spearman" needs scipy,
+    # absent here; rank(method="average") is exactly the mid-rank)
+    want = d["rev"].rank(method="average").corr(
+        d["n_orders"].rank(method="average")
+    )
+    assert abs(row.spearman_rho - want) < 1e-4, (row.spearman_rho, want)
+    assert row.n_days == len(d)
+    # the d^2 shortcut assumes no ties; at sf0.001 the order-count column
+    # is almost all ties (n_ties_y ~ n_days), so only bound it loosely —
+    # the tie-exact mid-rank rho above is the real anchor
+    assert abs(row.rho_d2_formula - want) < 0.15
+
+
+# ---------------------------------------------------------------- MWU
+
+
+def test_mann_whitney_matches_brute_force(spark):
+    from database_toolbox_spark.operators.stats import (
+        MW_SRC_A,
+        MW_SRC_B,
+        mann_whitney_doc_lengths,
+    )
+
+    row = mann_whitney_doc_lengths(spark, SF_DIR).collect()[0]
+    docs = pd.read_parquet(table_path(SF_DIR, "documents"))
+    a = docs.loc[docs.source == MW_SRC_A, "n_chars"].to_numpy()
+    b = docs.loc[docs.source == MW_SRC_B, "n_chars"].to_numpy()
+    u = float(
+        (a[:, None] > b[None, :]).sum()
+        + 0.5 * (a[:, None] == b[None, :]).sum()
+    )
+    assert abs(row.u_statistic - u) < 1e-9, (row.u_statistic, u)
+    assert abs(row.u_mean - len(a) * len(b) / 2) < 1e-9
+    # z sign must match the direction of the mean-rank difference
+    if u > len(a) * len(b) / 2:
+        assert row.z_score > 0
+    elif u < len(a) * len(b) / 2:
+        assert row.z_score < 0
+
+
+# ---------------------------------------------------------------- DAU/WAU
+
+
+def test_dau_wau_matches_pandas_recount(spark):
+    from database_toolbox_spark.operators.events import dau_wau_stickiness
+
+    got = dau_wau_stickiness(spark, SF_DIR).collect()
+    ev = pd.read_parquet(table_path(SF_DIR, "events"))
+    ev["day"] = ev["ts"].dt.date
+    ud = ev[["day", "user_id"]].drop_duplicates()
+    days = sorted(ud["day"].unique())
+    dau = ud.groupby("day")["user_id"].nunique()
+    assert [r.day for r in got] == days
+    for r in got:
+        lo = r.day - pd.Timedelta(days=6)  # date - timedelta -> date
+        wau = ud.loc[(ud.day >= lo) & (ud.day <= r.day), "user_id"].nunique()
+        assert r.dau == dau[r.day], r
+        assert r.wau == wau, (r, wau)
+        assert 0 < r.stickiness <= 1.0
+        assert r.wau >= r.dau
+
+
+# ---------------------------------------------------------------- burstiness
+
+
+def test_burstiness_matches_pandas_replay(spark):
+    from database_toolbox_spark.operators.events import (
+        interarrival_burstiness,
+    )
+
+    got = {r.event_type: r for r in
+           interarrival_burstiness(spark, SF_DIR).collect()}
+    ev = pd.read_parquet(table_path(SF_DIR, "events"))
+    ev = ev.sort_values(["user_id", "event_type", "ts", "event_id"])
+    # pin the epoch unit: pandas may load parquet micros as datetime64[us]
+    ev["us"] = ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    gaps = (
+        ev.groupby(["user_id", "event_type"])["us"].diff().dropna() / 1e6
+    )
+    by_type = gaps.groupby(
+        ev.loc[gaps.index, "event_type"]
+    ).agg(["count", "mean", "std"])
+    for t, r in got.items():
+        want = by_type.loc[t]
+        assert r.n_gaps == want["count"], (t, r.n_gaps, want["count"])
+        assert abs(r.mean_gap_s - want["mean"]) < 0.01
+        assert abs(r.sd_gap_s - want["std"]) < 0.01
+        # B in (-1, 1); CV near 1 for near-Poisson arrivals
+        assert -1 < r.burstiness < 1
+        assert abs(
+            r.burstiness
+            - (want["std"] - want["mean"]) / (want["std"] + want["mean"])
+        ) < 1e-3
+
+
+# ---------------------------------------------------------------- LPA
+
+
+def test_lpa_two_cliques_converge_to_min_labels(spark):
+    """Two disjoint triangles: every node must adopt its triangle's min
+    node id; the community histogram is exactly {3: 2 communities}."""
+    from database_toolbox_spark.operators.graph import lpa_labels_from_edges
+
+    edges = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+         ("b1", "b2"), ("b2", "b3"), ("b1", "b3")],
+        "src string, dst string",
+    )
+    labels = {r.node: r.label for r in
+              lpa_labels_from_edges(edges, rounds=4).collect()}
+    assert {labels[n] for n in ("a1", "a2", "a3")} == {"a1"}
+    assert {labels[n] for n in ("b1", "b2", "b3")} == {"b1"}
+
+
+def test_lpa_histogram_conserves_nodes(spark):
+    from database_toolbox_spark.operators.graph import (
+        _KCORE_EDGE_SQL,
+        label_propagation_communities,
+    )
+    from database_toolbox_spark.session import load_tables
+
+    load_tables(spark, SF_DIR)
+    edges = spark.sql(_KCORE_EDGE_SQL)
+    n_nodes = (
+        edges.selectExpr("src AS n").union(edges.selectExpr("dst AS n"))
+        .distinct().count()
+    )
+    hist = label_propagation_communities(spark, SF_DIR).collect()
+    assert sum(r.community_size * r.n_communities for r in hist) == n_nodes
+
+
+# ---------------------------------------------------------------- spans
+
+
+def test_span_coverage_planted_duplicates(spark):
+    """Two identical docs are fully covered (every 3-gram occurs in the
+    other doc); a vocabulary-disjoint third doc has zero coverage."""
+    from database_toolbox_spark.operators.fingerprints import (
+        _span_coverage_sql,
+        _SPARK_POS_SHINGLES,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, text, "en", "dup", len(text)),
+        (2, text, "en", "dup", len(text)),
+        (3, "zx1 zx2 zx3 zx4 zx5 zx6", "en", "uniq", 23),
+    ]
+    from database_toolbox_spark.session import load_table
+
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).createOrReplaceTempView("documents")
+    try:
+        got = {r.source: r for r in
+               spark.sql(_span_coverage_sql(_SPARK_POS_SHINGLES)).collect()}
+    finally:
+        load_table(spark, SF_DIR, "documents", replace=True)
+    assert got["dup"].mean_coverage == 1.0
+    assert got["dup"].n_mostly_dup == 2
+    assert got["uniq"].mean_coverage == 0.0
+    assert got["uniq"].n_mostly_dup == 0
+    # position conservation: each doc contributes n_tokens - 2 positions
+    assert got["dup"].n_positions == 2 * (9 - 2)
+    assert got["uniq"].n_positions == 6 - 2
