@@ -1433,3 +1433,55 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["interarrival_burstiness"] = interarrival_burstiness
 ORACLE["interarrival_burstiness"] = _burstiness_sql("epoch_us(ts)")
+
+
+# --- user-activity power-law fit ------------------------------------------------
+
+_ACTIVITY_POWERLAW_SQL = f"""
+    WITH per_user AS (
+        SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    ),
+    hist AS (
+        SELECT n_events AS activity, CAST(count(*) AS BIGINT) AS n_users
+        FROM per_user GROUP BY n_events
+    ),
+    fit AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_points,
+               regr_slope(ln(n_users * 1e0), ln(activity * 1e0)) AS slope,
+               regr_intercept(ln(n_users * 1e0), ln(activity * 1e0)) AS icept,
+               corr(ln(n_users * 1e0), ln(activity * 1e0)) AS r
+        FROM hist
+    )
+    SELECT f.n_points,
+           CAST(t.n_users_total AS BIGINT) AS n_users,
+           CAST(t.max_activity AS BIGINT) AS max_activity,
+           {R("-f.slope", 4)} AS alpha,
+           {R("f.icept", 4)} AS log_intercept,
+           {R("f.r * f.r", 4)} AS r_squared
+    FROM fit f CROSS JOIN (
+        SELECT sum(n_users) AS n_users_total, max(activity) AS max_activity
+        FROM hist
+    ) t
+"""
+
+
+def user_activity_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law screen of the events-per-user distribution: ordinary
+    least squares on the log-log activity histogram (alpha = -slope,
+    with r^2 as the straight-line diagnostic) — the quick heavy-tail
+    triage for skew planning (a high alpha means activity concentrates
+    in few users -> salting / AQE skew handling matters; see
+    shuffle_skew_profile for the shuffle-key version). The log-log-LS
+    estimator is the classic exploratory one; it is biased relative to
+    the Clauset-Shalizi-Newman MLE, which is the follow-up when the
+    screen fires.
+
+    Scale shape: one grouped count per user, one grouped count per
+    activity level (histogram bounded by max activity), then a 1-row
+    algebraic regression aggregate over the histogram."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_ACTIVITY_POWERLAW_SQL)
+
+
+QUERIES["user_activity_powerlaw"] = user_activity_powerlaw
+ORACLE["user_activity_powerlaw"] = _ACTIVITY_POWERLAW_SQL

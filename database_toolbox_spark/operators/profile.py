@@ -1174,3 +1174,104 @@ ORACLE["source_content_digests"] = _digest_sql(
     "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|',"
     " text)), 1, 15)) AS BIGINT)"
 )
+
+
+# --- t-closeness audit --------------------------------------------------------
+
+T_CLOSE_THRESHOLD_NUM = 1  # classes with t > NUM/DEN are flagged
+T_CLOSE_THRESHOLD_DEN = 5
+
+_T_CLOSE_J_SQL = """
+    SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority AS s
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+"""
+
+_T_CLOSENESS_TAIL = f"""
+    dom AS (SELECT DISTINCT s FROM j),
+    m AS (SELECT count(*) AS m FROM dom),
+    cls AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS class_rows
+        FROM j GROUP BY c_nationkey, c_mktsegment
+    ),
+    cnt AS (
+        SELECT c_nationkey, c_mktsegment, s, count(*) AS cs
+        FROM j GROUP BY c_nationkey, c_mktsegment, s
+    ),
+    gq AS (
+        SELECT s, count(*) * 1e0 / (SELECT count(*) FROM j) AS q
+        FROM j GROUP BY s
+    ),
+    grid AS (
+        SELECT cl.c_nationkey, cl.c_mktsegment, cl.class_rows, d.s,
+               coalesce(cn.cs, 0) * 1e0 / cl.class_rows - g.q AS diff
+        FROM cls cl
+        CROSS JOIN dom d
+        JOIN gq g ON g.s = d.s
+        LEFT JOIN cnt cn ON cn.c_nationkey = cl.c_nationkey
+                        AND cn.c_mktsegment = cl.c_mktsegment
+                        AND cn.s = d.s
+    ),
+    cum AS (
+        SELECT c_nationkey, c_mktsegment, class_rows,
+               abs(sum(diff) OVER (
+                   PARTITION BY c_nationkey, c_mktsegment ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   AS acum
+        FROM grid
+    ),
+    tc AS (
+        SELECT c_nationkey, c_mktsegment,
+               max(class_rows) AS class_rows,
+               sum(acum) / (max(m.m) - 1e0) AS t
+        FROM cum CROSS JOIN m
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           {R("max(t)", 6)} AS t_closeness,
+           {R("avg(t)", 6)} AS avg_t,
+           CAST(sum(CASE WHEN t * {T_CLOSE_THRESHOLD_DEN}
+                         > {T_CLOSE_THRESHOLD_NUM} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_flagged_classes,
+           CAST(sum(CASE WHEN t * {T_CLOSE_THRESHOLD_DEN}
+                         > {T_CLOSE_THRESHOLD_NUM} THEN class_rows
+                    ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+    FROM tc
+"""
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li, Venkatasubramanian, ICDE'07) — the third
+    leg of the privacy trio with k_anonymity_audit / l_diversity_audit: a
+    class can be k-anonymous AND l-diverse yet still leak if its sensitive
+    distribution differs sharply from the global one. Per QI class
+    (c_nationkey, c_mktsegment), t = ordered earth-mover's distance
+    between the class and global o_orderpriority distributions:
+    sum over the ordered domain of |cumulative(p - q)| / (m - 1).
+    Reports the dataset t (max), mean t, and classes/rows above t = 1/5.
+
+    Determinism: p and q are single divisions of exact integers and the
+    cumulative window orders by the fixed 5-value domain, so per-class t
+    is bit-identical across engines — the threshold flag multiplies
+    through by the denominator instead of comparing to a float literal.
+
+    Scale shape: the 3-column join relation j is MATERIALIZED once on the
+    Spark side (it is referenced 5x — dom/cls/cnt/glob/total — and CTE
+    inlining would replay the fact join per reference); everything after
+    the grouped counts runs on the |QI classes| x |domain| grid (domain =
+    5 priorities); the window partitions by class over that bounded
+    grid."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    materialize(spark.sql(_T_CLOSE_J_SQL)).createOrReplaceTempView(
+        "tclose_j_v"
+    )
+    return spark.sql(
+        "WITH j AS (SELECT * FROM tclose_j_v)," + _T_CLOSENESS_TAIL
+    )
+
+
+QUERIES["t_closeness_audit"] = t_closeness_audit
+ORACLE["t_closeness_audit"] = (
+    "WITH j AS MATERIALIZED (" + _T_CLOSE_J_SQL + ")," + _T_CLOSENESS_TAIL
+)

@@ -19,6 +19,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 
 from database_toolbox_spark.operators._oracle import R
@@ -1442,5 +1444,200 @@ ORACLE["embedding_anisotropy"] = _anisotropy_sql(
     " CAST(v AS DOUBLE) AS v FROM ("
     "SELECT label, vec_id, unnest(embedding) AS v, "
     "generate_subscripts(embedding, 1) AS pos FROM embeddings)",
+    mat="MATERIALIZED ",
+)
+
+
+# --- NDCG ranking-quality evaluation -----------------------------------------
+
+# ideal DCG@K for graded relevance rel(i) = K+1-i at positions 1..K —
+# a pure constant of K, embedded as the same literal in both dialects
+_NDCG_IDEAL = sum(
+    (_RECALL_K + 1 - i) / math.log2(i + 1)
+    for i in range(1, _RECALL_K + 1)
+)
+
+
+def _ndcg_sql(qnorm2: str, cos: str, assigned_body: str,
+              materialized: str = "") -> str:
+    """NDCG@K of IVF 1-probe search against the exact cosine ranking
+    (Järvelin & Kekäläinen, TOIS'02): each retrieved item's relevance is
+    graded by its TRUE rank (K+1-r for true top-K, 0 otherwise), DCG
+    discounts by 1/log2(position+1), and the ideal DCG is the closed-form
+    constant of K. The rank-position-aware companion to recall@K — two
+    indexes with equal recall can differ here when one returns the true
+    top hits earlier."""
+    return f"""
+        WITH qs AS (
+            SELECT vec_id AS qid, embedding AS qv, {qnorm2} AS qnorm2
+            FROM embeddings WHERE vec_id < {N_KNN_QUERIES}
+        ),
+        assigned AS {materialized} (
+            {assigned_body}
+        ),
+        exact AS (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (PARTITION BY q.qid
+                       ORDER BY {R(cos, 6)} DESC, e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN qs q
+            WHERE e.vec_id <> q.qid
+        ),
+        truth AS (
+            SELECT qid, vec_id, CAST(rn AS BIGINT) AS true_rank
+            FROM exact WHERE rn <= {_RECALL_K}
+        ),
+        ivf AS (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (PARTITION BY q.qid
+                       ORDER BY {R(cos, 6)} DESC, e.vec_id) AS rn
+            FROM embeddings e
+            JOIN assigned a ON a.vec_id = e.vec_id
+            CROSS JOIN qs q
+            JOIN assigned aq ON aq.vec_id = q.qid
+            WHERE a.cell = aq.cell AND e.vec_id <> q.qid
+        ),
+        approx AS (
+            SELECT qid, vec_id, CAST(rn AS BIGINT) AS pos
+            FROM ivf WHERE rn <= {_RECALL_K}
+        ),
+        scored AS (
+            SELECT a.qid, a.pos,
+                   CASE WHEN t.true_rank IS NOT NULL
+                        THEN {_RECALL_K} + 1 - t.true_rank
+                        ELSE 0 END AS rel
+            FROM approx a
+            LEFT JOIN truth t ON t.qid = a.qid AND t.vec_id = a.vec_id
+        )
+        SELECT qid,
+               CAST(count(*) AS BIGINT) AS n_retrieved,
+               CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_relevant,
+               {R("sum(rel / (ln(pos + 1e0) / ln(2e0)))", 4)} AS dcg,
+               {R(f"sum(rel / (ln(pos + 1e0) / ln(2e0)))"
+                  f" / {_NDCG_IDEAL!r}e0", 4)} AS ndcg_at_10
+        FROM scored GROUP BY qid ORDER BY qid
+    """
+
+
+def ndcg_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of IVF 1-probe ANN vs the exact cosine ranking (see
+    _ndcg_sql) over the same query panel as ann_recall_eval.
+
+    Scale shape: identical to ann_recall_eval — brute-force arm bounded
+    by the fixed query panel, IVF arm probes one cell via the
+    materialized assignment; the NDCG tail is a K-row-per-query grouped
+    aggregate."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    d2 = _spark_l2_to_centroid("e.embedding", "c.embedding")
+    materialize(spark.sql(f"""
+        WITH cents AS (
+            SELECT vec_id AS cell, embedding FROM embeddings
+            WHERE vec_id < {N_IVF_CELLS}
+        )
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor({d2} * 1000000e0) / 1000000e0, c.cell)
+                       AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    """)).createOrReplaceTempView("ndcg_assigned_v")
+    spark_cos = (
+        "aggregate(zip_with(e.embedding, q.qv, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x) / sqrt(q.qnorm2 * "
+        "aggregate(e.embedding, CAST(0 AS DOUBLE), (acc, x) -> "
+        "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    return spark.sql(_ndcg_sql(
+        qnorm2="aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> "
+               "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))",
+        cos=spark_cos,
+        assigned_body="SELECT * FROM ndcg_assigned_v",
+    ))
+
+
+QUERIES["ndcg_ann_eval"] = ndcg_ann_eval
+ORACLE["ndcg_ann_eval"] = _ndcg_sql(
+    qnorm2=_DUCK_NORM2,
+    cos=_DUCK_RECALL_COS,
+    assigned_body=f"""SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor({_DUCK_D2} * 1000000e0) / 1000000e0,
+                                c.cell) AS rn
+            FROM embeddings e CROSS JOIN
+                 (SELECT vec_id AS cell, embedding FROM embeddings
+                  WHERE vec_id < {N_IVF_CELLS}) c
+        ) t WHERE rn = 1""",
+    materialized="MATERIALIZED",
+)
+
+
+# --- embedding centroid drift -------------------------------------------------
+
+
+def _centroid_drift_sql(vals_body: str, mat: str = "") -> str:
+    """Per-label centroid drift between the deterministic md5 A/B halves
+    of the corpus: cosine similarity and L2 distance between the two
+    half-centroids. The embedding-space drift monitor — a healthy
+    pipeline shows cosine ~ 1 between random halves; a shifted encoder,
+    contaminated batch, or label-conditioned distribution change shows up
+    as a depressed cosine / inflated shift long before a model does."""
+    return f"""
+        WITH vals AS {mat}(
+            {vals_body}
+        ),
+        cent AS (
+            SELECT label, half, dim, avg(v) AS c, count(*) AS n
+            FROM vals GROUP BY label, half, dim
+        ),
+        paired AS (
+            SELECT a.label, a.dim, a.c AS ca, b.c AS cb,
+                   a.n AS na, b.n AS nb
+            FROM cent a JOIN cent b
+              ON b.label = a.label AND b.dim = a.dim
+             AND a.half = 0 AND b.half = 1
+        )
+        SELECT label,
+               CAST(max(na) AS BIGINT) AS n_half_a,
+               CAST(max(nb) AS BIGINT) AS n_half_b,
+               {R("sum(ca * cb) / sqrt(sum(ca * ca) * sum(cb * cb))", 6)}
+                   AS centroid_cosine,
+               {R("sqrt(sum((ca - cb) * (ca - cb)))", 6)} AS l2_shift
+        FROM paired GROUP BY label ORDER BY label
+    """
+
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding centroid drift between md5 A/B halves (see
+    _centroid_drift_sql). The split is the repo's standard deterministic
+    md5 bucket of vec_id, so both engines (and any rerun) compare the
+    IDENTICAL halves.
+
+    Scale shape: one exploded (label, half, dim, v) pass feeding a single
+    grouped average — map-side combinable, output bounded by
+    |labels| x 2 x dim; the pairing join and the per-label rollup run on
+    that bounded relation."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_centroid_drift_sql(
+        "SELECT CAST(label AS STRING) AS label,"
+        " CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 4), 16, 10)"
+        " AS INT) % 2 AS half,"
+        " pos AS dim, CAST(v AS DOUBLE) AS v"
+        " FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v"
+    ))
+
+
+QUERIES["embedding_centroid_drift"] = embedding_centroid_drift
+ORACLE["embedding_centroid_drift"] = _centroid_drift_sql(
+    "SELECT CAST(label AS VARCHAR) AS label,"
+    " CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))"
+    " AS INTEGER) % 2 AS half,"
+    " pos AS dim, CAST(v AS DOUBLE) AS v FROM ("
+    "SELECT label, vec_id, unnest(embedding) AS v,"
+    " generate_subscripts(embedding, 1) AS pos FROM embeddings)",
     mat="MATERIALIZED ",
 )

@@ -1781,3 +1781,140 @@ def mann_whitney_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["mann_whitney_doc_lengths"] = mann_whitney_doc_lengths
 ORACLE["mann_whitney_doc_lengths"] = _MANN_WHITNEY_SQL
+
+
+# --- Holt-Winters additive seasonal forecast ----------------------------------
+
+HW_ALPHA = "0.3e0"   # level smoothing
+HW_1MA = "0.7e0"
+HW_BETA = "0.1e0"    # trend smoothing
+HW_1MB = "0.9e0"
+HW_GAMMA = "0.3e0"   # seasonal smoothing
+HW_1MG = "0.7e0"
+HW_P = 7             # weekly season
+
+_HW_DAILY_SQL = f"""
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               {R("sum(o_totalprice)")} AS rev
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    series AS (
+        SELECT rev, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+        FROM daily
+    )
+"""
+
+# state layout (1-based positions): 1=level, 2=trend, 3..3+P-1 = seasonal
+# ring s_0..s_{P-1} with s_0 = the index applying to the NEXT observation;
+# each step consumes s_0, rotates the ring, and appends the updated index.
+_HW_HORIZONS = " UNION ALL ".join(
+    f"SELECT {h} AS h" for h in range(1, HW_P + 1)
+)
+
+
+def _hw_spark_fold() -> str:
+    lvl = f"{HW_ALPHA} * (y - acc[2]) + {HW_1MA} * (acc[0] + acc[1])"
+    return f"""
+        aggregate(
+            transform(slice(a, {HW_P + 1}, size(a) - {HW_P}),
+                      y -> CAST(y AS DOUBLE)),
+            concat(array(l0, CAST(0 AS DOUBLE)),
+                   transform(slice(a, 1, {HW_P}),
+                             y -> CAST(y AS DOUBLE) - l0)),
+            (acc, y) -> concat(
+                array({lvl},
+                      {HW_BETA} * (({lvl}) - acc[0]) + {HW_1MB} * acc[1]),
+                slice(acc, 4, {HW_P - 1}),
+                array({HW_GAMMA} * (y - ({lvl})) + {HW_1MG} * acc[2]))
+        )
+    """
+
+
+def _hw_duck_fold() -> str:
+    lvl = f"{HW_ALPHA} * (x[1] - acc[3]) + {HW_1MA} * (acc[1] + acc[2])"
+    return f"""
+        list_reduce(
+            list_prepend(
+                list_concat([l0, CAST(0 AS DOUBLE)],
+                            list_transform(a[1:{HW_P}],
+                                           y -> CAST(y AS DOUBLE) - l0)),
+                list_transform(a[{HW_P + 1}:], y -> [CAST(y AS DOUBLE)])),
+            (acc, x) -> list_concat(
+                list_concat(
+                    [{lvl},
+                     {HW_BETA} * (({lvl}) - acc[1]) + {HW_1MB} * acc[2]],
+                    acc[4:{HW_P + 2}]),
+                [{HW_GAMMA} * (x[1] - ({lvl})) + {HW_1MG} * acc[3]])
+        )
+    """
+
+
+def _hw_tail(state_at) -> str:
+    """Forecast rows given an `st(state)` relation: for horizon h,
+    yhat = level + h * trend + seasonal index h-1 ahead."""
+    return f"""
+        horizons AS ({_HW_HORIZONS})
+        SELECT CAST(h.h AS INT) AS horizon_days,
+               {R(state_at("1"))} AS level,
+               {R(state_at("2"), 4)} AS trend,
+               {R(state_at("CAST(h.h AS INT) + 2"))} AS seasonal,
+               {R(f"({state_at('1')}) + h.h * ({state_at('2')})"
+                  f" + ({state_at('CAST(h.h AS INT) + 2')})")}
+                   AS forecast
+        FROM st CROSS JOIN horizons h
+        ORDER BY horizon_days
+    """
+
+
+def holt_winters_weekly_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt-Winters additive triple smoothing (alpha=0.3, beta=0.1,
+    gamma=0.3, weekly period) over the full daily-revenue series, with a
+    7-day-ahead forecast: the seasonal completion of
+    holt_linear_daily_revenue (Winters, Mgmt. Sci. 1960). State is a
+    (2 + 7)-element DOUBLE array folded over the series — level, trend,
+    and the rotating weekly seasonal ring; seeds are the classic
+    l0 = mean(first week), b0 = 0, s_i = y_i - l0. Daily inputs are
+    canon-rounded first so both engines fold bit-identical doubles in
+    the same order.
+
+    Scale shape: aggregate-first — the fold input is the calendar-bounded
+    daily series assembled by one ordered array_agg; fold state is 9
+    doubles. The output is exactly HW_P forecast rows."""
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+        WITH {_HW_DAILY_SQL},
+        arr AS (
+            SELECT transform(array_sort(collect_list(struct(rn, rev))),
+                             x -> CAST(x.rev AS DOUBLE)) AS a
+            FROM series
+        ),
+        ini AS (
+            SELECT a,
+                   aggregate(slice(a, 1, {HW_P}), CAST(0 AS DOUBLE),
+                             (acc, x) -> acc + x) / {HW_P}e0 AS l0
+            FROM arr
+        ),
+        st AS (SELECT {_hw_spark_fold()} AS state FROM ini),
+        {_hw_tail(lambda i: f"element_at(st.state, {i})")}
+    """)
+
+
+QUERIES["holt_winters_weekly_forecast"] = holt_winters_weekly_forecast
+ORACLE["holt_winters_weekly_forecast"] = f"""
+    WITH {_HW_DAILY_SQL},
+    arr AS (
+        SELECT list_transform(list(rev ORDER BY rn),
+                              x -> CAST(x AS DOUBLE)) AS a
+        FROM series
+    ),
+    ini AS (
+        SELECT a,
+               list_aggregate(a[1:{HW_P}], 'sum') / {HW_P}e0 AS l0
+        FROM arr
+    ),
+    st AS (SELECT {_hw_duck_fold()} AS state FROM ini),
+    {_hw_tail(lambda i: f"st.state[{i}]")}
+"""

@@ -254,3 +254,151 @@ def test_span_coverage_planted_duplicates(spark):
     # position conservation: each doc contributes n_tokens - 2 positions
     assert got["dup"].n_positions == 2 * (9 - 2)
     assert got["uniq"].n_positions == 6 - 2
+
+
+# ---------------------------------------------------------------- t-closeness
+
+
+def test_t_closeness_matches_pandas_emd(spark):
+    from database_toolbox_spark.operators.profile import t_closeness_audit
+
+    row = t_closeness_audit(spark, SF_DIR).collect()[0]
+    cust = pd.read_parquet(table_path(SF_DIR, "customer"))
+    orders = pd.read_parquet(table_path(SF_DIR, "orders"))
+    j = orders.merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )[["c_nationkey", "c_mktsegment", "o_orderpriority"]]
+    dom = sorted(j["o_orderpriority"].unique())
+    q = j["o_orderpriority"].value_counts(normalize=True).reindex(dom)
+    ts = []
+    for _, g in j.groupby(["c_nationkey", "c_mktsegment"]):
+        p = g["o_orderpriority"].value_counts(normalize=True).reindex(
+            dom
+        ).fillna(0)
+        cum = (p - q).cumsum()
+        ts.append(cum.abs().sum() / (len(dom) - 1))
+    assert abs(row.t_closeness - max(ts)) < 1e-5, (row.t_closeness, max(ts))
+    assert abs(row.avg_t - np.mean(ts)) < 1e-5
+    assert row.n_classes == len(ts)
+    assert row.n_flagged_classes == sum(t * 5 > 1 for t in ts)
+
+
+# ---------------------------------------------------------------- NDCG
+
+
+def test_ndcg_consistent_with_recall(spark):
+    """NDCG's n_relevant must equal recall@10's n_hits per query (same
+    truth set, same probe set), ndcg in [0, 1], and ndcg == 0 iff no
+    relevant item was retrieved."""
+    from database_toolbox_spark.operators.similarity import (
+        ann_recall_eval,
+        ndcg_ann_eval,
+    )
+
+    ndcg = {r.qid: r for r in ndcg_ann_eval(spark, SF_DIR).collect()}
+    rec = {r.qid: r for r in ann_recall_eval(spark, SF_DIR).collect()}
+    assert set(ndcg) == set(rec)
+    for qid, r in ndcg.items():
+        assert r.n_relevant == rec[qid].n_hits, (qid, r, rec[qid])
+        assert 0.0 <= r.ndcg_at_10 <= 1.0
+        assert (r.ndcg_at_10 == 0.0) == (r.n_relevant == 0)
+        assert r.n_retrieved <= 10
+
+
+def test_ndcg_ideal_constant():
+    import math
+
+    from database_toolbox_spark.operators.similarity import (
+        _NDCG_IDEAL,
+        _RECALL_K,
+    )
+
+    want = sum(
+        (_RECALL_K + 1 - i) / math.log2(i + 1)
+        for i in range(1, _RECALL_K + 1)
+    )
+    assert _NDCG_IDEAL == want
+
+
+# ---------------------------------------------------------------- Holt-Winters
+
+
+def test_holt_winters_matches_python_recursion(spark):
+    from database_toolbox_spark.operators.stats import (
+        HW_P,
+        holt_winters_weekly_forecast,
+    )
+
+    got = {r.horizon_days: r for r in
+           holt_winters_weekly_forecast(spark, SF_DIR).collect()}
+    rev = np.floor(_daily("rev")["rev"].to_numpy() * 100 + 0.501) / 100
+    a, b_, g = 0.3, 0.1, 0.3
+    lvl = rev[:HW_P].sum() / HW_P
+    trend = 0.0
+    season = list(rev[:HW_P] - lvl)
+    for y in rev[HW_P:]:
+        s0 = season.pop(0)
+        new_l = a * (y - s0) + (1 - a) * (lvl + trend)
+        trend = b_ * (new_l - lvl) + (1 - b_) * trend
+        lvl = new_l
+        season.append(g * (y - lvl) + (1 - g) * s0)
+    for h in range(1, HW_P + 1):
+        want = lvl + h * trend + season[h - 1]
+        assert abs(got[h].forecast - want) < 0.02, (h, got[h].forecast, want)
+        assert abs(got[h].seasonal - season[h - 1]) < 0.02
+    assert abs(got[1].level - lvl) < 0.02
+    assert abs(got[1].trend - trend) < 0.001
+
+
+# ---------------------------------------------------------------- drift
+
+
+def test_centroid_drift_matches_pandas(spark):
+    import hashlib
+
+    from database_toolbox_spark.operators.similarity import (
+        embedding_centroid_drift,
+    )
+
+    got = {r.label: r for r in
+           embedding_centroid_drift(spark, SF_DIR).collect()}
+    emb = pd.read_parquet(table_path(SF_DIR, "embeddings"))
+    emb["half"] = emb["vec_id"].map(
+        lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:4], 16) % 2
+    )
+    for label, g in emb.groupby("label"):
+        ca = np.stack(g.loc[g.half == 0, "embedding"]).astype(
+            np.float64
+        ).mean(axis=0)
+        cb = np.stack(g.loc[g.half == 1, "embedding"]).astype(
+            np.float64
+        ).mean(axis=0)
+        r = got[str(label)]
+        cos = ca @ cb / np.sqrt((ca @ ca) * (cb @ cb))
+        assert abs(r.centroid_cosine - cos) < 1e-4, (label, r, cos)
+        assert abs(r.l2_shift - np.linalg.norm(ca - cb)) < 1e-4
+        assert r.n_half_a == (g.half == 0).sum()
+        assert r.n_half_b == (g.half == 1).sum()
+
+
+# ---------------------------------------------------------------- power law
+
+
+def test_powerlaw_matches_numpy_polyfit(spark):
+    from database_toolbox_spark.operators.events import (
+        user_activity_powerlaw,
+    )
+
+    row = user_activity_powerlaw(spark, SF_DIR).collect()[0]
+    ev = pd.read_parquet(table_path(SF_DIR, "events"))
+    per_user = ev.groupby("user_id").size()
+    hist = per_user.value_counts().sort_index()
+    x = np.log(hist.index.to_numpy(dtype=float))
+    y = np.log(hist.to_numpy(dtype=float))
+    slope, icept = np.polyfit(x, y, 1)
+    assert abs(row.alpha - (-slope)) < 1e-3, (row.alpha, -slope)
+    assert abs(row.log_intercept - icept) < 1e-3
+    assert row.n_points == len(hist)
+    assert row.n_users == per_user.size
+    assert row.max_activity == per_user.max()
+    assert 0.0 <= row.r_squared <= 1.0
