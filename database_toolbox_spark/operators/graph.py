@@ -514,3 +514,140 @@ def _lpa_oracle() -> str:
 
 QUERIES["label_propagation_communities"] = label_propagation_communities
 ORACLE["label_propagation_communities"] = _lpa_oracle()
+
+
+# --- HITS hub/authority scores ------------------------------------------------
+
+HITS_ITERS = 4
+HITS_TOP = 10
+
+
+def hits_scores_from_edges(
+    edges: DataFrame, iters: int = HITS_ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """`iters` un-normalized HITS rounds over a directed weighted
+    (src, dst, w) edge DataFrame; returns (authorities(dst, a),
+    hubs(src, h)). No per-round materialize: every intermediate is
+    referenced exactly once (auth feeds the next hubs, hubs the next
+    auth), so the lineage is a LINEAR 2*iters-join chain — no
+    exponential CTE inlining, and skipping the checkpoints roughly
+    halves the wall clock; only the final pair is read twice
+    (score + total), so only it is materialized."""
+    hubs = edges.select("src").distinct().withColumn("h", F.lit(1.0))
+    auth = None
+    for _ in range(iters):
+        auth = (
+            edges.join(hubs, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("h") * F.col("w")).alias("a"))
+        )
+        hubs = (
+            edges.join(auth, "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("a") * F.col("w")).alias("h"))
+        )
+    return materialize(auth), materialize(hubs)
+
+
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg, JACM'99) on the DIRECTED bipartite supplier →
+    customer graph (edge weight = lineitem count): hubs are suppliers
+    whose shipments reach high-authority customers, authorities are
+    customers fed by strong hubs — the mutual-reinforcement duality
+    PageRank's single score cannot express. HITS_ITERS un-normalized
+    mutual-update rounds (a = W'h, h = Wa), one normalization at the
+    END (scores sum to 1 per role) — per-step normalization would add a
+    float division per node per round for no ranking effect, and the
+    un-normalized growth (~lambda1^k) stays far inside double range.
+    Output: top-HITS_TOP per role by canon-rounded normalized score.
+
+    Scale shape: the directed edge relation is materialized once (every
+    round re-reads it twice); each half-round is one equi-join + one
+    grouped sum — the pagerank shuffle budget; rounds are fixed. Top-k
+    per role is a TakeOrderedAndProject, ranked on a 2xHITS_TOP-row
+    bounded window."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    orders = spark.table("orders")
+    edges = materialize(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_suppkey").cast("string").alias("src"),
+            F.col("o_custkey").cast("string").alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    auth, hubs = hits_scores_from_edges(edges)
+
+    def top(df: DataFrame, col: str, role: str) -> DataFrame:
+        total = df.agg(F.sum(col).alias("t"))
+        scored = df.crossJoin(total).select(
+            F.lit(role).alias("role"),
+            F.col("dst" if role == "authority" else "src").alias("node"),
+            (F.floor(F.col(col) / F.col("t") * 1e6 + F.lit(0.501))
+             / F.lit(1e6)).alias("score"),
+        )
+        return scored.orderBy(F.col("score").desc(), "node").limit(HITS_TOP)
+
+    both = top(auth, "a", "authority").unionByName(top(hubs, "h", "hub"))
+    w = F.row_number().over(
+        bounded_rank_window(
+            F.col("node"), "role", F.col("score").desc(), "node"
+        )
+    ) - F.when(F.col("role") == "hub", F.lit(HITS_TOP)).otherwise(F.lit(0))
+    return (
+        both.withColumn("rnk", w.cast("int"))
+        .orderBy("role", "rnk")
+    )
+
+
+def _hits_oracle() -> str:
+    its = ["""
+        h0 AS (SELECT DISTINCT src AS node, 1e0 AS h FROM base)"""]
+    prev_h = "h0"
+    for k in range(1, HITS_ITERS + 1):
+        its.append(f"""
+        a{k} AS MATERIALIZED (
+            SELECT e.dst AS node, sum(h.h * e.w) AS a
+            FROM base e JOIN {prev_h} h ON h.node = e.src
+            GROUP BY e.dst
+        ),
+        h{k} AS MATERIALIZED (
+            SELECT e.src AS node, sum(a.a * e.w) AS h
+            FROM base e JOIN a{k} a ON a.node = e.dst
+            GROUP BY e.src
+        )""")
+        prev_h = f"h{k}"
+    k = HITS_ITERS
+    return f"""
+        WITH base AS MATERIALIZED (
+            SELECT CAST(l.l_suppkey AS VARCHAR) AS src,
+                   CAST(o.o_custkey AS VARCHAR) AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ),{",".join(its)},
+        ranked AS (
+            SELECT role, node, score,
+                   CAST(row_number() OVER (PARTITION BY role
+                       ORDER BY score DESC, node) AS INT) AS rnk
+            FROM (
+                SELECT 'authority' AS role, node,
+                       floor(a / (SELECT sum(a) FROM a{k}) * 1e6 + 0.501e0)
+                           / 1e6 AS score
+                FROM a{k}
+                UNION ALL
+                SELECT 'hub', node,
+                       floor(h / (SELECT sum(h) FROM h{k}) * 1e6 + 0.501e0)
+                           / 1e6 AS score
+                FROM h{k}
+            )
+        )
+        SELECT role, node, score, rnk
+        FROM ranked WHERE rnk <= {HITS_TOP}
+        ORDER BY role, rnk
+    """
+
+
+QUERIES["hits_hub_authority"] = hits_hub_authority
+ORACLE["hits_hub_authority"] = _hits_oracle()

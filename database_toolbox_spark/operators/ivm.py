@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_toolbox_spark.functions import disc_price, money, ratio, ts
+from database_toolbox_spark.functions import (
+    bounded_rank_window,
+    disc_price,
+    money,
+    ratio,
+    ts,
+)
 from database_toolbox_spark.operators._oracle import R
 from database_toolbox_spark.session import load_table
 
@@ -141,13 +147,60 @@ def ivm_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPK_K = 10
+
+
+def ivm_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k view maintenance under insert-only deltas: the stored view
+    keeps only the current top-K rows; on a delta batch, the new view is
+    top-K of (stored top-K UNION top-K(delta)) — a 2K-row merge, never a
+    base-table rescan. Sound because insert-only deltas can only push
+    rows OUT of the top-K, and any new entrant must rank in the delta's
+    own top-K (deletes would need the K+1.. ladder, i.e. a different
+    auxiliary state — documented limit, matching the self-maintainability
+    taxonomy the aggregate views above follow).
+
+    Scale shape: each arm is a TakeOrderedAndProject (K rows cross the
+    wire per partition); the merge re-ranks 2K rows. The oracle is the
+    full-table top-K — equality is the maintenance-correctness proof."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+
+    def topk(df: DataFrame) -> DataFrame:
+        return df.select("o_orderkey", "o_totalprice").orderBy(*key).limit(
+            TOPK_K
+        )
+
+    base = topk(orders.filter(F.col("o_orderdate") < ts(SPLIT)))
+    delta = topk(orders.filter(F.col("o_orderdate") >= ts(SPLIT)))
+    merged = topk(base.unionByName(delta))
+    w = bounded_rank_window(
+        F.col("o_orderkey"), F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return merged.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "o_orderkey",
+        money(F.col("o_totalprice")).alias("price"),
+    ).orderBy("rank")
+
+
 QUERIES = {
     "ivm_monthly_revenue": ivm_monthly_revenue,
+    "ivm_topk_maintenance": ivm_topk_maintenance,
     "ivm_join_view_delta": ivm_join_view_delta,
     "ivm_distinct_merge": ivm_distinct_merge,
 }
 
 ORACLE = {
+    "ivm_topk_maintenance": f"""
+        SELECT CAST(row_number() OVER (
+                   ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank,
+               o_orderkey,
+               {R("o_totalprice")} AS price
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT {TOPK_K}
+    """,
     # full recompute — the incremental path must reproduce it exactly
     "ivm_monthly_revenue": f"""
         SELECT l_returnflag,

@@ -402,3 +402,115 @@ def test_powerlaw_matches_numpy_polyfit(spark):
     assert row.n_users == per_user.size
     assert row.max_activity == per_user.max()
     assert 0.0 <= row.r_squared <= 1.0
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def test_hits_two_stars_hub_and_authority_structure(spark):
+    """Two disjoint stars (sA -> c1..c4, sB -> c5..c6, unit weights):
+    within each component HITS keeps all leaf authorities equal, and the
+    bigger star's hub/authority scores dominate (its lambda1 is larger)."""
+    from database_toolbox_spark.operators.graph import hits_scores_from_edges
+
+    edges = spark.createDataFrame(
+        [("sA", f"c{i}", 1.0) for i in range(1, 5)]
+        + [("sB", f"c{i}", 1.0) for i in range(5, 7)],
+        "src string, dst string, w double",
+    )
+    auth, hubs = hits_scores_from_edges(edges, iters=4)
+    a = {r.dst: r.a for r in auth.collect()}
+    h = {r.src: r.h for r in hubs.collect()}
+    assert len({a[f"c{i}"] for i in range(1, 5)}) == 1
+    assert len({a[f"c{i}"] for i in range(5, 7)}) == 1
+    assert a["c1"] > a["c5"]
+    assert h["sA"] > h["sB"]
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """Fixture-graph anchor: the operator's normalized authority scores
+    must match an independent numpy replay of 4 un-normalized rounds."""
+    import numpy as np
+
+    from database_toolbox_spark.operators.graph import (
+        HITS_ITERS,
+        hits_hub_authority,
+    )
+    from database_toolbox_spark.session import load_tables
+
+    load_tables(spark, SF_DIR)
+    got = {(r.role, r.node): r.score
+           for r in hits_hub_authority(spark, SF_DIR).collect()}
+    edges = spark.sql("""
+        SELECT CAST(l.l_suppkey AS STRING) AS src,
+               CAST(o.o_custkey AS STRING) AS dst,
+               CAST(count(*) AS DOUBLE) AS w
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    """).toPandas()
+    srcs = sorted(edges["src"].unique())
+    dsts = sorted(edges["dst"].unique())
+    si = {s: i for i, s in enumerate(srcs)}
+    di = {d: i for i, d in enumerate(dsts)}
+    W = np.zeros((len(srcs), len(dsts)))
+    for r in edges.itertuples():
+        W[si[r.src], di[r.dst]] = r.w
+    h = np.ones(len(srcs))
+    for _ in range(HITS_ITERS):
+        a = W.T @ h
+        h = W @ a
+    a_n = a / a.sum()
+    h_n = h / h.sum()
+    for (role, node), score in got.items():
+        want = a_n[di[node]] if role == "authority" else h_n[si[node]]
+        assert abs(score - want) < 1e-5, (role, node, score, want)
+
+
+# ---------------------------------------------------------------- IVM top-k
+
+
+def test_ivm_topk_matches_full_recompute(spark):
+    from database_toolbox_spark.operators.ivm import (
+        TOPK_K,
+        ivm_topk_maintenance,
+    )
+
+    got = ivm_topk_maintenance(spark, SF_DIR).collect()
+    orders = pd.read_parquet(table_path(SF_DIR, "orders"))
+    want = orders.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(TOPK_K)
+    assert [r.o_orderkey for r in got] == want["o_orderkey"].tolist()
+    assert [r.rank for r in got] == list(range(1, TOPK_K + 1))
+    for r, (_, w) in zip(got, want.iterrows()):
+        assert abs(r.price - w["o_totalprice"]) < 0.005
+
+
+def test_ivm_topk_planted_delta_entrant(spark):
+    """A delta row above the stored top-1 must enter at rank 1 — the
+    merge path, not just the steady state."""
+    from database_toolbox_spark.operators.ivm import (
+        SPLIT,
+        ivm_topk_maintenance,
+    )
+    from database_toolbox_spark.session import load_table
+
+    orders = pd.read_parquet(table_path(SF_DIR, "orders"))
+    top_price = orders["o_totalprice"].max()
+    planted = pd.DataFrame([{
+        "o_orderkey": 999_999_999,
+        "o_custkey": 1,
+        "o_orderstatus": "O",
+        "o_totalprice": top_price + 1000.0,
+        # after SPLIT -> lands in the delta arm
+        "o_orderdate": pd.Timestamp(SPLIT) + pd.Timedelta(days=1),
+        "o_orderpriority": "1-URGENT",
+    }])
+    aug = pd.concat([orders, planted], ignore_index=True)
+    spark.createDataFrame(aug).createOrReplaceTempView("orders")
+    try:
+        got = ivm_topk_maintenance(spark, SF_DIR).collect()
+    finally:
+        load_table(spark, SF_DIR, "orders", replace=True)
+    assert got[0].o_orderkey == 999_999_999
+    assert got[0].rank == 1
