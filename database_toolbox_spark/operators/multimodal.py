@@ -887,3 +887,103 @@ ORACLE["image_dhash_near_dup_pairs"] = _DHASH_ORACLE_CTES + _dhash_pairs_tail(
     lambda a, b: f"xor({a}, {b})",
     "(SELECT unnest(range(4)) AS b) t",
 )
+
+
+# --- spectrogram profile (framed DFT) ----------------------------------------
+
+SPEC_FRAMES = 4  # non-overlapping 16-sample frames -> 64 leading samples
+
+
+def _spectrogram_tail() -> str:
+    """Corpus spectral profile given a `p(doc_id, f, k, power)` relation:
+    per (frame, dominant bin) — the argmax bin over the frame's 8
+    canon-rounded powers, ties to the LOWER bin — document count and mean
+    frame energy. Rounding BEFORE the argmax is the determinism guard:
+    cos/sin libm ulps differ between engines, and 2-decimal rounding of
+    O(2^22) powers leaves ~1e-9 relative headroom (the audio_dft_power
+    argument), so both engines pick the identical dominant bin."""
+    return f"""
+        tot AS (
+            SELECT doc_id, f, sum(power) AS frame_energy FROM p
+            GROUP BY doc_id, f
+        ),
+        dom AS (
+            SELECT doc_id, f, min(k) AS dom_bin FROM (
+                SELECT doc_id, f, k, power,
+                       max(power) OVER (PARTITION BY doc_id, f) AS mx
+                FROM p
+            ) x WHERE power = mx GROUP BY doc_id, f
+        )
+        SELECT CAST(d.f AS INT) AS frame,
+               CAST(d.dom_bin AS INT) AS dominant_bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               {R("avg(t.frame_energy)", 2)} AS avg_frame_energy
+        FROM dom d JOIN tot t ON t.doc_id = d.doc_id AND t.f = d.f
+        GROUP BY d.f, d.dom_bin
+        ORDER BY frame, dominant_bin
+    """
+
+
+def audio_spectrogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed power spectrum — the spectrogram extension of
+    audio_dft_power: SPEC_FRAMES non-overlapping 16-sample frames per
+    document (frame f reads samples f*16..f*16+15, bias-centered, zero
+    past text end), 8 DFT bins per frame AS SQL, then the corpus-level
+    (frame, dominant-bin) histogram with mean frame energy. The
+    time-frequency feature a real audio pipeline feeds downstream
+    (keyword spotting, VAD) — here with the deterministic byte-PCM stand-
+    in the multimodal tier documents, so the Spark-side plumbing (frame
+    explode -> per-frame transform -> spectral rollup) is real and
+    tested.
+
+    Scale shape: pure per-row projection exploded to frames x bins rows
+    per doc (32), then one grouped argmax (window partitioned by
+    doc+frame) and one grouped rollup — no UDF, no unbounded state."""
+    load_table(spark, sf_dir, "documents")
+    dev = (f"CASE WHEN f.f * {DFT_N} + i < length(text) THEN "
+           f"ascii(substr(text, CAST(f.f * {DFT_N} + i + 1 AS INT), 1))"
+           f" - {AUDIO_BIAS} ELSE 0 END")
+    trig = f"2e0 * pi() * k.k * i / {DFT_N}e0"
+    return spark.sql(f"""
+        WITH k AS (SELECT explode(sequence(0, {DFT_BINS - 1})) AS k),
+        f AS (SELECT explode(sequence(0, {SPEC_FRAMES - 1})) AS f),
+        d AS (
+            SELECT doc_id, f.f, k.k,
+                   aggregate(sequence(0, {DFT_N - 1}), CAST(0 AS DOUBLE),
+                       (acc, i) -> acc + ({dev}) * cos({trig})) AS re,
+                   aggregate(sequence(0, {DFT_N - 1}), CAST(0 AS DOUBLE),
+                       (acc, i) -> acc + ({dev}) * sin({trig})) AS im
+            FROM documents CROSS JOIN f CROSS JOIN k
+        ),
+        p AS (
+            SELECT doc_id, f, k, {R("re * re + im * im", 2)} AS power
+            FROM d
+        ),
+        {_spectrogram_tail()}
+    """)
+
+
+_DUCK_SPEC_DEV = (f"CASE WHEN f.f * {DFT_N} + i < length(text) THEN "
+                  f"ascii(substr(text, CAST(f.f * {DFT_N} + i + 1 AS INT), 1))"
+                  f" - {AUDIO_BIAS} ELSE 0 END")
+
+QUERIES["audio_spectrogram_profile"] = audio_spectrogram_profile
+ORACLE["audio_spectrogram_profile"] = f"""
+    WITH k AS (SELECT unnest(range(0, {DFT_BINS})) AS k),
+    f AS (SELECT unnest(range(0, {SPEC_FRAMES})) AS f),
+    d AS (
+        SELECT doc_id, f.f, k.k,
+               list_aggregate(list_transform(range(0, {DFT_N}),
+                   i -> ({_DUCK_SPEC_DEV}) * cos({_DUCK_DFT_TRIG})),
+                   'sum') AS re,
+               list_aggregate(list_transform(range(0, {DFT_N}),
+                   i -> ({_DUCK_SPEC_DEV}) * sin({_DUCK_DFT_TRIG})),
+                   'sum') AS im
+        FROM documents CROSS JOIN f CROSS JOIN k
+    ),
+    p AS (
+        SELECT doc_id, f, k, {R("re * re + im * im", 2)} AS power
+        FROM d
+    ),
+    {_spectrogram_tail()}
+"""

@@ -1918,3 +1918,86 @@ ORACLE["holt_winters_weekly_forecast"] = f"""
     st AS (SELECT {_hw_duck_fold()} AS state FROM ini),
     {_hw_tail(lambda i: f"st.state[{i}]")}
 """
+
+
+# --- Population Stability Index (distribution drift) --------------------------
+
+PSI_SPLIT = "1999-01-01"  # reference = orders before, current = after
+PSI_BUCKETS = 10
+PSI_EPS = "1e-6"  # Laplace floor so empty buckets cannot produce ln(0)
+
+_PSI_SQL = f"""
+    WITH ref AS (
+        SELECT o_totalprice AS x FROM orders
+        WHERE o_orderdate < TIMESTAMP '{PSI_SPLIT} 00:00:00'
+    ),
+    cur AS (
+        SELECT o_totalprice AS x FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{PSI_SPLIT} 00:00:00'
+    ),
+    cuts AS (
+        SELECT {", ".join(
+            f"percentile(x, {i / 10}e0) AS c{i}" for i in range(1, 10)
+        )},
+               count(*) AS nref
+        FROM ref
+    ),
+    nc AS (SELECT count(*) AS ncur FROM cur),
+    bucketed AS (
+        SELECT b.side, b.bucket, count(*) AS n FROM (
+            SELECT side,
+                   CASE {" ".join(
+                       f"WHEN x <= c.c{i} THEN {i - 1}" for i in range(1, 10)
+                   )} ELSE 9 END AS bucket
+            FROM (
+                SELECT 0 AS side, x FROM ref
+                UNION ALL
+                SELECT 1 AS side, x FROM cur
+            ) s CROSS JOIN cuts c
+        ) b GROUP BY b.side, b.bucket
+    ),
+    grid AS (
+        SELECT t.bucket,
+               coalesce(r.n, 0) * 1e0 / c.nref + {PSI_EPS} AS p,
+               coalesce(u.n, 0) * 1e0 / n.ncur + {PSI_EPS} AS q
+        FROM (SELECT DISTINCT bucket FROM bucketed) t
+        CROSS JOIN cuts c CROSS JOIN nc n
+        LEFT JOIN bucketed r ON r.bucket = t.bucket AND r.side = 0
+        LEFT JOIN bucketed u ON u.bucket = t.bucket AND u.side = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           {R("sum((q - p) * ln(q / p))", 6)} AS psi,
+           {R("max(abs(q - p))", 6)} AS max_bucket_shift,
+           -- band on the ROUNDED psi so a merge-order ulp at the 0.1/0.2
+           -- boundary cannot split the engines
+           CASE WHEN {R("sum((q - p) * ln(q / p))", 6)} > 0.2e0 THEN 1
+                WHEN {R("sum((q - p) * ln(q / p))", 6)} > 0.1e0 THEN 2
+                ELSE 0 END AS drift_band
+    FROM grid
+"""
+
+
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-price distribution between
+    the pre-{PSI_SPLIT} reference period and everything after — the
+    standard ML-monitoring drift score (credit-scoring practice; see e.g.
+    Siddiqi, "Credit Risk Scorecards", 2006 §Monitoring): decile buckets
+    from the REFERENCE distribution, PSI = sum (q-p) ln(q/p), with the
+    usual rule-of-thumb bands (>0.2 action=1, >0.1 watch=2, else 0 —
+    band evaluated on the raw sum, one shared float expression in both
+    engines). The population-level companion to ks_divergence_by_source
+    (shape test) and embedding_centroid_drift (representation drift).
+
+    Scale shape: one exact-percentile pass over the reference (1-row
+    broadcast cutpoint relation — the equidepth_price_buckets shape),
+    one CASE-ladder bucketing scan over both periods, then a 10-row
+    rollup. The epsilon floor keeps empty buckets finite (the standard
+    PSI Laplace fix)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_PSI_SQL)
+
+
+QUERIES["psi_price_drift"] = psi_price_drift
+ORACLE["psi_price_drift"] = _PSI_SQL.replace(
+    "percentile(", "quantile_cont("
+)

@@ -514,3 +514,72 @@ def test_ivm_topk_planted_delta_entrant(spark):
         load_table(spark, SF_DIR, "orders", replace=True)
     assert got[0].o_orderkey == 999_999_999
     assert got[0].rank == 1
+
+
+# ---------------------------------------------------------------- spectrogram
+
+
+def test_spectrogram_matches_numpy_fft(spark):
+    """The framed SQL spectrogram's (frame, dominant bin) histogram and
+    mean frame energy must match a numpy FFT replay over every doc."""
+    from collections import defaultdict
+
+    from database_toolbox_spark.operators.multimodal import (
+        AUDIO_BIAS,
+        DFT_BINS,
+        DFT_N,
+        SPEC_FRAMES,
+        audio_spectrogram_profile,
+    )
+
+    got = {(r.frame, r.dominant_bin): r
+           for r in audio_spectrogram_profile(spark, SF_DIR).collect()}
+    docs = pd.read_parquet(table_path(SF_DIR, "documents"))
+    counts: dict = defaultdict(int)
+    energy: dict = defaultdict(float)
+    for _, d in docs.iterrows():
+        data = d.text.encode()
+        for f in range(SPEC_FRAMES):
+            dev = np.zeros(DFT_N)
+            chunk = data[f * DFT_N:(f + 1) * DFT_N]
+            if chunk:
+                dev[: len(chunk)] = np.frombuffer(
+                    chunk, np.uint8
+                ).astype(float) - AUDIO_BIAS
+            p = np.round(np.abs(np.fft.fft(dev)[:DFT_BINS]) ** 2, 2)
+            k = int(np.argmin(np.where(p == p.max(), np.arange(DFT_BINS),
+                                       DFT_BINS)))
+            counts[(f, k)] += 1
+            energy[(f, k)] += p.sum()
+    assert set(got) == set(counts)
+    for key, r in got.items():
+        assert r.n_docs == counts[key], (key, r.n_docs, counts[key])
+        assert abs(r.avg_frame_energy - energy[key] / counts[key]) < 0.5
+
+
+# ---------------------------------------------------------------- PSI
+
+
+def test_psi_matches_numpy_recount(spark):
+    from database_toolbox_spark.operators.stats import (
+        PSI_SPLIT,
+        psi_price_drift,
+    )
+
+    row = psi_price_drift(spark, SF_DIR).collect()[0]
+    orders = pd.read_parquet(table_path(SF_DIR, "orders"))
+    split = pd.Timestamp(PSI_SPLIT)
+    ref = orders.loc[orders.o_orderdate < split, "o_totalprice"].to_numpy()
+    cur = orders.loc[orders.o_orderdate >= split, "o_totalprice"].to_numpy()
+    cuts = np.percentile(ref, np.arange(10, 100, 10), method="linear")
+    rb = np.searchsorted(cuts, ref, side="left")
+    cb = np.searchsorted(cuts, cur, side="left")
+    eps = 1e-6
+    p = np.bincount(rb, minlength=10) / len(ref) + eps
+    q = np.bincount(cb, minlength=10) / len(cur) + eps
+    psi = ((q - p) * np.log(q / p)).sum()
+    assert abs(row.psi - psi) < 1e-4, (row.psi, psi)
+    assert abs(row.max_bucket_shift - np.abs(q - p).max()) < 1e-4
+    assert row.n_buckets == 10
+    want_band = 1 if psi > 0.2 else (2 if psi > 0.1 else 0)
+    assert row.drift_band == want_band
