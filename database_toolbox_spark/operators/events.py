@@ -1485,3 +1485,67 @@ def user_activity_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["user_activity_powerlaw"] = user_activity_powerlaw
 ORACLE["user_activity_powerlaw"] = _ACTIVITY_POWERLAW_SQL
+
+
+# --- bot-likeness flags ---------------------------------------------------------
+
+BOT_MIN_EVENTS = 10  # flag only users with enough gaps to judge
+BOT_CV_NUM = 1  # regularity flag: CV < NUM/DEN (exact via sd*DEN < mu*NUM)
+BOT_CV_DEN = 4
+
+
+def _bot_flags_sql(us: str) -> str:
+    return f"""
+        WITH g AS (
+            SELECT user_id,
+                   ({us} - lag({us}) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) / 1e6
+                       AS gap_s
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id,
+                   count(gap_s) AS n_gaps,
+                   avg(gap_s) AS mu,
+                   stddev_samp(gap_s) AS sd
+            FROM g GROUP BY user_id
+        ),
+        flags AS (
+            SELECT user_id, n_gaps,
+                   CASE WHEN n_gaps >= {BOT_MIN_EVENTS}
+                             AND sd * {BOT_CV_DEN} < mu * {BOT_CV_NUM}
+                        THEN 1 ELSE 0 END AS too_regular
+            FROM per_user
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN n_gaps >= {BOT_MIN_EVENTS} THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_judgeable,
+               CAST(sum(too_regular) AS BIGINT) AS n_flagged,
+               {R(f"sum(too_regular) * 1e0"
+                  f" / sum(CASE WHEN n_gaps >= {BOT_MIN_EVENTS} THEN 1"
+                  f" ELSE 0 END)", 6)} AS flagged_rate
+        FROM flags
+    """
+
+
+def bot_user_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metronome-bot screen over per-user inter-arrival gaps: a user whose
+    gap coefficient of variation falls below 1/4 with at least
+    BOT_MIN_EVENTS gaps is ticking too regularly for a human (human
+    inter-event CV sits near 1, the Poisson line — see
+    interarrival_burstiness; scripted traffic clusters near 0). Reports
+    the corpus summary the abuse dashboard wants: judgeable users,
+    flagged count, flagged rate.
+
+    Determinism: the CV threshold compares sd * DEN < mu * NUM — no
+    float-literal division, and sd/mu come from identical per-user gap
+    sets in both engines (window ordered by (ts, event_id)).
+
+    Scale shape: one lag window PARTITIONed BY user, one grouped
+    moment pass per user, one scalar rollup — per-user state only."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_bot_flags_sql("unix_micros(CAST(ts AS TIMESTAMP))"))
+
+
+QUERIES["bot_user_flags"] = bot_user_flags
+ORACLE["bot_user_flags"] = _bot_flags_sql("epoch_us(ts)")

@@ -522,3 +522,107 @@ def cross_doc_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["cross_doc_span_coverage"] = cross_doc_span_coverage
 ORACLE["cross_doc_span_coverage"] = _span_coverage_sql(_DUCK_POS_SHINGLES)
+
+
+# --- split decontamination (the transform twin of the leakage audit) ---------
+
+
+def _decontam_resplit_sql(pairs_sql: str, bucket_expr: str) -> str:
+    """The (doc_id, split_name, new_split) relation — split out so the
+    Spark side can materialize it once: the counts tail reads it 3x
+    (before/moved/after), and CTE inlining would replay the whole
+    banded-LSH pair join per reference."""
+    return f"""
+        WITH pairs AS (
+            {pairs_sql}
+        ),
+        splits AS (
+            SELECT doc_id,
+                   CASE WHEN {bucket_expr} < 90 THEN 'train'
+                        WHEN {bucket_expr} < 95 THEN 'valid'
+                        ELSE 'test' END AS split_name
+            FROM documents
+        ),
+        contaminated AS (
+            SELECT DISTINCT CASE WHEN sa.split_name = 'train'
+                                 THEN p.doc_b ELSE p.doc_a END AS doc_id
+            FROM pairs p
+            JOIN splits sa ON sa.doc_id = p.doc_a
+            JOIN splits sb ON sb.doc_id = p.doc_b
+            WHERE (sa.split_name = 'train' AND sb.split_name <> 'train')
+               OR (sb.split_name = 'train' AND sa.split_name <> 'train')
+        ),
+        resplit AS (
+            SELECT s.doc_id, s.split_name,
+                   CASE WHEN c.doc_id IS NOT NULL THEN 'train'
+                        ELSE s.split_name END AS new_split
+            FROM splits s LEFT JOIN contaminated c ON c.doc_id = s.doc_id
+        )
+        SELECT doc_id, split_name, new_split FROM resplit
+    """
+
+
+_DECONTAM_TAIL = """
+        before AS (
+            SELECT split_name, count(*) AS n FROM resplit GROUP BY split_name
+        ),
+        moved AS (
+            SELECT split_name, count(*) AS n FROM resplit
+            WHERE new_split <> split_name GROUP BY split_name
+        ),
+        after AS (
+            SELECT new_split AS split_name, count(*) AS n FROM resplit
+            GROUP BY new_split
+        )
+        SELECT b.split_name,
+               CAST(b.n AS BIGINT) AS n_before,
+               CAST(coalesce(m.n, 0) AS BIGINT) AS n_moved_to_train,
+               CAST(coalesce(a.n, 0) AS BIGINT) AS n_after
+        FROM before b
+        LEFT JOIN moved m ON m.split_name = b.split_name
+        LEFT JOIN after a ON a.split_name = b.split_name
+        ORDER BY b.split_name
+"""
+
+
+def split_decontaminated_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split decontamination — the TRANSFORM twin of split_leakage_audit:
+    every valid/test document with a verified near-duplicate in train is
+    REASSIGNED to train (moving, not dropping, preserves corpus mass and
+    is the standard remediation: the eval sets lose only their
+    contaminated members, and no train text is discarded). Reports the
+    per-split before/moved/after accounting. valid x test cross-pairs
+    are left in place (they do not leak train data into evals — the
+    audit row documents them).
+
+    Scale shape: the pair set is the banded-LSH join reused from the
+    audit; contamination is two doc_id equi-joins + a DISTINCT; the
+    re-split is a per-row projection with one LEFT join; counts are
+    3-row rollups."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    materialize(spark.sql(_decontam_resplit_sql(
+        _band_pairs_sql(
+            _SPARK_SHINGLES, lambda a, b: f"concat({a}, {b})"
+        ),
+        _SPLIT_BUCKET_SPARK,
+    ))).createOrReplaceTempView("decontam_resplit_v")
+    return spark.sql(
+        "WITH resplit AS (SELECT * FROM decontam_resplit_v)," + _DECONTAM_TAIL
+    )
+
+
+QUERIES["split_decontaminated_counts"] = split_decontaminated_counts
+# the resplit body keeps its own nested WITH (legal inside the CTE parens)
+ORACLE["split_decontaminated_counts"] = (
+    "WITH resplit AS MATERIALIZED ("
+    + _decontam_resplit_sql(
+        _band_pairs_sql(_DUCK_SHINGLES, lambda a, b: f"({a} || {b})"),
+        _SPLIT_BUCKET_DUCK,
+    )
+    + "),"
+    + _DECONTAM_TAIL
+)

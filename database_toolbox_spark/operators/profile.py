@@ -1275,3 +1275,91 @@ QUERIES["t_closeness_audit"] = t_closeness_audit
 ORACLE["t_closeness_audit"] = (
     "WITH j AS MATERIALIZED (" + _T_CLOSE_J_SQL + ")," + _T_CLOSENESS_TAIL
 )
+
+
+# --- approximate functional-dependency audit -----------------------------------
+
+_FD_SQL = """
+    WITH fd1 AS (
+        SELECT 'c_nationkey -> c_mktsegment' AS fd,
+               CAST(count(*) AS BIGINT) AS n_lhs_values,
+               CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_lhs,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN n_rhs > 1 THEN n_rows - max_rhs_rows
+                        ELSE 0 END) AS BIGINT) AS n_violation_rows
+        FROM (
+            SELECT c_nationkey,
+                   count(DISTINCT c_mktsegment) AS n_rhs,
+                   sum(seg_rows) AS n_rows,
+                   max(seg_rows) AS max_rhs_rows
+            FROM (
+                SELECT c_nationkey, c_mktsegment, count(*) AS seg_rows
+                FROM customer GROUP BY c_nationkey, c_mktsegment
+            ) g
+            GROUP BY c_nationkey
+        ) v
+    ),
+    fd2 AS (
+        SELECT 'n_nationkey -> n_regionkey' AS fd,
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(n_rows) AS BIGINT),
+               CAST(sum(CASE WHEN n_rhs > 1 THEN n_rows - max_rhs_rows
+                        ELSE 0 END) AS BIGINT)
+        FROM (
+            SELECT n_nationkey,
+                   count(DISTINCT n_regionkey) AS n_rhs,
+                   sum(rk_rows) AS n_rows,
+                   max(rk_rows) AS max_rhs_rows
+            FROM (
+                SELECT n_nationkey, n_regionkey, count(*) AS rk_rows
+                FROM nation GROUP BY n_nationkey, n_regionkey
+            ) g GROUP BY n_nationkey
+        ) v
+    ),
+    fd3 AS (
+        SELECT 'o_custkey -> o_orderpriority' AS fd,
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(n_rows) AS BIGINT),
+               CAST(sum(CASE WHEN n_rhs > 1 THEN n_rows - max_rhs_rows
+                        ELSE 0 END) AS BIGINT)
+        FROM (
+            SELECT o_custkey,
+                   count(DISTINCT o_orderpriority) AS n_rhs,
+                   sum(pr_rows) AS n_rows,
+                   max(pr_rows) AS max_rhs_rows
+            FROM (
+                SELECT o_custkey, o_orderpriority, count(*) AS pr_rows
+                FROM orders GROUP BY o_custkey, o_orderpriority
+            ) g GROUP BY o_custkey
+        ) v
+    )
+    SELECT * FROM fd1
+    UNION ALL SELECT * FROM fd2
+    UNION ALL SELECT * FROM fd3
+    ORDER BY fd
+"""
+
+
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency discovery (TANE-style g3 error,
+    Huhtala et al., Comput. J. 1999) for three candidate FDs: per LHS
+    value, does more than one RHS value occur, and how many rows would
+    have to be removed to make the FD exact (rows minus the majority
+    RHS — the g3 measure). n_nationkey -> n_regionkey must hold exactly
+    (it is the schema's real FD); the other two quantify how far the
+    data is from accidental dependencies — the profiling signal schema
+    designers and CBO join-estimators both want.
+
+    Scale shape: each candidate is one grouped count at (LHS, RHS) grain
+    (map-side combinable) re-aggregated per LHS — two grouped passes per
+    FD, never a self-join or window; identical SQL text on both
+    engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_FD_SQL)
+
+
+QUERIES["functional_dependency_audit"] = functional_dependency_audit
+ORACLE["functional_dependency_audit"] = _FD_SQL

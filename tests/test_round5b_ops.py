@@ -583,3 +583,126 @@ def test_psi_matches_numpy_recount(spark):
     assert row.n_buckets == 10
     want_band = 1 if psi > 0.2 else (2 if psi > 0.1 else 0)
     assert row.drift_band == want_band
+
+
+# ---------------------------------------------------------------- FD audit
+
+
+def test_fd_audit_schema_fd_holds_and_g3_matches(spark):
+    from database_toolbox_spark.operators.profile import (
+        functional_dependency_audit,
+    )
+
+    got = {r.fd: r for r in
+           functional_dependency_audit(spark, SF_DIR).collect()}
+    # the schema's real FD must be violation-free
+    fd = got["n_nationkey -> n_regionkey"]
+    assert fd.n_violating_lhs == 0 and fd.n_violation_rows == 0
+    # g3 recount for the orders candidate
+    orders = pd.read_parquet(table_path(SF_DIR, "orders"))
+    g = orders.groupby(["o_custkey", "o_orderpriority"]).size()
+    per_lhs = g.groupby(level=0).agg(["count", "sum", "max"])
+    want_viol_lhs = (per_lhs["count"] > 1).sum()
+    want_viol_rows = int(
+        (per_lhs.loc[per_lhs["count"] > 1, "sum"]
+         - per_lhs.loc[per_lhs["count"] > 1, "max"]).sum()
+    )
+    fd3 = got["o_custkey -> o_orderpriority"]
+    assert fd3.n_violating_lhs == want_viol_lhs
+    assert fd3.n_violation_rows == want_viol_rows
+    assert fd3.n_lhs_values == orders["o_custkey"].nunique()
+
+
+# ---------------------------------------------------------------- bot flags
+
+
+def test_bot_flags_match_pandas_and_planted_metronome(spark):
+    from database_toolbox_spark.operators.events import (
+        BOT_MIN_EVENTS,
+        bot_user_flags,
+    )
+    from database_toolbox_spark.session import load_table
+
+    row = bot_user_flags(spark, SF_DIR).collect()[0]
+    ev = pd.read_parquet(table_path(SF_DIR, "events"))
+
+    def recount(frame):
+        frame = frame.sort_values(["user_id", "ts", "event_id"])
+        us = frame["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        gaps = us.groupby(frame["user_id"]).diff().dropna() / 1e6
+        st = gaps.groupby(frame.loc[gaps.index, "user_id"]).agg(
+            ["count", "mean", "std"]
+        )
+        judge = st["count"] >= BOT_MIN_EVENTS
+        flag = judge & (st["std"] * 4 < st["mean"] * 1)
+        return len(st), int(judge.sum()), int(flag.sum())
+
+    n_users, n_judge, n_flag = recount(ev)
+    assert row.n_users == n_users
+    assert row.n_judgeable == n_judge
+    assert row.n_flagged == n_flag
+    # plant a metronome: 30 events exactly 60 s apart must be flagged
+    bot = pd.DataFrame({
+        "event_id": range(10_000_000, 10_000_030),
+        "ts": pd.date_range("2024-01-10", periods=30, freq="60s"),
+        "user_id": 999_999,
+        "event_type": "click",
+        "value": 1.0,
+        "props": "{}",
+    })
+    aug = pd.concat([ev, bot], ignore_index=True)
+    spark.createDataFrame(aug).createOrReplaceTempView("events")
+    try:
+        row2 = bot_user_flags(spark, SF_DIR).collect()[0]
+    finally:
+        load_table(spark, SF_DIR, "events", replace=True)
+    assert row2.n_flagged == n_flag + 1
+    assert row2.n_users == n_users + 1
+
+
+# ---------------------------------------------------------------- decontam
+
+
+def test_split_decontamination_conserves_and_cleans(spark):
+    import hashlib
+
+    from database_toolbox_spark.operators.dedup import minhash_near_dup_pairs
+    from database_toolbox_spark.operators.fingerprints import (
+        split_decontaminated_counts,
+    )
+
+    got = {r.split_name: r for r in
+           split_decontaminated_counts(spark, SF_DIR).collect()}
+    total_before = sum(r.n_before for r in got.values())
+    total_after = sum(r.n_after for r in got.values())
+    assert total_before == total_after  # moving, not dropping
+    moved = sum(r.n_moved_to_train for r in got.values())
+    assert got["train"].n_moved_to_train == 0
+    assert got["train"].n_after == got["train"].n_before + moved
+    # after reassignment no train<->eval near-dup pair may remain
+    pairs = minhash_near_dup_pairs(spark, SF_DIR).select(
+        "doc_a", "doc_b"
+    ).collect()
+
+    def bucket(doc_id):
+        return int(
+            hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16
+        ) % 100
+
+    def split(doc_id):
+        b = bucket(doc_id)
+        return "train" if b < 90 else ("valid" if b < 95 else "test")
+
+    contaminated = set()
+    for p in pairs:
+        sa, sb = split(p.doc_a), split(p.doc_b)
+        if sa == "train" and sb != "train":
+            contaminated.add(p.doc_b)
+        elif sb == "train" and sa != "train":
+            contaminated.add(p.doc_a)
+    assert moved == len(contaminated)
+    new_split = {d: "train" for d in contaminated}
+    for p in pairs:
+        sa = new_split.get(p.doc_a, split(p.doc_a))
+        sb = new_split.get(p.doc_b, split(p.doc_b))
+        assert not (sa == "train") ^ (sb == "train"), (p, sa, sb)
