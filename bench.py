@@ -129,6 +129,19 @@ HEADLINE = [
     "distinctive_terms_by_source",
     "ks_divergence_by_source",
     "mutual_nn_pairs",
+    # round-5 continuation tranches: rolling-distinct engagement, LPA
+    # communities, HITS, ExactSubstr coverage, spectral + drift + privacy
+    # completions
+    "dau_wau_stickiness",
+    "label_propagation_communities",
+    "cross_doc_span_coverage",
+    "hits_hub_authority",
+    "holt_winters_weekly_forecast",
+    "t_closeness_audit",
+    "ndcg_ann_eval",
+    "psi_price_drift",
+    "split_decontaminated_counts",
+    "audio_spectrogram_profile",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

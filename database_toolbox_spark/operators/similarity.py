@@ -1641,3 +1641,98 @@ ORACLE["embedding_centroid_drift"] = _centroid_drift_sql(
     " generate_subscripts(embedding, 1) AS pos FROM embeddings)",
     mat="MATERIALIZED ",
 )
+
+
+# --- PQ quantization-distortion evaluation -----------------------------------
+
+
+def _pq_distortion_sql(subspaces: str, vslice, l2, sumsq) -> str:
+    """Per-subspace quantization distortion of the PQ codebooks: mean
+    L2^2 between each vector's subvector and its ASSIGNED codeword
+    (the same 1e-6-floored assignment _pq_sql codes with), normalized
+    by the subspace's mean subvector energy. distortion_ratio ~ 0 means
+    the codebook represents that subspace faithfully; ~1 means coding
+    destroys essentially all of its signal — the quantization-error
+    term behind ADC's distance bias (Jégou TPAMI'11 §III.B), and the
+    "measure, don't guess" gate for codebook changes, next to
+    ann_recall_eval / ndcg_ann_eval on the retrieval side."""
+    return f"""
+        WITH sub AS ({subspaces}),
+        cents AS (
+            SELECT sub.s, e.vec_id AS cid,
+                   {vslice("e.embedding", "sub.s")} AS cemb
+            FROM embeddings e CROSS JOIN sub
+            WHERE e.vec_id < {PQ_CENTROIDS}
+        ),
+        codes AS (
+            SELECT vec_id, s, d2 FROM (
+                SELECT v.vec_id, c.s,
+                       {l2(vslice("v.embedding", "c.s"), "c.cemb")} AS d2,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id, c.s
+                           ORDER BY floor({l2(vslice("v.embedding", "c.s"),
+                                              "c.cemb")}
+                                          * 1000000e0) / 1000000e0, c.cid
+                       ) AS rn
+                FROM embeddings v CROSS JOIN cents c
+            ) r WHERE rn = 1
+        ),
+        ene AS (
+            SELECT sub.s, avg({sumsq(vslice("e.embedding", "sub.s"))}) AS en
+            FROM embeddings e CROSS JOIN sub GROUP BY sub.s
+        ),
+        per_sub AS (
+            SELECT s, count(*) AS n, avg(d2) AS mse FROM codes GROUP BY s
+        )
+        SELECT CAST(p.s AS INT) AS subspace,
+               CAST(p.n AS BIGINT) AS n_vectors,
+               {R("p.mse", 6)} AS mse,
+               {R("e.en", 6)} AS mean_energy,
+               {R("p.mse / e.en", 6)} AS distortion_ratio
+        FROM per_sub p JOIN ene e ON e.s = p.s
+        ORDER BY subspace
+    """
+
+
+def pq_distortion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook distortion per subspace (see _pq_distortion_sql).
+
+    Scale shape: coding is the same broadcast-codebook one-pass
+    projection pq_ann_topk uses (k*m codebook rows broadcast against the
+    corpus; per-vector work is m x k LUT-free L2s); energy is a second
+    map-side pass; both rollups are 8-row aggregates."""
+    load_tables(spark, sf_dir)
+
+    def vslice(e, s):
+        return f"slice({e}, 1 + ({s}) * {PQ_SUBDIM}, {PQ_SUBDIM})"
+
+    def l2(a, b):
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+                f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+                f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+                f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+    def sumsq(a):
+        return (f"aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> "
+                f"acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+
+    return spark.sql(_pq_distortion_sql(
+        f"SELECT explode(sequence(0, {PQ_SUBSPACES - 1})) AS s",
+        vslice,
+        l2,
+        sumsq,
+    ))
+
+
+def _duck_pq_sumsq(a):
+    return (f"list_aggregate(list_transform({a}, x -> "
+            f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')")
+
+
+QUERIES["pq_distortion_eval"] = pq_distortion_eval
+ORACLE["pq_distortion_eval"] = _pq_distortion_sql(
+    f"SELECT unnest(range(0, {PQ_SUBSPACES})) AS s",
+    _duck_pq_slice,
+    _duck_pq_l2,
+    _duck_pq_sumsq,
+)

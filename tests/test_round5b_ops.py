@@ -706,3 +706,39 @@ def test_split_decontamination_conserves_and_cleans(spark):
         sa = new_split.get(p.doc_a, split(p.doc_a))
         sb = new_split.get(p.doc_b, split(p.doc_b))
         assert not (sa == "train") ^ (sb == "train"), (p, sa, sb)
+
+
+# ---------------------------------------------------------------- PQ distortion
+
+
+def test_pq_distortion_matches_numpy(spark):
+    from database_toolbox_spark.operators.similarity import (
+        PQ_CENTROIDS,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        pq_distortion_eval,
+    )
+
+    got = {r.subspace: r for r in
+           pq_distortion_eval(spark, SF_DIR).collect()}
+    emb = pd.read_parquet(table_path(SF_DIR, "embeddings"))
+    emb = emb.sort_values("vec_id")
+    X = np.stack(emb["embedding"]).astype(np.float64)
+    cb_ids = emb["vec_id"].to_numpy() < PQ_CENTROIDS
+    for s in range(PQ_SUBSPACES):
+        seg = slice(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM)
+        V = X[:, seg]
+        C = X[cb_ids][:, seg]
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # the operator assigns on the 1e-6-floored grid with cid ties ->
+        # replicate so knife-edge codewords agree
+        d2g = np.floor(d2 * 1e6) / 1e6
+        assign = d2g.argmin(axis=1)  # argmin takes first (lowest cid) tie
+        mse = d2[np.arange(len(V)), assign].mean()
+        energy = (V ** 2).sum(axis=1).mean()
+        r = got[s]
+        assert r.n_vectors == len(V)
+        assert abs(r.mse - mse) < 1e-4, (s, r.mse, mse)
+        assert abs(r.mean_energy - energy) < 1e-4
+        assert abs(r.distortion_ratio - mse / energy) < 1e-4
+        assert 0 <= r.distortion_ratio < 1  # sampled codebooks still help
