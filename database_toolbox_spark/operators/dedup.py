@@ -1824,3 +1824,101 @@ QUERIES["minhash_estimate_calibration"] = minhash_estimate_calibration
 ORACLE["minhash_estimate_calibration"] = _calibration_curve_sql(
     _DUCK_SHINGLES, lambda a, b: f"({a} || {b})", mat="MATERIALIZED "
 )
+
+
+# --- blocking quality evaluation ---------------------------------------------
+
+BLOCKEVAL_PCT = 10  # deterministic md5 sample of parts for the exact arm
+
+_BLOCKING_EVAL_TAIL = f"""
+    s AS (
+        SELECT p_partkey, p_name,
+               substr(p_name, 1, 1) AS blk,
+               row_number() OVER (PARTITION BY substr(p_name, 1, 1)
+                                  ORDER BY p_name, p_partkey) AS r
+        FROM samp
+    ),
+    cand AS (
+        SELECT least(a.p_partkey, b.p_partkey) AS ka,
+               greatest(a.p_partkey, b.p_partkey) AS kb
+        FROM s a JOIN s b
+          ON a.blk = b.blk AND b.r > a.r AND b.r <= a.r + {{w}}
+    ),
+    truth AS (
+        SELECT a.p_partkey AS ka, b.p_partkey AS kb
+        FROM samp a JOIN samp b ON b.p_partkey > a.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    j AS (
+        SELECT CASE WHEN t.ka IS NOT NULL THEN 1 ELSE 0 END AS is_true,
+               CASE WHEN c.ka IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+        FROM truth t FULL OUTER JOIN cand c
+          ON c.ka = t.ka AND c.kb = t.kb
+    ),
+    agg AS (
+        SELECT CAST(coalesce(sum(is_cand), 0) AS BIGINT) AS nc,
+               CAST(coalesce(sum(is_true), 0) AS BIGINT) AS nt,
+               CAST(coalesce(sum(is_true * is_cand), 0) AS BIGINT) AS nf
+        FROM j
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM samp)
+    SELECT nn.n AS n_sample,
+           CAST(nn.n * (nn.n - 1) / 2 AS BIGINT) AS n_all_pairs,
+           a.nc AS n_candidates,
+           a.nt AS n_true_matches,
+           a.nf AS n_found,
+           {R("1e0 - a.nc * 2e0 / (nn.n * (nn.n - 1e0))", 6)}
+               AS reduction_ratio,
+           {R("CASE WHEN a.nt = 0 THEN 1e0"
+              " ELSE a.nf * 1e0 / a.nt END", 6)} AS pairs_completeness
+    FROM nn CROSS JOIN agg a
+"""
+
+
+def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation for the sorted-neighborhood ER pipeline
+    (the standard RR/PC protocol — Christen, "Data Matching", 2012
+    §7.5): on a deterministic BLOCKEVAL_PCT% md5 sample of parts,
+    compare the SNM window's candidate set against the EXACT all-pairs
+    levenshtein <= 2 ground truth. Reduction ratio = share of pairs the
+    blocking never scores; pairs completeness = share of true matches
+    the blocking still reaches. The eval that says whether the
+    window/block-key choice is throwing away recall for its speed.
+
+    Scale shape: the exact arm is inherently quadratic, so it runs on
+    the bounded md5 sample ONLY (the ann_recall_eval pattern — the
+    evaluation panel stays fixed-size while the production blocking
+    scales). The sample is MATERIALIZED on the Spark side (four CTE
+    references — SNM ranks, both truth sides, the size count — would
+    each replay the part scan), and all five counts come from ONE
+    full-outer join of truth against candidates plus the sample count —
+    not a count-CTE per metric."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    bucket = (
+        "CAST(conv(substring(md5(CAST(p_partkey AS STRING)), 1, 4), 16, 10)"
+        " AS INT) % 100"
+    )
+    materialize(spark.sql(
+        f"SELECT p_partkey, p_name FROM part WHERE {bucket}"
+        f" < {BLOCKEVAL_PCT}"
+    )).createOrReplaceTempView("blockeval_samp_v")
+    return spark.sql(
+        "WITH samp AS (SELECT * FROM blockeval_samp_v),"
+        + _BLOCKING_EVAL_TAIL.format(w=SNM_WINDOW)
+    )
+
+
+_DUCK_BLOCKEVAL_BUCKET = (
+    "CAST(concat('0x', substr(md5(CAST(p_partkey AS VARCHAR)), 1, 4))"
+    " AS INTEGER) % 100"
+)
+
+QUERIES["blocking_quality_eval"] = blocking_quality_eval
+ORACLE["blocking_quality_eval"] = (
+    "WITH samp AS MATERIALIZED (SELECT p_partkey, p_name FROM part WHERE "
+    + _DUCK_BLOCKEVAL_BUCKET
+    + f" < {BLOCKEVAL_PCT}),"
+    + _BLOCKING_EVAL_TAIL.format(w=SNM_WINDOW)
+)

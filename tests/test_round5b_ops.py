@@ -742,3 +742,79 @@ def test_pq_distortion_matches_numpy(spark):
         assert abs(r.mean_energy - energy) < 1e-4
         assert abs(r.distortion_ratio - mse / energy) < 1e-4
         assert 0 <= r.distortion_ratio < 1  # sampled codebooks still help
+
+
+# ---------------------------------------------------------------- lateness
+
+
+def test_lateness_profile_matches_pandas(spark):
+    from database_toolbox_spark.operators.events import lateness_profile
+
+    got = {r.event_type: r for r in
+           lateness_profile(spark, SF_DIR).collect()}
+    ev = pd.read_parquet(table_path(SF_DIR, "events"))
+    ev = ev.sort_values("event_id")
+    ev["us"] = ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    for t, g in ev.groupby("event_type"):
+        late = (g["us"].cummax() - g["us"]) / 1e6
+        r = got[t]
+        assert r.n_events == len(g)
+        assert r.n_out_of_order == int((late > 0).sum())
+        assert abs(r.p95_lateness_s
+                   - np.percentile(late, 95, method="linear")) < 0.5
+        assert abs(r.max_lateness_s - late.max()) < 0.01
+        # percentile ladder must be monotone
+        assert r.p50_lateness_s <= r.p95_lateness_s <= r.p99_lateness_s
+        assert r.p99_lateness_s <= r.max_lateness_s
+
+
+# ---------------------------------------------------------------- blocking RR/PC
+
+
+def test_blocking_eval_matches_brute_force(spark):
+    import hashlib
+
+    from database_toolbox_spark.operators.dedup import (
+        BLOCKEVAL_PCT,
+        SNM_WINDOW,
+        blocking_quality_eval,
+    )
+
+    try:
+        import Levenshtein  # noqa: F401
+        have_lev = True
+    except ImportError:
+        have_lev = False
+
+    row = blocking_quality_eval(spark, SF_DIR).collect()[0]
+    part = pd.read_parquet(table_path(SF_DIR, "part"))
+    samp = part[part["p_partkey"].map(
+        lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:4], 16)
+        % 100 < BLOCKEVAL_PCT
+    )][["p_partkey", "p_name"]]
+    n = len(samp)
+    assert row.n_sample == n
+    assert row.n_all_pairs == n * (n - 1) // 2
+    # SNM candidate count recount (blocking is string-sort based)
+    samp = samp.assign(blk=samp["p_name"].str[0]).sort_values(
+        ["blk", "p_name", "p_partkey"]
+    )
+    n_cand = 0
+    cand_pairs = set()
+    for _, g in samp.groupby("blk", sort=False):
+        keys = g["p_partkey"].tolist()
+        for i in range(len(keys)):
+            for j in range(i + 1, min(i + SNM_WINDOW + 1, len(keys))):
+                n_cand += 1
+                cand_pairs.add((min(keys[i], keys[j]),
+                                max(keys[i], keys[j])))
+    assert row.n_candidates == n_cand
+    assert abs(row.reduction_ratio
+               - (1 - n_cand / (n * (n - 1) / 2))) < 1e-5
+    # structural bounds always hold; exact PC recount needs a
+    # levenshtein lib (absent here) so verify consistency instead
+    assert 0 <= row.n_found <= row.n_true_matches
+    assert 0.0 <= row.pairs_completeness <= 1.0
+    if row.n_true_matches:
+        assert abs(row.pairs_completeness
+                   - row.n_found / row.n_true_matches) < 1e-5
