@@ -9,6 +9,7 @@ from database_toolbox_spark.streaming.stream_ops import (  # noqa: F401
     read_near_dup_pairs,
     read_cdc_snapshot,
     read_foreach_batch_snapshot,
+    stream_bot_flags,
     stream_cdc_upsert,
     stream_foreach_batch_totals,
     stream_dedup,

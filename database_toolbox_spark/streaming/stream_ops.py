@@ -913,3 +913,91 @@ def stream_ohlc_bars(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming metronome-bot detector ----------------------------------------
+
+BOT_STREAM_MIN_GAPS = 10  # matches operators/events.py bot_user_flags
+BOT_STREAM_CV_NUM = 1
+BOT_STREAM_CV_DEN = 4
+
+_BOT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_gaps", T.LongType()),
+        T.StructField("mean_gap", T.DoubleType()),
+        T.StructField("m2", T.DoubleType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+_BOT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_gaps", T.LongType()),
+        T.StructField("mean_gap_s", T.DoubleType()),
+        T.StructField("sd_gap_s", T.DoubleType()),
+        T.StructField("too_regular", T.IntegerType()),
+    ]
+)
+
+
+def stream_bot_flags(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators/events.bot_user_flags: per-user
+    inter-arrival Welford state (gap count, mean, M2, last event-time)
+    updated as events arrive; a user flips to too_regular once it has
+    >= BOT_STREAM_MIN_GAPS gaps with coefficient of variation below
+    NUM/DEN (the integer-multiplied compare the batch op uses). Four
+    numbers of state per user — the abuse monitor runs at ingest
+    instead of in the nightly batch.
+
+    Per-key sequencing matches the batch lag window ((ts, event_id)
+    order within each micro-batch), so the final per-user statistics
+    are EQUAL to the batch operator's per_user relation — asserted by
+    the batch-equivalence test."""
+
+    def fold(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        n, mean, m2, last_us = (
+            state.get if state.exists else (0, 0.0, 0.0, -1)
+        )
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            us_col = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            )
+            for us in us_col:
+                us = int(us)
+                if last_us >= 0:
+                    gap = (us - last_us) / 1e6
+                    n += 1
+                    d = gap - mean
+                    mean += d / n
+                    m2 += d * (gap - mean)
+                last_us = us
+        state.update((n, mean, m2, last_us))
+        sd = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+        flag = int(
+            n >= BOT_STREAM_MIN_GAPS
+            and sd * BOT_STREAM_CV_DEN < mean * BOT_STREAM_CV_NUM
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_gaps": [n],
+                "mean_gap_s": [round(mean, 6)],
+                "sd_gap_s": [round(sd, 6)],
+                "too_regular": [flag],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=_BOT_OUT_SCHEMA,
+        stateStructType=_BOT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

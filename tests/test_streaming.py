@@ -597,3 +597,60 @@ def test_stream_ohlc_bars_match_batch(spark, stream):
         for r in event_value_ohlc_hourly(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_stream_bot_flags_match_batch_operator(spark, stream):
+    """The streaming metronome detector's final per-user stats and flag
+    must equal the batch bot_user_flags per-user relation (same
+    (ts, event_id) per-user sequencing, same Welford sd, same
+    integer-multiplied CV threshold)."""
+    import math
+
+    from database_toolbox_spark.streaming import stream_bot_flags
+    from database_toolbox_spark.streaming.stream_ops import (
+        BOT_STREAM_CV_DEN,
+        BOT_STREAM_CV_NUM,
+        BOT_STREAM_MIN_GAPS,
+    )
+
+    _run_to_memory(stream_bot_flags(stream), "bot_out", "update")
+    got = {
+        r.user_id: r
+        for r in spark.sql(
+            "SELECT user_id, max(n_gaps) AS n_gaps, "
+            "max(mean_gap_s) AS mean_gap_s, max(sd_gap_s) AS sd_gap_s, "
+            "max(too_regular) AS too_regular "
+            "FROM bot_out GROUP BY user_id"
+        ).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "ts", "event_id")
+        .toPandas()
+    )
+    n_flagged = 0
+    for uid, grp in ev.groupby("user_id"):
+        us = (
+            grp.sort_values(["ts", "event_id"])["ts"]
+            .astype("datetime64[ns]").astype("int64") // 1000
+        )
+        gaps = (us.diff().dropna() / 1e6).tolist()
+        r = got[uid]
+        assert r.n_gaps == len(gaps), uid
+        if len(gaps) > 1:
+            mean = sum(gaps) / len(gaps)
+            var = sum((g - mean) ** 2 for g in gaps) / (len(gaps) - 1)
+            assert abs(r.mean_gap_s - mean) < 1e-3, uid
+            assert abs(r.sd_gap_s - math.sqrt(var)) < 1e-3, uid
+            want = int(
+                len(gaps) >= BOT_STREAM_MIN_GAPS
+                and math.sqrt(var) * BOT_STREAM_CV_DEN
+                < mean * BOT_STREAM_CV_NUM
+            )
+            assert r.too_regular == want, uid
+        n_flagged += r.too_regular
+    # corpus-level agreement with the batch operator's flag count
+    from database_toolbox_spark.operators.events import bot_user_flags
+
+    batch_row = bot_user_flags(spark, SF_DIR).collect()[0]
+    assert n_flagged == batch_row.n_flagged
