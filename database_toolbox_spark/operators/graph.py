@@ -518,7 +518,10 @@ ORACLE["label_propagation_communities"] = _lpa_oracle()
 
 # --- HITS hub/authority scores ------------------------------------------------
 
-HITS_ITERS = 4
+# 3 mutual-update rounds, matching PageRank's ITERATIONS: rankings are
+# stable from round 2 on this graph (the numpy anchor test pins the exact
+# scores), and each extra round costs two corpus-grain jobs
+HITS_ITERS = 3
 HITS_TOP = 10
 
 

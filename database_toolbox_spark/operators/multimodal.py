@@ -940,20 +940,27 @@ def audio_spectrogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc (32), then one grouped argmax (window partitioned by
     doc+frame) and one grouped rollup — no UDF, no unbounded state."""
     load_table(spark, sf_dir, "documents")
-    dev = (f"CASE WHEN f.f * {DFT_N} + i < length(text) THEN "
-           f"ascii(substr(text, CAST(f.f * {DFT_N} + i + 1 AS INT), 1))"
-           f" - {AUDIO_BIAS} ELSE 0 END")
+    # one 64-sample byte array per doc (the string indexing is the lambda
+    # hot spot: inlining ascii(substr(..)) into the DFT fold re-extracts
+    # each sample 2 * DFT_BINS times — measured 10.3 s -> ~2 s at sf0.1)
+    n_samp = SPEC_FRAMES * DFT_N
+    samples = (f"transform(sequence(0, {n_samp - 1}), i -> "
+               f"CASE WHEN i < length(text) THEN "
+               f"ascii(substr(text, CAST(i + 1 AS INT), 1))"
+               f" - {AUDIO_BIAS} ELSE 0 END)")
+    dev = f"element_at(s.samples, CAST(f.f * {DFT_N} + i + 1 AS INT))"
     trig = f"2e0 * pi() * k.k * i / {DFT_N}e0"
     return spark.sql(f"""
         WITH k AS (SELECT explode(sequence(0, {DFT_BINS - 1})) AS k),
         f AS (SELECT explode(sequence(0, {SPEC_FRAMES - 1})) AS f),
+        s AS (SELECT doc_id, {samples} AS samples FROM documents),
         d AS (
             SELECT doc_id, f.f, k.k,
                    aggregate(sequence(0, {DFT_N - 1}), CAST(0 AS DOUBLE),
                        (acc, i) -> acc + ({dev}) * cos({trig})) AS re,
                    aggregate(sequence(0, {DFT_N - 1}), CAST(0 AS DOUBLE),
                        (acc, i) -> acc + ({dev}) * sin({trig})) AS im
-            FROM documents CROSS JOIN f CROSS JOIN k
+            FROM s CROSS JOIN f CROSS JOIN k
         ),
         p AS (
             SELECT doc_id, f, k, {R("re * re + im * im", 2)} AS power
@@ -963,14 +970,18 @@ def audio_spectrogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-_DUCK_SPEC_DEV = (f"CASE WHEN f.f * {DFT_N} + i < length(text) THEN "
-                  f"ascii(substr(text, CAST(f.f * {DFT_N} + i + 1 AS INT), 1))"
-                  f" - {AUDIO_BIAS} ELSE 0 END")
+_DUCK_SPEC_SAMPLES = (
+    f"list_transform(range(0, {SPEC_FRAMES * DFT_N}), i -> "
+    f"CASE WHEN i < length(text) THEN "
+    f"ascii(substr(text, CAST(i + 1 AS INT), 1)) - {AUDIO_BIAS} "
+    f"ELSE 0 END)")
+_DUCK_SPEC_DEV = f"s.samples[CAST(f.f * {DFT_N} + i + 1 AS INT)]"
 
 QUERIES["audio_spectrogram_profile"] = audio_spectrogram_profile
 ORACLE["audio_spectrogram_profile"] = f"""
     WITH k AS (SELECT unnest(range(0, {DFT_BINS})) AS k),
     f AS (SELECT unnest(range(0, {SPEC_FRAMES})) AS f),
+    s AS (SELECT doc_id, {_DUCK_SPEC_SAMPLES} AS samples FROM documents),
     d AS (
         SELECT doc_id, f.f, k.k,
                list_aggregate(list_transform(range(0, {DFT_N}),
@@ -979,7 +990,7 @@ ORACLE["audio_spectrogram_profile"] = f"""
                list_aggregate(list_transform(range(0, {DFT_N}),
                    i -> ({_DUCK_SPEC_DEV}) * sin({_DUCK_DFT_TRIG})),
                    'sum') AS im
-        FROM documents CROSS JOIN f CROSS JOIN k
+        FROM s CROSS JOIN f CROSS JOIN k
     ),
     p AS (
         SELECT doc_id, f, k, {R("re * re + im * im", 2)} AS power

@@ -1617,7 +1617,8 @@ _ACF_SQL = f"""
         FROM orders GROUP BY CAST(o_orderdate AS DATE)
     ),
     s AS (
-        SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, rev
+        SELECT CAST(row_number() OVER (PARTITION BY (hash(day) % 1)
+                                       ORDER BY day) AS BIGINT) AS t, rev
         FROM d
     ),
     m AS (SELECT avg(rev) AS mu, count(*) AS n FROM s),
@@ -1675,9 +1676,10 @@ _SPEARMAN_SQL = f"""
         FROM orders GROUP BY CAST(o_orderdate AS DATE)
     ),
     rk AS (
-        SELECT rank() OVER (ORDER BY rev) * 1e0
+        SELECT rank() OVER (PARTITION BY (hash(day) % 1) ORDER BY rev) * 1e0
                  + (count(*) OVER (PARTITION BY rev) - 1) / 2e0 AS rx,
-               rank() OVER (ORDER BY n_orders) * 1e0
+               rank() OVER (PARTITION BY (hash(day) % 1)
+                            ORDER BY n_orders) * 1e0
                  + (count(*) OVER (PARTITION BY n_orders) - 1) / 2e0 AS ry
         FROM d
     )
@@ -1731,7 +1733,8 @@ _MANN_WHITNEY_SQL = f"""
     ),
     cum AS (
         SELECT v, ca, cb,
-               CAST(coalesce(sum(cb) OVER (ORDER BY v
+               CAST(coalesce(sum(cb) OVER (PARTITION BY (hash(v) % 1)
+                   ORDER BY v
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS BIGINT) AS cb_less
         FROM per_val
@@ -1800,7 +1803,8 @@ _HW_DAILY_SQL = f"""
         FROM orders GROUP BY CAST(o_orderdate AS DATE)
     ),
     series AS (
-        SELECT rev, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+        SELECT rev, CAST(row_number() OVER (PARTITION BY (hash(day) % 1)
+                                            ORDER BY day) AS BIGINT) AS rn
         FROM daily
     )
 """
