@@ -1363,3 +1363,139 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["functional_dependency_audit"] = functional_dependency_audit
 ORACLE["functional_dependency_audit"] = _FD_SQL
+
+
+# --- CBO independence-assumption evaluation ----------------------------------
+
+_INDEP_SQL = f"""
+    WITH flags AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS p1,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS p2,
+               CASE WHEN o_totalprice > 150000e0 THEN 1 ELSE 0 END AS p3
+        FROM orders
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p1) AS BIGINT) AS s1,
+               CAST(sum(p2) AS BIGINT) AS s2,
+               CAST(sum(p3) AS BIGINT) AS s3,
+               CAST(sum(p1 * p2) AS BIGINT) AS a12,
+               CAST(sum(p1 * p3) AS BIGINT) AS a13,
+               CAST(sum(p2 * p3) AS BIGINT) AS a23
+        FROM flags
+    )
+    SELECT pair, est_rows, actual_rows,
+           {R("CASE WHEN actual_rows = 0 OR est_rows = 0e0 THEN 1e6"
+              " WHEN est_rows > actual_rows THEN est_rows / actual_rows"
+              " ELSE actual_rows / est_rows END", 4)} AS q_error
+    FROM (
+        SELECT 'priority_x_status' AS pair,
+               {R("s1 * 1e0 * s2 / n", 2)} AS est_rows,
+               a12 AS actual_rows FROM agg
+        UNION ALL
+        SELECT 'priority_x_price',
+               {R("s1 * 1e0 * s3 / n", 2)}, a13 FROM agg
+        UNION ALL
+        SELECT 'status_x_price',
+               {R("s2 * 1e0 * s3 / n", 2)}, a23 FROM agg
+    ) u
+    ORDER BY pair
+"""
+
+
+def independence_assumption_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CBO's independence-assumption error, measured: for three
+    predicate pairs on orders, the estimated conjunctive cardinality
+    sel(a)*sel(b)*n versus the actual count, reported as q-error
+    (max(est/act, act/est) — the metric of the cardinality-estimation
+    literature, e.g. Leis et al., "How Good Are Query Optimizers,
+    Really?", VLDB'15). Correlated predicates are where plan choices go
+    wrong; this is the profiling probe that finds them before the
+    optimizer does.
+
+    Scale shape: ONE orders scan computes all three marginals and all
+    three conjunctions as 0/1 sums (map-side combinable); the output is
+    a 3-row projection of that single aggregate row."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_INDEP_SQL)
+
+
+QUERIES["independence_assumption_eval"] = independence_assumption_eval
+ORACLE["independence_assumption_eval"] = _INDEP_SQL
+
+
+# --- stale-statistics selectivity evaluation ---------------------------------
+
+STALE_SPLIT = "1999-01-01"  # stats built on data before; queries run after
+_STALE_PREDS = [100000, 200000, 300000, 400000]
+
+
+def _stale_stats_sql(q) -> str:
+    preds = " UNION ALL ".join(
+        f"SELECT {x}e0 AS x" for x in _STALE_PREDS
+    )
+    cuts = ", ".join(
+        f"{q}(o_totalprice, {i / 10}e0) AS c{i}" for i in range(1, 10)
+    )
+    est_tenths = " + ".join(
+        f"CASE WHEN p.x >= c.c{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+    )
+    return f"""
+        WITH cstats AS (
+            SELECT {cuts}
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '{STALE_SPLIT} 00:00:00'
+        ),
+        cur AS (
+            SELECT o_totalprice AS v FROM orders
+            WHERE o_orderdate >= TIMESTAMP '{STALE_SPLIT} 00:00:00'
+        ),
+        ncur AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cur),
+        preds AS ({preds}),
+        est AS (
+            SELECT p.x, (({est_tenths}) + 0.5e0) / 10e0 AS est_frac
+            FROM preds p CROSS JOIN cstats c
+        ),
+        act AS (
+            SELECT p.x, CAST(count(CASE WHEN cur.v <= p.x THEN 1 END)
+                   AS BIGINT) AS actual_rows
+            FROM preds p CROSS JOIN cur GROUP BY p.x
+        )
+        SELECT CAST(e.x AS BIGINT) AS price_cutoff,
+               {R("e.est_frac * n.n", 2)} AS est_rows,
+               a.actual_rows,
+               {R("CASE WHEN a.actual_rows = 0 THEN 1e6"
+                  " WHEN e.est_frac * n.n > a.actual_rows"
+                  " THEN e.est_frac * n.n / a.actual_rows"
+                  " ELSE a.actual_rows / (e.est_frac * n.n) END", 4)}
+                   AS q_error
+        FROM est e
+        JOIN act a ON a.x = e.x
+        CROSS JOIN ncur n
+        ORDER BY price_cutoff
+    """
+
+
+def stale_stats_selectivity_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stale-statistics selectivity error: the equi-depth decile
+    histogram is built on the PRE-{STALE_SPLIT} reference period (as
+    ANALYZE would have), then used to estimate `price <= X` selectivity
+    on the POST-period data — the half-bucket step estimate every
+    histogram-based CBO uses. q-error against the actual counts
+    measures what the PSI drift (psi_price_drift) COSTS the optimizer:
+    drift in the distribution turns yesterday's histogram into wrong
+    plans.
+
+    Scale shape: one exact-percentile pass over the reference (1-row
+    broadcast), one counting pass over the current period expanded by
+    the 4 fixed predicates (map-side combinable), 4-row output."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_stale_stats_sql("percentile"))
+
+
+QUERIES["stale_stats_selectivity_eval"] = stale_stats_selectivity_eval
+ORACLE["stale_stats_selectivity_eval"] = _stale_stats_sql("quantile_cont")

@@ -2005,3 +2005,134 @@ QUERIES["psi_price_drift"] = psi_price_drift
 ORACLE["psi_price_drift"] = _PSI_SQL.replace(
     "percentile(", "quantile_cont("
 )
+
+
+# --- parallel moments merge (Chan's formula) ---------------------------------
+
+MOMENTS_SHARDS = 8
+
+_MOMENTS_SHARD_SQL = """
+    shards AS (
+        SELECT {bucket} AS shard, o_totalprice AS x FROM orders
+    ),
+    per_shard AS (
+        SELECT shard, CAST(count(*) AS DOUBLE) AS n,
+               sum(x) AS sx, sum(x * x) AS sxx
+        FROM shards GROUP BY shard
+    ),
+    stats AS (
+        SELECT shard, n, sx / n AS mean, sxx - sx * sx / n AS m2
+        FROM per_shard
+    ),
+    direct AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, avg(x) AS mean,
+               sum(x * x) - sum(x) * sum(x) / count(*) AS m2
+        FROM shards
+    )
+"""
+
+_MOMENTS_TAIL = """
+    SELECT CAST({m}[{i1}] AS BIGINT) AS merged_n,
+           d.n AS direct_n,
+           {mean_m} AS merged_mean,
+           {mean_d} AS direct_mean,
+           {sd_m} AS merged_sd,
+           {sd_d} AS direct_sd,
+           {diff} AS max_abs_diff
+    FROM merged CROSS JOIN direct d
+"""
+
+
+def parallel_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chan's parallel variance merge (Chan, Golub, LeVeque, Am. Stat.
+    1983): per-shard (n, mean, M2) states folded pairwise with
+    mean' = meanA + delta*nB/n and M2' = M2A + M2B + delta^2*nA*nB/n,
+    reported NEXT TO the direct single-pass global moments — the
+    identity that makes every distributed stddev/variance in this repo
+    legal, here made visible (and asserted: max_abs_diff rounds to 0).
+    Shards come from the deterministic md5 bucket, so both engines merge
+    identical partials in identical shard order.
+
+    Scale shape: one grouped pass computes all shard partials (this IS
+    the map-side-combine shape); the fold runs over MOMENTS_SHARDS rows
+    of 3-double state. The 'direct' arm is the same single scan."""
+    load_tables(spark, sf_dir)
+    bucket = (
+        "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 4), 16, 10)"
+        f" AS INT) % {MOMENTS_SHARDS}"
+    )
+    shard_ctes = _MOMENTS_SHARD_SQL.format(bucket=bucket)
+    merged = """
+    arr AS (
+        SELECT transform(array_sort(collect_list(struct(shard, n, mean, m2))),
+                         e -> array(e.n, e.mean, e.m2)) AS a
+        FROM stats
+    ),
+    merged AS (
+        SELECT aggregate(a,
+            array(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)),
+            (acc, s) -> array(
+                acc[0] + s[0],
+                acc[1] + (s[1] - acc[1]) * s[0] / (acc[0] + s[0]),
+                acc[2] + s[2] + (s[1] - acc[1]) * (s[1] - acc[1])
+                    * acc[0] * s[0] / (acc[0] + s[0]))) AS st
+        FROM arr
+    )
+    """
+    tail = _MOMENTS_TAIL.format(
+        m="m.st", i1="0",
+        mean_m=R("m.st[1]"), mean_d=R("d.mean"),
+        sd_m=R("sqrt(m.st[2] / (m.st[0] - 1))", 4),
+        sd_d=R("sqrt(d.m2 / (d.n - 1))", 4),
+        diff=R("greatest(abs(m.st[1] - d.mean),"
+               " abs(sqrt(m.st[2] / (m.st[0] - 1))"
+               " - sqrt(d.m2 / (d.n - 1))))", 6),
+    ).replace("{m}[{i1}]", "m.st[0]")
+    return spark.sql(
+        "WITH " + shard_ctes + "," + merged + tail.replace(
+            "FROM merged CROSS JOIN direct d",
+            "FROM merged m CROSS JOIN direct d",
+        )
+    )
+
+
+_DUCK_MOMENTS_MERGED = """
+    arr AS (
+        SELECT list_transform(
+                   list([n, mean, m2] ORDER BY shard), s -> s) AS a
+        FROM stats
+    ),
+    merged AS (
+        SELECT list_reduce(
+            list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                          CAST(0 AS DOUBLE)], a),
+            (acc, s) -> [
+                acc[1] + s[1],
+                acc[2] + (s[2] - acc[2]) * s[1] / (acc[1] + s[1]),
+                acc[3] + s[3] + (s[2] - acc[2]) * (s[2] - acc[2])
+                    * acc[1] * s[1] / (acc[1] + s[1])]) AS st
+        FROM arr
+    )
+"""
+
+QUERIES["parallel_moments_merge"] = parallel_moments_merge
+ORACLE["parallel_moments_merge"] = (
+    "WITH "
+    + _MOMENTS_SHARD_SQL.format(
+        bucket="CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),"
+               f" 1, 4)) AS INTEGER) % {MOMENTS_SHARDS}"
+    )
+    + ","
+    + _DUCK_MOMENTS_MERGED
+    + _MOMENTS_TAIL.format(
+        m="m.st", i1="1",
+        mean_m=R("m.st[2]"), mean_d=R("d.mean"),
+        sd_m=R("sqrt(m.st[3] / (m.st[1] - 1))", 4),
+        sd_d=R("sqrt(d.m2 / (d.n - 1))", 4),
+        diff=R("greatest(abs(m.st[2] - d.mean),"
+               " abs(sqrt(m.st[3] / (m.st[1] - 1))"
+               " - sqrt(d.m2 / (d.n - 1))))", 6),
+    ).replace("{m}[{i1}]", "m.st[1]").replace(
+        "FROM merged CROSS JOIN direct d", "FROM merged m CROSS JOIN direct d"
+    )
+)

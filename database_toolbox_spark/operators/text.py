@@ -1256,3 +1256,59 @@ ORACLE["bigram_heldout_perplexity"] = _heldout_ppl_sql(
     " FROM documents)) " + _HELDOUT_BIG_BODY,
     mat="MATERIALIZED ",
 )
+
+
+# --- term burstiness (Church-Gale) -------------------------------------------
+
+BURST_MIN_DF = 5  # ignore ultra-rare terms: burstiness needs df support
+BURST_TOP = 25
+
+
+def _burstiness_sql(split_tokens: str) -> str:
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, t AS term FROM ({split_tokens})
+            WHERE t <> ''
+        ),
+        tf AS (
+            SELECT term, doc_id, CAST(count(*) AS BIGINT) AS f
+            FROM tok GROUP BY term, doc_id
+        ),
+        st AS (
+            SELECT term,
+                   CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(f) AS BIGINT) AS cf,
+                   CAST(max(f) AS BIGINT) AS max_tf
+            FROM tf GROUP BY term
+        )
+        SELECT term, df, cf,
+               {R("cf * 1e0 / df", 4)} AS burstiness,
+               max_tf
+        FROM st
+        WHERE df >= {BURST_MIN_DF}
+        ORDER BY {R("cf * 1e0 / df", 4)} DESC, term
+        LIMIT {BURST_TOP}
+    """
+
+
+def term_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness (CompLing 1995 "Poisson mixtures"):
+    cf/df — mean occurrences per CONTAINING document. Function words sit
+    near their corpus-wide Poisson rate; topical/template terms "burst"
+    (a doc that mentions them does so repeatedly). The retrieval-theory
+    diagnostic behind why plain tf overweights bursty terms (and why
+    BM25 saturates tf) — and, in a training corpus, a template/boiler-
+    plate detector that df alone misses.
+
+    Scale shape: one tokenize-explode pass, two grouped counts
+    (term x doc, then term), TakeOrdered top-k on the rounded ratio."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_burstiness_sql(
+        "SELECT doc_id, explode(split(text, ' ')) AS t FROM documents"
+    ))
+
+
+QUERIES["term_burstiness_topk"] = term_burstiness_topk
+ORACLE["term_burstiness_topk"] = _burstiness_sql(
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents"
+)

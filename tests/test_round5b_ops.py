@@ -818,3 +818,108 @@ def test_blocking_eval_matches_brute_force(spark):
     if row.n_true_matches:
         assert abs(row.pairs_completeness
                    - row.n_found / row.n_true_matches) < 1e-5
+
+
+# ---------------------------------------------------------------- burstiness
+
+
+def test_term_burstiness_matches_pandas(spark):
+    from database_toolbox_spark.operators.text import (
+        BURST_MIN_DF,
+        term_burstiness_topk,
+    )
+
+    got = term_burstiness_topk(spark, SF_DIR).collect()
+    docs = pd.read_parquet(table_path(SF_DIR, "documents"))
+    rows = []
+    for _, d in docs.iterrows():
+        for t in d.text.split(" "):
+            if t:
+                rows.append((d.doc_id, t))
+    tf = pd.DataFrame(rows, columns=["doc_id", "term"]).groupby(
+        ["term", "doc_id"]
+    ).size()
+    st = tf.groupby(level=0).agg(["count", "sum", "max"])
+    st = st[st["count"] >= BURST_MIN_DF]
+    st["b"] = np.floor(st["sum"] / st["count"] * 1e4 + 0.501) / 1e4
+    want = st.sort_values(
+        ["b"], ascending=False, kind="stable"
+    )
+    # verify the top rows agree on (df, cf, burstiness)
+    for r in got:
+        w = st.loc[r.term]
+        assert r.df == w["count"], r.term
+        assert r.cf == w["sum"], r.term
+        assert abs(r.burstiness - w["sum"] / w["count"]) < 1e-3
+        assert r.max_tf == w["max"]
+    # the reported max burstiness is the corpus max
+    assert abs(got[0].burstiness - want["b"].max()) < 1e-9
+
+
+# ---------------------------------------------------------------- CBO evals
+
+
+def test_independence_eval_matches_pandas(spark):
+    from database_toolbox_spark.operators.profile import (
+        independence_assumption_eval,
+    )
+
+    got = {r.pair: r for r in
+           independence_assumption_eval(spark, SF_DIR).collect()}
+    o = pd.read_parquet(table_path(SF_DIR, "orders"))
+    p1 = o["o_orderpriority"] == "1-URGENT"
+    p2 = o["o_orderstatus"] == "F"
+    p3 = o["o_totalprice"] > 150000
+    n = len(o)
+    for name, (a, b) in {
+        "priority_x_status": (p1, p2),
+        "priority_x_price": (p1, p3),
+        "status_x_price": (p2, p3),
+    }.items():
+        est = a.sum() * b.sum() / n
+        act = int((a & b).sum())
+        r = got[name]
+        assert abs(r.est_rows - est) < 0.01, name
+        assert r.actual_rows == act, name
+        if act and est:
+            q = max(est / act, act / est)
+            assert abs(r.q_error - q) < 1e-3, name
+
+
+def test_stale_stats_eval_matches_pandas(spark):
+    from database_toolbox_spark.operators.profile import (
+        _STALE_PREDS,
+        STALE_SPLIT,
+        stale_stats_selectivity_eval,
+    )
+
+    got = {r.price_cutoff: r for r in
+           stale_stats_selectivity_eval(spark, SF_DIR).collect()}
+    o = pd.read_parquet(table_path(SF_DIR, "orders"))
+    split = pd.Timestamp(STALE_SPLIT)
+    ref = o.loc[o.o_orderdate < split, "o_totalprice"].to_numpy()
+    cur = o.loc[o.o_orderdate >= split, "o_totalprice"].to_numpy()
+    cuts = np.percentile(ref, np.arange(10, 100, 10), method="linear")
+    for x in _STALE_PREDS:
+        est = ((cuts <= x).sum() + 0.5) / 10 * len(cur)
+        act = int((cur <= x).sum())
+        r = got[x]
+        assert abs(r.est_rows - est) < 0.01, x
+        assert r.actual_rows == act, x
+
+
+# ---------------------------------------------------------------- Chan merge
+
+
+def test_parallel_moments_merge_identity_and_anchor(spark):
+    from database_toolbox_spark.operators.stats import (
+        parallel_moments_merge,
+    )
+
+    row = parallel_moments_merge(spark, SF_DIR).collect()[0]
+    assert row.max_abs_diff == 0.0  # the merge identity, after rounding
+    assert row.merged_n == row.direct_n
+    o = pd.read_parquet(table_path(SF_DIR, "orders"))["o_totalprice"]
+    assert row.merged_n == len(o)
+    assert abs(row.merged_mean - o.mean()) < 0.02
+    assert abs(row.merged_sd - o.std(ddof=1)) < 0.01
