@@ -164,13 +164,77 @@ def asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+ASOF_TOL_MIN = 60  # tolerance: matches older than this many minutes drop
+
+
+def asof_last_click_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """As-of join with a tolerance band (pandas merge_asof(tolerance=...)
+    / kdb wj semantics): each purchase takes its most recent click at or
+    before the purchase time ONLY if it is within ASOF_TOL_MIN minutes;
+    staler matches are nulled out and flagged. The tolerance is the
+    state-retention contract a streaming enrichment would enforce with a
+    watermark — measured here in batch (see lateness_profile for the
+    sizing measurement).
+
+    Scale shape: identical to asof_last_click — one union + per-user
+    running-last window; the tolerance is a post-hoc projection, so no
+    extra shuffle."""
+    base = asof_last_click(spark, sf_dir)
+    gap_ok = (
+        F.col("last_click_ts").isNotNull()
+        & (
+            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("last_click_ts").cast("timestamp"))
+            <= ASOF_TOL_MIN * 60 * 1_000_000
+        )
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        F.when(gap_ok, F.col("last_click_ts")).alias("click_ts_within_tol"),
+        F.when(gap_ok, F.col("last_click_value")).alias("click_value"),
+        F.when(gap_ok, 1).otherwise(0).cast("int").alias("matched"),
+    ).orderBy("event_id")
+
+
 QUERIES = {
     "asof_last_click": asof_last_click,
+    "asof_last_click_tolerance": asof_last_click_tolerance,
     "asof_next_error": asof_next_error,
     "interval_join_error_clicks": interval_join_error_clicks,
 }
 
 ORACLE = {
+    "asof_last_click_tolerance": """
+        WITH clicks AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        m AS (
+            SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+                   c.ts AS click_ts, c.value AS click_value,
+                   CASE WHEN c.ts IS NOT NULL
+                             AND epoch_us(p.ts) - epoch_us(c.ts)
+                                 <= {tol} THEN 1 ELSE 0 END AS matched
+            FROM purchases p
+            ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
+        )
+        SELECT event_id, user_id, purchase_ts,
+               CASE WHEN matched = 1 THEN click_ts END
+                   AS click_ts_within_tol,
+               CASE WHEN matched = 1 THEN {val} END AS click_value,
+               CAST(matched AS INT) AS matched
+        FROM m ORDER BY event_id
+    """.format(tol=ASOF_TOL_MIN * 60 * 1_000_000, val=R("click_value")),
     "asof_last_click": f"""
         WITH clicks AS (
             SELECT user_id, ts, value FROM events WHERE event_type = 'click'

@@ -996,3 +996,70 @@ QUERIES["length_bucket_padding_stats"] = length_bucket_padding_stats
 ORACLE["length_bucket_padding_stats"] = _padding_sql(
     "string_split(text, ' ')", "len"
 )
+
+
+# --- feature-hashing collision stats -----------------------------------------
+
+FHASH_BITS = 12  # 4096-bucket hash space (Weinberger et al., ICML'09)
+
+
+def _fhash_sql(bucket_expr: str, split_tokens: str) -> str:
+    return f"""
+        WITH tok AS (
+            SELECT t AS term FROM ({split_tokens}) WHERE t <> ''
+        ),
+        tf AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS cf
+            FROM tok GROUP BY term
+        ),
+        hashed AS (
+            SELECT term, cf, {bucket_expr} AS bucket FROM tf
+        ),
+        per_bucket AS (
+            SELECT bucket,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(cf) AS BIGINT) AS mass
+            FROM hashed GROUP BY bucket
+        )
+        SELECT CAST(sum(n_terms) AS BIGINT) AS n_terms,
+               CAST(count(*) AS BIGINT) AS n_buckets_used,
+               {1 << FHASH_BITS} AS n_buckets_total,
+               CAST(sum(CASE WHEN n_terms > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_colliding_buckets,
+               CAST(sum(CASE WHEN n_terms > 1 THEN n_terms ELSE 0 END)
+                   AS BIGINT) AS n_colliding_terms,
+               {R("sum(CASE WHEN n_terms > 1 THEN n_terms ELSE 0 END) * 1e0"
+                  " / sum(n_terms)", 6)} AS term_collision_rate,
+               {R("sum(CASE WHEN n_terms > 1 THEN mass ELSE 0 END) * 1e0"
+                  " / sum(mass)", 6)} AS mass_collision_rate
+        FROM per_bucket
+    """
+
+
+def feature_hashing_collisions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hashing-trick QA (Weinberger et al., "Feature Hashing for Large
+    Scale Multitask Learning", ICML'09): hash the corpus vocabulary into
+    2^FHASH_BITS buckets (md5 — the repo's cross-engine hash) and report
+    how much collides: distinct-term collision rate and the token-MASS
+    share landing in contested buckets (what actually corrupts a hashed
+    bag-of-words model — two rare terms colliding costs little, a stop
+    word sharing a bucket costs a lot).
+
+    Scale shape: tokenize-explode + two grouped counts; the bucket space
+    is a constant, so the final rollup is bounded."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_fhash_sql(
+        f"CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT)"
+        f" % {1 << FHASH_BITS}",
+        "SELECT doc_id, explode(split(text, ' ')) AS t FROM documents",
+    ))
+
+
+QUERIES["feature_hashing_collisions"] = feature_hashing_collisions
+ORACLE["feature_hashing_collisions"] = _fhash_sql(
+    f"CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT)"
+    f" % {1 << FHASH_BITS}",
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents",
+)

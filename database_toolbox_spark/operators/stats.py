@@ -2136,3 +2136,61 @@ ORACLE["parallel_moments_merge"] = (
         "FROM merged CROSS JOIN direct d", "FROM merged m CROSS JOIN direct d"
     )
 )
+
+
+# --- revenue bridge (price/volume/mix decomposition) -------------------------
+
+BRIDGE_SPLIT = "1999-01-01"
+
+_BRIDGE_SQL = f"""
+    WITH per AS (
+        SELECT c.c_mktsegment AS seg,
+               CASE WHEN o.o_orderdate < TIMESTAMP '{BRIDGE_SPLIT} 00:00:00'
+                    THEN 0 ELSE 1 END AS period,
+               CAST(count(*) AS DOUBLE) AS vol,
+               sum(o.o_totalprice) AS rev,
+               avg(o.o_totalprice) AS aov
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment,
+                 CASE WHEN o.o_orderdate < TIMESTAMP '{BRIDGE_SPLIT} 00:00:00'
+                      THEN 0 ELSE 1 END
+    ),
+    j AS (
+        SELECT a.seg,
+               a.vol AS vol0, b.vol AS vol1,
+               a.aov AS aov0, b.aov AS aov1,
+               a.rev AS rev0, b.rev AS rev1
+        FROM per a JOIN per b ON b.seg = a.seg
+        WHERE a.period = 0 AND b.period = 1
+    )
+    SELECT seg AS c_mktsegment,
+           CAST(vol0 AS BIGINT) AS n_orders_before,
+           CAST(vol1 AS BIGINT) AS n_orders_after,
+           {R("rev1 - rev0")} AS revenue_change,
+           {R("(vol1 - vol0) * aov0")} AS volume_effect,
+           {R("(aov1 - aov0) * vol0")} AS price_effect,
+           {R("(vol1 - vol0) * (aov1 - aov0)")} AS interaction_effect,
+           {R("(rev1 - rev0) - ((vol1 - vol0) * aov0"
+              " + (aov1 - aov0) * vol0"
+              " + (vol1 - vol0) * (aov1 - aov0))", 4)} AS residual
+    FROM j ORDER BY c_mktsegment
+"""
+
+
+def revenue_bridge_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period revenue bridge per market segment — the FP&A
+    waterfall decomposition: delta revenue = volume effect (order-count
+    change at old AOV) + price effect (AOV change at old volume) +
+    interaction, with the residual column PROVING the decomposition is
+    exact (rev = vol * aov algebraically, so the three effects must
+    re-sum to the delta; residual rounds to 0 and the test asserts it).
+
+    Scale shape: one joined grouped pass builds both periods' per-
+    segment partials (map-side combinable); the bridge itself is a
+    5-row self-join projection."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_BRIDGE_SQL)
+
+
+QUERIES["revenue_bridge_by_segment"] = revenue_bridge_by_segment
+ORACLE["revenue_bridge_by_segment"] = _BRIDGE_SQL

@@ -923,3 +923,100 @@ def test_parallel_moments_merge_identity_and_anchor(spark):
     assert row.merged_n == len(o)
     assert abs(row.merged_mean - o.mean()) < 0.02
     assert abs(row.merged_sd - o.std(ddof=1)) < 0.01
+
+
+# ---------------------------------------------------------------- asof tol
+
+
+def test_asof_tolerance_consistent_with_plain_asof(spark):
+    from database_toolbox_spark.operators.asof import (
+        ASOF_TOL_MIN,
+        asof_last_click,
+        asof_last_click_tolerance,
+    )
+
+    plain = {r.event_id: r for r in
+             asof_last_click(spark, SF_DIR).collect()}
+    tol = {r.event_id: r for r in
+           asof_last_click_tolerance(spark, SF_DIR).collect()}
+    assert set(plain) == set(tol)
+    n_dropped = 0
+    for eid, t in tol.items():
+        p = plain[eid]
+        if t.matched:
+            assert t.click_ts_within_tol == p.last_click_ts
+            gap = (p.purchase_ts - p.last_click_ts).total_seconds()
+            assert 0 <= gap <= ASOF_TOL_MIN * 60
+        else:
+            assert t.click_ts_within_tol is None
+            if p.last_click_ts is not None:
+                gap = (p.purchase_ts - p.last_click_ts).total_seconds()
+                assert gap > ASOF_TOL_MIN * 60
+                n_dropped += 1
+    # the tolerance must actually bite on this fixture
+    assert n_dropped > 0
+
+
+# ---------------------------------------------------------------- bridge
+
+
+def test_revenue_bridge_exact_decomposition(spark):
+    from database_toolbox_spark.operators.stats import (
+        BRIDGE_SPLIT,
+        revenue_bridge_by_segment,
+    )
+
+    got = {r.c_mktsegment: r for r in
+           revenue_bridge_by_segment(spark, SF_DIR).collect()}
+    orders = pd.read_parquet(table_path(SF_DIR, "orders"))
+    cust = pd.read_parquet(table_path(SF_DIR, "customer"))
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["period"] = (j["o_orderdate"] >= pd.Timestamp(BRIDGE_SPLIT)).astype(int)
+    for seg, r in got.items():
+        g = j[j.c_mktsegment == seg]
+        r0 = g[g.period == 0]["o_totalprice"]
+        r1 = g[g.period == 1]["o_totalprice"]
+        assert r.n_orders_before == len(r0)
+        assert r.n_orders_after == len(r1)
+        assert abs(r.revenue_change - (r1.sum() - r0.sum())) < 0.05
+        # exact decomposition: effects re-sum to the delta
+        assert r.residual == 0.0, (seg, r.residual)
+        assert abs(
+            r.volume_effect + r.price_effect + r.interaction_effect
+            - r.revenue_change
+        ) < 0.05
+
+
+# ---------------------------------------------------------------- hashing
+
+
+def test_feature_hashing_matches_pandas(spark):
+    import hashlib
+
+    from database_toolbox_spark.operators.pipeline import (
+        FHASH_BITS,
+        feature_hashing_collisions,
+    )
+
+    row = feature_hashing_collisions(spark, SF_DIR).collect()[0]
+    docs = pd.read_parquet(table_path(SF_DIR, "documents"))
+    from collections import Counter
+    cf = Counter(t for txt in docs["text"] for t in txt.split(" ") if t)
+    buckets = Counter()
+    mass = Counter()
+    for term, c in cf.items():
+        b = int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % (
+            1 << FHASH_BITS
+        )
+        buckets[b] += 1
+        mass[b] += c
+    n_terms = len(cf)
+    colliding = {b for b, k in buckets.items() if k > 1}
+    assert row.n_terms == n_terms
+    assert row.n_buckets_used == len(buckets)
+    assert row.n_colliding_buckets == len(colliding)
+    want_ct = sum(buckets[b] for b in colliding)
+    assert row.n_colliding_terms == want_ct
+    assert abs(row.term_collision_rate - want_ct / n_terms) < 1e-5
+    want_mass = sum(mass[b] for b in colliding) / sum(mass.values())
+    assert abs(row.mass_collision_rate - want_mass) < 1e-5
