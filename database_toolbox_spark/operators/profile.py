@@ -1186,6 +1186,11 @@ _T_CLOSE_J_SQL = """
     FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
 """
 
+# {{hint}}: Spark gets /*+ BROADCAST(d, g) */ so the bounded class x domain
+# grid compiles to BroadcastNestedLoop instead of CartesianProduct (the
+# 5-row domain side has unknown stats post-aggregate, so the planner will
+# not broadcast it unhinted); DuckDB gets the empty string (it has no
+# hint syntax; a /*+ */ comment is also fine but pointless).
 _T_CLOSENESS_TAIL = f"""
     dom AS (SELECT DISTINCT s FROM j),
     m AS (SELECT count(*) AS m FROM dom),
@@ -1202,7 +1207,7 @@ _T_CLOSENESS_TAIL = f"""
         FROM j GROUP BY s
     ),
     grid AS (
-        SELECT cl.c_nationkey, cl.c_mktsegment, cl.class_rows, d.s,
+        SELECT {{hint}} cl.c_nationkey, cl.c_mktsegment, cl.class_rows, d.s,
                coalesce(cn.cs, 0) * 1e0 / cl.class_rows - g.q AS diff
         FROM cls cl
         CROSS JOIN dom d
@@ -1267,13 +1272,15 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tclose_j_v"
     )
     return spark.sql(
-        "WITH j AS (SELECT * FROM tclose_j_v)," + _T_CLOSENESS_TAIL
+        "WITH j AS (SELECT * FROM tclose_j_v),"
+        + _T_CLOSENESS_TAIL.format(hint="/*+ BROADCAST(d, g) */")
     )
 
 
 QUERIES["t_closeness_audit"] = t_closeness_audit
 ORACLE["t_closeness_audit"] = (
-    "WITH j AS MATERIALIZED (" + _T_CLOSE_J_SQL + ")," + _T_CLOSENESS_TAIL
+    "WITH j AS MATERIALIZED (" + _T_CLOSE_J_SQL + "),"
+    + _T_CLOSENESS_TAIL.format(hint="")
 )
 
 

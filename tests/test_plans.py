@@ -389,3 +389,67 @@ def test_round5_plans_have_intended_shapes(spark):
     for fn in (winnowing_fingerprint_stats, cdc_chunk_dedup):
         plan = _plan(fn(spark, SF_DIR))
         assert "windowspecdefinition(doc_id" in plan, fn.__name__
+
+
+def test_round5_continuation_plans_have_intended_shapes(spark):
+    """Round-5 continuation operators: no join degrades to a
+    CartesianProduct (the 1-row broadcast scalar joins every op uses
+    compile to BroadcastNestedLoop, which is fine); the IVM top-k merge
+    compiles to TakeOrderedAndProject on each arm; the DAU/WAU expansion
+    stays an equi-join on the day key."""
+    from database_toolbox_spark.operators.dedup import (
+        blocking_quality_eval,
+    )
+    from database_toolbox_spark.operators.events import (
+        dau_wau_stickiness,
+        lateness_profile,
+        user_activity_powerlaw,
+    )
+    from database_toolbox_spark.operators.fingerprints import (
+        cross_doc_span_coverage,
+        split_decontaminated_counts,
+    )
+    from database_toolbox_spark.operators.graph import (
+        hits_hub_authority,
+        label_propagation_communities,
+    )
+    from database_toolbox_spark.operators.ivm import ivm_topk_maintenance
+    from database_toolbox_spark.operators.profile import (
+        functional_dependency_audit,
+        t_closeness_audit,
+    )
+    from database_toolbox_spark.operators.stats import (
+        acf_daily_revenue,
+        mann_whitney_doc_lengths,
+        parallel_moments_merge,
+        psi_price_drift,
+        revenue_bridge_by_segment,
+        spearman_daily_rank_corr,
+    )
+    from database_toolbox_spark.operators.text import term_burstiness_topk
+
+    for fn in (
+        acf_daily_revenue,
+        spearman_daily_rank_corr,
+        mann_whitney_doc_lengths,
+        dau_wau_stickiness,
+        lateness_profile,
+        user_activity_powerlaw,
+        cross_doc_span_coverage,
+        split_decontaminated_counts,
+        label_propagation_communities,
+        hits_hub_authority,
+        t_closeness_audit,
+        functional_dependency_audit,
+        psi_price_drift,
+        parallel_moments_merge,
+        revenue_bridge_by_segment,
+        term_burstiness_topk,
+        blocking_quality_eval,
+    ):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, fn.__name__
+    # the maintained top-k must be a TakeOrderedAndProject merge
+    plan = _plan(ivm_topk_maintenance(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
