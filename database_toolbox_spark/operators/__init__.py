@@ -31,6 +31,7 @@ def _modules():
         ivm,
         joins,
         looker_ops,
+        market,
         merge_ops,
         multimodal,
         partitioning,
@@ -68,6 +69,7 @@ def _modules():
         ivm,
         joins,
         looker_ops,
+        market,
         merge_ops,
         multimodal,
         partitioning,

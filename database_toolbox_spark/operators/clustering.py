@@ -465,3 +465,94 @@ ORACLE["embedding_outlier_scores"] = (
     + ",\n"
     + _outlier_tail()
 )
+
+
+# --- HBOS: histogram-based outlier scores -------------------------------------
+HBOS_BINS = 10
+HBOS_TOP = 20
+
+
+def _hbos_binned_sql(pos_rel: str, elem) -> str:
+    """(vec_id, dim, bin) assignment: per-dim equi-width histogram over
+    [min, max]. The bin expression is ONE shared double formula so the
+    float32-sourced values floor identically in both engines; v == hi
+    lands in the top bin via the least() clamp."""
+    return f"""
+        WITH vals AS (
+            SELECT vec_id, t.pos - 1 AS dim,
+                   CAST({elem("embedding", "t.pos")} AS DOUBLE) AS v
+            FROM embeddings, {pos_rel} t
+        ),
+        bounds AS (
+            SELECT dim, min(v) AS lo, max(v) AS hi FROM vals GROUP BY dim
+        ),
+        binned AS (
+            SELECT v.vec_id, v.dim,
+                   least(CAST(floor((v.v - b.lo) * {HBOS_BINS}e0
+                                    / (b.hi - b.lo)) AS INT),
+                         {HBOS_BINS} - 1) AS bin
+            FROM vals v JOIN bounds b ON v.dim = b.dim
+        )
+"""
+
+
+def _hbos_tail() -> str:
+    return f"""
+        dens AS (
+            SELECT dim, bin, count(*) AS n FROM binned GROUP BY dim, bin
+        ),
+        dmax AS (SELECT dim, max(n) AS nmax FROM dens GROUP BY dim),
+        scored AS (
+            SELECT bn.vec_id,
+                   sum(ln(dm.nmax * 1e0 / de.n)) AS hbos
+            FROM binned bn
+            JOIN dens de ON bn.dim = de.dim AND bn.bin = de.bin
+            JOIN dmax dm ON dm.dim = bn.dim
+            GROUP BY bn.vec_id
+        )
+        SELECT vec_id, {R("hbos", 6)} AS hbos_score
+        FROM scored
+        ORDER BY {R("hbos", 6)} DESC, vec_id
+        LIMIT {HBOS_TOP}
+"""
+
+
+def hbos_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-Based Outlier Score (Goldstein & Dengel, KI 2012): per
+    dimension a {HBOS_BINS}-bin equi-width histogram; a vector's score is
+    sum_d log(max-bin count / its-bin count) — high when it sits in
+    sparsely-populated bins across many dimensions. The label-FREE
+    companion to embedding_outlier_scores (which needs labels): HBOS
+    assumes feature independence, which is exactly what makes it O(n·d)
+    and embarrassingly parallel at corpus scale.
+
+    Scale shape: the exploded (vec_id, dim, bin) relation is materialized
+    once (it feeds both the density histogram and the scoring join — CTE
+    inlining would replay the corpus x dim explode per reference); the
+    histogram itself is dims x bins rows (broadcast-sized model), so the
+    scoring join is map-side against broadcast relations and the final
+    agg is a map-combinable per-vector sum. Top-{HBOS_TOP} on the
+    canon-rounded score with vec_id tie-break is engine-stable."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    materialize(spark.sql(
+        _hbos_binned_sql(
+            f"(SELECT explode(sequence(1, {DIM})) AS pos)",
+            lambda arr, pos: f"element_at({arr}, {pos})",
+        ) + " SELECT * FROM binned"
+    )).createOrReplaceTempView("hbos_binned_v")
+    return spark.sql(
+        "WITH binned AS (SELECT * FROM hbos_binned_v)," + _hbos_tail()
+    )
+
+
+QUERIES["hbos_outlier_scores"] = hbos_outlier_scores
+ORACLE["hbos_outlier_scores"] = (
+    _hbos_binned_sql(
+        f"(SELECT unnest(range(1, {DIM} + 1)) AS pos)",
+        lambda arr, pos: f"{arr}[{pos}]",
+    ).replace("binned AS (", "binned AS MATERIALIZED (")
+    + ",\n"
+    + _hbos_tail()
+)

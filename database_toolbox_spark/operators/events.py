@@ -1604,3 +1604,113 @@ QUERIES["lateness_profile"] = lateness_profile
 ORACLE["lateness_profile"] = _lateness_sql("epoch_us(ts)").replace(
     "percentile(", "quantile_cont("
 )
+
+
+# --- concurrent sessions peak -------------------------------------------------
+#
+# Interval-overlap counting via the classic sweep line: each 10-minute-gap
+# session is an interval [start, end]; concurrency after a boundary point is
+# the running sum of +1 (start) / -1 (end) deltas sorted by (time, delta
+# DESC) — the DESC tie-break counts a session starting exactly when another
+# ends as concurrent. Sessions are clipped to day boundaries first so the
+# running window is keyed BY DAY (never one global ordering of the corpus),
+# the same partition discipline as the daily series operators.
+def _concurrent_sql(us: str, days: str, two: str) -> str:
+    return f"""
+        WITH gaps AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts > lag(ts) OVER w + INTERVAL 10 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sess_id
+            FROM gaps
+        ),
+        spans AS (
+            SELECT user_id, sess_id,
+                   min({us.format(col="ts")}) AS s_us,
+                   max({us.format(col="ts")}) AS e_us,
+                   CAST(min(ts) AS DATE) AS s_day,
+                   CAST(max(ts) AS DATE) AS e_day
+            FROM sessions GROUP BY user_id, sess_id
+        ),
+        segs AS (
+            -- clip each session to every day it touches: a midnight-
+            -- spanning session contributes to both days' concurrency
+            SELECT CAST(d AS DATE) AS day,
+                   greatest(s_us,
+                            {us.format(col="CAST(CAST(d AS DATE) AS TIMESTAMP)")})
+                       AS lo_us,
+                   least(e_us,
+                         {us.format(col="CAST(CAST(d AS DATE) AS TIMESTAMP)")}
+                         + 86399999999) AS hi_us
+            FROM spans {days}
+        ),
+        points AS (
+            SELECT day,
+                   CASE WHEN t.i = 0 THEN lo_us ELSE hi_us END AS t_us,
+                   CASE WHEN t.i = 0 THEN 1 ELSE -1 END AS delta
+            FROM segs, {two} t
+        ),
+        running AS (
+            SELECT day, t_us, delta,
+                   sum(delta) OVER (
+                       PARTITION BY day ORDER BY t_us, delta DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS conc
+            FROM points
+        )
+        SELECT day,
+               CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_active_sessions,
+               CAST(max(conc) AS BIGINT) AS peak_concurrent,
+               CAST(min(CASE WHEN conc = pk THEN t_us END) AS BIGINT)
+                   AS first_peak_us
+        FROM (
+            SELECT day, t_us, delta, conc,
+                   max(conc) OVER (PARTITION BY day) AS pk
+            FROM running
+        ) r
+        GROUP BY day
+        ORDER BY day
+"""
+
+
+def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak concurrent 10-minute-gap sessions (the capacity-planning
+    gauge): active-session count, the day's maximum simultaneous sessions,
+    and the first microsecond instant the peak is reached.
+
+    The sweep is exact: sessions active on [start, end] inclusive, and the
+    (t, delta DESC) sort means back-to-back sessions touching at one
+    instant count as overlapping. The prefix-sum multiset is invariant to
+    ordering among equal (t, delta) rows, so peak and first-peak time are
+    engine-stable.
+
+    Scale shape: lag-gap sessionization (user-keyed windows), one grouped
+    agg to session spans, a bounded day-explode (sessions rarely span >1
+    day), then day-KEYED running-sum windows — 2 rows per session-day, no
+    global ordering, no self-join. The peak/argmin fold is one more
+    day-keyed window plus a 1-per-day rollup."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_concurrent_sql(
+        "unix_micros(CAST({col} AS TIMESTAMP))",
+        "LATERAL VIEW explode(sequence(s_day, e_day)) t AS d",
+        "(SELECT explode(sequence(0, 1)) AS i)",
+    ))
+
+
+QUERIES["concurrent_sessions_peak"] = concurrent_sessions_peak
+ORACLE["concurrent_sessions_peak"] = _concurrent_sql(
+    "epoch_us({col})",
+    "CROSS JOIN unnest(generate_series(CAST(s_day AS TIMESTAMP),"
+    " CAST(e_day AS TIMESTAMP), INTERVAL 1 DAY)) AS u(d)",
+    "(SELECT unnest(range(0, 2)) AS i)",
+)
