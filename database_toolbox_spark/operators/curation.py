@@ -1020,3 +1020,106 @@ def _corr_oracle() -> str:
 
 
 ORACLE["quality_signal_correlations"] = _corr_oracle()
+
+
+# --- 14. classifier calibration (reliability bins + Brier) -------------------
+
+
+def _calib_bins_sql(split, ln, uniq, filt, alpha, isect, sw_in, sw_arr) -> str:
+    """Reliability-diagram bins for the fixed-weight quality classifier
+    against the INDEPENDENT Gopher rule battery as reference label
+    (y = 1 iff all five rules pass): per p_keep decile, mean predicted
+    probability vs empirical rule-pass rate (the calibration gap — DeGroot
+    & Fienberg 1983), plus each bin's Brier contribution (Brier 1950;
+    total Brier = sum of brier_sum / sum of n_docs)."""
+    logit = (f"{QC_BIAS}e0 + {QC_W_TTR}e0 * ttr + {QC_W_STOP}e0"
+             f" * stop_ratio + {QC_W_LEN}e0 * len_norm")
+    return f"""
+        WITH t AS (
+            SELECT doc_id, length(text) AS n_chars, {split} AS w
+            FROM documents
+        ),
+        feat AS (
+            SELECT doc_id,
+                   {ln}(w) AS n_words,
+                   {uniq} * 1e0 / {ln}(w) AS ttr,
+                   {ln}({filt}(w, x -> x IN ({sw_in}))) * 1e0 / {ln}(w)
+                       AS stop_ratio,
+                   least({ln}(w) / 64e0, 2e0) AS len_norm,
+                   (n_chars - {ln}(w) + 1) * 1e0 / {ln}(w) AS mean_len,
+                   {ln}({filt}(w, t -> t LIKE '%#%' OR t LIKE '%...'))
+                       * 1e0 / {ln}(w) AS sym_ratio,
+                   {ln}({filt}(w, t -> {alpha})) * 1e0 / {ln}(w)
+                       AS alpha_ratio,
+                   {ln}({isect}(w, {sw_arr})) AS stop_hits
+            FROM t
+        ),
+        scored AS (
+            SELECT doc_id,
+                   0.5e0 + 0.5e0 * ({logit}) / (1e0 + abs({logit})) AS p,
+                   CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                             AND n_words <= {GOPHER_MAX_WORDS}
+                             AND mean_len >= {GOPHER_MEAN_LEN_LO}e0
+                             AND mean_len <= {GOPHER_MEAN_LEN_HI}e0
+                             AND sym_ratio <= {GOPHER_SYMBOL_MAX}e0
+                             AND alpha_ratio >= {GOPHER_ALPHA_MIN}e0
+                             AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+                        THEN 1 ELSE 0 END AS y
+            FROM feat
+        ),
+        binned AS (
+            SELECT least(CAST(floor(p * 10e0) AS INT), 9) AS bin, p, y
+            FROM scored
+        )
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               {R("avg(p)", 6)} AS mean_predicted,
+               {R("avg(y * 1e0)", 6)} AS frac_rule_pass,
+               {R("abs(avg(p) - avg(y * 1e0))", 6)} AS calibration_gap,
+               {R("sum((p - y) * (p - y))", 6)} AS brier_sum
+        FROM binned GROUP BY bin ORDER BY bin
+    """
+
+
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the cheap linear quality classifier CALIBRATED against the rule
+    battery it is meant to approximate? Reliability bins + per-bin Brier
+    contributions (see _calib_bins_sql) — the QA gate you run before
+    trusting p_keep as a sampling weight (importance_sampled_counts) or a
+    curriculum key rather than a mere ranking.
+
+    Scale shape: one projection computing both the classifier features
+    and the rule flags in the SAME per-row pass (no second corpus scan,
+    no join — the doc never leaves its partition), then a 10-group
+    map-combinable rollup."""
+    load_tables(spark, sf_dir)
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    sw = _sql_list(STOPWORDS)
+    return spark.sql(_calib_bins_sql(
+        "split(text, ' ')", "size", "size(array_distinct(w))", "filter",
+        "t RLIKE '[a-z]'", "array_intersect", sw, f"array({sw})",
+    ))
+
+
+QUERIES["classifier_calibration_bins"] = classifier_calibration_bins
+
+
+def _calib_bins_oracle() -> str:
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    sw = _sql_list(STOPWORDS)
+    return _calib_bins_sql(
+        "string_split(text, ' ')", "len", "len(list_distinct(w))",
+        "list_filter", "regexp_matches(t, '[a-z]')", "list_intersect",
+        sw, f"[{sw}]",
+    )
+
+
+ORACLE["classifier_calibration_bins"] = _calib_bins_oracle()

@@ -654,3 +654,106 @@ def _hits_oracle() -> str:
 
 QUERIES["hits_hub_authority"] = hits_hub_authority
 ORACLE["hits_hub_authority"] = _hits_oracle()
+
+
+# --- local clustering coefficient ---------------------------------------------
+from database_toolbox_spark.operators._oracle import R  # noqa: E402
+
+LCC_MIN_SHARED = 4   # co-purchase edge floor: >= 4 shared distinct parts
+LCC_MIN_DEG = 10     # report only nodes where (d choose 2) is meaningful
+LCC_TOP = 20
+
+_LCC_EDGE_SQL = f"""
+            SELECT a.c AS c1, b.c AS c2
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING count(*) >= {LCC_MIN_SHARED}
+"""
+
+
+def _lcc_sql(e_src: str, expl: str, mat: str = "") -> str:
+    """Watts-Strogatz local clustering coefficient (Nature 1998):
+    cc(v) = 2 T(v) / (d(v)(d(v)-1)) over the customer co-purchase
+    projection (edge iff two customers ordered >= {LCC_MIN_SHARED} shared
+    distinct parts). Triangles by ordered edge-iterator enumeration
+    (Schank & Wagner, WEA 2005): each triangle a<b<c is found exactly
+    once as path (a,b),(b,c) closed by probe (a,c), then credited to all
+    three corners via one explode — ~4x fewer intermediate rows than the
+    per-node wedge join and no triple-counting."""
+    return f"""
+        WITH cp AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        e AS {mat}(
+            {e_src}
+        ),
+        deg AS (
+            SELECT a, count(*) AS d FROM (
+                SELECT c1 AS a FROM e UNION ALL SELECT c2 AS a FROM e
+            ) s GROUP BY a
+        ),
+        t3 AS (
+            SELECT e1.c1 AS a, e1.c2 AS b, e2.c2 AS c
+            FROM e e1
+            JOIN e e2 ON e2.c1 = e1.c2
+            JOIN e e3 ON e3.c1 = e1.c1 AND e3.c2 = e2.c2
+        ),
+        tri AS (
+            SELECT v, count(*) AS n_tri
+            FROM (SELECT {expl} FROM t3) x GROUP BY v
+        )
+        SELECT d.a AS custkey,
+               CAST(d.d AS BIGINT) AS degree,
+               CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+               {R("2e0 * coalesce(t.n_tri, 0) / (d.d * (d.d - 1))", 6)}
+                   AS clustering_coeff
+        FROM deg d LEFT JOIN tri t ON t.v = d.a
+        WHERE d.d >= {LCC_MIN_DEG}
+        ORDER BY {R("2e0 * coalesce(t.n_tri, 0) / (d.d * (d.d - 1))", 6)}
+                 DESC, d.a
+        LIMIT {LCC_TOP}
+    """
+
+
+def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{LCC_TOP} customers by local clustering coefficient on the
+    co-purchase graph — "how clique-ish is this node's neighborhood", the
+    community-cohesion signal LPA/k-core don't give per node. The
+    supplier projection is useless here (every supplier pair shares ~130
+    parts — a complete graph), so the customer projection with a
+    {LCC_MIN_SHARED}-shared-part floor is the sparse graph worth measuring.
+
+    Scale shape: the Spark-side projection groups the fact join BY PART
+    into a sorted distinct-customer array and explodes ordered pairs —
+    one shuffle (no corpus self-join), and the per-part array is the
+    explicit cap point a 100 TB run needs (a heavy-hitter part's array is
+    where you'd truncate/sample; the standard co-occurrence-projection
+    caveat). The edge set is materialized once (the deg/t3 CTEs read it
+    5x — inlining would replay the projection each time). Triangles are
+    enumerated once each via the ordered edge-iterator join, then
+    credited to all three corners through a single explode, so the
+    triangle work is sum over edges of forward-degree products, never
+    per-node wedges."""
+    load_tables(spark, sf_dir)
+    materialize(spark.sql(f"""
+        WITH parts AS (
+            SELECT l.l_partkey AS p,
+                   array_sort(collect_set(o.o_custkey)) AS cs
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_partkey
+        )
+        SELECT a.col AS c1, b.col AS c2
+        FROM parts
+        LATERAL VIEW posexplode(cs) a AS i, col
+        LATERAL VIEW posexplode(cs) b AS j, col
+        WHERE a.i < b.j
+        GROUP BY a.col, b.col HAVING count(*) >= {LCC_MIN_SHARED}
+    """)).createOrReplaceTempView("lcc_edges_v")
+    return spark.sql(_lcc_sql("SELECT * FROM lcc_edges_v",
+                              "explode(array(a, b, c)) AS v"))
+
+
+QUERIES["local_clustering_coefficient"] = local_clustering_coefficient
+ORACLE["local_clustering_coefficient"] = _lcc_sql(
+    _LCC_EDGE_SQL, "unnest([a, b, c]) AS v", mat="MATERIALIZED "
+)

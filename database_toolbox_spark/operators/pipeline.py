@@ -1063,3 +1063,100 @@ ORACLE["feature_hashing_collisions"] = _fhash_sql(
     f" % {1 << FHASH_BITS}",
     "SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents",
 )
+
+
+# --- token-budget water-filling ------------------------------------------------
+WATERFILL_SHARE = "0.5e0"  # budget = half the corpus's tokens
+
+
+def _waterfill_sql(st_src: str, mat: str = "") -> str:
+    """Water-filling allocation of a token budget across sources: find the
+    level L with sum_s min(T_s, L) = B, allocate min(T_s, L) — the
+    max-min-fair quota (classic water-filling, cf. Bertsekas & Gallager,
+    "Data Networks", §6.5.2 max-min flow fairness): no source is cut
+    below the level while any larger source keeps excess. Closed form on
+    the source relation sorted by T ascending: with the k smallest fully
+    taken, L = (B - prefix_k) / (m - k); exactly one k satisfies
+    T_(k) <= L < T_(k+1). Equal-T ties resolve correctly because the
+    strict upper bound walks past every tied row (min(T, L) = T for all
+    of them)."""
+    return f"""
+        WITH st AS {mat}(
+            {st_src}
+        ),
+        tot AS (
+            SELECT sum(toks) AS t_all, count(*) AS m,
+                   floor(sum(toks) * {WATERFILL_SHARE}) AS b
+            FROM st
+        ),
+        ranked AS (
+            -- hash%1 partition: constant — st is bounded by the source
+            -- count; declares the single partition intentional
+            SELECT source, toks,
+                   row_number() OVER w AS i,
+                   sum(toks) OVER (PARTITION BY (hash(source) % 1)
+                       ORDER BY toks, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   lag(toks) OVER w AS prev_toks
+            FROM st
+            WINDOW w AS (PARTITION BY (hash(source) % 1)
+                         ORDER BY toks, source)
+        ),
+        lvl AS (
+            SELECT (t.b - (r.cum - r.toks)) * 1e0 / (t.m - r.i + 1)
+                       AS level
+            FROM ranked r CROSS JOIN tot t
+            WHERE (t.b - (r.cum - r.toks)) * 1e0 / (t.m - r.i + 1)
+                      < r.toks
+              AND (r.prev_toks IS NULL
+                   OR (t.b - (r.cum - r.toks)) * 1e0 / (t.m - r.i + 1)
+                          >= r.prev_toks)
+        )
+        SELECT s.source,
+               CAST(s.toks AS BIGINT) AS tokens,
+               {R("least(s.toks * 1e0, l.level)", 4)} AS allocation,
+               {R("least(s.toks * 1e0, l.level) / s.toks", 6)}
+                   AS fill_frac,
+               CASE WHEN s.toks * 1e0 <= l.level THEN 1 ELSE 0 END
+                   AS fully_taken
+        FROM st s CROSS JOIN lvl l
+        ORDER BY s.source
+    """
+
+
+_WATERFILL_ST_SPARK = (
+    "SELECT source, CAST(sum(size(split(text, ' '))) AS BIGINT) AS toks "
+    "FROM documents GROUP BY source"
+)
+_WATERFILL_ST_DUCK = (
+    "SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)"
+    " AS toks FROM documents GROUP BY source"
+)
+
+
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate a token budget (half the corpus) across sources by
+    max-min-fair water-filling (see _waterfill_sql) — the mixing policy
+    between temperature_mix_allocation's power-law reweighting and a hard
+    per-source cap: small sources are taken whole, large sources are
+    clipped to one common level, and the budget is met exactly.
+
+    Scale shape: one corpus scan to per-source token totals (materialized
+    — the 20-row relation feeds both the ranked prefix walk and the final
+    projection, and inlining would re-run the corpus scan); everything
+    after is windows and joins on a source-bounded relation with a 1-row
+    broadcast level."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    materialize(spark.sql(_WATERFILL_ST_SPARK)).createOrReplaceTempView(
+        "waterfill_st_v"
+    )
+    return spark.sql(_waterfill_sql("SELECT * FROM waterfill_st_v"))
+
+
+QUERIES["token_budget_waterfill"] = token_budget_waterfill
+ORACLE["token_budget_waterfill"] = _waterfill_sql(
+    _WATERFILL_ST_DUCK, mat="MATERIALIZED "
+)

@@ -1736,3 +1736,113 @@ ORACLE["pq_distortion_eval"] = _pq_distortion_sql(
     _duck_pq_l2,
     _duck_pq_sumsq,
 )
+
+
+# --- Matryoshka dimension-truncation recall ----------------------------------
+TRUNC_DIMS = (8, 16, 32)
+
+
+def _trunc_recall_sql(cos_full: str, cos_k: str, ks_rel: str) -> str:
+    """Recall@{_RECALL_K} of cosine ranking on the first k dims vs the
+    full-dim exact top-{_RECALL_K}, per (query, k). Both rankings break
+    ties on the canon-rounded cosine then vec_id."""
+    return f"""
+        WITH qs AS (
+            SELECT vec_id AS qid, embedding AS qv
+            FROM embeddings WHERE vec_id < {N_KNN_QUERIES}
+        ),
+        ks AS ({ks_rel}),
+        exact AS (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (PARTITION BY q.qid
+                       ORDER BY {R(cos_full, 6)} DESC, e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN qs q
+            WHERE e.vec_id <> q.qid
+        ),
+        truth AS (SELECT qid, vec_id FROM exact WHERE rn <= {_RECALL_K}),
+        trunc AS (
+            SELECT q.qid, ks.k, e.vec_id,
+                   row_number() OVER (PARTITION BY q.qid, ks.k
+                       ORDER BY {R(cos_k, 6)} DESC, e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN qs q CROSS JOIN ks
+            WHERE e.vec_id <> q.qid
+        ),
+        approx AS (SELECT qid, k, vec_id FROM trunc WHERE rn <= {_RECALL_K}),
+        hits AS (
+            SELECT t.qid, ks.k, count(a.vec_id) AS n_hit
+            FROM truth t CROSS JOIN ks
+            LEFT JOIN approx a
+              ON a.qid = t.qid AND a.k = ks.k AND a.vec_id = t.vec_id
+            GROUP BY t.qid, ks.k
+        )
+        SELECT CAST(k AS BIGINT) AS trunc_dim, qid,
+               CAST(n_hit AS BIGINT) AS n_hits,
+               {R(f"n_hit * 1e0 / {_RECALL_K}", 4)} AS recall_at_10
+        FROM hits ORDER BY trunc_dim, qid
+    """
+
+
+def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-ablation eval (Kusupati et al.,
+    "Matryoshka Representation Learning", NeurIPS 2022 §4 eval protocol):
+    recall@10 of cosine ranking using only the first k in {TRUNC_DIMS}
+    dims against the full-dim exact top-10, per panel query. The number
+    that says how many dims the ANN tier can shed (memory/bandwidth is
+    linear in d) before retrieval quality pays — run it before sizing a
+    PQ/SQ8 code or a prefix-truncated index.
+
+    Scale shape: both arms are panel x corpus (never corpus x corpus);
+    the truncated arm shares one scan with a 3-row k relation, so the
+    corpus is read once per arm regardless of how many truncation points
+    are evaluated. Rankings tie-break on (rounded cosine, vec_id) —
+    engine-stable."""
+    load_tables(spark, sf_dir)
+    cos_full = (
+        "aggregate(zip_with(e.embedding, q.qv, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x) / sqrt("
+        "aggregate(q.qv, CAST(0 AS DOUBLE), (acc, x) -> "
+        "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * "
+        "aggregate(e.embedding, CAST(0 AS DOUBLE), (acc, x) -> "
+        "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    cos_k = (
+        "aggregate(zip_with(slice(e.embedding, 1, ks.k), "
+        "slice(q.qv, 1, ks.k), (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x) / sqrt("
+        "aggregate(slice(q.qv, 1, ks.k), CAST(0 AS DOUBLE), (acc, x) -> "
+        "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * "
+        "aggregate(slice(e.embedding, 1, ks.k), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    ks_rel = "SELECT explode(array" + str(TRUNC_DIMS) + ") AS k"
+    return spark.sql(_trunc_recall_sql(cos_full, cos_k, ks_rel))
+
+
+_DUCK_TRUNC_COS_FULL = (
+    "list_aggregate(list_transform(range(1, len(e.embedding) + 1), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')"
+    " / sqrt("
+    "list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * "
+    "CAST(x AS DOUBLE)), 'sum') * "
+    "list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * "
+    "CAST(x AS DOUBLE)), 'sum'))"
+)
+_DUCK_TRUNC_COS_K = (
+    "list_aggregate(list_transform(range(1, ks.k + 1), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')"
+    " / sqrt("
+    "list_aggregate(list_transform(range(1, ks.k + 1), "
+    "i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum') * "
+    "list_aggregate(list_transform(range(1, ks.k + 1), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))"
+    ", 'sum'))"
+)
+
+QUERIES["dim_truncation_recall"] = dim_truncation_recall
+ORACLE["dim_truncation_recall"] = _trunc_recall_sql(
+    _DUCK_TRUNC_COS_FULL,
+    _DUCK_TRUNC_COS_K,
+    "SELECT unnest([" + ", ".join(str(k) for k in TRUNC_DIMS) + "]) AS k",
+)

