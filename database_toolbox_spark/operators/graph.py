@@ -757,3 +757,100 @@ QUERIES["local_clustering_coefficient"] = local_clustering_coefficient
 ORACLE["local_clustering_coefficient"] = _lcc_sql(
     _LCC_EDGE_SQL, "unnest([a, b, c]) AS v", mat="MATERIALIZED "
 )
+
+
+# --- link prediction on the co-purchase graph ----------------------------------
+LINKPRED_TOP = 20
+
+
+def _linkpred_sql(e_src: str, mat: str = "") -> str:
+    """Neighborhood-overlap link prediction (Liben-Nowell & Kleinberg,
+    CIKM 2003): for every NON-adjacent customer pair with >= 1 common
+    neighbor, common-neighbor count, Jaccard |N(u) ∩ N(w)| / |N(u) ∪ N(w)|
+    and Adamic-Adar sum 1/ln(deg(v)) over shared neighbors v (a common
+    neighbor has degree >= 2, so ln never hits zero). Top-{LINKPRED_TOP}
+    by Adamic-Adar — "these two customers are one missing edge apart"."""
+    return f"""
+        WITH e AS {mat}(
+            {e_src}
+        ),
+        sym AS (
+            SELECT c1 AS a, c2 AS b FROM e
+            UNION ALL
+            SELECT c2 AS a, c1 AS b FROM e
+        ),
+        deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
+        adj AS (
+            -- fold the center's 1/ln(deg) into the adjacency ONCE (|E|
+            -- rows) so the wedge stream never joins deg per wedge
+            -- a degree-1 node can never be a wedge CENTER (that needs two
+            -- incident edges), so its inert row carries 0, not 1/ln(1)
+            SELECT s.a, s.b,
+                   CASE WHEN d.d > 1 THEN 1e0 / ln(d.d) ELSE 0e0 END AS invd
+            FROM sym s JOIN deg d ON d.a = s.a
+        ),
+        cand AS (
+            SELECT w.b AS c1, x.b AS c2,
+                   count(*) AS cn,
+                   sum(w.invd) AS aa
+            FROM adj w
+            JOIN adj x ON x.a = w.a AND w.b < x.b
+            GROUP BY w.b, x.b
+        ),
+        nonedge AS (
+            SELECT cand.c1, cand.c2, cand.cn, cand.aa
+            FROM cand LEFT JOIN e
+              ON e.c1 = cand.c1 AND e.c2 = cand.c2
+            WHERE e.c1 IS NULL
+        )
+        SELECT n.c1 AS custkey_a, n.c2 AS custkey_b,
+               CAST(n.cn AS BIGINT) AS common_neighbors,
+               {R("n.cn * 1e0 / (da.d + db.d - n.cn)", 6)} AS jaccard,
+               {R("n.aa", 6)} AS adamic_adar
+        FROM nonedge n
+        JOIN deg da ON da.a = n.c1
+        JOIN deg db ON db.a = n.c2
+        ORDER BY {R("n.aa", 6)} DESC, n.c1, n.c2
+        LIMIT {LINKPRED_TOP}
+    """
+
+
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{LINKPRED_TOP} predicted missing edges of the customer
+    co-purchase graph by Adamic-Adar (with common-neighbor count and
+    Jaccard alongside) — the recommender-adjacent graph operator next to
+    the descriptive ones (LCC, k-core, LPA): rank non-edges by how much
+    their neighborhoods already overlap.
+
+    Scale shape: reuses the bounded per-part projection (lcc_edges_v);
+    the wedge join costs sum over nodes of forward-degree^2 — the same
+    budget as triangle counting — and every join is equi-keyed. The
+    anti-join against the edge set and the degree joins are
+    broadcast-sized relative to the wedge stream. At 100 TB the wedge
+    stream is the explicit cap point: bound per-node degree (drop
+    super-connectors) exactly as every production link predictor does."""
+    load_tables(spark, sf_dir)
+    materialize(spark.sql(f"""
+        WITH parts AS (
+            SELECT l.l_partkey AS p,
+                   array_sort(collect_set(o.o_custkey)) AS cs
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_partkey
+        )
+        SELECT a.col AS c1, b.col AS c2
+        FROM parts
+        LATERAL VIEW posexplode(cs) a AS i, col
+        LATERAL VIEW posexplode(cs) b AS j, col
+        WHERE a.i < b.j
+        GROUP BY a.col, b.col HAVING count(*) >= {LCC_MIN_SHARED}
+    """)).createOrReplaceTempView("lcc_edges_v")
+    return spark.sql(_linkpred_sql("SELECT * FROM lcc_edges_v"))
+
+
+QUERIES["link_prediction_scores"] = link_prediction_scores
+ORACLE["link_prediction_scores"] = _linkpred_sql(
+    "WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) "
+    + _LCC_EDGE_SQL.replace("cp a", "cp a").strip(),
+    mat="MATERIALIZED ",
+)

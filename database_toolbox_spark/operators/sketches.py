@@ -531,3 +531,139 @@ ORACLE["bloom_token_membership"] = _bloom_sql(
         " AS tok FROM documents), ",
     mat="MATERIALIZED ",
 )
+
+
+# --- KMV (k-minimum-values) distinct estimator --------------------------------
+KMV_K = 64
+
+
+def _kmv_sql(u32, cast_str: str) -> str:
+    """KMV / bottom-k distinct-count estimator (Bar-Yossef et al.,
+    RANDOM 2002; Beyer et al., SIGMOD 2007 unbiased form): hash every key
+    to a uniform in (0, 1], keep the k smallest, estimate
+    D ≈ (k-1) / h_(k). Hashes are md5-derived 32-bit integers (+1 so the
+    divisor can't be zero) — deterministic across engines, partitions and
+    reruns, unlike engine-native approx_count_distinct. The ok flag
+    applies the ~3/sqrt(k-2) relative-error bound (>99% coverage).
+
+    A group with fewer than k distinct hashes has no k-th minimum: the
+    LEFT JOIN falls back to the exact count (the sketch IS exhaustive
+    there — the standard small-set exactness of bottom-k sketches)."""
+    bound = f"3e0 / sqrt({KMV_K}e0 - 2e0)"
+    return f"""
+        WITH du AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ),
+        h AS (
+            SELECT DISTINCT event_type,
+                   {u32(f"CAST(user_id AS {cast_str})")} + 1 AS u
+            FROM du
+        ),
+        r AS (
+            SELECT event_type, u,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY u) AS rn
+            FROM h
+        ),
+        kth AS (
+            SELECT event_type, u AS hk FROM r WHERE rn = {KMV_K}
+        ),
+        exact AS (
+            SELECT event_type, count(*) AS n FROM du GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(e.n AS BIGINT) AS exact_distinct,
+               {R(f"coalesce(({KMV_K} - 1) * 4294967296e0 / k.hk,"
+                  " e.n * 1e0)", 2)} AS kmv_estimate,
+               {R(f"abs(coalesce(({KMV_K} - 1) * 4294967296e0 / k.hk,"
+                  " e.n * 1e0) - e.n) / e.n", 4)} AS rel_error,
+               CASE WHEN abs(coalesce(({KMV_K} - 1) * 4294967296e0 / k.hk,
+                                      e.n * 1e0) - e.n) / e.n <= {bound}
+                    THEN 1 ELSE 0 END AS within_bound
+        FROM exact e LEFT JOIN kth k ON k.event_type = e.event_type
+        ORDER BY e.event_type
+    """
+
+
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users: exact vs the KMV bottom-{KMV_K}
+    estimate with its theoretical error bound — the third
+    distinct-counting sketch next to HLL (hll_sketch_merge_check) and
+    Theta (theta_set_ops_check), and the one whose state (k hash values)
+    doubles as a uniform SAMPLE of the key space.
+
+    Scale shape: distinct-reduce first (map-combinable), then a per-group
+    bottom-k rank — the window partitions by event type and at 100 TB the
+    per-group top-k would ride the same TakeOrdered-per-key shape as every
+    bounded rank here; the estimate itself reads ONE row per group."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_kmv_sql(
+        lambda k: f"CAST(conv(substring(md5({k}), 1, 8), 16, 10) AS BIGINT)",
+        "STRING",
+    ))
+
+
+QUERIES["kmv_distinct_estimate"] = kmv_distinct_estimate
+ORACLE["kmv_distinct_estimate"] = _kmv_sql(
+    lambda k: f"CAST(concat('0x', substr(md5({k}), 1, 8)) AS BIGINT)",
+    "VARCHAR",
+)
+
+
+# --- bottom-k deterministic key sample -----------------------------------------
+BOTTOMK_K = 8
+
+
+def _bottomk_sql(u32, cast_str: str) -> str:
+    """Bottom-{BOTTOMK_K} sample of distinct users per event type by
+    md5-derived hash order — the KMV sketch's state read out AS the
+    uniform key sample it is (Broder's min-wise property: every distinct
+    key is equally likely to land in the bottom-k). Deterministic across
+    engines, partitions, reruns and INGESTION ORDER — the distributed
+    replacement for reservoir sampling (Vitter's Algorithm R needs a
+    sequential stream and an RNG; bottom-k needs neither)."""
+    return f"""
+        WITH du AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ),
+        h AS (
+            SELECT event_type, user_id,
+                   {u32(f"CAST(user_id AS {cast_str})")} + 1 AS u
+            FROM du
+        ),
+        r AS (
+            SELECT event_type, user_id, u,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY u, user_id) AS rn
+            FROM h
+        )
+        SELECT event_type,
+               CAST(rn AS BIGINT) AS rank,
+               user_id,
+               CAST(u AS BIGINT) AS hash_val
+        FROM r WHERE rn <= {BOTTOMK_K}
+        ORDER BY event_type, rn
+    """
+
+
+def bottomk_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-{BOTTOMK_K} user sample per event type (see
+    _bottomk_sql); the batch twin of streaming/stream_ops.py's
+    stream_bottomk_sample, which maintains the same sample incrementally
+    with {BOTTOMK_K} (hash, user) pairs of state per key.
+
+    Scale shape: distinct-reduce, then a per-group bottom-k rank — the
+    bounded TakeOrdered-per-key shape; no state anywhere grows with the
+    corpus."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_bottomk_sql(
+        lambda k: f"CAST(conv(substring(md5({k}), 1, 8), 16, 10) AS BIGINT)",
+        "STRING",
+    ))
+
+
+QUERIES["bottomk_user_sample"] = bottomk_user_sample
+ORACLE["bottomk_user_sample"] = _bottomk_sql(
+    lambda k: f"CAST(concat('0x', substr(md5({k}), 1, 8)) AS BIGINT)",
+    "VARCHAR",
+)

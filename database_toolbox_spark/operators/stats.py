@@ -2194,3 +2194,105 @@ def revenue_bridge_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["revenue_bridge_by_segment"] = revenue_bridge_by_segment
 ORACLE["revenue_bridge_by_segment"] = _BRIDGE_SQL
+
+
+# --- exact weighted median (two-pass bucketed) --------------------------------
+WMED_BUCKETS = 1024
+
+
+def _wmedian_sql(pw_src: str, mat: str = "") -> str:
+    """Exact quantity-weighted median of extended price per return flag:
+    the LOWER weighted median — the smallest price p whose cumulative
+    weight reaches half the total. Two-pass distributed shape (the
+    classic histogram-then-refine quantile algorithm, cf. Greenwald &
+    Khanna's motivation — here exact because pass 2 reads the one bucket
+    containing the cut): pass 1 aggregates weight into {WMED_BUCKETS}
+    equi-width price buckets (map-combinable; the running sum crosses a
+    <= {WMED_BUCKETS}-row relation per flag, never the corpus); pass 2
+    re-reads ONLY the cut bucket's price grid. All weights are integral
+    quantities, so every cumulative sum is exact in doubles and the
+    tw/2 comparison cannot flake on merge order."""
+    return f"""
+        WITH pw AS {mat}(
+            {pw_src}
+        ),
+        b AS (
+            SELECT f, min(p) AS lo, max(p) AS hi, sum(w) AS tw
+            FROM pw GROUP BY f
+        ),
+        wb AS (
+            SELECT pw.f,
+                   least(CAST(floor((pw.p - b.lo) * {WMED_BUCKETS}e0
+                                    / (b.hi - b.lo)) AS INT),
+                         {WMED_BUCKETS} - 1) AS bk,
+                   sum(pw.w) AS w
+            FROM pw JOIN b ON pw.f = b.f
+            GROUP BY pw.f,
+                     least(CAST(floor((pw.p - b.lo) * {WMED_BUCKETS}e0
+                                      / (b.hi - b.lo)) AS INT),
+                           {WMED_BUCKETS} - 1)
+        ),
+        cum AS (
+            SELECT wb.f, wb.bk, wb.w,
+                   sum(wb.w) OVER (PARTITION BY wb.f ORDER BY wb.bk) AS cw
+            FROM wb
+        ),
+        cut AS (
+            SELECT c.f, min(c.bk) AS bk
+            FROM cum c JOIN b ON b.f = c.f
+            WHERE c.cw >= b.tw / 2e0
+            GROUP BY c.f
+        ),
+        pre AS (
+            SELECT cum.f, cum.bk, cum.cw - cum.w AS cw0
+            FROM cum JOIN cut ON cum.f = cut.f AND cum.bk = cut.bk
+        ),
+        fin AS (
+            SELECT pw.f, pw.p,
+                   pre.cw0 + sum(pw.w) OVER (PARTITION BY pw.f
+                                             ORDER BY pw.p) AS cw
+            FROM pw
+            JOIN b ON pw.f = b.f
+            JOIN pre ON pre.f = pw.f
+            WHERE least(CAST(floor((pw.p - b.lo) * {WMED_BUCKETS}e0
+                                   / (b.hi - b.lo)) AS INT),
+                        {WMED_BUCKETS} - 1) = pre.bk
+        )
+        SELECT s.f AS l_returnflag,
+               {R("b.tw", 2)} AS total_weight,
+               {R("s.wmedian", 2)} AS weighted_median_price
+        FROM (
+            SELECT fin.f, min(fin.p) AS wmedian
+            FROM fin JOIN b ON b.f = fin.f
+            WHERE fin.cw >= b.tw / 2e0
+            GROUP BY fin.f
+        ) s JOIN b ON b.f = s.f
+        ORDER BY s.f
+    """
+
+
+_WMED_PW = ("SELECT l_returnflag AS f, l_extendedprice AS p, "
+            "sum(l_quantity) AS w FROM lineitem "
+            "GROUP BY l_returnflag, l_extendedprice")
+
+
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median extended price per return flag (see
+    _wmedian_sql) — the weighted-quantile operator warehouses lack
+    (percentile/median ignore weights), built as the two-pass
+    histogram-refine shape that never sorts the corpus or drags a flag's
+    whole partition through one window.
+
+    Scale shape: the price-grid pre-aggregate is materialized once (it
+    feeds the bounds row, the bucket histogram and the in-bucket refine —
+    inlining would re-run the corpus groupBy 3x); windows run over
+    <= {WMED_BUCKETS} buckets or one bucket's grid per flag."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    materialize(spark.sql(_WMED_PW)).createOrReplaceTempView("wmed_pw_v")
+    return spark.sql(_wmedian_sql("SELECT * FROM wmed_pw_v"))
+
+
+QUERIES["weighted_median_price"] = weighted_median_price
+ORACLE["weighted_median_price"] = _wmedian_sql(_WMED_PW, mat="MATERIALIZED ")

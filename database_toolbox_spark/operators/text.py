@@ -1423,3 +1423,56 @@ ORACLE["kneser_ney_heldout_perplexity"] = _kn_ppl_sql(
     _KN_BC_BODY,
     mat="MATERIALIZED ",
 )
+
+
+# --- per-document character entropy --------------------------------------------
+
+
+def _char_entropy_sql(chars_src: str) -> str:
+    """Shannon entropy (bits) of each document's CHARACTER distribution —
+    the compressibility proxy (Shannon, BSTJ 1948 §7's english-text
+    estimates): natural text sits around 4 bits/char over a small
+    alphabet, template/boilerplate junk falls far below, noise approaches
+    log2(alphabet size). The cheap pre-filter that pairs with
+    doc_repetition_scores (token level) at character granularity."""
+    return f"""
+        WITH ch AS (
+            {chars_src}
+        ),
+        cc AS (
+            SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c
+        ),
+        tot AS (
+            SELECT doc_id, sum(n) AS nc FROM cc GROUP BY doc_id
+        )
+        SELECT cc.doc_id,
+               CAST(t.nc AS BIGINT) AS n_chars,
+               CAST(count(*) AS BIGINT) AS distinct_chars,
+               {R("-sum(cc.n * 1e0 / t.nc * log2(cc.n * 1e0 / t.nc))", 4)}
+                   AS char_entropy_bits
+        FROM cc JOIN tot t ON t.doc_id = cc.doc_id
+        GROUP BY cc.doc_id, t.nc
+        ORDER BY cc.doc_id
+    """
+
+
+def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-distribution Shannon entropy (see
+    _char_entropy_sql).
+
+    Scale shape: the char explode is linear in corpus bytes and stays on
+    the document's partition; both aggregates and the final join are
+    keyed by doc_id, so nothing ever crosses documents — embarrassingly
+    parallel at any corpus size."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_char_entropy_sql(
+        "SELECT doc_id, substring(text, t.i, 1) AS c FROM documents "
+        "LATERAL VIEW explode(sequence(1, length(text))) t AS i"
+    ))
+
+
+QUERIES["char_entropy_scores"] = char_entropy_scores
+ORACLE["char_entropy_scores"] = _char_entropy_sql(
+    "SELECT doc_id, substr(text, u.i, 1) AS c FROM documents, "
+    "unnest(range(1, length(text) + 1)) AS u(i)"
+)

@@ -10,6 +10,7 @@ from database_toolbox_spark.streaming.stream_ops import (  # noqa: F401
     read_cdc_snapshot,
     read_foreach_batch_snapshot,
     stream_bot_flags,
+    stream_bottomk_sample,
     stream_cdc_upsert,
     stream_foreach_batch_totals,
     stream_dedup,

@@ -1001,3 +1001,75 @@ def stream_bot_flags(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming bottom-k key sample ---------------------------------------------
+
+BOTTOMK_STREAM_K = 8  # matches operators/sketches.py BOTTOMK_K
+
+_BOTTOMK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hashes", T.ArrayType(T.LongType())),
+        T.StructField("users", T.ArrayType(T.LongType())),
+    ]
+)
+_BOTTOMK_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("rank", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("hash_val", T.LongType()),
+    ]
+)
+
+
+def stream_bottomk_sample(events: DataFrame) -> DataFrame:
+    """Streaming bottom-k uniform key sample — the incremental twin of
+    sketches.bottomk_user_sample: per event type, keep the
+    {BOTTOMK_STREAM_K} distinct users with the smallest md5-derived
+    hashes. State is exactly k (hash, user) pairs per key; merging a
+    micro-batch is candidates := state ∪ batch, sort, truncate — the
+    min-wise property makes the result independent of arrival order, so
+    the final answer is batch-identical however the stream is chopped."""
+    import hashlib  # noqa: PLC0415
+
+    def fold(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            hashes, users = state.get
+            best = dict(zip(users, hashes))
+        else:
+            best = {}
+        for pdf in batches:
+            for uid in pdf["user_id"].astype(int).unique():
+                uid = int(uid)  # plain int: numpy scalars break state pickling
+                if uid not in best:
+                    h = int(
+                        hashlib.md5(str(uid).encode()).hexdigest()[:8], 16
+                    ) + 1
+                    best[uid] = h
+        kept = sorted(
+            best.items(), key=lambda t: (t[1], t[0])
+        )[:BOTTOMK_STREAM_K]
+        state.update((
+            [h for _, h in kept], [u for u, _ in kept],
+        ))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(kept),
+                "rank": list(range(1, len(kept) + 1)),
+                "user_id": [u for u, _ in kept],
+                "hash_val": [h for _, h in kept],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=_BOTTOMK_OUT_SCHEMA,
+        stateStructType=_BOTTOMK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

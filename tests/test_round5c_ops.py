@@ -370,3 +370,142 @@ def test_waterfill_meets_budget_and_fairness(spark):
         assert r.allocation == r.tokens and r.tokens <= level + 1e-6
     for r in partial:
         assert r.tokens > level - 1e-6 and r.fill_frac < 1
+
+
+# ------------------------------------------------ KMV + bottom-k
+
+
+def test_kmv_estimate_matches_hash_replay(spark):
+    """Exact replay of the estimator: md5-32bit hashes per distinct user,
+    (k-1)/h_(k) estimate, small-group exact fallback."""
+    import hashlib
+
+    from database_toolbox_spark.operators.sketches import (
+        KMV_K,
+        kmv_distinct_estimate,
+    )
+
+    got = {r.event_type: r for r in kmv_distinct_estimate(spark, SF_DIR).collect()}
+    ev = pd.read_parquet(table_path(SF_DIR, "events"))
+    for etype, g in ev.groupby("event_type"):
+        users = g["user_id"].unique()
+        hashes = sorted({
+            int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) + 1
+            for u in users
+        })
+        n = len(users)
+        est = ((KMV_K - 1) * 4294967296.0 / hashes[KMV_K - 1]
+               if len(hashes) >= KMV_K else float(n))
+        row = got[etype]
+        assert row.exact_distinct == n
+        assert row.kmv_estimate == np.floor(est * 100 + 0.501) / 100
+        assert row.within_bound in (0, 1)
+
+
+def test_bottomk_sample_is_min_hashes(spark):
+    import hashlib
+
+    from database_toolbox_spark.operators.sketches import (
+        BOTTOMK_K,
+        bottomk_user_sample,
+    )
+
+    rows = bottomk_user_sample(spark, SF_DIR).collect()
+    ev = pd.read_parquet(table_path(SF_DIR, "events"))
+    for etype, g in ev.groupby("event_type"):
+        pairs = sorted(
+            (int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) + 1, u)
+            for u in g["user_id"].unique()
+        )[:BOTTOMK_K]
+        mine = [(r.hash_val, r.user_id, r.rank) for r in rows
+                if r.event_type == etype]
+        assert [(h, u) for h, u, _ in mine] == pairs
+        assert [k for _, _, k in mine] == list(range(1, len(pairs) + 1))
+
+
+# ------------------------------------------------ weighted median
+
+
+def test_weighted_median_matches_pandas(spark):
+    """Lower weighted median recomputed by explicit cumulative weights."""
+    from database_toolbox_spark.operators.stats import weighted_median_price
+
+    got = {r.l_returnflag: r for r in
+           weighted_median_price(spark, SF_DIR).collect()}
+    li = pd.read_parquet(table_path(SF_DIR, "lineitem"))
+    for f, g in li.groupby("l_returnflag"):
+        pw = g.groupby("l_extendedprice")["l_quantity"].sum().sort_index()
+        tw = pw.sum()
+        cum = pw.cumsum()
+        wmed = cum.index[(cum >= tw / 2).argmax()]
+        row = got[f]
+        assert row.total_weight == np.floor(tw * 100 + 0.501) / 100
+        assert row.weighted_median_price == np.floor(wmed * 100 + 0.501) / 100
+
+
+# ------------------------------------------------ char entropy
+
+
+def test_char_entropy_matches_python(spark):
+    from collections import Counter
+
+    from database_toolbox_spark.operators.text import char_entropy_scores
+
+    got = {r.doc_id: r for r in char_entropy_scores(spark, SF_DIR).collect()}
+    docs = pd.read_parquet(table_path(SF_DIR, "documents"))
+    assert len(got) == len(docs)
+    for _, d in docs.head(50).iterrows():
+        counts = Counter(d["text"])
+        n = sum(counts.values())
+        ent = -sum(c / n * np.log2(c / n) for c in counts.values())
+        row = got[d["doc_id"]]
+        assert row.n_chars == n and row.distinct_chars == len(counts)
+        assert row.char_entropy_bits == np.floor(ent * 1e4 + 0.501) / 1e4
+
+
+# ------------------------------------------------ link prediction
+
+
+def test_link_prediction_matches_brute_force(spark):
+    from database_toolbox_spark.operators.graph import (
+        LCC_MIN_SHARED,
+        LINKPRED_TOP,
+        link_prediction_scores,
+    )
+
+    got = [
+        (r.custkey_a, r.custkey_b, r.common_neighbors, r.jaccard,
+         r.adamic_adar)
+        for r in link_prediction_scores(spark, SF_DIR).collect()
+    ]
+    li = pd.read_parquet(table_path(SF_DIR, "lineitem"))
+    orders = pd.read_parquet(table_path(SF_DIR, "orders"))
+    cp = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")[
+        ["o_custkey", "l_partkey"]
+    ].drop_duplicates()
+    shared = {}
+    for _, g in cp.groupby("l_partkey")["o_custkey"]:
+        cs = sorted(g)
+        for i, a in enumerate(cs):
+            for b in cs[i + 1:]:
+                shared[(a, b)] = shared.get((a, b), 0) + 1
+    adj = {}
+    for (a, b), n in shared.items():
+        if n >= LCC_MIN_SHARED:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    r6 = lambda x: np.floor(x * 1e6 + 0.501) / 1e6  # noqa: E731
+    cands = []
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for w in nodes[i + 1:]:
+            if w in adj[u]:
+                continue
+            common = adj[u] & adj[w]
+            if not common:
+                continue
+            aa = sum(1.0 / np.log(len(adj[v])) for v in common)
+            jac = len(common) / (len(adj[u]) + len(adj[w]) - len(common))
+            cands.append((u, w, len(common), r6(jac), r6(aa)))
+    cands.sort(key=lambda t: (-t[4], t[0], t[1]))
+    assert got == cands[:LINKPRED_TOP]

@@ -654,3 +654,28 @@ def test_stream_bot_flags_match_batch_operator(spark, stream):
 
     batch_row = bot_user_flags(spark, SF_DIR).collect()[0]
     assert n_flagged == batch_row.n_flagged
+
+
+def test_stream_bottomk_sample_matches_batch(spark, stream):
+    """The streaming bottom-k sample's FINAL state must equal the batch
+    bottomk_user_sample relation exactly (min-wise property: arrival
+    order and micro-batch chopping cannot change the bottom-k)."""
+    from database_toolbox_spark.operators.sketches import bottomk_user_sample
+    from database_toolbox_spark.streaming import stream_bottomk_sample
+
+    _run_to_memory(stream_bottomk_sample(stream), "bottomk_out", "update")
+    # update mode accumulates; the final sample per (type, rank) is the
+    # row with the smallest hash ever emitted at that rank
+    got = {
+        (r.event_type, r.rank): (r.user_id, r.hash_val)
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY event_type, rank ORDER BY hash_val, user_id)"
+            " AS rk FROM bottomk_out) WHERE rk = 1"
+        ).collect()
+    }
+    want = {
+        (r.event_type, r.rank): (r.user_id, r.hash_val)
+        for r in bottomk_user_sample(spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
