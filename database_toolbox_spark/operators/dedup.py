@@ -1922,3 +1922,75 @@ ORACLE["blocking_quality_eval"] = (
     + f" < {BLOCKEVAL_PCT}),"
     + _BLOCKING_EVAL_TAIL.format(w=SNM_WINDOW)
 )
+
+
+# --- LSH candidate budget (join-cost planner) ----------------------------------
+
+
+def _lsh_budget_sql(sig_src: str, concat2, intdiv: str) -> str:
+    """Per-band LSH bucket accounting: the candidate-pair budget
+    sum_buckets n(n-1)/2 IS the row count the banded self-join will emit
+    before verification (the only expensive shuffle in the near-dup
+    pipeline), read straight off the bucket histogram without running the
+    join. max_pair_share flags a skewed band (one mega-bucket paying most
+    of the join) — the signal to add a band, widen band keys or cap
+    bucket fan-out. The ALL row (band = -1) is the whole pipeline's
+    budget, directly comparable to SCALING.md's measured candidate
+    counts."""
+    bands_union = "\n            UNION ALL\n".join(
+        f"            SELECT doc_id, {b} AS band, "
+        f"{concat2(f'h{2 * b}', f'h{2 * b + 1}')} AS bkey FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+        {sig_src},
+        bands AS (
+{bands_union}
+        ),
+        bk AS (
+            SELECT band, bkey, count(*) AS n
+            FROM bands GROUP BY band, bkey
+        )
+        SELECT CAST(coalesce(band, -1) AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(max(n) AS BIGINT) AS max_bucket,
+               CAST(sum((n * (n - 1)) {intdiv} 2) AS BIGINT)
+                   AS candidate_pairs,
+               {R(f"max((n * (n - 1)) {intdiv} 2) * 1e0"
+                  f" / greatest(sum((n * (n - 1)) {intdiv} 2), 1)", 4)}
+                   AS max_pair_share
+        FROM bk
+        GROUP BY GROUPING SETS ((band), ())
+        ORDER BY band
+    """
+
+
+def lsh_candidate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair budget of the MinHash LSH banding (see
+    _lsh_budget_sql) — the capacity-planning read on the same signatures
+    minhash_near_dup_pairs joins, so the planner and the join can never
+    disagree about the banding.
+
+    Scale shape: signatures are one grouped agg over the materialized
+    shingle relation; the histogram and budget are grouped aggs over
+    (band, bkey) — map-combinable, bounded output, and the expensive join
+    it prices is never executed."""
+    load_tables(spark, sf_dir)
+    sh = materialize(spark.sql(f"{_SPARK_SHINGLES} SELECT * FROM sh"))
+    sh.createOrReplaceTempView("mh_sh")
+    return spark.sql(_lsh_budget_sql(
+        f"WITH sig AS (SELECT doc_id, {_minhash_cols()} "
+        "FROM mh_sh GROUP BY doc_id)",
+        lambda a, b: f"concat({a}, {b})",
+        "DIV",
+    ))
+
+
+QUERIES["lsh_candidate_budget"] = lsh_candidate_budget
+ORACLE["lsh_candidate_budget"] = _lsh_budget_sql(
+    _DUCK_SHINGLES
+    + f", sig AS MATERIALIZED (SELECT doc_id, {_minhash_cols()} "
+    "FROM sh GROUP BY doc_id)",
+    lambda a, b: f"({a} || {b})",
+    "//",
+)

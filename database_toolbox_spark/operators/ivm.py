@@ -230,3 +230,60 @@ ORACLE = {
         ORDER BY o_orderpriority
     """,
 }
+
+
+DEL_SPLIT = "1998-06-01"  # orders from here on are "deleted" by the delta
+
+
+def ivm_counting_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT-view maintenance under DELETES via the counting algorithm
+    (Gupta/Mumick/Subrahmanian, SIGMOD 1993): the stored auxiliary state
+    is the multiplicity m of every (custkey, status) pair; a delete delta
+    arrives as the same aggregate with NEGATIVE counts; merge = sum of
+    multiplicities, and a pair stays in the view while m > 0. This is the
+    delete-side capability ivm_topk_maintenance documents as needing
+    different auxiliary state — counts make distinct/joins
+    self-maintainable under deletion, no base rescan.
+
+    The driver comparison IS the maintenance proof: the Spark side never
+    reads the post-{DEL_SPLIT} remainder directly (it folds base state +
+    negative delta), while the DuckDB oracle recomputes the view from the
+    filtered base table — hash-equality means maintained == recomputed.
+
+    Scale shape: base state and delta are map-combinable grouped counts;
+    the merge shuffles only aggregate rows (pair cardinality, not row
+    count); the final rollup is by status."""
+    orders = load_table(spark, sf_dir, "orders")
+    keys = ["o_custkey", "o_orderstatus"]
+    base = orders.groupBy(*keys).agg(F.count("*").alias("m"))
+    delta = (
+        orders.filter(F.col("o_orderdate") >= ts(DEL_SPLIT))
+        .groupBy(*keys)
+        .agg((-F.count("*")).alias("m"))
+    )
+    maintained = (
+        base.unionByName(delta)
+        .groupBy(*keys)
+        .agg(F.sum("m").alias("m"))
+        .filter(F.col("m") > 0)
+    )
+    return (
+        maintained.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("m").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+QUERIES["ivm_counting_deletes"] = ivm_counting_deletes
+ORACLE["ivm_counting_deletes"] = f"""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_pairs,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '{DEL_SPLIT} 00:00:00'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""

@@ -244,3 +244,100 @@ ORACLE = {
         FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 }
+
+
+# --- SCD2 validity-chain integrity audit ---------------------------------------
+
+
+def _scd2_audit_sql(us: str, aud_src: str, mat: str = "") -> str:
+    """Integrity audit of a versioned (SCD2-style) dimension derived from
+    event history: per user, each run of consecutive same-type events is a
+    version valid over [first ts, last ts] — the "closed at last
+    activity" convention real CDC pipelines emit. The audit walks each
+    key's version chain in validity order and classifies every adjacent
+    pair: OVERLAP (next starts before the previous closed — double-counted
+    history, here only microsecond ties can produce it), CONTIGUOUS
+    (exactly adjacent) or GAP (uncovered history), plus the covered share
+    of each key's lifespan. The Kimball §"slowly changing dimensions"
+    validity invariants, measured instead of assumed."""
+    return f"""
+        WITH aud AS {mat}(
+            {aud_src}
+        ),
+        pairs AS (
+            SELECT CASE WHEN vfrom < prev_to THEN 1 ELSE 0 END AS ovl,
+                   CASE WHEN vfrom = prev_to THEN 1 ELSE 0 END AS cont,
+                   CASE WHEN vfrom > prev_to THEN 1 ELSE 0 END AS gap,
+                   CASE WHEN vfrom > prev_to
+                        THEN (vfrom - prev_to) / 1e6 END AS gap_s
+            FROM aud WHERE prev_to IS NOT NULL
+        ),
+        cover AS (
+            SELECT user_id,
+                   sum(vto - vfrom) AS covered,
+                   max(vto) - min(vfrom) AS lifespan
+            FROM aud GROUP BY user_id
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM cover) AS n_keys,
+               (SELECT CAST(count(*) AS BIGINT) FROM aud) AS n_versions,
+               CAST(sum(ovl) AS BIGINT) AS n_overlaps,
+               CAST(sum(cont) AS BIGINT) AS n_contiguous,
+               CAST(sum(gap) AS BIGINT) AS n_gaps,
+               {R("avg(gap_s)", 4)} AS avg_gap_s,
+               {R("max(gap_s)", 4)} AS max_gap_s,
+               (SELECT {R("sum(covered) * 1e2 / sum(lifespan)", 4)}
+                FROM cover) AS coverage_pct
+        FROM pairs
+    """
+
+
+def _scd2_aud_body(us: str) -> str:
+    return f"""
+            SELECT user_id, vfrom, vto,
+                   lag(vto) OVER (PARTITION BY user_id
+                                  ORDER BY vfrom, vto) AS prev_to
+            FROM (
+                SELECT user_id,
+                       min({us}) AS vfrom,
+                       max({us}) AS vto
+                FROM (
+                    SELECT user_id, event_type, ts, event_id,
+                           row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn,
+                           row_number() OVER (PARTITION BY user_id,
+                                                           event_type
+                               ORDER BY ts, event_id) AS rnt
+                    FROM events
+                ) seq
+                GROUP BY user_id, event_type, rn - rnt
+            ) runs
+"""
+
+
+def scd2_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap/overlap/coverage audit of the event-derived SCD2 version chains
+    (see _scd2_audit_sql) — the validity-window data-quality check next to
+    referential_integrity_audit and functional_dependency_audit.
+
+    Scale shape: user-keyed windows end to end (sequencing, run grouping,
+    chain walk); the audited relation is materialized once and feeds both
+    the pair classification and the per-key coverage rollup — inlining
+    would replay three corpus windows per reader. Exact integer
+    microsecond arithmetic until the final divisions."""
+    from database_toolbox_spark.session import (  # noqa: PLC0415
+        load_tables,
+        materialize,
+    )
+
+    load_tables(spark, sf_dir)
+    us = "unix_micros(CAST(ts AS TIMESTAMP))"
+    materialize(
+        spark.sql("SELECT * FROM (" + _scd2_aud_body(us) + ") x")
+    ).createOrReplaceTempView("scd2_aud_v")
+    return spark.sql(_scd2_audit_sql(us, "SELECT * FROM scd2_aud_v"))
+
+
+QUERIES["scd2_integrity_audit"] = scd2_integrity_audit
+ORACLE["scd2_integrity_audit"] = _scd2_audit_sql(
+    "epoch_us(ts)", _scd2_aud_body("epoch_us(ts)"), mat="MATERIALIZED "
+)

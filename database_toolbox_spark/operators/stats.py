@@ -2296,3 +2296,66 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["weighted_median_price"] = weighted_median_price
 ORACLE["weighted_median_price"] = _wmedian_sql(_WMED_PW, mat="MATERIALIZED ")
+
+
+# --- difference-in-differences --------------------------------------------------
+DID_SPLIT = "1996-01-01"
+DID_TREATED = "BUILDING"
+
+_DID_SQL = f"""
+        WITH cells AS (
+            SELECT CASE WHEN c.c_mktsegment = '{DID_TREATED}'
+                        THEN 1 ELSE 0 END AS treated,
+                   CASE WHEN o.o_orderdate >= TIMESTAMP '{DID_SPLIT} 00:00:00'
+                        THEN 1 ELSE 0 END AS post,
+                   o.o_totalprice AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        m AS (
+            SELECT treated, post, count(*) AS n,
+                   avg(y) AS mu, var_samp(y) AS v
+            FROM cells GROUP BY treated, post
+        ),
+        w AS (
+            SELECT max(CASE WHEN treated = 1 AND post = 0 THEN mu END) AS t0,
+                   max(CASE WHEN treated = 1 AND post = 1 THEN mu END) AS t1,
+                   max(CASE WHEN treated = 0 AND post = 0 THEN mu END) AS c0,
+                   max(CASE WHEN treated = 0 AND post = 1 THEN mu END) AS c1,
+                   sum(n) AS n_all,
+                   sum(v * (n - 1)) AS ss_pooled,
+                   sum(1e0 / n) AS inv_n
+            FROM m
+        )
+        SELECT CAST(n_all AS BIGINT) AS n_orders,
+               {R("t0", 2)} AS treated_pre_mean,
+               {R("t1", 2)} AS treated_post_mean,
+               {R("c0", 2)} AS control_pre_mean,
+               {R("c1", 2)} AS control_post_mean,
+               {R("(t1 - t0) - (c1 - c0)", 4)} AS did_estimate,
+               {R("sqrt(ss_pooled / (n_all - 4) * inv_n)", 4)} AS did_se,
+               CASE WHEN abs((t1 - t0) - (c1 - c0))
+                        > 1.96e0 * sqrt(ss_pooled / (n_all - 4) * inv_n)
+                    THEN 1 ELSE 0 END AS significant_95
+        FROM w
+"""
+
+
+def diff_in_diff_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-by-two difference-in-differences on mean order value (Card &
+    Krueger AER 1994 design): treated = {DID_TREATED}-segment customers,
+    pre/post split at {DID_SPLIT}; DiD = (T_post - T_pre) -
+    (C_post - C_pre) with the pooled-variance standard error
+    sp * sqrt(sum 1/n_cell) and a 1.96-sigma significance flag (evaluated
+    on the raw expressions, one shared parse tree in both engines, so an
+    ulp cannot flip the flag asymmetrically). The causal-inference
+    companion to welch_ab_test (which compares two groups at one time).
+
+    Scale shape: one fact-dim hash join, one 4-group map-combinable agg,
+    then a 1-row pivot — nothing downstream of the 4-row cell relation
+    touches the corpus."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_DID_SQL)
+
+
+QUERIES["diff_in_diff_revenue"] = diff_in_diff_revenue
+ORACLE["diff_in_diff_revenue"] = _DID_SQL

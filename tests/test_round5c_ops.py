@@ -509,3 +509,140 @@ def test_link_prediction_matches_brute_force(spark):
             cands.append((u, w, len(common), r6(jac), r6(aa)))
     cands.sort(key=lambda t: (-t[4], t[0], t[1]))
     assert got == cands[:LINKPRED_TOP]
+
+
+# ------------------------------------------------ LSH candidate budget
+
+
+def test_lsh_budget_matches_hash_replay(spark):
+    """Exact pandas replay of shingles -> 8 minhashes -> 4 bands ->
+    bucket histogram -> sum n(n-1)/2, plus the ALL row = sum of bands."""
+    import hashlib
+    from collections import Counter
+
+    from database_toolbox_spark.operators.dedup import (
+        N_BANDS,
+        lsh_candidate_budget,
+    )
+
+    got = {r.band: r for r in lsh_candidate_budget(spark, SF_DIR).collect()}
+    docs = pd.read_parquet(table_path(SF_DIR, "documents"))
+    buckets = [Counter() for _ in range(N_BANDS)]
+    for _, row in docs.iterrows():
+        w = row["text"].split(" ")
+        if len(w) < 3:
+            continue
+        sh = {"_".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        mins = []
+        for k in range(8):
+            seed, off = k // 4, k % 4
+            mins.append(min(
+                hashlib.md5(f"{seed}|{s}".encode()).hexdigest()
+                [8 * off:8 * off + 8]
+                for s in sh
+            ))
+        for b in range(N_BANDS):
+            buckets[b][mins[2 * b] + mins[2 * b + 1]] += 1
+    total = 0
+    for b in range(N_BANDS):
+        pairs = sum(n * (n - 1) // 2 for n in buckets[b].values())
+        row = got[b]
+        assert row.n_buckets == len(buckets[b])
+        assert row.max_bucket == max(buckets[b].values())
+        assert row.candidate_pairs == pairs
+        total += pairs
+    assert got[-1].candidate_pairs == total
+
+
+# ------------------------------------------------ SCD2 integrity audit
+
+
+def test_scd2_audit_matches_pandas_replay(spark):
+    from database_toolbox_spark.operators.merge_ops import (
+        scd2_integrity_audit,
+    )
+
+    row = scd2_integrity_audit(spark, SF_DIR).collect()[0]
+    ev = pd.read_parquet(table_path(SF_DIR, "events")).sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    n_versions = n_gaps = n_over = n_cont = 0
+    gaps = []
+    covered = lifespan = 0
+    n_keys = 0
+    for _, g in ev.groupby("user_id"):
+        n_keys += 1
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        types = g["event_type"].to_numpy()
+        runs = []
+        start = 0
+        for i in range(1, len(g) + 1):
+            if i == len(g) or types[i] != types[i - 1]:
+                runs.append((int(us[start:i].min()), int(us[start:i].max())))
+                start = i
+        runs.sort()
+        n_versions += len(runs)
+        covered += sum(e - s for s, e in runs)
+        lifespan += max(e for _, e in runs) - min(s for s, _ in runs)
+        for (s0, e0), (s1, e1) in zip(runs, runs[1:]):
+            if s1 > e0:
+                n_gaps += 1
+                gaps.append((s1 - e0) / 1e6)
+            elif s1 == e0:
+                n_cont += 1
+            else:
+                n_over += 1
+    assert row.n_keys == n_keys and row.n_versions == n_versions
+    assert (row.n_gaps, row.n_contiguous, row.n_overlaps) == (
+        n_gaps, n_cont, n_over)
+    assert row.avg_gap_s == np.floor(np.mean(gaps) * 1e4 + 0.501) / 1e4
+    assert row.max_gap_s == np.floor(max(gaps) * 1e4 + 0.501) / 1e4
+    assert row.coverage_pct == np.floor(
+        covered * 100 / lifespan * 1e4 + 0.501) / 1e4
+
+
+# ------------------------------------------------ diff-in-diff
+
+
+def test_did_matches_pandas_recount(spark):
+    from database_toolbox_spark.operators.stats import (
+        DID_SPLIT,
+        DID_TREATED,
+        diff_in_diff_revenue,
+    )
+
+    row = diff_in_diff_revenue(spark, SF_DIR).collect()[0]
+    orders = pd.read_parquet(table_path(SF_DIR, "orders"))
+    cust = pd.read_parquet(table_path(SF_DIR, "customer"))
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["treated"] = (j["c_mktsegment"] == DID_TREATED).astype(int)
+    j["post"] = (j["o_orderdate"] >= pd.Timestamp(DID_SPLIT)).astype(int)
+    cells = j.groupby(["treated", "post"])["o_totalprice"]
+    mu = cells.mean()
+    did = (mu[(1, 1)] - mu[(1, 0)]) - (mu[(0, 1)] - mu[(0, 0)])
+    assert row.did_estimate == np.floor(did * 1e4 + 0.501) / 1e4
+    ss = sum(v * (n - 1) for v, n in zip(cells.var(ddof=1), cells.size()))
+    se = np.sqrt(ss / (len(j) - 4) * sum(1.0 / n for n in cells.size()))
+    assert row.did_se == np.floor(se * 1e4 + 0.501) / 1e4
+    assert row.significant_95 == int(abs(did) > 1.96 * se)
+    assert row.n_orders == len(j)
+
+
+# ------------------------------------------------ counting IVM deletes
+
+
+def test_ivm_counting_deletes_equals_recompute(spark):
+    from database_toolbox_spark.operators.ivm import (
+        DEL_SPLIT,
+        ivm_counting_deletes,
+    )
+
+    got = {r.o_orderstatus: (r.n_pairs, r.n_rows)
+           for r in ivm_counting_deletes(spark, SF_DIR).collect()}
+    orders = pd.read_parquet(table_path(SF_DIR, "orders"))
+    kept = orders[orders["o_orderdate"] < pd.Timestamp(DEL_SPLIT)]
+    want = {
+        s: (g["o_custkey"].nunique(), len(g))
+        for s, g in kept.groupby("o_orderstatus")
+    }
+    assert got == want
