@@ -272,3 +272,101 @@ ORACLE = {
         ORDER BY d.label
     """,
 }
+
+
+# --- layout pruning simulation ---------------------------------------------------
+PRUNE_FILES = 64
+PRUNE_LO = "1997-07-01"
+PRUNE_HI = "1997-08-01"
+
+
+def _prune_sim_sql(days: str) -> str:
+    """File-skipping simulation: assign every order to one of
+    {PRUNE_FILES} simulated files under two layouts — date-CLUSTERED
+    (equi-width on the order-date axis: what sorting/partitioning by date
+    produces, without needing a global sort to simulate) and md5-RANDOM
+    (ingestion order) — then evaluate a one-month predicate against each
+    file's [min, max] date zone map, exactly as parquet row-group pruning
+    and Delta/Iceberg file skipping do. skip_pct IS the scan-cost ratio
+    the layout choice buys: the clustered layout skips all but ~1/12 of
+    files, the random layout skips ~none because every file's min/max
+    straddles the predicate (Moerkotte, "Small Materialized Aggregates",
+    VLDB 1998 — the zone-map paper)."""
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey, o_orderdate, {days} AS d FROM orders
+        ),
+        bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM base),
+        assigned AS (
+            SELECT b.o_orderkey, b.o_orderdate,
+                   least(CAST(floor((b.d - bo.lo) * {PRUNE_FILES}e0
+                                    / (bo.hi - bo.lo + 1)) AS INT),
+                         {PRUNE_FILES} - 1) AS f_clustered,
+                   CAST(concat('0x',
+                        substr(md5(CAST(b.o_orderkey AS VARCHAR)), 1, 4))
+                        AS INTEGER) % {PRUNE_FILES} AS f_random
+            FROM base b CROSS JOIN bounds bo
+        ),
+        layouts AS (
+            SELECT 'clustered' AS layout, f_clustered AS f, o_orderdate
+            FROM assigned
+            UNION ALL
+            SELECT 'random' AS layout, f_random AS f, o_orderdate
+            FROM assigned
+        ),
+        zones AS (
+            SELECT layout, f,
+                   min(o_orderdate) AS zmin, max(o_orderdate) AS zmax,
+                   count(*) AS n_rows
+            FROM layouts GROUP BY layout, f
+        )
+        SELECT layout,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN zmin < TIMESTAMP '{PRUNE_HI} 00:00:00'
+                              AND zmax >= TIMESTAMP '{PRUNE_LO} 00:00:00'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+               {R(f"sum(CASE WHEN zmin < TIMESTAMP '{PRUNE_HI} 00:00:00'"
+                  f" AND zmax >= TIMESTAMP '{PRUNE_LO} 00:00:00'"
+                  " THEN 0 ELSE 1 END) * 1e2 / count(*)", 2)} AS skip_pct,
+               CAST(sum(CASE WHEN zmin < TIMESTAMP '{PRUNE_HI} 00:00:00'
+                              AND zmax >= TIMESTAMP '{PRUNE_LO} 00:00:00'
+                             THEN n_rows ELSE 0 END) AS BIGINT)
+                   AS rows_scanned
+        FROM zones
+        GROUP BY layout
+        ORDER BY layout
+    """
+
+
+def layout_pruning_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file-skipping comparison of a date-clustered vs a random
+    layout for a one-month predicate (see _prune_sim_sql) — the measured
+    argument for date clustering next to zorder_bucket_stats /
+    hilbert_bucket_stats (which price multi-column spans).
+
+    Scale shape: one scan to assign files (row-local arithmetic; the
+    1-row bounds relation broadcasts), one grouped zone-map agg to
+    {PRUNE_FILES}x2 rows, then a 2-row rollup. The simulation never
+    sorts — equi-width date binning reproduces a clustered layout's zone
+    maps without paying the global sort the real layout would. Spark
+    spells md5-hex-to-int as conv(); the conv result is pre-masked to 16
+    bits so both engines' modulo sees the same non-negative operand."""
+    from database_toolbox_spark.session import load_table  # noqa: PLC0415
+
+    load_table(spark, sf_dir, "orders")
+    return spark.sql(_prune_sim_sql(
+        "datediff(o_orderdate, DATE '1992-01-01')"
+    ).replace(
+        "CAST(concat('0x',\n"
+        "                        substr(md5(CAST(b.o_orderkey AS VARCHAR)),"
+        " 1, 4))\n"
+        "                        AS INTEGER)",
+        "CAST(conv(substring(md5(CAST(b.o_orderkey AS STRING)), 1, 4),"
+        " 16, 10) AS INT)",
+    ))
+
+
+QUERIES["layout_pruning_simulation"] = layout_pruning_simulation
+ORACLE["layout_pruning_simulation"] = _prune_sim_sql(
+    "datediff('day', DATE '1992-01-01', o_orderdate)"
+)

@@ -508,3 +508,61 @@ ORACLE["try_arithmetic_battery"] = _TRY_SQL.format(
     elem="string_split(o_orderpriority, '-')[5]",
     avg_ok=R("avg(o_totalprice / CAST(o_custkey % 3 AS DOUBLE))", 2),
 )
+
+
+# --- business-day shipping latency ----------------------------------------------
+# Monday anchor strictly before the data's first date, so day counts stay
+# non-negative and DIV/% agree across engines.
+BUSDAY_ANCHOR = "1991-12-30"
+
+
+def _busday_sql(days, intdiv: str, pctl: str) -> str:
+    """Business-day (Mon-Fri) shipping latency per order priority, with
+    the weekday count done in pure epoch-day arithmetic instead of any
+    engine weekday function (Spark dayofweek() is 1=Sunday, DuckDB
+    dayofweek() is 0=Sunday — a classic cross-engine trap; days-since-a-
+    known-Monday dodges it entirely). B(d) = 5*(n/7) + min(n mod 7, 5)
+    counts weekdays in [anchor, d); latency = B(ship) - B(order)."""
+    b_order = (f"(5 * ({days('o.o_orderdate')} {intdiv} 7)"
+               f" + least({days('o.o_orderdate')} % 7, 5))")
+    b_ship = (f"(5 * ({days('l.l_shipdate')} {intdiv} 7)"
+              f" + least({days('l.l_shipdate')} % 7, 5))")
+    return f"""
+        WITH lat AS (
+            SELECT o.o_orderpriority,
+                   {b_ship} - {b_order} AS busdays
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lineitems,
+               CAST(min(busdays) AS BIGINT) AS min_busdays,
+               {R("avg(busdays * 1e0)", 4)} AS avg_busdays,
+               {R(f"{pctl}(busdays * 1e0, 0.9e0)", 4)} AS p90_busdays,
+               CAST(max(busdays) AS BIGINT) AS max_busdays
+        FROM lat
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+
+def business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency in BUSINESS days per order priority (see
+    _busday_sql) — the SLA metric operations actually reports, next to
+    the calendar-day latencies elsewhere in the suite.
+
+    Scale shape: the weekday count is closed-form row-local arithmetic
+    (no calendar table, no per-day explode), then one grouped agg."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_busday_sql(
+        lambda c: f"datediff({c}, DATE '{BUSDAY_ANCHOR}')",
+        "DIV",
+        "percentile",
+    ))
+
+
+QUERIES["business_days_latency"] = business_days_latency
+ORACLE["business_days_latency"] = _busday_sql(
+    lambda c: f"datediff('day', DATE '{BUSDAY_ANCHOR}', {c})",
+    "//",
+    "quantile_cont",
+)

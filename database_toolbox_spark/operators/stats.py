@@ -2359,3 +2359,52 @@ def diff_in_diff_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["diff_in_diff_revenue"] = diff_in_diff_revenue
 ORACLE["diff_in_diff_revenue"] = _DID_SQL
+
+
+# --- count-data overdispersion ---------------------------------------------------
+
+_OVERDISP_SQL = f"""
+        WITH per_user AS (
+            SELECT event_type, user_id, count(*) AS n
+            FROM events GROUP BY event_type, user_id
+        ),
+        m AS (
+            SELECT event_type,
+                   count(*) AS n_users,
+                   avg(n * 1e0) AS mu,
+                   var_samp(n * 1e0) AS v
+            FROM per_user GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n_users AS BIGINT) AS n_users,
+               {R("mu", 4)} AS mean_events,
+               {R("v", 4)} AS var_events,
+               {R("v / mu", 4)} AS dispersion_index,
+               CASE WHEN v > mu
+                    THEN {R("mu * mu / (v - mu)", 4)} END AS nb_r_moments,
+               CASE WHEN abs(v / mu - 1e0)
+                             <= 3e0 * sqrt(2e0 / (n_users - 1))
+                    THEN 1 ELSE 0 END AS poisson_plausible
+        FROM m ORDER BY event_type
+"""
+
+
+def overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-data dispersion diagnostics per event type: the
+    variance-to-mean ratio of per-user event counts (Fisher's dispersion
+    index; = 1 under Poisson), the method-of-moments negative-binomial
+    size r = mu^2/(v - mu) when overdispersed (Anscombe, Biometrika 1950),
+    and a Poisson-plausibility flag from the index's asymptotic
+    sqrt(2/(n-1)) standard error. The modeling pre-check before fitting
+    rate models to activity counts — overdispersed counts (bursty users)
+    need NB, not Poisson, and the same number prices how badly a
+    uniform-rate skew assumption would misplan partitions.
+
+    Scale shape: two map-combinable grouped aggregates (user counts, then
+    5-type moments) — nothing else."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_OVERDISP_SQL)
+
+
+QUERIES["overdispersion_index"] = overdispersion_index
+ORACLE["overdispersion_index"] = _OVERDISP_SQL

@@ -646,3 +646,97 @@ def test_ivm_counting_deletes_equals_recompute(spark):
         for s, g in kept.groupby("o_orderstatus")
     }
     assert got == want
+
+
+# ------------------------------------------------ overdispersion
+
+
+def test_overdispersion_matches_pandas(spark):
+    from database_toolbox_spark.operators.stats import overdispersion_index
+
+    got = {r.event_type: r for r in
+           overdispersion_index(spark, SF_DIR).collect()}
+    ev = pd.read_parquet(table_path(SF_DIR, "events"))
+    for etype, g in ev.groupby("event_type"):
+        n = g.groupby("user_id").size()
+        mu, v = n.mean(), n.var(ddof=1)
+        row = got[etype]
+        assert row.n_users == len(n)
+        assert row.dispersion_index == np.floor(v / mu * 1e4 + 0.501) / 1e4
+        if v > mu:
+            assert row.nb_r_moments == np.floor(
+                mu * mu / (v - mu) * 1e4 + 0.501) / 1e4
+        else:
+            assert row.nb_r_moments is None
+        assert row.poisson_plausible == int(
+            abs(v / mu - 1) <= 3 * np.sqrt(2 / (len(n) - 1)))
+
+
+# ------------------------------------------------ layout pruning
+
+
+def test_layout_pruning_sim_matches_pandas(spark):
+    import hashlib
+
+    from database_toolbox_spark.operators.partitioning import (
+        PRUNE_FILES,
+        PRUNE_HI,
+        PRUNE_LO,
+        layout_pruning_simulation,
+    )
+
+    got = {r.layout: r for r in
+           layout_pruning_simulation(spark, SF_DIR).collect()}
+    orders = pd.read_parquet(table_path(SF_DIR, "orders"))
+    d = (orders["o_orderdate"] - pd.Timestamp("1992-01-01")).dt.days
+    lo, hi = d.min(), d.max()
+    f_clu = np.minimum(
+        np.floor((d - lo) * PRUNE_FILES / (hi - lo + 1)).astype(int),
+        PRUNE_FILES - 1,
+    )
+    f_rnd = orders["o_orderkey"].map(
+        lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:4], 16)
+        % PRUNE_FILES
+    )
+    plo, phi = pd.Timestamp(PRUNE_LO), pd.Timestamp(PRUNE_HI)
+    for name, f in (("clustered", f_clu), ("random", f_rnd)):
+        z = orders.groupby(f)["o_orderdate"].agg(["min", "max", "size"])
+        hit = (z["min"] < phi) & (z["max"] >= plo)
+        row = got[name]
+        assert row.n_files == len(z)
+        assert row.files_hit == int(hit.sum())
+        assert row.rows_scanned == int(z.loc[hit, "size"].sum())
+    # the whole point: clustering must actually skip, random must not
+    assert got["clustered"].skip_pct > 80 > got["random"].skip_pct
+
+
+# ------------------------------------------------ business days
+
+
+def test_busday_formula_matches_numpy(spark):
+    """numpy busday_count is the independent calendar authority."""
+    from database_toolbox_spark.operators.scalars import (
+        business_days_latency,
+    )
+
+    got = {r.o_orderpriority: r for r in
+           business_days_latency(spark, SF_DIR).collect()}
+    li = pd.read_parquet(table_path(SF_DIR, "lineitem"))
+    orders = pd.read_parquet(table_path(SF_DIR, "orders"))
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    od = j["o_orderdate"].to_numpy().astype("datetime64[D]")
+    sd = j["l_shipdate"].to_numpy().astype("datetime64[D]")
+    # the operator's convention is signed weekdays in [order, ship);
+    # numpy's reversed-argument call flips WHICH endpoint is excluded, so
+    # anchor the reversed case explicitly as -busday_count(ship, order)
+    lat = np.where(
+        sd >= od, np.busday_count(od, sd), -np.busday_count(sd, od)
+    )
+    j = j.assign(busdays=lat)
+    for prio, g in j.groupby("o_orderpriority"):
+        row = got[prio]
+        assert row.n_lineitems == len(g)
+        assert row.min_busdays == g["busdays"].min()
+        assert row.max_busdays == g["busdays"].max()
+        assert row.avg_busdays == np.floor(
+            g["busdays"].mean() * 1e4 + 0.501) / 1e4
