@@ -1123,3 +1123,110 @@ def _calib_bins_oracle() -> str:
 
 
 ORACLE["classifier_calibration_bins"] = _calib_bins_oracle()
+
+
+# --- 15. filter agreement (Cohen's kappa) ------------------------------------
+
+
+def _kappa_sql(split, ln, uniq, filt, alpha, isect, sw_in, sw_arr) -> str:
+    """Inter-filter agreement between the rule battery (Gopher pass) and
+    the learned classifier (logit >= 0 keep): confusion counts, raw
+    agreement, and Cohen's kappa (Cohen, Educ. Psychol. Meas. 1960) —
+    chance-corrected, so two filters that both keep ~everything can't
+    fake agreement. The decision-level companion to
+    classifier_calibration_bins (which grades probabilities)."""
+    logit = (f"{QC_BIAS}e0 + {QC_W_TTR}e0 * ttr + {QC_W_STOP}e0"
+             f" * stop_ratio + {QC_W_LEN}e0 * len_norm")
+    return f"""
+        WITH t AS (
+            SELECT doc_id, length(text) AS n_chars, {split} AS w
+            FROM documents
+        ),
+        feat AS (
+            SELECT doc_id,
+                   {ln}(w) AS n_words,
+                   {uniq} * 1e0 / {ln}(w) AS ttr,
+                   {ln}({filt}(w, x -> x IN ({sw_in}))) * 1e0 / {ln}(w)
+                       AS stop_ratio,
+                   least({ln}(w) / 64e0, 2e0) AS len_norm,
+                   (n_chars - {ln}(w) + 1) * 1e0 / {ln}(w) AS mean_len,
+                   {ln}({filt}(w, t -> t LIKE '%#%' OR t LIKE '%...'))
+                       * 1e0 / {ln}(w) AS sym_ratio,
+                   {ln}({filt}(w, t -> {alpha})) * 1e0 / {ln}(w)
+                       AS alpha_ratio,
+                   {ln}({isect}(w, {sw_arr})) AS stop_hits
+            FROM t
+        ),
+        lab AS (
+            SELECT CASE WHEN {logit} >= 0e0 THEN 1 ELSE 0 END AS clf,
+                   CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                             AND n_words <= {GOPHER_MAX_WORDS}
+                             AND mean_len >= {GOPHER_MEAN_LEN_LO}e0
+                             AND mean_len <= {GOPHER_MEAN_LEN_HI}e0
+                             AND sym_ratio <= {GOPHER_SYMBOL_MAX}e0
+                             AND alpha_ratio >= {GOPHER_ALPHA_MIN}e0
+                             AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+                        THEN 1 ELSE 0 END AS rules
+            FROM feat
+        ),
+        c AS (
+            SELECT count(*) AS n,
+                   sum(clf * rules) AS kk,
+                   sum(clf * (1 - rules)) AS kd,
+                   sum((1 - clf) * rules) AS dk,
+                   sum((1 - clf) * (1 - rules)) AS dd
+            FROM lab
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               CAST(kk AS BIGINT) AS both_keep,
+               CAST(dd AS BIGINT) AS both_drop,
+               CAST(kd AS BIGINT) AS clf_only_keep,
+               CAST(dk AS BIGINT) AS rules_only_keep,
+               {R("(kk + dd) * 1e2 / n", 4)} AS agreement_pct,
+               {R("((kk + dd) * 1e0 / n"
+                  " - ((kk + kd) * (kk + dk) + (dk + dd) * (kd + dd))"
+                  "   * 1e0 / (n * n))"
+                  " / (1e0"
+                  " - ((kk + kd) * (kk + dk) + (dk + dd) * (kd + dd))"
+                  "   * 1e0 / (n * n))", 4)} AS cohens_kappa
+        FROM c
+    """
+
+
+def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the Gopher rule filter and the learned
+    quality classifier (see _kappa_sql).
+
+    Scale shape: one per-row feature pass (both decisions computed
+    without a join or second scan), one 1-row confusion rollup."""
+    load_tables(spark, sf_dir)
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    sw = _sql_list(STOPWORDS)
+    return spark.sql(_kappa_sql(
+        "split(text, ' ')", "size", "size(array_distinct(w))", "filter",
+        "t RLIKE '[a-z]'", "array_intersect", sw, f"array({sw})",
+    ))
+
+
+QUERIES["filter_agreement_kappa"] = filter_agreement_kappa
+
+
+def _kappa_oracle() -> str:
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    sw = _sql_list(STOPWORDS)
+    return _kappa_sql(
+        "string_split(text, ' ')", "len", "len(list_distinct(w))",
+        "list_filter", "regexp_matches(t, '[a-z]')", "list_intersect",
+        sw, f"[{sw}]",
+    )
+
+
+ORACLE["filter_agreement_kappa"] = _kappa_oracle()

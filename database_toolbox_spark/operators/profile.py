@@ -1506,3 +1506,80 @@ def stale_stats_selectivity_eval(
 
 QUERIES["stale_stats_selectivity_eval"] = stale_stats_selectivity_eval
 ORACLE["stale_stats_selectivity_eval"] = _stale_stats_sql("quantile_cont")
+
+
+# --- histogram quality: equi-width vs equi-depth SSE -----------------------------
+HSSE_BUCKETS = 8
+
+
+def _hsse_sql(q: str) -> str:
+    """Optimizer-statistics quality comparison: {HSSE_BUCKETS}-bucket
+    EQUI-WIDTH vs EQUI-DEPTH histogram over order price, scored by total
+    within-bucket sum of squared error (the V-optimality objective,
+    Jagadish et al., "Optimal Histograms with Quality Guarantees",
+    VLDB 1998 — lower SSE = better selectivity estimates from the same
+    bucket budget). SSE per bucket = var_pop * n, summed; worst single
+    bucket reported alongside (the bucket a range predicate will
+    mis-estimate hardest)."""
+    cuts = ", ".join(
+        f"{q.format(p=f'{i / HSSE_BUCKETS}')} AS c{i}"
+        for i in range(1, HSSE_BUCKETS)
+    )
+    depth_case = " ".join(
+        f"WHEN o_totalprice <= c.c{i} THEN {i - 1}"
+        for i in range(1, HSSE_BUCKETS)
+    )
+    return f"""
+        WITH b AS (
+            SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+            FROM orders
+        ),
+        cuts AS (SELECT {cuts} FROM orders),
+        assigned AS (
+            SELECT 'equi_width' AS htype,
+                   least(CAST(floor((o.o_totalprice - b.lo)
+                                    * {HSSE_BUCKETS}e0 / (b.hi - b.lo))
+                              AS INT), {HSSE_BUCKETS} - 1) AS bk,
+                   o.o_totalprice AS x
+            FROM orders o CROSS JOIN b
+            UNION ALL
+            SELECT 'equi_depth' AS htype,
+                   CASE {depth_case} ELSE {HSSE_BUCKETS} - 1 END AS bk,
+                   o.o_totalprice AS x
+            FROM orders o CROSS JOIN cuts c
+        ),
+        per_bucket AS (
+            SELECT htype, bk, count(*) AS n,
+                   var_pop(x) * count(*) AS sse
+            FROM assigned GROUP BY htype, bk
+        )
+        SELECT htype,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(max(n) AS BIGINT) AS max_bucket_rows,
+               {R("sum(sse)", 2)} AS total_sse,
+               {R("max(sse)", 2)} AS worst_bucket_sse
+        FROM per_bucket
+        GROUP BY htype
+        ORDER BY htype
+    """
+
+
+def histogram_sse_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width vs equi-depth histogram SSE on order price (see
+    _hsse_sql) — which {HSSE_BUCKETS}-bucket statistic the optimizer
+    should keep; pairs with stale_stats_selectivity_eval (what bad
+    buckets COST) and equidepth_price_buckets (the depth cuts
+    themselves).
+
+    Scale shape: one exact-percentile pass for the depth cuts (1-row
+    broadcast), one bucketing scan per layout folded into a single
+    UNION ALL pass, then a 16-row rollup — var_pop is map-combinable, so
+    SSE never materializes per-row differences."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_hsse_sql("percentile(o_totalprice, {p}e0)"))
+
+
+QUERIES["histogram_sse_comparison"] = histogram_sse_comparison
+ORACLE["histogram_sse_comparison"] = _hsse_sql(
+    "quantile_cont(o_totalprice, {p}e0)"
+)

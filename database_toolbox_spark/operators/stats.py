@@ -2408,3 +2408,74 @@ def overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["overdispersion_index"] = overdispersion_index
 ORACLE["overdispersion_index"] = _OVERDISP_SQL
+
+
+# --- cross-correlation function ---------------------------------------------------
+CCF_MAX_LAG = 7
+
+_CCF_LAGS = " UNION ALL ".join(
+    f"SELECT {k} AS k" for k in range(-CCF_MAX_LAG, CCF_MAX_LAG + 1)
+)
+
+_CCF_SQL = f"""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               {R("sum(o_totalprice)")} AS rev,
+               count(*) AS n_orders
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    s AS (
+        SELECT CAST(row_number() OVER (PARTITION BY (hash(day) % 1)
+                                       ORDER BY day) AS BIGINT) AS t,
+               rev, n_orders * 1e0 AS cnt
+        FROM d
+    ),
+    m AS (
+        SELECT avg(rev) AS mu_x, avg(cnt) AS mu_y, count(*) AS n
+        FROM s
+    ),
+    den AS (
+        SELECT sqrt(sum((s.rev - m.mu_x) * (s.rev - m.mu_x))
+                    * sum((s.cnt - m.mu_y) * (s.cnt - m.mu_y))) AS sxy,
+               max(m.n) AS n
+        FROM s CROSS JOIN m
+    ),
+    lags AS ({_CCF_LAGS}),
+    num AS (
+        SELECT l.k AS lag,
+               sum((a.rev - m.mu_x) * (b.cnt - m.mu_y)) AS sp,
+               count(*) AS n_pairs
+        FROM s a
+        CROSS JOIN lags l
+        JOIN s b ON b.t = a.t + l.k
+        CROSS JOIN m
+        GROUP BY l.k
+    )
+    SELECT CAST(n.lag AS INT) AS lag,
+           CAST(n.n_pairs AS BIGINT) AS n_pairs,
+           {R("n.sp / d.sxy", 6)} AS ccf,
+           {R("1.96e0 / sqrt(d.n)", 6)} AS white_noise_band
+    FROM num n CROSS JOIN den d
+    ORDER BY lag
+"""
+
+
+def ccf_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample cross-correlation between daily revenue and daily order
+    count at lags -{CCF_MAX_LAG}..{CCF_MAX_LAG} (Box-Jenkins §11 transfer-
+    function identification: positive-lag peaks mean order count LEADS
+    revenue). ccf(k) = sum (x_t - mu_x)(y_{{t+k}} - mu_y) over the
+    geometric mean of the two full-series sums of squares — the standard
+    biased estimator, symmetric counterpart of acf_daily_revenue and
+    bounded by |1|; the same +-1.96/sqrt(n) band applies under the
+    no-cross-correlation null.
+
+    Scale shape: aggregate-first like the ACF — one grouped pass over
+    orders, then lag equi-joins on the calendar-bounded day index with
+    1-row broadcast moments."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_CCF_SQL)
+
+
+QUERIES["ccf_revenue_orders"] = ccf_revenue_orders
+ORACLE["ccf_revenue_orders"] = _CCF_SQL

@@ -1476,3 +1476,107 @@ ORACLE["char_entropy_scores"] = _char_entropy_sql(
     "SELECT doc_id, substr(text, u.i, 1) AS c FROM documents, "
     "unnest(range(1, length(text) + 1)) AS u(i)"
 )
+
+
+# --- RAKE keyword extraction -----------------------------------------------------
+RAKE_TOP = 20
+
+
+def _rake_sql(ns_src: str, agg_phrase: str, mat: str = "") -> str:
+    """RAKE keyword extraction (Rose/Engel/Cramer/Cowley, "Automatic
+    Keyword Extraction from Individual Documents", 2010): candidate
+    phrases are maximal stopword-free word runs; with freq(w) = w's
+    occurrences across phrases and deg(w) = sum of the lengths of the
+    phrases containing each occurrence (the co-occurrence degree,
+    self included), word score = deg/freq and a phrase scores the sum of
+    its words' scores (with multiplicity — the paper's convention).
+    Identical phrase TEXTS share one global score, so the top list
+    groups by text."""
+    return f"""
+        WITH ns AS {mat}(
+            {ns_src}
+        ),
+        plen AS (
+            SELECT doc_id, grp, count(*) AS len
+            FROM ns GROUP BY doc_id, grp
+        ),
+        wstats AS (
+            SELECT ns.w, count(*) AS freq, sum(p.len) AS deg
+            FROM ns JOIN plen p
+              ON p.doc_id = ns.doc_id AND p.grp = ns.grp
+            GROUP BY ns.w
+        ),
+        pscore AS (
+            SELECT ns.doc_id, ns.grp,
+                   {agg_phrase} AS phrase,
+                   sum(ws.deg * 1e0 / ws.freq) AS score,
+                   count(*) AS n_words
+            FROM ns JOIN wstats ws ON ws.w = ns.w
+            GROUP BY ns.doc_id, ns.grp
+        )
+        SELECT phrase,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(max(n_words) AS BIGINT) AS n_words,
+               {R("max(score)", 4)} AS rake_score
+        FROM pscore
+        WHERE n_words >= 2
+        GROUP BY phrase
+        ORDER BY {R("max(score)", 4)} DESC, phrase
+        LIMIT {RAKE_TOP}
+    """
+
+
+_RAKE_NS_SPARK = """
+            SELECT doc_id, p.pos, p.col AS w,
+                   p.pos - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY p.pos) AS grp
+            FROM documents
+            LATERAL VIEW posexplode(split(text, ' ')) p AS pos, col
+            WHERE p.col NOT IN ({sw}) AND p.col <> ''
+"""
+_RAKE_NS_DUCK = """
+            SELECT doc_id, pos, w,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS pos
+                FROM documents
+            )
+            WHERE w NOT IN ({sw}) AND w <> ''
+"""
+
+
+def rake_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{RAKE_TOP} multi-word RAKE keyphrases over the corpus (see
+    _rake_sql) — the unsupervised keyword extractor next to tfidf/BM25
+    (which rank TERMS; RAKE ranks PHRASES and needs no document
+    frequency model).
+
+    Scale shape: the stopword-split token-run relation is materialized
+    once (it feeds phrase lengths, word stats and phrase assembly —
+    inlining would replay the corpus explode 3x); everything else is
+    keyed grouped aggs plus one ordered string_agg per phrase (bounded by
+    phrase length). The WHERE on the EXPLODED stream keeps stopwords out
+    of the shuffle entirely."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    sw = _sql_list(STOPWORDS)
+    materialize(spark.sql(
+        "SELECT * FROM (" + _RAKE_NS_SPARK.format(sw=sw) + ") x"
+    )).createOrReplaceTempView("rake_ns_v")
+    return spark.sql(_rake_sql(
+        "SELECT * FROM rake_ns_v",
+        "listagg(ns.w, ' ') WITHIN GROUP (ORDER BY ns.pos)",
+    ))
+
+
+QUERIES["rake_keyword_scores"] = rake_keyword_scores
+ORACLE["rake_keyword_scores"] = _rake_sql(
+    _RAKE_NS_DUCK.format(sw=_sql_list(STOPWORDS)),
+    "string_agg(ns.w, ' ' ORDER BY ns.pos)",
+    mat="MATERIALIZED ",
+)

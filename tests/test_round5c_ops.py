@@ -740,3 +740,145 @@ def test_busday_formula_matches_numpy(spark):
         assert row.max_busdays == g["busdays"].max()
         assert row.avg_busdays == np.floor(
             g["busdays"].mean() * 1e4 + 0.501) / 1e4
+
+
+# ------------------------------------------------ RAKE
+
+
+def test_rake_matches_python_replay(spark):
+    """Exact RAKE replay: stopword-split runs, deg/freq word scores,
+    phrase score with multiplicity; grouped by identical text."""
+    from collections import Counter, defaultdict
+
+    from database_toolbox_spark.operators.text import (
+        RAKE_TOP,
+        STOPWORDS,
+        rake_keyword_scores,
+    )
+
+    got = [(r.phrase, r.n_occurrences, r.n_words, r.rake_score)
+           for r in rake_keyword_scores(spark, SF_DIR).collect()]
+    docs = pd.read_parquet(table_path(SF_DIR, "documents"))
+    sw = set(STOPWORDS)
+    phrases = []
+    for text in docs["text"]:
+        run = []
+        for w in text.split(" ") + [None]:
+            if w is None or w in sw or w == "":
+                if run:
+                    phrases.append(tuple(run))
+                    run = []
+            else:
+                run.append(w)
+    freq = Counter()
+    deg = Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    agg = defaultdict(lambda: [0, 0, 0.0])
+    for p in phrases:
+        if len(p) < 2:
+            continue
+        text = " ".join(p)
+        agg[text][0] += 1
+        agg[text][1] = len(p)
+        agg[text][2] = sum(deg[w] / freq[w] for w in p)
+    r4 = lambda x: np.floor(x * 1e4 + 0.501) / 1e4  # noqa: E731
+    rows = sorted(
+        ((t, n, ln, r4(s)) for t, (n, ln, s) in agg.items()),
+        key=lambda r: (-r[3], r[0]),
+    )[:RAKE_TOP]
+    assert got == rows
+
+
+# ------------------------------------------------ CCF
+
+
+def test_ccf_matches_numpy_and_leads(spark):
+    from database_toolbox_spark.operators.stats import (
+        CCF_MAX_LAG,
+        ccf_revenue_orders,
+    )
+
+    got = {r.lag: r.ccf for r in ccf_revenue_orders(spark, SF_DIR).collect()}
+    orders = pd.read_parquet(table_path(SF_DIR, "orders"))
+    orders["day"] = orders["o_orderdate"].dt.date
+    g = (orders.groupby("day")
+         .agg(rev=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+         .sort_index())
+    x = np.floor(g["rev"].to_numpy() * 100 + 0.501) / 100
+    y = g["n_orders"].to_numpy().astype(float)
+    dx, dy = x - x.mean(), y - y.mean()
+    den = np.sqrt((dx * dx).sum() * (dy * dy).sum())
+    for k in range(-CCF_MAX_LAG, CCF_MAX_LAG + 1):
+        if k >= 0:
+            sp = (dx[: len(x) - k] * dy[k:]).sum()
+        else:
+            sp = (dx[-k:] * dy[: len(x) + k]).sum()
+        assert got[k] == np.floor(sp / den * 1e6 + 0.501) / 1e6, k
+    assert len(got) == 2 * CCF_MAX_LAG + 1
+    # same-day correlation of revenue with its own order count must be
+    # strongly positive — the sanity check on sign conventions
+    assert got[0] > 0.5
+
+
+# ------------------------------------------------ Cohen's kappa
+
+
+def test_kappa_matches_sklearn_free_formula(spark):
+    from database_toolbox_spark.operators.curation import (
+        filter_agreement_kappa,
+    )
+
+    row = filter_agreement_kappa(spark, SF_DIR).collect()[0]
+    n = row.n_docs
+    kk, dd = row.both_keep, row.both_drop
+    kd, dk = row.clf_only_keep, row.rules_only_keep
+    assert kk + dd + kd + dk == n
+    po = (kk + dd) / n
+    pe = ((kk + kd) * (kk + dk) + (dk + dd) * (kd + dd)) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert row.cohens_kappa == np.floor(kappa * 1e4 + 0.501) / 1e4
+    assert -1 <= row.cohens_kappa <= 1
+
+
+# ------------------------------------------------ histogram SSE
+
+
+def test_histogram_sse_matches_numpy(spark):
+    from database_toolbox_spark.operators.profile import (
+        HSSE_BUCKETS,
+        histogram_sse_comparison,
+    )
+
+    got = {r.htype: r for r in
+           histogram_sse_comparison(spark, SF_DIR).collect()}
+    x = pd.read_parquet(table_path(SF_DIR, "orders"))["o_totalprice"]
+    x = x.to_numpy()
+
+    def sse_of(bins):
+        tot = worst = 0.0
+        nmax = 0
+        nb = 0
+        for b in np.unique(bins):
+            v = x[bins == b]
+            s = v.var() * len(v)
+            tot += s
+            worst = max(worst, s)
+            nmax = max(nmax, len(v))
+            nb += 1
+        return nb, nmax, tot, worst
+
+    lo, hi = x.min(), x.max()
+    ew = np.minimum(np.floor((x - lo) * HSSE_BUCKETS / (hi - lo)).astype(int),
+                    HSSE_BUCKETS - 1)
+    cuts = np.quantile(x, [i / HSSE_BUCKETS for i in range(1, HSSE_BUCKETS)],
+                       method="linear")
+    ed = np.searchsorted(cuts, x, side="left")
+    for name, bins in (("equi_width", ew), ("equi_depth", ed)):
+        nb, nmax, tot, worst = sse_of(bins)
+        row = got[name]
+        assert row.n_buckets == nb and row.max_bucket_rows == nmax
+        assert abs(row.total_sse - tot) < 1e-4 * tot
+        assert abs(row.worst_bucket_sse - worst) < 1e-4 * worst
