@@ -142,6 +142,19 @@ HEADLINE = [
     "psi_price_drift",
     "split_decontaminated_counts",
     "audio_spectrogram_profile",
+    # round-5 tranche F: basket rules, sweep-line concurrency, HBOS,
+    # truncation recall, KN LM, graph locality + prediction, weighted
+    # median, LSH budget, RAKE
+    "basket_association_rules",
+    "concurrent_sessions_peak",
+    "hbos_outlier_scores",
+    "dim_truncation_recall",
+    "kneser_ney_heldout_perplexity",
+    "local_clustering_coefficient",
+    "link_prediction_scores",
+    "weighted_median_price",
+    "lsh_candidate_budget",
+    "rake_keyword_scores",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

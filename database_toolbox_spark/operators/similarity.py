@@ -1846,3 +1846,140 @@ ORACLE["dim_truncation_recall"] = _trunc_recall_sql(
     _DUCK_TRUNC_COS_K,
     "SELECT unnest([" + ", ".join(str(k) for k in TRUNC_DIMS) + "]) AS k",
 )
+
+
+# --- IVF nprobe recall curve ----------------------------------------------------
+NPROBE_LEVELS = (1, 2, 4)
+
+
+def _nprobe_sql(cos_full: str, d2q: str, assigned_body: str,
+                probes_rel: str, materialized: str = "") -> str:
+    """Recall@{_RECALL_K} of IVF search as a function of nprobe (the
+    probed-cell count) — the Jegou TPAMI'11 Fig. 5 knob curve: probing
+    more coarse cells trades scan volume for recall. Per query, cells
+    are ranked by centroid distance (rounded, cell tie-break) and the
+    candidate set is the union of the top-p cells' vectors."""
+    return f"""
+        WITH qs AS (
+            SELECT vec_id AS qid, embedding AS qv
+            FROM embeddings WHERE vec_id < {N_KNN_QUERIES}
+        ),
+        assigned AS {materialized} (
+            {assigned_body}
+        ),
+        cents AS (
+            SELECT vec_id AS cell, embedding FROM embeddings
+            WHERE vec_id < {N_IVF_CELLS}
+        ),
+        qcells AS (
+            SELECT q.qid, c.cell,
+                   row_number() OVER (PARTITION BY q.qid
+                       ORDER BY floor({d2q} * 1000000e0) / 1000000e0,
+                                c.cell) AS crank
+            FROM qs q CROSS JOIN cents c
+        ),
+        probes AS ({probes_rel}),
+        exact AS (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (PARTITION BY q.qid
+                       ORDER BY {R(cos_full, 6)} DESC, e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN qs q
+            WHERE e.vec_id <> q.qid
+        ),
+        truth AS (SELECT qid, vec_id FROM exact WHERE rn <= {_RECALL_K}),
+        ivf AS (
+            SELECT q.qid, p.np, e.vec_id,
+                   row_number() OVER (PARTITION BY q.qid, p.np
+                       ORDER BY {R(cos_full, 6)} DESC, e.vec_id) AS rn
+            FROM embeddings e
+            JOIN assigned a ON a.vec_id = e.vec_id
+            CROSS JOIN qs q
+            CROSS JOIN probes p
+            JOIN qcells qc ON qc.qid = q.qid AND qc.cell = a.cell
+                          AND qc.crank <= p.np
+            WHERE e.vec_id <> q.qid
+        ),
+        approx AS (
+            SELECT qid, np, vec_id FROM ivf WHERE rn <= {_RECALL_K}
+        ),
+        hits AS (
+            SELECT t.qid, p.np, count(a.vec_id) AS n_hit
+            FROM truth t CROSS JOIN probes p
+            LEFT JOIN approx a ON a.qid = t.qid AND a.np = p.np
+                              AND a.vec_id = t.vec_id
+            GROUP BY t.qid, p.np
+        )
+        SELECT CAST(np AS BIGINT) AS n_probes, qid,
+               CAST(n_hit AS BIGINT) AS n_hits,
+               {R(f"n_hit * 1e0 / {_RECALL_K}", 4)} AS recall_at_10
+        FROM hits ORDER BY n_probes, qid
+    """
+
+
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 per panel query at nprobe in {NPROBE_LEVELS} (see
+    _nprobe_sql) — recall must be monotone non-decreasing in nprobe by
+    construction (candidate sets are nested), which the test asserts;
+    the measured curve is what sizes the probe width against the
+    ~nprobe/{N_IVF_CELLS} scan fraction it costs.
+
+    Scale shape: same budget as ann_recall_eval — panel x corpus arms,
+    cell assignment materialized once (the index), the probe ladder a
+    3-row broadcast; the nested candidate sets share one scan via the
+    probes cross join instead of re-scanning per level."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    d2 = _spark_l2_to_centroid("e.embedding", "c.embedding")
+    materialize(spark.sql(f"""
+        WITH cents AS (
+            SELECT vec_id AS cell, embedding FROM embeddings
+            WHERE vec_id < {N_IVF_CELLS}
+        )
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor({d2} * 1000000e0) / 1000000e0, c.cell)
+                       AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    """)).createOrReplaceTempView("nprobe_assigned_v")
+    cos_full = (
+        "aggregate(zip_with(e.embedding, q.qv, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x) / sqrt("
+        "aggregate(q.qv, CAST(0 AS DOUBLE), (acc, x) -> "
+        "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * "
+        "aggregate(e.embedding, CAST(0 AS DOUBLE), (acc, x) -> "
+        "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    return spark.sql(_nprobe_sql(
+        cos_full,
+        _spark_l2_to_centroid("q.qv", "c.embedding"),
+        "SELECT * FROM nprobe_assigned_v",
+        "SELECT explode(array" + str(NPROBE_LEVELS) + ") AS np",
+    ))
+
+
+_DUCK_D2Q = (
+    "list_aggregate(list_transform(range(1, len(q.qv) + 1), "
+    "i -> (CAST(q.qv[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) "
+    "* (CAST(q.qv[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))), 'sum')"
+)
+
+QUERIES["ivf_nprobe_recall_curve"] = ivf_nprobe_recall_curve
+ORACLE["ivf_nprobe_recall_curve"] = _nprobe_sql(
+    _DUCK_TRUNC_COS_FULL,
+    _DUCK_D2Q,
+    f"""SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor({_DUCK_D2} * 1000000e0) / 1000000e0,
+                                c.cell) AS rn
+            FROM embeddings e CROSS JOIN
+                 (SELECT vec_id AS cell, embedding FROM embeddings
+                  WHERE vec_id < {N_IVF_CELLS}) c
+        ) t WHERE rn = 1""",
+    "SELECT unnest([" + ", ".join(str(p) for p in NPROBE_LEVELS) + "]) AS np",
+    materialized="MATERIALIZED",
+)

@@ -108,10 +108,41 @@ SUSPECTS = [
     ("minhash_estimate_calibration", "report"),
     ("bloom_token_membership", "report"),
     ("image_dhash_near_dup_pairs", "report"),
+    # round-5 tranche F. Token bijection gives each replica a disjoint
+    # vocabulary, so per-doc char entropy rows are exactly 10x (values
+    # differ — the suffixes change the char mix); the LSH budget's band
+    # keys reroll per replica like banded MinHash, so the ALL-row
+    # candidate budget gets the same linear headroom. Event-tier ops on
+    # user-shifted replicas are 10 identical session sets at the SAME
+    # timestamps: every per-day concurrency is 10x base with the same
+    # first-peak instant (conc10), and every SCD2 version chain is a
+    # 10x copy (scdx10: counts 10x, gap stats and coverage identical).
+    # Orders/lineitem replicas keep prices and baskets intact, so the
+    # weighted median is value-identical at 10x weight (wmed10), the
+    # basket rule list is identical with 10x pair counts (basket10),
+    # and the DiD cell means / estimate are unchanged (did10).
+    # NOT asserted here: the customer co-purchase PROJECTION ops
+    # (local_clustering_coefficient, link_prediction_scores) — replicas
+    # share the part catalog, so cross-replica co-purchase edges grow
+    # the projection ~quadratically. That is a real property of
+    # co-occurrence projections over a fixed catalog (the documented
+    # 100 TB cap point), not an implementation defect; measuring it at
+    # 10x would dominate the script's runtime.
+    ("char_entropy_scores", "exact10"),
+    ("kneser_ney_heldout_perplexity", "report"),
+    ("rake_keyword_scores", "report"),
+    ("kmv_distinct_estimate", "report"),
+    ("lsh_candidate_budget", "budget10lin"),
+    ("concurrent_sessions_peak", "conc10"),
+    ("scd2_integrity_audit", "scdx10"),
+    ("basket_association_rules", "basket10"),
+    ("weighted_median_price", "wmed10"),
+    ("diff_in_diff_revenue", "did10"),
 ]
 
 # modes whose assertion compares full collected results, not counts
-_COLLECT_MODES = {"kcore10", "ohlc10"}
+_COLLECT_MODES = {"kcore10", "ohlc10", "budget10lin", "conc10",
+                  "scdx10", "basket10", "wmed10", "did10"}
 
 
 def synthesize() -> None:
@@ -319,6 +350,85 @@ def main() -> int:
             if bad:
                 failures.append(
                     f"{name}: bars not {R}x-events / value-identical"
+                )
+        elif mode == "budget10lin":
+            small_all = next(r.candidate_pairs for r in s["collected"]
+                             if r.band == -1)
+            big_all = next(r.candidate_pairs for r in b["collected"]
+                           if r.band == -1)
+            rows_out[name]["budget_small"] = small_all
+            rows_out[name]["budget_big"] = big_all
+            if big_all > 1.5 * R * small_all + 20:
+                failures.append(
+                    f"{name}: ALL-band candidate budget {big_all} exceeds "
+                    f"linear headroom (1.5 * {R} * {small_all} + 20)"
+                )
+        elif mode == "conc10":
+            small_r = {r.day: r for r in s["collected"]}
+            big_r = {r.day: r for r in b["collected"]}
+            bad = set(small_r) != set(big_r) or any(
+                big_r[d].peak_concurrent != R * small_r[d].peak_concurrent
+                or big_r[d].n_active_sessions
+                   != R * small_r[d].n_active_sessions
+                or big_r[d].first_peak_us != small_r[d].first_peak_us
+                for d in small_r
+            )
+            if bad:
+                failures.append(
+                    f"{name}: daily peaks not {R}x with identical "
+                    "first-peak instants"
+                )
+        elif mode == "scdx10":
+            sr, br = s["collected"][0], b["collected"][0]
+            bad = (
+                br.n_keys != R * sr.n_keys
+                or br.n_versions != R * sr.n_versions
+                or br.n_gaps != R * sr.n_gaps
+                or br.n_overlaps != R * sr.n_overlaps
+                or br.n_contiguous != R * sr.n_contiguous
+                or abs(br.avg_gap_s - sr.avg_gap_s) > 1e-3
+                or br.max_gap_s != sr.max_gap_s
+                or abs(br.coverage_pct - sr.coverage_pct) > 1e-3
+            )
+            if bad:
+                failures.append(
+                    f"{name}: version-chain stats not a {R}x copy"
+                )
+        elif mode == "basket10":
+            small_r = {(r.brand_a, r.brand_b): r for r in s["collected"]}
+            big_r = {(r.brand_a, r.brand_b): r for r in b["collected"]}
+            bad = set(small_r) != set(big_r) or any(
+                big_r[k].n_ab != R * small_r[k].n_ab
+                or abs(big_r[k].lift - small_r[k].lift) > 2e-6
+                or abs(big_r[k].support - small_r[k].support) > 2e-6
+                for k in small_r
+            )
+            if bad:
+                failures.append(
+                    f"{name}: top rules not identical with {R}x counts"
+                )
+        elif mode == "wmed10":
+            small_r = {r.l_returnflag: r for r in s["collected"]}
+            big_r = {r.l_returnflag: r for r in b["collected"]}
+            bad = set(small_r) != set(big_r) or any(
+                big_r[f].weighted_median_price
+                    != small_r[f].weighted_median_price
+                or abs(big_r[f].total_weight
+                       - R * small_r[f].total_weight) > 0.02 * R
+                for f in small_r
+            )
+            if bad:
+                failures.append(
+                    f"{name}: weighted medians changed under {R}x "
+                    "replication"
+                )
+        elif mode == "did10":
+            sr, br = s["collected"][0], b["collected"][0]
+            if (br.n_orders != R * sr.n_orders
+                    or abs(br.did_estimate - sr.did_estimate) > 1e-3):
+                failures.append(
+                    f"{name}: DiD estimate moved under pure replication "
+                    f"({sr.did_estimate} -> {br.did_estimate})"
                 )
         elif mode == "overhead":
             ov_s = s["candidates"] / max(s["rows"], 1)

@@ -882,3 +882,57 @@ def test_histogram_sse_matches_numpy(spark):
         assert row.n_buckets == nb and row.max_bucket_rows == nmax
         assert abs(row.total_sse - tot) < 1e-4 * tot
         assert abs(row.worst_bucket_sse - worst) < 1e-4 * worst
+
+
+# ------------------------------------------------ IVF nprobe curve
+
+
+def test_nprobe_recall_monotone_and_matches_numpy(spark):
+    """Candidate sets are nested in nprobe, so recall must be monotone
+    non-decreasing per query; values recomputed exactly in numpy."""
+    from database_toolbox_spark.operators.similarity import (
+        _RECALL_K,
+        N_IVF_CELLS,
+        N_KNN_QUERIES,
+        NPROBE_LEVELS,
+        ivf_nprobe_recall_curve,
+    )
+
+    got = {
+        (r.n_probes, r.qid): r.n_hits
+        for r in ivf_nprobe_recall_curve(spark, SF_DIR).collect()
+    }
+    emb = pd.read_parquet(table_path(SF_DIR, "embeddings"))
+    X = np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    cents = X[np.argsort(ids)[:N_IVF_CELLS]]
+    cent_ids = np.sort(ids)[:N_IVF_CELLS]
+    # corpus assignment: rounded L2^2, cell-id tie-break
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(2)
+    d2r = np.floor(d2 * 1e6) / 1e6
+    # cents columns are already in ascending cell-id order, and argmin
+    # returns the FIRST minimum — the (distance, cell-id) tie-break
+    assign = cent_ids[np.argmin(d2r, axis=1)]
+    norms = np.sqrt((X * X).sum(1))
+    for qid in range(N_KNN_QUERIES):
+        qrow = int(np.where(ids == qid)[0][0])
+        cos = (X @ X[qrow]) / (norms * norms[qrow])
+        cosr = np.floor(cos * 1e6 + 0.501) / 1e6
+        order = sorted(
+            ((c, v) for c, v in zip(cosr, ids) if v != qid),
+            key=lambda t: (-t[0], t[1]),
+        )
+        truth = {v for _, v in order[:_RECALL_K]}
+        qcells = cent_ids[np.lexsort((cent_ids, d2r[qrow]))]
+        prev = -1
+        for p in NPROBE_LEVELS:
+            probed = set(qcells[:p])
+            cand = [
+                (c, v) for c, v in zip(cosr, ids)
+                if v != qid and assign[np.where(ids == v)[0][0]] in probed
+            ]
+            cand.sort(key=lambda t: (-t[0], t[1]))
+            hits = len(truth & {v for _, v in cand[:_RECALL_K]})
+            assert got[(p, qid)] == hits, (p, qid)
+            assert hits >= prev
+            prev = hits
