@@ -453,3 +453,98 @@ def test_round5_continuation_plans_have_intended_shapes(spark):
     plan = _plan(ivm_topk_maintenance(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round5_tranche_f_plans_have_intended_shapes(spark):
+    """Tranche F: no join degrades to a CartesianProduct (1-row broadcast
+    scalar joins compiling to BroadcastNestedLoop are fine); the top-k
+    readouts (basket rules, HBOS, RAKE, link prediction) compile to
+    TakeOrderedAndProject; the Pareto skyline joins the price-grid window
+    back to the base scan as a broadcast hash join, not a shuffle."""
+    from database_toolbox_spark.operators.clustering import (
+        hbos_outlier_scores,
+    )
+    from database_toolbox_spark.operators.curation import (
+        classifier_calibration_bins,
+        filter_agreement_kappa,
+    )
+    from database_toolbox_spark.operators.dedup import lsh_candidate_budget
+    from database_toolbox_spark.operators.events import (
+        concurrent_sessions_peak,
+    )
+    from database_toolbox_spark.operators.graph import (
+        link_prediction_scores,
+        local_clustering_coefficient,
+    )
+    from database_toolbox_spark.operators.ivm import ivm_counting_deletes
+    from database_toolbox_spark.operators.market import (
+        basket_association_rules,
+        pareto_frontier_parts,
+    )
+    from database_toolbox_spark.operators.merge_ops import (
+        scd2_integrity_audit,
+    )
+    from database_toolbox_spark.operators.partitioning import (
+        layout_pruning_simulation,
+    )
+    from database_toolbox_spark.operators.pipeline import (
+        token_budget_waterfill,
+    )
+    from database_toolbox_spark.operators.scalars import (
+        business_days_latency,
+    )
+    from database_toolbox_spark.operators.sketches import (
+        bottomk_user_sample,
+        kmv_distinct_estimate,
+    )
+    from database_toolbox_spark.operators.stats import (
+        ccf_revenue_orders,
+        diff_in_diff_revenue,
+        overdispersion_index,
+        weighted_median_price,
+    )
+    from database_toolbox_spark.operators.text import (
+        char_entropy_scores,
+        kneser_ney_heldout_perplexity,
+        rake_keyword_scores,
+    )
+
+    for fn in (
+        basket_association_rules,
+        pareto_frontier_parts,
+        concurrent_sessions_peak,
+        hbos_outlier_scores,
+        kneser_ney_heldout_perplexity,
+        local_clustering_coefficient,
+        link_prediction_scores,
+        classifier_calibration_bins,
+        filter_agreement_kappa,
+        token_budget_waterfill,
+        kmv_distinct_estimate,
+        bottomk_user_sample,
+        weighted_median_price,
+        char_entropy_scores,
+        lsh_candidate_budget,
+        scd2_integrity_audit,
+        diff_in_diff_revenue,
+        ivm_counting_deletes,
+        overdispersion_index,
+        layout_pruning_simulation,
+        business_days_latency,
+        rake_keyword_scores,
+        ccf_revenue_orders,
+    ):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, fn.__name__
+    for fn in (
+        basket_association_rules,
+        hbos_outlier_scores,
+        link_prediction_scores,
+        rake_keyword_scores,
+    ):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+    # skyline: the join back to `part` must be broadcast, never a
+    # cartesian or a full shuffle of the bounded price-grid side
+    plan = _plan(pareto_frontier_parts(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
