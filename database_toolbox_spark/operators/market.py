@@ -132,3 +132,64 @@ ORACLE = {
     "basket_association_rules": _BASKET_SQL,
     "pareto_frontier_parts": _PARETO_SQL,
 }
+
+
+# --- segment affinity index -----------------------------------------------------
+AFFINITY_TOP = 3
+AFFINITY_MIN_N = 50
+
+_AFFINITY_SQL = f"""
+    WITH sb AS (
+        SELECT c.c_mktsegment AS seg, p.p_brand AS brand,
+               count(*) AS n
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY c.c_mktsegment, p.p_brand
+    ),
+    seg_tot AS (SELECT seg, sum(n) AS ns FROM sb GROUP BY seg),
+    brand_tot AS (SELECT brand, sum(n) AS nb FROM sb GROUP BY brand),
+    tot AS (SELECT sum(n) AS nt FROM sb),
+    scored AS (
+        SELECT sb.seg, sb.brand, sb.n,
+               (sb.n * 1e0 / st.ns) / (bt.nb * 1e0 / t.nt) AS affinity,
+               row_number() OVER (
+                   PARTITION BY sb.seg
+                   ORDER BY floor((sb.n * 1e0 / st.ns)
+                                  / (bt.nb * 1e0 / t.nt)
+                                  * 1000000e0 + 0.501e0) DESC, sb.brand
+               ) AS rk
+        FROM sb
+        JOIN seg_tot st ON st.seg = sb.seg
+        JOIN brand_tot bt ON bt.brand = sb.brand
+        CROSS JOIN tot t
+        WHERE sb.n >= {AFFINITY_MIN_N}
+    )
+    SELECT seg AS c_mktsegment, CAST(rk AS BIGINT) AS rank, brand,
+           CAST(n AS BIGINT) AS n_lineitems,
+           {R("affinity", 6)} AS affinity_index
+    FROM scored
+    WHERE rk <= {AFFINITY_TOP}
+    ORDER BY seg, rk
+"""
+
+
+def segment_affinity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retail affinity index (the classic BI "index score"): for each
+    market segment, the top-{AFFINITY_TOP} brands by (brand share within
+    segment) / (brand share overall) — >1 means the segment
+    over-consumes the brand relative to the population; the
+    "Fightin' Words"/distinctive-terms idea on the retail star schema
+    with a plain ratio instead of the Dirichlet z.
+
+    Scale shape: one fact-scan grouped agg to |segments|x|brands| rows;
+    the marginals are small broadcast relations and the rank window
+    partitions by segment over the bounded score grid (ranked on the
+    canon-floored score with brand tie-break — engine-stable)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_AFFINITY_SQL)
+
+
+QUERIES["segment_affinity_index"] = segment_affinity_index
+ORACLE["segment_affinity_index"] = _AFFINITY_SQL

@@ -2479,3 +2479,56 @@ def ccf_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ccf_revenue_orders"] = ccf_revenue_orders
 ORACLE["ccf_revenue_orders"] = _CCF_SQL
+
+
+# --- percentile roll-up fallacy ---------------------------------------------------
+
+_PCTL_ROLLUP_SQL_T = """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   {p95_day} AS p95_day,
+                   count(*) AS n
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        truth AS (SELECT {p95_all} AS p95_true FROM events)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+               {p95_true_r} AS p95_true,
+               {avg_daily_r} AS avg_daily_p95,
+               {wavg_daily_r} AS weighted_avg_daily_p95,
+               {gap_r} AS rollup_gap_pct
+        FROM daily CROSS JOIN truth
+        GROUP BY truth.p95_true
+"""
+
+
+def _pctl_rollup_sql(pctl: str) -> str:
+    """Why you cannot average percentiles: the true corpus p95 of event
+    value vs the (naive) mean of daily p95s and the row-weighted mean —
+    both are biased whenever daily distributions differ (percentiles
+    don't compose; only sketches like KLL merge — see
+    kll_quantile_check / hll_time_rollup_check for the mergeable way).
+    The gap column quantifies the fallacy on this corpus."""
+    return _PCTL_ROLLUP_SQL_T.format(
+        p95_day=f"{pctl}(value, 0.95e0)",
+        p95_all=f"{pctl}(value, 0.95e0)",
+        p95_true_r=R("max(truth.p95_true)", 4),
+        avg_daily_r=R("avg(p95_day)", 4),
+        wavg_daily_r=R("sum(p95_day * n) / sum(n)", 4),
+        gap_r=R("abs(avg(p95_day) - max(truth.p95_true)) * 1e2"
+                " / max(truth.p95_true)", 4),
+    )
+
+
+def percentile_rollup_fallacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured percentile-composition error (see _pctl_rollup_sql) — the
+    data-quality demo that justifies keeping mergeable sketches
+    (KLL/HLL) in materialized rollups instead of finalized percentiles.
+
+    Scale shape: one day-grain grouped percentile pass, one global
+    percentile, one 1-row fold."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_pctl_rollup_sql("percentile"))
+
+
+QUERIES["percentile_rollup_fallacy"] = percentile_rollup_fallacy
+ORACLE["percentile_rollup_fallacy"] = _pctl_rollup_sql("quantile_cont")

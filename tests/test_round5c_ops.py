@@ -936,3 +936,69 @@ def test_nprobe_recall_monotone_and_matches_numpy(spark):
             assert got[(p, qid)] == hits, (p, qid)
             assert hits >= prev
             prev = hits
+
+
+# ------------------------------------------------ segment affinity index
+
+
+def test_affinity_index_matches_pandas(spark):
+    from database_toolbox_spark.operators.market import (
+        AFFINITY_MIN_N,
+        AFFINITY_TOP,
+        segment_affinity_index,
+    )
+
+    got = [(r.c_mktsegment, r.rank, r.brand, r.n_lineitems,
+            r.affinity_index)
+           for r in segment_affinity_index(spark, SF_DIR).collect()]
+    li = pd.read_parquet(table_path(SF_DIR, "lineitem"))
+    orders = pd.read_parquet(table_path(SF_DIR, "orders"))
+    cust = pd.read_parquet(table_path(SF_DIR, "customer"))
+    part = pd.read_parquet(table_path(SF_DIR, "part"))
+    j = (li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(cust, left_on="o_custkey", right_on="c_custkey")
+           .merge(part, left_on="l_partkey", right_on="p_partkey"))
+    sb = j.groupby(["c_mktsegment", "p_brand"]).size()
+    ns = sb.groupby(level=0).sum()
+    nb = sb.groupby(level=1).sum()
+    nt = sb.sum()
+    rows = []
+    for (seg, brand), n in sb.items():
+        if n < AFFINITY_MIN_N:
+            continue
+        aff = (n / ns[seg]) / (nb[brand] / nt)
+        rows.append((seg, brand, int(n),
+                     np.floor(aff * 1e6 + 0.501) / 1e6))
+    expect = []
+    for seg in sorted({r[0] for r in rows}):
+        top = sorted([r for r in rows if r[0] == seg],
+                     key=lambda r: (-r[3], r[1]))[:AFFINITY_TOP]
+        expect.extend((seg, i + 1, b, n, a)
+                      for i, (_, b, n, a) in enumerate(top))
+    assert got == expect
+
+
+# ------------------------------------------------ percentile rollup fallacy
+
+
+def test_percentile_rollup_matches_numpy(spark):
+    from database_toolbox_spark.operators.stats import (
+        percentile_rollup_fallacy,
+    )
+
+    row = percentile_rollup_fallacy(spark, SF_DIR).collect()[0]
+    ev = pd.read_parquet(table_path(SF_DIR, "events"))
+    ev["day"] = ev["ts"].dt.date
+    daily = ev.groupby("day")["value"].agg(
+        p95=lambda v: np.quantile(v, 0.95, method="linear"),
+        n="size",
+    )
+    true95 = np.quantile(ev["value"], 0.95, method="linear")
+    r4 = lambda x: np.floor(x * 1e4 + 0.501) / 1e4  # noqa: E731
+    assert row.n_days == len(daily)
+    assert row.p95_true == r4(true95)
+    assert row.avg_daily_p95 == r4(daily["p95"].mean())
+    assert row.weighted_avg_daily_p95 == r4(
+        (daily["p95"] * daily["n"]).sum() / daily["n"].sum())
+    assert row.rollup_gap_pct == r4(
+        abs(daily["p95"].mean() - true95) * 100 / true95)
