@@ -854,3 +854,71 @@ ORACLE["link_prediction_scores"] = _linkpred_sql(
     + _LCC_EDGE_SQL.replace("cp a", "cp a").strip(),
     mat="MATERIALIZED ",
 )
+
+
+# --- temporal edge churn ---------------------------------------------------------
+
+
+_EDGE_CHURN_SQL = f"""
+    WITH em AS (
+        SELECT DISTINCT date_trunc('month', o.o_orderdate) AS m,
+               l.l_suppkey AS s, o.o_custkey AS c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    months AS (SELECT DISTINCT m FROM em),
+    seq AS (
+        -- hash%1 partition: constant — months is calendar-bounded
+        SELECT m, row_number() OVER (PARTITION BY (hash(m) % 1)
+                                     ORDER BY m) AS t
+        FROM months
+    ),
+    et AS (
+        SELECT seq.t, em.s, em.c FROM em JOIN seq ON seq.m = em.m
+    ),
+    flows AS (
+        SELECT coalesce(a.t + 1, b.t) AS t,
+               CASE WHEN a.t IS NULL THEN 1 ELSE 0 END AS added,
+               CASE WHEN b.t IS NULL THEN 1 ELSE 0 END AS removed,
+               CASE WHEN a.t IS NOT NULL AND b.t IS NOT NULL
+                    THEN 1 ELSE 0 END AS retained
+        FROM et a
+        FULL OUTER JOIN et b
+          ON b.t = a.t + 1 AND b.s = a.s AND b.c = a.c
+    )
+    SELECT seq.m AS month,
+           CAST(sum(f.added) AS BIGINT) AS edges_added,
+           CAST(sum(f.removed) AS BIGINT) AS edges_removed,
+           CAST(sum(f.retained) AS BIGINT) AS edges_retained,
+           {R("sum(f.retained) * 1e2"
+              " / greatest(sum(f.retained) + sum(f.removed), 1)", 4)}
+               AS retention_pct
+    FROM flows f JOIN seq ON seq.t = f.t
+    GROUP BY seq.m
+    ORDER BY seq.m
+"""
+
+
+def graph_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month churn of the supplier-customer trading graph: per
+    month, edges added (pair traded this month but not last), removed
+    (traded last month but not this), retained, and the edge retention
+    rate — the temporal-graph evolution measure next to the static
+    PageRank/k-core/LPA family (cf. Leskovec KDD'05 densification
+    studies: at 100 TB this is the report that says whether the graph is
+    churning or compounding).
+
+    The FULL OUTER self-join on (t+1, s, c) classifies every consecutive-
+    month edge occurrence exactly once: a month-1 edge missing from month
+    2 lands as removed AT month 2; month-1 additions (t=0 has no
+    predecessor) count every first-month edge as added.
+
+    Scale shape: one distinct-reduce to (month, supplier, customer), then
+    an equi-keyed full outer join against its own next-month shift — the
+    same shuffle budget as one dedup pass; the month sequence relation is
+    calendar-bounded."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_EDGE_CHURN_SQL)
+
+
+QUERIES["graph_edge_churn"] = graph_edge_churn
+ORACLE["graph_edge_churn"] = _EDGE_CHURN_SQL

@@ -193,3 +193,134 @@ def segment_affinity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["segment_affinity_index"] = segment_affinity_index
 ORACLE["segment_affinity_index"] = _AFFINITY_SQL
+
+
+# --- ABC inventory classification -------------------------------------------------
+ABC_A_PCT = 80
+ABC_B_PCT = 95
+
+_ABC_SQL = f"""
+    WITH pr AS (
+        SELECT l_partkey,
+               {R("sum(l_extendedprice * (1 - l_discount))")} AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(rev) AS t FROM pr),
+    ranked AS (
+        -- hash%1 partition: constant — pr is bounded by the part catalog
+        SELECT pr.rev,
+               sum(pr.rev) OVER (
+                   PARTITION BY (hash(pr.l_partkey) % 1)
+                   ORDER BY pr.rev DESC, pr.l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) * 1e2 / t.t AS cum_pct
+        FROM pr CROSS JOIN tot t
+    ),
+    classed AS (
+        SELECT CASE WHEN cum_pct <= {ABC_A_PCT} THEN 'A'
+                    WHEN cum_pct <= {ABC_B_PCT} THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               rev
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           {R("sum(rev)", 2)} AS class_revenue,
+           {R("sum(rev) * 1e2 / max(t.t)", 4)} AS revenue_share_pct
+    FROM classed CROSS JOIN tot t
+    GROUP BY abc_class
+    ORDER BY abc_class
+"""
+
+
+def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    class A = the head reaching {ABC_A_PCT}% of cumulative revenue,
+    B to {ABC_B_PCT}%, C the tail — the standard ops-analytics cut
+    (Lorenz/Gini's actionable sibling; lorenz_decile_shares gives the
+    whole curve, this gives the planner's three buckets).
+
+    Scale shape: one fact-scan grouped agg to the part-catalog grain,
+    then a running share over that CATALOG-bounded relation (hash%1
+    declares the single partition intentional — a catalog is not fact-
+    scale). Per-part revenue is canon-rounded BEFORE the cumulative sum,
+    so both engines cumulate identical doubles in identical order and
+    the {ABC_A_PCT}% boundary cannot flip on merge-order ulps."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_ABC_SQL)
+
+
+QUERIES["abc_inventory_classes"] = abc_inventory_classes
+ORACLE["abc_inventory_classes"] = _ABC_SQL
+
+
+# --- popularity-baseline recommender eval -----------------------------------------
+POPREC_K = 5
+
+_POPREC_SQL = f"""
+    WITH ob AS (
+        SELECT o.o_custkey, o.o_orderkey, o.o_orderdate, p.p_brand
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate, p.p_brand
+    ),
+    last_order AS (
+        SELECT o_custkey, max(o_orderdate) AS d
+        FROM ob GROUP BY o_custkey
+    ),
+    test AS (
+        -- the held-out basket: every brand in the customer's LAST order
+        -- day (ties: all of that day's orders)
+        SELECT DISTINCT ob.o_custkey, ob.p_brand
+        FROM ob JOIN last_order lo
+          ON lo.o_custkey = ob.o_custkey AND ob.o_orderdate = lo.d
+    ),
+    train AS (
+        SELECT ob.p_brand, count(*) AS n
+        FROM ob JOIN last_order lo
+          ON lo.o_custkey = ob.o_custkey AND ob.o_orderdate < lo.d
+        GROUP BY ob.p_brand
+    ),
+    topk AS (
+        SELECT p_brand FROM (
+            SELECT p_brand,
+                   row_number() OVER (PARTITION BY (hash(p_brand) % 1)
+                       ORDER BY n DESC, p_brand) AS rk
+            FROM train
+        ) WHERE rk <= {POPREC_K}
+    ),
+    per_user AS (
+        SELECT t.o_custkey,
+               count(*) AS n_test,
+               sum(CASE WHEN k.p_brand IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_hit
+        FROM test t LEFT JOIN topk k ON k.p_brand = t.p_brand
+        GROUP BY t.o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_test) AS BIGINT) AS n_test_brands,
+           {R("avg(n_hit * 1e0 / n_test)", 6)} AS mean_recall_at_k,
+           {R("sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) * 1e2"
+              " / count(*)", 4)} AS hit_rate_pct
+    FROM per_user
+"""
+
+
+def popularity_baseline_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-last-basket-out evaluation of the top-{POPREC_K}-popular
+    recommender baseline (the floor every recommender must beat —
+    cf. Dacrema et al., RecSys 2019 on baselines): train = every order
+    before each customer's last order day, test = the last day's brands;
+    report mean per-user recall@{POPREC_K} and the any-hit rate.
+
+    Scale shape: one grouped pass to (customer, order, brand) grain, a
+    per-customer max for the split point, grouped popularity counts, and
+    a broadcast {POPREC_K}-row top list — the rank window runs over the
+    bounded brand vocabulary."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_POPREC_SQL)
+
+
+QUERIES["popularity_baseline_hitrate"] = popularity_baseline_hitrate
+ORACLE["popularity_baseline_hitrate"] = _POPREC_SQL
