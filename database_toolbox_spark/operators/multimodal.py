@@ -998,3 +998,84 @@ ORACLE["audio_spectrogram_profile"] = f"""
     ),
     {_spectrogram_tail()}
 """
+
+
+# --- image near-dup clusters ----------------------------------------------------
+
+
+def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the dHash near-dup pair graph — the
+    image twin of dedup.dup_clusters, completing the multimodal dedup
+    path end to end: decode -> dHash -> banded LSH -> Hamming verify ->
+    component clustering -> keep-one-per-cluster accounting.
+
+    Scale shape: reuses the banded pair generation (never all-pairs) and
+    dedup.connected_components' pointer-jumping min-label loop
+    (O(log diameter) rounds of keyed joins); the oracle is the exact
+    recursive-CTE closure, so hash-equality proves the iterative loop
+    converged to the true components."""
+    from database_toolbox_spark.operators.dedup import (  # noqa: PLC0415
+        connected_components,
+    )
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    # materialized + single-partition: the verified pair graph is tiny
+    # relative to the corpus, and the CC loop re-reads it every round
+    pairs = materialize(
+        image_dhash_near_dup_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .coalesce(1)
+    )
+    labels = connected_components(pairs)
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("cluster_size"),
+            F.min("node").cast("bigint").alias("keep_doc"),
+            (F.count("*") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .selectExpr("CAST(label AS BIGINT) AS component", "cluster_size",
+                    "keep_doc", "n_dropped")
+        .orderBy("component")
+    )
+
+
+QUERIES["image_dup_clusters"] = image_dup_clusters
+
+_DHASH_TAIL_FOR_CC = _dhash_pairs_tail(
+    lambda x, n: f"({x} // {n})",
+    lambda a, b: f"xor({a}, {b})",
+    "(SELECT unnest(range(4)) AS b) t",
+)
+_DHASH_TAIL_FOR_CC = _DHASH_TAIL_FOR_CC[
+    : _DHASH_TAIL_FOR_CC.rindex("SELECT doc_a")
+]
+
+ORACLE["image_dup_clusters"] = (
+    _DHASH_ORACLE_CTES.replace("WITH b AS", "WITH RECURSIVE b AS", 1)
+    + _DHASH_TAIL_FOR_CC
+    + f""", pairs AS (
+            SELECT doc_a, doc_b FROM ver WHERE hamming <= {DHASH_HAM_MAX}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        members AS (
+            SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs
+        ),
+        reach(node, member) AS (
+            SELECT node, node FROM members
+            UNION
+            SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.member
+        ),
+        rep AS (
+            SELECT node, min(member) AS component FROM reach GROUP BY node
+        )
+        SELECT CAST(component AS BIGINT) AS component,
+               CAST(count(*) AS BIGINT) AS cluster_size,
+               CAST(min(node) AS BIGINT) AS keep_doc,
+               CAST(count(*) - 1 AS BIGINT) AS n_dropped
+        FROM rep GROUP BY component ORDER BY component
+    """
+)

@@ -1583,3 +1583,75 @@ QUERIES["histogram_sse_comparison"] = histogram_sse_comparison
 ORACLE["histogram_sse_comparison"] = _hsse_sql(
     "quantile_cont(o_totalprice, {p}e0)"
 )
+
+
+# --- k-anonymity generalization ladder ---------------------------------------
+KGEN_TARGET = 10
+# generalization levels for the numeric quasi-identifier c_acctbal:
+# exact cents -> $10 bands -> $100 bands -> $1000 bands -> suppressed
+KGEN_WIDTHS = (0, 10, 100, 1000, -1)  # 0 = raw, -1 = suppress
+
+
+def _kgen_sql() -> str:
+    levels = []
+    for lvl, w in enumerate(KGEN_WIDTHS):
+        if w == 0:
+            expr = "CAST(floor(c_acctbal) AS BIGINT)"
+        elif w == -1:
+            expr = "CAST(0 AS BIGINT)"
+        else:
+            expr = f"CAST(floor(c_acctbal / {w}) AS BIGINT)"
+        levels.append(
+            f"SELECT {lvl} AS level, c_nationkey, {expr} AS bal_g"
+            " FROM customer"
+        )
+    union = "\n            UNION ALL\n            ".join(levels)
+    return f"""
+        WITH g AS (
+            {union}
+        ),
+        classes AS (
+            SELECT level, c_nationkey, bal_g, count(*) AS n
+            FROM g GROUP BY level, c_nationkey, bal_g
+        ),
+        per_level AS (
+            SELECT level,
+                   count(*) AS n_classes,
+                   min(n) AS k_achieved,
+                   sum(CASE WHEN n < {KGEN_TARGET} THEN n ELSE 0 END)
+                       AS rows_below_k
+            FROM classes GROUP BY level
+        ),
+        chosen AS (
+            SELECT min(level) AS lvl FROM per_level
+            WHERE k_achieved >= {KGEN_TARGET}
+        )
+        SELECT CAST(p.level AS BIGINT) AS level,
+               CAST(p.n_classes AS BIGINT) AS n_classes,
+               CAST(p.k_achieved AS BIGINT) AS k_achieved,
+               CAST(p.rows_below_k AS BIGINT) AS rows_below_k,
+               CASE WHEN p.level = c.lvl THEN 1 ELSE 0 END AS chosen
+        FROM per_level p CROSS JOIN chosen c
+        ORDER BY p.level
+    """
+
+
+def k_anon_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal-generalization search (the core move of Samarati/Sweeney
+    k-anonymization, IEEE S&P 1998 / IJUFKS 2002): widen the numeric
+    quasi-identifier c_acctbal through a fixed ladder (raw -> $10 ->
+    $100 -> $1000 bands -> suppressed) next to c_nationkey until every
+    equivalence class reaches k >= {KGEN_TARGET}; report each level's k,
+    class count and under-k row mass, and flag the first level that
+    satisfies the target — the utility-vs-privacy frontier
+    k_anonymity_audit (fixed QI) only points at.
+
+    Scale shape: one UNION ALL scan per ladder level folded into a single
+    grouped count keyed by (level, QI) — map-combinable; everything after
+    is per-level rollups over the class table (QI-domain-bounded)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_kgen_sql())
+
+
+QUERIES["k_anon_generalization_ladder"] = k_anon_generalization_ladder
+ORACLE["k_anon_generalization_ladder"] = _kgen_sql()

@@ -120,7 +120,9 @@ SUSPECTS = [
     # Orders/lineitem replicas keep prices and baskets intact, so the
     # weighted median is value-identical at 10x weight (wmed10), the
     # basket rule list is identical with 10x pair counts (basket10),
-    # and the DiD cell means / estimate are unchanged (did10).
+    # and the DiD estimate must be untouched by dim-orphan
+    # replica facts (did10 — the customer dim is deliberately not
+    # replicated).
     # NOT asserted here: the customer co-purchase PROJECTION ops
     # (local_clustering_coefficient, link_prediction_scores) — replicas
     # share the part catalog, so cross-replica co-purchase edges grow
@@ -423,12 +425,18 @@ def main() -> int:
                     "replication"
                 )
         elif mode == "did10":
+            # orders replicas shift o_custkey but the CUSTOMER dim is not
+            # replicated, so replica facts are dim-orphans and the inner
+            # fact-dim join must keep exactly the base rows: the invariant
+            # is that orphan inserts leak NOTHING into the dim-joined
+            # estimate (n_orders and the estimate unchanged)
             sr, br = s["collected"][0], b["collected"][0]
-            if (br.n_orders != R * sr.n_orders
+            if (br.n_orders != sr.n_orders
                     or abs(br.did_estimate - sr.did_estimate) > 1e-3):
                 failures.append(
-                    f"{name}: DiD estimate moved under pure replication "
-                    f"({sr.did_estimate} -> {br.did_estimate})"
+                    f"{name}: dim-orphan replicas leaked into the DiD "
+                    f"join (n {sr.n_orders} -> {br.n_orders}, est "
+                    f"{sr.did_estimate} -> {br.did_estimate})"
                 )
         elif mode == "overhead":
             ov_s = s["candidates"] / max(s["rows"], 1)

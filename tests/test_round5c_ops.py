@@ -1096,3 +1096,79 @@ def test_popularity_baseline_matches_pandas(spark):
         recall.mean() * 1e6 + 0.501) / 1e6
     assert row.hit_rate_pct == np.floor(
         (per["hit"].max().mean()) * 100 * 1e4 + 0.501) / 1e4
+
+
+# ------------------------------------------------ image dup clusters
+
+
+def test_image_dup_clusters_union_find(spark):
+    """The clustering step must equal a union-find over the (already
+    brute-force-tested) dHash pair relation, and conserve node mass."""
+    from database_toolbox_spark.operators.multimodal import (
+        image_dhash_near_dup_pairs,
+        image_dup_clusters,
+    )
+
+    pairs = [(r.doc_a, r.doc_b) for r in
+             image_dhash_near_dup_pairs(spark, SF_DIR).collect()]
+    got = [(r.component, r.cluster_size, r.keep_doc, r.n_dropped)
+           for r in image_dup_clusters(spark, SF_DIR).collect()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    expect = sorted(
+        (min(ms), len(ms), min(ms), len(ms) - 1)
+        for ms in comps.values()
+    )
+    assert got == expect
+    assert sum(c[1] for c in got) == len(parent)
+
+
+# ------------------------------------------------ k-anon ladder
+
+
+def test_kgen_ladder_matches_pandas_and_is_monotone(spark):
+    from database_toolbox_spark.operators.profile import (
+        KGEN_TARGET,
+        KGEN_WIDTHS,
+        k_anon_generalization_ladder,
+    )
+
+    got = {r.level: r for r in
+           k_anon_generalization_ladder(spark, SF_DIR).collect()}
+    cust = pd.read_parquet(table_path(SF_DIR, "customer"))
+    ks = []
+    chosen = None
+    for lvl, w in enumerate(KGEN_WIDTHS):
+        if w == 0:
+            g = np.floor(cust["c_acctbal"]).astype(int)
+        elif w == -1:
+            g = np.zeros(len(cust), dtype=int)
+        else:
+            g = np.floor(cust["c_acctbal"] / w).astype(int)
+        sizes = cust.assign(g=g).groupby(["c_nationkey", "g"]).size()
+        row = got[lvl]
+        assert row.n_classes == len(sizes)
+        assert row.k_achieved == sizes.min()
+        assert row.rows_below_k == sizes[sizes < KGEN_TARGET].sum()
+        ks.append(sizes.min())
+        if chosen is None and sizes.min() >= KGEN_TARGET:
+            chosen = lvl
+    assert [got[i].chosen for i in range(len(KGEN_WIDTHS))] == [
+        int(i == chosen) for i in range(len(KGEN_WIDTHS))
+    ]
+    # nested ladder => min class size is non-decreasing
+    assert all(a <= b for a, b in zip(ks, ks[1:]))
