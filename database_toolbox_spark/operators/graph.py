@@ -859,21 +859,10 @@ ORACLE["link_prediction_scores"] = _linkpred_sql(
 # --- temporal edge churn ---------------------------------------------------------
 
 
-_EDGE_CHURN_SQL = f"""
-    WITH em AS (
-        SELECT DISTINCT date_trunc('month', o.o_orderdate) AS m,
-               l.l_suppkey AS s, o.o_custkey AS c
-        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    ),
-    months AS (SELECT DISTINCT m FROM em),
-    seq AS (
-        -- hash%1 partition: constant — months is calendar-bounded
-        SELECT m, row_number() OVER (PARTITION BY (hash(m) % 1)
-                                     ORDER BY m) AS t
-        FROM months
-    ),
-    et AS (
-        SELECT seq.t, em.s, em.c FROM em JOIN seq ON seq.m = em.m
+def _edge_churn_sql(et_src: str, mat: str = "") -> str:
+    return f"""
+    WITH et AS {mat}(
+        {et_src}
     ),
     flows AS (
         SELECT coalesce(a.t + 1, b.t) AS t,
@@ -884,17 +873,34 @@ _EDGE_CHURN_SQL = f"""
         FROM et a
         FULL OUTER JOIN et b
           ON b.t = a.t + 1 AND b.s = a.s AND b.c = a.c
-    )
-    SELECT seq.m AS month,
+    ),
+    seq2 AS (SELECT DISTINCT m, t FROM et)
+    SELECT seq2.m AS month,
            CAST(sum(f.added) AS BIGINT) AS edges_added,
            CAST(sum(f.removed) AS BIGINT) AS edges_removed,
            CAST(sum(f.retained) AS BIGINT) AS edges_retained,
            {R("sum(f.retained) * 1e2"
               " / greatest(sum(f.retained) + sum(f.removed), 1)", 4)}
                AS retention_pct
-    FROM flows f JOIN seq ON seq.t = f.t
-    GROUP BY seq.m
-    ORDER BY seq.m
+    FROM flows f JOIN seq2 ON seq2.t = f.t
+    GROUP BY seq2.m
+    ORDER BY seq2.m
+"""
+
+
+_EDGE_CHURN_ET = """
+        WITH em AS (
+            SELECT DISTINCT date_trunc('month', o.o_orderdate) AS m,
+                   l.l_suppkey AS s, o.o_custkey AS c
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        seq AS (
+            -- hash%1 partition: constant — months are calendar-bounded
+            SELECT m, row_number() OVER (PARTITION BY (hash(m) % 1)
+                                         ORDER BY m) AS t
+            FROM (SELECT DISTINCT m FROM em) months
+        )
+        SELECT em.m, seq.t, em.s, em.c FROM em JOIN seq ON seq.m = em.m
 """
 
 
@@ -917,8 +923,16 @@ def graph_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shuffle budget as one dedup pass; the month sequence relation is
     calendar-bounded."""
     load_tables(spark, sf_dir)
-    return spark.sql(_EDGE_CHURN_SQL)
+    # materialized once: the full-outer join reads et on BOTH sides and
+    # the month labels read it a third time — inlining would replay the
+    # distinct-reduce 3x
+    materialize(spark.sql(_EDGE_CHURN_ET)).createOrReplaceTempView(
+        "edge_churn_et_v"
+    )
+    return spark.sql(_edge_churn_sql("SELECT * FROM edge_churn_et_v"))
 
 
 QUERIES["graph_edge_churn"] = graph_edge_churn
-ORACLE["graph_edge_churn"] = _EDGE_CHURN_SQL
+ORACLE["graph_edge_churn"] = _edge_churn_sql(
+    _EDGE_CHURN_ET, mat="MATERIALIZED "
+)
