@@ -370,3 +370,88 @@ QUERIES["layout_pruning_simulation"] = layout_pruning_simulation
 ORACLE["layout_pruning_simulation"] = _prune_sim_sql(
     "datediff('day', DATE '1992-01-01', o_orderdate)"
 )
+
+
+# --- RLE encodability audit -------------------------------------------------------
+
+
+def _rle_sql(days: str, md5int) -> str:
+    """Run-length encodability of low-cardinality order columns under the
+    date-CLUSTERED file layout (same 64-file equi-width binning as
+    layout_pruning_simulation): within each file, rows sort by
+    (o_orderdate, o_orderkey) and a column's storage cost under RLE is
+    its RUN count (Abadi/Madden/Ferreira, SIGMOD 2006 — column
+    compression picks RLE exactly when avg run length is high). The
+    per-column runs-per-file numbers are what parquet's encoding chooser
+    sees; rle_ratio = rows/runs is the compression leverage the sort
+    order buys."""
+    cols = ["o_orderstatus", "o_orderpriority"]
+    branches = []
+    for c in cols:
+        branches.append(f"""
+        SELECT '{c}' AS col, f, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_runs AS BIGINT) AS n_runs
+        FROM (
+            SELECT f, count(*) AS n_rows,
+                   sum(CASE WHEN prev IS NULL OR prev <> v
+                            THEN 1 ELSE 0 END) AS n_runs
+            FROM (
+                SELECT f, {c} AS v,
+                       lag({c}) OVER (PARTITION BY f
+                           ORDER BY o_orderdate, o_orderkey) AS prev
+                FROM assigned
+            ) r GROUP BY f
+        ) s""")
+    union = "\n        UNION ALL\n".join(branches)
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey, o_orderdate, o_orderstatus, o_orderpriority,
+                   {days} AS d
+            FROM orders
+        ),
+        bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM base),
+        assigned AS (
+            SELECT b.*,
+                   least(CAST(floor((b.d - bo.lo) * {PRUNE_FILES}e0
+                                    / (bo.hi - bo.lo + 1)) AS INT),
+                         {PRUNE_FILES} - 1) AS f
+            FROM base b CROSS JOIN bounds bo
+        ),
+        per_file AS (
+            {union}
+        )
+        SELECT col,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(n_runs) AS BIGINT) AS n_runs,
+               {R("sum(n_rows) * 1e0 / sum(n_runs)", 4)} AS rle_ratio,
+               {R("max(n_runs * 1e0 / n_rows)", 6)} AS worst_file_run_density
+        FROM per_file
+        GROUP BY col
+        ORDER BY col
+    """
+
+
+def rle_encodability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column RLE leverage under the simulated date-clustered layout
+    (see _rle_sql) — the storage-side companion of
+    layout_pruning_simulation: pruning prices the SCAN win of
+    clustering, this prices the ENCODING win. Unsorted low-cardinality
+    columns run at ~rle_ratio 1/(1-1/k); a column correlated with the
+    sort key compresses dramatically better.
+
+    Scale shape: one scan to assign files, then per-file lag windows
+    (file-keyed — never a global ordering) and a per-column rollup."""
+    from database_toolbox_spark.session import load_table  # noqa: PLC0415
+
+    load_table(spark, sf_dir, "orders")
+    return spark.sql(_rle_sql(
+        "datediff(o_orderdate, DATE '1992-01-01')",
+        None,
+    ))
+
+
+QUERIES["rle_encodability_audit"] = rle_encodability_audit
+ORACLE["rle_encodability_audit"] = _rle_sql(
+    "datediff('day', DATE '1992-01-01', o_orderdate)",
+    None,
+)

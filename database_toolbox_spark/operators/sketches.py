@@ -667,3 +667,98 @@ ORACLE["bottomk_user_sample"] = _bottomk_sql(
     lambda k: f"CAST(concat('0x', substr(md5({k}), 1, 8)) AS BIGINT)",
     "VARCHAR",
 )
+
+
+# --- Bloom-filtered join reduction ------------------------------------------------
+BJ_SEGMENT = "AUTOMOBILE"
+
+
+def _bloom_join_sql(shift, intdiv, u32, seeds: str) -> str:
+    """Runtime-filter (Bloom-filtered shuffle join) simulation: build a
+    {BLOOM_BITS}-bit Bloom filter over the custkeys that survive a
+    selective dimension predicate, probe the fact table BEFORE any join,
+    and report how much of the shuffle the filter deletes — precisely
+    what engines' runtime filters / sideways information passing do
+    (Spark's own runtime row-level filtering included), with the
+    one-sided-error accounting made explicit: bloom_pass >= exact, no
+    false negatives, FP rows priced."""
+    key = "concat(CAST(k AS STRING), '#', CAST(s AS STRING))"
+    pkey = "concat(CAST(o_custkey AS STRING), '#', CAST(s AS STRING))"
+    return f"""
+        WITH build AS (
+            SELECT c_custkey AS k FROM customer
+            WHERE c_mktsegment = '{BJ_SEGMENT}'
+        ),
+        bits AS (
+            SELECT {intdiv("p")} AS word_id,
+                   bit_or({shift(f"p % {BLOOM_WORD}")}) AS bits
+            FROM (
+                SELECT {u32(key)} % {BLOOM_BITS} AS p
+                FROM build CROSS JOIN {seeds}
+            )
+            GROUP BY {intdiv("p")}
+        ),
+        probe AS (
+            SELECT o.o_orderkey, o.o_custkey,
+                   {u32(pkey)} % {BLOOM_BITS} AS p
+            FROM orders o CROSS JOIN {seeds}
+        ),
+        passed AS (
+            SELECT pr.o_orderkey,
+                   min(CASE WHEN b.bits IS NOT NULL
+                             AND ({intdiv("pr.p")} = b.word_id)
+                             AND (b.bits {'' if False else ''}
+                                  & {shift(f"pr.p % {BLOOM_WORD}")}) <> 0
+                        THEN 1 ELSE 0 END) AS all_bits
+            FROM probe pr
+            LEFT JOIN bits b ON b.word_id = {intdiv("pr.p")}
+            GROUP BY pr.o_orderkey
+        ),
+        exact AS (
+            SELECT count(*) AS n FROM orders o
+            WHERE EXISTS (SELECT 1 FROM build b WHERE b.k = o.o_custkey)
+        ),
+        tot AS (SELECT count(*) AS n FROM orders)
+        SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS probe_rows,
+               (SELECT CAST(n AS BIGINT) FROM exact) AS exact_matches,
+               CAST(sum(all_bits) AS BIGINT) AS bloom_pass,
+               CAST(sum(all_bits) - (SELECT n FROM exact) AS BIGINT)
+                   AS false_positives,
+               {R("(1e0 - sum(all_bits) * 1e0 / (SELECT n FROM tot))"
+                  " * 1e2", 4)} AS shuffle_reduction_pct,
+               {R("(sum(all_bits) - (SELECT n FROM exact)) * 1e0"
+                  " / ((SELECT n FROM tot) - (SELECT n FROM exact))", 6)}
+                   AS fp_rate
+        FROM passed
+    """
+
+
+def bloom_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured shuffle reduction of a Bloom runtime filter for the
+    dim-filtered fact join (see _bloom_join_sql) — the sideways-
+    information-passing audit next to the membership sketch
+    (bloom_token_membership) and the pruning simulation
+    (layout_pruning_simulation): one prices the scan, this prices the
+    shuffle.
+
+    Scale shape: the filter is {BLOOM_BITS} bits packed into ~67 BIGINT
+    words (a broadcast, whatever the dim's cardinality); the probe is one
+    fact scan with k md5 positions per row and a broadcast join against
+    the word table — no fact-side shuffle happens to evaluate the filter,
+    which is the entire point."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_bloom_join_sql(
+        lambda b: f"shiftleft(CAST(1 AS BIGINT), {b})",
+        lambda x: f"({x} DIV {BLOOM_WORD})",
+        lambda k: f"CAST(conv(substring(md5({k}), 1, 8), 16, 10) AS BIGINT)",
+        f"(SELECT explode(sequence(0, {BLOOM_K - 1})) AS s)",
+    ))
+
+
+QUERIES["bloom_join_reduction"] = bloom_join_reduction
+ORACLE["bloom_join_reduction"] = _bloom_join_sql(
+    lambda b: f"(CAST(1 AS BIGINT) << ({b}))",
+    lambda x: f"({x} // {BLOOM_WORD})",
+    lambda k: f"CAST(concat('0x', substr(md5({k}), 1, 8)) AS BIGINT)",
+    f"(SELECT unnest(range({BLOOM_K})) AS s)",
+)

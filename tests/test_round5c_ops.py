@@ -1172,3 +1172,80 @@ def test_kgen_ladder_matches_pandas_and_is_monotone(spark):
     ]
     # nested ladder => min class size is non-decreasing
     assert all(a <= b for a, b in zip(ks, ks[1:]))
+
+
+# ------------------------------------------------ RLE encodability
+
+
+def test_rle_audit_matches_pandas(spark):
+    from database_toolbox_spark.operators.partitioning import (
+        PRUNE_FILES,
+        rle_encodability_audit,
+    )
+
+    got = {r.col: r for r in rle_encodability_audit(spark, SF_DIR).collect()}
+    orders = pd.read_parquet(table_path(SF_DIR, "orders"))
+    d = (orders["o_orderdate"] - pd.Timestamp("1992-01-01")).dt.days
+    lo, hi = d.min(), d.max()
+    orders = orders.assign(f=np.minimum(
+        np.floor((d - lo) * PRUNE_FILES / (hi - lo + 1)).astype(int),
+        PRUNE_FILES - 1,
+    ))
+    for col in ("o_orderstatus", "o_orderpriority"):
+        runs = rows = 0
+        worst = 0.0
+        for _, g in orders.groupby("f"):
+            v = g.sort_values(["o_orderdate", "o_orderkey"])[col]
+            r = int((v != v.shift()).sum())
+            runs += r
+            rows += len(v)
+            worst = max(worst, r / len(v))
+        row = got[col]
+        assert (row.n_rows, row.n_runs) == (rows, runs)
+        assert row.rle_ratio == np.floor(rows / runs * 1e4 + 0.501) / 1e4
+        assert row.worst_file_run_density == np.floor(
+            worst * 1e6 + 0.501) / 1e6
+
+
+# ------------------------------------------------ bloom join reduction
+
+
+def test_bloom_join_reduction_matches_hash_replay(spark):
+    """No false negatives (bloom_pass >= exact, every true match passes),
+    and the pass set recomputed from md5 positions exactly."""
+    import hashlib
+
+    from database_toolbox_spark.operators.sketches import (
+        BJ_SEGMENT,
+        BLOOM_BITS,
+        BLOOM_K,
+        bloom_join_reduction,
+    )
+
+    row = bloom_join_reduction(spark, SF_DIR).collect()[0]
+    cust = pd.read_parquet(table_path(SF_DIR, "customer"))
+    orders = pd.read_parquet(table_path(SF_DIR, "orders"))
+    build = set(cust.loc[cust["c_mktsegment"] == BJ_SEGMENT, "c_custkey"])
+
+    def positions(k):
+        return {
+            int(hashlib.md5(f"{k}#{s}".encode()).hexdigest()[:8], 16)
+            % BLOOM_BITS
+            for s in range(BLOOM_K)
+        }
+
+    bits = set()
+    for k in build:
+        bits |= positions(k)
+    npass = nexact = 0
+    for ck in orders["o_custkey"]:
+        if positions(ck) <= bits:
+            npass += 1
+        if ck in build:
+            nexact += 1
+            assert positions(ck) <= bits  # one-sided error
+    assert row.probe_rows == len(orders)
+    assert row.exact_matches == nexact
+    assert row.bloom_pass == npass
+    assert row.false_positives == npass - nexact
+    assert row.bloom_pass >= row.exact_matches
