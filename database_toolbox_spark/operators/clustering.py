@@ -556,3 +556,87 @@ ORACLE["hbos_outlier_scores"] = (
     + ",\n"
     + _hbos_tail()
 )
+
+
+# --- nearest-centroid classification accuracy -----------------------------------
+
+
+def _ncc_sql(pos_rel: str, elem) -> str:
+    """Nearest-centroid (Rocchio) classification over the labeled
+    embeddings: assign each vector to the label whose mean vector is
+    closest in L2 (rounded distance, label tie-break), compare to its
+    true label — per-label accuracy and support. The supervised
+    label-quality readout next to label_cluster_agreement (which grades
+    UNSUPERVISED clusters against labels): low accuracy for a label
+    means its examples don't share a region — a labeling-noise or
+    class-overlap signal before anyone trains on the labels."""
+    return f"""
+        WITH vals AS (
+            SELECT vec_id, label, t.pos - 1 AS dim,
+                   CAST({elem("embedding", "t.pos")} AS DOUBLE) AS v
+            FROM embeddings, {pos_rel} t
+        ),
+        cents AS (
+            SELECT label AS clabel, dim, avg(v) AS c
+            FROM vals GROUP BY label, dim
+        ),
+        d2 AS (
+            SELECT v.vec_id, v.label, ct.clabel,
+                   sum((v.v - ct.c) * (v.v - ct.c)) AS dist2
+            FROM vals v JOIN cents ct ON ct.dim = v.dim
+            GROUP BY v.vec_id, v.label, ct.clabel
+        ),
+        assigned AS (
+            SELECT vec_id, label, clabel,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY floor(dist2 * 1000000e0) / 1000000e0,
+                                clabel) AS rn
+            FROM d2
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_correct,
+               {R("sum(CASE WHEN clabel = label THEN 1 ELSE 0 END)"
+                  " * 1e0 / count(*)", 4)} AS accuracy
+        FROM assigned WHERE rn = 1
+        GROUP BY label
+        ORDER BY label
+    """
+
+
+def nearest_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label nearest-centroid accuracy (see _ncc_sql).
+
+    Scale shape: the exploded (vec, dim) relation is materialized once
+    (it feeds the centroid agg and the distance join); centroids are a
+    labels x dim broadcast model; distances are one multiply-add pass
+    grouped by vec — the same budget as one k-means iteration, and the
+    assignment rank partitions by vec over |labels| rows."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    materialize(spark.sql(
+        f"SELECT vec_id, label, t.pos - 1 AS dim, "
+        f"CAST(element_at(embedding, t.pos) AS DOUBLE) AS v "
+        f"FROM embeddings, (SELECT explode(sequence(1, {DIM})) AS pos) t"
+    )).createOrReplaceTempView("ncc_vals_v")
+    sql = _ncc_sql(
+        f"(SELECT explode(sequence(1, {DIM})) AS pos)",
+        lambda arr, pos: f"element_at({arr}, {pos})",
+    ).replace(
+        """WITH vals AS (
+            SELECT vec_id, label, t.pos - 1 AS dim,
+                   CAST(element_at(embedding, t.pos) AS DOUBLE) AS v
+            FROM embeddings, (SELECT explode(sequence(1, 64)) AS pos) t
+        ),""",
+        "WITH vals AS (SELECT * FROM ncc_vals_v),",
+    )
+    return spark.sql(sql)
+
+
+QUERIES["nearest_centroid_accuracy"] = nearest_centroid_accuracy
+ORACLE["nearest_centroid_accuracy"] = _ncc_sql(
+    f"(SELECT unnest(range(1, {DIM} + 1)) AS pos)",
+    lambda arr, pos: f"{arr}[{pos}]",
+).replace("WITH vals AS (", "WITH vals AS MATERIALIZED (")

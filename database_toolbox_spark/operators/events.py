@@ -1714,3 +1714,64 @@ ORACLE["concurrent_sessions_peak"] = _concurrent_sql(
     " CAST(e_day AS TIMESTAMP), INTERVAL 1 DAY)) AS u(d)",
     "(SELECT unnest(range(0, 2)) AS i)",
 )
+
+
+# --- conditional entropy of event transitions ----------------------------------
+
+_COND_ENT_SQL = f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    tc AS (
+        SELECT prev, event_type AS nxt, count(*) AS n
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
+    ),
+    rowtot AS (SELECT prev, sum(n) AS np FROM tc GROUP BY prev),
+    tot AS (SELECT sum(n) AS nt FROM tc),
+    margin AS (SELECT nxt, sum(n) AS nn FROM tc GROUP BY nxt),
+    hcond AS (
+        SELECT sum(tc.n * 1e0 / t.nt
+                   * -log2(tc.n * 1e0 / r.np)) AS h_cond
+        FROM tc JOIN rowtot r ON r.prev = tc.prev CROSS JOIN tot t
+    ),
+    hmarg AS (
+        SELECT sum(m.nn * 1e0 / t.nt * -log2(m.nn * 1e0 / t.nt)) AS h_next
+        FROM margin m CROSS JOIN tot t
+    )
+    SELECT (SELECT CAST(nt AS BIGINT) FROM tot) AS n_transitions,
+           {R("(SELECT h_next FROM hmarg)", 6)} AS h_next_bits,
+           {R("(SELECT h_cond FROM hcond)", 6)} AS h_next_given_cur_bits,
+           {R("(SELECT h_next FROM hmarg) - (SELECT h_cond FROM hcond)",
+              6)} AS information_gain_bits,
+           CASE WHEN (SELECT h_cond FROM hcond)
+                     <= (SELECT h_next FROM hmarg) + 1e-9
+                THEN 1 ELSE 0 END AS conditioning_never_hurts
+    FROM tot
+"""
+
+
+def event_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(next | current) of the per-user event-type
+    transition process vs the marginal H(next) (Shannon 1948 §6-7 — the
+    entropy-rate upper bound for a first-order chain under the empirical
+    state distribution): information_gain = how predictable the next
+    event becomes once you know the current one. The information-theory
+    readout of the same transition counts markov_next_event_probs /
+    markov_stationary_distribution expose as probabilities; gain ~0 says
+    sessions are memoryless, large gain justifies sequence features.
+    H(next|cur) <= H(next) ALWAYS (conditioning never increases entropy)
+    — emitted as a flag so the driver comparison re-proves the
+    inequality on every run.
+
+    Scale shape: user-keyed lag window, then |types|^2-bounded grouped
+    aggregates — the transition matrix is the only shuffled relation."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_COND_ENT_SQL)
+
+
+QUERIES["event_conditional_entropy"] = event_conditional_entropy
+ORACLE["event_conditional_entropy"] = _COND_ENT_SQL

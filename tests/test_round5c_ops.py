@@ -1249,3 +1249,60 @@ def test_bloom_join_reduction_matches_hash_replay(spark):
     assert row.bloom_pass == npass
     assert row.false_positives == npass - nexact
     assert row.bloom_pass >= row.exact_matches
+
+
+# ------------------------------------------------ conditional entropy
+
+
+def test_conditional_entropy_matches_python(spark):
+    from collections import Counter
+
+    from database_toolbox_spark.operators.events import (
+        event_conditional_entropy,
+    )
+
+    row = event_conditional_entropy(spark, SF_DIR).collect()[0]
+    ev = pd.read_parquet(table_path(SF_DIR, "events")).sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    tc = Counter()
+    for _, g in ev.groupby("user_id"):
+        ts_ = g["event_type"].tolist()
+        tc.update(zip(ts_, ts_[1:]))
+    nt = sum(tc.values())
+    rowtot = Counter()
+    margin = Counter()
+    for (p, nx), n in tc.items():
+        rowtot[p] += n
+        margin[nx] += n
+    h_cond = sum(n / nt * -np.log2(n / rowtot[p]) for (p, _), n in tc.items())
+    h_next = sum(n / nt * -np.log2(n / nt) for n in margin.values())
+    r6 = lambda x: np.floor(x * 1e6 + 0.501) / 1e6  # noqa: E731
+    assert row.n_transitions == nt
+    assert row.h_next_bits == r6(h_next)
+    assert row.h_next_given_cur_bits == r6(h_cond)
+    assert row.information_gain_bits == r6(h_next - h_cond)
+    assert row.conditioning_never_hurts == 1
+
+
+# ------------------------------------------------ nearest centroid
+
+
+def test_nearest_centroid_matches_numpy(spark):
+    from database_toolbox_spark.operators.clustering import (
+        nearest_centroid_accuracy,
+    )
+
+    got = {r.label: (r.n_vectors, r.n_correct) for r in
+           nearest_centroid_accuracy(spark, SF_DIR).collect()}
+    emb = pd.read_parquet(table_path(SF_DIR, "embeddings"))
+    X = np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
+    y = emb["label"].to_numpy()
+    labels = np.sort(np.unique(y))
+    cents = np.vstack([X[y == l].mean(0) for l in labels])
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(2)
+    d2r = np.floor(d2 * 1e6) / 1e6
+    pred = labels[np.argmin(d2r, axis=1)]  # first min = label tie-break
+    for l in labels:
+        sel = y == l
+        assert got[int(l)] == (int(sel.sum()), int((pred[sel] == l).sum()))
