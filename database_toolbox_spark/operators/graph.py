@@ -875,7 +875,7 @@ def _edge_churn_sql(et_src: str, mat: str = "") -> str:
           ON b.t = a.t + 1 AND b.s = a.s AND b.c = a.c
     ),
     seq2 AS (SELECT DISTINCT m, t FROM et)
-    SELECT seq2.m AS month,
+    SELECT CAST(seq2.m AS DATE) AS month,
            CAST(sum(f.added) AS BIGINT) AS edges_added,
            CAST(sum(f.removed) AS BIGINT) AS edges_removed,
            CAST(sum(f.retained) AS BIGINT) AS edges_retained,

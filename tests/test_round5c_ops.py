@@ -1022,7 +1022,7 @@ def test_edge_churn_matches_pandas(spark):
     for i, m in enumerate(months):
         prev = em[months[i - 1]] if i else set()
         cur = em[m]
-        key = pd.Timestamp(m.start_time)
+        key = m.start_time.date()
         assert got[key] == (
             len(cur - prev), len(prev - cur), len(cur & prev)
         ), m
