@@ -455,3 +455,127 @@ ORACLE["rle_encodability_audit"] = _rle_sql(
     "datediff('day', DATE '1992-01-01', o_orderdate)",
     None,
 )
+
+
+# --- Z-order pruning trade-off ------------------------------------------------
+
+
+def _zorder_prune_sql(day_expr: str) -> str:
+    """The measured case FOR multi-dimensional clustering: 64 simulated
+    files under three layouts — date-sorted, custkey-sorted, and Z-order
+    (Morton) — scored by zone-map file skipping against three predicates
+    (a one-month date slice, a 10%-of-range custkey slice, and their
+    conjunction). A single-column sort serves exactly one predicate
+    family and surrenders the other (every file straddles the other
+    column's range); the Z-curve keeps BOTH dimensions' per-file min/max
+    tight, so it skips well on either predicate — Morton 1966 +
+    Moerkotte VLDB'98 zone maps, the argument lakehouse OPTIMIZE ZORDER
+    implements. Predicate bounds are expressed as fractions of each
+    dimension's observed range, so the simulation is scale-free."""
+    return f"""
+        WITH raw AS (
+            SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS od,
+                   CAST({day_expr} AS BIGINT) AS d
+            FROM orders
+        ),
+        bounds AS (
+            SELECT min(ck) AS cmin, max(ck) AS cmax,
+                   min(d) AS dmin, max(d) AS dmax
+            FROM raw
+        ),
+        coords AS (
+            SELECT ck, od, d,
+                   CAST(floor((ck - b.cmin) * 256e0 / (b.cmax - b.cmin + 1))
+                        AS BIGINT) AS x,
+                   CAST(floor((d - b.dmin) * 256e0 / (b.dmax - b.dmin + 1))
+                        AS BIGINT) AS y
+            FROM raw CROSS JOIN bounds b
+        ),
+        assigned AS (
+            SELECT ck, od, d,
+                   CAST(y >> 2 AS BIGINT) AS f_date,
+                   CAST(x >> 2 AS BIGINT) AS f_cust,
+                   CAST(({_zorder_expr("x", "y", bits=8)}) >> 10 AS BIGINT)
+                       AS f_z
+            FROM coords
+        ),
+        layouts AS (
+            SELECT 'date_sorted' AS layout, f_date AS f, ck, d
+            FROM assigned
+            UNION ALL
+            SELECT 'cust_sorted' AS layout, f_cust AS f, ck, d
+            FROM assigned
+            UNION ALL
+            SELECT 'zorder' AS layout, f_z AS f, ck, d FROM assigned
+        ),
+        zones AS (
+            SELECT layout, f,
+                   min(d) AS dlo, max(d) AS dhi,
+                   min(ck) AS clo, max(ck) AS chi,
+                   count(*) AS n_rows
+            FROM layouts GROUP BY layout, f
+        ),
+        preds AS (
+            SELECT 'date_month' AS predicate, 1 AS use_d, 0 AS use_c
+            UNION ALL
+            SELECT 'cust_decile', 0, 1
+            UNION ALL
+            SELECT 'both', 1, 1
+        ),
+        lims AS (
+            -- date slice: days [40%, 48.3%) of the range (~one month of a
+            -- year-scale span); cust slice: [40%, 50%) of the key range
+            SELECT b.dmin + CAST(floor((b.dmax - b.dmin) * 0.40e0) AS BIGINT)
+                       AS plo_d,
+                   b.dmin + CAST(floor((b.dmax - b.dmin) * 0.483e0) AS BIGINT)
+                       AS phi_d,
+                   b.cmin + CAST(floor((b.cmax - b.cmin) * 0.40e0) AS BIGINT)
+                       AS plo_c,
+                   b.cmin + CAST(floor((b.cmax - b.cmin) * 0.50e0) AS BIGINT)
+                       AS phi_c
+            FROM bounds b
+        )
+        SELECT z.layout, p.predicate,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN (p.use_d = 0
+                                   OR (z.dlo < l.phi_d AND z.dhi >= l.plo_d))
+                              AND (p.use_c = 0
+                                   OR (z.clo < l.phi_c AND z.chi >= l.plo_c))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+               CAST(sum(CASE WHEN (p.use_d = 0
+                                   OR (z.dlo < l.phi_d AND z.dhi >= l.plo_d))
+                              AND (p.use_c = 0
+                                   OR (z.clo < l.phi_c AND z.chi >= l.plo_c))
+                             THEN z.n_rows ELSE 0 END) AS BIGINT)
+                   AS rows_scanned
+        FROM zones z CROSS JOIN preds p CROSS JOIN lims l
+        GROUP BY z.layout, p.predicate
+        ORDER BY z.layout, p.predicate
+    """
+
+
+def zorder_pruning_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping of date-sorted vs custkey-sorted vs Z-order layouts
+    under single-column and conjunctive predicates (see
+    _zorder_prune_sql) — the measured completion of the layout family:
+    layout_pruning_simulation prices clustering vs ingestion order on
+    ONE axis; this prices the single-axis-sort surrender on the other
+    axis and what the Morton curve buys back.
+
+    Scale shape: one scan computes all three file assignments row-
+    locally (1-row bounds broadcast); zone maps are 64x3 rows; the
+    predicate/limit relations are constant broadcasts. No sort is paid —
+    equi-width binning on each axis (and the z-prefix) reproduces the
+    sorted layouts' zone maps exactly."""
+    from database_toolbox_spark.session import load_table  # noqa: PLC0415
+
+    load_table(spark, sf_dir, "orders")
+    return spark.sql(_zorder_prune_sql(
+        "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')"
+    ))
+
+
+QUERIES["zorder_pruning_tradeoff"] = zorder_pruning_tradeoff
+ORACLE["zorder_pruning_tradeoff"] = _zorder_prune_sql(
+    "datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
+)

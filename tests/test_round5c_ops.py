@@ -1306,3 +1306,52 @@ def test_nearest_centroid_matches_numpy(spark):
     for l in labels:
         sel = y == l
         assert got[int(l)] == (int(sel.sum()), int((pred[sel] == l).sum()))
+
+
+# ------------------------------------------------ z-order pruning tradeoff
+
+
+def test_zorder_tradeoff_matches_pandas(spark):
+    """All 9 (layout, predicate) cells replayed in pandas, plus the
+    structural claims: each single-axis sort hits EVERY file on the
+    other axis's predicate, and z-order beats both on the conjunction."""
+    from database_toolbox_spark.operators.partitioning import (
+        zorder_pruning_tradeoff,
+    )
+
+    got = {(r.layout, r.predicate): (r.files_hit, r.rows_scanned)
+           for r in zorder_pruning_tradeoff(spark, SF_DIR).collect()}
+    orders = pd.read_parquet(table_path(SF_DIR, "orders"))
+    ck = orders["o_custkey"].to_numpy()
+    d = (orders["o_orderdate"].dt.normalize()
+         - pd.Timestamp("1995-01-01")).dt.days.to_numpy()
+    cmin, cmax = ck.min(), ck.max()
+    dmin, dmax = d.min(), d.max()
+    x = np.floor((ck - cmin) * 256 / (cmax - cmin + 1)).astype(int)
+    y = np.floor((d - dmin) * 256 / (dmax - dmin + 1)).astype(int)
+    z = np.zeros(len(x), dtype=int)
+    for i in range(8):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    files = {"date_sorted": y >> 2, "cust_sorted": x >> 2, "zorder": z >> 10}
+    plo_d = dmin + int(np.floor((dmax - dmin) * 0.40))
+    phi_d = dmin + int(np.floor((dmax - dmin) * 0.483))
+    plo_c = cmin + int(np.floor((cmax - cmin) * 0.40))
+    phi_c = cmin + int(np.floor((cmax - cmin) * 0.50))
+    for layout, f in files.items():
+        df = pd.DataFrame({"f": f, "d": d, "ck": ck})
+        zones = df.groupby("f").agg(
+            dlo=("d", "min"), dhi=("d", "max"),
+            clo=("ck", "min"), chi=("ck", "max"), n=("d", "size"),
+        )
+        hit_d = (zones["dlo"] < phi_d) & (zones["dhi"] >= plo_d)
+        hit_c = (zones["clo"] < phi_c) & (zones["chi"] >= plo_c)
+        for pred, mask in (("date_month", hit_d), ("cust_decile", hit_c),
+                           ("both", hit_d & hit_c)):
+            assert got[(layout, pred)] == (
+                int(mask.sum()), int(zones.loc[mask, "n"].sum())
+            ), (layout, pred)
+    assert got[("date_sorted", "cust_decile")][0] == 64
+    assert got[("cust_sorted", "date_month")][0] == 64
+    assert got[("zorder", "both")][0] <= min(
+        got[("date_sorted", "both")][0], got[("cust_sorted", "both")][0])
