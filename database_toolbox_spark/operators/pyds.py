@@ -138,3 +138,69 @@ ORACLE = {
         ORDER BY bucket
     """,
 }
+
+
+# --- streaming variant (SimpleDataSourceStreamReader) --------------------------
+
+N_STREAM_ROWS = 600
+STREAM_BATCH = 250  # rows offered per micro-batch
+
+
+def register_synthetic_stream_source(spark: SparkSession) -> None:
+    """Streaming twin of the batch source via Spark 4's
+    SimpleDataSourceStreamReader: the OFFSET is a row position, each
+    micro-batch serves [pos, min(pos+{STREAM_BATCH}, N)) with the SAME
+    deterministic row derivation as the batch reader, and
+    readBetweenOffsets replays any committed range exactly — the
+    replayability contract that makes the source exactly-once under
+    retries. A finite source: once pos reaches N_STREAM_ROWS the offset
+    stops advancing and micro-batches come back empty.
+
+    Scale design: offsets are a single integer (bytes on the wire);
+    replay is pure arithmetic, so a retried batch regenerates identical
+    rows with no driver-side buffering."""
+    from pyspark.sql.datasource import (  # noqa: PLC0415
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    def _rows(lo: int, hi: int):
+        for i in range(lo, hi):
+            yield (
+                i,
+                f"b{(i * 2654435761) % 97 % 8}",
+                float((i * 1103515245 + 12345) % 65536) / 100.0,
+            )
+
+    class _StreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            lo = start["pos"]
+            hi = min(lo + STREAM_BATCH, N_STREAM_ROWS)
+            # a LIST, not a generator: the engine's prefetch cache
+            # copy.copy()s the iterator between read and commit
+            return list(_rows(lo, hi)), {"pos": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return list(_rows(start["pos"], end["pos"]))
+
+    class SyntheticDocsStream(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_docs_stream"
+
+        def schema(self):
+            return "id bigint, bucket string, score double"
+
+        def simpleStreamReader(self, schema):
+            return _StreamReader()
+
+    spark.dataSource.register(SyntheticDocsStream)
+
+
+def read_synthetic_stream(spark: SparkSession) -> DataFrame:
+    """`spark.readStream` over the registered streaming Python source."""
+    register_synthetic_stream_source(spark)
+    return spark.readStream.format("synthetic_docs_stream").load()

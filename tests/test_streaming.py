@@ -679,3 +679,45 @@ def test_stream_bottomk_sample_matches_batch(spark, stream):
         for r in bottomk_user_sample(spark, SF_DIR).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_python_datasource_stream_matches_batch_derivation(spark, tmp_path):
+    """Spark 4 SimpleDataSourceStreamReader: the finite custom stream's
+    accumulated rows must equal the deterministic batch derivation for
+    ids 0..N — the partition-planned Python source run through the
+    STREAMING engine with integer offsets and arithmetic replay."""
+    import time
+
+    from database_toolbox_spark.operators.pyds import (
+        N_STREAM_ROWS,
+        read_synthetic_stream,
+    )
+
+    df = read_synthetic_stream(spark)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("pyds_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            n = spark.sql(
+                "SELECT count(*) AS n FROM pyds_stream_out"
+            ).collect()[0].n
+            if n >= N_STREAM_ROWS:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = {
+        r.id: (r.bucket, round(r.score, 2))
+        for r in spark.sql("SELECT * FROM pyds_stream_out").collect()
+    }
+    assert len(rows) == N_STREAM_ROWS
+    for i in range(N_STREAM_ROWS):
+        assert rows[i] == (
+            f"b{(i * 2654435761) % 97 % 8}",
+            round(((i * 1103515245 + 12345) % 65536) / 100.0, 2),
+        )
