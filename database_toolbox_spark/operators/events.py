@@ -1775,3 +1775,51 @@ def event_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["event_conditional_entropy"] = event_conditional_entropy
 ORACLE["event_conditional_entropy"] = _COND_ENT_SQL
+
+
+# --- time-decayed popularity ----------------------------------------------------
+DECAY_HALF_LIFE_DAYS = 7
+
+_DECAYED_POP_SQL = f"""
+    WITH horizon AS (
+        SELECT max(CAST(ts AS DATE)) AS h FROM events
+    ),
+    scored AS (
+        SELECT e.event_type,
+               pow(0.5e0, datediff{{args}} * 1e0
+                          / {DECAY_HALF_LIFE_DAYS}) AS w
+        FROM events e CROSS JOIN horizon x
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {R("sum(w)", 4)} AS decayed_count,
+           {R("sum(w) * 1e2 / sum(sum(w)) OVER ()", 4)} AS decayed_share_pct
+    FROM scored
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+def decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed event popularity with a
+    {DECAY_HALF_LIFE_DAYS}-day half-life anchored at the corpus's LAST
+    day (deterministic — never wall-clock): decayed_count =
+    sum 0.5^(age_days/half_life), the freshness-weighted counter behind
+    every trending/leaderboard surface (and the batch equivalent of a
+    decayed streaming counter, which folds the same quantity as
+    state * 0.5^dt + 1). Raw counts alongside show what recency
+    reweighting changes.
+
+    Scale shape: one scan with row-local age arithmetic against a 1-row
+    broadcast horizon, one small grouped agg; the final share is a
+    window over the |event types| relation."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_DECAYED_POP_SQL.format(
+        args="(x.h, CAST(e.ts AS DATE))"
+    ))
+
+
+QUERIES["decayed_popularity"] = decayed_popularity
+ORACLE["decayed_popularity"] = _DECAYED_POP_SQL.format(
+    args="('day', CAST(e.ts AS DATE), x.h)"
+)

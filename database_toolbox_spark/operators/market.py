@@ -324,3 +324,52 @@ def popularity_baseline_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["popularity_baseline_hitrate"] = popularity_baseline_hitrate
 ORACLE["popularity_baseline_hitrate"] = _POPREC_SQL
+
+
+# --- frequent brand triples -----------------------------------------------------
+TRIPLE_MIN_SUPPORT = 20
+
+_TRIPLE_SQL = f"""
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items),
+    t3 AS (
+        SELECT a.p_brand AS b1, b.p_brand AS b2, c.p_brand AS b3,
+               count(*) AS n_abc
+        FROM items a
+        JOIN items b ON b.l_orderkey = a.l_orderkey
+                    AND a.p_brand < b.p_brand
+        JOIN items c ON c.l_orderkey = a.l_orderkey
+                    AND b.p_brand < c.p_brand
+        GROUP BY a.p_brand, b.p_brand, c.p_brand
+        HAVING count(*) >= {TRIPLE_MIN_SUPPORT}
+    )
+    SELECT b1, b2, b3,
+           CAST(n_abc AS BIGINT) AS n_abc,
+           {R("n_abc * 1e0 / nb.n_baskets", 6)} AS support
+    FROM t3 CROSS JOIN nb
+    ORDER BY n_abc DESC, b1, b2, b3
+    LIMIT 15
+"""
+
+
+def basket_triple_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 frequent brand TRIPLES by support — the size-3 extension of
+    basket_association_rules (the step where a-priori's candidate
+    pruning starts to matter: every frequent triple's three sub-pairs
+    must be frequent, which the test asserts as the Apriori downward-
+    closure property on this corpus).
+
+    Scale shape: per-basket ordered 3-way self-join — O(N * k^3) with k
+    bounded by brands-per-basket (max 11 here); at 100 TB the standard
+    move is pre-filtering items to frequent singletons/pairs before the
+    triple join (downward closure makes that lossless), which this
+    per-order equi-join shape accommodates without restructuring."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_TRIPLE_SQL)
+
+
+QUERIES["basket_triple_support"] = basket_triple_support
+ORACLE["basket_triple_support"] = _TRIPLE_SQL
