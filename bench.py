@@ -164,12 +164,28 @@ DETAIL_PATH = os.path.join(_HERE, "BENCH_DETAIL.json")
 def prev_timings() -> dict[str, float]:
     """Per-query timings from the previous round, for regression tracking.
 
-    Preference order: the committed BENCH_DETAIL.json (written by the last
-    bench run and committed with the round), else the newest driver-recorded
-    BENCH_r*.json whose ``parsed.queries`` exists (rounds <= 3 carried the
-    per-query map on stdout; round 4's was truncated to parsed:null)."""
+    Preference order: the git-HEAD copy of BENCH_DETAIL.json (immutable
+    within a round — a second bench run in the same round must NOT
+    rebaseline against the run just completed, which the working-tree file
+    would do since main() overwrites it), else the working-tree file (fresh
+    clone with no committed detail yet), else the newest driver-recorded
+    BENCH_r*.json whose ``parsed.queries`` exists."""
     import glob
+    import subprocess
 
+    try:
+        blob = subprocess.run(
+            ["git", "-C", _HERE, "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if blob.returncode == 0:
+            doc = json.loads(blob.stdout)
+            if isinstance(doc.get("queries"), dict) and doc["queries"]:
+                return doc["queries"]
+    except (OSError, ValueError, subprocess.SubprocessError):
+        pass
     try:
         with open(DETAIL_PATH) as f:
             doc = json.load(f)
@@ -205,9 +221,12 @@ def compute_regressions(
 
     1. UNCONDITIONAL ceiling — the comparison value exceeds 2x the previous
        round (the driver's envelope), regardless of spread. The comparison
-       value is the MEDIAN of 3 when the run is noisy (spread > prev),
-       else the min: a single contention spike can't trip it, but a
-       consistently-doubled plan always does.
+       value is the MEDIAN of 3 when the run is noisy — noise measured
+       RELATIVELY (spread > 30% of the previous timing), not by comparing
+       this run's absolute jitter against the previous round's total, which
+       made sub-second queries always take the median path and multi-second
+       queries never — else the min: a single contention spike can't trip
+       it, but a consistently-doubled plan always does.
     2. Jitter-aware gate — min-of-3 is > 1.3x prev AND the absolute delta
        exceeds max(0.25 s, min(2*spread, 1.0 s)). The spread term is CAPPED
        at 1 s so high noise widens the band only so far.
@@ -216,7 +235,7 @@ def compute_regressions(
     for n, t in timings.items():
         if n not in prev or prev[n] <= 0:
             continue
-        cmp_val = medians[n] if spreads[n] > prev[n] else t
+        cmp_val = medians[n] if spreads[n] > 0.3 * prev[n] else t
         hard = cmp_val > 2.0 * prev[n]
         soft = (
             t > prev[n] * 1.3

@@ -249,7 +249,7 @@ ORACLE = {
 # --- SCD2 validity-chain integrity audit ---------------------------------------
 
 
-def _scd2_audit_sql(us: str, aud_src: str, mat: str = "") -> str:
+def _scd2_audit_sql(aud_src: str, mat: str = "") -> str:
     """Integrity audit of a versioned (SCD2-style) dimension derived from
     event history: per user, each run of consecutive same-type events is a
     version valid over [first ts, last ts] — the "closed at last
@@ -334,10 +334,10 @@ def scd2_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize(
         spark.sql("SELECT * FROM (" + _scd2_aud_body(us) + ") x")
     ).createOrReplaceTempView("scd2_aud_v")
-    return spark.sql(_scd2_audit_sql(us, "SELECT * FROM scd2_aud_v"))
+    return spark.sql(_scd2_audit_sql("SELECT * FROM scd2_aud_v"))
 
 
 QUERIES["scd2_integrity_audit"] = scd2_integrity_audit
 ORACLE["scd2_integrity_audit"] = _scd2_audit_sql(
-    "epoch_us(ts)", _scd2_aud_body("epoch_us(ts)"), mat="MATERIALIZED "
+    _scd2_aud_body("epoch_us(ts)"), mat="MATERIALIZED "
 )

@@ -62,6 +62,20 @@ def test_regression_gate_spread_term_is_capped():
     assert "q" in out and out["q"]["gate"] == "jitter", out
 
 
+def test_regression_gate_noise_switch_is_relative():
+    """Round-5 advice: the noisy-run switch compared this run's ABSOLUTE
+    jitter against the previous round's total timing — so a multi-second
+    query almost never took the median path. Relative gate (spread >
+    0.3*prev): a 10 s query whose min reached steady state but whose
+    median doubled under real noise (spread 9.5 s < prev 10 s — the old
+    switch stayed on min and saw nothing) must now flag via the median."""
+    prev = {"q": 10.0}
+    out = compute_regressions(
+        {"q": 11.0}, {"q": 9.5}, {"q": 21.0}, prev
+    )
+    assert "q" in out and out["q"]["gate"] == "2x-ceiling", out
+
+
 def test_regression_gate_quiet_run_small_delta_ok():
     """Sub-quarter-second deltas on a quiet run stay unflagged (local[32]
     run-to-run noise, not plan regressions)."""
