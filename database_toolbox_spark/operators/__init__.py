@@ -25,6 +25,7 @@ def _modules():
         curation,
         dedup,
         events,
+        finance,
         fingerprints,
         graph,
         grouping,
@@ -63,6 +64,7 @@ def _modules():
         curation,
         dedup,
         events,
+        finance,
         fingerprints,
         graph,
         grouping,

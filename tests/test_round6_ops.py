@@ -1,0 +1,121 @@
+"""Round-6 operator tests: semantic invariants + external anchors for the
+finance/trend tranche (oracle parity is covered by the driver sweep; these
+prove each op computes the right THING)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from database_toolbox_spark.operators import all_oracles, all_queries
+from tests.conftest import SF_DIR, compare_with_oracle
+
+Q = all_queries()
+
+
+# ---------------------------------------------------------------- finance
+
+
+def _daily_revenue(ddb) -> np.ndarray:
+    return np.array(
+        [
+            r[1]
+            for r in ddb.execute(
+                "SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) "
+                "FROM orders GROUP BY 1 ORDER BY 1"
+            ).fetchall()
+        ]
+    )
+
+
+def test_max_drawdown_matches_numpy(spark, ddb):
+    row = Q["max_drawdown_revenue"](spark, SF_DIR).collect()[0]
+    rev = _daily_revenue(ddb)
+    curve = np.cumsum(rev - rev.mean())
+    dd = np.maximum.accumulate(curve) - curve
+    assert row.max_drawdown >= 0
+    assert abs(row.max_drawdown - dd.max()) < 0.05, (row.max_drawdown, dd.max())
+    assert row.peak_day <= row.trough_day
+    assert row.underwater_days == (row.trough_day - row.peak_day).days
+    if row.recovery_day is not None:
+        assert row.recovery_day > row.trough_day
+
+
+def test_changepoint_matches_numpy_amoc(spark, ddb):
+    from database_toolbox_spark.operators.finance import MIN_SEG
+
+    row = Q["changepoint_daily_revenue"](spark, SF_DIR).collect()[0]
+    rev = _daily_revenue(ddb)
+    n = len(rev)
+    costs = []
+    for i in range(MIN_SEG, n - MIN_SEG + 1):
+        left, right = rev[:i], rev[i:]
+        costs.append(
+            (left.var() * len(left)) + (right.var() * len(right))
+        )
+    best_i = int(np.argmin(costs)) + MIN_SEG
+    left, right = rev[:best_i], rev[best_i:]
+    assert abs(row.left_mean - left.mean()) < 0.05
+    assert abs(row.right_mean - right.mean()) < 0.05
+    assert abs(row.mean_shift - (row.right_mean - row.left_mean)) < 0.02
+    sse_total = rev.var() * n
+    expected_ve = 1.0 - min(costs) / sse_total
+    assert abs(row.var_explained - expected_ve) < 1e-4
+    assert 0.0 <= row.var_explained <= 1.0
+
+
+def test_linear_trend_anchor_numpy_polyfit(spark, ddb):
+    rows = {r.segment: r for r in Q["linear_trend_by_segment"](spark, SF_DIR).collect()}
+    seg = sorted(rows)[0]
+    pairs = ddb.execute(
+        "SELECT datediff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE)) AS x, "
+        "sum(o.o_totalprice) AS y "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        f"WHERE c.c_mktsegment = '{seg}' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    x = np.array([p[0] for p in pairs], dtype=float)
+    y = np.array([p[1] for p in pairs], dtype=float)
+    slope, intercept = np.polyfit(x, y, 1)
+    r = rows[seg]
+    assert r.n_days == len(x)
+    assert abs(r.slope_per_day - slope) < max(0.01, abs(slope) * 0.001)
+    assert abs(r.intercept - intercept) < max(0.5, abs(intercept) * 0.001)
+    rr = np.corrcoef(x, y)[0, 1]
+    assert abs(r.pearson_r - rr) < 1e-4
+    assert abs(r.r2 - rr * rr) < 1e-4
+
+
+def test_vwap_all_is_volume_weighted_brand_mean(spark):
+    rows = Q["vwap_monthly_brand"](spark, SF_DIR).collect()
+    by_month: dict = {}
+    for r in rows:
+        by_month.setdefault(r.ship_month, []).append(r)
+    checked = 0
+    for m, rs in by_month.items():
+        # vwap_all is over ALL brands (incl. below-floor ones), so only
+        # months where the floor dropped nothing can be reconciled exactly;
+        # every retained row must still bracket the global VWAP sanely.
+        for r in rs:
+            assert r.volume >= 50
+            assert abs(r.rel_premium - (r.vwap / r.vwap_all - 1.0)) < 1e-3
+            assert 0 < r.vwap < 10 * r.vwap_all
+        checked += len(rs)
+    assert checked == len(rows) and len(by_month) > 20
+
+
+def test_round6_registry_parity(spark, ddb):
+    """Each round-6 op passes the lenient comparator at test SF (the strict
+    pandas-path parity runs in the driver sweep)."""
+    oracles = all_oracles()
+    for name in [
+        "vwap_monthly_brand",
+        "max_drawdown_revenue",
+        "changepoint_daily_revenue",
+        "linear_trend_by_segment",
+    ]:
+        compare_with_oracle(spark, ddb, Q[name], oracles[name])
