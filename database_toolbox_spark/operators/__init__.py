@@ -27,6 +27,7 @@ def _modules():
         events,
         finance,
         fingerprints,
+        geo,
         graph,
         grouping,
         ivm,
@@ -66,6 +67,7 @@ def _modules():
         events,
         finance,
         fingerprints,
+        geo,
         graph,
         grouping,
         ivm,

@@ -108,6 +108,67 @@ def test_vwap_all_is_volume_weighted_brand_mean(spark):
     assert checked == len(rows) and len(by_month) > 20
 
 
+# ------------------------------------------------------------------- geo
+
+
+def _np_points(ddb) -> dict[int, tuple[float, float]]:
+    """Independent coordinate derivation: hashlib.md5, not SQL."""
+    import hashlib
+
+    keys = [r[0] for r in ddb.execute("SELECT c_custkey FROM customer").fetchall()]
+    pts = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        lat = int(h[0:4], 16) * 120.0 / 65536.0 - 60.0
+        lon = int(h[4:8], 16) * 360.0 / 65536.0 - 180.0
+        pts[k] = (lat, lon)
+    return pts
+
+
+def _np_haversine(a, b) -> float:
+    import math
+
+    lat1, lon1 = a
+    lat2, lon2 = b
+    r = 6371.0088
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp, dl = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+    s = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * r * math.asin(math.sqrt(s))
+
+
+def test_geo_grid_join_is_exhaustive_vs_bruteforce(spark, ddb):
+    """The cell-bucketed join must find EXACTLY the brute-force O(n^2)
+    within-150km pairs (the 5-degree cell is wider than the radius at all
+    latitudes in range, so adjacency probing cannot miss a pair)."""
+    from database_toolbox_spark.operators.geo import RADIUS_KM
+
+    pts = _np_points(ddb)
+    keys = sorted(pts)
+    brute: dict[tuple[int, int], int] = {}
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            if _np_haversine(pts[a], pts[b]) <= RADIUS_KM:
+                cell = (
+                    int(np.floor(pts[a][0] / 5)),
+                    int(np.floor(pts[a][1] / 5)),
+                )
+                brute[cell] = brute.get(cell, 0) + 1
+    rows = Q["geo_grid_neighbor_pairs"](spark, SF_DIR).collect()
+    got = {(r.cell_lat, r.cell_lon): r.n_pairs for r in rows}
+    top = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == dict(top), (got, dict(top))
+    assert sum(brute.values()) > 0  # the fixture does produce pairs
+
+
+def test_geo_nearest_hub_covers_all_customers(spark, ddb):
+    rows = Q["geo_nearest_hub"](spark, SF_DIR).collect()
+    n_cust = ddb.execute("SELECT count(*) FROM customer").fetchone()[0]
+    assert sum(r.n_assigned for r in rows) == n_cust
+    for r in rows:
+        assert 0 <= r.avg_km <= r.max_km <= 20016  # half circumference
+
+
 def test_round6_registry_parity(spark, ddb):
     """Each round-6 op passes the lenient comparator at test SF (the strict
     pandas-path parity runs in the driver sweep)."""
@@ -117,5 +178,8 @@ def test_round6_registry_parity(spark, ddb):
         "max_drawdown_revenue",
         "changepoint_daily_revenue",
         "linear_trend_by_segment",
+        "geo_cell_counts",
+        "geo_nearest_hub",
+        "geo_grid_neighbor_pairs",
     ]:
         compare_with_oracle(spark, ddb, Q[name], oracles[name])
