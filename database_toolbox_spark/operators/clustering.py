@@ -640,3 +640,115 @@ ORACLE["nearest_centroid_accuracy"] = _ncc_sql(
     f"(SELECT unnest(range(1, {DIM} + 1)) AS pos)",
     lambda arr, pos: f"{arr}[{pos}]",
 ).replace("WITH vals AS (", "WITH vals AS MATERIALIZED (")
+
+
+# --- farthest-point sampling (greedy k-center) ----------------------------------
+#
+# Gonzalez (1985) 2-approximation for k-center: seed with the lowest
+# vec_id, then k-1 times add the point farthest (max-min L2^2) from the
+# selected set. The standard coreset/diverse-subset selector for embedding
+# corpora. Each round is ONE linear pass holding (vec_id, dmin) state —
+# never a pairwise matrix — so the plan is k scans of the corpus at any
+# scale. Argmax ties break on the 1e-6-floored distance then vec_id.
+
+FPS_K = 4
+
+_FPS_SPARK_D2 = (
+    "aggregate(zip_with(e.embedding, c.embedding, (x, y) -> "
+    "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+    "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_FPS_DUCK_D2 = (
+    "list_aggregate(list_transform(range(1, len(e.embedding) + 1), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) "
+    "* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))), "
+    "'sum')"
+)
+
+
+def _fps_tail(k: int) -> str:
+    picks = ["SELECT 1 AS sel_order, vec_id, CAST(NULL AS DOUBLE) AS d_sel FROM c1"]
+    picks += [
+        f"SELECT {i} AS sel_order, vec_id, dmin AS d_sel FROM c{i}"
+        for i in range(2, k + 1)
+    ]
+    body = " UNION ALL ".join(picks)
+    return f"""
+        SELECT p.sel_order, p.vec_id, e.label,
+               {R("p.d_sel", 6)} AS d2_at_selection
+        FROM ({body}) p JOIN embeddings e ON e.vec_id = p.vec_id
+        ORDER BY p.sel_order
+    """
+
+
+def farthest_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) sample of FPS_K embedding vectors:
+    selection order, label, and the max-min squared distance at selection
+    (monotonically non-increasing — the shrinking covering radius).
+
+    Scale shape: per round, the state is (vec_id, dmin) — one column pair,
+    materialized once (it is read by both the argmax pick and the next
+    update, and Catalyst would otherwise replay the whole chain per
+    reference); the distance to the single new center is a broadcast
+    1-row cross join. k linear passes total, no pairwise blowup."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    materialize(spark.sql(
+        "SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id = (SELECT min(vec_id) FROM embeddings)"
+    )).createOrReplaceTempView("c1")
+    for i in range(2, FPS_K + 1):
+        prev_d = (
+            f"SELECT e.vec_id, {_FPS_SPARK_D2} AS dmin "
+            "FROM embeddings e CROSS JOIN c1 c"
+            if i == 2
+            else f"SELECT vec_id, dmin FROM d{i - 1}"
+        )
+        if i == 2:
+            materialize(spark.sql(prev_d)).createOrReplaceTempView("d1")
+        materialize(spark.sql(f"""
+            SELECT e.vec_id, e.embedding, d.dmin
+            FROM d{i - 1} d JOIN embeddings e ON e.vec_id = d.vec_id
+            ORDER BY floor(d.dmin * 1e6) / 1e6 DESC, e.vec_id
+            LIMIT 1
+        """)).createOrReplaceTempView(f"c{i}")
+        if i < FPS_K:
+            materialize(spark.sql(f"""
+                SELECT d.vec_id,
+                       least(d.dmin, {_FPS_SPARK_D2}) AS dmin
+                FROM d{i - 1} d
+                JOIN embeddings e ON e.vec_id = d.vec_id
+                CROSS JOIN c{i} c
+            """)).createOrReplaceTempView(f"d{i}")
+    return spark.sql(_fps_tail(FPS_K))
+
+
+def _fps_oracle(k: int) -> str:
+    parts = [
+        "c1 AS (SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id = (SELECT min(vec_id) FROM embeddings))",
+        f"d1 AS MATERIALIZED (SELECT e.vec_id, {_FPS_DUCK_D2} AS dmin "
+        "FROM embeddings e CROSS JOIN c1 c)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(f"""c{i} AS (
+            SELECT e.vec_id, e.embedding, d.dmin
+            FROM d{i - 1} d JOIN embeddings e ON e.vec_id = d.vec_id
+            ORDER BY floor(d.dmin * 1e6) / 1e6 DESC, e.vec_id
+            LIMIT 1
+        )""")
+        if i < k:
+            parts.append(f"""d{i} AS MATERIALIZED (
+                SELECT d.vec_id,
+                       least(d.dmin, {_FPS_DUCK_D2}) AS dmin
+                FROM d{i - 1} d
+                JOIN embeddings e ON e.vec_id = d.vec_id
+                CROSS JOIN c{i} c
+            )""")
+    return "WITH " + ",\n".join(parts) + _fps_tail(k)
+
+
+QUERIES["farthest_point_sample"] = farthest_point_sample
+ORACLE["farthest_point_sample"] = _fps_oracle(FPS_K)

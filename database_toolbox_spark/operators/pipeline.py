@@ -1160,3 +1160,80 @@ QUERIES["token_budget_waterfill"] = token_budget_waterfill
 ORACLE["token_budget_waterfill"] = _waterfill_sql(
     _WATERFILL_ST_DUCK, mat="MATERIALIZED "
 )
+
+
+# --- DSIR hashed-n-gram importance weights --------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023,
+# arXiv:2302.03169): score every document in the raw pool by how target-like
+# its hashed-unigram feature distribution is — log weight = sum over tokens
+# of ln p_target(bucket) - ln p_raw(bucket), with add-1 smoothing over the
+# fixed bucket space. The target here is the 'src1' slice of the corpus;
+# tokens hash into 256 buckets via md5 (reshuffle-stable, dialect-shared).
+
+DSIR_BUCKETS = 256
+DSIR_TARGET = "src1"
+
+
+def _dsir_sql(h_tok: str, tok_src: str) -> str:
+    b = DSIR_BUCKETS
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, source, ({h_tok}) % {b} AS bkt
+            FROM {tok_src}
+        ),
+        tgt AS (
+            SELECT bkt, count(*) AS c FROM toks
+            WHERE source = '{DSIR_TARGET}' GROUP BY bkt
+        ),
+        raw AS (SELECT bkt, count(*) AS c FROM toks GROUP BY bkt),
+        tt AS (SELECT sum(c) AS n FROM tgt),
+        tr AS (SELECT sum(c) AS n FROM raw),
+        ratio AS (
+            SELECT r.bkt,
+                   ln((coalesce(t.c, 0) + 1e0) / (tt.n + {b}e0))
+                   - ln((r.c + 1e0) / (tr.n + {b}e0)) AS lr
+            FROM raw r LEFT JOIN tgt t ON r.bkt = t.bkt
+            CROSS JOIN tt CROSS JOIN tr
+        ),
+        doc AS (
+            SELECT k.doc_id, k.source,
+                   count(*) AS n_toks,
+                   sum(rt.lr) AS lw
+            FROM toks k JOIN ratio rt ON k.bkt = rt.bkt
+            GROUP BY k.doc_id, k.source
+        )
+        SELECT doc_id, source,
+               CAST(n_toks AS BIGINT) AS n_toks,
+               {R("lw", 4)} AS log_weight,
+               {R("lw / n_toks", 6)} AS log_weight_per_token
+        FROM doc
+        ORDER BY floor(lw / n_toks * 1e6 + 0.501e0) DESC, doc_id
+        LIMIT 20
+    """
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR document scores: hashed-unigram (256-bucket) log importance
+    weight of every document against the 'src1' target slice, add-1
+    smoothed; top-20 by length-normalized weight (raw sum also emitted).
+
+    Scale shape: tokenize-explode into a 256-row bucket histogram (twice:
+    target slice + full pool — both partial-aggregatable), a 256-row
+    broadcast ratio table joined back onto the token stream, one grouped
+    sum per doc, TakeOrdered top-20. No pairwise work anywhere; the model
+    state is fixed-size regardless of corpus scale — exactly why hashed
+    DSIR is the importance-sampling method that runs at 100 TB."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_dsir_sql(
+        "CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS INT)",
+        "documents LATERAL VIEW explode(split(text, ' ')) t AS tok",
+    ))
+
+
+QUERIES["dsir_importance_weights"] = dsir_importance_weights
+ORACLE["dsir_importance_weights"] = _dsir_sql(
+    "CAST(concat('0x', substr(md5(tok), 1, 4)) AS INTEGER)",
+    "(SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok"
+    " FROM documents) dtok",
+)

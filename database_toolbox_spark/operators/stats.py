@@ -2532,3 +2532,146 @@ def percentile_rollup_fallacy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["percentile_rollup_fallacy"] = percentile_rollup_fallacy
 ORACLE["percentile_rollup_fallacy"] = _pctl_rollup_sql("quantile_cont")
+
+
+# --- two-proportion z-test ------------------------------------------------------
+#
+# Classic A/B proportion comparison (each segment vs the rest of the
+# population): z = (p1 - p2) / sqrt(p*(1-p)*(1/n1 + 1/n2)) with the pooled
+# rate p. "Success" = the order is URGENT-priority — the running example of
+# a conversion flag on this fixture.
+
+_ZTEST_SQL = f"""
+    WITH seg AS (
+        SELECT c.c_mktsegment AS segment,
+               count(*) AS n,
+               sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS k
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    ),
+    tot AS (SELECT sum(n) AS n_all, sum(k) AS k_all FROM seg)
+    SELECT s.segment,
+           CAST(s.n AS BIGINT) AS n_seg,
+           CAST(t.n_all - s.n AS BIGINT) AS n_rest,
+           {R("s.k * 1e0 / s.n", 6)} AS p_seg,
+           {R("(t.k_all - s.k) * 1e0 / (t.n_all - s.n)", 6)} AS p_rest,
+           {R('''(s.k * 1e0 / s.n - (t.k_all - s.k) * 1e0 / (t.n_all - s.n))
+               / sqrt((t.k_all * 1e0 / t.n_all)
+                      * (1e0 - t.k_all * 1e0 / t.n_all)
+                      * (1e0 / s.n + 1e0 / (t.n_all - s.n)))''', 4)} AS z,
+           CASE WHEN abs(
+               (s.k * 1e0 / s.n - (t.k_all - s.k) * 1e0 / (t.n_all - s.n))
+               / sqrt((t.k_all * 1e0 / t.n_all)
+                      * (1e0 - t.k_all * 1e0 / t.n_all)
+                      * (1e0 / s.n + 1e0 / (t.n_all - s.n)))
+           ) > 1.959964e0 THEN 1 ELSE 0 END AS significant_95
+    FROM seg s CROSS JOIN tot t
+    ORDER BY s.segment
+"""
+
+
+def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of each market segment's URGENT-order rate
+    against the rest of the population (pooled-variance z, 95% flag).
+
+    Scale shape: one join + grouped agg to 5 rows, a 1-row total, and the
+    closed-form statistic — fully partial-aggregatable, no windows."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_ZTEST_SQL)
+
+
+QUERIES["two_proportion_ztest"] = two_proportion_ztest
+ORACLE["two_proportion_ztest"] = _ZTEST_SQL
+
+
+# --- Brier score decomposition --------------------------------------------------
+#
+# Murphy (1973) decomposition of the Brier score of a probabilistic
+# classifier: BS = REL - RES + UNC, with REL = sum n_k (p_k - o_k)^2 / N,
+# RES = sum n_k (o_k - obar)^2 / N, UNC = obar (1 - obar), where k ranges
+# over distinct forecast values. The forecaster is the canonical
+# cell-historical-rate model: P(order has a returned item) estimated per
+# (priority, order-year) cell on the md5-even half, evaluated on the
+# md5-odd half. Because forecasts are cell-constant, grouping the test set
+# by forecast value makes the identity hold EXACTLY (up to float noise) —
+# emitted as identity_gap, which must round to zero.
+
+
+def _brier_sql(h: str, yr: str) -> str:
+    return f"""
+        WITH flagged AS (
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   {yr} AS yr,
+                   {h} % 2 AS fold,
+                   max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       AS y
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderpriority, {yr}, {h} % 2
+        ),
+        model AS (
+            SELECT o_orderpriority, yr, avg(y * 1e0) AS p_hat
+            FROM flagged WHERE fold = 0
+            GROUP BY o_orderpriority, yr
+        ),
+        test AS (
+            SELECT f.y, m.p_hat
+            FROM flagged f JOIN model m
+              ON f.o_orderpriority = m.o_orderpriority AND f.yr = m.yr
+            WHERE f.fold = 1
+        ),
+        bins AS (
+            SELECT p_hat, count(*) AS n_k, avg(y * 1e0) AS o_k
+            FROM test GROUP BY p_hat
+        ),
+        tot AS (
+            SELECT sum(n_k) AS n, sum(n_k * o_k) / sum(n_k) AS obar
+            FROM bins
+        )
+        SELECT CAST(t.n AS BIGINT) AS n_test,
+               CAST((SELECT count(*) FROM bins) AS BIGINT) AS n_bins,
+               {R("t.obar", 6)} AS base_rate,
+               {R("sum(b.n_k * (b.p_hat - b.o_k) * (b.p_hat - b.o_k)) / t.n", 6)}
+                   AS reliability,
+               {R("sum(b.n_k * (b.o_k - t.obar) * (b.o_k - t.obar)) / t.n", 6)}
+                   AS resolution,
+               {R("t.obar * (1e0 - t.obar)", 6)} AS uncertainty,
+               {R('''sum(b.n_k * (b.p_hat - b.o_k) * (b.p_hat - b.o_k)) / t.n
+                   - sum(b.n_k * (b.o_k - t.obar) * (b.o_k - t.obar)) / t.n
+                   + t.obar * (1e0 - t.obar)''', 6)} AS brier,
+               {R('''sum(b.n_k * (b.p_hat - b.o_k) * (b.p_hat - b.o_k)) / t.n
+                   - sum(b.n_k * (b.o_k - t.obar) * (b.o_k - t.obar)) / t.n
+                   + t.obar * (1e0 - t.obar)
+                   - sum(b.n_k * ((b.p_hat - b.o_k) * (b.p_hat - b.o_k)
+                         + (b.o_k * (1e0 - b.o_k)))) / t.n''', 6)}
+                   AS identity_gap
+        FROM bins b CROSS JOIN tot t
+        GROUP BY t.n, t.obar
+    """
+
+
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (reliability - resolution +
+    uncertainty) for the cell-historical-rate return-probability model,
+    trained on the md5-even orders and scored on the md5-odd half.
+    identity_gap re-derives the Brier score as the per-bin expected squared
+    error and must round to zero — the self-check that the decomposition
+    (not just its three terms) was computed correctly.
+
+    Scale shape: one join + grouped agg per order, a broadcast-sized model
+    relation (|priorities| x |years|), then two tiny rollups. The fold
+    split is a pure function of the key (leakage-proof, reshuffle-stable)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_brier_sql(
+        "CAST(conv(substring(md5(CAST(o.o_orderkey AS STRING)), 1, 4), 16, 10)"
+        " AS INT)",
+        "year(o.o_orderdate)",
+    ))
+
+
+QUERIES["brier_decomposition"] = brier_decomposition
+ORACLE["brier_decomposition"] = _brier_sql(
+    "CAST(concat('0x', substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 4))"
+    " AS INTEGER)",
+    "year(o.o_orderdate)",
+)

@@ -169,6 +169,107 @@ def test_geo_nearest_hub_covers_all_customers(spark, ddb):
         assert 0 <= r.avg_km <= r.max_km <= 20016  # half circumference
 
 
+# ---------------------------------------------------- stats / selection
+
+
+def test_two_proportion_ztest_anchor(spark, ddb):
+    rows = {r.segment: r for r in Q["two_proportion_ztest"](spark, SF_DIR).collect()}
+    raw = ddb.execute(
+        "SELECT c.c_mktsegment, count(*), "
+        "sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
+    ).fetchall()
+    n_all = sum(r[1] for r in raw)
+    k_all = sum(r[2] for r in raw)
+    for seg, n, k in raw:
+        p1 = k / n
+        p2 = (k_all - k) / (n_all - n)
+        p = k_all / n_all
+        z = (p1 - p2) / np.sqrt(p * (1 - p) * (1 / n + 1 / (n_all - n)))
+        r = rows[seg]
+        assert abs(r.z - z) < 5e-4, (seg, r.z, z)
+        assert r.significant_95 == int(abs(z) > 1.959964)
+        assert r.n_seg == n and r.n_rest == n_all - n
+
+
+def test_brier_identity_holds(spark):
+    row = Q["brier_decomposition"](spark, SF_DIR).collect()[0]
+    assert row.identity_gap == 0.0, row
+    assert abs(
+        row.brier - (row.reliability - row.resolution + row.uncertainty)
+    ) < 2e-6
+    assert 0 <= row.uncertainty <= 0.25 + 1e-9
+    assert row.resolution >= 0 and row.reliability >= 0
+    assert 0 < row.base_rate < 1 and row.n_bins > 1
+
+
+def test_dsir_weights_anchor_python(spark, ddb):
+    """Independent Python recompute of the DSIR log weight for every
+    returned doc (hashlib md5, collections.Counter)."""
+    import hashlib
+    from collections import Counter
+
+    from database_toolbox_spark.operators.pipeline import (
+        DSIR_BUCKETS,
+        DSIR_TARGET,
+    )
+
+    docs = ddb.execute("SELECT doc_id, source, text FROM documents").fetchall()
+
+    def bkt(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % DSIR_BUCKETS
+
+    tgt: Counter = Counter()
+    raw: Counter = Counter()
+    per_doc: dict[int, list[int]] = {}
+    for doc_id, source, text in docs:
+        bs = [bkt(t) for t in text.split(" ")]
+        per_doc[doc_id] = bs
+        raw.update(bs)
+        if source == DSIR_TARGET:
+            tgt.update(bs)
+    tt, tr = sum(tgt.values()), sum(raw.values())
+    rows = Q["dsir_importance_weights"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        lw = sum(
+            np.log((tgt.get(b, 0) + 1.0) / (tt + DSIR_BUCKETS))
+            - np.log((raw[b] + 1.0) / (tr + DSIR_BUCKETS))
+            for b in per_doc[r.doc_id]
+        )
+        assert abs(r.log_weight - lw) < 0.01, (r.doc_id, r.log_weight, lw)
+        assert r.n_toks == len(per_doc[r.doc_id])
+
+
+def test_fps_matches_numpy_greedy(spark, ddb):
+    from database_toolbox_spark.operators.clustering import FPS_K
+
+    data = ddb.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([d[0] for d in data])
+    X = np.array([d[1] for d in data], dtype=np.float64)
+    sel = [0]  # min vec_id is first after ORDER BY
+    dmin = ((X - X[0]) ** 2).sum(axis=1)
+    order = [ids[0]]
+    dsel = [None]
+    for _ in range(FPS_K - 1):
+        # the SQL floors d*1e6 before the argmax; replicate for tie parity
+        key = np.floor(dmin * 1e6) / 1e6
+        best = np.lexsort((ids, -key))[0]
+        order.append(ids[best])
+        dsel.append(dmin[best])
+        dmin = np.minimum(dmin, ((X - X[best]) ** 2).sum(axis=1))
+    rows = Q["farthest_point_sample"](spark, SF_DIR).collect()
+    assert [r.vec_id for r in rows] == [int(i) for i in order]
+    got_d = [r.d2_at_selection for r in rows]
+    assert got_d[0] is None
+    for g, e in zip(got_d[1:], dsel[1:]):
+        assert abs(g - e) < 1e-3, (g, e)
+    # covering radius is non-increasing
+    assert all(a >= b - 1e-9 for a, b in zip(got_d[1:], got_d[2:]))
+
+
 def test_round6_registry_parity(spark, ddb):
     """Each round-6 op passes the lenient comparator at test SF (the strict
     pandas-path parity runs in the driver sweep)."""
@@ -181,5 +282,9 @@ def test_round6_registry_parity(spark, ddb):
         "geo_cell_counts",
         "geo_nearest_hub",
         "geo_grid_neighbor_pairs",
+        "two_proportion_ztest",
+        "brier_decomposition",
+        "dsir_importance_weights",
+        "farthest_point_sample",
     ]:
         compare_with_oracle(spark, ddb, Q[name], oracles[name])
