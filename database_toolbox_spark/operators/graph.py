@@ -936,3 +936,49 @@ QUERIES["graph_edge_churn"] = graph_edge_churn
 ORACLE["graph_edge_churn"] = _edge_churn_sql(
     _EDGE_CHURN_ET, mat="MATERIALIZED "
 )
+
+
+# --- degree assortativity -------------------------------------------------------
+#
+# Newman (PRL 89, 208701, 2002): the Pearson correlation of endpoint
+# degrees over edges. Positive = hubs link to hubs (social-network shape),
+# negative = hubs link to leaves (bipartite/infrastructure shape). On the
+# supplier-customer bipartite projection the sign is a structural fact
+# worth asserting, and the whole computation is two grouped aggs + corr.
+
+_ASSORT_SQL = f"""
+    WITH e AS (
+        {_KCORE_EDGE_SQL}
+    ),
+    sym AS (
+        SELECT src AS u, dst AS v FROM e
+        UNION ALL
+        SELECT dst AS u, src AS v FROM e
+    ),
+    deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY u)
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           {R("avg(du.d * 1e0)", 4)} AS mean_end_degree,
+           {R("corr(du.d * 1e0, dv.d * 1e0)", 6)} AS assortativity,
+           CASE WHEN corr(du.d * 1e0, dv.d * 1e0) < 0 THEN 1 ELSE 0 END
+               AS disassortative
+    FROM sym s
+    JOIN deg du ON du.node = s.u
+    JOIN deg dv ON dv.node = s.v
+"""
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient of the supplier-customer graph
+    (endpoint-degree Pearson over both edge orientations — the undirected
+    convention), with edge/node counts and the disassortativity flag.
+
+    Scale shape: one grouped degree count, two broadcast-able joins of the
+    degree relation onto the edge list, and a corr() aggregate — all
+    partial-aggregatable, no windows, no iteration."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_ASSORT_SQL)
+
+
+QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
+ORACLE["graph_degree_assortativity"] = _ASSORT_SQL

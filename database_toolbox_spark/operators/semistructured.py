@@ -165,3 +165,75 @@ ORACLE = {
         ORDER BY status, priority
     """,
 }
+
+
+# --- URL canonicalization + dedup ------------------------------------------------
+#
+# The crawl-pipeline URL dedup pass: the same page is fetched under many
+# spellings (host case, utm_* tracking params, trailing slash, fragments);
+# canonicalization must collapse them before content fetch/dedup. Five
+# docs share each logical page (doc_id DIV 5) and each doc's URL carries a
+# deterministic doc_id%4 noise variant, so the expected 5:1 collapse is a
+# testable invariant. Normalization is pure regexp (shared semantics in
+# both dialects): lowercase, strip fragment, strip utm_* params, collapse
+# a dangling '?'/'&', strip one trailing slash.
+
+from database_toolbox_spark.operators._oracle import R as _R  # noqa: E402
+
+
+def _url_dedup_sql(idiv: str) -> str:
+    return f"""
+        WITH raw AS (
+            SELECT doc_id, source,
+                   concat(
+                       'https://',
+                       CASE WHEN doc_id % 4 = 1 THEN upper(source)
+                            ELSE source END,
+                       '.example.com/', lang, '/page/',
+                       CAST({idiv} AS STRING),
+                       CASE doc_id % 4
+                           WHEN 1 THEN '?utm_source=feed'
+                           WHEN 2 THEN '/#top'
+                           WHEN 3 THEN '?utm_campaign=x&utm_medium=y'
+                           ELSE '' END
+                   ) AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id, source, url,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(lower(url), '#.*$', ''),
+                               '[?&]utm_[a-z]+=[^&#]*', ''),
+                           '[?&]$', ''),
+                       '/$', '') AS curl
+            FROM raw
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+               CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical,
+               {_R("1e0 - count(DISTINCT curl) * 1e0 / count(*)", 4)}
+                   AS dup_rate
+        FROM canon
+        GROUP BY source ORDER BY source
+    """
+
+
+def url_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source URL dedup after canonicalization: raw-distinct vs
+    canonical-distinct counts and the duplicate rate removed by
+    normalization alone.
+
+    Scale shape: per-row regexp projection + grouped distinct-counts —
+    at scale the count(DISTINCT) pair becomes two partial-agg passes on
+    the (source, url-hash) grain; no joins, no windows."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_url_dedup_sql("doc_id DIV 5"))
+
+
+QUERIES["url_normalized_dedup"] = url_normalized_dedup
+ORACLE["url_normalized_dedup"] = _url_dedup_sql("doc_id // 5")

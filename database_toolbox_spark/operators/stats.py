@@ -2675,3 +2675,274 @@ ORACLE["brier_decomposition"] = _brier_sql(
     " AS INTEGER)",
     "year(o.o_orderdate)",
 )
+
+
+# --- iterative proportional fitting (raking) -------------------------------------
+#
+# Deming & Stephan (1940): adjust cell weights of a contingency table so
+# its margins hit target row/column totals, alternating row and column
+# scaling. Survey statistics' standard weighting step. Targets here:
+# EQUAL order volume per market segment (row), observed per-nation volume
+# (column) — so the column passes restore nation margins exactly and the
+# row margins converge toward uniform. Two full (row, col) rounds,
+# unrolled; the cell grid is |segments| x |nations| = 125 rows, so every
+# level after the base aggregation is broadcast-sized at any corpus scale.
+
+_RAKE_ROUNDS = 2
+
+
+def _rake_chain() -> str:
+    parts = [
+        "tr AS (SELECT sum(n) * 1e0 / count(DISTINCT seg) AS t FROM cells)",
+        "tc AS (SELECT nk, sum(n) * 1e0 AS t FROM cells GROUP BY nk)",
+        "w0 AS (SELECT seg, nk, n, 1e0 AS w FROM cells)",
+    ]
+    lvl = 0
+    for _ in range(_RAKE_ROUNDS):
+        parts.append(f"""rs{lvl} AS (
+            SELECT seg, sum(n * w) AS m FROM w{lvl} GROUP BY seg
+        )""")
+        parts.append(f"""w{lvl + 1} AS (
+            SELECT w.seg, w.nk, w.n, w.w * tr.t / r.m AS w
+            FROM w{lvl} w JOIN rs{lvl} r ON w.seg = r.seg CROSS JOIN tr
+        )""")
+        parts.append(f"""cs{lvl + 1} AS (
+            SELECT nk, sum(n * w) AS m FROM w{lvl + 1} GROUP BY nk
+        )""")
+        parts.append(f"""w{lvl + 2} AS (
+            SELECT w.seg, w.nk, w.n, w.w * tc.t / c.m AS w
+            FROM w{lvl + 1} w JOIN cs{lvl + 1} c ON w.nk = c.nk
+            JOIN tc ON tc.nk = w.nk
+        )""")
+        lvl += 2
+    return ",\n".join(parts), lvl
+
+
+def _rake_sql(cells_src: str) -> str:
+    chain, lvl = _rake_chain()
+    return f"""
+        WITH cells AS {cells_src},
+        {chain}
+        SELECT w.seg AS segment, n.n_name AS nation,
+               CAST(w.n AS BIGINT) AS n_orders,
+               {R("w.w", 6)} AS rake_weight,
+               {R("w.n * w.w", 2)} AS weighted_n
+        FROM w{lvl} w JOIN nation n ON n.n_nationkey = w.nk
+        ORDER BY segment, nation
+    """
+
+
+_RAKE_CELLS = """(
+    SELECT c.c_mktsegment AS seg, c.c_nationkey AS nk, count(*) AS n
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, c.c_nationkey
+)"""
+
+
+def raking_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPF (raking) cell weights for the segment x nation order table:
+    two alternating row/column scaling rounds toward equal-per-segment
+    row margins and observed per-nation column margins.
+
+    Scale shape: ONE grouped agg over the fact join produces the 125-row
+    cell grid (materialized — the unrolled scaling chain references it
+    through every level); everything after is fixed-size regardless of
+    corpus scale, the defining property of margin raking."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    materialize(spark.sql("SELECT * FROM " + _RAKE_CELLS)).createOrReplaceTempView(
+        "rake_cells_v"
+    )
+    return spark.sql(_rake_sql("(SELECT * FROM rake_cells_v)"))
+
+
+QUERIES["raking_ipf_weights"] = raking_ipf_weights
+ORACLE["raking_ipf_weights"] = _rake_sql("MATERIALIZED " + _RAKE_CELLS)
+
+
+# --- CUPED variance reduction -----------------------------------------------------
+#
+# Deng, Xu, Kohavi, Walker (WSDM 2013): reduce A/B metric variance with a
+# pre-experiment covariate: Y' = Y - theta (X - E[X]), theta = cov(X,Y)/
+# var(X). Arms are an md5 split of customers (leakage-proof); Y = revenue
+# from 1998 on, X = pre-1998 revenue (the fixture's order history spans
+# 1995-2001; 1998 splits it near the middle).
+
+
+def _cuped_sql(h: str) -> str:
+    return f"""
+        WITH rev AS (
+            SELECT o_custkey,
+                   sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                            THEN o_totalprice ELSE 0e0 END) AS x,
+                   sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                            THEN o_totalprice ELSE 0e0 END) AS y
+            FROM orders GROUP BY o_custkey
+        ),
+        j AS (
+            SELECT ({h}) % 2 AS arm,
+                   coalesce(r.x, 0e0) AS x, coalesce(r.y, 0e0) AS y
+            FROM customer c LEFT JOIN rev r ON r.o_custkey = c.c_custkey
+        ),
+        th AS (
+            SELECT covar_samp(x, y) / var_samp(x) AS theta, avg(x) AS mx
+            FROM j
+        )
+        SELECT j.arm,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               {R("avg(j.y)", 2)} AS mean_y,
+               {R("avg(j.y - th.theta * (j.x - th.mx))", 2)} AS mean_y_cuped,
+               {R("var_samp(j.y) / 1e6", 2)} AS var_y_millions,
+               {R("var_samp(j.y - th.theta * (j.x - th.mx)) / 1e6", 2)}
+                   AS var_y_cuped_millions,
+               {R("1e0 - var_samp(j.y - th.theta * (j.x - th.mx))"
+                  " / var_samp(j.y)", 6)} AS var_reduction
+        FROM j CROSS JOIN th
+        GROUP BY j.arm
+        ORDER BY j.arm
+    """
+
+
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout per md5 arm: raw vs adjusted
+    means and variances, and the variance reduction factor (equal to the
+    squared pre/post correlation in expectation).
+
+    Scale shape: one grouped agg per customer, a 1-row theta relation
+    (covar_samp/var_samp are single-pass partial aggregates), one
+    broadcast cross join, one 2-row rollup."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_cuped_sql(
+        "CAST(conv(substring(md5(CAST(c.c_custkey AS STRING)), 1, 4), 16, 10)"
+        " AS INT)"
+    ))
+
+
+QUERIES["cuped_variance_reduction"] = cuped_variance_reduction
+ORACLE["cuped_variance_reduction"] = _cuped_sql(
+    "CAST(concat('0x', substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 4))"
+    " AS INTEGER)"
+)
+
+
+# --- pinball-loss quantile backtest ------------------------------------------------
+#
+# Quantile forecasts are scored with pinball (quantile) loss
+# L_q(y, f) = max(q (y - f), (q - 1)(y - f)) — the strictly proper scoring
+# rule for quantiles. Model: per-weekday empirical q10/50/90 of daily
+# revenue on the pre-1996 train years; scored on 1996+. Weekday via
+# epoch-day % 7 arithmetic (engine week origins disagree; day arithmetic
+# does not).
+
+
+def _pinball_sql(epoch_day: str, pctl: str) -> str:
+    return f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   ({epoch_day}) % 7 AS dow,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY CAST(o_orderdate AS DATE), {epoch_day}
+        ),
+        model AS (
+            SELECT dow,
+                   {pctl}(rev, 0.1) AS f10,
+                   {pctl}(rev, 0.5) AS f50,
+                   {pctl}(rev, 0.9) AS f90
+            FROM daily WHERE d < DATE '1996-01-01' GROUP BY dow
+        ),
+        test AS (
+            SELECT t.rev, m.f10, m.f50, m.f90
+            FROM daily t JOIN model m ON t.dow = m.dow
+            WHERE t.d >= DATE '1996-01-01'
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_test_days,
+               {R("avg(CASE WHEN rev >= f10 THEN 0.1e0 * (rev - f10)"
+                  " ELSE 0.9e0 * (f10 - rev) END)", 2)} AS pinball_q10,
+               {R("avg(CASE WHEN rev >= f50 THEN 0.5e0 * (rev - f50)"
+                  " ELSE 0.5e0 * (f50 - rev) END)", 2)} AS pinball_q50,
+               {R("avg(CASE WHEN rev >= f90 THEN 0.9e0 * (rev - f90)"
+                  " ELSE 0.1e0 * (f90 - rev) END)", 2)} AS pinball_q90,
+               {R("avg(CASE WHEN rev <= f10 THEN 1e0 ELSE 0e0 END)", 4)}
+                   AS coverage_q10,
+               {R("avg(CASE WHEN rev <= f90 THEN 1e0 ELSE 0e0 END)", 4)}
+                   AS coverage_q90
+        FROM test
+    """
+
+
+def pinball_quantile_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball-loss backtest of the per-weekday q10/50/90 daily-revenue
+    quantile model (train < 1996, test >= 1996), with empirical tail
+    coverage.
+
+    Scale shape: daily rollup, a 7-row quantile model (broadcast), one
+    scoring pass — the model relation is calendar-bounded forever."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_pinball_sql(
+        "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')",
+        "percentile",
+    ))
+
+
+QUERIES["pinball_quantile_backtest"] = pinball_quantile_backtest
+ORACLE["pinball_quantile_backtest"] = _pinball_sql(
+    "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))",
+    "quantile_cont",
+)
+
+
+# --- McNemar paired-classifier test -------------------------------------------------
+#
+# McNemar (1947): for two binary raters on the SAME items, test marginal
+# homogeneity from the discordant cells only: chi2 = (b - c)^2 / (b + c).
+# Raters: the char-length rule (n_chars >= 300) vs the token-length rule
+# (>= 56 whitespace tokens) on documents — correlated rules whose
+# disagreement pattern is exactly what McNemar isolates.
+
+_MCNEMAR_THRESH_CHARS = 300
+_MCNEMAR_THRESH_TOKS = 56
+
+
+def _mcnemar_sql(ntok: str) -> str:
+    return f"""
+        WITH flags AS (
+            SELECT CASE WHEN n_chars >= {_MCNEMAR_THRESH_CHARS}
+                        THEN 1 ELSE 0 END AS a,
+                   CASE WHEN {ntok} >= {_MCNEMAR_THRESH_TOKS}
+                        THEN 1 ELSE 0 END AS b
+            FROM documents
+        )
+        SELECT CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS both_pass,
+               CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS only_a,
+               CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS only_b,
+               CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS both_fail,
+               {R("avg(CASE WHEN a = b THEN 1e0 ELSE 0e0 END)", 4)}
+                   AS agreement,
+               {R('''pow(sum(CASE WHEN a = 1 AND b = 0 THEN 1e0 ELSE 0e0 END)
+                     - sum(CASE WHEN a = 0 AND b = 1 THEN 1e0 ELSE 0e0 END), 2)
+                   / nullif(sum(CASE WHEN a <> b THEN 1e0 ELSE 0e0 END), 0)''',
+                  4)} AS mcnemar_chi2
+        FROM flags
+    """
+
+
+def mcnemar_filter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar test comparing the char-length and token-length document
+    filters: full 2x2 paired table, agreement rate, and the
+    discordant-cell chi-square statistic.
+
+    Scale shape: one projection + one aggregate row; trivially
+    partial-aggregatable at any corpus size."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_mcnemar_sql("size(split(text, ' '))"))
+
+
+QUERIES["mcnemar_filter_compare"] = mcnemar_filter_compare
+ORACLE["mcnemar_filter_compare"] = _mcnemar_sql(
+    "CAST(len(string_split(text, ' ')) AS INT)"
+)

@@ -270,6 +270,135 @@ def test_fps_matches_numpy_greedy(spark, ddb):
     assert all(a >= b - 1e-9 for a, b in zip(got_d[1:], got_d[2:]))
 
 
+# --------------------------------------------- graph / curation / survey
+
+
+def test_assortativity_anchor_numpy(spark, ddb):
+    edges = ddb.execute(
+        "SELECT concat('s', CAST(l.l_suppkey AS VARCHAR)), "
+        "concat('c', CAST(o.o_custkey AS VARCHAR)) "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY 1, 2 HAVING count(*) >= 2"
+    ).fetchall()
+    deg: dict[str, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    du = np.array([deg[u] for u, v in edges] + [deg[v] for u, v in edges], float)
+    dv = np.array([deg[v] for u, v in edges] + [deg[u] for u, v in edges], float)
+    r = np.corrcoef(du, dv)[0, 1]
+    row = Q["graph_degree_assortativity"](spark, SF_DIR).collect()[0]
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len(deg)
+    assert abs(row.assortativity - r) < 1e-4, (row.assortativity, r)
+    assert row.disassortative == int(r < 0)
+
+
+def test_url_dedup_collapses_five_to_one(spark, ddb):
+    """Each logical page (doc_id DIV 5) maps to ONE canonical URL; raw
+    URLs are distinct per doc. So n_canonical must equal the number of
+    distinct (lang, doc_id//5) pages per source."""
+    rows = Q["url_normalized_dedup"](spark, SF_DIR).collect()
+    expected = dict(
+        ddb.execute(
+            "SELECT source, count(DISTINCT (lang, doc_id // 5)) "
+            "FROM documents GROUP BY source"
+        ).fetchall()
+    )
+    n_docs = dict(
+        ddb.execute("SELECT source, count(*) FROM documents GROUP BY source").fetchall()
+    )
+    for r in rows:
+        assert r.n_urls == n_docs[r.source]
+        assert r.n_raw_distinct == r.n_urls  # every raw URL unique
+        assert r.n_canonical == expected[r.source], (r.source, r.n_canonical)
+        # dup_rate is positive exactly when some page has >1 doc in this
+        # source (at tiny SF doc_ids interleave, so some sources collapse
+        # nothing)
+        assert (r.dup_rate > 0) == (expected[r.source] < n_docs[r.source])
+
+
+def test_raking_matches_numpy_ipf(spark, ddb):
+    cells = ddb.execute(
+        "SELECT c.c_mktsegment, c.c_nationkey, count(*) FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1, 2"
+    ).fetchall()
+    segs = sorted({c[0] for c in cells})
+    nks = sorted({c[1] for c in cells})
+    n = np.zeros((len(segs), len(nks)))
+    for s, k, v in cells:
+        n[segs.index(s), nks.index(k)] = v
+    w = np.ones_like(n)
+    row_target = n.sum() / len(segs)
+    col_target = n.sum(axis=0)
+    for _ in range(2):
+        w *= row_target / (n * w).sum(axis=1, keepdims=True)
+        w *= col_target / (n * w).sum(axis=0, keepdims=True)
+    rows = Q["raking_ipf_weights"](spark, SF_DIR).collect()
+    nation_key = dict(
+        ddb.execute("SELECT n_name, n_nationkey FROM nation").fetchall()
+    )
+    assert len(rows) == (n > 0).sum()
+    for r in rows:
+        i, j = segs.index(r.segment), nks.index(nation_key[r.nation])
+        assert abs(r.rake_weight - w[i, j]) < 1e-4, (r.segment, r.nation)
+    # the final pass was a column pass: nation margins must be exact
+    got_col: dict = {}
+    for r in rows:
+        got_col[r.nation] = got_col.get(r.nation, 0.0) + r.n_orders * r.rake_weight
+    for name, tot in got_col.items():
+        assert abs(tot - col_target[nks.index(nation_key[name])]) < 0.5
+
+
+def test_cuped_reduces_variance(spark):
+    rows = Q["cuped_variance_reduction"](spark, SF_DIR).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert 0 <= r.var_reduction < 1
+        assert r.var_y_cuped_millions <= r.var_y_millions + 1e-6
+        # CUPED must not move the mean much (theta*(x-mx) has ~0 mean)
+        assert abs(r.mean_y_cuped - r.mean_y) < 0.05 * abs(r.mean_y)
+
+
+def test_pinball_backtest_anchor_numpy(spark, ddb):
+    daily = ddb.execute(
+        "SELECT CAST(o_orderdate AS DATE) AS d, "
+        "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 7, "
+        "sum(o_totalprice) FROM orders GROUP BY 1, 2 ORDER BY 1"
+    ).fetchall()
+    import datetime
+
+    cut = datetime.date(1996, 1, 1)
+    train: dict[int, list[float]] = {}
+    test = []
+    for d, dow, rev in daily:
+        (train.setdefault(dow, []).append(rev) if d < cut else test.append((dow, rev)))
+    model = {
+        dow: np.quantile(np.array(v), [0.1, 0.5, 0.9]) for dow, v in train.items()
+    }
+
+    def pin(q, y, f):
+        return q * (y - f) if y >= f else (1 - q) * (f - y)
+
+    exp10 = np.mean([pin(0.1, y, model[dow][0]) for dow, y in test])
+    exp90 = np.mean([pin(0.9, y, model[dow][2]) for dow, y in test])
+    row = Q["pinball_quantile_backtest"](spark, SF_DIR).collect()[0]
+    assert row.n_test_days == len(test)
+    assert abs(row.pinball_q10 - exp10) < 0.05
+    assert abs(row.pinball_q90 - exp90) < 0.05
+    assert row.coverage_q10 < row.coverage_q90
+
+
+def test_mcnemar_cells_and_statistic(spark, ddb):
+    row = Q["mcnemar_filter_compare"](spark, SF_DIR).collect()[0]
+    n_docs = ddb.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert row.both_pass + row.only_a + row.only_b + row.both_fail == n_docs
+    b, c = row.only_a, row.only_b
+    assert b + c > 0  # rules genuinely disagree somewhere
+    assert abs(row.mcnemar_chi2 - (b - c) ** 2 / (b + c)) < 5e-3
+    assert abs(row.agreement - (row.both_pass + row.both_fail) / n_docs) < 1e-3
+
+
 def test_round6_registry_parity(spark, ddb):
     """Each round-6 op passes the lenient comparator at test SF (the strict
     pandas-path parity runs in the driver sweep)."""
@@ -286,5 +415,11 @@ def test_round6_registry_parity(spark, ddb):
         "brier_decomposition",
         "dsir_importance_weights",
         "farthest_point_sample",
+        "graph_degree_assortativity",
+        "url_normalized_dedup",
+        "raking_ipf_weights",
+        "cuped_variance_reduction",
+        "pinball_quantile_backtest",
+        "mcnemar_filter_compare",
     ]:
         compare_with_oracle(spark, ddb, Q[name], oracles[name])
