@@ -2946,3 +2946,206 @@ QUERIES["mcnemar_filter_compare"] = mcnemar_filter_compare
 ORACLE["mcnemar_filter_compare"] = _mcnemar_sql(
     "CAST(len(string_split(text, ' ')) AS INT)"
 )
+
+
+# --- information-gain feature ranking ------------------------------------------
+#
+# Decision-tree-style feature screening: for each candidate categorical
+# feature, IG(Y; X) = H(Y) - sum_x p(x) H(Y | X=x), with Y = the binary
+# high-value-order outcome. One grouped agg per feature UNIONed into a
+# ranked report — the standard first pass before training any tabular
+# model on warehouse data.
+
+_IG_FEATURES = [
+    ("priority", "o_orderpriority"),
+    ("status", "o_orderstatus"),
+    ("segment", "c_mktsegment"),
+    ("nation", "CAST(c_nationkey AS STRING)"),
+    ("order_dow", "CAST({dow} AS STRING)"),
+]
+
+
+def _ig_sql(dow: str, cast_str: str) -> str:
+    feats = [
+        (n, e.replace("{dow}", dow).replace("AS STRING", cast_str))
+        for n, e in _IG_FEATURES
+    ]
+    branches = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, {expr} AS x, y FROM base"
+        for name, expr in feats
+    )
+    return f"""
+        WITH base AS (
+            SELECT o.o_orderkey, o.o_orderpriority, o.o_orderstatus,
+                   o.o_orderdate, c.c_mktsegment, c.c_nationkey,
+                   CASE WHEN o.o_totalprice >= 150000e0 THEN 1 ELSE 0 END
+                       AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        lf AS ({branches}),
+        cell AS (
+            SELECT feature, x, count(*) AS n, avg(y * 1e0) AS p
+            FROM lf GROUP BY feature, x
+        ),
+        tot AS (
+            SELECT feature, sum(n) AS n_all,
+                   sum(n * p) / sum(n) AS p_all
+            FROM cell GROUP BY feature
+        ),
+        ig AS (
+            SELECT c.feature,
+                   count(*) AS n_levels,
+                   (CASE WHEN t.p_all IN (0e0, 1e0) THEN 0e0
+                         ELSE -t.p_all * ln(t.p_all)
+                              - (1e0 - t.p_all) * ln(1e0 - t.p_all) END)
+                   - sum((c.n * 1e0 / t.n_all)
+                         * CASE WHEN c.p IN (0e0, 1e0) THEN 0e0
+                                ELSE -c.p * ln(c.p)
+                                     - (1e0 - c.p) * ln(1e0 - c.p) END)
+                       AS gain
+            FROM cell c JOIN tot t ON c.feature = t.feature
+            GROUP BY c.feature, t.p_all
+        )
+        SELECT feature,
+               CAST(n_levels AS BIGINT) AS n_levels,
+               {R("gain", 6)} AS info_gain_nats
+        FROM ig
+        ORDER BY floor(gain * 1e6 + 0.501e0) DESC, feature
+    """
+
+
+def feature_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain (nats) of five categorical features about the
+    high-value-order outcome, ranked — the model-free feature screen.
+
+    Scale shape: one fact join feeds a 5-way projection union; each
+    feature reduces to a |levels|-row cell relation (grouped, partial-
+    aggregatable), and the entropy algebra runs on those tiny relations."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_ig_sql(
+        "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') % 7",
+        "AS STRING",
+    ))
+
+
+QUERIES["feature_information_gain"] = feature_information_gain
+ORACLE["feature_information_gain"] = _ig_sql(
+    "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 7",
+    "AS VARCHAR",
+)
+
+
+# --- out-of-fold target encoding -------------------------------------------------
+#
+# Leakage-safe categorical encoding (the Kaggle-standard "target/mean
+# encoding with K folds"): a row in fold f gets the category's outcome
+# mean computed from the OTHER K-1 folds, so its own label never leaks
+# into its feature. Folds are md5(o_orderkey) % K — reshuffle-stable.
+# Smoothing: alpha pseudo-observations at the global rate.
+
+_TE_FOLDS = 5
+_TE_ALPHA = 20.0
+
+
+def _te_sql(h: str) -> str:
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey, o_orderpriority AS cat,
+                   ({h}) % {_TE_FOLDS} AS fold,
+                   CASE WHEN o_totalprice >= 150000e0 THEN 1e0 ELSE 0e0 END
+                       AS y
+            FROM orders o
+        ),
+        cf AS (
+            SELECT cat, fold, count(*) AS n, sum(y) AS s
+            FROM base GROUP BY cat, fold
+        ),
+        ct AS (SELECT cat, sum(n) AS n, sum(s) AS s FROM cf GROUP BY cat),
+        g AS (SELECT sum(n) AS n, sum(s) AS s FROM ct)
+        SELECT cf.cat AS category, cf.fold,
+               CAST(cf.n AS BIGINT) AS n_rows,
+               {R("(ct.s - cf.s + {a} * g.s / g.n)"
+                  " / (ct.n - cf.n + {a})", 6).format(a=_TE_ALPHA)}
+                   AS oof_encoding,
+               {R("ct.s / ct.n", 6)} AS full_data_encoding
+        FROM cf JOIN ct ON cf.cat = ct.cat CROSS JOIN g
+        ORDER BY category, fold
+    """
+
+
+def target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold smoothed target encoding of order priority against the
+    high-value outcome: per (category, fold), the encoding a row in that
+    fold would receive (leave-fold-out mean with {alpha}-strength
+    smoothing toward the global rate), next to the leaky full-data mean.
+
+    Scale shape: one grouped agg to |cats| x K cells; the leave-fold-out
+    algebra is (total - fold) arithmetic on that tiny relation — the
+    whole encoder is O(1) state per category, never a per-row join."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_te_sql(
+        "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 4), 16, 10)"
+        " AS INT)"
+    ))
+
+
+QUERIES["target_encoding_oof"] = target_encoding_oof
+ORACLE["target_encoding_oof"] = _te_sql(
+    "CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))"
+    " AS INTEGER)"
+)
+
+
+# --- stratified average treatment effect -------------------------------------------
+#
+# Observational ATE by exact stratification (Cochran 1968): within each
+# (segment, order-year) stratum compare URGENT vs non-URGENT order values,
+# then average the per-stratum differences weighted by stratum size —
+# removing confounding carried by the stratification variables. The
+# per-stratum requirement (both arms present) is the overlap condition.
+
+
+def _sate_sql(yr: str) -> str:
+    return f"""
+        WITH base AS (
+            SELECT c.c_mktsegment AS seg, {yr} AS yr,
+                   CASE WHEN o.o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END AS t,
+                   o.o_totalprice AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        strata AS (
+            SELECT seg, yr,
+                   count(*) AS n,
+                   sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS n1,
+                   avg(CASE WHEN t = 1 THEN y END) AS y1,
+                   avg(CASE WHEN t = 0 THEN y END) AS y0
+            FROM base GROUP BY seg, yr
+        ),
+        ok AS (
+            SELECT * FROM strata WHERE n1 > 0 AND n1 < n
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(sum(n) AS BIGINT) AS n_orders,
+               {R("sum(n * (y1 - y0)) / sum(n)", 2)} AS ate_stratified,
+               {R("(sum(n1 * y1) / sum(n1))"
+                  " - (sum((n - n1) * y0) / sum(n - n1))", 2)} AS ate_naive,
+               {R("min(y1 - y0)", 2)} AS min_stratum_effect,
+               {R("max(y1 - y0)", 2)} AS max_stratum_effect
+        FROM ok
+    """
+
+
+def stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified ATE of URGENT priority on order value over (segment,
+    year) strata with the overlap condition enforced, next to the naive
+    unadjusted difference and the stratum-effect range.
+
+    Scale shape: one join + grouped agg to the stratum grid (bounded by
+    |segments| x |years|), then a 1-row fold."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_sate_sql("year(o.o_orderdate)"))
+
+
+QUERIES["stratified_ate"] = stratified_ate
+ORACLE["stratified_ate"] = _sate_sql("year(o.o_orderdate)")

@@ -1580,3 +1580,129 @@ ORACLE["rake_keyword_scores"] = _rake_sql(
     "string_agg(ns.w, ' ' ORDER BY ns.pos)",
     mat="MATERIALIZED ",
 )
+
+
+# --- TextRank keyword scores -----------------------------------------------------
+#
+# Mihalcea & Tarau (EMNLP 2004): PageRank over the word co-occurrence
+# graph (adjacent-token edges, symmetric), damping 0.85. Computed like the
+# other spectral ops here: build the dense Google matrix over a BOUNDED
+# candidate set (top TEXTRANK_V words by frequency — the standard
+# candidate filter, and the reason the matrix stays broadcast-sized at any
+# corpus scale), then matrix-squaring to G^(2^TEXTRANK_SQUARINGS), whose
+# every row is the PageRank vector past mixing.
+
+TEXTRANK_V = 25
+TEXTRANK_SQUARINGS = 5  # G^32
+TEXTRANK_TOP = 15
+
+
+def _textrank_g0_sql(tok_src: str) -> str:
+    v = TEXTRANK_V
+    return f"""
+        WITH toks AS ({tok_src}),
+        wc AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+        cand AS (
+            SELECT term FROM (
+                SELECT term,
+                       CAST(row_number() OVER (ORDER BY n DESC, term)
+                            AS BIGINT) AS rn
+                FROM wc
+            ) x WHERE rn <= {v}
+        ),
+        adj AS (
+            SELECT doc_id, pos, term FROM toks
+            WHERE term IN (SELECT term FROM cand)
+        ),
+        bi AS (
+            SELECT t1.term AS a, t2.term AS b, count(*) AS n
+            FROM adj t1 JOIN adj t2
+              ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+            WHERE t1.term <> t2.term
+            GROUP BY t1.term, t2.term
+        ),
+        sym AS (
+            SELECT a, b, sum(n) AS n FROM (
+                SELECT a, b, n FROM bi
+                UNION ALL
+                SELECT b AS a, a AS b, n FROM bi
+            ) u GROUP BY a, b
+        ),
+        rs AS (SELECT a, sum(n) AS tot FROM sym GROUP BY a),
+        nv AS (SELECT count(*) * 1e0 AS nn FROM cand)
+        SELECT ca.term AS i, cb.term AS j,
+               0.15e0 / nv.nn
+               + 0.85e0 * (CASE WHEN r.tot IS NULL THEN 1e0 / nv.nn
+                                ELSE coalesce(s.n / r.tot, 0e0) END) AS v
+        FROM cand ca CROSS JOIN cand cb CROSS JOIN nv
+        LEFT JOIN rs r ON r.a = ca.term
+        LEFT JOIN sym s ON s.a = ca.term AND s.b = cb.term
+    """
+
+
+_TEXTRANK_FINAL_SQL = f"""
+    SELECT j AS term, {{score}} AS textrank
+    FROM {{gk}}
+    WHERE i = (SELECT min(i) FROM {{gk}})
+    ORDER BY floor(v * 1e6 + 0.501e0) DESC, term
+    LIMIT {TEXTRANK_TOP}
+"""
+
+_TEXTRANK_SPARK_TOKS = (
+    "SELECT /*+ REPARTITION */ doc_id, p.pos, p.col AS term "
+    "FROM documents LATERAL VIEW posexplode(split(text, ' ')) p AS pos, col"
+)
+_TEXTRANK_DUCK_TOKS = (
+    "SELECT doc_id, u.i AS pos, toks[u.i] AS term "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS toks "
+    "      FROM documents), "
+    "     unnest(range(1, len(toks) + 1)) AS u(i)"
+)
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TEXTRANK_TOP} TextRank keywords: PageRank (damping 0.85) on
+    the symmetric adjacent-word graph over the top-{TEXTRANK_V} candidate
+    vocabulary, via {TEXTRANK_SQUARINGS} materialized matrix squarings.
+
+    Scale shape: one token-adjacency pass builds the co-occurrence counts;
+    the Google matrix is dense over the FIXED candidate set (V^2 rows,
+    broadcast-sized forever), each squaring a V^2 x V^2 string-keyed join
+    materialized to keep lineage flat — identical machinery to the Markov
+    stationary distribution, anchored against numpy in tests."""
+    from database_toolbox_spark.operators.profile import (  # noqa: PLC0415
+        _PCA_SQ_SQL,
+    )
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    materialize(
+        spark.sql(_textrank_g0_sql(_TEXTRANK_SPARK_TOKS))
+    ).createOrReplaceTempView("txr_g0")
+    for k in range(TEXTRANK_SQUARINGS):
+        materialize(
+            spark.sql(_PCA_SQ_SQL.format(prev=f"txr_g{k}"))
+        ).createOrReplaceTempView(f"txr_g{k + 1}")
+    return spark.sql(_TEXTRANK_FINAL_SQL.format(
+        gk=f"txr_g{TEXTRANK_SQUARINGS}", score=R("v", 6)
+    ))
+
+
+def _textrank_oracle() -> str:
+    from database_toolbox_spark.operators.profile import (  # noqa: PLC0415
+        _PCA_SQ_SQL,
+    )
+
+    parts = [f"g0 AS MATERIALIZED ({_textrank_g0_sql(_TEXTRANK_DUCK_TOKS)})"]
+    for k in range(TEXTRANK_SQUARINGS):
+        parts.append(f"""g{k + 1} AS MATERIALIZED (
+        {_PCA_SQ_SQL.format(prev=f"g{k}")})""")
+    body = ",\n    ".join(parts)
+    final = _TEXTRANK_FINAL_SQL.format(
+        gk=f"g{TEXTRANK_SQUARINGS}", score=R("v", 6)
+    )
+    return f"WITH {body}\n{final}"
+
+
+QUERIES["textrank_keywords"] = textrank_keywords
+ORACLE["textrank_keywords"] = _textrank_oracle()

@@ -399,6 +399,115 @@ def test_mcnemar_cells_and_statistic(spark, ddb):
     assert abs(row.agreement - (row.both_pass + row.both_fail) / n_docs) < 1e-3
 
 
+# ------------------------------------------------- ML-prep / text-graph
+
+
+def test_information_gain_anchor_numpy(spark, ddb):
+    rows = {r.feature: r for r in Q["feature_information_gain"](spark, SF_DIR).collect()}
+    cells = ddb.execute(
+        "SELECT c.c_mktsegment, count(*), "
+        "avg(CASE WHEN o.o_totalprice >= 150000 THEN 1.0 ELSE 0.0 END) "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
+    ).fetchall()
+
+    def h(p):
+        return 0.0 if p in (0.0, 1.0) else -p * np.log(p) - (1 - p) * np.log(1 - p)
+
+    n_all = sum(c[1] for c in cells)
+    p_all = sum(c[1] * c[2] for c in cells) / n_all
+    ig = h(p_all) - sum(c[1] / n_all * h(c[2]) for c in cells)
+    r = rows["segment"]
+    assert r.n_levels == len(cells)
+    assert abs(r.info_gain_nats - ig) < 1e-5, (r.info_gain_nats, ig)
+    assert all(v.info_gain_nats >= 0 for v in rows.values())
+    assert set(rows) == {"priority", "status", "segment", "nation", "order_dow"}
+
+
+def test_target_encoding_is_leakage_free(spark, ddb):
+    """Recompute the leave-fold-out encoding independently and check the
+    fold's own rows never contribute to its encoding."""
+    import hashlib
+
+    from database_toolbox_spark.operators.stats import _TE_ALPHA, _TE_FOLDS
+
+    raw = ddb.execute(
+        "SELECT o_orderkey, o_orderpriority, "
+        "CASE WHEN o_totalprice >= 150000 THEN 1.0 ELSE 0.0 END FROM orders"
+    ).fetchall()
+    agg: dict = {}
+    g_n = g_s = 0.0
+    for k, cat, y in raw:
+        y = float(y)
+        fold = int(hashlib.md5(str(k).encode()).hexdigest()[:4], 16) % _TE_FOLDS
+        n, s = agg.get((cat, fold), (0, 0.0))
+        agg[(cat, fold)] = (n + 1, s + y)
+        g_n += 1
+        g_s += y
+    rows = Q["target_encoding_oof"](spark, SF_DIR).collect()
+    for r in rows:
+        ct_n = sum(n for (c, f), (n, s) in agg.items() if c == r.category)
+        ct_s = sum(s for (c, f), (n, s) in agg.items() if c == r.category)
+        f_n, f_s = agg[(r.category, r.fold)]
+        exp = (ct_s - f_s + _TE_ALPHA * g_s / g_n) / (ct_n - f_n + _TE_ALPHA)
+        assert abs(r.oof_encoding - exp) < 1e-5, (r.category, r.fold)
+        assert r.n_rows == f_n
+
+
+def test_stratified_ate_anchor_pandas(spark, ddb):
+    df = ddb.execute(
+        "SELECT c.c_mktsegment AS seg, year(o.o_orderdate) AS yr, "
+        "CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t, "
+        "o.o_totalprice AS y FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey"
+    ).df()
+    g = df.groupby(["seg", "yr"])
+    num = den = 0.0
+    n_strata = 0
+    for _, s in g:
+        if 0 < s.t.sum() < len(s):
+            eff = s[s.t == 1].y.mean() - s[s.t == 0].y.mean()
+            num += len(s) * eff
+            den += len(s)
+            n_strata += 1
+    row = Q["stratified_ate"](spark, SF_DIR).collect()[0]
+    assert row.n_strata == n_strata
+    assert abs(row.ate_stratified - num / den) < 0.05
+    assert row.min_stratum_effect <= row.ate_stratified <= row.max_stratum_effect
+
+
+def test_textrank_matches_numpy_pagerank(spark, ddb):
+    from database_toolbox_spark.operators.text import TEXTRANK_TOP, TEXTRANK_V
+
+    toks = ddb.execute(
+        "SELECT doc_id, u.i, toks[u.i] FROM (SELECT doc_id, "
+        "string_split(text, ' ') AS toks FROM documents), "
+        "unnest(range(1, len(toks) + 1)) AS u(i) ORDER BY doc_id, u.i"
+    ).fetchall()
+    from collections import Counter
+
+    wc = Counter(t[2] for t in toks)
+    cand = sorted(wc, key=lambda w: (-wc[w], w))[:TEXTRANK_V]
+    cset = set(cand)
+    idx = {w: i for i, w in enumerate(cand)}
+    n = len(cand)
+    W = np.zeros((n, n))
+    for (d1, p1, a), (d2, p2, b) in zip(toks, toks[1:]):
+        if d1 == d2 and p2 == p1 + 1 and a in cset and b in cset and a != b:
+            W[idx[a], idx[b]] += 1
+            W[idx[b], idx[a]] += 1
+    rs = W.sum(axis=1, keepdims=True)
+    share = np.where(rs > 0, W / np.where(rs > 0, rs, 1), 1.0 / n)
+    G = 0.15 / n + 0.85 * share
+    Gk = np.linalg.matrix_power(G, 32)
+    pr = {w: Gk[0, idx[w]] for w in cand}  # any row: mixed
+    rows = Q["textrank_keywords"](spark, SF_DIR).collect()
+    assert len(rows) == min(TEXTRANK_TOP, n)
+    exp_order = sorted(cand, key=lambda w: (-np.floor(pr[w] * 1e6 + 0.501), w))
+    assert [r.term for r in rows] == exp_order[: len(rows)]
+    for r in rows:
+        assert abs(r.textrank - pr[r.term]) < 1e-5
+
+
 def test_round6_registry_parity(spark, ddb):
     """Each round-6 op passes the lenient comparator at test SF (the strict
     pandas-path parity runs in the driver sweep)."""
@@ -421,5 +530,9 @@ def test_round6_registry_parity(spark, ddb):
         "cuped_variance_reduction",
         "pinball_quantile_backtest",
         "mcnemar_filter_compare",
+        "feature_information_gain",
+        "target_encoding_oof",
+        "stratified_ate",
+        "textrank_keywords",
     ]:
         compare_with_oracle(spark, ddb, Q[name], oracles[name])
