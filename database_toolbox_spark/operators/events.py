@@ -1823,3 +1823,47 @@ QUERIES["decayed_popularity"] = decayed_popularity
 ORACLE["decayed_popularity"] = _DECAYED_POP_SQL.format(
     args="('day', CAST(e.ts AS DATE), x.h)"
 )
+
+
+# --- position-based (U-shaped) attribution ----------------------------------------
+#
+# The third standard multi-touch model next to linear_attribution_by_day
+# and time_decay_attribution: 40% of the credit to the FIRST qualifying
+# click, 40% to the LAST, the remaining 20% split across the middles
+# (n=1 -> 100%, n=2 -> 50/50 — the usual degenerate-path conventions).
+# Same pair scaffold, different credit expression; credit conservation
+# (sum == credited purchases) is asserted in tests.
+
+_POSITION_CREDIT = """CASE
+    WHEN count(*) OVER (PARTITION BY purchase_id) = 1 THEN 1e0
+    WHEN count(*) OVER (PARTITION BY purchase_id) = 2 THEN 0.5e0
+    WHEN row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY click_ts, click_id) = 1 THEN 0.4e0
+    WHEN row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY click_ts DESC, click_id DESC) = 1
+         THEN 0.4e0
+    ELSE 0.2e0 / (count(*) OVER (PARTITION BY purchase_id) - 2)
+END"""
+
+_POSITION_ATTR_SQL = _attribution_sql(
+    pair_cols="",
+    credit=_POSITION_CREDIT,
+    credit_out=R("sum(credit)", 4),
+)
+
+
+def position_attribution_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based 40/20/40) attribution: first and last
+    qualifying click take 40% each, middles share 20%; credit rolled up by
+    click day.
+
+    Scale shape: identical to the linear model — user-keyed equi-join with
+    a time-window residual, per-purchase windows (bounded by one user's
+    week of clicks), day-grain rollup. The two row_number windows share
+    the purchase_id partitioning of the count window (one shuffle)."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_POSITION_ATTR_SQL)
+
+
+QUERIES["position_attribution_by_day"] = position_attribution_by_day
+ORACLE["position_attribution_by_day"] = _POSITION_ATTR_SQL

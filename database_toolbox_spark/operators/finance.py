@@ -277,3 +277,74 @@ ORACLE = {
         "datediff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE))"
     ),
 }
+
+
+# --- extreme-value (Gumbel) return levels -----------------------------------------
+#
+# Block-maxima extreme-value analysis: monthly maxima of daily revenue
+# fitted to a Gumbel distribution by the method of moments
+# (beta = s*sqrt(6)/pi, mu = xbar - gamma*beta, Euler-Mascheroni gamma),
+# then the T-block return levels mu - beta*ln(-ln(1 - 1/T)) — "the daily
+# revenue spike exceeded once every T months". The capacity-planning
+# question asked of every metrics warehouse.
+
+_EULER_GAMMA = 0.57721566490153286
+_EV_SQL = f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY CAST(o_orderdate AS DATE),
+                             CAST(date_trunc('month', o_orderdate) AS DATE)
+    ),
+    blocks AS (SELECT m, max(rev) AS mx FROM daily GROUP BY m),
+    fit AS (
+        SELECT count(*) AS n_blocks,
+               avg(mx) AS xbar,
+               stddev_samp(mx) AS s,
+               max(mx) AS observed_max
+        FROM blocks
+    ),
+    params AS (
+        SELECT n_blocks, observed_max,
+               s * sqrt(6e0) / pi() AS beta,
+               avg_mu.mu
+        FROM fit,
+             LATERAL (SELECT xbar - {_EULER_GAMMA}e0 * s * sqrt(6e0) / pi()
+                          AS mu) avg_mu
+    )
+    SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+           {{mu}} AS gumbel_mu,
+           {{beta}} AS gumbel_beta,
+           {{rl12}} AS return_level_12mo,
+           {{rl60}} AS return_level_60mo,
+           {{rl120}} AS return_level_120mo,
+           {{omax}} AS observed_max
+    FROM params
+"""
+
+
+def _rl(t: int) -> str:
+    return f"mu - beta * ln(-ln(1e0 - 1e0 / {t}e0))"
+
+
+def extreme_value_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel method-of-moments fit on monthly maxima of daily revenue,
+    with 12/60/120-month return levels and the observed maximum.
+
+    Scale shape: daily rollup -> calendar-bounded monthly block maxima ->
+    a 1-row moment fit; everything past the first agg is fixed-size."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_EV_SQL.format(
+        mu=R("mu", 2), beta=R("beta", 2),
+        rl12=R(_rl(12), 2), rl60=R(_rl(60), 2), rl120=R(_rl(120), 2),
+        omax=R("observed_max", 2),
+    ))
+
+
+QUERIES["extreme_value_return_levels"] = extreme_value_return_levels
+ORACLE["extreme_value_return_levels"] = _EV_SQL.format(
+    mu=R("mu", 2), beta=R("beta", 2),
+    rl12=R(_rl(12), 2), rl60=R(_rl(60), 2), rl120=R(_rl(120), 2),
+    omax=R("observed_max", 2),
+)

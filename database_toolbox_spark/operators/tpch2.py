@@ -497,3 +497,60 @@ ORACLE = {
         ORDER BY n.n_name
     """,
 }
+
+
+# --- returns netting rollup -------------------------------------------------------
+#
+# The retail-warehouse "net sales bridge": gross discounted revenue vs the
+# returned portion (l_returnflag = 'R'), netted per (order-month, market
+# segment) — the TPC-DS-style sales/returns channel report expressed on
+# the TPC-H schema.
+
+_RETURNS_NET_SQL = """
+    WITH li AS (
+        SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m,
+               c.c_mktsegment AS segment,
+               l.l_extendedprice * (1e0 - l.l_discount) AS rev,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT m AS order_month, segment,
+           {gross} AS gross_revenue,
+           {returns} AS returned_revenue,
+           {net} AS net_revenue,
+           {rate} AS return_rate
+    FROM li
+    GROUP BY m, segment
+    HAVING count(*) >= 50
+    ORDER BY order_month, segment
+"""
+
+
+def returns_netting_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gross vs returned vs net discounted revenue per (order month,
+    segment) with the return rate — the sales/returns netting bridge.
+
+    Scale shape: one three-way join (customer a dimension) into a single
+    grouped agg on the calendar-bounded (month, segment) grid; all four
+    measures come from the same pass (conditional aggregation, no second
+    scan of the fact table)."""
+    from database_toolbox_spark.session import load_tables  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_RETURNS_NET_SQL.format(
+        gross=R("sum(rev)", 2),
+        returns=R("sum(CASE WHEN ret = 1 THEN rev ELSE 0e0 END)", 2),
+        net=R("sum(CASE WHEN ret = 0 THEN rev ELSE 0e0 END)", 2),
+        rate=R("sum(CASE WHEN ret = 1 THEN rev ELSE 0e0 END) / sum(rev)", 4),
+    ))
+
+
+QUERIES["returns_netting_rollup"] = returns_netting_rollup
+ORACLE["returns_netting_rollup"] = _RETURNS_NET_SQL.format(
+    gross=R("sum(rev)", 2),
+    returns=R("sum(CASE WHEN ret = 1 THEN rev ELSE 0e0 END)", 2),
+    net=R("sum(CASE WHEN ret = 0 THEN rev ELSE 0e0 END)", 2),
+    rate=R("sum(CASE WHEN ret = 1 THEN rev ELSE 0e0 END) / sum(rev)", 4),
+)

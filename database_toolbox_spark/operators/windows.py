@@ -667,3 +667,86 @@ ORACLE["lorenz_decile_shares"] = f"""
     FROM per_dec
     ORDER BY decile
 """
+
+
+# --- year-over-year RFM class migration ------------------------------------------
+#
+# The dynamic companion to customer_rfm_segments: re-score every customer's
+# R/F/M terciles WITHIN each activity year (exact row_number terciles —
+# rank arithmetic, no float knife edges), then count class-to-class
+# transitions between consecutive years. The classic customer-lifecycle
+# migration matrix ("which segments feed churn / growth").
+
+_RFM_MIG_SQL = """
+    WITH per_cy AS (
+        SELECT o_custkey AS c, year(o_orderdate) AS yr,
+               count(*) AS f,
+               sum(o_totalprice) AS m,
+               max(CAST(o_orderdate AS DATE)) AS last_d
+        FROM orders GROUP BY o_custkey, year(o_orderdate)
+    ),
+    scored AS (
+        SELECT c, yr,
+               CAST(floor((CAST(row_number() OVER (PARTITION BY yr
+                         ORDER BY last_d, c) AS BIGINT) - 1) * 3e0
+                    / count(*) OVER (PARTITION BY yr)) AS BIGINT) AS rb,
+               CAST(floor((CAST(row_number() OVER (PARTITION BY yr
+                         ORDER BY f, c) AS BIGINT) - 1) * 3e0
+                    / count(*) OVER (PARTITION BY yr)) AS BIGINT) AS fb,
+               CAST(floor((CAST(row_number() OVER (PARTITION BY yr
+                         ORDER BY m, c) AS BIGINT) - 1) * 3e0
+                    / count(*) OVER (PARTITION BY yr)) AS BIGINT) AS mb
+        FROM per_cy
+    ),
+    classed AS (
+        SELECT c, yr,
+               concat(CAST(rb AS STRING), CAST(fb AS STRING),
+                      CAST(mb AS STRING)) AS cls,
+               lag(yr) OVER (PARTITION BY c ORDER BY yr) AS prev_yr,
+               lag(concat(CAST(rb AS STRING), CAST(fb AS STRING),
+                          CAST(mb AS STRING)))
+                   OVER (PARTITION BY c ORDER BY yr) AS prev_cls
+        FROM scored
+    ),
+    trans AS (
+        SELECT prev_cls AS from_class, cls AS to_class, count(*) AS n
+        FROM classed
+        WHERE prev_yr = yr - 1
+        GROUP BY prev_cls, cls
+    ),
+    fromtot AS (
+        SELECT from_class, sum(n) AS tot FROM trans GROUP BY from_class
+    )
+    SELECT t.from_class, t.to_class,
+           CAST(t.n AS BIGINT) AS n_customers,
+           {share} AS share_of_from
+    FROM trans t JOIN fromtot ft ON ft.from_class = t.from_class
+    ORDER BY n_customers DESC, t.from_class, t.to_class
+    LIMIT 20
+"""
+
+
+def rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 year-over-year RFM class transitions (within-year exact
+    terciles on recency/frequency/monetary, class = 'rfm' digit string),
+    with each transition's share of its origin class.
+
+    Scale shape: one grouped agg per (customer, year); the tercile windows
+    partition BY YEAR (calendar-parallel, never global); the transition
+    join is a lag over each customer's short year sequence; the final
+    matrix is bounded by 27x27 classes. STRING casts keep row_number's
+    INT-vs-BIGINT engine difference out of the output."""
+    from database_toolbox_spark.session import load_tables  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _RFM_MIG_SQL.replace("AS STRING", "AS STRING").format(
+            share=R("t.n * 1e0 / ft.tot", 4)
+        )
+    )
+
+
+QUERIES["rfm_migration_matrix"] = rfm_migration_matrix
+ORACLE["rfm_migration_matrix"] = _RFM_MIG_SQL.replace(
+    "AS STRING", "AS VARCHAR"
+).format(share=R("t.n * 1e0 / ft.tot", 4))

@@ -508,6 +508,50 @@ def test_textrank_matches_numpy_pagerank(spark, ddb):
         assert abs(r.textrank - pr[r.term]) < 1e-5
 
 
+# ------------------------------------------- warehouse / attribution
+
+
+def test_returns_netting_identity(spark):
+    rows = Q["returns_netting_rollup"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.gross_revenue - (r.returned_revenue + r.net_revenue)) < 0.05
+        assert 0 <= r.return_rate <= 1
+        if r.gross_revenue > 0:
+            assert abs(r.return_rate - r.returned_revenue / r.gross_revenue) < 1e-3
+
+
+def test_position_attribution_conserves_credit(spark, ddb):
+    """Every credited purchase distributes EXACTLY one unit of credit, so
+    the day-rolled totals must sum to the number of credited purchases —
+    same conservation law the linear model obeys."""
+    rows = Q["position_attribution_by_day"](spark, SF_DIR).collect()
+    total = sum(r.total_credit for r in rows)
+    n_purchases = ddb.execute(
+        """
+        SELECT count(DISTINCT p.event_id) FROM events p JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 7 DAY
+        WHERE p.event_type = 'purchase'
+        """
+    ).fetchone()[0]
+    assert abs(total - n_purchases) < 0.05 * max(n_purchases, 1), (
+        total,
+        n_purchases,
+    )
+
+
+def test_rfm_migration_shares_and_classes(spark):
+    rows = Q["rfm_migration_matrix"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert len(r.from_class) == 3 and len(r.to_class) == 3
+        assert set(r.from_class) <= {"0", "1", "2"}
+        assert set(r.to_class) <= {"0", "1", "2"}
+        assert 0 < r.share_of_from <= 1
+        assert r.n_customers > 0
+
+
 def test_round6_registry_parity(spark, ddb):
     """Each round-6 op passes the lenient comparator at test SF (the strict
     pandas-path parity runs in the driver sweep)."""
@@ -534,5 +578,8 @@ def test_round6_registry_parity(spark, ddb):
         "target_encoding_oof",
         "stratified_ate",
         "textrank_keywords",
+        "rfm_migration_matrix",
+        "returns_netting_rollup",
+        "position_attribution_by_day",
     ]:
         compare_with_oracle(spark, ddb, Q[name], oracles[name])
