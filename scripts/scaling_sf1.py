@@ -140,11 +140,162 @@ SUSPECTS = [
     ("basket_association_rules", "basket10"),
     ("weighted_median_price", "wmed10"),
     ("diff_in_diff_revenue", "did10"),
+    # round-6 tranche, all on the key-shifted order/lineitem replicas
+    # (shared part catalog, dim-orphan customer joins) — one generic
+    # spec-driven comparator (mix10): named columns must be exactly-10x
+    # (within rounding grids) or replica-invariant. rfm terciles get a
+    # small absolute slack: a base customer whose 10-copy rank block
+    # straddles a tercile boundary can legitimately split buckets.
+    ("vwap_monthly_brand", "mix10"),
+    ("max_drawdown_revenue", "mix10"),
+    ("changepoint_daily_revenue", "mix10"),
+    ("linear_trend_by_segment", "mix10"),
+    ("extreme_value_return_levels", "mix10"),
+    ("graph_degree_assortativity", "mix10"),
+    ("rfm_migration_matrix", "mix10"),
+    ("position_attribution_by_day", "mix10"),
+    ("url_normalized_dedup", "mix10"),
+    # report-only: md5 fold/bucket keys reroll under shifted ids or a
+    # suffixed vocabulary, so outputs change while the WORK stays the
+    # plan shape documented in each docstring (bounded candidate set /
+    # k linear passes / fixed model state)
+    ("textrank_keywords", "report"),
+    ("dsir_importance_weights", "report"),
+    ("farthest_point_sample", "report"),
 ]
+
+# mix10 specs: key columns; columns that must be exactly 10x (abs_tol,
+# rel_tol on the 10x'd value); columns that must be replica-invariant;
+# minimum common keys when LIMITed outputs can differ at the tail.
+_D = (0.05, 2e-3)
+_S = (1e-3, 1e-3)
+MIX10 = {
+    "vwap_monthly_brand": {
+        "key": ["ship_month", "p_brand"],
+        "x10": {"volume": _D},
+        "same": {"vwap": _S, "vwap_all": _S, "rel_premium": (5e-4, 0)},
+        # big clears the volume floor on more brand-months than small
+        "min_common_frac": 1.0,
+    },
+    "max_drawdown_revenue": {
+        "key": [],
+        "x10": {"max_drawdown": _D},
+        "same": {
+            "peak_day": None,
+            "trough_day": None,
+            "recovery_day": None,
+            "underwater_days": None,
+        },
+    },
+    "changepoint_daily_revenue": {
+        "key": [],
+        "x10": {"left_mean": _D, "right_mean": _D, "mean_shift": (0.5, 2e-3)},
+        "same": {"split_day": None, "var_explained": (5e-6, 0)},
+    },
+    "linear_trend_by_segment": {
+        "key": ["segment"],
+        "x10": {},
+        "same": {
+            "n_days": None,
+            "slope_per_day": (1e-3, 0),
+            "intercept": (0.05, 0),
+            "r2": (5e-6, 0),
+            "pearson_r": (5e-6, 0),
+            "mean_x": (1e-3, 0),
+            "mean_y": (0.05, 0),
+        },
+    },
+    "extreme_value_return_levels": {
+        "key": [],
+        "x10": {
+            "gumbel_mu": _D,
+            "gumbel_beta": _D,
+            "return_level_12mo": _D,
+            "return_level_60mo": _D,
+            "return_level_120mo": _D,
+            "observed_max": _D,
+        },
+        "same": {"n_blocks": None},
+    },
+    "graph_degree_assortativity": {
+        "key": [],
+        "x10": {"n_edges": _D, "n_nodes": _D},
+        "same": {
+            "mean_end_degree": _S,
+            "assortativity": (5e-5, 0),
+            "disassortative": None,
+        },
+    },
+    "rfm_migration_matrix": {
+        "key": ["from_class", "to_class"],
+        "x10": {"n_customers": (15, 0.01)},
+        "same": {"share_of_from": (5e-3, 0)},
+        "min_common": 15,
+    },
+    "position_attribution_by_day": {
+        "key": ["day"],
+        "x10": {"n_credited_clicks": (0.5, 0), "total_credit": _D},
+        "same": {},
+    },
+    "url_normalized_dedup": {
+        "key": ["source"],
+        "x10": {"n_urls": (0.5, 0), "n_raw_distinct": (0.5, 0),
+                "n_canonical": (0.5, 0)},
+        "same": {"dup_rate": (5e-4, 0)},
+    },
+}
 
 # modes whose assertion compares full collected results, not counts
 _COLLECT_MODES = {"kcore10", "ohlc10", "budget10lin", "conc10",
-                  "scdx10", "basket10", "wmed10", "did10"}
+                  "scdx10", "basket10", "wmed10", "did10", "mix10"}
+
+
+def _mix10_check(name: str, small_rows, big_rows) -> list[str]:
+    """Generic spec-driven 10x/invariance comparator (see MIX10)."""
+    spec = MIX10[name]
+    key = spec["key"]
+    fails: list[str] = []
+
+    def kf(row):
+        return tuple(str(row[k]) for k in key)
+
+    sm = {kf(r): r for r in small_rows}
+    bg = {kf(r): r for r in big_rows}
+    common = set(sm) & set(bg)
+    need = spec.get("min_common", None)
+    if need is None:
+        frac = spec.get("min_common_frac", 1.0)
+        need = int(frac * len(sm))
+    if len(common) < need:
+        fails.append(
+            f"{name}: only {len(common)} common keys "
+            f"(small {len(sm)}, big {len(bg)}, need {need})"
+        )
+    for k in sorted(common):
+        s, b = sm[k], bg[k]
+        for col, tol in spec["x10"].items():
+            exp = (s[col] or 0) * R
+            at, rt = tol
+            if abs((b[col] or 0) - exp) > at + rt * abs(exp):
+                fails.append(
+                    f"{name}{list(k)}: {col} expected ~{exp}, got {b[col]}"
+                )
+        for col, tol in spec["same"].items():
+            sv, bv = s[col], b[col]
+            if tol is None:
+                if sv != bv:
+                    fails.append(
+                        f"{name}{list(k)}: {col} changed {sv} -> {bv}"
+                    )
+            else:
+                at, rt = tol
+                sv = float(sv or 0)
+                bv = float(bv or 0)
+                if abs(bv - sv) > at + rt * abs(sv):
+                    fails.append(
+                        f"{name}{list(k)}: {col} drifted {sv} -> {bv}"
+                    )
+    return fails
 
 
 def synthesize() -> None:
@@ -438,6 +589,10 @@ def main() -> int:
                     f"join (n {sr.n_orders} -> {br.n_orders}, est "
                     f"{sr.did_estimate} -> {br.did_estimate})"
                 )
+        elif mode == "mix10":
+            failures.extend(
+                _mix10_check(name, s["collected"], b["collected"])
+            )
         elif mode == "overhead":
             ov_s = s["candidates"] / max(s["rows"], 1)
             ov_b = b["candidates"] / max(b["rows"], 1)
@@ -491,8 +646,11 @@ def _update_scaling_md(rows_out, failures) -> None:
         "banded-join candidates per TRUE pair must not grow > 2.5x —",
         "the fixture's tiny vocabulary saturates signatures, so the",
         "true Hamming-ball pair set itself is super-linear and output",
-        "volume is the wrong yardstick; report = documented",
-        "anti-pattern demo or non-pair query).",
+        "volume is the wrong yardstick; mix10 = spec-driven per-column",
+        "comparator: named columns exactly-10x within rounding grids,",
+        "others replica-invariant (dim-orphan joins, shared part",
+        "catalog); report = documented anti-pattern demo or",
+        "non-pair query).",
         "",
         "| query | mode | sf0.1 s | sf~1 s | time ratio | sf0.1 pairs |"
         " sf~1 pairs |",
