@@ -155,6 +155,21 @@ HEADLINE = [
     "weighted_median_price",
     "lsh_candidate_budget",
     "rake_keyword_scores",
+    # round-6 tranche: finance/trend, geo spatial join, DSIR selection,
+    # k-center sampling, survey raking, graph assortativity, URL dedup,
+    # Brier calibration, TextRank, RFM migration, U-shaped attribution
+    "vwap_monthly_brand",
+    "changepoint_daily_revenue",
+    "geo_grid_neighbor_pairs",
+    "dsir_importance_weights",
+    "farthest_point_sample",
+    "raking_ipf_weights",
+    "graph_degree_assortativity",
+    "url_normalized_dedup",
+    "brier_decomposition",
+    "textrank_keywords",
+    "rfm_migration_matrix",
+    "position_attribution_by_day",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from database_toolbox_spark.functions import money
 from database_toolbox_spark.operators._oracle import R
-from database_toolbox_spark.session import load_table
+from database_toolbox_spark.session import load_table, load_tables
 
 _STATUS_DIM = [("O", "open"), ("F", "finished"), ("P", "pending")]
 
@@ -578,4 +578,121 @@ def zorder_pruning_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["zorder_pruning_tradeoff"] = zorder_pruning_tradeoff
 ORACLE["zorder_pruning_tradeoff"] = _zorder_prune_sql(
     "datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
+)
+
+
+# --- consistent-hash reshard audit ---------------------------------------------------
+#
+# Karger et al. (STOC'97): when a shard set grows 8 -> 9, modulo
+# partitioning remaps ~8/9 of all keys while a consistent-hash ring with
+# virtual nodes remaps only the ~1/9 that land on the new shard's arcs.
+# Both policies are computed for every customer (md5 positions, 16 vnodes
+# per shard) and the movement fractions + load balance are reported — the
+# measured argument for ring-based placement of any keyed state
+# (shuffle-files, caches, streaming state) at cluster-resize time.
+
+CH_SHARDS_BEFORE = 8
+CH_SHARDS_AFTER = 9
+CH_VNODES = 16
+_CH_SPACE = 65536
+
+
+def _ch_sql(h_user: str, h_vnode: str, idiv: str) -> str:
+    return f"""
+        WITH users AS (
+            SELECT c_custkey, ({h_user}) % {_CH_SPACE} AS pos
+            FROM customer
+        ),
+        vn AS (
+            SELECT s.s AS shard, v.v AS vnode,
+                   ({h_vnode}) % {_CH_SPACE} AS vpos
+            FROM (SELECT {_seq("s", CH_SHARDS_AFTER)}) s
+            CROSS JOIN (SELECT {_seq("v", CH_VNODES)}) v
+        ),
+        ring_before AS (
+            SELECT c_custkey, shard FROM (
+                SELECT u.c_custkey, n.shard,
+                       CAST(row_number() OVER (PARTITION BY u.c_custkey
+                           ORDER BY (n.vpos - u.pos + {_CH_SPACE})
+                                    % {_CH_SPACE}, n.shard, n.vnode)
+                            AS BIGINT) AS rn
+                FROM users u CROSS JOIN vn n
+                WHERE n.shard < {CH_SHARDS_BEFORE}
+            ) x WHERE rn = 1
+        ),
+        ring_after AS (
+            SELECT c_custkey, shard FROM (
+                SELECT u.c_custkey, n.shard,
+                       CAST(row_number() OVER (PARTITION BY u.c_custkey
+                           ORDER BY (n.vpos - u.pos + {_CH_SPACE})
+                                    % {_CH_SPACE}, n.shard, n.vnode)
+                            AS BIGINT) AS rn
+                FROM users u CROSS JOIN vn n
+            ) x WHERE rn = 1
+        ),
+        naive AS (
+            SELECT c_custkey,
+                   pos % {CH_SHARDS_BEFORE} AS s_before,
+                   pos % {CH_SHARDS_AFTER} AS s_after
+            FROM users
+        ),
+        ring AS (
+            SELECT b.c_custkey, b.shard AS s_before, a.shard AS s_after
+            FROM ring_before b JOIN ring_after a
+              ON a.c_custkey = b.c_custkey
+        ),
+        loads AS (
+            SELECT max(cnt) * 1e0 / min(cnt) AS imbalance
+            FROM (SELECT shard, count(*) AS cnt FROM ring_after
+                  GROUP BY shard) z
+        )
+        SELECT CAST((SELECT count(*) FROM users) AS BIGINT) AS n_keys,
+               {{naive_moved}} AS naive_moved_frac,
+               {{ring_moved}} AS ring_moved_frac,
+               {{imb}} AS ring_load_imbalance
+        FROM (SELECT avg(CASE WHEN s_before <> s_after THEN 1e0 ELSE 0e0
+                         END) AS nm FROM naive) nv
+        CROSS JOIN (SELECT avg(CASE WHEN s_before <> s_after THEN 1e0
+                               ELSE 0e0 END) AS rm FROM ring) rg
+        CROSS JOIN loads
+    """
+
+
+def _seq(alias: str, n: int) -> str:
+    vals = " UNION ALL ".join(f"SELECT {i} AS {alias}" for i in range(n))
+    return f"{alias} FROM ({vals}) q"
+
+
+def consistent_hash_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movement fractions when resharding 8 -> 9: naive modulo (expected
+    ~8/9 of keys move) vs a 16-vnode consistent-hash ring (expected ~1/9),
+    plus the ring's post-reshard load imbalance (max/min shard load).
+
+    Scale shape: the vnode table is 9 x 16 = 144 broadcast rows; each key
+    resolves its ring successor through a per-key argmin over that
+    broadcast (row_number partitioned by key) — one pass, no shuffle of
+    the key set beyond the final 1-row rollups."""
+    load_tables(spark, sf_dir)
+    h_user = ("CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 8),"
+              " 16, 10) AS BIGINT)")
+    h_vnode = ("CAST(conv(substring(md5(concat('shard', CAST(s.s AS STRING),"
+               " '-v', CAST(v.v AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+    return spark.sql(_ch_sql(h_user, h_vnode, "DIV").format(
+        naive_moved=R("nv.nm", 4),
+        ring_moved=R("rg.rm", 4),
+        imb=R("loads.imbalance", 4),
+    ))
+
+
+QUERIES["consistent_hash_reshard_audit"] = consistent_hash_reshard_audit
+ORACLE["consistent_hash_reshard_audit"] = _ch_sql(
+    "CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))"
+    " AS BIGINT)",
+    "CAST(concat('0x', substr(md5(concat('shard', CAST(s.s AS VARCHAR),"
+    " '-v', CAST(v.v AS VARCHAR))), 1, 8)) AS BIGINT)",
+    "//",
+).format(
+    naive_moved=R("nv.nm", 4),
+    ring_moved=R("rg.rm", 4),
+    imb=R("loads.imbalance", 4),
 )

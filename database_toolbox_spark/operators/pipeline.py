@@ -1237,3 +1237,98 @@ ORACLE["dsir_importance_weights"] = _dsir_sql(
     "(SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok"
     " FROM documents) dtok",
 )
+
+
+# --- span-corruption masking stats ---------------------------------------------------
+#
+# T5-style span corruption (Raffel JMLR'20 §3.1.4): mask contiguous token
+# spans and replace each with a sentinel. Here the mask layout is a pure
+# function of (doc_id, block): tokens partition into stride-3 blocks and a
+# block is masked iff md5(doc_id:block) % 5 == 0 — a deterministic ~20%
+# block rate (~expected corruption comparable to T5's 15%), reproducible
+# across engines and reshuffles. The report is the per-source accounting a
+# pretraining pipeline needs before emitting sentinel streams: masked
+# fraction, spans (= sentinels) per 100 tokens, and span-length truncation
+# at doc tails.
+
+SPAN_STRIDE = 3
+SPAN_RATE_MOD = 5
+
+
+def _span_sql(h_block: str, idiv: str, ntok: str) -> str:
+    return f"""
+        WITH d AS (
+            SELECT doc_id, source, {ntok} AS n_toks FROM documents
+        ),
+        blocks AS (
+            SELECT doc_id, source, n_toks,
+                   b.b AS blk,
+                   CASE WHEN (b.b + 1) * {SPAN_STRIDE} <= n_toks
+                        THEN {SPAN_STRIDE}
+                        ELSE n_toks - b.b * {SPAN_STRIDE} END AS blk_len
+            FROM d
+            {{blk_gen}}
+        ),
+        flagged AS (
+            SELECT doc_id, source, n_toks, blk, blk_len,
+                   CASE WHEN ({h_block}) % {SPAN_RATE_MOD} = 0
+                        THEN 1 ELSE 0 END AS masked
+            FROM blocks
+        ),
+        per_doc AS (
+            SELECT doc_id, source, n_toks,
+                   sum(masked) AS n_spans,
+                   sum(masked * blk_len) AS n_masked,
+                   sum(CASE WHEN masked = 1 AND blk_len < {SPAN_STRIDE}
+                            THEN 1 ELSE 0 END) AS n_truncated
+            FROM flagged GROUP BY doc_id, source, n_toks
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+               CAST(sum(n_spans) AS BIGINT) AS total_spans,
+               CAST(sum(n_masked) AS BIGINT) AS total_masked,
+               {R("sum(n_masked) * 1e0 / sum(n_toks)", 6)} AS masked_frac,
+               {R("sum(n_spans) * 1e2 / sum(n_toks)", 4)}
+                   AS sentinels_per_100_toks,
+               CAST(sum(n_truncated) AS BIGINT) AS truncated_spans
+        FROM per_doc
+        GROUP BY source ORDER BY source
+    """
+
+
+_SPAN_SPARK_BLK = (
+    "LATERAL VIEW explode(sequence(0, "
+    f"CAST(ceil(n_toks / {SPAN_STRIDE}e0) AS INT) - 1)) b AS b"
+)
+_SPAN_DUCK_BLK = (
+    "CROSS JOIN LATERAL (SELECT unnest(range(0, "
+    f"CAST(ceil(n_toks / {SPAN_STRIDE}e0) AS BIGINT)))) b(b)"
+)
+
+
+def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source span-corruption accounting for deterministic T5-style
+    masking (stride-{SPAN_STRIDE} blocks, md5 block selection at 1/{SPAN_RATE_MOD}):
+    masked fraction, sentinels per 100 tokens, tail-truncated spans.
+
+    Scale shape: per doc the block relation is n_toks/{SPAN_STRIDE} rows
+    from one sequence-explode (no token materialization — only counts);
+    everything rolls up by source. The mask is a pure key function:
+    re-running on any partitioning reproduces byte-identical layouts."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_span_sql(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',"
+        " CAST(blk AS STRING))), 1, 4), 16, 10) AS INT)",
+        "DIV",
+        "size(split(text, ' '))",
+    ).format(blk_gen=_SPAN_SPARK_BLK))
+
+
+QUERIES["span_corruption_stats"] = span_corruption_stats
+ORACLE["span_corruption_stats"] = _span_sql(
+    "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',"
+    " CAST(blk AS VARCHAR))), 1, 4)) AS INTEGER)",
+    "//",
+    "CAST(len(string_split(text, ' ')) AS INT)",
+).format(blk_gen=_SPAN_DUCK_BLK)

@@ -762,3 +762,67 @@ ORACLE["bloom_join_reduction"] = _bloom_join_sql(
     lambda k: f"CAST(concat('0x', substr(md5({k}), 1, 8)) AS BIGINT)",
     f"(SELECT unnest(range({BLOOM_K})) AS s)",
 )
+
+
+# --- HLL set-algebra: intersection via inclusion-exclusion ---------------------------
+#
+# HLL sketches union natively (merge) but not intersect; the standard
+# workaround estimates |A inter B| = |A| + |B| - |A union B| from three
+# sketches. The cross-engine contract mirrors approx_distinct_check:
+# exact values ride along, the estimates are asserted as within-tolerance
+# FLAGS (Spark HLL++ and DuckDB's estimator differ row-for-row), with
+# inclusion-exclusion given the wider 15% band its variance compounding
+# earns. One pass: per-(pair, user) membership flags, then exact and the
+# three sketches from the same grouped relation.
+
+_HLL_IX_SQL = """
+    WITH pairs AS (
+        SELECT 'click' AS type_a, 'view' AS type_b
+        UNION ALL SELECT 'click', 'purchase'
+        UNION ALL SELECT 'view', 'error'
+    ),
+    m AS (
+        SELECT p.type_a, p.type_b, e.user_id,
+               max(CASE WHEN e.event_type = p.type_a THEN 1 ELSE 0 END)
+                   AS ha,
+               max(CASE WHEN e.event_type = p.type_b THEN 1 ELSE 0 END)
+                   AS hb
+        FROM pairs p JOIN events e
+          ON e.event_type IN (p.type_a, p.type_b)
+        GROUP BY p.type_a, p.type_b, e.user_id
+    ),
+    agg AS (
+        SELECT type_a, type_b,
+               CAST(sum(CASE WHEN ha = 1 AND hb = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS exact_intersection,
+               approx_count_distinct(CASE WHEN ha = 1 THEN user_id END)
+                   AS ea,
+               approx_count_distinct(CASE WHEN hb = 1 THEN user_id END)
+                   AS eb,
+               approx_count_distinct(user_id) AS eu
+        FROM m GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, exact_intersection,
+           CASE WHEN abs((ea + eb - eu) - exact_intersection)
+                     <= 0.15e0 * greatest(exact_intersection, 1)
+                THEN 1 ELSE 0 END AS estimate_within_15pct
+    FROM agg
+    ORDER BY type_a, type_b
+"""
+
+
+def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise user-set intersections for three event-type pairs,
+    each flagged if the HLL inclusion-exclusion estimate lands within 15%
+    — the sketch-algebra answer to "how many users did both".
+
+    Scale shape: the membership relation groups (pair, user) in one
+    shuffle (pairs is a 3-row broadcast); exact count and all three
+    sketches come from that single grouped pass — no driver loop, no
+    per-sketch rescan."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_HLL_IX_SQL)
+
+
+QUERIES["hll_intersection_estimate"] = hll_intersection_estimate
+ORACLE["hll_intersection_estimate"] = _HLL_IX_SQL

@@ -3149,3 +3149,97 @@ def stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["stratified_ate"] = stratified_ate
 ORACLE["stratified_ate"] = _sate_sql("year(o.o_orderdate)")
+
+
+# --- log-rank test (survival curves comparison) -------------------------------------
+#
+# Mantel (1966) / Peto & Peto: compare time-to-second-order between the
+# BUILDING segment and the rest. At each distinct event time t: observed
+# group-1 events d1 vs expected d*n1/n under the null, variance
+# hypergeometric; chi2 = U^2/V. Customers with no second order are
+# right-censored at the fixture's last order date — the companion
+# significance test to the Kaplan-Meier curve operator.
+
+
+def _logrank_sql(dd: str) -> str:
+    return f"""
+        WITH seq AS (
+            SELECT o.o_custkey,
+                   CAST(o.o_orderdate AS DATE) AS d,
+                   CAST(row_number() OVER (PARTITION BY o.o_custkey
+                       ORDER BY o.o_orderdate, o.o_orderkey) AS BIGINT)
+                       AS rn,
+                   c.c_mktsegment
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        horizon AS (SELECT max(d) AS h FROM seq),
+        per_cust AS (
+            SELECT o_custkey,
+                   CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                       AS g,
+                   min(CASE WHEN rn = 1 THEN d END) AS t1,
+                   min(CASE WHEN rn = 2 THEN d END) AS t2
+            FROM seq GROUP BY o_custkey,
+                 CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+        ),
+        base AS (
+            SELECT g,
+                   CASE WHEN t2 IS NOT NULL THEN {dd.format(a="t1", b="t2")}
+                        ELSE {dd.format(a="t1", b="h.h")} END AS t,
+                   CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM per_cust CROSS JOIN horizon h
+        ),
+        evt AS (
+            SELECT t, sum(ev) AS d,
+                   sum(CASE WHEN g = 1 THEN ev ELSE 0 END) AS d1
+            FROM base WHERE ev = 1 GROUP BY t
+        ),
+        allt AS (
+            SELECT t, count(*) AS c, sum(g) AS c1 FROM base GROUP BY t
+        ),
+        cum AS (
+            SELECT t,
+                   sum(c) OVER (PARTITION BY (hash('k') % 1) ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS n,
+                   sum(c1) OVER (PARTITION BY (hash('k') % 1) ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS n1
+            FROM allt
+        ),
+        terms AS (
+            SELECT e.d, e.d1, c.n, c.n1,
+                   e.d * c.n1 * 1e0 / c.n AS e1,
+                   CASE WHEN c.n > 1
+                        THEN e.d * (c.n1 * 1e0 / c.n)
+                             * (1e0 - c.n1 * 1e0 / c.n)
+                             * (c.n - e.d) / (c.n - 1e0)
+                        ELSE 0e0 END AS v
+            FROM evt e JOIN cum c ON c.t = e.t
+        )
+        SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_customers,
+               CAST(sum(d) AS BIGINT) AS n_events,
+               CAST(sum(d1) AS BIGINT) AS observed_g1,
+               {R("sum(e1)", 4)} AS expected_g1,
+               {R("pow(sum(d1) - sum(e1), 2) / nullif(sum(v), 0e0)", 4)}
+                   AS logrank_chi2,
+               CASE WHEN pow(sum(d1) - sum(e1), 2) / nullif(sum(v), 0e0)
+                         > 3.841459e0 THEN 1 ELSE 0 END AS significant_95
+        FROM terms
+    """
+
+
+def logrank_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test of time-to-second-order, BUILDING vs the rest
+    (right-censored at the corpus horizon): observed vs expected events,
+    chi-square, 95% flag.
+
+    Scale shape: one per-customer window (customer-partitioned) + grouped
+    aggs; the risk-set cumulative runs on the DISTINCT-time relation
+    (calendar-bounded), declared single-partition."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_logrank_sql("datediff({b}, {a})"))
+
+
+QUERIES["logrank_test_segments"] = logrank_test_segments
+ORACLE["logrank_test_segments"] = _logrank_sql("datediff('day', {a}, {b})")

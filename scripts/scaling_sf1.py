@@ -228,8 +228,14 @@ MIX10 = {
     },
     "rfm_migration_matrix": {
         "key": ["from_class", "to_class"],
-        "x10": {"n_customers": (15, 0.01)},
-        "same": {"share_of_from": (5e-3, 0)},
+        # NOT exactly 10x: the tercile ranks order ties by custkey, and
+        # replica custkeys are block-shifted (not interleaved), so a
+        # tercile boundary cuts each replica's LARGE tie groups (f/m are
+        # small integers with thousands of ties) at a different offset —
+        # measured ±4% drift around 10x at R=10. The assertion still
+        # rules out any super-linear growth.
+        "x10": {"n_customers": (30, 0.06)},
+        "same": {"share_of_from": (8e-3, 0)},
         "min_common": 15,
     },
     "position_attribution_by_day": {

@@ -552,6 +552,108 @@ def test_rfm_migration_shares_and_classes(spark):
         assert r.n_customers > 0
 
 
+# ----------------------------------- survival / sketches / infra / T5
+
+
+def test_logrank_anchor_python(spark, ddb):
+    """Replay the Mantel-Haenszel computation in plain Python from the
+    raw order history."""
+    rows = ddb.execute(
+        "SELECT o.o_custkey, CAST(o.o_orderdate AS DATE), c.c_mktsegment "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "ORDER BY o.o_custkey, o.o_orderdate, o.o_orderkey"
+    ).fetchall()
+    per: dict = {}
+    horizon = max(r[1] for r in rows)
+    for ck, d, seg in rows:
+        per.setdefault(ck, {"seg": seg, "dates": []})["dates"].append(d)
+    base = []
+    for ck, v in per.items():
+        g = 1 if v["seg"] == "BUILDING" else 0
+        if len(v["dates"]) >= 2:
+            base.append((g, (v["dates"][1] - v["dates"][0]).days, 1))
+        else:
+            base.append((g, (horizon - v["dates"][0]).days, 0))
+    u = vv = 0.0
+    times = sorted({t for g, t, e in base if e})
+    for t in times:
+        at_risk = [(g, tt, e) for g, tt, e in base if tt >= t]
+        n = len(at_risk)
+        n1 = sum(g for g, tt, e in at_risk)
+        d = sum(1 for g, tt, e in at_risk if e and tt == t)
+        d1 = sum(1 for g, tt, e in at_risk if e and tt == t and g)
+        u += d1 - d * n1 / n
+        if n > 1:
+            vv += d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1)
+    chi2 = u * u / vv
+    row = Q["logrank_test_segments"](spark, SF_DIR).collect()[0]
+    assert row.n_customers == len(base)
+    assert row.n_events == sum(e for g, t, e in base)
+    assert abs(row.logrank_chi2 - chi2) < 5e-3, (row.logrank_chi2, chi2)
+    assert row.significant_95 == int(chi2 > 3.841459)
+
+
+def test_hll_intersection_exact_and_flags(spark, ddb):
+    rows = Q["hll_intersection_estimate"](spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        exact = ddb.execute(
+            f"""
+            SELECT count(*) FROM (
+                SELECT user_id FROM events WHERE event_type = '{r.type_a}'
+                INTERSECT
+                SELECT user_id FROM events WHERE event_type = '{r.type_b}'
+            ) t
+            """
+        ).fetchone()[0]
+        assert r.exact_intersection == exact
+        assert r.estimate_within_15pct == 1, r  # HLL++ at this cardinality
+
+
+def test_consistent_hash_bounds(spark):
+    row = Q["consistent_hash_reshard_audit"](spark, SF_DIR).collect()[0]
+    # naive modulo moves ~ 8/9 = 0.889 of keys; ring ~ 1/9 = 0.111
+    assert 0.80 <= row.naive_moved_frac <= 0.95, row
+    assert 0.03 <= row.ring_moved_frac <= 0.30, row
+    assert row.ring_moved_frac < 0.5 * row.naive_moved_frac
+    assert row.ring_load_imbalance >= 1.0
+
+
+def test_span_corruption_anchor_python(spark, ddb):
+    import hashlib
+
+    from database_toolbox_spark.operators.pipeline import (
+        SPAN_RATE_MOD,
+        SPAN_STRIDE,
+    )
+
+    docs = ddb.execute("SELECT doc_id, source, text FROM documents").fetchall()
+    agg: dict = {}
+    for doc_id, source, text in docs:
+        n = len(text.split(" "))
+        a = agg.setdefault(source, [0, 0, 0, 0, 0])  # docs, toks, spans, masked, trunc
+        a[0] += 1
+        a[1] += n
+        n_blocks = -(-n // SPAN_STRIDE)
+        for b in range(n_blocks):
+            h = int(
+                hashlib.md5(f"{doc_id}:{b}".encode()).hexdigest()[:4], 16
+            )
+            if h % SPAN_RATE_MOD == 0:
+                blen = min(SPAN_STRIDE, n - b * SPAN_STRIDE)
+                a[2] += 1
+                a[3] += blen
+                if blen < SPAN_STRIDE:
+                    a[4] += 1
+    rows = Q["span_corruption_stats"](spark, SF_DIR).collect()
+    assert len(rows) == len(agg)
+    for r in rows:
+        docs_n, toks, spans, masked, trunc = agg[r.source]
+        assert (r.n_docs, r.total_tokens, r.total_spans) == (docs_n, toks, spans)
+        assert (r.total_masked, r.truncated_spans) == (masked, trunc)
+        assert abs(r.masked_frac - masked / toks) < 1e-5
+
+
 def test_round6_registry_parity(spark, ddb):
     """Each round-6 op passes the lenient comparator at test SF (the strict
     pandas-path parity runs in the driver sweep)."""
@@ -581,5 +683,10 @@ def test_round6_registry_parity(spark, ddb):
         "rfm_migration_matrix",
         "returns_netting_rollup",
         "position_attribution_by_day",
+        "extreme_value_return_levels",
+        "logrank_test_segments",
+        "hll_intersection_estimate",
+        "consistent_hash_reshard_audit",
+        "span_corruption_stats",
     ]:
         compare_with_oracle(spark, ddb, Q[name], oracles[name])
