@@ -548,3 +548,36 @@ def test_round5_tranche_f_plans_have_intended_shapes(spark):
     # cartesian or a full shuffle of the bounded price-grid side
     plan = _plan(pareto_frontier_parts(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_round6_plans_have_intended_shapes(spark):
+    """Round-6 operators: the geo spatial join must be a broadcast/hash
+    equi-join on the cell key (never a cartesian pairing of the point
+    set); DSIR's top-20 head compiles to TakeOrderedAndProject; the
+    nearest-hub argmin broadcasts the 25-row hub relation; partial
+    aggregation survives in the netting rollup."""
+    from database_toolbox_spark.operators.geo import (
+        geo_grid_neighbor_pairs,
+        geo_nearest_hub,
+    )
+    from database_toolbox_spark.operators.pipeline import (
+        dsir_importance_weights,
+    )
+    from database_toolbox_spark.operators.tpch2 import returns_netting_rollup
+
+    plan = _plan(geo_grid_neighbor_pairs(spark, SF_DIR))
+    # the candidate join is keyed on (cell_lat, cell_lon): a hash join
+    # (broadcast or shuffled) — the 9-row offsets explode may be a
+    # BroadcastNestedLoopJoin, but the POINT-vs-POINT pairing must not be
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # the a.pl=b.cl equi-join survived as hash
+
+    plan = _plan(geo_nearest_hub(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(dsir_importance_weights(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+    f = PlanFeatures.of(returns_netting_rollup(spark, SF_DIR))
+    assert f.partial_aggregation and not f.cartesian
