@@ -597,7 +597,7 @@ CH_VNODES = 16
 _CH_SPACE = 65536
 
 
-def _ch_sql(h_user: str, h_vnode: str, idiv: str) -> str:
+def _ch_sql(h_user: str, h_vnode: str) -> str:
     return f"""
         WITH users AS (
             SELECT c_custkey, ({h_user}) % {_CH_SPACE} AS pos
@@ -677,7 +677,7 @@ def consistent_hash_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame
               " 16, 10) AS BIGINT)")
     h_vnode = ("CAST(conv(substring(md5(concat('shard', CAST(s.s AS STRING),"
                " '-v', CAST(v.v AS STRING))), 1, 8), 16, 10) AS BIGINT)")
-    return spark.sql(_ch_sql(h_user, h_vnode, "DIV").format(
+    return spark.sql(_ch_sql(h_user, h_vnode).format(
         naive_moved=R("nv.nm", 4),
         ring_moved=R("rg.rm", 4),
         imb=R("loads.imbalance", 4),
@@ -690,7 +690,6 @@ ORACLE["consistent_hash_reshard_audit"] = _ch_sql(
     " AS BIGINT)",
     "CAST(concat('0x', substr(md5(concat('shard', CAST(s.s AS VARCHAR),"
     " '-v', CAST(v.v AS VARCHAR))), 1, 8)) AS BIGINT)",
-    "//",
 ).format(
     naive_moved=R("nv.nm", 4),
     ring_moved=R("rg.rm", 4),

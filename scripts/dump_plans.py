@@ -264,6 +264,22 @@ SHOWCASE = {
         "calendar-bounded day series replace the per-row recursion — "
         "no fold, no UDF, two window stages."
     ),
+    "geo_grid_neighbor_pairs": (
+        "Grid spatial self-join: the 9-offset probe explode broadcasts, "
+        "the point-vs-point pairing is a HASH join keyed on the cell id "
+        "(candidates bounded by local density), haversine verification "
+        "is a post-join filter — never a CartesianProduct."
+    ),
+    "dsir_importance_weights": (
+        "DSIR: two 256-row bucket histograms (partial-agg map-side), a "
+        "broadcast ratio join back onto the token stream, one grouped "
+        "sum per doc, TakeOrderedAndProject top-20."
+    ),
+    "changepoint_daily_revenue": (
+        "AMOC changepoint: prefix sums via one window pass over the "
+        "calendar-bounded daily relation; every split cost is closed-form "
+        "arithmetic — no per-split rescan, no self-join."
+    ),
 }
 
 
