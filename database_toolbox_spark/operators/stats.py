@@ -3243,3 +3243,72 @@ def logrank_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["logrank_test_segments"] = logrank_test_segments
 ORACLE["logrank_test_segments"] = _logrank_sql("datediff('day', {a}, {b})")
+
+
+# --- A/B experiment health: SRM + covariate balance ----------------------------------
+#
+# The two pre-readout health checks every experimentation platform runs
+# (Kohavi et al., "Trustworthy Online Controlled Experiments" ch. 21):
+# sample-ratio mismatch (chi-square of arm sizes against the designed
+# 50/50) and covariate balance (standardized mean difference of a
+# pre-treatment covariate; |SMD| > 0.1 is the imbalance rule of thumb).
+# Arms reuse the CUPED md5 split; scope rows = overall + each segment.
+
+
+def _srm_sql(h: str) -> str:
+    return f"""
+        WITH armed AS (
+            SELECT c_mktsegment AS seg, c_acctbal AS x,
+                   ({h}) % 2 AS arm
+            FROM customer c
+        ),
+        scoped AS (
+            SELECT 'overall' AS scope, x, arm FROM armed
+            UNION ALL
+            SELECT seg AS scope, x, arm FROM armed
+        ),
+        agg AS (
+            SELECT scope,
+                   sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+                   sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+                   avg(CASE WHEN arm = 0 THEN x END) AS m0,
+                   avg(CASE WHEN arm = 1 THEN x END) AS m1,
+                   var_samp(CASE WHEN arm = 0 THEN x END) AS v0,
+                   var_samp(CASE WHEN arm = 1 THEN x END) AS v1
+            FROM scoped GROUP BY scope
+        )
+        SELECT scope,
+               CAST(n0 AS BIGINT) AS n_arm0,
+               CAST(n1 AS BIGINT) AS n_arm1,
+               {R("pow(n0 - n1, 2) * 1e0 / (n0 + n1)", 4)} AS srm_chi2,
+               CASE WHEN pow(n0 - n1, 2) * 1e0 / (n0 + n1) > 3.841459e0
+                    THEN 1 ELSE 0 END AS srm_flag,
+               {R("(m0 - m1) / sqrt((v0 + v1) / 2e0)", 4)} AS smd_acctbal,
+               CASE WHEN abs((m0 - m1) / sqrt((v0 + v1) / 2e0)) > 0.1e0
+                    THEN 1 ELSE 0 END AS imbalance_flag
+        FROM agg
+        ORDER BY scope
+    """
+
+
+def ab_experiment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment health per scope (overall + each segment): sample-ratio
+    mismatch chi-square against 50/50 with the 95% flag, and the
+    standardized mean difference of the pre-treatment account balance
+    with the |SMD| > 0.1 imbalance flag.
+
+    Scale shape: one projection, one grouped agg over the 6 scope rows
+    (the UNION ALL doubles the scan of a dimension table, not a fact);
+    all statistics are single-pass partial aggregates."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_srm_sql(
+        "CAST(conv(substring(md5(CAST(c.c_custkey AS STRING)), 1, 4), 16, 10)"
+        " AS INT)"
+    ))
+
+
+QUERIES["ab_experiment_health"] = ab_experiment_health
+ORACLE["ab_experiment_health"] = _srm_sql(
+    "CAST(concat('0x', substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 4))"
+    " AS INTEGER)"
+)

@@ -654,6 +654,30 @@ def test_span_corruption_anchor_python(spark, ddb):
         assert abs(r.masked_frac - masked / toks) < 1e-5
 
 
+def test_ab_health_anchor_numpy(spark, ddb):
+    import hashlib
+
+    rows = {r.scope: r for r in Q["ab_experiment_health"](spark, SF_DIR).collect()}
+    raw = ddb.execute("SELECT c_custkey, c_mktsegment, c_acctbal FROM customer").fetchall()
+    arms = {
+        0: [x for k, s, x in raw
+            if int(hashlib.md5(str(k).encode()).hexdigest()[:4], 16) % 2 == 0],
+        1: [x for k, s, x in raw
+            if int(hashlib.md5(str(k).encode()).hexdigest()[:4], 16) % 2 == 1],
+    }
+    r = rows["overall"]
+    n0, n1 = len(arms[0]), len(arms[1])
+    assert (r.n_arm0, r.n_arm1) == (n0, n1)
+    assert abs(r.srm_chi2 - (n0 - n1) ** 2 / (n0 + n1)) < 5e-3
+    m0, m1 = np.mean(arms[0]), np.mean(arms[1])
+    v0 = np.var(arms[0], ddof=1)
+    v1 = np.var(arms[1], ddof=1)
+    smd = (m0 - m1) / np.sqrt((v0 + v1) / 2)
+    assert abs(r.smd_acctbal - smd) < 5e-4
+    assert set(rows) == {"overall", "AUTOMOBILE", "BUILDING", "FURNITURE",
+                         "HOUSEHOLD", "MACHINERY"}
+
+
 def test_round6_registry_parity(spark, ddb):
     """Each round-6 op passes the lenient comparator at test SF (the strict
     pandas-path parity runs in the driver sweep)."""
@@ -688,5 +712,6 @@ def test_round6_registry_parity(spark, ddb):
         "hll_intersection_estimate",
         "consistent_hash_reshard_audit",
         "span_corruption_stats",
+        "ab_experiment_health",
     ]:
         compare_with_oracle(spark, ddb, Q[name], oracles[name])
