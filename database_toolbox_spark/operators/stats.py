@@ -3199,10 +3199,10 @@ def _logrank_sql(dd: str) -> str:
         ),
         cum AS (
             SELECT t,
-                   sum(c) OVER (PARTITION BY (hash('k') % 1) ORDER BY t DESC
+                   sum(c) OVER (PARTITION BY (hash(t) % 1) ORDER BY t DESC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS n,
-                   sum(c1) OVER (PARTITION BY (hash('k') % 1) ORDER BY t DESC
+                   sum(c1) OVER (PARTITION BY (hash(t) % 1) ORDER BY t DESC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS n1
             FROM allt

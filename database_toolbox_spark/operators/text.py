@@ -1605,8 +1605,8 @@ def _textrank_g0_sql(tok_src: str) -> str:
         cand AS (
             SELECT term FROM (
                 SELECT term,
-                       CAST(row_number() OVER (ORDER BY n DESC, term)
-                            AS BIGINT) AS rn
+                       CAST(row_number() OVER (PARTITION BY (hash(term) % 1)
+                            ORDER BY n DESC, term) AS BIGINT) AS rn
                 FROM wc
             ) x WHERE rn <= {v}
         ),
