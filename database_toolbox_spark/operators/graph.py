@@ -946,11 +946,12 @@ ORACLE["graph_edge_churn"] = _edge_churn_sql(
 # supplier-customer bipartite projection the sign is a structural fact
 # worth asserting, and the whole computation is two grouped aggs + corr.
 
-_ASSORT_SQL = f"""
-    WITH e AS (
-        {_KCORE_EDGE_SQL}
+def _assort_tail(e_src: str, mat: str = "") -> str:
+    return f"""
+    WITH e AS {mat}(
+        {e_src}
     ),
-    sym AS (
+    sym AS {mat}(
         SELECT src AS u, dst AS v FROM e
         UNION ALL
         SELECT dst AS u, src AS v FROM e
@@ -975,10 +976,19 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one grouped degree count, two broadcast-able joins of the
     degree relation onto the edge list, and a corr() aggregate — all
-    partial-aggregatable, no windows, no iteration."""
+    partial-aggregatable, no windows, no iteration. The edge projection
+    (the fact join + grouped filter) is MATERIALIZED once — e is read
+    three times (sym twice, the edge count once) and inlining replays the
+    fact join per reference; sym itself stays a view, a cheap union of
+    the checkpointed edges."""
     load_tables(spark, sf_dir)
-    return spark.sql(_ASSORT_SQL)
+    materialize(spark.sql(_KCORE_EDGE_SQL)).createOrReplaceTempView(
+        "assort_e_v"
+    )
+    return spark.sql(_assort_tail("SELECT * FROM assort_e_v"))
 
 
 QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
-ORACLE["graph_degree_assortativity"] = _ASSORT_SQL
+ORACLE["graph_degree_assortativity"] = _assort_tail(
+    _KCORE_EDGE_SQL, mat="MATERIALIZED "
+)
