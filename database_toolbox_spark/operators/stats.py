@@ -3312,3 +3312,118 @@ ORACLE["ab_experiment_health"] = _srm_sql(
     "CAST(concat('0x', substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 4))"
     " AS INTEGER)"
 )
+
+
+# --- capture-recapture population estimate -------------------------------------------
+#
+# Lincoln-Petersen with the Chapman (1951) correction: estimate the total
+# user population from two independent "captures" (users seen clicking,
+# users seen viewing): N = (n1+1)(n2+1)/(m+1) - 1, m = recaptured in
+# both. The coverage-estimation trick ecology lends to dedup/crawl
+# completeness audits ("how many users/docs exist that we never saw").
+
+_CRC_SQL = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+        FROM events GROUP BY user_id
+    ),
+    counts AS (
+        SELECT sum(a) AS n1, sum(b) AS n2,
+               sum(a * b) AS m, count(*) AS seen_total
+        FROM per_user
+    )
+    SELECT CAST(n1 AS BIGINT) AS captured_click,
+           CAST(n2 AS BIGINT) AS captured_view,
+           CAST(m AS BIGINT) AS recaptured_both,
+           CAST(seen_total AS BIGINT) AS observed_users,
+           {R("(n1 + 1e0) * (n2 + 1e0) / (m + 1e0) - 1e0", 2)}
+               AS chapman_estimate,
+           {R('''abs((n1 + 1e0) * (n2 + 1e0) / (m + 1e0) - 1e0
+                 - seen_total) / seen_total''', 4)} AS rel_gap_to_observed
+    FROM counts
+"""
+
+
+def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman-corrected Lincoln-Petersen estimate of the user population
+    from the click/view capture pair, next to the observed distinct-user
+    count and the relative gap.
+
+    Scale shape: one grouped membership pass per user + a 1-row fold."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_CRC_SQL)
+
+
+QUERIES["capture_recapture_estimate"] = capture_recapture_estimate
+ORACLE["capture_recapture_estimate"] = _CRC_SQL
+
+
+# --- quantile normalization by source -------------------------------------------------
+#
+# Bolstad et al. (Bioinformatics 2003): map every group's distribution
+# onto a common reference so group effects vanish — here each source's
+# doc-length distribution is replaced by the pooled quantile at the
+# document's within-source percent rank (65-point grid). The batch-effect
+# remover feature pipelines apply before cross-source comparisons.
+
+_QN_GRID = 64
+_QN_PROBS = ", ".join(f"{i / _QN_GRID!r}e0" for i in range(_QN_GRID + 1))
+
+
+def _qn_sql(grid_rel: str) -> str:
+    return f"""
+        WITH lens AS (
+            SELECT doc_id, source, n_chars * 1e0 AS x FROM documents
+        ),
+        pr AS (
+            SELECT doc_id, source, x,
+                   percent_rank() OVER (PARTITION BY source
+                       ORDER BY x, doc_id) AS p
+            FROM lens
+        ),
+        grid AS ({grid_rel}),
+        mapped AS (
+            SELECT pr.source, pr.x, g.q AS xq
+            FROM pr JOIN grid g
+              ON g.i = CAST(floor(pr.p * {_QN_GRID} + 0.5e0) AS BIGINT)
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               {R("avg(x)", 2)} AS mean_before,
+               {R("avg(xq)", 2)} AS mean_after,
+               {R("stddev_samp(x)", 2)} AS sd_before,
+               {R("stddev_samp(xq)", 2)} AS sd_after
+        FROM mapped
+        GROUP BY source ORDER BY source
+    """
+
+
+_QN_SPARK_GRID = (
+    f"SELECT g.pos AS i, g.col AS q FROM (SELECT percentile(x, "
+    f"array({_QN_PROBS})) AS qs FROM lens) t "
+    "LATERAL VIEW posexplode(t.qs) g AS pos, col"
+)
+_QN_DUCK_GRID = (
+    f"SELECT u.i, qs[u.i + 1] AS q FROM (SELECT quantile_cont(x, "
+    f"[{_QN_PROBS}]) AS qs FROM lens) t, "
+    f"unnest(range(0, {_QN_GRID + 1})) AS u(i)"
+)
+
+
+def quantile_normalization_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize per-source doc lengths onto the pooled
+    distribution: per source, moments before vs after (after-moments
+    converge across sources — the batch effect removed).
+
+    Scale shape: one per-source rank window, a 65-row broadcast quantile
+    grid (single pooled percentile pass), one equi-join on the grid
+    index, one grouped rollup. The grid size is fixed, so the reference
+    model is broadcast-scale at any corpus size."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_qn_sql(_QN_SPARK_GRID))
+
+
+QUERIES["quantile_normalization_by_source"] = quantile_normalization_by_source
+ORACLE["quantile_normalization_by_source"] = _qn_sql(_QN_DUCK_GRID)

@@ -22,6 +22,7 @@ from database_toolbox_spark.streaming.stream_ops import (  # noqa: F401
     stream_session_windows,
     stream_user_running_totals,
     stream_user_totals_tws,
+    stream_srm_monitor,
     stream_value_anomalies,
     stream_user_totals_with_timeout,
     stream_view_click_join,

@@ -1073,3 +1073,75 @@ def stream_bottomk_sample(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming sample-ratio-mismatch monitor ---------------------------------
+
+_SRM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n0", T.LongType()),
+        T.StructField("n1", T.LongType()),
+    ]
+)
+_SRM_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_arm0", T.LongType()),
+        T.StructField("n_arm1", T.LongType()),
+        T.StructField("srm_chi2", T.DoubleType()),
+        T.StructField("srm_flag", T.IntegerType()),
+    ]
+)
+
+SRM_CRIT_95 = 3.841459  # chi-square(1) at alpha = 0.05
+
+
+def stream_srm_monitor(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch A/B health check
+    (operators/stats.ab_experiment_health): per event type, maintain
+    running per-arm event counts (arm = md5(user_id) % 2 — the same
+    reshuffle-stable split the batch op uses) and emit the
+    sample-ratio-mismatch chi-square after every micro-batch. The state
+    is TWO LONGS per key — the cheapest possible experiment guardrail,
+    and the first thing a platform pages on when bucketing breaks.
+
+    The chi-square is a pure function of the counts, so the streaming
+    result after the final micro-batch must equal the batch computation
+    exactly (asserted in tests)."""
+    armed = events.withColumn(
+        "arm",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 4),"
+            " 16, 10) AS INT) % 2"
+        ),
+    )
+
+    def monitor(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n0, n1 = state.get if state.exists else (0, 0)
+        for pdf in batches:
+            arms = pdf["arm"].astype(int)
+            n0 += int((arms == 0).sum())
+            n1 += int((arms == 1).sum())
+        state.update((n0, n1))
+        chi2 = (n0 - n1) ** 2 / (n0 + n1) if n0 + n1 else 0.0
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_arm0": [n0],
+                "n_arm1": [n1],
+                "srm_chi2": [round(chi2, 6)],
+                "srm_flag": [int(chi2 > SRM_CRIT_95)],
+            }
+        )
+
+    return armed.groupBy("event_type").applyInPandasWithState(
+        monitor,
+        outputStructType=_SRM_OUT_SCHEMA,
+        stateStructType=_SRM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -678,6 +678,30 @@ def test_ab_health_anchor_numpy(spark, ddb):
                          "HOUSEHOLD", "MACHINERY"}
 
 
+def test_capture_recapture_identity(spark, ddb):
+    row = Q["capture_recapture_estimate"](spark, SF_DIR).collect()[0]
+    n1, n2, m = row.captured_click, row.captured_view, row.recaptured_both
+    assert m <= min(n1, n2)
+    est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    assert abs(row.chapman_estimate - est) < 0.05
+    exact = ddb.execute(
+        "SELECT count(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    assert row.observed_users == exact
+    # the capture pair covers most of the population on this fixture
+    assert est >= m
+
+
+def test_quantile_normalization_removes_batch_effect(spark):
+    rows = Q["quantile_normalization_by_source"](spark, SF_DIR).collect()
+    before = np.array([r.mean_before for r in rows])
+    after = np.array([r.mean_after for r in rows])
+    # after-means must be FAR more concentrated than before-means
+    assert after.std() < before.std()
+    # and centered near the pooled center, not collapsed to zero
+    assert after.min() > 0
+
+
 def test_round6_registry_parity(spark, ddb):
     """Each round-6 op passes the lenient comparator at test SF (the strict
     pandas-path parity runs in the driver sweep)."""
@@ -713,5 +737,7 @@ def test_round6_registry_parity(spark, ddb):
         "consistent_hash_reshard_audit",
         "span_corruption_stats",
         "ab_experiment_health",
+        "capture_recapture_estimate",
+        "quantile_normalization_by_source",
     ]:
         compare_with_oracle(spark, ddb, Q[name], oracles[name])

@@ -721,3 +721,40 @@ def test_python_datasource_stream_matches_batch_derivation(spark, tmp_path):
             f"b{(i * 2654435761) % 97 % 8}",
             round(((i * 1103515245 + 12345) % 65536) / 100.0, 2),
         )
+
+
+def test_stream_srm_monitor_matches_batch(spark, stream):
+    """The streaming SRM guardrail's final per-type counts and chi-square
+    equal the batch computation over the same fixture (the statistic is a
+    pure function of the counts, so stream == batch exactly)."""
+    import hashlib
+
+    from database_toolbox_spark.streaming import stream_srm_monitor
+    from database_toolbox_spark.streaming.stream_ops import SRM_CRIT_95
+
+    _run_to_memory(stream_srm_monitor(stream), "srm_out", "update")
+    got = {
+        r.event_type: r
+        for r in spark.sql(
+            "SELECT * FROM srm_out WHERE (event_type, n_arm0 + n_arm1) IN "
+            "(SELECT event_type, max(n_arm0 + n_arm1) FROM srm_out "
+            " GROUP BY event_type)"
+        ).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", "user_id")
+        .toPandas()
+    )
+    for etype, grp in ev.groupby("event_type"):
+        arms = [
+            int(hashlib.md5(str(u).encode()).hexdigest()[:4], 16) % 2
+            for u in grp["user_id"]
+        ]
+        n1 = sum(arms)
+        n0 = len(arms) - n1
+        r = got[etype]
+        assert (r.n_arm0, r.n_arm1) == (n0, n1), etype
+        chi2 = (n0 - n1) ** 2 / (n0 + n1)
+        assert abs(r.srm_chi2 - chi2) < 1e-6
+        assert r.srm_flag == int(chi2 > SRM_CRIT_95)
