@@ -170,6 +170,17 @@ HEADLINE = [
     "textrank_keywords",
     "rfm_migration_matrix",
     "position_attribution_by_day",
+    # round-6 tranche E/F: survival, sketch algebra, infra resharding,
+    # T5 masking, experiment health, coverage estimation, batch-effect
+    # removal, extreme values
+    "logrank_test_segments",
+    "hll_intersection_estimate",
+    "consistent_hash_reshard_audit",
+    "span_corruption_stats",
+    "ab_experiment_health",
+    "capture_recapture_estimate",
+    "quantile_normalization_by_source",
+    "extreme_value_return_levels",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

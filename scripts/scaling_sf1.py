@@ -162,6 +162,18 @@ SUSPECTS = [
     ("textrank_keywords", "report"),
     ("dsir_importance_weights", "report"),
     ("farthest_point_sample", "report"),
+    # round-6 tranche E/F: capture pair counts are exactly 10x under
+    # user-shifted event replicas (Chapman then agrees to O(1/m));
+    # logrank joins the unreplicated customer dim (orphan invariance);
+    # quantile normalization sees the same per-source length
+    # distribution at 10x mass (percent ranks shift only at (n-1)
+    # denominators); the A/B health table reads only the customer dim
+    # (untouched by the synthesis -> byte-identical rows).
+    ("capture_recapture_estimate", "mix10"),
+    ("logrank_test_segments", "mix10"),
+    ("quantile_normalization_by_source", "mix10"),
+    ("ab_experiment_health", "mix10"),
+    ("hll_intersection_estimate", "mix10"),
 ]
 
 # mix10 specs: key columns; columns that must be exactly 10x (abs_tol,
@@ -248,6 +260,43 @@ MIX10 = {
         "x10": {"n_urls": (0.5, 0), "n_raw_distinct": (0.5, 0),
                 "n_canonical": (0.5, 0)},
         "same": {"dup_rate": (5e-4, 0)},
+    },
+    "capture_recapture_estimate": {
+        "key": [],
+        "x10": {"captured_click": (0.5, 0), "captured_view": (0.5, 0),
+                "recaptured_both": (0.5, 0), "observed_users": (0.5, 0),
+                "chapman_estimate": (2.0, 1e-3)},
+        "same": {"rel_gap_to_observed": (1e-3, 0)},
+    },
+    "logrank_test_segments": {
+        "key": [],
+        "x10": {},
+        "same": {"n_customers": None, "n_events": None,
+                 "observed_g1": None, "expected_g1": (5e-3, 0),
+                 "logrank_chi2": (5e-3, 0), "significant_95": None},
+    },
+    "quantile_normalization_by_source": {
+        "key": ["source"],
+        # counts only: the synthesis RECOMPUTES n_chars over the
+        # '_r'-suffixed replica text (every token grows), so the length
+        # moments legitimately shift at 10x — only the per-source doc
+        # count carries a growth assertion here.
+        "x10": {"n_docs": (0.5, 0)},
+        "same": {},
+    },
+    "ab_experiment_health": {
+        "key": ["scope"],
+        "x10": {},
+        "same": {"n_arm0": None, "n_arm1": None, "srm_chi2": (1e-3, 0),
+                 "srm_flag": None, "smd_acctbal": (1e-3, 0),
+                 "imbalance_flag": None},
+    },
+    "hll_intersection_estimate": {
+        "key": ["type_a", "type_b"],
+        # the estimator flag is deliberately NOT asserted at 10x: HLL
+        # relative error is cardinality-dependent and engine-specific
+        "x10": {"exact_intersection": (0.5, 0)},
+        "same": {},
     },
 }
 
