@@ -181,6 +181,7 @@ HEADLINE = [
     "capture_recapture_estimate",
     "quantile_normalization_by_source",
     "extreme_value_return_levels",
+    "hurst_exponent_revenue",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

@@ -351,3 +351,123 @@ ORACLE["extreme_value_return_levels"] = _EV_SQL.format(
     rl12=R(_rl(12), 2), rl60=R(_rl(60), 2), rl120=R(_rl(120), 2),
     omax=R("observed_max", 2),
 )
+
+
+# --- Hurst exponent (rescaled-range analysis) ---------------------------------------
+#
+# Hurst (1951) / Mandelbrot-Wallis R/S analysis of daily revenue:
+# partition the day-indexed series into complete blocks of m in
+# {8, 16, 32, 64}; per block, R = range of the within-block cumulative
+# deviations from the block mean and S = the block's population stddev;
+# H = slope of ln(mean R/S) on ln(m). H ~ 0.5 is a memoryless series,
+# H > 0.5 long-range persistent — the fractal companion to the ACF.
+
+HURST_SIZES = (8, 16, 32, 64)
+
+
+def _hurst_sql() -> str:
+    sizes = " UNION ALL ".join(f"SELECT {m} AS m" for m in HURST_SIZES)
+    return f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        idx AS (
+            SELECT d, rev,
+                   CAST(row_number() OVER (PARTITION BY (hash(d) % 1)
+                        ORDER BY d) AS BIGINT) - 1 AS i
+            FROM daily
+        ),
+        sizes AS ({sizes}),
+        blocked AS (
+            SELECT s.m, CAST(floor(i * 1e0 / s.m) AS BIGINT) AS blk,
+                   i, rev,
+                   count(*) OVER (PARTITION BY s.m,
+                       CAST(floor(i * 1e0 / s.m) AS BIGINT)) AS blk_n
+            FROM idx CROSS JOIN sizes s
+        ),
+        complete AS (SELECT * FROM blocked WHERE blk_n = m),
+        bstats AS (
+            SELECT m, blk, avg(rev) AS mu, stddev_pop(rev) AS s
+            FROM complete GROUP BY m, blk
+        ),
+        cums AS (
+            SELECT c.m, c.blk, b.s,
+                   sum(c.rev - b.mu) OVER (PARTITION BY c.m, c.blk
+                       ORDER BY c.i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cdev
+            FROM complete c JOIN bstats b ON b.m = c.m AND b.blk = c.blk
+        ),
+        rs AS (
+            SELECT m, blk,
+                   (max(cdev) - min(cdev)) / max(s) AS rs
+            FROM cums WHERE s > 0 GROUP BY m, blk
+        ),
+        pts AS (
+            SELECT m, ln(avg(rs)) AS y, ln(m * 1e0) AS x,
+                   count(*) AS n_blocks
+            FROM rs GROUP BY m
+        )
+        SELECT {R("regr_slope(y, x)", 4)} AS hurst_exponent,
+               {R("regr_r2(y, x)", 4)} AS fit_r2,
+               CAST(sum(n_blocks) AS BIGINT) AS n_blocks_total,
+               CAST(count(*) AS BIGINT) AS n_scales
+        FROM pts
+    """
+
+
+def hurst_exponent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue by R/S analysis over block sizes
+    {HURST_SIZES}, with the log-log fit quality.
+
+    Scale shape: the series is the calendar-bounded daily relation; the
+    4x size explode, per-block windows, and the 4-point regression are
+    all bounded by |days| x |scales| regardless of order volume."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_hurst_sql())
+
+
+QUERIES["hurst_exponent_revenue"] = hurst_exponent_revenue
+ORACLE["hurst_exponent_revenue"] = _hurst_sql()
+
+
+# --- price elasticity by brand --------------------------------------------------------
+#
+# Log-log demand regression per brand across ship-months:
+# elasticity = d ln(quantity) / d ln(unit price) via REGR_SLOPE — the
+# classic own-price elasticity estimate off observational panel data.
+
+_ELASTICITY_SQL = f"""
+    WITH bm AS (
+        SELECT p.p_brand,
+               CAST(date_trunc('month', l.l_shipdate) AS DATE) AS m,
+               sum(l.l_quantity) AS qty,
+               sum(l.l_extendedprice) / sum(l.l_quantity) AS unit_px
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand, CAST(date_trunc('month', l.l_shipdate) AS DATE)
+        HAVING sum(l.l_quantity) >= 50
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_months,
+           {R("regr_slope(ln(qty), ln(unit_px))", 4)} AS elasticity,
+           {R("regr_r2(ln(qty), ln(unit_px))", 4)} AS fit_r2,
+           {R("avg(unit_px)", 2)} AS mean_unit_price
+    FROM bm
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+
+def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price elasticity per brand: REGR_SLOPE of ln(monthly quantity)
+    on ln(monthly volume-weighted unit price), with fit quality.
+
+    Scale shape: one join + grouped agg to the (brand, month) panel, then
+    single-pass regression aggregates per brand — no windows."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_ELASTICITY_SQL)
+
+
+QUERIES["price_elasticity_by_brand"] = price_elasticity_by_brand
+ORACLE["price_elasticity_by_brand"] = _ELASTICITY_SQL

@@ -702,6 +702,55 @@ def test_quantile_normalization_removes_batch_effect(spark):
     assert after.min() > 0
 
 
+def test_hurst_matches_numpy_rs(spark, ddb):
+    from database_toolbox_spark.operators.finance import HURST_SIZES
+
+    rev = _daily_revenue(ddb)
+    xs, ys = [], []
+    total_blocks = 0
+    for m in HURST_SIZES:
+        rss = []
+        for b in range(len(rev) // m):
+            blk = rev[b * m : (b + 1) * m]
+            cdev = np.cumsum(blk - blk.mean())
+            s = blk.std()  # population
+            if s > 0:
+                rss.append((cdev.max() - cdev.min()) / s)
+        if rss:
+            xs.append(np.log(m))
+            ys.append(np.log(np.mean(rss)))
+            total_blocks += len(rss)
+    slope = np.polyfit(xs, ys, 1)[0]
+    row = Q["hurst_exponent_revenue"](spark, SF_DIR).collect()[0]
+    assert row.n_scales == len(xs)
+    assert row.n_blocks_total == total_blocks
+    assert abs(row.hurst_exponent - slope) < 5e-3, (row.hurst_exponent, slope)
+    assert 0 < row.hurst_exponent < 1
+
+
+def test_price_elasticity_anchor_numpy(spark, ddb):
+    panel = ddb.execute(
+        "SELECT p.p_brand, date_trunc('month', l.l_shipdate), "
+        "sum(l.l_quantity) AS q, sum(l.l_extendedprice)/sum(l.l_quantity) "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "GROUP BY 1, 2 HAVING sum(l.l_quantity) >= 50"
+    ).fetchall()
+    rows = {r.p_brand: r for r in Q["price_elasticity_by_brand"](spark, SF_DIR).collect()}
+    from collections import defaultdict
+
+    by_brand = defaultdict(list)
+    for b, m, q, px in panel:
+        by_brand[b].append((np.log(float(px)), np.log(float(q))))
+    for b, pts in by_brand.items():
+        r = rows[b]
+        assert r.n_months == len(pts)
+        if len(pts) >= 2:
+            x = np.array([p[0] for p in pts])
+            y = np.array([p[1] for p in pts])
+            slope = np.polyfit(x, y, 1)[0]
+            assert abs(r.elasticity - slope) < max(5e-3, abs(slope) * 1e-3), b
+
+
 def test_round6_registry_parity(spark, ddb):
     """Each round-6 op passes the lenient comparator at test SF (the strict
     pandas-path parity runs in the driver sweep)."""
@@ -739,5 +788,7 @@ def test_round6_registry_parity(spark, ddb):
         "ab_experiment_health",
         "capture_recapture_estimate",
         "quantile_normalization_by_source",
+        "hurst_exponent_revenue",
+        "price_elasticity_by_brand",
     ]:
         compare_with_oracle(spark, ddb, Q[name], oracles[name])
