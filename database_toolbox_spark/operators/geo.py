@@ -159,7 +159,8 @@ def _pairs_sql(spark_side: bool, offsets: str) -> str:
             FROM pts
         ),
         probes AS (
-            SELECT c.*, c.cl + o.di AS pl, c.cn + o.dj AS pj
+            SELECT c.*, c.cl + o.di AS pl,
+                   ((c.cn + o.dj + 108) % 72) - 36 AS pj
             FROM cells c CROSS JOIN ({offsets}) o
         ),
         hits AS (
@@ -202,8 +203,9 @@ def geo_grid_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the join key is the cell id — candidates are bounded by
     9x the local cell population, never all-pairs; the 5-degree cell is
-    provably wider than the radius at every latitude in range, so the
-    neighborhood probe is exhaustive. This is the standard distributed
+    provably wider than the radius at every latitude in range, and the
+    longitude probe wraps mod 72 at the antimeridian (cells -36 and 35 are
+    adjacent), so the neighborhood probe is exhaustive. This is the standard distributed
     spatial-join plan (bin-then-verify)."""
     load_tables(spark, sf_dir)
     return spark.sql(_pairs_sql(True, _SPARK_OFFSETS))
