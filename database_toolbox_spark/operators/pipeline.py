@@ -1255,7 +1255,7 @@ SPAN_STRIDE = 3
 SPAN_RATE_MOD = 5
 
 
-def _span_sql(h_block: str, idiv: str, ntok: str) -> str:
+def _span_sql(h_block: str, ntok: str) -> str:
     return f"""
         WITH d AS (
             SELECT doc_id, source, {ntok} AS n_toks FROM documents
@@ -1320,7 +1320,6 @@ def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_span_sql(
         "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',"
         " CAST(blk AS STRING))), 1, 4), 16, 10) AS INT)",
-        "DIV",
         "size(split(text, ' '))",
     ).format(blk_gen=_SPAN_SPARK_BLK))
 
@@ -1329,6 +1328,5 @@ QUERIES["span_corruption_stats"] = span_corruption_stats
 ORACLE["span_corruption_stats"] = _span_sql(
     "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',"
     " CAST(blk AS VARCHAR))), 1, 4)) AS INTEGER)",
-    "//",
     "CAST(len(string_split(text, ' ')) AS INT)",
 ).format(blk_gen=_SPAN_DUCK_BLK)

@@ -173,15 +173,20 @@ ORACLE = {
 # spellings (host case, utm_* tracking params, trailing slash, fragments);
 # canonicalization must collapse them before content fetch/dedup. Five
 # docs share each logical page (doc_id DIV 5) and each doc's URL carries a
-# deterministic doc_id%4 noise variant, so the expected 5:1 collapse is a
-# testable invariant. Normalization is pure regexp (shared semantics in
-# both dialects): lowercase, strip fragment, strip utm_* params, collapse
+# deterministic doc_id%4 noise variant, so every group of 5 docs collapses
+# to ONE canonical URL — but only if the utm strip is replace-ALL: the
+# variant-3 URL carries TWO utm params ('?utm_campaign=x&utm_medium=y'),
+# so a first-match-only regexp_replace leaves '&utm_medium=y' behind and
+# breaks the collapse. Spark's regexp_replace is always replace-all;
+# DuckDB's is first-match-only unless given the 'g' flag — hence the
+# per-dialect `flags` argument below ('' for Spark, ", 'g'" for DuckDB).
+# Normalization: lowercase, strip fragment, strip utm_* params, collapse
 # a dangling '?'/'&', strip one trailing slash.
 
 from database_toolbox_spark.operators._oracle import R as _R  # noqa: E402
 
 
-def _url_dedup_sql(idiv: str) -> str:
+def _url_dedup_sql(idiv: str, flags: str = "") -> str:
     return f"""
         WITH raw AS (
             SELECT doc_id, source,
@@ -204,10 +209,10 @@ def _url_dedup_sql(idiv: str) -> str:
                    regexp_replace(
                        regexp_replace(
                            regexp_replace(
-                               regexp_replace(lower(url), '#.*$', ''),
-                               '[?&]utm_[a-z]+=[^&#]*', ''),
-                           '[?&]$', ''),
-                       '/$', '') AS curl
+                               regexp_replace(lower(url), '#.*$', ''{flags}),
+                               '[?&]utm_[a-z]+=[^&#]*', ''{flags}),
+                           '[?&]$', ''{flags}),
+                       '/$', ''{flags}) AS curl
             FROM raw
         )
         SELECT source,
@@ -236,4 +241,4 @@ def url_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["url_normalized_dedup"] = url_normalized_dedup
-ORACLE["url_normalized_dedup"] = _url_dedup_sql("doc_id // 5")
+ORACLE["url_normalized_dedup"] = _url_dedup_sql("doc_id // 5", ", 'g'")

@@ -3,8 +3,13 @@
 scoring, language-ID heuristic, document fingerprinting.
 
 All pure built-in SQL expressions (split/transform/filter/aggregate lambdas,
-md5, regexp_count) — JVM-codegen'd, no Python UDFs; each has an exact DuckDB
-oracle twin (list_transform/list_filter/regexp_extract_all).
+md5, regexp_count) — JVM-codegen'd, no Python UDFs — with one deliberate
+exception: `char_entropy_scores` uses a single Arrow-vectorized pandas UDF
+(numpy bincount per batch) because the per-character histogram is the one
+computation where every built-in spelling is either a shuffle (explode +
+re-group) or O(alphabet × bytes) interpreted-lambda work; see its docstring.
+Each operator has an exact DuckDB oracle twin
+(list_transform/list_filter/regexp_extract_all).
 
 Scale notes: every operator is a per-row projection + optional small
 aggregation — embarrassingly parallel, no shuffle except final group/sort.
@@ -1456,19 +1461,91 @@ def _char_entropy_sql(chars_src: str) -> str:
     """
 
 
+def _char_entropy_batch(texts):
+    """Vectorized per-document character histogram + Shannon entropy over
+    one Arrow batch. Codepoint stream = utf-32 view of the concatenated
+    batch; (doc << 21 | codepoint) keys (codepoints < 2^21) make ONE
+    np.unique call produce every per-doc character count; two bincounts
+    aggregate them back per doc. O(batch_bytes · log batch_bytes), all
+    numpy. The final floor(x·1e4 + 0.501)/1e4 is functions.canon_round —
+    the same grid the DuckDB oracle applies.
+
+    Defined module-level for direct unit testing; `char_entropy_scores`
+    ships it to executors via a closure wrapper so cloudpickle serializes
+    it BY VALUE (workers may not have the package importable)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    n = len(texts)
+    if n == 0:
+        return pd.DataFrame(
+            {"n_chars": [], "distinct_chars": [], "char_entropy_bits": []}
+        )
+    vals = texts.tolist()
+    lens = np.fromiter((len(s) for s in vals), np.int64, n)
+    cp = np.frombuffer(
+        "".join(vals).encode("utf-32-le"), np.uint32
+    ).astype(np.int64)
+    doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+    uk, cnt = np.unique((doc << 21) | cp, return_counts=True)
+    udoc = uk >> 21
+    # H = log2(N) - (1/N)·sum(n_i·log2(n_i)) == -sum(p_i·log2(p_i))
+    acc = np.bincount(udoc, weights=cnt * np.log2(cnt), minlength=n)
+    dc = np.bincount(udoc, minlength=n)
+    safe = np.maximum(lens, 1)
+    ent = np.where(lens > 0, np.log2(safe) - acc / safe, 0.0)
+    ent = np.floor(ent * 1e4 + 0.501) / 1e4
+    return pd.DataFrame(
+        {"n_chars": lens, "distinct_chars": dc, "char_entropy_bits": ent}
+    )
+
+
 def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc character-distribution Shannon entropy (see
-    _char_entropy_sql).
+    _char_entropy_sql for the metric's rationale; the DuckDB oracle keeps
+    that explode/GROUP BY spelling, so parity cross-checks this plan).
 
-    Scale shape: the char explode is linear in corpus bytes and stays on
-    the document's partition; both aggregates and the final join are
-    keyed by doc_id, so nothing ever crosses documents — embarrassingly
-    parallel at any corpus size."""
+    Scale shape: SHUFFLE-FREE and strictly O(corpus bytes) — one
+    Arrow-vectorized pandas UDF computes each document's histogram and
+    entropy inside its own row (numpy bincount per batch,
+    `_char_entropy_batch`); the plan is scan → project(UDF) →
+    sort-for-display, embarrassingly parallel at any corpus size.
+    Round-8 rewrite: the previous spelling exploded one row per CHARACTER
+    and re-grouped by (doc_id, char) across a shuffle — measured 15.27x
+    at 10x rows (SCALING.md r6). Built-in alternatives were measured
+    before choosing the UDF: per-distinct-char `replace` folds are
+    O(alphabet × bytes) (16.5x at 10x — the synthetic corpus grows both
+    factors) and a sorted run-length `aggregate` fold is interpreted
+    per-char (9.5 s at ~sf1 vs 3.0 s for this UDF). Measured here:
+    4.97x time at 13.3x corpus bytes (sub-linear; asserted by
+    scripts/scaling_sf1.py mode entlin)."""
+    from pyspark import cloudpickle  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    import database_toolbox_spark.operators.text as _self  # noqa: PLC0415
+
+    # workers may not have the repo on sys.path — ship the batch fn by value
+    cloudpickle.register_pickle_by_value(_self)
+    ent = F.pandas_udf(
+        _char_entropy_batch,
+        T.StructType(
+            [
+                T.StructField("n_chars", T.LongType()),
+                T.StructField("distinct_chars", T.LongType()),
+                T.StructField("char_entropy_bits", T.DoubleType()),
+            ]
+        ),
+    )
     load_tables(spark, sf_dir)
-    return spark.sql(_char_entropy_sql(
-        "SELECT doc_id, substring(text, t.i, 1) AS c FROM documents "
-        "LATERAL VIEW explode(sequence(1, length(text))) t AS i"
-    ))
+    return (
+        spark.table("documents")
+        .where(F.length("text") > 0)
+        .select("doc_id", ent("text").alias("s"))
+        .select("doc_id", "s.n_chars", "s.distinct_chars",
+                "s.char_entropy_bits")
+        .orderBy("doc_id")
+    )
 
 
 QUERIES["char_entropy_scores"] = char_entropy_scores

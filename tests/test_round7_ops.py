@@ -7,15 +7,7 @@ from __future__ import annotations
 import os
 import sys
 
-import numpy as np
-import pytest
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from database_toolbox_spark.operators import all_oracles, all_queries
-from tests.conftest import SF_DIR, compare_with_oracle
-
-Q = all_queries()
 
 
 # ---------------------------------------------------------------- geo wrap
@@ -71,10 +63,12 @@ def test_geo_grid_join_wraps_antimeridian(spark):
         spark.catalog.dropTempView("customer")
 
 
-def test_geo_grid_wrap_oracle_parity(spark, ddb):
+def test_geo_grid_wrap_oracle_parity(spark):
     """Spark and DuckDB spellings of the wrapped probe agree on the
     straddling fixture (both use (cn+dj+108)%72-36; dividend is always
-    positive so engine modulo-sign rules cannot diverge)."""
+    positive so engine modulo-sign rules cannot diverge). Opens a PRIVATE
+    duckdb connection (not the session ddb fixture) because the test
+    shadows the customer view."""
     import duckdb
 
     from database_toolbox_spark.operators.geo import (

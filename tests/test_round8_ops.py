@@ -1,0 +1,117 @@
+"""Round-8 tests: the char_entropy_scores shuffle-free rewrite (plan shape +
+external numpy/Counter anchor) and the url_normalized_dedup DuckDB 'g'-flag
+fix (a fixture where a collapse group CONTAINS a variant-3 two-utm URL, the
+case the first-match-only oracle used to canonicalize differently)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import SF_DIR
+
+
+# ------------------------------------------------- char entropy rewrite
+
+
+def test_char_entropy_plan_is_shuffle_free(spark):
+    """The round-8 rewrite's whole point: no hash-partitioned exchange
+    anywhere (the old spelling shuffled an exploded per-char stream);
+    the only exchange is the display-sort rangepartitioning, and the
+    text-nonnull filter reaches the parquet scan."""
+    from database_toolbox_spark.operators.text import char_entropy_scores
+
+    plan = (
+        char_entropy_scores(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning" not in plan, plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+    assert "PushedFilters: [IsNotNull(text)]" in plan, plan
+
+
+def test_char_entropy_batch_matches_counter():
+    """External anchor for the vectorized batch kernel: collections.Counter
+    entropy per doc, including non-ASCII (the utf-32 codepoint view) and a
+    supplementary-plane char, an empty batch, and a 1-char doc."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from database_toolbox_spark.operators.text import _char_entropy_batch
+
+    docs = [
+        "hello world",
+        "aaaa",
+        "z",
+        "naïve café — ünïcödé",
+        "mixed \U0001f600 emoji \U0001f600\U0001f600 text",
+        "abcdefghij" * 50,
+    ]
+    out = _char_entropy_batch(pd.Series(docs))
+    assert list(out.columns) == [
+        "n_chars", "distinct_chars", "char_entropy_bits",
+    ]
+    for i, s in enumerate(docs):
+        c = Counter(s)
+        n = len(s)
+        ent = -sum(v / n * math.log2(v / n) for v in c.values())
+        ent = math.floor(ent * 1e4 + 0.501) / 1e4
+        assert out["n_chars"][i] == n
+        assert out["distinct_chars"][i] == len(c)
+        assert out["char_entropy_bits"][i] == ent, (s, ent)
+
+    empty = _char_entropy_batch(pd.Series([], dtype=object))
+    assert len(empty) == 0
+
+
+# ------------------------------------------------- url dedup 'g' flag
+
+
+def test_url_dedup_variant3_group_parity(spark):
+    """A collapse group (doc_id DIV 5 == 3: ids 15..19) that CONTAINS a
+    variant-3 URL (15 % 4 == 3 carries '?utm_campaign=x&utm_medium=y').
+    Before round 8 the DuckDB oracle's first-match-only regexp_replace
+    left '&utm_medium=y' on that URL, so the group collapsed 5:2 there
+    but 5:1 in Spark — latent because no sf fixture group contained a
+    variant-3. Assert both engines now agree AND the collapse really is
+    5:1 (n_canonical == 1)."""
+    import duckdb
+
+    from database_toolbox_spark.operators.semistructured import (
+        _url_dedup_sql,
+    )
+
+    fixture = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, 'websrc', 'en', 100)" for i in range(15, 20)
+        )
+        + ") t(doc_id, source, lang, n_chars)"
+    )
+    spark.sql(fixture).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS {fixture}")
+    try:
+        s_rows = sorted(
+            tuple(r)
+            for r in spark.sql(_url_dedup_sql("doc_id DIV 5")).collect()
+        )
+        d_rows = sorted(
+            tuple(r)
+            for r in con.execute(
+                _url_dedup_sql("doc_id // 5", ", 'g'")
+            ).fetchall()
+        )
+        assert s_rows == d_rows, (s_rows, d_rows)
+        assert len(s_rows) == 1
+        src, n_urls, n_raw, n_canon, dup_rate = s_rows[0]
+        assert (n_urls, n_canon) == (5, 1), s_rows[0]
+    finally:
+        spark.catalog.dropTempView("documents")
+        con.close()
