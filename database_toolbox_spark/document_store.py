@@ -1,0 +1,335 @@
+"""Firestore-style document-collection surface over Spark tables.
+
+The reference ships Firestore as a first-class prebuilt image
+(`images/firestore/Dockerfile`, `images/firestore/entrypoint.sh:51`
+`--prebuilt firestore`, `README.md:149` "Serverless document database …
+Document") whose toolset is document-oriented — list collections, fetch
+documents by path, query a collection with field filters — not SQL. This
+module is that surface re-expressed Spark-first: every registered table is a
+collection, every row is a document whose path is
+`<collection>/<primary-key>`, and the document body is the row itself.
+
+Design decisions (Spark-native, not a Firestore emulation):
+
+- A query returns the documents as TYPED COLUMNS plus a `doc_path` column,
+  not JSON blobs — keeping fields as columns is what lets Catalyst prune
+  columns and push filters to the parquet scan. `get_documents` (a pointed
+  lookup) additionally renders the full document as a JSON `data` column,
+  matching the document-fetch shape clients expect.
+- Filters are structured {field, op, value} triples, validated against the
+  table schema and bound as typed literals — never string-spliced into SQL,
+  so a hostile field/value cannot inject statements (the same posture as the
+  reference's parameterized YAML tools).
+- Writes (`add_documents` / `update_document` / `delete_documents` upstream)
+  are deny-by-default through the same `StatementDenied` surface as the SQL
+  gate — this engine's sinks policy is explicit-export-only.
+
+Scale shape: `query_collection` compiles to scan → pushed filters →
+optional sort → limit (TakeOrderedAndProject when both present);
+`get_documents` compiles each collection's id list to an IN predicate on the
+key column (parquet row-group pruning applies); `list_collections` reads
+catalog metadata only. Nothing collects row data to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_toolbox_spark.gate import StatementDenied
+
+# collection → document-id column(s). Composite keys join with '-' in the
+# document path (Firestore ids are opaque strings, so 'l_orderkey-l_linenumber'
+# is a faithful id shape for the one composite-key table).
+COLLECTION_IDS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+# Firestore structured-query operators (upstream firestore-query-collection
+# filter ops), mapped to the Column method that implements each.
+_FILTER_OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "not-in")
+
+
+def _registered(spark: SparkSession, name: str) -> bool:
+    return spark.catalog.tableExists(name)
+
+
+def _path_col(collection: str, id_cols: tuple[str, ...]):
+    parts: list = [F.lit(f"{collection}/")]
+    for i, c in enumerate(id_cols):
+        if i:
+            parts.append(F.lit("-"))
+        parts.append(F.col(c).cast("string"))
+    return F.concat(*parts).alias("doc_path")
+
+
+def list_collections(spark: SparkSession, parent_path: str = "") -> DataFrame:
+    """Upstream `firestore-list-collections`: collection ids visible to the
+    session (declared collections whose backing view is registered),
+    with each one's document-id field(s). `parent_path` keeps the upstream
+    signature; this engine's collections are all root-level, so any
+    non-empty parent yields an empty listing. Catalog metadata only —
+    no data files are read."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    rows = [
+        (name, "-".join(ids))
+        for name, ids in sorted(COLLECTION_IDS.items())
+        if not parent_path and _registered(spark, name)
+    ]
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("collection_id", T.StringType(), False),
+                T.StructField("id_field", T.StringType(), False),
+            ]
+        ),
+    )
+
+
+def _typed_id(spark: SparkSession, collection: str, raw: str) -> list[Any]:
+    """Parse a path id segment into typed key values (ints for integer key
+    columns) so the IN predicate stays pushdown-eligible — comparing a cast
+    column to strings would block parquet filter pushdown."""
+    id_cols = COLLECTION_IDS[collection]
+    parts = raw.split("-", len(id_cols) - 1)
+    if len(parts) != len(id_cols):
+        raise ValueError(
+            f"document id {raw!r} does not match key shape "
+            f"{'-'.join(id_cols)} of collection {collection!r}"
+        )
+    schema = {f.name: f.dataType.simpleString()
+              for f in spark.table(collection).schema.fields}
+    out: list[Any] = []
+    for col, part in zip(id_cols, parts):
+        if schema[col] in ("bigint", "int", "smallint", "tinyint"):
+            out.append(int(part))
+        else:
+            out.append(part)
+    return out
+
+
+def get_documents(spark: SparkSession, document_paths: str) -> DataFrame:
+    """Upstream `firestore-get-documents`: fetch documents by path.
+
+    `document_paths` is a JSON array (or CSV) of `<collection>/<id>` paths.
+    Returns one row per REQUESTED path in request order: (doc_path, found,
+    data) with `data` the full document as JSON for found paths, NULL for
+    missing ones (Firestore's missing-document marker). Unknown collections
+    and malformed ids report found=false rather than erroring — a fetch of
+    a nonexistent path is a lookup miss, not a caller bug.
+
+    Scale shape: ids group by collection into typed IN predicates on the
+    key column(s) — pushed to the parquet scan (row-group pruning) — and
+    the per-collection matches union; the request list itself is a tiny
+    broadcast-joined relation, never a driver-side loop over lookups."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    try:
+        paths = json.loads(document_paths)
+        if not isinstance(paths, list):
+            raise ValueError
+        paths = [str(p) for p in paths]
+    except (json.JSONDecodeError, ValueError):
+        paths = [p.strip() for p in document_paths.split(",") if p.strip()]
+    if not paths:
+        raise ValueError("document_paths is empty")
+
+    by_coll: dict[str, list[list[Any]]] = {}
+    for p in paths:
+        coll, _, raw = p.partition("/")
+        if coll in COLLECTION_IDS and raw and _registered(spark, coll):
+            try:
+                by_coll.setdefault(coll, []).append(
+                    _typed_id(spark, coll, raw)
+                )
+            except ValueError:
+                pass  # malformed id → lookup miss
+
+    found: DataFrame | None = None
+    for coll, keys in by_coll.items():
+        id_cols = COLLECTION_IDS[coll]
+        df = spark.table(coll)
+        if len(id_cols) == 1:
+            pred = F.col(id_cols[0]).isin([k[0] for k in keys])
+        else:
+            pred = F.lit(False)
+            for key in keys:
+                conj = F.lit(True)
+                for c, v in zip(id_cols, key):
+                    conj = conj & (F.col(c) == F.lit(v))
+                pred = pred | conj
+        # a path denotes AT MOST ONE document: if the declared key is
+        # non-unique in the backing table (the fixture's lineitem has
+        # up-to-5x duplicate (l_orderkey, l_linenumber)), collapse to the
+        # lexicographically-least JSON rendering — deterministic on any
+        # partitioning
+        part = (
+            df.where(pred)
+            .select(
+                _path_col(coll, id_cols),
+                F.to_json(F.struct(*df.columns)).alias("data"),
+            )
+            .groupBy("doc_path")
+            .agg(F.min("data").alias("data"))
+        )
+        found = part if found is None else found.unionByName(part)
+
+    req = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(paths)],
+        T.StructType(
+            [
+                T.StructField("req_order", T.IntegerType(), False),
+                T.StructField("doc_path", T.StringType(), False),
+            ]
+        ),
+    )
+    if found is None:
+        out = req.withColumn("data", F.lit(None).cast("string"))
+    else:
+        out = req.join(found, "doc_path", "left")
+    return (
+        out.withColumn("found", F.col("data").isNotNull())
+        .orderBy("req_order")
+        .select("doc_path", "found", "data")
+    )
+
+
+def query_collection(
+    spark: SparkSession,
+    collection: str,
+    filters: str = "",
+    order_by: str = "",
+    direction: str = "ASCENDING",
+    limit: str = "",
+) -> DataFrame:
+    """Upstream `firestore-query-collection`: filtered, ordered, limited
+    read of one collection. `filters` is a JSON array of
+    {"field": ..., "op": ..., "value": ...} triples (ANDed; ops
+    ==, !=, <, <=, >, >=, in, not-in — the upstream structured-query set);
+    `order_by`/`direction` (ASCENDING|DESCENDING) and `limit` are optional.
+
+    Fields are validated against the collection schema and values bind as
+    typed literals (string values targeting timestamp/date columns are
+    cast), so no caller input reaches SQL text. Returns `doc_path` plus the
+    document fields as typed columns — the Spark-first document shape that
+    keeps column pruning and predicate pushdown intact."""
+    if collection not in COLLECTION_IDS:
+        raise ValueError(
+            f"unknown collection {collection!r}; collections: "
+            f"{sorted(COLLECTION_IDS)}"
+        )
+    if not _registered(spark, collection):
+        raise ValueError(f"collection {collection!r} is not registered")
+    df = spark.table(collection)
+    types = {f.name: f.dataType for f in df.schema.fields}
+
+    def typed_lit(field: str, value: Any):
+        t = types[field].simpleString()
+        if isinstance(value, str) and t in ("timestamp", "timestamp_ntz",
+                                            "date"):
+            return F.lit(value).cast(types[field])
+        return F.lit(value)
+
+    if filters:
+        spec = json.loads(filters)
+        if not isinstance(spec, list):
+            spec = [spec]
+        for f in spec:
+            field, op, value = f["field"], f["op"], f["value"]
+            if field not in types:
+                raise ValueError(
+                    f"unknown field {field!r} in collection {collection!r}"
+                )
+            if op not in _FILTER_OPS:
+                raise ValueError(
+                    f"unknown filter op {op!r}; supported: {_FILTER_OPS}"
+                )
+            c = F.col(field)
+            if op == "in" or op == "not-in":
+                if not isinstance(value, list):
+                    raise ValueError(f"op {op!r} needs a list value")
+                pred = c.isin([v for v in value])
+                df = df.where(~pred if op == "not-in" else pred)
+            else:
+                v = typed_lit(field, value)
+                pred = {
+                    "==": c == v, "!=": c != v, "<": c < v,
+                    "<=": c <= v, ">": c > v, ">=": c >= v,
+                }[op]
+                df = df.where(pred)
+
+    cols = [c for c in df.columns]
+    out = df.select(_path_col(collection, COLLECTION_IDS[collection]), *cols)
+    if order_by:
+        if order_by not in types:
+            raise ValueError(
+                f"unknown order_by field {order_by!r} in {collection!r}"
+            )
+        if direction not in ("ASCENDING", "DESCENDING"):
+            raise ValueError(
+                "direction must be ASCENDING or DESCENDING, got "
+                f"{direction!r}"
+            )
+        key = F.col(order_by)
+        out = out.orderBy(
+            key.desc() if direction == "DESCENDING" else key.asc()
+        )
+    if limit:
+        out = out.limit(int(limit))
+    return out
+
+
+def get_rules(spark: SparkSession) -> DataFrame:
+    """Upstream `firestore-get-rules` analog: the engine's access-policy
+    source. Firestore's security rules decide which reads/writes pass; this
+    engine's equivalent is the statement-class gate, so the tool returns
+    the live ALLOWED/DENIED class tables (the policy callers are subject
+    to through execute_sql and the write-tool denials)."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    from database_toolbox_spark import gate  # noqa: PLC0415
+
+    rows = [("allow", c) for c in sorted(gate.ALLOWED_CLASSES)] + [
+        ("deny", c) for c in sorted(gate.DENIED_CLASSES)
+    ]
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("effect", T.StringType(), False),
+                T.StructField("statement_class", T.StringType(), False),
+            ]
+        ),
+    )
+
+
+def denied_write_tool(name: str):
+    """Factory for the upstream write tools (`firestore-add-documents`,
+    `firestore-update-document`, `firestore-delete-documents`): registered
+    so the toolset surface is complete, deny-by-default through the same
+    exception type as the SQL gate (sinks are explicit-export-only in this
+    engine; the server surfaces this as result.isError exactly like a
+    denied statement)."""
+
+    def fn(spark: SparkSession, **kwargs: Any) -> DataFrame:
+        # classify as the SQL gate would: a document write is an Insert/
+        # Update/Delete on the backing table
+        cls = {"add_documents": "Insert", "update_document": "Update",
+               "delete_documents": "Delete"}.get(name, "Command")
+        raise StatementDenied(cls, f"tools/call {name}")
+
+    return fn

@@ -24,6 +24,7 @@ def _modules():
         clustering,
         curation,
         dedup,
+        docstore_ops,
         events,
         finance,
         fingerprints,
@@ -64,6 +65,7 @@ def _modules():
         clustering,
         curation,
         dedup,
+        docstore_ops,
         events,
         finance,
         fingerprints,

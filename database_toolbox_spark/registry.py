@@ -346,6 +346,106 @@ register(
 )
 
 
+# --- Firestore-style document-collection toolset -----------------------------
+# The reference's `--prebuilt firestore` image (images/firestore/entrypoint.sh
+# :51, README.md:149) exposes a document-oriented toolset; these are those
+# tools over the collection view in document_store.py (tables as collections,
+# rows as documents at `<collection>/<key>`).
+
+def _docstore(fn_name: str):
+    from database_toolbox_spark import document_store as _ds  # noqa: PLC0415
+
+    return getattr(_ds, fn_name)
+
+
+register(
+    ToolSpec(
+        name="list_collections",
+        description=(
+            "Firestore toolset: list document collections (registered "
+            "tables) and their document-id fields. parent_path kept for "
+            "upstream signature parity; collections are root-level."
+        ),
+        fn=lambda spark, parent_path="": _docstore("list_collections")(
+            spark, parent_path
+        ),
+        parameters=(ToolParam("parent_path", "string", "parent document path"),),
+    )
+)
+
+register(
+    ToolSpec(
+        name="get_documents",
+        description=(
+            "Firestore toolset: fetch documents by path "
+            "('<collection>/<id>', JSON array or CSV). One row per "
+            "requested path in request order: (doc_path, found, data-JSON); "
+            "missing paths report found=false."
+        ),
+        fn=lambda spark, document_paths: _docstore("get_documents")(
+            spark, document_paths
+        ),
+        parameters=(
+            ToolParam(
+                "document_paths", "string",
+                "JSON array or CSV of document paths", required=True,
+            ),
+        ),
+    )
+)
+
+register(
+    ToolSpec(
+        name="query_collection",
+        description=(
+            "Firestore toolset: query one collection with structured "
+            'filters (JSON array of {"field","op","value"}; ops ==, !=, '
+            "<, <=, >, >=, in, not-in), optional order_by + direction "
+            "(ASCENDING|DESCENDING) and limit. Returns doc_path plus the "
+            "document fields as typed columns."
+        ),
+        fn=lambda spark, collection, filters="", order_by="",
+        direction="ASCENDING", limit="": _docstore("query_collection")(
+            spark, collection, filters, order_by, direction, limit
+        ),
+        parameters=(
+            ToolParam("collection", "string", "collection id", required=True),
+            ToolParam("filters", "string", "JSON array of filter triples"),
+            ToolParam("order_by", "string", "field to order by"),
+            ToolParam("direction", "string", "ASCENDING or DESCENDING"),
+            ToolParam("limit", "string", "row limit"),
+        ),
+    )
+)
+
+register(
+    ToolSpec(
+        name="get_rules",
+        description=(
+            "Firestore toolset: the deployment's access-policy source — "
+            "the live allow/deny statement-class tables of the SQL gate "
+            "(this engine's security-rules analog)."
+        ),
+        fn=lambda spark: _docstore("get_rules")(spark),
+    )
+)
+
+for _wname in ("add_documents", "update_document", "delete_documents"):
+    register(
+        ToolSpec(
+            name=_wname,
+            description=(
+                "Firestore toolset (write): deny-by-default — this "
+                "deployment's document tools are read-only; sinks are "
+                "explicit writer APIs, never tools."
+            ),
+            fn=(lambda name: (lambda spark, **kw: _docstore(
+                "denied_write_tool"
+            )(name)(spark, **kw)))(_wname),
+        )
+    )
+
+
 # --- external-source registration (the reference's "source" concept) --------
 
 @dataclass(frozen=True)

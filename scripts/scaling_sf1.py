@@ -305,6 +305,20 @@ MIX10 = {
     },
 }
 
+# Time-ratio bounds asserted ON TOP of each mode (round 8): these queries'
+# OUTPUT is fixed-size (top-20 phrases / one stats row), so row counts carry
+# no growth signal — but their WORK unit (tokens for dsir/rake, projected
+# edges for assortativity) grows exactly 10x under the replicas, so wall
+# time must stay within the linear envelope. Bounds = measured ratio
+# (5.57 / 5.25 / 3.04 in round 6 — all fixed-cost-amortized sub-linear)
+# plus ~2x idle-jitter headroom; a super-linear regression (like the old
+# char-entropy 15.27x) blows straight past them.
+TIME_LINEAR = {
+    "dsir_importance_weights": 10.0,
+    "rake_keyword_scores": 10.0,
+    "graph_degree_assortativity": 8.0,
+}
+
 # modes whose assertion compares full collected results, not counts
 _COLLECT_MODES = {"kcore10", "ohlc10", "budget10lin", "conc10",
                   "scdx10", "basket10", "wmed10", "did10", "mix10"}

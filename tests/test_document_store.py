@@ -1,0 +1,168 @@
+"""Firestore-style document toolset: MCP server round-trips (the reference's
+test shape, tests/postgres/test_mcp.py) + semantic checks for path lookup,
+structured filters, and the read-only write-tool policy."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from database_toolbox_spark.server import handle_request
+from database_toolbox_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark):
+    load_tables(spark, SF_DIR)
+
+
+def _call_tool(spark, name, arguments=None):
+    return handle_request(
+        spark,
+        {
+            "jsonrpc": "2.0",
+            "id": 1,
+            "method": "tools/call",
+            "params": {"name": name, "arguments": arguments or {}},
+        },
+    )["result"]
+
+
+def test_tools_list_has_document_toolset(spark):
+    resp = handle_request(
+        spark, {"jsonrpc": "2.0", "id": 1, "method": "tools/list", "params": {}}
+    )
+    names = {t["name"] for t in resp["result"]["tools"]}
+    assert {
+        "list_collections", "get_documents", "query_collection",
+        "get_rules", "add_documents", "update_document", "delete_documents",
+    } <= names
+
+
+def test_list_collections_roundtrip(spark):
+    result = _call_tool(spark, "list_collections")
+    assert result["isError"] is False
+    rows = [json.loads(c["text"]) for c in result["content"]]
+    ids = {r["collection_id"] for r in rows}
+    assert {"orders", "documents", "lineitem", "embeddings"} <= ids
+    li = next(r for r in rows if r["collection_id"] == "lineitem")
+    assert li["id_field"] == "l_orderkey-l_linenumber"
+    # non-empty parent path: all collections are root-level
+    empty = _call_tool(spark, "list_collections", {"parent_path": "orders/1"})
+    assert all("collection_id" not in c.get("text", "{}")
+               or not json.loads(c["text"])
+               for c in empty["content"]) or empty["content"] == []
+
+
+def test_get_documents_roundtrip_and_payload(spark):
+    first_key = spark.table("orders").selectExpr(
+        "min(o_orderkey) AS k"
+    ).collect()[0].k
+    result = _call_tool(
+        spark,
+        "get_documents",
+        {"document_paths": json.dumps(
+            [f"orders/{first_key}", "orders/999999999", "nosuch/1"]
+        )},
+    )
+    assert result["isError"] is False
+    rows = [json.loads(c["text"]) for c in result["content"]]
+    # request order preserved
+    assert [r["doc_path"] for r in rows] == [
+        f"orders/{first_key}", "orders/999999999", "nosuch/1"
+    ]
+    assert [r["found"] for r in rows] == [True, False, False]
+    doc = json.loads(rows[0]["data"])
+    assert doc["o_orderkey"] == first_key and "o_totalprice" in doc
+    assert rows[1].get("data") is None  # NULL data (serializer may omit)
+
+
+def test_query_collection_filters_order_limit(spark):
+    result = _call_tool(
+        spark,
+        "query_collection",
+        {
+            "collection": "orders",
+            "filters": json.dumps(
+                [
+                    {"field": "o_orderstatus", "op": "in",
+                     "value": ["F", "P"]},
+                    {"field": "o_totalprice", "op": ">=", "value": 1000},
+                ]
+            ),
+            "order_by": "o_totalprice",
+            "direction": "DESCENDING",
+            "limit": "5",
+        },
+    )
+    assert result["isError"] is False
+    rows = [json.loads(c["text"]) for c in result["content"]]
+    assert 0 < len(rows) <= 5
+    prices = [r["o_totalprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
+    assert all(r["o_orderstatus"] in ("F", "P") for r in rows)
+    assert all(r["doc_path"].startswith("orders/") for r in rows)
+
+
+def test_query_collection_rejects_bad_input(spark):
+    from database_toolbox_spark.document_store import query_collection
+
+    with pytest.raises(ValueError, match="unknown collection"):
+        query_collection(spark, "users; DROP TABLE orders")
+    with pytest.raises(ValueError, match="unknown field"):
+        query_collection(
+            spark, "orders",
+            json.dumps([{"field": "1=1 OR o_custkey", "op": "==",
+                         "value": 1}]),
+        )
+    with pytest.raises(ValueError, match="unknown filter op"):
+        query_collection(
+            spark, "orders",
+            json.dumps([{"field": "o_custkey", "op": "LIKE", "value": 1}]),
+        )
+    with pytest.raises(ValueError, match="direction"):
+        query_collection(spark, "orders", order_by="o_custkey",
+                         direction="sideways")
+
+
+def test_write_tools_denied_as_error_result(spark):
+    for name, args in (
+        ("add_documents", {"collection": "orders"}),
+        ("update_document", {"document_path": "orders/1"}),
+        ("delete_documents", {"document_paths": "orders/1"}),
+    ):
+        result = _call_tool(spark, name, args)
+        assert result["isError"] is True
+        assert "not permitted" in result["content"][0]["text"]
+
+
+def test_get_rules_reflects_gate(spark):
+    from database_toolbox_spark import gate
+
+    result = _call_tool(spark, "get_rules")
+    assert result["isError"] is False
+    rows = [json.loads(c["text"]) for c in result["content"]]
+    allow = {r["statement_class"] for r in rows if r["effect"] == "allow"}
+    deny = {r["statement_class"] for r in rows if r["effect"] == "deny"}
+    assert allow == set(gate.ALLOWED_CLASSES)
+    assert deny == set(gate.DENIED_CLASSES)
+
+
+def test_composite_and_malformed_ids(spark):
+    from database_toolbox_spark.document_store import get_documents
+
+    li = spark.table("lineitem").selectExpr(
+        "l_orderkey", "l_linenumber"
+    ).limit(1).collect()[0]
+    rows = get_documents(
+        spark,
+        json.dumps([f"lineitem/{li.l_orderkey}-{li.l_linenumber}",
+                    "lineitem/justonepart"]),
+    ).collect()
+    assert rows[0].found is True
+    body = json.loads(rows[0].data)
+    assert body["l_orderkey"] == li.l_orderkey
+    assert body["l_linenumber"] == li.l_linenumber
+    assert rows[1].found is False
