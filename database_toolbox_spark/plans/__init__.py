@@ -53,6 +53,40 @@ class PlanFeatures:
         )
 
 
+# Node tokens whose COUNTS define a plan fingerprint: the load-bearing
+# physical choices (join strategies, shuffle kinds, top-k fusion, Python
+# stages) that must not drift silently. Counted on the 'simple' plan text —
+# stable across expression ids and partition counts.
+FINGERPRINT_TOKENS: tuple[str, ...] = (
+    "BroadcastHashJoin",
+    "BroadcastNestedLoopJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "CartesianProduct",
+    "Exchange hashpartitioning",
+    "Exchange rangepartitioning",
+    "Exchange SinglePartition",
+    "TakeOrderedAndProject",
+    "Window",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "BatchEvalPython",
+)
+
+
+def plan_fingerprint(df: DataFrame) -> dict[str, int]:
+    """Reduce a physical plan to {token: count} over FINGERPRINT_TOKENS
+    (zero-count tokens omitted). A silently lost broadcast, a new
+    SinglePartition exchange, or a Python stage sneaking into a codegen
+    path all change the fingerprint — scripts/dump_plans.py --fingerprints
+    commits the expected values and tests/test_plans.py diffs against them
+    (round-7 verdict item 7)."""
+    simple = explain_str(df, "simple")
+    return {t: c for t in FINGERPRINT_TOKENS
+            if (c := simple.count(t))}
+
+
 def scan_read_schema(df: DataFrame) -> str:
     """The ReadSchema of the first scan — what actually gets read off disk
     (column pruning check)."""

@@ -16,6 +16,12 @@ Usage:
     SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 python scripts/driver_check.py
     SPARK_GRAFT_SWEEP_OUT=SWEEP_r05.json python scripts/driver_check.py
         # full sweep, also writes the round artifact
+    python scripts/driver_check.py --hash-manifest [query ...]
+        # additionally (re)write ORACLE_MANIFEST.json: query -> canonical
+        # ORACLE result hash (+ row count) at sf0.01. Committed to git so
+        # comparator drift — an oracle SQL edit, a DuckDB version bump, a
+        # testdata regeneration — shows up as a reviewable diff instead of
+        # a silent re-baseline (round-7 verdict item 5).
 """
 
 from __future__ import annotations
@@ -46,7 +52,9 @@ def _canon(df):
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    write_manifest = "--hash-manifest" in args
+    only = {a for a in args if not a.startswith("--")}
     spark = get_spark(app_name="driver-check", cpus="8", shuffle_partitions="8")
     con = duckdb.connect()
     for t in TABLES:
@@ -74,6 +82,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     names = sorted(only or queries.keys())
     results, n_bad = {}, 0
+    oracle_hashes: dict[str, dict] = {}
     for name in names:
         if name not in queries:
             print(f"{name}: NO SUCH QUERY", flush=True)
@@ -94,6 +103,7 @@ def main() -> int:
             ddf = con.sql(oracle).df()
             s_hash, s_c = _canon(sdf)
             d_hash, d_c = _canon(ddf)
+            oracle_hashes[name] = {"oracle_hash": d_hash, "rows": len(ddf)}
             ok = (
                 len(sdf) == len(ddf)
                 and sorted(sdf.columns) == sorted(ddf.columns)
@@ -129,6 +139,8 @@ def main() -> int:
         key=lambda x: -x[1],
     )[:10]
     _update_sweep_ledger(results, set(queries), full_sweep=not only)
+    if write_manifest:
+        _update_manifest(oracle_hashes, set(queries), full_sweep=not only)
     summary = {"checked": len(names), "bad": n_bad, "slowest": slow}
     out_path = os.environ.get("SPARK_GRAFT_SWEEP_OUT")
     if out_path and not only:
@@ -171,6 +183,36 @@ def _update_sweep_ledger(results, registry_names, full_sweep):
     with open(LEDGER, "w") as f:
         json.dump(
             {"n_registry": len(registry_names), "queries": entries},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+        f.write("\n")
+
+
+MANIFEST = os.path.join(_REPO, "ORACLE_MANIFEST.json")
+
+
+def _update_manifest(oracle_hashes, registry_names, full_sweep):
+    """(Re)write ORACLE_MANIFEST.json: query -> canonical oracle-result hash
+    at the check sf. Spot runs merge, a full sweep rewrites and prunes (the
+    same semantics as the sweep ledger). The file is committed so any drift
+    in what the comparator checks against is a git diff, not a silent
+    re-baseline. Only meaningful at the driver's sf0.01 — other
+    SPARK_GRAFT_TEST_SF_DIR values would hash different data."""
+    entries: dict[str, dict] = {}
+    if not full_sweep:
+        try:
+            with open(MANIFEST) as f:
+                entries = json.load(f).get("queries", {})
+        except (OSError, ValueError):
+            pass
+    entries.update(oracle_hashes)
+    entries = {n: e for n, e in entries.items() if n in registry_names}
+    with open(MANIFEST, "w") as f:
+        json.dump(
+            {"sf_dir": SF_DIR, "n_queries": len(entries),
+             "queries": entries},
             f,
             indent=1,
             sort_keys=True,

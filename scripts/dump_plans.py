@@ -2,20 +2,47 @@
 """Regenerate PLANS.md: formatted physical plans of representative queries
 at sf0.1 — the artifact of the explain-and-iterate loop. Run from repo root:
     python scripts/dump_plans.py
+    python scripts/dump_plans.py --fingerprints
+        # instead (re)write PLAN_FINGERPRINTS.json: {query: {token: count}}
+        # for the top headline queries, generated under the TEST session
+        # config (local[8], shuffle=8, sf0.001) so tests/test_plans.py can
+        # diff the live plans against it — a silently lost broadcast or a
+        # new SinglePartition exchange fails the suite instead of surfacing
+        # as a bench mystery (round-7 verdict item 7).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from database_toolbox_spark.operators import all_queries
-from database_toolbox_spark.plans import explain_str
+from database_toolbox_spark.plans import explain_str, plan_fingerprint
 from database_toolbox_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The fingerprint-gated set: the 10 most expensive headline queries of the
+# round-7 idle bench (BENCH_DETAIL.json query_median_sec) — the ones whose
+# plan shape carries the most wall-clock — plus the flagship TPC-H trio.
+FINGERPRINT_QUERIES = (
+    "consistent_hash_reshard_audit",
+    "jaccard_prefix_filter_pairs",
+    "brier_decomposition",
+    "semdedup_drop_candidates",
+    "psi_price_drift",
+    "audio_spectrogram_profile",
+    "basket_association_rules",
+    "pq_ann_topk",
+    "cross_doc_span_coverage",
+    "containment_dup_pairs",
+    "pricing_summary",
+    "regional_revenue",
+    "top_revenue_orders",
+)
 
 SHOWCASE = {
     "pricing_summary": (
@@ -283,7 +310,37 @@ SHOWCASE = {
 }
 
 
+FINGERPRINT_FILE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "PLAN_FINGERPRINTS.json",
+)
+
+
+def write_fingerprints() -> None:
+    """(Re)write PLAN_FINGERPRINTS.json under the EXACT test-session config
+    (tests/conftest.py: local[8], shuffle=8, sf0.001) so the committed
+    values are what the suite reproduces."""
+    test_sf = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    spark = get_spark(app_name="dts-plans-fp", cpus="8",
+                      shuffle_partitions="8")
+    queries = all_queries()
+    fps = {
+        name: plan_fingerprint(queries[name](spark, test_sf))
+        for name in FINGERPRINT_QUERIES
+    }
+    with open(FINGERPRINT_FILE, "w") as f:
+        json.dump({"sf_dir": test_sf, "fingerprints": fps}, f, indent=1,
+                  sort_keys=True)
+        f.write("\n")
+    print(f"PLAN_FINGERPRINTS.json written ({len(fps)} queries)")
+
+
 def main() -> None:
+    if "--fingerprints" in sys.argv[1:]:
+        write_fingerprints()
+        return
     spark = get_spark(app_name="dts-plans")
     queries = all_queries()
     out = [

@@ -678,7 +678,12 @@ def main() -> int:
             failures.extend(
                 _mix10_check(name, s["collected"], b["collected"])
             )
-        elif mode == "overhead":
+        if name in TIME_LINEAR and ratio > TIME_LINEAR[name]:
+            failures.append(
+                f"{name}: time ratio {ratio} exceeds linear envelope "
+                f"{TIME_LINEAR[name]} at {R}x work"
+            )
+        if mode == "overhead":
             ov_s = s["candidates"] / max(s["rows"], 1)
             ov_b = b["candidates"] / max(b["rows"], 1)
             rows_out[name]["overhead_small"] = round(ov_s, 3)

@@ -581,3 +581,33 @@ def test_round6_plans_have_intended_shapes(spark):
 
     f = PlanFeatures.of(returns_netting_rollup(spark, SF_DIR))
     assert f.partial_aggregation and not f.cartesian
+
+
+def test_plan_fingerprints_match_committed(spark):
+    """Round-8 plan-fingerprint gate: the committed PLAN_FINGERPRINTS.json
+    (scripts/dump_plans.py --fingerprints, generated under THIS session
+    config) must match the live plans of the headline queries. A silently
+    lost broadcast, a new SinglePartition exchange, or a Python stage
+    creeping into a codegen path changes the counts and fails here —
+    regenerate the file only after reviewing the plan change."""
+    import json
+    import os
+
+    from database_toolbox_spark.operators import all_queries
+    from database_toolbox_spark.plans import plan_fingerprint
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLAN_FINGERPRINTS.json")
+    with open(path) as f:
+        committed = json.load(f)
+    assert committed["sf_dir"] == SF_DIR, (
+        "fingerprints were generated at a different sf; regenerate with "
+        "scripts/dump_plans.py --fingerprints"
+    )
+    queries = all_queries()
+    mismatches = {}
+    for name, expected in committed["fingerprints"].items():
+        got = plan_fingerprint(queries[name](spark, SF_DIR))
+        if got != expected:
+            mismatches[name] = {"expected": expected, "got": got}
+    assert not mismatches, mismatches
