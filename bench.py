@@ -182,6 +182,12 @@ HEADLINE = [
     "quantile_normalization_by_source",
     "extreme_value_return_levels",
     "hurst_exponent_revenue",
+    # round-8 additions: the Firestore-style document surface (pointed
+    # lookups + filtered collection query) and the shuffle-free char
+    # entropy rewrite
+    "docstore_query_orders",
+    "docstore_get_documents",
+    "char_entropy_scores",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

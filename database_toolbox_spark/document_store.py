@@ -215,12 +215,16 @@ def query_collection(
     order_by: str = "",
     direction: str = "ASCENDING",
     limit: str = "",
+    fields: str = "",
 ) -> DataFrame:
     """Upstream `firestore-query-collection`: filtered, ordered, limited
     read of one collection. `filters` is a JSON array of
     {"field": ..., "op": ..., "value": ...} triples (ANDed; ops
     ==, !=, <, <=, >, >=, in, not-in — the upstream structured-query set);
-    `order_by`/`direction` (ASCENDING|DESCENDING) and `limit` are optional.
+    `order_by`/`direction` (ASCENDING|DESCENDING) and `limit` are optional;
+    `fields` is an optional CSV projection (the upstream select mask) —
+    with it, the parquet ReadSchema shrinks to the named fields plus the
+    key: document projection IS Catalyst column pruning here.
 
     Fields are validated against the collection schema and values bind as
     typed literals (string values targeting timestamp/date columns are
@@ -273,6 +277,14 @@ def query_collection(
                 df = df.where(pred)
 
     cols = [c for c in df.columns]
+    if fields:
+        picked = [c.strip() for c in fields.split(",") if c.strip()]
+        for c in picked:
+            if c not in types:
+                raise ValueError(
+                    f"unknown field {c!r} in collection {collection!r}"
+                )
+        cols = picked
     out = df.select(_path_col(collection, COLLECTION_IDS[collection]), *cols)
     if order_by:
         if order_by not in types:

@@ -277,6 +277,21 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def ivf_probe_count(spark: SparkSession) -> int:
+    """Examined-candidate bound of the LAST ivf_ann_topk build in this
+    session: the number of corpus vectors assigned to the query's IVF cell
+    (reads the materialized `ivf_assigned_v` index view the operator
+    registers). This is the quantity the IVF scale claim bounds — probe
+    work grows with the cell share of the corpus, never the corpus times
+    itself; scripts/scaling_sf5.py asserts it stays linear at 50x."""
+    return spark.sql(f"""
+        SELECT count(*) AS n FROM ivf_assigned_v
+        WHERE cell = (SELECT cell FROM ivf_assigned_v
+                      WHERE vec_id = {QUERY_VEC_ID})
+          AND vec_id <> {QUERY_VEC_ID}
+    """).collect()[0].n
+
+
 def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized (SQ8) top-k: embeddings quantized SYMMETRICALLY to
     [-127, 127] (shifted quantization would let the offset term dominate the

@@ -405,15 +405,16 @@ register(
             "document fields as typed columns."
         ),
         fn=lambda spark, collection, filters="", order_by="",
-        direction="ASCENDING", limit="": _docstore("query_collection")(
-            spark, collection, filters, order_by, direction, limit
-        ),
+        direction="ASCENDING", limit="", fields="": _docstore(
+            "query_collection"
+        )(spark, collection, filters, order_by, direction, limit, fields),
         parameters=(
             ToolParam("collection", "string", "collection id", required=True),
             ToolParam("filters", "string", "JSON array of filter triples"),
             ToolParam("order_by", "string", "field to order by"),
             ToolParam("direction", "string", "ASCENDING or DESCENDING"),
             ToolParam("limit", "string", "row limit"),
+            ToolParam("fields", "string", "CSV projection of fields"),
         ),
     )
 )

@@ -1,0 +1,242 @@
+#!/usr/bin/env python
+"""Push the dedup/ANN flagships one scale decade past the sf~1 study:
+a ~50x corpus (R=50 replicas of sf0.1) with the SAME closed-form growth
+algebra, asserting the pair/candidate counts stay linear (round-7 verdict
+item 6 — "asserted bounds at >=50x sf0.1 rows").
+
+Synthesis (documents + embeddings only; the other tables copy as-is):
+
+- documents x50: replica r > 0 suffixes every token with `_r` — the token
+  bijection preserves every within-replica Jaccard EXACTLY and makes
+  cross-replica vocabularies disjoint, so the true near-dup pair set of the
+  big corpus is exactly 50 copies of sf0.1's.
+- embeddings x50: replica r > 0 multiplies coordinates by a seeded +-1 sign
+  pattern (orthogonal transform: within-replica cosines exact,
+  cross-replica ~0). Replica 0 keeps the original vec_ids, so the IVF
+  centroid set (vec_id < N_IVF_CELLS) and the query vector are unchanged.
+
+Assertions (exit non-zero on failure):
+- jaccard_prefix_filter_pairs: pair count == exactly 50x (bijection truth).
+- minhash_near_dup_pairs: pair count <= 1.5 * 50x + 20 (probabilistic
+  banding reroll headroom, same envelope as the sf~1 study).
+- ivf_ann_topk: result stays TOP_K rows AND the examined-candidate bound
+  (vectors in the query's probe cell, similarity.ivf_probe_count) <=
+  2 * 50x + 20 — probe work grows with the CELL SHARE of the corpus.
+
+Appends/refreshes the "sf0.1 -> sf~5" section of SCALING.md. Run from the
+repo root on an idle machine: python scripts/scaling_sf5.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from database_toolbox_spark.operators import all_queries
+from database_toolbox_spark.operators.similarity import ivf_probe_count
+from database_toolbox_spark.session import TABLES, get_spark, load_tables
+
+SF_SMALL = "/root/testdata/sf0.1"
+BIG = os.environ.get("SPARK_GRAFT_SF5_DIR", "/tmp/sf5big")
+R = 50
+SHIFT = 10_000_000
+
+SUSPECTS = [
+    ("jaccard_prefix_filter_pairs", "exact"),
+    ("minhash_near_dup_pairs", "linear"),
+    ("ivf_ann_topk", "probe"),
+]
+
+
+def synthesize() -> None:
+    import duckdb
+
+    shutil.rmtree(BIG, ignore_errors=True)
+    os.makedirs(BIG, exist_ok=True)
+    con = duckdb.connect()
+    rep = f"(SELECT unnest(range({R})) AS r) rr"
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id, text, lang, source, length(text) AS n_chars
+          FROM (
+            SELECT d.doc_id + rr.r * {SHIFT} AS doc_id,
+                   CASE WHEN rr.r = 0 THEN d.text
+                        ELSE array_to_string(
+                            list_transform(string_split(d.text, ' '),
+                                           t -> t || '_' || rr.r), ' ')
+                   END AS text,
+                   d.lang, d.source
+            FROM read_parquet('{SF_SMALL}/documents.parquet') d
+            CROSS JOIN {rep}
+          )
+        ) TO '{BIG}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(f"{SF_SMALL}/embeddings.parquet").to_pandas()
+    dim = len(base["embedding"].iloc[0])
+    vec_ids, embs, labels = [], [], []
+    for r in range(R):
+        signs = (
+            np.ones(dim, dtype=np.float32)
+            if r == 0
+            else np.random.default_rng(r)
+            .choice([-1.0, 1.0], dim)
+            .astype(np.float32)
+        )
+        for vid, emb, lab in zip(
+            base["vec_id"], base["embedding"], base["label"]
+        ):
+            vec_ids.append(int(vid) + r * SHIFT)
+            embs.append(
+                (np.asarray(emb, dtype=np.float32) * signs).tolist()
+            )
+            labels.append(int(lab))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(vec_ids, pa.int64()),
+                "embedding": pa.array(embs, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        f"{BIG}/embeddings.parquet",
+    )
+
+    for t in TABLES:
+        dst = f"{BIG}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copyfile(f"{SF_SMALL}/{t}.parquet", dst)
+            os.chmod(dst, 0o644)
+
+
+def measure(spark, queries, sf_dir):
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).write.mode("overwrite").format("noop").save()
+    out = {}
+    for name, mode in SUSPECTS:
+        df = queries[name](spark, sf_dir)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = {"sec": round(best, 3), "rows": df.count()}
+        if mode == "probe":
+            out[name]["probe"] = ivf_probe_count(spark)
+    return out
+
+
+def main() -> int:
+    if not os.path.exists(f"{BIG}/documents.parquet") or os.environ.get(
+        "SPARK_GRAFT_SF5_REBUILD"
+    ):
+        synthesize()
+    spark = get_spark(app_name="scaling-sf5")
+    queries = all_queries()
+    small = measure(spark, queries, SF_SMALL)
+    big = measure(spark, queries, BIG)
+    failures = []
+    rows_out = {}
+    for name, mode in SUSPECTS:
+        s, b = small[name], big[name]
+        rows_out[name] = {
+            "sf0.1_sec": s["sec"],
+            "sf5_sec": b["sec"],
+            "time_ratio": round(b["sec"] / max(s["sec"], 1e-9), 2),
+            "sf0.1_rows": s["rows"],
+            "sf5_rows": b["rows"],
+            "mode": mode,
+        }
+        if mode == "exact" and b["rows"] != R * s["rows"]:
+            failures.append(
+                f"{name}: expected exactly {R}x rows "
+                f"({R * s['rows']}), got {b['rows']}"
+            )
+        elif mode == "linear" and b["rows"] > 1.5 * R * s["rows"] + 20:
+            failures.append(
+                f"{name}: {b['rows']} rows exceeds linear headroom "
+                f"(1.5 * {R} * {s['rows']} + 20)"
+            )
+        elif mode == "probe":
+            rows_out[name]["probe_small"] = s["probe"]
+            rows_out[name]["probe_big"] = b["probe"]
+            if b["rows"] != s["rows"]:
+                failures.append(
+                    f"{name}: top-k row count changed "
+                    f"{s['rows']} -> {b['rows']}"
+                )
+            if b["probe"] > 2 * R * s["probe"] + 20:
+                failures.append(
+                    f"{name}: probe-cell candidates {b['probe']} exceed "
+                    f"linear headroom (2 * {R} * {s['probe']} + 20)"
+                )
+    doc = {
+        "sf_small": 0.1,
+        "sf_big": f"~5 ({R}x synthetic, known growth algebra)",
+        "queries": rows_out,
+        "failures": failures,
+    }
+    print(json.dumps(doc))
+    _update_scaling_md(rows_out, failures)
+    return 1 if failures else 0
+
+
+_MD_HEADER = "## sf0.1 -> sf~5 (50x synthetic, asserted growth algebra)"
+
+
+def _update_scaling_md(rows_out, failures) -> None:
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.md",
+    )
+    with open(path) as f:
+        text = f.read()
+    if _MD_HEADER in text:
+        text = text[: text.index(_MD_HEADER)].rstrip() + "\n"
+    lines = [
+        "",
+        _MD_HEADER,
+        "",
+        "Generated by `python scripts/scaling_sf5.py` — the dedup/ANN",
+        "flagships one scale decade past the sf~1 study, same closed-form",
+        "growth algebra (token-bijection document replicas, sign-flip",
+        "embedding replicas; replica 0 keeps the original vec_ids so the",
+        "IVF centroids and query are unchanged). exact = pair count must",
+        "equal 50x; linear = banding-reroll headroom 1.5x; probe = top-k",
+        "row count invariant AND probe-cell candidate count within 2x of",
+        "linear (the examined-candidate work bound).",
+        "",
+        "| query | mode | sf0.1 s | sf~5 s | time ratio | sf0.1 rows |"
+        " sf~5 rows | probe small | probe big |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for name, r in rows_out.items():
+        lines.append(
+            f"| {name} | {r['mode']} | {r['sf0.1_sec']} | {r['sf5_sec']} |"
+            f" {r['time_ratio']} | {r['sf0.1_rows']} | {r['sf5_rows']} |"
+            f" {r.get('probe_small', '')} | {r.get('probe_big', '')} |"
+        )
+    lines.append("")
+    lines.append(
+        "All growth assertions passed."
+        if not failures
+        else "FAILURES: " + "; ".join(failures)
+    )
+    lines.append("")
+    with open(path, "w") as f:
+        f.write(text + "\n".join(lines))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -106,6 +106,32 @@ def test_query_collection_filters_order_limit(spark):
     assert all(r["doc_path"].startswith("orders/") for r in rows)
 
 
+def test_query_collection_fields_prune_scan(spark):
+    """The `fields` select mask is real column pruning: the parquet
+    ReadSchema must shrink to the projected fields plus the key column."""
+    from database_toolbox_spark.document_store import query_collection
+    from database_toolbox_spark.plans import explain_str, scan_read_schema
+
+    df = query_collection(spark, "orders", fields="o_totalprice")
+    rs = scan_read_schema(df)
+    assert "o_totalprice" in rs and "o_orderkey" in rs
+    assert "o_orderdate" not in rs and "o_custkey" not in rs
+    assert sorted(df.columns) == ["doc_path", "o_totalprice"]
+    with pytest.raises(ValueError, match="unknown field"):
+        query_collection(spark, "orders", fields="o_totalprice, nope")
+    # filters on non-projected fields still push down to the scan
+    plan = explain_str(
+        query_collection(
+            spark, "orders",
+            json.dumps([{"field": "o_orderstatus", "op": "==",
+                         "value": "F"}]),
+            fields="o_totalprice",
+        ),
+        "formatted",
+    )
+    assert "PushedFilters" in plan and "o_orderstatus" in plan
+
+
 def test_query_collection_rejects_bad_input(spark):
     from database_toolbox_spark.document_store import query_collection
 
