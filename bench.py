@@ -188,6 +188,7 @@ HEADLINE = [
     "docstore_query_orders",
     "docstore_get_documents",
     "char_entropy_scores",
+    "mmr_diverse_topk",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

@@ -587,9 +587,214 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+# --- MMR diversity re-ranking ------------------------------------------------
+#
+# Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98): re-rank the
+# top-C cosine candidates so each next pick maximizes
+#   lambda * rel(i) - (1 - lambda) * max_{j in selected} sim(i, j)
+# — the standard diversity-aware selection for retrieval results and for
+# diverse exemplar mining in training-data pipelines. lambda = 0.7, spelled
+# as EXACT integer weights (7, 3) over micro-unit (1e-6-grid, +0.501 guard)
+# relevance/similarity scores, so the greedy argmax is pure BIGINT
+# arithmetic with a deterministic smaller-position tie-break — no float
+# knife edge anywhere in the fold, both engines replay the identical greedy.
+
+MMR_CAND = 30
+MMR_K = 10
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR top-{MMR_K} over the top-{MMR_CAND} cosine candidates of the
+    vec_id={QUERY_VEC_ID} query.
+
+    Scale shape: the corpus is touched ONCE (brute-force cosine →
+    TakeOrdered top-C — swap in the IVF probe at 100 TB); everything after
+    is bounded by C: the C×C pairwise-sim join, the ordered-array
+    collapse, and the K-step greedy fold all run on one C-row (then
+    one-row) relation. The candidate relation is MATERIALIZED — it feeds
+    the pair join twice plus the array collapse, and CTE inlining would
+    replay the corpus scoring per reference."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        "CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    norm2 = (
+        "aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + "
+        "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    cos = (
+        f"{dot.format(a='e.embedding', b='q.qv')} / "
+        f"sqrt(q.qnorm2 * {norm2.format(a='e.embedding')})"
+    )
+    cand = materialize(spark.sql(f"""
+        WITH q AS (
+            SELECT embedding AS qv, {norm2.format(a='embedding')} AS qnorm2
+            FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        cand AS (
+            SELECT e.vec_id, e.embedding,
+                   CAST(floor(({cos}) * 1000000 + 0.501e0) AS BIGINT)
+                       AS rel6
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+            ORDER BY rel6 DESC, vec_id LIMIT {MMR_CAND}
+        )
+        SELECT vec_id, embedding, rel6,
+               -- hash(vec_id) % 1 declares the single-partition window
+               -- intentional (cand is LIMIT-bounded to MMR_CAND rows);
+               -- hashing a COLUMN so constant folding can't strip it
+               CAST(row_number() OVER (PARTITION BY (hash(vec_id) % 1)
+                                       ORDER BY rel6 DESC, vec_id)
+                    AS BIGINT) AS pos
+        FROM cand
+    """))
+    cand.createOrReplaceTempView("mmr_cand_v")
+    psim = (
+        f"{dot.format(a='a.embedding', b='b.embedding')} / "
+        f"sqrt(({norm2.format(a='a.embedding')}) * "
+        f"({norm2.format(a='b.embedding')}))"
+    )
+    return spark.sql(f"""
+        WITH pairs AS (
+            SELECT a.pos AS pa, b.pos AS pb,
+                   CAST(floor(({psim}) * 1000000 + 0.501e0) AS BIGINT)
+                       AS sim6
+            FROM mmr_cand_v a CROSS JOIN mmr_cand_v b
+        ),
+        arr1 AS (
+            SELECT transform(array_sort(collect_list(struct(pos, vec_id))),
+                             s -> s.vec_id) AS ids,
+                   transform(array_sort(collect_list(struct(pos, rel6))),
+                             s -> s.rel6) AS rels,
+                   CAST(count(*) AS INT) AS n
+            FROM mmr_cand_v
+        ),
+        arr2 AS (
+            SELECT transform(array_sort(collect_list(
+                       struct(pa * 1000 + pb, sim6))),
+                   s -> s.sim6) AS sims
+            FROM pairs
+        ),
+        sel AS (
+            SELECT ids, rels,
+                   aggregate(
+                       sequence(2, least({MMR_K}, n)),
+                       array(1),
+                       (se, t) -> array_append(se, CAST(
+                           -(array_max(transform(
+                               filter(sequence(1, n),
+                                      p -> NOT array_contains(se, p)),
+                               p -> struct(
+                                   7 * element_at(rels, p)
+                                   - 3 * array_max(transform(se,
+                                         s -> element_at(sims,
+                                                  (p - 1) * n + s)))
+                                       AS sc,
+                                   -p AS np)
+                           ))).np AS INT))
+                   ) AS picks
+            FROM arr1 CROSS JOIN arr2
+        )
+        SELECT CAST(t.r AS BIGINT) AS mmr_rank,
+               element_at(ids, element_at(picks, CAST(t.r AS INT)))
+                   AS vec_id,
+               element_at(rels, element_at(picks, CAST(t.r AS INT)))
+                   AS relevance_micros
+        FROM sel LATERAL VIEW explode(sequence(1, size(picks))) t AS r
+        ORDER BY mmr_rank
+    """)
+
+
+def _mmr_duck_sql() -> str:
+    dot = _DUCK_SELF_DOT
+    norm2 = (
+        "list_aggregate(list_transform({v}, x -> CAST(x AS DOUBLE) * "
+        "CAST(x AS DOUBLE)), 'sum')"
+    )
+    cos = (
+        dot.format(v="e.embedding", w="q.qv")
+        + " / sqrt(q.qnorm2 * "
+        + norm2.format(v="e.embedding")
+        + ")"
+    )
+    psim = (
+        dot.format(v="a.embedding", w="b.embedding")
+        + " / sqrt(("
+        + norm2.format(v="a.embedding")
+        + ") * ("
+        + norm2.format(v="b.embedding")
+        + "))"
+    )
+    return f"""
+        WITH cpos AS MATERIALIZED (
+            WITH q AS (
+                SELECT embedding AS qv, {norm2.format(v='embedding')}
+                       AS qnorm2
+                FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+            ),
+            cand AS (
+                SELECT e.vec_id, e.embedding,
+                       CAST(floor(({cos}) * 1000000 + 0.501e0) AS BIGINT)
+                           AS rel6
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> {QUERY_VEC_ID}
+                ORDER BY rel6 DESC, vec_id LIMIT {MMR_CAND}
+            )
+            SELECT vec_id, embedding, rel6,
+                   CAST(row_number() OVER (ORDER BY rel6 DESC, vec_id)
+                        AS BIGINT) AS pos
+            FROM cand
+        ),
+        pairs AS (
+            SELECT a.pos AS pa, b.pos AS pb,
+                   CAST(floor(({psim}) * 1000000 + 0.501e0) AS BIGINT)
+                       AS sim6
+            FROM cpos a CROSS JOIN cpos b
+        ),
+        arr1 AS (
+            SELECT list(vec_id ORDER BY pos) AS ids,
+                   list(rel6 ORDER BY pos) AS rels,
+                   count(*) AS n
+            FROM cpos
+        ),
+        arr2 AS (
+            SELECT list(sim6 ORDER BY pa * 1000 + pb) AS sims
+            FROM pairs
+        ),
+        sel AS (
+            SELECT ids, rels,
+                   list_reduce(
+                       list_prepend([CAST(1 AS BIGINT)],
+                           list_transform(range(2, least({MMR_K}, n) + 1),
+                                          t -> [t])),
+                       (se, st) -> list_append(se,
+                           -(struct_extract(list_max(list_transform(
+                               list_filter(range(1, n + 1),
+                                           p -> NOT list_contains(se, p)),
+                               p -> {{'sc': 7 * rels[p]
+                                      - 3 * list_max(list_transform(se,
+                                            s -> sims[(p - 1) * n + s])),
+                                     'np': -p}}
+                           )), 'np')))
+                   ) AS picks
+            FROM arr1, arr2
+        )
+        SELECT u.r AS mmr_rank,
+               ids[picks[u.r]] AS vec_id,
+               rels[picks[u.r]] AS relevance_micros
+        FROM sel CROSS JOIN LATERAL
+             (SELECT unnest(range(1, len(sel.picks) + 1))) u(r)
+        ORDER BY mmr_rank
+    """
+
+
 QUERIES = {
     "hybrid_rrf_search": hybrid_rrf_search,
     "jl_projection_stats": jl_projection_stats,
+    "mmr_diverse_topk": mmr_diverse_topk,
     "cosine_topk": cosine_topk,
     "knn_graph_topk": knn_graph_topk,
     "sq8_ann_topk": sq8_ann_topk,
@@ -646,6 +851,7 @@ def _hybrid_oracle() -> str:
 
 ORACLE = {
     "hybrid_rrf_search": _hybrid_oracle(),
+    "mmr_diverse_topk": _mmr_duck_sql(),
     "jl_projection_stats": _jl_sql(
         _DUCK_JL_ARR,
         _DUCK_NORM2,

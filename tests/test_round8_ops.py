@@ -115,3 +115,75 @@ def test_url_dedup_variant3_group_parity(spark):
     finally:
         spark.catalog.dropTempView("documents")
         con.close()
+
+
+# ------------------------------------------------- MMR diversity re-rank
+
+
+def test_mmr_matches_numpy_greedy(spark):
+    """External anchor: an independent numpy replay of the MMR greedy
+    (integer micro-unit scores, 7/3 weights, smaller-position tie-break)
+    must equal the SQL fold's picks exactly — parity alone can't prove the
+    fold implements Carbonell-Goldstein; this does."""
+    import duckdb
+    import numpy as np
+
+    from database_toolbox_spark.operators.similarity import (
+        MMR_CAND,
+        MMR_K,
+        QUERY_VEC_ID,
+        mmr_diverse_topk,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    t = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = np.array([r[0] for r in t])
+    V = np.array([r[1] for r in t], dtype=np.float64)
+    q = V[ids == QUERY_VEC_ID][0]
+    cos = (V @ q) / (
+        np.sqrt((V**2).sum(1)) * np.sqrt((q**2).sum())
+    )
+    rel6 = np.floor(cos * 1e6 + 0.501).astype(np.int64)
+    order = sorted(
+        [i for i in range(len(ids)) if ids[i] != QUERY_VEC_ID],
+        key=lambda i: (-rel6[i], ids[i]),
+    )[:MMR_CAND]
+    C = V[order]
+    cid = ids[order]
+    crel = rel6[order]
+    nrm = np.sqrt((C**2).sum(1))
+    sim6 = np.floor((C @ C.T) / np.outer(nrm, nrm) * 1e6 + 0.501).astype(
+        np.int64
+    )
+    sel = [0]
+    while len(sel) < MMR_K:
+        best = None
+        for p in range(len(order)):
+            if p in sel:
+                continue
+            sc = 7 * crel[p] - 3 * max(sim6[p][s] for s in sel)
+            key = (sc, -p)
+            if best is None or key > best[0]:
+                best = (key, p)
+        sel.append(best[1])
+    expected = [
+        (r + 1, int(cid[p]), int(crel[p])) for r, p in enumerate(sel)
+    ]
+
+    got = [
+        (r.mmr_rank, r.vec_id, r.relevance_micros)
+        for r in mmr_diverse_topk(spark, SF_DIR).collect()
+    ]
+    assert got == expected
+
+    # diversity sanity: MMR must NOT equal plain relevance order (the
+    # fixture's top-30 contains near-duplicates the re-ranker demotes)
+    plain = [int(cid[p]) for p in range(MMR_K)]
+    assert [v for _, v, _ in got] != plain
