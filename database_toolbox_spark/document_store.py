@@ -266,7 +266,7 @@ def query_collection(
             if op == "in" or op == "not-in":
                 if not isinstance(value, list):
                     raise ValueError(f"op {op!r} needs a list value")
-                pred = c.isin([v for v in value])
+                pred = c.isin(value)
                 df = df.where(~pred if op == "not-in" else pred)
             else:
                 v = typed_lit(field, value)
@@ -276,7 +276,7 @@ def query_collection(
                 }[op]
                 df = df.where(pred)
 
-    cols = [c for c in df.columns]
+    cols = list(df.columns)
     if fields:
         picked = [c.strip() for c in fields.split(",") if c.strip()]
         for c in picked:

@@ -289,7 +289,7 @@ def ivf_probe_count(spark: SparkSession) -> int:
         WHERE cell = (SELECT cell FROM ivf_assigned_v
                       WHERE vec_id = {QUERY_VEC_ID})
           AND vec_id <> {QUERY_VEC_ID}
-    """).collect()[0].n
+    """).collect()[0].n  # guard-exempt: bounded driver fetch (1 count row)
 
 
 def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

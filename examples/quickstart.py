@@ -42,6 +42,25 @@ def main() -> None:
     except StatementDenied as exc:
         print("gate denied DROP as expected:", exc)
 
+    # 1b — the Firestore-style document surface over the same tables
+    import json as _json
+
+    print("query_collection:", [
+        c["text"] for c in registry.call_tool(spark, "query_collection", {
+            "collection": "orders",
+            "filters": _json.dumps(
+                [{"field": "o_orderstatus", "op": "==", "value": "F"}]
+            ),
+            "order_by": "o_totalprice", "direction": "DESCENDING",
+            "limit": "3", "fields": "o_totalprice,o_orderstatus",
+        })
+    ])
+    print("get_documents:", [
+        c["text"] for c in registry.call_tool(spark, "get_documents", {
+            "document_paths": "orders/1, nosuch/1"
+        })
+    ])
+
     # 2 — the operator library (each entry: fn(spark, sf_dir) -> DataFrame)
     queries = all_queries()
     for name in ("pricing_summary", "minhash_near_dup_pairs",
