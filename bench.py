@@ -189,6 +189,7 @@ HEADLINE = [
     "docstore_get_documents",
     "char_entropy_scores",
     "mmr_diverse_topk",
+    "copurchase_capped_pairs",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

@@ -856,6 +856,71 @@ ORACLE["link_prediction_scores"] = _linkpred_sql(
 )
 
 
+# --- capped co-purchase projection (the 100 TB spelling) -------------------------
+#
+# The UNCAPPED co-occurrence projection above is this repo's one documented
+# quadratic-under-fixed-catalog cap point (SCALING.md: replicas share the
+# part catalog, so cross-replica co-purchase edges grow the projection
+# ~quadratically — a property of the projection, not a bug). This operator is
+# the scale-safe spelling every production co-occurrence pipeline uses: cap
+# each part's customer list at CAP members BEFORE pairing, so per-part pair
+# work is <= CAP^2/2 and total work is linear in parts at ANY corpus size.
+# The cap here is the deterministic smallest-key sample (the policy is
+# swappable — recency or hash-ordered reservoirs are one ORDER BY away; the
+# point is the bound). scripts/scaling_sf1.py asserts the direct
+# counter-demonstration: on the 10x key-shifted replicas (custkeys block-
+# shifted upward, catalog shared) the capped projection's output is
+# BYTE-IDENTICAL while the uncapped one would grow ~100x.
+
+COPURCHASE_CAP = 12
+COPURCHASE_MIN_SHARED = 2
+COPURCHASE_TOP = 20
+
+_COPURCHASE_CAPPED_SQL = f"""
+    WITH cp AS (
+        SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+        SELECT p, c,
+               row_number() OVER (PARTITION BY p ORDER BY c) AS rn
+        FROM cp
+    ),
+    capped AS (
+        SELECT p, c FROM ranked WHERE rn <= {COPURCHASE_CAP}
+    ),
+    pairs AS (
+        SELECT a.c AS c1, b.c AS c2, CAST(count(*) AS BIGINT)
+                   AS shared_parts
+        FROM capped a JOIN capped b ON a.p = b.p AND a.c < b.c
+        GROUP BY a.c, b.c
+    )
+    SELECT c1, c2, shared_parts
+    FROM pairs
+    WHERE shared_parts >= {COPURCHASE_MIN_SHARED}
+    ORDER BY shared_parts DESC, c1, c2
+    LIMIT {COPURCHASE_TOP}
+"""
+
+
+def copurchase_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{COPURCHASE_TOP} co-purchase pairs from the CAPPED projection
+    (see the section comment: per-part pair work bounded by CAP^2/2 —
+    the scale-safe co-occurrence spelling).
+
+    Scale shape: one fact join + distinct (keyed shuffle), one window
+    PARTITIONED BY part (keyed, never global), the pair equi-join runs on
+    the capped relation (<= CAP rows per part), TakeOrdered top-{COPURCHASE_TOP}.
+    Identical SQL text runs on both engines (the rank column is compared,
+    never emitted, so the INT/BIGINT row_number divergence is moot)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_COPURCHASE_CAPPED_SQL)
+
+
+QUERIES["copurchase_capped_pairs"] = copurchase_capped_pairs
+ORACLE["copurchase_capped_pairs"] = _COPURCHASE_CAPPED_SQL
+
+
 # --- temporal edge churn ---------------------------------------------------------
 
 

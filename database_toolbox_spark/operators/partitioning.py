@@ -597,7 +597,24 @@ CH_VNODES = 16
 _CH_SPACE = 65536
 
 
-def _ch_sql(h_user: str, h_vnode: str) -> str:
+def _ch_assigned_sql(h_user: str, h_vnode: str, tf: str, flt: str,
+                     amin: str, alist: str, idiv: str) -> str:
+    """Per-key ring successors BEFORE and AFTER the reshard, SHUFFLE-FREE:
+    the 144-vnode ring collapses to ONE broadcast array of PACKED ints
+    (vpos*256 + shard*16 + vnode; vpos < 65536, shard < 16, vnode < 16),
+    and each key's argmin is a per-row array fold —
+    min over pv of ((vpos - pos) mod space)*256 + low byte — whose integer
+    min is exactly the lexicographic (dist, shard, vnode) ring tie-break.
+    No keys×144 product ever materializes and nothing shuffles (round-8
+    rewrite of a per-key row_number window that sorted that product
+    through two key-partitioned shuffles: 3.7 s → 2.0 s idle at sf0.1,
+    with the assigned stage itself sub-second).
+    `shard < {CH_SHARDS_BEFORE}` ⇔ low byte < {CH_SHARDS_BEFORE * CH_VNODES}
+    (s-major packing), which is the before-ring filter."""
+    packed = (
+        f"((pv {idiv} 256) - u.pos + {_CH_SPACE}) % {_CH_SPACE} * 256"
+        " + pv % 256"
+    )
     return f"""
         WITH users AS (
             SELECT c_custkey, ({h_user}) % {_CH_SPACE} AS pos
@@ -609,52 +626,51 @@ def _ch_sql(h_user: str, h_vnode: str) -> str:
             FROM (SELECT {_seq("s", CH_SHARDS_AFTER)}) s
             CROSS JOIN (SELECT {_seq("v", CH_VNODES)}) v
         ),
-        ring_before AS (
-            SELECT c_custkey, shard FROM (
-                SELECT u.c_custkey, n.shard,
-                       CAST(row_number() OVER (PARTITION BY u.c_custkey
-                           ORDER BY (n.vpos - u.pos + {_CH_SPACE})
-                                    % {_CH_SPACE}, n.shard, n.vnode)
-                            AS BIGINT) AS rn
-                FROM users u CROSS JOIN vn n
-                WHERE n.shard < {CH_SHARDS_BEFORE}
-            ) x WHERE rn = 1
-        ),
-        ring_after AS (
-            SELECT c_custkey, shard FROM (
-                SELECT u.c_custkey, n.shard,
-                       CAST(row_number() OVER (PARTITION BY u.c_custkey
-                           ORDER BY (n.vpos - u.pos + {_CH_SPACE})
-                                    % {_CH_SPACE}, n.shard, n.vnode)
-                            AS BIGINT) AS rn
-                FROM users u CROSS JOIN vn n
-            ) x WHERE rn = 1
-        ),
-        naive AS (
-            SELECT c_custkey,
-                   pos % {CH_SHARDS_BEFORE} AS s_before,
-                   pos % {CH_SHARDS_AFTER} AS s_after
-            FROM users
-        ),
         ring AS (
-            SELECT b.c_custkey, b.shard AS s_before, a.shard AS s_after
-            FROM ring_before b JOIN ring_after a
-              ON a.c_custkey = b.c_custkey
+            SELECT {alist}(vpos * 256 + shard * 16 + vnode) AS pvs FROM vn
+        )
+        SELECT u.c_custkey,
+               u.pos % {CH_SHARDS_BEFORE} AS n_before,
+               u.pos % {CH_SHARDS_AFTER} AS n_after,
+               {amin}({tf}({flt}(pvs,
+                   pv -> pv % 256 < {CH_SHARDS_BEFORE * CH_VNODES}),
+                   pv -> {packed})) AS mb,
+               {amin}({tf}(pvs, pv -> {packed})) AS ma
+        FROM users u CROSS JOIN ring
+    """
+
+
+_CH_SPARK_DIALECT = dict(tf="transform", flt="filter", amin="array_min",
+                         alist="collect_list", idiv="DIV")
+_CH_DUCK_DIALECT = dict(tf="list_transform", flt="list_filter",
+                        amin="list_min", alist="list", idiv="//")
+
+
+def _ch_sql(assigned_src: str, mat: str = "") -> str:
+    return f"""
+        WITH assigned AS {mat}(
+            {assigned_src}
+        ),
+        mv AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   avg(CASE WHEN n_before <> n_after
+                            THEN 1e0 ELSE 0e0 END) AS nm,
+                   avg(CASE WHEN ((mb % 256) - (mb % 16)) <>
+                                 ((ma % 256) - (ma % 16))
+                            THEN 1e0 ELSE 0e0 END) AS rm
+            FROM assigned
         ),
         loads AS (
             SELECT max(cnt) * 1e0 / min(cnt) AS imbalance
-            FROM (SELECT shard, count(*) AS cnt FROM ring_after
-                  GROUP BY shard) z
+            FROM (SELECT (ma % 256) - (ma % 16) AS shard16,
+                         count(*) AS cnt
+                  FROM assigned GROUP BY 1) z
         )
-        SELECT CAST((SELECT count(*) FROM users) AS BIGINT) AS n_keys,
+        SELECT mv.n_keys AS n_keys,
                {{naive_moved}} AS naive_moved_frac,
                {{ring_moved}} AS ring_moved_frac,
                {{imb}} AS ring_load_imbalance
-        FROM (SELECT avg(CASE WHEN s_before <> s_after THEN 1e0 ELSE 0e0
-                         END) AS nm FROM naive) nv
-        CROSS JOIN (SELECT avg(CASE WHEN s_before <> s_after THEN 1e0
-                               ELSE 0e0 END) AS rm FROM ring) rg
-        CROSS JOIN loads
+        FROM mv CROSS JOIN loads
     """
 
 
@@ -669,29 +685,40 @@ def consistent_hash_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     plus the ring's post-reshard load imbalance (max/min shard load).
 
     Scale shape: the vnode table is 9 x 16 = 144 broadcast rows; each key
-    resolves its ring successor through a per-key argmin over that
-    broadcast (row_number partitioned by key) — one pass, no shuffle of
-    the key set beyond the final 1-row rollups."""
+    resolves BOTH ring successors in one pass through a grouped
+    packed-integer min over that broadcast product (partial-aggregatable
+    — see _ch_assigned_sql), the per-key relation materializes once, and
+    the movement/load rollups read the materialized 2-ints-per-key
+    result."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
     load_tables(spark, sf_dir)
     h_user = ("CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 8),"
               " 16, 10) AS BIGINT)")
     h_vnode = ("CAST(conv(substring(md5(concat('shard', CAST(s.s AS STRING),"
                " '-v', CAST(v.v AS STRING))), 1, 8), 16, 10) AS BIGINT)")
-    return spark.sql(_ch_sql(h_user, h_vnode).format(
-        naive_moved=R("nv.nm", 4),
-        ring_moved=R("rg.rm", 4),
+    materialize(
+        spark.sql(_ch_assigned_sql(h_user, h_vnode, **_CH_SPARK_DIALECT))
+    ).createOrReplaceTempView("ch_assigned_v")
+    return spark.sql(_ch_sql("SELECT * FROM ch_assigned_v").format(
+        naive_moved=R("mv.nm", 4),
+        ring_moved=R("mv.rm", 4),
         imb=R("loads.imbalance", 4),
     ))
 
 
 QUERIES["consistent_hash_reshard_audit"] = consistent_hash_reshard_audit
 ORACLE["consistent_hash_reshard_audit"] = _ch_sql(
-    "CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))"
-    " AS BIGINT)",
-    "CAST(concat('0x', substr(md5(concat('shard', CAST(s.s AS VARCHAR),"
-    " '-v', CAST(v.v AS VARCHAR))), 1, 8)) AS BIGINT)",
+    _ch_assigned_sql(
+        "CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))"
+        " AS BIGINT)",
+        "CAST(concat('0x', substr(md5(concat('shard', CAST(s.s AS VARCHAR),"
+        " '-v', CAST(v.v AS VARCHAR))), 1, 8)) AS BIGINT)",
+        **_CH_DUCK_DIALECT,
+    ),
+    mat="MATERIALIZED ",
 ).format(
-    naive_moved=R("nv.nm", 4),
-    ring_moved=R("rg.rm", 4),
+    naive_moved=R("mv.nm", 4),
+    ring_moved=R("mv.rm", 4),
     imb=R("loads.imbalance", 4),
 )

@@ -174,6 +174,14 @@ SUSPECTS = [
     # distribution at 10x mass (percent ranks shift only at (n-1)
     # denominators); the A/B health table reads only the customer dim
     # (untouched by the synthesis -> byte-identical rows).
+    # round-8: the CAPPED co-purchase projection is the scale-safe
+    # spelling of this study's one documented quadratic cap point (the
+    # uncapped projection grows ~quadratically under the shared part
+    # catalog). capinv = collected output must be BYTE-IDENTICAL at 10x:
+    # replica custkeys are block-shifted upward, so the smallest-key cap
+    # keeps exactly the base customers and the bounded pair work — the
+    # direct counter-demonstration.
+    ("copurchase_capped_pairs", "capinv"),
     ("capture_recapture_estimate", "mix10"),
     ("logrank_test_segments", "mix10"),
     ("quantile_normalization_by_source", "mix10"),
@@ -321,7 +329,8 @@ TIME_LINEAR = {
 
 # modes whose assertion compares full collected results, not counts
 _COLLECT_MODES = {"kcore10", "ohlc10", "budget10lin", "conc10",
-                  "scdx10", "basket10", "wmed10", "did10", "mix10"}
+                  "scdx10", "basket10", "wmed10", "did10", "mix10",
+                  "capinv"}
 
 
 def _mix10_check(name: str, small_rows, big_rows) -> list[str]:
@@ -678,6 +687,14 @@ def main() -> int:
             failures.extend(
                 _mix10_check(name, s["collected"], b["collected"])
             )
+        elif mode == "capinv":
+            if [tuple(r) for r in s["collected"]] != [
+                tuple(r) for r in b["collected"]
+            ]:
+                failures.append(
+                    f"{name}: capped projection output changed under "
+                    f"{R}x catalog-shared replication"
+                )
         if name in TIME_LINEAR and ratio > TIME_LINEAR[name]:
             failures.append(
                 f"{name}: time ratio {ratio} exceeds linear envelope "
