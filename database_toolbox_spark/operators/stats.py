@@ -1930,7 +1930,12 @@ PSI_SPLIT = "1999-01-01"  # reference = orders before, current = after
 PSI_BUCKETS = 10
 PSI_EPS = "1e-6"  # Laplace floor so empty buckets cannot produce ln(0)
 
-_PSI_SQL = f"""
+def _psi_sql(qarr: str, idx) -> str:
+    """qarr = the ONE array-percentile call (9 cutpoints from a single
+    buffered pass — round 8 rewrite of 9 separate percentile() aggregates,
+    each of which kept its own full copy of the reference column);
+    idx(i) = the dialect's array indexing of the cutpoint array."""
+    return f"""
     WITH ref AS (
         SELECT o_totalprice AS x FROM orders
         WHERE o_orderdate < TIMESTAMP '{PSI_SPLIT} 00:00:00'
@@ -1940,18 +1945,14 @@ _PSI_SQL = f"""
         WHERE o_orderdate >= TIMESTAMP '{PSI_SPLIT} 00:00:00'
     ),
     cuts AS (
-        SELECT {", ".join(
-            f"percentile(x, {i / 10}e0) AS c{i}" for i in range(1, 10)
-        )},
-               count(*) AS nref
-        FROM ref
+        SELECT {qarr} AS cs, count(*) AS nref FROM ref
     ),
     nc AS (SELECT count(*) AS ncur FROM cur),
     bucketed AS (
         SELECT b.side, b.bucket, count(*) AS n FROM (
             SELECT side,
                    CASE {" ".join(
-                       f"WHEN x <= c.c{i} THEN {i - 1}" for i in range(1, 10)
+                       f"WHEN x <= {idx(i)} THEN {i - 1}" for i in range(1, 10)
                    )} ELSE 9 END AS bucket
             FROM (
                 SELECT 0 AS side, x FROM ref
@@ -1998,12 +1999,19 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup. The epsilon floor keeps empty buckets finite (the standard
     PSI Laplace fix)."""
     load_tables(spark, sf_dir)
-    return spark.sql(_PSI_SQL)
+    qs = ", ".join(f"{i / 10}e0" for i in range(1, 10))
+    return spark.sql(_psi_sql(
+        f"percentile(x, array({qs}))",
+        lambda i: f"element_at(c.cs, {i})",
+    ))
 
 
 QUERIES["psi_price_drift"] = psi_price_drift
-ORACLE["psi_price_drift"] = _PSI_SQL.replace(
-    "percentile(", "quantile_cont("
+ORACLE["psi_price_drift"] = _psi_sql(
+    "quantile_cont(x, [" + ", ".join(
+        f"{i / 10}e0" for i in range(1, 10)
+    ) + "])",
+    lambda i: f"c.cs[{i}]",
 )
 
 
@@ -2598,16 +2606,29 @@ ORACLE["two_proportion_ztest"] = _ZTEST_SQL
 # emitted as identity_gap, which must round to zero.
 
 
-def _brier_sql(h: str, yr: str) -> str:
+def _brier_flagged_sql(h: str, yr: str) -> str:
+    """The per-order (fold, y) relation — the one corpus-scale join+agg of
+    the decomposition. Referenced twice downstream (model fit on fold 0,
+    scoring on fold 1), so callers MATERIALIZE it: CTE inlining replays
+    the fact join per reference. At sf0.1 the checkpoint write costs about
+    what the second replay did (~3.2 s either way); at fact scale the
+    single join+shuffle pass is the right trade — the checkpoint is a
+    linear write, the replay is a second full shuffle."""
     return f"""
-        WITH flagged AS (
-            SELECT o.o_orderkey, o.o_orderpriority,
-                   {yr} AS yr,
-                   {h} % 2 AS fold,
-                   max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
-                       AS y
-            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-            GROUP BY o.o_orderkey, o.o_orderpriority, {yr}, {h} % 2
+        SELECT o.o_orderkey, o.o_orderpriority,
+               {yr} AS yr,
+               {h} % 2 AS fold,
+               max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS y
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, {yr}, {h} % 2
+    """
+
+
+def _brier_sql(flagged_src: str, mat: str = "") -> str:
+    return f"""
+        WITH flagged AS {mat}(
+            {flagged_src}
         ),
         model AS (
             SELECT o_orderpriority, yr, avg(y * 1e0) AS p_hat
@@ -2661,19 +2682,25 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one join + grouped agg per order, a broadcast-sized model
     relation (|priorities| x |years|), then two tiny rollups. The fold
     split is a pure function of the key (leakage-proof, reshuffle-stable)."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
     load_tables(spark, sf_dir)
-    return spark.sql(_brier_sql(
+    materialize(spark.sql(_brier_flagged_sql(
         "CAST(conv(substring(md5(CAST(o.o_orderkey AS STRING)), 1, 4), 16, 10)"
         " AS INT)",
         "year(o.o_orderdate)",
-    ))
+    ))).createOrReplaceTempView("brier_flagged_v")
+    return spark.sql(_brier_sql("SELECT * FROM brier_flagged_v"))
 
 
 QUERIES["brier_decomposition"] = brier_decomposition
 ORACLE["brier_decomposition"] = _brier_sql(
-    "CAST(concat('0x', substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 4))"
-    " AS INTEGER)",
-    "year(o.o_orderdate)",
+    _brier_flagged_sql(
+        "CAST(concat('0x', substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 4))"
+        " AS INTEGER)",
+        "year(o.o_orderdate)",
+    ),
+    mat="MATERIALIZED ",
 )
 
 
