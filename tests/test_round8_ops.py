@@ -187,3 +187,55 @@ def test_mmr_matches_numpy_greedy(spark):
     # fixture's top-30 contains near-duplicates the re-ranker demotes)
     plain = [int(cid[p]) for p in range(MMR_K)]
     assert [v for _, v, _ in got] != plain
+
+
+# -------------------------------------------- capped co-purchase projection
+
+
+def test_copurchase_capped_matches_python_recount(spark):
+    """External anchor: recompute the capped projection in pure Python
+    (group part -> sorted custkeys, truncate at CAP, count pair overlaps)
+    and assert the operator's top rows match exactly — proving both the
+    cap semantics (smallest-key sample) and the pair counting, not just
+    cross-engine parity."""
+    from collections import Counter
+    from itertools import combinations
+
+    import duckdb
+
+    from database_toolbox_spark.operators.graph import (
+        COPURCHASE_CAP,
+        COPURCHASE_MIN_SHARED,
+        COPURCHASE_TOP,
+        copurchase_capped_pairs,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT DISTINCT l.l_partkey, o.o_custkey "
+        f"FROM read_parquet('{SF_DIR}/lineitem.parquet') l "
+        f"JOIN read_parquet('{SF_DIR}/orders.parquet') o "
+        f"ON l.l_orderkey = o.o_orderkey"
+    ).fetchall()
+    con.close()
+    by_part: dict = {}
+    for p, c in rows:
+        by_part.setdefault(p, []).append(c)
+    counts: Counter = Counter()
+    for cs in by_part.values():
+        for a, b in combinations(sorted(cs)[:COPURCHASE_CAP], 2):
+            counts[(a, b)] += 1
+    expected = sorted(
+        ((a, b, n) for (a, b), n in counts.items()
+         if n >= COPURCHASE_MIN_SHARED),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:COPURCHASE_TOP]
+
+    got = [
+        (r.c1, r.c2, r.shared_parts)
+        for r in copurchase_capped_pairs(spark, SF_DIR).collect()
+    ]
+    assert got == expected
+    # the bound the operator exists for: no pair count can exceed the
+    # number of parts, and no part contributed more than CAP members
+    assert all(n <= len(by_part) for _, _, n in got)
