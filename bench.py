@@ -190,6 +190,7 @@ HEADLINE = [
     "char_entropy_scores",
     "mmr_diverse_topk",
     "copurchase_capped_pairs",
+    "isotonic_calibration_curve",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

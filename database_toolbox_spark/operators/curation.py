@@ -1025,13 +1025,12 @@ ORACLE["quality_signal_correlations"] = _corr_oracle()
 # --- 14. classifier calibration (reliability bins + Brier) -------------------
 
 
-def _calib_bins_sql(split, ln, uniq, filt, alpha, isect, sw_in, sw_arr) -> str:
-    """Reliability-diagram bins for the fixed-weight quality classifier
-    against the INDEPENDENT Gopher rule battery as reference label
-    (y = 1 iff all five rules pass): per p_keep decile, mean predicted
-    probability vs empirical rule-pass rate (the calibration gap — DeGroot
-    & Fienberg 1983), plus each bin's Brier contribution (Brier 1950;
-    total Brier = sum of brier_sum / sum of n_docs)."""
+def _calib_binned_ctes(split, ln, uniq, filt, alpha, isect, sw_in,
+                       sw_arr) -> str:
+    """The shared classifier-vs-rule-battery relation: per doc the
+    classifier probability p, the rule label y, and its p-decile bin —
+    the CTE prefix both classifier_calibration_bins and
+    isotonic_calibration_curve build on."""
     logit = (f"{QC_BIAS}e0 + {QC_W_TTR}e0 * ttr + {QC_W_STOP}e0"
              f" * stop_ratio + {QC_W_LEN}e0 * len_norm")
     return f"""
@@ -1071,6 +1070,17 @@ def _calib_bins_sql(split, ln, uniq, filt, alpha, isect, sw_in, sw_arr) -> str:
             SELECT least(CAST(floor(p * 10e0) AS INT), 9) AS bin, p, y
             FROM scored
         )
+    """
+
+
+def _calib_bins_sql(*args) -> str:
+    """Reliability-diagram bins for the fixed-weight quality classifier
+    against the INDEPENDENT Gopher rule battery as reference label
+    (y = 1 iff all five rules pass): per p_keep decile, mean predicted
+    probability vs empirical rule-pass rate (the calibration gap — DeGroot
+    & Fienberg 1983), plus each bin's Brier contribution (Brier 1950;
+    total Brier = sum of brier_sum / sum of n_docs)."""
+    return _calib_binned_ctes(*args) + f"""
         SELECT CAST(bin AS BIGINT) AS bin,
                CAST(count(*) AS BIGINT) AS n_docs,
                {R("avg(p)", 6)} AS mean_predicted,
@@ -1123,6 +1133,142 @@ def _calib_bins_oracle() -> str:
 
 
 ORACLE["classifier_calibration_bins"] = _calib_bins_oracle()
+
+
+# --- 14b. isotonic calibration curve (exact PAVA via minimax) -----------------
+#
+# Monotone recalibration of the quality classifier against the rule
+# battery: weighted isotonic regression of the per-decile empirical pass
+# rate (Ayer et al., Ann. Math. Stat. 1955 — the pool-adjacent-violators
+# fit), computed by the EXACT minimax identity
+#     iso[i] = max_{j<=i} min_{k>=i} Av(j..k),
+#     Av(j..k) = sum_{l=j..k} w_l y_l / sum_{l=j..k} w_l
+# which needs no sequential pooling loop: with B = 10 decile bins the
+# whole fit is a bounded triple fold over prefix-sum arrays (<= B^3
+# evaluations on a ONE-ROW relation) — the same bounded-fold pattern as
+# mmr_diverse_topk, exactly replayable in both engines. This is the
+# post-hoc calibrator you apply before using p_keep as a sampling weight;
+# classifier_calibration_bins DIAGNOSES miscalibration, this op FIXES it.
+
+
+def _iso_tail_sql(ordl, tf, amin, amax, prep0, agg_prefix, el, seq,
+                  explode) -> str:
+    """Isotonic tail over the shared `binned` relation. Dialect hooks:
+    ordl(v) = bin-ordered list collect; agg_prefix(arr) = prefix-sum
+    array; el(arr, i) = 1-based indexing; seq(a, b) = inclusive integer
+    sequence; explode = the 1..n positions lateral."""
+    avjk = (f"({el('cy', 'k + 1')} - {el('cy', 'j')})"
+            f" / ({el('cw', 'k + 1')} - {el('cw', 'j')})")
+    return f"""
+        bins AS (
+            SELECT bin, count(*) * 1e0 AS wn, avg(y * 1e0) AS o,
+                   avg(p) AS mp, count(*) * avg(y * 1e0) AS wy
+            FROM binned GROUP BY bin
+        ),
+        arrs AS (
+            SELECT {ordl('bin')} AS bs, {ordl('wn')} AS ws,
+                   {ordl('o')} AS os, {ordl('mp')} AS mps,
+                   {ordl('wy')} AS wys,
+                   CAST(count(*) AS INT) AS n
+            FROM bins
+        ),
+        pre AS (
+            SELECT bs, ws, os, mps, n,
+                   {prep0(agg_prefix('ws'))} AS cw,
+                   {prep0(agg_prefix('wys'))} AS cy
+            FROM arrs
+        ),
+        fit AS (
+            SELECT bs, ws, os, mps, n,
+                   {tf}({seq('1', 'n')}, i ->
+                       {amax}({tf}({seq('1', 'i')}, j ->
+                           {amin}({tf}({seq('i', 'n')}, k ->
+                               {avjk}))))) AS iso
+            FROM pre
+        )
+        SELECT CAST({el('bs', 'r')} AS BIGINT) AS bin,
+               CAST({el('ws', 'r')} AS BIGINT) AS n_docs,
+               {R(el('mps', 'r'), 6)} AS mean_predicted,
+               {R(el('os', 'r'), 6)} AS raw_rate,
+               {R(el('iso', 'r'), 6)} AS iso_rate
+        FROM fit {explode}
+        ORDER BY bin
+    """
+
+
+def isotonic_calibration_curve(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Weighted isotonic recalibration of the quality classifier's decile
+    reliability curve (see the section comment: exact PAVA via the
+    minimax identity, a bounded fold — no sequential pooling loop).
+
+    Scale shape: the corpus pass is the SAME single projection + 10-group
+    rollup as classifier_calibration_bins; the isotonic fit then runs on
+    a one-row array relation (<= B^3 = 1000 interpreted evaluations) —
+    model-fit cost is constant at any corpus size."""
+    load_tables(spark, sf_dir)
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    sw = _sql_list(STOPWORDS)
+    head = _calib_binned_ctes(
+        "split(text, ' ')", "size", "size(array_distinct(w))", "filter",
+        "t RLIKE '[a-z]'", "array_intersect", sw, f"array({sw})",
+    )
+    tail = _iso_tail_sql(
+        ordl=lambda v: ("transform(array_sort(collect_list("
+                        f"struct(bin AS k, {v} AS vv))), s -> s.vv)"),
+        tf="transform",
+        amin="array_min",
+        amax="array_max",
+        prep0=lambda x: f"concat(array(CAST(0 AS DOUBLE)), {x})",
+        agg_prefix=lambda a: (
+            f"transform(sequence(1, n), m -> aggregate(slice({a}, 1, m),"
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+        ),
+        el=lambda a, i: f"element_at({a}, {i})",
+        seq=lambda a, b: f"sequence({a}, {b})",
+        explode="LATERAL VIEW explode(sequence(1, n)) t AS r",
+    )
+    return spark.sql(head + "," + tail)
+
+
+QUERIES["isotonic_calibration_curve"] = isotonic_calibration_curve
+
+
+def _iso_oracle() -> str:
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    sw = _sql_list(STOPWORDS)
+    head = _calib_binned_ctes(
+        "string_split(text, ' ')", "len", "len(list_distinct(w))",
+        "list_filter", "regexp_matches(t, '[a-z]')", "list_intersect",
+        sw, f"[{sw}]",
+    )
+    tail = _iso_tail_sql(
+        ordl=lambda v: f"list({v} ORDER BY bin)",
+        tf="list_transform",
+        amin="list_min",
+        amax="list_max",
+        prep0=lambda x: f"list_prepend(CAST(0 AS DOUBLE), {x})",
+        agg_prefix=lambda a: (
+            f"list_transform(range(1, n + 1),"
+            f" m -> list_aggregate({a}[1:m], 'sum'))"
+        ),
+        el=lambda a, i: f"{a}[{i}]",
+        seq=lambda a, b: f"range({a}, {b} + 1)",
+        explode=("CROSS JOIN LATERAL"
+                 " (SELECT unnest(range(1, fit.n + 1))) u(r)"),
+    )
+    return head + "," + tail
+
+
+ORACLE["isotonic_calibration_curve"] = _iso_oracle()
 
 
 # --- 15. filter agreement (Cohen's kappa) ------------------------------------

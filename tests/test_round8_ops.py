@@ -239,3 +239,52 @@ def test_copurchase_capped_matches_python_recount(spark):
     # the bound the operator exists for: no pair count can exceed the
     # number of parts, and no part contributed more than CAP members
     assert all(n <= len(by_part) for _, _, n in got)
+
+
+# -------------------------------------------- isotonic calibration (PAVA)
+
+
+def test_isotonic_matches_pava(spark):
+    """External anchor: a classic sequential pool-adjacent-violators
+    implementation must reproduce the SQL minimax fit exactly (the two are
+    provably equal; this checks the SQL spelled the identity right), plus
+    the isotonic invariants: monotone non-decreasing and weighted-mean
+    preserving."""
+    from database_toolbox_spark.operators.curation import (
+        isotonic_calibration_curve,
+    )
+
+    rows = isotonic_calibration_curve(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    w = [r.n_docs for r in rows]
+    y = [r.raw_rate for r in rows]
+
+    # sequential weighted PAVA over the same (rounded) inputs
+    pools = []  # [weight, weighted_sum, n_bins]
+    for wi, yi in zip(w, y):
+        pools.append([float(wi), float(wi) * yi, 1])
+        while len(pools) > 1 and (
+            pools[-2][1] / pools[-2][0] > pools[-1][1] / pools[-1][0]
+        ):
+            b = pools.pop()
+            pools[-1][0] += b[0]
+            pools[-1][1] += b[1]
+            pools[-1][2] += b[2]
+    fitted = []
+    for pw, ps, nb in pools:
+        fitted.extend([ps / pw] * nb)
+
+    import math
+
+    got = [r.iso_rate for r in rows]
+    exp = [math.floor(v * 1e6 + 0.501) / 1e6 for v in fitted]
+    # the SQL fits on UNROUNDED rates; raw_rate is rounded at 1e-6, so
+    # allow one grid step of slack between the two derivations
+    assert all(abs(g - e) <= 2e-6 for g, e in zip(got, exp)), (got, exp)
+    # invariants on the emitted curve itself
+    assert all(got[i] <= got[i + 1] + 1e-9 for i in range(len(got) - 1))
+    tw = sum(w)
+    assert abs(
+        sum(wi * gi for wi, gi in zip(w, got)) / tw
+        - sum(wi * yi for wi, yi in zip(w, y)) / tw
+    ) < 5e-6
