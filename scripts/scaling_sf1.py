@@ -725,17 +725,13 @@ _MD_HEADER = "## sf0.1 -> sf~1 (10x synthetic, asserted growth algebra)"
 
 
 def _update_scaling_md(rows_out, failures) -> None:
+    from _scaling_md import replace_section
+
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALING.md",
     )
-    with open(path) as f:
-        text = f.read()
-    if _MD_HEADER in text:
-        text = text[: text.index(_MD_HEADER)].rstrip() + "\n"
     lines = [
-        "",
-        _MD_HEADER,
         "",
         "Generated by `python scripts/scaling_sf1.py`. The ~sf1 corpus is",
         "derived from sf0.1 with CLOSED-FORM growth: token-bijection",
@@ -776,9 +772,7 @@ def _update_scaling_md(rows_out, failures) -> None:
         if not failures
         else "FAILURES: " + "; ".join(failures)
     )
-    lines.append("")
-    with open(path, "w") as f:
-        f.write(text + "\n".join(lines))
+    replace_section(path, _MD_HEADER, lines)
 
 
 if __name__ == "__main__":
