@@ -123,13 +123,13 @@ SUSPECTS = [
     # and the DiD estimate must be untouched by dim-orphan
     # replica facts (did10 — the customer dim is deliberately not
     # replicated).
-    # NOT asserted here: the customer co-purchase PROJECTION ops
-    # (local_clustering_coefficient, link_prediction_scores) — replicas
-    # share the part catalog, so cross-replica co-purchase edges grow
-    # the projection ~quadratically. That is a real property of
-    # co-occurrence projections over a fixed catalog (the documented
-    # 100 TB cap point), not an implementation defect; measuring it at
-    # 10x would dominate the script's runtime.
+    # NOT asserted here: link_prediction_scores — its co-purchase
+    # projection is uncapped, so cross-replica edges grow it
+    # ~quadratically under the shared part catalog (the documented
+    # co-occurrence-projection property); measuring it at 10x would
+    # dominate the script's runtime. local_clustering_coefficient used
+    # to sit in the same bucket until round 9 threaded the per-part
+    # LCC_CAP into its projection — see capbound below.
     # entlin (round 8): exact10 rows AND time_ratio <= 10 — the corpus
     # grows 13.3x in BYTES (every token gains an '_r' suffix), so a
     # sub-10x time at 10x rows proves the rewrite is sub-linear-in-rows
@@ -182,6 +182,13 @@ SUSPECTS = [
     # keeps exactly the base customers and the bounded pair work — the
     # direct counter-demonstration.
     ("copurchase_capped_pairs", "capinv"),
+    # round-9: LCC now runs the CAPPED projection (graph.LCC_CAP smallest
+    # custkeys per part before pairing). capbound = the examined-pair
+    # work sum C(min(n, CAP), 2) must SATURATE to exactly
+    # n_parts * C(CAP, 2) on the 10x replicas (every part's customer
+    # list is >= CAP there) and stay <= 1.2x the sf0.1 value — 10x data,
+    # ~1.03x pair work; the uncapped sum C(n, 2) would grow ~100x.
+    ("local_clustering_coefficient", "capbound"),
     ("capture_recapture_estimate", "mix10"),
     ("logrank_test_segments", "mix10"),
     ("quantile_normalization_by_source", "mix10"),
@@ -325,6 +332,9 @@ TIME_LINEAR = {
     "dsir_importance_weights": 10.0,
     "rake_keyword_scores": 10.0,
     "graph_degree_assortativity": 8.0,
+    # capbound: pair work saturates at ~1.03x, the remaining cost is the
+    # 10x distinct/window over cp — linear envelope with jitter headroom
+    "local_clustering_coefficient": 10.0,
 }
 
 # modes whose assertion compares full collected results, not counts
@@ -521,6 +531,14 @@ def measure(spark, queries, sf_dir):
             # banded-join candidate volume over the CURRENT documents
             # view (load_tables above pointed it at sf_dir)
             out[name]["candidates"] = simhash_band_candidate_count(spark)
+        if mode == "capbound":
+            from database_toolbox_spark.operators.graph import (
+                lcc_examined_pairs,
+            )
+
+            examined, n_parts = lcc_examined_pairs(spark)
+            out[name]["examined"] = examined
+            out[name]["n_parts"] = n_parts
     return out
 
 
@@ -687,6 +705,24 @@ def main() -> int:
             failures.extend(
                 _mix10_check(name, s["collected"], b["collected"])
             )
+        elif mode == "capbound":
+            from database_toolbox_spark.operators.graph import LCC_CAP
+
+            sat = b["n_parts"] * (LCC_CAP * (LCC_CAP - 1) // 2)
+            rows_out[name]["examined_small"] = s["examined"]
+            rows_out[name]["examined_big"] = b["examined"]
+            if b["examined"] != sat:
+                failures.append(
+                    f"{name}: capped examined-pair work {b['examined']} "
+                    f"!= saturation bound {sat} "
+                    f"({b['n_parts']} parts * C({LCC_CAP},2))"
+                )
+            if b["examined"] > 1.2 * s["examined"]:
+                failures.append(
+                    f"{name}: capped examined-pair work grew "
+                    f"{s['examined']} -> {b['examined']} (> 1.2x) at "
+                    f"{R}x corpus"
+                )
         elif mode == "capinv":
             if [tuple(r) for r in s["collected"]] != [
                 tuple(r) for r in b["collected"]
@@ -754,7 +790,11 @@ def _update_scaling_md(rows_out, failures) -> None:
         "others replica-invariant (dim-orphan joins, shared part",
         "catalog); entlin = exact-10x rows AND time ratio <= 10 at 10x",
         "rows / 13.3x corpus bytes — the sub-linear-in-rows assertion",
-        "for the round-8 shuffle-free char-entropy rewrite; report =",
+        "for the round-8 shuffle-free char-entropy rewrite; capinv =",
+        "capped co-purchase output byte-identical at 10x; capbound =",
+        "the capped LCC projection's examined-pair work saturates to",
+        "exactly n_parts * C(LCC_CAP, 2) and stays <= 1.2x sf0.1's —",
+        "10x data, ~1.03x pair work; report =",
         "documented anti-pattern demo or non-pair query).",
         "",
         "| query | mode | sf0.1 s | sf~1 s | time ratio | sf0.1 pairs |"

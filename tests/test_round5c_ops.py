@@ -285,6 +285,7 @@ def test_kneser_ney_matches_python_replay(spark):
 
 def test_lcc_matches_brute_force(spark):
     from database_toolbox_spark.operators.graph import (
+        LCC_CAP,
         LCC_MIN_DEG,
         LCC_MIN_SHARED,
         LCC_TOP,
@@ -300,7 +301,8 @@ def test_lcc_matches_brute_force(spark):
     ].drop_duplicates()
     shared = Counter = {}
     for _, g in cp.groupby("l_partkey")["o_custkey"]:
-        cs = sorted(g)
+        # capped projection: per part only the LCC_CAP smallest custkeys
+        cs = sorted(g)[:LCC_CAP]
         for i, a in enumerate(cs):
             for b in cs[i + 1:]:
                 shared[(a, b)] = shared.get((a, b), 0) + 1
