@@ -679,31 +679,36 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM pairs
         ),
         sel AS (
+            -- n < 2 guard (round-9 ADVICE): Spark sequence(2, m) AUTO-
+            -- REVERSES when m < 2 ([2,1] / [2,1,0]), so an unguarded
+            -- fold would append NULL picks on 0-1 candidates; the CASE
+            -- makes the degenerate corpora explicit instead
             SELECT ids, rels,
-                   aggregate(
-                       sequence(2, least({MMR_K}, n)),
-                       array(1),
-                       (se, t) -> array_append(se, CAST(
-                           -(array_max(transform(
-                               filter(sequence(1, n),
-                                      p -> NOT array_contains(se, p)),
-                               p -> struct(
-                                   7 * element_at(rels, p)
-                                   - 3 * array_max(transform(se,
-                                         s -> element_at(sims,
-                                                  (p - 1) * n + s)))
-                                       AS sc,
-                                   -p AS np)
-                           ))).np AS INT))
-                   ) AS picks
+                   CASE
+                       WHEN n >= 2 THEN aggregate(
+                           sequence(2, least({MMR_K}, n)),
+                           array(1),
+                           (se, t) -> array_append(se, CAST(
+                               -(array_max(transform(
+                                   filter(sequence(1, n),
+                                          p -> NOT array_contains(se, p)),
+                                   p -> struct(
+                                       7 * element_at(rels, p)
+                                       - 3 * array_max(transform(se,
+                                             s -> element_at(sims,
+                                                      (p - 1) * n + s)))
+                                           AS sc,
+                                       -p AS np)
+                               ))).np AS INT)))
+                       WHEN n = 1 THEN array(1)
+                       ELSE CAST(array() AS ARRAY<INT>)
+                   END AS picks
             FROM arr1 CROSS JOIN arr2
         )
-        SELECT CAST(t.r AS BIGINT) AS mmr_rank,
-               element_at(ids, element_at(picks, CAST(t.r AS INT)))
-                   AS vec_id,
-               element_at(rels, element_at(picks, CAST(t.r AS INT)))
-                   AS relevance_micros
-        FROM sel LATERAL VIEW explode(sequence(1, size(picks))) t AS r
+        SELECT CAST(t.i + 1 AS BIGINT) AS mmr_rank,
+               element_at(ids, t.pick) AS vec_id,
+               element_at(rels, t.pick) AS relevance_micros
+        FROM sel LATERAL VIEW posexplode(picks) t AS i, pick
         ORDER BY mmr_rank
     """)
 
@@ -765,21 +770,28 @@ def _mmr_duck_sql() -> str:
             FROM pairs
         ),
         sel AS (
+            -- n < 2 guard mirrors the Spark side (DuckDB's range(2, m+1)
+            -- is already empty for m < 2, but list_reduce still needs a
+            -- defined [1] seed and n = 0 must yield zero picks)
             SELECT ids, rels,
-                   list_reduce(
-                       list_prepend([CAST(1 AS BIGINT)],
-                           list_transform(range(2, least({MMR_K}, n) + 1),
-                                          t -> [t])),
-                       (se, st) -> list_append(se,
-                           -(struct_extract(list_max(list_transform(
-                               list_filter(range(1, n + 1),
-                                           p -> NOT list_contains(se, p)),
-                               p -> {{'sc': 7 * rels[p]
-                                      - 3 * list_max(list_transform(se,
-                                            s -> sims[(p - 1) * n + s])),
-                                     'np': -p}}
-                           )), 'np')))
-                   ) AS picks
+                   CASE
+                       WHEN n >= 2 THEN list_reduce(
+                           list_prepend([CAST(1 AS BIGINT)],
+                               list_transform(
+                                   range(2, least({MMR_K}, n) + 1),
+                                   t -> [t])),
+                           (se, st) -> list_append(se,
+                               -(struct_extract(list_max(list_transform(
+                                   list_filter(range(1, n + 1),
+                                               p -> NOT list_contains(se, p)),
+                                   p -> {{'sc': 7 * rels[p]
+                                          - 3 * list_max(list_transform(se,
+                                                s -> sims[(p - 1) * n + s])),
+                                         'np': -p}}
+                               )), 'np'))))
+                       WHEN n = 1 THEN [CAST(1 AS BIGINT)]
+                       ELSE CAST([] AS BIGINT[])
+                   END AS picks
             FROM arr1, arr2
         )
         SELECT u.r AS mmr_rank,

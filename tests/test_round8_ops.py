@@ -189,6 +189,52 @@ def test_mmr_matches_numpy_greedy(spark):
     assert [v for _, v, _ in got] != plain
 
 
+def test_mmr_degenerate_candidate_counts(spark, tmp_path):
+    """Round-9 ADVICE guard: with 0 or 1 candidates the greedy fold must
+    emit exactly that many rows — Spark's sequence(2, m) auto-reverses
+    for m < 2, so the unguarded fold appended NULL picks on tiny corpora."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_toolbox_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        mmr_diverse_topk,
+    )
+
+    def make_dir(n_candidates):
+        d = tmp_path / f"sf_mmr_{n_candidates}"
+        d.mkdir()
+        for f in os.listdir(SF_DIR):
+            if f != "embeddings.parquet":
+                shutil.copyfile(os.path.join(SF_DIR, f), d / f)
+        rows = [(QUERY_VEC_ID, [1.0, 0.0, 0.5, 0.25], 0)]
+        for i in range(n_candidates):
+            rows.append((1000 + i, [0.9, 0.1 * i, 0.4, 0.3], 1))
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([r[2] for r in rows], pa.int32()),
+                }
+            ),
+            d / "embeddings.parquet",
+        )
+        return str(d)
+
+    got0 = mmr_diverse_topk(spark, make_dir(0)).collect()
+    assert got0 == []
+    got1 = mmr_diverse_topk(spark, make_dir(1)).collect()
+    assert len(got1) == 1
+    assert (got1[0].mmr_rank, got1[0].vec_id) == (1, 1000)
+    assert got1[0].relevance_micros is not None
+
+
 # -------------------------------------------- capped co-purchase projection
 
 
