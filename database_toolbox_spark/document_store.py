@@ -100,10 +100,15 @@ def list_collections(spark: SparkSession, parent_path: str = "") -> DataFrame:
     )
 
 
-def _typed_id(spark: SparkSession, collection: str, raw: str) -> list[Any]:
+def _typed_id(
+    collection: str, raw: str, schema: dict[str, str]
+) -> list[Any]:
     """Parse a path id segment into typed key values (ints for integer key
     columns) so the IN predicate stays pushdown-eligible — comparing a cast
-    column to strings would block parquet filter pushdown."""
+    column to strings would block parquet filter pushdown. `schema` is the
+    collection's column->simpleString map, resolved ONCE per collection by
+    the caller (round-9 ADVICE: re-reading spark.table().schema per path
+    made a batch lookup do O(paths) catalog round trips)."""
     id_cols = COLLECTION_IDS[collection]
     parts = raw.split("-", len(id_cols) - 1)
     if len(parts) != len(id_cols):
@@ -111,8 +116,6 @@ def _typed_id(spark: SparkSession, collection: str, raw: str) -> list[Any]:
             f"document id {raw!r} does not match key shape "
             f"{'-'.join(id_cols)} of collection {collection!r}"
         )
-    schema = {f.name: f.dataType.simpleString()
-              for f in spark.table(collection).schema.fields}
     out: list[Any] = []
     for col, part in zip(id_cols, parts):
         if schema[col] in ("bigint", "int", "smallint", "tinyint"):
@@ -149,12 +152,18 @@ def get_documents(spark: SparkSession, document_paths: str) -> DataFrame:
         raise ValueError("document_paths is empty")
 
     by_coll: dict[str, list[list[Any]]] = {}
+    schemas: dict[str, dict[str, str]] = {}
     for p in paths:
         coll, _, raw = p.partition("/")
         if coll in COLLECTION_IDS and raw and _registered(spark, coll):
+            if coll not in schemas:
+                schemas[coll] = {
+                    f.name: f.dataType.simpleString()
+                    for f in spark.table(coll).schema.fields
+                }
             try:
                 by_coll.setdefault(coll, []).append(
-                    _typed_id(spark, coll, raw)
+                    _typed_id(coll, raw, schemas[coll])
                 )
             except ValueError:
                 pass  # malformed id → lookup miss
@@ -208,6 +217,56 @@ def get_documents(spark: SparkSession, document_paths: str) -> DataFrame:
     )
 
 
+def _typed_lit(types: dict, field: str, value: Any):
+    """Bind one filter value as a typed literal: string values targeting
+    temporal columns are cast to the column type so the comparison stays
+    a pushable predicate on the native type."""
+    t = types[field].simpleString()
+    if isinstance(value, str) and t in ("timestamp", "timestamp_ntz",
+                                        "date"):
+        return F.lit(value).cast(types[field])
+    return F.lit(value)
+
+
+def _apply_filters(
+    df: DataFrame, types: dict, filters: str, collection: str
+) -> DataFrame:
+    """Validate and apply the structured filter triples (shared by
+    query_collection and aggregate_collection). in/not-in bind each list
+    element through the same typed-literal path as the scalar ops
+    (round-9 ADVICE: the two op families used to type temporal values
+    inconsistently)."""
+    if not filters:
+        return df
+    spec = json.loads(filters)
+    if not isinstance(spec, list):
+        spec = [spec]
+    for f in spec:
+        field, op, value = f["field"], f["op"], f["value"]
+        if field not in types:
+            raise ValueError(
+                f"unknown field {field!r} in collection {collection!r}"
+            )
+        if op not in _FILTER_OPS:
+            raise ValueError(
+                f"unknown filter op {op!r}; supported: {_FILTER_OPS}"
+            )
+        c = F.col(field)
+        if op == "in" or op == "not-in":
+            if not isinstance(value, list):
+                raise ValueError(f"op {op!r} needs a list value")
+            pred = c.isin([_typed_lit(types, field, v) for v in value])
+            df = df.where(~pred if op == "not-in" else pred)
+        else:
+            v = _typed_lit(types, field, value)
+            pred = {
+                "==": c == v, "!=": c != v, "<": c < v,
+                "<=": c <= v, ">": c > v, ">=": c >= v,
+            }[op]
+            df = df.where(pred)
+    return df
+
+
 def query_collection(
     spark: SparkSession,
     collection: str,
@@ -216,6 +275,8 @@ def query_collection(
     direction: str = "ASCENDING",
     limit: str = "",
     fields: str = "",
+    start_at: str = "",
+    start_after: str = "",
 ) -> DataFrame:
     """Upstream `firestore-query-collection`: filtered, ordered, limited
     read of one collection. `filters` is a JSON array of
@@ -230,7 +291,13 @@ def query_collection(
     typed literals (string values targeting timestamp/date columns are
     cast), so no caller input reaches SQL text. Returns `doc_path` plus the
     document fields as typed columns — the Spark-first document shape that
-    keeps column pruning and predicate pushdown intact."""
+    keeps column pruning and predicate pushdown intact.
+
+    Cursor pagination (upstream startAt/startAfter): `start_at` /
+    `start_after` take a JSON scalar cursor for the `order_by` field and
+    compile to a KEYSET predicate (>= / > ascending, <= / < descending) —
+    pushed to the scan like any filter, so page N costs the same as page
+    1; no OFFSET-style skip-scan anywhere."""
     if collection not in COLLECTION_IDS:
         raise ValueError(
             f"unknown collection {collection!r}; collections: "
@@ -240,41 +307,28 @@ def query_collection(
         raise ValueError(f"collection {collection!r} is not registered")
     df = spark.table(collection)
     types = {f.name: f.dataType for f in df.schema.fields}
+    df = _apply_filters(df, types, filters, collection)
 
-    def typed_lit(field: str, value: Any):
-        t = types[field].simpleString()
-        if isinstance(value, str) and t in ("timestamp", "timestamp_ntz",
-                                            "date"):
-            return F.lit(value).cast(types[field])
-        return F.lit(value)
-
-    if filters:
-        spec = json.loads(filters)
-        if not isinstance(spec, list):
-            spec = [spec]
-        for f in spec:
-            field, op, value = f["field"], f["op"], f["value"]
-            if field not in types:
-                raise ValueError(
-                    f"unknown field {field!r} in collection {collection!r}"
-                )
-            if op not in _FILTER_OPS:
-                raise ValueError(
-                    f"unknown filter op {op!r}; supported: {_FILTER_OPS}"
-                )
-            c = F.col(field)
-            if op == "in" or op == "not-in":
-                if not isinstance(value, list):
-                    raise ValueError(f"op {op!r} needs a list value")
-                pred = c.isin(value)
-                df = df.where(~pred if op == "not-in" else pred)
-            else:
-                v = typed_lit(field, value)
-                pred = {
-                    "==": c == v, "!=": c != v, "<": c < v,
-                    "<=": c <= v, ">": c > v, ">=": c >= v,
-                }[op]
-                df = df.where(pred)
+    if start_at and start_after:
+        raise ValueError("use start_at OR start_after, not both")
+    cursor = start_at or start_after
+    if cursor:
+        if not order_by:
+            raise ValueError(
+                "start_at/start_after require order_by (the cursor is a "
+                "keyset value for the ordering field)"
+            )
+        if order_by not in types:
+            raise ValueError(
+                f"unknown order_by field {order_by!r} in {collection!r}"
+            )
+        v = _typed_lit(types, order_by, json.loads(cursor))
+        c = F.col(order_by)
+        if direction == "DESCENDING":
+            pred = c < v if start_after else c <= v
+        else:
+            pred = c > v if start_after else c >= v
+        df = df.where(pred)
 
     cols = list(df.columns)
     if fields:
@@ -303,6 +357,76 @@ def query_collection(
     if limit:
         out = out.limit(int(limit))
     return out
+
+
+# Firestore aggregation-query ops (count() / sum() / avg() over a filtered
+# collection — the upstream structured aggregation surface).
+_AGG_OPS = ("count", "sum", "avg")
+
+
+def aggregate_collection(
+    spark: SparkSession,
+    collection: str,
+    aggregations: str,
+    filters: str = "",
+) -> DataFrame:
+    """Upstream Firestore aggregation query: `count()` / `sum(field)` /
+    `avg(field)` over a (optionally filtered) collection, several at once.
+
+    `aggregations` is a JSON array of {"op": "count"|"sum"|"avg",
+    "field": ..., "alias": ...} specs (field required for sum/avg; alias
+    defaults to op or op_field). Filters are the same validated
+    structured triples as query_collection. Returns exactly one row with
+    one column per aggregate.
+
+    Scale shape: filters push to the parquet scan, the aggregate is a
+    partial-aggregatable one-pass reduction (map-side combine, single
+    scalar per aggregate per partition) — the server never pages document
+    data to compute a count, which is the entire point of Firestore's
+    server-side aggregation surface."""
+    if collection not in COLLECTION_IDS:
+        raise ValueError(
+            f"unknown collection {collection!r}; collections: "
+            f"{sorted(COLLECTION_IDS)}"
+        )
+    if not _registered(spark, collection):
+        raise ValueError(f"collection {collection!r} is not registered")
+    df = spark.table(collection)
+    types = {f.name: f.dataType for f in df.schema.fields}
+    df = _apply_filters(df, types, filters, collection)
+
+    spec = json.loads(aggregations)
+    if not isinstance(spec, list):
+        spec = [spec]
+    if not spec:
+        raise ValueError("aggregations is empty")
+    aggs = []
+    numeric = ("bigint", "int", "smallint", "tinyint", "double", "float")
+    for a in spec:
+        op = a.get("op")
+        if op not in _AGG_OPS:
+            raise ValueError(
+                f"unknown aggregation op {op!r}; supported: {_AGG_OPS}"
+            )
+        field = a.get("field", "")
+        if op == "count":
+            alias = a.get("alias") or "count"
+            aggs.append(F.count(F.lit(1)).alias(alias))
+            continue
+        if field not in types:
+            raise ValueError(
+                f"unknown field {field!r} in collection {collection!r}"
+            )
+        t = types[field].simpleString()
+        if not (t in numeric or t.startswith("decimal")):
+            raise ValueError(
+                f"aggregation {op!r} needs a numeric field; "
+                f"{field!r} is {t}"
+            )
+        alias = a.get("alias") or f"{op}_{field}"
+        fn = F.sum if op == "sum" else F.avg
+        aggs.append(fn(F.col(field)).alias(alias))
+    return df.agg(*aggs)
 
 
 def get_rules(spark: SparkSession) -> DataFrame:

@@ -85,10 +85,45 @@ def docstore_list_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
     return list_collections(spark)
 
 
+def docstore_aggregate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`aggregate_collection` (upstream Firestore aggregation query):
+    count() + sum(o_totalprice) + avg(o_totalprice) over orders filtered
+    with an `in` op — exercising both the round-9 aggregation surface and
+    the typed-literal path for list filter values.
+
+    Scale shape: pushed filter → one-pass partial-aggregatable reduction
+    (map-side combine, three scalars per partition); no document rows move."""
+    from database_toolbox_spark.document_store import (  # noqa: PLC0415
+        aggregate_collection,
+    )
+
+    load_tables(spark, sf_dir)
+    df = aggregate_collection(
+        spark,
+        "orders",
+        json.dumps(
+            [
+                {"op": "count", "alias": "n_docs"},
+                {"op": "sum", "field": "o_totalprice", "alias": "sum_raw"},
+                {"op": "avg", "field": "o_totalprice", "alias": "avg_raw"},
+            ]
+        ),
+        filters=json.dumps(
+            [{"field": "o_orderstatus", "op": "in", "value": ["F", "P"]}]
+        ),
+    )
+    return df.selectExpr(
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        f"{R('sum_raw', 2)} AS sum_total_price",
+        f"{R('avg_raw', 2)} AS avg_total_price",
+    )
+
+
 QUERIES = {
     "docstore_query_orders": docstore_query_orders,
     "docstore_get_documents": docstore_get_documents,
     "docstore_list_collections": docstore_list_collections,
+    "docstore_aggregate_orders": docstore_aggregate_orders,
 }
 
 _GET_PATHS_SQL = ", ".join(f"('{p}')" for p in _GET_PATHS)
@@ -120,6 +155,13 @@ ORACLE = {
         SELECT r.doc_path, (c.doc_path IS NOT NULL) AS found
         FROM req r LEFT JOIN cand c ON c.doc_path = r.doc_path
         ORDER BY r.doc_path
+    """,
+    "docstore_aggregate_orders": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               {R('sum(o_totalprice)', 2)} AS sum_total_price,
+               {R('avg(o_totalprice)', 2)} AS avg_total_price
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'P')
     """,
     "docstore_list_collections": """
         SELECT * FROM (VALUES

@@ -1461,43 +1461,32 @@ def _char_entropy_sql(chars_src: str) -> str:
     """
 
 
-def _char_entropy_batch(texts):
-    """Vectorized per-document character histogram + Shannon entropy over
-    one Arrow batch. Codepoint stream = utf-32 view of the concatenated
-    batch; (doc << 21 | codepoint) keys (codepoints < 2^21) make ONE
-    np.unique call produce every per-doc character count; two bincounts
-    aggregate them back per doc. O(batch_bytes · log batch_bytes), all
-    numpy. The final floor(x·1e4 + 0.501)/1e4 is functions.canon_round —
-    the same grid the DuckDB oracle applies.
+# The Arrow-batch kernel lives in its own module so pickle-by-value ships
+# only the kernel, not this whole module (see _entropy_kernel.py); the
+# re-export keeps the historical import path for tests.
+from database_toolbox_spark.operators._entropy_kernel import (  # noqa: E402
+    _char_entropy_batch,
+)
 
-    Defined module-level for direct unit testing; `char_entropy_scores`
-    ships it to executors via a closure wrapper so cloudpickle serializes
-    it BY VALUE (workers may not have the package importable)."""
-    import numpy as np  # noqa: PLC0415
-    import pandas as pd  # noqa: PLC0415
+_KERNEL_REGISTERED = False
 
-    n = len(texts)
-    if n == 0:
-        return pd.DataFrame(
-            {"n_chars": [], "distinct_chars": [], "char_entropy_bits": []}
-        )
-    vals = texts.tolist()
-    lens = np.fromiter((len(s) for s in vals), np.int64, n)
-    cp = np.frombuffer(
-        "".join(vals).encode("utf-32-le"), np.uint32
-    ).astype(np.int64)
-    doc = np.repeat(np.arange(n, dtype=np.int64), lens)
-    uk, cnt = np.unique((doc << 21) | cp, return_counts=True)
-    udoc = uk >> 21
-    # H = log2(N) - (1/N)·sum(n_i·log2(n_i)) == -sum(p_i·log2(p_i))
-    acc = np.bincount(udoc, weights=cnt * np.log2(cnt), minlength=n)
-    dc = np.bincount(udoc, minlength=n)
-    safe = np.maximum(lens, 1)
-    ent = np.where(lens > 0, np.log2(safe) - acc / safe, 0.0)
-    ent = np.floor(ent * 1e4 + 0.501) / 1e4
-    return pd.DataFrame(
-        {"n_chars": lens, "distinct_chars": dc, "char_entropy_bits": ent}
+
+def _register_entropy_kernel_by_value() -> None:
+    """Idempotent: register the kernel MODULE for pickle-by-value once per
+    process (workers may not have the repo on sys.path; round-9 ADVICE —
+    the per-invocation whole-module registration shipped STOPWORDS and
+    every SQL builder with each UDF)."""
+    global _KERNEL_REGISTERED
+    if _KERNEL_REGISTERED:
+        return
+    from pyspark import cloudpickle  # noqa: PLC0415
+
+    from database_toolbox_spark.operators import (  # noqa: PLC0415
+        _entropy_kernel,
     )
+
+    cloudpickle.register_pickle_by_value(_entropy_kernel)
+    _KERNEL_REGISTERED = True
 
 
 def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1519,14 +1508,10 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-char (9.5 s at ~sf1 vs 3.0 s for this UDF). Measured here:
     4.97x time at 13.3x corpus bytes (sub-linear; asserted by
     scripts/scaling_sf1.py mode entlin)."""
-    from pyspark import cloudpickle  # noqa: PLC0415
     from pyspark.sql import functions as F  # noqa: PLC0415
     from pyspark.sql import types as T  # noqa: PLC0415
 
-    import database_toolbox_spark.operators.text as _self  # noqa: PLC0415
-
-    # workers may not have the repo on sys.path — ship the batch fn by value
-    cloudpickle.register_pickle_by_value(_self)
+    _register_entropy_kernel_by_value()
     ent = F.pandas_udf(
         _char_entropy_batch,
         T.StructType(

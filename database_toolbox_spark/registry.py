@@ -405,9 +405,11 @@ register(
             "document fields as typed columns."
         ),
         fn=lambda spark, collection, filters="", order_by="",
-        direction="ASCENDING", limit="", fields="": _docstore(
+        direction="ASCENDING", limit="", fields="", start_at="",
+        start_after="": _docstore(
             "query_collection"
-        )(spark, collection, filters, order_by, direction, limit, fields),
+        )(spark, collection, filters, order_by, direction, limit, fields,
+          start_at, start_after),
         parameters=(
             ToolParam("collection", "string", "collection id", required=True),
             ToolParam("filters", "string", "JSON array of filter triples"),
@@ -415,6 +417,32 @@ register(
             ToolParam("direction", "string", "ASCENDING or DESCENDING"),
             ToolParam("limit", "string", "row limit"),
             ToolParam("fields", "string", "CSV projection of fields"),
+            ToolParam("start_at", "string",
+                      "JSON cursor for order_by (inclusive keyset)"),
+            ToolParam("start_after", "string",
+                      "JSON cursor for order_by (exclusive keyset)"),
+        ),
+    )
+)
+
+register(
+    ToolSpec(
+        name="aggregate_collection",
+        description=(
+            "Firestore toolset: aggregation query — count()/sum(field)/"
+            'avg(field) (JSON array of {"op","field","alias"} specs) over '
+            "an optionally filtered collection. One result row, one "
+            "column per aggregate; computed server-side, no document "
+            "paging."
+        ),
+        fn=lambda spark, collection, aggregations, filters="": _docstore(
+            "aggregate_collection"
+        )(spark, collection, aggregations, filters),
+        parameters=(
+            ToolParam("collection", "string", "collection id", required=True),
+            ToolParam("aggregations", "string",
+                      "JSON array of aggregation specs", required=True),
+            ToolParam("filters", "string", "JSON array of filter triples"),
         ),
     )
 )

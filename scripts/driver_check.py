@@ -204,9 +204,20 @@ def _update_manifest(oracle_hashes, registry_names, full_sweep):
     if not full_sweep:
         try:
             with open(MANIFEST) as f:
-                entries = json.load(f).get("queries", {})
+                loaded = json.load(f)
         except (OSError, ValueError):
-            pass
+            loaded = {}
+        # a spot run under a DIFFERENT sf_dir must not merge its hashes
+        # into a manifest recorded against other data (round-9 ADVICE:
+        # the silent merge mixed datasets while rewriting sf_dir)
+        if loaded and loaded.get("sf_dir") != SF_DIR:
+            print(
+                f"manifest sf_dir {loaded.get('sf_dir')!r} != current "
+                f"{SF_DIR!r}; skipping manifest merge (full sweep "
+                "rewrites)", file=sys.stderr,
+            )
+            return
+        entries = loaded.get("queries", {})
     entries.update(oracle_hashes)
     entries = {n: e for n, e in entries.items() if n in registry_names}
     with open(MANIFEST, "w") as f:

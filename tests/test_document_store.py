@@ -192,3 +192,123 @@ def test_composite_and_malformed_ids(spark):
     assert body["l_orderkey"] == li.l_orderkey
     assert body["l_linenumber"] == li.l_linenumber
     assert rows[1].found is False
+
+
+def test_query_collection_keyset_pagination_roundtrip(spark):
+    """Round-9: cursor pagination — page 2 via start_after(last key of
+    page 1) must continue exactly where page 1 stopped, and the inclusive
+    start_at cursor must re-include the boundary document."""
+    page1 = _call_tool(spark, "query_collection", {
+        "collection": "orders", "order_by": "o_orderkey",
+        "limit": "5", "fields": "o_orderkey",
+    })
+    assert page1["isError"] is False
+    keys1 = [json.loads(c["text"])["o_orderkey"] for c in page1["content"]]
+    assert keys1 == sorted(keys1) and len(keys1) == 5
+
+    page2 = _call_tool(spark, "query_collection", {
+        "collection": "orders", "order_by": "o_orderkey",
+        "limit": "5", "fields": "o_orderkey",
+        "start_after": json.dumps(keys1[-1]),
+    })
+    keys2 = [json.loads(c["text"])["o_orderkey"] for c in page2["content"]]
+    both = _call_tool(spark, "query_collection", {
+        "collection": "orders", "order_by": "o_orderkey",
+        "limit": "10", "fields": "o_orderkey",
+    })
+    keys_both = [json.loads(c["text"])["o_orderkey"]
+                 for c in both["content"]]
+    assert keys1 + keys2 == keys_both
+
+    incl = _call_tool(spark, "query_collection", {
+        "collection": "orders", "order_by": "o_orderkey",
+        "limit": "1", "fields": "o_orderkey",
+        "start_at": json.dumps(keys1[-1]),
+    })
+    assert json.loads(incl["content"][0]["text"])["o_orderkey"] == keys1[-1]
+
+    # descending keyset walks downward from the cursor
+    desc = _call_tool(spark, "query_collection", {
+        "collection": "orders", "order_by": "o_orderkey",
+        "direction": "DESCENDING", "limit": "3", "fields": "o_orderkey",
+        "start_after": json.dumps(keys_both[-1]),
+    })
+    dkeys = [json.loads(c["text"])["o_orderkey"] for c in desc["content"]]
+    assert dkeys == list(reversed(keys_both[-4:-1]))
+
+    # cursor without order_by is a caller error, surfaced as isError
+    bad = _call_tool(spark, "query_collection", {
+        "collection": "orders", "start_at": "5",
+    })
+    assert bad["isError"] is True
+
+
+def test_aggregate_collection_roundtrip(spark):
+    """Round-9: Firestore aggregation query — count/sum/avg over a
+    filtered collection, verified against a direct Spark recount."""
+    res = _call_tool(spark, "aggregate_collection", {
+        "collection": "orders",
+        "aggregations": json.dumps([
+            {"op": "count", "alias": "n"},
+            {"op": "sum", "field": "o_totalprice", "alias": "s"},
+            {"op": "avg", "field": "o_totalprice"},
+        ]),
+        "filters": json.dumps(
+            [{"field": "o_orderstatus", "op": "==", "value": "F"}]
+        ),
+    })
+    assert res["isError"] is False
+    row = json.loads(res["content"][0]["text"])
+    exp = spark.sql(
+        "SELECT count(*) n, sum(o_totalprice) s, avg(o_totalprice) a "
+        "FROM orders WHERE o_orderstatus = 'F'"
+    ).collect()[0]
+    assert row["n"] == exp.n
+    assert abs(row["s"] - exp.s) < 1e-6
+    assert abs(row["avg_o_totalprice"] - exp.a) < 1e-9
+
+    # validation: bad op / non-numeric field / empty list are errors
+    for args in (
+        {"collection": "orders", "aggregations": json.dumps([{"op": "max"}])},
+        {"collection": "orders", "aggregations": json.dumps(
+            [{"op": "sum", "field": "o_orderstatus"}])},
+        {"collection": "orders", "aggregations": "[]"},
+    ):
+        assert _call_tool(spark, "aggregate_collection", args)["isError"] \
+            is True
+
+
+def test_in_filter_binds_typed_temporal_literals(spark):
+    """Round-9 ADVICE: in/not-in must cast string values against temporal
+    columns like the scalar ops do — an `in` over two order dates must
+    equal the union of two == filters."""
+    from database_toolbox_spark.document_store import query_collection
+
+    d1, d2 = [
+        str(r.o_orderdate)
+        for r in spark.sql(
+            "SELECT DISTINCT o_orderdate FROM orders "
+            "ORDER BY o_orderdate LIMIT 2"
+        ).collect()
+    ]
+    got_in = query_collection(
+        spark, "orders",
+        json.dumps([{"field": "o_orderdate", "op": "in",
+                     "value": [d1, d2]}]),
+    ).count()
+    got_eq = sum(
+        query_collection(
+            spark, "orders",
+            json.dumps([{"field": "o_orderdate", "op": "==", "value": d}]),
+        ).count()
+        for d in (d1, d2)
+    )
+    assert got_in == got_eq and got_in > 0
+    # not-in is the complement over non-null dates
+    total = spark.table("orders").count()
+    got_notin = query_collection(
+        spark, "orders",
+        json.dumps([{"field": "o_orderdate", "op": "not-in",
+                     "value": [d1, d2]}]),
+    ).count()
+    assert got_notin == total - got_in
