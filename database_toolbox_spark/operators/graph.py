@@ -534,22 +534,27 @@ def hits_scores_from_edges(
     referenced exactly once (auth feeds the next hubs, hubs the next
     auth), so the lineage is a LINEAR 2*iters-join chain — no
     exponential CTE inlining, and skipping the checkpoints roughly
-    halves the wall clock; only the final pair is read twice
-    (score + total), so only it is materialized."""
+    halves the wall clock. The FINAL auth is checkpointed BEFORE the
+    last hub half-round (round-9: the final hubs used to reference the
+    lazy auth, so materializing hubs replayed the whole auth chain a
+    second time — ~2x the iteration work); the final pair is then each
+    read twice downstream (score + total), hence both materialized."""
     hubs = edges.select("src").distinct().withColumn("h", F.lit(1.0))
     auth = None
-    for _ in range(iters):
+    for i in range(iters):
         auth = (
             edges.join(hubs, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("h") * F.col("w")).alias("a"))
         )
+        if i == iters - 1:
+            auth = materialize(auth)
         hubs = (
             edges.join(auth, "dst")
             .groupBy("src")
             .agg(F.sum(F.col("a") * F.col("w")).alias("h"))
         )
-    return materialize(auth), materialize(hubs)
+    return auth, materialize(hubs)
 
 
 def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
