@@ -25,9 +25,13 @@ from database_toolbox_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# The fingerprint-gated set: the 10 most expensive headline queries of the
-# round-7 idle bench (BENCH_DETAIL.json query_median_sec) — the ones whose
-# plan shape carries the most wall-clock — plus the flagship TPC-H trio.
+# The fingerprint-gated set (round-9: widened from 13 to the top-25 bench
+# queries per the round-8 verdict): every query in the idle bench's top-20
+# by median wall-clock, the round-8 rewrites worth pinning
+# (consistent_hash_reshard_audit, brier_decomposition, psi_price_drift),
+# the verdict-named coverage gaps (minhash_near_dup_pairs, ivf_ann_topk,
+# image_decode_stats, bigram_lm_scores, cdc_chunk_dedup — a streaming-twin
+# batch plan), and the flagship TPC-H trio.
 FINGERPRINT_QUERIES = (
     "consistent_hash_reshard_audit",
     "jaccard_prefix_filter_pairs",
@@ -42,6 +46,21 @@ FINGERPRINT_QUERIES = (
     "pricing_summary",
     "regional_revenue",
     "top_revenue_orders",
+    "idf_cosine_dup_pairs",
+    "copurchase_capped_pairs",
+    "source_overlap_matrix",
+    "image_histogram_stats",
+    "image_decode_stats",
+    "winnowing_dup_pairs",
+    "jl_projection_stats",
+    "t_closeness_audit",
+    "link_prediction_scores",
+    "concurrent_sessions_peak",
+    "ndcg_ann_eval",
+    "cdc_chunk_dedup",
+    "minhash_near_dup_pairs",
+    "ivf_ann_topk",
+    "bigram_lm_scores",
 )
 
 SHOWCASE = {
