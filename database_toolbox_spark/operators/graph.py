@@ -870,18 +870,19 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the descriptive ones (LCC, k-core, LPA): rank non-edges by how much
     their neighborhoods already overlap.
 
-    Scale shape: reuses the bounded per-part projection (lcc_edges_v);
-    the wedge join costs sum over nodes of forward-degree^2 — the same
+    Scale shape: reuses the CAPPED per-part projection (round-9: the
+    same {LCC_CAP}-smallest-custkeys cap as local_clustering_coefficient
+    — this was the registry's last uncapped quadratic projection); the
+    wedge join costs sum over nodes of forward-degree^2 — the same
     budget as triangle counting — and every join is equi-keyed. The
     anti-join against the edge set and the degree joins are
-    broadcast-sized relative to the wedge stream. At 100 TB the wedge
-    stream is the explicit cap point: bound per-node degree (drop
-    super-connectors) exactly as every production link predictor does."""
+    broadcast-sized relative to the wedge stream."""
     load_tables(spark, sf_dir)
     materialize(spark.sql(f"""
         WITH parts AS (
             SELECT l.l_partkey AS p,
-                   array_sort(collect_set(o.o_custkey)) AS cs
+                   slice(array_sort(collect_set(o.o_custkey)), 1,
+                         {LCC_CAP}) AS cs
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY l.l_partkey
         )
@@ -895,11 +896,21 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_linkpred_sql("SELECT * FROM lcc_edges_v"))
 
 
+_CAPPED_CP_SQL = f"""WITH cp0 AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    cp AS (
+        SELECT c, p FROM (
+            SELECT c, p,
+                   row_number() OVER (PARTITION BY p ORDER BY c) AS rn
+            FROM cp0
+        ) r WHERE rn <= {LCC_CAP}
+    )"""
+
 QUERIES["link_prediction_scores"] = link_prediction_scores
 ORACLE["link_prediction_scores"] = _linkpred_sql(
-    "WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p "
-    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) "
-    + _LCC_EDGE_SQL.replace("cp a", "cp a").strip(),
+    _CAPPED_CP_SQL + " " + _LCC_EDGE_SQL.strip(),
     mat="MATERIALIZED ",
 )
 

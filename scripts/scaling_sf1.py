@@ -123,13 +123,12 @@ SUSPECTS = [
     # and the DiD estimate must be untouched by dim-orphan
     # replica facts (did10 — the customer dim is deliberately not
     # replicated).
-    # NOT asserted here: link_prediction_scores — its co-purchase
-    # projection is uncapped, so cross-replica edges grow it
-    # ~quadratically under the shared part catalog (the documented
-    # co-occurrence-projection property); measuring it at 10x would
-    # dominate the script's runtime. local_clustering_coefficient used
-    # to sit in the same bucket until round 9 threaded the per-part
-    # LCC_CAP into its projection — see capbound below.
+    # Round 9: BOTH co-purchase-projection ops (local_clustering_
+    # coefficient, link_prediction_scores) now run the CAPPED projection
+    # (per part, the LCC_CAP smallest custkeys before pairing), closing
+    # the registry's last uncapped quadratic-under-fixed-catalog shape.
+    # LCC carries the capbound assertion below; link prediction shares
+    # the identical projection, so one examined-pairs bound covers both.
     # entlin (round 8): exact10 rows AND time_ratio <= 10 — the corpus
     # grows 13.3x in BYTES (every token gains an '_r' suffix), so a
     # sub-10x time at 10x rows proves the rewrite is sub-linear-in-rows

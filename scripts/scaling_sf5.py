@@ -22,6 +22,15 @@ Assertions (exit non-zero on failure):
 - ivf_ann_topk: result stays TOP_K rows AND the examined-candidate bound
   (vectors in the query's probe cell, similarity.ivf_probe_count) <=
   2 * 50x + 20 — probe work grows with the CELL SHARE of the corpus.
+- ann_recall_eval / ndcg_ann_eval (round 9): the ANN QUALITY floors at
+  50x — query panel invariant, mean recall@10 / NDCG@10 within 0.15 of
+  sf0.1's (abs floor 0.5). Sound because sign-flip replicas preserve
+  within-replica cosines and replica 0 keeps the original ids, so the
+  true neighbor sets and the IVF centroid index are unchanged.
+- dsir_importance_weights / rake_keyword_scores / bigram_lm_scores
+  (round 9): the corpus-tracking report ops' second measured scale
+  point — output shape asserted (top-K fixed / per-doc exactly 50x),
+  time ratio <= 50.
 
 Appends/refreshes the "sf0.1 -> sf~5" section of SCALING.md. Run from the
 repo root on an idle machine: python scripts/scaling_sf5.py
@@ -50,7 +59,41 @@ SUSPECTS = [
     ("jaccard_prefix_filter_pairs", "exact"),
     ("minhash_near_dup_pairs", "linear"),
     ("ivf_ann_topk", "probe"),
+    # round-9: ANN QUALITY at 50x (verdict item 5) — the sign-flip
+    # replicas preserve within-replica cosines and replica 0 keeps the
+    # original vec_ids, so the query panel's true neighbors stay
+    # computable and the IVF index (centroids = replica-0 ids) is
+    # unchanged. evalfloor = per-query panel row count invariant AND the
+    # mean metric at 50x within EVAL_DROP of sf0.1's (replica vectors may
+    # enter probe cells as near-orthogonal interlopers; a structural
+    # recall collapse blows the floor).
+    ("ann_recall_eval", "evalfloor"),
+    ("ndcg_ann_eval", "evalfloor"),
+    # round-9: the report-mode corpus-size ops (verdict item 4) get their
+    # second measured scale point here. report50 = output row count
+    # invariant (top-20 / fixed source panel) AND time ratio within the
+    # linear envelope at 50x rows (~65x bytes).
+    ("dsir_importance_weights", "report50"),
+    ("rake_keyword_scores", "report50"),
+    ("bigram_lm_scores", "report50"),
 ]
+
+# evalfloor: mean-metric column per query, max allowed drop vs sf0.1, and
+# the absolute floor under it.
+EVAL_METRIC = {"ann_recall_eval": "recall_at_10",
+               "ndcg_ann_eval": "ndcg_at_10"}
+EVAL_DROP = 0.15
+EVAL_ABS_FLOOR = 0.5
+# report50: linear-envelope time bound at 50x (fixed-cost amortization
+# keeps measured ratios well under this; a super-linear op blows past it).
+REPORT50_TIME = 50.0
+# report50 row expectation: top-K reports stay fixed-size; per-doc
+# reports are exactly 50x under the token-bijection replicas.
+REPORT50_ROWS = {
+    "dsir_importance_weights": "fixed",
+    "rake_keyword_scores": "fixed",
+    "bigram_lm_scores": "x50",
+}
 
 
 def synthesize() -> None:
@@ -131,7 +174,15 @@ def measure(spark, queries, sf_dir):
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
-        out[name] = {"sec": round(best, 3), "rows": df.count()}
+        if mode == "evalfloor":
+            collected = df.collect()
+            out[name] = {"sec": round(best, 3), "rows": len(collected)}
+            col = EVAL_METRIC[name]
+            out[name]["mean_metric"] = round(
+                sum(r[col] for r in collected) / max(len(collected), 1), 4
+            )
+        else:
+            out[name] = {"sec": round(best, 3), "rows": df.count()}
         if mode == "probe":
             out[name]["probe"] = ivf_probe_count(spark)
     return out
@@ -181,6 +232,35 @@ def main() -> int:
                     f"{name}: probe-cell candidates {b['probe']} exceed "
                     f"linear headroom (2 * {R} * {s['probe']} + 20)"
                 )
+        elif mode == "evalfloor":
+            rows_out[name]["mean_small"] = s["mean_metric"]
+            rows_out[name]["mean_big"] = b["mean_metric"]
+            if b["rows"] != s["rows"]:
+                failures.append(
+                    f"{name}: query-panel row count changed "
+                    f"{s['rows']} -> {b['rows']}"
+                )
+            floor = max(EVAL_ABS_FLOOR, s["mean_metric"] - EVAL_DROP)
+            if b["mean_metric"] < floor:
+                failures.append(
+                    f"{name}: mean {EVAL_METRIC[name]} fell to "
+                    f"{b['mean_metric']} at {R}x (floor {floor}: sf0.1 "
+                    f"mean {s['mean_metric']} - {EVAL_DROP}, abs "
+                    f"{EVAL_ABS_FLOOR})"
+                )
+        elif mode == "report50":
+            want = (s["rows"] if REPORT50_ROWS[name] == "fixed"
+                    else R * s["rows"])
+            if b["rows"] != want:
+                failures.append(
+                    f"{name}: expected {REPORT50_ROWS[name]} rows "
+                    f"({want}), got {b['rows']}"
+                )
+            if rows_out[name]["time_ratio"] > REPORT50_TIME:
+                failures.append(
+                    f"{name}: time ratio {rows_out[name]['time_ratio']} "
+                    f"exceeds linear envelope {REPORT50_TIME} at {R}x rows"
+                )
     doc = {
         "sf_small": 0.1,
         "sf_big": f"~5 ({R}x synthetic, known growth algebra)",
@@ -211,17 +291,24 @@ def _update_scaling_md(rows_out, failures) -> None:
         "IVF centroids and query are unchanged). exact = pair count must",
         "equal 50x; linear = banding-reroll headroom 1.5x; probe = top-k",
         "row count invariant AND probe-cell candidate count within 2x of",
-        "linear (the examined-candidate work bound).",
+        "linear (the examined-candidate work bound); evalfloor = query",
+        "panel invariant AND mean recall@10 / NDCG@10 at 50x within 0.15",
+        "of sf0.1's (abs floor 0.5) — the ANN QUALITY assertion at scale;",
+        "report50 = output shape asserted (top-K fixed / per-doc exactly",
+        "50x) AND time ratio <= 50",
+        "(the linear envelope for the corpus-tracking report ops).",
         "",
         "| query | mode | sf0.1 s | sf~5 s | time ratio | sf0.1 rows |"
-        " sf~5 rows | probe small | probe big |",
+        " sf~5 rows | probe/mean small | probe/mean big |",
         "|---|---|---|---|---|---|---|---|---|",
     ]
     for name, r in rows_out.items():
+        aux_s = r.get("probe_small", r.get("mean_small", ""))
+        aux_b = r.get("probe_big", r.get("mean_big", ""))
         lines.append(
             f"| {name} | {r['mode']} | {r['sf0.1_sec']} | {r['sf5_sec']} |"
             f" {r['time_ratio']} | {r['sf0.1_rows']} | {r['sf5_rows']} |"
-            f" {r.get('probe_small', '')} | {r.get('probe_big', '')} |"
+            f" {aux_s} | {aux_b} |"
         )
     lines.append("")
     lines.append(

@@ -470,6 +470,7 @@ def test_char_entropy_matches_python(spark):
 
 def test_link_prediction_matches_brute_force(spark):
     from database_toolbox_spark.operators.graph import (
+        LCC_CAP,
         LCC_MIN_SHARED,
         LINKPRED_TOP,
         link_prediction_scores,
@@ -487,7 +488,8 @@ def test_link_prediction_matches_brute_force(spark):
     ].drop_duplicates()
     shared = {}
     for _, g in cp.groupby("l_partkey")["o_custkey"]:
-        cs = sorted(g)
+        # capped projection: per part only the LCC_CAP smallest custkeys
+        cs = sorted(g)[:LCC_CAP]
         for i, a in enumerate(cs):
             for b in cs[i + 1:]:
                 shared[(a, b)] = shared.get((a, b), 0) + 1
