@@ -1994,3 +1994,126 @@ ORACLE["lsh_candidate_budget"] = _lsh_budget_sql(
     lambda a, b: f"({a} || {b})",
     "//",
 )
+
+
+# --- LSH banding planner ----------------------------------------------------
+#
+# The design-time companion to minhash_near_dup_pairs: given a fixed
+# signature budget of PLANNER_HASHES minhashes, every (bands, rows) split
+# trades false positives against false negatives through the S-curve
+# P(candidate | J = s) = 1 - (1 - s^r)^b (Leskovec-Rajaraman-Ullman, MMDS
+# ch. 3.4.2). This op evaluates EVERY split against (a) the corpus's own
+# exact near-dup truth set (expected recall and the worst true pair's
+# detection probability — the numbers that tell you which banding would
+# lose YOUR duplicates) and (b) the analytic curve (false-positive /
+# false-negative areas on a 200-point midpoint grid around the tau
+# threshold) — the report a pipeline owner reads before committing a 100 TB
+# dedup pass to one banding.
+
+PLANNER_HASHES = 64
+_PLANNER_GRID = [(1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2),
+                 (64, 1)]
+_PLANNER_VALUES = ", ".join(f"({b}, {r})" for b, r in _PLANNER_GRID)
+
+
+def _planner_cols(p_of, fold_grid, js_len):
+    """Shared column expressions: p_of(x) -> detect-prob SQL for jaccard
+    expr x; fold_grid(lo, hi, body) -> deterministic sequential sum of
+    body(k) over the midpoint grid k in [lo, hi]; js_len -> array length
+    expr. Both engines fold arrays in identical element order, so every
+    float accumulates identically (group-sum merge order is
+    nondeterministic in Spark — the fold is the determinism guarantee)."""
+    s = "((k - 0.5e0) / 200)"
+    return f"""
+        CAST(g.b AS BIGINT) AS bands,
+        CAST(g.r AS BIGINT) AS rows_per_band,
+        {R("pow(1e0 / g.b, 1e0 / g.r)", 6)} AS est_threshold,
+        CASE WHEN {js_len} = 0 THEN NULL ELSE
+            {R(f"{fold_grid('js', p_of('j'))} / {js_len}", 6)}
+        END AS expected_recall,
+        CASE WHEN {js_len} = 0 THEN NULL ELSE
+            {R(p_of("__MINJ__"), 6)}
+        END AS worst_pair_detect,
+        {R(f"{fold_grid('lo', p_of(s))} / 200", 6)} AS fp_area,
+        {R(f"{fold_grid('hi', '1e0 - (' + p_of(s) + ')')} / 200", 6)}
+            AS fn_area
+    """
+
+
+def lsh_banding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-parameter frontier for a {PLANNER_HASHES}-minhash budget:
+    one row per (bands, rows_per_band) split with the S-curve's estimated
+    threshold (1/b)^(1/r), the expected recall and worst-pair detection
+    probability over THIS corpus's exact near-dup truth set
+    (ngram_jaccard_pairs, J >= {JACCARD_THRESHOLD}), and the analytic
+    false-positive / false-negative areas of the curve around tau.
+
+    Scale shape: the truth relation is the existing exact similarity
+    join (bounded, already sub-quadratic via prefix filtering at scale);
+    everything after is a 7-row grid x two bounded array folds — O(1) in
+    corpus size. All float accumulation is sequential array folds in
+    identical element order on both engines (group-sum merge order is
+    nondeterministic), so the 1e-6 rounding grid compares exactly."""
+    load_tables(spark, sf_dir)
+    ngram_jaccard_pairs(spark, sf_dir).createOrReplaceTempView(
+        "lshp_pairs_v"
+    )
+
+    def p_of(x):
+        return f"(1e0 - pow(1e0 - pow({x}, g.r), g.b))"
+
+    def fold_grid(which, body):
+        rng = {"lo": "sequence(1, 100)", "hi": "sequence(101, 200)",
+               "js": "js"}[which]
+        var = "j" if which == "js" else "k"
+        return (f"aggregate({rng}, CAST(0 AS DOUBLE), "
+                f"(acc, {var}) -> acc + ({body}))")
+
+    cols = _planner_cols(p_of, fold_grid, "size(js)").replace(
+        "__MINJ__", "array_min(js)"
+    )
+    return spark.sql(f"""
+        WITH parr AS (
+            SELECT transform(
+                       array_sort(collect_list(struct(doc_a, doc_b,
+                                                      jaccard))),
+                       x -> x.jaccard) AS js
+            FROM lshp_pairs_v
+        ),
+        grid AS (
+            SELECT * FROM VALUES {_PLANNER_VALUES} AS g(b, r)
+        )
+        SELECT {cols}
+        FROM grid g CROSS JOIN parr
+        ORDER BY bands
+    """)
+
+
+def _planner_oracle() -> str:
+    def p_of(x):
+        return f"(1e0 - pow(1e0 - pow({x}, g.r), g.b))"
+
+    def fold_grid(which, body):
+        rng = {"lo": "range(1, 101)", "hi": "range(101, 201)",
+               "js": "js"}[which]
+        var = "j" if which == "js" else "k"
+        return (f"list_aggregate(list_transform({rng}, "
+                f"{var} -> ({body})), 'sum')")
+
+    cols = _planner_cols(
+        p_of, fold_grid, "coalesce(len(js), 0)"
+    ).replace("__MINJ__", "list_min(js)")
+    return f"""
+        WITH pairs AS MATERIALIZED ({_NGRAM_JACCARD_ORACLE}),
+        parr AS (
+            SELECT list(jaccard ORDER BY doc_a, doc_b) AS js FROM pairs
+        ),
+        grid(b, r) AS (VALUES {_PLANNER_VALUES})
+        SELECT {cols}
+        FROM grid g CROSS JOIN parr
+        ORDER BY bands
+    """
+
+
+QUERIES["lsh_banding_planner"] = lsh_banding_planner
+ORACLE["lsh_banding_planner"] = _planner_oracle()
