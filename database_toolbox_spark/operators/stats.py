@@ -3454,3 +3454,77 @@ def quantile_normalization_by_source(spark: SparkSession, sf_dir: str) -> DataFr
 
 QUERIES["quantile_normalization_by_source"] = quantile_normalization_by_source
 ORACLE["quantile_normalization_by_source"] = _qn_sql(_QN_DUCK_GRID)
+
+
+# --- A/B sample-size / MDE planner ---------------------------------------------------
+#
+# The experiment-DESIGN companion to ab_experiment_health / welch_ab_test:
+# before launching a test on this population, how many users per arm does
+# each minimum detectable effect (Cohen's d grid) require at alpha = 0.05
+# two-sided / 80% power, and what is the smallest effect the OBSERVED arm
+# sizes can already detect (in d units and in absolute metric units via
+# the population's own acctbal sd)? Standard normal-approximation
+# two-sample formula n/arm = 2 (z_{a/2} + z_beta)^2 / d^2 (Kohavi et al.
+# ch. 17 / any power primer). z constants are spelled as literals and
+# combined by multiplication (not pow), so both engines compute required_n
+# from bit-identical doubles and the ceil() can't straddle engines.
+
+Z_ALPHA_2 = 1.959964  # two-sided alpha = 0.05
+Z_POWER_80 = 0.841621  # power = 0.80
+_MDE_GRID = [0.02, 0.05, 0.1, 0.2, 0.3, 0.5, 0.8]
+
+
+def _sample_size_sql(h: str, grid_src: str) -> str:
+    zsum = f"({Z_ALPHA_2}e0 + {Z_POWER_80}e0)"
+    req = f"ceil(2e0 * {zsum} * {zsum} / (g.d * g.d))"
+    ach_d = f"{zsum} * sqrt(2e0 / least(s.n0, s.n1))"
+    return f"""
+        WITH armed AS (
+            SELECT c_acctbal AS x, ({h}) % 2 AS arm
+            FROM customer c
+        ),
+        s AS (
+            SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+                   sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+                   var_samp(x) AS v
+            FROM armed
+        ),
+        grid AS ({grid_src})
+        SELECT g.d AS effect_size_d,
+               CAST({req} AS BIGINT) AS required_n_per_arm,
+               CAST(s.n0 AS BIGINT) AS n_arm0,
+               CAST(s.n1 AS BIGINT) AS n_arm1,
+               {R(ach_d, 4)} AS achievable_d,
+               {R(f"({ach_d}) * sqrt(s.v)", 2)} AS achievable_abs_delta,
+               CASE WHEN least(s.n0, s.n1) >= {req} THEN 1 ELSE 0 END
+                   AS powered
+        FROM grid g CROSS JOIN s
+        ORDER BY effect_size_d
+    """
+
+
+_MDE_VALUES = ", ".join(f"({d}e0)" for d in _MDE_GRID)
+
+
+def ab_sample_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-MDE sample-size requirements and the observed arms' achievable
+    MDE on the customer population (see the section comment for the
+    formula and determinism notes).
+
+    Scale shape: one grouped pass over the dimension table (three partial
+    aggregates), then a 6-row grid cross-joined against the one-row stats
+    relation — O(1) beyond the single scan at any population size."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_sample_size_sql(
+        "CAST(conv(substring(md5(CAST(c.c_custkey AS STRING)), 1, 4), 16,"
+        " 10) AS INT)",
+        f"SELECT * FROM VALUES {_MDE_VALUES} AS g(d)",
+    ))
+
+
+QUERIES["ab_sample_size_planner"] = ab_sample_size_planner
+ORACLE["ab_sample_size_planner"] = _sample_size_sql(
+    "CAST(concat('0x', substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 4))"
+    " AS INTEGER)",
+    f"SELECT * FROM (VALUES {_MDE_VALUES}) g(d)",
+)
