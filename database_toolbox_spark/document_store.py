@@ -22,7 +22,11 @@ Design decisions (Spark-native, not a Firestore emulation):
   reference's parameterized YAML tools).
 - Writes (`add_documents` / `update_document` / `delete_documents` upstream)
   are deny-by-default through the same `StatementDenied` surface as the SQL
-  gate — this engine's sinks policy is explicit-export-only.
+  gate — this engine's sinks policy is explicit-export-only. Round-9: a
+  session may opt in (`spark.conf.set(WRITES_CONF, "session")`), which
+  executes writes as session-scoped COPY-ON-WRITE view overlays (union /
+  per-column CASE / anti-filter over the immutable parquet) — the upstream
+  tool behavior without ever touching storage.
 
 Scale shape: `query_collection` compiles to scan → pushed filters →
 optional sort → limit (TakeOrderedAndProject when both present);
@@ -453,19 +457,211 @@ def get_rules(spark: SparkSession) -> DataFrame:
     )
 
 
+# --- document writes: deny-by-default, session-overlay when opted in ---------
+#
+# Upstream ships add/update/delete document tools (README.md:792-836 env
+# contract). This engine's sinks policy is explicit-export-only, so by
+# default these raise StatementDenied exactly like a denied SQL statement.
+# Round-9: an operator can OPT IN per session
+# (spark.conf.set(WRITES_CONF, "session")), which executes writes as
+# SESSION-SCOPED copy-on-write VIEW overlays — the registered temp view is
+# replaced by a DataFrame that unions / rewrites / anti-joins rows on top
+# of the immutable parquet. Storage is never touched (the sinks policy
+# holds); a load_tables() re-register drops the overlay. This is the
+# Spark-native reading of a document write: a new logical plan over the
+# same files, not an in-place mutation.
+
+WRITES_CONF = "spark.database_toolbox.docstore.writes"
+
+
+def _writes_enabled(spark: SparkSession) -> bool:
+    return spark.conf.get(WRITES_CONF, "deny") == "session"
+
+
+def _deny(name: str) -> None:
+    cls = {"add_documents": "Insert", "update_document": "Update",
+           "delete_documents": "Delete"}.get(name, "Command")
+    raise StatementDenied(cls, f"tools/call {name}")
+
+
+def _coerce_row(types: dict, doc: dict, collection: str) -> dict:
+    """Validate a document dict against the collection schema and coerce
+    JSON scalars onto the column types (ints for integer columns, floats
+    for doubles). Unknown fields are rejected — a document store with a
+    declared schema is a table, not a blob bucket."""
+    out: dict[str, Any] = {}
+    for field, value in doc.items():
+        if field not in types:
+            raise ValueError(
+                f"unknown field {field!r} in collection {collection!r}"
+            )
+        t = types[field].simpleString()
+        if value is None:
+            out[field] = None
+        elif t in ("bigint", "int", "smallint", "tinyint"):
+            out[field] = int(value)
+        elif t in ("double", "float") or t.startswith("decimal"):
+            out[field] = float(value)
+        else:
+            out[field] = value
+    return out
+
+
+def _overlay_base(spark: SparkSession, collection: str):
+    if collection not in COLLECTION_IDS:
+        raise ValueError(
+            f"unknown collection {collection!r}; collections: "
+            f"{sorted(COLLECTION_IDS)}"
+        )
+    if not _registered(spark, collection):
+        raise ValueError(f"collection {collection!r} is not registered")
+    df = spark.table(collection)
+    types = {f.name: f.dataType for f in df.schema.fields}
+    return df, types
+
+
+def add_documents(
+    spark: SparkSession, collection: str, documents: str
+) -> DataFrame:
+    """Upstream `firestore-add-documents` (opt-in; see section comment):
+    append documents (JSON array of field dicts, key fields required) to
+    the collection's session view. Returns (doc_path, action) per added
+    document. The overlay plan is base UNION ALL new-rows — the parquet
+    scan under it is untouched and every prior pushdown still applies."""
+    if not _writes_enabled(spark):
+        _deny("add_documents")
+    df, types = _overlay_base(spark, collection)
+    docs = json.loads(documents)
+    if not isinstance(docs, list):
+        docs = [docs]
+    if not docs:
+        raise ValueError("documents is empty")
+    id_cols = COLLECTION_IDS[collection]
+    rows = []
+    for doc in docs:
+        row = _coerce_row(types, doc, collection)
+        for k in id_cols:
+            if row.get(k) is None:
+                raise ValueError(
+                    f"document is missing key field {k!r} of "
+                    f"collection {collection!r}"
+                )
+        rows.append(row)
+    new = spark.createDataFrame(
+        [tuple(r.get(c) for c in df.columns) for r in rows], df.schema
+    )
+    df.unionByName(new).createOrReplaceTempView(collection)
+    return new.select(
+        _path_col(collection, id_cols),
+        F.lit("added").alias("action"),
+    )
+
+
+def update_document(
+    spark: SparkSession, collection: str, document_path: str, fields: str
+) -> DataFrame:
+    """Upstream `firestore-update-document` (opt-in): set fields (JSON
+    dict) on the document at `document_path`. Overlay plan = base with a
+    per-column CASE on the key predicate — one projection, no shuffle.
+    Returns (doc_path, action, n_matched)."""
+    if not _writes_enabled(spark):
+        _deny("update_document")
+    coll, _, raw = document_path.partition("/")
+    if coll != collection or not raw:
+        raise ValueError(
+            f"document_path {document_path!r} is not in collection "
+            f"{collection!r}"
+        )
+    df, types = _overlay_base(spark, collection)
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key = _typed_id(collection, raw, schema)
+    id_cols = COLLECTION_IDS[collection]
+    upd = _coerce_row(types, json.loads(fields), collection)
+    for k in id_cols:
+        if k in upd:
+            raise ValueError(f"cannot update key field {k!r}")
+    pred = F.lit(True)
+    for c, v in zip(id_cols, key):
+        pred = pred & (F.col(c) == F.lit(v))
+    n = df.where(pred).count()
+    out = df.select(*[
+        F.when(pred, F.lit(upd[c]).cast(types[c])).otherwise(F.col(c))
+        .alias(c) if c in upd else F.col(c)
+        for c in df.columns
+    ])
+    out.createOrReplaceTempView(collection)
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    return spark.createDataFrame(
+        [(document_path, "updated", n)],
+        T.StructType([
+            T.StructField("doc_path", T.StringType(), False),
+            T.StructField("action", T.StringType(), False),
+            T.StructField("n_matched", T.LongType(), False),
+        ]),
+    )
+
+
+def delete_documents(
+    spark: SparkSession, collection: str, document_paths: str
+) -> DataFrame:
+    """Upstream `firestore-delete-documents` (opt-in): remove the listed
+    paths from the collection's session view. Overlay plan = base with a
+    NOT(key-in) filter (pushdown-eligible). Returns (doc_path, action)
+    per requested path."""
+    if not _writes_enabled(spark):
+        _deny("delete_documents")
+    df, types = _overlay_base(spark, collection)
+    try:
+        paths = json.loads(document_paths)
+        if not isinstance(paths, list):
+            raise ValueError
+        paths = [str(p) for p in paths]
+    except (json.JSONDecodeError, ValueError):
+        paths = [p.strip() for p in document_paths.split(",") if p.strip()]
+    if not paths:
+        raise ValueError("document_paths is empty")
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    id_cols = COLLECTION_IDS[collection]
+    pred = F.lit(False)
+    for p in paths:
+        coll, _, raw = p.partition("/")
+        if coll != collection or not raw:
+            raise ValueError(
+                f"document_path {p!r} is not in collection {collection!r}"
+            )
+        key = _typed_id(collection, raw, schema)
+        conj = F.lit(True)
+        for c, v in zip(id_cols, key):
+            conj = conj & (F.col(c) == F.lit(v))
+        pred = pred | conj
+    df.where(~pred).createOrReplaceTempView(collection)
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    return spark.createDataFrame(
+        [(p, "deleted") for p in paths],
+        T.StructType([
+            T.StructField("doc_path", T.StringType(), False),
+            T.StructField("action", T.StringType(), False),
+        ]),
+    )
+
+
 def denied_write_tool(name: str):
     """Factory for the upstream write tools (`firestore-add-documents`,
     `firestore-update-document`, `firestore-delete-documents`): registered
     so the toolset surface is complete, deny-by-default through the same
-    exception type as the SQL gate (sinks are explicit-export-only in this
-    engine; the server surfaces this as result.isError exactly like a
-    denied statement)."""
+    exception type as the SQL gate. Round-9: when the session has opted in
+    (WRITES_CONF = "session"), dispatch to the copy-on-write overlay
+    implementations above instead of denying."""
 
     def fn(spark: SparkSession, **kwargs: Any) -> DataFrame:
-        # classify as the SQL gate would: a document write is an Insert/
-        # Update/Delete on the backing table
-        cls = {"add_documents": "Insert", "update_document": "Update",
-               "delete_documents": "Delete"}.get(name, "Command")
-        raise StatementDenied(cls, f"tools/call {name}")
+        if _writes_enabled(spark):
+            impl = {"add_documents": add_documents,
+                    "update_document": update_document,
+                    "delete_documents": delete_documents}.get(name)
+            if impl is not None:
+                return impl(spark, **kwargs)
+        _deny(name)
 
     return fn

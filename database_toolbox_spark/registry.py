@@ -459,18 +459,43 @@ register(
     )
 )
 
+_WRITE_TOOL_PARAMS = {
+    "add_documents": (
+        ToolParam("collection", "string", "collection id", required=True),
+        ToolParam("documents", "string",
+                  "JSON array of document field dicts (key fields "
+                  "required)", required=True),
+    ),
+    "update_document": (
+        ToolParam("collection", "string", "collection id", required=True),
+        ToolParam("document_path", "string",
+                  "'<collection>/<id>' path of the document",
+                  required=True),
+        ToolParam("fields", "string", "JSON dict of fields to set",
+                  required=True),
+    ),
+    "delete_documents": (
+        ToolParam("collection", "string", "collection id", required=True),
+        ToolParam("document_paths", "string",
+                  "JSON array or CSV of document paths", required=True),
+    ),
+}
+
 for _wname in ("add_documents", "update_document", "delete_documents"):
     register(
         ToolSpec(
             name=_wname,
             description=(
-                "Firestore toolset (write): deny-by-default — this "
-                "deployment's document tools are read-only; sinks are "
-                "explicit writer APIs, never tools."
+                "Firestore toolset (write): deny-by-default — sinks are "
+                "explicit writer APIs, never tools. A session may opt in "
+                "(spark.conf spark.database_toolbox.docstore.writes = "
+                "'session'): writes then execute as session-scoped "
+                "copy-on-write VIEW overlays; storage is never touched."
             ),
             fn=(lambda name: (lambda spark, **kw: _docstore(
                 "denied_write_tool"
             )(name)(spark, **kw)))(_wname),
+            parameters=_WRITE_TOOL_PARAMS[_wname],
         )
     )
 

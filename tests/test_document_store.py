@@ -312,3 +312,76 @@ def test_in_filter_binds_typed_temporal_literals(spark):
                      "value": [d1, d2]}]),
     ).count()
     assert got_notin == total - got_in
+
+
+def test_write_tools_session_overlay_roundtrip(spark):
+    """Round-9: opt-in document writes execute as session-scoped
+    copy-on-write view overlays — add/update/delete visible through the
+    read tools, storage untouched, deny-by-default restored afterward."""
+    from database_toolbox_spark.document_store import WRITES_CONF
+
+    base_count = spark.table("nation").count()
+    base_rows = {r.n_nationkey for r in spark.table("nation").collect()}
+    spark.conf.set(WRITES_CONF, "session")
+    try:
+        added = _call_tool(spark, "add_documents", {
+            "collection": "nation",
+            "documents": json.dumps([
+                {"n_nationkey": 900, "n_name": "ATLANTIS",
+                 "n_regionkey": 0},
+            ]),
+        })
+        assert added["isError"] is False
+        assert json.loads(added["content"][0]["text"]) == {
+            "doc_path": "nation/900", "action": "added"}
+        got = _call_tool(spark, "get_documents",
+                         {"document_paths": "nation/900"})
+        row = json.loads(got["content"][0]["text"])
+        assert row["found"] is True and "ATLANTIS" in row["data"]
+
+        upd = _call_tool(spark, "update_document", {
+            "collection": "nation", "document_path": "nation/900",
+            "fields": json.dumps({"n_name": "ATLANTIS_RISEN"}),
+        })
+        assert json.loads(upd["content"][0]["text"])["n_matched"] == 1
+        got = _call_tool(spark, "get_documents",
+                         {"document_paths": "nation/900"})
+        assert "ATLANTIS_RISEN" in \
+            json.loads(got["content"][0]["text"])["data"]
+
+        # aggregation sees the overlay too (one more document)
+        agg = _call_tool(spark, "aggregate_collection", {
+            "collection": "nation",
+            "aggregations": json.dumps([{"op": "count", "alias": "n"}]),
+        })
+        assert json.loads(agg["content"][0]["text"])["n"] == base_count + 1
+
+        dele = _call_tool(spark, "delete_documents", {
+            "collection": "nation", "document_paths": "nation/900",
+        })
+        assert json.loads(dele["content"][0]["text"])["action"] == "deleted"
+        got = _call_tool(spark, "get_documents",
+                         {"document_paths": "nation/900"})
+        assert json.loads(got["content"][0]["text"])["found"] is False
+
+        # validation: unknown field / missing key / key update are errors
+        for name, args in (
+            ("add_documents", {"collection": "nation",
+                               "documents": json.dumps([{"bogus": 1}])}),
+            ("add_documents", {"collection": "nation",
+                               "documents": json.dumps([{"n_name": "X"}])}),
+            ("update_document", {"collection": "nation",
+                                 "document_path": "nation/0",
+                                 "fields": json.dumps({"n_nationkey": 5})}),
+        ):
+            assert _call_tool(spark, name, args)["isError"] is True
+    finally:
+        spark.conf.set(WRITES_CONF, "deny")
+        load_tables(spark, SF_DIR)
+
+    # deny-by-default restored; parquet (via reloaded views) untouched
+    denied = _call_tool(spark, "add_documents", {
+        "collection": "nation", "documents": json.dumps([{}])})
+    assert denied["isError"] is True
+    assert {r.n_nationkey for r in spark.table("nation").collect()} \
+        == base_rows
