@@ -2216,3 +2216,264 @@ ORACLE["ivf_nprobe_recall_curve"] = _nprobe_sql(
     "SELECT unnest([" + ", ".join(str(p) for p in NPROBE_LEVELS) + "]) AS np",
     materialized="MATERIALIZED",
 )
+
+
+# --- binary (sign) quantization ANN ---------------------------------------------
+# 1-bit-per-dimension codes: 64-dim float32 vectors (256 B) collapse to a
+# 64-bit signature (8 B, 32x smaller), packed as two 32-bit words so both
+# engines stay inside positive BIGINT arithmetic (the proven dHash layout,
+# operators/multimodal.py). Candidate generation is Hamming distance =
+# 2 XOR + 2 popcounts per row; only the shortlist is re-read at full
+# precision. This completes the quantization ladder SQ8 (8 bit/dim) ->
+# PQ (~1 bit/dim) -> binary (1 bit/dim, no codebook).
+BQ_RERANK = 50          # Hamming shortlist width ahead of the exact rerank
+BQ_BITS_LEVELS = (16, 32, 64)  # prefix-bit budgets for the recall curve
+
+
+def _bq_pack_spark(lo: int) -> str:
+    """32-bit sign word over dims [lo, lo+31] (1-based): bit (i-lo) set iff
+    embedding[i] > 0. try_element_at keeps short vectors NULL-safe under
+    ANSI mode (NULL > 0 is false -> bit 0)."""
+    return (
+        f"aggregate(sequence({lo}, {lo + 31}), CAST(0 AS BIGINT), "
+        "(acc, i) -> acc + CASE WHEN "
+        "CAST(try_element_at(embedding, i) AS DOUBLE) > 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), i - {lo}) "
+        "ELSE CAST(0 AS BIGINT) END)"
+    )
+
+
+def _bq_pack_duck(lo: int) -> str:
+    return (
+        f"list_aggregate(list_transform(range({lo}, {lo + 32}), "
+        "i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << (i - {lo})) "
+        "ELSE CAST(0 AS BIGINT) END), 'sum')"
+    )
+
+
+def _bq_sql(codes_body: str, xor1: str, xor2: str, cos: str,
+            materialized: str = "") -> str:
+    """Two-stage binary-quantized search: Hamming shortlist of BQ_RERANK
+    codes, exact cosine rerank of the shortlist only."""
+    return f"""
+        WITH codes AS {materialized} (
+            {codes_body}
+        ),
+        qc AS (SELECT w1 AS q1, w2 AS q2 FROM codes
+               WHERE vec_id = {QUERY_VEC_ID}),
+        short AS (
+            SELECT c.vec_id, c.label,
+                   CAST(bit_count({xor1}) + bit_count({xor2}) AS BIGINT)
+                       AS hamming64
+            FROM codes c CROSS JOIN qc q
+            WHERE c.vec_id <> {QUERY_VEC_ID}
+            ORDER BY hamming64, c.vec_id LIMIT {BQ_RERANK}
+        ),
+        qv AS (
+            SELECT embedding AS qv,
+                   {{qnorm2}} AS qnorm2
+            FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        rer AS (
+            SELECT s.vec_id, s.label, s.hamming64, {R(cos, 6)} AS cos_sim
+            FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+            CROSS JOIN qv q
+        )
+        SELECT vec_id, label, hamming64, cos_sim
+        FROM rer ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
+    """
+
+
+def bq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (sign-bit codes + Hamming shortlist + exact
+    rerank): each embedding collapses to a 64-bit sign signature; the
+    corpus is scanned as 2 XOR + 2 popcounts per row, the {BQ_RERANK}
+    Hamming-nearest codes go through an exact cosine rerank, top-{TOP_K}
+    returned. For mean-centered/isotropic embeddings sign(x)·sign(q)
+    tracks cos(x, q) (Charikar STOC'02 — Pr[sign bits agree] =
+    1 − θ/π), so the shortlist keeps the true neighbors; the rerank fixes
+    the ranking.
+
+    Scale shape: the code table is the *index* — 2 BIGINTs + label per
+    vector (32x smaller than float32) — MATERIALIZED once; the Hamming
+    scan is a pure integer projection with TakeOrderedAndProject (no
+    shuffle, no float math on the corpus path); the rerank re-reads
+    exactly {BQ_RERANK} vectors via an equi-join on vec_id. At 100 TB the
+    float vectors stay in cold storage; only codes stream through the
+    scan."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    codes = materialize(spark.sql(f"""
+        SELECT vec_id, label,
+               {_bq_pack_spark(1)} AS w1,
+               {_bq_pack_spark(33)} AS w2
+        FROM embeddings
+    """))
+    codes.createOrReplaceTempView("bq_codes_v")
+    spark_cos = (
+        "aggregate(zip_with(e.embedding, q.qv, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x) / sqrt(q.qnorm2 * "
+        "aggregate(e.embedding, CAST(0 AS DOUBLE), (acc, x) -> "
+        "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    return spark.sql(_bq_sql(
+        codes_body="SELECT * FROM bq_codes_v",
+        xor1="(c.w1 ^ q.q1)",
+        xor2="(c.w2 ^ q.q2)",
+        cos=spark_cos,
+    ).format(
+        qnorm2="aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> "
+               "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    ))
+
+
+QUERIES["bq_ann_topk"] = bq_ann_topk
+ORACLE["bq_ann_topk"] = _bq_sql(
+    codes_body=f"""SELECT vec_id, label,
+               {_bq_pack_duck(1)} AS w1,
+               {_bq_pack_duck(33)} AS w2
+        FROM embeddings""",
+    xor1="xor(c.w1, q.q1)",
+    xor2="xor(c.w2, q.q2)",
+    cos=_DUCK_RECALL_COS,
+    materialized="MATERIALIZED",
+).format(qnorm2=_DUCK_NORM2)
+
+
+def _bq_masks() -> str:
+    """(bits, mask1, mask2) rows for the prefix-bit ladder: mask1 covers
+    min(b,32) low bits of word 1, mask2 covers max(b-32,0) low bits of
+    word 2 — pure Python so both dialects receive identical literals."""
+    rows = []
+    for b in BQ_BITS_LEVELS:
+        m1 = (1 << min(b, 32)) - 1
+        m2 = (1 << max(b - 32, 0)) - 1
+        rows.append(f"({b}, CAST({m1} AS BIGINT), CAST({m2} AS BIGINT))")
+    return ", ".join(rows)
+
+
+def _bq_curve_sql(codes_body: str, xor1: str, xor2: str, cos: str,
+                  bits_rel: str, materialized: str = "") -> str:
+    """Recall@{_RECALL_K} of the two-stage binary search as a function of
+    the code's bit budget (prefix bits of the 64-bit signature): per panel
+    query and level b, the Hamming-{BQ_RERANK} shortlist under the masked
+    distance is exact-cosine reranked and its top-{_RECALL_K} compared to
+    the exact truth. The curve prices the memory/recall trade the binary
+    index makes — the binary sibling of ivf_nprobe_recall_curve."""
+    return f"""
+        WITH codes AS {materialized} (
+            {codes_body}
+        ),
+        bits AS ({bits_rel}),
+        qs AS (
+            SELECT c.vec_id AS qid, c.w1 AS q1, c.w2 AS q2,
+                   e.embedding AS qv,
+                   {{qnorm2_e}} AS qnorm2
+            FROM codes c JOIN embeddings e ON e.vec_id = c.vec_id
+            WHERE c.vec_id < {N_KNN_QUERIES}
+        ),
+        ham AS (
+            SELECT q.qid, bt.b, c.vec_id,
+                   bit_count({xor1} & bt.m1) + bit_count({xor2} & bt.m2)
+                       AS h
+            FROM codes c CROSS JOIN qs q CROSS JOIN bits bt
+            WHERE c.vec_id <> q.qid
+        ),
+        short AS (
+            SELECT qid, b, vec_id FROM (
+                SELECT qid, b, vec_id,
+                       row_number() OVER (PARTITION BY qid, b
+                           ORDER BY h, vec_id) AS rn
+                FROM ham
+            ) t WHERE rn <= {BQ_RERANK}
+        ),
+        rer AS (
+            SELECT s.qid, s.b, s.vec_id,
+                   row_number() OVER (PARTITION BY s.qid, s.b
+                       ORDER BY {R(cos, 6)} DESC, s.vec_id) AS rn
+            FROM short s
+            JOIN embeddings e ON e.vec_id = s.vec_id
+            JOIN qs q ON q.qid = s.qid
+        ),
+        approx AS (SELECT qid, b, vec_id FROM rer WHERE rn <= {_RECALL_K}),
+        exact AS (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (PARTITION BY q.qid
+                       ORDER BY {R(cos, 6)} DESC, e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN qs q
+            WHERE e.vec_id <> q.qid
+        ),
+        truth AS (SELECT qid, vec_id FROM exact WHERE rn <= {_RECALL_K}),
+        hits AS (
+            SELECT t.qid, bt.b, count(a.vec_id) AS n_hit
+            FROM truth t CROSS JOIN bits bt
+            LEFT JOIN approx a ON a.qid = t.qid AND a.b = bt.b
+                              AND a.vec_id = t.vec_id
+            GROUP BY t.qid, bt.b
+        )
+        SELECT CAST(b AS BIGINT) AS n_bits, qid,
+               CAST(n_hit AS BIGINT) AS n_hits,
+               {R(f"n_hit * 1e0 / {_RECALL_K}", 4)} AS recall_at_10
+        FROM hits ORDER BY n_bits, qid
+    """
+
+
+def bq_bits_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 per panel query at code budgets {BQ_BITS_LEVELS} bits
+    (see _bq_curve_sql): how much retrieval quality each halving of the
+    binary signature costs — run it before shrinking the code below
+    64 bits. 16 bits = 2 bytes/vector (128x smaller than float32).
+
+    Scale shape: the Hamming arm is panel x corpus x 3 masked integer
+    distances sharing ONE code-table scan (the levels ride a 3-row
+    broadcast, exactly the nprobe-ladder trick); shortlists are
+    {BQ_RERANK}-row bounded; the exact arm is the panel x corpus ground
+    truth every recall eval pays. The code table is materialized once and
+    shared with bq_ann_topk's view when both run in a session."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    codes = materialize(spark.sql(f"""
+        SELECT vec_id, label,
+               {_bq_pack_spark(1)} AS w1,
+               {_bq_pack_spark(33)} AS w2
+        FROM embeddings
+    """))
+    codes.createOrReplaceTempView("bq_curve_codes_v")
+    spark_cos = (
+        "aggregate(zip_with(e.embedding, q.qv, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x) / sqrt(q.qnorm2 * "
+        "aggregate(e.embedding, CAST(0 AS DOUBLE), (acc, x) -> "
+        "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    return spark.sql(_bq_curve_sql(
+        codes_body="SELECT * FROM bq_curve_codes_v",
+        xor1="(c.w1 ^ q.q1)",
+        xor2="(c.w2 ^ q.q2)",
+        cos=spark_cos,
+        bits_rel=f"SELECT * FROM VALUES {_bq_masks()} AS t(b, m1, m2)",
+    ).format(
+        qnorm2_e="aggregate(e.embedding, CAST(0 AS DOUBLE), (acc, x) -> "
+                 "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    ))
+
+
+QUERIES["bq_bits_recall_curve"] = bq_bits_recall_curve
+ORACLE["bq_bits_recall_curve"] = _bq_curve_sql(
+    codes_body=f"""SELECT vec_id, label,
+               {_bq_pack_duck(1)} AS w1,
+               {_bq_pack_duck(33)} AS w2
+        FROM embeddings""",
+    xor1="xor(c.w1, q.q1)",
+    xor2="xor(c.w2, q.q2)",
+    cos=_DUCK_RECALL_COS,
+    bits_rel=f"SELECT * FROM (VALUES {_bq_masks()}) AS t(b, m1, m2)",
+    materialized="MATERIALIZED",
+).format(
+    qnorm2_e="list_aggregate(list_transform(e.embedding, "
+             "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+)

@@ -96,3 +96,117 @@ def test_ab_sample_size_planner_matches_numpy(spark):
     reqs = [got[d].required_n_per_arm for d in sorted(got)]
     assert reqs == sorted(reqs, reverse=True)
     assert {got[d].powered for d in got} == {0, 1}
+
+
+# ------------------------------------------- binary-quantization ANN
+
+
+def test_bq_ann_matches_numpy_shortlist_and_rerank(spark):
+    """External anchor: recompute the sign codes, masked Hamming
+    shortlist, and exact rerank in numpy — parity alone can't prove the
+    bit packing (both engines could share a wrong shift)."""
+    import duckdb
+
+    from database_toolbox_spark.operators.similarity import (
+        BQ_RERANK,
+        QUERY_VEC_ID,
+        TOP_K,
+        bq_ann_topk,
+    )
+
+    con = duckdb.connect()
+    t = con.execute(
+        "SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = np.array([r[0] for r in t])
+    labels = {r[0]: r[1] for r in t}
+    V = np.array([r[2] for r in t], dtype=np.float64)
+    bits = (V > 0).astype(np.uint64)  # sign codes, 64 cols
+    q = bits[ids == QUERY_VEC_ID][0]
+    ham = (bits != q).sum(axis=1)
+    cand = sorted(
+        (i for i in range(len(ids)) if ids[i] != QUERY_VEC_ID),
+        key=lambda i: (ham[i], ids[i]),
+    )[:BQ_RERANK]
+    qv = V[ids == QUERY_VEC_ID][0]
+    cos = (V[cand] @ qv) / (
+        np.sqrt((V[cand] ** 2).sum(1)) * np.sqrt((qv**2).sum())
+    )
+    cos6 = np.floor(cos * 1e6 + 0.501) / 1e6
+    order = sorted(
+        range(len(cand)), key=lambda j: (-cos6[j], ids[cand[j]])
+    )[:TOP_K]
+    expected = [
+        (int(ids[cand[j]]), labels[ids[cand[j]]], int(ham[cand[j]]),
+         float(cos6[j]))
+        for j in order
+    ]
+
+    got = [
+        (r.vec_id, r.label, r.hamming64, r.cos_sim)
+        for r in bq_ann_topk(spark, SF_DIR).collect()
+    ]
+    assert got == expected
+
+
+def test_bq_bits_recall_curve_bounds_and_budget_payoff(spark):
+    from database_toolbox_spark.operators.similarity import (
+        BQ_BITS_LEVELS,
+        N_KNN_QUERIES,
+        bq_bits_recall_curve,
+    )
+
+    rows = bq_bits_recall_curve(spark, SF_DIR).collect()
+    assert len(rows) == len(BQ_BITS_LEVELS) * N_KNN_QUERIES
+    by_bits: dict[int, list[float]] = {}
+    for r in rows:
+        assert 0.0 <= r.recall_at_10 <= 1.0
+        assert r.n_hits == round(r.recall_at_10 * 10)
+        by_bits.setdefault(r.n_bits, []).append(r.recall_at_10)
+    means = {b: sum(v) / len(v) for b, v in by_bits.items()}
+    # the full 64-bit code must beat the 16-bit prefix on average (the
+    # curve exists to show the budget payoff) and retrieve usefully
+    assert means[64] > means[16]
+    assert means[64] >= 0.5
+
+
+def test_bq_codes_short_vectors_pack_null_safe(spark, tmp_path):
+    """Dims < 33 must zero word 2 (try_element_at NULL path), not raise
+    under ANSI mode — the degenerate-corpus guard."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_toolbox_spark.operators.similarity import bq_ann_topk
+
+    d = tmp_path / "sf_bq_short"
+    d.mkdir()
+    for f in os.listdir(SF_DIR):
+        if f != "embeddings.parquet":
+            shutil.copyfile(os.path.join(SF_DIR, f), d / f)
+    rows = [
+        (0, [1.0, -1.0, 0.5, 0.25], 0),
+        (1, [0.9, 0.1, 0.4, 0.3], 1),
+        (2, [-0.9, 0.2, -0.4, 0.1], 1),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    got = bq_ann_topk(spark, str(d)).collect()
+    assert [r.vec_id for r in got] == [1, 2]
+    # 4-dim signs: q=(+,-,+,+); v1=(+,+,+,+) differs in bit 2 only;
+    # v2=(-,+,-,+) differs in bits 1,2,3
+    assert [r.hamming64 for r in got] == [1, 3]
