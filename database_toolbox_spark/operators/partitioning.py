@@ -722,3 +722,79 @@ ORACLE["consistent_hash_reshard_audit"] = _ch_sql(
     ring_moved=R("mv.rm", 4),
     imb=R("loads.imbalance", 4),
 )
+
+
+# --- small-file compaction planner ---------------------------------------------
+# The OPTIMIZE/compaction scheduler every parquet lakehouse runs: tables
+# accumulate many small files (per-trigger streaming commits, fine-grained
+# partitions), and scan cost is dominated by file-open overhead once files
+# fall far below the ~128 MB scan-split sweet spot. The planner reads ONLY
+# file-level metadata (one grouped count over the facts stands in for the
+# file listing here), then assigns contiguous same-partition files to
+# target-sized output bins with a cumulative-offset rule.
+COMPACT_TARGET_BYTES = 32 * 1024   # scaled-down stand-in for ~128 MB
+COMPACT_ROW_BYTES = 120            # orders row-size estimate for the sim
+
+
+def _compaction_sql(month_expr: str) -> str:
+    """Per-status compaction plan over the simulated file inventory (one
+    'file' per (o_orderstatus, order month) — the streaming-commit grain):
+    files are packed in month order into bins of ~{COMPACT_TARGET_BYTES}
+    bytes via bin = floor(start_offset / target) on the partition-local
+    cumulative byte offset. Contiguity in month order keeps min/max
+    zone-map locality intact after the rewrite (the same reason OPTIMIZE
+    preserves sort order). Only same-partition files merge — compaction
+    never rewrites across partition boundaries."""
+    return f"""
+        WITH files AS (
+            SELECT o_orderstatus AS part, {month_expr} AS file_key,
+                   count(*) * {COMPACT_ROW_BYTES} AS bytes
+            FROM orders
+            GROUP BY o_orderstatus, {month_expr}
+        ),
+        placed AS (
+            SELECT part, file_key, bytes,
+                   SUM(bytes) OVER (PARTITION BY part ORDER BY file_key
+                       ROWS UNBOUNDED PRECEDING) - bytes AS start_off
+            FROM files
+        ),
+        binned AS (
+            SELECT part, file_key, bytes,
+                   CAST(floor(start_off * 1e0 / {COMPACT_TARGET_BYTES})
+                        AS BIGINT) AS bin_id
+            FROM placed
+        )
+        SELECT part AS partition_key, bin_id,
+               CAST(count(*) AS BIGINT) AS n_files_in,
+               CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+               CAST(sum(CASE WHEN bytes * 2 < {COMPACT_TARGET_BYTES}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_small_in,
+               min(file_key) AS first_file, max(file_key) AS last_file
+        FROM binned
+        GROUP BY part, bin_id
+        ORDER BY partition_key, bin_id
+    """
+
+
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (Delta OPTIMIZE / Iceberg rewrite_data_files
+    shape): which files merge into which target-sized output bin, per
+    partition — see _compaction_sql for the packing rule.
+
+    Scale shape: the only corpus-grain work is ONE grouped count (the
+    file-listing stand-in; a real lakehouse reads the transaction log /
+    manifest instead and touches no data at all). The plan itself runs on
+    the file-inventory relation — thousands of rows per million files —
+    with a per-partition window cumsum, so planning cost is O(files), not
+    O(bytes). That asymmetry is the point: a 100 TB table's compaction
+    schedule is computed from kilobytes of metadata."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_compaction_sql(
+        "date_format(o_orderdate, 'yyyy-MM')"
+    ))
+
+
+QUERIES["compaction_bin_packing"] = compaction_bin_packing
+ORACLE["compaction_bin_packing"] = _compaction_sql(
+    "strftime(o_orderdate, '%Y-%m')"
+)

@@ -210,3 +210,66 @@ def test_bq_codes_short_vectors_pack_null_safe(spark, tmp_path):
     # 4-dim signs: q=(+,-,+,+); v1=(+,+,+,+) differs in bit 2 only;
     # v2=(-,+,-,+) differs in bits 1,2,3
     assert [r.hamming64 for r in got] == [1, 3]
+
+
+# ------------------------------------------- compaction bin-packing planner
+
+
+def test_compaction_plan_matches_python_packing(spark):
+    """External anchor: replay the cumulative-offset packing rule in pure
+    Python from the raw orders table and compare every bin row."""
+    import duckdb
+
+    from database_toolbox_spark.operators.partitioning import (
+        COMPACT_ROW_BYTES,
+        COMPACT_TARGET_BYTES,
+        compaction_bin_packing,
+    )
+
+    con = duckdb.connect()
+    files = con.execute(
+        "SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS m, "
+        "count(*) AS n FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet') "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    con.close()
+
+    expected = {}
+    off: dict[str, int] = {}
+    for status, month, n in files:  # already (part, month)-ordered
+        bytes_ = n * COMPACT_ROW_BYTES
+        start = off.get(status, 0)
+        off[status] = start + bytes_
+        bin_id = start // COMPACT_TARGET_BYTES
+        key = (status, bin_id)
+        agg = expected.setdefault(
+            key, {"n": 0, "b": 0, "small": 0, "lo": month, "hi": month}
+        )
+        agg["n"] += 1
+        agg["b"] += bytes_
+        agg["small"] += 1 if bytes_ * 2 < COMPACT_TARGET_BYTES else 0
+        agg["lo"] = min(agg["lo"], month)
+        agg["hi"] = max(agg["hi"], month)
+
+    got = compaction_bin_packing(spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        e = expected[(r.partition_key, r.bin_id)]
+        assert (r.n_files_in, r.bin_bytes, r.n_small_in,
+                r.first_file, r.last_file) == (
+            e["n"], e["b"], e["small"], e["lo"], e["hi"]
+        )
+
+    # packing structure: bins are contiguous per partition starting at 0,
+    # and every non-final bin ends at or past the target boundary
+    # (cumulative-offset rule: a bin closes only once it crosses target)
+    by_part: dict[str, list] = {}
+    for r in sorted(got, key=lambda r: (r.partition_key, r.bin_id)):
+        by_part.setdefault(r.partition_key, []).append(r)
+    for part, rows in by_part.items():
+        assert [r.bin_id for r in rows] == list(range(len(rows)))
+        cum = 0
+        for r in rows[:-1]:
+            cum += r.bin_bytes
+            assert cum >= (r.bin_id + 1) * COMPACT_TARGET_BYTES
