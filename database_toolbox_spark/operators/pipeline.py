@@ -1330,3 +1330,75 @@ ORACLE["span_corruption_stats"] = _span_sql(
     " CAST(blk AS VARCHAR))), 1, 4)) AS INTEGER)",
     "CAST(len(string_split(text, ' ')) AS INT)",
 ).format(blk_gen=_SPAN_DUCK_BLK)
+
+
+# --- unbiased pass@k estimator ---------------------------------------------------
+# The model-eval aggregation from Chen et al., "Evaluating Large Language
+# Models Trained on Code" (arXiv:2107.03374, eq. in §2.1): with n sampled
+# attempts per problem of which c pass, the unbiased estimator of pass@k is
+# 1 - C(n-c, k)/C(n, k). Computing the binomial ratio as the telescoped
+# product prod_{i<k} (n-c-i)/(n-i) is numerically stable (every factor is
+# in [0, 1]) and hits exact 0/1 at the boundaries. Fixture mapping:
+# customer = problem, order = attempt, 'F' (finished) = pass.
+PASS_AT_K_LEVELS = (1, 5, 10)
+
+
+def _pass_at_k_sql(prod_expr: str, ks_rel: str) -> str:
+    """Mean unbiased pass@k over problems with n >= k attempts, per k.
+    The per-problem estimate is snapped to an integer micro-unit grid
+    BEFORE the cross-problem sum so the mean is an order-free integer
+    aggregate (float SUM merge order is nondeterministic across engines
+    and runs)."""
+    return f"""
+        WITH att AS (
+            SELECT o_custkey AS prob,
+                   count(*) AS n,
+                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c
+            FROM orders GROUP BY o_custkey
+        ),
+        ks AS ({ks_rel}),
+        per AS (
+            SELECT k.k, a.prob,
+                   CAST(floor({prod_expr} * 1000000e0 + 0.501e0) AS BIGINT)
+                       AS fail6
+            FROM att a CROSS JOIN ks k
+            WHERE a.n >= k.k
+        ),
+        agg AS (
+            SELECT k, count(*) AS n_problems,
+                   sum(1000000 - fail6) AS pass6
+            FROM per GROUP BY k
+        )
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(n_problems AS BIGINT) AS n_problems,
+               {R("pass6 / (1000000e0 * n_problems)", 6)} AS mean_pass_at_k
+        FROM agg ORDER BY k
+    """
+
+
+def pass_at_k_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (k in {PASS_AT_K_LEVELS}) over the customer/order
+    fixture — the estimator every sampled-eval harness aggregates with
+    (see _pass_at_k_sql; naive (c/n)^k-style plug-ins are biased for
+    small n, the telescoped-binomial form is not).
+
+    Scale shape: one grouped count over the attempts fact (map-side
+    combinable), a 3-row k-ladder broadcast, a per-(problem, k) pure
+    projection fold of <= k factors, one final grouped integer sum — no
+    window, no self-join; linear in attempts at any corpus size."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_pass_at_k_sql(
+        "aggregate(sequence(0, k.k - 1), CAST(1 AS DOUBLE), "
+        "(acc, i) -> acc * (CAST(a.n - a.c - i AS DOUBLE) / "
+        "CAST(a.n - i AS DOUBLE)))",
+        "SELECT explode(array" + str(PASS_AT_K_LEVELS) + ") AS k",
+    ))
+
+
+QUERIES["pass_at_k_estimates"] = pass_at_k_estimates
+ORACLE["pass_at_k_estimates"] = _pass_at_k_sql(
+    "list_aggregate(list_transform(range(0, k.k), "
+    "i -> CAST(a.n - a.c - i AS DOUBLE) / CAST(a.n - i AS DOUBLE)), "
+    "'product')",
+    "SELECT unnest([" + ", ".join(str(k) for k in PASS_AT_K_LEVELS) + "]) AS k",
+)

@@ -273,3 +273,50 @@ def test_compaction_plan_matches_python_packing(spark):
         for r in rows[:-1]:
             cum += r.bin_bytes
             assert cum >= (r.bin_id + 1) * COMPACT_TARGET_BYTES
+
+
+# ------------------------------------------- unbiased pass@k estimator
+
+
+def test_pass_at_k_matches_exact_binomial(spark):
+    """External anchor: recompute pass@k with exact integer binomials
+    (math.comb) — proves the telescoped product implements
+    1 - C(n-c,k)/C(n,k), which parity alone cannot."""
+    import math
+
+    import duckdb
+
+    from database_toolbox_spark.operators.pipeline import (
+        PASS_AT_K_LEVELS,
+        pass_at_k_estimates,
+    )
+
+    con = duckdb.connect()
+    probs = con.execute(
+        "SELECT count(*) AS n, "
+        "sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c "
+        f"FROM read_parquet('{SF_DIR}/orders.parquet') GROUP BY o_custkey"
+    ).fetchall()
+    con.close()
+
+    got = {r.k: r for r in pass_at_k_estimates(spark, SF_DIR).collect()}
+    assert set(got) == set(PASS_AT_K_LEVELS)
+    for k in PASS_AT_K_LEVELS:
+        elig = [(n, int(c)) for n, c in probs if n >= k]
+        assert got[k].n_problems == len(elig)
+        p6 = [
+            1_000_000
+            - math.floor(
+                (math.comb(n - c, k) / math.comb(n, k) if n - c >= k
+                 else 0.0) * 1e6 + 0.501
+            )
+            for n, c in elig
+        ]
+        expected = sum(p6) / (1e6 * len(elig))
+        assert got[k].mean_pass_at_k == math.floor(expected * 1e6 + 0.501) / 1e6
+
+    # estimator structure: pass@k is non-decreasing in k (more samples
+    # can only help), and every mean is a probability
+    ms = [got[k].mean_pass_at_k for k in sorted(got)]
+    assert all(0.0 <= m <= 1.0 for m in ms)
+    assert ms == sorted(ms)
