@@ -191,6 +191,12 @@ HEADLINE = [
     "mmr_diverse_topk",
     "copurchase_capped_pairs",
     "isotonic_calibration_curve",
+    # round-9 tranche: binary-quantization ANN + its bit-budget recall
+    # curve, lakehouse compaction planning, sampled-eval aggregation
+    "bq_ann_topk",
+    "bq_bits_recall_curve",
+    "compaction_bin_packing",
+    "pass_at_k_estimates",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

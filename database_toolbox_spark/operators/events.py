@@ -1867,3 +1867,80 @@ def position_attribution_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["position_attribution_by_day"] = position_attribution_by_day
 ORACLE["position_attribution_by_day"] = _POSITION_ATTR_SQL
+
+
+# --- CEP sequence-pattern matching ----------------------------------------------
+# MATCH_RECOGNIZE-lite (SQL:2016 row-pattern recognition, the Flink CEP
+# surface): each (user, day) event stream collapses to an ordered string of
+# event-type initials (signup/error/click/view/purchase -> s/e/c/v/p, all
+# distinct), and row patterns become plain regular expressions over that
+# string. Quantified contiguous patterns (`ee+`), gap-tolerant funnels
+# (`v[^p]*p`), and end-anchored abandonment (`c[^p]*$`) all come for free —
+# no per-pattern joins, no window chains.
+_CEP_PATTERNS = (
+    # (name, regex — RE2-safe: no lookaround, shared by Java regex + RE2)
+    ("view_to_purchase", "v[^p]*p"),
+    ("error_burst", "ee+"),
+    ("signup_then_click", "sc"),
+    ("click_abandoned", "c[^p]*$"),
+)
+
+
+def _cep_sql(seq_expr: str, count_fn) -> str:
+    """Per-pattern match census over per-(user, day) sequences: sequences
+    built once (one grouped aggregate), every pattern counted in the same
+    single pass over the sequence relation, constant-size UNION tail."""
+    counts = ", ".join(
+        f"{count_fn(pat)} AS c{i}" for i, (_, pat) in enumerate(_CEP_PATTERNS)
+    )
+    aggs = ", ".join(
+        f"sum(CASE WHEN c{i} > 0 THEN 1 ELSE 0 END) AS g{i}, "
+        f"sum(c{i}) AS m{i}"
+        for i in range(len(_CEP_PATTERNS))
+    )
+    arms = " UNION ALL ".join(
+        f"""SELECT '{name}' AS pattern,
+               CAST(g{i} AS BIGINT) AS n_streams_matched,
+               CAST(m{i} AS BIGINT) AS total_matches,
+               {R(f"g{i} * 1e0 / n_streams", 4)} AS match_rate
+        FROM agg"""
+        for i, (name, _) in enumerate(_CEP_PATTERNS)
+    )
+    return f"""
+        WITH seqs AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, {seq_expr} AS seq
+            FROM events
+            GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        cnt AS (SELECT {counts} FROM seqs),
+        agg AS (SELECT count(*) AS n_streams, {aggs} FROM cnt)
+        SELECT * FROM ({arms}) u ORDER BY pattern
+    """
+
+
+def event_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern (CEP) census over per-user-day event streams: how many
+    streams match each of {len(_CEP_PATTERNS)} funnel/burst/abandonment
+    patterns and how often (see _cep_sql). The MATCH_RECOGNIZE capability
+    re-expressed Spark-first: sequence strings + regex instead of an NFA
+    operator.
+
+    Scale shape: ONE groupBy builds each stream's initial-string (ordered
+    in-group collapse; strings are bounded by events-per-user-day, never
+    corpus-length), then all patterns evaluate in the same projection pass
+    over the stream relation — adding a pattern costs zero extra scans or
+    shuffles. The UNION tail runs on a 1-row aggregate."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_cep_sql(
+        "concat_ws('', transform(array_sort(collect_list(struct("
+        "ts, event_id, substring(event_type, 1, 1) AS ini))), "
+        "s -> s.ini))",
+        lambda pat: f"size(regexp_extract_all(seq, '{pat}', 0))",
+    ))
+
+
+QUERIES["event_pattern_matches"] = event_pattern_matches
+ORACLE["event_pattern_matches"] = _cep_sql(
+    "string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)",
+    lambda pat: f"len(regexp_extract_all(seq, '{pat}'))",
+)

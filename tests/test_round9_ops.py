@@ -320,3 +320,43 @@ def test_pass_at_k_matches_exact_binomial(spark):
     ms = [got[k].mean_pass_at_k for k in sorted(got)]
     assert all(0.0 <= m <= 1.0 for m in ms)
     assert ms == sorted(ms)
+
+
+# ------------------------------------------- CEP sequence-pattern census
+
+
+def test_event_pattern_matches_python_regex_replay(spark):
+    """External anchor: rebuild every (user, day) initial-string in Python
+    and count matches with the stdlib re module."""
+    import re as _re
+
+    import duckdb
+
+    from database_toolbox_spark.operators.events import (
+        _CEP_PATTERNS,
+        event_pattern_matches,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, event_type "
+        f"FROM read_parquet('{SF_DIR}/events.parquet') "
+        "ORDER BY user_id, d, ts, event_id"
+    ).fetchall()
+    con.close()
+    seqs: dict[tuple, list[str]] = {}
+    for uid, d, ts, eid, et in rows:
+        seqs.setdefault((uid, d), []).append(et[0])
+    strings = ["".join(v) for v in seqs.values()]
+
+    got = {r.pattern: r for r in event_pattern_matches(spark, SF_DIR).collect()}
+    assert set(got) == {name for name, _ in _CEP_PATTERNS}
+    for name, pat in _CEP_PATTERNS:
+        counts = [len(_re.findall(pat, s)) for s in strings]
+        n_matched = sum(1 for c in counts if c > 0)
+        assert got[name].n_streams_matched == n_matched
+        assert got[name].total_matches == sum(counts)
+        import math
+        assert got[name].match_rate == math.floor(
+            n_matched / len(strings) * 1e4 + 0.501
+        ) / 1e4
