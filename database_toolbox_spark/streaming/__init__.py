@@ -19,6 +19,7 @@ from database_toolbox_spark.streaming.stream_ops import (  # noqa: F401
     stream_hourly_counts,
     stream_minhash_near_dup,
     stream_ohlc_bars,
+    stream_pattern_alerts,
     stream_session_windows,
     stream_user_running_totals,
     stream_user_totals_tws,

@@ -1145,3 +1145,86 @@ def stream_srm_monitor(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming CEP row-pattern alerts ----------------------------------------
+
+_CEP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur_day", T.StringType()),
+        T.StructField("seq", T.StringType()),
+    ]
+)
+_CEP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("m_view_to_purchase", T.LongType()),
+        T.StructField("m_error_burst", T.LongType()),
+        T.StructField("m_signup_then_click", T.LongType()),
+        T.StructField("m_click_abandoned", T.LongType()),
+    ]
+)
+
+
+def stream_pattern_alerts(events: DataFrame) -> DataFrame:
+    """Streaming CEP twin of the batch row-pattern census
+    (operators/events.event_pattern_matches): per user, the current day's
+    event-initial string accumulates as keyed state (two strings per
+    user — bounded by events-per-user-day); when a later day's first
+    event arrives, the COMPLETED day is finalized — every pattern counted
+    over the full-day string — and emitted as an alert row. Day-close
+    finalization is what makes the end-anchored pattern (`c[^p]*$`)
+    well-defined mid-stream, and makes each emitted row byte-equal to the
+    batch op's census for that (user, day).
+
+    Rows process in (ts, event_id) order within each micro-batch, so a
+    pandas replay is deterministic (tests/test_streaming.py). The still-
+    open day stays in state, unemitted — the same contract as a session
+    window before its gap timeout."""
+    from database_toolbox_spark.operators.events import (  # noqa: PLC0415
+        _CEP_PATTERNS,
+    )
+
+    patterns = tuple(_CEP_PATTERNS)  # plain data: pickles by value
+
+    def alerts(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import re  # noqa: PLC0415
+
+        cur_day, seq = state.get if state.exists else (None, "")
+        out: list[tuple] = []
+
+        def finalize(day: str, s: str) -> None:
+            out.append(
+                (key[0], day)
+                + tuple(len(re.findall(p, s)) for _, p in patterns)
+            )
+
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            days = pdf["ts"].dt.strftime("%Y-%m-%d")
+            inis = pdf["event_type"].str[0]
+            for day, ini in zip(days, inis):
+                if cur_day is None:
+                    cur_day = day
+                elif day != cur_day:
+                    finalize(cur_day, seq)
+                    cur_day, seq = day, ""
+                seq += ini
+        state.update((cur_day, seq))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in _CEP_OUT_SCHEMA.fields]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        alerts,
+        outputStructType=_CEP_OUT_SCHEMA,
+        stateStructType=_CEP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -758,3 +758,70 @@ def test_stream_srm_monitor_matches_batch(spark, stream):
         chi2 = (n0 - n1) ** 2 / (n0 + n1)
         assert abs(r.srm_chi2 - chi2) < 1e-6
         assert r.srm_flag == int(chi2 > SRM_CRIT_95)
+
+
+def test_stream_pattern_alerts_match_batch_census(spark, stream):
+    """The streaming CEP twin's finalized (user, day) rows must equal a
+    pandas replay, and — with each user's still-open last day folded in —
+    its pattern totals must equal the oracle-checked batch census."""
+    import re as _re
+
+    from database_toolbox_spark.operators.events import (
+        _CEP_PATTERNS,
+        event_pattern_matches,
+    )
+    from database_toolbox_spark.streaming import stream_pattern_alerts
+
+    _run_to_memory(stream_pattern_alerts(stream), "cep_out", "update")
+    got = {
+        (r.user_id, r.day): (
+            r.m_view_to_purchase,
+            r.m_error_burst,
+            r.m_signup_then_click,
+            r.m_click_abandoned,
+        )
+        for r in spark.sql("SELECT * FROM cep_out").collect()
+    }
+
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "user_id",
+            # nanos fixtures read ts as LONG: normalize via load-free cast
+            "CAST(CAST(ts AS TIMESTAMP) AS STRING) AS tss",
+            "event_id",
+            "event_type",
+        )
+        .toPandas()
+    )
+    ev["day"] = ev["tss"].str[:10]
+    seqs: dict[tuple, str] = {}
+    for r in ev.sort_values(["user_id", "tss", "event_id"]).itertuples():
+        seqs[(r.user_id, r.day)] = (
+            seqs.get((r.user_id, r.day), "") + r.event_type[0]
+        )
+    last_day = {}
+    for uid, day in seqs:
+        last_day[uid] = max(last_day.get(uid, ""), day)
+
+    expected_done = {
+        k: tuple(len(_re.findall(p, s)) for _, p in _CEP_PATTERNS)
+        for k, s in seqs.items()
+        if k[1] != last_day[k[0]]
+    }
+    assert got == expected_done
+
+    # stream totals + finalized open days == batch census
+    batch = {
+        r.pattern: (r.n_streams_matched, r.total_matches)
+        for r in event_pattern_matches(spark, SF_DIR).collect()
+    }
+    for i, (name, pat) in enumerate(_CEP_PATTERNS):
+        n_matched = sum(1 for c in expected_done.values() if c[i] > 0)
+        total = sum(c[i] for c in expected_done.values())
+        for k, s in seqs.items():
+            if k[1] == last_day[k[0]]:
+                c = len(_re.findall(pat, s))
+                n_matched += 1 if c > 0 else 0
+                total += c
+        assert batch[name] == (n_matched, total), name
