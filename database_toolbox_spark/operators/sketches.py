@@ -826,3 +826,72 @@ def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["hll_intersection_estimate"] = hll_intersection_estimate
 ORACLE["hll_intersection_estimate"] = _HLL_IX_SQL
+
+
+# --- Bloom filter sizing planner -------------------------------------------------
+# The capacity-planning companion to the MEASURED bloom_join_reduction:
+# for the same build side, walk the bits-per-key frontier and price each
+# point with the standard false-positive model fpr = (1 - e^(-k/c))^k at
+# the optimal hash count k = round(c * ln 2) (Bloom, CACM 1970; Broder &
+# Mitzenmacher, Internet Math. 2004 survey). Run it BEFORE sizing a
+# runtime filter: the recommended row is the cheapest config meeting the
+# FPR target.
+BLOOM_PLAN_BPK = (4, 6, 8, 10, 12, 16)
+BLOOM_PLAN_TARGET_FPR = 0.01
+
+
+def _bloom_plan_sql(grid_rel: str) -> str:
+    return f"""
+        WITH build AS (
+            SELECT count(DISTINCT c_custkey) AS n FROM customer
+            WHERE c_mktsegment = '{BJ_SEGMENT}'
+        ),
+        grid AS ({grid_rel}),
+        pts AS (
+            SELECT g.bpk, b.n,
+                   CAST(floor(g.bpk * ln(2) + 0.5e0) AS BIGINT) AS k
+            FROM grid g CROSS JOIN build b
+        ),
+        priced AS (
+            SELECT bpk, n, k,
+                   CAST(n * bpk AS BIGINT) AS total_bits,
+                   {R("pow(1e0 - exp(-(k * 1e0) / bpk), k)", 6)} AS fpr
+            FROM pts
+        )
+        SELECT CAST(bpk AS BIGINT) AS bits_per_key,
+               CAST(n AS BIGINT) AS n_keys,
+               k AS k_hashes,
+               total_bits,
+               {R("total_bits / 8192e0", 4)} AS filter_kib,
+               fpr AS predicted_fpr,
+               CAST(fpr <= {BLOOM_PLAN_TARGET_FPR}
+                    AND bpk = min(CASE WHEN fpr <= {BLOOM_PLAN_TARGET_FPR}
+                                       THEN bpk END)
+                              OVER () AS INT) AS recommended
+        FROM priced
+        ORDER BY bits_per_key
+    """
+
+
+def bloom_sizing_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bits-per-key / hash-count / FPR frontier for a Bloom runtime filter
+    over the measured build side (see _bloom_plan_sql): the sizing table
+    that turns "add a bloom filter" into a priced config choice, with the
+    cheapest point meeting the {BLOOM_PLAN_TARGET_FPR} target flagged.
+
+    Scale shape: ONE distinct-count over the build side (the only
+    corpus-grain work — and a real planner would take it from column
+    stats); the frontier itself is a {len(BLOOM_PLAN_BPK)}-row
+    closed-form projection. Planning cost is independent of fact-table
+    size, which is the entire point of sizing the filter before building
+    it."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_bloom_plan_sql(
+        "SELECT explode(array" + str(BLOOM_PLAN_BPK) + ") AS bpk"
+    ))
+
+
+QUERIES["bloom_sizing_planner"] = bloom_sizing_planner
+ORACLE["bloom_sizing_planner"] = _bloom_plan_sql(
+    "SELECT unnest([" + ", ".join(str(b) for b in BLOOM_PLAN_BPK) + "]) AS bpk"
+)

@@ -360,3 +360,51 @@ def test_event_pattern_matches_python_regex_replay(spark):
         assert got[name].match_rate == math.floor(
             n_matched / len(strings) * 1e4 + 0.501
         ) / 1e4
+
+
+# ------------------------------------------- Bloom sizing planner
+
+
+def test_bloom_sizing_planner_matches_numpy_model(spark):
+    """External anchor: recompute the FPR model and the recommended flag
+    in numpy; cross-check the build-side count against DuckDB."""
+    import math
+
+    import duckdb
+
+    from database_toolbox_spark.operators.sketches import (
+        BJ_SEGMENT,
+        BLOOM_PLAN_BPK,
+        BLOOM_PLAN_TARGET_FPR,
+        bloom_sizing_planner,
+    )
+
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT count(DISTINCT c_custkey) FROM "
+        f"read_parquet('{SF_DIR}/customer.parquet') "
+        f"WHERE c_mktsegment = '{BJ_SEGMENT}'"
+    ).fetchone()[0]
+    con.close()
+
+    r6 = lambda x: math.floor(x * 1e6 + 0.501) / 1e6  # noqa: E731
+    model = {}
+    for bpk in BLOOM_PLAN_BPK:
+        k = math.floor(bpk * math.log(2) + 0.5)
+        model[bpk] = (k, n * bpk, r6((1 - math.exp(-k / bpk)) ** k))
+    best = min(
+        b for b in BLOOM_PLAN_BPK if model[b][2] <= BLOOM_PLAN_TARGET_FPR
+    )
+
+    got = {r.bits_per_key: r for r in
+           bloom_sizing_planner(spark, SF_DIR).collect()}
+    assert set(got) == set(BLOOM_PLAN_BPK)
+    for bpk, (k, bits, fpr) in model.items():
+        r = got[bpk]
+        assert (r.n_keys, r.k_hashes, r.total_bits) == (n, k, bits)
+        assert r.predicted_fpr == fpr
+        assert r.filter_kib == math.floor(bits / 8192 * 1e4 + 0.501) / 1e4
+        assert r.recommended == (1 if bpk == best else 0)
+    # the frontier is monotone: more bits per key, lower predicted FPR
+    fprs = [got[b].predicted_fpr for b in sorted(got)]
+    assert fprs == sorted(fprs, reverse=True)
