@@ -1944,3 +1944,80 @@ ORACLE["event_pattern_matches"] = _cep_sql(
     "string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)",
     lambda pat: f"len(regexp_extract_all(seq, '{pat}'))",
 )
+
+
+# --- session-gap sensitivity curve ------------------------------------------------
+# The parameter-tuning curve for sessionization (the events-tier sibling
+# of near_dup_threshold_curve): every downstream session metric depends on
+# the inactivity-gap constant, and the only honest way to pick it is to
+# see how session structure moves across candidate gaps. All levels share
+# ONE gap computation — the lag window runs once; the thresholds ride a
+# broadcast ladder.
+SESSION_GAP_LEVELS = (15, 30, 60)  # minutes
+
+
+def _gap_curve_sql(us_expr: str, levels_rel: str) -> str:
+    return f"""
+        WITH ev AS (
+            SELECT user_id, ts, event_id, {us_expr} AS us FROM events
+        ),
+        g AS (
+            SELECT user_id, ts, event_id, us,
+                   us - lag(us) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS gap_us
+            FROM ev
+        ),
+        thr AS ({levels_rel}),
+        sid AS (
+            SELECT t.gm, g.user_id, g.us,
+                   SUM(CASE WHEN g.gap_us IS NULL
+                             OR g.gap_us > t.gm * CAST(60000000 AS BIGINT)
+                            THEN 1
+                        ELSE 0 END)
+                       OVER (PARTITION BY t.gm, g.user_id
+                             ORDER BY g.us, g.event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+            FROM g CROSS JOIN thr t
+        ),
+        per AS (
+            SELECT gm, user_id, sess,
+                   count(*) AS n_ev,
+                   max(us) - min(us) AS dur_us
+            FROM sid GROUP BY gm, user_id, sess
+        )
+        SELECT CAST(gm AS BIGINT) AS gap_minutes,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               {R("sum(n_ev) * 1e0 / count(*)", 4)} AS events_per_session,
+               {R("sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 1e0"
+                  " / count(*)", 4)} AS single_event_share,
+               {R("sum(dur_us) / (count(*) * 60000000e0)", 4)}
+                   AS mean_duration_min
+        FROM per GROUP BY gm ORDER BY gap_minutes
+    """
+
+
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session structure as a function of the inactivity gap
+    ({SESSION_GAP_LEVELS} minutes): session count, events/session,
+    single-event share, mean duration per level (see _gap_curve_sql).
+    Wider gaps merge sessions, so n_sessions is monotone non-increasing
+    and events_per_session non-decreasing in the gap — asserted in tests.
+
+    Scale shape: the lag window over (user, time) runs ONCE; each level
+    then costs a per-(level, user) running sum on the broadcast-laddered
+    relation and a two-level grouped aggregate — the sessionize shuffle
+    budget times the constant ladder width, never a rescan of the
+    corpus."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_gap_curve_sql(
+        "unix_micros(CAST(ts AS TIMESTAMP))",
+        "SELECT explode(array" + str(SESSION_GAP_LEVELS) + ") AS gm",
+    ))
+
+
+QUERIES["session_gap_sensitivity"] = session_gap_sensitivity
+ORACLE["session_gap_sensitivity"] = _gap_curve_sql(
+    "epoch_us(CAST(ts AS TIMESTAMP))",
+    "SELECT unnest([" + ", ".join(str(g) for g in SESSION_GAP_LEVELS)
+    + "]) AS gm",
+)

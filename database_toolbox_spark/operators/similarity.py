@@ -2477,3 +2477,95 @@ ORACLE["bq_bits_recall_curve"] = _bq_curve_sql(
     qnorm2_e="list_aggregate(list_transform(e.embedding, "
              "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
 )
+
+
+# --- IVF rebalance advisor --------------------------------------------------------
+# Index-maintenance sibling of the lakehouse compaction planner
+# (operators/partitioning.compaction_bin_packing): IVF cells drift out of
+# balance as the corpus grows (hot cells dominate probe cost, near-empty
+# cells waste centroid budget). The advisor reads the cell assignment —
+# the index, 2 ints per vector — and flags cells for split/merge against
+# the uniform-share baseline, with the imbalance-weighted expected
+# 1-probe scan share (sum of share^2, = corpus_fraction E[scanned] under
+# query traffic proportional to cell mass).
+IVF_SPLIT_FACTOR = 2.0   # split when cell > 2x the uniform share
+IVF_MERGE_FACTOR = 0.25  # merge when cell < 1/4 the uniform share
+
+
+def _ivf_rebalance_sql(assigned_body: str, materialized: str = "") -> str:
+    return f"""
+        WITH assigned AS {materialized} (
+            {assigned_body}
+        ),
+        cells AS (
+            SELECT cell, count(*) AS n FROM assigned GROUP BY cell
+        ),
+        tot AS (
+            SELECT sum(n) AS corpus,
+                   sum(n * n) AS sq,
+                   count(*) AS n_cells
+            FROM cells
+        )
+        SELECT CAST(c.cell AS BIGINT) AS cell,
+               CAST(c.n AS BIGINT) AS n_vectors,
+               {R("c.n * 1e0 / t.corpus", 6)} AS share,
+               CASE WHEN c.n * t.n_cells > {IVF_SPLIT_FACTOR} * t.corpus
+                    THEN 'split'
+                    WHEN c.n * t.n_cells * 1e0
+                         < {IVF_MERGE_FACTOR} * t.corpus
+                    THEN 'merge'
+                    ELSE 'ok' END AS action,
+               {R("t.sq * 1e0 / (t.corpus * t.corpus)", 6)}
+                   AS expected_probe_share
+        FROM cells c CROSS JOIN tot t
+        ORDER BY cell
+    """
+
+
+def ivf_rebalance_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell IVF balance report with split/merge flags and the
+    imbalance-weighted expected 1-probe scan share (see
+    _ivf_rebalance_sql) — run it on the schedule a lakehouse runs
+    OPTIMIZE: a 'split' cell is where ANN latency hides, a shelf of
+    'merge' cells is wasted centroid budget.
+
+    Scale shape: the corpus-grain pass is the cell assignment the IVF
+    index already materializes (here rebuilt once, shared via the same
+    view ivf_ann_topk registers); the report itself is a grouped count
+    over the assignment plus a 1-row broadcast total — O(cells) work,
+    independent of vector dimensionality or corpus bytes."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    d2 = _spark_l2_to_centroid("e.embedding", "c.embedding")
+    materialize(spark.sql(f"""
+        WITH cents AS (
+            SELECT vec_id AS cell, embedding FROM embeddings
+            WHERE vec_id < {N_IVF_CELLS}
+        )
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor({d2} * 1000000e0) / 1000000e0, c.cell)
+                       AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    """)).createOrReplaceTempView("ivf_rebalance_assigned_v")
+    return spark.sql(_ivf_rebalance_sql(
+        "SELECT * FROM ivf_rebalance_assigned_v"
+    ))
+
+
+QUERIES["ivf_rebalance_advisor"] = ivf_rebalance_advisor
+ORACLE["ivf_rebalance_advisor"] = _ivf_rebalance_sql(
+    f"""SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor({_DUCK_D2} * 1000000e0) / 1000000e0,
+                                c.cell) AS rn
+            FROM embeddings e CROSS JOIN
+                 (SELECT vec_id AS cell, embedding FROM embeddings
+                  WHERE vec_id < {N_IVF_CELLS}) c
+        ) t WHERE rn = 1""",
+    materialized="MATERIALIZED",
+)

@@ -408,3 +408,85 @@ def test_bloom_sizing_planner_matches_numpy_model(spark):
     # the frontier is monotone: more bits per key, lower predicted FPR
     fprs = [got[b].predicted_fpr for b in sorted(got)]
     assert fprs == sorted(fprs, reverse=True)
+
+
+# ------------------------------------------- IVF rebalance advisor
+
+
+def test_ivf_rebalance_advisor_flags_and_probe_share(spark):
+    from database_toolbox_spark.operators.similarity import (
+        IVF_MERGE_FACTOR,
+        IVF_SPLIT_FACTOR,
+        ivf_rebalance_advisor,
+    )
+
+    rows = ivf_rebalance_advisor(spark, SF_DIR).collect()
+    corpus = sum(r.n_vectors for r in rows)
+    n_cells = len(rows)
+    sq = sum(r.n_vectors**2 for r in rows)
+    import math
+    r6 = lambda x: math.floor(x * 1e6 + 0.501) / 1e6  # noqa: E731
+    for r in rows:
+        assert r.share == r6(r.n_vectors / corpus)
+        if r.n_vectors * n_cells > IVF_SPLIT_FACTOR * corpus:
+            want = "split"
+        elif r.n_vectors * n_cells < IVF_MERGE_FACTOR * corpus:
+            want = "merge"
+        else:
+            want = "ok"
+        assert r.action == want
+        assert r.expected_probe_share == r6(sq / corpus**2)
+    # the expected 1-probe scan share can never beat uniform (1/n_cells)
+    assert rows[0].expected_probe_share >= 1.0 / n_cells
+
+
+# ------------------------------------------- session-gap sensitivity
+
+
+def test_session_gap_sensitivity_matches_pandas_and_monotone(spark):
+    import math
+
+    from database_toolbox_spark.operators.events import (
+        SESSION_GAP_LEVELS,
+        session_gap_sensitivity,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+            "event_id",
+        )
+        .toPandas()
+        .sort_values(["user_id", "us", "event_id"])
+    )
+    got = {r.gap_minutes: r for r in
+           session_gap_sensitivity(spark, SF_DIR).collect()}
+    assert set(got) == set(SESSION_GAP_LEVELS)
+    r4 = lambda x: math.floor(x * 1e4 + 0.501) / 1e4  # noqa: E731
+    for gm in SESSION_GAP_LEVELS:
+        sessions = []  # (n_events, dur_us)
+        for _, grp in ev.groupby("user_id"):
+            us = grp["us"].tolist()
+            start = 0
+            for i in range(1, len(us) + 1):
+                if i == len(us) or us[i] - us[i - 1] > gm * 60_000_000:
+                    sessions.append((i - start, us[i - 1] - us[start]))
+                    start = i
+        r = got[gm]
+        assert r.n_sessions == len(sessions)
+        assert r.events_per_session == r4(
+            sum(n for n, _ in sessions) / len(sessions)
+        )
+        assert r.single_event_share == r4(
+            sum(1 for n, _ in sessions if n == 1) / len(sessions)
+        )
+        assert r.mean_duration_min == r4(
+            sum(d for _, d in sessions) / (len(sessions) * 60_000_000)
+        )
+    # knob structure: wider gap merges sessions
+    ns = [got[g].n_sessions for g in sorted(got)]
+    eps = [got[g].events_per_session for g in sorted(got)]
+    assert ns == sorted(ns, reverse=True)
+    assert eps == sorted(eps)
