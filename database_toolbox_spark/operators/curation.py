@@ -1376,3 +1376,182 @@ def _kappa_oracle() -> str:
 
 
 ORACLE["filter_agreement_kappa"] = _kappa_oracle()
+
+
+# --- active-learning batch selection ---------------------------------------------
+# Uncertainty sampling with a per-source diversity cap (Lewis & Gale,
+# SIGIR'94 uncertainty sampling; Settles' AL survey §3 for the
+# batch-diversity correction): the next labeling batch is the {AL_BATCH}
+# docs the quality classifier is LEAST sure about, but no source may
+# contribute more than {AL_PER_SOURCE} — pure uncertainty floods the
+# batch with one ambiguous slice and the labels stop generalizing.
+AL_BATCH = 40
+AL_PER_SOURCE = 4
+
+
+def _al_batch_sql(split, length, distinct, filt, sw: str,
+                  top_part: str) -> str:
+    """Classifier logits -> micro-grid uncertainty rank within source ->
+    per-source cap -> global top-{AL_BATCH}. The uncertainty of the
+    rational sigmoid p = 0.5 + 0.5*l/(1+|l|) is 0.5 - 0.5*|l|/(1+|l|) —
+    monotone in |logit|, so the integer grid ranks on |logit|."""
+    return f"""
+        WITH t AS (SELECT doc_id, source, {split} AS w FROM documents),
+        feat AS (
+            SELECT doc_id, source,
+                   {length}({distinct}(w)) * 1e0 / {length}(w) AS ttr,
+                   {length}({filt}(w, x -> x IN ({sw}))) * 1e0
+                       / {length}(w) AS stop_ratio,
+                   least({length}(w) / 64e0, 2e0) AS len_norm
+            FROM t
+        ),
+        z AS (
+            SELECT doc_id, source,
+                   {QC_BIAS}e0 + {QC_W_TTR}e0 * ttr
+                       + {QC_W_STOP}e0 * stop_ratio
+                       + {QC_W_LEN}e0 * len_norm AS logit
+            FROM feat
+        ),
+        u AS (
+            SELECT doc_id, source, logit,
+                   CAST(floor(abs(logit) * 1000000e0) AS BIGINT) AS u6
+            FROM z
+        ),
+        capped AS (
+            SELECT * FROM (
+                SELECT doc_id, source, logit, u6,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY u6, doc_id) AS rn
+                FROM u
+            ) r WHERE rn <= {AL_PER_SOURCE}
+        ),
+        sel AS (
+            SELECT doc_id, source, logit, u6,
+                   row_number() OVER ({top_part}ORDER BY u6, doc_id)
+                       AS pick
+            FROM capped
+        )
+        SELECT CAST(pick AS BIGINT) AS pick_rank, doc_id, source,
+               {R("logit", 6)} AS logit,
+               {R("0.5e0 - 0.5e0 * abs(logit) / (1e0 + abs(logit))", 6)}
+                   AS uncertainty
+        FROM sel WHERE pick <= {AL_BATCH}
+        ORDER BY pick_rank
+    """
+
+
+def active_learning_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The next {AL_BATCH}-doc labeling batch: least-confident docs under
+    the pipeline's quality classifier, at most {AL_PER_SOURCE} per source
+    (see _al_batch_sql) — the selection loop that spends labeling budget
+    where the filter is blind without collapsing onto one source.
+
+    Scale shape: one corpus scan computes the logits; the per-source rank
+    is the grouped-top-k window sessionize already pays; the global pick
+    runs on the capped relation (<= sources x {AL_PER_SOURCE} rows, a
+    driver-bounded relation at any corpus size — the single-partition
+    window is intentional and the cap is the explicit bound)."""
+    load_tables(spark, sf_dir)
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    return spark.sql(_al_batch_sql(
+        "split(text, ' ')", "size", "array_distinct", "filter",
+        _sql_list(STOPWORDS),
+        # hash a COLUMN so constant folding can't strip the partition
+        "PARTITION BY (hash(doc_id) % 1) ",
+    ))
+
+
+def _al_oracle() -> str:
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    return _al_batch_sql(
+        "string_split(text, ' ')", "len", "list_distinct", "list_filter",
+        _sql_list(STOPWORDS), ""
+    )
+
+
+QUERIES["active_learning_batch"] = active_learning_batch
+ORACLE["active_learning_batch"] = _al_oracle()
+
+
+# --- in-batch negative contamination audit ----------------------------------------
+# Contrastive pretraining treats every other in-batch example as a
+# negative; a near-duplicate or same-source sibling in the batch is a
+# FALSE negative that actively corrupts the gradient (Chen et al. SimCLR
+# ICML'20 assume i.i.d. negatives; dedup-before-batching is the standard
+# mitigation). This audit prices that contamination for a deterministic
+# hash-batching of the corpus: within-batch pair mass, the same-source
+# share of it, and the exact-duplicate pairs that land in one batch.
+IBN_BATCH_SIZE = 32
+
+
+def _ibn_sql(u32_doc: str) -> str:
+    return f"""
+        WITH nrel AS (SELECT count(*) AS n FROM documents),
+        b AS (
+            SELECT d.doc_id, d.source, md5(d.text) AS sig,
+                   {u32_doc} % CAST(floor((nrel.n + {IBN_BATCH_SIZE} - 1)
+                       * 1e0 / {IBN_BATCH_SIZE}) AS BIGINT) AS batch
+            FROM documents d CROSS JOIN nrel
+        ),
+        sizes AS (SELECT batch, count(*) AS c FROM b GROUP BY batch),
+        ss AS (
+            SELECT batch, source, count(*) AS c
+            FROM b GROUP BY batch, source
+        ),
+        dup AS (
+            SELECT count(*) AS dup_pairs
+            FROM b a JOIN b c ON a.sig = c.sig AND a.batch = c.batch
+                             AND a.doc_id < c.doc_id
+        ),
+        agg AS (
+            SELECT (SELECT sum(c) FROM sizes) AS n_docs,
+                   (SELECT count(*) FROM sizes) AS n_batches,
+                   (SELECT sum(c * (c - 1) / 2) FROM sizes) AS within_pairs,
+                   (SELECT sum(c * (c - 1) / 2) FROM ss) AS same_source_pairs,
+                   (SELECT dup_pairs FROM dup) AS dup_pairs
+        )
+        SELECT CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_batches AS BIGINT) AS n_batches,
+               {R("n_docs * 1e0 / n_batches", 4)} AS mean_batch_size,
+               CAST(within_pairs AS BIGINT) AS within_pairs,
+               CAST(same_source_pairs AS BIGINT) AS same_source_pairs,
+               {R("same_source_pairs * 1e0 / within_pairs", 6)}
+                   AS same_source_share,
+               CAST(dup_pairs AS BIGINT) AS dup_pairs
+        FROM agg
+    """
+
+
+def inbatch_negative_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination census of contrastive training batches under the
+    deterministic md5 hash-batching (batch size ~{IBN_BATCH_SIZE}): how
+    much of the in-batch negative mass is same-source, and how many
+    exact duplicates share a batch (see _ibn_sql). Run it before turning
+    on in-batch negatives; if dup_pairs > 0 the fix is dedup-then-batch,
+    if same_source_share is high the fix is source-stratified batching.
+
+    Scale shape: batch assignment is a pure projection (md5 mod); all
+    pair masses come CLOSED-FORM from grouped counts (sum of C(c,2) —
+    never a pair join); the one real join is duplicate-signature x batch
+    equality, bounded by the duplicate-group sizes exact_dup_summary
+    already bounds."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_ibn_sql(
+        "CAST(conv(substring(md5(CAST(d.doc_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    ))
+
+
+QUERIES["inbatch_negative_audit"] = inbatch_negative_audit
+ORACLE["inbatch_negative_audit"] = _ibn_sql(
+    "CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT)"
+)

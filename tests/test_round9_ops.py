@@ -490,3 +490,114 @@ def test_session_gap_sensitivity_matches_pandas_and_monotone(spark):
     eps = [got[g].events_per_session for g in sorted(got)]
     assert ns == sorted(ns, reverse=True)
     assert eps == sorted(eps)
+
+
+# ------------------------------------------- active-learning batch
+
+
+def test_active_learning_batch_structure(spark):
+    """Selection invariants: batch size, per-source cap respected, picks
+    are the globally least-confident among the capped pool, and every
+    uncertainty is consistent with its logit."""
+    import math
+
+    from database_toolbox_spark.operators.curation import (
+        AL_BATCH,
+        AL_PER_SOURCE,
+        active_learning_batch,
+    )
+
+    rows = active_learning_batch(spark, SF_DIR).collect()
+    assert len(rows) == AL_BATCH
+    assert [r.pick_rank for r in rows] == list(range(1, AL_BATCH + 1))
+    from collections import Counter
+    per_source = Counter(r.source for r in rows)
+    assert max(per_source.values()) <= AL_PER_SOURCE
+
+    # anchor: replay the cap + pick in Python from RAW logits computed
+    # feature-by-feature in DuckDB (the registry classifier op emits
+    # R6-rounded logits, whose |.| can land one micro off the raw grid)
+    import duckdb
+
+    from database_toolbox_spark.operators.curation import (
+        QC_BIAS,
+        QC_W_LEN,
+        QC_W_STOP,
+        QC_W_TTR,
+    )
+    from database_toolbox_spark.operators.text import STOPWORDS, _sql_list
+
+    con = duckdb.connect()
+    feats = con.execute(f"""
+        WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                   FROM read_parquet('{SF_DIR}/documents.parquet'))
+        SELECT doc_id, source,
+               len(list_distinct(w)) * 1e0 / len(w),
+               len(list_filter(w, x -> x IN ({_sql_list(STOPWORDS)})))
+                   * 1e0 / len(w),
+               least(len(w) / 64e0, 2e0)
+        FROM t
+    """).fetchall()
+    con.close()
+    logits = {
+        d: QC_BIAS + QC_W_TTR * ttr + QC_W_STOP * sr + QC_W_LEN * ln
+        for d, _, ttr, sr, ln in feats
+    }
+    src = {d: s for d, s, *_ in feats}
+    u6 = {d: math.floor(abs(v) * 1e6) for d, v in logits.items()}
+    by_source: dict[str, list] = {}
+    for d in sorted(logits, key=lambda d: (u6[d], d)):
+        by_source.setdefault(src[d], []).append(d)
+    pool = [d for v in by_source.values() for d in v[:AL_PER_SOURCE]]
+    expected = sorted(pool, key=lambda d: (u6[d], d))[:AL_BATCH]
+    assert [r.doc_id for r in rows] == expected
+    for r in rows:
+        al = abs(logits[r.doc_id])
+        assert r.uncertainty == math.floor(
+            (0.5 - 0.5 * al / (1 + al)) * 1e6 + 0.501
+        ) / 1e6
+
+
+# ------------------------------------------- in-batch negative audit
+
+
+def test_inbatch_negative_audit_matches_python_replay(spark):
+    import hashlib
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from database_toolbox_spark.operators.curation import (
+        IBN_BATCH_SIZE,
+        inbatch_negative_audit,
+    )
+
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, source, md5(text) FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    n = len(docs)
+    n_batches = (n + IBN_BATCH_SIZE - 1) // IBN_BATCH_SIZE
+    batch = {
+        d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % n_batches
+        for d, _, _ in docs
+    }
+    sizes = Counter(batch.values())
+    within = sum(c * (c - 1) // 2 for c in sizes.values())
+    ss = Counter((batch[d], s) for d, s, _ in docs)
+    same_source = sum(c * (c - 1) // 2 for c in ss.values())
+    sig_batch = Counter((batch[d], sig) for d, _, sig in docs)
+    dup_pairs = sum(c * (c - 1) // 2 for c in sig_batch.values())
+
+    r = inbatch_negative_audit(spark, SF_DIR).collect()[0]
+    assert (r.n_docs, r.n_batches, r.within_pairs,
+            r.same_source_pairs, r.dup_pairs) == (
+        n, len(sizes), within, same_source, dup_pairs
+    )
+    assert r.mean_batch_size == math.floor(
+        n / len(sizes) * 1e4 + 0.501) / 1e4
+    assert r.same_source_share == math.floor(
+        same_source / within * 1e6 + 0.501) / 1e6
