@@ -61,6 +61,11 @@ FINGERPRINT_QUERIES = (
     "minhash_near_dup_pairs",
     "ivf_ann_topk",
     "bigram_lm_scores",
+    # round-9 tranche: the binary-code index build + Hamming TakeOrdered
+    # and the lag-once/ladder-broadcast session curve are shapes worth
+    # pinning (a lost materialize or an extra corpus scan fails the gate)
+    "bq_ann_topk",
+    "session_gap_sensitivity",
 )
 
 SHOWCASE = {

@@ -193,6 +193,16 @@ SUSPECTS = [
     ("quantile_normalization_by_source", "mix10"),
     ("ab_experiment_health", "mix10"),
     ("hll_intersection_estimate", "mix10"),
+    # round-9 tranche: order replicas are new problems with identical
+    # (n, c) attempt profiles -> n_problems exactly 10x, the micro-grid
+    # mean is the SAME double (10a/10b rounds like a/b); user-shifted
+    # event replicas clone every (user, day) stream -> pattern counts
+    # exactly 10x, rates invariant; the compaction planner's inventory
+    # grows ~10x files (report + linear time envelope — planning cost is
+    # O(files), the one corpus-grain pass is a grouped count).
+    ("pass_at_k_estimates", "mix10"),
+    ("event_pattern_matches", "mix10"),
+    ("compaction_bin_packing", "report"),
 ]
 
 # mix10 specs: key columns; columns that must be exactly 10x (abs_tol,
@@ -317,6 +327,18 @@ MIX10 = {
         "x10": {"exact_intersection": (0.5, 0)},
         "same": {},
     },
+    "pass_at_k_estimates": {
+        "key": ["k"],
+        "x10": {"n_problems": (0.5, 0)},
+        # (10 * pass6) / (10 * n) rounds to the identical double, so the
+        # micro-grid mean must be byte-equal
+        "same": {"mean_pass_at_k": None},
+    },
+    "event_pattern_matches": {
+        "key": ["pattern"],
+        "x10": {"n_streams_matched": (0.5, 0), "total_matches": (0.5, 0)},
+        "same": {"match_rate": None},
+    },
 }
 
 # Time-ratio bounds asserted ON TOP of each mode (round 8): these queries'
@@ -334,6 +356,9 @@ TIME_LINEAR = {
     # capbound: pair work saturates at ~1.03x, the remaining cost is the
     # 10x distinct/window over cp — linear envelope with jitter headroom
     "local_clustering_coefficient": 10.0,
+    # planning cost is O(files): the inventory is ~10x rows, the one
+    # corpus-grain pass is a grouped count — linear envelope with jitter
+    "compaction_bin_packing": 10.0,
 }
 
 # modes whose assertion compares full collected results, not counts

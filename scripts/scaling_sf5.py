@@ -31,6 +31,9 @@ Assertions (exit non-zero on failure):
   (round 9): the corpus-tracking report ops' second measured scale
   point — output shape asserted (top-K fixed / per-doc exactly 50x),
   time ratio <= 50.
+- bq_bits_recall_curve (round 9): binary-quantization quality at 50x —
+  panel invariant AND the 64-bit-level mean recall@10 within 0.15 of
+  sf0.1's (abs floor 0.5); 16/32-bit levels recorded, not asserted.
 
 Appends/refreshes the "sf0.1 -> sf~5" section of SCALING.md. Run from the
 repo root on an idle machine: python scripts/scaling_sf5.py
@@ -76,6 +79,16 @@ SUSPECTS = [
     ("dsir_importance_weights", "report50"),
     ("rake_keyword_scores", "report50"),
     ("bigram_lm_scores", "report50"),
+    # round-9: binary-quantization quality at 50x. Replica vectors carry
+    # sign-mask-flipped codes, so their Hamming distance to the replica-0
+    # query panel is ~Binomial(64, 1/2) noise while replica-0 candidates
+    # keep their original distances — the 64-bit shortlist must stay
+    # truth-dominated. bqfloor = panel row count invariant AND the
+    # 64-bit-level mean recall@10 within EVAL_DROP of sf0.1's (abs floor
+    # 0.5); the 16/32-bit levels are RECORDED, not asserted — coarse
+    # codes legitimately drown in ties at 50x, which is exactly the
+    # sizing signal the curve exists to show.
+    ("bq_bits_recall_curve", "bqfloor"),
 ]
 
 # evalfloor: mean-metric column per query, max allowed drop vs sf0.1, and
@@ -181,6 +194,16 @@ def measure(spark, queries, sf_dir):
             out[name]["mean_metric"] = round(
                 sum(r[col] for r in collected) / max(len(collected), 1), 4
             )
+        elif mode == "bqfloor":
+            collected = df.collect()
+            out[name] = {"sec": round(best, 3), "rows": len(collected)}
+            by_bits: dict[int, list[float]] = {}
+            for r in collected:
+                by_bits.setdefault(r.n_bits, []).append(r.recall_at_10)
+            out[name]["level_means"] = {
+                int(b): round(sum(v) / len(v), 4)
+                for b, v in sorted(by_bits.items())
+            }
         else:
             out[name] = {"sec": round(best, 3), "rows": df.count()}
         if mode == "probe":
@@ -247,6 +270,21 @@ def main() -> int:
                     f"{b['mean_metric']} at {R}x (floor {floor}: sf0.1 "
                     f"mean {s['mean_metric']} - {EVAL_DROP}, abs "
                     f"{EVAL_ABS_FLOOR})"
+                )
+        elif mode == "bqfloor":
+            rows_out[name]["mean_small"] = s["level_means"]
+            rows_out[name]["mean_big"] = b["level_means"]
+            if b["rows"] != s["rows"]:
+                failures.append(
+                    f"{name}: panel row count changed "
+                    f"{s['rows']} -> {b['rows']}"
+                )
+            top = max(s["level_means"])
+            floor = max(EVAL_ABS_FLOOR, s["level_means"][top] - EVAL_DROP)
+            if b["level_means"][top] < floor:
+                failures.append(
+                    f"{name}: {top}-bit mean recall fell to "
+                    f"{b['level_means'][top]} at {R}x (floor {floor})"
                 )
         elif mode == "report50":
             want = (s["rows"] if REPORT50_ROWS[name] == "fixed"
