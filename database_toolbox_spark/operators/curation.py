@@ -1555,3 +1555,56 @@ ORACLE["inbatch_negative_audit"] = _ibn_sql(
     "CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))"
     " AS BIGINT)"
 )
+
+
+# --- class-balance reweighting ------------------------------------------------
+# Effective number of samples (Cui et al., "Class-Balanced Loss Based on
+# Effective Number of Samples", CVPR 2019): with per-class count n, the
+# effective sample count is (1 - beta^n)/(1 - beta) — marginal examples
+# saturate as a class grows — and the class weight is its reciprocal.
+# The training-time fix for label imbalance the curation tier measures.
+CB_BETA = 0.999
+
+
+def _class_balance_sql() -> str:
+    """Per-label raw and normalized class-balanced weights next to the
+    plain inverse-frequency weight. Normalization makes the weighted
+    sample mass equal the corpus (sum w*n = N), so swapping weights in
+    does not rescale the loss. Identical text in both dialects."""
+    return f"""
+        WITH c AS (SELECT label, count(*) AS n FROM embeddings
+                   GROUP BY label),
+        t AS (SELECT sum(n) AS total, count(*) AS n_classes FROM c),
+        w AS (
+            SELECT c.label, c.n, t.total, t.n_classes,
+                   (1e0 - {CB_BETA}e0) / (1e0 - pow({CB_BETA}e0, c.n))
+                       AS raw_w
+            FROM c CROSS JOIN t
+        ),
+        z AS (SELECT sum(raw_w * n) AS mass FROM w)
+        SELECT CAST(w.label AS BIGINT) AS label,
+               CAST(w.n AS BIGINT) AS n_examples,
+               {R("w.raw_w", 6)} AS cb_weight_raw,
+               {R("w.raw_w * w.total / z.mass", 6)} AS cb_weight_norm,
+               {R("w.total * 1e0 / (w.n_classes * w.n)", 6)}
+                   AS inv_freq_weight
+        FROM w CROSS JOIN z
+        ORDER BY label
+    """
+
+
+def class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced loss weights per label over the embeddings corpus
+    (see _class_balance_sql): the effective-number-of-samples weight,
+    its mass-preserving normalization, and the inverse-frequency
+    baseline it tempers.
+
+    Scale shape: one grouped count (map-side combinable) plus two 1-row
+    broadcast aggregates — O(classes) after the count at any corpus
+    size."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_class_balance_sql())
+
+
+QUERIES["class_balance_weights"] = class_balance_weights
+ORACLE["class_balance_weights"] = _class_balance_sql()

@@ -2226,8 +2226,22 @@ ORACLE["ivf_nprobe_recall_curve"] = _nprobe_sql(
 # 2 XOR + 2 popcounts per row; only the shortlist is re-read at full
 # precision. This completes the quantization ladder SQ8 (8 bit/dim) ->
 # PQ (~1 bit/dim) -> binary (1 bit/dim, no codebook).
-BQ_RERANK = 50          # Hamming shortlist width ahead of the exact rerank
+BQ_RERANK = 50          # Hamming shortlist FLOOR ahead of the exact rerank
 BQ_BITS_LEVELS = (16, 32, 64)  # prefix-bit budgets for the recall curve
+# Shortlist width scales as a corpus FRACTION with a floor: on isotropic
+# corpora Hamming distances concentrate (Binomial(64, 1/2) interlopers vs
+# a ~1.9-sigma signal gap), so a FIXED width collapses as the corpus
+# grows — measured on the 50x study corpus: recall@10 0.14 at C=50 vs
+# 0.74 at C=n/40. n/40 keeps the exact-rerank work a 40x reduction over
+# full-precision scoring while holding recall; at sf<=0.1 the floor
+# binds, so small-corpus results (and the committed oracle hashes) are
+# unchanged.
+BQ_RERANK_FRACTION = 40  # rerank width = max(BQ_RERANK, n // 40)
+
+
+def bq_shortlist_width(n: int) -> int:
+    """Adaptive Hamming-shortlist width for an n-vector corpus."""
+    return max(BQ_RERANK, n // BQ_RERANK_FRACTION)
 
 
 def _bq_pack_spark(lo: int) -> str:
@@ -2253,9 +2267,11 @@ def _bq_pack_duck(lo: int) -> str:
 
 
 def _bq_sql(codes_body: str, xor1: str, xor2: str, cos: str,
-            materialized: str = "") -> str:
-    """Two-stage binary-quantized search: Hamming shortlist of BQ_RERANK
-    codes, exact cosine rerank of the shortlist only."""
+            cand_width: str, materialized: str = "") -> str:
+    """Two-stage binary-quantized search: Hamming shortlist of
+    `cand_width` codes (max(floor, n/fraction) — a plan-time constant on
+    the Spark side, a scalar subquery in the oracle), exact cosine rerank
+    of the shortlist only."""
     return f"""
         WITH codes AS {materialized} (
             {codes_body}
@@ -2268,7 +2284,7 @@ def _bq_sql(codes_body: str, xor1: str, xor2: str, cos: str,
                        AS hamming64
             FROM codes c CROSS JOIN qc q
             WHERE c.vec_id <> {QUERY_VEC_ID}
-            ORDER BY hamming64, c.vec_id LIMIT {BQ_RERANK}
+            ORDER BY hamming64, c.vec_id LIMIT {cand_width}
         ),
         qv AS (
             SELECT embedding AS qv,
@@ -2298,10 +2314,13 @@ def bq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the code table is the *index* — 2 BIGINTs + label per
     vector (32x smaller than float32) — MATERIALIZED once; the Hamming
     scan is a pure integer projection with TakeOrderedAndProject (no
-    shuffle, no float math on the corpus path); the rerank re-reads
-    exactly {BQ_RERANK} vectors via an equi-join on vec_id. At 100 TB the
-    float vectors stay in cold storage; only codes stream through the
-    scan."""
+    shuffle, no float math on the corpus path); the rerank re-reads only
+    the max({BQ_RERANK}, n/{BQ_RERANK_FRACTION}) shortlist via an
+    equi-join on vec_id — a plan-time constant derived from the corpus
+    count, exactly how a planner sizes it from table stats (see the
+    BQ_RERANK_FRACTION note: a fixed width collapses at 50x). At 100 TB
+    the float vectors stay in cold storage; only codes stream through
+    the scan."""
     from database_toolbox_spark.session import materialize  # noqa: PLC0415
 
     load_tables(spark, sf_dir)
@@ -2312,6 +2331,9 @@ def bq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     """))
     codes.createOrReplaceTempView("bq_codes_v")
+    # guard-exempt: bounded driver fetch (1 count row) — sizes the
+    # shortlist TakeOrdered constant from table stats at plan time
+    width = bq_shortlist_width(codes.count())
     spark_cos = (
         "aggregate(zip_with(e.embedding, q.qv, (x, y) -> "
         "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
@@ -2324,6 +2346,7 @@ def bq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         xor1="(c.w1 ^ q.q1)",
         xor2="(c.w2 ^ q.q2)",
         cos=spark_cos,
+        cand_width=str(width),
     ).format(
         qnorm2="aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> "
                "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
@@ -2339,6 +2362,8 @@ ORACLE["bq_ann_topk"] = _bq_sql(
     xor1="xor(c.w1, q.q1)",
     xor2="xor(c.w2, q.q2)",
     cos=_DUCK_RECALL_COS,
+    cand_width=(f"(SELECT greatest({BQ_RERANK}, CAST(floor(count(*) /"
+                f" {BQ_RERANK_FRACTION}e0) AS BIGINT)) FROM embeddings)"),
     materialized="MATERIALIZED",
 ).format(qnorm2=_DUCK_NORM2)
 
@@ -2359,9 +2384,10 @@ def _bq_curve_sql(codes_body: str, xor1: str, xor2: str, cos: str,
                   bits_rel: str, materialized: str = "") -> str:
     """Recall@{_RECALL_K} of the two-stage binary search as a function of
     the code's bit budget (prefix bits of the 64-bit signature): per panel
-    query and level b, the Hamming-{BQ_RERANK} shortlist under the masked
-    distance is exact-cosine reranked and its top-{_RECALL_K} compared to
-    the exact truth. The curve prices the memory/recall trade the binary
+    query and level b, the adaptive Hamming shortlist
+    (max({BQ_RERANK}, n/{BQ_RERANK_FRACTION}) — see BQ_RERANK_FRACTION)
+    under the masked distance is exact-cosine reranked and its
+    top-{_RECALL_K} compared to the exact truth. The curve prices the memory/recall trade the binary
     index makes — the binary sibling of ivf_nprobe_recall_curve."""
     return f"""
         WITH codes AS {materialized} (
@@ -2382,13 +2408,18 @@ def _bq_curve_sql(codes_body: str, xor1: str, xor2: str, cos: str,
             FROM codes c CROSS JOIN qs q CROSS JOIN bits bt
             WHERE c.vec_id <> q.qid
         ),
+        cw AS (
+            SELECT greatest({BQ_RERANK}, CAST(floor(count(*) /
+                {BQ_RERANK_FRACTION}e0) AS BIGINT)) AS c
+            FROM codes
+        ),
         short AS (
             SELECT qid, b, vec_id FROM (
                 SELECT qid, b, vec_id,
                        row_number() OVER (PARTITION BY qid, b
                            ORDER BY h, vec_id) AS rn
                 FROM ham
-            ) t WHERE rn <= {BQ_RERANK}
+            ) t CROSS JOIN cw WHERE rn <= cw.c
         ),
         rer AS (
             SELECT s.qid, s.b, s.vec_id,
@@ -2429,8 +2460,9 @@ def bq_bits_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the Hamming arm is panel x corpus x 3 masked integer
     distances sharing ONE code-table scan (the levels ride a 3-row
-    broadcast, exactly the nprobe-ladder trick); shortlists are
-    {BQ_RERANK}-row bounded; the exact arm is the panel x corpus ground
+    broadcast, exactly the nprobe-ladder trick); shortlists are bounded
+    by the adaptive width (a 1-row broadcast derived from the corpus
+    count); the exact arm is the panel x corpus ground
     truth every recall eval pays. The code table is materialized once and
     shared with bq_ann_topk's view when both run in a session."""
     from database_toolbox_spark.session import materialize  # noqa: PLC0415

@@ -3528,3 +3528,88 @@ ORACLE["ab_sample_size_planner"] = _sample_size_sql(
     " AS INTEGER)",
     f"SELECT * FROM (VALUES {_MDE_VALUES}) g(d)",
 )
+
+
+# --- delta-method CI for ratio metrics ---------------------------------------------
+# Experimentation's most common trap: "revenue per order" is a ratio of
+# SUMS whose denominator is itself random, so the naive per-row variance
+# is wrong. The delta method (Deng, Knoblich & Lu, KDD'18 §3.1 for the
+# A/B-testing form) linearizes R = x̄/ȳ over the USER as the i.i.d. unit:
+# var(R) ~ (s_x² + R² s_y² − 2 R s_xy) / (n ȳ²). All five moments are
+# EXACT wide integers (spend in cents; cents² reaches ~4e18 per user, so
+# squares accumulate in DECIMAL(38)/HUGEINT), so both engines hand the
+# same integers to the same double arithmetic — no float-merge
+# nondeterminism.
+RATIO_Z95 = 1.959964
+
+
+def _ratio_ci_sql(big) -> str:
+    """Per-segment revenue-per-order ratio with a 95% delta-method CI;
+    zero-order customers enter with (0, 0) — they are part of the user
+    population the metric randomizes over. Identical text in both
+    dialects (decimal cents cast to BIGINT before any float op)."""
+    return f"""
+        WITH per_user AS (
+            SELECT c.c_mktsegment AS segment,
+                   -- explicit cents grid: totalprice is a parquet DOUBLE,
+                   -- and bare CAST(double AS BIGINT) truncates in Spark
+                   -- but rounds in DuckDB
+                   CAST(coalesce(sum(CAST(floor(o.o_totalprice * 100e0
+                                                + 0.5e0) AS BIGINT)),
+                                 0) AS BIGINT) AS x,
+                   CAST(count(o.o_orderkey) AS BIGINT) AS y
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, c.c_custkey
+        ),
+        m AS (
+            SELECT segment, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   CAST(sum({big('x')} * x) AS DOUBLE) AS sxx,
+                   CAST(sum(y * y) AS DOUBLE) AS syy,
+                   CAST(sum(x * y) AS DOUBLE) AS sxy
+            FROM per_user GROUP BY segment
+        ),
+        d AS (
+            SELECT segment, n, sx, sy,
+                   (sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS vx,
+                   (syy - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vy,
+                   (sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1) AS cxy,
+                   CAST(sx AS DOUBLE) / sy AS rc,
+                   CAST(sy AS DOUBLE) / n AS ybar
+            FROM m
+        ),
+        ci AS (
+            SELECT segment, n, rc,
+                   sqrt((vx + rc * rc * vy - 2e0 * rc * cxy)
+                        / (n * ybar * ybar)) AS sec
+            FROM d
+        )
+        SELECT segment, CAST(n AS BIGINT) AS n_users,
+               {R("rc / 100e0", 4)} AS revenue_per_order,
+               {R("sec / 100e0", 6)} AS se,
+               {R("(rc - {z} * sec) / 100e0", 4)} AS ci_lo,
+               {R("(rc + {z} * sec) / 100e0", 4)} AS ci_hi
+        FROM ci ORDER BY segment
+    """.replace("{z}", f"{RATIO_Z95}e0")
+
+
+def ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% delta-method confidence interval for revenue-per-order, per
+    customer segment (see _ratio_ci_sql) — the variance every ratio-metric
+    experiment readout needs; the naive per-order variance understates it
+    whenever order counts vary across users.
+
+    Scale shape: one fact-dim equi-join into a per-user grouped sum
+    (map-side combinable), then a per-segment fold of five exact-integer
+    moments — two shuffles total, O(segments) output, no window, no
+    second pass."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_ratio_ci_sql(
+        lambda x: f"CAST({x} AS DECIMAL(38, 0))"
+    ))
+
+
+QUERIES["ratio_metric_delta_ci"] = ratio_metric_delta_ci
+ORACLE["ratio_metric_delta_ci"] = _ratio_ci_sql(
+    lambda x: f"CAST({x} AS HUGEINT)"
+)

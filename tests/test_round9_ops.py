@@ -108,10 +108,10 @@ def test_bq_ann_matches_numpy_shortlist_and_rerank(spark):
     import duckdb
 
     from database_toolbox_spark.operators.similarity import (
-        BQ_RERANK,
         QUERY_VEC_ID,
         TOP_K,
         bq_ann_topk,
+        bq_shortlist_width,
     )
 
     con = duckdb.connect()
@@ -129,7 +129,7 @@ def test_bq_ann_matches_numpy_shortlist_and_rerank(spark):
     cand = sorted(
         (i for i in range(len(ids)) if ids[i] != QUERY_VEC_ID),
         key=lambda i: (ham[i], ids[i]),
-    )[:BQ_RERANK]
+    )[: bq_shortlist_width(len(ids))]
     qv = V[ids == QUERY_VEC_ID][0]
     cos = (V[cand] @ qv) / (
         np.sqrt((V[cand] ** 2).sum(1)) * np.sqrt((qv**2).sum())
@@ -601,3 +601,99 @@ def test_inbatch_negative_audit_matches_python_replay(spark):
         n / len(sizes) * 1e4 + 0.501) / 1e4
     assert r.same_source_share == math.floor(
         same_source / within * 1e6 + 0.501) / 1e6
+
+
+# ------------------------------------------- class-balance weights
+
+
+def test_class_balance_weights_matches_numpy(spark):
+    import math
+
+    import duckdb
+
+    from database_toolbox_spark.operators.curation import (
+        CB_BETA,
+        class_balance_weights,
+    )
+
+    con = duckdb.connect()
+    counts = dict(con.execute(
+        "SELECT label, count(*) FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet') GROUP BY 1"
+    ).fetchall())
+    con.close()
+    total = sum(counts.values())
+    raw = {k: (1 - CB_BETA) / (1 - CB_BETA**n) for k, n in counts.items()}
+    mass = sum(raw[k] * counts[k] for k in counts)
+
+    r6 = lambda x: math.floor(x * 1e6 + 0.501) / 1e6  # noqa: E731
+    got = {r.label: r for r in class_balance_weights(spark, SF_DIR).collect()}
+    assert set(got) == set(counts)
+    for k, r in got.items():
+        assert r.n_examples == counts[k]
+        assert r.cb_weight_raw == r6(raw[k])
+        assert r.cb_weight_norm == r6(raw[k] * total / mass)
+        assert r.inv_freq_weight == r6(total / (len(counts) * counts[k]))
+    # weight ordering mirrors inverse class size (effective-number weights
+    # are monotone decreasing in n)
+    ws = sorted(got.values(), key=lambda r: r.n_examples)
+    raws = [r.cb_weight_raw for r in ws]
+    assert raws == sorted(raws, reverse=True)
+
+
+# ------------------------------------------- delta-method ratio CI
+
+
+def test_ratio_metric_delta_ci_matches_numpy(spark):
+    import math
+
+    import duckdb
+
+    from database_toolbox_spark.operators.stats import (
+        RATIO_Z95,
+        ratio_metric_delta_ci,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        SELECT c.c_mktsegment,
+               coalesce(sum(CAST(floor(o.o_totalprice * 100e0 + 0.5e0)
+                                 AS BIGINT)), 0),
+               count(o.o_orderkey)
+        FROM read_parquet('{SF_DIR}/customer.parquet') c
+        LEFT JOIN read_parquet('{SF_DIR}/orders.parquet') o
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, c.c_custkey
+    """).fetchall()
+    con.close()
+
+    per_seg: dict[str, list] = {}
+    for seg, x, y in rows:
+        per_seg.setdefault(seg, []).append((int(x), int(y)))
+
+    got = {r.segment: r for r in
+           ratio_metric_delta_ci(spark, SF_DIR).collect()}
+    assert set(got) == set(per_seg)
+    r4 = lambda v: math.floor(v * 1e4 + 0.501) / 1e4  # noqa: E731
+    r6 = lambda v: math.floor(v * 1e6 + 0.501) / 1e6  # noqa: E731
+    for seg, xy in per_seg.items():
+        n = len(xy)
+        sx = sum(x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        sxx = float(sum(x * x for x, _ in xy))
+        syy = float(sum(y * y for _, y in xy))
+        sxy = float(sum(x * y for x, y in xy))
+        vx = (sxx - float(sx) * sx / n) / (n - 1)
+        vy = (syy - float(sy) * sy / n) / (n - 1)
+        cxy = (sxy - float(sx) * sy / n) / (n - 1)
+        rc = float(sx) / sy
+        ybar = float(sy) / n
+        se = math.sqrt((vx + rc * rc * vy - 2 * rc * cxy) / (n * ybar**2))
+        r = got[seg]
+        assert r.n_users == n
+        assert r.revenue_per_order == r4(rc / 100)
+        assert abs(r.se - r6(se / 100)) < 2e-6
+        assert abs(r.ci_lo - r4((rc - RATIO_Z95 * se) / 100)) < 2e-4
+        assert abs(r.ci_hi - r4((rc + RATIO_Z95 * se) / 100)) < 2e-4
+        # the CI must bracket the point estimate
+        assert r.ci_lo < r.revenue_per_order < r.ci_hi
