@@ -3613,3 +3613,104 @@ QUERIES["ratio_metric_delta_ci"] = ratio_metric_delta_ci
 ORACLE["ratio_metric_delta_ci"] = _ratio_ci_sql(
     lambda x: f"CAST({x} AS HUGEINT)"
 )
+
+
+# --- Benjamini-Hochberg FDR screen ------------------------------------------------
+# Running one hypothesis per brand (25 of them) at alpha = 0.05 expects a
+# false rejection per screen; the Benjamini-Hochberg step-up procedure
+# (JRSS-B 1995) controls the false-discovery RATE instead: sort p
+# ascending, reject the largest prefix with p_(k) <= k/m * q. The normal
+# CDF is the Abramowitz & Stegun 26.2.17 polynomial (|error| < 7.5e-8 —
+# four decimal grids below the p-value rounding), written as the SAME
+# text in both dialects so p-values match bit-for-bit.
+BH_Q = 0.05
+
+_PHI_UPPER = (
+    # 1 - Phi(z) for z >= 0 via A&S 26.2.17; {z} is substituted
+    "(exp(-({z}) * ({z}) / 2e0) / 2.5066282746310002e0) * "
+    "(((((1.330274429e0 * tt - 1.821255978e0) * tt + 1.781477937e0) * tt"
+    " - 0.356563782e0) * tt + 0.319381530e0) * tt)"
+)
+
+
+def _bh_sql() -> str:
+    """Per-brand two-sided one-sample z-test of mean retail price against
+    the global mean (variance from the global population, exact cents
+    moments), then the BH step-up over the m = #brands p-values.
+    Identical text in both dialects."""
+    phi = _PHI_UPPER.replace("{z}", "az")
+    return f"""
+        WITH p AS (
+            SELECT p_brand,
+                   CAST(floor(p_retailprice * 100e0 + 0.5e0) AS BIGINT)
+                       AS cents
+            FROM part
+        ),
+        g AS (
+            SELECT count(*) AS n, sum(cents) AS s,
+                   CAST(sum(cents * cents) AS DOUBLE) AS ss
+            FROM p
+        ),
+        b AS (
+            SELECT p_brand, count(*) AS n, sum(cents) AS s
+            FROM p GROUP BY p_brand
+        ),
+        z AS (
+            SELECT b.p_brand, b.n,
+                   CAST(b.s AS DOUBLE) / b.n AS mean_c,
+                   (CAST(b.s AS DOUBLE) / b.n - CAST(g.s AS DOUBLE) / g.n)
+                   / sqrt((g.ss - CAST(g.s AS DOUBLE) * g.s / g.n)
+                          / (g.n - 1) / b.n) AS zst
+            FROM b CROSS JOIN g
+        ),
+        pv AS (
+            SELECT p_brand, n, mean_c, zst, abs(zst) AS az,
+                   1e0 / (1e0 + 0.2316419e0 * abs(zst)) AS tt
+            FROM z
+        ),
+        pval AS (
+            SELECT p_brand, n, mean_c, zst,
+                   2e0 * ({phi}) AS p2
+            FROM pv
+        ),
+        ranked AS (
+            SELECT p_brand, n, mean_c, zst, p2,
+                   row_number() OVER (ORDER BY p2, p_brand) AS rk,
+                   count(*) OVER () AS m
+            FROM pval
+        ),
+        cut AS (
+            SELECT coalesce(max(CASE WHEN p2 <= rk * {BH_Q} / m
+                                     THEN rk END), 0) AS kmax
+            FROM ranked
+        )
+        SELECT r.p_brand AS brand, CAST(r.n AS BIGINT) AS n_parts,
+               {R("r.mean_c / 100e0", 4)} AS mean_price,
+               {R("r.zst", 4)} AS z,
+               {R("r.p2", 6)} AS p_value,
+               CAST(r.rk AS BIGINT) AS bh_rank,
+               {R(f"r.rk * {BH_Q} / r.m", 6)} AS bh_critical,
+               CAST(r.rk <= c.kmax AS INT) AS rejected
+        FROM ranked r CROSS JOIN cut c
+        ORDER BY bh_rank
+    """
+
+
+def bh_fdr_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FDR-controlled screen for brands whose mean retail price deviates
+    from the corpus mean (see _bh_sql): per-brand z and approximate
+    two-sided p, BH step-up rank/critical value, and the rejected flag —
+    the multiple-testing discipline every per-segment metric dashboard
+    skips at its peril.
+
+    Scale shape: exact integer moments from one grouped pass + a 1-row
+    global broadcast; the BH machinery (rank window, step-up max) runs on
+    the m-row hypothesis relation — O(brands), not O(parts). The rank
+    window's single partition is intentional: m is the hypothesis count,
+    bounded by construction."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_bh_sql())
+
+
+QUERIES["bh_fdr_brand_price"] = bh_fdr_brand_price
+ORACLE["bh_fdr_brand_price"] = _bh_sql()

@@ -697,3 +697,71 @@ def test_ratio_metric_delta_ci_matches_numpy(spark):
         assert abs(r.ci_hi - r4((rc + RATIO_Z95 * se) / 100)) < 2e-4
         # the CI must bracket the point estimate
         assert r.ci_lo < r.revenue_per_order < r.ci_hi
+
+
+# ------------------------------------------- Benjamini-Hochberg screen
+
+
+def test_bh_fdr_matches_scipy_free_replay(spark):
+    """External anchor: replay z, the A&S p approximation (checked
+    against math.erfc truth within its 7.5e-8 bound), and the BH step-up
+    in pure Python."""
+    import math
+
+    import duckdb
+
+    from database_toolbox_spark.operators.stats import (
+        BH_Q,
+        bh_fdr_brand_price,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        SELECT p_brand, CAST(floor(p_retailprice * 100e0 + 0.5e0) AS BIGINT)
+        FROM read_parquet('{SF_DIR}/part.parquet')
+    """).fetchall()
+    con.close()
+    per: dict[str, list[int]] = {}
+    for brand, c in rows:
+        per.setdefault(brand, []).append(int(c))
+    allc = [c for v in per.values() for c in v]
+    gn, gs = len(allc), sum(allc)
+    gss = float(sum(c * c for c in allc))
+    gvar = (gss - float(gs) * gs / gn) / (gn - 1)
+    gmean = gs / gn
+
+    def phi_upper(z):  # A&S 26.2.17
+        t = 1 / (1 + 0.2316419 * z)
+        poly = ((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+                 - 0.356563782) * t + 0.319381530) * t
+        return math.exp(-z * z / 2) / math.sqrt(2 * math.pi) * poly
+
+    hyp = []
+    for brand, cs in per.items():
+        n = len(cs)
+        z = (sum(cs) / n - gmean) / math.sqrt(gvar / n)
+        p2 = 2 * phi_upper(abs(z))
+        # the approximation really is within its advertised bound
+        assert abs((1 - p2 / 2) - (0.5 * math.erfc(-abs(z) / math.sqrt(2)))) \
+            < 7.5e-8
+        hyp.append((brand, n, z, p2))
+    hyp.sort(key=lambda h: (h[3], h[0]))
+    m = len(hyp)
+    kmax = max(
+        (k for k in range(1, m + 1) if hyp[k - 1][3] <= k * BH_Q / m),
+        default=0,
+    )
+
+    got = bh_fdr_brand_price(spark, SF_DIR).collect()
+    assert len(got) == m
+    r4 = lambda x: math.floor(x * 1e4 + 0.501) / 1e4  # noqa: E731
+    r6 = lambda x: math.floor(x * 1e6 + 0.501) / 1e6  # noqa: E731
+    for r, (brand, n, z, p2) in zip(got, hyp):
+        assert (r.brand, r.n_parts, r.bh_rank) == (brand, n, r.bh_rank)
+        assert r.z == r4(z)
+        assert abs(r.p_value - r6(p2)) <= 1e-6
+        assert r.bh_critical == r6(r.bh_rank * BH_Q / m)
+        assert r.rejected == (1 if r.bh_rank <= kmax else 0)
+    # step-up structure: rejections are a prefix of the p-sorted list
+    flags = [r.rejected for r in got]
+    assert flags == sorted(flags, reverse=True)
