@@ -1608,3 +1608,118 @@ def class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["class_balance_weights"] = class_balance_weights
 ORACLE["class_balance_weights"] = _class_balance_sql()
+
+
+# --- distributed logistic-regression GD step ---------------------------------------
+# One full-batch gradient-descent step of logistic regression, trained IN
+# SQL: the gradient of the log-loss over the corpus is a sum of per-row
+# contributions, i.e. exactly a map-side-combinable aggregate — the
+# textbook reason distributed training of linear models is "just" a
+# grouped sum (Bottou's SGD notes; Spark MLlib's own LBFGS does the same
+# reduce). Per-row gradient and loss contributions are snapped to a 1e-6
+# integer grid BEFORE summing, so the accumulation is an order-free
+# BIGINT sum and both engines produce bit-identical weights.
+LGD_LR = 1.0
+LGD_FEATURES = ("bias", "ttr", "stop_ratio", "len_norm")
+
+
+def _lgd_sql(split, length, distinct, filt, sw: str) -> str:
+    """From w0 = 0 (where every p = 0.5 and the loss is ln 2 exactly),
+    compute the mean gradient g_j = mean((p - y) x_j), step to
+    w1 = -lr * g, and re-score the corpus for the post-step loss.
+    Label: lang = 'en'. Features match the quality classifier's."""
+    g_cols = []
+    for j, f in enumerate(LGD_FEATURES):
+        x = "1e0" if f == "bias" else f
+        g_cols.append(
+            f"sum(CAST(floor((0.5e0 - y) * {x} * 1000000e0 + 0.5e0)"
+            f" AS BIGINT)) AS g{j}"
+        )
+    margin = " + ".join(
+        f"w.w{j} * " + ("1e0" if f == "bias" else f"f.{f}")
+        for j, f in enumerate(LGD_FEATURES)
+    )
+    arms = " UNION ALL ".join(
+        f"""SELECT {j} AS feature_pos, '{f}' AS feature,
+               g{j} AS graw FROM agg"""
+        for j, f in enumerate(LGD_FEATURES)
+    )
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          CASE WHEN lang = 'en' THEN 1e0 ELSE 0e0 END AS y,
+                          {split} AS w
+                   FROM documents),
+        feat AS (
+            SELECT doc_id, y,
+                   {length}({distinct}(w)) * 1e0 / {length}(w) AS ttr,
+                   {length}({filt}(w, x -> x IN ({sw}))) * 1e0
+                       / {length}(w) AS stop_ratio,
+                   least({length}(w) / 64e0, 2e0) AS len_norm
+            FROM t
+        ),
+        agg AS (
+            SELECT count(*) AS n, {", ".join(g_cols)}
+            FROM feat
+        ),
+        w AS (
+            SELECT n,
+                   {", ".join(
+                       f"-{LGD_LR}e0 * g{j} / (1000000e0 * n) AS w{j}"
+                       for j in range(len(LGD_FEATURES)))}
+            FROM agg
+        ),
+        post AS (
+            SELECT sum(CAST(floor(
+                       ln(1e0 + exp(-(2e0 * f.y - 1e0) * ({margin})))
+                       * 1000000e0 + 0.5e0) AS BIGINT)) AS lsum,
+                   count(*) AS n
+            FROM feat f CROSS JOIN w
+        ),
+        arms AS ({arms})
+        SELECT CAST(a.feature_pos AS BIGINT) AS feature_pos, a.feature,
+               {R("a.graw / (1000000e0 * g.n)", 6)} AS grad_mean,
+               {R(f"-{LGD_LR}e0 * a.graw / (1000000e0 * g.n)", 6)} AS w_next,
+               {R("ln(2e0)", 6)} AS loss_before,
+               {R("p.lsum / (1000000e0 * p.n)", 6)} AS loss_after
+        FROM arms a CROSS JOIN agg g CROSS JOIN post p
+        ORDER BY feature_pos
+    """
+
+
+def logistic_gd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact full-batch logistic-regression step over the documents
+    corpus (label: lang = 'en'; see _lgd_sql): per-feature mean gradient,
+    the stepped weights, and the corpus log-loss before/after — the
+    distributed-training primitive expressed as two aggregates.
+
+    Scale shape: TWO corpus scans (gradient pass, post-step loss pass),
+    each a pure projection into a map-side-combinable integer sum; the
+    weight vector travels as a 1-row broadcast. This is the exact shape
+    a 100 TB linear-model trainer repeats per epoch — no shuffle beyond
+    the 1-row aggregates, no driver-side loop over rows."""
+    load_tables(spark, sf_dir)
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    return spark.sql(_lgd_sql(
+        "split(text, ' ')", "size", "array_distinct", "filter",
+        _sql_list(STOPWORDS),
+    ))
+
+
+def _lgd_oracle() -> str:
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    return _lgd_sql(
+        "string_split(text, ' ')", "len", "list_distinct", "list_filter",
+        _sql_list(STOPWORDS),
+    )
+
+
+QUERIES["logistic_gd_step"] = logistic_gd_step
+ORACLE["logistic_gd_step"] = _lgd_oracle()

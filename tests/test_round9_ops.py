@@ -765,3 +765,59 @@ def test_bh_fdr_matches_scipy_free_replay(spark):
     # step-up structure: rejections are a prefix of the p-sorted list
     flags = [r.rejected for r in got]
     assert flags == sorted(flags, reverse=True)
+
+
+# ------------------------------------------- logistic GD step
+
+
+def test_logistic_gd_step_matches_numpy_and_descends(spark):
+    import math
+
+    import duckdb
+
+    from database_toolbox_spark.operators.curation import (
+        LGD_FEATURES,
+        LGD_LR,
+        logistic_gd_step,
+    )
+    from database_toolbox_spark.operators.text import STOPWORDS, _sql_list
+
+    con = duckdb.connect()
+    feats = con.execute(f"""
+        WITH t AS (SELECT CASE WHEN lang = 'en' THEN 1e0 ELSE 0e0 END AS y,
+                          string_split(text, ' ') AS w
+                   FROM read_parquet('{SF_DIR}/documents.parquet'))
+        SELECT y,
+               len(list_distinct(w)) * 1e0 / len(w),
+               len(list_filter(w, x -> x IN ({_sql_list(STOPWORDS)})))
+                   * 1e0 / len(w),
+               least(len(w) / 64e0, 2e0)
+        FROM t
+    """).fetchall()
+    con.close()
+    n = len(feats)
+    xs = [(1.0, ttr, sr, ln) for _, ttr, sr, ln in feats]
+    ys = [y for y, *_ in feats]
+
+    snap = lambda v: math.floor(v * 1e6 + 0.5)  # noqa: E731
+    gsum = [
+        sum(snap((0.5 - y) * x[j]) for x, y in zip(xs, ys))
+        for j in range(4)
+    ]
+    w1 = [-LGD_LR * g / (1e6 * n) for g in gsum]
+    lsum = sum(
+        snap(math.log(1 + math.exp(-(2 * y - 1)
+                                   * sum(w * xi for w, xi in zip(w1, x)))))
+        for x, y in zip(xs, ys)
+    )
+
+    r6 = lambda v: math.floor(v * 1e6 + 0.501) / 1e6  # noqa: E731
+    got = logistic_gd_step(spark, SF_DIR).collect()
+    assert [r.feature for r in got] == list(LGD_FEATURES)
+    for j, r in enumerate(got):
+        assert r.grad_mean == r6(gsum[j] / (1e6 * n))
+        assert r.w_next == r6(w1[j])
+        assert r.loss_before == r6(math.log(2))
+        assert abs(r.loss_after - r6(lsum / (1e6 * n))) <= 1e-6
+    # the step must actually descend the corpus log-loss
+    assert got[0].loss_after < got[0].loss_before
