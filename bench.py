@@ -197,6 +197,19 @@ HEADLINE = [
     "bq_bits_recall_curve",
     "compaction_bin_packing",
     "pass_at_k_estimates",
+    # round-9 second tranche: CEP census, planner family, index/session
+    # maintenance, labeling/batching audits, FDR screen, SQL training step
+    "event_pattern_matches",
+    "bloom_sizing_planner",
+    "ivf_rebalance_advisor",
+    "session_gap_sensitivity",
+    "active_learning_batch",
+    "inbatch_negative_audit",
+    "class_balance_weights",
+    "ratio_metric_delta_ci",
+    "bh_fdr_brand_price",
+    "logistic_gd_step",
+    "sssp_weighted_hops",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

@@ -821,3 +821,58 @@ def test_logistic_gd_step_matches_numpy_and_descends(spark):
         assert abs(r.loss_after - r6(lsum / (1e6 * n))) <= 1e-6
     # the step must actually descend the corpus log-loss
     assert got[0].loss_after < got[0].loss_before
+
+
+# ------------------------------------------- weighted SSSP
+
+
+def test_sssp_matches_python_bellman_ford(spark):
+    """External anchor: replay the bounded Bellman-Ford with (dist, hops)
+    tuples in pure Python over the same weighted edge list."""
+    import duckdb
+
+    from database_toolbox_spark.operators.graph import (
+        SSSP_ROUNDS,
+        SSSP_TOP,
+        sssp_weighted_hops,
+    )
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    base = con.execute("""
+        SELECT concat('s', CAST(l.l_suppkey AS VARCHAR)) AS src,
+               concat('c', CAST(o.o_custkey AS VARCHAR)) AS dst,
+               CAST(floor(1000000e0 / count(*)) AS BIGINT) AS w6
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    """).fetchall()
+    con.close()
+    adj: dict[str, list] = {}
+    for s, d, w in base:
+        adj.setdefault(s, []).append((d, w))
+        adj.setdefault(d, []).append((s, w))
+    source = min(n for n in adj if n.startswith("s"))
+    dist = {source: (0, 0)}
+    for _ in range(SSSP_ROUNDS):
+        nxt = dict(dist)
+        for u, (du, hu) in dist.items():
+            for v, w in adj[u]:
+                cand = (du + w, hu + 1)
+                if v not in nxt or cand < nxt[v]:
+                    nxt[v] = cand
+        dist = nxt
+    expected = sorted(
+        ((d, h, n) for n, (d, h) in dist.items())
+    )[:SSSP_TOP]
+
+    got = [(r.dist_micros, r.hops, r.node)
+           for r in sssp_weighted_hops(spark, SF_DIR).collect()]
+    assert got == expected
+    # structure: the source is first at distance 0 and hop counts are
+    # within the round bound
+    assert got[0] == (0, 0, source)
+    assert all(h <= SSSP_ROUNDS for _, h, _ in got)
