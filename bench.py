@@ -210,6 +210,8 @@ HEADLINE = [
     "bh_fdr_brand_price",
     "logistic_gd_step",
     "sssp_weighted_hops",
+    "median_ci_order_stats",
+    "ucb_arm_allocation",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

@@ -2021,3 +2021,61 @@ ORACLE["session_gap_sensitivity"] = _gap_curve_sql(
     "SELECT unnest([" + ", ".join(str(g) for g in SESSION_GAP_LEVELS)
     + "]) AS gm",
 )
+
+
+# --- UCB1 arm allocation snapshot ---------------------------------------------------
+# The sequential-decision layer over the event stream: treating each
+# event type as an arm and `value` as its reward, UCB1 (Auer, Cesa-Bianchi
+# & Fischer, MLJ 2002) scores each arm mean + sqrt(2 ln N / n) — the
+# exploration bonus that makes total regret O(log N). Deterministic
+# because rewards accumulate on an exact cents grid (order-free BIGINT
+# sum), unlike Thompson sampling's RNG draw.
+
+
+def _ucb_sql() -> str:
+    """Per-arm pull count, exact-cents mean reward, UCB1 bonus and score,
+    and the allocation rank (the arm a UCB policy pulls next is rank 1).
+    Identical text in both dialects."""
+    return f"""
+        WITH pulls AS (
+            SELECT event_type AS arm, count(*) AS n,
+                   sum(CAST(floor(value * 100e0 + 0.5e0) AS BIGINT))
+                       AS cents
+            FROM events GROUP BY event_type
+        ),
+        tot AS (SELECT sum(n) AS big_n FROM pulls),
+        scored AS (
+            SELECT p.arm, p.n,
+                   p.cents / (100e0 * p.n) AS mean_r,
+                   sqrt(2e0 * ln(t.big_n) / p.n) AS bonus
+            FROM pulls p CROSS JOIN tot t
+        )
+        SELECT arm, CAST(n AS BIGINT) AS n_pulls,
+               {R("mean_r", 4)} AS mean_reward,
+               {R("bonus", 6)} AS ucb_bonus,
+               {R("mean_r + bonus", 4)} AS ucb_score,
+               CAST(row_number() OVER (
+                   ORDER BY floor((mean_r + bonus) * 10000e0 + 0.501e0)
+                            DESC, arm) AS BIGINT) AS pull_rank
+        FROM scored
+        ORDER BY pull_rank
+    """
+
+
+def ucb_arm_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 allocation snapshot over event-type arms (see _ucb_sql):
+    which arm an optimism-under-uncertainty policy pulls next, with the
+    exploration bonus separated from the exploitation mean so the
+    trade-off is visible.
+
+    Scale shape: ONE grouped integer aggregate over the stream (map-side
+    combinable) + a 1-row total broadcast; the scoring and rank run on
+    the arms relation — O(arms) after the count, the same budget a real
+    bandit service pays per decision tick. The rank window's single
+    partition is the arms relation, bounded by construction."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_ucb_sql())
+
+
+QUERIES["ucb_arm_allocation"] = ucb_arm_allocation
+ORACLE["ucb_arm_allocation"] = _ucb_sql()

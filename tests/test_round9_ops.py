@@ -876,3 +876,98 @@ def test_sssp_matches_python_bellman_ford(spark):
     # within the round bound
     assert got[0] == (0, 0, source)
     assert all(h <= SSSP_ROUNDS for _, h, _ in got)
+
+
+# ------------------------------------------- median order-stat CI
+
+
+def test_median_ci_matches_python_order_stats(spark):
+    import math
+
+    import duckdb
+
+    from database_toolbox_spark.operators.stats import (
+        RATIO_Z95,
+        median_ci_order_stats,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        SELECT c_mktsegment,
+               CAST(floor(c_acctbal * 100e0 + 0.5e0) AS BIGINT)
+        FROM read_parquet('{SF_DIR}/customer.parquet')
+    """).fetchall()
+    con.close()
+    per: dict[str, list[int]] = {}
+    for seg, c in rows:
+        per.setdefault(seg, []).append(int(c))
+
+    got = {r.segment: r for r in
+           median_ci_order_stats(spark, SF_DIR).collect()}
+    assert set(got) == set(per)
+    for seg, cs in per.items():
+        cs.sort()
+        n = len(cs)
+        med = math.floor((n + 1) / 2)
+        lo = max(1, math.floor(n / 2 - RATIO_Z95 * math.sqrt(n) / 2))
+        hi = min(n, math.ceil(n / 2 + RATIO_Z95 * math.sqrt(n) / 2) + 1)
+        r = got[seg]
+        assert (r.n_customers, r.lo_rank, r.hi_rank) == (n, lo, hi)
+        assert r.median_balance == round(cs[med - 1] / 100, 2)
+        assert r.ci_lo == round(cs[lo - 1] / 100, 2)
+        assert r.ci_hi == round(cs[hi - 1] / 100, 2)
+        # the bracket must contain the median
+        assert r.ci_lo <= r.median_balance <= r.ci_hi
+        # and achieve >= 95% nominal coverage (exact binomial check)
+        logc = [math.lgamma(n + 1) - math.lgamma(k + 1)
+                - math.lgamma(n - k + 1) - n * math.log(2)
+                for k in range(n + 1)]
+        cover = sum(math.exp(lc) for k, lc in enumerate(logc)
+                    if lo <= k < hi)
+        assert cover >= 0.94  # normal approx can undershoot marginally
+
+
+# ------------------------------------------- UCB1 arm allocation
+
+
+def test_ucb_allocation_matches_python(spark):
+    import math
+
+    import duckdb
+
+    from database_toolbox_spark.operators.events import ucb_arm_allocation
+
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        SELECT event_type, count(*),
+               sum(CAST(floor(value * 100e0 + 0.5e0) AS BIGINT))
+        FROM read_parquet('{SF_DIR}/events.parquet') GROUP BY 1
+    """).fetchall()
+    con.close()
+    big_n = sum(n for _, n, _ in rows)
+    r4 = lambda x: math.floor(x * 1e4 + 0.501) / 1e4  # noqa: E731
+    r6 = lambda x: math.floor(x * 1e6 + 0.501) / 1e6  # noqa: E731
+    model = {}
+    for arm, n, cents in rows:
+        mean = cents / (100 * n)
+        bonus = math.sqrt(2 * math.log(big_n) / n)
+        model[arm] = (n, mean, bonus)
+    order = sorted(
+        model,
+        key=lambda a: (-math.floor((model[a][1] + model[a][2]) * 1e4
+                                   + 0.501), a),
+    )
+
+    got = ucb_arm_allocation(spark, SF_DIR).collect()
+    assert [r.arm for r in got] == order
+    for r in got:
+        n, mean, bonus = model[r.arm]
+        assert r.n_pulls == n
+        assert r.mean_reward == r4(mean)
+        assert r.ucb_bonus == r6(bonus)
+        assert r.ucb_score == r4(mean + bonus)
+    # structure: the bonus shrinks with pulls — fewer-pulled arms get
+    # strictly larger exploration bonuses
+    by_n = sorted(got, key=lambda r: r.n_pulls)
+    bs = [r.ucb_bonus for r in by_n]
+    assert bs == sorted(bs, reverse=True)
