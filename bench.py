@@ -212,6 +212,8 @@ HEADLINE = [
     "sssp_weighted_hops",
     "median_ci_order_stats",
     "ucb_arm_allocation",
+    "logistic_fold_stability",
+    "hierarchical_forecast_reconciliation",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

