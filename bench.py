@@ -214,6 +214,7 @@ HEADLINE = [
     "ucb_arm_allocation",
     "logistic_fold_stability",
     "hierarchical_forecast_reconciliation",
+    "newsvendor_stock_levels",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

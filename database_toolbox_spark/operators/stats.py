@@ -3888,3 +3888,60 @@ QUERIES["hierarchical_forecast_reconciliation"] = (
 ORACLE["hierarchical_forecast_reconciliation"] = _hfr_sql(
     "strftime(o.o_orderdate, '%Y-%m')"
 )
+
+
+# --- newsvendor stocking quantile ---------------------------------------------------
+# The newsvendor solution (Arrow, Harris & Marschak, Econometrica 1951):
+# with underage cost CU (lost margin) and overage cost CO (holding), the
+# optimal stock is the CU/(CU+CO) quantile of demand — NOT the mean, the
+# classic planning mistake. Demand is the daily shipped quantity per
+# brand; the quantile is an exact order statistic on the integer demand
+# grid.
+NV_CU = 9   # lost margin per unit short
+NV_CO = 1   # holding cost per unit over
+# critical ratio CU/(CU+CO) = 0.9
+
+
+def _newsvendor_sql() -> str:
+    q = NV_CU / (NV_CU + NV_CO)
+    return f"""
+        WITH d AS (
+            SELECT p.p_brand AS brand, l.l_shipdate AS day,
+                   sum(CAST(floor(l.l_quantity + 0.5e0) AS BIGINT)) AS dem
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_brand, l.l_shipdate
+        ),
+        r AS (
+            SELECT brand, dem,
+                   row_number() OVER (PARTITION BY brand
+                                      ORDER BY dem) AS rn,
+                   count(*) OVER (PARTITION BY brand) AS n,
+                   sum(dem) OVER (PARTITION BY brand) AS tot
+            FROM d
+        )
+        SELECT brand, CAST(n AS BIGINT) AS n_days,
+               {R("tot * 1e0 / n", 2)} AS mean_daily_demand,
+               CAST(dem AS BIGINT) AS order_up_to_level,
+               {R("dem - tot * 1e0 / n", 2)} AS safety_stock
+        FROM r
+        WHERE rn = CAST(ceil({q}e0 * n) AS BIGINT)
+        ORDER BY brand
+    """
+
+
+def newsvendor_stock_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal order-up-to stock per brand at the CU={NV_CU}/CO={NV_CO}
+    critical ratio (the 0.9 demand quantile as an exact order statistic;
+    see _newsvendor_sql), with the mean-demand baseline and the implied
+    safety stock — the inventory-planning quantile the mean silently
+    understocks.
+
+    Scale shape: one grouped sum builds the (brand, day) demand series;
+    one per-brand rank window selects the order statistic — the
+    sessionize shuffle budget, no self-join, no resampling."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_newsvendor_sql())
+
+
+QUERIES["newsvendor_stock_levels"] = newsvendor_stock_levels
+ORACLE["newsvendor_stock_levels"] = _newsvendor_sql()

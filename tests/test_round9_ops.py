@@ -1074,3 +1074,53 @@ def test_hfr_reconciled_children_sum_to_parent(spark):
         # at least one region must show a real gap, asserted globally below
     assert any(abs(rs[0].coherence_gap) > 1.0
                for rs in by_region.values())
+
+
+# ------------------------------------------- newsvendor quantile
+
+
+def test_newsvendor_matches_python_order_stat(spark):
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from database_toolbox_spark.operators.stats import (
+        NV_CO,
+        NV_CU,
+        newsvendor_stock_levels,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        SELECT p.p_brand, l.l_shipdate,
+               sum(CAST(floor(l.l_quantity + 0.5e0) AS BIGINT))
+        FROM read_parquet('{SF_DIR}/lineitem.parquet') l
+        JOIN read_parquet('{SF_DIR}/part.parquet') p
+          ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    """).fetchall()
+    con.close()
+    per = defaultdict(list)
+    for brand, _, dem in rows:
+        per[brand].append(int(dem))
+    q = NV_CU / (NV_CU + NV_CO)
+
+    got = {r.brand: r for r in
+           newsvendor_stock_levels(spark, SF_DIR).collect()}
+    assert set(got) == set(per)
+    r2 = lambda x: math.floor(x * 100 + 0.501) / 100  # noqa: E731
+    for brand, dems in per.items():
+        dems.sort()
+        n = len(dems)
+        level = dems[math.ceil(q * n) - 1]
+        mean = sum(dems) / n
+        r = got[brand]
+        assert (r.n_days, r.order_up_to_level) == (n, level)
+        assert r.mean_daily_demand == r2(mean)
+        assert r.safety_stock == r2(level - mean)
+        # the critical quantile covers >= 90% of observed days
+        assert sum(1 for d in dems if d <= level) / n >= q
+        # and demands more than the mean (right-skew guard is structural:
+        # the 0.9 quantile of a nonnegative series is >= its mean here)
+        assert r.safety_stock >= 0
