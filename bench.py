@@ -215,6 +215,7 @@ HEADLINE = [
     "logistic_fold_stability",
     "hierarchical_forecast_reconciliation",
     "newsvendor_stock_levels",
+    "prf_expanded_search",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

@@ -1768,3 +1768,139 @@ def _textrank_oracle() -> str:
 
 QUERIES["textrank_keywords"] = textrank_keywords
 ORACLE["textrank_keywords"] = _textrank_oracle()
+
+
+# --- pseudo-relevance-feedback query expansion ------------------------------------
+# Two-stage retrieval (Rocchio, The SMART Retrieval System 1971; RM3-style
+# feedback): stage 1 ranks with the original query, the top PRF_FB_DOCS
+# docs are ASSUMED relevant, their strongest non-query non-stopword terms
+# join the query at weight PRF_EXP_W, and stage 2 re-ranks with the
+# weighted expansion. Both stages share ONE corpus-wide (doc, term) tf
+# build — the inverted-index stand-in — so expansion costs a second
+# scoring pass over the index, never a second text scan.
+PRF_FB_DOCS = 5
+PRF_EXP_TERMS = 5
+PRF_EXP_W = 0.5
+PRF_TOP = 10
+
+
+def _prf_q0() -> str:
+    """The original query terms as a UNION-of-literals relation (built in
+    Python so both dialects receive identical text)."""
+    terms = [t.strip() for t in _BM25_TERMS.split(",")]
+    return " UNION ALL ".join(f"SELECT {t} AS term" for t in terms)
+
+
+def _prf_sql(n_words: str, tf_body: str, sw: str,
+             materialized: str = "") -> str:
+    return f"""
+        WITH dl AS (SELECT doc_id, {n_words} AS dl FROM documents),
+        stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        tf AS {materialized} (
+            {tf_body}
+        ),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT t.doc_id, t.term,
+                   ln(1e0 + (s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))
+                   * (t.tf * ({_BM25_K1} + 1e0))
+                   / (t.tf + {_BM25_K1} * (1e0 - {_BM25_B}
+                      + {_BM25_B} * l.dl * s.n_docs * 1e0 / s.sum_dl))
+                       AS c
+            FROM tf t
+            JOIN df d ON d.term = t.term
+            JOIN dl l ON l.doc_id = t.doc_id
+            CROSS JOIN stats s
+            WHERE t.term IN ({_BM25_TERMS})
+               OR (t.term NOT IN ({sw}))
+        ),
+        s1 AS (
+            SELECT doc_id, sum(c) AS score FROM contrib
+            WHERE term IN ({_BM25_TERMS}) GROUP BY doc_id
+        ),
+        fb AS (
+            SELECT doc_id FROM s1
+            ORDER BY {BM25_SCORE_R} DESC, doc_id LIMIT {PRF_FB_DOCS}
+        ),
+        exp_terms AS (
+            SELECT term FROM (
+                SELECT t.term, sum(t.tf) AS fbtf
+                FROM tf t JOIN fb ON fb.doc_id = t.doc_id
+                WHERE t.term NOT IN ({_BM25_TERMS})
+                  AND t.term NOT IN ({sw})
+                GROUP BY t.term
+            ) e
+            ORDER BY fbtf DESC, term LIMIT {PRF_EXP_TERMS}
+        ),
+        qexp AS (
+            SELECT term, 1e0 AS w FROM ({_prf_q0()}) q0
+            UNION ALL
+            SELECT term, {PRF_EXP_W}e0 AS w FROM exp_terms
+        ),
+        s2 AS (
+            SELECT c.doc_id, sum(c.c * q.w) AS score
+            FROM contrib c JOIN qexp q ON q.term = c.term
+            GROUP BY c.doc_id
+        ),
+        r1 AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY {BM25_SCORE_R} DESC,
+                                      doc_id) AS base_rank
+            FROM s1
+        )
+        SELECT s2.doc_id, {R("s2.score", 4)} AS bm25_prf,
+               CAST(row_number() OVER (ORDER BY
+                   floor(s2.score * 10000e0 + 0.501e0) DESC, s2.doc_id)
+                   AS BIGINT) AS prf_rank,
+               CAST(r1.base_rank AS BIGINT) AS base_rank
+        FROM s2 LEFT JOIN r1 ON r1.doc_id = s2.doc_id
+        ORDER BY prf_rank, s2.doc_id LIMIT {PRF_TOP}
+    """
+
+
+_PRF_SPARK_TF = (
+    "SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, "
+    "explode(split(text, ' ')) AS term FROM documents) tk "
+    "GROUP BY doc_id, term"
+)
+_PRF_DUCK_TF = (
+    "SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, "
+    "unnest(string_split(text, ' ')) AS term FROM documents) tk "
+    "GROUP BY doc_id, term"
+)
+
+
+def prf_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with pseudo-relevance-feedback expansion (see _prf_sql):
+    top-{PRF_TOP} docs under the expanded query, each with its
+    pre-expansion rank so the feedback's reordering is visible — the
+    two-stage shape every production retrieval stack (query expansion,
+    rewriting) reduces to.
+
+    Scale shape: the (doc, term) tf relation is the inverted index —
+    MATERIALIZED once on the Spark side, AS MATERIALIZED in the oracle —
+    and both scoring stages plus the feedback-term mining are joins
+    against it; the text is never rescanned. The feedback relations are
+    {PRF_FB_DOCS}- and {PRF_EXP_TERMS}-row bounded, and the per-term
+    contribution relation is stopword-pruned before either stage reads
+    it."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    materialize(spark.sql(_PRF_SPARK_TF)).createOrReplaceTempView(
+        "prf_tf_v"
+    )
+    return spark.sql(_prf_sql(
+        "size(split(text, ' '))",
+        "SELECT * FROM prf_tf_v",
+        _sql_list(STOPWORDS),
+    ))
+
+
+QUERIES["prf_expanded_search"] = prf_expanded_search
+ORACLE["prf_expanded_search"] = _prf_sql(
+    "len(string_split(text, ' '))",
+    _PRF_DUCK_TF,
+    _sql_list(STOPWORDS),
+    materialized="MATERIALIZED",
+)

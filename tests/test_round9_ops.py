@@ -1124,3 +1124,80 @@ def test_newsvendor_matches_python_order_stat(spark):
         # and demands more than the mean (right-skew guard is structural:
         # the 0.9 quantile of a nonnegative series is >= its mean here)
         assert r.safety_stock >= 0
+
+
+# ------------------------------------------- PRF expanded search
+
+
+def test_prf_expanded_search_matches_python_two_stage(spark):
+    """External anchor: full pure-Python replay of both BM25 stages,
+    the feedback-doc selection, and the expansion-term mining."""
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from database_toolbox_spark.operators.text import (
+        PRF_EXP_TERMS,
+        PRF_EXP_W,
+        PRF_FB_DOCS,
+        PRF_TOP,
+        STOPWORDS,
+        prf_expanded_search,
+    )
+
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    q0 = ["spark", "join", "window"]
+    k1, b = 1.2, 0.75
+    toks = {d: t.split(" ") for d, t in docs}
+    dl = {d: len(w) for d, w in toks.items()}
+    n_docs, sum_dl = len(docs), sum(dl.values())
+    tf = {d: Counter(w) for d, w in toks.items()}
+    df = Counter()
+    for d, c in tf.items():
+        for term in c:
+            df[term] += 1
+
+    def contrib(d, term):
+        t = tf[d][term]
+        idf = math.log(1 + (n_docs - df[term] + 0.5) / (df[term] + 0.5))
+        return idf * (t * (k1 + 1)) / (
+            t + k1 * (1 - b + b * dl[d] * n_docs / sum_dl)
+        )
+
+    r4 = lambda x: math.floor(x * 1e4 + 0.501) / 1e4  # noqa: E731
+    s1 = {d: sum(contrib(d, t) for t in q0 if tf[d][t])
+          for d in tf if any(tf[d][t] for t in q0)}
+    base_rank = {
+        d: i + 1
+        for i, d in enumerate(sorted(s1, key=lambda d: (-r4(s1[d]), d)))
+    }
+    fb = sorted(s1, key=lambda d: (-r4(s1[d]), d))[:PRF_FB_DOCS]
+    fbtf = defaultdict(int)
+    for d in fb:
+        for term, c in tf[d].items():
+            if term not in q0 and term not in STOPWORDS:
+                fbtf[term] += c
+    exp = sorted(fbtf, key=lambda t: (-fbtf[t], t))[:PRF_EXP_TERMS]
+    qexp = {t: 1.0 for t in q0} | {t: PRF_EXP_W for t in exp}
+    s2 = {}
+    for d in tf:
+        sc = sum(w * contrib(d, t) for t, w in qexp.items() if tf[d][t])
+        if sc:
+            s2[d] = sc
+    order = sorted(s2, key=lambda d: (-math.floor(s2[d] * 1e4 + 0.501), d))
+    expected = [
+        (d, r4(s2[d]), i + 1, base_rank.get(d))
+        for i, d in enumerate(order[:PRF_TOP])
+    ]
+
+    got = [(r.doc_id, r.bm25_prf, r.prf_rank, r.base_rank)
+           for r in prf_expanded_search(spark, SF_DIR).collect()]
+    assert got == expected
+    # the expansion must actually reorder something (else the op is inert)
+    assert any(r[2] != r[3] for r in got)
