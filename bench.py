@@ -216,6 +216,7 @@ HEADLINE = [
     "hierarchical_forecast_reconciliation",
     "newsvendor_stock_levels",
     "prf_expanded_search",
+    "msprt_ab_monitor",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

@@ -3945,3 +3945,115 @@ def newsvendor_stock_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["newsvendor_stock_levels"] = newsvendor_stock_levels
 ORACLE["newsvendor_stock_levels"] = _newsvendor_sql()
+
+
+# --- always-valid sequential A/B monitor (mSPRT) ------------------------------------
+# Peeking at a fixed-horizon test inflates false positives; the mixture
+# SPRT (Johari, Koomen, Pekelis & Walsh, "Peeking at A/B Tests", KDD'17)
+# gives an ALWAYS-VALID p-value: with cumulative effect theta_hat, an
+# effective per-arm n, plug-in variance s2 and mixture variance tau2,
+#   log Lambda_n = 0.5 ln(s2/(s2 + n tau2))
+#                + n^2 tau2 theta_hat^2 / (2 s2 (s2 + n tau2))
+# and p_n = min_{m<=n} exp(-log Lambda_m), monotone by construction. The
+# monitor emits month-end snapshots of the curve over the md5 A/A split
+# (no true effect), so the boundary should not fire.
+MSPRT_ALPHA = 0.05
+# tau = s (the common scale-free default: mixture as wide as the noise)
+
+
+def _msprt_sql(month_expr: str, md5arm: str, big) -> str:
+    return f"""
+        WITH o AS (
+            SELECT {month_expr} AS mo, o_orderdate AS day,
+                   {md5arm} AS arm,
+                   CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT)
+                       AS cents
+            FROM orders
+        ),
+        daily AS (
+            SELECT mo, day,
+                   sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+                   sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS s0,
+                   sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS s1
+            FROM o GROUP BY mo, day
+        ),
+        pooled AS (
+            SELECT count(*) AS n, sum(cents) AS s,
+                   CAST(sum({big('cents')} * cents) AS DOUBLE) AS ss
+            FROM o
+        ),
+        cum AS (
+            SELECT mo, day,
+                   sum(n0) OVER w AS cn0, sum(n1) OVER w AS cn1,
+                   sum(s0) OVER w AS cs0, sum(s1) OVER w AS cs1
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        ),
+        snap AS (
+            SELECT mo, day, cn0, cn1, cs0, cs1,
+                   row_number() OVER (PARTITION BY mo
+                                      ORDER BY day DESC) AS rn
+            FROM cum
+        ),
+        lam AS (
+            SELECT s.mo, s.cn0, s.cn1,
+                   (CAST(s.cs1 AS DOUBLE) / s.cn1
+                    - CAST(s.cs0 AS DOUBLE) / s.cn0) / 100e0 AS theta,
+                   ((p.ss - CAST(p.s AS DOUBLE) * p.s / p.n) / (p.n - 1))
+                       / 10000e0 AS s2,
+                   (s.cn0 * 1e0 * s.cn1) / (s.cn0 + s.cn1) AS neff
+            FROM snap s CROSS JOIN pooled p
+            WHERE s.rn = 1 AND s.cn0 > 0 AND s.cn1 > 0
+        ),
+        ll AS (
+            SELECT mo, cn0, cn1, theta,
+                   0.5e0 * ln(s2 / (s2 + neff * s2))
+                   + neff * neff * s2 * theta * theta
+                     / (2e0 * s2 * (s2 + neff * s2)) AS log_lambda
+            FROM lam
+        ),
+        curve AS (
+            SELECT mo, cn0, cn1, theta, log_lambda,
+                   max(log_lambda) OVER (ORDER BY mo
+                       ROWS UNBOUNDED PRECEDING) AS run_max
+            FROM ll
+        )
+        SELECT mo AS month, CAST(cn0 AS BIGINT) AS n_arm0,
+               CAST(cn1 AS BIGINT) AS n_arm1,
+               {R("theta", 4)} AS effect_estimate,
+               {R("log_lambda", 6)} AS log_lambda,
+               {R("least(1e0, exp(-run_max))", 6)} AS always_valid_p,
+               CAST(exp(-run_max) <= {MSPRT_ALPHA} AS INT) AS rejected
+        FROM curve
+        ORDER BY month
+    """
+
+
+def msprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end snapshots of the always-valid mSPRT curve over the md5
+    A/A order-value split (see _msprt_sql): cumulative effect, log
+    mixture-likelihood-ratio, the monotone always-valid p, and the
+    boundary flag — the monitor that makes continuous peeking
+    statistically safe.
+
+    Scale shape: one grouped day aggregate (exact cents), one window
+    cumsum over the DAY-grain relation (thousands of rows at any corpus
+    size), closed-form scoring per snapshot — the corpus is scanned
+    once. tau2 = s2 (scale-free mixture default)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_msprt_sql(
+        "date_format(o_orderdate, 'yyyy-MM')",
+        "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 4),"
+        " 16, 10) AS INT) % 2",
+        lambda x: f"CAST({x} AS DECIMAL(38, 0))",
+    ))
+
+
+QUERIES["msprt_ab_monitor"] = msprt_ab_monitor
+ORACLE["msprt_ab_monitor"] = _msprt_sql(
+    "strftime(o_orderdate, '%Y-%m')",
+    "CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4))"
+    " AS INTEGER) % 2",
+    lambda x: f"CAST({x} AS HUGEINT)",
+)

@@ -1201,3 +1201,74 @@ def test_prf_expanded_search_matches_python_two_stage(spark):
     assert got == expected
     # the expansion must actually reorder something (else the op is inert)
     assert any(r[2] != r[3] for r in got)
+
+
+# ------------------------------------------- mSPRT always-valid monitor
+
+
+def test_msprt_matches_python_and_is_always_valid(spark):
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from database_toolbox_spark.operators.stats import (
+        MSPRT_ALPHA,
+        msprt_ab_monitor,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        SELECT strftime(o_orderdate, '%Y-%m'), o_orderdate, o_custkey,
+               CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT)
+        FROM read_parquet('{SF_DIR}/orders.parquet')
+        ORDER BY o_orderdate
+    """).fetchall()
+    con.close()
+    arm = lambda k: int(  # noqa: E731
+        hashlib.md5(str(k).encode()).hexdigest()[:4], 16) % 2
+    allc = [c for *_, c in rows]
+    n = len(allc)
+    s2 = ((sum(c * c for c in allc)
+           - float(sum(allc)) ** 2 / n) / (n - 1)) / 1e4
+
+    per_day = defaultdict(lambda: [0, 0, 0, 0])
+    for mo, day, k, c in rows:
+        a = arm(k)
+        d = per_day[(mo, day)]
+        d[a] += 1
+        d[2 + a] += c
+    cn0 = cn1 = cs0 = cs1 = 0
+    month_last = {}
+    for (mo, day), (n0, n1, c0, c1) in sorted(per_day.items()):
+        cn0 += n0
+        cn1 += n1
+        cs0 += c0
+        cs1 += c1
+        month_last[mo] = (cn0, cn1, cs0, cs1)
+
+    r6 = lambda x: math.floor(x * 1e6 + 0.501) / 1e6  # noqa: E731
+    r4 = lambda x: math.floor(x * 1e4 + 0.501) / 1e4  # noqa: E731
+    got = {r.month: r for r in msprt_ab_monitor(spark, SF_DIR).collect()}
+    assert set(got) == set(month_last)
+    run_max = -math.inf
+    for mo in sorted(month_last):
+        c0, c1, s0, s1 = month_last[mo]
+        theta = (s1 / c1 - s0 / c0) / 100
+        neff = c0 * c1 / (c0 + c1)
+        ll = (0.5 * math.log(s2 / (s2 + neff * s2))
+              + neff**2 * s2 * theta**2 / (2 * s2 * (s2 + neff * s2)))
+        run_max = max(run_max, ll)
+        r = got[mo]
+        assert (r.n_arm0, r.n_arm1) == (c0, c1)
+        assert r.effect_estimate == r4(theta)
+        assert abs(r.log_lambda - r6(ll)) <= 2e-6
+        assert abs(r.always_valid_p
+                   - r6(min(1.0, math.exp(-run_max)))) <= 2e-6
+        assert r.rejected == int(math.exp(-run_max) <= MSPRT_ALPHA)
+    # always-valid structure: p is monotone non-increasing, and the A/A
+    # split must not fire the boundary on this fixture
+    ps = [got[mo].always_valid_p for mo in sorted(got)]
+    assert ps == sorted(ps, reverse=True)
+    assert not any(got[mo].rejected for mo in got)
