@@ -203,6 +203,26 @@ SUSPECTS = [
     ("pass_at_k_estimates", "mix10"),
     ("event_pattern_matches", "mix10"),
     ("compaction_bin_packing", "report"),
+    # round-9 third tranche. Replica facts carry SHIFTED custkeys, so
+    # every op that inner-joins (or left-joins the dim side of) customer
+    # sees only the base rows — ratio CI and the forecast reconciliation
+    # must be BYTE-INVARIANT under 10x orphan inserts (the did10
+    # pattern); median CI / BH / bloom planner read untouched dims.
+    # Newsvendor demand is exactly 10x per (brand, day) (replica
+    # lineitems keep partkey+shipdate), so the order statistic scales
+    # exactly; UCB pulls are 10x with byte-equal means ((10c)/(10n)
+    # rounds like c/n). msprt/prf/fold-stability/logistic reroll md5
+    # folds or suffixed vocabularies -> report mode (plan-shape bound).
+    ("newsvendor_stock_levels", "mix10"),
+    ("ucb_arm_allocation", "mix10"),
+    ("median_ci_order_stats", "mix10"),
+    ("bh_fdr_brand_price", "mix10"),
+    ("ratio_metric_delta_ci", "mix10"),
+    ("bloom_sizing_planner", "mix10"),
+    ("hierarchical_forecast_reconciliation", "mix10"),
+    ("msprt_ab_monitor", "report"),
+    ("prf_expanded_search", "report"),
+    ("logistic_gd_step", "report"),
 ]
 
 # mix10 specs: key columns; columns that must be exactly 10x (abs_tol,
@@ -338,6 +358,58 @@ MIX10 = {
         "key": ["pattern"],
         "x10": {"n_streams_matched": (0.5, 0), "total_matches": (0.5, 0)},
         "same": {"match_rate": None},
+    },
+    "newsvendor_stock_levels": {
+        "key": ["brand"],
+        "x10": {
+            "order_up_to_level": (0.5, 0),
+            "mean_daily_demand": (0.05, 2e-3),
+            "safety_stock": (0.1, 2e-3),
+        },
+        "same": {"n_days": None},
+    },
+    "ucb_arm_allocation": {
+        "key": ["arm"],
+        "x10": {"n_pulls": (0.5, 0)},
+        # (10c)/(100*10n) rounds to the identical double; the bonus and
+        # rank legitimately move with ln N and n, so they are unasserted
+        "same": {"mean_reward": None},
+    },
+    # customer/part are NOT replicated and the facts are dim-orphans ->
+    # byte-invariant outputs
+    "median_ci_order_stats": {
+        "key": ["segment"],
+        "x10": {},
+        "same": {"n_customers": None, "median_balance": None,
+                 "ci_lo": None, "ci_hi": None,
+                 "lo_rank": None, "hi_rank": None},
+    },
+    "bh_fdr_brand_price": {
+        "key": ["brand"],
+        "x10": {},
+        "same": {"n_parts": None, "mean_price": None, "z": None,
+                 "p_value": None, "bh_rank": None,
+                 "bh_critical": None, "rejected": None},
+    },
+    "ratio_metric_delta_ci": {
+        "key": ["segment"],
+        "x10": {},
+        "same": {"n_users": None, "revenue_per_order": None, "se": None,
+                 "ci_lo": None, "ci_hi": None},
+    },
+    "bloom_sizing_planner": {
+        "key": ["bits_per_key"],
+        "x10": {},
+        "same": {"n_keys": None, "k_hashes": None, "total_bits": None,
+                 "filter_kib": None, "predicted_fpr": None,
+                 "recommended": None},
+    },
+    "hierarchical_forecast_reconciliation": {
+        "key": ["region", "nation"],
+        "x10": {},
+        "same": {"base_forecast": None, "share": None,
+                 "reconciled_forecast": None, "region_forecast": None,
+                 "coherence_gap": None},
     },
 }
 
