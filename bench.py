@@ -217,6 +217,8 @@ HEADLINE = [
     "newsvendor_stock_levels",
     "prf_expanded_search",
     "msprt_ab_monitor",
+    "km_greenwood_bands",
+    "ece_calibration_summary",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

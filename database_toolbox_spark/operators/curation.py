@@ -1831,3 +1831,69 @@ def _lfs_oracle() -> str:
 
 QUERIES["logistic_fold_stability"] = logistic_fold_stability
 ORACLE["logistic_fold_stability"] = _lfs_oracle()
+
+
+# --- expected calibration error summary ---------------------------------------------
+# The scalar the reliability diagram integrates to: ECE = the bin-mass-
+# weighted mean |confidence − accuracy| and MCE = its max (Naeini,
+# Cooper & Hauskrecht, AAAI 2015 — the binned estimator every model card
+# quotes), next to the total Brier score the per-bin table already
+# decomposes. One number to trend per classifier release; the bins table
+# stays the diagnostic drill-down.
+
+
+def _ece_sql(*args) -> str:
+    return _calib_binned_ctes(*args) + f"""
+        , per AS (
+            SELECT bin, count(*) AS n, avg(p) AS mp, avg(y * 1e0) AS my,
+                   sum((p - y) * (p - y)) AS bs
+            FROM binned GROUP BY bin
+        ),
+        tot AS (SELECT sum(n) AS n FROM per)
+        SELECT CAST(t.n AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_bins,
+               {R("sum(per.n * abs(per.mp - per.my)) / t.n", 6)} AS ece,
+               {R("max(abs(per.mp - per.my))", 6)} AS mce,
+               {R("sum(per.bs) / t.n", 6)} AS brier_score
+        FROM per CROSS JOIN tot t
+        GROUP BY t.n
+    """
+
+
+def ece_calibration_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECE / MCE / Brier for the quality classifier against the Gopher
+    rule battery (see _ece_sql) — the one-row calibration health scalar
+    over the same decile binning the reliability table exposes.
+
+    Scale shape: identical to classifier_calibration_bins (one per-row
+    feature+rule pass, a 10-group rollup); the summary adds a 10-row
+    fold."""
+    load_tables(spark, sf_dir)
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    sw = _sql_list(STOPWORDS)
+    return spark.sql(_ece_sql(
+        "split(text, ' ')", "size", "size(array_distinct(w))", "filter",
+        "t RLIKE '[a-z]'", "array_intersect", sw, f"array({sw})",
+    ))
+
+
+def _ece_oracle() -> str:
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    sw = _sql_list(STOPWORDS)
+    return _ece_sql(
+        "string_split(text, ' ')", "len", "len(list_distinct(w))",
+        "list_filter", "regexp_matches(t, '[a-z]')", "list_intersect",
+        sw, f"[{sw}]",
+    )
+
+
+QUERIES["ece_calibration_summary"] = ece_calibration_summary
+ORACLE["ece_calibration_summary"] = _ece_oracle()

@@ -2079,3 +2079,100 @@ def ucb_arm_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ucb_arm_allocation"] = ucb_arm_allocation
 ORACLE["ucb_arm_allocation"] = _ucb_sql()
+
+
+# --- Greenwood confidence bands for the KM curve ------------------------------------
+# The survival curve without error bands invites over-reading its tail;
+# Greenwood's formula (1926; Kalbfleisch & Prentice §1.4) gives
+# Var(S(t)) = S(t)^2 * sum_{d<=t} deaths / (at_risk * (at_risk - deaths))
+# and the log(-log) transform keeps the 95% bands inside [0, 1] (the
+# complementary-log-log interval every survival package defaults to).
+_KM_GW_SQL = """
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_ev,
+               max(ts) AS t_last
+        FROM events GROUP BY user_id
+    ),
+    dur AS (
+        SELECT CASE WHEN t_ev IS NOT NULL THEN {dd_ev} ELSE {dd_last} END
+                   AS d,
+               CASE WHEN t_ev IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM per_user
+    ),
+    hist AS (
+        SELECT d, CAST(sum(ev) AS BIGINT) AS deaths, count(*) AS leaving
+        FROM dur GROUP BY d
+    ),
+    tot AS (SELECT count(*) AS n FROM dur),
+    curve AS (
+        SELECT d, deaths,
+               t.n - coalesce(sum(leaving) OVER (
+                   PARTITION BY (hash(d) % 1) ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS at_risk
+        FROM hist CROSS JOIN tot t
+    ),
+    km AS (
+        SELECT d, deaths, at_risk,
+               exp(sum(ln(greatest(1e0 - deaths * 1e0 / at_risk, 1e-12)))
+                   OVER (PARTITION BY (hash(d) % 1) ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   AS s,
+               sum(deaths * 1e0
+                   / (at_risk * greatest(at_risk - deaths, 1)))
+                   OVER (PARTITION BY (hash(d) % 1) ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS gw
+        FROM curve
+    ),
+    bands AS (
+        SELECT d, deaths, at_risk, s,
+               s * sqrt(gw) AS se,
+               -- cloglog scale: theta = ln(-ln S), se_theta =
+               -- sqrt(gw)/|ln S|; CI = S^exp(-+ z * se_theta)
+               sqrt(gw) / greatest(abs(ln(greatest(s, 1e-12))), 1e-12)
+                   AS se_cll
+        FROM km WHERE deaths > 0
+    )
+    SELECT d AS day_offset, deaths,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           {s_r} AS survival,
+           {se_r} AS greenwood_se,
+           {lo_r} AS ci_lo,
+           {hi_r} AS ci_hi
+    FROM bands
+    ORDER BY day_offset
+"""
+_KM_Z95 = "1.959964e0"
+
+
+def km_greenwood_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-purchase curve WITH 95% Greenwood bands on
+    the complementary-log-log scale (see _KM_GW_SQL) — the error bars
+    that stop the thin-at-risk tail of the curve being read as signal.
+
+    Scale shape: identical to kaplan_meier_purchase (one per-user
+    reduce, calendar-bounded windows) plus one more running sum for the
+    Greenwood variance — the bands are free at any corpus size."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_KM_GW_SQL.format(
+        dd_ev="datediff(CAST(t_ev AS DATE), CAST(t0 AS DATE))",
+        dd_last="datediff(CAST(t_last AS DATE), CAST(t0 AS DATE))",
+        s_r=R("s", 6),
+        se_r=R("se", 6),
+        lo_r=R(f"pow(s, exp({_KM_Z95} * se_cll))", 6),
+        hi_r=R(f"pow(s, exp(-{_KM_Z95} * se_cll))", 6),
+    ))
+
+
+QUERIES["km_greenwood_bands"] = km_greenwood_bands
+ORACLE["km_greenwood_bands"] = _KM_GW_SQL.format(
+    dd_ev="date_diff('day', CAST(t0 AS DATE), CAST(t_ev AS DATE))",
+    dd_last="date_diff('day', CAST(t0 AS DATE), CAST(t_last AS DATE))",
+    s_r=R("s", 6),
+    se_r=R("se", 6),
+    lo_r=R(f"pow(s, exp({_KM_Z95} * se_cll))", 6),
+    hi_r=R(f"pow(s, exp(-{_KM_Z95} * se_cll))", 6),
+)

@@ -1272,3 +1272,106 @@ def test_msprt_matches_python_and_is_always_valid(spark):
     ps = [got[mo].always_valid_p for mo in sorted(got)]
     assert ps == sorted(ps, reverse=True)
     assert not any(got[mo].rejected for mo in got)
+
+
+# ------------------------------------------- Greenwood bands
+
+
+def test_km_greenwood_bands_match_python(spark):
+    """External anchor: replay the KM curve + Greenwood variance +
+    cloglog 95% bands in pure Python over per-user durations."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from database_toolbox_spark.operators.events import km_greenwood_bands
+
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        SELECT CASE WHEN t_ev IS NOT NULL
+                    THEN date_diff('day', CAST(t0 AS DATE),
+                                   CAST(t_ev AS DATE))
+                    ELSE date_diff('day', CAST(t0 AS DATE),
+                                   CAST(t_last AS DATE)) END,
+               CASE WHEN t_ev IS NOT NULL THEN 1 ELSE 0 END
+        FROM (
+            SELECT user_id, min(ts) AS t0,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS t_ev,
+                   max(ts) AS t_last
+            FROM read_parquet('{SF_DIR}/events.parquet') GROUP BY user_id
+        ) pu
+    """).fetchall()
+    con.close()
+    deaths = Counter()
+    leaving = Counter()
+    for d, ev in rows:
+        leaving[d] += 1
+        deaths[d] += ev
+    n = len(rows)
+    z = 1.959964
+    r6 = lambda x: math.floor(x * 1e6 + 0.501) / 1e6  # noqa: E731
+    at_risk = n
+    s, gw = 1.0, 0.0
+    expected = {}
+    for d in sorted(leaving):
+        de = deaths[d]
+        if de > 0:
+            s *= max(1 - de / at_risk, 1e-12)
+            gw += de / (at_risk * max(at_risk - de, 1))
+            se_cll = math.sqrt(gw) / max(abs(math.log(max(s, 1e-12))),
+                                         1e-12)
+            expected[d] = (
+                de, at_risk, r6(s), r6(s * math.sqrt(gw)),
+                r6(s ** math.exp(z * se_cll)),
+                r6(s ** math.exp(-z * se_cll)),
+            )
+        else:
+            s *= max(1 - de / at_risk, 1e-12)
+            gw += de / (at_risk * max(at_risk - de, 1))
+        at_risk -= leaving[d]
+
+    got = {r.day_offset: r for r in
+           km_greenwood_bands(spark, SF_DIR).collect()}
+    assert set(got) == set(expected)
+    for d, (de, ar, sv, se, lo, hi) in expected.items():
+        r = got[d]
+        assert (r.deaths, r.at_risk) == (de, ar)
+        assert r.survival == sv
+        assert abs(r.greenwood_se - se) <= 1e-6
+        assert abs(r.ci_lo - lo) <= 2e-6 and abs(r.ci_hi - hi) <= 2e-6
+        # cloglog bands bracket the estimate inside [0, 1]
+        assert 0.0 <= r.ci_lo <= r.survival <= r.ci_hi <= 1.0
+
+
+# ------------------------------------------- ECE summary
+
+
+def test_ece_summary_consistent_with_bins(spark):
+    """The scalar must equal the mass-weighted fold of the already-
+    anchored reliability table."""
+    import math
+
+    from database_toolbox_spark.operators.curation import (
+        classifier_calibration_bins,
+        ece_calibration_summary,
+    )
+
+    bins = classifier_calibration_bins(spark, SF_DIR).collect()
+    n = sum(b.n_docs for b in bins)
+    # recompute from UNROUNDED parts is impossible from the R6 table, so
+    # allow one grid step of slack per aggregated term
+    ece = sum(b.n_docs * b.calibration_gap for b in bins) / n
+    mce = max(b.calibration_gap for b in bins)
+    brier = sum(b.brier_sum for b in bins) / n
+
+    r = ece_calibration_summary(spark, SF_DIR).collect()[0]
+    assert (r.n_docs, r.n_bins) == (n, len(bins))
+    assert abs(r.ece - ece) <= 2e-5
+    assert abs(r.mce - mce) <= 2e-6
+    assert abs(r.brier_score - brier) <= 2e-5
+    assert 0.0 <= r.ece <= r.mce <= 1.0
+    assert 0.0 <= r.brier_score <= 1.0
+    import math as _m
+    assert not _m.isnan(r.ece)
