@@ -66,6 +66,10 @@ FINGERPRINT_QUERIES = (
     # pinning (a lost materialize or an extra corpus scan fails the gate)
     "bq_ann_topk",
     "session_gap_sensitivity",
+    # round-9 third tranche: the cumulative-offset packing window and the
+    # two-stage retrieval joins against the materialized tf index
+    "compaction_bin_packing",
+    "prf_expanded_search",
 )
 
 SHOWCASE = {
