@@ -1375,3 +1375,90 @@ def test_ece_summary_consistent_with_bins(spark):
     assert 0.0 <= r.brier_score <= 1.0
     import math as _m
     assert not _m.isnan(r.ece)
+
+
+# ------------------------------------------- degenerate-input hardening
+
+
+def _clone_sf(tmp_path, name, skip):
+    import os
+    import shutil
+
+    d = tmp_path / name
+    d.mkdir()
+    for f in os.listdir(SF_DIR):
+        if f != skip:
+            shutil.copyfile(os.path.join(SF_DIR, f), d / f)
+    return d
+
+
+def test_event_pattern_matches_degenerate_streams(spark, tmp_path):
+    """Single-event streams: `c[^p]*$` must fire on a lone click, the
+    funnel patterns must not; rates stay well-defined."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_toolbox_spark.operators.events import (
+        event_pattern_matches,
+    )
+
+    d = _clone_sf(tmp_path, "sf_cep_tiny", "events.parquet")
+    rows = [
+        # user 1, one lone click on one day
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        # user 2, view then purchase same day
+        (2, "2024-01-01 09:00:00", 2, "view", 1.0, "{}"),
+        (3, "2024-01-01 09:05:00", 2, "purchase", 1.0, "{}"),
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] for r in rows]).cast(pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }),
+        d / "events.parquet",
+    )
+    got = {r.pattern: r for r in
+           event_pattern_matches(spark, str(d)).collect()}
+    assert got["click_abandoned"].n_streams_matched == 1
+    assert got["view_to_purchase"].n_streams_matched == 1
+    assert got["error_burst"].n_streams_matched == 0
+    assert got["signup_then_click"].total_matches == 0
+    assert got["view_to_purchase"].match_rate == 0.5  # 1 of 2 streams
+
+
+def test_compaction_single_small_file(spark, tmp_path):
+    """A one-file inventory below target must come out as exactly one
+    bin containing one (small) file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_toolbox_spark.operators.partitioning import (
+        compaction_bin_packing,
+    )
+
+    d = _clone_sf(tmp_path, "sf_compact_tiny", "orders.parquet")
+    import datetime
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["O", "O"]),
+            "o_totalprice": pa.array([10.0, 20.0], pa.float64()),
+            "o_orderdate": pa.array(
+                [datetime.date(2024, 1, 5)] * 2, pa.date32()),
+            "o_orderpriority": pa.array(["1-URGENT"] * 2),
+        }),
+        d / "orders.parquet",
+    )
+    got = compaction_bin_packing(spark, str(d)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.partition_key, r.bin_id, r.n_files_in, r.n_small_in) == (
+        "O", 0, 1, 1
+    )
+    assert r.first_file == r.last_file == "2024-01"
