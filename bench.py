@@ -219,6 +219,9 @@ HEADLINE = [
     "msprt_ab_monitor",
     "km_greenwood_bands",
     "ece_calibration_summary",
+    # round-10 tranche: asymmetric binary-ANN recall curve (same code
+    # bytes as bq_bits_recall_curve, float-query scoring)
+    "bq_asym_recall_curve",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -319,6 +322,20 @@ def compute_regressions(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Tee-free stderr capture: dup fd 2 to a temp file BEFORE the JVM
+    # launches (it inherits the fd), so the emitted JSON can carry a
+    # ``window_warnings`` count — any ``WindowExec: No Partition Defined``
+    # in a headline plan is an unpartitioned global sort and a finding
+    # (round-9 verdict item 2). Restored before printing the JSON line.
+    import tempfile
+
+    warn_f = tempfile.NamedTemporaryFile(
+        mode="w+", suffix=".bench-stderr", delete=False
+    )
+    orig_err = os.dup(2)
+    os.dup2(warn_f.fileno(), 2)
+
     spark = get_spark(app_name="dts-bench")
     queries = all_queries()
 
@@ -366,6 +383,17 @@ def main() -> None:
     prev = prev_timings()  # read BEFORE overwriting BENCH_DETAIL.json
     regressions = compute_regressions(timings, spreads, medians, prev)
 
+    # drain + count unpartitioned-window warnings, restore stderr
+    os.fsync(warn_f.fileno())
+    os.dup2(orig_err, 2)
+    os.close(orig_err)
+    with open(warn_f.name) as wf:
+        window_warnings = sum(
+            line.count("No Partition Defined") for line in wf
+        )
+    os.unlink(warn_f.name)
+    warn_f.close()
+
     with open(DETAIL_PATH, "w") as f:
         json.dump(
             {
@@ -378,6 +406,7 @@ def main() -> None:
                 "query_spread_sec": spreads,
                 "query_samples_sec": raw,
                 "regressions_vs_prev_round": regressions,
+                "window_warnings": window_warnings,
             },
             f,
             indent=1,
@@ -395,6 +424,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "regressed": sorted(regressions)[:10],
                 "detail": "BENCH_DETAIL.json",
+                "window_warnings": window_warnings,
                 "value": total,
             }
         )

@@ -180,8 +180,15 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle/signature intermediates are materialized once inside it),
     distincts the pair endpoints, and LEFT-joins back to documents for the
     per-source rate. The endpoint table is pair-bounded (tiny next to the
-    corpus), so the join broadcasts."""
-    pairs = minhash_near_dup_pairs(spark, sf_dir)
+    corpus), so the join broadcasts.
+
+    The pair relation is MATERIALIZED here: dup_docs reads it on BOTH
+    union branches (doc_a + doc_b endpoints), and unmaterialized the
+    4-band self-join + verification pipeline would execute twice — the
+    round-9 HITS lesson applied (measured ~2x at sf0.01)."""
+    pairs = materialize(
+        minhash_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
     docs = load_tables(spark, sf_dir)["documents"]
     dup_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))

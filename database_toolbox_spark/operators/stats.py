@@ -3633,11 +3633,14 @@ _PHI_UPPER = (
 )
 
 
-def _bh_sql() -> str:
+def _bh_sql(big) -> str:
     """Per-brand two-sided one-sample z-test of mean retail price against
     the global mean (variance from the global population, exact cents
-    moments), then the BH step-up over the m = #brands p-values.
-    Identical text in both dialects."""
+    moments), then the BH step-up over the m = #brands p-values. `big`
+    widens the squared-cents term (DECIMAL(38,0) on Spark, HUGEINT in the
+    oracle) so the second moment stays exact — cents^2 sums overflow a
+    BIGINT under ANSI mode around SF~1000. Apart from the widener the
+    text is identical in both dialects."""
     phi = _PHI_UPPER.replace("{z}", "az")
     return f"""
         WITH p AS (
@@ -3648,7 +3651,7 @@ def _bh_sql() -> str:
         ),
         g AS (
             SELECT count(*) AS n, sum(cents) AS s,
-                   CAST(sum(cents * cents) AS DOUBLE) AS ss
+                   CAST(sum({big('cents')} * cents) AS DOUBLE) AS ss
             FROM p
         ),
         b AS (
@@ -3674,9 +3677,12 @@ def _bh_sql() -> str:
             FROM pv
         ),
         ranked AS (
+            -- hash(p_brand) % 1 declares the single-partition window over
+            -- the m-row (bounded-by-construction) hypothesis relation
             SELECT p_brand, n, mean_c, zst, p2,
-                   row_number() OVER (ORDER BY p2, p_brand) AS rk,
-                   count(*) OVER () AS m
+                   row_number() OVER (PARTITION BY (hash(p_brand) % 1)
+                                      ORDER BY p2, p_brand) AS rk,
+                   count(*) OVER (PARTITION BY (hash(p_brand) % 1)) AS m
             FROM pval
         ),
         cut AS (
@@ -3709,11 +3715,11 @@ def bh_fdr_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     window's single partition is intentional: m is the hypothesis count,
     bounded by construction."""
     load_tables(spark, sf_dir)
-    return spark.sql(_bh_sql())
+    return spark.sql(_bh_sql(lambda x: f"CAST({x} AS DECIMAL(38, 0))"))
 
 
 QUERIES["bh_fdr_brand_price"] = bh_fdr_brand_price
-ORACLE["bh_fdr_brand_price"] = _bh_sql()
+ORACLE["bh_fdr_brand_price"] = _bh_sql(lambda x: f"CAST({x} AS HUGEINT)")
 
 
 # --- distribution-free median CI ----------------------------------------------------
@@ -3821,7 +3827,8 @@ def _hfr_sql(month_expr: str) -> str:
             GROUP BY 1, 2, {month_expr}
         ),
         mos AS (
-            SELECT mo, row_number() OVER (ORDER BY mo DESC) AS rnk
+            SELECT mo, row_number() OVER (PARTITION BY (hash(mo) % 1)
+                                          ORDER BY mo DESC) AS rnk
             FROM (SELECT DISTINCT mo FROM rev) dm
         ),
         w AS (
@@ -3905,11 +3912,21 @@ NV_CO = 1   # holding cost per unit over
 def _newsvendor_sql() -> str:
     q = NV_CU / (NV_CU + NV_CO)
     return f"""
-        WITH d AS (
+        WITH shipped AS (
             SELECT p.p_brand AS brand, l.l_shipdate AS day,
                    sum(CAST(floor(l.l_quantity + 0.5e0) AS BIGINT)) AS dem
             FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
             GROUP BY p.p_brand, l.l_shipdate
+        ),
+        -- densify against the brand x observed-calendar-day grid:
+        -- zero-demand days are real demand observations, and omitting
+        -- them biases the order statistic (and the safety stock) upward
+        days AS (SELECT DISTINCT l_shipdate AS day FROM lineitem),
+        brands AS (SELECT DISTINCT p_brand AS brand FROM part),
+        d AS (
+            SELECT b.brand, dy.day, coalesce(s.dem, 0) AS dem
+            FROM brands b CROSS JOIN days dy
+            LEFT JOIN shipped s ON s.brand = b.brand AND s.day = dy.day
         ),
         r AS (
             SELECT brand, dem,
@@ -3936,9 +3953,11 @@ def newsvendor_stock_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     safety stock — the inventory-planning quantile the mean silently
     understocks.
 
-    Scale shape: one grouped sum builds the (brand, day) demand series;
-    one per-brand rank window selects the order statistic — the
-    sessionize shuffle budget, no self-join, no resampling."""
+    Scale shape: one grouped sum builds the (brand, day) demand series,
+    densified against the brand x observed-day grid (O(brands x days),
+    bounded) so zero-demand days enter the distribution; one per-brand
+    rank window selects the order statistic — the sessionize shuffle
+    budget, no self-join, no resampling."""
     load_tables(spark, sf_dir)
     return spark.sql(_newsvendor_sql())
 
@@ -3988,7 +4007,8 @@ def _msprt_sql(month_expr: str, md5arm: str, big) -> str:
                    sum(n0) OVER w AS cn0, sum(n1) OVER w AS cn1,
                    sum(s0) OVER w AS cs0, sum(s1) OVER w AS cs1
             FROM daily
-            WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            WINDOW w AS (PARTITION BY (hash(day) % 1) ORDER BY day
+                         ROWS UNBOUNDED PRECEDING)
         ),
         snap AS (
             SELECT mo, day, cn0, cn1, cs0, cs1,
@@ -4015,8 +4035,8 @@ def _msprt_sql(month_expr: str, md5arm: str, big) -> str:
         ),
         curve AS (
             SELECT mo, cn0, cn1, theta, log_lambda,
-                   max(log_lambda) OVER (ORDER BY mo
-                       ROWS UNBOUNDED PRECEDING) AS run_max
+                   max(log_lambda) OVER (PARTITION BY (hash(mo) % 1)
+                       ORDER BY mo ROWS UNBOUNDED PRECEDING) AS run_max
             FROM ll
         )
         SELECT mo AS month, CAST(cn0 AS BIGINT) AS n_arm0,

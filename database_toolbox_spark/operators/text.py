@@ -1782,6 +1782,11 @@ PRF_FB_DOCS = 5
 PRF_EXP_TERMS = 5
 PRF_EXP_W = 0.5
 PRF_TOP = 10
+# Pre-expansion ranks are reported only for docs inside this head; a doc
+# pulled into the final top-{PRF_TOP} from beyond it shows NULL base_rank.
+# This bounds BOTH ranking windows to TakeOrdered heads instead of global
+# sorts over every matching doc — the shape that survives a 100 TB corpus.
+PRF_BASE_HEAD = 100
 
 
 def _prf_q0() -> str:
@@ -1842,19 +1847,30 @@ def _prf_sql(n_words: str, tf_body: str, sw: str,
             FROM contrib c JOIN qexp q ON q.term = c.term
             GROUP BY c.doc_id
         ),
+        s1h AS (
+            SELECT doc_id, score FROM s1
+            ORDER BY {BM25_SCORE_R} DESC, doc_id LIMIT {PRF_BASE_HEAD}
+        ),
         r1 AS (
             SELECT doc_id,
-                   row_number() OVER (ORDER BY {BM25_SCORE_R} DESC,
+                   row_number() OVER (PARTITION BY (hash(doc_id) % 1)
+                                      ORDER BY {BM25_SCORE_R} DESC,
                                       doc_id) AS base_rank
-            FROM s1
+            FROM s1h
+        ),
+        s2h AS (
+            SELECT doc_id, score FROM s2
+            ORDER BY floor(score * 10000e0 + 0.501e0) DESC, doc_id
+            LIMIT {PRF_TOP}
         )
-        SELECT s2.doc_id, {R("s2.score", 4)} AS bm25_prf,
-               CAST(row_number() OVER (ORDER BY
-                   floor(s2.score * 10000e0 + 0.501e0) DESC, s2.doc_id)
+        SELECT s2h.doc_id, {R("s2h.score", 4)} AS bm25_prf,
+               CAST(row_number() OVER (PARTITION BY (hash(s2h.doc_id) % 1)
+                   ORDER BY
+                   floor(s2h.score * 10000e0 + 0.501e0) DESC, s2h.doc_id)
                    AS BIGINT) AS prf_rank,
                CAST(r1.base_rank AS BIGINT) AS base_rank
-        FROM s2 LEFT JOIN r1 ON r1.doc_id = s2.doc_id
-        ORDER BY prf_rank, s2.doc_id LIMIT {PRF_TOP}
+        FROM s2h LEFT JOIN r1 ON r1.doc_id = s2h.doc_id
+        ORDER BY prf_rank, s2h.doc_id LIMIT {PRF_TOP}
     """
 
 
@@ -1883,7 +1899,11 @@ def prf_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     against it; the text is never rescanned. The feedback relations are
     {PRF_FB_DOCS}- and {PRF_EXP_TERMS}-row bounded, and the per-term
     contribution relation is stopword-pruned before either stage reads
-    it."""
+    it. Both ranking windows run on TakeOrdered heads (base ranks on the
+    top-{PRF_BASE_HEAD} s1h head, final ranks on the top-{PRF_TOP} s2h
+    head) under a declared single partition — no global sort ever sees
+    the corpus-fraction match sets; a doc promoted into the final
+    top-{PRF_TOP} from beyond the base head reports NULL base_rank."""
     from database_toolbox_spark.session import materialize  # noqa: PLC0415
 
     load_tables(spark, sf_dir)

@@ -1167,26 +1167,10 @@ _CEP_OUT_SCHEMA = T.StructType(
 )
 
 
-def stream_pattern_alerts(events: DataFrame) -> DataFrame:
-    """Streaming CEP twin of the batch row-pattern census
-    (operators/events.event_pattern_matches): per user, the current day's
-    event-initial string accumulates as keyed state (two strings per
-    user — bounded by events-per-user-day); when a later day's first
-    event arrives, the COMPLETED day is finalized — every pattern counted
-    over the full-day string — and emitted as an alert row. Day-close
-    finalization is what makes the end-anchored pattern (`c[^p]*$`)
-    well-defined mid-stream, and makes each emitted row byte-equal to the
-    batch op's census for that (user, day).
-
-    Rows process in (ts, event_id) order within each micro-batch, so a
-    pandas replay is deterministic (tests/test_streaming.py). The still-
-    open day stays in state, unemitted — the same contract as a session
-    window before its gap timeout."""
-    from database_toolbox_spark.operators.events import (  # noqa: PLC0415
-        _CEP_PATTERNS,
-    )
-
-    patterns = tuple(_CEP_PATTERNS)  # plain data: pickles by value
+def _cep_alerts_fn(patterns: tuple):
+    """Build the applyInPandasWithState function for stream_pattern_alerts
+    (module-level so the late-event drop policy is unit-testable with a
+    fake GroupState)."""
 
     def alerts(
         key: tuple[Any, ...],
@@ -1211,9 +1195,16 @@ def stream_pattern_alerts(events: DataFrame) -> DataFrame:
             for day, ini in zip(days, inis):
                 if cur_day is None:
                     cur_day = day
-                elif day != cur_day:
+                elif day > cur_day:
                     finalize(cur_day, seq)
                     cur_day, seq = day, ""
+                elif day < cur_day:
+                    # late cross-batch event from an already-advanced
+                    # day: dropping it preserves the finalized census
+                    # (the open day must NOT be emitted early and the
+                    # old day must not re-accumulate) — the same policy
+                    # a watermark would enforce
+                    continue
                 seq += ini
         state.update((cur_day, seq))
         if out:
@@ -1221,8 +1212,37 @@ def stream_pattern_alerts(events: DataFrame) -> DataFrame:
                 out, columns=[f.name for f in _CEP_OUT_SCHEMA.fields]
             )
 
+    return alerts
+
+
+def stream_pattern_alerts(events: DataFrame) -> DataFrame:
+    """Streaming CEP twin of the batch row-pattern census
+    (operators/events.event_pattern_matches): per user, the current day's
+    event-initial string accumulates as keyed state (two strings per
+    user — bounded by events-per-user-day); when a later day's first
+    event arrives, the COMPLETED day is finalized — every pattern counted
+    over the full-day string — and emitted as an alert row. Day-close
+    finalization is what makes the end-anchored pattern (`c[^p]*$`)
+    well-defined mid-stream, and makes each emitted row byte-equal to the
+    batch op's census for that (user, day).
+
+    Rows process in (ts, event_id) order within each micro-batch, so a
+    pandas replay is deterministic (tests/test_streaming.py). The still-
+    open day stays in state, unemitted — the same contract as a session
+    window before its gap timeout. A day is finalized only when a LATER
+    day opens (day > cur_day); a late cross-batch event from a day
+    already finalized (day < cur_day) is dropped, exactly as a watermark
+    would drop it — it neither re-opens the old day nor prematurely
+    emits the current one, so emitted rows stay byte-equal to the batch
+    census for in-watermark data."""
+    from database_toolbox_spark.operators.events import (  # noqa: PLC0415
+        _CEP_PATTERNS,
+    )
+
+    patterns = tuple(_CEP_PATTERNS)  # plain data: pickles by value
+
     return events.groupBy("user_id").applyInPandasWithState(
-        alerts,
+        _cep_alerts_fn(patterns),
         outputStructType=_CEP_OUT_SCHEMA,
         stateStructType=_CEP_STATE_SCHEMA,
         outputMode="update",

@@ -70,6 +70,17 @@ FINGERPRINT_QUERIES = (
     # two-stage retrieval joins against the materialized tf index
     "compaction_bin_packing",
     "prf_expanded_search",
+    # round-10: pin the stats/experimentation tier (round-9 verdict item
+    # 3) — the exact-integer-grid spellings (DECIMAL(38) widenings, A&S
+    # normal CDF, order-statistic brackets) are the most fragile to a
+    # well-meaning refactor, and each carries a deliberately-shaped
+    # window/broadcast plan worth freezing
+    "ratio_metric_delta_ci",
+    "bh_fdr_brand_price",
+    "msprt_ab_monitor",
+    "median_ci_order_stats",
+    "km_greenwood_bands",
+    "newsvendor_stock_levels",
 )
 
 SHOWCASE = {

@@ -221,8 +221,17 @@ SUSPECTS = [
     ("bloom_sizing_planner", "mix10"),
     ("hierarchical_forecast_reconciliation", "mix10"),
     ("msprt_ab_monitor", "report"),
-    ("prf_expanded_search", "report"),
     ("logistic_gd_step", "report"),
+    # round-10 (verdict item 4): the retrieval tier gets an ASSERTED
+    # growth row. timelin = output row count IDENTICAL at both scales
+    # (fixed top-K heads — any growth means a head stopped being a head)
+    # AND time_ratio <= 10 at 10x rows / 13.3x bytes: the inverted-index
+    # tf relation is linear by construction, and this enforces that no
+    # stage (scoring join, feedback mining, ranking) degrades it. The
+    # suffixed vocabulary rerolls term stats, so VALUES are not
+    # comparable — the envelope is rows + time, like entlin.
+    ("bm25_top_terms", "timelin"),
+    ("prf_expanded_search", "timelin"),
 ]
 
 # mix10 specs: key columns; columns that must be exactly 10x (abs_tol,
@@ -660,7 +669,18 @@ def main() -> int:
             "sf1_rows": b["rows"],
             "mode": mode,
         }
-        if mode == "entlin":
+        if mode == "timelin":
+            if b["rows"] != s["rows"]:
+                failures.append(
+                    f"{name}: bounded head changed size at {R}x "
+                    f"({s['rows']} -> {b['rows']})"
+                )
+            if ratio > 10.0:
+                failures.append(
+                    f"{name}: time ratio {ratio} exceeds linear envelope "
+                    f"10.0 at {R}x rows"
+                )
+        elif mode == "entlin":
             if b["rows"] != R * s["rows"]:
                 failures.append(
                     f"{name}: expected exactly {R}x rows "
@@ -890,7 +910,10 @@ def _update_scaling_md(rows_out, failures) -> None:
         "capped co-purchase output byte-identical at 10x; capbound =",
         "the capped LCC projection's examined-pair work saturates to",
         "exactly n_parts * C(LCC_CAP, 2) and stays <= 1.2x sf0.1's —",
-        "10x data, ~1.03x pair work; report =",
+        "10x data, ~1.03x pair work; timelin = bounded top-K head",
+        "row-count identical at both scales AND time ratio <= 10 at",
+        "10x rows — the retrieval tier's linear-envelope assertion",
+        "(BM25 / PRF over the inverted tf index); report =",
         "documented anti-pattern demo or non-pair query).",
         "",
         "| query | mode | sf0.1 s | sf~1 s | time ratio | sf0.1 pairs |"

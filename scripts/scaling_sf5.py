@@ -89,7 +89,14 @@ SUSPECTS = [
     # codes legitimately drown in ties at 50x, which is exactly the
     # sizing signal the curve exists to show.
     ("bq_bits_recall_curve", "bqfloor"),
+    # round-10 (verdict item 6): asymmetric scoring must LIFT the coarse
+    # bit budgets the symmetric curve loses at 50x. asymfloor = bqfloor's
+    # 64-bit check PLUS the 32-bit level mean recall@10 >= ASYM32_FLOOR —
+    # the float query against the same code bytes (numpy prototype at
+    # 50x: 32-bit 0.37 sym -> 0.63 asym, 64-bit 0.75 -> 0.95).
+    ("bq_asym_recall_curve", "asymfloor"),
 ]
+ASYM32_FLOOR = 0.5
 
 # evalfloor: mean-metric column per query, max allowed drop vs sf0.1, and
 # the absolute floor under it.
@@ -194,7 +201,7 @@ def measure(spark, queries, sf_dir):
             out[name]["mean_metric"] = round(
                 sum(r[col] for r in collected) / max(len(collected), 1), 4
             )
-        elif mode == "bqfloor":
+        elif mode in ("bqfloor", "asymfloor"):
             collected = df.collect()
             out[name] = {"sec": round(best, 3), "rows": len(collected)}
             by_bits: dict[int, list[float]] = {}
@@ -271,7 +278,7 @@ def main() -> int:
                     f"mean {s['mean_metric']} - {EVAL_DROP}, abs "
                     f"{EVAL_ABS_FLOOR})"
                 )
-        elif mode == "bqfloor":
+        elif mode in ("bqfloor", "asymfloor"):
             rows_out[name]["mean_small"] = s["level_means"]
             rows_out[name]["mean_big"] = b["level_means"]
             if b["rows"] != s["rows"]:
@@ -285,6 +292,11 @@ def main() -> int:
                 failures.append(
                     f"{name}: {top}-bit mean recall fell to "
                     f"{b['level_means'][top]} at {R}x (floor {floor})"
+                )
+            if mode == "asymfloor" and b["level_means"][32] < ASYM32_FLOOR:
+                failures.append(
+                    f"{name}: 32-bit asymmetric mean recall "
+                    f"{b['level_means'][32]} below {ASYM32_FLOOR} at {R}x"
                 )
         elif mode == "report50":
             want = (s["rows"] if REPORT50_ROWS[name] == "fixed"

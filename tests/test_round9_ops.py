@@ -1462,3 +1462,70 @@ def test_compaction_single_small_file(spark, tmp_path):
         "O", 0, 1, 1
     )
     assert r.first_file == r.last_file == "2024-01"
+
+
+def test_bq_asym_recall_curve_matches_numpy(spark):
+    """External anchor for the asymmetric curve: recompute sign codes,
+    the prefix-b asymmetric score sum_{i<=b} q_i * sign(x_i), the
+    adaptive shortlist, exact rerank and recall@10 in numpy — and assert
+    the asymmetric shortlist never loses to the symmetric one on mean
+    recall at any level (same index bytes, strictly more information)."""
+    import duckdb
+
+    from database_toolbox_spark.operators.similarity import (
+        BQ_BITS_LEVELS,
+        N_KNN_QUERIES,
+        bq_asym_recall_curve,
+        bq_bits_recall_curve,
+        bq_shortlist_width,
+    )
+
+    con = duckdb.connect()
+    t = con.execute(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = np.array([r[0] for r in t])
+    V = np.array([r[1] for r in t], dtype=np.float64)
+    n = len(ids)
+    width = bq_shortlist_width(n)
+    signs = np.where(V > 0, 1.0, -1.0)  # code reconstruction
+    norms = np.sqrt((V**2).sum(1))
+
+    def r6(x):
+        return np.floor(x * 1e6 + 0.501) / 1e6
+
+    expected = {}
+    for qpos in np.nonzero(ids < N_KNN_QUERIES)[0]:
+        qv = V[qpos]
+        cos = r6((V @ qv) / (norms * norms[qpos]))
+        mask = ids != ids[qpos]
+        exact_order = sorted(
+            np.nonzero(mask)[0], key=lambda j: (-cos[j], ids[j])
+        )
+        truth = {int(ids[j]) for j in exact_order[:10]}
+        for b in BQ_BITS_LEVELS:
+            s = r6(signs[:, :b] @ qv[:b])
+            short = sorted(
+                np.nonzero(mask)[0], key=lambda j: (-s[j], ids[j])
+            )[:width]
+            rer = sorted(short, key=lambda j: (-cos[j], ids[j]))[:10]
+            expected[(b, int(ids[qpos]))] = len(
+                truth & {int(ids[j]) for j in rer}
+            )
+
+    got = {
+        (r.n_bits, r.qid): r.n_hits
+        for r in bq_asym_recall_curve(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+    sym = {}
+    for r in bq_bits_recall_curve(spark, SF_DIR).collect():
+        sym.setdefault(r.n_bits, []).append(r.recall_at_10)
+    asym = {}
+    for (b, _), h in got.items():
+        asym.setdefault(b, []).append(h / 10.0)
+    for b in BQ_BITS_LEVELS:
+        assert sum(asym[b]) / len(asym[b]) >= sum(sym[b]) / len(sym[b]), b

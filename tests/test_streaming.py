@@ -825,3 +825,64 @@ def test_stream_pattern_alerts_match_batch_census(spark, stream):
                 n_matched += 1 if c > 0 else 0
                 total += c
         assert batch[name] == (n_matched, total), name
+
+
+def test_cep_late_event_guard():
+    """A late cross-batch event (day < cur_day) must be DROPPED: it must
+    not finalize/emit the open day early, and it must not re-open the
+    already-finalized old day (ADVICE r9: premature finalization broke
+    the claimed batch byte-equality under out-of-order delivery)."""
+    import pandas as pd
+
+    from database_toolbox_spark.operators.events import _CEP_PATTERNS
+    from database_toolbox_spark.streaming.stream_ops import _cep_alerts_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+    fn = _cep_alerts_fn(tuple(_CEP_PATTERNS))
+    st = FakeState()
+
+    def batch(rows):
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "ts": pd.to_datetime([r[0] for r in rows]),
+                        "event_id": range(len(rows)),
+                        "event_type": [r[1] for r in rows],
+                    }
+                )
+            ]
+        )
+
+    # batch 1: day1 closes (view, purchase), day2 opens (click)
+    out1 = list(
+        fn((7,), batch([
+            ("2024-01-01 01:00", "view"),
+            ("2024-01-01 02:00", "purchase"),
+            ("2024-01-02 01:00", "click"),
+        ]), st)
+    )
+    assert len(out1) == 1 and list(out1[0]["day"]) == ["2024-01-01"]
+    assert out1[0].iloc[0]["m_view_to_purchase"] == 1
+    assert st.get == ("2024-01-02", "c")
+
+    # batch 2: a LATE day-1 event arrives -> dropped; day2 stays open
+    out2 = list(fn((7,), batch([("2024-01-01 03:00", "error")]), st))
+    assert out2 == []  # nothing emitted: day2 not finalized early
+    assert st.get == ("2024-01-02", "c")  # day1 not re-opened
+
+    # batch 3: day3 opens -> day2 finalizes with ONLY its own events
+    out3 = list(fn((7,), batch([("2024-01-03 01:00", "view")]), st))
+    assert len(out3) == 1 and list(out3[0]["day"]) == ["2024-01-02"]
+    assert st.get == ("2024-01-03", "v")
