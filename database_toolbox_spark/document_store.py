@@ -26,7 +26,13 @@ Design decisions (Spark-native, not a Firestore emulation):
   session may opt in (`spark.conf.set(WRITES_CONF, "session")`), which
   executes writes as session-scoped COPY-ON-WRITE view overlays (union /
   per-column CASE / anti-filter over the immutable parquet) — the upstream
-  tool behavior without ever touching storage.
+  tool behavior without ever touching storage. Round-10: setting
+  `$SPARK_GRAFT_DOCSTORE_PERSIST=<scratch dir>` additionally makes
+  opted-in writes DURABLE — each write spools the overlay to
+  `<dir>/<collection>.parquet` and `session.load_table` prefers that copy,
+  so the write survives a fresh `load_tables()` / a new session (upstream
+  Firestore durability). The fixture tree is refused as a persist target;
+  unsetting the variable restores pristine fixture reads.
 
 Scale shape: `query_collection` compiles to scan → pushed filters →
 optional sort → limit (TakeOrderedAndProject when both present);
@@ -478,6 +484,46 @@ def _writes_enabled(spark: SparkSession) -> bool:
     return spark.conf.get(WRITES_CONF, "deny") == "session"
 
 
+def _persist_overlay(spark: SparkSession, collection: str) -> None:
+    """Round-10 (opt-in on top of opt-in): when $SPARK_GRAFT_DOCSTORE_PERSIST
+    names a scratch directory, write the collection's current overlay view
+    back to `<dir>/<collection>.parquet` and re-register the view from the
+    persisted copy — session.load_table prefers that copy, so the write
+    survives a fresh load_tables() / a new session (upstream Firestore
+    durability, README.md:792-836). Write-to-tmp-then-swap: the overlay
+    plan may READ the previous persisted copy, so it is fully spooled to a
+    sibling tmp dataset before the old files are replaced. The fixture
+    tree is refused — the sinks policy ("never the source dir") holds."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from database_toolbox_spark.session import (  # noqa: PLC0415
+        DOCSTORE_PERSIST_ENV,
+        _view_registry,
+    )
+
+    d = os.environ.get(DOCSTORE_PERSIST_ENV, "").strip()
+    if not d:
+        return
+    real = os.path.realpath(d)
+    for forbidden in ("/root/testdata", "/root/reference"):
+        if real == forbidden or real.startswith(forbidden + os.sep):
+            raise ValueError(
+                f"{DOCSTORE_PERSIST_ENV} must point at a scratch "
+                f"directory, not {forbidden}"
+            )
+    os.makedirs(d, exist_ok=True)
+    dst = os.path.join(d, f"{collection}.parquet")
+    tmp = dst + ".tmp"
+    spark.table(collection).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(dst, ignore_errors=True)
+    os.replace(tmp, dst) if os.path.isfile(tmp) else shutil.move(tmp, dst)
+    df = spark.read.parquet(dst)
+    df = df.select(*[f.name for f in df.schema])
+    df.createOrReplaceTempView(collection)
+    _view_registry(spark)[collection] = df
+
+
 def _deny(name: str) -> None:
     cls = {"add_documents": "Insert", "update_document": "Update",
            "delete_documents": "Delete"}.get(name, "Command")
@@ -551,6 +597,7 @@ def add_documents(
         [tuple(r.get(c) for c in df.columns) for r in rows], df.schema
     )
     df.unionByName(new).createOrReplaceTempView(collection)
+    _persist_overlay(spark, collection)
     return new.select(
         _path_col(collection, id_cols),
         F.lit("added").alias("action"),
@@ -590,6 +637,7 @@ def update_document(
         for c in df.columns
     ])
     out.createOrReplaceTempView(collection)
+    _persist_overlay(spark, collection)
     from pyspark.sql import types as T  # noqa: PLC0415
 
     return spark.createDataFrame(
@@ -636,6 +684,7 @@ def delete_documents(
             conj = conj & (F.col(c) == F.lit(v))
         pred = pred | conj
     df.where(~pred).createOrReplaceTempView(collection)
+    _persist_overlay(spark, collection)
     from pyspark.sql import types as T  # noqa: PLC0415
 
     return spark.createDataFrame(

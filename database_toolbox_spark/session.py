@@ -90,6 +90,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Opt-in durable docstore writes (see document_store.py): when this env var
+# names a scratch directory and a persisted copy of a table exists there,
+# load_table reads the persisted copy INSTEAD of the fixture parquet — that
+# is what makes a docstore write survive a fresh load_tables()/session. The
+# fixture dir itself is never written (document_store refuses testdata
+# paths), so unsetting the variable restores pristine reads.
+DOCSTORE_PERSIST_ENV = "SPARK_GRAFT_DOCSTORE_PERSIST"
+
+
+def persisted_table_path(name: str) -> str | None:
+    d = os.environ.get(DOCSTORE_PERSIST_ENV, "").strip()
+    if d:
+        p = os.path.join(d, f"{name}.parquet")
+        if os.path.exists(p):
+            return p
+    return None
+
+
 @_lru_cache(maxsize=256)
 def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
@@ -97,6 +115,13 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        # Spark-written dataset directory (the docstore persist path):
+        # read the footer of any one part file
+        parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not parts:
+            return ()
+        path = os.path.join(path, sorted(parts)[0])
     schema = pq.read_schema(path)
     return tuple(
         f.name
@@ -148,7 +173,7 @@ def load_table(
             # caller-registered (or caller-overwritten) view: leave it
             return cur
         # the view is our own registration: fall through and refresh it
-    path = table_path(sf_dir, name)
+    path = persisted_table_path(name) or table_path(sf_dir, name)
     nanos_cols = _nanos_ts_columns(path)
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

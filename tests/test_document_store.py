@@ -385,3 +385,59 @@ def test_write_tools_session_overlay_roundtrip(spark):
     assert denied["isError"] is True
     assert {r.n_nationkey for r in spark.table("nation").collect()} \
         == base_rows
+
+
+def test_docstore_persist_roundtrip(spark, tmp_path, monkeypatch):
+    """Round-10: with $SPARK_GRAFT_DOCSTORE_PERSIST set to a scratch dir,
+    an opted-in write survives a fresh load_tables() (load_table prefers
+    the persisted copy); unsetting the variable restores pristine fixture
+    reads; deny-by-default is unaffected by the env var alone; the
+    fixture tree is refused as a persist target."""
+    from database_toolbox_spark.document_store import (
+        WRITES_CONF,
+        add_documents,
+    )
+    from database_toolbox_spark.session import DOCSTORE_PERSIST_ENV
+
+    base_rows = {r.n_nationkey for r in spark.table("nation").collect()}
+    monkeypatch.setenv(DOCSTORE_PERSIST_ENV, str(tmp_path / "scratch"))
+
+    # env var alone does NOT open the gate
+    denied = _call_tool(spark, "add_documents", {
+        "collection": "nation", "documents": json.dumps([{}])})
+    assert denied["isError"] is True
+
+    spark.conf.set(WRITES_CONF, "session")
+    try:
+        add_documents(spark, "nation", json.dumps(
+            [{"n_nationkey": 901, "n_name": "LEMURIA", "n_regionkey": 1}]
+        ))
+        assert (tmp_path / "scratch" / "nation.parquet").exists()
+
+        # fresh re-registration from parquet: the persisted copy wins
+        load_tables(spark, SF_DIR, replace=True)
+        got = {r.n_nationkey for r in spark.table("nation").collect()}
+        assert got == base_rows | {901}
+
+        # a second write against the persisted base round-trips too
+        add_documents(spark, "nation", json.dumps(
+            [{"n_nationkey": 902, "n_name": "MU", "n_regionkey": 2}]
+        ))
+        load_tables(spark, SF_DIR, replace=True)
+        got = {r.n_nationkey for r in spark.table("nation").collect()}
+        assert got == base_rows | {901, 902}
+
+        # the fixture tree is refused as a persist target
+        monkeypatch.setenv(DOCSTORE_PERSIST_ENV, "/root/testdata/sf0.001")
+        with pytest.raises(ValueError, match="scratch"):
+            add_documents(spark, "nation", json.dumps(
+                [{"n_nationkey": 903, "n_name": "YS", "n_regionkey": 0}]
+            ))
+    finally:
+        spark.conf.set(WRITES_CONF, "deny")
+        monkeypatch.delenv(DOCSTORE_PERSIST_ENV, raising=False)
+        load_tables(spark, SF_DIR, replace=True)
+
+    # unsetting the env var restores pristine fixture reads
+    assert {r.n_nationkey for r in spark.table("nation").collect()} \
+        == base_rows
