@@ -220,8 +220,18 @@ HEADLINE = [
     "km_greenwood_bands",
     "ece_calibration_summary",
     # round-10 tranche: asymmetric binary-ANN recall curve (same code
-    # bytes as bq_bits_recall_curve, float-query scoring)
+    # bytes as bq_bits_recall_curve, float-query scoring), the IVF+binary
+    # composite ladder, intermittent-demand forecasting, the classical
+    # group-sequential monitor, the MFCC front half, the CMS frequency
+    # sketch, random-walk-with-restart proximity, and the Benford screen
     "bq_asym_recall_curve",
+    "ivf_bq_ann_topk",
+    "croston_intermittent_demand",
+    "obrien_fleming_monitor",
+    "audio_mel_energies",
+    "count_min_sketch_accuracy",
+    "personalized_pagerank",
+    "benford_price_audit",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

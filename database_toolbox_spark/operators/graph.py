@@ -1261,3 +1261,118 @@ def _sssp_oracle() -> str:
 
 QUERIES["sssp_weighted_hops"] = sssp_weighted_hops
 ORACLE["sssp_weighted_hops"] = _sssp_oracle()
+
+
+# --- personalized PageRank ----------------------------------------------------------
+# Random walk with restart (Jeh & Widom, "Scaling Personalized Web
+# Search", WWW'03): teleport mass returns to ONE source node instead of
+# the uniform vector, so ranks measure proximity TO THAT NODE — the
+# recommendation/similarity primitive ("customers near this supplier")
+# that global PageRank cannot express. Source = the lexicographically
+# first node (the BFS root convention, deterministic).
+
+
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by {ITERATIONS}-step personalized PageRank from the
+    min node of the supplier<->customer graph (damping {DAMPING}; rank
+    canon-rounded to 6 digits).
+
+    Scale shape: the normalized transition edges MATERIALIZE once (same
+    index as pagerank_from_views); the rank vector starts as ONE row and
+    stays SPARSE — each iteration touches only edges out of nodes that
+    currently hold mass (a frontier join, not a full-graph pass), which
+    at 100 TB is the difference between PPR and global PageRank. Each
+    round = one equi-join + one grouped sum; teleport is a 1-row union."""
+    load_tables(spark, sf_dir)
+    edges = _edges(spark)
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    norm = materialize(edges.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("wout")).alias("p")
+    ))
+    seed = materialize(norm.select(F.min("src").alias("node")))
+    ranks = seed.select("node", F.lit(1.0).alias("r"))
+    for _ in range(ITERATIONS):
+        contrib = (
+            norm.join(ranks, norm.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("p")).alias("mass"))
+        )
+        spread = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(DAMPING) * F.col("mass")).alias("r"),
+        )
+        ranks = (
+            spread.unionByName(
+                seed.select("node", F.lit(1 - DAMPING).alias("r"))
+            )
+            .groupBy("node")
+            .agg(F.sum("r").alias("r"))
+        )
+    top = (
+        ranks.select(
+            "node",
+            (F.floor(F.col("r") * 1e6 + F.lit(0.501)) / F.lit(1e6))
+            .alias("ppr"),
+        )
+        .orderBy(F.col("ppr").desc(), "node")
+        .limit(20)
+    )
+    w = F.row_number().over(
+        bounded_rank_window(F.col("node"), F.col("ppr").desc(), "node")
+    )
+    return top.withColumn("rnk", w)
+
+
+def _ppr_oracle() -> str:
+    d = f"{DAMPING!r}e0"
+    tf = f"{(1 - DAMPING)!r}e0"
+    its = []
+    prev = "r0"
+    for k in range(1, ITERATIONS + 1):
+        its.append(f"""
+        r{k} AS (
+            SELECT node, sum(r) AS r FROM (
+                SELECT e.dst AS node, {d} * sum(rr.r * e.p) AS r
+                FROM norm e JOIN {prev} rr ON e.src = rr.node
+                GROUP BY e.dst
+                UNION ALL
+                SELECT node, {tf} FROM seed
+            ) u GROUP BY node
+        )""")
+        prev = f"r{k}"
+    return f"""
+        WITH base AS (
+            SELECT concat('s', CAST(l.l_suppkey AS VARCHAR)) AS src,
+                   concat('c', CAST(o.o_custkey AS VARCHAR)) AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT src, dst, w FROM base
+            UNION ALL
+            SELECT dst AS src, src AS dst, w FROM base
+        ),
+        out_w AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+        norm AS (
+            SELECT e.src, e.dst, e.w / o.wout AS p
+            FROM edges e JOIN out_w o ON e.src = o.src
+        ),
+        seed AS (SELECT min(src) AS node FROM norm),
+        r0 AS (SELECT node, 1e0 AS r FROM seed),{",".join(its)},
+        top AS (
+            SELECT node, floor(r * 1e6 + 0.501e0) / 1e6 AS ppr
+            FROM {prev}
+            ORDER BY ppr DESC, node
+            LIMIT 20
+        )
+        SELECT node, ppr,
+               CAST(row_number() OVER (ORDER BY ppr DESC, node) AS INT)
+                   AS rnk
+        FROM top
+        ORDER BY ppr DESC, node
+    """
+
+
+QUERIES["personalized_pagerank"] = personalized_pagerank
+ORACLE["personalized_pagerank"] = _ppr_oracle()

@@ -810,6 +810,144 @@ ORACLE["audio_dft_power"] = f"""
 """
 
 
+# --- mel filterbank energies over the SQL DFT --------------------------------
+# The speech-feature front end every audio pipeline runs before anything
+# learned (MFCC minus the DCT): triangular filters spaced evenly on the
+# mel scale (Stevens-Volkmann 1940; mel(f) = 2595 log10(1 + f/700))
+# pool the DFT power bins into perceptual bands. Built here on top of
+# audio_dft_power's 16-point SQL DFT at a nominal {MEL_FS} Hz rate —
+# the filterbank weights are PYTHON-computed literals (identical text in
+# both dialects), and the pooling folds the CANON-ROUNDED powers in bin
+# order, so both engines produce bit-identical energies.
+MEL_FS = 8000        # nominal sample rate of the synthetic 8-bit PCM
+N_MEL = 4            # triangular bands over DFT bins 0..DFT_BINS-1
+
+
+def _mel_weights() -> list[list[float]]:
+    """N_MEL x DFT_BINS triangular filterbank on the mel scale, weights
+    rounded to 6 decimals so the SQL literals are short and identical in
+    both dialects."""
+    import math  # noqa: PLC0415
+
+    def mel(f: float) -> float:
+        return 2595.0 * math.log10(1.0 + f / 700.0)
+
+    def imel(m: float) -> float:
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    f_max = (DFT_BINS - 1) * MEL_FS / DFT_N
+    edges_m = [mel(0.0) + j * (mel(f_max) - mel(0.0)) / (N_MEL + 1)
+               for j in range(N_MEL + 2)]
+    edges = [imel(m) for m in edges_m]
+    out = []
+    for b in range(N_MEL):
+        lo, mid, hi = edges[b], edges[b + 1], edges[b + 2]
+        row = []
+        for k in range(DFT_BINS):
+            f = k * MEL_FS / DFT_N
+            if lo < f <= mid:
+                w = (f - lo) / (mid - lo)
+            elif mid < f < hi:
+                w = (hi - f) / (hi - mid)
+            else:
+                w = 0.0
+            row.append(round(w, 6))
+        out.append(row)
+    return out
+
+
+def _mel_rows(arr: str) -> str:
+    """(band, weight-array) VALUES rows; `arr` formats a list literal
+    per dialect."""
+    return ", ".join(
+        f"({b}, {arr}({', '.join(f'{w}e0' for w in row)}))"
+        for b, row in enumerate(_mel_weights())
+    )
+
+
+def audio_mel_energies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mel filterbank energies of the leading 16-sample audio frame:
+    per doc and mel band, the triangle-weighted sum of the DFT power
+    bins plus its log compression ln(1 + E) — the MFCC front half
+    (filterbank + log), stopping before the DCT.
+
+    Scale shape: one pure per-row projection — the 8 rounded DFT powers
+    build as a nested fold inside a transform(), the {N_MEL} band
+    energies fold those against broadcast literal weight arrays; no
+    shuffle, no UDF, no Python. At 100 TB this is a map-only stage."""
+    load_table(spark, sf_dir, "documents")
+    dev = (f"CASE WHEN i < length(text) THEN "
+           f"ascii(substr(text, CAST(i + 1 AS INT), 1)) - {AUDIO_BIAS} "
+           f"ELSE 0 END")
+    trig = f"2e0 * pi() * kk * i / {DFT_N}e0"
+    power = (
+        f"aggregate(sequence(0, {DFT_N - 1}), CAST(0 AS DOUBLE), "
+        f"(acc, i) -> acc + ({dev}) * cos({trig})) "
+    )
+    powi = (
+        f"aggregate(sequence(0, {DFT_N - 1}), CAST(0 AS DOUBLE), "
+        f"(acc, i) -> acc + ({dev}) * sin({trig})) "
+    )
+    return spark.sql(f"""
+        WITH m AS (SELECT * FROM VALUES {_mel_rows('array')} AS t(band, w)),
+        p AS (
+            SELECT doc_id,
+                   transform(sequence(0, {DFT_BINS - 1}), kk ->
+                       floor((({power}) * ({power})
+                              + ({powi}) * ({powi})) * 100e0 + 0.501e0)
+                       / 100e0) AS pw
+            FROM documents
+        ),
+        e AS (
+            SELECT p.doc_id, m.band,
+                   aggregate(sequence(0, {DFT_BINS - 1}),
+                       CAST(0 AS DOUBLE),
+                       (acc, k) -> acc + element_at(pw, k + 1)
+                                   * element_at(m.w, k + 1)) AS energy
+            FROM p CROSS JOIN m
+        )
+        SELECT doc_id, CAST(band AS INT) AS mel_band,
+               {R("energy", 2)} AS mel_energy,
+               {R("ln(1e0 + energy)", 4)} AS log_mel_energy
+        FROM e ORDER BY doc_id, mel_band
+    """)
+
+
+_DUCK_MEL_TRIG = f"2e0 * pi() * kk * i / {DFT_N}e0"
+_DUCK_MEL_RE = (
+    f"list_aggregate(list_transform(range(0, {DFT_N}), "
+    f"i -> ({_DUCK_DFT_DEV}) * cos({_DUCK_MEL_TRIG})), 'sum')"
+)
+_DUCK_MEL_IM = (
+    f"list_aggregate(list_transform(range(0, {DFT_N}), "
+    f"i -> ({_DUCK_DFT_DEV}) * sin({_DUCK_MEL_TRIG})), 'sum')"
+)
+
+QUERIES["audio_mel_energies"] = audio_mel_energies
+ORACLE["audio_mel_energies"] = f"""
+    WITH m AS (SELECT * FROM (VALUES {_mel_rows('list_value')})
+               AS t(band, w)),
+    p AS (
+        SELECT doc_id,
+               list_transform(range(0, {DFT_BINS}), kk ->
+                   floor((({_DUCK_MEL_RE}) * ({_DUCK_MEL_RE})
+                          + ({_DUCK_MEL_IM}) * ({_DUCK_MEL_IM}))
+                         * 100e0 + 0.501e0) / 100e0) AS pw
+        FROM documents
+    ),
+    e AS (
+        SELECT p.doc_id, m.band,
+               list_aggregate(list_transform(range(0, {DFT_BINS}),
+                   k -> pw[k + 1] * m.w[k + 1]), 'sum') AS energy
+        FROM p CROSS JOIN m
+    )
+    SELECT doc_id, CAST(band AS INT) AS mel_band,
+           {R("energy", 2)} AS mel_energy,
+           {R("ln(1e0 + energy)", 4)} AS log_mel_energy
+    FROM e ORDER BY doc_id, mel_band
+"""
+
+
 # --- perceptual near-dup pairs over dHash -----------------------------------
 
 DHASH_HAM_MAX = 6  # bits of the 64 allowed to differ

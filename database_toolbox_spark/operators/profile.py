@@ -1655,3 +1655,78 @@ def k_anon_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["k_anon_generalization_ladder"] = k_anon_generalization_ladder
 ORACLE["k_anon_generalization_ladder"] = _kgen_sql()
+
+
+# --- Benford first-digit audit ------------------------------------------------------
+# Benford's law (1938; Hill, Statist. Sci. 1995): first significant
+# digits of naturally-occurring multi-scale amounts follow
+# P(d) = log10(1 + 1/d). Fabricated or constrained numbers don't — the
+# forensic-accounting screen auditors run on invoice totals. The
+# chi-square against Benford is reported per digit AND totalled;
+# TPC-H's uniform price generator is mid-scale constrained, so the
+# audit flags it — the point of the screen is the measurement.
+BENFORD_CHI2_95 = 15.507  # chi-square 0.95 critical value, df = 8
+
+_BENFORD_SQL = f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                    AS {{STR}}), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    n AS (SELECT count(*) AS total FROM d),
+    obs AS (
+        SELECT digit, count(*) AS c FROM d GROUP BY digit
+    ),
+    digits AS ({{DIGITS}}),
+    j AS (
+        SELECT dg.digit,
+               coalesce(o.c, 0) AS c,
+               log10(1e0 + 1e0 / dg.digit) AS exp_p
+        FROM digits dg LEFT JOIN obs o ON o.digit = dg.digit
+    )
+    SELECT j.digit, CAST(j.c AS BIGINT) AS n_orders,
+           {R("j.c * 1e0 / n.total", 6)} AS observed_frac,
+           {R("j.exp_p", 6)} AS benford_frac,
+           {R("(j.c - n.total * j.exp_p) * (j.c - n.total * j.exp_p)"
+              " / (n.total * j.exp_p)", 4)} AS chi2_term,
+           {R("t.chi2", 4)} AS chi2_total,
+           CAST(t.chi2 > {BENFORD_CHI2_95} AS INT) AS flagged
+    FROM j CROSS JOIN n
+    CROSS JOIN (
+        SELECT sum((j2.c - n2.total * j2.exp_p)
+                   * (j2.c - n2.total * j2.exp_p)
+                   / (n2.total * j2.exp_p)) AS chi2
+        FROM (SELECT dg.digit, coalesce(o.c, 0) AS c,
+                     log10(1e0 + 1e0 / dg.digit) AS exp_p
+              FROM digits dg LEFT JOIN obs o ON o.digit = dg.digit) j2
+        CROSS JOIN n n2
+    ) t
+    ORDER BY j.digit
+"""
+
+
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of order totals vs Benford's law with the
+    per-digit and total chi-square (see _BENFORD_SQL) — the forensic
+    data-quality screen for amount columns; `flagged` fires when the
+    digit profile is inconsistent with a naturally-scaled amount
+    distribution (TPC-H's uniform generator IS flagged — correct
+    behavior, the audit detects synthetic pricing).
+
+    Scale shape: one projection + one 9-bucket grouped count over the
+    scan; everything after runs on the 9-row digit relation. Map-side
+    combinable, output O(1)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _BENFORD_SQL
+        .replace("{STR}", "STRING")
+        .replace("{DIGITS}", "SELECT explode(sequence(1, 9)) AS digit")
+    )
+
+
+QUERIES["benford_price_audit"] = benford_price_audit
+ORACLE["benford_price_audit"] = (
+    _BENFORD_SQL
+    .replace("{STR}", "VARCHAR")
+    .replace("{DIGITS}", "SELECT unnest(range(1, 10)) AS digit")
+)

@@ -2675,6 +2675,162 @@ ORACLE["bq_asym_recall_curve"] = _bq_asym_curve_sql(
 )
 
 
+# --- IVF + binary-code composite ANN ----------------------------------------------
+# The full scale ladder in one query: the coarse quantizer ROUTES (probe =
+# the query's cell, ~1/N_IVF_CELLS of the corpus), the 64-bit sign codes
+# SCORE the probe set asymmetrically (float query x {-1,+1} reconstruction
+# — integer shifts + one array read per bit, no corpus floats), and the
+# exact cosine RERANKS a bounded shortlist. The binary sibling of
+# ivfpq_ann_topk: codes are 16 bytes/vector instead of 8 PQ bytes but need
+# no codebook training, and the asymmetric scan is cheaper than ADC's
+# 256-entry LUT build per query.
+
+
+def _ivf_bq_sql(idx_body: str, score: str, cos: str, cand_width: str,
+                materialized: str = "") -> str:
+    return f"""
+        WITH idx AS {materialized} (
+            {idx_body}
+        ),
+        q AS (
+            SELECT i.cell AS qcell, e.embedding AS qv,
+                   {{qnorm2_e}} AS qnorm2
+            FROM idx i JOIN embeddings e ON e.vec_id = i.vec_id
+            WHERE i.vec_id = {QUERY_VEC_ID}
+        ),
+        probe AS (
+            SELECT c.vec_id, c.label, c.w1, c.w2
+            FROM idx c JOIN q ON c.cell = q.qcell
+            WHERE c.vec_id <> {QUERY_VEC_ID}
+        ),
+        scored AS (
+            SELECT p.vec_id, p.label, {score} AS s
+            FROM probe p CROSS JOIN q
+        ),
+        short AS (
+            SELECT vec_id, label, s FROM scored
+            ORDER BY {R("s", 6)} DESC, vec_id LIMIT {cand_width}
+        )
+        SELECT sh.vec_id, sh.label,
+               {R("sh.s", 6)} AS asym_score,
+               {R(cos, 6)} AS cos_sim
+        FROM short sh
+        JOIN embeddings e ON e.vec_id = sh.vec_id
+        CROSS JOIN q
+        ORDER BY cos_sim DESC, sh.vec_id LIMIT {TOP_K}
+    """
+
+
+_IVF_BQ_ASSIGN_DUCK = f"""SELECT e.vec_id, e.label, a.cell,
+               {_bq_pack_duck(1)} AS w1,
+               {_bq_pack_duck(33)} AS w2
+        FROM embeddings e JOIN (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY floor({_DUCK_D2} * 1000000e0)
+                                    / 1000000e0, c.cell) AS rn
+                FROM embeddings e CROSS JOIN
+                     (SELECT vec_id AS cell, embedding FROM embeddings
+                      WHERE vec_id < {N_IVF_CELLS}) c
+            ) t WHERE rn = 1
+        ) a ON a.vec_id = e.vec_id"""
+
+
+def ivf_bq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed, binary-scored, exactly-reranked ANN (see _ivf_bq_sql):
+    top-{TOP_K} by exact cosine among the asymmetric-score shortlist of
+    the query's IVF cell, with the asymmetric score shown next to the
+    exact value.
+
+    Scale shape: the index — (cell, w1, w2, label), three ints + label
+    per vector — is MATERIALIZED once; the query path reads ONLY the
+    probe cell's code rows (integer shifts inside codegen), TakeOrders a
+    shortlist sized from the index stats (max({BQ_RERANK},
+    probe/{BQ_RERANK_FRACTION}) — a plan-time constant, mirroring
+    bq_ann_topk's corpus-adaptive width), and re-reads just that
+    shortlist's float vectors via an equi-join. At 100 TB: centroids
+    broadcast, codes stream, floats stay cold until the final ≤shortlist
+    fetch."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    d2 = _spark_l2_to_centroid("e.embedding", "c.embedding")
+    idx_df = materialize(spark.sql(f"""
+        WITH cents AS (
+            SELECT vec_id AS cell, embedding FROM embeddings
+            WHERE vec_id < {N_IVF_CELLS}
+        ),
+        a AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY floor({d2} * 1000000e0) / 1000000e0,
+                                    c.cell) AS rn
+                FROM embeddings e CROSS JOIN cents c
+            ) WHERE rn = 1
+        )
+        SELECT e.vec_id, e.label, a.cell,
+               {_bq_pack_spark(1)} AS w1,
+               {_bq_pack_spark(33)} AS w2
+        FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+    """))
+    idx_df.createOrReplaceTempView("ivf_bq_idx_v")
+    # guard-exempt: two bounded driver fetches on the materialized index
+    # (1-row cell lookup + 1 count) — they size the shortlist TakeOrdered
+    # constant from index stats at plan time, the bq_ann_topk pattern
+    qcell = (
+        idx_df.where(f"vec_id = {QUERY_VEC_ID}").select("cell").first()[0]
+    )
+    probe_n = idx_df.where(
+        f"cell = {qcell} AND vec_id <> {QUERY_VEC_ID}"
+    ).count()
+    width = max(BQ_RERANK, probe_n // BQ_RERANK_FRACTION)
+    spark_cos = (
+        "aggregate(zip_with(e.embedding, q.qv, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x) / sqrt(q.qnorm2 * "
+        "aggregate(e.embedding, CAST(0 AS DOUBLE), (acc, x) -> "
+        "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    spark_score = (
+        "aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) -> "
+        "acc + " + _bq_asym_term(
+            "shiftright(p.w1, i - 1)",
+            "shiftright(p.w2, i - 33)",
+            "try_element_at(q.qv, i)",
+        ) + ")"
+    )
+    return spark.sql(_ivf_bq_sql(
+        idx_body="SELECT * FROM ivf_bq_idx_v",
+        score=spark_score,
+        cos=spark_cos,
+        cand_width=str(width),
+    ).format(
+        qnorm2_e="aggregate(e.embedding, CAST(0 AS DOUBLE), (acc, x) -> "
+                 "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    ))
+
+
+QUERIES["ivf_bq_ann_topk"] = ivf_bq_ann_topk
+ORACLE["ivf_bq_ann_topk"] = _ivf_bq_sql(
+    idx_body=_IVF_BQ_ASSIGN_DUCK,
+    score=("list_aggregate(list_transform(range(1, 65), i -> "
+           + _bq_asym_term(
+               "(p.w1 >> (i - 1))",
+               "(p.w2 >> (i - 33))",
+               "q.qv[i]",
+           ) + "), 'sum')"),
+    cos=_DUCK_RECALL_COS,
+    cand_width=(f"(SELECT greatest({BQ_RERANK}, CAST(floor(count(*) /"
+                f" {BQ_RERANK_FRACTION}e0) AS BIGINT)) FROM probe)"),
+    materialized="MATERIALIZED",
+).format(
+    qnorm2_e="list_aggregate(list_transform(e.embedding, "
+             "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+)
+
+
 # --- IVF rebalance advisor --------------------------------------------------------
 # Index-maintenance sibling of the lakehouse compaction planner
 # (operators/partitioning.compaction_bin_packing): IVF cells drift out of

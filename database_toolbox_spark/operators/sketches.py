@@ -896,3 +896,88 @@ QUERIES["bloom_sizing_planner"] = bloom_sizing_planner
 ORACLE["bloom_sizing_planner"] = _bloom_plan_sql(
     "SELECT unnest([" + ", ".join(str(b) for b in BLOOM_PLAN_BPK) + "]) AS bpk"
 )
+
+
+# --- Count-Min sketch accuracy ------------------------------------------------------
+# The streaming frequency sketch (Cormode & Muthukrishnan, J. Algorithms
+# 2005): d hash rows x w counters; an item's estimate is the MIN of its d
+# bucket totals — always >= the true count, over by at most eps*N
+# (eps = e/w) with probability 1 - (1/2)^d... measured here, not assumed:
+# build the sketch over the token stream, then read back the top terms
+# and report estimate vs truth. The mergeable-counter companion to the
+# Misra-Gries heavy-hitter op (streaming/): CMS cells are plain sums, so
+# executor-local sketches combine by addition — the property that makes
+# it the standard distributed frequency sketch.
+CMS_D = 4     # hash rows
+CMS_W = 256   # counters per row
+CMS_TOP = 20  # terms read back
+
+
+def _cms_sql(tok_rel: str, rows_rel: str, h) -> str:
+    bucket = h(f"concat(t.term, '#', CAST(r.r AS {{STR}}))")
+    return f"""
+        WITH tf AS (
+            SELECT term, count(*) AS c FROM ({tok_rel}) tk GROUP BY term
+        ),
+        rows_ AS ({rows_rel}),
+        placed AS (
+            SELECT t.term, t.c, r.r,
+                   abs({bucket}) % {CMS_W} AS bucket
+            FROM tf t CROSS JOIN rows_ r
+        ),
+        cms AS (
+            SELECT r, bucket, sum(c) AS cell
+            FROM placed GROUP BY r, bucket
+        ),
+        topt AS (
+            SELECT term, c FROM tf
+            ORDER BY c DESC, term LIMIT {CMS_TOP}
+        ),
+        est AS (
+            SELECT tt.term, tt.c,
+                   min(m.cell) AS est
+            FROM topt tt
+            JOIN placed p ON p.term = tt.term
+            JOIN cms m ON m.r = p.r AND m.bucket = p.bucket
+            GROUP BY tt.term, tt.c
+        ),
+        n AS (SELECT sum(c) AS total FROM tf)
+        SELECT e.term, CAST(e.c AS BIGINT) AS true_count,
+               CAST(e.est AS BIGINT) AS cms_estimate,
+               CAST(e.est - e.c AS BIGINT) AS overestimate,
+               {R("(e.est - e.c) * 1e0 / n.total", 6)} AS over_frac_of_n
+        FROM est e CROSS JOIN n
+        ORDER BY true_count DESC, term
+    """
+
+
+def count_min_sketch_accuracy(spark, sf_dir: str):
+    """CMS frequency estimates vs exact counts for the {CMS_TOP} most
+    frequent tokens (see _cms_sql): the d={CMS_D} x w={CMS_W} sketch is
+    built from the SAME md5-derived buckets in both engines, so the
+    estimates — and therefore the measured overestimates — are
+    bit-identical. `over_frac_of_n` is the observed eps; the theoretical
+    bound is e/w = {round(2.718281828 / CMS_W, 4)} per row.
+
+    Scale shape: token counting is ONE combiner-friendly grouped agg
+    (the term relation is vocab-bounded by Heaps' law); the sketch is a
+    {CMS_D}x{CMS_W}-cell grouped sum over that term relation; readback
+    joins the TakeOrdered top-{CMS_TOP} against {CMS_D} cells each. At
+    100 TB the sketch build is the only corpus-grain pass and its output
+    is a KB-scale table — the point of sketching."""
+    from database_toolbox_spark.session import load_table  # noqa: PLC0415
+
+    load_table(spark, sf_dir, "documents")
+    return spark.sql(_cms_sql(
+        "SELECT explode(split(text, ' ')) AS term FROM documents",
+        f"SELECT explode(sequence(0, {CMS_D - 1})) AS r",
+        lambda k: f"CAST(conv(substring(md5({k}), 1, 8), 16, 10) AS BIGINT)",
+    ).replace("{STR}", "STRING"))
+
+
+QUERIES["count_min_sketch_accuracy"] = count_min_sketch_accuracy
+ORACLE["count_min_sketch_accuracy"] = _cms_sql(
+    "SELECT unnest(string_split(text, ' ')) AS term FROM documents",
+    f"SELECT unnest(range({CMS_D})) AS r",
+    lambda k: f"CAST(concat('0x', substr(md5({k}), 1, 8)) AS BIGINT)",
+).replace("{STR}", "VARCHAR")

@@ -3966,6 +3966,117 @@ QUERIES["newsvendor_stock_levels"] = newsvendor_stock_levels
 ORACLE["newsvendor_stock_levels"] = _newsvendor_sql()
 
 
+# --- Croston intermittent-demand forecast -------------------------------------------
+# Per-PART demand is intermittent (a part ships on ~1% of days); simple
+# exponential smoothing over such a series chases zeros and collapses.
+# Croston (Oper. Res. Q. 1972) smooths demand SIZE and inter-demand
+# INTERVAL separately (updates only on demand events) and forecasts
+# z/p per period; the Syntetos-Boylan approximation (IJF 2005) corrects
+# Croston's positive bias with the (1 - alpha/2) factor. The supply-chain
+# companion to newsvendor_stock_levels (which prices the quantile of a
+# DENSE brand-level series).
+CROSTON_A = "0.1e0"
+CROSTON_1MA = "0.9e0"
+CROSTON_MIN_EVENTS = 5
+
+
+def _croston_tail(f: str, one_based: bool) -> str:
+    z = f"{f}[{1 if one_based else 0}]"
+    p = f"{f}[{2 if one_based else 1}]"
+    return f"""
+        SELECT pk AS partkey, CAST(n_events AS BIGINT) AS n_demand_days,
+               {R(z, 4)} AS smoothed_size,
+               {R(p, 4)} AS smoothed_interval,
+               {R(f"{z} / {p}", 4)} AS croston_forecast,
+               {R(f"(1e0 - {CROSTON_A} / 2e0) * {z} / {p}", 4)}
+                   AS sba_forecast
+        FROM folded
+        WHERE n_events >= {CROSTON_MIN_EVENTS} AND {p} > 0e0
+        ORDER BY {R(p, 4)} DESC, pk LIMIT 20
+    """
+
+
+def croston_intermittent_demand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Croston + SBA forecast for the 20 most intermittent parts (largest
+    smoothed inter-demand interval, >= {CROSTON_MIN_EVENTS} demand
+    events): smoothed size, smoothed interval, and both per-period
+    forecasts. alpha = 0.1, classic event-driven updates — the state
+    advances only on demand days, zero days enter through the interval.
+
+    Scale shape: one grouped (part, day) sum, then a per-part ordered
+    fold over that part's DEMAND EVENTS (array of [epoch_day, qty]
+    pairs — O(events-per-part) state, the per-entity budget every
+    sessionizer pays; zero days are never materialized, which is what
+    makes the intermittent formulation cheaper than densifying). Both
+    engines fold the same [z, p, prev_day, n] double accumulator in day
+    order, so results are bit-identical; top-20 is TakeOrdered."""
+    load_tables(spark, sf_dir)
+    fold = f"""
+        aggregate(
+            array_sort(collect_list(array(
+                CAST(datediff(day, DATE '1992-01-01') AS DOUBLE),
+                CAST(dem AS DOUBLE)))),
+            array(0e0, 0e0, 0e0, 0e0),
+            (acc, y) -> CASE
+                WHEN acc[3] = 0e0 THEN array(y[1], 0e0, y[0], 1e0)
+                WHEN acc[3] = 1e0 THEN array(
+                    {CROSTON_A} * y[1] + {CROSTON_1MA} * acc[0],
+                    y[0] - acc[2], y[0], 2e0)
+                ELSE array(
+                    {CROSTON_A} * y[1] + {CROSTON_1MA} * acc[0],
+                    {CROSTON_A} * (y[0] - acc[2])
+                        + {CROSTON_1MA} * acc[1],
+                    y[0], acc[3] + 1e0)
+            END)
+    """
+    return spark.sql(f"""
+        WITH d AS (
+            SELECT l_partkey AS pk, l_shipdate AS day,
+                   sum(CAST(floor(l_quantity + 0.5e0) AS BIGINT)) AS dem
+            FROM lineitem GROUP BY l_partkey, l_shipdate
+        ),
+        folded AS (
+            SELECT pk, count(*) AS n_events, {fold} AS f
+            FROM d GROUP BY pk
+        )
+        {_croston_tail("f", one_based=False)}
+    """)
+
+
+QUERIES["croston_intermittent_demand"] = croston_intermittent_demand
+ORACLE["croston_intermittent_demand"] = f"""
+    WITH d AS (
+        SELECT l_partkey AS pk, l_shipdate AS day,
+               sum(CAST(floor(l_quantity + 0.5e0) AS BIGINT)) AS dem
+        FROM lineitem GROUP BY l_partkey, l_shipdate
+    ),
+    folded AS (
+        SELECT pk, count(*) AS n_events,
+               list_reduce(
+                   list_prepend(
+                       [0e0, 0e0, 0e0, 0e0],
+                       list([CAST(datediff('day', DATE '1992-01-01', day)
+                                  AS DOUBLE),
+                             CAST(dem AS DOUBLE)] ORDER BY day)),
+                   (acc, y) -> CASE
+                       WHEN acc[4] = 0e0 THEN [y[2], 0e0, y[1], 1e0]
+                       WHEN acc[4] = 1e0 THEN [
+                           {CROSTON_A} * y[2] + {CROSTON_1MA} * acc[1],
+                           y[1] - acc[3], y[1], 2e0]
+                       ELSE [
+                           {CROSTON_A} * y[2] + {CROSTON_1MA} * acc[1],
+                           {CROSTON_A} * (y[1] - acc[3])
+                               + {CROSTON_1MA} * acc[2],
+                           y[1], acc[4] + 1e0]
+                   END) AS f
+        FROM d GROUP BY pk
+    )
+    {_croston_tail("f", one_based=True)}
+"""
+
+
 # --- always-valid sequential A/B monitor (mSPRT) ------------------------------------
 # Peeking at a fixed-horizon test inflates false positives; the mixture
 # SPRT (Johari, Koomen, Pekelis & Walsh, "Peeking at A/B Tests", KDD'17)
@@ -4072,6 +4183,107 @@ def msprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["msprt_ab_monitor"] = msprt_ab_monitor
 ORACLE["msprt_ab_monitor"] = _msprt_sql(
+    "strftime(o_orderdate, '%Y-%m')",
+    "CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4))"
+    " AS INTEGER) % 2",
+    lambda x: f"CAST({x} AS HUGEINT)",
+)
+
+
+# --- O'Brien-Fleming group-sequential monitor ---------------------------------------
+# The frequentist group-sequential companion to the always-valid mSPRT:
+# at each interim look the O'Brien-Fleming boundary |Z| > C / sqrt(t)
+# (t = information fraction) spends almost no alpha early and relaxes to
+# ~the nominal critical value at t = 1 (O'Brien & Fleming, Biometrics
+# 1979; continuous-monitoring constant C = 2.24 from the Lan-DeMets
+# alpha-spending formulation, JASA 1983 — the right constant for a
+# monitor with many month-end looks). Early looks need |Z| several
+# sigmas out; a monitor that used the nominal 1.96 at every look would
+# inflate false positives ~5x over 80 looks.
+OBF_C = "2.24e0"
+
+
+def _obf_sql(month_expr: str, md5arm: str, big) -> str:
+    return f"""
+        WITH o AS (
+            SELECT {month_expr} AS mo, o_orderdate AS day,
+                   {md5arm} AS arm,
+                   CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT)
+                       AS cents
+            FROM orders
+        ),
+        daily AS (
+            SELECT mo, day,
+                   sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+                   sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS s0,
+                   sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS s1
+            FROM o GROUP BY mo, day
+        ),
+        pooled AS (
+            SELECT count(*) AS n, sum(cents) AS s,
+                   CAST(sum({big('cents')} * cents) AS DOUBLE) AS ss
+            FROM o
+        ),
+        cum AS (
+            SELECT mo, day,
+                   sum(n0) OVER w AS cn0, sum(n1) OVER w AS cn1,
+                   sum(s0) OVER w AS cs0, sum(s1) OVER w AS cs1
+            FROM daily
+            WINDOW w AS (PARTITION BY (hash(day) % 1) ORDER BY day
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        snap AS (
+            SELECT mo, cn0, cn1, cs0, cs1,
+                   row_number() OVER (PARTITION BY mo
+                                      ORDER BY day DESC) AS rn
+            FROM cum
+        ),
+        zs AS (
+            SELECT s.mo, s.cn0, s.cn1,
+                   (CAST(s.cs1 AS DOUBLE) / s.cn1
+                    - CAST(s.cs0 AS DOUBLE) / s.cn0)
+                   / sqrt(((p.ss - CAST(p.s AS DOUBLE) * p.s / p.n)
+                           / (p.n - 1))
+                          * (1e0 / s.cn0 + 1e0 / s.cn1)) AS z,
+                   (s.cn0 + s.cn1) * 1e0 / p.n AS t
+            FROM snap s CROSS JOIN pooled p
+            WHERE s.rn = 1 AND s.cn0 > 0 AND s.cn1 > 0
+        )
+        SELECT mo AS month, CAST(cn0 AS BIGINT) AS n_arm0,
+               CAST(cn1 AS BIGINT) AS n_arm1,
+               {R("z", 4)} AS z,
+               {R("t", 6)} AS info_fraction,
+               {R(f"{OBF_C} / sqrt(t)", 4)} AS obf_boundary,
+               CAST(abs(z) > {OBF_C} / sqrt(t) AS INT) AS rejected
+        FROM zs
+        ORDER BY month
+    """
+
+
+def obrien_fleming_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end O'Brien-Fleming interim analyses of the md5 A/A
+    order-value split (see _obf_sql): cumulative per-arm counts, the z
+    statistic, the information fraction, the OBF boundary C/sqrt(t), and
+    the crossing flag — on an A/A split no look should fire, the same
+    null-calibration contract as msprt_ab_monitor but with the classical
+    group-sequential boundary instead of a mixture likelihood.
+
+    Scale shape: identical budget to mSPRT — one grouped day aggregate
+    with exact cents moments, one cumsum window over the day-grain
+    relation (calendar-bounded), closed-form scoring per snapshot; the
+    corpus is scanned once."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_obf_sql(
+        "date_format(o_orderdate, 'yyyy-MM')",
+        "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 4),"
+        " 16, 10) AS INT) % 2",
+        lambda x: f"CAST({x} AS DECIMAL(38, 0))",
+    ))
+
+
+QUERIES["obrien_fleming_monitor"] = obrien_fleming_monitor
+ORACLE["obrien_fleming_monitor"] = _obf_sql(
     "strftime(o_orderdate, '%Y-%m')",
     "CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4))"
     " AS INTEGER) % 2",

@@ -1924,3 +1924,123 @@ ORACLE["prf_expanded_search"] = _prf_sql(
     _sql_list(STOPWORDS),
     materialized="MATERIALIZED",
 )
+
+
+# --- keyword-in-context (KWIC) snippets ---------------------------------------------
+# The concordance view every corpus-exploration UI needs: for a query
+# term, the matching docs with occurrence counts and a fixed-width
+# character window around the FIRST occurrence. Identical SQL text in
+# both dialects (instr/substr/replace agree), so snippets are
+# byte-equal.
+KWIC_TERM = "spark"
+KWIC_RADIUS = 40  # chars either side of the match
+KWIC_TOP = 15
+
+_KWIC_SQL = f"""
+    WITH hits AS (
+        SELECT doc_id, source,
+               instr(text, '{KWIC_TERM}') AS pos,
+               CAST((length(text) - length(replace(text, '{KWIC_TERM}',
+                    ''))) / {len(KWIC_TERM)} AS BIGINT) AS n_matches,
+               text
+        FROM documents
+        WHERE instr(text, '{KWIC_TERM}') > 0
+    )
+    SELECT doc_id, source,
+           n_matches,
+           CAST(pos AS BIGINT) AS first_pos,
+           substr(text,
+                  CAST(greatest(1, pos - {KWIC_RADIUS}) AS INT),
+                  CAST(least(pos - greatest(1, pos - {KWIC_RADIUS}),
+                             {KWIC_RADIUS})
+                       + {len(KWIC_TERM) + KWIC_RADIUS} AS INT)) AS snippet
+    FROM hits
+    ORDER BY n_matches DESC, doc_id LIMIT {KWIC_TOP}
+"""
+
+
+def kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{KWIC_TOP} concordance lines for '{KWIC_TERM}' (see _KWIC_SQL):
+    occurrence count, first match position, and the +-{KWIC_RADIUS}-char
+    context window — the keyword-in-context view, ranked by match count.
+
+    Scale shape: one filtered scan (the WHERE pushes the contains test
+    to the reader), per-row string arithmetic in codegen, TakeOrdered
+    top-{KWIC_TOP} — no shuffle beyond the top-K merge, no UDF. At
+    100 TB this is a map + heap-merge."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_KWIC_SQL)
+
+
+QUERIES["kwic_snippets"] = kwic_snippets
+ORACLE["kwic_snippets"] = _KWIC_SQL
+
+
+# --- Good-Turing frequency-of-frequencies -------------------------------------------
+# Good-Turing estimation (Good, Biometrika 1953): the adjusted count
+# r* = (r+1) N_{r+1} / N_r redistributes probability mass toward unseen
+# events; N_1 / N is the leave-one-out estimate of the unseen-type mass
+# (the missing-mass bound every open-vocabulary LM needs). The
+# frequency-of-frequencies companion to the Kneser-Ney op — KN uses
+# fixed discounts, GT derives them from the count histogram itself.
+GT_MAX_R = 10
+
+
+_GT_SQL = f"""
+    WITH tf AS (
+        SELECT term, count(*) AS r FROM ({{TOK}}) tk GROUP BY term
+    ),
+    totals AS (
+        SELECT sum(r) AS n_tokens, count(*) AS n_types FROM tf
+    ),
+    nr AS (
+        SELECT r, count(*) AS n_r FROM tf
+        WHERE r <= {GT_MAX_R + 1}
+        GROUP BY r
+    ),
+    grid AS ({{GRID}})
+    SELECT g.r,
+           CAST(coalesce(a.n_r, 0) AS BIGINT) AS n_r,
+           CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_r_plus_1,
+           {R("CASE WHEN coalesce(a.n_r, 0) > 0 THEN"
+              " (g.r + 1e0) * coalesce(b.n_r, 0) * 1e0 / a.n_r"
+              " ELSE 0e0 END", 4)} AS r_star,
+           {R("coalesce(a.n_r, 0) * g.r * 1e0 / t.n_tokens", 6)}
+               AS mass_at_r,
+           {R("coalesce((SELECT n_r FROM nr WHERE r = 1), 0)"
+              " * 1e0 / t.n_tokens", 6)} AS unseen_mass_p0,
+           CAST(t.n_types AS BIGINT) AS n_types
+    FROM grid g
+    LEFT JOIN nr a ON a.r = g.r
+    LEFT JOIN nr b ON b.r = g.r + 1
+    CROSS JOIN totals t
+    ORDER BY g.r
+"""
+
+
+def good_turing_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing count table for r = 1..{GT_MAX_R} over the token
+    stream (see _GT_SQL): frequency-of-frequencies N_r, the adjusted
+    count r*, the probability mass held at each r, and the unseen-type
+    mass N_1/N — the smoothing table an LM derives its discounts from.
+
+    Scale shape: one combiner-friendly token count (vocab-bounded by
+    Heaps' law), one {GT_MAX_R + 1}-bucket grouped count over the term
+    relation, then joins on the {GT_MAX_R}-row grid. The corpus is
+    scanned once; output is O(1)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _GT_SQL
+        .replace("{TOK}",
+                 "SELECT explode(split(text, ' ')) AS term FROM documents")
+        .replace("{GRID}", f"SELECT explode(sequence(1, {GT_MAX_R})) AS r")
+    )
+
+
+QUERIES["good_turing_discounts"] = good_turing_discounts
+ORACLE["good_turing_discounts"] = (
+    _GT_SQL
+    .replace("{TOK}",
+             "SELECT unnest(string_split(text, ' ')) AS term FROM documents")
+    .replace("{GRID}", f"SELECT unnest(range(1, {GT_MAX_R + 1})) AS r")
+)
