@@ -232,6 +232,12 @@ HEADLINE = [
     "count_min_sketch_accuracy",
     "personalized_pagerank",
     "benford_price_audit",
+    # round-10 second tranche: axiomatic attribution, uplift readout,
+    # Bayesian A/B, and the SCD2 point-in-time join
+    "shapley_channel_attribution",
+    "qini_uplift_levels",
+    "bayes_ab_conversion",
+    "point_in_time_dim_join",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

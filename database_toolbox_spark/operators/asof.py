@@ -280,3 +280,78 @@ ORACLE = {
         ORDER BY e.event_id
     """,
 }
+
+
+# --- point-in-time SCD2 dimension join ----------------------------------------------
+# The temporal-warehouse staple: facts must join the dimension VERSION
+# that was valid at the fact's event time, not the current one (Kimball
+# type-2 semantics). The SCD2 history is synthesized deterministically
+# from the customer dimension — each customer has two versions split at
+# an md5-derived epoch-day, v2 carrying a migrated segment label — and
+# every order picks its valid version by a [from, to) interval test on
+# the integer epoch-day grid (identical comparisons in both dialects; no
+# date arithmetic to diverge on).
+PIT_EPOCH = "DATE '1992-01-01'"
+PIT_SPAN = 2000  # split-day range in epoch-days
+
+
+def _pit_sql(od: str, split_hash: str) -> str:
+    return f"""
+        WITH dim AS (
+            SELECT c_custkey AS custkey, c_mktsegment AS segment,
+                   {split_hash} % {PIT_SPAN} AS split_day
+            FROM customer
+        ),
+        versions AS (
+            SELECT custkey, 1 AS version, segment,
+                   0 AS valid_from, split_day AS valid_to
+            FROM dim
+            UNION ALL
+            SELECT custkey, 2 AS version,
+                   concat('MIGRATED-', segment) AS segment,
+                   split_day AS valid_from, 1000000 AS valid_to
+            FROM dim
+        ),
+        fact AS (
+            SELECT o_custkey AS custkey, {od} AS od,
+                   CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT)
+                       AS cents
+            FROM orders
+        )
+        SELECT v.version, v.segment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {R("sum(f.cents) / 100e0", 2)} AS revenue
+        FROM fact f
+        JOIN versions v ON v.custkey = f.custkey
+                       AND f.od >= v.valid_from AND f.od < v.valid_to
+        GROUP BY v.version, v.segment
+        ORDER BY v.version, v.segment
+    """
+
+
+def point_in_time_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders joined to the SCD2 customer version valid at order date
+    (see _pit_sql), rolled up per (version, segment) — the
+    point-in-time join every temporal warehouse query needs; the
+    version-2 'MIGRATED-' labels make a wrong-version join visible as a
+    row-level mismatch, not just a count drift.
+
+    Scale shape: the interval test rides the custkey EQUI-join (hash
+    join on the key; the [from, to) predicate is a residual filter —
+    never a range-only join), and each key has exactly 2 versions, so
+    the join fan-out is bounded. One fact scan, one grouped rollup."""
+    load_table(spark, sf_dir, "orders")
+    load_table(spark, sf_dir, "customer")
+    return spark.sql(_pit_sql(
+        f"datediff(o_orderdate, {PIT_EPOCH})",
+        "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 6),"
+        " 16, 10) AS BIGINT)",
+    ))
+
+
+QUERIES["point_in_time_dim_join"] = point_in_time_dim_join
+ORACLE["point_in_time_dim_join"] = _pit_sql(
+    f"datediff('day', {PIT_EPOCH}, o_orderdate)",
+    "CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))"
+    " AS BIGINT)",
+)

@@ -2176,3 +2176,169 @@ ORACLE["km_greenwood_bands"] = _KM_GW_SQL.format(
     lo_r=R(f"pow(s, exp({_KM_Z95} * se_cll))", 6),
     hi_r=R(f"pow(s, exp(-{_KM_Z95} * se_cll))", 6),
 )
+
+
+# --- Shapley channel attribution ----------------------------------------------------
+# Data-driven multi-touch attribution via the exact Shapley value (Shao &
+# Li, KDD'11 simplified game): coalition value v(S) = conversion rate of
+# users whose touched-channel set is exactly S; each channel's credit is
+# the Shapley average of its marginal contributions over the 3-channel
+# coalition lattice. The axiomatic answer to "which channel deserves the
+# conversion" that the positional heuristics (linear / U-shaped /
+# time-decay ops in this module) approximate.
+SHAPLEY_CHANNELS = (("click", 1), ("view", 2), ("signup", 4))
+
+
+def _shapley_weight_rows() -> str:
+    """(channel, S-mask, S∪{i}-mask, weight) literals; weights are the
+    exact |S|!(|C|-|S|-1)!/|C|! fractions written as SQL divisions so
+    both engines evaluate the identical double."""
+    from math import factorial  # noqa: PLC0415
+
+    rows = []
+    for ch, bit in SHAPLEY_CHANNELS:
+        others = [(c, b) for c, b in SHAPLEY_CHANNELS if c != ch]
+        for m in range(4):
+            s_mask = sum(b for j, (_, b) in enumerate(others) if m >> j & 1)
+            k = bin(m).count("1")
+            num = factorial(k) * factorial(3 - k - 1)
+            rows.append(
+                f"('{ch}', {s_mask}, {s_mask + bit}, "
+                f"{num}e0 / {factorial(3)}e0)"
+            )
+    return ", ".join(rows)
+
+
+_SHAPLEY_SQL = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               + 2 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS mask,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    rates AS (
+        SELECT mask, count(*) AS n_users,
+               sum(converted) * 1e0 / count(*) AS v
+        FROM per_user GROUP BY mask
+    ),
+    w AS (SELECT * FROM (VALUES {{ROWS}}) AS t(channel, s_mask, su_mask,
+                                               wt)),
+    contrib AS (
+        SELECT w.channel,
+               w.wt * (coalesce(su.v, 0e0) - coalesce(s.v, 0e0)) AS c
+        FROM w
+        LEFT JOIN rates su ON su.mask = w.su_mask
+        LEFT JOIN rates s ON s.mask = w.s_mask
+    ),
+    phi AS (
+        SELECT channel, sum(c) AS shapley FROM contrib GROUP BY channel
+    ),
+    tot AS (SELECT sum(shapley) AS t FROM phi)
+    SELECT p.channel, {R("p.shapley", 6)} AS shapley_value,
+           {R("p.shapley / t.t", 6)} AS credit_share
+    FROM phi p CROSS JOIN tot t
+    ORDER BY p.channel
+"""
+
+
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-channel Shapley attribution of purchase conversion (see
+    _SHAPLEY_SQL): each channel's Shapley value over the
+    exactly-touched-set coalition game plus its share of total credit —
+    the axiomatically fair split, next to this module's positional
+    heuristics.
+
+    Scale shape: ONE grouped pass builds the per-user (mask, converted)
+    profile (map-side combinable); everything after runs on the 8-row
+    mask relation joined to a 12-row literal weight lattice. At 100 TB
+    the corpus cost is the single scan."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_SHAPLEY_SQL.replace("{ROWS}", _shapley_weight_rows()))
+
+
+QUERIES["shapley_channel_attribution"] = shapley_channel_attribution
+ORACLE["shapley_channel_attribution"] = _SHAPLEY_SQL.replace(
+    "{ROWS}", _shapley_weight_rows()
+)
+
+
+# --- Qini uplift by engagement level ------------------------------------------------
+# Uplift modeling's standard readout (Radcliffe, Direct Marketing
+# Analytics J. 2007): rank the population by a targeting score, then at
+# each cumulative depth compare treated vs control conversions — the
+# Qini value Y_t(k) - Y_c(k) * N_t(k)/N_c(k) is the incremental
+# conversions bought by targeting the top-k. Here the score is the
+# user's click count (engagement), bucketed so the curve is computable
+# without a population-wide rank window; treatment is the md5 A/B split.
+QINI_MAX_LEVEL = 8  # click-count buckets QINI_MAX_LEVEL..0, descending
+
+
+def _qini_sql(md5arm: str) -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   least(sum(CASE WHEN event_type = 'click'
+                                  THEN 1 ELSE 0 END), {QINI_MAX_LEVEL})
+                       AS level,
+                   max(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS converted,
+                   {md5arm} AS arm
+            FROM events GROUP BY user_id
+        ),
+        lv AS (
+            SELECT level,
+                   sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_t,
+                   sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_c,
+                   sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS y_t,
+                   sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS y_c
+            FROM per_user GROUP BY level
+        ),
+        cum AS (
+            SELECT level, n_t, n_c, y_t, y_c,
+                   sum(n_t) OVER w AS cn_t, sum(n_c) OVER w AS cn_c,
+                   sum(y_t) OVER w AS cy_t, sum(y_c) OVER w AS cy_c
+            FROM lv
+            WINDOW w AS (PARTITION BY (hash(level) % 1)
+                         ORDER BY level DESC ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT CAST(level AS INT) AS engagement_level,
+               CAST(n_t AS BIGINT) AS n_treated,
+               CAST(n_c AS BIGINT) AS n_control,
+               {R("y_t * 1e0 / greatest(n_t, 1)", 6)} AS conv_rate_treated,
+               {R("y_c * 1e0 / greatest(n_c, 1)", 6)} AS conv_rate_control,
+               {R("y_t * 1e0 / greatest(n_t, 1)"
+                  " - y_c * 1e0 / greatest(n_c, 1)", 6)} AS uplift,
+               {R("cy_t - cy_c * 1e0 * cn_t / greatest(cn_c, 1)", 4)}
+                   AS qini_value
+        FROM cum
+        ORDER BY engagement_level DESC
+    """
+
+
+def qini_uplift_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift and cumulative Qini value by descending engagement level
+    (see _qini_sql) over the md5 A/A split — a null experiment, so the
+    Qini curve should hover near zero; the harness every uplift model
+    is scored on, with the treated/control composition visible per
+    level.
+
+    Scale shape: one grouped per-user pass, then an
+    O({QINI_MAX_LEVEL}+1)-row level relation with a constant-partition
+    cumulative window — the bucketed spelling of the Qini curve that
+    avoids a population-wide rank at 100 TB."""
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_qini_sql(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 4),"
+        " 16, 10) AS INT) % 2"
+    ))
+
+
+QUERIES["qini_uplift_levels"] = qini_uplift_levels
+ORACLE["qini_uplift_levels"] = _qini_sql(
+    "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4))"
+    " AS INTEGER) % 2"
+)

@@ -4289,3 +4289,104 @@ ORACLE["obrien_fleming_monitor"] = _obf_sql(
     " AS INTEGER) % 2",
     lambda x: f"CAST({x} AS HUGEINT)",
 )
+
+
+# --- Bayesian A/B on conversion (Beta-Bernoulli posterior) -------------------------
+# The Bayesian readout of an A/B conversion test: Beta(1,1) priors, the
+# posterior P(p_B > p_A) and a 95% credible interval for the lift. The
+# posteriors' first two moments are EXACT Beta moments; the tail
+# probability uses the normal approximation of the Beta posteriors —
+# the regime where that approximation is tight (posterior counts in the
+# thousands) is exactly the at-scale regime, and it is what keeps the
+# query O(1) after one grouped pass (the exact P(B>A) sum is
+# O(conversions) terms — unbounded at 100 TB). The A&S 26.2.17
+# polynomial (|err| < 7.5e-8) evaluates Phi identically in both
+# dialects.
+
+
+def _bayes_ab_sql(md5arm: str) -> str:
+    phi = _PHI_UPPER.replace("{z}", "az")
+    pexpr = f"CASE WHEN t >= 0e0 THEN 1e0 - ({phi}) ELSE ({phi}) END"
+    return f"""
+        WITH per_user AS (
+            SELECT user_id, {md5arm} AS arm,
+                   max(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT arm, count(*) AS n, sum(converted) AS conv
+            FROM per_user GROUP BY arm
+        ),
+        post AS (
+            SELECT
+                max(CASE WHEN arm = 0 THEN n END) AS n_a,
+                max(CASE WHEN arm = 0 THEN conv END) AS conv_a,
+                max(CASE WHEN arm = 1 THEN n END) AS n_b,
+                max(CASE WHEN arm = 1 THEN conv END) AS conv_b,
+                (1e0 + max(CASE WHEN arm = 0 THEN conv END)) AS aa,
+                (1e0 + max(CASE WHEN arm = 0 THEN n END)
+                     - max(CASE WHEN arm = 0 THEN conv END)) AS ba,
+                (1e0 + max(CASE WHEN arm = 1 THEN conv END)) AS ab,
+                (1e0 + max(CASE WHEN arm = 1 THEN n END)
+                     - max(CASE WHEN arm = 1 THEN conv END)) AS bb
+            FROM arms
+        ),
+        mom AS (
+            SELECT n_a, conv_a, n_b, conv_b,
+                   aa / (aa + ba) AS mu_a,
+                   ab / (ab + bb) AS mu_b,
+                   aa * ba / ((aa + ba) * (aa + ba) * (aa + ba + 1e0))
+                       AS var_a,
+                   ab * bb / ((ab + bb) * (ab + bb) * (ab + bb + 1e0))
+                       AS var_b
+            FROM post
+        ),
+        z AS (
+            SELECT n_a, conv_a, n_b, conv_b, mu_a, mu_b, var_a, var_b,
+                   (mu_b - mu_a) / sqrt(var_a + var_b) AS t,
+                   abs((mu_b - mu_a) / sqrt(var_a + var_b)) AS az
+            FROM mom
+        ),
+        ztt AS (
+            SELECT *, 1e0 / (1e0 + 0.2316419e0 * az) AS tt FROM z
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a,
+               CAST(conv_a AS BIGINT) AS conv_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(conv_b AS BIGINT) AS conv_b,
+               {R("mu_a", 6)} AS posterior_mean_a,
+               {R("mu_b", 6)} AS posterior_mean_b,
+               {R(pexpr, 6)} AS prob_b_beats_a,
+               {R("mu_b - mu_a", 6)} AS lift_estimate,
+               {R(f"mu_b - mu_a - {RATIO_Z95}e0 * sqrt(var_a + var_b)", 6)}
+                   AS lift_ci_lo,
+               {R(f"mu_b - mu_a + {RATIO_Z95}e0 * sqrt(var_a + var_b)", 6)}
+                   AS lift_ci_hi
+        FROM ztt
+    """
+
+
+def bayes_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-Bernoulli Bayesian A/B readout of purchase conversion over
+    the md5 A/A split (see _bayes_ab_sql): posterior means, P(B > A),
+    and the 95% credible interval for the lift — on an A/A split the
+    probability should sit near 0.5 and the interval should cover 0.
+
+    Scale shape: ONE grouped per-user pass (map-side combinable), then
+    closed-form Beta-moment arithmetic on a 2-row relation. O(1) after
+    the scan."""
+    from database_toolbox_spark.session import load_table  # noqa: PLC0415
+
+    load_table(spark, sf_dir, "events")
+    return spark.sql(_bayes_ab_sql(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 4),"
+        " 16, 10) AS INT) % 2"
+    ))
+
+
+QUERIES["bayes_ab_conversion"] = bayes_ab_conversion
+ORACLE["bayes_ab_conversion"] = _bayes_ab_sql(
+    "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4))"
+    " AS INTEGER) % 2"
+)

@@ -81,6 +81,10 @@ FINGERPRINT_QUERIES = (
     "median_ci_order_stats",
     "km_greenwood_bands",
     "newsvendor_stock_levels",
+    # round-10: the IVF+binary composite ladder — a lost index
+    # materialize or a window sneaking in for the TakeOrdered shortlist
+    # is exactly what this gate exists to catch
+    "ivf_bq_ann_topk",
 )
 
 SHOWCASE = {

@@ -14,7 +14,8 @@ from tests.conftest import SF_DIR
 
 def _fetch(sql: str):
     con = duckdb.connect()
-    for t in ("documents", "embeddings", "orders", "lineitem"):
+    for t in ("documents", "embeddings", "orders", "lineitem",
+              "events", "customer"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{t}.parquet')"
@@ -382,3 +383,168 @@ def test_kwic_snippets_replay(spark):
     got = [(r.doc_id, r.source, r.n_matches, r.first_pos, r.snippet)
            for r in kwic_snippets(spark, SF_DIR).collect()]
     assert got == expected
+
+
+# -------------------------------------------------------- Shapley attribution
+
+
+def test_shapley_matches_python(spark):
+    from database_toolbox_spark.operators.events import (
+        shapley_channel_attribution,
+    )
+
+    rows = _fetch("SELECT user_id, event_type FROM events")
+    touched: dict[int, set] = {}
+    conv: dict[int, int] = {}
+    for uid, et in rows:
+        touched.setdefault(uid, set())
+        conv.setdefault(uid, 0)
+        if et in ("click", "view", "signup"):
+            touched[uid].add(et)
+        if et == "purchase":
+            conv[uid] = 1
+    bits = {"click": 1, "view": 2, "signup": 4}
+    agg: dict[int, list] = {}
+    for uid in touched:
+        m = sum(bits[c] for c in touched[uid])
+        n, c = agg.get(m, (0, 0))
+        agg[m] = (n + 1, c + conv[uid])
+    v = {m: c / n for m, (n, c) in agg.items()}
+
+    from math import factorial
+    phi = {}
+    for ch, bit in bits.items():
+        others = [b for c2, b in bits.items() if c2 != ch]
+        total = 0.0
+        for m in range(4):
+            s = sum(others[j] for j in range(2) if m >> j & 1)
+            k = bin(m).count("1")
+            w = factorial(k) * factorial(1 - k + 1) / factorial(3)
+            total += w * (v.get(s + bit, 0.0) - v.get(s, 0.0))
+        phi[ch] = total
+    tot = sum(phi.values())
+
+    got = {r.channel: r for r in
+           shapley_channel_attribution(spark, SF_DIR).collect()}
+    for ch in bits:
+        assert abs(got[ch].shapley_value - phi[ch]) < 1e-5, ch
+        assert abs(got[ch].credit_share - phi[ch] / tot) < 1e-5, ch
+
+
+# ----------------------------------------------------------------- Qini levels
+
+
+def test_qini_levels_match_python(spark):
+    import hashlib
+
+    from database_toolbox_spark.operators.events import (
+        QINI_MAX_LEVEL,
+        qini_uplift_levels,
+    )
+
+    rows = _fetch("SELECT user_id, event_type FROM events")
+    clicks: dict[int, int] = {}
+    conv: dict[int, int] = {}
+    for uid, et in rows:
+        clicks.setdefault(uid, 0)
+        conv.setdefault(uid, 0)
+        if et == "click":
+            clicks[uid] += 1
+        if et == "purchase":
+            conv[uid] = 1
+    lv: dict[int, list] = {}
+    for uid in clicks:
+        arm = int(hashlib.md5(str(uid).encode()).hexdigest()[:4], 16) % 2
+        level = min(clicks[uid], QINI_MAX_LEVEL)
+        cur = lv.setdefault(level, [0, 0, 0, 0])
+        cur[arm] += 1
+        cur[2 + arm] += conv[uid]
+
+    got = {r.engagement_level: r
+           for r in qini_uplift_levels(spark, SF_DIR).collect()}
+    assert set(got) == set(lv)
+    cn_t = cn_c = cy_t = cy_c = 0
+    for level in sorted(lv, reverse=True):
+        n_c, n_t, y_c, y_t = lv[level]
+        cn_t, cn_c, cy_t, cy_c = (cn_t + n_t, cn_c + n_c,
+                                  cy_t + y_t, cy_c + y_c)
+        r = got[level]
+        assert (r.n_treated, r.n_control) == (n_t, n_c)
+        qini = cy_t - cy_c * cn_t / max(cn_c, 1)
+        assert abs(r.qini_value - qini) < 1e-3, level
+
+
+# ------------------------------------------------------------------ Bayes A/B
+
+
+def test_bayes_ab_matches_closed_form(spark):
+    import hashlib
+
+    from database_toolbox_spark.operators.stats import bayes_ab_conversion
+
+    rows = _fetch("SELECT user_id, max(CASE WHEN event_type = 'purchase'"
+                  " THEN 1 ELSE 0 END) FROM events GROUP BY user_id")
+    n = [0, 0]
+    c = [0, 0]
+    for uid, conv in rows:
+        arm = int(hashlib.md5(str(uid).encode()).hexdigest()[:4], 16) % 2
+        n[arm] += 1
+        c[arm] += conv
+    aa, ba = 1 + c[0], 1 + n[0] - c[0]
+    ab, bb = 1 + c[1], 1 + n[1] - c[1]
+    mu = [aa / (aa + ba), ab / (ab + bb)]
+    var = [aa * ba / ((aa + ba) ** 2 * (aa + ba + 1)),
+           ab * bb / ((ab + bb) ** 2 * (ab + bb + 1))]
+    t = (mu[1] - mu[0]) / math.sqrt(var[0] + var[1])
+    p = math.erfc(-t / math.sqrt(2)) / 2
+
+    r = bayes_ab_conversion(spark, SF_DIR).collect()[0]
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (n[0], c[0], n[1], c[1])
+    assert abs(r.posterior_mean_a - mu[0]) < 1e-5
+    assert abs(r.posterior_mean_b - mu[1]) < 1e-5
+    assert abs(r.prob_b_beats_a - p) < 1e-5  # A&S poly |err| < 7.5e-8
+    assert r.lift_ci_lo <= r.lift_estimate <= r.lift_ci_hi
+
+
+# ------------------------------------------------------------------- PIT join
+
+
+def test_pit_join_matches_python(spark):
+    import hashlib
+
+    from database_toolbox_spark.operators.asof import (
+        PIT_SPAN,
+        point_in_time_dim_join,
+    )
+
+    custs = _fetch("SELECT c_custkey, c_mktsegment FROM customer")
+    orders = _fetch(
+        "SELECT o_custkey, datediff('day', DATE '1992-01-01', o_orderdate),"
+        " CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT) FROM orders"
+    )
+    split = {}
+    seg = {}
+    for ck, s in custs:
+        split[ck] = int(
+            hashlib.md5(str(ck).encode()).hexdigest()[:6], 16
+        ) % PIT_SPAN
+        seg[ck] = s
+    agg: dict[tuple, list] = {}
+    for ck, od, cents in orders:
+        if ck not in split:
+            continue
+        if od < split[ck]:
+            key = (1, seg[ck])
+        else:
+            key = (2, "MIGRATED-" + seg[ck])
+        cur = agg.setdefault(key, [0, 0])
+        cur[0] += 1
+        cur[1] += cents
+    got = {(r.version, r.segment): (r.n_orders, r.revenue)
+           for r in point_in_time_dim_join(spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for k, (nn, cents) in agg.items():
+        assert got[k][0] == nn, k
+        assert abs(got[k][1] - cents / 100) < 0.02, k
+    # every order lands in exactly one version
+    assert sum(v[0] for v in agg.values()) == len(orders)
