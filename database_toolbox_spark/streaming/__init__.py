@@ -12,6 +12,7 @@ from database_toolbox_spark.streaming.stream_ops import (  # noqa: F401
     stream_bot_flags,
     stream_bottomk_sample,
     stream_cdc_upsert,
+    stream_count_min,
     stream_foreach_batch_totals,
     stream_dedup,
     stream_enriched_event_counts,

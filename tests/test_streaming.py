@@ -886,3 +886,45 @@ def test_cep_late_event_guard():
     out3 = list(fn((7,), batch([("2024-01-03 01:00", "view")]), st))
     assert len(out3) == 1 and list(out3[0]["day"]) == ["2024-01-02"]
     assert st.get == ("2024-01-03", "v")
+
+
+def test_stream_count_min_matches_batch_cells(spark, stream):
+    """The streaming CMS's final cells must equal a Python-computed batch
+    sketch over the same fixture — CMS cells are plain sums, so the
+    mergeable-state claim is exact equality, not tolerance."""
+    import hashlib
+
+    import numpy as np
+
+    from database_toolbox_spark.operators.sketches import CMS_D, CMS_W
+    from database_toolbox_spark.streaming import stream_count_min
+
+    _run_to_memory(stream_count_min(stream), "cms_out", "update")
+    # update mode: counts are monotone, so the max per (r, bucket) is the
+    # final state
+    got = {
+        (r.r, r.bucket): r.cell
+        for r in spark.sql(
+            "SELECT r, bucket, max(cell) AS cell FROM cms_out "
+            "GROUP BY r, bucket"
+        ).collect()
+    }
+
+    items = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type")
+        .toPandas()["event_type"]
+    )
+    cms = np.zeros((CMS_D, CMS_W), dtype="int64")
+    for item, n in items.value_counts().items():
+        for r in range(CMS_D):
+            b = int(hashlib.md5(f"{item}#{r}".encode()).hexdigest()[:8],
+                    16) % CMS_W
+            cms[r, b] += int(n)
+    expected = {
+        (r, b): int(cms[r, b])
+        for r in range(CMS_D)
+        for b in range(CMS_W)
+        if cms[r, b]
+    }
+    assert got == expected
