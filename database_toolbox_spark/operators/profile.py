@@ -1657,17 +1657,19 @@ QUERIES["k_anon_generalization_ladder"] = k_anon_generalization_ladder
 ORACLE["k_anon_generalization_ladder"] = _kgen_sql()
 
 
-# --- Benford first-digit audit ------------------------------------------------------
+# --- Benford chi-square audit -------------------------------------------------------
 # Benford's law (1938; Hill, Statist. Sci. 1995): first significant
 # digits of naturally-occurring multi-scale amounts follow
 # P(d) = log10(1 + 1/d). Fabricated or constrained numbers don't — the
 # forensic-accounting screen auditors run on invoice totals. The
-# chi-square against Benford is reported per digit AND totalled;
-# TPC-H's uniform price generator is mid-scale constrained, so the
-# audit flags it — the point of the screen is the measurement.
+# round-3 benford_first_digit op above SHOWS the digit distribution;
+# this one TESTS it: the chi-square against Benford is reported per
+# digit AND totalled with the df=8 critical-value flag. TPC-H's uniform
+# price generator is mid-scale constrained, so the audit flags it — the
+# point of the screen is the measurement.
 BENFORD_CHI2_95 = 15.507  # chi-square 0.95 critical value, df = 8
 
-_BENFORD_SQL = f"""
+_BENFORD_AUDIT_SQL = f"""
     WITH d AS (
         SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
                     AS {{STR}}), 1, 1) AS INT) AS digit
@@ -1707,7 +1709,7 @@ _BENFORD_SQL = f"""
 
 def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-digit distribution of order totals vs Benford's law with the
-    per-digit and total chi-square (see _BENFORD_SQL) — the forensic
+    per-digit and total chi-square (see _BENFORD_AUDIT_SQL) — the forensic
     data-quality screen for amount columns; `flagged` fires when the
     digit profile is inconsistent with a naturally-scaled amount
     distribution (TPC-H's uniform generator IS flagged — correct
@@ -1718,7 +1720,7 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable, output O(1)."""
     load_tables(spark, sf_dir)
     return spark.sql(
-        _BENFORD_SQL
+        _BENFORD_AUDIT_SQL
         .replace("{STR}", "STRING")
         .replace("{DIGITS}", "SELECT explode(sequence(1, 9)) AS digit")
     )
@@ -1726,7 +1728,7 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["benford_price_audit"] = benford_price_audit
 ORACLE["benford_price_audit"] = (
-    _BENFORD_SQL
+    _BENFORD_AUDIT_SQL
     .replace("{STR}", "VARCHAR")
     .replace("{DIGITS}", "SELECT unnest(range(1, 10)) AS digit")
 )
