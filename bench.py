@@ -238,6 +238,8 @@ HEADLINE = [
     "qini_uplift_levels",
     "bayes_ab_conversion",
     "point_in_time_dim_join",
+    "abc_xyz_matrix",
+    "forecast_scorecard_mase",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

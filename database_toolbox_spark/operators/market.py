@@ -373,3 +373,104 @@ def basket_triple_support(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["basket_triple_support"] = basket_triple_support
 ORACLE["basket_triple_support"] = _TRIPLE_SQL
+
+
+# --- ABC-XYZ inventory matrix -------------------------------------------------------
+# The planner's full 3x3 segmentation: ABC = revenue concentration
+# (which parts matter), XYZ = demand PREDICTABILITY via the coefficient
+# of variation of weekly demand (X: cv <= 0.5 steady, Y: <= 1.0
+# variable, Z: erratic — the classic cut, e.g. Syntetos/Boylan/Croston
+# taxonomy practice). AX parts get JIT replenishment; CZ parts get
+# made-to-order; the Croston/newsvendor ops in stats.py are the
+# forecasting policies the cells map to.
+XYZ_X_CV = 0.5
+XYZ_Y_CV = 1.0
+
+_ABC_XYZ_SQL = f"""
+    WITH pr AS (
+        SELECT l_partkey,
+               {R("sum(l_extendedprice * (1 - l_discount))")} AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(rev) AS t FROM pr),
+    ranked AS (
+        SELECT pr.l_partkey, pr.rev,
+               sum(pr.rev) OVER (
+                   PARTITION BY (hash(pr.l_partkey) % 1)
+                   ORDER BY pr.rev DESC, pr.l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) * 1e2 / t.t AS cum_pct
+        FROM pr CROSS JOIN tot t
+    ),
+    abc AS (
+        SELECT l_partkey, rev,
+               CASE WHEN cum_pct <= {ABC_A_PCT} THEN 'A'
+                    WHEN cum_pct <= {ABC_B_PCT} THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    ),
+    wk AS (
+        SELECT l_partkey,
+               CAST({{WEEK}} AS BIGINT) AS wknum,
+               sum(CAST(floor(l_quantity + 0.5e0) AS BIGINT)) AS qty
+        FROM lineitem GROUP BY l_partkey, {{WEEK}}
+    ),
+    cv AS (
+        -- exact integer moments (qty^2 widened), sample variance
+        SELECT l_partkey, count(*) AS n, sum(qty) AS s,
+               CAST(sum({{BIG}} * qty) AS DOUBLE) AS ss
+        FROM wk GROUP BY l_partkey
+    ),
+    xyz AS (
+        SELECT l_partkey,
+               CASE WHEN n < 2 OR s = 0 THEN 'Z'
+                    WHEN sqrt(greatest(ss - CAST(s AS DOUBLE) * s / n, 0e0)
+                              / (n - 1)) / (CAST(s AS DOUBLE) / n)
+                         <= {XYZ_X_CV} THEN 'X'
+                    WHEN sqrt(greatest(ss - CAST(s AS DOUBLE) * s / n, 0e0)
+                              / (n - 1)) / (CAST(s AS DOUBLE) / n)
+                         <= {XYZ_Y_CV} THEN 'Y'
+                    ELSE 'Z' END AS xyz_class
+        FROM cv
+    )
+    SELECT a.abc_class, x.xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           {R("sum(a.rev)", 2)} AS cell_revenue,
+           {R("sum(a.rev) * 1e2 / max(t.t)", 4)} AS revenue_share_pct
+    FROM abc a
+    JOIN xyz x ON x.l_partkey = a.l_partkey
+    CROSS JOIN tot t
+    GROUP BY a.abc_class, x.xyz_class
+    ORDER BY a.abc_class, x.xyz_class
+"""
+
+
+def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC-XYZ inventory matrix (see _ABC_XYZ_SQL): parts cross-
+    classified by revenue concentration (ABC, same cut as
+    abc_inventory_classes) and weekly-demand predictability (XYZ by
+    coefficient of variation), with per-cell counts and revenue share —
+    the segmentation that decides which parts deserve a forecast and
+    which deserve a reorder point.
+
+    Scale shape: two fact-scan grouped aggs to catalog/week grain, the
+    catalog-bounded ABC cumsum (hash%1 — a catalog is not fact-scale),
+    exact-integer CV moments (qty^2 widened to DECIMAL(38)/HUGEINT so
+    ANSI mode cannot overflow), one catalog-grain join, a 9-cell
+    rollup."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _ABC_XYZ_SQL
+        .replace("{WEEK}", "floor(datediff(l_shipdate,"
+                           " DATE '1992-01-01') / 7)")
+        .replace("{BIG}", "CAST(qty AS DECIMAL(38, 0))")
+    )
+
+
+QUERIES["abc_xyz_matrix"] = abc_xyz_matrix
+ORACLE["abc_xyz_matrix"] = (
+    _ABC_XYZ_SQL
+    .replace("{WEEK}", "floor(datediff('day', DATE '1992-01-01',"
+                       " l_shipdate) / 7)")
+    .replace("{BIG}", "CAST(qty AS HUGEINT)")
+)

@@ -4390,3 +4390,94 @@ ORACLE["bayes_ab_conversion"] = _bayes_ab_sql(
     "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4))"
     " AS INTEGER) % 2"
 )
+
+
+# --- forecast scorecard: MASE + sMAPE backtest --------------------------------------
+# Hyndman & Koehler, "Another look at measures of forecast accuracy"
+# (IJF 2006): MASE scales the test MAE by the TRAIN one-step naive MAE
+# (scale-free, defined even when actuals hit zero — the measure that
+# replaced MAPE), sMAPE is the symmetric percentage error. Scored here
+# for the three no-parameter baselines every real forecaster must beat:
+# naive (yesterday), seasonal-naive (a week ago), train mean. Errors
+# are exact cents integers and the per-row sMAPE terms snap to a 1e-9
+# integer grid before summing (the logistic_gd_step trick), so every
+# reduce is order-free and bit-identical cross-engine.
+FC_TEST_DAYS = 28
+FC_SEASON = 7
+
+
+def _fc_sql() -> str:
+    meth = []
+    for name, fcol in (("naive", "f_naive"), ("seasonal_naive", "f_snaive"),
+                       ("train_mean", "f_mean")):
+        meth.append(f"""
+        SELECT '{name}' AS method,
+               sum(abs(y - {fcol})) AS abs_err_cents,
+               sum(CAST(floor(2e0 * abs(y - {fcol})
+                   / greatest(y + {fcol}, 1) * 1e9 + 0.5e0) AS BIGINT))
+                   AS smape_nano
+        FROM test WHERE {fcol} IS NOT NULL
+        """)
+    union = " UNION ALL ".join(meth)
+    return f"""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   sum(CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT))
+                       AS y
+            FROM orders GROUP BY o_orderdate
+        ),
+        seq AS (
+            SELECT day, y,
+                   row_number() OVER w AS rn,
+                   lag(y, 1) OVER w AS f_naive,
+                   lag(y, {FC_SEASON}) OVER w AS f_snaive
+            FROM daily
+            WINDOW w AS (PARTITION BY (hash(day) % 1) ORDER BY day)
+        ),
+        n AS (SELECT count(*) AS n_days FROM daily),
+        train AS (SELECT s.* FROM seq s CROSS JOIN n
+                  WHERE s.rn <= n.n_days - {FC_TEST_DAYS}),
+        trainstat AS (
+            SELECT count(*) AS n_train, sum(y) AS s,
+                   sum(abs(y - f_naive)) AS naive_abs,
+                   sum(CASE WHEN f_naive IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_naive
+            FROM train
+        ),
+        test AS (
+            SELECT s.y, s.f_naive, s.f_snaive,
+                   CAST(floor(CAST(t.s AS DOUBLE) / t.n_train + 0.5e0)
+                        AS BIGINT) AS f_mean
+            FROM seq s CROSS JOIN n CROSS JOIN trainstat t
+            WHERE s.rn > n.n_days - {FC_TEST_DAYS}
+        ),
+        scores AS ({union})
+        SELECT sc.method,
+               CAST({FC_TEST_DAYS} AS BIGINT) AS n_test_days,
+               {R("sc.abs_err_cents / (100e0 * " + str(FC_TEST_DAYS) + ")",
+                  2)} AS mae,
+               {R(f"sc.smape_nano / (1e9 * {FC_TEST_DAYS})", 6)} AS smape,
+               {R("sc.abs_err_cents * 1e0 * ts.n_naive"
+                  f" / ({FC_TEST_DAYS}e0 * ts.naive_abs)", 4)} AS mase
+        FROM scores sc CROSS JOIN trainstat ts
+        ORDER BY sc.method
+    """
+
+
+def forecast_scorecard_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE / sMAPE / MAE backtest of the three no-parameter baselines
+    on the last {FC_TEST_DAYS} days of daily revenue (see _fc_sql) —
+    the scorecard a production forecaster must beat (MASE < 1 means
+    beating the one-step naive out of sample).
+
+    Scale shape: one grouped day aggregate with EXACT integer cents;
+    lag windows over the calendar-bounded day series (constant
+    partition declared); every error reduce is an exact BIGINT sum
+    (errors in cents, sMAPE terms on the 1e-9 grid). One corpus scan,
+    O(1) output."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_fc_sql())
+
+
+QUERIES["forecast_scorecard_mase"] = forecast_scorecard_mase
+ORACLE["forecast_scorecard_mase"] = _fc_sql()

@@ -548,3 +548,106 @@ def test_pit_join_matches_python(spark):
         assert abs(got[k][1] - cents / 100) < 0.02, k
     # every order lands in exactly one version
     assert sum(v[0] for v in agg.values()) == len(orders)
+
+
+# ------------------------------------------------------------- ABC-XYZ matrix
+
+
+def test_abc_xyz_consistent_with_abc_classes(spark):
+    """The matrix's per-letter marginals must equal abc_inventory_classes
+    exactly (same cut, same rounding), every part must land in exactly
+    one cell, and XYZ must replay from integer weekly moments."""
+    from database_toolbox_spark.operators.market import (
+        XYZ_X_CV,
+        XYZ_Y_CV,
+        abc_inventory_classes,
+        abc_xyz_matrix,
+    )
+
+    cells = abc_xyz_matrix(spark, SF_DIR).collect()
+    abc = {r.abc_class: r for r in
+           abc_inventory_classes(spark, SF_DIR).collect()}
+    marg: dict[str, list] = {}
+    for c in cells:
+        m = marg.setdefault(c.abc_class, [0, 0.0])
+        m[0] += c.n_parts
+        m[1] += c.cell_revenue
+    assert set(marg) <= set(abc)
+    for letter, (n, rev) in marg.items():
+        assert n == abc[letter].n_parts, letter
+        assert abs(rev - abc[letter].class_revenue) < 0.05, letter
+
+    # XYZ replay from integer weekly demand moments
+    import math
+    rows = _fetch("""
+        SELECT l_partkey,
+               floor(datediff('day', DATE '1992-01-01', l_shipdate) / 7),
+               sum(CAST(floor(l_quantity + 0.5e0) AS BIGINT))
+        FROM lineitem GROUP BY 1, 2
+    """)
+    mom: dict[int, list] = {}
+    for pk, _, q in rows:
+        m = mom.setdefault(pk, [0, 0, 0])
+        m[0] += 1
+        m[1] += q
+        m[2] += q * q
+    xyz_count = {"X": 0, "Y": 0, "Z": 0}
+    for n, s, ss in mom.values():
+        if n < 2 or s == 0:
+            xyz_count["Z"] += 1
+            continue
+        cv = math.sqrt(max(ss - s * s / n, 0.0) / (n - 1)) / (s / n)
+        xyz_count["X" if cv <= XYZ_X_CV else
+                  "Y" if cv <= XYZ_Y_CV else "Z"] += 1
+    got_xyz = {"X": 0, "Y": 0, "Z": 0}
+    for c in cells:
+        got_xyz[c.xyz_class] += c.n_parts
+    assert got_xyz == xyz_count
+
+
+# ----------------------------------------------------------- forecast scorecard
+
+
+def test_forecast_scorecard_matches_python(spark):
+    from database_toolbox_spark.operators.stats import (
+        FC_SEASON,
+        FC_TEST_DAYS,
+        forecast_scorecard_mase,
+    )
+
+    rows = _fetch("""
+        SELECT o_orderdate,
+               sum(CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT))
+        FROM orders GROUP BY 1 ORDER BY 1
+    """)
+    y = [v for _, v in rows]
+    n = len(y)
+    split = n - FC_TEST_DAYS
+    train = y[:split]
+    naive_abs = sum(abs(train[i] - train[i - 1])
+                    for i in range(1, len(train)))
+    n_naive = len(train) - 1
+    f_mean = math.floor(sum(train) / len(train) + 0.5)
+
+    def score(fs):
+        pairs = [(y[i], f) for i, f in fs if f is not None]
+        ae = sum(abs(a - f) for a, f in pairs)
+        sm = sum(math.floor(2 * abs(a - f) / max(a + f, 1) * 1e9 + 0.5)
+                 for a, f in pairs)
+        r = lambda x, d: math.floor(x * 10**d + 0.501) / 10**d  # noqa: E731
+        return (r(ae / (100 * FC_TEST_DAYS), 2),
+                r(sm / (1e9 * FC_TEST_DAYS), 6),
+                r(ae * n_naive / (FC_TEST_DAYS * naive_abs), 4))
+
+    expected = {
+        "naive": score([(i, y[i - 1]) for i in range(split, n)]),
+        "seasonal_naive": score(
+            [(i, y[i - FC_SEASON] if i >= FC_SEASON else None)
+             for i in range(split, n)]),
+        "train_mean": score([(i, f_mean) for i in range(split, n)]),
+    }
+    got = {r.method: (r.mae, r.smape, r.mase)
+           for r in forecast_scorecard_mase(spark, SF_DIR).collect()}
+    assert got == expected
+    for r in forecast_scorecard_mase(spark, SF_DIR).collect():
+        assert r.n_test_days == FC_TEST_DAYS
