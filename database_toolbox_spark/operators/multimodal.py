@@ -865,6 +865,25 @@ def _mel_rows(arr: str) -> str:
     )
 
 
+def _dft_trig_lit(fn, arr: str) -> str:
+    """Flattened {DFT_BINS}x{DFT_N} DFT basis matrix (row k, col i at
+    k*{DFT_N}+i) as a PYTHON-COMPUTED literal array — both engines fold
+    the identical doubles, so no libm cos/sin ulp can diverge, and the
+    interpreted lambdas do zero runtime trig."""
+    import math  # noqa: PLC0415
+
+    vals = [
+        fn(2.0 * math.pi * k * i / DFT_N)
+        for k in range(DFT_BINS)
+        for i in range(DFT_N)
+    ]
+    # string-literal casts: repr() may carry its own exponent (e-17), so
+    # the usual `...e0` double-suffix idiom would not parse; the string
+    # round-trips to the identical double in both engines
+    return (f"{arr}("
+            + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals) + ")")
+
+
 def audio_mel_energies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mel filterbank energies of the leading 16-sample audio frame:
     per doc and mel band, the triangle-weighted sum of the DFT power
@@ -879,24 +898,39 @@ def audio_mel_energies(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = (f"CASE WHEN i < length(text) THEN "
            f"ascii(substr(text, CAST(i + 1 AS INT), 1)) - {AUDIO_BIAS} "
            f"ELSE 0 END")
-    trig = f"2e0 * pi() * kk * i / {DFT_N}e0"
+    # Interpreted-lambda economics (measured at sf0.1): the naive
+    # `re*re + im*im` spelling re-evaluated each 16-term trig fold twice
+    # (12.3 s); a struct accumulator + finish lambda halved the folds
+    # (5.7 s); hoisting the 16 samples ONCE per doc and replacing
+    # runtime cos/sin with the literal DFT basis matrix removes all
+    # per-bin string and trig work. Same sums in the same order.
     power = (
-        f"aggregate(sequence(0, {DFT_N - 1}), CAST(0 AS DOUBLE), "
-        f"(acc, i) -> acc + ({dev}) * cos({trig})) "
+        f"aggregate(sequence(0, {DFT_N - 1}), "
+        f"named_struct('re', CAST(0 AS DOUBLE), 'im', CAST(0 AS DOUBLE)), "
+        f"(acc, i) -> named_struct("
+        f"'re', acc.re + element_at(devs, i + 1)"
+        f" * element_at(cosm, kk * {DFT_N} + i + 1), "
+        f"'im', acc.im + element_at(devs, i + 1)"
+        f" * element_at(sinm, kk * {DFT_N} + i + 1)), "
+        f"acc -> floor((acc.re * acc.re + acc.im * acc.im) * 100e0"
+        f" + 0.501e0) / 100e0)"
     )
-    powi = (
-        f"aggregate(sequence(0, {DFT_N - 1}), CAST(0 AS DOUBLE), "
-        f"(acc, i) -> acc + ({dev}) * sin({trig})) "
-    )
+    import math  # noqa: PLC0415
+
     return spark.sql(f"""
         WITH m AS (SELECT * FROM VALUES {_mel_rows('array')} AS t(band, w)),
+        trig AS (SELECT {_dft_trig_lit(math.cos, 'array')} AS cosm,
+                        {_dft_trig_lit(math.sin, 'array')} AS sinm),
         p AS (
             SELECT doc_id,
                    transform(sequence(0, {DFT_BINS - 1}), kk ->
-                       floor((({power}) * ({power})
-                              + ({powi}) * ({powi})) * 100e0 + 0.501e0)
-                       / 100e0) AS pw
-            FROM documents
+                       {power}) AS pw
+            FROM (
+                SELECT doc_id,
+                       transform(sequence(0, {DFT_N - 1}), i ->
+                           CAST({dev} AS DOUBLE)) AS devs
+                FROM documents
+            ) d CROSS JOIN trig
         ),
         e AS (
             SELECT p.doc_id, m.band,
@@ -913,27 +947,38 @@ def audio_mel_energies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-_DUCK_MEL_TRIG = f"2e0 * pi() * kk * i / {DFT_N}e0"
+# the oracle folds devs against the SAME literal basis matrices in the
+# same index order, so the sums are bit-identical to Spark's struct fold
 _DUCK_MEL_RE = (
     f"list_aggregate(list_transform(range(0, {DFT_N}), "
-    f"i -> ({_DUCK_DFT_DEV}) * cos({_DUCK_MEL_TRIG})), 'sum')"
+    f"i -> devs[i + 1] * cosm[kk * {DFT_N} + i + 1]), 'sum')"
 )
 _DUCK_MEL_IM = (
     f"list_aggregate(list_transform(range(0, {DFT_N}), "
-    f"i -> ({_DUCK_DFT_DEV}) * sin({_DUCK_MEL_TRIG})), 'sum')"
+    f"i -> devs[i + 1] * sinm[kk * {DFT_N} + i + 1]), 'sum')"
 )
 
-QUERIES["audio_mel_energies"] = audio_mel_energies
-ORACLE["audio_mel_energies"] = f"""
+
+def _duck_mel_oracle() -> str:
+    import math  # noqa: PLC0415
+
+    return f"""
     WITH m AS (SELECT * FROM (VALUES {_mel_rows('list_value')})
                AS t(band, w)),
+    trig AS (SELECT {_dft_trig_lit(math.cos, 'list_value')} AS cosm,
+                    {_dft_trig_lit(math.sin, 'list_value')} AS sinm),
     p AS (
         SELECT doc_id,
                list_transform(range(0, {DFT_BINS}), kk ->
                    floor((({_DUCK_MEL_RE}) * ({_DUCK_MEL_RE})
                           + ({_DUCK_MEL_IM}) * ({_DUCK_MEL_IM}))
                          * 100e0 + 0.501e0) / 100e0) AS pw
-        FROM documents
+        FROM (
+            SELECT doc_id,
+                   list_transform(range(0, {DFT_N}), i ->
+                       CAST({_DUCK_DFT_DEV} AS DOUBLE)) AS devs
+            FROM documents
+        ) d CROSS JOIN trig
     ),
     e AS (
         SELECT p.doc_id, m.band,
@@ -946,6 +991,10 @@ ORACLE["audio_mel_energies"] = f"""
            {R("ln(1e0 + energy)", 4)} AS log_mel_energy
     FROM e ORDER BY doc_id, mel_band
 """
+
+
+QUERIES["audio_mel_energies"] = audio_mel_energies
+ORACLE["audio_mel_energies"] = _duck_mel_oracle()
 
 
 # --- perceptual near-dup pairs over dHash -----------------------------------
