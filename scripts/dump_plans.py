@@ -350,6 +350,26 @@ SHOWCASE = {
         "calendar-bounded daily relation; every split cost is closed-form "
         "arithmetic — no per-split rescan, no self-join."
     ),
+    "ivf_bq_ann_topk": (
+        "The full ANN ladder: the materialized (cell, w1, w2) index "
+        "routes to one IVF cell, asymmetric binary scoring scans only "
+        "that cell's code rows, the shortlist is a stats-sized "
+        "TakeOrderedAndProject, and the exact rerank equi-joins the "
+        "float store for <= shortlist rows."
+    ),
+    "audio_mel_energies": (
+        "Map-only MFCC front half: the 16 samples hoist to one array "
+        "per doc, the DFT basis is a broadcast literal matrix (zero "
+        "runtime trig in the interpreted lambdas), and the mel pooling "
+        "folds rounded powers against literal weights — no shuffle, no "
+        "UDF, no Python."
+    ),
+    "prf_expanded_search": (
+        "Two-stage BM25 with feedback expansion: both scoring stages "
+        "join ONE materialized tf relation, and BOTH ranking windows "
+        "run on TakeOrdered heads (top-100 base, top-10 final) under "
+        "declared single partitions — no corpus-fraction global sort."
+    ),
 }
 
 
