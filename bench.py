@@ -340,12 +340,26 @@ def compute_regressions(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # --runs N (round-10 verdict item 7): repeat the WHOLE headline pass N
+    # times and take the per-query MIN across all passes — inter-run
+    # contention on the shared host produces disjoint flag sets between
+    # single runs; min-across-runs adjudicates them mechanically instead
+    # of by narrative. Default 1 keeps the driver's per-round cost flat.
+    runs = 1
+    argv = sys.argv[1:]
+    if "--runs" in argv:
+        runs = max(1, int(argv[argv.index("--runs") + 1]))
 
     # Tee-free stderr capture: dup fd 2 to a temp file BEFORE the JVM
     # launches (it inherits the fd), so the emitted JSON can carry a
     # ``window_warnings`` count — any ``WindowExec: No Partition Defined``
     # in a headline plan is an unpartitioned global sort and a finding
-    # (round-9 verdict item 2). Restored before printing the JSON line.
+    # (round-9 verdict item 2). Constant-partition ``hash(k) % 1`` windows
+    # don't warn and are exempt ONLY over bounded/dimension relations —
+    # each such site carries an inline comment naming the bound, and the
+    # plan-fingerprint gate pins their shapes. Restored before printing
+    # the JSON line; try/finally so a raising query still surfaces its
+    # traceback on the real stderr (round-10 ADVICE item 1).
     import tempfile
 
     warn_f = tempfile.NamedTemporaryFile(
@@ -353,64 +367,71 @@ def main() -> None:
     )
     orig_err = os.dup(2)
     os.dup2(warn_f.fileno(), 2)
+    captured = ""
+    try:
+        spark = get_spark(app_name="dts-bench")
+        queries = all_queries()
 
-    spark = get_spark(app_name="dts-bench")
-    queries = all_queries()
+        # session warmup: JVM/codegen + parquet footers + one real
+        # scan/shuffle pass + Python-worker spin-up — one-time session
+        # costs, not query cost (measured: the first 2 timed queries
+        # otherwise run 2-4x their steady state even under min-of-3, and
+        # the first mapInPandas query pays ~15 s of worker forks)
+        from database_toolbox_spark.session import load_tables
 
-    # session warmup: JVM/codegen + parquet footers + one real scan/shuffle
-    # pass + Python-worker spin-up — one-time session costs, not query cost
-    # (measured: the first 2 timed queries otherwise run 2-4x their steady
-    # state even under min-of-3, and the first mapInPandas query pays ~15 s
-    # of worker forks)
-    from database_toolbox_spark.session import load_tables
+        for df in load_tables(spark, sf_dir).values():
+            df.limit(1).write.mode("overwrite").format("noop").save()
+        queries["pricing_summary"](spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
 
-    for df in load_tables(spark, sf_dir).values():
-        df.limit(1).write.mode("overwrite").format("noop").save()
-    queries["pricing_summary"](spark, sf_dir).write.mode("overwrite").format(
-        "noop"
-    ).save()
+        def _noop_pandas(batches):
+            yield from batches
 
-    def _noop_pandas(batches):
-        yield from batches
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        spark.range(n_parts * 4).repartition(n_parts).mapInPandas(
+            _noop_pandas, schema="id long"
+        ).write.mode("overwrite").format("noop").save()
 
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    spark.range(n_parts * 4).repartition(n_parts).mapInPandas(
-        _noop_pandas, schema="id long"
-    ).write.mode("overwrite").format("noop").save()
+        raw: dict[str, list[float]] = {n: [] for n in HEADLINE}
+        for _run in range(runs):
+            for name in HEADLINE:
+                df = queries[name](spark, sf_dir)
+                # min of 3 per pass: the shared host shows 20-40%
+                # inter-run contention swings (SCALING.md round-3 note);
+                # 2 samples were not enough to reach steady state reliably
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    df.write.mode("overwrite").format("noop").save()
+                    raw[name].append(
+                        round(time.perf_counter() - t0, 3)
+                    )
+        timings = {n: min(s) for n, s in raw.items()}
+        medians = {n: sorted(s)[len(s) // 2] for n, s in raw.items()}
+        spreads = {
+            n: round(max(s) - min(s), 3) for n, s in raw.items()
+        }
 
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    raw: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        df = queries[name](spark, sf_dir)
-        # min of 3: the shared host shows 20-40% inter-run contention
-        # swings (SCALING.md round-3 note); 2 samples were not enough to
-        # reach steady state reliably
-        samples = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(min(samples), 3)
-        medians[name] = round(sorted(samples)[1], 3)
-        spreads[name] = round(max(samples) - min(samples), 3)
-        raw[name] = [round(s, 3) for s in samples]
-
-    total = round(sum(timings.values()), 3)
-    prev = prev_timings()  # read BEFORE overwriting BENCH_DETAIL.json
-    regressions = compute_regressions(timings, spreads, medians, prev)
-
-    # drain + count unpartitioned-window warnings, restore stderr
-    os.fsync(warn_f.fileno())
-    os.dup2(orig_err, 2)
-    os.close(orig_err)
-    with open(warn_f.name) as wf:
-        window_warnings = sum(
-            line.count("No Partition Defined") for line in wf
-        )
-    os.unlink(warn_f.name)
-    warn_f.close()
+        total = round(sum(timings.values()), 3)
+        prev = prev_timings()  # read BEFORE overwriting BENCH_DETAIL.json
+        regressions = compute_regressions(timings, spreads, medians, prev)
+    finally:
+        # drain + count unpartitioned-window warnings, restore stderr on
+        # ALL paths; on error, replay the capture so the traceback and the
+        # JVM's last words reach the terminal
+        os.fsync(warn_f.fileno())
+        os.dup2(orig_err, 2)
+        os.close(orig_err)
+        with open(warn_f.name) as wf:
+            captured = wf.read()
+        os.unlink(warn_f.name)
+        warn_f.close()
+        if sys.exc_info()[0] is not None:
+            sys.stderr.write(captured)
+    window_warnings = sum(
+        line.count("No Partition Defined")
+        for line in captured.splitlines()
+    )
 
     with open(DETAIL_PATH, "w") as f:
         json.dump(
@@ -423,6 +444,7 @@ def main() -> None:
                 "query_median_sec": medians,
                 "query_spread_sec": spreads,
                 "query_samples_sec": raw,
+                "runs": runs,
                 "regressions_vs_prev_round": regressions,
                 "window_warnings": window_warnings,
             },

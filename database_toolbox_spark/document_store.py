@@ -506,11 +506,25 @@ def _persist_overlay(spark: SparkSession, collection: str) -> None:
     if not d:
         return
     real = os.path.realpath(d)
-    for forbidden in ("/root/testdata", "/root/reference"):
-        if real == forbidden or real.startswith(forbidden + os.sep):
+    # Also refuse the ACTIVE fixture tree, wherever it lives: a custom
+    # $SPARK_GRAFT_SF_DIR outside /root/testdata would otherwise collide
+    # with the fixture's <collection>.parquet FILE (rmtree no-ops on a
+    # file, then the move errors mid-write) — round-10 ADVICE item 2.
+    from database_toolbox_spark.session import DEFAULT_SF_DIR  # noqa: PLC0415
+
+    active_sf = os.path.realpath(
+        os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    )
+    forbidden_roots = ["/root/testdata", "/root/reference", active_sf]
+    for forbidden in forbidden_roots:
+        if (
+            real == forbidden
+            or real.startswith(forbidden + os.sep)
+            or forbidden.startswith(real + os.sep)
+        ):
             raise ValueError(
                 f"{DOCSTORE_PERSIST_ENV} must point at a scratch "
-                f"directory, not {forbidden}"
+                f"directory disjoint from {forbidden}"
             )
     os.makedirs(d, exist_ok=True)
     dst = os.path.join(d, f"{collection}.parquet")

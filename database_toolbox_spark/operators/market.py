@@ -207,7 +207,14 @@ _ABC_SQL = f"""
     ),
     tot AS (SELECT sum(rev) AS t FROM pr),
     ranked AS (
-        -- hash%1 partition: constant — pr is bounded by the part catalog
+        -- hash%1 partition: constant, EXEMPT from the bench window gate
+        -- only because pr is one row per PART (a dimension that grows
+        -- ~SF/1000th of the fact table, 20k rows at sf0.1 after the
+        -- grouped agg crushes lineitem). The cumulative Pareto share is
+        -- inherently a total order; at the point where |part| itself no
+        -- longer fits one task, the spelling becomes a two-pass prefix
+        -- sum (per-bucket partials + broadcast bucket offsets). The plan
+        -- fingerprint pins this shape so a silent regression is visible.
         SELECT pr.rev,
                sum(pr.rev) OVER (
                    PARTITION BY (hash(pr.l_partkey) % 1)
@@ -394,6 +401,9 @@ _ABC_XYZ_SQL = f"""
     ),
     tot AS (SELECT sum(rev) AS t FROM pr),
     ranked AS (
+        -- hash%1 constant partition: same dimension-bounded exemption
+        -- (and same 100-TB two-pass prefix-sum escape hatch) as
+        -- _ABC_SQL's ranked CTE above — pr is one row per part.
         SELECT pr.l_partkey, pr.rev,
                sum(pr.rev) OVER (
                    PARTITION BY (hash(pr.l_partkey) % 1)

@@ -19,6 +19,7 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 import os
+import sys
 from functools import lru_cache as _lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
@@ -99,29 +100,54 @@ def table_path(sf_dir: str, name: str) -> str:
 DOCSTORE_PERSIST_ENV = "SPARK_GRAFT_DOCSTORE_PERSIST"
 
 
+_shadow_warned: set[str] = set()
+
+
 def persisted_table_path(name: str) -> str | None:
     d = os.environ.get(DOCSTORE_PERSIST_ENV, "").strip()
     if d:
         p = os.path.join(d, f"{name}.parquet")
         if os.path.exists(p):
+            # Loud once per (table, persist dir): the persisted copy
+            # shadows the fixture Spark-side ONLY, so a stale scratch dir
+            # would otherwise surface as unexplained oracle mismatches
+            # (round-10 ADVICE item 3).
+            if p not in _shadow_warned:
+                _shadow_warned.add(p)
+                print(
+                    f"[database_toolbox_spark] NOTE: table {name!r} reads "
+                    f"the persisted docstore copy {p} (set by "
+                    f"{DOCSTORE_PERSIST_ENV}), shadowing the fixture "
+                    f"parquet — unset the variable or clear the scratch "
+                    f"dir for pristine reads",
+                    file=sys.stderr,
+                )
             return p
     return None
 
 
-@_lru_cache(maxsize=256)
 def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects ([PARQUET_TYPE_ILLEGAL]). Detected from the footer only."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    reader rejects ([PARQUET_TYPE_ILLEGAL]). Detected from the footer only.
 
+    Directory datasets (the docstore persist path) resolve to ONE part
+    file FIRST and the cache keys on that part file's path — Spark writes
+    fresh randomized part names on every overwrite, so a rewritten
+    persisted dataset never returns stale footer info (round-10 ADVICE
+    item 5); fixture files are immutable, so caching by path is sound."""
     if os.path.isdir(path):
-        # Spark-written dataset directory (the docstore persist path):
-        # read the footer of any one part file
         parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
         if not parts:
             return ()
         path = os.path.join(path, sorted(parts)[0])
+    return _nanos_ts_columns_cached(path)
+
+
+@_lru_cache(maxsize=256)
+def _nanos_ts_columns_cached(path: str) -> tuple[str, ...]:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     schema = pq.read_schema(path)
     return tuple(
         f.name
