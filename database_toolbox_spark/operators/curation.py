@@ -1897,3 +1897,144 @@ def _ece_oracle() -> str:
 
 QUERIES["ece_calibration_summary"] = ece_calibration_summary
 ORACLE["ece_calibration_summary"] = _ece_oracle()
+
+
+# --- DoReMi-style domain-weight update ----------------------------------------------
+# Xie et al. 2023 ("DoReMi: Optimizing Data Mixtures Speeds Up Language
+# Model Pretraining"): group-DRO reweighting — each domain's mixture
+# weight moves multiplicatively by exp(eta * excess loss), where excess
+# = proxy-model loss minus a per-domain reference floor, then the
+# weights renormalize and smooth toward uniform. This op runs one exact
+# update over the documents sources: the proxy model is the SQL
+# logistic step's post-step weights (_lgd_sql's exact-grid spelling),
+# the reference floor is each domain's OWN irreducible Bernoulli
+# entropy (the best any model can do on that domain's labels), and the
+# whole update stays on the 1e-6 integer grid so both engines agree
+# bit-for-bit. Completes the data-mixing tier next to DSIR /
+# water-filling / mix_sources (round-10 verdict item 5).
+DOREMI_ETA = 1.0     # multiplicative step size on excess loss
+DOREMI_SMOOTH = 0.2  # uniform smoothing mass
+
+
+def _doremi_sql(split, length, distinct, filt, sw: str) -> str:
+    g_cols = []
+    for j, f in enumerate(LGD_FEATURES):
+        x = "1e0" if f == "bias" else f
+        g_cols.append(
+            f"sum(CAST(floor((0.5e0 - y) * {x} * 1000000e0 + 0.5e0)"
+            f" AS BIGINT)) AS g{j}"
+        )
+    margin = " + ".join(
+        f"w.w{j} * " + ("1e0" if f == "bias" else f"f.{f}")
+        for j, f in enumerate(LGD_FEATURES)
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, source,
+                          CASE WHEN lang = 'en' THEN 1e0 ELSE 0e0 END AS y,
+                          {split} AS w
+                   FROM documents),
+        feat AS (
+            SELECT doc_id, source, y,
+                   {length}({distinct}(w)) * 1e0 / {length}(w) AS ttr,
+                   {length}({filt}(w, x -> x IN ({sw}))) * 1e0
+                       / {length}(w) AS stop_ratio,
+                   least({length}(w) / 64e0, 2e0) AS len_norm
+            FROM t
+        ),
+        agg AS (SELECT count(*) AS n, {", ".join(g_cols)} FROM feat),
+        w AS (
+            SELECT n,
+                   {", ".join(
+                       f"-{LGD_LR}e0 * g{j} / (1000000e0 * n) AS w{j}"
+                       for j in range(len(LGD_FEATURES)))}
+            FROM agg
+        ),
+        dom AS (
+            SELECT f.source, count(*) AS n_i,
+                   CAST(sum(f.y) AS BIGINT) AS pos,
+                   sum(CAST(floor(
+                       ln(1e0 + exp(-(2e0 * f.y - 1e0) * ({margin})))
+                       * 1000000e0 + 0.5e0) AS BIGINT)) AS lsum
+            FROM feat f CROSS JOIN w
+            GROUP BY f.source
+        ),
+        ref AS (
+            SELECT source, n_i,
+                   CAST(floor(lsum * 1e0 / n_i + 0.5e0) AS BIGINT)
+                       AS lbar6,
+                   CASE WHEN pos = 0 OR pos = n_i THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor(
+                            -(pos * ln(pos * 1e0 / n_i)
+                              + (n_i - pos) * ln((n_i - pos) * 1e0 / n_i))
+                            / n_i * 1000000e0 + 0.5e0) AS BIGINT)
+                   END AS href6
+            FROM dom
+        ),
+        upd AS (
+            SELECT source, n_i, lbar6, href6,
+                   greatest(CAST(0 AS BIGINT), lbar6 - href6) AS ex6,
+                   CAST(floor(exp({DOREMI_ETA}e0
+                        * greatest(CAST(0 AS BIGINT), lbar6 - href6)
+                        / 1000000e0) * 1000000e0 + 0.5e0) AS BIGINT)
+                       AS factor6
+            FROM ref
+        ),
+        tot AS (
+            SELECT sum(n_i) AS n, sum(n_i * factor6) AS z,
+                   count(*) AS k
+            FROM upd
+        )
+        SELECT u.source,
+               CAST(u.n_i AS BIGINT) AS n_docs,
+               {R("u.lbar6 / 1000000e0", 6)} AS proxy_loss,
+               {R("u.href6 / 1000000e0", 6)} AS ref_loss,
+               {R("u.ex6 / 1000000e0", 6)} AS excess_loss,
+               {R("u.n_i * 1e0 / t.n", 6)} AS old_share,
+               {R(f"(1e0 - {DOREMI_SMOOTH}e0) * u.n_i * u.factor6"
+                  f" / t.z + {DOREMI_SMOOTH}e0 / t.k", 6)} AS new_weight
+        FROM upd u CROSS JOIN tot t
+        ORDER BY u.source
+    """
+
+
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact DoReMi domain-weight update over the documents sources
+    (see _doremi_sql): per-domain proxy loss under the SQL logistic
+    step's post-step weights, excess over the domain's own Bernoulli-
+    entropy floor, multiplicative exp({DOREMI_ETA} * excess) reweighting
+    of the current corpus shares, renormalized and smoothed
+    {DOREMI_SMOOTH} toward uniform. new_weight sums to 1 and is monotone
+    in excess relative to old_share by construction — both asserted by
+    the independent Python replay in tests.
+
+    Scale shape: TWO corpus scans (the gradient aggregate, then one
+    grouped pass producing every domain's loss sum + label counts);
+    the model state is a 1-row broadcast weight vector and the update
+    itself runs on the |domains|-row relation — the group-DRO shape a
+    100 TB mixture tuner repeats per epoch."""
+    load_tables(spark, sf_dir)
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    return spark.sql(_doremi_sql(
+        "split(text, ' ')", "size", "array_distinct", "filter",
+        _sql_list(STOPWORDS),
+    ))
+
+
+def _doremi_oracle() -> str:
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    return _doremi_sql(
+        "string_split(text, ' ')", "len", "list_distinct", "list_filter",
+        _sql_list(STOPWORDS),
+    )
+
+
+QUERIES["doremi_domain_weights"] = doremi_domain_weights
+ORACLE["doremi_domain_weights"] = _doremi_oracle()

@@ -236,6 +236,112 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(run, schema=RESIZE_SCHEMA).orderBy("doc_id")
 
 
+# --- JPEG (round-11): the lossy codec of the trio ---------------------------------
+JPEG_CAP = 16          # bytes per doc -> one constant 8x8 block per byte
+JPEG_BLOCKS_X = 2      # 16-px-wide strip = 2 blocks per block row
+JPEG_Q00 = 16          # Annex-K luma DC step ("quality 50")
+JPEG_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, n_blocks int, "
+    "pixel_sum bigint, first_px int"
+)
+
+
+def jpeg_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL baseline JPEG (SOF0 +
+    Huffman + DCT, functions/jpeg.py): the document's first {JPEG_CAP}
+    bytes laid out one byte per CONSTANT 8x8 block in a 16-px-wide strip.
+    Constant blocks make the lossy decode exactly predictable (the DCT of
+    a constant block is DC-only), which is what lets the oracle recompute
+    every decoded pixel from ASCII codes without touching JPEG — while the
+    bytes still travel the full entropy-code -> dequant -> IDCT pipeline.
+    Runs per Arrow batch in mapInPandas; payloads never hit the driver."""
+    from pyspark import cloudpickle
+
+    from database_toolbox_spark.functions import jpeg as jpeg_mod
+
+    cloudpickle.register_pickle_by_value(jpeg_mod)
+    encode = jpeg_mod.encode_jpeg
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(n_parts)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def to_jpeg(text: str) -> bytes:
+            body = text.encode("utf-8")[:JPEG_CAP]
+            nb = max(1, len(body))
+            rows = -(-nb // JPEG_BLOCKS_X)
+            width = JPEG_BLOCKS_X * 8
+            buf = bytearray(width * 8 * rows)  # missing blocks stay 0
+            for k in range(len(body)):
+                br, bc = divmod(k, JPEG_BLOCKS_X)
+                v = body[k]
+                for yy in range(8):
+                    base = (br * 8 + yy) * width + bc * 8
+                    buf[base:base + 8] = bytes([v]) * 8
+            return encode(bytes(buf), width, rows * 8, channels=1)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pdf["text"].map(to_jpeg),
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def image_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec decode: JPEG payloads (jpeg_payloads) are entropy-
+    decoded, dequantized, and IDCT'd back to pixels by the pure-stdlib
+    baseline decoder, then reduced to per-image stats. The DuckDB oracle
+    recomputes every value from ASCII codes through the closed-form
+    constant-block reconstruction (2*floor((v-128)/2 + 0.5) + 128,
+    clamped — see functions/jpeg.py docstring), independent of the codec
+    end to end.
+
+    Scale shape: one mapInPandas pipeline after a repartitioned pruned
+    scan — encode and decode fuse into one task stage, payload bytes stay
+    worker-side, per-doc cost is bounded by the {JPEG_CAP}-block cap."""
+    from pyspark import cloudpickle
+
+    from database_toolbox_spark.functions import jpeg as jpeg_mod
+
+    cloudpickle.register_pickle_by_value(jpeg_mod)
+    decode = jpeg_mod.decode_jpeg
+    payloads = jpeg_payloads(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def stats(payload: bytes) -> tuple:
+            img = decode(payload)
+            px = img["pixels"]
+            return (
+                img["width"], img["height"],
+                (img["width"] // 8) * (img["height"] // 8),
+                sum(px), px[0],
+            )
+
+        for pdf in batches:
+            cols = pdf["payload"].map(stats)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": cols.map(lambda t: t[0]).astype("int32"),
+                    "height": cols.map(lambda t: t[1]).astype("int32"),
+                    "n_blocks": cols.map(lambda t: t[2]).astype("int32"),
+                    "pixel_sum": cols.map(lambda t: t[3]).astype("int64"),
+                    "first_px": cols.map(lambda t: t[4]).astype("int32"),
+                }
+            )
+
+    return payloads.mapInPandas(run, schema=JPEG_STATS_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
 HIST_SCHEMA = (
     "doc_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
 )
@@ -464,6 +570,7 @@ QUERIES = {
     "image_histogram_stats": image_histogram_stats,
     "multimodal_decode_features": multimodal_decode_features,
     "image_decode_stats": image_decode_stats,
+    "image_jpeg_stats": image_jpeg_stats,
     "image_resize_stats": image_resize_stats,
     "audio_waveform_stats": audio_waveform_stats,
     "wav_decode_stats": wav_decode_stats,
@@ -521,6 +628,38 @@ ORACLE = {
                CASE WHEN length(text) = 0 THEN 0
                     ELSE ascii(substr(text, 1, 1)) END AS first_px
         FROM documents ORDER BY doc_id
+    """,
+    # JPEG-independent recomputation: each of the first {JPEG_CAP} bytes
+    # becomes a constant 8x8 block, whose lossy round trip is the closed
+    # form 2*floor((v-128)/2 + 0.5) + 128 clamped to [0,255] (see
+    # functions/jpeg.py: DC-only quantization at q00=16); padding blocks
+    # decode to 0 and add nothing
+    "image_jpeg_stats": f"""
+        WITH c AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, least(length(text), {JPEG_CAP}) + 1),
+                       i -> ascii(substr(text, i, 1))) AS s
+            FROM documents
+        ),
+        d AS (
+            SELECT doc_id, len(s) AS n,
+                   list_transform(s, v -> greatest(0, least(255,
+                       2 * CAST(floor((v - 128) / 2e0 + 0.5) AS BIGINT)
+                       + 128))) AS dec
+            FROM c
+        )
+        SELECT doc_id,
+               {JPEG_BLOCKS_X * 8} AS width,
+               CAST(8 * ceil(greatest(n, 1) / {JPEG_BLOCKS_X}e0) AS INT)
+                   AS height,
+               CAST({JPEG_BLOCKS_X} * ceil(greatest(n, 1)
+                    / {JPEG_BLOCKS_X}e0) AS INT) AS n_blocks,
+               CAST(64 * coalesce(list_aggregate(dec, 'sum'), 0)
+                    AS BIGINT) AS pixel_sum,
+               CAST(CASE WHEN n = 0 THEN 0 ELSE dec[1] END AS INT)
+                   AS first_px
+        FROM d ORDER BY doc_id
     """,
     # strided-position recomputation of the nearest-neighbor downsample:
     # kept pixels sit at byte index yo*2*16 + xo*2 (0-based); padding is 0

@@ -2686,8 +2686,35 @@ ORACLE["bq_asym_recall_curve"] = _bq_asym_curve_sql(
 # 256-entry LUT build per query.
 
 
-def _ivf_bq_sql(idx_body: str, score: str, cos: str, cand_width: str,
-                materialized: str = "") -> str:
+def _ivf_bq_sql(idx_body: str, score: str, cos: str, cand_width: str = "",
+                rank_filter: bool = False, materialized: str = "") -> str:
+    if rank_filter:
+        # Spark spelling: LIMIT must be a plan-time constant, so the
+        # scalar-subquery width the oracle uses is spelled as a
+        # rank-filter instead — row_number + count(*) over the probe set,
+        # keep rn <= max(floor, probe_n/fraction). Zero driver actions
+        # (round-10 verdict item 6). hash%1 constant partition: EXEMPT
+        # from the bench window gate only because `scored` is the probe
+        # CELL (~corpus/{N_IVF_CELLS}, the bound scaling_sf5.py asserts
+        # stays linear in cell share), never the corpus.
+        short = f"""
+        short AS (
+            SELECT vec_id, label, s FROM (
+                SELECT vec_id, label, s,
+                       row_number() OVER (PARTITION BY (hash(vec_id) % 1)
+                           ORDER BY {R("s", 6)} DESC, vec_id) AS rn,
+                       count(*) OVER (PARTITION BY (hash(vec_id) % 1))
+                           AS probe_n
+                FROM scored
+            ) WHERE rn <= greatest({BQ_RERANK},
+                CAST(floor(probe_n / {BQ_RERANK_FRACTION}e0) AS BIGINT))
+        )"""
+    else:
+        short = f"""
+        short AS (
+            SELECT vec_id, label, s FROM scored
+            ORDER BY {R("s", 6)} DESC, vec_id LIMIT {cand_width}
+        )"""
     return f"""
         WITH idx AS {materialized} (
             {idx_body}
@@ -2706,11 +2733,7 @@ def _ivf_bq_sql(idx_body: str, score: str, cos: str, cand_width: str,
         scored AS (
             SELECT p.vec_id, p.label, {score} AS s
             FROM probe p CROSS JOIN q
-        ),
-        short AS (
-            SELECT vec_id, label, s FROM scored
-            ORDER BY {R("s", 6)} DESC, vec_id LIMIT {cand_width}
-        )
+        ),{short}
         SELECT sh.vec_id, sh.label,
                {R("sh.s", 6)} AS asym_score,
                {R(cos, 6)} AS cos_sim
@@ -2745,13 +2768,14 @@ def ivf_bq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the index — (cell, w1, w2, label), three ints + label
     per vector — is MATERIALIZED once; the query path reads ONLY the
-    probe cell's code rows (integer shifts inside codegen), TakeOrders a
-    shortlist sized from the index stats (max({BQ_RERANK},
-    probe/{BQ_RERANK_FRACTION}) — a plan-time constant, mirroring
-    bq_ann_topk's corpus-adaptive width), and re-reads just that
-    shortlist's float vectors via an equi-join. At 100 TB: centroids
-    broadcast, codes stream, floats stay cold until the final ≤shortlist
-    fetch."""
+    probe cell's code rows (integer shifts inside codegen), rank-filters
+    a shortlist sized from the probe set itself (max({BQ_RERANK},
+    probe/{BQ_RERANK_FRACTION}), spelled as row_number + count(*) windows
+    over the cell-share-bounded probe — ZERO plan-time driver actions,
+    round-10 verdict item 6; the oracle spells the same width as a
+    scalar-subquery LIMIT), and re-reads just that shortlist's float
+    vectors via an equi-join. At 100 TB: centroids broadcast, codes
+    stream, floats stay cold until the final ≤shortlist fetch."""
     from database_toolbox_spark.session import materialize  # noqa: PLC0415
 
     load_tables(spark, sf_dir)
@@ -2776,16 +2800,6 @@ def ivf_bq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings e JOIN a ON a.vec_id = e.vec_id
     """))
     idx_df.createOrReplaceTempView("ivf_bq_idx_v")
-    # guard-exempt: two bounded driver fetches on the materialized index
-    # (1-row cell lookup + 1 count) — they size the shortlist TakeOrdered
-    # constant from index stats at plan time, the bq_ann_topk pattern
-    qcell = (
-        idx_df.where(f"vec_id = {QUERY_VEC_ID}").select("cell").first()[0]
-    )
-    probe_n = idx_df.where(
-        f"cell = {qcell} AND vec_id <> {QUERY_VEC_ID}"
-    ).count()
-    width = max(BQ_RERANK, probe_n // BQ_RERANK_FRACTION)
     spark_cos = (
         "aggregate(zip_with(e.embedding, q.qv, (x, y) -> "
         "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
@@ -2805,11 +2819,26 @@ def ivf_bq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx_body="SELECT * FROM ivf_bq_idx_v",
         score=spark_score,
         cos=spark_cos,
-        cand_width=str(width),
+        rank_filter=True,
     ).format(
         qnorm2_e="aggregate(e.embedding, CAST(0 AS DOUBLE), (acc, x) -> "
                  "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
     ))
+
+
+def ivf_bq_probe_count(spark: SparkSession) -> int:
+    """Examined-candidate bound of the LAST ivf_bq_ann_topk build in this
+    session: the number of code rows in the query's IVF cell (reads the
+    materialized `ivf_bq_idx_v` view the operator registers) — the
+    quantity the composite ladder's scale claim bounds; the asymmetric
+    scan and the rank-filter shortlist both touch ONLY these rows.
+    scripts/scaling_sf5.py asserts it stays linear in cell share at 50x."""
+    return spark.sql(f"""
+        SELECT count(*) AS n FROM ivf_bq_idx_v
+        WHERE cell = (SELECT cell FROM ivf_bq_idx_v
+                      WHERE vec_id = {QUERY_VEC_ID})
+          AND vec_id <> {QUERY_VEC_ID}
+    """).collect()[0].n  # guard-exempt: bounded driver fetch (1 count row)
 
 
 QUERIES["ivf_bq_ann_topk"] = ivf_bq_ann_topk

@@ -25,14 +25,20 @@ from database_toolbox_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# The fingerprint-gated set (round-9: widened from 13 to the top-25 bench
-# queries per the round-8 verdict): every query in the idle bench's top-20
-# by median wall-clock, the round-8 rewrites worth pinning
-# (consistent_hash_reshard_audit, brier_decomposition, psi_price_drift),
-# the verdict-named coverage gaps (minhash_near_dup_pairs, ivf_ann_topk,
-# image_decode_stats, bigram_lm_scores, cdc_chunk_dedup — a streaming-twin
-# batch plan), and the flagship TPC-H trio.
-FINGERPRINT_QUERIES = (
+# Round-11 (round-10 verdict item 2): the fingerprint gate covers EVERY
+# bench headline query — FINGERPRINT_QUERIES is now bench.HEADLINE minus
+# the documented exclusions below. The hand-curated list that grew
+# 13 -> 25 -> 39 over rounds 8-10 is kept only as history in git; a
+# silently lost broadcast or a regressed join strategy in ANY headline
+# plan now fails the suite.
+FINGERPRINT_EXCLUDE: dict[str, str] = {
+    # (currently empty — all 161 headline plans fingerprint
+    # deterministically under the test-session config at sf0.001; add
+    # `name: reason` here ONLY for a plan that legitimately varies
+    # run-to-run, and say why)
+}
+
+_LEGACY_FINGERPRINT_QUERIES = (
     "consistent_hash_reshard_audit",
     "jaccard_prefix_filter_pairs",
     "brier_decomposition",
@@ -86,6 +92,17 @@ FINGERPRINT_QUERIES = (
     # is exactly what this gate exists to catch
     "ivf_bq_ann_topk",
 )
+
+
+def fingerprint_queries() -> tuple[str, ...]:
+    """bench.HEADLINE minus the documented exclusions (round-11: the gate
+    widened from the 39-query curated list to every headline plan)."""
+    import bench  # noqa: PLC0415
+
+    return tuple(
+        n for n in bench.HEADLINE if n not in FINGERPRINT_EXCLUDE
+    )
+
 
 SHOWCASE = {
     "pricing_summary": (
@@ -391,7 +408,7 @@ def write_fingerprints() -> None:
     queries = all_queries()
     fps = {
         name: plan_fingerprint(queries[name](spark, test_sf))
-        for name in FINGERPRINT_QUERIES
+        for name in fingerprint_queries()
     }
     with open(FINGERPRINT_FILE, "w") as f:
         json.dump({"sf_dir": test_sf, "fingerprints": fps}, f, indent=1,

@@ -4,7 +4,8 @@ a ~50x corpus (R=50 replicas of sf0.1) with the SAME closed-form growth
 algebra, asserting the pair/candidate counts stay linear (round-7 verdict
 item 6 — "asserted bounds at >=50x sf0.1 rows").
 
-Synthesis (documents + embeddings only; the other tables copy as-is):
+Synthesis (documents + embeddings + the orders/lineitem graph tables;
+the other tables copy as-is):
 
 - documents x50: replica r > 0 suffixes every token with `_r` — the token
   bijection preserves every within-replica Jaccard EXACTLY and makes
@@ -50,7 +51,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from database_toolbox_spark.operators import all_queries
-from database_toolbox_spark.operators.similarity import ivf_probe_count
+from database_toolbox_spark.operators.graph import ppr_frontier_counts
+from database_toolbox_spark.operators.similarity import (
+    ivf_bq_probe_count,
+    ivf_probe_count,
+)
 from database_toolbox_spark.session import TABLES, get_spark, load_tables
 
 SF_SMALL = "/root/testdata/sf0.1"
@@ -95,7 +100,28 @@ SUSPECTS = [
     # the float query against the same code bytes (numpy prototype at
     # 50x: 32-bit 0.37 sym -> 0.63 asym, 64-bit 0.75 -> 0.95).
     ("bq_asym_recall_curve", "asymfloor"),
+    # round-11 (round-10 verdict item 1a): the composite IVF->asym-binary
+    # ->exact-rerank ladder gets its own probe + quality row. ivfbq =
+    # top-k row count invariant AND the probe-cell code-row count
+    # (similarity.ivf_bq_probe_count — the ONLY rows the asym scan and
+    # the rank-filter shortlist touch) within 2x of linear AND the mean
+    # exact cosine of the returned top-k within EVAL_DROP of sf0.1's
+    # (abs floor IVFBQ_COS_FLOOR) — replica 0 keeps the original ids and
+    # centroids, so the true in-cell neighbors are unchanged and
+    # sign-flip interlopers are near-orthogonal noise the rerank must
+    # reject.
+    ("ivf_bq_ann_topk", "ivfbq"),
+    # round-11 (round-10 verdict item 1b): personalized PageRank's
+    # frontier-sparsity claim, MEASURED. The 50x graph replicas (orders +
+    # lineitem with keys shifted by r*SHIFT) are 50 disjoint copies of
+    # the supplier<->customer graph; the seed (min node 'c0') stays in
+    # replica 0, so the walk cannot leave it. frontier = per-iteration
+    # rank-vector node counts (graph.ppr_frontier_counts) IDENTICAL to
+    # sf0.1's — touched nodes track the seed's reach while the corpus is
+    # 50x — AND the top-20 row count invariant.
+    ("personalized_pagerank", "frontier"),
 ]
+IVFBQ_COS_FLOOR = 0.3
 ASYM32_FLOOR = 0.5
 
 # evalfloor: mean-metric column per query, max allowed drop vs sf0.1, and
@@ -176,6 +202,33 @@ def synthesize() -> None:
         f"{BIG}/embeddings.parquet",
     )
 
+    # 50x graph replicas for the PPR frontier row: orders + lineitem with
+    # the three graph keys shifted by r*SHIFT — 50 DISJOINT copies of the
+    # supplier<->customer graph (all other columns verbatim). Replica 0
+    # keeps the original keys, so the seed ('c0' — every replicated key
+    # starts with digit 1..4 and sorts after it) and its component are
+    # unchanged.
+    con.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (o_orderkey + rr.r * {SHIFT} AS o_orderkey,
+                            o_custkey + rr.r * {SHIFT} AS o_custkey)
+          FROM read_parquet('{SF_SMALL}/orders.parquet')
+          CROSS JOIN {rep}
+        ) TO '{BIG}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (l_orderkey + rr.r * {SHIFT} AS l_orderkey,
+                            l_suppkey + rr.r * {SHIFT} AS l_suppkey)
+          FROM read_parquet('{SF_SMALL}/lineitem.parquet')
+          CROSS JOIN {rep}
+        ) TO '{BIG}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+
     for t in TABLES:
         dst = f"{BIG}/{t}.parquet"
         if not os.path.exists(dst):
@@ -211,6 +264,17 @@ def measure(spark, queries, sf_dir):
                 int(b): round(sum(v) / len(v), 4)
                 for b, v in sorted(by_bits.items())
             }
+        elif mode == "ivfbq":
+            collected = df.collect()
+            out[name] = {"sec": round(best, 3), "rows": len(collected)}
+            out[name]["mean_metric"] = round(
+                sum(r.cos_sim for r in collected)
+                / max(len(collected), 1), 4
+            )
+            out[name]["probe"] = ivf_bq_probe_count(spark)
+        elif mode == "frontier":
+            out[name] = {"sec": round(best, 3), "rows": df.count()}
+            out[name]["frontier"] = ppr_frontier_counts(spark, sf_dir)
         else:
             out[name] = {"sec": round(best, 3), "rows": df.count()}
         if mode == "probe":
@@ -298,6 +362,43 @@ def main() -> int:
                     f"{name}: 32-bit asymmetric mean recall "
                     f"{b['level_means'][32]} below {ASYM32_FLOOR} at {R}x"
                 )
+        elif mode == "ivfbq":
+            rows_out[name]["probe_small"] = s["probe"]
+            rows_out[name]["probe_big"] = b["probe"]
+            rows_out[name]["mean_small"] = s["mean_metric"]
+            rows_out[name]["mean_big"] = b["mean_metric"]
+            if b["rows"] != s["rows"]:
+                failures.append(
+                    f"{name}: top-k row count changed "
+                    f"{s['rows']} -> {b['rows']}"
+                )
+            if b["probe"] > 2 * R * s["probe"] + 20:
+                failures.append(
+                    f"{name}: probe-cell code rows {b['probe']} exceed "
+                    f"linear headroom (2 * {R} * {s['probe']} + 20)"
+                )
+            floor = max(IVFBQ_COS_FLOOR, s["mean_metric"] - EVAL_DROP)
+            if b["mean_metric"] < floor:
+                failures.append(
+                    f"{name}: mean exact cosine of the top-k fell to "
+                    f"{b['mean_metric']} at {R}x (floor {floor}: sf0.1 "
+                    f"mean {s['mean_metric']} - {EVAL_DROP}, abs "
+                    f"{IVFBQ_COS_FLOOR})"
+                )
+        elif mode == "frontier":
+            rows_out[name]["frontier_small"] = s["frontier"]
+            rows_out[name]["frontier_big"] = b["frontier"]
+            if b["rows"] != s["rows"]:
+                failures.append(
+                    f"{name}: top-20 row count changed "
+                    f"{s['rows']} -> {b['rows']}"
+                )
+            if b["frontier"] != s["frontier"]:
+                failures.append(
+                    f"{name}: per-iteration frontier counts changed "
+                    f"{s['frontier']} -> {b['frontier']} — the rank "
+                    f"vector touched nodes outside the seed's reach"
+                )
         elif mode == "report50":
             want = (s["rows"] if REPORT50_ROWS[name] == "fixed"
                     else R * s["rows"])
@@ -346,15 +447,29 @@ def _update_scaling_md(rows_out, failures) -> None:
         "of sf0.1's (abs floor 0.5) — the ANN QUALITY assertion at scale;",
         "report50 = output shape asserted (top-K fixed / per-doc exactly",
         "50x) AND time ratio <= 50",
-        "(the linear envelope for the corpus-tracking report ops).",
+        "(the linear envelope for the corpus-tracking report ops);",
+        "ivfbq = top-k invariant AND probe-cell code rows within 2x of",
+        "linear AND mean exact top-k cosine within 0.15 of sf0.1's (abs",
+        "floor 0.3) — the composite IVF->asym-binary->rerank ladder's",
+        "probe + quality row; frontier = top-20 invariant AND the PPR",
+        "rank vector's per-iteration node counts IDENTICAL under 50",
+        "disjoint graph replicas (orders/lineitem keys shifted) — the",
+        "frontier-sparsity claim measured, not narrated.",
         "",
         "| query | mode | sf0.1 s | sf~5 s | time ratio | sf0.1 rows |"
         " sf~5 rows | probe/mean small | probe/mean big |",
         "|---|---|---|---|---|---|---|---|---|",
     ]
     for name, r in rows_out.items():
-        aux_s = r.get("probe_small", r.get("mean_small", ""))
-        aux_b = r.get("probe_big", r.get("mean_big", ""))
+        if r["mode"] == "ivfbq":
+            aux_s = f"probe={r['probe_small']} cos={r['mean_small']}"
+            aux_b = f"probe={r['probe_big']} cos={r['mean_big']}"
+        elif r["mode"] == "frontier":
+            aux_s = "frontier=" + "/".join(map(str, r["frontier_small"]))
+            aux_b = "frontier=" + "/".join(map(str, r["frontier_big"]))
+        else:
+            aux_s = r.get("probe_small", r.get("mean_small", ""))
+            aux_b = r.get("probe_big", r.get("mean_big", ""))
         lines.append(
             f"| {name} | {r['mode']} | {r['sf0.1_sec']} | {r['sf5_sec']} |"
             f" {r['time_ratio']} | {r['sf0.1_rows']} | {r['sf5_rows']} |"
