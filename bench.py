@@ -240,6 +240,13 @@ HEADLINE = [
     "point_in_time_dim_join",
     "abc_xyz_matrix",
     "forecast_scorecard_mase",
+    # round-11 tranche: the lossy image codec (baseline JPEG through the
+    # real entropy-decode + dequant + IDCT pipeline), the SentencePiece-
+    # style unigram-LM tokenizer EM step, and the DoReMi group-DRO
+    # data-mixture update
+    "image_jpeg_stats",
+    "unigram_lm_em_step",
+    "doremi_domain_weights",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

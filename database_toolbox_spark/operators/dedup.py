@@ -2124,3 +2124,91 @@ def _planner_oracle() -> str:
 
 QUERIES["lsh_banding_planner"] = lsh_banding_planner
 ORACLE["lsh_banding_planner"] = _planner_oracle()
+
+
+# --- train/eval n-gram decontamination ----------------------------------------------
+# The benchmark-leakage screen every pretraining pipeline runs before
+# training (GPT-3 appendix C / PaLM / Llama use 8-13-gram overlap; the
+# fixture corpus is short synthetic text, so the op uses word 4-grams —
+# the n is a named constant, the shape is identical): a training
+# document is contaminated if it shares at least one distinct word
+# n-gram with ANY eval-set document. Eval set = the 'src19' source
+# slice, standing in for a held-out benchmark.
+DECON_N = 4
+DECON_EVAL_SOURCE = "src19"
+DECON_TOP = 100
+
+
+def _decon_sql(grams, alen: str) -> str:
+    n = DECON_N
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, source, {{split}} AS w FROM documents
+        ),
+        tr AS (
+            SELECT doc_id, source, {grams}
+            FROM toks WHERE {alen}(w) >= {n}
+              AND source <> '{DECON_EVAL_SOURCE}'
+        ),
+        ev AS (
+            SELECT doc_id AS eval_id, {grams}
+            FROM toks WHERE {alen}(w) >= {n}
+              AND source = '{DECON_EVAL_SOURCE}'
+        ),
+        hit AS (
+            SELECT t.doc_id, t.source,
+                   count(DISTINCT t.g) AS n_hit,
+                   count(DISTINCT e.eval_id) AS n_eval_docs
+            FROM tr t JOIN ev e ON t.g = e.g
+            GROUP BY t.doc_id, t.source
+        ),
+        tot AS (
+            SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id
+        )
+        SELECT h.doc_id, h.source,
+               CAST(h.n_hit AS BIGINT) AS n_hit,
+               CAST(h.n_eval_docs AS BIGINT) AS n_eval_docs,
+               CAST(t.n_grams AS BIGINT) AS n_grams,
+               {R("h.n_hit * 1e0 / t.n_grams", 6)} AS contaminated_frac
+        FROM hit h JOIN tot t ON h.doc_id = t.doc_id
+        ORDER BY h.n_hit DESC, h.doc_id
+        LIMIT {DECON_TOP}
+    """
+
+
+def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{DECON_TOP} contaminated training documents: training docs
+    (source <> '{DECON_EVAL_SOURCE}') sharing distinct word {DECON_N}-grams
+    with the eval slice (source = '{DECON_EVAL_SOURCE}'), with the shared-
+    gram count, the number of eval docs matched, and the contaminated
+    fraction of the doc's distinct grams.
+
+    Scale shape: THE decontamination join — the eval side is a benchmark
+    (tiny, broadcast after its distinct-gram agg); the training corpus is
+    scanned ONCE into distinct per-doc grams and equi-joins the broadcast
+    eval grams (never gram x gram); the per-doc totals reuse the same
+    exploded relation; the report is TakeOrdered top-{DECON_TOP}. At
+    100 TB the cost is one corpus scan + a broadcast hash join."""
+    load_tables(spark, sf_dir)
+    parts = ", ".join(f"element_at(w, i + {j})" for j in range(DECON_N))
+    grams = (
+        f"explode(array_distinct(transform("
+        f"sequence(1, size(w) - {DECON_N - 1}), "
+        f"i -> concat_ws('_', {parts})))) AS g"
+    )
+    return spark.sql(
+        _decon_sql(grams, "size").format(split="split(text, ' ')")
+    )
+
+
+def _decon_oracle() -> str:
+    parts = "||'_'||".join(f"w[i + {j}]" for j in range(DECON_N))
+    grams = (
+        f"unnest(list_distinct(list_transform("
+        f"range(1, len(w) - {DECON_N - 2}), i -> {parts}))) AS g"
+    )
+    return _decon_sql(grams, "len").format(split="string_split(text, ' ')")
+
+
+QUERIES["ngram_decontamination"] = ngram_decontamination
+ORACLE["ngram_decontamination"] = _decon_oracle()

@@ -387,6 +387,25 @@ SHOWCASE = {
         "run on TakeOrdered heads (top-100 base, top-10 final) under "
         "declared single partitions — no corpus-fraction global sort."
     ),
+    "image_jpeg_stats": (
+        "Real lossy-codec path: baseline JPEG encode and decode "
+        "(Huffman + dequant + IDCT, stdlib) fuse into one mapInPandas "
+        "task pipeline after the repartitioned pruned scan — payload "
+        "bytes never hit the driver, per-doc cost capped at 16 blocks."
+    ),
+    "unigram_lm_em_step": (
+        "Unigram-LM tokenizer EM step: one corpus scan builds the "
+        "Heaps-bounded distinct-word table; the Viterbi E-step "
+        "enumerates the <=128-segmentation cut-mask lattice per word "
+        "with a word-PARTITIONED exact-integer argmin window; the "
+        "M-step is a grouped re-estimation. Corpus touched once."
+    ),
+    "doremi_domain_weights": (
+        "DoReMi group-DRO mixture update: two corpus scans (gradient "
+        "aggregate, per-domain loss sums), the proxy weights travel as "
+        "a 1-row broadcast, and the multiplicative update runs on the "
+        "|domains|-row relation — all exact 1e-6-grid integers."
+    ),
 }
 
 

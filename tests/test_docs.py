@@ -31,6 +31,9 @@ def test_scaling_md_keeps_both_growth_studies():
     sf5 = text.index("## sf0.1 -> sf~5")
     assert "| char_entropy_scores |" in text[sf1:sf5]
     assert "| ivf_ann_topk |" in text[sf5:]
+    # round-11: the two round-10-verdict scale claims, now measured
+    assert "| ivf_bq_ann_topk | ivfbq |" in text[sf5:]
+    assert "| personalized_pagerank | frontier |" in text[sf5:]
 
 
 def test_replace_section_is_section_bounded(tmp_path):
