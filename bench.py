@@ -247,6 +247,7 @@ HEADLINE = [
     "image_jpeg_stats",
     "unigram_lm_em_step",
     "doremi_domain_weights",
+    "ngram_decontamination",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

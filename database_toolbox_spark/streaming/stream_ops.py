@@ -1324,3 +1324,125 @@ def stream_count_min(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming train/eval decontamination ------------------------------------------
+
+DOCS_SRC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def read_docs_source_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """(doc_id, source, text) documents as a file-source stream — the
+    ingest shape of the decontamination twin (the near-dup stream's
+    2-column reader predates the source column)."""
+    return (
+        spark.readStream.schema(DOCS_SRC_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+
+
+def decon_eval_grams(docs: DataFrame) -> DataFrame:
+    """(eval_id, g) distinct word n-grams of the eval slice — the static
+    benchmark-gram artifact the streaming screen probes. Built once from
+    a STATIC documents DataFrame; in production this is the precomputed
+    benchmark fingerprint file every ingest worker broadcasts."""
+    from database_toolbox_spark.operators.dedup import (  # noqa: PLC0415
+        DECON_EVAL_SOURCE,
+        DECON_N,
+    )
+
+    parts = ", ".join(f"element_at(w, i + {j})" for j in range(DECON_N))
+    return (
+        docs.where(F.col("source") == DECON_EVAL_SOURCE)
+        .selectExpr("doc_id AS eval_id", "split(text, ' ') AS w")
+        .where(f"size(w) >= {DECON_N}")
+        .selectExpr(
+            "eval_id",
+            f"explode(array_distinct(transform(sequence(1, size(w) -"
+            f" {DECON_N - 1}), i -> concat_ws('_', {parts})))) AS g",
+        )
+    )
+
+
+def stream_decontamination(
+    docs: DataFrame, eval_grams: DataFrame, flags_dir: str,
+    checkpoint_dir: str,
+):
+    """Ingest-time benchmark-leakage screen — the streaming twin of
+    operators/dedup.ngram_decontamination: each micro-batch of training
+    documents is exploded into distinct word n-grams and probed against
+    the STATIC eval-gram relation; contaminated docs land in the flags
+    sink with the same (n_hit, n_eval_docs, n_grams, contaminated_frac)
+    columns the batch query reports.
+
+    Unlike the near-dup twin this screen needs NO cross-batch state:
+    the eval grams are a fixed broadcast dimension, each arriving doc is
+    judged on its own, and the per-epoch `batch_id=<n>` overwrite makes
+    replays idempotent. Scale shape: the same broadcast equi-join as the
+    batch op, applied per micro-batch — per-epoch cost is O(batch), the
+    eval side is benchmark-sized forever."""
+    from database_toolbox_spark.operators._oracle import R  # noqa: PLC0415
+    from database_toolbox_spark.operators.dedup import (  # noqa: PLC0415
+        DECON_EVAL_SOURCE,
+        DECON_N,
+    )
+
+    parts = ", ".join(f"element_at(w, i + {j})" for j in range(DECON_N))
+    ev = eval_grams
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        grams = (
+            batch_df.where(F.col("source") != DECON_EVAL_SOURCE)
+            .selectExpr("doc_id", "source", "split(text, ' ') AS w")
+            .where(f"size(w) >= {DECON_N}")
+            .selectExpr(
+                "doc_id", "source",
+                f"explode(array_distinct(transform(sequence(1, size(w) -"
+                f" {DECON_N - 1}), i -> concat_ws('_', {parts})))) AS g",
+            )
+        )
+        tot = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+        hit = (
+            grams.join(F.broadcast(ev), "g")
+            .groupBy("doc_id", "source")
+            .agg(
+                F.countDistinct("g").alias("n_hit"),
+                F.countDistinct("eval_id").alias("n_eval_docs"),
+            )
+        )
+        flags = hit.join(tot, "doc_id").selectExpr(
+            "doc_id", "source",
+            "CAST(n_hit AS BIGINT) AS n_hit",
+            "CAST(n_eval_docs AS BIGINT) AS n_eval_docs",
+            "CAST(n_grams AS BIGINT) AS n_grams",
+            f"{R('n_hit * 1e0 / n_grams', 6)} AS contaminated_frac",
+        )
+        flags.coalesce(1).write.mode("overwrite").parquet(
+            f"{flags_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        docs.writeStream.foreachBatch(probe)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_decon_flags(spark: SparkSession, flags_dir: str) -> DataFrame:
+    """All contamination flags across epochs (each doc arrives once, so
+    rows are already unique)."""
+    return (
+        spark.read.option("basePath", flags_dir)
+        .parquet(f"{flags_dir}/batch_id=*")
+        .select("doc_id", "source", "n_hit", "n_eval_docs", "n_grams",
+                "contaminated_frac")
+    )

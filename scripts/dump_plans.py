@@ -406,6 +406,12 @@ SHOWCASE = {
         "a 1-row broadcast, and the multiplicative update runs on the "
         "|domains|-row relation — all exact 1e-6-grid integers."
     ),
+    "ngram_decontamination": (
+        "Benchmark-leakage screen: the eval slice's distinct n-grams "
+        "aggregate small and BROADCAST into an equi-join against the "
+        "once-scanned training grams (never gram x gram); the report "
+        "is TakeOrdered top-100."
+    ),
 }
 
 

@@ -928,3 +928,57 @@ def test_stream_count_min_matches_batch_cells(spark, stream):
         if cms[r, b]
     }
     assert got == expected
+
+
+def test_stream_decontamination_matches_batch(spark, tmp_path):
+    """The ingest-time leakage screen over two micro-batches must flag
+    exactly the docs the batch operator flags, with identical counts and
+    fractions — the static eval-gram broadcast makes every doc's verdict
+    independent of arrival order."""
+    from database_toolbox_spark.operators.dedup import (
+        DECON_EVAL_SOURCE,
+        ngram_decontamination,
+    )
+    from database_toolbox_spark.streaming import (
+        decon_eval_grams,
+        read_decon_flags,
+        read_docs_source_stream,
+        stream_decontamination,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    n = docs.count()
+    src = tmp_path / "docs_src"
+    docs.where(f"doc_id < {n // 2}").coalesce(1).write.parquet(
+        str(src / "slice=0")
+    )
+    docs.where(f"doc_id >= {n // 2}").coalesce(1).write.parquet(
+        str(src / "slice=1")
+    )
+    ev = decon_eval_grams(docs)
+    assert ev.count() > 0
+
+    q = stream_decontamination(
+        read_docs_source_stream(spark, f"{src}/slice=*"),
+        eval_grams=ev,
+        flags_dir=str(tmp_path / "flags"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(120)
+
+    streamed = {
+        (r.doc_id, r.source, r.n_hit, r.n_eval_docs, r.n_grams,
+         r.contaminated_frac)
+        for r in read_decon_flags(spark, str(tmp_path / "flags")).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in ngram_decontamination(spark, sf_dir).collect()
+    }
+    assert batch, "fixture must contain contaminated docs"
+    assert streamed == batch
+    # and no eval doc was ever flagged as training
+    assert not any(s == DECON_EVAL_SOURCE for _d, s, *_rest in streamed)
