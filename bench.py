@@ -248,6 +248,13 @@ HEADLINE = [
     "unigram_lm_em_step",
     "doremi_domain_weights",
     "ngram_decontamination",
+    # round-11 second tranche: the matryoshka prefix-dim sizing curve,
+    # DPR-style hard-negative mining, chance-corrected filter agreement,
+    # and per-source split-conformal calibration of the quality model
+    "mrl_dim_recall_curve",
+    "hard_negative_mining",
+    "quality_rater_kappa",
+    "mondrian_conformal_coverage",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

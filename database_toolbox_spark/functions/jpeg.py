@@ -131,41 +131,66 @@ def _round_half_up_eps(x: float) -> int:
 
 
 def fdct_block(block: list[float]) -> list[float]:
-    """2-D DCT-II of one level-shifted 8x8 block (row-major, floats)."""
+    """2-D DCT-II of one level-shifted 8x8 block (row-major, floats).
+    Inner products are unrolled — this is the per-block hot loop of the
+    pure-Python encoder (no numpy by design; see module docstring)."""
+    cos = _COS
     tmp = [0.0] * 64
     for y in range(8):  # rows
+        b = y * 8
+        r0, r1, r2, r3, r4, r5, r6, r7 = block[b:b + 8]
         for u in range(8):
-            s = 0.0
-            for x in range(8):
-                s += block[y * 8 + x] * _COS[u][x]
-            tmp[y * 8 + u] = s
+            c = cos[u]
+            tmp[b + u] = (
+                r0 * c[0] + r1 * c[1] + r2 * c[2] + r3 * c[3]
+                + r4 * c[4] + r5 * c[5] + r6 * c[6] + r7 * c[7]
+            )
     out = [0.0] * 64
     for u in range(8):  # columns
+        t0, t1, t2, t3, t4, t5, t6, t7 = tmp[u::8]
+        cu = 0.25 * _C[u]
         for v in range(8):
-            s = 0.0
-            for y in range(8):
-                s += tmp[y * 8 + u] * _COS[v][y]
-            out[v * 8 + u] = 0.25 * _C[u] * _C[v] * s
+            c = cos[v]
+            out[v * 8 + u] = cu * _C[v] * (
+                t0 * c[0] + t1 * c[1] + t2 * c[2] + t3 * c[3]
+                + t4 * c[4] + t5 * c[5] + t6 * c[6] + t7 * c[7]
+            )
     return out
 
 
 def idct_block(coefs: list[float]) -> list[float]:
-    """2-D DCT-III (inverse) of one dequantized 8x8 block."""
+    """2-D DCT-III (inverse) of one dequantized 8x8 block. Zero
+    coefficient rows are skipped — after quantization most AC rows ARE
+    zero (a DC-only block touches 1/8 of the work), the standard sparse
+    IDCT every production decoder implements. Bit-identical to the dense
+    loop: skipped terms contribute exactly 0.0 to the float sums."""
+    cos = _COS
     tmp = [0.0] * 64
+    live = []
     for v in range(8):  # rows of coefs -> spatial y via columns later
+        b = v * 8
+        row = coefs[b:b + 8]
+        if row == _ZROW:
+            continue
+        live.append(v)
         for x in range(8):
             s = 0.0
             for u in range(8):
-                s += _C[u] * coefs[v * 8 + u] * _COS[u][x]
-            tmp[v * 8 + x] = s
+                c = row[u]
+                if c:
+                    s += _C[u] * c * cos[u][x]
+            tmp[b + x] = s
     out = [0.0] * 64
     for x in range(8):
         for y in range(8):
             s = 0.0
-            for v in range(8):
-                s += _C[v] * tmp[v * 8 + x] * _COS[v][y]
+            for v in live:
+                s += _C[v] * tmp[v * 8 + x] * cos[v][y]
             out[y * 8 + x] = 0.25 * s
     return out
+
+
+_ZROW = [0.0] * 8
 
 
 class _BitWriter:

@@ -237,7 +237,7 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- JPEG (round-11): the lossy codec of the trio ---------------------------------
-JPEG_CAP = 16          # bytes per doc -> one constant 8x8 block per byte
+JPEG_CAP = 8           # bytes per doc -> one constant 8x8 block per byte
 JPEG_BLOCKS_X = 2      # 16-px-wide strip = 2 blocks per block row
 JPEG_Q00 = 16          # Annex-K luma DC step ("quality 50")
 JPEG_STATS_SCHEMA = (

@@ -2950,3 +2950,188 @@ ORACLE["ivf_rebalance_advisor"] = _ivf_rebalance_sql(
         ) t WHERE rn = 1""",
     materialized="MATERIALIZED",
 )
+
+
+# --- matryoshka prefix-dimension recall curve ---------------------------------------
+# Kusupati et al. 2022 ("Matryoshka Representation Learning"): nested
+# prefixes of one embedding serve as their own lower-dim embeddings, and
+# the operating question at 100 TB is the same as for binary codes —
+# how many dims can the FIRST-pass scan drop before recall collapses.
+# This curve measures recall@{_RECALL_K} of prefix-dim cosine ranking
+# against the exact full-dim truth, per query and prefix width: the
+# sizing table for a truncate-then-rerank ladder (scan d dims, rerank
+# survivors at full width), next to bq_bits_recall_curve's bit ladder.
+MRL_DIMS = (8, 16, 32)
+
+
+def _mrl_sql(dims_rel: str, qnorm2: str, cos: str, pcos: str,
+             aslice) -> str:
+    return f"""
+        WITH dims AS ({dims_rel}),
+        qs AS (
+            SELECT vec_id AS qid, embedding AS qv, {qnorm2} AS qnorm2
+            FROM embeddings WHERE vec_id < {N_KNN_QUERIES}
+        ),
+        exact AS (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (PARTITION BY q.qid
+                       ORDER BY {R(cos, 6)} DESC, e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN qs q
+            WHERE e.vec_id <> q.qid
+        ),
+        truth AS (SELECT qid, vec_id FROM exact WHERE rn <= {_RECALL_K}),
+        pref AS (
+            SELECT dm.d, q.qid, e.vec_id,
+                   row_number() OVER (PARTITION BY dm.d, q.qid
+                       ORDER BY {R(pcos, 6)} DESC, e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN qs q CROSS JOIN dims dm
+            WHERE e.vec_id <> q.qid
+        ),
+        approx AS (
+            SELECT d, qid, vec_id FROM pref WHERE rn <= {_RECALL_K}
+        ),
+        hits AS (
+            SELECT dm.d, t.qid, count(a.vec_id) AS n_hit
+            FROM truth t CROSS JOIN dims dm
+            LEFT JOIN approx a
+              ON a.d = dm.d AND a.qid = t.qid AND a.vec_id = t.vec_id
+            GROUP BY dm.d, t.qid
+        )
+        SELECT CAST(d AS INT) AS n_dims, qid,
+               CAST(n_hit AS BIGINT) AS n_hits,
+               {R(f"n_hit * 1e0 / {_RECALL_K}", 4)} AS recall_at_10
+        FROM hits ORDER BY n_dims, qid
+    """
+
+
+def mrl_dim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_RECALL_K} of prefix-dimension cosine ranking (first d of
+    64 dims, d in {MRL_DIMS}) against the exact full-dim top-{_RECALL_K},
+    per query — the matryoshka sizing curve: pick the narrowest first-
+    pass width whose recall clears the rerank budget.
+
+    Scale shape: both arms are panel-bounded corpus scans (fixed
+    {N_KNN_QUERIES}-query panel, {len(MRL_DIMS)} widths), every ranking
+    window PARTITIONed by (width, query); the prefix dot products slice
+    arrays inside codegen — no UDF, no pairwise corpus work."""
+    load_tables(spark, sf_dir)
+
+    def aslice(arr: str, d: str) -> str:
+        return f"slice({arr}, 1, {d})"
+
+    def dot(a: str, b: str) -> str:
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+                f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+    def norm2(a: str) -> str:
+        return (f"aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> "
+                f"acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+
+    cos = (f"{dot('e.embedding', 'q.qv')} / "
+           f"sqrt(q.qnorm2 * {norm2('e.embedding')})")
+    ep, qp = aslice("e.embedding", "dm.d"), aslice("q.qv", "dm.d")
+    pcos = f"{dot(ep, qp)} / sqrt({norm2(ep)} * {norm2(qp)})"
+    return spark.sql(_mrl_sql(
+        dims_rel="SELECT explode(array"
+                 + str(MRL_DIMS) + ") AS d",
+        qnorm2=norm2("embedding"),
+        cos=cos,
+        pcos=pcos,
+        aslice=aslice,
+    ))
+
+
+def _mrl_oracle() -> str:
+    def aslice(arr: str, d: str) -> str:
+        return f"list_slice({arr}, 1, {d})"
+
+    def dot(a: str, b: str) -> str:
+        return (f"list_aggregate(list_transform(range(1, len({a}) + 1), "
+                f"i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE))"
+                f", 'sum')")
+
+    def norm2(a: str) -> str:
+        return (f"list_aggregate(list_transform({a}, x -> "
+                f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')")
+
+    cos = (f"{dot('e.embedding', 'q.qv')} / "
+           f"sqrt(q.qnorm2 * {norm2('e.embedding')})")
+    ep, qp = aslice("e.embedding", "dm.d"), aslice("q.qv", "dm.d")
+    pcos = f"{dot(ep, qp)} / sqrt({norm2(ep)} * {norm2(qp)})"
+    return _mrl_sql(
+        dims_rel="SELECT unnest(["
+                 + ", ".join(str(d) for d in MRL_DIMS) + "]) AS d",
+        qnorm2=norm2("embedding"),
+        cos=cos,
+        pcos=pcos,
+        aslice=aslice,
+    )
+
+
+QUERIES["mrl_dim_recall_curve"] = mrl_dim_recall_curve
+ORACLE["mrl_dim_recall_curve"] = _mrl_oracle()
+
+
+# --- hard-negative mining ------------------------------------------------------------
+# Contrastive-training data generation (the retrieval-model training
+# loop's data op): for each query in the panel, the top-{HN_K} most
+# cosine-similar corpus vectors with a DIFFERENT label — the "hard"
+# negatives that actually move an embedding model, vs easy random ones
+# (Karpukhin et al. 2020, DPR, §3.2 in-batch + hard negatives).
+HN_K = 5
+
+
+def _hn_mine_sql(qnorm2: str, cos: str) -> str:
+    return f"""
+        WITH qs AS (
+            SELECT vec_id AS qid, label AS qlabel, embedding AS qv,
+                   {qnorm2} AS qnorm2
+            FROM embeddings WHERE vec_id < {N_KNN_QUERIES}
+        ),
+        ranked AS (
+            SELECT q.qid, q.qlabel, e.vec_id, e.label,
+                   {R(cos, 6)} AS cos_sim,
+                   row_number() OVER (PARTITION BY q.qid
+                       ORDER BY {R(cos, 6)} DESC, e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN qs q
+            WHERE e.vec_id <> q.qid AND e.label <> q.qlabel
+        )
+        SELECT qid, CAST(qlabel AS INT) AS qlabel, vec_id,
+               CAST(label AS INT) AS neg_label, cos_sim,
+               CAST(rn AS INT) AS rnk
+        FROM ranked WHERE rn <= {HN_K}
+        ORDER BY qid, rnk
+    """
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{HN_K} hard negatives per panel query: the most cosine-similar
+    vectors carrying a DIFFERENT label, with similarity and rank — the
+    contrastive-pair generator for retrieval-model training.
+
+    Scale shape: one corpus scan against the fixed {N_KNN_QUERIES}-query
+    broadcast panel; the label filter prunes before ranking and the
+    window PARTITIONs by query. At 100 TB this is the per-query-linear
+    mining pass DPR-style training runs per epoch (in production the
+    scan arm is replaced by the ANN ladder above — same contract)."""
+    load_tables(spark, sf_dir)
+    spark_cos = (
+        "aggregate(zip_with(e.embedding, q.qv, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x) / sqrt(q.qnorm2 * "
+        "aggregate(e.embedding, CAST(0 AS DOUBLE), (acc, x) -> "
+        "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    return spark.sql(_hn_mine_sql(
+        qnorm2="aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> "
+               "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))",
+        cos=spark_cos,
+    ))
+
+
+QUERIES["hard_negative_mining"] = hard_negative_mining
+ORACLE["hard_negative_mining"] = _hn_mine_sql(
+    qnorm2=_DUCK_NORM2,
+    cos=_DUCK_RECALL_COS,
+)

@@ -412,6 +412,16 @@ SHOWCASE = {
         "once-scanned training grams (never gram x gram); the report "
         "is TakeOrdered top-100."
     ),
+    "mrl_dim_recall_curve": (
+        "Matryoshka sizing curve: panel-bounded corpus scans, prefix "
+        "dot products sliced inside codegen, every ranking window "
+        "PARTITIONed by (width, query) — no UDF, no pairwise work."
+    ),
+    "mondrian_conformal_coverage": (
+        "Per-source split-conformal calibration: one corpus scan, the "
+        "only window is the calibration rank PARTITIONed by source, "
+        "output is |sources| rows — exact integer-grid order statistic."
+    ),
 }
 
 

@@ -357,3 +357,224 @@ def test_doremi_matches_python_and_properties(spark):
     for a, b in zip(by_ex, by_ex[1:]):
         assert a.n_docs == b.n_docs  # fixture: uniform source sizes
         assert b.new_weight >= a.new_weight - 1e-9
+
+
+# -------------------------------------------- matryoshka prefix-dim curve
+
+
+def test_mrl_dim_recall_matches_numpy(spark):
+    """Independent numpy replay: exact full-dim truth, prefix-dim
+    rankings at each width with the same canon-rounded tie-break."""
+    from database_toolbox_spark.operators.similarity import (
+        _RECALL_K,
+        MRL_DIMS,
+        N_KNN_QUERIES,
+        mrl_dim_recall_curve,
+    )
+
+    t = _fetch("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id")
+    ids = np.array([r[0] for r in t])
+    V = np.array([r[1] for r in t], dtype=np.float64)
+
+    def topk(M, q, qid, k):
+        cos = M @ q / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+        cosr = np.floor(cos * 1e6 + 0.501) / 1e6
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != qid),
+            key=lambda i: (-cosr[i], ids[i]),
+        )
+        return [ids[i] for i in order[:k]]
+
+    want = {}
+    for qi in range(len(ids)):
+        if ids[qi] >= N_KNN_QUERIES:
+            continue
+        truth = set(topk(V, V[qi], ids[qi], _RECALL_K))
+        for d in MRL_DIMS:
+            approx = set(topk(V[:, :d], V[qi, :d], ids[qi], _RECALL_K))
+            n_hit = len(truth & approx)
+            want[(d, ids[qi])] = (n_hit, rf(n_hit / _RECALL_K, 4))
+    got = {
+        (r.n_dims, r.qid): (r.n_hits, r.recall_at_10)
+        for r in mrl_dim_recall_curve(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_hard_negative_mining_matches_numpy(spark):
+    from database_toolbox_spark.operators.similarity import (
+        HN_K,
+        N_KNN_QUERIES,
+        hard_negative_mining,
+    )
+
+    t = _fetch(
+        "SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id"
+    )
+    ids = np.array([r[0] for r in t])
+    labels = np.array([r[1] for r in t])
+    V = np.array([r[2] for r in t], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+
+    want = []
+    for qi in range(len(ids)):
+        if ids[qi] >= N_KNN_QUERIES:
+            continue
+        cos = V @ V[qi] / (norms * norms[qi])
+        cosr = np.floor(cos * 1e6 + 0.501) / 1e6
+        order = sorted(
+            (
+                i for i in range(len(ids))
+                if ids[i] != ids[qi] and labels[i] != labels[qi]
+            ),
+            key=lambda i: (-cosr[i], ids[i]),
+        )
+        for rnk, i in enumerate(order[:HN_K], 1):
+            want.append((ids[qi], int(labels[qi]), ids[i],
+                         int(labels[i]), cosr[i], rnk))
+    got = [
+        (r.qid, r.qlabel, r.vec_id, r.neg_label, r.cos_sim, r.rnk)
+        for r in hard_negative_mining(spark, SF_DIR).collect()
+    ]
+    assert got == want
+    # structural: negatives never share the query's label
+    assert all(q != n for _a, q, _b, n, _c, _d in got)
+
+
+# --------------------------------------------------- quality-rater kappa
+
+
+def _doc_features(text):
+    from database_toolbox_spark.operators.text import STOPWORDS
+
+    w = text.split(" ")
+    n = len(w)
+    return {
+        "n_words": n,
+        "mean_len": (len(text) - n + 1) / n,
+        "sym": sum(1 for t in w if "#" in t or t.endswith("...")) / n,
+        "alpha": sum(1 for t in w if re.search(r"[a-z]", t)) / n,
+        "stop_hits": len({t for t in w if t in STOPWORDS}),
+        "ttr": len(set(w)) / n,
+        "stop_ratio": sum(1 for t in w if t in STOPWORDS) / n,
+        "len_norm": min(n / 64.0, 2.0),
+    }
+
+
+def test_quality_rater_kappa_matches_python(spark):
+    from database_toolbox_spark.operators.curation import (
+        GOPHER_ALPHA_MIN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MEAN_LEN_HI,
+        GOPHER_MEAN_LEN_LO,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_SYMBOL_MAX,
+        QC_BIAS,
+        QC_W_LEN,
+        QC_W_STOP,
+        QC_W_TTR,
+        quality_rater_kappa,
+    )
+
+    rows = _fetch("SELECT source, text FROM documents")
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # n11 n10 n01 n00
+    for source, text in rows:
+        f = _doc_features(text)
+        a = int(
+            GOPHER_MIN_WORDS <= f["n_words"] <= GOPHER_MAX_WORDS
+            and GOPHER_MEAN_LEN_LO <= f["mean_len"] <= GOPHER_MEAN_LEN_HI
+            and f["sym"] <= GOPHER_SYMBOL_MAX
+            and f["alpha"] >= GOPHER_ALPHA_MIN
+            and f["stop_hits"] >= GOPHER_MIN_STOP_HITS
+        )
+        b = int(
+            QC_BIAS + QC_W_TTR * f["ttr"] + QC_W_STOP * f["stop_ratio"]
+            + QC_W_LEN * f["len_norm"] > 0
+        )
+        for key in (source, "ALL"):
+            c = cells[key]
+            c[0] += a * b
+            c[1] += a * (1 - b)
+            c[2] += (1 - a) * b
+            c[3] += (1 - a) * (1 - b)
+
+    want = {}
+    for src, (n11, n10, n01, n00) in cells.items():
+        n = n11 + n10 + n01 + n00
+        chance = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+        po = rf((n11 + n00) / n)
+        pe = rf(chance / (n * n))
+        kappa = (
+            1.0 if chance == n * n
+            else rf(((n11 + n00) * n - chance) / (n * n - chance))
+        )
+        want[src] = (n, n11, n10, n01, n00, po, pe, kappa)
+    got = {
+        r.source: (r.n_docs, r.n_both_keep, r.n_gopher_only, r.n_clf_only,
+                   r.n_both_drop, r.p_agree, r.p_chance, r.kappa)
+        for r in quality_rater_kappa(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert -1.0 <= got["ALL"][7] <= 1.0
+
+
+# ------------------------------------------- Mondrian conformal coverage
+
+
+def test_mondrian_conformal_matches_python(spark):
+    import hashlib
+
+    from database_toolbox_spark.operators.curation import (
+        CONF_ALPHA,
+        QC_BIAS,
+        QC_W_LEN,
+        QC_W_STOP,
+        QC_W_TTR,
+        mondrian_conformal_coverage,
+    )
+
+    rows = _fetch("SELECT doc_id, source, lang, text FROM documents")
+    per = defaultdict(lambda: {"cal": [], "ev": []})
+    for doc_id, source, lang, text in rows:
+        f = _doc_features(text)
+        logit = (QC_BIAS + QC_W_TTR * f["ttr"]
+                 + QC_W_STOP * f["stop_ratio"] + QC_W_LEN * f["len_norm"])
+        p = 0.5 + 0.5 * logit / (1 + abs(logit))
+        y = 1 if lang == "en" else 0
+        s6 = math.floor((1 - p if y else p) * 1e6 + 0.5)
+        spos6 = math.floor((1 - p) * 1e6 + 0.5)
+        sneg6 = math.floor(p * 1e6 + 0.5)
+        fold = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4],
+                   16) % 2
+        bucket = "cal" if fold == 0 else "ev"
+        per[source][bucket].append((s6, doc_id, spos6, sneg6))
+
+    want = {}
+    for src, d in per.items():
+        cal = sorted((s6, doc_id) for s6, doc_id, _p, _n in d["cal"])
+        n_cal = len(cal)
+        kk = math.ceil((n_cal + 1) * (1 - CONF_ALPHA))
+        qhat = cal[kk - 1][0] if kk <= n_cal else None
+        ev = d["ev"]
+        cov = sum(
+            1 for s6, _i, _p, _n in ev if qhat is None or s6 <= qhat
+        ) / len(ev)
+        setsz = sum(
+            (1 if qhat is None or p6 <= qhat else 0)
+            + (1 if qhat is None or n6 <= qhat else 0)
+            for _s, _i, p6, n6 in ev
+        ) / len(ev)
+        want[src] = (
+            n_cal, len(ev),
+            None if qhat is None else rf(qhat / 1e6),
+            rf(cov), rf(setsz), rf(1 - CONF_ALPHA),
+        )
+    got = {
+        r.source: (r.n_cal, r.n_eval, r.q_hat, r.coverage,
+                   r.avg_set_size, r.target_coverage)
+        for r in mondrian_conformal_coverage(spark, SF_DIR).collect()
+    }
+    assert got == want
+    for _src, (_nc, _ne, _q, cov, setsz, _t) in got.items():
+        assert 0.0 <= cov <= 1.0 and 0.0 <= setsz <= 2.0
