@@ -32,66 +32,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # silently lost broadcast or a regressed join strategy in ANY headline
 # plan now fails the suite.
 FINGERPRINT_EXCLUDE: dict[str, str] = {
-    # (currently empty — all 161 headline plans fingerprint
+    # (currently empty — every headline plan fingerprints
     # deterministically under the test-session config at sf0.001; add
     # `name: reason` here ONLY for a plan that legitimately varies
     # run-to-run, and say why)
 }
-
-_LEGACY_FINGERPRINT_QUERIES = (
-    "consistent_hash_reshard_audit",
-    "jaccard_prefix_filter_pairs",
-    "brier_decomposition",
-    "semdedup_drop_candidates",
-    "psi_price_drift",
-    "audio_spectrogram_profile",
-    "basket_association_rules",
-    "pq_ann_topk",
-    "cross_doc_span_coverage",
-    "containment_dup_pairs",
-    "pricing_summary",
-    "regional_revenue",
-    "top_revenue_orders",
-    "idf_cosine_dup_pairs",
-    "copurchase_capped_pairs",
-    "source_overlap_matrix",
-    "image_histogram_stats",
-    "image_decode_stats",
-    "winnowing_dup_pairs",
-    "jl_projection_stats",
-    "t_closeness_audit",
-    "link_prediction_scores",
-    "concurrent_sessions_peak",
-    "ndcg_ann_eval",
-    "cdc_chunk_dedup",
-    "minhash_near_dup_pairs",
-    "ivf_ann_topk",
-    "bigram_lm_scores",
-    # round-9 tranche: the binary-code index build + Hamming TakeOrdered
-    # and the lag-once/ladder-broadcast session curve are shapes worth
-    # pinning (a lost materialize or an extra corpus scan fails the gate)
-    "bq_ann_topk",
-    "session_gap_sensitivity",
-    # round-9 third tranche: the cumulative-offset packing window and the
-    # two-stage retrieval joins against the materialized tf index
-    "compaction_bin_packing",
-    "prf_expanded_search",
-    # round-10: pin the stats/experimentation tier (round-9 verdict item
-    # 3) — the exact-integer-grid spellings (DECIMAL(38) widenings, A&S
-    # normal CDF, order-statistic brackets) are the most fragile to a
-    # well-meaning refactor, and each carries a deliberately-shaped
-    # window/broadcast plan worth freezing
-    "ratio_metric_delta_ci",
-    "bh_fdr_brand_price",
-    "msprt_ab_monitor",
-    "median_ci_order_stats",
-    "km_greenwood_bands",
-    "newsvendor_stock_levels",
-    # round-10: the IVF+binary composite ladder — a lost index
-    # materialize or a window sneaking in for the TakeOrdered shortlist
-    # is exactly what this gate exists to catch
-    "ivf_bq_ann_topk",
-)
 
 
 def fingerprint_queries() -> tuple[str, ...]:
