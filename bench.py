@@ -255,6 +255,7 @@ HEADLINE = [
     "hard_negative_mining",
     "quality_rater_kappa",
     "mondrian_conformal_coverage",
+    "image_jpeg_rgb_stats",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

@@ -1405,3 +1405,188 @@ ORACLE["image_dup_clusters"] = (
         FROM rep GROUP BY component ORDER BY component
     """
 )
+
+
+# --- JPEG color path (round-11): RGB -> YCbCr -> quant -> IDCT -> RGB ---------------
+JPEG_RGB_CAP = 4   # bytes per doc -> one constant RGB 8x8 block per byte
+JPEG_RGB_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, n_blocks int, "
+    "r_sum bigint, g_sum bigint, b_sum bigint, "
+    "first_r int, first_g int, first_b int"
+)
+
+
+def rgb_jpeg_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL 3-component baseline
+    JPEG (YCbCr 4:4:4): each of the doc's first {JPEG_RGB_CAP} bytes v
+    becomes one constant RGB 8x8 block (r, g, b) = (v, (3v+7)%256,
+    (5v+13)%256), stacked vertically in an 8-px-wide strip. Constant
+    blocks keep every stage of the COLOR pipeline closed-form: BT.601
+    forward conversion (half-up doubles), per-channel DC quantization
+    (luma q00=16, chroma q00=17), IDCT, and the inverse conversion —
+    so the oracle can recompute decoded r/g/b sums from ASCII codes
+    with no JPEG anywhere."""
+    from pyspark import cloudpickle
+
+    from database_toolbox_spark.functions import jpeg as jpeg_mod
+
+    cloudpickle.register_pickle_by_value(jpeg_mod)
+    encode = jpeg_mod.encode_jpeg
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(n_parts)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def to_jpeg(text: str) -> bytes:
+            body = text.encode("utf-8")[:JPEG_RGB_CAP] or b"\x00"
+            buf = bytearray()
+            for v in body:
+                px = bytes((v, (3 * v + 7) % 256, (5 * v + 13) % 256)) * 8
+                buf += px * 8  # 8 rows of the constant RGB row
+            return encode(bytes(buf), 8, 8 * len(body), channels=3)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pdf["text"].map(to_jpeg),
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def image_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the color JPEGs (rgb_jpeg_payloads) through the full
+    baseline pipeline — Huffman, per-table dequant, IDCT, YCbCr->RGB —
+    and reduce to per-channel sums + the first pixel. The oracle
+    replays the whole chain in SQL arithmetic (see _JPEG_RGB_ORACLE).
+
+    Scale shape: same as image_jpeg_stats — one fused mapInPandas
+    pipeline after a repartitioned pruned scan, per-doc cost bounded by
+    the {JPEG_RGB_CAP}-block cap (x3 channels)."""
+    from pyspark import cloudpickle
+
+    from database_toolbox_spark.functions import jpeg as jpeg_mod
+
+    cloudpickle.register_pickle_by_value(jpeg_mod)
+    decode = jpeg_mod.decode_jpeg
+    payloads = rgb_jpeg_payloads(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def stats(payload: bytes) -> tuple:
+            img = decode(payload)
+            px = img["pixels"]
+            return (
+                img["width"], img["height"],
+                (img["width"] // 8) * (img["height"] // 8),
+                sum(px[0::3]), sum(px[1::3]), sum(px[2::3]),
+                px[0], px[1], px[2],
+            )
+
+        for pdf in batches:
+            cols = pdf["payload"].map(stats)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": cols.map(lambda t: t[0]).astype("int32"),
+                    "height": cols.map(lambda t: t[1]).astype("int32"),
+                    "n_blocks": cols.map(lambda t: t[2]).astype("int32"),
+                    "r_sum": cols.map(lambda t: t[3]).astype("int64"),
+                    "g_sum": cols.map(lambda t: t[4]).astype("int64"),
+                    "b_sum": cols.map(lambda t: t[5]).astype("int64"),
+                    "first_r": cols.map(lambda t: t[6]).astype("int32"),
+                    "first_g": cols.map(lambda t: t[7]).astype("int32"),
+                    "first_b": cols.map(lambda t: t[8]).astype("int32"),
+                }
+            )
+
+    return payloads.mapInPandas(run, schema=JPEG_RGB_STATS_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+def _jpeg_rgb_oracle() -> str:
+    # the exact double spelling of functions/jpeg.py's color chain —
+    # identical literals and left-to-right operation order, so the IEEE
+    # doubles (and therefore every floor(x + 0.5)) match bit-for-bit
+    def clamp(x: str) -> str:
+        return f"greatest(0, least(255, {x}))"
+
+    def rhu(x: str) -> str:
+        return f"CAST(floor(({x}) + 0.5e0) AS BIGINT)"
+
+    def decq(c: str, q: int) -> str:
+        # DC-only block reconstruction: quantize 8*(c-128)/q half-up,
+        # dequantize, IDCT (= R/8 exactly), shift, round, clamp
+        fq = f"floor(8e0 * (({c}) - 128) / {q}e0 + 0.5e0)"
+        return clamp(
+            f"CAST(floor({q} * {fq} / 8e0 + 0.5e0) AS BIGINT) + 128"
+        )
+
+    y = clamp(rhu("0.299e0 * r + 0.587e0 * g + 0.114e0 * b"))
+    cb = clamp(rhu("128e0 - 0.168736e0 * r - 0.331264e0 * g"
+                   " + 0.5e0 * b"))
+    cr = clamp(rhu("128e0 + 0.5e0 * r - 0.418688e0 * g"
+                   " - 0.081312e0 * b"))
+    r2 = clamp(rhu("y2 + 1.402e0 * (cr2 - 128)"))
+    g2 = clamp(rhu("y2 - 0.344136e0 * (cb2 - 128)"
+                   " - 0.714136e0 * (cr2 - 128)"))
+    b2 = clamp(rhu("y2 + 1.772e0 * (cb2 - 128)"))
+    return f"""
+        WITH c AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN [0]
+                        ELSE list_transform(
+                            range(1, least(length(text),
+                                           {JPEG_RGB_CAP}) + 1),
+                            i -> ascii(substr(text, i, 1))) END AS s
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, len(s) AS nb, unnest(s) AS v,
+                   generate_subscripts(s, 1) AS k
+            FROM c
+        ),
+        rgb AS (
+            SELECT doc_id, nb, k, v AS r,
+                   (3 * v + 7) % 256 AS g,
+                   (5 * v + 13) % 256 AS b
+            FROM px
+        ),
+        ycc AS (
+            SELECT doc_id, nb, k, {y} AS y0, {cb} AS cb0, {cr} AS cr0
+            FROM rgb
+        ),
+        rec AS (
+            SELECT doc_id, nb, k,
+                   {decq("y0", 16)} AS y2,
+                   {decq("cb0", 17)} AS cb2,
+                   {decq("cr0", 17)} AS cr2
+            FROM ycc
+        ),
+        out_px AS (
+            SELECT doc_id, nb, k, {r2} AS r2, {g2} AS g2, {b2} AS b2
+            FROM rec
+        )
+        SELECT doc_id,
+               8 AS width,
+               CAST(8 * max(nb) AS INT) AS height,
+               CAST(max(nb) AS INT) AS n_blocks,
+               CAST(64 * sum(r2) AS BIGINT) AS r_sum,
+               CAST(64 * sum(g2) AS BIGINT) AS g_sum,
+               CAST(64 * sum(b2) AS BIGINT) AS b_sum,
+               CAST(max(CASE WHEN k = 1 THEN r2 END) AS INT) AS first_r,
+               CAST(max(CASE WHEN k = 1 THEN g2 END) AS INT) AS first_g,
+               CAST(max(CASE WHEN k = 1 THEN b2 END) AS INT) AS first_b
+        FROM out_px
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+
+
+QUERIES["image_jpeg_rgb_stats"] = image_jpeg_rgb_stats
+ORACLE["image_jpeg_rgb_stats"] = _jpeg_rgb_oracle()

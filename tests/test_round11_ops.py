@@ -578,3 +578,58 @@ def test_mondrian_conformal_matches_python(spark):
     assert got == want
     for _src, (_nc, _ne, _q, cov, setsz, _t) in got.items():
         assert 0.0 <= cov <= 1.0 and 0.0 <= setsz <= 2.0
+
+
+# ------------------------------------------------ JPEG color-path stats
+
+
+def test_image_jpeg_rgb_stats_matches_python(spark):
+    """Full COLOR pipeline anchor: decoded per-channel sums equal a
+    pure-Python replay of the closed-form chain (BT.601 forward, per-
+    table DC quantization, inverse conversion) built from the parquet
+    text — no JPEG in the replay."""
+    from database_toolbox_spark.operators.multimodal import (
+        JPEG_RGB_CAP,
+        image_jpeg_rgb_stats,
+    )
+
+    def clamp(x):
+        return max(0, min(255, x))
+
+    def rhu(x):
+        return math.floor(x + 0.5)
+
+    def decq(c, q):
+        fq = math.floor(8.0 * (c - 128) / float(q) + 0.5)
+        return clamp(math.floor(q * fq / 8.0 + 0.5) + 128)
+
+    rows = _fetch("SELECT doc_id, text FROM documents ORDER BY doc_id")
+    want = {}
+    for doc_id, text in rows:
+        body = text.encode("utf-8")[:JPEG_RGB_CAP] or b"\x00"
+        px = []
+        for v in body:
+            r, g, b = v, (3 * v + 7) % 256, (5 * v + 13) % 256
+            y0 = clamp(rhu(0.299 * r + 0.587 * g + 0.114 * b))
+            cb0 = clamp(rhu(128 - 0.168736 * r - 0.331264 * g + 0.5 * b))
+            cr0 = clamp(rhu(128 + 0.5 * r - 0.418688 * g - 0.081312 * b))
+            y2, cb2, cr2 = decq(y0, 16), decq(cb0, 17), decq(cr0, 17)
+            px.append((
+                clamp(rhu(y2 + 1.402 * (cr2 - 128))),
+                clamp(rhu(y2 - 0.344136 * (cb2 - 128)
+                          - 0.714136 * (cr2 - 128))),
+                clamp(rhu(y2 + 1.772 * (cb2 - 128))),
+            ))
+        want[doc_id] = (
+            8, 8 * len(body), len(body),
+            64 * sum(p[0] for p in px),
+            64 * sum(p[1] for p in px),
+            64 * sum(p[2] for p in px),
+            px[0][0], px[0][1], px[0][2],
+        )
+    got = {
+        r.doc_id: (r.width, r.height, r.n_blocks, r.r_sum, r.g_sum,
+                   r.b_sum, r.first_r, r.first_g, r.first_b)
+        for r in image_jpeg_rgb_stats(spark, SF_DIR).collect()
+    }
+    assert got == want
