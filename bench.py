@@ -253,7 +253,6 @@ HEADLINE = [
     # and per-source split-conformal calibration of the quality model
     "mrl_dim_recall_curve",
     "hard_negative_mining",
-    "quality_rater_kappa",
     "mondrian_conformal_coverage",
     "image_jpeg_rgb_stats",
 ]

@@ -2040,131 +2040,6 @@ QUERIES["doremi_domain_weights"] = doremi_domain_weights
 ORACLE["doremi_domain_weights"] = _doremi_oracle()
 
 
-# --- rater agreement: Cohen's kappa between the two quality filters ------------------
-# Cohen 1960 ("A coefficient of agreement for nominal scales"): chance-
-# corrected agreement between two raters. Here the raters are the two
-# quality stages every pipeline stacks — the Gopher rule battery
-# (gopher_quality_flags: keep iff ALL five rules pass) and the fixed-
-# weight classifier (quality_classifier_scores: keep iff logit > 0) —
-# and kappa answers the curation question the raw agreement rate can't:
-# do the stages agree beyond what their keep-rates force? Per source,
-# plus the corpus total via GROUPING SETS; the contingency table is
-# exact integers end to end.
-
-
-def _kappa_sql(split, ln, filt, alpha, isect, sw: str, swlist) -> str:
-    return f"""
-        WITH t AS (
-            SELECT source, length(text) AS n_chars, {split} AS w
-            FROM documents
-        ),
-        m AS (
-            SELECT source,
-                   {ln}(w) AS n_words,
-                   (n_chars - {ln}(w) + 1) * 1e0 / {ln}(w) AS mean_len,
-                   {ln}({filt}(w, t -> t LIKE '%#%' OR t LIKE '%...'))
-                       * 1e0 / {ln}(w) AS sym_ratio,
-                   {ln}({filt}(w, t -> {alpha})) * 1e0 / {ln}(w)
-                       AS alpha_ratio,
-                   {ln}({isect}(w, {swlist})) AS stop_hits,
-                   {ln}({{distinct}}(w)) * 1e0 / {ln}(w) AS ttr,
-                   {ln}({filt}(w, x -> x IN ({sw}))) * 1e0 / {ln}(w)
-                       AS stop_ratio,
-                   least({ln}(w) / 64e0, 2e0) AS len_norm
-            FROM t
-        ),
-        r AS (
-            SELECT source,
-                   CASE WHEN n_words >= {GOPHER_MIN_WORDS}
-                         AND n_words <= {GOPHER_MAX_WORDS}
-                         AND mean_len >= {GOPHER_MEAN_LEN_LO}e0
-                         AND mean_len <= {GOPHER_MEAN_LEN_HI}e0
-                         AND sym_ratio <= {GOPHER_SYMBOL_MAX}e0
-                         AND alpha_ratio >= {GOPHER_ALPHA_MIN}e0
-                         AND stop_hits >= {GOPHER_MIN_STOP_HITS}
-                        THEN 1 ELSE 0 END AS a,
-                   CASE WHEN {QC_BIAS}e0 + {QC_W_TTR}e0 * ttr
-                             + {QC_W_STOP}e0 * stop_ratio
-                             + {QC_W_LEN}e0 * len_norm > 0e0
-                        THEN 1 ELSE 0 END AS b
-            FROM m
-        ),
-        c AS (
-            SELECT coalesce(source, 'ALL') AS source,
-                   count(*) AS n,
-                   sum(a * b) AS n11,
-                   sum(a * (1 - b)) AS n10,
-                   sum((1 - a) * b) AS n01,
-                   sum((1 - a) * (1 - b)) AS n00
-            FROM r GROUP BY GROUPING SETS ((source), ())
-        )
-        SELECT source,
-               CAST(n AS BIGINT) AS n_docs,
-               CAST(n11 AS BIGINT) AS n_both_keep,
-               CAST(n10 AS BIGINT) AS n_gopher_only,
-               CAST(n01 AS BIGINT) AS n_clf_only,
-               CAST(n00 AS BIGINT) AS n_both_drop,
-               {R("(n11 + n00) * 1e0 / n", 6)} AS p_agree,
-               {R("((n11 + n10) * (n11 + n01)"
-                  " + (n01 + n00) * (n10 + n00)) * 1e0 / (n * n)", 6)}
-                   AS p_chance,
-               CASE WHEN (n11 + n10) * (n11 + n01)
-                         + (n01 + n00) * (n10 + n00) = n * n
-                    THEN CAST(1 AS DOUBLE)
-                    ELSE {R("((n11 + n00) * 1e0 * n"
-                            " - ((n11 + n10) * (n11 + n01)"
-                            " + (n01 + n00) * (n10 + n00)))"
-                            " / (n * 1e0 * n"
-                            " - ((n11 + n10) * (n11 + n01)"
-                            " + (n01 + n00) * (n10 + n00)))", 6)}
-               END AS kappa
-        FROM c
-        ORDER BY source
-    """
-
-
-def quality_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohen's kappa between the Gopher rule battery and the fixed-weight
-    quality classifier, per source + corpus total (see _kappa_sql) —
-    chance-corrected agreement of the two filter stages; kappa is defined
-    as 1 when chance agreement saturates (both raters constant).
-
-    Scale shape: ONE corpus scan computes both raters' verdicts (the same
-    array projections gopher/classifier each run alone), and GROUPING
-    SETS folds the per-source and total contingency tables into a single
-    map-side-combinable aggregate — 21 output rows at any corpus size."""
-    load_tables(spark, sf_dir)
-    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
-        STOPWORDS,
-        _sql_list,
-    )
-
-    sw = _sql_list(STOPWORDS)
-    return spark.sql(_kappa_sql(
-        "split(text, ' ')", "size", "filter",
-        "t RLIKE '[a-z]'", "array_intersect",
-        sw, f"array({sw})",
-    ).format(distinct="array_distinct"))
-
-
-def _kappa_oracle() -> str:
-    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
-        STOPWORDS,
-        _sql_list,
-    )
-
-    sw = _sql_list(STOPWORDS)
-    return _kappa_sql(
-        "string_split(text, ' ')", "len", "list_filter",
-        "regexp_matches(t, '[a-z]')", "list_intersect",
-        sw, f"[{sw}]",
-    ).format(distinct="list_distinct")
-
-
-QUERIES["quality_rater_kappa"] = quality_rater_kappa
-ORACLE["quality_rater_kappa"] = _kappa_oracle()
-
-
 # --- Mondrian (group-conditional) split-conformal coverage ---------------------------
 # Vovk et al. 2005 / Lei & Wasserman: split-conformal prediction wraps
 # ANY scorer in a finite-sample coverage guarantee; the Mondrian variant

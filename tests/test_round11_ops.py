@@ -441,7 +441,7 @@ def test_hard_negative_mining_matches_numpy(spark):
     assert all(q != n for _a, q, _b, n, _c, _d in got)
 
 
-# --------------------------------------------------- quality-rater kappa
+# ------------------------------------------- Mondrian conformal coverage
 
 
 def _doc_features(text):
@@ -450,76 +450,10 @@ def _doc_features(text):
     w = text.split(" ")
     n = len(w)
     return {
-        "n_words": n,
-        "mean_len": (len(text) - n + 1) / n,
-        "sym": sum(1 for t in w if "#" in t or t.endswith("...")) / n,
-        "alpha": sum(1 for t in w if re.search(r"[a-z]", t)) / n,
-        "stop_hits": len({t for t in w if t in STOPWORDS}),
         "ttr": len(set(w)) / n,
         "stop_ratio": sum(1 for t in w if t in STOPWORDS) / n,
         "len_norm": min(n / 64.0, 2.0),
     }
-
-
-def test_quality_rater_kappa_matches_python(spark):
-    from database_toolbox_spark.operators.curation import (
-        GOPHER_ALPHA_MIN,
-        GOPHER_MAX_WORDS,
-        GOPHER_MEAN_LEN_HI,
-        GOPHER_MEAN_LEN_LO,
-        GOPHER_MIN_STOP_HITS,
-        GOPHER_MIN_WORDS,
-        GOPHER_SYMBOL_MAX,
-        QC_BIAS,
-        QC_W_LEN,
-        QC_W_STOP,
-        QC_W_TTR,
-        quality_rater_kappa,
-    )
-
-    rows = _fetch("SELECT source, text FROM documents")
-    cells = defaultdict(lambda: [0, 0, 0, 0])  # n11 n10 n01 n00
-    for source, text in rows:
-        f = _doc_features(text)
-        a = int(
-            GOPHER_MIN_WORDS <= f["n_words"] <= GOPHER_MAX_WORDS
-            and GOPHER_MEAN_LEN_LO <= f["mean_len"] <= GOPHER_MEAN_LEN_HI
-            and f["sym"] <= GOPHER_SYMBOL_MAX
-            and f["alpha"] >= GOPHER_ALPHA_MIN
-            and f["stop_hits"] >= GOPHER_MIN_STOP_HITS
-        )
-        b = int(
-            QC_BIAS + QC_W_TTR * f["ttr"] + QC_W_STOP * f["stop_ratio"]
-            + QC_W_LEN * f["len_norm"] > 0
-        )
-        for key in (source, "ALL"):
-            c = cells[key]
-            c[0] += a * b
-            c[1] += a * (1 - b)
-            c[2] += (1 - a) * b
-            c[3] += (1 - a) * (1 - b)
-
-    want = {}
-    for src, (n11, n10, n01, n00) in cells.items():
-        n = n11 + n10 + n01 + n00
-        chance = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
-        po = rf((n11 + n00) / n)
-        pe = rf(chance / (n * n))
-        kappa = (
-            1.0 if chance == n * n
-            else rf(((n11 + n00) * n - chance) / (n * n - chance))
-        )
-        want[src] = (n, n11, n10, n01, n00, po, pe, kappa)
-    got = {
-        r.source: (r.n_docs, r.n_both_keep, r.n_gopher_only, r.n_clf_only,
-                   r.n_both_drop, r.p_agree, r.p_chance, r.kappa)
-        for r in quality_rater_kappa(spark, SF_DIR).collect()
-    }
-    assert got == want
-    assert -1.0 <= got["ALL"][7] <= 1.0
-
-
-# ------------------------------------------- Mondrian conformal coverage
 
 
 def test_mondrian_conformal_matches_python(spark):
