@@ -422,7 +422,21 @@ def main() -> None:
                         round(time.perf_counter() - t0, 3)
                     )
         timings = {n: min(s) for n, s in raw.items()}
-        medians = {n: sorted(s)[len(s) // 2] for n, s in raw.items()}
+        # comparison median for the regression gate: with one pass, the
+        # plain median of 3 (the historical gate); with --runs N > 1, the
+        # median of PER-PASS MINS — a genuinely regressed plan doubles
+        # every pass's min, while a contention spike inflates only the
+        # sample it hit (the round-10 verdict's min-across-runs
+        # adjudication, made mechanical)
+        if runs == 1:
+            medians = {n: sorted(s)[len(s) // 2] for n, s in raw.items()}
+        else:
+            medians = {}
+            for n, s in raw.items():
+                per_run = sorted(
+                    min(s[i:i + 3]) for i in range(0, len(s), 3)
+                )
+                medians[n] = per_run[len(per_run) // 2]
         spreads = {
             n: round(max(s) - min(s), 3) for n, s in raw.items()
         }
