@@ -1031,6 +1031,7 @@ _KM_SQL = """
     ),
     tot AS (SELECT count(*) AS n FROM dur),
     curve AS (
+        -- bounded window: hist has one row per duration-day grid value
         SELECT d, deaths,
                t.n - coalesce(sum(leaving) OVER (
                    PARTITION BY (hash(d) % 1) ORDER BY d
@@ -2059,6 +2060,7 @@ def _ucb_sql() -> str:
                {R("mean_r", 4)} AS mean_reward,
                {R("bonus", 6)} AS ucb_bonus,
                {R("mean_r + bonus", 4)} AS ucb_score,
+               -- bounded window: one row per arm (|event types|)
                CAST(row_number() OVER (PARTITION BY (hash(arm) % 1)
                    ORDER BY floor((mean_r + bonus) * 10000e0 + 0.501e0)
                             DESC, arm) AS BIGINT) AS pull_rank
@@ -2112,6 +2114,7 @@ _KM_GW_SQL = """
     ),
     tot AS (SELECT count(*) AS n FROM dur),
     curve AS (
+        -- bounded window: hist has one row per duration-day grid value
         SELECT d, deaths,
                t.n - coalesce(sum(leaving) OVER (
                    PARTITION BY (hash(d) % 1) ORDER BY d
@@ -2303,6 +2306,7 @@ def _qini_sql(md5arm: str) -> str:
             FROM per_user GROUP BY level
         ),
         cum AS (
+            -- bounded window: lv has one row per uplift level
             SELECT level, n_t, n_c, y_t, y_c,
                    sum(n_t) OVER w AS cn_t, sum(n_c) OVER w AS cn_c,
                    sum(y_t) OVER w AS cy_t, sum(y_c) OVER w AS cy_c

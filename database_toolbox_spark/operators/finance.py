@@ -374,6 +374,7 @@ def _hurst_sql() -> str:
         ),
         idx AS (
             SELECT d, rev,
+                   -- bounded window: one row per calendar day
                    CAST(row_number() OVER (PARTITION BY (hash(d) % 1)
                         ORDER BY d) AS BIGINT) - 1 AS i
             FROM daily

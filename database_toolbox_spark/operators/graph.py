@@ -1298,7 +1298,11 @@ def _ppr_rank_states(
             F.col("dst").alias("node"),
             (F.lit(DAMPING) * F.col("mass")).alias("r"),
         )
-        ranks = (
+        # materialize each state: ppr_frontier_counts actions EVERY
+        # entry, so a lazy chain re-runs all k prior join+agg rounds per
+        # count — O(ITERATIONS^2) recompute (round-11 ADVICE item 3); the
+        # registry query gets the same flat lineage kcore/LPA rounds use
+        ranks = materialize(
             spread.unionByName(
                 seed.select("node", F.lit(1 - DAMPING).alias("r"))
             )

@@ -292,6 +292,7 @@ _POPREC_SQL = f"""
     topk AS (
         SELECT p_brand FROM (
             SELECT p_brand,
+                   -- bounded window: one row per brand (|p_brand| catalog)
                    row_number() OVER (PARTITION BY (hash(p_brand) % 1)
                        ORDER BY n DESC, p_brand) AS rk
             FROM train

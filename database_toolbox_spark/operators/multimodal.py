@@ -270,6 +270,15 @@ def jpeg_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def to_jpeg(text: str) -> bytes:
+            if not text.isascii():
+                # the DuckDB oracle replays pixels from per-CHARACTER
+                # codepoints (ascii(substr(...))) while this builder
+                # slices BYTES; on multi-byte text the two silently
+                # diverge — refuse loudly instead (round-11 ADVICE 1)
+                raise ValueError(
+                    "jpeg_payloads: ASCII-only contract violated "
+                    f"(doc text contains non-ASCII): {text[:40]!r}"
+                )
             body = text.encode("utf-8")[:JPEG_CAP]
             nb = max(1, len(body))
             rows = -(-nb // JPEG_BLOCKS_X)
@@ -1441,6 +1450,13 @@ def rgb_jpeg_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def to_jpeg(text: str) -> bytes:
+            if not text.isascii():
+                # same byte-vs-codepoint oracle contract as
+                # jpeg_payloads above (round-11 ADVICE item 1)
+                raise ValueError(
+                    "rgb_jpeg_payloads: ASCII-only contract violated "
+                    f"(doc text contains non-ASCII): {text[:40]!r}"
+                )
             body = text.encode("utf-8")[:JPEG_RGB_CAP] or b"\x00"
             buf = bytearray()
             for v in body:

@@ -880,6 +880,7 @@ _COVERAGE_SQL = """
     tot AS (SELECT sum(n) AS t, count(*) AS v FROM tf),
     top AS (SELECT n FROM tf ORDER BY n DESC, term LIMIT 10000),
     ranked AS (
+        -- bounded window: top is LIMIT 10000 rows
         SELECT n, row_number() OVER (PARTITION BY (hash(n) % 1)
                                      ORDER BY n DESC) AS r
         FROM top

@@ -360,6 +360,7 @@ _BENFORD_SQL = f"""
         counts AS (
             SELECT d, count(*) AS n FROM digits GROUP BY d
         )
+        -- bounded window: counts has one row per leading digit (1-9)
         SELECT d, n,
                {R("n * 1e0 / sum(n) OVER (PARTITION BY (hash(d) % 1))", 6)}
                    AS obs_freq,

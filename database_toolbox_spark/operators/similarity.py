@@ -518,6 +518,7 @@ def _hybrid_sql(n_words: str, tok_src: str, qnorm2: str,
         LIMIT {RRF_DEPTH}
     ),
     bmr AS (
+        -- bounded window: input is the LIMIT-RRF_DEPTH bm25 head
         SELECT doc_id,
                CAST(row_number() OVER (PARTITION BY (hash(doc_id) % 1)
                     ORDER BY s DESC, doc_id) AS INT) AS r
@@ -535,6 +536,7 @@ def _hybrid_sql(n_words: str, tok_src: str, qnorm2: str,
         LIMIT {RRF_DEPTH}
     ),
     csr AS (
+        -- bounded window: input is the LIMIT-RRF_DEPTH cosine head
         SELECT doc_id,
                CAST(row_number() OVER (PARTITION BY (hash(doc_id) % 1)
                     ORDER BY s DESC, doc_id) AS INT) AS r

@@ -864,6 +864,7 @@ def _bloom_plan_sql(grid_rel: str) -> str:
                total_bits,
                {R("total_bits / 8192e0", 4)} AS filter_kib,
                fpr AS predicted_fpr,
+               -- bounded window: one row per bits-per-key grid point
                CAST(fpr <= {BLOOM_PLAN_TARGET_FPR}
                     AND bpk = min(CASE WHEN fpr <= {BLOOM_PLAN_TARGET_FPR}
                                        THEN bpk END)

@@ -1173,6 +1173,7 @@ _CUSUM_SQL = f"""
         -- cum = running sum of (z - k); likewise S-_t on (-z - k).
         -- Running sums/mins evaluate incrementally in day order, so both
         -- engines fold identical 6-dec-rounded z values identically.
+        -- bounded window: z has one row per calendar day
         SELECT day, rev,
                sum(zs - {CUSUM_K}) OVER w AS cp,
                sum(-zs - {CUSUM_K}) OVER w AS cn
@@ -1307,6 +1308,7 @@ _STL_DET_SQL = """
         FROM orders GROUP BY CAST(o_orderdate AS DATE), {dow}
     ),
     tr AS (
+        -- bounded window: daily has one row per calendar day
         SELECT day, dow, cents,
                CAST(sum(cents) OVER w AS BIGINT) AS t7,
                count(*) OVER w AS wn
@@ -1621,6 +1623,7 @@ _ACF_SQL = f"""
         FROM orders GROUP BY CAST(o_orderdate AS DATE)
     ),
     s AS (
+        -- bounded window: one row per calendar day
         SELECT CAST(row_number() OVER (PARTITION BY (hash(day) % 1)
                                        ORDER BY day) AS BIGINT) AS t, rev
         FROM d
@@ -1680,6 +1683,7 @@ _SPEARMAN_SQL = f"""
         FROM orders GROUP BY CAST(o_orderdate AS DATE)
     ),
     rk AS (
+        -- bounded windows: one row per calendar day
         SELECT rank() OVER (PARTITION BY (hash(day) % 1) ORDER BY rev) * 1e0
                  + (count(*) OVER (PARTITION BY rev) - 1) / 2e0 AS rx,
                rank() OVER (PARTITION BY (hash(day) % 1)
@@ -1736,6 +1740,7 @@ _MANN_WHITNEY_SQL = f"""
         FROM docs GROUP BY v
     ),
     cum AS (
+        -- bounded window: one row per rounded-score grid value
         SELECT v, ca, cb,
                CAST(coalesce(sum(cb) OVER (PARTITION BY (hash(v) % 1)
                    ORDER BY v
@@ -1807,6 +1812,7 @@ _HW_DAILY_SQL = f"""
         FROM orders GROUP BY CAST(o_orderdate AS DATE)
     ),
     series AS (
+        -- bounded window: one row per calendar day
         SELECT rev, CAST(row_number() OVER (PARTITION BY (hash(day) % 1)
                                             ORDER BY day) AS BIGINT) AS rn
         FROM daily
@@ -2437,6 +2443,7 @@ _CCF_SQL = f"""
         FROM orders GROUP BY CAST(o_orderdate AS DATE)
     ),
     s AS (
+        -- bounded window: one row per calendar day
         SELECT CAST(row_number() OVER (PARTITION BY (hash(day) % 1)
                                        ORDER BY day) AS BIGINT) AS t,
                rev, n_orders * 1e0 AS cnt
@@ -3229,6 +3236,7 @@ def _logrank_sql(dd: str) -> str:
             SELECT t, count(*) AS c, sum(g) AS c1 FROM base GROUP BY t
         ),
         cum AS (
+            -- bounded window: allt has one row per duration-day grid value
             SELECT t,
                    sum(c) OVER (PARTITION BY (hash(t) % 1) ORDER BY t DESC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -3831,6 +3839,7 @@ def _hfr_sql(month_expr: str) -> str:
             GROUP BY 1, 2, {month_expr}
         ),
         mos AS (
+            -- bounded window: one row per calendar month
             SELECT mo, row_number() OVER (PARTITION BY (hash(mo) % 1)
                                           ORDER BY mo DESC) AS rnk
             FROM (SELECT DISTINCT mo FROM rev) dm
@@ -4118,6 +4127,7 @@ def _msprt_sql(month_expr: str, md5arm: str, big) -> str:
             FROM o
         ),
         cum AS (
+            -- bounded window: daily has one row per calendar day
             SELECT mo, day,
                    sum(n0) OVER w AS cn0, sum(n1) OVER w AS cn1,
                    sum(s0) OVER w AS cs0, sum(s1) OVER w AS cs1
@@ -4149,6 +4159,7 @@ def _msprt_sql(month_expr: str, md5arm: str, big) -> str:
             FROM lam
         ),
         curve AS (
+            -- bounded window: ll has one row per calendar month
             SELECT mo, cn0, cn1, theta, log_lambda,
                    max(log_lambda) OVER (PARTITION BY (hash(mo) % 1)
                        ORDER BY mo ROWS UNBOUNDED PRECEDING) AS run_max
@@ -4230,6 +4241,7 @@ def _obf_sql(month_expr: str, md5arm: str, big) -> str:
             FROM o
         ),
         cum AS (
+            -- bounded window: daily has one row per calendar day
             SELECT mo, day,
                    sum(n0) OVER w AS cn0, sum(n1) OVER w AS cn1,
                    sum(s0) OVER w AS cs0, sum(s1) OVER w AS cs1
@@ -4431,6 +4443,7 @@ def _fc_sql() -> str:
             FROM orders GROUP BY o_orderdate
         ),
         seq AS (
+            -- bounded window: daily has one row per calendar day
             SELECT day, y,
                    row_number() OVER w AS rn,
                    lag(y, 1) OVER w AS f_naive,

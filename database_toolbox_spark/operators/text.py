@@ -1666,6 +1666,8 @@ def _textrank_g0_sql(tok_src: str) -> str:
         wc AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
         cand AS (
             SELECT term FROM (
+                -- bounded window: wc is the grouped vocabulary relation,
+                -- consumed only through the rn <= head filter below
                 SELECT term,
                        CAST(row_number() OVER (PARTITION BY (hash(term) % 1)
                             ORDER BY n DESC, term) AS BIGINT) AS rn
@@ -1852,6 +1854,7 @@ def _prf_sql(n_words: str, tf_body: str, sw: str,
             ORDER BY {BM25_SCORE_R} DESC, doc_id LIMIT {PRF_BASE_HEAD}
         ),
         r1 AS (
+            -- bounded window: s1h is the LIMIT-PRF_BASE_HEAD head
             SELECT doc_id,
                    row_number() OVER (PARTITION BY (hash(doc_id) % 1)
                                       ORDER BY {BM25_SCORE_R} DESC,
@@ -1863,6 +1866,7 @@ def _prf_sql(n_words: str, tf_body: str, sw: str,
             ORDER BY floor(score * 10000e0 + 0.501e0) DESC, doc_id
             LIMIT {PRF_TOP}
         )
+        -- bounded window: s2h is the LIMIT-PRF_TOP head
         SELECT s2h.doc_id, {R("s2h.score", 4)} AS bm25_prf,
                CAST(row_number() OVER (PARTITION BY (hash(s2h.doc_id) % 1)
                    ORDER BY

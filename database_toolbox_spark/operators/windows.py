@@ -622,6 +622,7 @@ def lorenz_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM dec d CROSS JOIN cnt c
             GROUP BY d.decile, c.tot
         )
+        -- bounded window: per_dec has one row per decile (10 rows)
         SELECT decile, n_customers,
                {R("share", 6)} AS revenue_share,
                {R("sum(share) OVER (PARTITION BY (hash(decile) % 1)"
@@ -658,6 +659,7 @@ ORACLE["lorenz_decile_shares"] = f"""
         FROM dec d CROSS JOIN cnt c
         GROUP BY d.decile, c.tot
     )
+    -- bounded window: per_dec has one row per decile (10 rows)
     SELECT decile, n_customers,
            {R("share", 6)} AS revenue_share,
            {R("sum(share) OVER (PARTITION BY (hash(decile) % 1)"

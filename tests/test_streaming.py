@@ -979,6 +979,17 @@ def test_stream_decontamination_matches_batch(spark, tmp_path):
         for r in ngram_decontamination(spark, sf_dir).collect()
     }
     assert batch, "fixture must contain contaminated docs"
+    # the batch op truncates to ORDER BY n_hit LIMIT DECON_TOP while the
+    # stream flags every contaminated doc; the set-equality below is only
+    # meaningful while the fixture's contaminated count fits under the
+    # head — guard it explicitly so fixture growth fails LOUDLY here
+    # instead of as a spurious set diff (round-11 ADVICE item 4)
+    from database_toolbox_spark.operators.dedup import DECON_TOP
+
+    assert len(batch) < DECON_TOP, (
+        f"fixture now has >= DECON_TOP ({DECON_TOP}) contaminated docs; "
+        "compare the stream against an un-limited batch query instead"
+    )
     assert streamed == batch
     # and no eval doc was ever flagged as training
     assert not any(s == DECON_EVAL_SOURCE for _d, s, *_rest in streamed)
