@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from database_toolbox_spark.operators._oracle import R
-from database_toolbox_spark.session import load_tables
+from database_toolbox_spark.session import load_tables, materialize
 
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24  # 8-token overlap
@@ -1405,73 +1405,156 @@ ORACLE["pass_at_k_estimates"] = _pass_at_k_sql(
 )
 
 
-# --- unigram-LM (SentencePiece-style) tokenizer EM step ----------------------------
+# --- unigram-LM (SentencePiece-style) tokenizer EM ----------------------------
 # Kudo 2018 ("Subword Regularization"): the unigram language model
 # tokenizer is trained by EM — E-step: Viterbi-segment the corpus under
 # the current piece probabilities; M-step: re-estimate probabilities
-# from the segmentation's piece counts. This op runs ONE full EM step
-# from the standard substring-count seed, completing the tokenizer-
-# training tier next to train_bpe (round-10 verdict item 4). Everything
-# runs on an exact integer grid: piece costs are canon-floored
-# -ln(p)*1e6 BIGINTs, so the Viterbi argmin is exact integer arithmetic
-# in both engines.
-UNI_WMAX = 8      # word-length cap (masks <= 2^7 = 128 per word)
+# from the segmentation's piece counts. Two registry ops share the
+# machinery: `unigram_lm_em_step` (one EM step from the substring-count
+# seed) and `unigram_lm_trained` ({UNI_ITERS} EM iterations with
+# SentencePiece-style vocabulary pruning between steps). Everything runs
+# on an exact integer grid: piece costs are canon-floored -ln(p)*1e6
+# BIGINTs, and the E-step is the O(L * PMAX) Viterbi DP — a per-word
+# integer FOLD over character positions (round-11 verdict item 3;
+# the old spelling enumerated all 2^(L-1) cut masks, which forced the
+# 8-char word cap). Each DP cell packs (total cost, n_pieces, cut mask)
+# into ONE BIGINT — cost * 2^21 + n_pieces * 2^16 + mask — so min() IS
+# the lexicographic (cost, fewest-pieces, lowest-mask) tie-break, and
+# the winning mask rides along as its own backtrace: no backward pass,
+# the existing bounds machinery re-derives the pieces from it.
+UNI_WMAX = 16     # word-length cap (mask fits 15 bits of the packed cell);
+                  # longer words are EXCLUDED FROM TRAINING and their
+                  # freq mass is REPORTED in the '<excluded:len>' row
 UNI_PMAX = 4      # seed pieces: substrings up to this length
 UNI_VOCAB = 64    # multi-char seed vocabulary (top by count); chars always in
 UNI_TOP = 30      # report rows
+UNI_ITERS = 3     # trainer EM iterations
+UNI_KEEPS = (48, 36, 27)  # multi-char vocab kept after each EM iteration
+                          # (~0.75x shrink per round, SentencePiece-style;
+                          # single chars are NEVER pruned — coverage)
+_UNI_COST_UNIT = 2097152  # 2^21: cost field of the packed DP cell
+_UNI_NP_UNIT = 65536      # 2^16: n_pieces field
+_UNI_MASK_UNIT = 65536    # mask field holds <= 2^(UNI_WMAX - 1) = 2^15
 
 
-def _uni_sql(
-    words_src: str,
-    sel_pieces,
-    sel_mask,
-    sel_seg,
-    sel_best,
-    filt: str,
-    xform: str,
-    alen: str,
-    seq,
-    idx,
-    cat3,
-    arr,
-) -> str:
-    """Shared Spark/DuckDB spelling of the EM step. The dialect lambdas:
-    sel_* build the exploding SELECTs (LATERAL VIEW vs unnest); seq is an
-    INCLUSIVE integer range; idx 1-based array indexing; cat3/arr array
-    construction."""
+def _uni_pieces_exprs(d) -> tuple[str, str]:
+    """(bounds-from-mask, pieces-from-bounds) expressions — the mask that
+    wins the DP IS the segmentation, so pieces are re-derived from its
+    cut bits exactly as the exhaustive spelling did."""
     pow2 = "CAST(pow(2e0, {p}) AS BIGINT)"
     cut = f"(mask % {pow2.format(p='p')}) >= {pow2.format(p='p - 1')}"
-    bounds = cat3(
-        arr("0"),
-        f"{filt}({seq('1', 'length(word) - 1')}, p -> {cut})",
-        arr("length(word)"),
+    bounds = d["cat3"](
+        d["arr"]("0"),
+        f"{d['filt']}({d['seq']('1', 'length(word) - 1')}, p -> {cut})",
+        d["arr"]("length(word)"),
     )
     piece_i = (
-        f"substr(word, {idx('bounds', 'i')} + 1, "
-        f"{idx('bounds', 'i + 1')} - {idx('bounds', 'i')})"
+        f"substr(word, {d['idx']('bounds', 'i')} + 1, "
+        f"{d['idx']('bounds', 'i + 1')} - {d['idx']('bounds', 'i')})"
     )
+    n_bounds = d["alen"] + "(bounds) - 1"
     pieces_of_bounds = (
-        f"{xform}({seq('1', f'{alen}(bounds) - 1')}, i -> {piece_i})"
+        f"{d['xform']}({d['seq']('1', n_bounds)}, i -> {piece_i})"
     )
+    return bounds, pieces_of_bounds
+
+
+def _uni_fold_expr(d) -> str:
+    """The O(L * PMAX) Viterbi DP as a per-word fold. Accumulator = the
+    DP array best[0..j] of packed BIGINT cells (cost * 2^21 + n_pieces *
+    2^16 + mask); step j appends min over piece lengths l of
+    best[j-l] + pack(cost of substr(j-l+1, l), 1 piece, cut bit 2^(j-1)
+    unless j ends the word). Lexicographic (cost, np, mask) ordering is
+    exact under the packing because no field overflows into the next
+    (cost <= UNI_WMAX * ln(total)*1e6 stays under 2^63 / 2^21; np <=
+    UNI_WMAX < 2^5; mask < 2^15), and it has optimal substructure: a
+    completion adds the same (dcost, dnp, dmask) to every prefix state,
+    and prefix cut bits are strictly lower than future ones."""
+    cost_at = d["idx"]("carr", f"({{J}} - l) * {UNI_PMAX} + l")
+    prev = d["idx"]("{ACC}", "{J} - l + 1")
+    cand = (
+        f"{d['filt']}({d['xform']}("
+        f"{d['seq']('1', f'least({UNI_PMAX}, {{J}})')}, "
+        f"l -> CASE WHEN {cost_at} IS NOT NULL THEN "
+        f"{prev} + {cost_at} * {_UNI_COST_UNIT} + {_UNI_NP_UNIT} "
+        f"+ CASE WHEN {{J}} < length(word) "
+        f"THEN CAST(pow(2e0, {{J}} - 1) AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END END), x -> x IS NOT NULL)"
+    )
+    return d["fold"](d["lmin"](cand))
+
+
+def _uni_estep_ctes(tag: str, vocab_rel: str, d) -> tuple[str, str]:
+    """CTE block for one E+M step: Viterbi-segment `words` under
+    {vocab_rel}(piece, cost6); returns (sql_fragment, mstep_rel) where
+    mstep_rel holds (piece, est_count, n_words)."""
+    bounds, pieces_of_bounds = _uni_pieces_exprs(d)
+    frag = f"""
+        {tag}g AS (
+            SELECT word, freq, k, cost6 FROM (
+                SELECT w.word, w.freq, (st - 1) * {UNI_PMAX} + l AS k,
+                       CASE WHEN st + l - 1 <= length(w.word)
+                            THEN substr(w.word, st, l) END AS piece
+                FROM words w {d["grid_join"]}
+            ) g LEFT JOIN {vocab_rel} v ON v.piece = g.piece
+        ),
+        {tag}w AS (
+            SELECT word, freq, {d["ocollect"]("cost6", "k")} AS carr
+            FROM {tag}g GROUP BY word, freq
+        ),
+        {tag}b AS (
+            SELECT word, freq,
+                   CAST({_uni_fold_expr(d)} % {_UNI_MASK_UNIT} AS BIGINT)
+                       AS mask
+            FROM {tag}w
+        ),
+        {tag}bp AS (
+            SELECT word, freq, {pieces_of_bounds} AS pieces
+            FROM (SELECT word, freq, mask, {bounds} AS bounds
+                  FROM {tag}b) bb
+        ),
+        {tag}e AS ({d["sel_best"](f"{tag}bp")}),
+        {tag}m AS (
+            SELECT piece, sum(freq) AS est_count,
+                   count(DISTINCT word) AS n_words
+            FROM {tag}e GROUP BY piece
+        )"""
+    return frag, f"{tag}m"
+
+
+def _uni_head_ctes(d) -> str:
+    """Shared preamble: the word table (with the excluded-mass ledger),
+    the substring seed, and the seed vocabulary vocab0(piece, cost6)."""
     sub_pieces = (
-        f"flatten({xform}({seq('1', 'length(word)')}, st -> "
-        f"{xform}({seq('1', f'least({UNI_PMAX}, length(word) - st + 1)')}, "
+        f"flatten({d['xform']}({d['seq']('1', 'length(word)')}, st -> "
+        f"{d['xform']}("
+        f"{d['seq']('1', f'least({UNI_PMAX}, length(word) - st + 1)')}, "
         f"l -> substr(word, st, l))))"
     )
-    n_masks = f"{pow2.format(p='length(word) - 1')}"
     return f"""
-        WITH words AS (
+        words_all AS {d["mat"]}(
             SELECT word, count(*) AS freq
-            FROM {words_src}
-            WHERE length(word) BETWEEN 2 AND {UNI_WMAX}
+            FROM {d["words_src"]}
+            WHERE length(word) >= 1
             GROUP BY word
+        ),
+        words AS {d["mat"]}(
+            SELECT word, freq FROM words_all
+            WHERE length(word) BETWEEN 2 AND {UNI_WMAX}
+        ),
+        excl AS (
+            SELECT coalesce(sum(CASE WHEN length(word) > {UNI_WMAX}
+                                     THEN freq END), 0) AS xfreq,
+                   coalesce(sum(CASE WHEN length(word) > {UNI_WMAX}
+                                     THEN 1 END), 0) AS xwords
+            FROM words_all
         ),
         subs AS (
             SELECT piece, sum(freq) AS cnt
-            FROM ({sel_pieces(sub_pieces)}) sp
+            FROM ({d["sel_pieces"](sub_pieces)}) sp
             GROUP BY piece
         ),
-        vocab0 AS (
+        seed0 AS (
             SELECT piece, cnt FROM subs WHERE length(piece) = 1
             UNION ALL
             SELECT piece, cnt FROM (
@@ -1479,57 +1562,113 @@ def _uni_sql(
                 ORDER BY cnt DESC, piece LIMIT {UNI_VOCAB}
             ) tv
         ),
-        vtot AS (SELECT sum(cnt) AS t FROM vocab0),
-        vocab AS (
+        vtot AS (SELECT sum(cnt) AS t FROM seed0),
+        vocab0 AS (
             SELECT piece,
                    CAST(floor(ln(t * 1e0 / cnt) * 1000000e0 + 0.501e0)
                         AS BIGINT) AS cost6
-            FROM vocab0 CROSS JOIN vtot
-        ),
-        segs AS (
-            SELECT word, freq, mask, {bounds} AS bounds
-            FROM ({sel_mask(n_masks)}) wm
-        ),
-        segpieces AS (
-            SELECT word, freq, mask, {pieces_of_bounds} AS pieces
-            FROM segs
-        ),
-        segp AS ({sel_seg("segpieces")}),
-        segcost AS (
-            SELECT s.word, s.freq, s.mask, max(s.np) AS np,
-                   count(v.cost6) AS matched, sum(v.cost6) AS cost
-            FROM segp s LEFT JOIN vocab v ON v.piece = s.piece
-            GROUP BY s.word, s.freq, s.mask
-        ),
-        best AS (
-            SELECT word, freq, mask FROM (
-                SELECT word, freq, mask,
-                       row_number() OVER (
-                           PARTITION BY word
-                           ORDER BY cost, np, mask) AS rn
-                FROM segcost WHERE matched = np
-            ) rk WHERE rn = 1
-        ),
-        bestpieces AS (
-            SELECT word, freq, {pieces_of_bounds} AS pieces
-            FROM (SELECT word, freq, mask, {bounds} AS bounds
-                  FROM best) bb
-        ),
-        bestp AS ({sel_best("bestpieces")}),
-        mstep AS (
-            SELECT piece, sum(freq) AS est_count,
-                   count(DISTINCT word) AS n_words
-            FROM bestp GROUP BY piece
-        ),
-        mtot AS (SELECT sum(est_count) AS t FROM mstep)
+            FROM seed0 CROSS JOIN vtot
+        )"""
+
+
+_UNI_EXCL_ROW = (
+    "SELECT '<excluded:len>' AS piece, CAST(xfreq AS BIGINT) AS est_count,"
+    " CAST(xwords AS BIGINT) AS n_words, CAST(NULL AS DOUBLE) AS new_logp"
+    " FROM excl"
+)
+
+
+def _uni_sql(d) -> str:
+    """One EM step from the seed vocabulary: top-{UNI_TOP} re-estimated
+    pieces plus the '<excluded:len>' mass-accounting row."""
+    estep, mrel = _uni_estep_ctes("x", "vocab0", d)
+    return f"""
+        WITH {_uni_head_ctes(d)},
+        {estep},
+        mtot AS (SELECT sum(est_count) AS t FROM {mrel})
         SELECT piece,
                CAST(est_count AS BIGINT) AS est_count,
                CAST(n_words AS BIGINT) AS n_words,
                {R("ln(est_count * 1e0 / t)", 6)} AS new_logp
-        FROM mstep CROSS JOIN mtot
-        ORDER BY est_count DESC, piece
-        LIMIT {UNI_TOP}
+        FROM (
+            SELECT piece, est_count, n_words
+            FROM {mrel}
+            ORDER BY est_count DESC, piece
+            LIMIT {UNI_TOP}
+        ) head CROSS JOIN mtot
+        UNION ALL
+        {_UNI_EXCL_ROW}
     """
+
+
+def _uni_prune_ctes(k: int, vocab_rel: str, mrel: str, d) -> str:
+    """Vocabulary pruning after EM step k: keep the top UNI_KEEPS[k-1]
+    multi-char pieces by estimated count, keep EVERY single char
+    (SentencePiece never prunes chars — coverage), and re-derive integer
+    costs from the kept counts. Zero-count chars keep their previous
+    cost from {vocab_rel} — they earn no mass but remain spellable, and
+    every retained cost stays a pure function of count RATIOS, which
+    makes the whole trainer invariant under corpus replication."""
+    keep = UNI_KEEPS[k - 1]
+    return f"""
+        i{k}keep AS (
+            SELECT piece, est_count, n_words FROM (
+                -- bounded window: the vocabulary relation (<= chars +
+                -- {UNI_VOCAB} multi-char pieces)
+                SELECT piece, est_count, n_words,
+                       row_number() OVER (PARTITION BY (hash(piece) % 1)
+                           ORDER BY est_count DESC, piece) AS rn
+                FROM {mrel} WHERE length(piece) >= 2
+            ) rk WHERE rn <= {keep}
+            UNION ALL
+            SELECT v.piece, coalesce(m.est_count, 0) AS est_count,
+                   coalesce(m.n_words, 0) AS n_words
+            FROM {vocab_rel} v LEFT JOIN {mrel} m ON m.piece = v.piece
+            WHERE length(v.piece) = 1
+        ),
+        i{k}t AS (
+            SELECT sum(est_count) AS t FROM i{k}keep WHERE est_count > 0
+        ),
+        i{k}vocab AS {d["mat"]}(
+            SELECT k.piece,
+                   CAST(floor(ln(t.t * 1e0 / k.est_count) * 1000000e0
+                              + 0.501e0) AS BIGINT) AS cost6
+            FROM i{k}keep k CROSS JOIN i{k}t t WHERE k.est_count > 0
+            UNION ALL
+            SELECT k.piece, v.cost6
+            FROM i{k}keep k JOIN {vocab_rel} v ON v.piece = k.piece
+            WHERE k.est_count = 0
+        )"""
+
+
+def _uni_final_select(last: int) -> str:
+    return f"""
+        SELECT k.piece,
+               CAST(k.est_count AS BIGINT) AS est_count,
+               CAST(k.n_words AS BIGINT) AS n_words,
+               CASE WHEN k.est_count > 0
+                    THEN {R("ln(k.est_count * 1e0 / t.t)", 6)}
+                    END AS new_logp
+        FROM i{last}keep k CROSS JOIN i{last}t t
+        UNION ALL
+        {_UNI_EXCL_ROW}
+    """
+
+
+def _uni_train_sql(d) -> str:
+    """{UNI_ITERS} chained EM iterations with pruning, as ONE declarative
+    query (the DuckDB-oracle spelling; MATERIALIZED CTEs keep each stage
+    computed once). Output: the final vocabulary with its last-step
+    counts and re-estimated log-probs (NULL for zero-count chars) plus
+    the excluded-mass row."""
+    parts = [_uni_head_ctes(d)]
+    vocab_rel = "vocab0"
+    for k in range(1, UNI_ITERS + 1):
+        estep, mrel = _uni_estep_ctes(f"i{k}", vocab_rel, d)
+        parts.append(estep)
+        parts.append(_uni_prune_ctes(k, vocab_rel, mrel, d))
+        vocab_rel = f"i{k}vocab"
+    return f"WITH {','.join(parts)}{_uni_final_select(UNI_ITERS)}"
 
 
 _UNI_SPARK_ARGS = dict(
@@ -1539,18 +1678,27 @@ _UNI_SPARK_ARGS = dict(
         f"SELECT freq, piece FROM words "
         f"LATERAL VIEW explode({expr}) px AS piece"
     ),
-    sel_mask=lambda n: (
-        f"SELECT word, freq, mask FROM words "
-        f"LATERAL VIEW explode(sequence(0, {n} - 1)) mm AS mask"
-    ),
-    sel_seg=lambda rel: (
-        f"SELECT word, freq, mask, size(pieces) AS np, piece "
-        f"FROM {rel} LATERAL VIEW explode(pieces) pc AS piece"
-    ),
     sel_best=lambda rel: (
         f"SELECT word, freq, piece "
         f"FROM {rel} LATERAL VIEW explode(pieces) pb AS piece"
     ),
+    grid_join=(f"LATERAL VIEW explode(sequence(1, length(w.word))) "
+               f"s AS st LATERAL VIEW explode(sequence(1, {UNI_PMAX})) "
+               f"ll AS l"),
+    # collect_list drops NULL elements, so ride each cost inside a
+    # struct keyed by the grid index and strip it after the sort
+    ocollect=lambda expr, key: (
+        f"transform(sort_array(collect_list(struct({key} AS k, "
+        f"{expr} AS v))), s -> s.v)"
+    ),
+    fold=lambda best: (
+        "element_at(aggregate(sequence(1, length(word)), "
+        "array(CAST(0 AS BIGINT)), (acc, j) -> concat(acc, array("
+        + best.replace("{J}", "j").replace("{ACC}", "acc")
+        + "))), length(word) + 1)"
+    ),
+    lmin=lambda lst: f"array_min({lst})",
+    mat="",
     filt="filter",
     xform="transform",
     alen="size",
@@ -1566,16 +1714,25 @@ _UNI_DUCK_ARGS = dict(
     sel_pieces=lambda expr: (
         f"SELECT freq, unnest({expr}) AS piece FROM words"
     ),
-    sel_mask=lambda n: (
-        f"SELECT word, freq, unnest(range(0, {n})) AS mask FROM words"
-    ),
-    sel_seg=lambda rel: (
-        f"SELECT word, freq, mask, len(pieces) AS np, "
-        f"unnest(pieces) AS piece FROM {rel}"
-    ),
     sel_best=lambda rel: (
         f"SELECT word, freq, unnest(pieces) AS piece FROM {rel}"
     ),
+    grid_join=(f"CROSS JOIN unnest(range(1, length(w.word) + 1)) "
+               f"AS s(st) CROSS JOIN unnest(range(1, {UNI_PMAX} + 1)) "
+               f"AS ll(l)"),
+    ocollect=lambda expr, key: f"list({expr} ORDER BY {key})",
+    # list_reduce's accumulator must share the element type, so the
+    # positions fold as 1-element lists prepended with the DP seed
+    fold=lambda best: (
+        "(list_reduce(list_prepend([CAST(0 AS BIGINT)], "
+        "list_transform(range(1, length(word) + 1), "
+        "j -> [CAST(j AS BIGINT)])), "
+        "(acc, jj) -> list_append(acc, "
+        + best.replace("{J}", "jj[1]").replace("{ACC}", "acc")
+        + ")))[length(word) + 1]"
+    ),
+    lmin=lambda lst: f"list_aggregate({lst}, 'min')",
+    mat="MATERIALIZED ",
     filt="list_filter",
     xform="list_transform",
     alen="len",
@@ -1590,27 +1747,84 @@ def unigram_lm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One exact unigram-LM tokenizer EM step (Kudo 2018) over the
     documents word table: seed vocabulary = all single chars + the top
     {UNI_VOCAB} substrings (length 2..{UNI_PMAX}) by freq-weighted count;
-    E-step = exact Viterbi segmentation of every distinct word under
+    E-step = exact O(L * {UNI_PMAX}) Viterbi DP per distinct word under
     canon-floored integer costs -ln(p)*1e6 (ties: fewest pieces, then
-    lowest cut mask); M-step = grouped re-estimation of piece counts
+    lowest cut mask — packed-BIGINT lexicographic min, see
+    _uni_fold_expr); M-step = grouped re-estimation of piece counts
     weighted by word frequency. Returns the top-{UNI_TOP} pieces with
-    their expected counts and re-estimated log-probs.
-
-    The E-step enumerates ALL segmentations per word via cut masks —
-    words are capped at {UNI_WMAX} chars so the lattice is <= 128
-    segmentations, a BOUNDED constant independent of corpus size; the
-    argmin is a word-PARTITIONED window over exact integers, so the
-    selection IS Viterbi's (min total cost), not an approximation.
+    their expected counts and re-estimated log-probs, PLUS the
+    '<excluded:len>' accounting row: the freq mass and distinct count of
+    words longer than {UNI_WMAX} chars that the cap excludes from
+    training (round-11 verdict item 5 — a cap that drops data must say
+    how much it dropped).
 
     Scale shape: one corpus scan builds the distinct-word table
     (vocabulary-bounded by Heaps' law — |V|, never corpus rows); every
-    later relation (substring counts, the <=128x lattice, the vocab join
-    — broadcast-sized at {UNI_VOCAB}+chars rows) grows with |V| only.
-    This is the EM shape a 100 TB tokenizer trainer repeats: corpus
-    touched once, model state bounded."""
+    later relation (substring counts, the L x {UNI_PMAX} DP grid, the
+    vocab join — broadcast-sized at {UNI_VOCAB}+chars rows) grows with
+    |V| only, and the per-word DP is a bounded integer fold, not a
+    2^(L-1) lattice. This is the EM shape a 100 TB tokenizer trainer
+    repeats: corpus touched once, model state bounded."""
     load_tables(spark, sf_dir)
-    return spark.sql(_uni_sql(**_UNI_SPARK_ARGS))
+    return spark.sql(_uni_sql(_UNI_SPARK_ARGS))
 
 
 QUERIES["unigram_lm_em_step"] = unigram_lm_em_step
-ORACLE["unigram_lm_em_step"] = _uni_sql(**_UNI_DUCK_ARGS)
+ORACLE["unigram_lm_em_step"] = _uni_sql(_UNI_DUCK_ARGS)
+
+
+def unigram_lm_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full unigram-LM tokenizer trainer: {UNI_ITERS} EM iterations
+    with SentencePiece-style vocabulary pruning between steps (keep the
+    top UNI_KEEPS[k] multi-char pieces by estimated count after step k;
+    single chars are never pruned — coverage), emitted as the final
+    vocabulary with last-step counts and log-probs plus the
+    '<excluded:len>' mass row. Zero-count chars keep their previous
+    cost — they earn no probability mass but stay spellable, and every
+    retained cost is a pure function of count RATIOS, which makes the
+    whole trainer invariant under corpus replication (asserted by the
+    sf~1 growth study).
+
+    Spark spelling: the `words` relation and each iteration's ~90-row
+    vocabulary are MATERIALIZED between EM steps (session.materialize +
+    temp views — the per-level-materialize shape the PCA/k-core chains
+    established; inlining all {UNI_ITERS} iterations as one CTE chain
+    blows Catalyst's resolution fixed-point). The DuckDB oracle runs the
+    same algebra as one chained MATERIALIZED-CTE query. Corpus touched
+    once (the words scan); every EM step is vocabulary-bounded.
+
+    Proven equal to an independent pure-Python EM implementation at
+    {UNI_ITERS} iterations (tests/test_round12_ops.py)."""
+    load_tables(spark, sf_dir)
+    d = _UNI_SPARK_ARGS
+    head = _uni_head_ctes(d)
+    materialize(
+        spark.sql(f"WITH {head} SELECT * FROM words")
+    ).createOrReplaceTempView("uni_words")
+    materialize(
+        spark.sql(f"WITH {head} SELECT * FROM excl")
+    ).createOrReplaceTempView("uni_excl")
+    materialize(
+        spark.sql(f"WITH {head} SELECT * FROM vocab0")
+    ).createOrReplaceTempView("uni_vocab_0")
+    step_head = "words AS (SELECT * FROM uni_words)"
+    for k in range(1, UNI_ITERS):
+        estep, mrel = _uni_estep_ctes(f"i{k}", f"uni_vocab_{k - 1}", d)
+        prune = _uni_prune_ctes(k, f"uni_vocab_{k - 1}", mrel, d)
+        materialize(
+            spark.sql(
+                f"WITH {step_head},{estep},{prune} "
+                f"SELECT piece, cost6 FROM i{k}vocab"
+            )
+        ).createOrReplaceTempView(f"uni_vocab_{k}")
+    last = UNI_ITERS
+    estep, mrel = _uni_estep_ctes(f"i{last}", f"uni_vocab_{last - 1}", d)
+    prune = _uni_prune_ctes(last, f"uni_vocab_{last - 1}", mrel, d)
+    return spark.sql(
+        f"WITH {step_head},excl AS (SELECT * FROM uni_excl),"
+        f"{estep},{prune}{_uni_final_select(last)}"
+    )
+
+
+QUERIES["unigram_lm_trained"] = unigram_lm_trained
+ORACLE["unigram_lm_trained"] = _uni_train_sql(_UNI_DUCK_ARGS)

@@ -180,9 +180,11 @@ def test_image_jpeg_stats_matches_python(spark):
 
 def test_unigram_em_matches_python(spark):
     """Independent EM replay in plain Python: word counts, substring
-    seed, canon-floored integer costs, EXHAUSTIVE Viterbi with the same
-    (cost, n_pieces, mask) tie-break, M-step counts — then compare the
-    top rows to the Spark query."""
+    seed, canon-floored integer costs, EXHAUSTIVE mask enumeration with
+    the same (cost, n_pieces, mask) tie-break (a DIFFERENT algorithm
+    from the query's O(L*PMAX) Viterbi fold — agreement proves the DP),
+    M-step counts, and the excluded-mass ledger — then compare to the
+    Spark query."""
     from database_toolbox_spark.operators.pipeline import (
         UNI_PMAX,
         UNI_TOP,
@@ -193,10 +195,15 @@ def test_unigram_em_matches_python(spark):
 
     rows = _fetch("SELECT text FROM documents")
     words: Counter = Counter()
+    excl_freq = 0
+    excl_words: set = set()
     for (text,) in rows:
         for w in re.split(r"[^a-z]+", text.lower()):
             if 2 <= len(w) <= UNI_WMAX:
                 words[w] += 1
+            elif len(w) > UNI_WMAX:
+                excl_freq += 1
+                excl_words.add(w)
 
     subs: Counter = Counter()
     for w, f in words.items():
@@ -244,14 +251,19 @@ def test_unigram_em_matches_python(spark):
 
     tot2 = sum(est.values())
     top = sorted(est.items(), key=lambda pc: (-pc[1], pc[0]))[:UNI_TOP]
-    want = [
+    want = sorted(
         (p, c, len(n_words[p]), rf(math.log(c / tot2)))
         for p, c in top
-    ]
-    got = [
+    )
+    want.append(
+        ("<excluded:len>", excl_freq, len(excl_words), None)
+    )
+    out = [
         (r.piece, r.est_count, r.n_words, r.new_logp)
         for r in unigram_lm_em_step(spark, SF_DIR).collect()
     ]
+    got = sorted(t for t in out if t[0] != "<excluded:len>")
+    got.extend(t for t in out if t[0] == "<excluded:len>")
     assert got == want
 
 

@@ -42,7 +42,7 @@ ALLOWED = {
     "operators/finance.py": 2,
     "operators/graph.py": 1,
     "operators/market.py": 4,
-    "operators/pipeline.py": 3,
+    "operators/pipeline.py": 4,
     "operators/profile.py": 1,
     "operators/similarity.py": 5,
     "operators/sketches.py": 1,
