@@ -9,13 +9,17 @@ opaque binary passthrough); this is the repo's own declared surface
 
 Scope (documented, validated):
 - Baseline sequential DCT (SOF0), 8-bit samples, Huffman entropy coding.
-- 1 component (grayscale) or 3 components (YCbCr 4:4:4 — no chroma
-  subsampling); the encoder emits these, the decoder accepts any JPEG
-  within this envelope (it reads DQT/DHT/SOF0/SOS from the stream, so
-  files from other encoders decode too as long as they are baseline,
-  8-bit, 4:4:4, no restart markers).
+- 1 component (grayscale) or 3 components (YCbCr), 4:4:4 or 4:2:0
+  chroma subsampling (round-11 verdict item 2 — 4:2:0 is the dominant
+  real-world wire format): the encoder emits either (box-average 2x2
+  chroma downsample, half-up), the decoder accepts any baseline JPEG
+  whose sampling factors are all 1x1 or the standard 2x2-luma/1x1-chroma
+  MCU layout, upsampling chroma by sample replication (nearest
+  neighbor — deterministic, and exact on the constant-per-MCU payloads
+  the oracle replays).
 - Rejected explicitly: progressive (SOF2), arithmetic coding, 12-bit,
-  subsampled chroma, DRI/RSTn — a clear error instead of wrong pixels.
+  other sampling layouts (4:2:2, 4:1:1), DRI/RSTn — a clear error
+  instead of wrong pixels.
 
 Determinism contract (what the DuckDB oracle leans on): quantization is
 ``floor(coef / q + 0.5)`` (half-up), reconstruction is
@@ -288,24 +292,67 @@ def _dht_payload(table_class: int, table_id: int, bits, vals) -> bytes:
     return bytes([(table_class << 4) | table_id]) + bytes(bits) + bytes(vals)
 
 
+def box_down2(plane: list[int], width: int, height: int) -> list[int]:
+    """2x2 box-average downsample with half-up rounding and edge
+    replication at odd dims — the 4:2:0 chroma reduction. Output dims
+    ((width+1)//2, (height+1)//2); each sample is
+    floor((sum of the 4 edge-clamped full-res samples) / 4 + 0.5),
+    computed as (s + 2) // 4 in exact integers."""
+    cw = (width + 1) // 2
+    ch = (height + 1) // 2
+    out = []
+    for cy in range(ch):
+        y0 = 2 * cy
+        y1 = min(2 * cy + 1, height - 1)
+        for cx in range(cw):
+            x0 = 2 * cx
+            x1 = min(2 * cx + 1, width - 1)
+            s = (
+                plane[y0 * width + x0] + plane[y0 * width + x1]
+                + plane[y1 * width + x0] + plane[y1 * width + x1]
+            )
+            out.append((s + 2) // 4)
+    return out
+
+
+def _block_at(
+    plane: list[int], width: int, height: int, bx: int, by: int
+) -> list[int]:
+    """One 8x8 block from a plane, replicating the edge sample past the
+    right/bottom borders (the shared padding rule of both layouts)."""
+    block = []
+    for yy in range(8):
+        sy = min(by * 8 + yy, height - 1)
+        for xx in range(8):
+            sx = min(bx * 8 + xx, width - 1)
+            block.append(plane[sy * width + sx])
+    return block
+
+
 def encode_jpeg(
     pixels: bytes | list[int],
     width: int,
     height: int,
     channels: int = 1,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode 8-bit samples (row-major, interleaved RGB when channels=3)
     as a baseline JFIF JPEG. Grayscale uses the luma tables only; RGB is
-    converted to YCbCr (full range) and coded 4:4:4. Blocks at the right/
-    bottom edge replicate the edge sample. Quality is fixed at the Annex-K
-    base tables ("quality 50")."""
+    converted to YCbCr (full range) and coded 4:4:4 or — with
+    subsampling="420" — with 2x2 box-averaged chroma in the standard
+    16x16 MCU interleave (Y00 Y01 Y10 Y11 Cb Cr). Blocks at the right/
+    bottom edge replicate the edge sample. Quality is fixed at the
+    Annex-K base tables ("quality 50")."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     if width <= 0 or height <= 0:
         raise ValueError("empty image")
     px = list(pixels)
     if len(px) != width * height * channels:
         raise ValueError("pixel buffer does not match dimensions")
+    sub420 = channels == 3 and subsampling == "420"
 
     # component planes, level 0..255
     if channels == 1:
@@ -331,7 +378,8 @@ def encode_jpeg(
     comp_spec = b""
     for cid in range(1, channels + 1):
         tq = 0 if cid == 1 else 1
-        comp_spec += bytes([cid, 0x11, tq])
+        hv = 0x22 if (sub420 and cid == 1) else 0x11
+        comp_spec += bytes([cid, hv, tq])
     out += _seg(
         0xFFC0,
         bytes([8]) + struct.pack(">HH", height, width)
@@ -350,21 +398,45 @@ def encode_jpeg(
     out += _seg(0xFFDA, sos)
 
     writer = _BitWriter()
-    bx = (width + 7) // 8
-    by = (height + 7) // 8
     pred = [0] * channels
-    for byi in range(by):
-        for bxi in range(bx):
-            for ci in range(channels):
-                plane = planes[ci]
-                quant = quants[min(ci, len(quants) - 1)]
-                block = []
-                for yy in range(8):
-                    sy = min(byi * 8 + yy, height - 1)
-                    for xx in range(8):
-                        sx = min(bxi * 8 + xx, width - 1)
-                        block.append(plane[sy * width + sx])
-                pred[ci] = _encode_block(writer, block, quant, pred[ci])
+    if not sub420:
+        bx = (width + 7) // 8
+        by = (height + 7) // 8
+        for byi in range(by):
+            for bxi in range(bx):
+                for ci in range(channels):
+                    quant = quants[min(ci, len(quants) - 1)]
+                    pred[ci] = _encode_block(
+                        writer,
+                        _block_at(planes[ci], width, height, bxi, byi),
+                        quant,
+                        pred[ci],
+                    )
+    else:
+        cw = (width + 1) // 2
+        ch = (height + 1) // 2
+        cplanes = [box_down2(planes[1], width, height),
+                   box_down2(planes[2], width, height)]
+        mx = (width + 15) // 16
+        my = (height + 15) // 16
+        for myi in range(my):
+            for mxi in range(mx):
+                for v in range(2):  # 4 luma blocks, raster order
+                    for h in range(2):
+                        pred[0] = _encode_block(
+                            writer,
+                            _block_at(planes[0], width, height,
+                                      2 * mxi + h, 2 * myi + v),
+                            quants[0],
+                            pred[0],
+                        )
+                for ci in (1, 2):
+                    pred[ci] = _encode_block(
+                        writer,
+                        _block_at(cplanes[ci - 1], cw, ch, mxi, myi),
+                        quants[1],
+                        pred[ci],
+                    )
     writer.flush()
     out += writer.buf
     out += b"\xff\xd9"  # EOI
@@ -492,11 +564,22 @@ def decode_jpeg(data: bytes) -> dict:
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * i:9 + 3 * i]
-                if hv != 0x11:
+                if hv not in (0x11, 0x22):
                     raise ValueError(
-                        "subsampled chroma unsupported (4:4:4 only)"
+                        "unsupported sampling factors "
+                        f"0x{hv:02X} (1x1 and 2x2 only)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hv >> 4, hv & 0xF))
+            hvs = tuple(c[2:] for c in comps)
+            if not (
+                all(f == (1, 1) for f in hvs)
+                or (len(hvs) == 3
+                    and hvs[0] == (2, 2)
+                    and hvs[1] == hvs[2] == (1, 1))
+            ):
+                raise ValueError(
+                    "unsupported sampling layout (4:4:4 or 4:2:0 only)"
+                )
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -527,61 +610,85 @@ def decode_jpeg(data: bytes) -> dict:
         raise ValueError("only 1- or 3-component images supported")
 
     reader = _BitReader(data[data_start:])
-    bx = (width + 7) // 8
-    by = (height + 7) // 8
-    planes = [[0] * (bx * 8 * by * 8) for _ in range(channels)]
+    # generic MCU-interleaved scan: MCU = 8*maxh x 8*maxv samples; each
+    # component contributes hi x vi blocks per MCU into its own padded
+    # plane. For all-1x1 sampling this degenerates to exactly the old
+    # one-block-per-component 8x8 loop (same block order, same planes).
+    maxh = max(c[2] for c in comps)
+    maxv = max(c[3] for c in comps)
+    mx = (width + 8 * maxh - 1) // (8 * maxh)
+    my = (height + 8 * maxv - 1) // (8 * maxv)
+    comp_by_cid = {c[0]: c for c in comps}
+    strides = []
+    planes = []
+    for cid, td, ta in tables:
+        _, _tq, hi, vi = comp_by_cid[cid]
+        strides.append(mx * 8 * hi)
+        planes.append([0] * (mx * 8 * hi * my * 8 * vi))
     pred = [0] * channels
-    comp_tq = {cid: tq for cid, tq in comps}
-    for byi in range(by):
-        for bxi in range(bx):
+    for myi in range(my):
+        for mxi in range(mx):
             for ci, (cid, td, ta) in enumerate(tables):
+                _, tq, hi, vi = comp_by_cid[cid]
                 dc_dec = huff[(0, td)]
                 ac_dec = huff[(1, ta)]
-                q = quant[comp_tq[cid]]
-                zz = [0] * 64
-                size = dc_dec.decode(reader)
-                pred[ci] += _extend(reader.receive(size), size)
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = ac_dec.decode(reader)
-                    run, size = rs >> 4, rs & 0xF
-                    if size == 0:
-                        if run == 15:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run overflows block")
-                    zz[k] = _extend(reader.receive(size), size)
-                    k += 1
-                coefs = [0.0] * 64
-                for kk in range(64):
-                    coefs[ZIGZAG[kk]] = zz[kk] * q[ZIGZAG[kk]]
-                spatial = idct_block(coefs)
-                plane = planes[ci]
-                row0, col0 = byi * 8, bxi * 8
-                for yy in range(8):
-                    base = (row0 + yy) * (bx * 8) + col0
-                    for xx in range(8):
-                        v = _round_half_up_eps(spatial[yy * 8 + xx] + 128)
-                        plane[base + xx] = min(255, max(0, v))
+                q = quant[tq]
+                for bv in range(vi):
+                    for bh in range(hi):
+                        zz = [0] * 64
+                        size = dc_dec.decode(reader)
+                        pred[ci] += _extend(reader.receive(size), size)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = ac_dec.decode(reader)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
+                            zz[k] = _extend(reader.receive(size), size)
+                            k += 1
+                        coefs = [0.0] * 64
+                        for kk in range(64):
+                            coefs[ZIGZAG[kk]] = zz[kk] * q[ZIGZAG[kk]]
+                        spatial = idct_block(coefs)
+                        plane = planes[ci]
+                        stride = strides[ci]
+                        row0 = (myi * vi + bv) * 8
+                        col0 = (mxi * hi + bh) * 8
+                        for yy in range(8):
+                            base = (row0 + yy) * stride + col0
+                            for xx in range(8):
+                                v = _round_half_up_eps(
+                                    spatial[yy * 8 + xx] + 128
+                                )
+                                plane[base + xx] = min(255, max(0, v))
 
-    stride = bx * 8
+    def sample(ci: int, x: int, y: int) -> int:
+        """Full-res sample of component ci: identity for full-sampled
+        components, replication upsample for subsampled ones."""
+        _, _tq, hi, vi = comp_by_cid[tables[ci][0]]
+        return planes[ci][
+            (y * vi // maxv) * strides[ci] + (x * hi // maxh)
+        ]
+
     if channels == 1:
         pixels = [
-            planes[0][y * stride + x]
-            for y in range(height)
-            for x in range(width)
+            sample(0, x, y) for y in range(height) for x in range(width)
         ]
     else:
         pixels = []
         for y in range(height):
             for x in range(width):
-                i = y * stride + x
                 pixels.extend(
-                    ycbcr_to_rgb(planes[0][i], planes[1][i], planes[2][i])
+                    ycbcr_to_rgb(
+                        sample(0, x, y), sample(1, x, y), sample(2, x, y)
+                    )
                 )
     return {
         "width": width,

@@ -1606,3 +1606,194 @@ def _jpeg_rgb_oracle() -> str:
 
 QUERIES["image_jpeg_rgb_stats"] = image_jpeg_rgb_stats
 ORACLE["image_jpeg_rgb_stats"] = _jpeg_rgb_oracle()
+
+
+# --- 4:2:0 chroma-subsampled JPEG (the dominant real-world wire format) -----
+JPEG_420_CAP = 3  # bytes per doc -> one constant-RGB 16x16 MCU per byte
+
+
+def jpeg420_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL 4:2:0 baseline JPEG:
+    each of the doc's first {JPEG_420_CAP} bytes v becomes one constant
+    RGB 16x16 MCU (r, g, b) = (v, (3v+7)%256, (5v+13)%256), stacked
+    vertically in a 16-px-wide strip. A constant MCU keeps the whole
+    4:2:0 pipeline closed-form: the 2x2 box average of a constant is
+    that constant ((4v+2)//4 = v exactly), the four luma blocks and both
+    chroma blocks are constant 8x8 blocks, and replication upsampling of
+    a constant is the identity — so the DuckDB oracle can replay every
+    decoded pixel in SQL arithmetic while the bytes still travel the
+    full MCU-interleaved entropy-code -> dequant -> IDCT -> upsample ->
+    YCbCr->RGB pipeline. Runs per Arrow batch in mapInPandas."""
+    from pyspark import cloudpickle
+
+    from database_toolbox_spark.functions import jpeg as jpeg_mod
+
+    cloudpickle.register_pickle_by_value(jpeg_mod)
+    encode = jpeg_mod.encode_jpeg
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(n_parts)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def to_jpeg(text: str) -> bytes:
+            if not text.isascii():
+                # byte-vs-codepoint oracle contract, as jpeg_payloads
+                raise ValueError(
+                    "jpeg420_payloads: ASCII-only contract violated "
+                    f"(doc text contains non-ASCII): {text[:40]!r}"
+                )
+            body = text.encode("utf-8")[:JPEG_420_CAP] or b"\x00"
+            buf = bytearray()
+            for v in body:
+                px = bytes((v, (3 * v + 7) % 256, (5 * v + 13) % 256)) * 16
+                buf += px * 16  # 16 rows of the constant RGB row
+            return encode(
+                bytes(buf), 16, 16 * len(body), channels=3,
+                subsampling="420",
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pdf["text"].map(to_jpeg),
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def image_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the 4:2:0 JPEGs (jpeg420_payloads) through the full
+    subsampled pipeline — MCU-interleaved Huffman scan, per-table
+    dequant, IDCT, chroma replication upsample, YCbCr->RGB — and reduce
+    to per-channel sums + the first pixel. The oracle replays the whole
+    chain in SQL arithmetic (the box average is exact identity on the
+    constant MCUs; non-constant inputs are covered by the codec's
+    fuzz-vs-replay pytest anchors, tests/test_round12_ops.py).
+
+    Scale shape: same as image_jpeg_rgb_stats — one fused mapInPandas
+    pipeline after a repartitioned pruned scan, per-doc cost bounded by
+    the {JPEG_420_CAP}-MCU cap (6 blocks per MCU)."""
+    from pyspark import cloudpickle
+
+    from database_toolbox_spark.functions import jpeg as jpeg_mod
+
+    cloudpickle.register_pickle_by_value(jpeg_mod)
+    decode = jpeg_mod.decode_jpeg
+    payloads = jpeg420_payloads(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def stats(payload: bytes) -> tuple:
+            img = decode(payload)
+            px = img["pixels"]
+            return (
+                img["width"], img["height"],
+                (img["width"] // 16) * (img["height"] // 16),
+                sum(px[0::3]), sum(px[1::3]), sum(px[2::3]),
+                px[0], px[1], px[2],
+            )
+
+        for pdf in batches:
+            cols = pdf["payload"].map(stats)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": cols.map(lambda t: t[0]).astype("int32"),
+                    "height": cols.map(lambda t: t[1]).astype("int32"),
+                    "n_mcus": cols.map(lambda t: t[2]).astype("int32"),
+                    "r_sum": cols.map(lambda t: t[3]).astype("int64"),
+                    "g_sum": cols.map(lambda t: t[4]).astype("int64"),
+                    "b_sum": cols.map(lambda t: t[5]).astype("int64"),
+                    "first_r": cols.map(lambda t: t[6]).astype("int32"),
+                    "first_g": cols.map(lambda t: t[7]).astype("int32"),
+                    "first_b": cols.map(lambda t: t[8]).astype("int32"),
+                }
+            )
+
+    schema = JPEG_RGB_STATS_SCHEMA.replace("n_blocks", "n_mcus")
+    return payloads.mapInPandas(run, schema=schema).orderBy("doc_id")
+
+
+def _jpeg_420_oracle() -> str:
+    # identical literals/order as _jpeg_rgb_oracle; the only 4:2:0
+    # deltas are the 16x16 MCU geometry (256 px per byte) and that the
+    # chroma constants pass through the (exact-identity) box average
+    def clamp(x: str) -> str:
+        return f"greatest(0, least(255, {x}))"
+
+    def rhu(x: str) -> str:
+        return f"CAST(floor(({x}) + 0.5e0) AS BIGINT)"
+
+    def decq(c: str, q: int) -> str:
+        fq = f"floor(8e0 * (({c}) - 128) / {q}e0 + 0.5e0)"
+        return clamp(
+            f"CAST(floor({q} * {fq} / 8e0 + 0.5e0) AS BIGINT) + 128"
+        )
+
+    y = clamp(rhu("0.299e0 * r + 0.587e0 * g + 0.114e0 * b"))
+    cb = clamp(rhu("128e0 - 0.168736e0 * r - 0.331264e0 * g"
+                   " + 0.5e0 * b"))
+    cr = clamp(rhu("128e0 + 0.5e0 * r - 0.418688e0 * g"
+                   " - 0.081312e0 * b"))
+    r2 = clamp(rhu("y2 + 1.402e0 * (cr2 - 128)"))
+    g2 = clamp(rhu("y2 - 0.344136e0 * (cb2 - 128)"
+                   " - 0.714136e0 * (cr2 - 128)"))
+    b2 = clamp(rhu("y2 + 1.772e0 * (cb2 - 128)"))
+    return f"""
+        WITH c AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN [0]
+                        ELSE list_transform(
+                            range(1, least(length(text),
+                                           {JPEG_420_CAP}) + 1),
+                            i -> ascii(substr(text, i, 1))) END AS s
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, len(s) AS nm, unnest(s) AS v,
+                   generate_subscripts(s, 1) AS k
+            FROM c
+        ),
+        rgb AS (
+            SELECT doc_id, nm, k, v AS r,
+                   (3 * v + 7) % 256 AS g,
+                   (5 * v + 13) % 256 AS b
+            FROM px
+        ),
+        ycc AS (
+            SELECT doc_id, nm, k, {y} AS y0, {cb} AS cb0, {cr} AS cr0
+            FROM rgb
+        ),
+        rec AS (
+            SELECT doc_id, nm, k,
+                   {decq("y0", 16)} AS y2,
+                   {decq("cb0", 17)} AS cb2,
+                   {decq("cr0", 17)} AS cr2
+            FROM ycc
+        ),
+        out_px AS (
+            SELECT doc_id, nm, k, {r2} AS r2, {g2} AS g2, {b2} AS b2
+            FROM rec
+        )
+        SELECT doc_id,
+               16 AS width,
+               CAST(16 * max(nm) AS INT) AS height,
+               CAST(max(nm) AS INT) AS n_mcus,
+               CAST(256 * sum(r2) AS BIGINT) AS r_sum,
+               CAST(256 * sum(g2) AS BIGINT) AS g_sum,
+               CAST(256 * sum(b2) AS BIGINT) AS b_sum,
+               CAST(max(CASE WHEN k = 1 THEN r2 END) AS INT) AS first_r,
+               CAST(max(CASE WHEN k = 1 THEN g2 END) AS INT) AS first_g,
+               CAST(max(CASE WHEN k = 1 THEN b2 END) AS INT) AS first_b
+        FROM out_px
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+
+
+QUERIES["image_jpeg_420_stats"] = image_jpeg_420_stats
+ORACLE["image_jpeg_420_stats"] = _jpeg_420_oracle()

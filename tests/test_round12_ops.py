@@ -175,3 +175,163 @@ def test_unigram_trainer_prunes_and_keeps_chars(spark):
     assert chars, "single chars must never be pruned"
     assert all(r.new_logp is None for r in rows if r.est_count == 0)
     assert all(r.new_logp is not None for r in rows if r.est_count > 0)
+
+
+# ------------------------------------------------------- JPEG 4:2:0 codec
+
+
+def _cdec(v, q):
+    from database_toolbox_spark.functions.jpeg import (
+        constant_block_decode_value,
+    )
+
+    return constant_block_decode_value(v, q)
+
+
+def test_jpeg_420_constant_mcu_all_values():
+    """decode(encode_420(constant 16x16 MCU)) equals the codec-free
+    closed form for EVERY byte value: forward BT.601, per-table DC
+    quant round-trip, inverse BT.601 — the box average and replication
+    upsample are exact identities on constants."""
+    from database_toolbox_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    for v in range(256):
+        r, g, b = v, (3 * v + 7) % 256, (5 * v + 13) % 256
+        img = decode_jpeg(
+            encode_jpeg(bytes([r, g, b] * 256), 16, 16, 3,
+                        subsampling="420")
+        )
+        y0, cb0, cr0 = rgb_to_ycbcr(r, g, b)
+        want = list(
+            ycbcr_to_rgb(_cdec(y0, 16), _cdec(cb0, 17), _cdec(cr0, 17))
+        )
+        assert img["width"] == 16 and img["height"] == 16
+        assert img["pixels"] == want * 256, v
+
+
+def test_jpeg_420_multi_mcu_and_odd_dims():
+    """Multi-MCU strips chain DC prediction across MCUs; odd dims
+    exercise edge replication in both the luma pad and the chroma
+    downsample, and the decoder's crop back to the true size."""
+    from database_toolbox_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    colors = [(10, 200, 30), (250, 3, 99), (128, 128, 128)]
+    px = []
+    for (r, g, b) in colors:
+        px += [r, g, b] * 256
+    img = decode_jpeg(
+        encode_jpeg(bytes(px), 16, 48, 3, subsampling="420")
+    )
+    for t, (r, g, b) in enumerate(colors):
+        y0, cb0, cr0 = rgb_to_ycbcr(r, g, b)
+        want = list(
+            ycbcr_to_rgb(_cdec(y0, 16), _cdec(cb0, 17), _cdec(cr0, 17))
+        )
+        assert img["pixels"][t * 768:t * 768 + 768] == want * 256, t
+
+    r, g, b = 77, 150, 33
+    img = decode_jpeg(
+        encode_jpeg(bytes([r, g, b] * (13 * 9)), 13, 9, 3,
+                    subsampling="420")
+    )
+    y0, cb0, cr0 = rgb_to_ycbcr(r, g, b)
+    want = list(
+        ycbcr_to_rgb(_cdec(y0, 16), _cdec(cb0, 17), _cdec(cr0, 17))
+    )
+    assert (img["width"], img["height"]) == (13, 9)
+    assert img["pixels"] == want * (13 * 9)
+
+
+def test_jpeg_box_down2_matches_numpy():
+    """The 4:2:0 chroma reduction vs an independent numpy replay —
+    half-up box average with edge replication at odd dims."""
+    import numpy as np
+
+    from database_toolbox_spark.functions.jpeg import box_down2
+
+    rng = np.random.default_rng(7)
+    for (w, h) in [(8, 8), (7, 5), (16, 9), (1, 1), (3, 8), (32, 17)]:
+        plane = rng.integers(0, 256, w * h).tolist()
+        a = np.array(plane).reshape(h, w)
+        ae = np.pad(a, ((0, h % 2), (0, w % 2)), mode="edge")
+        s = (
+            ae[0::2, 0::2].astype(int) + ae[0::2, 1::2]
+            + ae[1::2, 0::2] + ae[1::2, 1::2]
+        )
+        want = ((s + 2) // 4).flatten().tolist()
+        assert box_down2(plane, w, h) == want, (w, h)
+
+
+def test_jpeg_420_fuzz_nonconstant_roundtrip():
+    """Non-constant 4:2:0 images: the decode must succeed with the right
+    geometry, and on 2x2-flat inputs (every aligned 2x2 cell constant,
+    chroma channels globally constant) the luma detail must survive —
+    per-pixel luma of the decoded image within quantization error of the
+    source. Exercises the box average and the MCU scan on real AC
+    coefficients, which the constant-MCU oracle cannot."""
+    import numpy as np
+
+    from database_toolbox_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    for (w, h) in [(16, 16), (24, 8), (18, 34)]:
+        # grayscale-valued RGB: chroma is constant 128 everywhere, luma
+        # carries a random 2x2-flat pattern
+        base = rng.integers(40, 216, ((h + 1) // 2, (w + 1) // 2))
+        lum = np.repeat(np.repeat(base, 2, 0), 2, 1)[:h, :w]
+        px = np.repeat(lum.flatten(), 3).astype(np.uint8).tobytes()
+        img = decode_jpeg(encode_jpeg(px, w, h, 3, subsampling="420"))
+        assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+        got = np.array(img["pixels"]).reshape(h, w, 3)
+        # luma tolerance: quality-50 quantization on sharp 2x2 edges is
+        # lossy; assert the reconstruction tracks the source
+        y_src = (
+            0.299 * lum + 0.587 * lum + 0.114 * lum
+        )
+        y_got = (
+            0.299 * got[:, :, 0] + 0.587 * got[:, :, 1]
+            + 0.114 * got[:, :, 2]
+        )
+        assert float(np.abs(y_got - y_src).mean()) < 12.0, (w, h)
+        # chroma flatness: decoded channels stay near-gray
+        assert float(
+            np.abs(got[:, :, 0].astype(int) - got[:, :, 2]).mean()
+        ) < 14.0
+
+
+def test_jpeg_rejects_unsupported_sampling():
+    """4:2:2 (0x21) sampling factors must be rejected loudly, and the
+    encoder must refuse unknown subsampling names."""
+    import pytest
+
+    from database_toolbox_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(bytes(64 * 3), 8, 8, 3, subsampling="422")
+    good = encode_jpeg(bytes([9, 9, 9] * 256), 16, 16, 3,
+                       subsampling="420")
+    # corrupt SOF: flip the luma sampling byte 0x22 -> 0x21 (4:2:2)
+    i = good.find(b"\xff\xc0")
+    assert i > 0
+    sof = bytearray(good)
+    comp0_hv = i + 2 + 2 + 1 + 4 + 1 + 1  # len, precision, h/w, ncomp, cid
+    assert sof[comp0_hv] == 0x22
+    sof[comp0_hv] = 0x21
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(bytes(sof))
