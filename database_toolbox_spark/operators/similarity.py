@@ -2762,27 +2762,14 @@ _IVF_BQ_ASSIGN_DUCK = f"""SELECT e.vec_id, e.label, a.cell,
         ) a ON a.vec_id = e.vec_id"""
 
 
-def ivf_bq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-routed, binary-scored, exactly-reranked ANN (see _ivf_bq_sql):
-    top-{TOP_K} by exact cosine among the asymmetric-score shortlist of
-    the query's IVF cell, with the asymmetric score shown next to the
-    exact value.
+ANN_PERSIST_ENV = "SPARK_GRAFT_ANN_PERSIST"
 
-    Scale shape: the index — (cell, w1, w2, label), three ints + label
-    per vector — is MATERIALIZED once; the query path reads ONLY the
-    probe cell's code rows (integer shifts inside codegen), rank-filters
-    a shortlist sized from the probe set itself (max({BQ_RERANK},
-    probe/{BQ_RERANK_FRACTION}), spelled as row_number + count(*) windows
-    over the cell-share-bounded probe — ZERO plan-time driver actions,
-    round-10 verdict item 6; the oracle spells the same width as a
-    scalar-subquery LIMIT), and re-reads just that shortlist's float
-    vectors via an equi-join. At 100 TB: centroids broadcast, codes
-    stream, floats stay cold until the final ≤shortlist fetch."""
-    from database_toolbox_spark.session import materialize  # noqa: PLC0415
 
-    load_tables(spark, sf_dir)
+def _ivf_bq_index_sql() -> str:
+    """The (vec_id, label, cell, w1, w2) index derivation — shared by the
+    in-session materialize path and the durable-artifact build."""
     d2 = _spark_l2_to_centroid("e.embedding", "c.embedding")
-    idx_df = materialize(spark.sql(f"""
+    return f"""
         WITH cents AS (
             SELECT vec_id AS cell, embedding FROM embeddings
             WHERE vec_id < {N_IVF_CELLS}
@@ -2800,7 +2787,98 @@ def ivf_bq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                {_bq_pack_spark(1)} AS w1,
                {_bq_pack_spark(33)} AS w2
         FROM embeddings e JOIN a ON a.vec_id = e.vec_id
-    """))
+    """
+
+
+def _ann_index_location(sf_dir: str) -> str | None:
+    """Durable-index dataset path for the CURRENT embeddings fixture, or
+    None when ${ANN_PERSIST_ENV} is unset. The directory name carries a
+    digest of the source parquet's (realpath, size, mtime_ns) — a changed
+    fixture changes the digest, so a stale artifact can never be read:
+    the new digest simply misses and the index rebuilds (the same
+    part-file identity idea the nanos-footer cache uses). Refuses the
+    fixture/reference trees like the docstore persist path does."""
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    d = os.environ.get(ANN_PERSIST_ENV, "").strip()
+    if not d:
+        return None
+    from database_toolbox_spark.session import (  # noqa: PLC0415
+        DEFAULT_SF_DIR,
+        persisted_table_path,
+    )
+
+    real = os.path.realpath(d)
+    active_sf = os.path.realpath(
+        os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    )
+    for forbidden in ["/root/testdata", "/root/reference", active_sf,
+                      os.path.realpath(sf_dir)]:
+        if (
+            real == forbidden
+            or real.startswith(forbidden + os.sep)
+            or forbidden.startswith(real + os.sep)
+        ):
+            raise ValueError(
+                f"{ANN_PERSIST_ENV} must point at a scratch directory "
+                f"disjoint from {forbidden}"
+            )
+    src = persisted_table_path("embeddings") or os.path.join(
+        sf_dir, "embeddings.parquet"
+    )
+    p = src
+    if os.path.isdir(p):
+        parts = sorted(
+            f for f in os.listdir(p) if f.endswith(".parquet")
+        )
+        if parts:
+            p = os.path.join(p, parts[0])
+    st = os.stat(p)
+    digest = hashlib.sha1(
+        f"{os.path.realpath(p)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(d, f"ivf_bq_index_{digest}")
+
+
+def ivf_bq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed, binary-scored, exactly-reranked ANN (see _ivf_bq_sql):
+    top-{TOP_K} by exact cosine among the asymmetric-score shortlist of
+    the query's IVF cell, with the asymmetric score shown next to the
+    exact value.
+
+    Scale shape: the index — (cell, w1, w2, label), three ints + label
+    per vector — is MATERIALIZED once; the query path reads ONLY the
+    probe cell's code rows (integer shifts inside codegen), rank-filters
+    a shortlist sized from the probe set itself (max({BQ_RERANK},
+    probe/{BQ_RERANK_FRACTION}), spelled as row_number + count(*) windows
+    over the cell-share-bounded probe — ZERO plan-time driver actions,
+    round-10 verdict item 6; the oracle spells the same width as a
+    scalar-subquery LIMIT), and re-reads just that shortlist's float
+    vectors via an equi-join. At 100 TB: centroids broadcast, codes
+    stream, floats stay cold until the final ≤shortlist fetch.
+
+    Durable index (round-11 verdict item 4): when ${ANN_PERSIST_ENV}
+    names a scratch directory, the index is built ONCE to
+    `<dir>/ivf_bq_index_<fixture-digest>/` and every later session reads
+    the parquet artifact instead of rebuilding — the "index outlives the
+    session" contract a 100 TB deployment needs. A changed fixture
+    changes the digest, forcing a rebuild (never a stale read); results
+    are identical either way (tests/test_round12_ops.py)."""
+    import os  # noqa: PLC0415
+
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
+    load_tables(spark, sf_dir)
+    loc = _ann_index_location(sf_dir)
+    if loc is not None:
+        if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+            spark.sql(_ivf_bq_index_sql()).write.mode(
+                "overwrite"
+            ).parquet(loc)
+        idx_df = spark.read.parquet(loc)
+    else:
+        idx_df = materialize(spark.sql(_ivf_bq_index_sql()))
     idx_df.createOrReplaceTempView("ivf_bq_idx_v")
     spark_cos = (
         "aggregate(zip_with(e.embedding, q.qv, (x, y) -> "

@@ -335,3 +335,81 @@ def test_jpeg_rejects_unsupported_sampling():
     sof[comp0_hv] = 0x21
     with pytest.raises(ValueError, match="sampling"):
         decode_jpeg(bytes(sof))
+
+
+# -------------------------------------------------- durable ANN index
+
+
+def test_ivf_bq_durable_index_roundtrip(spark, tmp_path, monkeypatch):
+    """With SPARK_GRAFT_ANN_PERSIST set, the first call builds the
+    parquet index artifact, later calls READ it (artifact untouched),
+    and the results are identical to the in-session build."""
+    import os
+
+    from database_toolbox_spark.operators.similarity import (
+        ivf_bq_ann_topk,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_ANN_PERSIST", raising=False)
+    baseline = [tuple(r) for r in ivf_bq_ann_topk(spark, SF_DIR).collect()]
+    assert baseline
+
+    scratch = tmp_path / "ann"
+    monkeypatch.setenv("SPARK_GRAFT_ANN_PERSIST", str(scratch))
+    got1 = [tuple(r) for r in ivf_bq_ann_topk(spark, SF_DIR).collect()]
+    assert got1 == baseline
+    dirs = [p for p in os.listdir(scratch) if p.startswith("ivf_bq_index_")]
+    assert len(dirs) == 1
+    marker = scratch / dirs[0] / "_SUCCESS"
+    stamp = marker.stat().st_mtime_ns
+
+    got2 = [tuple(r) for r in ivf_bq_ann_topk(spark, SF_DIR).collect()]
+    assert got2 == baseline
+    assert marker.stat().st_mtime_ns == stamp, "index was rebuilt"
+
+
+def test_ivf_bq_durable_index_rebuilds_on_fixture_change(
+    spark, tmp_path, monkeypatch
+):
+    """A changed embeddings fixture changes the digest, so a new index
+    artifact is built instead of a stale read."""
+    import os
+    import shutil
+
+    from database_toolbox_spark.operators.similarity import (
+        ivf_bq_ann_topk,
+    )
+    from database_toolbox_spark.session import TABLES
+
+    sf2 = tmp_path / "sf"
+    sf2.mkdir()
+    for t in TABLES:
+        shutil.copyfile(f"{SF_DIR}/{t}.parquet", sf2 / f"{t}.parquet")
+    scratch = tmp_path / "ann"
+    monkeypatch.setenv("SPARK_GRAFT_ANN_PERSIST", str(scratch))
+
+    first = [tuple(r) for r in ivf_bq_ann_topk(spark, str(sf2)).collect()]
+    assert len([p for p in os.listdir(scratch)
+                if p.startswith("ivf_bq_index_")]) == 1
+
+    # rewrite the embeddings file (same content, new mtime) -> new digest
+    os.utime(sf2 / "embeddings.parquet")
+    second = [tuple(r) for r in ivf_bq_ann_topk(spark, str(sf2)).collect()]
+    assert second == first
+    assert len([p for p in os.listdir(scratch)
+                if p.startswith("ivf_bq_index_")]) == 2
+
+
+def test_ann_persist_refuses_fixture_trees(monkeypatch):
+    import pytest
+
+    from database_toolbox_spark.operators.similarity import (
+        _ann_index_location,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_PERSIST", "/root/testdata/scratch")
+    with pytest.raises(ValueError, match="scratch"):
+        _ann_index_location(SF_DIR)
+    monkeypatch.setenv("SPARK_GRAFT_ANN_PERSIST", SF_DIR)
+    with pytest.raises(ValueError, match="scratch"):
+        _ann_index_location(SF_DIR)
