@@ -1916,23 +1916,15 @@ DOREMI_ETA = 1.0     # multiplicative step size on excess loss
 DOREMI_SMOOTH = 0.2  # uniform smoothing mass
 
 
-def _doremi_sql(split, length, distinct, filt, sw: str) -> str:
-    g_cols = []
-    for j, f in enumerate(LGD_FEATURES):
-        x = "1e0" if f == "bias" else f
-        g_cols.append(
-            f"sum(CAST(floor((0.5e0 - y) * {x} * 1000000e0 + 0.5e0)"
-            f" AS BIGINT)) AS g{j}"
-        )
-    margin = " + ".join(
-        f"w.w{j} * " + ("1e0" if f == "bias" else f"f.{f}")
-        for j, f in enumerate(LGD_FEATURES)
-    )
-    return f"""
-        WITH t AS (SELECT doc_id, source,
+def _doremi_feat_ctes(split, length, distinct, filt, sw: str,
+                      src: str = "documents") -> str:
+    """The t/feat CTE pair — shared verbatim by the batch op, the DuckDB
+    oracle, and the streaming twin's per-micro-batch folds, so every
+    feature double is bit-identical across all three."""
+    return f"""t AS (SELECT doc_id, source,
                           CASE WHEN lang = 'en' THEN 1e0 ELSE 0e0 END AS y,
                           {split} AS w
-                   FROM documents),
+                   FROM {src}),
         feat AS (
             SELECT doc_id, source, y,
                    {length}({distinct}(w)) * 1e0 / {length}(w) AS ttr,
@@ -1940,8 +1932,48 @@ def _doremi_sql(split, length, distinct, filt, sw: str) -> str:
                        / {length}(w) AS stop_ratio,
                    least({length}(w) / 64e0, 2e0) AS len_norm
             FROM t
-        ),
-        agg AS (SELECT count(*) AS n, {", ".join(g_cols)} FROM feat),
+        )"""
+
+
+def _doremi_gcols() -> list[str]:
+    out = []
+    for j, f in enumerate(LGD_FEATURES):
+        x = "1e0" if f == "bias" else f
+        out.append(
+            f"sum(CAST(floor((0.5e0 - y) * {x} * 1000000e0 + 0.5e0)"
+            f" AS BIGINT)) AS g{j}"
+        )
+    return out
+
+
+def _doremi_margin(wref) -> str:
+    """w . features, left-to-right; wref(j) names the j-th weight (a
+    relation column in batch SQL, an exact literal in the stream)."""
+    return " + ".join(
+        f"{wref(j)} * " + ("1e0" if f == "bias" else f"f.{f}")
+        for j, f in enumerate(LGD_FEATURES)
+    )
+
+
+def _doremi_dom_select(margin: str, src: str = "feat f CROSS JOIN w") -> str:
+    """Per-domain loss/count aggregate under the margin expression —
+    integer lsum so cross-batch folds are order-free exact."""
+    return f"""
+            SELECT f.source, count(*) AS n_i,
+                   CAST(sum(f.y) AS BIGINT) AS pos,
+                   sum(CAST(floor(
+                       ln(1e0 + exp(-(2e0 * f.y - 1e0) * ({margin})))
+                       * 1000000e0 + 0.5e0) AS BIGINT)) AS lsum
+            FROM {src}
+            GROUP BY f.source"""
+
+
+def _doremi_sql(split, length, distinct, filt, sw: str) -> str:
+    margin = _doremi_margin(lambda j: f"w.w{j}")
+    return f"""
+        WITH {_doremi_feat_ctes(split, length, distinct, filt, sw)},
+        agg AS (SELECT count(*) AS n, {", ".join(_doremi_gcols())}
+                FROM feat),
         w AS (
             SELECT n,
                    {", ".join(
@@ -1949,16 +1981,18 @@ def _doremi_sql(split, length, distinct, filt, sw: str) -> str:
                        for j in range(len(LGD_FEATURES)))}
             FROM agg
         ),
-        dom AS (
-            SELECT f.source, count(*) AS n_i,
-                   CAST(sum(f.y) AS BIGINT) AS pos,
-                   sum(CAST(floor(
-                       ln(1e0 + exp(-(2e0 * f.y - 1e0) * ({margin})))
-                       * 1000000e0 + 0.5e0) AS BIGINT)) AS lsum
-            FROM feat f CROSS JOIN w
-            GROUP BY f.source
+        dom AS ({_doremi_dom_select(margin)}
         ),
-        ref AS (
+        {_doremi_tail_ctes("dom")}
+        {_DOREMI_FINAL_SELECT}
+    """
+
+
+def _doremi_tail_ctes(dom_rel: str) -> str:
+    """ref/upd/tot CTEs over a (source, n_i, pos, lsum) relation — the
+    |domains|-row closed-form update, shared by the batch op, the
+    oracle, and the streaming twin's finalizer."""
+    return f"""ref AS (
             SELECT source, n_i,
                    CAST(floor(lsum * 1e0 / n_i + 0.5e0) AS BIGINT)
                        AS lbar6,
@@ -1968,7 +2002,7 @@ def _doremi_sql(split, length, distinct, filt, sw: str) -> str:
                               + (n_i - pos) * ln((n_i - pos) * 1e0 / n_i))
                             / n_i * 1000000e0 + 0.5e0) AS BIGINT)
                    END AS href6
-            FROM dom
+            FROM {dom_rel}
         ),
         upd AS (
             SELECT source, n_i, lbar6, href6,
@@ -1983,7 +2017,10 @@ def _doremi_sql(split, length, distinct, filt, sw: str) -> str:
             SELECT sum(n_i) AS n, sum(n_i * factor6) AS z,
                    count(*) AS k
             FROM upd
-        )
+        )"""
+
+
+_DOREMI_FINAL_SELECT = f"""
         SELECT u.source,
                CAST(u.n_i AS BIGINT) AS n_docs,
                {R("u.lbar6 / 1000000e0", 6)} AS proxy_loss,

@@ -1446,3 +1446,159 @@ def read_decon_flags(spark: SparkSession, flags_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_hit", "n_eval_docs", "n_grams",
                 "contaminated_frac")
     )
+
+
+# --- streaming DoReMi domain-weight twin --------------------------------------------
+
+DOCS_LANG_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def read_docs_lang_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """(doc_id, source, lang, text) documents as a file-source stream —
+    the DoReMi twin needs the label column the decontamination reader
+    omits."""
+    return (
+        spark.readStream.schema(DOCS_LANG_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+
+
+def _doremi_spark_feat(src: str) -> str:
+    from database_toolbox_spark.operators.curation import (  # noqa: PLC0415
+        _doremi_feat_ctes,
+    )
+    from database_toolbox_spark.operators.text import (  # noqa: PLC0415
+        STOPWORDS,
+        _sql_list,
+    )
+
+    return _doremi_feat_ctes(
+        "split(text, ' ')", "size", "array_distinct", "filter",
+        _sql_list(STOPWORDS), src=src,
+    )
+
+
+def stream_doremi_gradient(
+    docs: DataFrame, grad_dir: str, checkpoint_dir: str
+):
+    """Phase 1 of the streaming DoReMi twin (the mixing tier's
+    incremental spelling — round-11 verdict item 7): every micro-batch
+    folds its documents into INTEGER gradient partials (n, g0..g3 on the
+    1e-6 grid — exactly the batch op's agg CTE over the batch slice) and
+    lands them in an idempotent `batch_id=<n>` partition. Integer adds
+    are order-free, so summing the partials reproduces the batch
+    gradient bit-for-bit regardless of arrival order."""
+    from database_toolbox_spark.operators.curation import (  # noqa: PLC0415
+        _doremi_gcols,
+    )
+
+    gcols = ", ".join(_doremi_gcols())
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.createOrReplaceTempView("doremi_grad_batch")
+        part = spark.sql(
+            f"WITH {_doremi_spark_feat('doremi_grad_batch')} "
+            f"SELECT count(*) AS n, {gcols} FROM feat"
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            f"{grad_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def doremi_stream_weights(spark: SparkSession, grad_dir: str) -> list:
+    """Fold the phase-1 gradient partials into the frozen proxy-model
+    weight vector — the same `-LR * g / (1e6 * n)` IEEE sequence the
+    batch op's w CTE evaluates, on the same exact integer sums, so every
+    weight double is bit-identical to the batch op's."""
+    from database_toolbox_spark.operators.curation import (  # noqa: PLC0415
+        LGD_FEATURES,
+        LGD_LR,
+    )
+
+    rows = (
+        spark.read.option("basePath", grad_dir)
+        .parquet(f"{grad_dir}/batch_id=*")
+        .collect()
+    )  # guard-exempt: bounded driver fetch (one 5-int row per micro-batch)
+    n = sum(r["n"] for r in rows)
+    return [
+        -LGD_LR * sum(r[f"g{j}"] or 0 for r in rows) / (1000000.0 * n)
+        for j in range(len(LGD_FEATURES))
+    ]
+
+
+def stream_doremi_losses(
+    docs: DataFrame, weights: list, loss_dir: str, checkpoint_dir: str
+):
+    """Phase 2: per-micro-batch per-domain loss partials under the
+    FROZEN weight vector (embedded as exact repr literals, cast from
+    string so the doubles round-trip bit-for-bit): (source, n_i, pos,
+    lsum) — the batch op's dom CTE over the batch slice, integer lsum so
+    cross-batch folds are order-free exact."""
+    from database_toolbox_spark.operators.curation import (  # noqa: PLC0415
+        _doremi_dom_select,
+        _doremi_margin,
+    )
+
+    margin = _doremi_margin(
+        lambda j: f"CAST('{weights[j]!r}' AS DOUBLE)"
+    )
+    dom = _doremi_dom_select(margin, src="feat f")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.createOrReplaceTempView("doremi_loss_batch")
+        part = spark.sql(
+            f"WITH {_doremi_spark_feat('doremi_loss_batch')} {dom}"
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            f"{loss_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def doremi_stream_final(spark: SparkSession, loss_dir: str) -> DataFrame:
+    """Fold the per-batch domain partials (exact integer adds) and run
+    the batch op's own ref/upd/tot tail over the folded relation — the
+    final weights equal operators/curation.doremi_domain_weights
+    byte-for-byte (asserted in tests/test_streaming.py)."""
+    from database_toolbox_spark.operators.curation import (  # noqa: PLC0415
+        _DOREMI_FINAL_SELECT,
+        _doremi_tail_ctes,
+    )
+
+    spark.read.option("basePath", loss_dir).parquet(
+        f"{loss_dir}/batch_id=*"
+    ).createOrReplaceTempView("doremi_loss_parts")
+    return spark.sql(f"""
+        WITH domf AS (
+            SELECT source, sum(n_i) AS n_i, sum(pos) AS pos,
+                   sum(lsum) AS lsum
+            FROM doremi_loss_parts GROUP BY source
+        ),
+        {_doremi_tail_ctes("domf")}
+        {_DOREMI_FINAL_SELECT}
+    """)

@@ -993,3 +993,62 @@ def test_stream_decontamination_matches_batch(spark, tmp_path):
     assert streamed == batch
     # and no eval doc was ever flagged as training
     assert not any(s == DECON_EVAL_SOURCE for _d, s, *_rest in streamed)
+
+
+def test_stream_doremi_matches_batch(spark, tmp_path):
+    """The two-phase streaming DoReMi twin — micro-batch integer
+    gradient partials, frozen weight vector, micro-batch per-domain loss
+    partials, shared closed-form tail — must reproduce the batch op's
+    rows byte-for-byte: integer folds are order-free and the weight
+    doubles follow the identical IEEE sequence."""
+    from database_toolbox_spark.operators.curation import (
+        doremi_domain_weights,
+    )
+    from database_toolbox_spark.streaming import (
+        doremi_stream_final,
+        doremi_stream_weights,
+        read_docs_lang_stream,
+        stream_doremi_gradient,
+        stream_doremi_losses,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "lang", "text"
+    )
+    n = docs.count()
+    src = tmp_path / "docs_src"
+    docs.where(f"doc_id < {n // 2}").coalesce(1).write.parquet(
+        str(src / "slice=0")
+    )
+    docs.where(f"doc_id >= {n // 2}").coalesce(1).write.parquet(
+        str(src / "slice=1")
+    )
+
+    q = stream_doremi_gradient(
+        read_docs_lang_stream(spark, f"{src}/slice=*"),
+        grad_dir=str(tmp_path / "grad"),
+        checkpoint_dir=str(tmp_path / "ckpt_g"),
+    ).start()
+    q.awaitTermination(120)
+    weights = doremi_stream_weights(spark, str(tmp_path / "grad"))
+    assert len(weights) == 4
+
+    q = stream_doremi_losses(
+        read_docs_lang_stream(spark, f"{src}/slice=*"),
+        weights,
+        loss_dir=str(tmp_path / "loss"),
+        checkpoint_dir=str(tmp_path / "ckpt_l"),
+    ).start()
+    q.awaitTermination(120)
+
+    streamed = [
+        tuple(r)
+        for r in doremi_stream_final(
+            spark, str(tmp_path / "loss")
+        ).collect()
+    ]
+    batch = [
+        tuple(r) for r in doremi_domain_weights(spark, sf_dir).collect()
+    ]
+    assert batch and streamed == batch
