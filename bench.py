@@ -255,6 +255,13 @@ HEADLINE = [
     "hard_negative_mining",
     "mondrian_conformal_coverage",
     "image_jpeg_rgb_stats",
+    # round-12 tranche: the full unigram trainer (3 EM iterations with
+    # pruning, per-iteration materialized), and the 4:2:0 JPEG decode
+    # path (MCU-interleaved scan + chroma upsample)
+    "unigram_lm_trained",
+    "image_jpeg_420_stats",
+    "unigram_encode_stats",
+    "fuzzy_decontamination",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

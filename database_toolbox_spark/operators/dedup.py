@@ -2139,10 +2139,11 @@ DECON_EVAL_SOURCE = "src19"
 DECON_TOP = 100
 
 
-def _decon_sql(grams, alen: str) -> str:
+def _decon_hit_ctes(grams, alen: str) -> str:
+    """toks/tr/ev/hit CTEs — shared by the report query and the
+    pre-LIMIT contaminated-count helper the scaling study asserts."""
     n = DECON_N
-    return f"""
-        WITH toks AS (
+    return f"""toks AS (
             SELECT doc_id, source, {{split}} AS w FROM documents
         ),
         tr AS (
@@ -2161,7 +2162,12 @@ def _decon_sql(grams, alen: str) -> str:
                    count(DISTINCT e.eval_id) AS n_eval_docs
             FROM tr t JOIN ev e ON t.g = e.g
             GROUP BY t.doc_id, t.source
-        ),
+        )"""
+
+
+def _decon_sql(grams, alen: str) -> str:
+    return f"""
+        WITH {_decon_hit_ctes(grams, alen)},
         tot AS (
             SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id
         )
@@ -2201,6 +2207,27 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decon_contaminated_count(spark: SparkSession) -> int:
+    """PRE-LIMIT contaminated-doc count over the CURRENT documents view —
+    the growth quantity the sf~1 study asserts (`decon10`): the report
+    head is bounded at {DECON_TOP}, so the head's row count carries no
+    growth signal once saturated, while this count must be EXACTLY 10x
+    under token-bijection replicas (replica eval slices share grams only
+    with their own replica's training docs)."""
+    parts = ", ".join(f"element_at(w, i + {j})" for j in range(DECON_N))
+    grams = (
+        f"explode(array_distinct(transform("
+        f"sequence(1, size(w) - {DECON_N - 1}), "
+        f"i -> concat_ws('_', {parts})))) AS g"
+    )
+    sql = (
+        f"WITH {_decon_hit_ctes(grams, 'size')} "
+        f"SELECT count(*) AS n FROM hit"
+    ).format(split="split(text, ' ')")
+    # guard-exempt: bounded driver fetch (1 count row)
+    return spark.sql(sql).collect()[0].n
+
+
 def _decon_oracle() -> str:
     parts = "||'_'||".join(f"w[i + {j}]" for j in range(DECON_N))
     grams = (
@@ -2212,3 +2239,102 @@ def _decon_oracle() -> str:
 
 QUERIES["ngram_decontamination"] = ngram_decontamination
 ORACLE["ngram_decontamination"] = _decon_oracle()
+
+
+# --- fuzzy (MinHash) decontamination triage ------------------------------------------
+# split_leakage_audit (operators/fingerprints.py) reports the MATRIX of
+# verified near-dup pairs straddling the md5 90/5/5 split; this op is
+# its actionable complement: the PER-DOCUMENT drop list — which
+# valid/test documents have a trained-on near-duplicate, how many, at
+# what verified Jaccard, and who the strongest training partner is.
+# Exact n-gram decontamination (ngram_decontamination) misses lightly
+# rephrased leakage; this catches it with the near-dup tier's verified
+# MinHash pair set.
+
+
+_SPLIT_BUCKET_SPARK = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+    " AS INT) % 100"
+)
+_SPLIT_BUCKET_DUCK = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))"
+    " AS INTEGER) % 100"
+)
+
+
+def _fuzzy_decon_sql(pairs_sql: str, bucket_expr: str) -> str:
+    return f"""
+        WITH pairs AS (
+            {pairs_sql}
+        ),
+        splits AS (
+            SELECT doc_id,
+                   CASE WHEN {bucket_expr} < 90 THEN 'train'
+                        WHEN {bucket_expr} < 95 THEN 'valid'
+                        ELSE 'test' END AS split_name
+            FROM documents
+        ),
+        lk AS (
+            SELECT CASE WHEN sa.split_name = 'train' THEN p.doc_b
+                        ELSE p.doc_a END AS eval_id,
+                   CASE WHEN sa.split_name = 'train' THEN sb.split_name
+                        ELSE sa.split_name END AS split_name,
+                   CASE WHEN sa.split_name = 'train' THEN p.doc_a
+                        ELSE p.doc_b END AS train_id,
+                   p.jaccard
+            FROM pairs p
+            JOIN splits sa ON sa.doc_id = p.doc_a
+            JOIN splits sb ON sb.doc_id = p.doc_b
+            WHERE (sa.split_name = 'train') <> (sb.split_name = 'train')
+        ),
+        rep AS (
+            SELECT eval_id, split_name,
+                   count(*) AS n_train_matches, max(jaccard) AS mj
+            FROM lk GROUP BY eval_id, split_name
+        ),
+        top AS (
+            SELECT l.eval_id, min(l.train_id) AS top_train_id
+            FROM lk l JOIN rep r
+              ON r.eval_id = l.eval_id AND l.jaccard = r.mj
+            GROUP BY l.eval_id
+        )
+        SELECT CAST(r.eval_id AS BIGINT) AS doc_id,
+               r.split_name,
+               CAST(r.n_train_matches AS BIGINT) AS n_train_matches,
+               r.mj AS max_jaccard,
+               CAST(t.top_train_id AS BIGINT) AS top_train_id
+        FROM rep r JOIN top t ON t.eval_id = r.eval_id
+        ORDER BY r.mj DESC, r.eval_id
+    """
+
+
+def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document near-duplicate leakage triage over the md5 90/5/5
+    split: every valid/test document with a TRAINED-ON near-duplicate
+    (the tier's verified MinHash-LSH pair set at Jaccard >=
+    {JACCARD_THRESHOLD}), with its leaked-partner count, the max
+    verified Jaccard, and the strongest training-side partner id — the
+    drop list a decontamination pass actually executes, complementing
+    split_leakage_audit's aggregate matrix.
+
+    Scale shape: pairs-scale (the banded-LSH join the sf~1 study bounds
+    for minhash_near_dup_pairs — this op consumes the identical pair
+    relation); the split assignment is a per-row projection joined back
+    twice by doc_id; the triage rollup is grouped on the leaked subset
+    only."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_fuzzy_decon_sql(
+        _band_pairs_sql(_SPARK_SHINGLES, lambda a, b: f"concat({a}, {b})"),
+        _SPLIT_BUCKET_SPARK,
+    ))
+
+
+def _fuzzy_decon_oracle() -> str:
+    return _fuzzy_decon_sql(
+        _band_pairs_sql(_DUCK_SHINGLES, lambda a, b: f"{a} || {b}"),
+        _SPLIT_BUCKET_DUCK,
+    )
+
+
+QUERIES["fuzzy_decontamination"] = fuzzy_decontamination
+ORACLE["fuzzy_decontamination"] = _fuzzy_decon_oracle()

@@ -294,13 +294,12 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
-_SPLIT_BUCKET_SPARK = (
-    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
-    " AS INT) % 100"
-)
-_SPLIT_BUCKET_DUCK = (
-    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))"
-    " AS INTEGER) % 100"
+# md5 split buckets live in operators/dedup.py (fuzzy_decontamination
+# shares them and dedup must import without this module being loaded);
+# re-exported here for the original call sites
+from database_toolbox_spark.operators.dedup import (  # noqa: E402,F401
+    _SPLIT_BUCKET_DUCK,
+    _SPLIT_BUCKET_SPARK,
 )
 
 

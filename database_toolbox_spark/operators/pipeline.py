@@ -1674,6 +1674,8 @@ def _uni_train_sql(d) -> str:
 _UNI_SPARK_ARGS = dict(
     words_src=("documents LATERAL VIEW explode("
                "split(lower(text), '[^a-z]+')) t AS word"),
+    swords_src=("documents LATERAL VIEW explode("
+                "split(lower(text), '[^a-z]+')) t AS word"),
     sel_pieces=lambda expr: (
         f"SELECT freq, piece FROM words "
         f"LATERAL VIEW explode({expr}) px AS piece"
@@ -1711,6 +1713,8 @@ _UNI_SPARK_ARGS = dict(
 _UNI_DUCK_ARGS = dict(
     words_src=("(SELECT unnest(string_split_regex(lower(text), "
                "'[^a-z]+')) AS word FROM documents) wt"),
+    swords_src=("(SELECT source, unnest(string_split_regex(lower(text), "
+                "'[^a-z]+')) AS word FROM documents) wt"),
     sel_pieces=lambda expr: (
         f"SELECT freq, unnest({expr}) AS piece FROM words"
     ),
@@ -1797,6 +1801,26 @@ def unigram_lm_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     {UNI_ITERS} iterations (tests/test_round12_ops.py)."""
     load_tables(spark, sf_dir)
     d = _UNI_SPARK_ARGS
+    _uni_vocab_views(spark, UNI_ITERS - 1)
+    last = UNI_ITERS
+    estep, mrel = _uni_estep_ctes(f"i{last}", f"uni_vocab_{last - 1}", d)
+    prune = _uni_prune_ctes(last, f"uni_vocab_{last - 1}", mrel, d)
+    return spark.sql(
+        f"WITH {_UNI_STEP_HEAD},excl AS (SELECT * FROM uni_excl),"
+        f"{estep},{prune}{_uni_final_select(last)}"
+    )
+
+
+_UNI_STEP_HEAD = "words AS (SELECT * FROM uni_words)"
+
+
+def _uni_vocab_views(spark: SparkSession, iters: int) -> None:
+    """Materialize uni_words / uni_excl / uni_vocab_0..uni_vocab_{iters}
+    temp views — the per-iteration-materialized Spark spelling of the EM
+    chain (each vocab is ~90 rows; the corpus is scanned once for the
+    word table). Shared by unigram_lm_trained (through iters-1, final
+    step inline) and unigram_encode_stats (through UNI_ITERS)."""
+    d = _UNI_SPARK_ARGS
     head = _uni_head_ctes(d)
     materialize(
         spark.sql(f"WITH {head} SELECT * FROM words")
@@ -1807,24 +1831,117 @@ def unigram_lm_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize(
         spark.sql(f"WITH {head} SELECT * FROM vocab0")
     ).createOrReplaceTempView("uni_vocab_0")
-    step_head = "words AS (SELECT * FROM uni_words)"
-    for k in range(1, UNI_ITERS):
+    for k in range(1, iters + 1):
         estep, mrel = _uni_estep_ctes(f"i{k}", f"uni_vocab_{k - 1}", d)
         prune = _uni_prune_ctes(k, f"uni_vocab_{k - 1}", mrel, d)
         materialize(
             spark.sql(
-                f"WITH {step_head},{estep},{prune} "
+                f"WITH {_UNI_STEP_HEAD},{estep},{prune} "
                 f"SELECT piece, cost6 FROM i{k}vocab"
             )
         ).createOrReplaceTempView(f"uni_vocab_{k}")
-    last = UNI_ITERS
-    estep, mrel = _uni_estep_ctes(f"i{last}", f"uni_vocab_{last - 1}", d)
-    prune = _uni_prune_ctes(last, f"uni_vocab_{last - 1}", mrel, d)
-    return spark.sql(
-        f"WITH {step_head},excl AS (SELECT * FROM uni_excl),"
-        f"{estep},{prune}{_uni_final_select(last)}"
-    )
 
 
 QUERIES["unigram_lm_trained"] = unigram_lm_trained
 ORACLE["unigram_lm_trained"] = _uni_train_sql(_UNI_DUCK_ARGS)
+
+
+def _uni_encode_tail(d) -> str:
+    """From swords(source, word, freq) + encbp(word, freq, pieces):
+    per-word piece stats, the 1-char-word closed form (np = n1 = 1 — at
+    ENCODE time, unlike training, single-letter words are legitimate
+    single-piece tokens), and the per-source rollup with the excluded
+    share column (words beyond UNI_WMAX are not encodable under the
+    packed-mask DP and are REPORTED, never silently dropped)."""
+    one_len = f"{d['filt']}(pieces, p -> length(p) = 1)"
+    return f"""
+        wseg AS (
+            SELECT word, {d["alen"]}(pieces) AS np,
+                   {d["alen"]}({one_len}) AS n1
+            FROM encbp
+        ),
+        wall AS (
+            SELECT word, 1 AS np, 1 AS n1
+            FROM (SELECT DISTINCT word FROM swords
+                  WHERE length(word) = 1) c1
+            UNION ALL
+            SELECT word, np, n1 FROM wseg
+        ),
+        sagg AS (
+            SELECT s.source,
+                   sum(CASE WHEN length(s.word) <= {UNI_WMAX}
+                            THEN s.freq ELSE 0 END) AS ntok,
+                   sum(CASE WHEN length(s.word) <= {UNI_WMAX}
+                            THEN s.freq * a.np ELSE 0 END) AS npc,
+                   sum(CASE WHEN length(s.word) <= {UNI_WMAX}
+                            THEN s.freq * a.n1 ELSE 0 END) AS n1c,
+                   sum(CASE WHEN length(s.word) > {UNI_WMAX}
+                            THEN s.freq ELSE 0 END) AS nexcl,
+                   sum(s.freq) AS nall
+            FROM swords s LEFT JOIN wall a ON a.word = s.word
+            GROUP BY s.source
+        )
+        SELECT source,
+               CAST(ntok AS BIGINT) AS n_tokens,
+               CAST(npc AS BIGINT) AS n_pieces,
+               {R("npc * 1e0 / ntok", 6)} AS fertility,
+               {R("n1c * 1e0 / npc", 6)} AS single_char_piece_share,
+               {R("nexcl * 1e0 / nall", 6)} AS excluded_token_share
+        FROM sagg
+        ORDER BY source
+    """
+
+
+def _uni_swords_cte(d) -> str:
+    return f"""swords AS {d["mat"]}(
+            SELECT source, word, count(*) AS freq
+            FROM {d["swords_src"]}
+            WHERE length(word) >= 1
+            GROUP BY source, word
+        )"""
+
+
+def _uni_encode_sql(d) -> str:
+    """Oracle spelling: train the vocabulary ({UNI_ITERS} chained EM
+    iterations with pruning) and apply it — segment every distinct word
+    once under the final costs, then roll piece statistics up per
+    source."""
+    parts = [_uni_head_ctes(d), _uni_swords_cte(d)]
+    vocab_rel = "vocab0"
+    for k in range(1, UNI_ITERS + 1):
+        estep, mrel = _uni_estep_ctes(f"i{k}", vocab_rel, d)
+        parts.append(estep)
+        parts.append(_uni_prune_ctes(k, vocab_rel, mrel, d))
+        vocab_rel = f"i{k}vocab"
+    enc, _ = _uni_estep_ctes("enc", vocab_rel, d)
+    parts.append(enc)
+    return f"WITH {','.join(parts)},{_uni_encode_tail(d)}"
+
+
+def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained unigram tokenizer (the {UNI_ITERS}-iteration
+    vocabulary of unigram_lm_trained): Viterbi-segment every distinct
+    corpus word once under the final piece costs, then report per-source
+    encoding statistics — token count, piece count, fertility
+    (pieces per word, THE tokenizer-quality number every pretraining
+    team tracks per source), the single-char-piece share (fallback-
+    heavy sources tokenize to letters), and the excluded-token share
+    (words beyond the {UNI_WMAX}-char DP cap, reported not dropped).
+
+    Scale shape: segmentation runs over the DISTINCT word table (|V|,
+    Heaps-bounded), NEVER per token; the per-source rollup joins the
+    (source, word) counts — one corpus scan — against the |V|-row
+    segmentation. This is how a 100 TB pipeline prices a tokenizer per
+    domain before committing to it."""
+    load_tables(spark, sf_dir)
+    d = _UNI_SPARK_ARGS
+    _uni_vocab_views(spark, UNI_ITERS)
+    enc, _ = _uni_estep_ctes("enc", f"uni_vocab_{UNI_ITERS}", d)
+    return spark.sql(
+        f"WITH {_UNI_STEP_HEAD},{_uni_swords_cte(d)},{enc},"
+        f"{_uni_encode_tail(d)}"
+    )
+
+
+QUERIES["unigram_encode_stats"] = unigram_encode_stats
+ORACLE["unigram_encode_stats"] = _uni_encode_sql(_UNI_DUCK_ARGS)

@@ -232,6 +232,40 @@ SUSPECTS = [
     # comparable — the envelope is rows + time, like entlin.
     ("bm25_top_terms", "timelin"),
     ("prf_expanded_search", "timelin"),
+    # round-12 (round-11 verdict item 1): growth rows for the round-11/12
+    # tranche. decon10 = the report head is LIMIT-bounded (rows <=
+    # DECON_TOP recorded), so the asserted growth quantity is the
+    # PRE-LIMIT contaminated-doc count (dedup.decon_contaminated_count):
+    # token bijection makes replica eval slices share grams ONLY with
+    # their own replica's training docs, so it must be EXACTLY 10x; time
+    # ratio <= 10 (one corpus scan + broadcast join). The JPEG decode ops
+    # are per-doc capped (JPEG_CAP/JPEG_RGB_CAP/JPEG_420_CAP blocks), so
+    # rows are exactly 10x and time rides the linear envelope (entlin).
+    # The tokenizer EM ops are mix10 on the PIECE key: the '_r' suffix
+    # splits off under the [^a-z]+ word split, so the 10x corpus yields
+    # the IDENTICAL word table at 10x freq — est counts exactly 10x,
+    # n_words / log-probs byte-invariant (costs are pure count RATIOS,
+    # including the trainer's zero-count-char cost carry). DoReMi domain
+    # counts are exactly 10x with old_share invariant (the suffixed
+    # vocabulary shifts stopword features, so losses are recorded, not
+    # asserted). Mondrian conformal is timelin: one row per source, and
+    # the md5 fold parity rerolls on shifted doc_ids so values move.
+    # containment_dup_pairs joins the measured prefix-filter family:
+    # containment is preserved exactly within a replica and vocabularies
+    # are disjoint across replicas -> pairs exactly 10x.
+    ("ngram_decontamination", "decon10"),
+    ("image_jpeg_stats", "entlin"),
+    ("image_jpeg_rgb_stats", "entlin"),
+    ("image_jpeg_420_stats", "entlin"),
+    ("unigram_lm_em_step", "mix10"),
+    ("unigram_lm_trained", "mix10"),
+    ("doremi_domain_weights", "mix10"),
+    ("mondrian_conformal_coverage", "timelin"),
+    ("containment_dup_pairs", "exact10"),
+    # tokenizer APPLICATION: same word-table algebra as the EM ops —
+    # per-source token/piece counts exactly 10x, fertility and the
+    # share columns byte-invariant
+    ("unigram_encode_stats", "mix10"),
 ]
 
 # mix10 specs: key columns; columns that must be exactly 10x (abs_tol,
@@ -419,6 +453,34 @@ MIX10 = {
         "same": {"base_forecast": None, "share": None,
                  "reconciled_forecast": None, "region_forecast": None,
                  "coherence_gap": None},
+    },
+    # round-12 tokenizer EM tier: the word table is IDENTICAL at 10x freq
+    # (the '_r' suffix splits off), so est counts are exactly 10x and the
+    # per-piece stats are byte-invariant — including the excluded-mass
+    # sentinel row (its est_count is the 10x excluded freq, its n_words
+    # the invariant distinct-word count)
+    "unigram_lm_em_step": {
+        "key": ["piece"],
+        "x10": {"est_count": (0.5, 0)},
+        "same": {"n_words": None, "new_logp": None},
+    },
+    "unigram_lm_trained": {
+        "key": ["piece"],
+        "x10": {"est_count": (0.5, 0)},
+        "same": {"n_words": None, "new_logp": None},
+    },
+    "unigram_encode_stats": {
+        "key": ["source"],
+        "x10": {"n_tokens": (0.5, 0), "n_pieces": (0.5, 0)},
+        "same": {"fertility": None, "single_char_piece_share": None,
+                 "excluded_token_share": None},
+    },
+    # domain counts exactly 10x, shares invariant; the loss columns move
+    # with the suffixed vocabulary's stopword features (recorded)
+    "doremi_domain_weights": {
+        "key": ["source"],
+        "x10": {"n_docs": (0.5, 0)},
+        "same": {"old_share": None},
     },
 }
 
@@ -636,6 +698,12 @@ def measure(spark, queries, sf_dir):
             # banded-join candidate volume over the CURRENT documents
             # view (load_tables above pointed it at sf_dir)
             out[name]["candidates"] = simhash_band_candidate_count(spark)
+        if mode == "decon10":
+            from database_toolbox_spark.operators.dedup import (
+                decon_contaminated_count,
+            )
+
+            out[name]["contam"] = decon_contaminated_count(spark)
         if mode == "capbound":
             from database_toolbox_spark.operators.graph import (
                 lcc_examined_pairs,
@@ -690,6 +758,26 @@ def main() -> int:
                 failures.append(
                     f"{name}: time ratio {ratio} exceeds sub-linear bound "
                     f"10.0 at {R}x rows (corpus bytes grow 13.3x)"
+                )
+        elif mode == "decon10":
+            from database_toolbox_spark.operators.dedup import DECON_TOP
+
+            rows_out[name]["contam_small"] = s["contam"]
+            rows_out[name]["contam_big"] = b["contam"]
+            if b["contam"] != R * s["contam"]:
+                failures.append(
+                    f"{name}: pre-LIMIT contaminated count expected "
+                    f"exactly {R}x ({R * s['contam']}), got {b['contam']}"
+                )
+            if s["rows"] > DECON_TOP or b["rows"] > DECON_TOP:
+                failures.append(
+                    f"{name}: report head exceeded DECON_TOP "
+                    f"({s['rows']} / {b['rows']})"
+                )
+            if ratio > 10.0:
+                failures.append(
+                    f"{name}: time ratio {ratio} exceeds linear envelope "
+                    f"10.0 at {R}x rows"
                 )
         elif mode == "exact10" and b["rows"] != R * s["rows"]:
             failures.append(
@@ -913,7 +1001,11 @@ def _update_scaling_md(rows_out, failures) -> None:
         "10x data, ~1.03x pair work; timelin = bounded top-K head",
         "row-count identical at both scales AND time ratio <= 10 at",
         "10x rows — the retrieval tier's linear-envelope assertion",
-        "(BM25 / PRF over the inverted tf index); report =",
+        "(BM25 / PRF over the inverted tf index); decon10 = the",
+        "LIMIT-bounded report head stays under DECON_TOP while the",
+        "PRE-LIMIT contaminated-doc count is exactly 10x and time <=",
+        "10x (the decontamination tier's growth row — replica eval",
+        "slices share grams only within their replica); report =",
         "documented anti-pattern demo or non-pair query).",
         "",
         "| query | mode | sf0.1 s | sf~1 s | time ratio | sf0.1 pairs |"

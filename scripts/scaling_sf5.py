@@ -120,6 +120,19 @@ SUSPECTS = [
     # sf0.1's — touched nodes track the seed's reach while the corpus is
     # 50x — AND the top-20 row count invariant.
     ("personalized_pagerank", "frontier"),
+    # round-12 (round-11 verdict item 1): the ANN-training-data ops get
+    # their panel-invariance rows under the same sign-flip replicas.
+    # mrlfloor = per-(dim, query) panel row count invariant AND the
+    # FULL-width (32-dim) level's mean recall@10 at 50x within EVAL_DROP
+    # of sf0.1's (abs floor 0.5) — narrower prefixes are RECORDED, not
+    # asserted: at 8 of 64 dims the chance-cosine variance of sign-flip
+    # interlopers is exactly the sizing signal the curve exists to show.
+    # hnmono = top-{HN_K}-per-query row count invariant AND the mean
+    # exact cosine of the mined hard negatives MONOTONE non-decreasing
+    # at 50x: the candidate pool is a superset, so a drop can only mean
+    # the panel or ranking broke.
+    ("mrl_dim_recall_curve", "mrlfloor"),
+    ("hard_negative_mining", "hnmono"),
 ]
 IVFBQ_COS_FLOOR = 0.3
 ASYM32_FLOOR = 0.5
@@ -275,6 +288,23 @@ def measure(spark, queries, sf_dir):
         elif mode == "frontier":
             out[name] = {"sec": round(best, 3), "rows": df.count()}
             out[name]["frontier"] = ppr_frontier_counts(spark, sf_dir)
+        elif mode == "mrlfloor":
+            collected = df.collect()
+            out[name] = {"sec": round(best, 3), "rows": len(collected)}
+            by_dim: dict[int, list[float]] = {}
+            for r in collected:
+                by_dim.setdefault(r.n_dims, []).append(r.recall_at_10)
+            out[name]["level_means"] = {
+                int(d): round(sum(v) / len(v), 4)
+                for d, v in sorted(by_dim.items())
+            }
+        elif mode == "hnmono":
+            collected = df.collect()
+            out[name] = {"sec": round(best, 3), "rows": len(collected)}
+            out[name]["mean_metric"] = round(
+                sum(r.cos_sim for r in collected)
+                / max(len(collected), 1), 6
+            )
         else:
             out[name] = {"sec": round(best, 3), "rows": df.count()}
         if mode == "probe":
@@ -399,6 +429,35 @@ def main() -> int:
                     f"{s['frontier']} -> {b['frontier']} — the rank "
                     f"vector touched nodes outside the seed's reach"
                 )
+        elif mode == "mrlfloor":
+            rows_out[name]["mean_small"] = s["level_means"]
+            rows_out[name]["mean_big"] = b["level_means"]
+            if b["rows"] != s["rows"]:
+                failures.append(
+                    f"{name}: panel row count changed "
+                    f"{s['rows']} -> {b['rows']}"
+                )
+            top = max(s["level_means"])
+            floor = max(EVAL_ABS_FLOOR, s["level_means"][top] - EVAL_DROP)
+            if b["level_means"][top] < floor:
+                failures.append(
+                    f"{name}: {top}-dim mean recall fell to "
+                    f"{b['level_means'][top]} at {R}x (floor {floor})"
+                )
+        elif mode == "hnmono":
+            rows_out[name]["mean_small"] = s["mean_metric"]
+            rows_out[name]["mean_big"] = b["mean_metric"]
+            if b["rows"] != s["rows"]:
+                failures.append(
+                    f"{name}: panel row count changed "
+                    f"{s['rows']} -> {b['rows']}"
+                )
+            if b["mean_metric"] < s["mean_metric"] - 1e-6:
+                failures.append(
+                    f"{name}: mean mined-negative cosine FELL "
+                    f"{s['mean_metric']} -> {b['mean_metric']} at {R}x "
+                    f"(candidate superset can only raise it)"
+                )
         elif mode == "report50":
             want = (s["rows"] if REPORT50_ROWS[name] == "fixed"
                     else R * s["rows"])
@@ -454,7 +513,11 @@ def _update_scaling_md(rows_out, failures) -> None:
         "probe + quality row; frontier = top-20 invariant AND the PPR",
         "rank vector's per-iteration node counts IDENTICAL under 50",
         "disjoint graph replicas (orders/lineitem keys shifted) — the",
-        "frontier-sparsity claim measured, not narrated.",
+        "frontier-sparsity claim measured, not narrated; mrlfloor =",
+        "matryoshka panel invariant AND full-width mean recall@10",
+        "within 0.15 (abs floor 0.5), narrow prefixes recorded;",
+        "hnmono = hard-negative panel invariant AND mean mined-negative",
+        "cosine monotone non-decreasing (candidate superset).",
         "",
         "| query | mode | sf0.1 s | sf~5 s | time ratio | sf0.1 rows |"
         " sf~5 rows | probe/mean small | probe/mean big |",

@@ -413,3 +413,156 @@ def test_ann_persist_refuses_fixture_trees(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ANN_PERSIST", SF_DIR)
     with pytest.raises(ValueError, match="scratch"):
         _ann_index_location(SF_DIR)
+
+
+# ------------------------------------------- round-12 second tranche
+
+
+def test_unigram_encode_stats_matches_python(spark):
+    """Per-source encode stats replayed in plain Python: train the
+    vocabulary with the same 3-iteration EM (reusing the exhaustive
+    Viterbi), then segment EVERY word (len-1 words are single pieces,
+    beyond-cap words counted as excluded) and roll up per source."""
+    from database_toolbox_spark.operators.pipeline import (
+        UNI_ITERS,
+        UNI_KEEPS,
+        UNI_PMAX,
+        UNI_VOCAB,
+        UNI_WMAX,
+        unigram_encode_stats,
+    )
+
+    rows = _fetch("SELECT source, text FROM documents")
+    words: Counter = Counter()
+    sw: Counter = Counter()
+    for (source, text) in rows:
+        for w in re.split(r"[^a-z]+", text.lower()):
+            if len(w) >= 1:
+                sw[(source, w)] += 1
+            if 2 <= len(w) <= UNI_WMAX:
+                words[w] += 1
+
+    subs: Counter = Counter()
+    for w, f in words.items():
+        for st in range(len(w)):
+            for ln in range(1, min(UNI_PMAX, len(w) - st) + 1):
+                subs[w[st:st + ln]] += f
+    chars = {p: c for p, c in subs.items() if len(p) == 1}
+    multi = dict(
+        sorted(
+            ((p, c) for p, c in subs.items() if len(p) >= 2),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[:UNI_VOCAB]
+    )
+    seed = {**chars, **multi}
+    tot = sum(seed.values())
+    cost6 = {
+        p: math.floor(math.log(tot / c) * 1e6 + 0.501)
+        for p, c in seed.items()
+    }
+    for it in range(1, UNI_ITERS + 1):
+        est: Counter = Counter()
+        for w, f in words.items():
+            best = _viterbi(w, cost6)
+            for p in best[1]:
+                est[p] += f
+        top_multi = sorted(
+            ((p, c) for p, c in est.items() if len(p) >= 2),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[: UNI_KEEPS[it - 1]]
+        keep = dict(top_multi)
+        for p in cost6:
+            if len(p) == 1:
+                keep[p] = est.get(p, 0)
+        t = sum(c for c in keep.values() if c > 0)
+        cost6 = {
+            p: (
+                math.floor(math.log(t / c) * 1e6 + 0.501)
+                if c > 0
+                else cost6[p]
+            )
+            for p, c in keep.items()
+        }
+
+    seg = {}
+    for w in {w for (_s, w) in sw}:
+        if len(w) == 1:
+            seg[w] = (1, 1)
+        elif 2 <= len(w) <= UNI_WMAX:
+            pieces = _viterbi(w, cost6)[1]
+            seg[w] = (
+                len(pieces), sum(1 for p in pieces if len(p) == 1)
+            )
+
+    per_src: defaultdict = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for (s, w), f in sw.items():
+        a = per_src[s]
+        a[4] += f
+        if len(w) > UNI_WMAX:
+            a[3] += f
+        else:
+            np_, n1 = seg[w]
+            a[0] += f
+            a[1] += f * np_
+            a[2] += f * n1
+    want = sorted(
+        (
+            s,
+            a[0],
+            a[1],
+            rf(a[1] / a[0]),
+            rf(a[2] / a[1]),
+            rf(a[3] / a[4]),
+        )
+        for s, a in per_src.items()
+    )
+    got = sorted(
+        tuple(r)
+        for r in unigram_encode_stats(spark, SF_DIR).collect()
+    )
+    assert got == want
+
+
+def test_fuzzy_decontamination_matches_pair_set(spark):
+    """Cross-op consistency anchor: the triage rows must be exactly the
+    per-eval-doc rollup of the (independently oracle-checked) verified
+    near-dup pair set, split by the md5 90/5/5 buckets replayed in
+    Python."""
+    import hashlib
+
+    from database_toolbox_spark.operators.dedup import (
+        fuzzy_decontamination,
+        minhash_near_dup_pairs,
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_near_dup_pairs(spark, SF_DIR).collect()
+    ]
+
+    def bucket(doc_id: int) -> str:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+        return "train" if b < 90 else ("valid" if b < 95 else "test")
+
+    lk: defaultdict = defaultdict(list)
+    for a, b, j in pairs:
+        sa, sb = bucket(a), bucket(b)
+        if (sa == "train") == (sb == "train"):
+            continue
+        ev, tr, sp = (b, a, sb) if sa == "train" else (a, b, sa)
+        lk[(ev, sp)].append((j, tr))
+    want = sorted(
+        (
+            ev,
+            sp,
+            len(ms),
+            max(j for j, _t in ms),
+            min(t for j, t in ms if j == max(x for x, _ in ms)),
+        )
+        for (ev, sp), ms in lk.items()
+    )
+    got = sorted(
+        tuple(r) for r in fuzzy_decontamination(spark, SF_DIR).collect()
+    )
+    assert got == want
+    assert got, "fixture must contain leaked near-dup pairs"
