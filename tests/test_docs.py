@@ -34,6 +34,17 @@ def test_scaling_md_keeps_both_growth_studies():
     # round-11: the two round-10-verdict scale claims, now measured
     assert "| ivf_bq_ann_topk | ivfbq |" in text[sf5:]
     assert "| personalized_pagerank | frontier |" in text[sf5:]
+    # round-12: growth rows for the round-11/12 tranches
+    assert "| ngram_decontamination | decon10 |" in text[sf1:sf5]
+    assert "| image_jpeg_420_stats | entlin |" in text[sf1:sf5]
+    assert "| unigram_lm_trained | mix10 |" in text[sf1:sf5]
+    assert "| containment_dup_pairs | exact10 |" in text[sf1:sf5]
+
+
+def test_scaling_md_keeps_cap_audit():
+    text = _scaling_text()
+    assert "## Cap audit (round 12)" in text
+    assert "`<excluded:len>` sentinel row" in text
 
 
 def test_replace_section_is_section_bounded(tmp_path):
