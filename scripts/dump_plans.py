@@ -367,6 +367,26 @@ SHOWCASE = {
         "only window is the calibration rank PARTITIONed by source, "
         "output is |sources| rows — exact integer-grid order statistic."
     ),
+    "unigram_lm_trained": (
+        "Full tokenizer trainer as one final-step plan: the word table "
+        "and every EM iteration's ~90-row vocabulary are materialized "
+        "temp views (localCheckpoint scans in the plan), so the visible "
+        "plan is ONE Viterbi-fold projection + the pruning window over "
+        "the vocabulary relation — per-iteration materialize keeps "
+        "Catalyst's resolution fixed-point bounded."
+    ),
+    "image_jpeg_420_stats": (
+        "4:2:0 decode: pruned (doc_id, text) scan → repartition → one "
+        "fused mapInPandas (encode 16x16 constant MCUs, MCU-interleaved "
+        "Huffman decode, chroma upsample, BT.601) → sort. All codec "
+        "work rides Arrow batches; per-doc cost capped at 3 MCUs."
+    ),
+    "fuzzy_decontamination": (
+        "The verified banded near-dup pair set (shingle→minhash→band "
+        "self-join→exact-Jaccard verify) joined twice to the md5 split "
+        "projection, then a grouped triage rollup over the LEAKED "
+        "subset only — pairs-scale, never corpus x corpus."
+    ),
 }
 
 
