@@ -317,9 +317,18 @@ def main() -> int:
         "SPARK_GRAFT_SF5_REBUILD"
     ):
         synthesize()
+    # 50x corpora + a dozen materializing suspects: localCheckpoint
+    # blocks pin executor storage for the session's lifetime (they are
+    # not evictable), so the study runs each measure phase in a FRESH
+    # session and defaults to a larger heap than the 8g query sessions —
+    # round-12: the big-phase mrl/hn collects OOMed at 8g after 13
+    # suspects' accumulated checkpoint blocks.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark(app_name="scaling-sf5")
     queries = all_queries()
     small = measure(spark, queries, SF_SMALL)
+    spark.stop()
+    spark = get_spark(app_name="scaling-sf5-big")
     big = measure(spark, queries, BIG)
     failures = []
     rows_out = {}
