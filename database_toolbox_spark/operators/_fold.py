@@ -1,0 +1,62 @@
+"""Unrolled, codegen-friendly twins of the hot array-lambda folds.
+
+Spark's higher-order functions (``aggregate``, ``zip_with``, ``transform``)
+are CodegenFallback expressions: every element evaluation goes through the
+interpreted expression path with per-element lambda-variable binding, so a
+64-dim dot product inside a pair join dominates the stage (guide §4.1 —
+prefer built-ins/codegen over interpreted paths).
+
+These helpers emit the SAME arithmetic as the lambda folds they replace —
+a left-associated chain starting from ``CAST(0 AS DOUBLE)``, one IEEE
+double add/multiply per element in the identical order — so results are
+bit-for-bit identical to ``aggregate(zip_with(...))`` while executing in
+WholeStageCodegen. The leading ``0 +`` is kept deliberately: ``aggregate``
+starts its fold at the zero accumulator, and dropping it would flip the
+sign of an (all -0.0)-product corner case.
+
+Only for FIXED, known dims (the 64-dim embeddings fixture and the DFT
+frames): the unrolled expression is the loop, so the dim must be a
+compile-time constant.
+"""
+
+from __future__ import annotations
+
+
+def unrolled_dot(a: str, b: str, dim: int = 64) -> str:
+    """Bit-exact twin of
+    aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+              CAST(0 AS DOUBLE), (acc, x) -> acc + x)."""
+    terms = " + ".join(
+        f"CAST(element_at({a}, {i}) AS DOUBLE)"
+        f" * CAST(element_at({b}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    return f"(CAST(0 AS DOUBLE) + {terms})"
+
+
+def unrolled_norm2(e: str, dim: int = 64) -> str:
+    """Bit-exact twin of
+    aggregate(e, CAST(0 AS DOUBLE),
+              (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))."""
+    terms = " + ".join(
+        f"CAST(element_at({e}, {i}) AS DOUBLE)"
+        f" * CAST(element_at({e}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    return f"(CAST(0 AS DOUBLE) + {terms})"
+
+
+def unrolled_l2(a: str, b: str, dim: int = 64) -> str:
+    """Bit-exact twin of
+    aggregate(zip_with(a, b, (x, y) ->
+                  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                  * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+              CAST(0 AS DOUBLE), (acc, x) -> acc + x)."""
+    terms = " + ".join(
+        f"(CAST(element_at({a}, {i}) AS DOUBLE)"
+        f" - CAST(element_at({b}, {i}) AS DOUBLE))"
+        f" * (CAST(element_at({a}, {i}) AS DOUBLE)"
+        f" - CAST(element_at({b}, {i}) AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+    return f"(CAST(0 AS DOUBLE) + {terms})"

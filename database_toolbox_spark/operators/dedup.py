@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from database_toolbox_spark.operators._oracle import R
-from database_toolbox_spark.session import load_tables, materialize
+from database_toolbox_spark.session import load_tables, materialize, report_sort
 
 N_HASHES = 8  # minhash signature length
 N_BANDS = 4  # LSH bands of 2 hashes each
@@ -354,7 +354,12 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize(spark.sql(f"{_SPARK_SHINGLES} SELECT * FROM sh")).createOrReplaceTempView(
         "pf_sh"
     )
-    return spark.sql(f"""
+    # report_sort instead of a trailing ORDER BY: the verify subtree is
+    # broadcast-join-heavy with no exchange below the sort, so the range
+    # sampler re-ran the whole candidate+intersect pipeline per action
+    # (measured 3.6 s -> 2.2 s at sf0.1); the thresholded pair list is a
+    # bounded report
+    return report_sort(spark.sql(f"""
         {_PREFIX_CAND_CTES},
         hs AS (SELECT doc_id, xxhash64(s) AS h FROM sh),
         arrs AS (
@@ -373,8 +378,7 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                {R("n_common * 1e0 / (na + nb - n_common)", 6)} AS jaccard
         FROM common
         WHERE n_common * 1e0 / (na + nb - n_common) >= {JACCARD_THRESHOLD}
-        ORDER BY doc_a, doc_b
-    """)
+    """), "doc_a", "doc_b")
 
 
 def _simhash_sql(tokens_expr: str, x_expr: str, n_bits: int = 16) -> str:
@@ -1300,7 +1304,14 @@ def semdedup_drop_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = materialize(spark.sql(_semdedup_assign_sql(norm2, l2)))
     m.createOrReplaceTempView("semdedup_m")
-    return spark.sql(_semdedup_report_sql(dot, "SELECT * FROM semdedup_m"))
+    # the report's per-cell LEFT JOIN tree is all broadcast joins (no
+    # exchange below the final sort), so a trailing ORDER BY made the
+    # range sampler re-run the 125k-pair dot-product filter once more per
+    # action — report_sort runs it exactly once (the per-cell summary is
+    # bounded by the cell count)
+    body = _semdedup_report_sql(dot, "SELECT * FROM semdedup_m")
+    body = body.rstrip().removesuffix("ORDER BY c.cell")
+    return report_sort(spark.sql(body), "cell")
 
 
 QUERIES["semdedup_drop_candidates"] = semdedup_drop_candidates

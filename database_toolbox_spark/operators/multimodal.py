@@ -91,14 +91,24 @@ def with_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary → features through mapInPandas (the real multimodal path)."""
-    binary = with_binary_payload(spark, sf_dir).select("doc_id", "payload")
+    # range-partition BEFORE the Python stage: the final per-doc sort is
+    # then local, so the range sampler only ever scans the cheap payload
+    # projection, never the decode stage (see png_payloads note)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    binary = (
+        with_binary_payload(spark, sf_dir)
+        .select("doc_id", "payload")
+        .repartitionByRange(n_parts, "doc_id")
+    )
     decode = make_fake_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield decode(pdf)
 
-    return binary.mapInPandas(run, schema=FEATURE_SCHEMA).orderBy("doc_id")
+    return binary.mapInPandas(run, schema=FEATURE_SCHEMA).sortWithinPartitions(
+        "doc_id"
+    )
 
 
 IMG_WIDTH = 16  # grayscale strip width for text→PNG synthesis
@@ -124,12 +134,17 @@ def png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the codec stage is CPU-bound Python: spread it across all cores —
     # file-split parallelism alone gave 2 partitions for a 1.5 MB corpus,
     # serializing the work on 2 of 32 cores (and the same shape starves a
-    # 1000-executor cluster reading few large files)
+    # 1000-executor cluster reading few large files). Range partitioning
+    # (not round-robin) so downstream per-doc reports are already globally
+    # ordered: a final ORDER BY above an opaque Python stage makes the
+    # range sampler execute the whole encode+decode pipeline a second
+    # time per action (measured 2.1 s -> 0.8 s on image_jpeg_stats at
+    # sf0.1); here the sampler scans only the pruned parquet columns.
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(n_parts)
+        .repartitionByRange(n_parts, "doc_id")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -187,7 +202,10 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return payloads.mapInPandas(run, schema=IMAGE_STATS_SCHEMA).orderBy(
+    # payloads are range-partitioned by doc_id (png_payloads), so a local
+    # sort yields the same global doc_id order without the range-sampler
+    # re-running the Python encode+decode stage (see png_payloads note)
+    return payloads.mapInPandas(run, schema=IMAGE_STATS_SCHEMA).sortWithinPartitions(
         "doc_id"
     )
 
@@ -233,7 +251,11 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return payloads.mapInPandas(run, schema=RESIZE_SCHEMA).orderBy("doc_id")
+    # range-partitioned input (png_payloads) + local sort = same global
+    # order, no second execution of the Python stage by the range sampler
+    return payloads.mapInPandas(run, schema=RESIZE_SCHEMA).sortWithinPartitions(
+        "doc_id"
+    )
 
 
 # --- JPEG (round-11): the lossy codec of the trio ---------------------------------
@@ -261,11 +283,13 @@ def jpeg_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cloudpickle.register_pickle_by_value(jpeg_mod)
     encode = jpeg_mod.encode_jpeg
+    # range partitioning: see png_payloads — keeps the final per-doc sort
+    # local so the range sampler never re-runs the codec stage
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(n_parts)
+        .repartitionByRange(n_parts, "doc_id")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -346,7 +370,9 @@ def image_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return payloads.mapInPandas(run, schema=JPEG_STATS_SCHEMA).orderBy(
+    # range-partitioned input (jpeg_payloads) + local sort = same global
+    # order, no second execution of the Python stage by the range sampler
+    return payloads.mapInPandas(run, schema=JPEG_STATS_SCHEMA).sortWithinPartitions(
         "doc_id"
     )
 
@@ -393,7 +419,11 @@ def image_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return payloads.mapInPandas(run, schema=HIST_SCHEMA).orderBy("doc_id")
+    # range-partitioned input (png_payloads) + local sort = same global
+    # order, no second execution of the Python stage by the range sampler
+    return payloads.mapInPandas(run, schema=HIST_SCHEMA).sortWithinPartitions(
+        "doc_id"
+    )
 
 
 AUDIO_BIAS = 64  # synthetic 8-bit PCM center: space (32) < 64 <= letters,
@@ -409,7 +439,13 @@ def audio_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer energy (sum of squared deviations), and bias-crossing count —
     vectorized per Arrow batch with numpy (no per-sample Python). The
     oracle recomputes all three from ASCII codes in DuckDB."""
-    binary = with_binary_payload(spark, sf_dir).select("doc_id", "payload")
+    # range-partition BEFORE the Python stage (see png_payloads note)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    binary = (
+        with_binary_payload(spark, sf_dir)
+        .select("doc_id", "payload")
+        .repartitionByRange(n_parts, "doc_id")
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -439,7 +475,9 @@ def audio_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return binary.mapInPandas(run, schema=WAVEFORM_SCHEMA).orderBy("doc_id")
+    return binary.mapInPandas(run, schema=WAVEFORM_SCHEMA).sortWithinPartitions(
+        "doc_id"
+    )
 
 
 WAV_BASE_RATE = 8000  # per-doc rate = 8000 + (doc_id % 3) * 4000, so the
@@ -466,7 +504,8 @@ def wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(n_parts)  # codec stage is CPU-bound; see png_payloads
+        .repartitionByRange(n_parts, "doc_id")  # CPU-bound codec stage +
+        # range layout for a local final sort; see png_payloads
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -535,7 +574,9 @@ def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return payloads.mapInPandas(run, schema=WAV_SCHEMA).orderBy("doc_id")
+    return payloads.mapInPandas(run, schema=WAV_SCHEMA).sortWithinPartitions(
+        "doc_id"
+    )
 
 
 def binary_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1441,11 +1482,13 @@ def rgb_jpeg_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cloudpickle.register_pickle_by_value(jpeg_mod)
     encode = jpeg_mod.encode_jpeg
+    # range partitioning: see png_payloads — keeps the final per-doc sort
+    # local so the range sampler never re-runs the codec stage
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(n_parts)
+        .repartitionByRange(n_parts, "doc_id")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1520,9 +1563,12 @@ def image_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return payloads.mapInPandas(run, schema=JPEG_RGB_STATS_SCHEMA).orderBy(
-        "doc_id"
-    )
+    # range-partitioned input (rgb_jpeg_payloads) + local sort = same
+    # global order, no second execution of the Python stage by the range
+    # sampler (see png_payloads note)
+    return payloads.mapInPandas(
+        run, schema=JPEG_RGB_STATS_SCHEMA
+    ).sortWithinPartitions("doc_id")
 
 
 def _jpeg_rgb_oracle() -> str:
@@ -1630,11 +1676,13 @@ def jpeg420_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cloudpickle.register_pickle_by_value(jpeg_mod)
     encode = jpeg_mod.encode_jpeg
+    # range partitioning: see png_payloads — keeps the final per-doc sort
+    # local so the range sampler never re-runs the codec stage
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(n_parts)
+        .repartitionByRange(n_parts, "doc_id")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1715,7 +1763,12 @@ def image_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     schema = JPEG_RGB_STATS_SCHEMA.replace("n_blocks", "n_mcus")
-    return payloads.mapInPandas(run, schema=schema).orderBy("doc_id")
+    # range-partitioned input (jpeg420_payloads) + local sort = same
+    # global order, no second execution of the Python stage by the range
+    # sampler (see png_payloads note)
+    return payloads.mapInPandas(run, schema=schema).sortWithinPartitions(
+        "doc_id"
+    )
 
 
 def _jpeg_420_oracle() -> str:

@@ -212,6 +212,26 @@ def load_table(
     return df
 
 
+def report_sort(df: DataFrame, *cols) -> DataFrame:
+    """Total-order a SMALL report relation without the global-sort tax.
+
+    A trailing ``ORDER BY`` compiles to a range exchange whose partitioner
+    SAMPLES the child plan — and when the subtree below the sort is
+    broadcast-join- or map-heavy (no intervening shuffle), that sampling
+    job re-executes the entire expensive pipeline once per action
+    (measured: jaccard_prefix_filter_pairs 3.6 s -> 2.2 s,
+    image_jpeg_stats 2.1 s -> 0.8 s at sf0.1). Hash-shuffling to one
+    partition does not sample, so the pipeline runs exactly once and the
+    bounded report (pair lists above a threshold, per-cell summaries,
+    per-doc stats at test scale) sorts locally.
+
+    Only for outputs that are small by construction — a single-partition
+    sort of an UNBOUNDED relation would be the classic scale-killer. For
+    genuinely large ordered outputs keep ORDER BY and pay the sampler, or
+    range-partition upstream of the heavy stage (see png_payloads)."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Compute a multiply-referenced intermediate exactly once and cut its
     lineage (Catalyst inlines CTEs/views, so an expensive stage referenced
