@@ -1379,14 +1379,16 @@ QUERIES["sorted_neighborhood_pairs"] = sorted_neighborhood_pairs
 ORACLE["sorted_neighborhood_pairs"] = _SNM_SQL.format(w=SNM_WINDOW)
 
 
-_SOURCE_OVERLAP_SQL = """
+_SOURCE_OVERLAP_HEAD = """
     WITH toks AS (SELECT source, {split} AS w FROM documents),
     ss AS (
         SELECT DISTINCT source, s FROM (
             SELECT source, {shingle_unnest} AS s
             FROM toks WHERE {wlen} >= 3
         )
-    ),
+    )"""
+
+_SOURCE_OVERLAP_TAIL = """
     cnt AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
     common AS (
         SELECT a.source AS source_a, b.source AS source_b,
@@ -1403,6 +1405,10 @@ _SOURCE_OVERLAP_SQL = """
     ORDER BY m.source_a, m.source_b
 """
 
+# single-statement form (oracle use; DuckDB materializes the 3x-referenced
+# ss CTE itself)
+_SOURCE_OVERLAP_SQL = _SOURCE_OVERLAP_HEAD + "," + _SOURCE_OVERLAP_TAIL
+
 
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-level 3-gram overlap (Jaccard + containment of
@@ -1412,9 +1418,14 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, shingle) first — the join is then vocabulary-sized per
     source, not corpus-sized, and the pair aggregate is blocked on the
     shingle exactly like the dedup tier. Output is the full
-    upper-triangle source matrix."""
+    upper-triangle source matrix.
+
+    The ss relation is materialized once (guide §2.4): it feeds cnt and
+    BOTH pair-join sides, and Catalyst inlines CTEs, so the one-statement
+    form replayed tokenize + shingle-explode + distinct 3x (measured
+    1.16 s -> 0.48 s at sf0.1; the oracle keeps the inline form)."""
     load_tables(spark, sf_dir)
-    return spark.sql(_SOURCE_OVERLAP_SQL.format(
+    materialize(spark.sql(_SOURCE_OVERLAP_HEAD.format(
         split="split(text, ' ')",
         shingle_unnest=(
             "explode(array_distinct(transform(sequence(1, size(w) - 2), "
@@ -1422,6 +1433,8 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "element_at(w, i + 2)))))"
         ),
         wlen="size(w)",
+    ) + " SELECT * FROM ss")).createOrReplaceTempView("so_ss")
+    return spark.sql(("WITH ss AS (SELECT * FROM so_ss)," + _SOURCE_OVERLAP_TAIL).format(
         jac=R("m.n_common * 1e0 / (ca.n + cb.n - m.n_common)", 6),
         cont=R("m.n_common * 1e0 / least(ca.n, cb.n)", 6),
     ))
@@ -1541,7 +1554,7 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"{_SPARK_SHINGLES} SELECT * FROM sh")
     ).createOrReplaceTempView("ct_sh")
     tau = f"{CONTAINMENT_NUM}e0 / {CONTAINMENT_DEN}e0"
-    return spark.sql(f"""
+    body = f"""
         WITH sh AS (SELECT * FROM ct_sh),
         df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -1568,7 +1581,14 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         {_containment_verify_sql("size(array_intersect(a.ss, b.ss))",
                                  "arrs")}
-    """)
+    """
+    # report_sort: the verify subtree above the cand/arrs joins is
+    # broadcast-heavy with no exchange below the final sort, so a
+    # trailing ORDER BY makes the range sampler re-run the whole
+    # prefix-filter + intersect pipeline once more per action; the
+    # thresholded containment pair list is a bounded report
+    body = body.rstrip().removesuffix("ORDER BY doc_a, doc_b")
+    return report_sort(spark.sql(body), "doc_a", "doc_b")
 
 
 QUERIES["containment_dup_pairs"] = containment_dup_pairs
@@ -2332,10 +2352,23 @@ def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     for minhash_near_dup_pairs — this op consumes the identical pair
     relation); the split assignment is a per-row projection joined back
     twice by doc_id; the triage rollup is grouped on the leaked subset
-    only."""
+    only.
+
+    Composition, not recomputation (guide §2.4 — remove shuffles/passes
+    outright): the pair relation IS minhash_near_dup_pairs (whose
+    shingle + signature intermediates are materialized once inside it),
+    and the verified pair set is materialized here because the lk
+    relation built on it is read twice (rep + top) — the inlined
+    spelling replayed the whole shingle explosion 3x and the banded
+    self-join twice (measured 2.13 s -> 0.50 s at sf0.1; the oracle
+    keeps the single-statement inline form, DuckDB materializes
+    multiply-referenced CTEs itself)."""
     load_tables(spark, sf_dir)
+    materialize(minhash_near_dup_pairs(spark, sf_dir)).createOrReplaceTempView(
+        "fz_pairs"
+    )
     return spark.sql(_fuzzy_decon_sql(
-        _band_pairs_sql(_SPARK_SHINGLES, lambda a, b: f"concat({a}, {b})"),
+        "SELECT * FROM fz_pairs",
         _SPLIT_BUCKET_SPARK,
     ))
 

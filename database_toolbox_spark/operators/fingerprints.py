@@ -426,9 +426,16 @@ def idf_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT * FROM w"
         )
     ).createOrReplaceTempView("idf_w_v")
-    return spark.sql(
+    # report_sort: the norm2 joins above the dots aggregate are broadcast
+    # joins, so a trailing ORDER BY made the range sampler re-run the
+    # post-shuffle join/filter work once more per action; the thresholded
+    # cosine pair list is a bounded report
+    from database_toolbox_spark.session import report_sort  # noqa: PLC0415
+
+    body = (
         "WITH w AS (SELECT * FROM idf_w_v)," + _idf_cosine_tail()
-    )
+    ).rstrip().removesuffix("ORDER BY d.doc_a, d.doc_b")
+    return report_sort(spark.sql(body), "doc_a", "doc_b")
 
 
 def _idf_cosine_sql(shingles: str) -> str:
@@ -514,9 +521,22 @@ def cross_doc_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash relation, two grouped rollups. All linear; the hash relation is
     the only wide shuffle and it is keyed by the 60-bit hash — uniform.
     The n_docs >= 2 filter is evaluated post-join, so no correlated
-    subquery appears in either engine."""
+    subquery appears in either engine.
+
+    The positional shingle stream is materialized once (guide §2.4): it
+    feeds hd AND the per_doc join side, and Catalyst inlines CTEs, so
+    the one-statement form replayed tokenize + explode + md5 twice
+    (measured 1.62 s -> 0.67 s at sf0.1; the oracle keeps the inline
+    form)."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
     load_tables(spark, sf_dir)
-    return spark.sql(_span_coverage_sql(_SPARK_POS_SHINGLES))
+    materialize(
+        spark.sql(f"{_SPARK_POS_SHINGLES} SELECT * FROM sh")
+    ).createOrReplaceTempView("sc_sh")
+    return spark.sql(
+        _span_coverage_sql("WITH sh AS (SELECT * FROM sc_sh)")
+    )
 
 
 QUERIES["cross_doc_span_coverage"] = cross_doc_span_coverage

@@ -27,11 +27,12 @@ from database_toolbox_spark.session import load_tables
 # the row count stays at C(25,2) while preserving the asymmetric measure.
 MIN_PAIR_SUPPORT = 50
 
-_BASKET_SQL = f"""
-    WITH items AS (
+_BASKET_ITEMS = """
         SELECT DISTINCT l.l_orderkey, p.p_brand
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    ),
+"""
+
+_BASKET_TAIL = f"""
     nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items),
     brand_n AS (
         SELECT p_brand, count(*) AS n FROM items GROUP BY p_brand
@@ -59,6 +60,10 @@ _BASKET_SQL = f"""
     LIMIT 15
 """
 
+# single-statement form (oracle use; DuckDB materializes the 3x-referenced
+# items CTE itself)
+_BASKET_SQL = f"WITH items AS ({_BASKET_ITEMS}),{_BASKET_TAIL}"
+
 
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-15 brand-pair association rules by lift (min pair support 50),
@@ -70,9 +75,21 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-counting pass. brand_n is a 25-row broadcast; the final rollup is
     at most |brands|^2/2 rows regardless of corpus size. Ties in lift
     are broken on the rounded value then (brand_a, brand_b), so the top-15
-    is engine-stable."""
+    is engine-stable.
+
+    The items relation is materialized once (guide §2.4): it feeds nb,
+    brand_n, AND both sides of the pair self-join, and Catalyst inlines
+    CTEs, so the one-statement form replayed the lineitem-part join +
+    DISTINCT four times (measured 2.16 s -> 0.69 s at sf0.1; the oracle
+    keeps the inline form — DuckDB materializes multiply-referenced CTEs
+    itself)."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
     load_tables(spark, sf_dir)
-    return spark.sql(_BASKET_SQL)
+    materialize(spark.sql(_BASKET_ITEMS)).createOrReplaceTempView("bk_items")
+    return spark.sql(
+        "WITH items AS (SELECT * FROM bk_items)," + _BASKET_TAIL
+    )
 
 
 # --- Pareto frontier (skyline) ------------------------------------------------

@@ -611,3 +611,44 @@ def test_plan_fingerprints_match_committed(spark):
         if got != expected:
             mismatches[name] = {"expected": expected, "got": got}
     assert not mismatches, mismatches
+
+
+def test_report_sort_total_order_and_single_pipeline(spark):
+    """Round-12 optimization: report_sort must (a) produce exactly the
+    rows and total order of the ORDER BY it replaces and (b) compile to a
+    single-partition exchange + local sort — NO range exchange, so the
+    range sampler can never re-execute the child pipeline."""
+    from database_toolbox_spark.session import report_sort
+
+    df = spark.range(0, 100).selectExpr(
+        "id % 7 AS k", "id AS v"
+    )
+    got = report_sort(df, "k", "v")
+    plan = _plan(got, "simple")
+    assert "Exchange SinglePartition" in plan
+    assert "rangepartitioning" not in plan
+    rows = [(r.k, r.v) for r in got.collect()]
+    expected = [(r.k, r.v) for r in df.orderBy("k", "v").collect()]
+    assert rows == expected
+
+
+def test_report_sort_consumers_keep_their_order(spark):
+    """The four report_sort-converted pair/cell reports stay totally
+    ordered on their report keys (collect preserves partition-local order
+    and there is exactly one partition)."""
+    from database_toolbox_spark.operators.dedup import (
+        containment_dup_pairs,
+        jaccard_prefix_filter_pairs,
+    )
+    from database_toolbox_spark.operators.fingerprints import (
+        idf_cosine_dup_pairs,
+    )
+
+    for fn, keys in [
+        (jaccard_prefix_filter_pairs, ("doc_a", "doc_b")),
+        (containment_dup_pairs, ("doc_a", "doc_b")),
+        (idf_cosine_dup_pairs, ("doc_a", "doc_b")),
+    ]:
+        rows = fn(spark, SF_DIR).select(*keys).collect()
+        tuples = [tuple(r) for r in rows]
+        assert tuples == sorted(tuples), fn.__name__
