@@ -21,6 +21,18 @@ compile-time constant.
 
 from __future__ import annotations
 
+from typing import Callable
+
+
+def unrolled_sum(term: Callable[[int], str], dim: int, start: int = 1) -> str:
+    """Bit-exact twin of
+    aggregate(sequence(start, start+dim-1), CAST(0 AS DOUBLE),
+              (acc, i) -> acc + term(i)):
+    the same left-associated IEEE addition chain from the zero
+    accumulator, with the loop index inlined as a literal."""
+    terms = " + ".join(term(i) for i in range(start, start + dim))
+    return f"(CAST(0 AS DOUBLE) + {terms})"
+
 
 def unrolled_dot(a: str, b: str, dim: int = 64) -> str:
     """Bit-exact twin of

@@ -883,6 +883,23 @@ DFT_N = 16  # DFT frame: first 16 samples (zero-padded past text end)
 DFT_BINS = 8
 
 
+def _unrolled_samples(n: int) -> str:
+    """Bias-centered leading-n byte samples as an UNROLLED array
+    constructor — bit-exact twin of
+    transform(sequence(0, n-1), i -> CASE WHEN i < length(text) THEN
+    ascii(substr(text, CAST(i+1 AS INT), 1)) - AUDIO_BIAS ELSE 0 END)
+    with the loop index a literal, so the per-element CASE/substr runs
+    in WholeStageCodegen instead of the interpreted lambda path (guide
+    §4.1; measured 0.65 s -> 0.26 s for the 64-sample projection alone
+    at sf0.1)."""
+    terms = ", ".join(
+        f"CASE WHEN {i} < length(text) THEN "
+        f"ascii(substr(text, {i + 1}, 1)) - {AUDIO_BIAS} ELSE 0 END"
+        for i in range(n)
+    )
+    return f"array({terms})"
+
+
 def audio_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power spectrum of the leading 16-sample audio frame, computed AS
     SQL in both engines (no numpy, no FFT library): for each DFT bin k,
@@ -899,21 +916,49 @@ def audio_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     powers O(2^22) — 2-decimal rounding leaves ~1e-9 relative headroom.
 
     Scale shape: a pure per-row projection exploded to 8 bins per doc —
-    embarrassingly parallel, no shuffle, no UDF."""
+    embarrassingly parallel, no shuffle, no UDF.
+
+    Spark side (guide §4.1): the 16 samples are hoisted ONCE per doc
+    (the inline spelling re-extracted each byte 2 * DFT_BINS times), the
+    runtime cos/sin are replaced by the literal DFT basis matrix
+    (audio_mel_energies' committed pattern — Python-computed doubles,
+    at most one ulp from the JVM trig they replace, absorbed by the
+    2-decimal canon rounding exactly as the engine-vs-oracle libm gap
+    already is), and the interpreted aggregate() folds are unrolled into
+    codegen arithmetic with the identical left-associated IEEE order.
+    The oracle keeps the runtime-trig fold spelling. Measured 4.52 s ->
+    0.69 s at sf0.1."""
+    from database_toolbox_spark.operators._fold import (  # noqa: PLC0415
+        unrolled_sum,
+    )
+    import math  # noqa: PLC0415
+
     load_table(spark, sf_dir, "documents")
-    dev = (f"CASE WHEN i < length(text) THEN "
-           f"ascii(substr(text, CAST(i + 1 AS INT), 1)) - {AUDIO_BIAS} "
-           f"ELSE 0 END")
-    trig = "2e0 * pi() * k.k * i / {n}e0".format(n=DFT_N)
+    # transform (not an unrolled array): the array constructor would be
+    # inlined by CollapseProject into every element_at reference across
+    # the cross join (HOFs are exempt from inlining), re-extracting each
+    # byte per (bin, term) — measured 3x slower unrolled here
+    samples = (f"transform(sequence(0, {DFT_N - 1}), i -> "
+               f"CASE WHEN i < length(text) THEN "
+               f"ascii(substr(text, CAST(i + 1 AS INT), 1))"
+               f" - {AUDIO_BIAS} ELSE 0 END)")
+
+    def term(trig_col: str):
+        return lambda i: (
+            f"element_at(s.samples, {i + 1}) * "
+            f"element_at({trig_col}, k.k * {DFT_N} + {i + 1})"
+        )
+
     return spark.sql(f"""
         WITH k AS (SELECT explode(sequence(0, {DFT_BINS - 1})) AS k),
+        trig AS (SELECT {_dft_trig_lit(math.cos, 'array')} AS cosm,
+                        {_dft_trig_lit(math.sin, 'array')} AS sinm),
+        s AS (SELECT doc_id, {samples} AS samples FROM documents),
         d AS (
             SELECT doc_id, k.k,
-                   aggregate(sequence(0, {DFT_N - 1}), CAST(0 AS DOUBLE),
-                       (acc, i) -> acc + ({dev}) * cos({trig})) AS re,
-                   aggregate(sequence(0, {DFT_N - 1}), CAST(0 AS DOUBLE),
-                       (acc, i) -> acc + ({dev}) * sin({trig})) AS im
-            FROM documents CROSS JOIN k
+                   {unrolled_sum(term('cosm'), DFT_N, start=0)} AS re,
+                   {unrolled_sum(term('sinm'), DFT_N, start=0)} AS im
+            FROM s CROSS JOIN k CROSS JOIN trig
         )
         SELECT doc_id, CAST(k AS INT) AS bin,
                {R("re * re + im * im", 2)} AS power
@@ -1054,23 +1099,32 @@ def _mel_rows(arr: str) -> str:
     )
 
 
-def _dft_trig_lit(fn, arr: str) -> str:
-    """Flattened {DFT_BINS}x{DFT_N} DFT basis matrix (row k, col i at
-    k*{DFT_N}+i) as a PYTHON-COMPUTED literal array — both engines fold
-    the identical doubles, so no libm cos/sin ulp can diverge, and the
-    interpreted lambdas do zero runtime trig."""
+def _dft_trig_vals(fn) -> list[float]:
+    """Flattened {DFT_BINS}x{DFT_N} DFT basis matrix values (row k,
+    col i at k*{DFT_N}+i), Python-computed once so every literal
+    spelling (array CTE or inlined term) folds the identical doubles."""
     import math  # noqa: PLC0415
 
-    vals = [
+    return [
         fn(2.0 * math.pi * k * i / DFT_N)
         for k in range(DFT_BINS)
         for i in range(DFT_N)
     ]
+
+
+def _trig_cast(v: float) -> str:
     # string-literal casts: repr() may carry its own exponent (e-17), so
     # the usual `...e0` double-suffix idiom would not parse; the string
     # round-trips to the identical double in both engines
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _dft_trig_lit(fn, arr: str) -> str:
+    """The basis matrix as a literal array — both engines fold the
+    identical doubles, so no libm cos/sin ulp can diverge, and the
+    interpreted lambdas do zero runtime trig."""
     return (f"{arr}("
-            + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals) + ")")
+            + ", ".join(_trig_cast(v) for v in _dft_trig_vals(fn)) + ")")
 
 
 def audio_mel_energies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1080,53 +1134,59 @@ def audio_mel_energies(spark: SparkSession, sf_dir: str) -> DataFrame:
     (filterbank + log), stopping before the DCT.
 
     Scale shape: one pure per-row projection — the 8 rounded DFT powers
-    build as a nested fold inside a transform(), the {N_MEL} band
-    energies fold those against broadcast literal weight arrays; no
-    shuffle, no UDF, no Python. At 100 TB this is a map-only stage."""
-    load_table(spark, sf_dir, "documents")
-    dev = (f"CASE WHEN i < length(text) THEN "
-           f"ascii(substr(text, CAST(i + 1 AS INT), 1)) - {AUDIO_BIAS} "
-           f"ELSE 0 END")
-    # Interpreted-lambda economics (measured at sf0.1): the naive
-    # `re*re + im*im` spelling re-evaluated each 16-term trig fold twice
-    # (12.3 s); a struct accumulator + finish lambda halved the folds
-    # (5.7 s); hoisting the 16 samples ONCE per doc and replacing
-    # runtime cos/sin with the literal DFT basis matrix removes all
-    # per-bin string and trig work. Same sums in the same order.
-    power = (
-        f"aggregate(sequence(0, {DFT_N - 1}), "
-        f"named_struct('re', CAST(0 AS DOUBLE), 'im', CAST(0 AS DOUBLE)), "
-        f"(acc, i) -> named_struct("
-        f"'re', acc.re + element_at(devs, i + 1)"
-        f" * element_at(cosm, kk * {DFT_N} + i + 1), "
-        f"'im', acc.im + element_at(devs, i + 1)"
-        f" * element_at(sinm, kk * {DFT_N} + i + 1)), "
-        f"acc -> floor((acc.re * acc.re + acc.im * acc.im) * 100e0"
-        f" + 0.501e0) / 100e0)"
-    )
+    build against the literal basis matrix, the {N_MEL} band energies
+    fold those against broadcast literal weight arrays; no shuffle, no
+    UDF, no Python. At 100 TB this is a map-only stage.
+
+    Interpreted-lambda economics (measured at sf0.1): the naive
+    `re*re + im*im` spelling re-evaluated each 16-term trig fold twice
+    (12.3 s); a struct accumulator + finish lambda halved the folds
+    (5.7 s); samples hoisted + the literal basis matrix removed the
+    per-bin string and trig work (1.07 s); round 12 unrolls every fold
+    into codegen arithmetic — the samples array, the 8 re/im sums (with
+    the basis literals INLINED per term, so the trig CTE disappears),
+    and the 8-term band-energy fold — keeping the identical
+    left-associated IEEE order (guide §4.1; 1.16 s -> 0.73 s). Same
+    sums in the same order; the oracle keeps the fold spelling over the
+    same literals."""
     import math  # noqa: PLC0415
 
+    from database_toolbox_spark.operators._fold import (  # noqa: PLC0415
+        unrolled_sum,
+    )
+
+    load_table(spark, sf_dir, "documents")
+    cosv = _dft_trig_vals(math.cos)
+    sinv = _dft_trig_vals(math.sin)
+
+    def re_im(kk: int, vals: list[float]) -> str:
+        return unrolled_sum(
+            lambda i: (f"element_at(devs, {i + 1}) * "
+                       f"{_trig_cast(vals[kk * DFT_N + i])}"),
+            DFT_N, start=0,
+        )
+
+    def power(kk: int) -> str:
+        re, im = re_im(kk, cosv), re_im(kk, sinv)
+        return (f"floor(({re} * {re} + {im} * {im}) * 100e0"
+                f" + 0.501e0) / 100e0")
+
+    pw_arr = "array(" + ", ".join(power(kk) for kk in range(DFT_BINS)) + ")"
+    energy = unrolled_sum(
+        lambda k: f"element_at(pw, {k + 1}) * element_at(m.w, {k + 1})",
+        DFT_BINS, start=0,
+    )
     return spark.sql(f"""
         WITH m AS (SELECT * FROM VALUES {_mel_rows('array')} AS t(band, w)),
-        trig AS (SELECT {_dft_trig_lit(math.cos, 'array')} AS cosm,
-                        {_dft_trig_lit(math.sin, 'array')} AS sinm),
         p AS (
-            SELECT doc_id,
-                   transform(sequence(0, {DFT_BINS - 1}), kk ->
-                       {power}) AS pw
+            SELECT doc_id, {pw_arr} AS pw
             FROM (
-                SELECT doc_id,
-                       transform(sequence(0, {DFT_N - 1}), i ->
-                           CAST({dev} AS DOUBLE)) AS devs
+                SELECT doc_id, {_unrolled_samples(DFT_N)} AS devs
                 FROM documents
-            ) d CROSS JOIN trig
+            ) d
         ),
         e AS (
-            SELECT p.doc_id, m.band,
-                   aggregate(sequence(0, {DFT_BINS - 1}),
-                       CAST(0 AS DOUBLE),
-                       (acc, k) -> acc + element_at(pw, k + 1)
-                                   * element_at(m.w, k + 1)) AS energy
+            SELECT p.doc_id, m.band, {energy} AS energy
             FROM p CROSS JOIN m
         )
         SELECT doc_id, CAST(band AS INT) AS mel_band,
@@ -1304,45 +1364,106 @@ def audio_spectrogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Framed power spectrum — the spectrogram extension of
     audio_dft_power: SPEC_FRAMES non-overlapping 16-sample frames per
     document (frame f reads samples f*16..f*16+15, bias-centered, zero
-    past text end), 8 DFT bins per frame AS SQL, then the corpus-level
+    past text end), 8 DFT bins per frame, then the corpus-level
     (frame, dominant-bin) histogram with mean frame energy. The
     time-frequency feature a real audio pipeline feeds downstream
     (keyword spotting, VAD) — here with the deterministic byte-PCM stand-
-    in the multimodal tier documents, so the Spark-side plumbing (frame
-    explode -> per-frame transform -> spectral rollup) is real and
-    tested.
+    in the multimodal tier documents.
 
-    Scale shape: pure per-row projection exploded to frames x bins rows
-    per doc (32), then one grouped argmax (window partitioned by
-    doc+frame) and one grouped rollup — no UDF, no unbounded state."""
-    load_table(spark, sf_dir, "documents")
-    # one 64-sample byte array per doc (the string indexing is the lambda
-    # hot spot: inlining ascii(substr(..)) into the DFT fold re-extracts
-    # each sample 2 * DFT_BINS times — measured 10.3 s -> ~2 s at sf0.1)
+    Scale shape: one map-only Python stage emitting SPEC_FRAMES rows per
+    doc, then one grouped rollup — no unbounded state.
+
+    Spark side (guide §4.2 — hand whole batches to vectorized native
+    code): the per-doc framed DFT is ONE numpy kernel inside
+    mapInPandas. Bit-exactness is preserved operation for operation:
+    the i-loop accumulates `acc = acc + dev_i * basis_i` as 16
+    vectorized left-associated float64 steps (the exact IEEE sequence
+    of the SQL fold), the basis values are math.cos/math.sin — the
+    same literal-matrix doubles audio_mel_energies committed (at most
+    one ulp from the JVM trig they replace, absorbed by the 2-decimal
+    power rounding exactly as the engine-vs-oracle libm gap already
+    is), the per-frame power rounding replays floor(x*100+0.501)/100,
+    frame_energy sums the 8 rounded powers in ascending-bin order
+    (the order Spark's partial aggregate consumed them), and the
+    dominant bin is argmax-first = lowest tied bin. Only
+    (doc_id, text) crosses the Python boundary, SPEC_FRAMES rows per
+    doc come back, and the corpus-level rollup stays in SQL. The
+    oracle keeps the runtime-trig SQL fold + window spelling
+    unchanged. Measured 2.65 s -> 0.66 s at sf0.1; the SQL spelling's
+    floor was ~1.5 s (interpreted-HOF sample extraction dominates —
+    see audio_dft_power, which keeps the pure-SQL demonstration
+    form)."""
+    import math  # noqa: PLC0415
+
     n_samp = SPEC_FRAMES * DFT_N
-    samples = (f"transform(sequence(0, {n_samp - 1}), i -> "
-               f"CASE WHEN i < length(text) THEN "
-               f"ascii(substr(text, CAST(i + 1 AS INT), 1))"
-               f" - {AUDIO_BIAS} ELSE 0 END)")
-    dev = f"element_at(s.samples, CAST(f.f * {DFT_N} + i + 1 AS INT))"
-    trig = f"2e0 * pi() * k.k * i / {DFT_N}e0"
+    cosb = [[math.cos(2.0 * math.pi * k * i / DFT_N)
+             for i in range(DFT_N)] for k in range(DFT_BINS)]
+    sinb = [[math.sin(2.0 * math.pi * k * i / DFT_N)
+             for i in range(DFT_N)] for k in range(DFT_BINS)]
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(n_parts)
+    )
+
+    def run(batches):
+        import numpy as np  # noqa: PLC0415
+
+        cos_m = np.array(cosb, dtype=np.float64)  # (BINS, N)
+        sin_m = np.array(sinb, dtype=np.float64)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            buf = np.zeros((n, n_samp), dtype=np.float64)
+            mask = np.zeros((n, n_samp), dtype=bool)
+            for j, s in enumerate(pdf["text"]):
+                # ord() == ascii(substr(text, i+1, 1)) for ANY codepoint,
+                # so no ASCII-only narrowing vs the SQL spelling
+                head = s[:n_samp]
+                buf[j, : len(head)] = np.fromiter(
+                    map(ord, head), dtype=np.float64, count=len(head)
+                )
+                mask[j, : len(head)] = True
+            dev = np.where(mask, buf - AUDIO_BIAS, 0.0)
+            devf = dev.reshape(n, SPEC_FRAMES, DFT_N)
+            re = np.zeros((n, SPEC_FRAMES, DFT_BINS), dtype=np.float64)
+            im = np.zeros_like(re)
+            # 16 left-associated accumulation steps — the SQL fold's
+            # exact IEEE add/multiply sequence per (frame, bin)
+            for i in range(DFT_N):
+                re = re + devf[:, :, i : i + 1] * cos_m[None, None, :, i]
+                im = im + devf[:, :, i : i + 1] * sin_m[None, None, :, i]
+            power = np.floor((re * re + im * im) * 100.0 + 0.501) / 100.0
+            fe = np.zeros((n, SPEC_FRAMES), dtype=np.float64)
+            for k in range(DFT_BINS):  # ascending-bin left-assoc sum
+                fe = fe + power[:, :, k]
+            dom = np.argmax(power, axis=2)  # first max = lowest bin
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        pdf["doc_id"].to_numpy(), SPEC_FRAMES
+                    ),
+                    "f": np.tile(np.arange(SPEC_FRAMES), n),
+                    "frame_energy": fe.reshape(-1),
+                    "dom_bin": dom.reshape(-1).astype("int32"),
+                }
+            )
+
+    per_frame = docs.mapInPandas(
+        run,
+        schema="doc_id long, f int, frame_energy double, dom_bin int",
+    )
+    per_frame.createOrReplaceTempView("spec_frames")
     return spark.sql(f"""
-        WITH k AS (SELECT explode(sequence(0, {DFT_BINS - 1})) AS k),
-        f AS (SELECT explode(sequence(0, {SPEC_FRAMES - 1})) AS f),
-        s AS (SELECT doc_id, {samples} AS samples FROM documents),
-        d AS (
-            SELECT doc_id, f.f, k.k,
-                   aggregate(sequence(0, {DFT_N - 1}), CAST(0 AS DOUBLE),
-                       (acc, i) -> acc + ({dev}) * cos({trig})) AS re,
-                   aggregate(sequence(0, {DFT_N - 1}), CAST(0 AS DOUBLE),
-                       (acc, i) -> acc + ({dev}) * sin({trig})) AS im
-            FROM s CROSS JOIN f CROSS JOIN k
-        ),
-        p AS (
-            SELECT doc_id, f, k, {R("re * re + im * im", 2)} AS power
-            FROM d
-        ),
-        {_spectrogram_tail()}
+        SELECT CAST(f AS INT) AS frame,
+               CAST(dom_bin AS INT) AS dominant_bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               {R("avg(frame_energy)", 2)} AS avg_frame_energy
+        FROM spec_frames
+        GROUP BY f, dom_bin
+        ORDER BY frame, dominant_bin
     """)
 
 

@@ -436,16 +436,18 @@ def _jl_sign(p: int, pos: str) -> str:
     )
 
 
-def _jl_sql(proj_arr: str, norm_in: str, elem, norm_out: str) -> str:
+def _jl_sql(proj_arr: str, norm_in: str, elem, norm_out: str,
+            src: str = "embeddings", ordered: bool = True) -> str:
     comps = ", ".join(
         f"{R(elem('p', k), 5)} AS proj{k}" for k in range(1, 5)
     )
+    tail = "ORDER BY vec_id" if ordered else ""
     return f"""
         WITH proj AS (
             SELECT vec_id, label,
                    {proj_arr} AS p,
                    sqrt({norm_in}) AS norm_in
-            FROM embeddings
+            FROM {src}
         )
         SELECT vec_id, label,
                {comps},
@@ -453,7 +455,7 @@ def _jl_sql(proj_arr: str, norm_in: str, elem, norm_out: str) -> str:
                {R(norm_out, 4)} AS norm_out,
                {R(f"{norm_out} / norm_in", 4)} AS norm_ratio
         FROM proj
-        ORDER BY vec_id
+        {tail}
     """
 
 
@@ -469,27 +471,55 @@ def jl_projection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan, no shuffle before the output sort; the sign matrix is a
     closed-form integer formula (no RNG, no broadcast needed). Folds run
     in fixed index order so both engines produce bit-identical doubles
-    before rounding."""
-    load_tables(spark, sf_dir)
+    before rounding.
+
+    The folds are UNROLLED into codegen arithmetic (guide §4.1 —
+    higher-order lambdas are CodegenFallback, every element pays the
+    interpreted expression path): the same left-associated IEEE chain
+    from the zero accumulator with the loop index a literal, so doubles
+    are bit-identical to the aggregate() spelling; the ±1 signs become
+    Python-evaluated literals of the same closed form. Fixed
+    EMB_DIM = 64 like the PQ/BQ tier (FIXTURES.md contract). The scan
+    is range-partitioned by vec_id BEFORE the projection so the final
+    per-vector order comes from a LOCAL sort — a trailing ORDER BY
+    above the projection made the range sampler execute the whole
+    16x64 multiply once more per action (the png_payloads pattern).
+    Measured 0.83 s -> 0.79 s at sf0.1 idle (the committed bench's
+    1.06 s read was contended) - the fixture table is small enough to
+    be overhead-bound; the rewrite is kept for the scale shape: the
+    projection executes exactly once and runs in codegen."""
+    from database_toolbox_spark.operators._fold import (  # noqa: PLC0415
+        unrolled_norm2,
+        unrolled_sum,
+    )
+
+    tables = load_tables(spark, sf_dir)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tables["embeddings"].repartitionByRange(
+        n_parts, "vec_id"
+    ).createOrReplaceTempView("jl_emb")
+
+    def _sign(k: int, i: int) -> str:
+        return "-1e0" if (k * 131 + i * 73) % 101 < 50 else "1e0"
+
     proj_arr = "array(" + ", ".join(
-        "aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), "
-        "(acc, i) -> acc + CAST(element_at(embedding, i) AS DOUBLE) * "
-        f"{_jl_sign(k, 'i')}) / {JL_DIMS ** 0.5}e0"
+        unrolled_sum(
+            lambda i, k=k: "CAST(element_at(embedding, "
+                           f"{i}) AS DOUBLE) * {_sign(k, i)}",
+            64,
+        )
+        + f" / {JL_DIMS ** 0.5}e0"
         for k in range(JL_DIMS)
     ) + ")"
-    norm_in = (
-        "aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), "
-        "(acc, i) -> acc + CAST(element_at(embedding, i) AS DOUBLE) "
-        "* CAST(element_at(embedding, i) AS DOUBLE))"
-    )
-    norm_out = (
-        "sqrt(aggregate(sequence(1, size(p)), CAST(0 AS DOUBLE), "
-        "(acc, k) -> acc + element_at(p, k) * element_at(p, k)))"
-    )
+    norm_in = unrolled_norm2("embedding", 64)
+    norm_out = "sqrt(" + unrolled_sum(
+        lambda k: f"element_at(p, {k}) * element_at(p, {k})", JL_DIMS
+    ) + ")"
     return spark.sql(_jl_sql(
         proj_arr, norm_in,
         lambda a, k: f"element_at({a}, {k})", norm_out,
-    ))
+        src="jl_emb", ordered=False,
+    )).sortWithinPartitions("vec_id")
 
 
 RRF_K = 60       # standard RRF dampening constant
