@@ -58,6 +58,24 @@ def unrolled_norm2(e: str, dim: int = 64) -> str:
     return f"(CAST(0 AS DOUBLE) + {terms})"
 
 
+def unrolled_l2_idx(vec: str, base: str, cemb: str, dim: int) -> str:
+    """Bit-exact twin of
+    aggregate(zip_with(slice({vec}, 1 + {base}, dim), {cemb}, (x, y) ->
+                  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                  * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+              CAST(0 AS DOUBLE), (acc, x) -> acc + x)
+    with the subvector indexed DIRECTLY off the full vector (no slice
+    allocation): element i of the slice is element_at(vec, base + i)."""
+    terms = " + ".join(
+        f"(CAST(element_at({vec}, {base} + {i}) AS DOUBLE)"
+        f" - CAST(element_at({cemb}, {i}) AS DOUBLE))"
+        f" * (CAST(element_at({vec}, {base} + {i}) AS DOUBLE)"
+        f" - CAST(element_at({cemb}, {i}) AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+    return f"(CAST(0 AS DOUBLE) + {terms})"
+
+
 def unrolled_l2(a: str, b: str, dim: int = 64) -> str:
     """Bit-exact twin of
     aggregate(zip_with(a, b, (x, y) ->

@@ -959,7 +959,7 @@ COPURCHASE_CAP = 12
 COPURCHASE_MIN_SHARED = 2
 COPURCHASE_TOP = 20
 
-_COPURCHASE_CAPPED_SQL = f"""
+_COPURCHASE_CAPPED_HEAD = f"""
     WITH cp AS (
         SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -971,7 +971,9 @@ _COPURCHASE_CAPPED_SQL = f"""
     ),
     capped AS (
         SELECT p, c FROM ranked WHERE rn <= {COPURCHASE_CAP}
-    ),
+    )"""
+
+_COPURCHASE_CAPPED_TAIL = f"""
     pairs AS (
         SELECT a.c AS c1, b.c AS c2, CAST(count(*) AS BIGINT)
                    AS shared_parts
@@ -985,6 +987,12 @@ _COPURCHASE_CAPPED_SQL = f"""
     LIMIT {COPURCHASE_TOP}
 """
 
+# single-statement form (oracle use; DuckDB materializes the 2x-referenced
+# capped CTE itself)
+_COPURCHASE_CAPPED_SQL = (
+    _COPURCHASE_CAPPED_HEAD + "," + _COPURCHASE_CAPPED_TAIL
+)
+
 
 def copurchase_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{COPURCHASE_TOP} co-purchase pairs from the CAPPED projection
@@ -995,9 +1003,23 @@ def copurchase_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARTITIONED BY part (keyed, never global), the pair equi-join runs on
     the capped relation (<= CAP rows per part), TakeOrdered top-{COPURCHASE_TOP}.
     Identical SQL text runs on both engines (the rank column is compared,
-    never emitted, so the INT/BIGINT row_number divergence is moot)."""
+    never emitted, so the INT/BIGINT row_number divergence is moot).
+
+    The capped relation is materialized once (guide §2.4): it feeds BOTH
+    pair-join sides, and Catalyst inlines CTEs, so the one-statement form
+    replayed the fact join + distinct + per-part window twice (measured
+    2.19 s -> 1.20 s at sf0.1 under identical host contention, vs the
+    1.64 s committed idle baseline; the oracle keeps the inline form)."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
     load_tables(spark, sf_dir)
-    return spark.sql(_COPURCHASE_CAPPED_SQL)
+    materialize(
+        spark.sql(_COPURCHASE_CAPPED_HEAD + " SELECT * FROM capped")
+    ).createOrReplaceTempView("cpc_capped")
+    return spark.sql(
+        "WITH capped AS (SELECT * FROM cpc_capped),"
+        + _COPURCHASE_CAPPED_TAIL
+    )
 
 
 QUERIES["copurchase_capped_pairs"] = copurchase_capped_pairs

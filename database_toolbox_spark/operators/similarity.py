@@ -1093,23 +1093,40 @@ PQ_SUBDIM = 8  # 64-dim fixture embeddings / 8
 PQ_CENTROIDS = 32  # k* codebook entries per subspace (sampled codebook)
 
 
-def _pq_sql(subspaces: str, vslice, l2) -> str:
+def _pq_codes_argmin(src: str) -> str:
+    """Spark-side codes CTE body: grouped struct-argmin instead of the
+    row_number window (same (floored distance, cid) order, so the SAME
+    centroid wins), with the subspace L2 UNROLLED and indexed directly
+    off the full vector (guide §4.1 — the zip_with/aggregate fold is
+    interpreted, and the window spelling shuffled+sorted |vectors| x
+    |codebook| rows where the grouped min ships only partial aggregates
+    per (vector, subspace))."""
+    from database_toolbox_spark.operators._fold import (  # noqa: PLC0415
+        unrolled_l2_idx,
+    )
+
+    d = unrolled_l2_idx("v.embedding", f"(c.s) * {PQ_SUBDIM}", "c.cemb",
+                        PQ_SUBDIM)
+    return f"""
+            SELECT v.vec_id, c.s,
+                   (min(named_struct(
+                       'd', floor({d} * 1000000e0) / 1000000e0,
+                       'cid', c.cid))).cid AS cid
+            FROM {src} v CROSS JOIN cents c
+            GROUP BY v.vec_id, c.s
+    """
+
+
+def _pq_sql(subspaces: str, vslice, l2, codes_body: str | None = None) -> str:
     """Shared PQ-ADC pipeline: sampled per-subspace codebooks (the first
     {PQ_CENTROIDS} vectors' subvectors — deterministic, no Lloyd
     iterations; a production trainer would refine with the kmeans_cells
     machinery), per-vector code assignment, query LUT, asymmetric
     distance = sum of per-subspace LUT entries. Assignment ranks on the
     1e-6-floored distance (kmeans/IVF guard) so libm ulps can't flip a
-    code."""
-    return f"""
-        WITH sub AS ({subspaces}),
-        cents AS (
-            SELECT sub.s, e.vec_id AS cid,
-                   {vslice("e.embedding", "sub.s")} AS cemb
-            FROM embeddings e CROSS JOIN sub
-            WHERE e.vec_id < {PQ_CENTROIDS}
-        ),
-        codes AS (
+    code. codes_body overrides the assignment spelling (the Spark side
+    passes the grouped struct-argmin; the oracle keeps the window)."""
+    codes = codes_body or f"""
             SELECT vec_id, s, cid FROM (
                 SELECT v.vec_id, c.s, c.cid,
                        row_number() OVER (
@@ -1120,6 +1137,17 @@ def _pq_sql(subspaces: str, vslice, l2) -> str:
                        ) AS rn
                 FROM embeddings v CROSS JOIN cents c
             ) r WHERE rn = 1
+    """
+    return f"""
+        WITH sub AS ({subspaces}),
+        cents AS (
+            SELECT sub.s, e.vec_id AS cid,
+                   {vslice("e.embedding", "sub.s")} AS cemb
+            FROM embeddings e CROSS JOIN sub
+            WHERE e.vec_id < {PQ_CENTROIDS}
+        ),
+        codes AS (
+{codes}
         ),
         q AS (SELECT embedding AS qemb FROM embeddings
               WHERE vec_id = {QUERY_VEC_ID}),
@@ -1159,7 +1187,12 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the coding projection (one pass over vectors, map-side), once into
     the 256-entry LUT; ADC is a grouped sum over 8 LUT hits per vector
     and the ranking is TakeOrdered. Nothing shuffles at corpus grain
-    except the final top-k."""
+    except the final top-k. Round 12: the code assignment is a grouped
+    struct-argmin with the subspace L2 unrolled into codegen (see
+    _pq_codes_argmin — the window spelling shuffled and sorted the full
+    |vectors| x |codebook| product; the oracle keeps it). Measured
+    2.12 s -> 1.17 s at sf0.1 under identical host contention (the
+    committed idle baseline read 1.34 s)."""
     load_tables(spark, sf_dir)
 
     def vslice(e, s):
@@ -1175,6 +1208,7 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT explode(sequence(0, {PQ_SUBSPACES - 1})) AS s",
         vslice,
         l2,
+        codes_body=_pq_codes_argmin("embeddings"),
     ))
 
 
@@ -1197,7 +1231,8 @@ ORACLE["pq_ann_topk"] = _pq_sql(
 )
 
 
-def _ivfpq_sql(assigned_src: str, subspaces: str, vslice, l2) -> str:
+def _ivfpq_sql(assigned_src: str, subspaces: str, vslice, l2,
+               codes_body: str | None = None) -> str:
     """Shared IVF+PQ composite: coarse IVF probe (the query's nearest
     cell bounds the candidate set to ~1/N_IVF_CELLS of the corpus),
     then PQ-ADC ranking of the probe set only — the FAISS IVFADC
@@ -1227,6 +1262,7 @@ def _ivfpq_sql(assigned_src: str, subspaces: str, vslice, l2) -> str:
             WHERE e.vec_id < {PQ_CENTROIDS}
         ),
         codes AS (
+{codes_body.replace("cents c", "pqc c") if codes_body else f'''
             SELECT vec_id, s, cid FROM (
                 SELECT v.vec_id, c.s, c.cid,
                        row_number() OVER (
@@ -1237,6 +1273,7 @@ def _ivfpq_sql(assigned_src: str, subspaces: str, vslice, l2) -> str:
                        ) AS rn
                 FROM probe v CROSS JOIN pqc c
             ) r WHERE rn = 1
+'''}
         ),
         lut AS (
             SELECT c.s, c.cid,
@@ -1301,6 +1338,7 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT explode(sequence(0, {PQ_SUBSPACES - 1})) AS s",
         vslice,
         l2,
+        codes_body=_pq_codes_argmin("probe"),
     ))
 
 
