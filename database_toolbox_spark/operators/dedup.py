@@ -1205,11 +1205,37 @@ SEMDEDUP_TARGET_CELL = 125  # target vectors per cell: k = max(16, n/125),
 # the formula still yields k=16, so registry outputs are unchanged.
 
 
-def _semdedup_assign_sql(norm2, l2) -> str:
+def _semdedup_assign_sql(norm2, l2, argmin: bool = False) -> str:
     """SemDeDup phase 1 — the per-row cell assignment relation
     m(cell, vec_id, embedding, norm2). Assignment ranks on a
     1e-6-floored distance (the kmeans/IVF guard) so libm ulps can't
-    flip cell membership."""
+    flip cell membership. argmin=True (the Spark side) spells the
+    assignment as a grouped struct-argmin — same (floored distance,
+    cell) order, so the SAME cell wins, but only per-vector partials
+    shuffle instead of the sorted |vectors| x |cells| product (guide
+    §2.3/2.4); the oracle keeps the window spelling."""
+    if argmin:
+        assigned = f"""
+            SELECT v.vec_id,
+                   (min(named_struct(
+                       'd', floor({l2("v.embedding", "c.cemb")}
+                                  * 1000000e0) / 1000000e0,
+                       'cell', c.cell))).cell AS cell
+            FROM v CROSS JOIN cents c
+            GROUP BY v.vec_id
+        """
+    else:
+        assigned = f"""
+            SELECT vec_id, cell FROM (
+                SELECT v.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY floor({l2("v.embedding", "c.cemb")}
+                                          * 1000000e0) / 1000000e0, c.cell
+                       ) AS rn
+                FROM v CROSS JOIN cents c
+            ) r WHERE rn = 1
+        """
     return f"""
         WITH k AS (
             SELECT greatest({SEMDEDUP_CELLS},
@@ -1226,17 +1252,7 @@ def _semdedup_assign_sql(norm2, l2) -> str:
             SELECT vec_id, embedding, {norm2("embedding")} AS norm2
             FROM embeddings
         ),
-        assigned AS (
-            SELECT vec_id, cell FROM (
-                SELECT v.vec_id, c.cell,
-                       row_number() OVER (
-                           PARTITION BY v.vec_id
-                           ORDER BY floor({l2("v.embedding", "c.cemb")}
-                                          * 1000000e0) / 1000000e0, c.cell
-                       ) AS rn
-                FROM v CROSS JOIN cents c
-            ) r WHERE rn = 1
-        )
+        assigned AS ({assigned})
         SELECT a.cell, v.vec_id, v.embedding, v.norm2
         FROM v JOIN assigned a ON a.vec_id = v.vec_id
     """
@@ -1287,6 +1303,10 @@ def semdedup_drop_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph: this is the form that survives 100 TB because k grows."""
     load_tables(spark, sf_dir)
 
+    # the folds stay INTERPRETED deliberately: 64-term unrolled twins
+    # measured ~1.8x slower in same-window A/B (the 64-dim trees fall
+    # out of JIT-compilable method sizes; the 8-dim PQ unroll won) —
+    # see OPTIMIZATION_r12.md "unroll boundary"
     def norm2(e):
         return (f"aggregate({e}, CAST(0 AS DOUBLE), (acc, x) -> "
                 f"acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
@@ -1302,7 +1322,7 @@ def semdedup_drop_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
                 f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
 
-    m = materialize(spark.sql(_semdedup_assign_sql(norm2, l2)))
+    m = materialize(spark.sql(_semdedup_assign_sql(norm2, l2, argmin=True)))
     m.createOrReplaceTempView("semdedup_m")
     # the report's per-cell LEFT JOIN tree is all broadcast joins (no
     # exchange below the final sort), so a trailing ORDER BY made the

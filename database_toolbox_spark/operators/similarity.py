@@ -177,6 +177,11 @@ N_IVF_CELLS = 16
 
 
 def _spark_l2_to_centroid(vec: str, cent: str) -> str:
+    # kept as the interpreted fold DELIBERATELY: the round-12 unrolled
+    # 64-term codegen twin measured ~1.7x SLOWER in same-window A/B
+    # (ivf_nprobe 0.50 -> 0.84 s; 64-dim trees overflow the JIT-friendly
+    # method size, unlike the 8-dim PQ unroll which won) — see
+    # OPTIMIZATION_r12.md "unroll boundary"
     return (
         f"aggregate(zip_with({vec}, {cent}, (x, y) -> "
         "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
@@ -2100,6 +2105,11 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     are evaluated. Rankings tie-break on (rounded cosine, vec_id) —
     engine-stable."""
     load_tables(spark, sf_dir)
+    # the folds stay INTERPRETED deliberately: the round-12 unrolled
+    # 64-term twins (with a CASE dispatch over the literal truncation
+    # points) measured 2x SLOWER in same-window A/B (0.67 -> 1.36 s) —
+    # the 64-dim trees fall out of JIT-compilable method sizes; see
+    # OPTIMIZATION_r12.md "unroll boundary"
     cos_full = (
         "aggregate(zip_with(e.embedding, q.qv, (x, y) -> "
         "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
@@ -2700,6 +2710,9 @@ def bq_asym_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     """))
     codes.createOrReplaceTempView("bq_asym_codes_v")
+    # folds stay interpreted: the round-12 unrolled 64-term exact-arm
+    # twins measured ~1.7x slower in same-window A/B (0.97 -> 1.70 s);
+    # see OPTIMIZATION_r12.md "unroll boundary"
     spark_cos = (
         "aggregate(zip_with(e.embedding, q.qv, (x, y) -> "
         "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
@@ -3161,7 +3174,11 @@ def mrl_dim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both arms are panel-bounded corpus scans (fixed
     {N_KNN_QUERIES}-query panel, {len(MRL_DIMS)} widths), every ranking
     window PARTITIONed by (width, query); the prefix dot products slice
-    arrays inside codegen — no UDF, no pairwise corpus work."""
+    arrays inside codegen — no UDF, no pairwise corpus work. The folds
+    stay INTERPRETED deliberately: the round-12 unrolled twins measured
+    ~2x slower in same-window A/B (0.66 -> 1.29 s; the 64-dim trees
+    fall out of JIT-compilable method sizes) — see OPTIMIZATION_r12.md
+    "unroll boundary"."""
     load_tables(spark, sf_dir)
 
     def aslice(arr: str, d: str) -> str:

@@ -716,7 +716,12 @@ _RFM_MIG_SQL = """
         WHERE prev_yr = yr - 1
         GROUP BY prev_cls, cls
     ),
-    fromtot AS (
+    {tail}
+"""
+
+# oracle tail: the original self-contained join spelling (trans is
+# referenced twice; DuckDB materializes it itself)
+_RFM_MIG_JOIN_TAIL = """fromtot AS (
         SELECT from_class, sum(n) AS tot FROM trans GROUP BY from_class
     )
     SELECT t.from_class, t.to_class,
@@ -724,8 +729,24 @@ _RFM_MIG_SQL = """
            {share} AS share_of_from
     FROM trans t JOIN fromtot ft ON ft.from_class = t.from_class
     ORDER BY n_customers DESC, t.from_class, t.to_class
-    LIMIT 20
-"""
+    LIMIT 20"""
+
+# Spark tail: origin-class total as a window sum over the GROUPED (and
+# class-bounded, <= 27x27 rows) trans relation — the fromtot join spelling
+# referenced trans twice, and Catalyst's CTE inlining replayed the whole
+# per_cy + 5-window chain per reference (guide §2.4). Integer counts, so
+# the shares are bit-identical to the join spelling.
+_RFM_MIG_WINDOW_TAIL = """tot AS (
+        SELECT from_class, to_class, n,
+               sum(n) OVER (PARTITION BY from_class) AS tot
+        FROM trans
+    )
+    SELECT t.from_class, t.to_class,
+           CAST(t.n AS BIGINT) AS n_customers,
+           {share} AS share_of_from
+    FROM tot t
+    ORDER BY n_customers DESC, t.from_class, t.to_class
+    LIMIT 20"""
 
 
 def rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -737,13 +758,18 @@ def rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition BY YEAR (calendar-parallel, never global); the transition
     join is a lag over each customer's short year sequence; the final
     matrix is bounded by 27x27 classes. STRING casts keep row_number's
-    INT-vs-BIGINT engine difference out of the output."""
+    INT-vs-BIGINT engine difference out of the output.
+
+    The Spark side totals the origin class with a window sum over the
+    bounded trans relation (_RFM_MIG_WINDOW_TAIL) — the join spelling
+    referenced trans twice and CTE inlining replayed the whole
+    per_cy + 5-window chain per reference; the oracle keeps the join."""
     from database_toolbox_spark.session import load_tables  # noqa: PLC0415
 
     load_tables(spark, sf_dir)
     return spark.sql(
-        _RFM_MIG_SQL.replace("AS STRING", "AS STRING").format(
-            share=R("t.n * 1e0 / ft.tot", 4)
+        _RFM_MIG_SQL.format(tail=_RFM_MIG_WINDOW_TAIL).format(
+            share=R("t.n * 1e0 / t.tot", 4)
         )
     )
 
@@ -751,4 +777,4 @@ def rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["rfm_migration_matrix"] = rfm_migration_matrix
 ORACLE["rfm_migration_matrix"] = _RFM_MIG_SQL.replace(
     "AS STRING", "AS VARCHAR"
-).format(share=R("t.n * 1e0 / ft.tot", 4))
+).format(tail=_RFM_MIG_JOIN_TAIL).format(share=R("t.n * 1e0 / ft.tot", 4))
