@@ -220,6 +220,74 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits (T.81 F.1.2.3)
 
 
+def _fdct_quant_many(blocks, quant) -> list[list[int]]:
+    """Batched exact twin of fdct_block + the zigzag quantization of
+    _encode_block, vectorized ACROSS blocks (round-12 optimization —
+    guide §4.2): every per-element float64 operation happens in the
+    IDENTICAL left-associated order as the per-block code (products
+    added left to right starting from the first, the (0.25 * C[u]) *
+    C[v] scalar chain evaluated in Python floats, floor(x + 0.5 + 1e-9)
+    reproduced term for term), so the emitted bytes are bit-identical.
+
+    blocks: sequence of 64-int sample lists. Returns per-block zigzag
+    quantized coefficient lists (Python ints)."""
+    import numpy as np  # noqa: PLC0415
+
+    cos = _COS
+    b = np.asarray(blocks, dtype=np.float64).reshape(-1, 8, 8) - 128.0
+    tmp = np.empty_like(b)  # tmp[:, y, u]
+    for u in range(8):
+        acc = b[:, :, 0] * cos[u][0]
+        for i in range(1, 8):
+            acc = acc + b[:, :, i] * cos[u][i]
+        tmp[:, :, u] = acc
+    out = np.empty_like(b)  # out[:, v, u]
+    for u in range(8):
+        cu = 0.25 * _C[u]
+        t = tmp[:, :, u]  # (n, y)
+        for v in range(8):
+            acc = t[:, 0] * cos[v][0]
+            for yy in range(1, 8):
+                acc = acc + t[:, yy] * cos[v][yy]
+            out[:, v, u] = (cu * _C[v]) * acc
+    flat = out.reshape(-1, 64)
+    zz_idx = np.asarray(ZIGZAG, dtype=np.int64)
+    qzz = np.asarray(
+        [quant[ZIGZAG[k]] for k in range(64)], dtype=np.float64
+    )
+    q = np.floor((flat[:, zz_idx] / qzz + 0.5) + 1e-9).astype(np.int64)
+    return q.tolist()
+
+
+def _idct_round_many(coef_blocks) -> "object":
+    """Batched exact twin of idct_block + the +128 half-up-eps rounding
+    and 0..255 clamp of the decoder's plane write (round-12): dense
+    accumulation in the identical per-term order — the sparse skips of
+    idct_block only drop exact-zero addends, which after the rounding
+    cannot change any output sample. coef_blocks: (n, 64) natural-order
+    dequantized coefficients. Returns an (n, 8, 8) int64 array of
+    clamped spatial samples."""
+    import numpy as np  # noqa: PLC0415
+
+    cos = _COS
+    c = np.asarray(coef_blocks, dtype=np.float64).reshape(-1, 8, 8)
+    # row pass: tmp[v, x] = sum_u C[u] * coef[v, u] * cos[u][x]
+    tmp = np.zeros_like(c)
+    for u in range(8):
+        cc = _C[u] * c[:, :, u]  # (n, v)
+        for x in range(8):
+            tmp[:, :, x] = tmp[:, :, x] + cc * cos[u][x]
+    # column pass: out[y, x] = 0.25 * sum_v C[v] * tmp[v, x] * cos[v][y]
+    out = np.zeros_like(c)
+    for v in range(8):
+        cv = _C[v] * tmp[:, v, :]  # (n, x)
+        for y in range(8):
+            out[:, y, :] = out[:, y, :] + cv * cos[v][y]
+    out = 0.25 * out
+    vals = np.floor(((out + 128) + 0.5) + 1e-9).astype(np.int64)
+    return np.clip(vals, 0, 255)
+
+
 def _magnitude(value: int) -> tuple[int, int]:
     """(size category, additional bits) of a coefficient value."""
     if value == 0:
@@ -232,12 +300,20 @@ def _magnitude(value: int) -> tuple[int, int]:
 def _encode_block(
     writer: _BitWriter, samples: list[int], quant: tuple, pred_dc: int
 ) -> int:
+    """Single-block reference path (kept for tests/anchors): fdct +
+    quantize + Huffman. encode_jpeg's scan loop uses the batched
+    _fdct_quant_many + _write_block split with identical output."""
     shifted = [s - 128.0 for s in samples]
     coefs = fdct_block(shifted)
     q = [
         _round_half_up_eps(coefs[ZIGZAG[k]] / quant[ZIGZAG[k]])
         for k in range(64)
     ]
+    return _write_block(writer, q, pred_dc)
+
+
+def _write_block(writer: _BitWriter, q: list[int], pred_dc: int) -> int:
+    """Huffman-encode one block's zigzag quantized coefficients."""
     diff = q[0] - pred_dc
     size, bits = _magnitude(diff)
     code, length = _DC_ENC[size]
@@ -354,17 +430,29 @@ def encode_jpeg(
         raise ValueError("pixel buffer does not match dimensions")
     sub420 = channels == 3 and subsampling == "420"
 
-    # component planes, level 0..255
+    # component planes, level 0..255 (round-12: the RGB->YCbCr pass is
+    # vectorized numpy with the scalar rgb_to_ycbcr's identical float
+    # term order — same products, same left-associated additions, same
+    # floor(x + 0.5) and clamp)
     if channels == 1:
         planes = [px]
     else:
-        ys, cbs, crs = [], [], []
-        for i in range(0, len(px), 3):
-            y, cb, cr = rgb_to_ycbcr(px[i], px[i + 1], px[i + 2])
-            ys.append(y)
-            cbs.append(cb)
-            crs.append(cr)
-        planes = [ys, cbs, crs]
+        import numpy as np  # noqa: PLC0415
+
+        arr = np.asarray(px, dtype=np.int64).reshape(-1, 3)
+        r, g, b = arr[:, 0], arr[:, 1], arr[:, 2]
+        y = np.floor(((0.299 * r + 0.587 * g) + 0.114 * b) + 0.5)
+        cb = np.floor(
+            (((128 - 0.168736 * r) - 0.331264 * g) + 0.5 * b) + 0.5
+        )
+        cr = np.floor(
+            (((128 + 0.5 * r) - 0.418688 * g) - 0.081312 * b) + 0.5
+        )
+        planes = [
+            np.clip(y, 0, 255).astype(np.int64).tolist(),
+            np.clip(cb, 0, 255).astype(np.int64).tolist(),
+            np.clip(cr, 0, 255).astype(np.int64).tolist(),
+        ]
     quants = [LUMA_QUANT] + ([CHROMA_QUANT] if channels == 3 else [])
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -397,21 +485,23 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += _seg(0xFFDA, sos)
 
-    writer = _BitWriter()
-    pred = [0] * channels
+    # round-12: collect the scan's blocks in order, batch the fdct +
+    # quantization across blocks per quant table (_fdct_quant_many — the
+    # exact vectorized twin of the per-block path), then run the serial
+    # Huffman pass over the precomputed coefficient lists. Byte-identical
+    # output; the per-block pure-Python DCT dominated the encoder.
+    scan_blocks: list = []  # (samples, table_idx, comp_idx)
     if not sub420:
         bx = (width + 7) // 8
         by = (height + 7) // 8
         for byi in range(by):
             for bxi in range(bx):
                 for ci in range(channels):
-                    quant = quants[min(ci, len(quants) - 1)]
-                    pred[ci] = _encode_block(
-                        writer,
+                    scan_blocks.append((
                         _block_at(planes[ci], width, height, bxi, byi),
-                        quant,
-                        pred[ci],
-                    )
+                        min(ci, len(quants) - 1),
+                        ci,
+                    ))
     else:
         cw = (width + 1) // 2
         ch = (height + 1) // 2
@@ -423,20 +513,34 @@ def encode_jpeg(
             for mxi in range(mx):
                 for v in range(2):  # 4 luma blocks, raster order
                     for h in range(2):
-                        pred[0] = _encode_block(
-                            writer,
+                        scan_blocks.append((
                             _block_at(planes[0], width, height,
                                       2 * mxi + h, 2 * myi + v),
-                            quants[0],
-                            pred[0],
-                        )
+                            0,
+                            0,
+                        ))
                 for ci in (1, 2):
-                    pred[ci] = _encode_block(
-                        writer,
+                    scan_blocks.append((
                         _block_at(cplanes[ci - 1], cw, ch, mxi, myi),
-                        quants[1],
-                        pred[ci],
-                    )
+                        1,
+                        ci,
+                    ))
+
+    qs: list = [None] * len(scan_blocks)
+    for tid in range(len(quants)):
+        idx = [i for i, sb in enumerate(scan_blocks) if sb[1] == tid]
+        if not idx:
+            continue
+        rows = _fdct_quant_many(
+            [scan_blocks[i][0] for i in idx], quants[tid]
+        )
+        for i, row in zip(idx, rows):
+            qs[i] = row
+
+    writer = _BitWriter()
+    pred = [0] * channels
+    for i, (_samples, _tid, ci) in enumerate(scan_blocks):
+        pred[ci] = _write_block(writer, qs[i], pred[ci])
     writer.flush()
     out += writer.buf
     out += b"\xff\xd9"  # EOI
@@ -453,32 +557,41 @@ class _BitReader:
         self._acc = 0
         self._n = 0
 
-    def read_bit(self) -> int:
-        if self._n == 0:
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy-coded segment")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
             if self.pos >= len(self.data):
-                raise ValueError("truncated entropy-coded segment")
-            byte = self.data[self.pos]
+                raise ValueError("truncated after 0xFF")
+            marker = self.data[self.pos]
             self.pos += 1
-            if byte == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("truncated after 0xFF")
-                marker = self.data[self.pos]
-                self.pos += 1
-                if marker != 0x00:
-                    raise ValueError(
-                        f"unexpected marker 0xFF{marker:02X} in scan "
-                        f"(restart intervals are unsupported)"
-                    )
-            self._acc = byte
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+            if marker != 0x00:
+                raise ValueError(
+                    f"unexpected marker 0xFF{marker:02X} in scan "
+                    f"(restart intervals are unsupported)"
+                )
+        self._acc = (self._acc << 8) | byte
+        self._n += 8
+
+    def read_bit(self) -> int:
+        return self.read_bits(1)
+
+    def read_bits(self, n: int) -> int:
+        """MSB-first read of n bits (same bit sequence as n read_bit
+        calls; round-12 — the per-bit loop dominated the decoder)."""
+        while self._n < n:
+            self._fill()
+        self._n -= n
+        v = (self._acc >> self._n) & ((1 << n) - 1)
+        self._acc &= (1 << self._n) - 1
+        return v
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        return self.read_bits(n)
 
 
 def _extend(v: int, size: int) -> int:
@@ -500,8 +613,24 @@ class _HuffDecoder:
                 code += 1
                 k += 1
             code <<= 1
+        # single-length fast path (round-12): when every code in the
+        # table has the same length L — true for this encoder's DC (4)
+        # and AC (8) tables — decoding is one L-bit read + one dict hit
+        # instead of up-to-16 per-bit probes. A prefix-free table has no
+        # shorter match, so the bit sequence consumed is identical.
+        lens = [ln for ln in range(1, 17) if bits[ln - 1]]
+        self._flen = lens[0] if len(lens) == 1 else None
+        self._flut = (
+            {c: v for (_ln, c), v in self.lut.items()}
+            if self._flen is not None else None
+        )
 
     def decode(self, reader: _BitReader) -> int:
+        if self._flen is not None:
+            sym = self._flut.get(reader.read_bits(self._flen))
+            if sym is None:
+                raise ValueError("invalid Huffman code in scan")
+            return sym
         code = 0
         for length in range(1, 17):
             code = (code << 1) | reader.read_bit()
@@ -609,22 +738,32 @@ def decode_jpeg(data: bytes) -> dict:
     if channels not in (1, 3):
         raise ValueError("only 1- or 3-component images supported")
 
+    import numpy as np  # noqa: PLC0415
+
     reader = _BitReader(data[data_start:])
     # generic MCU-interleaved scan: MCU = 8*maxh x 8*maxv samples; each
     # component contributes hi x vi blocks per MCU into its own padded
     # plane. For all-1x1 sampling this degenerates to exactly the old
     # one-block-per-component 8x8 loop (same block order, same planes).
+    # round-12: the entropy decode stays bit-serial (each code's length
+    # depends on the previous), but it only COLLECTS the zigzag
+    # coefficient vectors; dequant + IDCT + rounding run batched across
+    # all blocks (_idct_round_many — the exact vectorized twin), and the
+    # upsample + color conversion are vectorized numpy with the
+    # identical per-term float order.
     maxh = max(c[2] for c in comps)
     maxv = max(c[3] for c in comps)
     mx = (width + 8 * maxh - 1) // (8 * maxh)
     my = (height + 8 * maxv - 1) // (8 * maxv)
     comp_by_cid = {c[0]: c for c in comps}
     strides = []
-    planes = []
+    plane_dims = []
+    block_zz: list = []  # per block: 64-int zigzag list
+    block_meta: list = []  # per block: (ci, tq, row0, col0)
     for cid, td, ta in tables:
         _, _tq, hi, vi = comp_by_cid[cid]
         strides.append(mx * 8 * hi)
-        planes.append([0] * (mx * 8 * hi * my * 8 * vi))
+        plane_dims.append((my * 8 * vi, mx * 8 * hi))
     pred = [0] * channels
     for myi in range(my):
         for mxi in range(mx):
@@ -632,7 +771,6 @@ def decode_jpeg(data: bytes) -> dict:
                 _, tq, hi, vi = comp_by_cid[cid]
                 dc_dec = huff[(0, td)]
                 ac_dec = huff[(1, ta)]
-                q = quant[tq]
                 for bv in range(vi):
                     for bh in range(hi):
                         zz = [0] * 64
@@ -653,43 +791,56 @@ def decode_jpeg(data: bytes) -> dict:
                                 raise ValueError("AC run overflows block")
                             zz[k] = _extend(reader.receive(size), size)
                             k += 1
-                        coefs = [0.0] * 64
-                        for kk in range(64):
-                            coefs[ZIGZAG[kk]] = zz[kk] * q[ZIGZAG[kk]]
-                        spatial = idct_block(coefs)
-                        plane = planes[ci]
-                        stride = strides[ci]
-                        row0 = (myi * vi + bv) * 8
-                        col0 = (mxi * hi + bh) * 8
-                        for yy in range(8):
-                            base = (row0 + yy) * stride + col0
-                            for xx in range(8):
-                                v = _round_half_up_eps(
-                                    spatial[yy * 8 + xx] + 128
-                                )
-                                plane[base + xx] = min(255, max(0, v))
+                        block_zz.append(zz)
+                        block_meta.append((
+                            ci, tq,
+                            (myi * vi + bv) * 8,
+                            (mxi * hi + bh) * 8,
+                        ))
 
-    def sample(ci: int, x: int, y: int) -> int:
-        """Full-res sample of component ci: identity for full-sampled
-        components, replication upsample for subsampled ones."""
+    # batched dequant + IDCT + rounding, grouped per quant table
+    zz_idx = np.asarray(ZIGZAG, dtype=np.int64)
+    zz_arr = np.asarray(block_zz, dtype=np.int64)
+    nat = np.zeros_like(zz_arr)
+    nat[:, zz_idx] = zz_arr  # nat[ZIGZAG[k]] = zz[k]
+    spatial = np.empty((len(block_zz), 8, 8), dtype=np.int64)
+    for tq in {m[1] for m in block_meta}:
+        idx = np.asarray(
+            [i for i, m in enumerate(block_meta) if m[1] == tq],
+            dtype=np.int64,
+        )
+        qnat = np.asarray(quant[tq], dtype=np.int64)
+        spatial[idx] = _idct_round_many(nat[idx] * qnat)
+    planes = [np.zeros(d, dtype=np.int64) for d in plane_dims]
+    for i, (ci, _tq, row0, col0) in enumerate(block_meta):
+        planes[ci][row0:row0 + 8, col0:col0 + 8] = spatial[i]
+
+    # vectorized upsample + color conversion (identical float term order
+    # to the scalar ycbcr_to_rgb)
+    ys_idx = np.arange(height, dtype=np.int64)
+    xs_idx = np.arange(width, dtype=np.int64)
+
+    def sample_plane(ci: int):
         _, _tq, hi, vi = comp_by_cid[tables[ci][0]]
         return planes[ci][
-            (y * vi // maxv) * strides[ci] + (x * hi // maxh)
+            np.ix_(ys_idx * vi // maxv, xs_idx * hi // maxh)
         ]
 
     if channels == 1:
-        pixels = [
-            sample(0, x, y) for y in range(height) for x in range(width)
-        ]
+        pixels = sample_plane(0).reshape(-1).tolist()
     else:
-        pixels = []
-        for y in range(height):
-            for x in range(width):
-                pixels.extend(
-                    ycbcr_to_rgb(
-                        sample(0, x, y), sample(1, x, y), sample(2, x, y)
-                    )
-                )
+        y = sample_plane(0)
+        cb = sample_plane(1)
+        cr = sample_plane(2)
+        r = np.floor((y + 1.402 * (cr - 128)) + 0.5)
+        g = np.floor(
+            (y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)) + 0.5
+        )
+        b = np.floor((y + 1.772 * (cb - 128)) + 0.5)
+        rgb = np.clip(
+            np.stack([r, g, b], axis=-1), 0, 255
+        ).astype(np.int64)
+        pixels = rgb.reshape(-1).tolist()
     return {
         "width": width,
         "height": height,

@@ -236,13 +236,21 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     order) on a finished multi-supplier order where NO other supplier was
     late — EXISTS → left_semi, NOT EXISTS → left_anti on (orderkey,
     other-supplier) pairs; top-20 by wait count."""
+    from database_toolbox_spark.session import materialize  # noqa: PLC0415
+
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = load_table(spark, sf_dir, "lineitem")
     supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
-    base = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        "l_orderkey", "l_suppkey",
-        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS"))
-        .alias("late"),
+    # materialize: base feeds THREE branches (l1, the semi probe, the
+    # anti probe) and a DataFrame reference is lineage, not a result —
+    # unmaterialized, the lineitem-orders join executed three times
+    # (guide §2.4; measured 0.80 -> 0.52 s at sf0.1)
+    base = materialize(
+        li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate")
+             + F.expr("INTERVAL 80 DAYS")).alias("late"),
+        )
     )
     l1 = base.filter(F.col("late")).select("l_orderkey", "l_suppkey")
     others = base.select(
