@@ -14,9 +14,15 @@ WholeStageCodegen. The leading ``0 +`` is kept deliberately: ``aggregate``
 starts its fold at the zero accumulator, and dropping it would flip the
 sign of an (all -0.0)-product corner case.
 
-Only for FIXED, known dims (the 64-dim embeddings fixture and the DFT
-frames): the unrolled expression is the loop, so the dim must be a
-compile-time constant.
+Only for FIXED, known dims, and only SMALL ones: the unrolled expression
+is the loop, so the dim must be a compile-time constant, and the
+measured boundary is ~16 terms — the 8-dim PQ subspace L2 and the
+16-term DFT sums win, while 64-dim embedding folds measured ~2x SLOWER
+unrolled (the generated trees fall out of JIT-compilable method sizes;
+the 64-dim variants were removed after same-window A/B — see
+OPTIMIZATION_r12.md "unroll boundary"). unrolled_norm2's default
+dim=64 survives only for jl_projection_stats, where it measured
+neutral-to-positive inside a single scan-side projection.
 """
 
 from __future__ import annotations
@@ -31,18 +37,6 @@ def unrolled_sum(term: Callable[[int], str], dim: int, start: int = 1) -> str:
     the same left-associated IEEE addition chain from the zero
     accumulator, with the loop index inlined as a literal."""
     terms = " + ".join(term(i) for i in range(start, start + dim))
-    return f"(CAST(0 AS DOUBLE) + {terms})"
-
-
-def unrolled_dot(a: str, b: str, dim: int = 64) -> str:
-    """Bit-exact twin of
-    aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-              CAST(0 AS DOUBLE), (acc, x) -> acc + x)."""
-    terms = " + ".join(
-        f"CAST(element_at({a}, {i}) AS DOUBLE)"
-        f" * CAST(element_at({b}, {i}) AS DOUBLE)"
-        for i in range(1, dim + 1)
-    )
     return f"(CAST(0 AS DOUBLE) + {terms})"
 
 
@@ -71,22 +65,6 @@ def unrolled_l2_idx(vec: str, base: str, cemb: str, dim: int) -> str:
         f" - CAST(element_at({cemb}, {i}) AS DOUBLE))"
         f" * (CAST(element_at({vec}, {base} + {i}) AS DOUBLE)"
         f" - CAST(element_at({cemb}, {i}) AS DOUBLE))"
-        for i in range(1, dim + 1)
-    )
-    return f"(CAST(0 AS DOUBLE) + {terms})"
-
-
-def unrolled_l2(a: str, b: str, dim: int = 64) -> str:
-    """Bit-exact twin of
-    aggregate(zip_with(a, b, (x, y) ->
-                  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                  * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-              CAST(0 AS DOUBLE), (acc, x) -> acc + x)."""
-    terms = " + ".join(
-        f"(CAST(element_at({a}, {i}) AS DOUBLE)"
-        f" - CAST(element_at({b}, {i}) AS DOUBLE))"
-        f" * (CAST(element_at({a}, {i}) AS DOUBLE)"
-        f" - CAST(element_at({b}, {i}) AS DOUBLE))"
         for i in range(1, dim + 1)
     )
     return f"(CAST(0 AS DOUBLE) + {terms})"
