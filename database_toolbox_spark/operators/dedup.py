@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from database_toolbox_spark.operators._oracle import R
-from database_toolbox_spark.session import load_tables, materialize, report_sort
+from database_toolbox_spark.session import (
+    load_tables,
+    materialize,
+    report_sort,
+    strip_order_by,
+)
 
 N_HASHES = 8  # minhash signature length
 N_BANDS = 4  # LSH bands of 2 hashes each
@@ -1330,7 +1335,7 @@ def semdedup_drop_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # action — report_sort runs it exactly once (the per-cell summary is
     # bounded by the cell count)
     body = _semdedup_report_sql(dot, "SELECT * FROM semdedup_m")
-    body = body.rstrip().removesuffix("ORDER BY c.cell")
+    body = strip_order_by(body, "ORDER BY c.cell")
     return report_sort(spark.sql(body), "cell")
 
 
@@ -1607,7 +1612,7 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trailing ORDER BY makes the range sampler re-run the whole
     # prefix-filter + intersect pipeline once more per action; the
     # thresholded containment pair list is a bounded report
-    body = body.rstrip().removesuffix("ORDER BY doc_a, doc_b")
+    body = strip_order_by(body, "ORDER BY doc_a, doc_b")
     return report_sort(spark.sql(body), "doc_a", "doc_b")
 
 

@@ -430,11 +430,15 @@ def idf_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joins, so a trailing ORDER BY made the range sampler re-run the
     # post-shuffle join/filter work once more per action; the thresholded
     # cosine pair list is a bounded report
-    from database_toolbox_spark.session import report_sort  # noqa: PLC0415
+    from database_toolbox_spark.session import (  # noqa: PLC0415
+        report_sort,
+        strip_order_by,
+    )
 
-    body = (
-        "WITH w AS (SELECT * FROM idf_w_v)," + _idf_cosine_tail()
-    ).rstrip().removesuffix("ORDER BY d.doc_a, d.doc_b")
+    body = strip_order_by(
+        "WITH w AS (SELECT * FROM idf_w_v)," + _idf_cosine_tail(),
+        "ORDER BY d.doc_a, d.doc_b",
+    )
     return report_sort(spark.sql(body), "doc_a", "doc_b")
 
 

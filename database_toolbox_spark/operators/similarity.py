@@ -430,13 +430,20 @@ def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JL_DIMS = 16  # target dimensionality of the random projection
 
+# Rademacher sign-formula constants: sign(p, i) = -1 iff
+# (p*A + i*B) % MOD < HALF. Shared by the SQL renderer (_jl_sign, kept by
+# the oracle) and jl_projection_stats' Python literal evaluator — one
+# source of truth so the two cannot silently desync (round-12 ADVICE 3).
+JL_SIGN_A, JL_SIGN_B, JL_SIGN_MOD, JL_SIGN_HALF = 131, 73, 101, 50
+
 
 def _jl_sign(p: int, pos: str) -> str:
     """Deterministic Rademacher-style ±1 for output dim p at input
     position `pos` — pure integer formula, identical in both dialects
     (same approach as _plane_weight)."""
     return (
-        f"(CASE WHEN (({p} * 131 + ({pos}) * 73) % 101) < 50 "
+        f"(CASE WHEN (({p} * {JL_SIGN_A} + ({pos}) * {JL_SIGN_B}) "
+        f"% {JL_SIGN_MOD}) < {JL_SIGN_HALF} "
         "THEN -1e0 ELSE 1e0 END)"
     )
 
@@ -505,7 +512,10 @@ def jl_projection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView("jl_emb")
 
     def _sign(k: int, i: int) -> str:
-        return "-1e0" if (k * 131 + i * 73) % 101 < 50 else "1e0"
+        # Python-literal evaluation of the SAME formula _jl_sign renders
+        # in SQL — both read the shared module constants (ADVICE 3)
+        neg = (k * JL_SIGN_A + i * JL_SIGN_B) % JL_SIGN_MOD < JL_SIGN_HALF
+        return "-1e0" if neg else "1e0"
 
     proj_arr = "array(" + ", ".join(
         unrolled_sum(
@@ -516,7 +526,17 @@ def jl_projection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         + f" / {JL_DIMS ** 0.5}e0"
         for k in range(JL_DIMS)
     ) + ")"
-    norm_in = unrolled_norm2("embedding", 64)
+    # the unrolled element_at(embedding, 1..64) twins return NULL sums
+    # (not an error) on shorter embeddings, silently desyncing from the
+    # oracle's size-adaptive aggregate() — check the EMB_DIM=64 contract
+    # (FIXTURES.md) per row instead; size() is O(1) and the guard branch
+    # is bit-neutral when it holds (round-12 ADVICE 5)
+    norm_in = (
+        "CASE WHEN size(embedding) = 64 THEN "
+        + unrolled_norm2("embedding", 64)
+        + " ELSE CAST(raise_error('jl_projection_stats: EMB_DIM=64 "
+        "contract violated (FIXTURES.md)') AS DOUBLE) END"
+    )
     norm_out = "sqrt(" + unrolled_sum(
         lambda k: f"element_at(p, {k}) * element_at(p, {k})", JL_DIMS
     ) + ")"
@@ -1098,14 +1118,16 @@ PQ_SUBDIM = 8  # 64-dim fixture embeddings / 8
 PQ_CENTROIDS = 32  # k* codebook entries per subspace (sampled codebook)
 
 
-def _pq_codes_argmin(src: str) -> str:
+def _pq_codes_argmin(src: str, cents: str = "cents") -> str:
     """Spark-side codes CTE body: grouped struct-argmin instead of the
     row_number window (same (floored distance, cid) order, so the SAME
     centroid wins), with the subspace L2 UNROLLED and indexed directly
     off the full vector (guide §4.1 — the zip_with/aggregate fold is
     interpreted, and the window spelling shuffled+sorted |vectors| x
     |codebook| rows where the grouped min ships only partial aggregates
-    per (vector, subspace))."""
+    per (vector, subspace)). ``cents`` names the codebook relation in
+    the caller's scope (ivfpq aliases it ``pqc``) — a parameter, not
+    post-hoc string surgery on the rendered SQL (round-12 ADVICE 2)."""
     from database_toolbox_spark.operators._fold import (  # noqa: PLC0415
         unrolled_l2_idx,
     )
@@ -1117,7 +1139,7 @@ def _pq_codes_argmin(src: str) -> str:
                    (min(named_struct(
                        'd', floor({d} * 1000000e0) / 1000000e0,
                        'cid', c.cid))).cid AS cid
-            FROM {src} v CROSS JOIN cents c
+            FROM {src} v CROSS JOIN {cents} c
             GROUP BY v.vec_id, c.s
     """
 
@@ -1267,7 +1289,7 @@ def _ivfpq_sql(assigned_src: str, subspaces: str, vslice, l2,
             WHERE e.vec_id < {PQ_CENTROIDS}
         ),
         codes AS (
-{codes_body.replace("cents c", "pqc c") if codes_body else f'''
+{codes_body if codes_body else f'''
             SELECT vec_id, s, cid FROM (
                 SELECT v.vec_id, c.s, c.cid,
                        row_number() OVER (
@@ -1343,7 +1365,7 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT explode(sequence(0, {PQ_SUBSPACES - 1})) AS s",
         vslice,
         l2,
-        codes_body=_pq_codes_argmin("probe"),
+        codes_body=_pq_codes_argmin("probe", cents="pqc"),
     ))
 
 

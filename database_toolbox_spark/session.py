@@ -232,6 +232,22 @@ def report_sort(df: DataFrame, *cols) -> DataFrame:
     return df.repartition(1).sortWithinPartitions(*cols)
 
 
+def strip_order_by(sql: str, suffix: str) -> str:
+    """Drop the trailing ORDER BY clause that report_sort replaces with a
+    local sort. Raises when ``suffix`` is not the statement's tail: a
+    silent ``removesuffix`` no-op would leave the range-exchange ORDER BY
+    under report_sort — results stay correct but the range-sampler
+    re-execution the conversion exists to remove comes back with no
+    signal (round-12 ADVICE item 1)."""
+    body = sql.rstrip()
+    if not body.endswith(suffix):
+        raise ValueError(
+            f"strip_order_by: expected trailing {suffix!r}; the shared "
+            "SQL tail drifted — update the report_sort site"
+        )
+    return body.removesuffix(suffix)
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Compute a multiply-referenced intermediate exactly once and cut its
     lineage (Catalyst inlines CTEs/views, so an expensive stage referenced

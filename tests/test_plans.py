@@ -639,6 +639,7 @@ def test_report_sort_consumers_keep_their_order(spark):
     from database_toolbox_spark.operators.dedup import (
         containment_dup_pairs,
         jaccard_prefix_filter_pairs,
+        semdedup_drop_candidates,
     )
     from database_toolbox_spark.operators.fingerprints import (
         idf_cosine_dup_pairs,
@@ -648,6 +649,7 @@ def test_report_sort_consumers_keep_their_order(spark):
         (jaccard_prefix_filter_pairs, ("doc_a", "doc_b")),
         (containment_dup_pairs, ("doc_a", "doc_b")),
         (idf_cosine_dup_pairs, ("doc_a", "doc_b")),
+        (semdedup_drop_candidates, ("cell",)),
     ]:
         rows = fn(spark, SF_DIR).select(*keys).collect()
         tuples = [tuple(r) for r in rows]

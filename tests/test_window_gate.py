@@ -93,6 +93,61 @@ def test_constant_partition_sites_name_their_bound():
     )
 
 
+# --- report_sort call-site gate (round-12 verdict item 7) -------------------
+# report_sort = repartition(1) + local sort: safe ONLY for outputs bounded
+# by construction (thresholded pair lists, per-cell summaries). A future
+# caller with an unbounded relation gets the classic single-partition sort,
+# so every call site is pinned and must name its bound in a nearby comment,
+# exactly like the constant-partition window gate above.
+RS_SITE = re.compile(r"\breport_sort\(")
+RS_ALLOWED = {
+    "operators/dedup.py": 3,       # jaccard_prefix / semdedup / containment
+    "operators/fingerprints.py": 1,  # idf_cosine_dup_pairs
+}
+
+
+def _rs_sites():
+    for path in sorted(glob.glob(f"{PKG}/**/*.py", recursive=True)):
+        rel = os.path.relpath(path, PKG)
+        if rel == "session.py":  # the definition
+            continue
+        lines = open(path).read().splitlines()
+        hits = [
+            i
+            for i, l in enumerate(lines)
+            if RS_SITE.search(l)
+            and not _is_comment(l)
+            and "import" not in l
+        ]
+        if hits:
+            yield rel, lines, hits
+
+
+def test_report_sort_sites_are_pinned():
+    got = {rel: len(hits) for rel, _lines, hits in _rs_sites()}
+    assert got == RS_ALLOWED, (
+        "report_sort call sites changed: "
+        f"{ {k: (RS_ALLOWED.get(k), got.get(k)) for k in set(got) | set(RS_ALLOWED) if RS_ALLOWED.get(k) != got.get(k)} } — "
+        "review the new site's output relation: report_sort single-"
+        "partition sorts, so the output must be bounded by construction; "
+        "document the bound in a comment at the site, then update "
+        "RS_ALLOWED"
+    )
+
+
+def test_report_sort_sites_name_their_bound():
+    undocumented = []
+    for rel, lines, hits in _rs_sites():
+        for i in hits:
+            ctx = "\n".join(lines[max(0, i - 12) : i + 1])
+            if not DOC.search(ctx):
+                undocumented.append(f"{rel}:{i + 1}")
+    assert not undocumented, (
+        "report_sort sites without a bound-naming comment within 12 "
+        f"lines: {undocumented}"
+    )
+
+
 def test_pyspark_constant_partition_goes_through_helper():
     offenders = []
     for path in sorted(glob.glob(f"{PKG}/**/*.py", recursive=True)):
