@@ -14,7 +14,18 @@ NOT to stdout — round 4 lost its official number when the one-line output
 outgrew the driver's tail buffer.
 
 Each query executes its full plan into a noop sink (no driver-side result
-transfer — measures the engine, not collect())."""
+transfer — measures the engine, not collect()).
+
+Timed region (since round 13): each sample times CONSTRUCTION + EXECUTION
+(``queries[name](spark, sf_dir)`` inside the perf_counter window) because
+``session.materialize`` is an eager localCheckpoint — building the plan
+already executes every materialized subtree, and timing only the write let
+that work run off the clock. Rounds <= 12 timed the write only; the
+committed round-12 numbers are NOT directly comparable (the discontinuity
+is quantified in OPTIMIZATION_r13.md with a same-window pair of runs).
+Checkpoint storage is released after every sample
+(``session.release_materialized``), so no sample can reuse a previous
+sample's computation."""
 
 from __future__ import annotations
 
@@ -420,19 +431,33 @@ def main() -> None:
             _noop_pandas, schema="id long"
         ).write.mode("overwrite").format("noop").save()
 
+        from database_toolbox_spark.session import release_materialized
+
         raw: dict[str, list[float]] = {n: [] for n in HEADLINE}
         for _run in range(runs):
             for name in HEADLINE:
-                df = queries[name](spark, sf_dir)
                 # min of 3 per pass: the shared host shows 20-40%
                 # inter-run contention swings (SCALING.md round-3 note);
-                # 2 samples were not enough to reach steady state reliably
+                # 2 samples were not enough to reach steady state reliably.
+                # The timed region includes query CONSTRUCTION (round-12
+                # verdict item 1): materialize() is an EAGER
+                # localCheckpoint, so building the plan executes every
+                # materialized subtree — timing only the write let that
+                # work run off the clock (copurchase_capped_pairs and
+                # personalized_pagerank timed as near-empty shells). Each
+                # sample therefore rebuilds the query from the parquet
+                # inputs and pays build + execute, and the checkpoint
+                # blocks the build pinned are released after each sample
+                # (verdict item 2) so a 1038-sample run cannot accrete
+                # executor storage.
                 for _ in range(3):
                     t0 = time.perf_counter()
+                    df = queries[name](spark, sf_dir)
                     df.write.mode("overwrite").format("noop").save()
                     raw[name].append(
                         round(time.perf_counter() - t0, 3)
                     )
+                    release_materialized(spark)
         timings = {n: min(s) for n, s in raw.items()}
         # comparison median for the regression gate: with one pass, the
         # plain median of 3 (the historical gate); with --runs N > 1, the
@@ -494,8 +519,17 @@ def main() -> None:
         )
         f.write("\n")
 
-    # stdout stays SHORT (driver keeps only a ~2 KB tail): no per-query
-    # maps, regressions capped to names, headline value LAST
+    # stdout stays SHORT (driver keeps only a ~2 KB tail): regressions
+    # capped to names, headline value LAST. ``queries`` carries the
+    # TOP-10 SLOWEST per-query timings inline (~400 bytes) so the
+    # driver's round-over-round and low-core scaling comparisons have
+    # per-query data without reading BENCH_DETAIL.json (round-12 verdict
+    # item 5 — PERF_r12's per_query/scaling blocks were empty). The full
+    # 173-query map stays in the detail file (a full inline map is what
+    # overflowed the driver's tail buffer in round 4).
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
@@ -506,6 +540,7 @@ def main() -> None:
                 "regressed": sorted(regressions)[:10],
                 "detail": "BENCH_DETAIL.json",
                 "window_warnings": window_warnings,
+                "queries": top10,
                 "value": total,
             }
         )

@@ -273,6 +273,38 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def release_materialized(spark: SparkSession, blocking: bool = False) -> int:
+    """Unpersist every RDD pinned in this SparkContext's block storage and
+    return how many were released.
+
+    ``materialize()`` pins each checkpointed intermediate in executor
+    storage for the SESSION lifetime — nothing in Spark scopes a
+    localCheckpoint to a query. A long-lived session serving many queries
+    (the bench's 173x6 samples, driver_check's 470-query sweep, the MCP
+    server) therefore accretes every materialized subtree; the sf5 growth
+    study OOMed at 8 GB exactly this way (round-12 verdict item 2). Call
+    this BETWEEN queries, after the previous query's result is fully
+    consumed: a released localCheckpoint cannot be recomputed (lineage is
+    truncated), so any still-live DataFrame from the previous build will
+    fail loudly rather than silently rerun.
+
+    This releases ALL persistent RDDs in the context. Inside this engine
+    that is exactly the materialize() set (the only persist caller —
+    tests/test_window_gate.py-style audit: grep '\\.persist(|\\.cache('),
+    so engine-owned sessions lose nothing else; callers who persist their
+    own DataFrames should unpersist those themselves before relying on
+    this sweep."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        n = 0
+        for jrdd in jmap.values():
+            jrdd.unpersist(blocking)
+            n += 1
+        return n
+    except Exception:  # noqa: BLE001 — best-effort cleanup, never fatal
+        return 0
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Runtime-settable confs the engine's semantics depend on, applied
     defensively for externally-built sessions (e.g. the round driver's):

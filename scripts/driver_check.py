@@ -134,6 +134,13 @@ def main() -> int:
             n_bad += 1
             results[name] = {"err": f"{type(e).__name__}: {e}"}
             print(f"{name}: ERROR {type(e).__name__}: {str(e)[:300]}", flush=True)
+        finally:
+            # the full 470-query sweep would otherwise accrete every
+            # materialized intermediate in block storage for the whole
+            # session (round-12 verdict item 2)
+            from database_toolbox_spark.session import release_materialized
+
+            release_materialized(spark)
     slow = sorted(
         ((n, r["sec"]) for n, r in results.items() if r.get("sec")),
         key=lambda x: -x[1],

@@ -669,10 +669,16 @@ def measure(spark, queries, sf_dir):
         simhash_band_candidate_count,
     )
 
+    from database_toolbox_spark.session import release_materialized
+
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).write.mode("overwrite").format("noop").save()
     out = {}
     for name, mode in SUSPECTS:
+        # free the previous suspect's checkpoint blocks before building
+        # the next (round-12 verdict item 2); the df built below is still
+        # live for the collects that follow
+        release_materialized(spark)
         df = queries[name](spark, sf_dir)
         best = float("inf")
         for _ in range(2):

@@ -250,10 +250,19 @@ def synthesize() -> None:
 
 
 def measure(spark, queries, sf_dir):
+    from database_toolbox_spark.session import release_materialized
+
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).write.mode("overwrite").format("noop").save()
     out = {}
     for name, mode in SUSPECTS:
+        # release the previous suspect's checkpoint blocks BEFORE building
+        # the next one (round-12 verdict item 2): without this, 13
+        # suspects' accumulated blocks OOMed the big phase at 8g and the
+        # study needed a fresh session per phase; release makes one
+        # session serve both phases. (Release-before-build, not
+        # after-measure: the df is still collected below.)
+        release_materialized(spark)
         df = queries[name](spark, sf_dir)
         best = float("inf")
         for _ in range(2):
@@ -317,18 +326,17 @@ def main() -> int:
         "SPARK_GRAFT_SF5_REBUILD"
     ):
         synthesize()
-    # 50x corpora + a dozen materializing suspects: localCheckpoint
-    # blocks pin executor storage for the session's lifetime (they are
-    # not evictable), so the study runs each measure phase in a FRESH
-    # session and defaults to a larger heap than the 8g query sessions —
-    # round-12: the big-phase mrl/hn collects OOMed at 8g after 13
-    # suspects' accumulated checkpoint blocks.
+    # 50x corpora: ONE session serves both phases now that measure()
+    # releases each suspect's checkpoint blocks via
+    # session.release_materialized (round-12 verdict item 2 — the old
+    # fresh-session-per-phase workaround existed because accumulated
+    # blocks OOMed the big phase at 8g). The larger default heap stays:
+    # a single 50x suspect's working set is legitimately bigger than the
+    # 8g query-session default.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark(app_name="scaling-sf5")
     queries = all_queries()
     small = measure(spark, queries, SF_SMALL)
-    spark.stop()
-    spark = get_spark(app_name="scaling-sf5-big")
     big = measure(spark, queries, BIG)
     failures = []
     rows_out = {}
