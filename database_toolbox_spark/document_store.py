@@ -535,7 +535,9 @@ def _persist_overlay(spark: SparkSession, collection: str) -> None:
     df = spark.read.parquet(dst)
     df = df.select(*[f.name for f in df.schema])
     df.createOrReplaceTempView(collection)
-    _view_registry(spark)[collection] = df
+    # registry entries are (df, source path) so load_table can detect a
+    # mid-session source switch and re-register (session._view_registry)
+    _view_registry(spark)[collection] = (df, dst)
 
 
 def _deny(name: str) -> None:

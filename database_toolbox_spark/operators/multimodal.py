@@ -268,6 +268,39 @@ JPEG_STATS_SCHEMA = (
 )
 
 
+def _jpeg_gray_builder(encode):
+    """text -> grayscale-strip JPEG bytes. ONE definition shared by the
+    jpeg_payloads registry op and the fused image_jpeg_stats kernel (the
+    stats op builds payloads in-kernel to drop the chained
+    payload->stats MapInPandas round trip; same closure = byte-identical
+    payloads). Returned as a closure so cloudpickle ships it by value —
+    /tmp-cwd driver sims have no repo sys.path on workers."""
+    def to_jpeg(text: str) -> bytes:
+        if not text.isascii():
+            # the DuckDB oracle replays pixels from per-CHARACTER
+            # codepoints (ascii(substr(...))) while this builder
+            # slices BYTES; on multi-byte text the two silently
+            # diverge — refuse loudly instead (round-11 ADVICE 1)
+            raise ValueError(
+                "jpeg_payloads: ASCII-only contract violated "
+                f"(doc text contains non-ASCII): {text[:40]!r}"
+            )
+        body = text.encode("utf-8")[:JPEG_CAP]
+        nb = max(1, len(body))
+        rows = -(-nb // JPEG_BLOCKS_X)
+        width = JPEG_BLOCKS_X * 8
+        buf = bytearray(width * 8 * rows)  # missing blocks stay 0
+        for k in range(len(body)):
+            br, bc = divmod(k, JPEG_BLOCKS_X)
+            v = body[k]
+            for yy in range(8):
+                base = (br * 8 + yy) * width + bc * 8
+                buf[base:base + 8] = bytes([v]) * 8
+        return encode(bytes(buf), width, rows * 8, channels=1)
+
+    return to_jpeg
+
+
 def jpeg_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, payload) where payload is a REAL baseline JPEG (SOF0 +
     Huffman + DCT, functions/jpeg.py): the document's first {JPEG_CAP}
@@ -282,7 +315,7 @@ def jpeg_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_toolbox_spark.functions import jpeg as jpeg_mod
 
     cloudpickle.register_pickle_by_value(jpeg_mod)
-    encode = jpeg_mod.encode_jpeg
+    to_jpeg = _jpeg_gray_builder(jpeg_mod.encode_jpeg)
     # range partitioning: see png_payloads — keeps the final per-doc sort
     # local so the range sampler never re-runs the codec stage
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -293,29 +326,6 @@ def jpeg_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def to_jpeg(text: str) -> bytes:
-            if not text.isascii():
-                # the DuckDB oracle replays pixels from per-CHARACTER
-                # codepoints (ascii(substr(...))) while this builder
-                # slices BYTES; on multi-byte text the two silently
-                # diverge — refuse loudly instead (round-11 ADVICE 1)
-                raise ValueError(
-                    "jpeg_payloads: ASCII-only contract violated "
-                    f"(doc text contains non-ASCII): {text[:40]!r}"
-                )
-            body = text.encode("utf-8")[:JPEG_CAP]
-            nb = max(1, len(body))
-            rows = -(-nb // JPEG_BLOCKS_X)
-            width = JPEG_BLOCKS_X * 8
-            buf = bytearray(width * 8 * rows)  # missing blocks stay 0
-            for k in range(len(body)):
-                br, bc = divmod(k, JPEG_BLOCKS_X)
-                v = body[k]
-                for yy in range(8):
-                    base = (br * 8 + yy) * width + bc * 8
-                    buf[base:base + 8] = bytes([v]) * 8
-            return encode(bytes(buf), width, rows * 8, channels=1)
-
         for pdf in batches:
             yield pd.DataFrame(
                 {
@@ -336,20 +346,32 @@ def image_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamped — see functions/jpeg.py docstring), independent of the codec
     end to end.
 
-    Scale shape: one mapInPandas pipeline after a repartitioned pruned
-    scan — encode and decode fuse into one task stage, payload bytes stay
-    worker-side, per-doc cost is bounded by the {JPEG_CAP}-block cap."""
+    Scale shape: ONE fused mapInPandas stage after a repartitioned pruned
+    scan — payload assembly (the same _jpeg_gray_builder closure
+    jpeg_payloads ships, so the bytes are identical), encode and decode
+    all run in a single Python round trip; chaining this op on
+    jpeg_payloads' output paid a second JVM<->Python Arrow transfer of
+    the payload bytes for nothing (guide §4.2/§4.5, round-12 verdict
+    item 4). Per-doc cost is bounded by the {JPEG_CAP}-block cap."""
     from pyspark import cloudpickle
 
     from database_toolbox_spark.functions import jpeg as jpeg_mod
 
     cloudpickle.register_pickle_by_value(jpeg_mod)
     decode = jpeg_mod.decode_jpeg
-    payloads = jpeg_payloads(spark, sf_dir)
+    to_jpeg = _jpeg_gray_builder(jpeg_mod.encode_jpeg)
+    # range partitioning: see png_payloads — keeps the final per-doc sort
+    # local so the range sampler never re-runs the codec stage
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartitionByRange(n_parts, "doc_id")
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def stats(payload: bytes) -> tuple:
-            img = decode(payload)
+        def stats(text: str) -> tuple:
+            img = decode(to_jpeg(text))
             px = img["pixels"]
             return (
                 img["width"], img["height"],
@@ -358,7 +380,7 @@ def image_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         for pdf in batches:
-            cols = pdf["payload"].map(stats)
+            cols = pdf["text"].map(stats)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -370,9 +392,9 @@ def image_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    # range-partitioned input (jpeg_payloads) + local sort = same global
-    # order, no second execution of the Python stage by the range sampler
-    return payloads.mapInPandas(run, schema=JPEG_STATS_SCHEMA).sortWithinPartitions(
+    # range-partitioned input + local sort = same global order, no second
+    # execution of the Python stage by the range sampler
+    return docs.mapInPandas(run, schema=JPEG_STATS_SCHEMA).sortWithinPartitions(
         "doc_id"
     )
 
@@ -1587,6 +1609,28 @@ JPEG_RGB_STATS_SCHEMA = (
 )
 
 
+def _jpeg_rgb_builder(encode):
+    """text -> 4:4:4 color-strip JPEG bytes; ONE definition shared by
+    rgb_jpeg_payloads and the fused image_jpeg_rgb_stats kernel (see
+    _jpeg_gray_builder)."""
+    def to_jpeg(text: str) -> bytes:
+        if not text.isascii():
+            # same byte-vs-codepoint oracle contract as
+            # jpeg_payloads above (round-11 ADVICE item 1)
+            raise ValueError(
+                "rgb_jpeg_payloads: ASCII-only contract violated "
+                f"(doc text contains non-ASCII): {text[:40]!r}"
+            )
+        body = text.encode("utf-8")[:JPEG_RGB_CAP] or b"\x00"
+        buf = bytearray()
+        for v in body:
+            px = bytes((v, (3 * v + 7) % 256, (5 * v + 13) % 256)) * 8
+            buf += px * 8  # 8 rows of the constant RGB row
+        return encode(bytes(buf), 8, 8 * len(body), channels=3)
+
+    return to_jpeg
+
+
 def rgb_jpeg_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, payload) where payload is a REAL 3-component baseline
     JPEG (YCbCr 4:4:4): each of the doc's first {JPEG_RGB_CAP} bytes v
@@ -1602,7 +1646,7 @@ def rgb_jpeg_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_toolbox_spark.functions import jpeg as jpeg_mod
 
     cloudpickle.register_pickle_by_value(jpeg_mod)
-    encode = jpeg_mod.encode_jpeg
+    to_jpeg = _jpeg_rgb_builder(jpeg_mod.encode_jpeg)
     # range partitioning: see png_payloads — keeps the final per-doc sort
     # local so the range sampler never re-runs the codec stage
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -1613,21 +1657,6 @@ def rgb_jpeg_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def to_jpeg(text: str) -> bytes:
-            if not text.isascii():
-                # same byte-vs-codepoint oracle contract as
-                # jpeg_payloads above (round-11 ADVICE item 1)
-                raise ValueError(
-                    "rgb_jpeg_payloads: ASCII-only contract violated "
-                    f"(doc text contains non-ASCII): {text[:40]!r}"
-                )
-            body = text.encode("utf-8")[:JPEG_RGB_CAP] or b"\x00"
-            buf = bytearray()
-            for v in body:
-                px = bytes((v, (3 * v + 7) % 256, (5 * v + 13) % 256)) * 8
-                buf += px * 8  # 8 rows of the constant RGB row
-            return encode(bytes(buf), 8, 8 * len(body), channels=3)
-
         for pdf in batches:
             yield pd.DataFrame(
                 {
@@ -1645,20 +1674,30 @@ def image_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reduce to per-channel sums + the first pixel. The oracle
     replays the whole chain in SQL arithmetic (see _JPEG_RGB_ORACLE).
 
-    Scale shape: same as image_jpeg_stats — one fused mapInPandas
-    pipeline after a repartitioned pruned scan, per-doc cost bounded by
-    the {JPEG_RGB_CAP}-block cap (x3 channels)."""
+    Scale shape: same as image_jpeg_stats — ONE fused mapInPandas stage
+    (payload assembly via the shared _jpeg_rgb_builder closure + encode +
+    decode in a single Python round trip) after a repartitioned pruned
+    scan, per-doc cost bounded by the {JPEG_RGB_CAP}-block cap (x3
+    channels)."""
     from pyspark import cloudpickle
 
     from database_toolbox_spark.functions import jpeg as jpeg_mod
 
     cloudpickle.register_pickle_by_value(jpeg_mod)
     decode = jpeg_mod.decode_jpeg
-    payloads = rgb_jpeg_payloads(spark, sf_dir)
+    to_jpeg = _jpeg_rgb_builder(jpeg_mod.encode_jpeg)
+    # range partitioning: see png_payloads — keeps the final per-doc sort
+    # local so the range sampler never re-runs the codec stage
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartitionByRange(n_parts, "doc_id")
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def stats(payload: bytes) -> tuple:
-            img = decode(payload)
+        def stats(text: str) -> tuple:
+            img = decode(to_jpeg(text))
             px = img["pixels"]
             return (
                 img["width"], img["height"],
@@ -1668,7 +1707,7 @@ def image_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         for pdf in batches:
-            cols = pdf["payload"].map(stats)
+            cols = pdf["text"].map(stats)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -1684,10 +1723,9 @@ def image_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    # range-partitioned input (rgb_jpeg_payloads) + local sort = same
-    # global order, no second execution of the Python stage by the range
-    # sampler (see png_payloads note)
-    return payloads.mapInPandas(
+    # range-partitioned input + local sort = same global order, no second
+    # execution of the Python stage by the range sampler
+    return docs.mapInPandas(
         run, schema=JPEG_RGB_STATS_SCHEMA
     ).sortWithinPartitions("doc_id")
 
@@ -1779,6 +1817,30 @@ ORACLE["image_jpeg_rgb_stats"] = _jpeg_rgb_oracle()
 JPEG_420_CAP = 3  # bytes per doc -> one constant-RGB 16x16 MCU per byte
 
 
+def _jpeg_420_builder(encode):
+    """text -> 4:2:0 MCU-strip JPEG bytes; ONE definition shared by
+    jpeg420_payloads and the fused image_jpeg_420_stats kernel (see
+    _jpeg_gray_builder)."""
+    def to_jpeg(text: str) -> bytes:
+        if not text.isascii():
+            # byte-vs-codepoint oracle contract, as jpeg_payloads
+            raise ValueError(
+                "jpeg420_payloads: ASCII-only contract violated "
+                f"(doc text contains non-ASCII): {text[:40]!r}"
+            )
+        body = text.encode("utf-8")[:JPEG_420_CAP] or b"\x00"
+        buf = bytearray()
+        for v in body:
+            px = bytes((v, (3 * v + 7) % 256, (5 * v + 13) % 256)) * 16
+            buf += px * 16  # 16 rows of the constant RGB row
+        return encode(
+            bytes(buf), 16, 16 * len(body), channels=3,
+            subsampling="420",
+        )
+
+    return to_jpeg
+
+
 def jpeg420_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, payload) where payload is a REAL 4:2:0 baseline JPEG:
     each of the doc's first {JPEG_420_CAP} bytes v becomes one constant
@@ -1796,7 +1858,7 @@ def jpeg420_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_toolbox_spark.functions import jpeg as jpeg_mod
 
     cloudpickle.register_pickle_by_value(jpeg_mod)
-    encode = jpeg_mod.encode_jpeg
+    to_jpeg = _jpeg_420_builder(jpeg_mod.encode_jpeg)
     # range partitioning: see png_payloads — keeps the final per-doc sort
     # local so the range sampler never re-runs the codec stage
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -1807,23 +1869,6 @@ def jpeg420_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def to_jpeg(text: str) -> bytes:
-            if not text.isascii():
-                # byte-vs-codepoint oracle contract, as jpeg_payloads
-                raise ValueError(
-                    "jpeg420_payloads: ASCII-only contract violated "
-                    f"(doc text contains non-ASCII): {text[:40]!r}"
-                )
-            body = text.encode("utf-8")[:JPEG_420_CAP] or b"\x00"
-            buf = bytearray()
-            for v in body:
-                px = bytes((v, (3 * v + 7) % 256, (5 * v + 13) % 256)) * 16
-                buf += px * 16  # 16 rows of the constant RGB row
-            return encode(
-                bytes(buf), 16, 16 * len(body), channels=3,
-                subsampling="420",
-            )
-
         for pdf in batches:
             yield pd.DataFrame(
                 {
@@ -1844,20 +1889,30 @@ def image_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant MCUs; non-constant inputs are covered by the codec's
     fuzz-vs-replay pytest anchors, tests/test_round12_ops.py).
 
-    Scale shape: same as image_jpeg_rgb_stats — one fused mapInPandas
-    pipeline after a repartitioned pruned scan, per-doc cost bounded by
-    the {JPEG_420_CAP}-MCU cap (6 blocks per MCU)."""
+    Scale shape: same as image_jpeg_rgb_stats — ONE fused mapInPandas
+    stage (payload assembly via the shared _jpeg_420_builder closure +
+    encode + decode in a single Python round trip) after a repartitioned
+    pruned scan, per-doc cost bounded by the {JPEG_420_CAP}-MCU cap
+    (6 blocks per MCU)."""
     from pyspark import cloudpickle
 
     from database_toolbox_spark.functions import jpeg as jpeg_mod
 
     cloudpickle.register_pickle_by_value(jpeg_mod)
     decode = jpeg_mod.decode_jpeg
-    payloads = jpeg420_payloads(spark, sf_dir)
+    to_jpeg = _jpeg_420_builder(jpeg_mod.encode_jpeg)
+    # range partitioning: see png_payloads — keeps the final per-doc sort
+    # local so the range sampler never re-runs the codec stage
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartitionByRange(n_parts, "doc_id")
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def stats(payload: bytes) -> tuple:
-            img = decode(payload)
+        def stats(text: str) -> tuple:
+            img = decode(to_jpeg(text))
             px = img["pixels"]
             return (
                 img["width"], img["height"],
@@ -1867,7 +1922,7 @@ def image_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         for pdf in batches:
-            cols = pdf["payload"].map(stats)
+            cols = pdf["text"].map(stats)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -1884,10 +1939,9 @@ def image_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     schema = JPEG_RGB_STATS_SCHEMA.replace("n_blocks", "n_mcus")
-    # range-partitioned input (jpeg420_payloads) + local sort = same
-    # global order, no second execution of the Python stage by the range
-    # sampler (see png_payloads note)
-    return payloads.mapInPandas(run, schema=schema).sortWithinPartitions(
+    # range-partitioned input + local sort = same global order, no second
+    # execution of the Python stage by the range sampler
+    return docs.mapInPandas(run, schema=schema).sortWithinPartitions(
         "doc_id"
     )
 

@@ -126,21 +126,29 @@ def persisted_table_path(name: str) -> str | None:
     return None
 
 
-def _nanos_ts_columns(path: str) -> tuple[str, ...]:
-    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects ([PARQUET_TYPE_ILLEGAL]). Detected from the footer only.
-
-    Directory datasets (the docstore persist path) resolve to ONE part
-    file FIRST and the cache keys on that part file's path — Spark writes
-    fresh randomized part names on every overwrite, so a rewritten
-    persisted dataset never returns stale footer info (round-10 ADVICE
-    item 5); fixture files are immutable, so caching by path is sound."""
+def _dataset_file_key(path: str) -> str:
+    """Cache key for per-dataset footer-derived facts: directory datasets
+    (the docstore persist path) resolve to ONE part file FIRST and the
+    caches key on that part file's path — Spark writes fresh randomized
+    part names on every overwrite, so a rewritten persisted dataset never
+    returns stale footer info (round-10 ADVICE item 5); fixture files are
+    immutable, so caching by path is sound."""
     if os.path.isdir(path):
         parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
         if not parts:
-            return ()
-        path = os.path.join(path, sorted(parts)[0])
-    return _nanos_ts_columns_cached(path)
+            return path
+        return os.path.join(path, sorted(parts)[0])
+    return path
+
+
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects ([PARQUET_TYPE_ILLEGAL]). Detected from the footer only;
+    cached per resolved part file (see _dataset_file_key)."""
+    key = _dataset_file_key(path)
+    if os.path.isdir(key):  # directory with no part files yet
+        return ()
+    return _nanos_ts_columns_cached(key)
 
 
 @_lru_cache(maxsize=256)
@@ -156,18 +164,41 @@ def _nanos_ts_columns_cached(path: str) -> tuple[str, ...]:
     )
 
 
-def _view_registry(spark: SparkSession) -> dict[str, DataFrame]:
-    """Per-session map of temp views THIS module registered → the DataFrame
-    we registered. Lets load_table distinguish its own registrations (safe
-    to refresh with a fresh read — fresh expression IDs avoid ambiguous
-    self-join errors when operators recombine tables) from
-    caller-substituted views (must be left alone so operators compose —
-    see test_scale_stress replication)."""
+def _view_registry(spark: SparkSession) -> dict[str, tuple[DataFrame, str]]:
+    """Per-session map of temp views THIS module registered →
+    (the DataFrame we registered, the parquet path it reads). Lets
+    load_table distinguish its own registrations (safe to hand out fresh
+    reads — fresh expression IDs avoid ambiguous self-join errors when
+    operators recombine tables) from caller-substituted views (must be
+    left alone so operators compose — see test_scale_stress replication).
+    The recorded path is what detects a mid-session source switch (a new
+    sf_dir, or a docstore persisted copy appearing/disappearing) and
+    forces a real re-registration."""
     reg = getattr(spark, "_dts_views", None)
     if reg is None:
         reg = {}
         spark._dts_views = reg
     return reg
+
+
+# Parquet schema per resolved data file (see _dataset_file_key): the
+# first read of a dataset infers the schema JVM-side (~85 ms of file
+# listing + footer work); every later read passes it explicitly (~14 ms).
+# Keyed on the part FILE path, so a rewritten docstore dataset (fresh
+# randomized part names per overwrite) can never hit a stale entry.
+_schema_cache: dict[str, object] = {}
+
+
+def _fresh_read(spark: SparkSession, path: str) -> DataFrame:
+    """A fresh DataFrame over ``path`` (fresh expression IDs per call)
+    with schema inference paid once per dataset per process."""
+    key = _dataset_file_key(path)
+    schema = _schema_cache.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _schema_cache[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def load_table(
@@ -192,24 +223,47 @@ def load_table(
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_confs(spark)
     reg = _view_registry(spark)
+    path = persisted_table_path(name) or table_path(sf_dir, name)
     if not replace and spark.catalog.tableExists(name):
         cur = spark.table(name)
-        ours = reg.get(name)
-        if ours is None or not cur.sameSemantics(ours):
+        entry = reg.get(name)
+        if entry is None or not cur.sameSemantics(entry[0]):
             # caller-registered (or caller-overwritten) view: leave it
             return cur
-        # the view is our own registration: fall through and refresh it
-    path = persisted_table_path(name) or table_path(sf_dir, name)
+        if entry[1] == path:
+            # the view is our own registration over the SAME source: the
+            # registration stands — just hand out a fresh read (fresh
+            # expression IDs per call; the schema cache makes this ~6x
+            # cheaper than the inferring read, and skipping the ~40 ms
+            # createOrReplaceTempView round trip per table is what makes
+            # per-query-build table loading cheap — the bench now times
+            # construction, and re-registering 10 unchanged views was
+            # ~0.8 s of every build)
+            return _read_with_nanos_cast(spark, path)
+        # our registration but the source path changed (new sf_dir or a
+        # docstore persisted copy appeared/vanished): fall through and
+        # re-register from the new path
+    df = _read_with_nanos_cast(spark, path)
+    df.createOrReplaceTempView(name)
+    reg[name] = (df, path)
+    return df
+
+
+def _read_with_nanos_cast(spark: SparkSession, path: str) -> DataFrame:
+    """Fresh read of ``path`` with TIMESTAMP(NANOS) columns read as
+    nanos-since-epoch longs (the legacy conf MUST be set before the read
+    or inference rejects the file) and cast back to microsecond
+    timestamps scan-side — a codegen'd projection, no UDF — preserving
+    the original column order."""
     nanos_cols = _nanos_ts_columns(path)
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    df = _fresh_read(spark, path)
+    if not nanos_cols:
+        return df
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    df = df.select(*[f.name for f in df.schema])  # keep original column order
-    df.createOrReplaceTempView(name)
-    reg[name] = df
-    return df
+    return df.select(*[f.name for f in df.schema])  # original column order
 
 
 def report_sort(df: DataFrame, *cols) -> DataFrame:
