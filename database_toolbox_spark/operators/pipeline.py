@@ -1522,22 +1522,33 @@ def _uni_estep_ctes(tag: str, vocab_rel: str, d) -> tuple[str, str]:
     return frag, f"{tag}m"
 
 
-def _uni_head_ctes(d) -> str:
+_UNI_WORDS_ALL_BODY = """
+            SELECT word, count(*) AS freq
+            FROM {src}
+            WHERE length(word) >= 1
+            GROUP BY word
+        """
+
+
+def _uni_head_ctes(d, words_all_body: str | None = None) -> str:
     """Shared preamble: the word table (with the excluded-mass ledger),
-    the substring seed, and the seed vocabulary vocab0(piece, cost6)."""
+    the substring seed, and the seed vocabulary vocab0(piece, cost6).
+    ``words_all_body`` substitutes the words_all CTE body (the Spark side
+    points it at the checkpointed uni_words_all view — words_all feeds
+    words AND excl, and words feeds subs AND the DP grid, so the inline
+    spelling re-ran the corpus word scan 3x per statement; the DuckDB
+    oracle keeps the inline body, MATERIALIZED CTEs dedup it engine-side)."""
     sub_pieces = (
         f"flatten({d['xform']}({d['seq']('1', 'length(word)')}, st -> "
         f"{d['xform']}("
         f"{d['seq']('1', f'least({UNI_PMAX}, length(word) - st + 1)')}, "
         f"l -> substr(word, st, l))))"
     )
+    wa_body = words_all_body or _UNI_WORDS_ALL_BODY.format(
+        src=d["words_src"]
+    )
     return f"""
-        words_all AS {d["mat"]}(
-            SELECT word, count(*) AS freq
-            FROM {d["words_src"]}
-            WHERE length(word) >= 1
-            GROUP BY word
-        ),
+        words_all AS {d["mat"]}({wa_body}),
         words AS {d["mat"]}(
             SELECT word, freq FROM words_all
             WHERE length(word) BETWEEN 2 AND {UNI_WMAX}
@@ -1578,13 +1589,22 @@ _UNI_EXCL_ROW = (
 )
 
 
-def _uni_sql(d) -> str:
+def _uni_sql(d, mrel: str | None = None,
+             words_all_body: str | None = None) -> str:
     """One EM step from the seed vocabulary: top-{UNI_TOP} re-estimated
-    pieces plus the '<excluded:len>' mass-accounting row."""
-    estep, mrel = _uni_estep_ctes("x", "vocab0", d)
+    pieces plus the '<excluded:len>' mass-accounting row. ``mrel``
+    overrides the m-step relation (the Spark side passes its
+    checkpointed view — the tail reads the relation twice, so the inline
+    spelling replayed the whole Viterbi DP; DuckDB's MATERIALIZED CTEs
+    dedup it engine-side)."""
+    if mrel is None:
+        estep, mrel = _uni_estep_ctes("x", "vocab0", d)
+        estep = f"{estep},"
+    else:
+        estep = ""
     return f"""
-        WITH {_uni_head_ctes(d)},
-        {estep},
+        WITH {_uni_head_ctes(d, words_all_body)},
+        {estep}
         mtot AS (SELECT sum(est_count) AS t FROM {mrel})
         SELECT piece,
                CAST(est_count AS BIGINT) AS est_count,
@@ -1768,9 +1788,25 @@ def unigram_lm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab join — broadcast-sized at {UNI_VOCAB}+chars rows) grows with
     |V| only, and the per-word DP is a bounded integer fold, not a
     2^(L-1) lattice. This is the EM shape a 100 TB tokenizer trainer
-    repeats: corpus touched once, model state bounded."""
+    repeats: corpus touched once, model state bounded.
+
+    Spark spelling (round-13): words_all and the m-step relation are
+    checkpointed — words_all feeds words AND excl (and words feeds subs
+    AND the DP grid) while the report tail reads the m-step twice, so
+    the pure-inline form re-ran the corpus scan 3x and the Viterbi DP
+    2x per action. The DuckDB oracle keeps the single-statement
+    MATERIALIZED-CTE spelling — an independent formulation of the same
+    algebra."""
     load_tables(spark, sf_dir)
-    return spark.sql(_uni_sql(_UNI_SPARK_ARGS))
+    d = _UNI_SPARK_ARGS
+    _uni_words_all_view(spark, d)
+    wa = "SELECT * FROM uni_words_all"
+    head = _uni_head_ctes(d, words_all_body=wa)
+    estep, mrel = _uni_estep_ctes("x", "vocab0", d)
+    materialize(spark.sql(
+        f"WITH {head},{estep} SELECT * FROM {mrel}"
+    )).createOrReplaceTempView("uni_em_m")
+    return spark.sql(_uni_sql(d, mrel="uni_em_m", words_all_body=wa))
 
 
 QUERIES["unigram_lm_em_step"] = unigram_lm_em_step
@@ -1803,15 +1839,40 @@ def unigram_lm_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _UNI_SPARK_ARGS
     _uni_vocab_views(spark, UNI_ITERS - 1)
     last = UNI_ITERS
-    estep, mrel = _uni_estep_ctes(f"i{last}", f"uni_vocab_{last - 1}", d)
-    prune = _uni_prune_ctes(last, f"uni_vocab_{last - 1}", mrel, d)
+    # checkpoint the final step's DP output too: the final select reads
+    # its keep relation twice (rows + total), which would otherwise
+    # replay the DP per reference
+    mview = _uni_m_view(spark, f"i{last}", f"uni_vocab_{last - 1}", d)
+    prune = _uni_prune_ctes(last, f"uni_vocab_{last - 1}", mview, d)
     return spark.sql(
-        f"WITH {_UNI_STEP_HEAD},excl AS (SELECT * FROM uni_excl),"
-        f"{estep},{prune}{_uni_final_select(last)}"
+        f"WITH excl AS (SELECT * FROM uni_excl),"
+        f"{prune}{_uni_final_select(last)}"
     )
 
 
 _UNI_STEP_HEAD = "words AS (SELECT * FROM uni_words)"
+
+
+def _uni_words_all_view(spark: SparkSession, d) -> None:
+    """Checkpoint the corpus word table ONCE as uni_words_all — it feeds
+    words AND excl (and words feeds subs AND every DP grid), so the
+    inline spelling re-ran the corpus scan per reference."""
+    materialize(spark.sql(
+        _UNI_WORDS_ALL_BODY.format(src=d["words_src"])
+    )).createOrReplaceTempView("uni_words_all")
+
+
+def _uni_m_view(spark: SparkSession, tag: str, vocab_rel: str, d) -> str:
+    """Run ONE E+M step (the Viterbi DP — the expensive part of every
+    iteration) and checkpoint its m-step relation as uni_m_{tag}. The
+    prune/report tails read the m-step 2x and their keep relation 3x,
+    so the inline spelling replayed the whole DP several times per
+    iteration."""
+    estep, mrel = _uni_estep_ctes(tag, vocab_rel, d)
+    materialize(spark.sql(
+        f"WITH {_UNI_STEP_HEAD},{estep} SELECT * FROM {mrel}"
+    )).createOrReplaceTempView(f"uni_m_{tag}")
+    return f"uni_m_{tag}"
 
 
 def _uni_vocab_views(spark: SparkSession, iters: int) -> None:
@@ -1819,25 +1880,29 @@ def _uni_vocab_views(spark: SparkSession, iters: int) -> None:
     temp views — the per-iteration-materialized Spark spelling of the EM
     chain (each vocab is ~90 rows; the corpus is scanned once for the
     word table). Shared by unigram_lm_trained (through iters-1, final
-    step inline) and unigram_encode_stats (through UNI_ITERS)."""
+    step inline) and unigram_encode_stats (through UNI_ITERS). Each
+    iteration checkpoints its m-step DP output first (_uni_m_view), so
+    the prune query runs over ~120-row checkpointed relations."""
     d = _UNI_SPARK_ARGS
-    head = _uni_head_ctes(d)
+    _uni_words_all_view(spark, d)
+    head = _uni_head_ctes(d, words_all_body="SELECT * FROM uni_words_all")
     materialize(
         spark.sql(f"WITH {head} SELECT * FROM words")
     ).createOrReplaceTempView("uni_words")
-    materialize(
-        spark.sql(f"WITH {head} SELECT * FROM excl")
+    # excl is a 1-row aggregate over the checkpointed word table,
+    # referenced once per report — a plain view suffices
+    spark.sql(
+        f"WITH {head} SELECT * FROM excl"
     ).createOrReplaceTempView("uni_excl")
     materialize(
         spark.sql(f"WITH {head} SELECT * FROM vocab0")
     ).createOrReplaceTempView("uni_vocab_0")
     for k in range(1, iters + 1):
-        estep, mrel = _uni_estep_ctes(f"i{k}", f"uni_vocab_{k - 1}", d)
-        prune = _uni_prune_ctes(k, f"uni_vocab_{k - 1}", mrel, d)
+        mview = _uni_m_view(spark, f"i{k}", f"uni_vocab_{k - 1}", d)
+        prune = _uni_prune_ctes(k, f"uni_vocab_{k - 1}", mview, d)
         materialize(
             spark.sql(
-                f"WITH {_UNI_STEP_HEAD},{estep},{prune} "
-                f"SELECT piece, cost6 FROM i{k}vocab"
+                f"WITH {prune} SELECT piece, cost6 FROM i{k}vocab"
             )
         ).createOrReplaceTempView(f"uni_vocab_{k}")
 
@@ -1936,9 +2001,18 @@ def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     d = _UNI_SPARK_ARGS
     _uni_vocab_views(spark, UNI_ITERS)
+    # checkpoint the per-(source, word) counts: the encode tail reads
+    # swords twice (the 1-char closed form + the rollup join), which
+    # would otherwise re-run the corpus scan per reference
+    materialize(spark.sql(
+        f"SELECT source, word, count(*) AS freq "
+        f"FROM {d['swords_src']} "
+        f"WHERE length(word) >= 1 GROUP BY source, word"
+    )).createOrReplaceTempView("uni_swords")
     enc, _ = _uni_estep_ctes("enc", f"uni_vocab_{UNI_ITERS}", d)
     return spark.sql(
-        f"WITH {_UNI_STEP_HEAD},{_uni_swords_cte(d)},{enc},"
+        f"WITH {_UNI_STEP_HEAD},"
+        f"swords AS (SELECT * FROM uni_swords),{enc},"
         f"{_uni_encode_tail(d)}"
     )
 
