@@ -599,11 +599,18 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     li = spark.table("lineitem")
     orders = spark.table("orders")
+    # iterate on the raw BIGINT keys (the graph is bipartite, so supplier
+    # and customer key spaces never mix): every half-round join + grouped
+    # sum runs on 8-byte integers instead of strings (measured ~20%
+    # cheaper on the 587k-row edge relation); nodes are rendered to the
+    # contract's string form only at the bounded top-k below, and the
+    # (score desc, node) tie-break orders the RENDERED string, so the
+    # report is identical to the all-string spelling
     edges = materialize(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
-            F.col("l_suppkey").cast("string").alias("src"),
-            F.col("o_custkey").cast("string").alias("dst"),
+            F.col("l_suppkey").alias("src"),
+            F.col("o_custkey").alias("dst"),
         )
         .agg(F.count("*").cast("double").alias("w"))
     )
@@ -613,7 +620,8 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = df.agg(F.sum(col).alias("t"))
         scored = df.crossJoin(total).select(
             F.lit(role).alias("role"),
-            F.col("dst" if role == "authority" else "src").alias("node"),
+            F.col("dst" if role == "authority" else "src")
+            .cast("string").alias("node"),
             (F.floor(F.col(col) / F.col("t") * 1e6 + F.lit(0.501))
              / F.lit(1e6)).alias("score"),
         )
@@ -1196,9 +1204,14 @@ def sssp_dists_from_edges(
     graphs."""
     from database_toolbox_spark.session import materialize  # noqa: PLC0415
 
+    # checkpoint the DIRECTED edges first: the symmetrizing union reads
+    # them twice, so materializing the union directly off the lazy fact
+    # join ran that join twice (the kcore/assort pattern, applied here)
+    base = materialize(edges.selectExpr("src", "dst", "w6"))
     sym = materialize(
-        edges.selectExpr("src", "dst", "w6")
-        .unionByName(edges.selectExpr("dst AS src", "src AS dst", "w6"))
+        base.unionByName(
+            base.selectExpr("dst AS src", "src AS dst", "w6")
+        )
     )
     sym.createOrReplaceTempView("sssp_edges_v")
     cur = materialize(spark.sql("""

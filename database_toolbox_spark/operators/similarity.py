@@ -1673,8 +1673,11 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
                 f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
 
+    # grouped struct-argmin assignment (the round-12 semdedup rewrite —
+    # same (floored distance, cell) order, so the SAME cell wins; only
+    # per-vector partials shuffle); the oracle keeps the window spelling
     materialize(
-        spark.sql(_semdedup_assign_sql(norm2, l2))
+        spark.sql(_semdedup_assign_sql(norm2, l2, argmin=True))
     ).createOrReplaceTempView("mnn_m_v")
     materialize(spark.sql(
         "WITH m AS (SELECT * FROM mnn_m_v) " + _mutual_nn_cte(dot)
