@@ -349,8 +349,12 @@ def kcore_rounds_from_edges(
     the node key — the same shuffle budget as a pagerank iteration; each
     level is materialized so lineage stays flat. Peeling depth is
     data-bounded (degeneracy ordering), not corpus-bounded."""
-    sym = edges.selectExpr("src", "dst").unionByName(
-        edges.selectExpr("dst AS src", "src AS dst")
+    # checkpoint the DIRECTED edges first: the symmetrizing union reads
+    # them twice, so materializing the union off the lazy fact join ran
+    # that join twice per build
+    base = materialize(edges.selectExpr("src", "dst"))
+    sym = base.unionByName(
+        base.selectExpr("dst AS src", "src AS dst")
     ).distinct()
     cur = materialize(sym)
     rows = [(0, cur.selectExpr("src").distinct().count(), cur.count() // 2)]
@@ -450,19 +454,25 @@ def lpa_labels_from_edges(
 ) -> DataFrame:
     """Run `rounds` synchronous LPA rounds over an (src, dst) edge list
     (symmetrized + deduplicated here); returns (node, label). Split out
-    so tests can drive synthetic graphs directly."""
+    so tests can drive synthetic graphs directly.
+
+    Only the multiply-referenced relations checkpoint: the DIRECTED
+    edges (the symmetrizing union reads them twice — materializing the
+    union off the lazy fact join ran that join twice) and the
+    symmetrized relation (read by every round plus the label seed). The
+    label chain itself stays LAZY — each round's labels feed only the
+    next round and consumers run one action, so nothing is recomputed
+    and no per-round checkpoint job is paid."""
+    base = materialize(edges.selectExpr("src", "dst"))
     sym = materialize(
-        edges.selectExpr("src", "dst")
-        .unionByName(edges.selectExpr("dst AS src", "src AS dst"))
+        base.unionByName(base.selectExpr("dst AS src", "src AS dst"))
         .distinct()
     )
-    labels = materialize(
-        sym.selectExpr("src AS node").distinct().withColumn(
-            "label", F.col("node")
-        )
+    labels = sym.selectExpr("src AS node").distinct().withColumn(
+        "label", F.col("node")
     )
     for _ in range(rounds):
-        labels = materialize(_lpa_round_spark(sym, labels))
+        labels = _lpa_round_spark(sym, labels)
     return labels
 
 
@@ -1308,12 +1318,22 @@ ORACLE["sssp_weighted_hops"] = _sssp_oracle()
 
 
 def _ppr_rank_states(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, materialize_states: bool = True
 ) -> list[DataFrame]:
     """The PPR iteration, shared between the registry query (which keeps
     only the final state) and ppr_frontier_counts (which counts every
     state — the round-10 verdict asked the frontier-sparsity claim to be
-    MEASURED, not narrated). Returns [ranks_0 .. ranks_ITERATIONS]."""
+    MEASURED, not narrated). Returns [ranks_0 .. ranks_ITERATIONS].
+
+    materialize_states=True checkpoints every state: frontier_counts
+    actions EVERY entry, so a lazy chain re-runs all k prior join+agg
+    rounds per count — O(ITERATIONS^2) recompute (round-11 ADVICE 3).
+    The registry query passes False: it runs ONE action over the final
+    state and each state is referenced exactly once by the next round,
+    so the lazy linear chain executes every round exactly once with no
+    per-round checkpoint job (measured 5.5 -> 3.9 s at sf0.1 including
+    build; only norm and seed — the multiply-referenced relations —
+    stay checkpointed)."""
     load_tables(spark, sf_dir)
     edges = _edges(spark)
     out_w = edges.groupBy("src").agg(F.sum("w").alias("wout"))
@@ -1333,17 +1353,15 @@ def _ppr_rank_states(
             F.col("dst").alias("node"),
             (F.lit(DAMPING) * F.col("mass")).alias("r"),
         )
-        # materialize each state: ppr_frontier_counts actions EVERY
-        # entry, so a lazy chain re-runs all k prior join+agg rounds per
-        # count — O(ITERATIONS^2) recompute (round-11 ADVICE item 3); the
-        # registry query gets the same flat lineage kcore/LPA rounds use
-        ranks = materialize(
+        ranks = (
             spread.unionByName(
                 seed.select("node", F.lit(1 - DAMPING).alias("r"))
             )
             .groupBy("node")
             .agg(F.sum("r").alias("r"))
         )
+        if materialize_states:
+            ranks = materialize(ranks)
         states.append(ranks)
     return states
 
@@ -1370,8 +1388,13 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays SPARSE — each iteration touches only edges out of nodes that
     currently hold mass (a frontier join, not a full-graph pass), which
     at 100 TB is the difference between PPR and global PageRank. Each
-    round = one equi-join + one grouped sum; teleport is a 1-row union."""
-    ranks = _ppr_rank_states(spark, sf_dir)[-1]
+    round = one equi-join + one grouped sum; teleport is a 1-row union.
+    The iteration chain stays LAZY here (materialize_states=False): this
+    query runs one action over the final state and each state feeds only
+    the next round, so nothing is recomputed and no per-round checkpoint
+    job is paid — frontier_counts, which actions every state, keeps the
+    per-round checkpoints."""
+    ranks = _ppr_rank_states(spark, sf_dir, materialize_states=False)[-1]
     top = (
         ranks.select(
             "node",
