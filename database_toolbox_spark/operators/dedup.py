@@ -319,15 +319,23 @@ _PREFIX_CAND_CTES = f"""
             FROM sh JOIN df ON df.s = sh.s
         ),
         prefix AS (
-            SELECT o.doc_id, o.s
+            SELECT o.doc_id, o.s, c.n
             FROM ordered o JOIN cnt c ON c.doc_id = o.doc_id
             WHERE o.r <= c.n - CAST(ceil({JACCARD_THRESHOLD} * c.n)
                                     AS BIGINT) + 1
         ),
         cand AS (
+            -- AllPairs LENGTH filter alongside the prefix condition:
+            -- J <= min(na, nb) / max(na, nb), so J >= t forces
+            -- min >= t * max — pairs failing it cannot reach the
+            -- threshold and would only burn a verify (candidates
+            -- 409k -> 310k at sf0.1; result set provably unchanged,
+            -- test_prefix_filter_jaccard_exact_and_selective pins it)
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM prefix a JOIN prefix b
               ON a.s = b.s AND a.doc_id < b.doc_id
+             AND a.n >= {JACCARD_THRESHOLD} * b.n
+             AND b.n >= {JACCARD_THRESHOLD} * a.n
         )"""
 
 

@@ -340,12 +340,23 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the pair set is the banded-LSH join (pairs-scale); the
     split assignment is a pure per-row projection joined back twice by
-    doc_id; output is a <= 6-row matrix."""
+    doc_id; output is a <= 6-row matrix. Composes
+    minhash_near_dup_pairs (whose shingle/signature intermediates are
+    materialized once inside it) instead of inlining _band_pairs_sql —
+    the inline form replayed the shingle explosion 3x and the signature
+    aggregate up to 8x within the statement (the round-12
+    fuzzy_decontamination lesson applied); the oracle keeps the inline
+    single-statement spelling."""
+    from database_toolbox_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_near_dup_pairs,
+    )
+
     load_tables(spark, sf_dir)
+    minhash_near_dup_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).createOrReplaceTempView("leak_pairs_v")
     return spark.sql(_leakage_sql(
-        _band_pairs_sql(
-            _SPARK_SHINGLES, lambda a, b: f"concat({a}, {b})"
-        ),
+        "SELECT doc_a, doc_b FROM leak_pairs_v",
         _SPLIT_BUCKET_SPARK,
     ))
 
@@ -623,14 +634,21 @@ def split_decontaminated_counts(
     Scale shape: the pair set is the banded-LSH join reused from the
     audit; contamination is two doc_id equi-joins + a DISTINCT; the
     re-split is a per-row projection with one LEFT join; counts are
-    3-row rollups."""
+    3-row rollups. Composes minhash_near_dup_pairs for the pair set
+    (same rationale as split_leakage_audit above — the inline
+    _band_pairs_sql replayed shingles/signatures within the resplit
+    build); the oracle keeps the inline single-statement spelling."""
+    from database_toolbox_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_near_dup_pairs,
+    )
     from database_toolbox_spark.session import materialize  # noqa: PLC0415
 
     load_tables(spark, sf_dir)
+    minhash_near_dup_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).createOrReplaceTempView("decontam_pairs_v")
     materialize(spark.sql(_decontam_resplit_sql(
-        _band_pairs_sql(
-            _SPARK_SHINGLES, lambda a, b: f"concat({a}, {b})"
-        ),
+        "SELECT doc_a, doc_b FROM decontam_pairs_v",
         _SPLIT_BUCKET_SPARK,
     ))).createOrReplaceTempView("decontam_resplit_v")
     return spark.sql(
