@@ -1262,7 +1262,8 @@ def _semdedup_assign_sql(norm2, l2, argmin: bool = False) -> str:
             WHERE vec_id < (SELECT n_cells FROM k)
         ),
         v AS (
-            SELECT vec_id, embedding, {norm2("embedding")} AS norm2
+            SELECT {"/*+ REPARTITION */ " if argmin else ""}vec_id,
+                   embedding, {norm2("embedding")} AS norm2
             FROM embeddings
         ),
         assigned AS ({assigned})

@@ -33,10 +33,13 @@ ITERATIONS = 3
 
 def _edges(spark: SparkSession) -> DataFrame:
     """Undirected weighted bipartite edges: s<k> ↔ c<k>, weight = lineitem
-    count between supplier and ordering customer."""
+    count between supplier and ordering customer. The DIRECTED relation
+    checkpoints before the symmetrizing union — the union reads it twice,
+    so the lazy form ran the fact join + aggregation twice in every
+    consumer's build (pagerank, personalized_pagerank)."""
     li = spark.table("lineitem")
     orders = spark.table("orders")
-    base = (
+    base = materialize(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
