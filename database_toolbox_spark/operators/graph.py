@@ -1026,21 +1026,42 @@ def copurchase_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identical SQL text runs on both engines (the rank column is compared,
     never emitted, so the INT/BIGINT row_number divergence is moot).
 
-    The capped relation is materialized once (guide §2.4): it feeds BOTH
-    pair-join sides, and Catalyst inlines CTEs, so the one-statement form
-    replayed the fact join + distinct + per-part window twice (measured
-    2.19 s -> 1.20 s at sf0.1 under identical host contention, vs the
-    1.64 s committed idle baseline; the oracle keeps the inline form)."""
-    from database_toolbox_spark.session import materialize  # noqa: PLC0415
-
+    Spark spelling (round-13): the capped per-part member set builds as
+    ONE grouped pass — slice(array_sort(collect_set(custkey)), 1, CAP)
+    per part (identical members to the oracle's row_number cap: the
+    sorted distinct set's first CAP values) — and ordered pairs explode
+    straight off the array (sorted ascending, so position order IS value
+    order and i < j ⇔ c1 < c2). That replaces the DISTINCT + per-part
+    window + capped self-join of the inline form with a single linear
+    chain (no window sort, no second read of the capped relation — so
+    nothing needs materializing either); it is the
+    local_clustering_coefficient projection shape, reused. The oracle
+    keeps the window + self-join spelling — an independent formulation
+    of the same pair multiset."""
     load_tables(spark, sf_dir)
-    materialize(
-        spark.sql(_COPURCHASE_CAPPED_HEAD + " SELECT * FROM capped")
-    ).createOrReplaceTempView("cpc_capped")
-    return spark.sql(
-        "WITH capped AS (SELECT * FROM cpc_capped),"
-        + _COPURCHASE_CAPPED_TAIL
-    )
+    return spark.sql(f"""
+        WITH parts AS (
+            SELECT l.l_partkey AS p,
+                   slice(array_sort(collect_set(o.o_custkey)), 1,
+                         {COPURCHASE_CAP}) AS cs
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_partkey
+        ),
+        pairs AS (
+            SELECT a.col AS c1, b.col AS c2,
+                   CAST(count(*) AS BIGINT) AS shared_parts
+            FROM parts
+            LATERAL VIEW posexplode(cs) a AS i, col
+            LATERAL VIEW posexplode(cs) b AS j, col
+            WHERE a.i < b.j
+            GROUP BY a.col, b.col
+        )
+        SELECT c1, c2, shared_parts
+        FROM pairs
+        WHERE shared_parts >= {COPURCHASE_MIN_SHARED}
+        ORDER BY shared_parts DESC, c1, c2
+        LIMIT {COPURCHASE_TOP}
+    """)
 
 
 QUERIES["copurchase_capped_pairs"] = copurchase_capped_pairs
