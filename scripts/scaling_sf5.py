@@ -455,7 +455,21 @@ def main() -> int:
                     f"{s['rows']} -> {b['rows']}"
                 )
             top = max(s["level_means"])
-            floor = max(EVAL_ABS_FLOOR, s["level_means"][top] - EVAL_DROP)
+            # the panel's top level is a HALF-width prefix (32 of 64 dims
+            # — full-dim recall of itself is 1 by definition, so the
+            # curve has no 64 row), and a half-width prefix's ABSOLUTE
+            # recall is corpus-size-dependent confusability (49x
+            # sign-flip interlopers crowd the top-10) — exactly what the
+            # curve exists to show. So the EVAL_ABS_FLOOR only applies
+            # when the sf0.1 mean itself clears it (ann_recall-style
+            # near-1 levels); otherwise the relative EVAL_DROP band is
+            # the assertion. Round-12 wrote max(abs, rel) but never got
+            # a completed run (the pre-release-materialized study OOMed);
+            # the first full run measured small=0.22 -> an unreachable
+            # 0.5 floor.
+            floor = s["level_means"][top] - EVAL_DROP
+            if s["level_means"][top] >= EVAL_ABS_FLOOR:
+                floor = max(floor, EVAL_ABS_FLOOR)
             if b["level_means"][top] < floor:
                 failures.append(
                     f"{name}: {top}-dim mean recall fell to "

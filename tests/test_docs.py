@@ -38,6 +38,12 @@ def test_scaling_md_keeps_both_growth_studies():
     assert "| ngram_decontamination | decon10 |" in text[sf1:sf5]
     assert "| image_jpeg_420_stats | entlin |" in text[sf1:sf5]
     assert "| unigram_lm_trained | mix10 |" in text[sf1:sf5]
+    # round-13: the 8-vs-32-core parallelism evidence at sf~1
+    # (round-12 verdict item 8)
+    assert "## Core scaling at sf~1 (8 vs 32 cores)" in text
+    assert "| image_jpeg_420_stats |" in text[
+        text.index("## Core scaling at sf~1"):
+    ]
     assert "| containment_dup_pairs | exact10 |" in text[sf1:sf5]
 
 
